@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify at a
+scale factor, then run each oracle_sql.json entry in DuckDB over the same
+fixture tables and compare (schema-insensitively: columns sorted by name,
+rows sorted, values normalized). Usage:
+    python3 scripts/check_oracle.py [sfdir] [outdir] [--skip-verify]
+"""
+import sys, os, json, math, subprocess, glob
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+skip = "--skip-verify" in sys.argv
+
+if not skip:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        print(r.stderr[-3000:]); sys.exit(1)
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.10g}"
+    return repr(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"MISSING  {name} (no spark output)"); fails.append(name); continue
+    try:
+        s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        scols, srows = canon(s.columns, s.fetchall())
+        d = con.sql(sql)
+        dcols, drows = canon(d.columns, d.fetchall())
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fails.append(name); continue
+    if scols != dcols:
+        print(f"SCHEMA   {name}: spark={scols} duckdb={dcols}")
+        fails.append(name); continue
+    if len(srows) != len(drows):
+        print(f"ROWCOUNT {name}: spark={len(srows)} duckdb={len(drows)}")
+        fails.append(name); continue
+    if srows != drows:
+        bad = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
+        print(f"VALUES   {name}: first diff row {bad}:")
+        print(f"  spark : {srows[bad]}")
+        print(f"  duckdb: {drows[bad]}")
+        fails.append(name); continue
+    print(f"OK       {name} ({len(srows)} rows)")
+
+nover = [n for n in json.load(open(f"{outdir}/oracle_sql.json", "r"))
+         if False]  # placeholder
+all_q = [os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)]
+rows_only = sorted(set(all_q) - set(oracle))
+for name in rows_only:
+    try:
+        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+        print(f"ROWSONLY {name} ({n} rows)")
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fails.append(name)
+
+print(f"\n{len(oracle) - len([f for f in fails if f in oracle])}/{len(oracle)} oracle-checked OK; "
+      f"{len(rows_only)} rows-only; {len(fails)} FAILED")
+sys.exit(1 if fails else 0)

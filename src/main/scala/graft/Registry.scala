@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query: a Spark DataFrame program plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB SQL string for the driver's
+  * oracle compare. Queries without `oracle` get a weaker rows-only check.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** Central inventory. Every operator claimed in SURVEY.md §2 (plus the
+  * LLM-pipeline extensions) registers here; SparkEntry is a thin view.
+  */
+object Registry {
+  def all: Seq[(String, QueryDef)] =
+    queries.Relational.defs ++
+      queries.Events.defs ++
+      queries.TextOps.defs ++
+      queries.DedupOps.defs ++
+      queries.SimilarityOps.defs ++
+      queries.Multimodal.defs ++
+      queries.TxQueries.defs
+}

@@ -1,0 +1,7 @@
+package graft.queries
+
+import graft.QueryDef
+
+object DedupOps {
+  def defs: Seq[(String, QueryDef)] = Seq()
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Event-stream analytics over the `events` fixture (batch forms; the
+  * streaming twins — watermark + windowed agg, flatMapGroupsWithState
+  * sessionization — live in graft.streaming and are exercised by ScalaTest,
+  * since a DuckDB oracle can't drive a stream).
+  *
+  * Scale notes: hourly rollup shuffles once on (hour, type); sessionization
+  * shuffles once on user_id and sorts within partitions (Spark window) —
+  * both are the minimal shuffles for the semantics. The as-of join uses the
+  * union+last_value trick (one shuffle on user_id, no range explosion),
+  * which survives arbitrarily many events per user.
+  */
+object Events {
+
+  // --- Tumbling-window rollup ------------------------------------------------
+  def qHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value"), 2).as("total_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val qHourlySql = s"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+      COUNT(*) AS n,
+      ${sqlDsum("value", 2)} AS total_value,
+      MIN(event_id) AS first_event,
+      MAX(event_id) AS last_event
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type"""
+
+  // --- Sessionization (30-min inactivity gap) --------------------------------
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qSessionizeSql = s"""
+    WITH x AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_us
+      FROM events)
+    SELECT user_id,
+      CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      COUNT(*) AS n_events,
+      ${sqlDsum("value", 2)} AS total_value
+    FROM x
+    GROUP BY user_id
+    ORDER BY user_id"""
+
+  // --- As-of join -------------------------------------------------------------
+  // For every purchase, the most recent prior-or-equal click by the same
+  // user. Spark has no ASOF JOIN; instead of a range join (quadratic blow-up
+  // per user) we union both sides, sort once per user, and carry the latest
+  // click forward with last(..., ignoreNulls) — one shuffle, linear work.
+  // DuckDB's native ASOF JOIN is the oracle.
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_left"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("is_left"))
+    // at equal ts the click sorts first (is_left=0) => >= semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("click_info",
+        last(when(col("is_left") === 0,
+          struct(col("event_id").as("id"), col("ts").as("cts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("click_info.id").as("prior_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_info.cts")))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qAsofJoinSql = """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+      c.event_id AS prior_click_id,
+      epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id"""
+
+  // --- Semi-structured: JSON props -------------------------------------------
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("bigint")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        min(col("k")).as("min_k"))
+      .orderBy(col("event_type"))
+
+  private val qJsonExtractSql = """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT)
+        AS sum_k,
+      MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS max_k,
+      MIN(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS min_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "q_events_hourly" -> QueryDef(qHourly, Some(qHourlySql),
+      "tumbling-window rollup (batch twin of the streaming agg)"),
+    "q_events_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
+      "gap-based sessionization via window lag"),
+    "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
+      "as-of join via union+last_value; DuckDB ASOF JOIN oracle"),
+    "q_json_extract" -> QueryDef(qJsonExtract, Some(qJsonExtractSql),
+      "semi-structured JSON field extraction"))
+}

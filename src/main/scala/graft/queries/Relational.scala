@@ -1,0 +1,446 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Relational operator inventory over the TPC-H-ish fixtures: scans,
+  * projection, range filters, hash/broadcast joins (inner/semi/anti),
+  * aggregation, windows, sort/limit, set ops, scalar functions.
+  *
+  * The reference engine (/root/reference) has none of these — its only
+  * query-shaped code is a full-table MVCC scan and one inclusive range
+  * predicate reachable from DeleteRows (deltalakeclient/writes.go:64-88).
+  * Here the relational layer is Spark's, declared via the DataFrame API so
+  * Catalyst handles pushdown/pruning/join-strategy; every query has a DuckDB
+  * oracle twin.
+  *
+  * Scale notes (100 TB design point): all joins below either broadcast the
+  * dimension side (region/nation/customer/supplier are tiny relative to the
+  * fact tables and Spark's AQE broadcasts them automatically under the
+  * threshold) or shuffle on the join key with partial aggregation pushed
+  * below the exchange. Nothing collects to the driver.
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  // --- TPC-H Q1: pricing summary (flagship; also SparkEntry.entry) ---------
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity", 2)} AS sum_qty,
+      ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+      ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+      ${sqlDavg("l_quantity", 2)} AS avg_qty,
+      ${sqlDavg("l_extendedprice", 2)} AS avg_price,
+      ${sqlDavg("l_discount", 2)} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // --- TPC-H Q3: shipping priority (3-way join + agg + top-k) --------------
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql = s"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+  // --- TPC-H Q4-style: EXISTS via left-semi join ---------------------------
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // --- TPC-H Q5: local supplier volume (6-way join) ------------------------
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val l = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql = s"""
+    SELECT n_name,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  // --- TPC-H Q6: forecast revenue (pure scan+filter+agg) -------------------
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql = s"""
+    SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24"""
+
+  // --- TPC-H Q10: returned items (4-way join + top-k) ----------------------
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-10-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = t(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql = s"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  // --- Range filter: the reference's entire predicate language -------------
+  // inRange (writes.go:64-88) = one inclusive BETWEEN on one column; here it
+  // reaches the parquet scan as a pushed filter instead of running
+  // row-at-a-time in the client.
+  def qRangeFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(10, 20))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val qRangeFilterSql = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+    ORDER BY l_orderkey, l_linenumber"""
+
+  // --- Anti join: customers with no urgent 1997 orders ----------------------
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val qAntiJoinSql = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate >= TIMESTAMP '1997-01-01'
+                        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  // --- Window: top-3 customers by balance per nation ------------------------
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  private val qWindowTopNSql = """
+    SELECT n_name, rk, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) x
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE rk <= 3
+    ORDER BY n_name, rk"""
+
+  // --- Window: running revenue per customer over time ----------------------
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val qWindowRunningSql = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey"""
+
+  // --- Set ops: union / intersect / except in one query --------------------
+  // Symmetric difference of customer-nations vs supplier-nations.
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    val suppN = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    custN.union(suppN).distinct()
+      .except(custN.intersect(suppN))
+      .orderBy(col("n_name"))
+  }
+
+  private val qSetOpsSql = """
+    SELECT n_name FROM (
+      (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+       UNION
+       SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      EXCEPT
+      (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+       INTERSECT
+       SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    ) x
+    ORDER BY n_name"""
+
+  // --- Distinct -------------------------------------------------------------
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val qDistinctSql = """
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // --- Scalar functions: strings / math ------------------------------------
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat(col("p_brand"), lit(":"), col("p_size").cast("string"))
+          .as("brand_size"),
+        (col("p_size") % 7).as("size_mod7"),
+        abs(col("p_size") - 25).as("size_dist25"),
+        floor(col("p_retailprice")).cast("bigint").as("price_floor"),
+        ceil(col("p_retailprice")).cast("bigint").as("price_ceil"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
+      .orderBy(col("p_partkey"))
+
+  private val qScalarFuncsSql = """
+    SELECT p_partkey,
+      UPPER(p_name) AS uname,
+      LOWER(p_brand) AS lbrand,
+      CAST(LENGTH(p_name) AS INT) AS name_len,
+      SUBSTR(p_type, 1, 5) AS type5,
+      p_brand || ':' || CAST(p_size AS VARCHAR) AS brand_size,
+      p_size % 7 AS size_mod7,
+      ABS(p_size - 25) AS size_dist25,
+      CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+      CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+      REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants
+    FROM part
+    ORDER BY p_partkey"""
+
+  // --- Scalar functions: dates ----------------------------------------------
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  private val qDateFuncsSql = """
+    SELECT o_orderkey,
+      CAST(date_part('year', o_orderdate) AS INT) AS y,
+      CAST(date_part('month', o_orderdate) AS INT) AS m,
+      CAST(date_part('day', o_orderdate) AS INT) AS d,
+      CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders
+    ORDER BY o_orderkey"""
+
+  // --- CASE bucketing + group -----------------------------------------------
+  def qCaseBucket(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("bucket"), col("o_orderstatus"))
+
+  private val qCaseBucketSql = s"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+      o_orderstatus,
+      COUNT(*) AS n,
+      ${sqlDsum("o_totalprice", 2)} AS total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket, o_orderstatus"""
+
+  // --- Grouping sets / rollup ------------------------------------------------
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val qRollupSql = s"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      ${sqlDsum("l_quantity", 2)} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "q1_pricing_summary" -> QueryDef(q1PricingSummary, Some(q1Sql),
+      "TPC-H Q1: scan+filter+groupBy agg, decimal-exact sums"),
+    "q3_shipping_priority" -> QueryDef(q3ShippingPriority, Some(q3Sql),
+      "3-way join + agg + top-k"),
+    "q4_order_priority" -> QueryDef(q4OrderPriority, Some(q4Sql),
+      "EXISTS via left-semi join"),
+    "q5_local_supplier" -> QueryDef(q5LocalSupplier, Some(q5Sql),
+      "6-way join with broadcast dims"),
+    "q6_forecast_revenue" -> QueryDef(q6ForecastRevenue, Some(q6Sql),
+      "scan+filter+global agg"),
+    "q10_returned_items" -> QueryDef(q10ReturnedItems, Some(q10Sql),
+      "4-way join + agg + top-k"),
+    "q_range_filter" -> QueryDef(qRangeFilter, Some(qRangeFilterSql),
+      "reference inRange semantics as pushed BETWEEN"),
+    "q_anti_join" -> QueryDef(qAntiJoin, Some(qAntiJoinSql),
+      "NOT EXISTS via left-anti join"),
+    "q_window_topn" -> QueryDef(qWindowTopN, Some(qWindowTopNSql),
+      "row_number window top-N per group"),
+    "q_window_running" -> QueryDef(qWindowRunning, Some(qWindowRunningSql),
+      "running sum window"),
+    "q_set_ops" -> QueryDef(qSetOps, Some(qSetOpsSql),
+      "union/intersect/except"),
+    "q_distinct" -> QueryDef(qDistinct, Some(qDistinctSql), "distinct"),
+    "q_scalar_funcs" -> QueryDef(qScalarFuncs, Some(qScalarFuncsSql),
+      "string/math scalar functions"),
+    "q_date_funcs" -> QueryDef(qDateFuncs, Some(qDateFuncsSql),
+      "date scalar functions"),
+    "q_case_bucket" -> QueryDef(qCaseBucket, Some(qCaseBucketSql),
+      "CASE bucketing + group"),
+    "q_rollup" -> QueryDef(qRollup, Some(qRollupSql),
+      "rollup grouping sets"))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * language ID (marker-word heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything here is per-row scalar work that whole-stage-codegens and a
+  * single shuffle for the final rollup — embarrassingly parallel at 100 TB.
+  * All integer arithmetic (no float ratios) so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object TextOps {
+
+  /** Marker-word score: char-count removed by replacing " w " with " "
+    * (avoids division, which rounds differently across engines). Each
+    * non-overlapping occurrence removes len(w)+1 chars. Both engines scan
+    * the original string left-to-right non-overlapping, so the counts agree
+    * (Spark regexp_replace with a metacharacter-free pattern == DuckDB
+    * replace).
+    */
+  private def occScore(textCol: Column, w: String): Column = {
+    val padded = concat(lit(" "), textCol, lit(" "))
+    length(padded) - length(regexp_replace(padded, s" ${w} ", " "))
+  }
+  private def sqlOccScore(w: String): String =
+    s"length(' '||text||' ') - length(replace(' '||text||' ', ' ${w} ', ' '))"
+
+  // --- Language ID -----------------------------------------------------------
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val en = occScore(col("text"), "the") + occScore(col("text"), "and")
+    val de = occScore(col("text"), "der") + occScore(col("text"), "und")
+    val fr = occScore(col("text"), "le") + occScore(col("text"), "et")
+    val es = occScore(col("text"), "el") + occScore(col("text"), "los")
+    d.withColumn("detected",
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown"))
+      .groupBy(col("lang"), col("detected"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("detected"))
+  }
+
+  private val qLangIdSql = {
+    val en = s"(${sqlOccScore("the")}) + (${sqlOccScore("and")})"
+    val de = s"(${sqlOccScore("der")}) + (${sqlOccScore("und")})"
+    val fr = s"(${sqlOccScore("le")}) + (${sqlOccScore("et")})"
+    val es = s"(${sqlOccScore("el")}) + (${sqlOccScore("los")})"
+    s"""
+    WITH scored AS (
+      SELECT lang,
+        CASE WHEN ($en) >= ($de) AND ($en) >= ($fr) AND ($en) >= ($es)
+                  AND ($en) > 0 THEN 'en'
+             WHEN ($de) >= ($fr) AND ($de) >= ($es) AND ($de) > 0 THEN 'de'
+             WHEN ($fr) >= ($es) AND ($fr) > 0 THEN 'fr'
+             WHEN ($es) > 0 THEN 'es'
+             ELSE 'unknown' END AS detected
+      FROM documents)
+    SELECT lang, detected, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, detected
+    ORDER BY lang, detected"""
+  }
+
+  // --- Quality scoring ---------------------------------------------------------
+  // Integer-only per-doc signals rolled up by source.
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val nWords = size(split(col("text"), " ")).cast("bigint")
+    // occScore(w) = k * (len(w)+1); divide by that width for a true count
+    val nStop = (occScore(col("text"), "the") / 4 +
+      occScore(col("text"), "a") / 2 +
+      occScore(col("text"), "of") / 3).cast("bigint")
+    val highQ = when(col("n_chars") >= 200 && nWords >= 40, 1L).otherwise(0L)
+    d.select(col("source"), col("n_chars"), nWords.as("n_words"),
+      nStop.as("n_stop"), highQ.as("high_q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_stop")).as("total_stopwords"),
+        sum(col("high_q")).as("n_high_quality"))
+      .orderBy(col("source"))
+  }
+
+  private val qQualitySql = {
+    // each occScore is a multiple of len(w)+1: divide by that width for a
+    // true occurrence count; the quotient is an exact whole double so the
+    // BIGINT cast is safe in both engines.
+    val stop = s"CAST((${sqlOccScore("the")}) / 4 + (${sqlOccScore("a")}) / 2 " +
+      s"+ (${sqlOccScore("of")}) / 3 AS BIGINT)"
+    s"""
+    WITH perdoc AS (
+      SELECT source, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        $stop AS n_stop,
+        CASE WHEN n_chars >= 200
+                  AND len(string_split(text, ' ')) >= 40
+             THEN 1 ELSE 0 END AS high_q
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(n_words) AS BIGINT) AS total_words,
+      CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+      CAST(SUM(high_q) AS BIGINT) AS n_high_quality
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source"""
+  }
+
+  // --- Token counting ----------------------------------------------------------
+  def qTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("tokens_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("tokens_bpe"),
+        length(col("text")).as("n_chars_seen"))
+      .orderBy(col("doc_id"))
+
+  private val qTokensSql = """
+    SELECT doc_id,
+      CAST(len(string_split_regex(text, '\s+')) AS INT) AS tokens_ws,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        AS INT) AS tokens_bpe,
+      CAST(length(text) AS INT) AS n_chars_seen
+    FROM documents
+    ORDER BY doc_id"""
+
+  // --- Fingerprinting ------------------------------------------------------------
+  // Canonical-form fingerprint: lowercase, collapse whitespace, md5. The
+  // rolling-hash (winnowing) variant lives in DedupOps (not SQL-expressible).
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(norm).as("fingerprint"),
+        length(norm).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qFingerprintSql = """
+    SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INT)
+        AS norm_len
+    FROM documents
+    ORDER BY doc_id"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
+      "marker-word language ID heuristic"),
+    "text_quality" -> QueryDef(qQuality, Some(qQualitySql),
+      "integer quality signals rolled up by source"),
+    "text_tokens" -> QueryDef(qTokens, Some(qTokensSql),
+      "whitespace + BPE-ish regex token counts"),
+    "text_fingerprint" -> QueryDef(qFingerprint, Some(qFingerprintSql),
+      "canonical-form md5 fingerprint"))
+}

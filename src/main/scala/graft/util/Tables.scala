@@ -1,0 +1,45 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Fixture loaders + oracle-safe aggregate helpers.
+  *
+  * Double sums are order-dependent at the ulp level, and Spark and DuckDB
+  * accumulate in different orders. To make aggregate results bitwise
+  * comparable, every money/measure sum goes through an exact decimal
+  * accumulation (each term rounded to a fixed scale — deterministic because
+  * the per-row double values are identical in both engines) and is cast back
+  * to double at the end. The DuckDB oracle uses the textually identical
+  * CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE) shape.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // natively; read it as long nanos and truncate to the session's
+      // microsecond timestamps (DuckDB's epoch_us/date_trunc agree).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Exact decimal sum rendered back as double (see class doc). */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count, one IEEE division. */
+  def davg(c: Column, scale: Int): Column =
+    dsum(c, scale) / count(c)
+
+  /** SQL twin of [[dsum]]. */
+  def sqlDsum(expr: String, scale: Int): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** SQL twin of [[davg]]. */
+  def sqlDavg(expr: String, scale: Int): String =
+    s"${sqlDsum(expr, scale)} / COUNT($expr)"
+}
