@@ -1,0 +1,59 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.channels.FileChannel
+import java.nio.file.StandardOpenOption._
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Storage contract for the transaction log — the same 3-method surface as
+  * the reference's objectstorage interface (objectstorage/objectstorage.go:3-8):
+  * atomic create-if-absent, ordered prefix listing, whole-object read. An
+  * S3/minio implementation (the reference's own TODO, README.md:30) can slot
+  * in behind this trait; S3 now supports If-None-Match puts, so the contract
+  * holds there too.
+  */
+trait ObjectStore {
+  /** Atomically create `name` with `data`; false if it already exists. */
+  def putIfAbsent(name: String, data: Array[Byte]): Boolean
+  /** All object names with the prefix, ascending lexicographic. */
+  def listPrefixOrdered(prefix: String): Seq[String]
+  def read(name: String): Array[Byte]
+}
+
+/** Local-filesystem store. Atomicity comes from the same hard-link trick as
+  * the reference (objectstorage/localobjectstorage.go:58, os.Link): write to
+  * a temp name, fsync, then Files.createLink(final, tmp) — link creation
+  * fails atomically if the target exists, even across processes.
+  */
+final class LocalObjectStore(rootDir: String) extends ObjectStore {
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
+    val tmp = root.resolve(s".tmp_${UUID.randomUUID()}")
+    val ch = FileChannel.open(tmp, CREATE_NEW, WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(data))
+      ch.force(true) // fsync before the link makes the object durable-if-visible
+    } finally ch.close()
+    try {
+      Files.createLink(root.resolve(name), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def listPrefixOrdered(prefix: String): Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  override def read(name: String): Array[Byte] =
+    Files.readAllBytes(root.resolve(name))
+}

@@ -1,0 +1,267 @@
+package graft.table
+
+import java.util.UUID
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{LocalObjectStore, ObjectStore}
+import graft.tx._
+
+/** Transactional table client — the reference's DeltaLakeClient surface
+  * (deltalakeclient/deltalakeclient.go:14-19) rebuilt on Spark:
+  *
+  *   - `newTx` / `commitTx`: snapshot isolation via log replay, optimistic
+  *     first-writer-wins commit (transactions.go:53-147)
+  *   - `createTable` / `writeRow` / `insert`: buffered row writes flushed as
+  *     immutable parquet data objects (writes.go:9-56); `insert` is the bulk
+  *     distributed path the reference lacked
+  *   - `scan`: every live row version with (_tx_id, _row_idx) provenance —
+  *     the reference's reverse-chronological iterator (reads.go:21-96)
+  *     re-expressed as explicit ordering columns, because a DataFrame is an
+  *     unordered set and "latest version wins" belongs in the plan, not in
+  *     iterator order
+  *   - `currentState`: latest-version-per-key dedup, the consumer pattern
+  *     from the reference's model test (main_test.go:321-329), as a
+  *     first-class window query
+  *   - `deleteRows`: inclusive-range copy-on-write delete (writes.go:90-162);
+  *     rewritten objects keep the ORIGINAL txId so they keep their
+  *     chronological slot (transactions.go:11-16)
+  *
+  * Scale design: log replay is metadata-only; data moves exclusively through
+  * distributed parquet jobs; `currentState` is one shuffle (window over key);
+  * copy-on-write rewrites are per-object jobs that at cluster scale would
+  * batch per txId — nothing here collects table data to the driver except
+  * the caller's own unflushed buffer (bounded by dataObjectSize).
+  *
+  * Row-buffer flush threshold defaults to the reference's intended 64Ki
+  * (deltalakeclient.go:10-12), not its debug value of 10.
+  */
+final class GraftClient(
+    spark: SparkSession,
+    rootDir: String,
+    dataObjectSize: Int = 64 * 1024) {
+
+  val store: ObjectStore = new LocalObjectStore(rootDir)
+  private val txLog = new TxLog(store)
+
+  val TxIdCol = "_tx_id"
+  val RowIdxCol = "_row_idx"
+
+  private final class TxState(val snapshot: Snapshot) {
+    val actions = mutable.Buffer[Action]()
+    val tables: mutable.Map[String, StructType] =
+      mutable.Map[String, StructType]() ++= snapshot.tables
+    // unflushed rows with their already-assigned row index (tombstoned rows
+    // are removed but surviving rows keep their index, like the reference's
+    // in-place nil tombstones, writes.go:101-110)
+    val buffers = mutable.Map[String, mutable.ArrayBuffer[(Long, Row)]]()
+    val rowCounters = mutable.Map[String, Long]().withDefaultValue(0L)
+    def id: Long = snapshot.version
+  }
+
+  private var tx: Option[TxState] = None
+
+  private def currentTx: TxState =
+    tx.getOrElse(throw new IllegalStateException("no open transaction"))
+
+  def newTx(): Unit = {
+    if (tx.isDefined)
+      throw new IllegalStateException("transaction already open")
+    tx = Some(new TxState(txLog.begin()))
+  }
+
+  def createTable(table: String, schema: StructType): Unit = {
+    val t = currentTx
+    if (t.tables.contains(table))
+      throw new IllegalArgumentException(s"table exists: $table")
+    require(!schema.fieldNames.contains(TxIdCol) &&
+      !schema.fieldNames.contains(RowIdxCol),
+      s"$TxIdCol/$RowIdxCol are reserved provenance columns")
+    t.tables(table) = schema
+    t.actions += ChangeMetadata(table, schema)
+  }
+
+  def schemaOf(table: String): StructType =
+    currentTx.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+
+  private def provSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(TxIdCol, LongType, nullable = false)
+      :+ StructField(RowIdxCol, LongType, nullable = false))
+
+  def writeRow(table: String, values: Seq[Any]): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(values.length == schema.length,
+      s"row arity ${values.length} != schema arity ${schema.length}")
+    val buf = t.buffers.getOrElseUpdate(table, mutable.ArrayBuffer())
+    val idx = t.rowCounters(table)
+    t.rowCounters(table) = idx + 1
+    buf += ((idx, Row.fromSeq(values)))
+    if (buf.length >= dataObjectSize) flush(table)
+  }
+
+  /** Bulk distributed insert (the reference's TODO-scale path): stages the
+    * whole DataFrame as one data object without driver materialization.
+    */
+  def insert(table: String, df: DataFrame): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(df.schema.fieldNames.sameElements(schema.fieldNames),
+      s"insert schema mismatch: ${df.schema.fieldNames.mkString(",")}")
+    flush(table) // keep buffered rows chronologically before the bulk batch
+    val base = t.rowCounters(table)
+    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+    val stamped = df
+      .withColumn(TxIdCol, lit(t.id))
+      .withColumn(RowIdxCol, monotonically_increasing_id() + lit(base))
+    stamped.write.parquet(s"$rootDir/$name")
+    val n = spark.read.parquet(s"$rootDir/$name").count()
+    t.rowCounters(table) = base + n
+    t.actions += AddDataObject(table, name, t.id, n)
+  }
+
+  private def flush(table: String): Unit = {
+    val t = currentTx
+    val buf = t.buffers.getOrElse(table, return)
+    if (buf.isEmpty) return
+    val schema = schemaOf(table)
+    val rows = buf.map { case (idx, r) =>
+      Row.fromSeq(r.toSeq :+ t.id :+ idx)
+    }.toList.asJava
+    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+    spark.createDataFrame(rows, provSchema(schema))
+      .coalesce(1)
+      .write.parquet(s"$rootDir/$name")
+    t.actions += AddDataObject(table, name, t.id, buf.length.toLong)
+    buf.clear()
+  }
+
+  private def liveFiles(table: String): Vector[AddDataObject] = {
+    val t = currentTx
+    t.snapshot.liveFiles(table, t.actions.toSeq)
+  }
+
+  /** All live row versions (committed-in-snapshot + this tx's own writes),
+    * with provenance columns. Latest-version semantics = order by
+    * (_tx_id, _row_idx) descending; [[currentState]] does that per key.
+    */
+  def scan(table: String): DataFrame = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    val pSchema = provSchema(schema)
+    val files = liveFiles(table).map(a => s"$rootDir/${a.path}")
+    val committed =
+      if (files.isEmpty)
+        spark.createDataFrame(List.empty[Row].asJava, pSchema)
+      else
+        spark.read.schema(pSchema).parquet(files: _*)
+    val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
+    if (buf.isEmpty) committed
+    else {
+      val rows = buf.map { case (idx, r) =>
+        Row.fromSeq(r.toSeq :+ t.id :+ idx)
+      }.toList.asJava
+      committed.unionByName(spark.createDataFrame(rows, pSchema))
+    }
+  }
+
+  /** Current table state: latest version per key — one shuffle on keyCols.
+    * This is the reference consumers' first-seen-wins dedup over the
+    * reverse-chronological scan (main_test.go:321-329) as a window query.
+    */
+  def currentState(table: String, keyCols: Seq[String]): DataFrame = {
+    val schema = schemaOf(table)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(TxIdCol).desc, col(RowIdxCol).desc)
+    scan(table)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Inclusive range delete, start <= col <= end — the reference's single
+    * predicate (writes.go:58-88) — as copy-on-write (writes.go:90-162).
+    */
+  def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    val fieldIdx = schema.fieldNames.indexOf(column)
+    require(fieldIdx >= 0, s"no such column: $column")
+
+    // phase 1: tombstone matching unflushed rows (writes.go:101-110)
+    t.buffers.get(table).foreach { buf =>
+      val keep = buf.filterNot { case (_, r) =>
+        inRangeScala(r.get(fieldIdx), start, end)
+      }
+      buf.clear(); buf ++= keep
+    }
+
+    // phase 2: copy-on-write over live data objects (writes.go:113-159)
+    val pred = col(column).between(lit(start), lit(end))
+    liveFiles(table).foreach { add =>
+      val df = spark.read.schema(provSchema(schema))
+        .parquet(s"$rootDir/${add.path}")
+      val matched = df.filter(pred).count()
+      if (matched > 0) {
+        val remaining = add.numRows - matched
+        if (remaining > 0) {
+          val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+          // keep rows where the predicate is false OR null (null never matches
+          // an inclusive range — the reference skips nil tombstones)
+          df.filter(!coalesce(pred, lit(false))).write
+            .parquet(s"$rootDir/$name")
+          // ORIGINAL txId: the rewrite keeps its chronological slot
+          t.actions += AddDataObject(table, name, add.txId, remaining)
+        }
+        t.actions += RemoveDataObject(table, add.path)
+      }
+    }
+  }
+
+  private def inRangeScala(v: Any, start: Any, end: Any): Boolean = v match {
+    case null => false
+    case n: Number =>
+      val d = n.doubleValue()
+      d >= toD(start) && d <= toD(end)
+    case s: String => (start, end) match {
+      case (a: String, b: String) => s >= a && s <= b
+      case _ => throw new IllegalArgumentException("type mismatch in range")
+    }
+    case ts: java.sql.Timestamp => (start, end) match {
+      case (a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+        !ts.before(a) && !ts.after(b)
+      case _ => throw new IllegalArgumentException("type mismatch in range")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported range type: $other")
+  }
+  private def toD(x: Any): Double = x match {
+    case n: Number => n.doubleValue()
+    case _ => throw new IllegalArgumentException("type mismatch in range")
+  }
+
+  /** Flush buffers, append the log entry, release the tx. Throws
+    * [[CommitConflictException]] if a concurrent committer won the id; the
+    * transaction is discarded either way (transactions.go:106-147). Orphaned
+    * data objects from a failed commit are unreachable (never logged).
+    */
+  def commitTx(): Unit = {
+    val t = currentTx
+    t.tables.keys.foreach(flush)
+    try txLog.commit(t.snapshot, t.actions.toSeq)
+    finally tx = None
+  }
+
+  /** Abandon the open transaction (data objects it wrote stay orphaned and
+    * unreferenced, as in the reference).
+    */
+  def rollback(): Unit = tx = None
+
+  def hasOpenTx: Boolean = tx.isDefined
+}

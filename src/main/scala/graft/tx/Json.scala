@@ -1,0 +1,167 @@
+package graft.tx
+
+import scala.collection.mutable
+
+/** Minimal JSON codec for the transaction log (offline build: no external
+  * JSON deps resolve, and the log schema is three small action shapes —
+  * see the reference's use of encoding/json over its transaction struct,
+  * deltalakeclient/transactions.go:133-138).
+  *
+  * Values map: JNull, JBool, JNum (double), JStr, JArr, JObj.
+  */
+sealed trait JValue {
+  def asObj: Map[String, JValue] = this.asInstanceOf[JObj].fields
+  def asArr: Vector[JValue] = this.asInstanceOf[JArr].items
+  def asStr: String = this.asInstanceOf[JStr].value
+  def asLong: Long = this match {
+    case JNum(n) => n.toLong
+    case JStr(s) => s.toLong // longs round-trip as strings to avoid double loss
+    case other => sys.error(s"not a number: $other")
+  }
+}
+case object JNull extends JValue
+final case class JBool(value: Boolean) extends JValue
+final case class JNum(value: Double) extends JValue
+final case class JStr(value: String) extends JValue
+final case class JArr(items: Vector[JValue]) extends JValue
+final case class JObj(fields: Map[String, JValue]) extends JValue
+
+object Json {
+  def obj(fields: (String, JValue)*): JObj = JObj(fields.toMap)
+  def arr(items: Iterable[JValue]): JArr = JArr(items.toVector)
+  def num(l: Long): JValue = JStr(l.toString) // exact 64-bit round-trip
+  def str(s: String): JValue = JStr(s)
+
+  // ---- writer ----
+  def write(v: JValue): String = {
+    val sb = new StringBuilder
+    wr(v, sb); sb.toString
+  }
+  private def wr(v: JValue, sb: StringBuilder): Unit = v match {
+    case JNull => sb.append("null")
+    case JBool(b) => sb.append(b)
+    case JNum(n) =>
+      if (n == n.toLong.toDouble) sb.append(n.toLong) else sb.append(n)
+    case JStr(s) => quote(s, sb)
+    case JArr(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { i =>
+        if (!first) sb.append(','); first = false; wr(i, sb)
+      }
+      sb.append(']')
+    case JObj(fields) =>
+      sb.append('{')
+      var first = true
+      // sorted keys => deterministic log bytes
+      fields.toSeq.sortBy(_._1).foreach { case (k, x) =>
+        if (!first) sb.append(','); first = false
+        quote(k, sb); sb.append(':'); wr(x, sb)
+      }
+      sb.append('}')
+  }
+  private def quote(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  // ---- recursive-descent parser ----
+  def parse(s: String): JValue = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing JSON at ${p.pos}")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit =
+      while (!eof && (s.charAt(pos) == ' ' || s.charAt(pos) == '\n' ||
+        s.charAt(pos) == '\t' || s.charAt(pos) == '\r')) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos")
+      pos += 1
+    }
+    def value(): JValue = {
+      skipWs()
+      s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(string())
+        case 't' => pos += 4; JBool(true)
+        case 'f' => pos += 5; JBool(false)
+        case 'n' => pos += 4; JNull
+        case _ => number()
+      }
+    }
+    private def obj(): JValue = {
+      expect('{'); skipWs()
+      val m = mutable.Map[String, JValue]()
+      if (s.charAt(pos) == '}') { pos += 1; return JObj(m.toMap) }
+      while (true) {
+        skipWs()
+        val k = string()
+        skipWs(); expect(':')
+        m(k) = value()
+        skipWs()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect('}'); return JObj(m.toMap) }
+      }
+      JObj(m.toMap)
+    }
+    private def arr(): JValue = {
+      expect('['); skipWs()
+      val b = Vector.newBuilder[JValue]
+      if (s.charAt(pos) == ']') { pos += 1; return JArr(b.result()) }
+      while (true) {
+        b += value()
+        skipWs()
+        if (s.charAt(pos) == ',') pos += 1
+        else { expect(']'); return JArr(b.result()) }
+      }
+      JArr(b.result())
+    }
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+              pos += 4
+          }
+        } else sb.append(c)
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    private def number(): JValue = {
+      val start = pos
+      while (!eof && ("+-.eE0123456789".indexOf(s.charAt(pos)) >= 0)) pos += 1
+      JNum(s.substring(start, pos).toDouble)
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.tx
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.store.ObjectStore
+
+/** Actions in the transaction log — the same tagged union as the reference
+  * (deltalakeclient/transactions.go:19-29: AddDataobject / DeleteDataobject /
+  * ChangeMetadata), with real typed schemas instead of bare column lists.
+  *
+  * `txId` on an Add is the id of the transaction whose rows the object
+  * carries — on copy-on-write rewrites it stays the ORIGINAL writer's id so
+  * the object keeps its chronological slot in MVCC ordering (reference
+  * comment deltalakeclient/transactions.go:11-16).
+  */
+sealed trait Action { def table: String }
+final case class AddDataObject(table: String, path: String, txId: Long,
+    numRows: Long) extends Action
+final case class RemoveDataObject(table: String, path: String) extends Action
+final case class ChangeMetadata(table: String, schema: StructType)
+    extends Action
+
+final class CommitConflictException(id: Long)
+  extends RuntimeException(
+    s"commit conflict: log id $id was taken by a concurrent transaction")
+
+/** Snapshot of the table store at a log version: fold of every committed
+  * action, exactly the reference's NewTx replay
+  * (deltalakeclient/transactions.go:53-104).
+  */
+final case class Snapshot(version: Long, actions: Vector[Action]) {
+  def tables: Map[String, StructType] =
+    actions.collect { case ChangeMetadata(t, s) => t -> s }.toMap // last wins
+  /** Live data objects of a table, sorted by (txId, path) so rewrites sort
+    * back into their original chronological position
+    * (dataobjects.go:91-92).
+    */
+  def liveFiles(table: String, pending: Seq[Action] = Nil): Vector[AddDataObject] = {
+    val all = actions ++ pending
+    val removed = all.collect {
+      case RemoveDataObject(t, p) if t == table => p
+    }.toSet
+    all.collect {
+      case a: AddDataObject if a.table == table && !removed(a.path) => a
+    }.sortBy(a => (a.txId, a.path)).toVector
+  }
+}
+
+/** The ordered transaction log: `_log_%020d` JSON objects in an
+  * [[ObjectStore]]. Zero-padded ids make lexicographic listing ==
+  * chronological order (reference transactions.go:133). Optimistic
+  * concurrency: commit serializes the staged actions and put-if-absent's the
+  * next id; the loser of a race gets [[CommitConflictException]]
+  * (first-writer-wins, transactions.go:144).
+  *
+  * Scale note: replay is metadata-only — O(#log files) driver-side work, no
+  * table data touched; at production scale this is where checkpointing
+  * (periodic folded-snapshot files) would bolt on.
+  */
+final class TxLog(store: ObjectStore) {
+  import TxLog._
+
+  def begin(): Snapshot = {
+    val names = store.listPrefixOrdered(LogPrefix)
+    val actions = Vector.newBuilder[Action]
+    var last = -1L
+    names.foreach { n =>
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      last = j("id").asLong
+      actions ++= j("actions").asArr.map(actionFromJson)
+    }
+    Snapshot(last + 1, actions.result())
+  }
+
+  /** Atomically append `actions` as log id `snapshot.version`. */
+  def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
+    if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)
+    val id = snapshot.version
+    val body = Json.write(Json.obj(
+      "id" -> Json.num(id),
+      "actions" -> Json.arr(actions.map(actionToJson))))
+    if (!store.putIfAbsent(logName(id), body.getBytes("UTF-8")))
+      throw new CommitConflictException(id)
+  }
+}
+
+object TxLog {
+  val LogPrefix = "_log_"
+  def logName(id: Long): String = f"${LogPrefix}${id}%020d"
+  def dataObjectName(table: String, uuid: String): String =
+    s"_table_${table}_$uuid"
+
+  def actionToJson(a: Action): JValue = a match {
+    case AddDataObject(t, p, tx, n) => Json.obj(
+      "type" -> Json.str("add"), "table" -> Json.str(t),
+      "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
+    case RemoveDataObject(t, p) => Json.obj(
+      "type" -> Json.str("remove"), "table" -> Json.str(t),
+      "path" -> Json.str(p))
+    case ChangeMetadata(t, s) => Json.obj(
+      "type" -> Json.str("metadata"), "table" -> Json.str(t),
+      "schema" -> Json.str(s.json))
+  }
+
+  def actionFromJson(v: JValue): Action = {
+    val o = v.asObj
+    o("type").asStr match {
+      case "add" => AddDataObject(o("table").asStr, o("path").asStr,
+        o("txId").asLong, o("numRows").asLong)
+      case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)
+      case "metadata" => ChangeMetadata(o("table").asStr,
+        DataType.fromJson(o("schema").asStr).asInstanceOf[StructType])
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+
+import graft.store.LocalObjectStore
+import graft.tx._
+
+class StoreJsonSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+
+  test("putIfAbsent is create-if-absent and durable") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val s = new LocalObjectStore(dir)
+    assert(s.putIfAbsent("a", "one".getBytes))
+    assert(!s.putIfAbsent("a", "two".getBytes))
+    assert(new String(s.read("a")) == "one")
+  }
+
+  test("putIfAbsent under contention admits exactly one winner") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val results = (1 to 8).par.map { i =>
+      new LocalObjectStore(dir).putIfAbsent("_log_1", s"writer$i".getBytes)
+    }.toList
+    assert(results.count(identity) == 1)
+  }
+
+  test("listPrefixOrdered is ascending and prefix-filtered") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val s = new LocalObjectStore(dir)
+    s.putIfAbsent(TxLog.logName(2), "b".getBytes)
+    s.putIfAbsent(TxLog.logName(0), "a".getBytes)
+    s.putIfAbsent(TxLog.logName(10), "c".getBytes)
+    s.putIfAbsent("_other", "x".getBytes)
+    assert(s.listPrefixOrdered(TxLog.LogPrefix) ==
+      Seq(TxLog.logName(0), TxLog.logName(2), TxLog.logName(10)))
+  }
+
+  test("json strings round-trip (escapes, control chars, unicode)") {
+    forAll { (s: String) =>
+      assert(Json.parse(Json.write(JStr(s))).asStr == s)
+    }
+  }
+
+  test("json longs round-trip exactly") {
+    forAll { (l: Long) =>
+      assert(Json.parse(Json.write(Json.num(l))).asLong == l)
+    }
+  }
+
+  test("actions round-trip through the log codec") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", IntegerType)))
+    val actions: Seq[Action] = Seq(
+      AddDataObject("x", "_table_x_u1", 3, 10),
+      RemoveDataObject("x", "_table_x_u0"),
+      ChangeMetadata("x", schema))
+    actions.foreach { a =>
+      assert(TxLog.actionFromJson(Json.parse(Json.write(TxLog.actionToJson(a)))) == a)
+    }
+  }
+}
