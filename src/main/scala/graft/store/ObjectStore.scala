@@ -32,16 +32,25 @@ final class LocalObjectStore(rootDir: String) extends ObjectStore {
 
   override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
     val tmp = root.resolve(s".tmp_${UUID.randomUUID()}")
-    val ch = FileChannel.open(tmp, CREATE_NEW, WRITE)
     try {
-      ch.write(java.nio.ByteBuffer.wrap(data))
-      ch.force(true) // fsync before the link makes the object durable-if-visible
-    } finally ch.close()
-    try {
-      Files.createLink(root.resolve(name), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      val ch = FileChannel.open(tmp, CREATE_NEW, WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(data))
+        ch.force(true) // fsync before the link makes the object durable-if-visible
+      } finally ch.close()
+      try {
+        Files.createLink(root.resolve(name), tmp)
+        // fsync the directory entry too, or a crash could lose a link the
+        // committer already saw succeed (best-effort: some JVMs refuse
+        // force() on a directory channel)
+        try {
+          val dir = FileChannel.open(root, READ)
+          try dir.force(true) finally dir.close()
+        } catch { case _: java.io.IOException => }
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     } finally Files.deleteIfExists(tmp)
   }
 

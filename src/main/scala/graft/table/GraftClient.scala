@@ -34,9 +34,11 @@ import graft.tx._
   *
   * Scale design: log replay is metadata-only; data moves exclusively through
   * distributed parquet jobs; `currentState` is one shuffle (window over key);
-  * copy-on-write rewrites are per-object jobs that at cluster scale would
-  * batch per txId — nothing here collects table data to the driver except
-  * the caller's own unflushed buffer (bounded by dataObjectSize).
+  * copy-on-write delete is a constant TWO distributed jobs (locate touched
+  * objects via footer-stat-pruned scan, then one combined rewrite) no matter
+  * how many objects the table has — nothing here collects table data to the
+  * driver except the caller's own unflushed buffer (bounded by
+  * dataObjectSize) and per-object metadata.
   *
   * Row-buffer flush threshold defaults to the reference's intended 64Ki
   * (deltalakeclient.go:10-12), not its debug value of 10.
@@ -108,22 +110,45 @@ final class GraftClient(
 
   /** Bulk distributed insert (the reference's TODO-scale path): stages the
     * whole DataFrame as one data object without driver materialization.
+    *
+    * Row indexes are CONTIGUOUS (base..base+n-1): a cheap counting pass
+    * computes per-partition offsets, then the write pass stamps
+    * base+offset+localIdx — so a later writeRow/insert in the same tx always
+    * gets a strictly larger _row_idx and latest-wins MVCC ordering holds
+    * (the reference preserves intra-tx row order, transactions.go:11-16).
+    * The counting pass also yields the row count — no post-write re-read.
     */
   def insert(table: String, df: DataFrame): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     require(df.schema.fieldNames.sameElements(schema.fieldNames),
       s"insert schema mismatch: ${df.schema.fieldNames.mkString(",")}")
+    schema.fields.zip(df.schema.fields).foreach { case (want, got) =>
+      require(got.dataType == want.dataType,
+        s"insert type mismatch for ${want.name}: ${got.dataType} vs declared ${want.dataType}")
+    }
     flush(table) // keep buffered rows chronologically before the bulk batch
     val base = t.rowCounters(table)
+    val txId = t.id
+    val rdd = df.rdd
+    val partCounts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1)
+    val n = partCounts.map(_._2).sum
+    if (n == 0) return
+    val offsets: Map[Int, Long] = partCounts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+      .init.zip(partCounts)
+      .map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = base + offsets(pid)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ txId :+ idx); idx += 1; out }
+    }
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    val stamped = df
-      .withColumn(TxIdCol, lit(t.id))
-      .withColumn(RowIdxCol, monotonically_increasing_id() + lit(base))
-    stamped.write.parquet(s"$rootDir/$name")
-    val n = spark.read.parquet(s"$rootDir/$name").count()
+    spark.createDataFrame(stamped, provSchema(schema))
+      .write.parquet(s"$rootDir/$name")
     t.rowCounters(table) = base + n
-    t.actions += AddDataObject(table, name, t.id, n)
+    t.actions += AddDataObject(table, name, txId, n)
   }
 
   private def flush(table: String): Unit = {
@@ -187,63 +212,80 @@ final class GraftClient(
 
   /** Inclusive range delete, start <= col <= end — the reference's single
     * predicate (writes.go:58-88) — as copy-on-write (writes.go:90-162).
+    *
+    * Scale design: a CONSTANT number of Spark jobs regardless of object
+    * count. One distributed aggregation finds which objects contain matches
+    * (parquet min/max footer stats prune untouched objects at scan time, so
+    * files whose range can't match are never materialized); one distributed
+    * rewrite job copies the survivors of all touched objects into a single
+    * new multi-part object. MVCC ordering is unaffected by merging objects:
+    * each row carries its original _tx_id/_row_idx, and the action-level
+    * txId (min of the originals) only orders the metadata listing — same
+    * observable semantics as the reference's per-object rewrite that keeps
+    * the ORIGINAL txId (transactions.go:11-16).
+    *
+    * Unflushed rows are filtered through the SAME Catalyst predicate as
+    * flushed rows (tiny local-DataFrame job), so buffered and durable data
+    * share delete semantics exactly.
     */
   def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
-    val fieldIdx = schema.fieldNames.indexOf(column)
-    require(fieldIdx >= 0, s"no such column: $column")
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    // null never matches an inclusive range (the reference skips nil rows)
+    val pred = col(column).between(lit(start), lit(end))
+    val keepPred = !coalesce(pred, lit(false))
 
     // phase 1: tombstone matching unflushed rows (writes.go:101-110)
-    t.buffers.get(table).foreach { buf =>
-      val keep = buf.filterNot { case (_, r) =>
-        inRangeScala(r.get(fieldIdx), start, end)
-      }
-      buf.clear(); buf ++= keep
+    t.buffers.get(table).filter(_.nonEmpty).foreach { buf =>
+      val bufSchema = StructType(schema.fields :+
+        StructField(RowIdxCol, LongType, nullable = false))
+      val rows = buf.map { case (idx, r) => Row.fromSeq(r.toSeq :+ idx) }
+        .toList.asJava
+      val kept = spark.createDataFrame(rows, bufSchema)
+        .filter(keepPred).collect()
+        .map(r => (r.getLong(r.length - 1), Row.fromSeq(r.toSeq.dropRight(1))))
+        .sortBy(_._1)
+      buf.clear(); buf ++= kept
     }
 
     // phase 2: copy-on-write over live data objects (writes.go:113-159)
-    val pred = col(column).between(lit(start), lit(end))
-    liveFiles(table).foreach { add =>
-      val df = spark.read.schema(provSchema(schema))
-        .parquet(s"$rootDir/${add.path}")
-      val matched = df.filter(pred).count()
-      if (matched > 0) {
-        val remaining = add.numRows - matched
-        if (remaining > 0) {
-          val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-          // keep rows where the predicate is false OR null (null never matches
-          // an inclusive range — the reference skips nil tombstones)
-          df.filter(!coalesce(pred, lit(false))).write
-            .parquet(s"$rootDir/$name")
-          // ORIGINAL txId: the rewrite keeps its chronological slot
-          t.actions += AddDataObject(table, name, add.txId, remaining)
-        }
-        t.actions += RemoveDataObject(table, add.path)
-      }
-    }
-  }
+    val files = liveFiles(table)
+    if (files.isEmpty) return
+    val byName = files.map(a => a.path -> a).toMap
+    val pSchema = provSchema(schema)
+    val scanAll = spark.read.schema(pSchema)
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
 
-  private def inRangeScala(v: Any, start: Any, end: Any): Boolean = v match {
-    case null => false
-    case n: Number =>
-      val d = n.doubleValue()
-      d >= toD(start) && d <= toD(end)
-    case s: String => (start, end) match {
-      case (a: String, b: String) => s >= a && s <= b
-      case _ => throw new IllegalArgumentException("type mismatch in range")
+    // job 1: matched-row count per object (metadata-sized result)
+    val matchedPerObject: Map[String, Long] = scanAll
+      .filter(pred)
+      .groupBy(input_file_name().as("_file"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        // .../<objectName>/part-*.parquet -> objectName
+        val parts = r.getString(0).split('/')
+        parts(parts.length - 2) -> r.getLong(1)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+
+    if (matchedPerObject.isEmpty) return
+    val touched = matchedPerObject.keySet.toSeq.sorted
+    val survivors = touched.map(n => byName(n).numRows).sum -
+      matchedPerObject.values.sum
+
+    // job 2: rewrite all touched objects' surviving rows as ONE new object
+    if (survivors > 0) {
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      spark.read.schema(pSchema)
+        .parquet(touched.map(n => s"$rootDir/$n"): _*)
+        .filter(keepPred)
+        .write.parquet(s"$rootDir/$name")
+      t.actions += AddDataObject(table, name,
+        touched.map(n => byName(n).txId).min, survivors)
     }
-    case ts: java.sql.Timestamp => (start, end) match {
-      case (a: java.sql.Timestamp, b: java.sql.Timestamp) =>
-        !ts.before(a) && !ts.after(b)
-      case _ => throw new IllegalArgumentException("type mismatch in range")
-    }
-    case other =>
-      throw new IllegalArgumentException(s"unsupported range type: $other")
-  }
-  private def toD(x: Any): Double = x match {
-    case n: Number => n.doubleValue()
-    case _ => throw new IllegalArgumentException("type mismatch in range")
+    touched.foreach(n => t.actions += RemoveDataObject(table, n))
   }
 
   /** Flush buffers, append the log entry, release the tx. Throws

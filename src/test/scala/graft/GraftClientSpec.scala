@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+import scala.util.Random
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+import graft.tx.CommitConflictException
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** The reference's four test scenarios (main_test.go), ported against the
+  * Spark-backed GraftClient, plus regressions the reference couldn't hit.
+  * The reverse-chronological iterator-order pin (main_test.go:121-131)
+  * becomes explicit (_tx_id, _row_idx) descending order — a DataFrame is an
+  * unordered set, so chronology is data, not iteration order.
+  */
+class GraftClientSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val xSchema = StructType(Seq(
+    StructField("a", StringType), StructField("b", IntegerType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_client").toString
+
+  /** Rows of `table` ordered newest-version-first, as (a, b) pairs. */
+  private def scanOrdered(c: GraftClient, table: String): Seq[(String, Int)] =
+    c.scan(table)
+      .orderBy(col(c.TxIdCol).desc, col(c.RowIdxCol).desc)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1)))
+
+  // --- main_test.go:14-59 ---------------------------------------------------
+  test("concurrent table writers: first committer wins") {
+    val dir = tmp()
+    val c1 = new GraftClient(spark, dir)
+    val c2 = new GraftClient(spark, dir)
+
+    c2.newTx() // c2 snapshots first...
+    c1.newTx() // ...but c1 commits first
+    c1.createTable("x", xSchema)
+    c1.writeRow("x", Seq("Joey", 1))
+    c1.writeRow("x", Seq("Yue", 2))
+    c1.commitTx()
+
+    c2.createTable("x", xSchema)
+    c2.writeRow("x", Seq("Holly", 1))
+    intercept[CommitConflictException] { c2.commitTx() }
+    assert(!c2.hasOpenTx, "failed commit must discard the tx")
+  }
+
+  // --- main_test.go:61-175 --------------------------------------------------
+  test("reader sees its snapshot; writer reads its own uncommitted writes") {
+    val dir = tmp()
+    val c1 = new GraftClient(spark, dir)
+    val c2 = new GraftClient(spark, dir)
+
+    c1.newTx()
+    c1.createTable("x", xSchema)
+    c1.writeRow("x", Seq("Joey", 1))
+    c1.writeRow("x", Seq("Yue", 2))
+    c1.commitTx()
+
+    c1.newTx() // second write tx...
+    c2.newTx() // ...reader snapshots before it commits
+    c1.writeRow("x", Seq("Ada", 3))
+
+    // reader: exactly the committed two rows, newest first
+    assert(scanOrdered(c2, "x") == Seq(("Yue", 2), ("Joey", 1)))
+    // writer: sees its own unflushed row first (read-your-own-writes)
+    assert(scanOrdered(c1, "x") == Seq(("Ada", 3), ("Yue", 2), ("Joey", 1)))
+
+    c1.commitTx()
+    c2.commitTx() // read-only commit writes nothing and must succeed
+  }
+
+  // --- main_test.go:199-261 -------------------------------------------------
+  test("range deletes: unflushed, committed, and flushed again") {
+    val dir = tmp()
+    val c1 = new GraftClient(spark, dir)
+
+    c1.newTx()
+    c1.createTable("x", xSchema)
+    c1.writeRow("x", Seq("Joey", 1))
+    c1.writeRow("x", Seq("Yue", 2))
+    c1.writeRow("x", Seq("Alice", 3))
+
+    // delete from the unflushed buffer
+    c1.deleteRows("x", "b", 2, 2)
+    assert(scanOrdered(c1, "x") == Seq(("Alice", 3), ("Joey", 1)))
+
+    // delete from committed data objects (copy-on-write)
+    c1.commitTx()
+    c1.newTx()
+    c1.deleteRows("x", "b", 2, 4)
+    assert(scanOrdered(c1, "x") == Seq(("Joey", 1)))
+
+    // and it stays deleted after the delete itself commits
+    c1.commitTx()
+    c1.newTx()
+    assert(scanOrdered(c1, "x") == Seq(("Joey", 1)))
+    c1.commitTx()
+  }
+
+  // --- regression: VERDICT r1 "what's wrong #2" -----------------------------
+  test("bulk insert stamps contiguous row indexes; later writes win MVCC") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType), StructField("val", IntegerType)))
+
+    c.newTx()
+    c.createTable("t", schema)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 100).map(i => Row(i, 1)), 3),
+      schema)
+    c.insert("t", df) // multi-partition bulk insert
+    c.writeRow("t", Seq(5, 999)) // same-tx update of a bulk-inserted key
+
+    // the writeRow version must out-order every bulk row
+    val idxs = c.scan("t").agg(max(col(c.RowIdxCol)), count(lit(1))).head()
+    assert(idxs.getLong(0) == 100L, "row indexes must be contiguous 0..100")
+    assert(idxs.getLong(1) == 101L)
+
+    val cur = c.currentState("t", Seq("idx")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(cur(5) == 999, "latest same-tx write must win over bulk insert")
+    assert(cur.size == 100)
+    c.commitTx()
+
+    // a second tx's bulk insert also out-orders everything prior
+    c.newTx()
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5, 111), Row(6, 222)), 2), schema)
+    c.insert("t", df2)
+    val cur2 = c.currentState("t", Seq("idx")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(cur2(5) == 111 && cur2(6) == 222)
+    c.commitTx()
+  }
+
+  test("insert rejects mismatched column types") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", StructType(Seq(StructField("idx", IntegerType))))
+    val wrong = spark.createDataFrame(
+      java.util.List.of(Row("oops")),
+      StructType(Seq(StructField("idx", StringType))))
+    intercept[IllegalArgumentException] { c.insert("t", wrong) }
+    c.rollback()
+  }
+
+  // --- main_test.go:263-344 -------------------------------------------------
+  test("randomized operations match an in-memory model (seed 42)") {
+    val numRows = 20
+    val numOps = sys.env.getOrElse("GRAFT_MODEL_OPS", "250").toInt
+    val dir = tmp()
+    val random = new Random(42)
+    val c = new GraftClient(spark, dir)
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType),
+      StructField("username", StringType),
+      StructField("val", IntegerType)))
+
+    c.newTx()
+    c.createTable("users", schema)
+    (0 until numRows).foreach(i => c.writeRow("users", Seq(i, s"User$i", 2 * i)))
+    c.commitTx()
+
+    val model = scala.collection.mutable.Map[Int, Int]() ++=
+      (0 until numRows).map(i => i -> 2 * i)
+
+    var checks = 0
+    (0 until numOps).foreach { _ =>
+      c.newTx()
+      random.nextInt(3) match {
+        case 0 => // write a new version
+          val idx = random.nextInt(numRows)
+          val v = random.nextInt(1000)
+          c.writeRow("users", Seq(idx, s"User$idx", v))
+          model(idx) = v
+        case 1 => // delete one key (removes every version)
+          val idx = random.nextInt(numRows)
+          c.deleteRows("users", "idx", idx, idx)
+          model.remove(idx)
+        case 2 => // read current state and compare with the model
+          val got = c.currentState("users", Seq("idx")).collect()
+            .map(r => r.getInt(0) -> r.getInt(2)).toMap
+          assert(got == model.toMap, s"state diverged from model at op $checks")
+          checks += 1
+      }
+      c.commitTx()
+    }
+    assert(checks > 0)
+    // final full check
+    c.newTx()
+    val fin = c.currentState("users", Seq("idx")).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(fin == model.toMap)
+    c.commitTx()
+  }
+}
