@@ -8,10 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.QueryDef
 import graft.util.Tables._
 
-/** Event-stream analytics over the `events` fixture (batch forms; the
-  * streaming twins — watermark + windowed agg, flatMapGroupsWithState
-  * sessionization — live in graft.streaming and are exercised by ScalaTest,
-  * since a DuckDB oracle can't drive a stream).
+/** Event-stream analytics over the `events` fixture (batch forms).
   *
   * Scale notes: hourly rollup shuffles once on (hour, type); sessionization
   * shuffles once on user_id and sorts within partitions (Spark window) —
@@ -125,10 +122,9 @@ object Events {
 
   private val qJsonExtractSql = """
     SELECT event_type, COUNT(*) AS n,
-      CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT)
-        AS sum_k,
-      MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS max_k,
-      MIN(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS min_k
+      CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type"""

@@ -110,21 +110,32 @@ object Relational {
     ORDER BY o_orderpriority"""
 
   // --- TPC-H Q5: local supplier volume (6-way join) ------------------------
+  // Scale plan: the ASIA restriction lands BEFORE the fact-side shuffles.
+  // region⋈nation collapses to a 5-row broadcast set; customer and supplier
+  // are semi-restricted by it first, so the orders and lineitem shuffles
+  // carry only ~1/5 of the rows. The restricted supplier side is a
+  // broadcast, making the last join shuffle-free.
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(spark, dir, "nation")
-    val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders")
+    val asia = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s2 = t(spark, dir, "supplier")
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c2 = t(spark, dir, "customer")
+      .join(broadcast(asia.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o2 = t(spark, dir, "orders")
       .filter(col("o_orderdate") >= ts("1996-01-01") &&
         col("o_orderdate") < ts("1997-01-01"))
-    val l = t(spark, dir, "lineitem")
-    val s = t(spark, dir, "supplier")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(s, col("l_suppkey") === col("s_suppkey"))
-      .join(c, col("o_custkey") === col("c_custkey") &&
+      .join(c2, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    t(spark, dir, "lineitem")
+      .join(o2, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s2), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
@@ -235,12 +246,24 @@ object Relational {
     ORDER BY c_mktsegment"""
 
   // --- Window: top-3 customers by balance per nation ------------------------
+  // Scale plan: a single window over 25 nation keys means ≤25 active
+  // reducers and per-nation skew at 100 TB. Two-phase top-k instead:
+  // phase 1 takes the top-3 per (nation, input partition) — parallelism =
+  // #partitions × #nations, output ≤ 3·25·#partitions rows — and only that
+  // tiny candidate set goes through the 25-key window. Top-3-per-nation is
+  // invariant under per-partition pre-filtering, so results are identical.
   def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
+    val wLocal = Window.partitionBy(col("c_nationkey"), col("_pid"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val candidates = c.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk1", row_number().over(wLocal))
+      .filter(col("_rk1") <= 3)
+      .drop("_pid", "_rk1")
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    c.withColumn("rk", row_number().over(w))
+    candidates.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"),
@@ -281,31 +304,31 @@ object Relational {
     ORDER BY o_custkey, o_orderkey"""
 
   // --- Set ops: union / intersect / except in one query --------------------
-  // Symmetric difference of customer-nations vs supplier-nations.
+  // Symmetric difference of two overlapping-but-distinct orderkey sets
+  // (max-quantity lineitems vs deep-discount lineitems) — non-empty at
+  // every SF, unlike a nation-level key set where both sides saturate.
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val n = t(spark, dir, "nation")
-    val custN = t(spark, dir, "customer")
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name")).distinct()
-    val suppN = t(spark, dir, "supplier")
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .select(col("n_name")).distinct()
-    custN.union(suppN).distinct()
-      .except(custN.intersect(suppN))
-      .orderBy(col("n_name"))
+    val l = t(spark, dir, "lineitem")
+    val a = l.filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey")).distinct()
+    val b = l.filter(col("l_discount") >= 0.09)
+      .select(col("l_orderkey")).distinct()
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy(col("l_orderkey"))
   }
 
   private val qSetOpsSql = """
-    SELECT n_name FROM (
-      (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    SELECT l_orderkey FROM (
+      (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49
        UNION
-       SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
       EXCEPT
-      (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49
        INTERSECT
-       SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
     ) x
-    ORDER BY n_name"""
+    ORDER BY l_orderkey"""
 
   // --- Distinct -------------------------------------------------------------
   def qDistinct(spark: SparkSession, dir: String): DataFrame =

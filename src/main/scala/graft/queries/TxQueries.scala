@@ -1,7 +1,123 @@
 package graft.queries
 
-import graft.QueryDef
+import java.nio.file.Files
+import scala.collection.mutable
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.table.GraftClient
+
+/** Tx-layer operators on the hard oracle signal: a deterministic table is
+  * built THROUGH GraftClient (bulk insert, a second tx of updated versions,
+  * a copy-on-write range delete), then `scan` / `currentState` results are
+  * compared against DuckDB SQL that reconstructs the same state from the
+  * `nation` fixture. This puts the transactional core — MVCC provenance,
+  * latest-version dedup, range delete — under the driver's hash compare.
+  *
+  * Scenario (nation has 25 rows, n_nationkey 0..24):
+  *   tx0: insert all 25 rows into `nation` and `nation2`
+  *   tx1: insert updated versions (name||'_V2', regionkey+100) of keys 5..9
+  *   tx2: delete keys 10..14 from `nation`; keys 7..12 from `nation2`
+  *        (the latter removes UPDATED versions too — both the tx1 rows for
+  *        7..9 and the tx0 rows for 7..12)
+  */
 object TxQueries {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  /** One build per (JVM, sfDir): queries share the store read-only. */
+  private val built = mutable.Map[String, String]()
+
+  private def ensure(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_tx_fixture").toString
+        val c = new GraftClient(spark, root)
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+        c.newTx()
+        c.createTable("nation", nation.schema)
+        c.createTable("nation2", nation.schema)
+        c.insert("nation", nation)
+        c.insert("nation2", nation)
+        c.commitTx()
+
+        val upd = nation.filter(col("n_nationkey").between(5, 9))
+          .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100))
+        c.newTx()
+        c.insert("nation", upd)
+        c.insert("nation2", upd)
+        c.commitTx()
+
+        c.newTx()
+        c.deleteRows("nation", "n_nationkey", 10, 14)
+        c.deleteRows("nation2", "n_nationkey", 7, 12)
+        c.commitTx()
+        root
+      })
+    }
+
+  private def withClient(spark: SparkSession, sfDir: String)(
+      f: GraftClient => DataFrame): DataFrame = {
+    val c = new GraftClient(spark, ensure(spark, sfDir))
+    c.newTx()
+    try f(c) finally c.rollback() // scan DataFrames stay valid: immutable files
+  }
+
+  // --- MVCC scan: all live row versions with provenance ---------------------
+  def txScan(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scan("nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col(c.TxIdCol).as("tx_version"))
+        .orderBy(col("tx_version"), col("n_nationkey"))
+    }
+
+  private val txScanSql = """
+    SELECT n_nationkey, n_name, n_regionkey, CAST(0 AS BIGINT) AS tx_version
+    FROM nation WHERE n_nationkey NOT BETWEEN 10 AND 14
+    UNION ALL
+    SELECT n_nationkey, n_name || '_V2', n_regionkey + 100, CAST(1 AS BIGINT)
+    FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+    ORDER BY tx_version, n_nationkey"""
+
+  // --- Latest-version dedup (currentState) ----------------------------------
+  def txCurrentState(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  private val txCurrentStateSql = """
+    SELECT n_nationkey,
+      CASE WHEN n_nationkey BETWEEN 5 AND 9 THEN n_name || '_V2'
+           ELSE n_name END AS n_name,
+      CASE WHEN n_nationkey BETWEEN 5 AND 9 THEN n_regionkey + 100
+           ELSE n_regionkey END AS n_regionkey
+    FROM nation WHERE n_nationkey NOT BETWEEN 10 AND 14
+    ORDER BY n_nationkey"""
+
+  // --- Delete across versions: range overlapping the updated rows ----------
+  def txAfterDelete(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation2", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  private val txAfterDeleteSql = """
+    SELECT n_nationkey,
+      CASE WHEN n_nationkey IN (5, 6) THEN n_name || '_V2'
+           ELSE n_name END AS n_name,
+      CASE WHEN n_nationkey IN (5, 6) THEN n_regionkey + 100
+           ELSE n_regionkey END AS n_regionkey
+    FROM nation WHERE n_nationkey NOT BETWEEN 7 AND 12
+    ORDER BY n_nationkey"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_scan" -> QueryDef(txScan, Some(txScanSql),
+      "MVCC scan: all live versions with tx provenance, after updates+delete"),
+    "tx_current_state" -> QueryDef(txCurrentState, Some(txCurrentStateSql),
+      "latest-version-per-key window dedup through GraftClient"),
+    "tx_after_delete" -> QueryDef(txAfterDelete, Some(txAfterDeleteSql),
+      "copy-on-write range delete spanning multiple row versions"))
 }

@@ -20,7 +20,11 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
       // natively; read it as long nanos and truncate to the session's
       // microsecond timestamps (DuckDB's epoch_us/date_trunc agree).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The legacy conf belongs at session build (Verify/Bench set it);
+      // this defensive set covers ad-hoc sessions and is idempotent.
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
