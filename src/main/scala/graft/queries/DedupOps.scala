@@ -1,7 +1,248 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline at 100 TB. Five families:
+  *
+  *   - exact:      canonical-form md5 fingerprint groups (one shuffle)
+  *   - n-gram:     inverted-index candidate join on rare 6-word shingles,
+  *                 verified by word-bigram Jaccard — no all-pairs stage; the
+  *                 df cap keeps ubiquitous shingles from exploding a bucket
+  *   - MinHash:    64 minhashes over bigram shingles, 16 bands × 4 rows,
+  *                 band-bucket self-join for candidates, exact-Jaccard
+  *                 verification — the 100 TB path (candidates are generated
+  *                 per bucket, never enumerated across the corpus)
+  *   - SimHash:    64-bit frequency-weighted signature, hamming ≤ 3 via
+  *                 4×16-bit pigeonhole blocks (a pair within distance 3
+  *                 must agree on ≥1 block), then exact bit_count check
+  *   - embedding:  cosine ≥ 0.4 near-dup pairs on a deterministic prefix
+  *                 subset (oracle-checkable); the unbounded-scale variant of
+  *                 vector search lives in SimilarityOps' LSH query
+  *
+  * Thresholds are tuned to the fixture: planted near-dups have bigram
+  * Jaccard ≥ 0.9 while background noise tops out ≈ 0.10, so 0.5 separates
+  * cleanly; embeddings are uniform random with max pair cosine ≈ 0.48, so
+  * 0.4 yields a small non-empty result.
+  *
+  * Everything is built-in expressions (codegen'd); the only shuffles are
+  * the inverted-index / band-bucket joins and final aggregations.
+  */
 object DedupOps {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  /** doc_id + normalized word list + distinct bigram/6-gram shingle sets. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("ws"))
+      .withColumn("big",
+        when(size(col("ws")) >= 2, array_distinct(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("six",
+        when(size(col("ws")) >= 6, array_distinct(expr(
+          "transform(sequence(1, size(ws) - 5), i -> array_join(slice(ws, i, 6), ' '))")))
+          .otherwise(array().cast("array<string>")))
+
+  /** Exact bigram-set Jaccard for candidate pairs (doc_a, doc_b), keeping
+    * pairs ≥ `threshold`. One join per side to fetch the shingle sets.
+    */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("big").as("big_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("big").as("big_b")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("big_a"), col("big_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("big_a")) + size(col("big_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val normSql =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  /** Shared DuckDB CTE: per-doc bigram + 6-gram distinct shingle sets. */
+  private val shingleCteSql = s"""
+    WITH d AS (SELECT doc_id, $normSql AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, len(ws)),
+          i -> ws[i] || ' ' || ws[i+1])) AS big,
+        list_distinct(list_transform(range(1, len(ws) - 4),
+          i -> array_to_string(ws[i:i+5], ' '))) AS six
+      FROM d)"""
+
+  // --- Exact dedup -----------------------------------------------------------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(spark, dir, "documents")
+      .groupBy(md5(norm).as("fingerprint"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("fingerprint"))
+  }
+
+  private val dedupExactSql = """
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint"""
+
+  // --- n-gram Jaccard near-dup (inverted index on rare 6-gram shingles) -----
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir)
+    val byG = d.select(col("doc_id"), explode(col("six")).as("g"))
+    val capped = byG
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df").between(2, 1000))
+      .drop("df")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, d, 0.5)
+  }
+
+  private val dedupNgramSql = s"""
+    $shingleCteSql,
+    g AS (SELECT doc_id, unnest(six) AS g FROM sh),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
+      WHERE df BETWEEN 2 AND 1000),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(sa.big, sb.big)) AS inter,
+        len(sa.big) + len(sb.big) AS tot
+      FROM pairs
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+    FROM v
+    WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  // --- MinHash + banded LSH near-dup ----------------------------------------
+  // Same output contract as the n-gram query (verified bigram Jaccard ≥ 0.5)
+  // with candidates from 16 bands of 4 minhashes: detection probability at
+  // J=0.9 is 1-(1-0.9^4)^16 ≈ 1-4e-8, so recall on the planted duplicates
+  // (all ≥ 0.9) is total and the n-gram oracle doubles as this query's
+  // oracle. At J=0.1 a band collides with p ≈ 1e-4 — false candidates stay
+  // per-bucket, never corpus-quadratic.
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir).filter(size(col("big")) > 0)
+    val mh = d.withColumn("mh", expr(
+      "transform(sequence(0, 63), i -> array_min(transform(big, s -> xxhash64(i, s))))"))
+    val bands = mh
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> struct(b AS band, slice(mh, b * 4 + 1, 4) AS sig))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, d, 0.5)
+  }
+
+  // --- SimHash near-dup ------------------------------------------------------
+  // 64-bit signature: bit j is the sign of Σ_words (±1 by bit j of the
+  // word's xxhash64). Pairs within hamming distance 3 must share one of 4
+  // 16-bit blocks (pigeonhole), so candidates come from a block-value
+  // self-join, then the exact bit_count(xor) filter. Not SQL-oracle-able
+  // (hash internals differ across engines) — rows-only check here;
+  // DedupSpec pins the planted-duplicate pairs.
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir).filter(size(col("ws")) > 0)
+    val sh = d
+      .withColumn("hs", expr("transform(ws, w -> xxhash64(w))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+             acc + CASE WHEN aggregate(hs, 0L, (a, h) ->
+                          a + CASE WHEN (shiftright(h, j) & 1) = 1
+                                   THEN 1L ELSE -1L END) > 0L
+                        THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .select(col("doc_id"), col("simhash"))
+    val blocks = sh
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(simhash, b * 16) & 65535 AS v))"))
+        .as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"),
+        col("x.v").as("v"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- Embedding-cosine near-dup --------------------------------------------
+  // Deterministic prefix subset (vec_id < 2000) keeps the exact pair scan
+  // bounded at every SF so DuckDB can replay it; the corpus-scale ANN path
+  // is SimilarityOps.simAnnLsh. Cosine is computed with the identical
+  // left-to-right double arithmetic in both engines and rounded to 6 dp
+  // before the threshold so ulp noise can't flip a row in or out.
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val dedupEmbedCosineSql = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 2000),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id) x
+    WHERE cos_sim >= 0.4
+    ORDER BY vec_a, vec_b"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
+      "exact dedup groups by canonical-form md5 fingerprint"),
+    "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramSql),
+      "near-dup pairs: rare-6-gram inverted index + bigram Jaccard >= 0.5"),
+    "dedup_minhash_lsh" -> QueryDef(dedupMinhashLsh, Some(dedupNgramSql),
+      "near-dup pairs via 16x4 banded MinHash LSH, Jaccard-verified; " +
+        "oracle = exact n-gram query (LSH recall is total at J>=0.9)"),
+    "dedup_simhash" -> QueryDef(dedupSimhash, None,
+      "near-dup pairs via 64-bit SimHash, hamming<=3 by pigeonhole blocks"),
+    "dedup_embed_cosine" -> QueryDef(dedupEmbedCosine,
+      Some(dedupEmbedCosineSql),
+      "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"))
 }

@@ -8,7 +8,11 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.QueryDef
 import graft.util.Tables._
 
-/** Event-stream analytics over the `events` fixture (batch forms).
+/** Event-stream analytics over the `events` fixture (batch forms; the
+  * streaming twins — watermarked tumbling-window rollup and
+  * flatMapGroupsWithState sessionization — are
+  * graft.streaming.StreamingOps, pinned equal to these batch results by
+  * StreamingSpec).
   *
   * Scale notes: hourly rollup shuffles once on (hour, type); sessionization
   * shuffles once on user_id and sorts within partitions (Spark window) —

@@ -1,7 +1,163 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata structs riding alongside; decode / feature-extract
+  * runs as batch work over partitions, never on the driver.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[fakeDecode]] derives "width/height/frames" deterministically from byte
+  * length alone (clearly fake, SQL-expressible so the oracle can replay
+  * it). Everything around it — binary columns, checksum/magic extraction,
+  * metadata structs, batched per-partition decoding ([[decodeBatch]]) — is
+  * the real 100 TB-shaped plumbing: per-row scalar work that codegens, one
+  * shuffle only where a rollup asks for it.
+  *
+  * `assets` are synthesized from the `documents` fixture (text bytes stand
+  * in for media bytes) so every SF has a corpus.
+  */
 object Multimodal {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  /** documents.text as an opaque binary payload. */
+  private def assets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        col("source"))
+
+  // --- Binary metadata extraction -------------------------------------------
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir)
+      .select(col("asset_id"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("checksum"),
+        substring(hex(col("content")), 1, 8).as("magic"))
+      .orderBy(col("asset_id"))
+
+  private val mmBinaryMetaSql = """
+    SELECT doc_id AS asset_id,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      md5(text) AS checksum,
+      substr(hex(encode(text)), 1, 8) AS magic
+    FROM documents
+    ORDER BY asset_id"""
+
+  // --- STUB decode: deterministic fake dimensions from byte length ----------
+  // A real build swaps this for a codec call inside decodeBatch; the
+  // schema/partitioning/oracle plumbing is unchanged by that swap.
+  private def fakeDims(nBytes: Column): Seq[(String, Column)] = Seq(
+    "width" -> (nBytes % 1280 + 64).cast("int"),
+    "height" -> ((nBytes * 7) % 720 + 36).cast("int"),
+    "n_frames" -> (nBytes % 97 + 1).cast("int"))
+
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val withLen = assets(spark, dir)
+      .withColumn("n_bytes", length(col("content")))
+    val dims = fakeDims(col("n_bytes"))
+    dims.foldLeft(withLen) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("aspect",
+        when(col("width") > col("height") * 2, "wide")
+          .when(col("height") > col("width"), "tall")
+          .otherwise("standard"))
+      .groupBy(col("source"), col("aspect"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes").cast("bigint")).as("total_bytes"),
+        sum(col("n_frames").cast("bigint")).as("total_frames"),
+        max(col("width")).as("max_width"),
+        min(col("height")).as("min_height"))
+      .orderBy(col("source"), col("aspect"))
+  }
+
+  private val mmDecodeMetaSql = """
+    WITH a AS (
+      SELECT source, octet_length(encode(text)) AS n_bytes,
+        octet_length(encode(text)) % 1280 + 64 AS width,
+        (octet_length(encode(text)) * 7) % 720 + 36 AS height,
+        octet_length(encode(text)) % 97 + 1 AS n_frames
+      FROM documents)
+    SELECT source,
+      CASE WHEN width > height * 2 THEN 'wide'
+           WHEN height > width THEN 'tall'
+           ELSE 'standard' END AS aspect,
+      COUNT(*) AS n_assets,
+      CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+      CAST(MAX(width) AS INT) AS max_width,
+      CAST(MIN(height) AS INT) AS min_height
+    FROM a
+    GROUP BY source, aspect
+    ORDER BY source, aspect"""
+
+  // --- Embedding-array stats per label --------------------------------------
+  // Typed-array (vector) column handling: per-row norms with identical
+  // left-to-right double arithmetic in both engines; per-row rounding to a
+  // fixed decimal scale before the sum makes the aggregate order-
+  // independent and exact (same trick as Tables.dsum).
+  def mmEmbedStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("v")).cast("bigint")).as("total_dims"),
+        dsum(col("nrm"), 6).as("sum_norm"),
+        min(round(col("nrm"), 6)).as("min_norm"),
+        max(round(col("nrm"), 6)).as("max_norm"))
+      .orderBy(col("label"))
+
+  private val mmEmbedStatsSql = s"""
+    WITH e AS (
+      SELECT label,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          AS nrm,
+        len(embedding) AS dims
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+      CAST(SUM(dims) AS BIGINT) AS total_dims,
+      ${sqlDsum("nrm", 6)} AS sum_norm,
+      MIN(round(nrm, 6)) AS min_norm,
+      MAX(round(nrm, 6)) AS max_norm
+    FROM e
+    GROUP BY label
+    ORDER BY label"""
+
+  /** Batched per-partition "decode" — the mapPartitions shape a real codec
+    * plugs into (JNI/native decoders amortize per-batch setup). Returns
+    * (asset_id, width, height, n_frames) using the same stub math as
+    * [[fakeDims]]; MultimodalSpec pins it equal to the SQL-expressed path.
+    */
+  def decodeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val in = assets(spark, dir).select(col("asset_id"), col("content"))
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val rdd = in.rdd.mapPartitions { it =>
+      // per-partition setup happens once here (codec init in a real build)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = bytes.length
+        Row(id, n % 1280 + 64, (n * 7) % 720 + 36, n % 97 + 1)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "mm_binary_meta" -> QueryDef(mmBinaryMeta, Some(mmBinaryMetaSql),
+      "opaque binary payloads: byte length, md5 checksum, magic prefix"),
+    "mm_decode_meta" -> QueryDef(mmDecodeMeta, Some(mmDecodeMetaSql),
+      "stub decode -> typed dims metadata -> rollup by source/aspect"),
+    "mm_embed_stats" -> QueryDef(mmEmbedStats, Some(mmEmbedStatsSql),
+      "vector-column stats per label with order-exact norm sums"))
 }

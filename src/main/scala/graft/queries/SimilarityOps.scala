@@ -1,7 +1,130 @@
 package graft.queries
 
-import graft.QueryDef
+import scala.util.Random
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Similarity search over `embeddings` (`vec_id, embedding float[64],
+  * label`).
+  *
+  *   - simTopK: exact top-k cosine for a fixed query set. The corpus is
+  *     scanned ONCE per query batch (broadcast the queries, not the
+  *     corpus), scored with codegen'd zip_with/aggregate arithmetic, and
+  *     reduced with the same two-phase top-k pattern as q_window_topn —
+  *     linear in corpus size, embarrassingly parallel, no shuffle of the
+  *     corpus itself. DuckDB replays it exactly.
+  *   - simAnnLsh: the sub-linear-probe path — L random-hyperplane tables
+  *     (seeded, deterministic) bucket the corpus; a query only scores its
+  *     bucket union. Approximate by design, so it has no SQL oracle;
+  *     SimilaritySpec measures its recall against simTopK.
+  *
+  * At 100 TB the corpus side stays partitioned; buckets are the shuffle
+  * key; nothing is ever collected or cross-joined all-pairs.
+  */
 object SimilarityOps {
-  def defs: Seq[(String, QueryDef)] = Seq()
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  // --- Exact brute-force top-k ----------------------------------------------
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    // two-phase top-k: per-partition candidates first, tiny final window
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val candidates = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(wLocal))
+      .filter(col("_rk") <= 10)
+      .drop("_pid", "_rk")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simTopKSql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+          WHERE vec_id < 10)
+    SELECT qid AS query_id, rnk AS "rank", vec_id AS neighbor_id,
+      round(cos, 6) AS cos_sim
+    FROM (
+      SELECT q.qid, e.vec_id,
+        list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm) AS cos,
+        row_number() OVER (
+          PARTITION BY q.qid
+          ORDER BY list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm) DESC,
+                   e.vec_id) AS rnk
+      FROM n e JOIN q ON e.vec_id != q.qid) x
+    WHERE rnk <= 10
+    ORDER BY query_id, "rank""""
+
+  // --- LSH-bucketed approximate top-k ---------------------------------------
+  /** Deterministic ±1 hyperplanes: `tables` tables × `bits` planes × 64
+    * dims, from a fixed seed.
+    */
+  private[queries] val NumTables = 16
+  private[queries] val NumBits = 6
+  private lazy val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rnd = new Random(42)
+    IndexedSeq.fill(NumTables)(IndexedSeq.fill(NumBits)(
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Array of NumTables bucket ids (table-local signatures). */
+  private def bucketIds(v: Column): Column =
+    array((0 until NumTables).map { t =>
+      (0 until NumBits).map { b =>
+        when(dot(v, typedLit(planes(t)(b).toSeq)) > 0, lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).withColumn("bks", bucketIds(col("v")))
+    val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    // probe: same table + same bucket; union across tables via distinct
+    val cand = buckets.join(q, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"),
+        col("qv"), col("qnrm"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "sim_topk" -> QueryDef(simTopK, Some(simTopKSql),
+      "exact cosine top-10 for 10 query vectors, two-phase top-k"),
+    "sim_ann_lsh" -> QueryDef(simAnnLsh, None,
+      "approximate top-10 via 16-table random-hyperplane LSH probing"))
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured-Streaming twins of the batch event queries
+  * (graft.queries.Events): the same semantics expressed over an unbounded
+  * source. StreamingSpec drives them with a MemoryStream of fixture rows
+  * and asserts equality with the batch results.
+  *
+  * Scale notes: the hourly rollup is a standard watermarked tumbling-window
+  * aggregation (state bounded by watermark retention); sessionization keeps
+  * one small state record per user key, updated per micro-batch — both
+  * shuffle once on their grouping key, exactly like their batch twins.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(lastTsMicros: Long, nSessions: Long,
+      nEvents: Long, valueSum: Double)
+
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      total_value: Double)
+
+  val SessionGapMicros: Long = 1800L * 1000000L // 30 min, as the batch twin
+
+  /** Watermarked tumbling-window rollup — streaming twin of
+    * Events.qHourly (same aggregates; window start == date_trunc('hour')).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"), col("first_event"), col("last_event"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState — streaming twin
+    * of Events.qSessionize. Emits the running per-user totals each
+    * micro-batch (update mode); the latest emission per user is the
+    * current answer. Events inside a batch are sorted by (ts, event_id)
+    * before the gap check, matching the batch window ordering.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0.0))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L // millis -> micros
+              val newSession = s.lastTsMicros == Long.MinValue ||
+                us - s.lastTsMicros > SessionGapMicros
+              s = SessionState(us,
+                s.nSessions + (if (newSession) 1L else 0L),
+                s.nEvents + 1L,
+                s.valueSum + e.value)
+            }
+            state.update(s)
+            Iterator.single(UserSessions(userId, s.nSessions, s.nEvents, s.valueSum))
+          }
+      }
+  }
+}

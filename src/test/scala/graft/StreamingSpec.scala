@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Events
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import graft.util.Tables
+
+/** Streaming twins vs their batch queries over the same fixture rows. */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixtureEvents: Seq[Event] = {
+    val s = spark
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("watermarked hourly rollup equals the batch rollup") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    input.addData(fixtureEvents)
+    val q = StreamingOps.hourlyRollup(input.toDF())
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = s.table("hourly_stream")
+      .orderBy(col("hour"), col("event_type")).collect().toSeq
+    val want = Events.qHourly(s, dir)
+      .orderBy(col("hour"), col("event_type")).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionization equals the batch window form") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    // two micro-batches split mid-stream: state must carry the gap logic
+    val (b1, b2) = fixtureEvents.sortBy(e => (e.ts.getTime, e.event_id))
+      .splitAt(fixtureEvents.size / 2)
+    input.addData(b1)
+    val q = StreamingOps.sessionize(input.toDS())
+      .toDF().writeStream.format("memory").queryName("sess_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emission per user is the current answer
+    val emissions = s.table("sess_stream").collect()
+    val got = emissions
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => val r = rs.maxBy(_.getLong(2)) // n_events grows
+        u -> ((r.getLong(1), r.getLong(2), r.getDouble(3))) }
+    val want = Events.qSessionize(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (ns, ne, tv)) =>
+      val (gns, gne, gtv) = got(u)
+      assert(gns == ns, s"n_sessions for user $u")
+      assert(gne == ne, s"n_events for user $u")
+      assert(math.abs(gtv - tv) < 1e-6, s"total_value for user $u")
+    }
+  }
+}
