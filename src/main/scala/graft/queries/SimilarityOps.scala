@@ -34,6 +34,11 @@ object SimilarityOps {
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // exchange after the cast projection: parallelizes the single-file
+      // fixture AND materializes `v` as an attribute, so the when()-guarded
+      // hyperplane dots in bucketIds don't re-evaluate the cast per branch
+      // (conditionals disable Catalyst subexpression elimination)
+      .repartition(col("vec_id"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   // --- Exact brute-force top-k ----------------------------------------------

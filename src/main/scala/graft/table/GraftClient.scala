@@ -46,7 +46,8 @@ import graft.tx._
 final class GraftClient(
     spark: SparkSession,
     rootDir: String,
-    dataObjectSize: Int = 64 * 1024) {
+    dataObjectSize: Int = 64 * 1024,
+    checkpointInterval: Int = 25) {
 
   val store: ObjectStore = new LocalObjectStore(rootDir)
   private val txLog = new TxLog(store)
@@ -296,8 +297,35 @@ final class GraftClient(
   def commitTx(): Unit = {
     val t = currentTx
     t.tables.keys.foreach(flush)
-    try txLog.commit(t.snapshot, t.actions.toSeq)
-    finally tx = None
+    try {
+      txLog.commit(t.snapshot, t.actions.toSeq)
+      // periodic metadata checkpoint keeps log replay O(recent txs); the
+      // fold is a fresh begin() so it includes the commit just written
+      if (checkpointInterval > 0 && (t.id + 1) % checkpointInterval == 0)
+        txLog.checkpoint(txLog.begin())
+    } finally tx = None
+  }
+
+  /** Merge every live object of `table` into one multi-part object — the
+    * reference's unimplemented compaction TODO (README.md:32), and the
+    * standard answer to the small-file problem a streaming writer creates
+    * at scale. Rows keep their (_tx_id, _row_idx) provenance columns, so
+    * MVCC semantics are untouched; the merged object takes the minimum
+    * original txId for its metadata slot. One distributed job.
+    */
+  def compact(table: String): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    val files = liveFiles(table)
+    if (files.length <= 1) return
+    val pSchema = provSchema(schema)
+    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+    spark.read.schema(pSchema)
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
+      .write.parquet(s"$rootDir/$name")
+    t.actions += AddDataObject(table, name, files.map(_.txId).min,
+      files.map(_.numRows).sum)
+    files.foreach(a => t.actions += RemoveDataObject(table, a.path))
   }
 
   /** Abandon the open transaction (data objects it wrote stay orphaned and

@@ -60,14 +60,27 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
 final class TxLog(store: ObjectStore) {
   import TxLog._
 
+  /** Replay = latest checkpoint (if any) + only the log entries at or
+    * after its version. Without checkpoints this is the reference's full
+    * O(#txs) fold (transactions.go:53-104); with them it is O(#txs since
+    * last checkpoint) — the production answer to an ever-growing log.
+    */
   def begin(): Snapshot = {
-    val names = store.listPrefixOrdered(LogPrefix)
     val actions = Vector.newBuilder[Action]
     var last = -1L
-    names.foreach { n =>
+    val base = store.listPrefixOrdered(CkptPrefix).lastOption.map { n =>
       val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
-      last = j("id").asLong
       actions ++= j("actions").asArr.map(actionFromJson)
+      j("version").asLong
+    }.getOrElse(0L)
+    last = base - 1
+    store.listPrefixOrdered(LogPrefix).foreach { n =>
+      val id = n.stripPrefix(LogPrefix).toLong
+      if (id >= base) {
+        val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+        last = j("id").asLong
+        actions ++= j("actions").asArr.map(actionFromJson)
+      }
     }
     Snapshot(last + 1, actions.result())
   }
@@ -82,11 +95,32 @@ final class TxLog(store: ObjectStore) {
     if (!store.putIfAbsent(logName(id), body.getBytes("UTF-8")))
       throw new CommitConflictException(id)
   }
+
+  /** Fold `snapshot` into a checkpoint object covering every log id below
+    * `snapshot.version`: last-wins schemas + the live add set (original
+    * txIds preserved, removes compiled away). Writing is race-safe: the
+    * name encodes the version, so concurrent checkpointers of the same
+    * version produce identical content and put-if-absent keeps one.
+    * Metadata-only — no table data is touched.
+    */
+  def checkpoint(snapshot: Snapshot): Unit = {
+    val folded = Vector.newBuilder[Action]
+    snapshot.tables.foreach { case (t, schema) =>
+      folded += ChangeMetadata(t, schema)
+      folded ++= snapshot.liveFiles(t)
+    }
+    val body = Json.write(Json.obj(
+      "version" -> Json.num(snapshot.version),
+      "actions" -> Json.arr(folded.result().map(actionToJson))))
+    store.putIfAbsent(ckptName(snapshot.version), body.getBytes("UTF-8"))
+  }
 }
 
 object TxLog {
   val LogPrefix = "_log_"
+  val CkptPrefix = "_ckpt_"
   def logName(id: Long): String = f"${LogPrefix}${id}%020d"
+  def ckptName(id: Long): String = f"${CkptPrefix}${id}%020d"
   def dataObjectName(table: String, uuid: String): String =
     s"_table_${table}_$uuid"
 

@@ -18,6 +18,7 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -168,6 +169,68 @@ class GraftClientSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("compaction merges objects but preserves MVCC semantics") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("x", xSchema)
+    c.writeRow("x", Seq("Joey", 1)); c.commitTx()
+    c.newTx(); c.writeRow("x", Seq("Yue", 2)); c.commitTx()
+    c.newTx(); c.writeRow("x", Seq("Joey", 3)); c.commitTx() // newer version
+    c.newTx(); c.deleteRows("x", "b", 2, 2); c.commitTx()
+
+    c.newTx()
+    val before = c.currentState("x", Seq("a")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(before == Set(("Joey", 3)))
+    // the delete dropped the Yue object wholesale (all its rows matched),
+    // leaving the two Joey-version objects
+    assert(objectDirs(c, "x") == 2, "two live objects before compaction")
+    c.compact("x")
+    c.commitTx()
+
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(objectDirs(c2, "x") == 1, "one merged object after compaction")
+    val after = c2.currentState("x", Seq("a")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(after == before)
+    assert(scanOrdered(c2, "x") == Seq(("Joey", 3), ("Joey", 1)),
+      "provenance ordering survives the merge")
+    c2.commitTx()
+  }
+
+  private def objectDirs(c: GraftClient, table: String): Int =
+    c.scan(table).inputFiles.map(_.split('/').dropRight(1).last).distinct
+      .count(_.startsWith(s"_table_${table}_"))
+
+  test("log checkpoint: replay from the fold matches full replay") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir, checkpointInterval = 5)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("idx", IntegerType), StructField("val", IntegerType))))
+    c.writeRow("t", Seq(0, 0)); c.commitTx()
+    (1 to 11).foreach { i =>
+      c.newTx(); c.writeRow("t", Seq(i % 4, i)); c.commitTx()
+    }
+    assert(c.store.listPrefixOrdered(graft.tx.TxLog.CkptPrefix).nonEmpty,
+      "12 commits at interval 5 must have produced a checkpoint")
+
+    // a fresh client (which replays ckpt + tail) sees the same state as a
+    // no-checkpoint client replaying the full log
+    val viaCkpt = new GraftClient(spark, dir, checkpointInterval = 5)
+    viaCkpt.newTx()
+    val got = viaCkpt.currentState("t", Seq("idx")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((0, 8), (1, 9), (2, 10), (3, 11)))
+
+    // and committing on top of a checkpointed log keeps working
+    viaCkpt.writeRow("t", Seq(9, 99)); viaCkpt.commitTx()
+    viaCkpt.newTx()
+    assert(viaCkpt.currentState("t", Seq("idx")).count() == 5)
+    viaCkpt.commitTx()
+  }
+
   // --- main_test.go:263-344 -------------------------------------------------
   test("randomized operations match an in-memory model (seed 42)") {
     val numRows = 20
@@ -189,7 +252,10 @@ class GraftClientSpec extends AnyFunSuite {
       (0 until numRows).map(i => i -> 2 * i)
 
     var checks = 0
-    (0 until numOps).foreach { _ =>
+    (0 until numOps).foreach { op =>
+      if (op % 80 == 79) { // periodic maintenance, as a real writer would
+        c.newTx(); c.compact("users"); c.commitTx()
+      }
       c.newTx()
       random.nextInt(3) match {
         case 0 => // write a new version
