@@ -17,10 +17,12 @@ final case class QueryDef(
 object Registry {
   def all: Seq[(String, QueryDef)] =
     queries.Relational.defs ++
+      queries.Relational2.defs ++
       queries.Events.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++
       queries.SimilarityOps.defs ++
       queries.Multimodal.defs ++
-      queries.TxQueries.defs
+      queries.TxQueries.defs ++
+      sources.Sources.defs
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Second relational pack: the query shapes the first pack lacked —
+  * correlated subqueries, multi-nation volume joins, HAVING on an
+  * aggregate, disjunctive multi-column predicates, and a scalar subquery
+  * feeding a filter. DataFrame forms use the scale-correct plan (windows
+  * instead of per-row correlated execution, broadcast scalars); DuckDB
+  * oracles state the textbook subquery form where that is the semantic
+  * being proven.
+  */
+object Relational2 {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  // --- Correlated subquery: per-order max-quantity lines --------------------
+  // DataFrame: window max per order (one shuffle); oracle: the literal
+  // correlated subquery, proving the window form implements it.
+  def qCorrMaxLine(spark: SparkSession, dir: String): DataFrame = {
+    val f = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-02-01"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    f.withColumn("_mx", max(col("l_quantity")).over(w))
+      .filter(col("l_quantity") === col("_mx"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val qCorrMaxLineSql = """
+    WITH f AS (
+      SELECT * FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-02-01')
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM f l1
+    WHERE l_quantity = (SELECT MAX(l_quantity) FROM f l2
+                        WHERE l2.l_orderkey = l1.l_orderkey)
+    ORDER BY l_orderkey, l_linenumber"""
+
+  // --- TPC-H Q7-style: cross-nation shipping volume -------------------------
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = t(spark, dir, "orders")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q7Sql = s"""
+    SELECT supp_nation, cust_nation, l_year,
+      ${sqlDsum("volume", 4)} AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+        l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) x
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  // --- TPC-H Q18-style: large-volume orders (HAVING) ------------------------
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql = s"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, ${sqlDsum("l_quantity", 2)} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ${sqlDsum("l_quantity", 2)} > 250) q
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100"""
+
+  // --- TPC-H Q19-style: disjunctive multi-column predicate ------------------
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#5" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql = s"""
+    SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)"""
+
+  // --- TPC-H Q22-style: scalar subquery + anti join -------------------------
+  // Threshold uses the deterministic decimal-sum/count form so the filter
+  // boundary is bit-identical in both engines.
+  def q22WealthyIdle(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal"), 2) / count(col("c_acctbal")))
+        .as("avg_bal"))
+    val o = t(spark, dir, "orders")
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        dsum(col("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q22Sql = s"""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+      ${sqlDsum("c_acctbal", 2)} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT ${sqlDsum("c_acctbal", 2)} / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "q_corr_max_line" -> QueryDef(qCorrMaxLine, Some(qCorrMaxLineSql),
+      "correlated subquery (per-order max) as a window"),
+    "q7_nation_volume" -> QueryDef(q7NationVolume, Some(q7Sql),
+      "cross-nation shipping volume by year"),
+    "q18_large_orders" -> QueryDef(q18LargeOrders, Some(q18Sql),
+      "HAVING on aggregated order volume + top-100"),
+    "q19_disjunctive" -> QueryDef(q19Disjunctive, Some(q19Sql),
+      "OR-of-ANDs multi-column predicate over a broadcast join"),
+    "q22_wealthy_idle" -> QueryDef(q22WealthyIdle, Some(q22Sql),
+      "scalar subquery threshold + anti join"))
+}

@@ -127,9 +127,54 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- IVF-style approximate top-k ------------------------------------------
+  // Inverted-file variant: `NumCentroids` deterministic centroids (the
+  // lowest vec_ids — a real build would k-means them; determinism matters
+  // more here), every corpus vector assigned to its nearest centroid via a
+  // broadcast scoring pass, queries probe their `NumProbes` nearest cells
+  // and score only those cells' members. Corpus-side work is linear
+  // (one broadcast join against 32 centroids, one shuffle on cell id) —
+  // the shape that scales to a partition-per-cell layout at 100 TB.
+  private[queries] val NumCentroids = 32
+  private[queries] val NumProbes = 4
+
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cent = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_cscore").desc, col("cid"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("_cscore",
+          dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= n)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    }
+    val assigned = nearestCells(e, 1)
+    val probes = nearestCells(e.filter(col("vec_id") < 10), NumProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val cand = assigned.join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "sim_topk" -> QueryDef(simTopK, Some(simTopKSql),
       "exact cosine top-10 for 10 query vectors, two-phase top-k"),
     "sim_ann_lsh" -> QueryDef(simAnnLsh, None,
-      "approximate top-10 via 16-table random-hyperplane LSH probing"))
+      "approximate top-10 via 16-table random-hyperplane LSH probing"),
+    "sim_ann_ivf" -> QueryDef(simAnnIvf, None,
+      "approximate top-10 via 32-cell IVF with 4-cell probing"))
 }

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+
+/** Source-format coverage: the engine can ingest CSV and JSON-lines with
+  * an explicit schema and produce byte-identical relational results to the
+  * parquet path. Each query materializes the `nation` fixture once per
+  * (JVM, sfDir) in the alternate format, reads it back through the
+  * corresponding reader, and the DuckDB oracle replays the same rows from
+  * the original parquet — proving the read path, not the writer.
+  *
+  * Schema note: readers get the parquet fixture's schema explicitly —
+  * schema inference is nondeterministic engineering debt at 100 TB, so the
+  * library treats schemas as declared, never guessed.
+  */
+object Sources {
+
+  private val built = mutable.Map[String, String]()
+
+  private def ensure(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_sources").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+        nation.coalesce(1).write.option("header", "true")
+          .csv(s"$root/nation_csv")
+        nation.coalesce(1).write.json(s"$root/nation_jsonl")
+        root
+      })
+    }
+
+  private def nationSchema(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/nation.parquet").schema
+
+  def srcCsv(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(nationSchema(spark, dir))
+      .option("header", "true")
+      .csv(s"${ensure(spark, dir)}/nation_csv")
+      .orderBy(col("n_nationkey"))
+
+  def srcJsonl(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(nationSchema(spark, dir))
+      .json(s"${ensure(spark, dir)}/nation_jsonl")
+      .orderBy(col("n_nationkey"))
+
+  private val nationSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "src_csv_roundtrip" -> QueryDef(srcCsv, Some(nationSql),
+      "CSV read path with declared schema == parquet rows"),
+    "src_jsonl_roundtrip" -> QueryDef(srcJsonl, Some(nationSql),
+      "JSON-lines read path with declared schema == parquet rows"))
+}

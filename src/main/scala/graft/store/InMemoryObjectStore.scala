@@ -1,0 +1,26 @@
+package graft.store
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Heap-backed [[ObjectStore]] — the same contract as the local-FS store
+  * (atomic create-if-absent, ordered prefix listing, whole-object read)
+  * with `ConcurrentHashMap.putIfAbsent` supplying the atomicity. Exists to
+  * prove the transaction log is portable across stores with conditional
+  * put (an S3-style backend slots in the same way), and to run tx-log
+  * tests without touching disk. StoreContractSpec runs the shared contract
+  * against both implementations.
+  */
+final class InMemoryObjectStore extends ObjectStore {
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+
+  override def putIfAbsent(name: String, data: Array[Byte]): Boolean =
+    objects.putIfAbsent(name, data.clone()) == null
+
+  override def listPrefixOrdered(prefix: String): Seq[String] =
+    objects.keys().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+
+  override def read(name: String): Array[Byte] =
+    Option(objects.get(name)).map(_.clone())
+      .getOrElse(throw new java.nio.file.NoSuchFileException(name))
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.table.GraftClient
+
+/** Streaming ingestion into the transactional table store: a
+  * `foreachBatch` writer that turns every micro-batch into one committed
+  * transaction, so readers see batch-atomic, snapshot-isolated appends and
+  * each batch is one immutable data object (compact() later merges them).
+  *
+  * Usage:
+  * {{{
+  * stream.writeStream
+  *   .foreachBatch(StreamingSink.intoTable(client, "events"))
+  *   .start()
+  * }}}
+  *
+  * Single-writer per table is assumed (the normal streaming topology); a
+  * concurrent committer surfaces as CommitConflictException and fails the
+  * batch, which Structured Streaming then retries — at-least-once unless
+  * the caller dedups by key downstream (currentState gives latest-wins).
+  */
+object StreamingSink {
+
+  def intoTable(client: GraftClient, table: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    if (!batch.isEmpty) {
+      client.newTx()
+      try {
+        client.insert(table, batch)
+        client.commitTx()
+      } finally if (client.hasOpenTx) client.rollback()
+    }
+  }
+}

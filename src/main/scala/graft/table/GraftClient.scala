@@ -89,6 +89,26 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, schema)
   }
 
+  /** Widen `table` with a new nullable column — schema evolution via a
+    * last-wins ChangeMetadata, the mechanism the reference nominally has
+    * (transactions.go:91-95) but documents as breaking deletes
+    * (README.md:45-46). Here it is sound: parquet reads are by NAME, so
+    * files written before the widening surface the new column as null,
+    * and a range delete on the new column simply never matches old rows.
+    */
+  def addColumn(table: String, field: StructField): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(!schema.fieldNames.contains(field.name),
+      s"column exists: ${field.name}")
+    require(field.nullable, "added columns must be nullable: rows written " +
+      "before the widening have no value for them")
+    flush(table) // buffered rows carry the pre-widening arity
+    val widened = StructType(schema.fields :+ field)
+    t.tables(table) = widened
+    t.actions += ChangeMetadata(table, widened)
+  }
+
   def schemaOf(table: String): StructType =
     currentTx.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))

@@ -231,6 +231,36 @@ class GraftClientSpec extends AnyFunSuite {
     viaCkpt.commitTx()
   }
 
+  test("schema evolution: added column reads null from pre-widening files") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("x", xSchema)
+    c.writeRow("x", Seq("Joey", 1)); c.writeRow("x", Seq("Yue", 2))
+    c.commitTx()
+
+    c.newTx()
+    c.addColumn("x", StructField("flag", IntegerType, nullable = true))
+    c.writeRow("x", Seq("Ada", 3, 7))
+    c.commitTx()
+
+    // fresh client: metadata replay must land on the widened schema
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    val rows = c2.scan("x").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(rows == Set(("Joey", 1, None), ("Yue", 2, None),
+      ("Ada", 3, Some(7))))
+
+    // range delete on the NEW column never matches pre-widening rows
+    c2.deleteRows("x", "flag", 0, 100)
+    assert(c2.scan("x").count() == 2)
+    // and deletes on an original column still work across schema versions
+    c2.deleteRows("x", "b", 2, 2)
+    assert(scanOrdered(c2, "x") == Seq(("Joey", 1)))
+    c2.commitTx()
+  }
+
   // --- main_test.go:263-344 -------------------------------------------------
   test("randomized operations match an in-memory model (seed 42)") {
     val numRows = 20

@@ -57,6 +57,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("IVF ANN recall@10 against exact top-k stays useful") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = pairs(SimilarityOps.simTopK(spark, dir))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = pairs(SimilarityOps.simAnnIvf(spark, dir))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, e) =>
+      (ivf.getOrElse(q, Set.empty) & e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.84 on the fixture (4/32 cells probed); pin with margin
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
   test("mapPartitions decode stub equals the SQL-expressed dims") {
     val viaBatch = Multimodal.decodeBatch(spark, dir)
     val viaSql = spark.read // recompute expected dims from the fixture

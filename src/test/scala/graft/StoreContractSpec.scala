@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{InMemoryObjectStore, LocalObjectStore, ObjectStore}
+import graft.tx._
+
+/** The ObjectStore contract, run against every implementation, plus the
+  * tx log exercised over the non-FS store (portability proof).
+  */
+class StoreContractSpec extends AnyFunSuite {
+
+  private def impls: Seq[(String, () => ObjectStore)] = Seq(
+    "local-fs" -> (() =>
+      new LocalObjectStore(Files.createTempDirectory("store_c").toString)),
+    "in-memory" -> (() => new InMemoryObjectStore))
+
+  impls.foreach { case (name, mk) =>
+    test(s"$name: putIfAbsent is create-if-absent; read returns the winner") {
+      val s = mk()
+      assert(s.putIfAbsent("a", "one".getBytes))
+      assert(!s.putIfAbsent("a", "two".getBytes))
+      assert(new String(s.read("a")) == "one")
+    }
+
+    test(s"$name: listPrefixOrdered is ascending and prefix-filtered") {
+      val s = mk()
+      s.putIfAbsent(TxLog.logName(2), "b".getBytes)
+      s.putIfAbsent(TxLog.logName(0), "a".getBytes)
+      s.putIfAbsent(TxLog.logName(10), "c".getBytes)
+      s.putIfAbsent("_other", "x".getBytes)
+      assert(s.listPrefixOrdered(TxLog.LogPrefix) ==
+        Seq(TxLog.logName(0), TxLog.logName(2), TxLog.logName(10)))
+    }
+
+    test(s"$name: contention admits exactly one winner") {
+      val s = mk()
+      val pool = Executors.newFixedThreadPool(8)
+      val start = new CountDownLatch(1)
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            s.putIfAbsent("_log_1", s"w$i".getBytes)
+          }
+        })
+      }
+      start.countDown()
+      val results = futures.map(_.get(30, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(results.count(identity) == 1)
+    }
+  }
+
+  test("tx log runs unchanged over the in-memory store") {
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val log = new TxLog(new InMemoryObjectStore)
+
+    val s0 = log.begin()
+    assert(s0.version == 0)
+    log.commit(s0, Seq(ChangeMetadata("t", schema)))
+
+    val s1 = log.begin()
+    assert(s1.version == 1 && s1.tables.contains("t"))
+    // stale snapshot loses the race for id 1
+    intercept[CommitConflictException] {
+      log.commit(s0, Seq(ChangeMetadata("u", schema)))
+    }
+
+    log.checkpoint(s1)
+    log.commit(s1, Seq(AddDataObject("t", "_table_t_x", 1, 5)))
+    val s2 = log.begin() // replays ckpt@1 + log 1
+    assert(s2.version == 2)
+    assert(s2.liveFiles("t").map(_.path) == Vector("_table_t_x"))
+    assert(s2.tables("t") == schema)
+  }
+}

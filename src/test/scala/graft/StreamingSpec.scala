@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Events
-import graft.streaming.StreamingOps
+import graft.streaming.{StreamingOps, StreamingSink}
 import graft.streaming.StreamingOps.Event
 import graft.util.Tables
 
+object StreamingSpec {
+  case class E(event_id: Long, user_id: Long, value: Double)
+}
+
 /** Streaming twins vs their batch queries over the same fixture rows. */
 class StreamingSpec extends AnyFunSuite {
+  import StreamingSpec.E
   private def spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
@@ -39,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy(col("hour"), col("event_type")).collect().toSeq
     assert(got.nonEmpty)
     assert(got == want)
+  }
+
+  test("foreachBatch sink commits each micro-batch as one transaction") {
+    import org.apache.spark.sql.types._
+    import graft.table.GraftClient
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val client = new GraftClient(s, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    client.newTx(); client.createTable("ev", schema); client.commitTx()
+
+    val input = MemoryStream[E](s)
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamingSink.intoTable(client, "ev"))
+      .start()
+    try {
+      input.addData(Seq(E(1, 10, 1.0), E(2, 10, 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(E(3, 11, 3.0), E(1, 10, 9.0))) // new version of id 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    client.newTx()
+    assert(client.scan("ev").count() == 4, "all versions live in the scan")
+    val cur = client.currentState("ev", Seq("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cur == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0),
+      "later batch wins MVCC for the re-sent event id")
+    // two non-empty batches == two committed transactions in the log
+    assert(client.store.listPrefixOrdered(graft.tx.TxLog.LogPrefix).size == 3)
+    client.rollback()
   }
 
   test("flatMapGroupsWithState sessionization equals the batch window form") {
