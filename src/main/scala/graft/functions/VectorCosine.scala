@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native cosine similarity over two `array<double>` columns — one fused
+  * loop computing dot, |a|² and |b|² with no intermediate array
+  * allocation, with full whole-stage codegen via [[doGenCode]].
+  *
+  * This is the custom-Expression tier of the operator-preference ladder:
+  * the composable form (`zip_with` + `aggregate`) allocates a temporary
+  * array per row pair and evaluates lambda calls per element, which is
+  * the hot path of every similarity/near-dup query; a fused scalar loop
+  * is the right physical shape. Null/length-mismatch semantics: null in
+  * → null out; differing lengths use the common prefix (callers validate
+  * dimensions); zero-norm vectors yield null (undefined cosine), not NaN.
+  */
+case class VectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_cosine expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // zero-norm input yields null
+  override def prettyName: String = "vector_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        if ($na == 0.0 || $nb == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column surface for the library's native functions. */
+object GraftFunctions {
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Idempotently register the native functions into `spark`'s session
+    * catalog, so `expr("vector_cosine(a, b)")` resolves in any session
+    * the library touches (no SparkSessionExtensions ceremony required of
+    * the host application).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark).toString)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("vector_cosine"),
+        new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "vector_cosine expects exactly 2 arguments")
+          VectorCosine(children.head, children(1))
+        })
+    }
+}

@@ -258,16 +258,16 @@ object DedupOps {
   // left-to-right double arithmetic in both engines and rounded to 6 dp
   // before the threshold so ulp noise can't flip a row in or out.
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = t(spark, dir, "embeddings")
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .repartition(col("vec_id")) // barrier: materialize v + spread pair work
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // fused native cosine (graft.functions.VectorCosine): bit-identical
+      // to the dot/(nrm*nrm) form the DuckDB oracle states
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("a.nrm") * col("b.nrm")), 6))
+        call_function("vector_cosine", col("a.v"), col("b.v")), 6))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("cos_sim"))
@@ -286,6 +286,43 @@ object DedupOps {
     WHERE cos_sim >= 0.4
     ORDER BY vec_a, vec_b"""
 
+  // --- Winnowing (rolling-hash) document fingerprints -----------------------
+  // Schleimer et al. local fingerprinting: hash every char 8-gram of the
+  // normalized text, slide a window of 4 consecutive hashes, keep each
+  // window's minimum, dedupe. Expressed as posexplode(positions) → window
+  // min over (doc, position) → per-doc aggregate, so the k-gram hash runs
+  // exactly once per position (no nested-lambda re-evaluation) and the
+  // per-doc work is a partition-local sort — embarrassingly parallel.
+  // Output is a per-doc fingerprint count + an order-independent digest
+  // (xxhash64 over the sorted fingerprint set); hash-seeded, so rows-only
+  // + the PipelineOpsSpec overlap pin on planted near-duplicates.
+  /** (doc_id, fp) winnowed fingerprint rows — shared by the query and the
+    * overlap test.
+    */
+  private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir, minWords = 1)
+      .select(col("doc_id"), concat_ws(" ", col("ws")).as("nt"))
+    val hashes = d
+      .select(col("doc_id"), col("nt"), explode(expr(
+        "sequence(1, greatest(length(nt) - 7, 1))")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("xxhash64(substring(nt, i, 8))").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-3, 0)
+    hashes
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("i") >= 4) // full 4-hash windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFps(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        xxhash64(sort_array(collect_set(col("fp")))).as("fp_digest"))
+      .orderBy(col("doc_id"))
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
       "exact dedup groups by canonical-form md5 fingerprint"),
@@ -298,5 +335,7 @@ object DedupOps {
       "near-dup pairs via 64-bit SimHash, hamming<=3 by pigeonhole blocks"),
     "dedup_embed_cosine" -> QueryDef(dedupEmbedCosine,
       Some(dedupEmbedCosineSql),
-      "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"))
+      "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"),
+    "text_winnow" -> QueryDef(textWinnow, None,
+      "winnowing (rolling-hash) document fingerprints, 8-gram/4-window"))
 }

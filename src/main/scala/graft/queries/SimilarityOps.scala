@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.functions.GraftFunctions
 import graft.util.Tables._
 
 /** Similarity search over `embeddings` (`vec_id, embedding float[64],
@@ -14,7 +15,7 @@ import graft.util.Tables._
   *
   *   - simTopK: exact top-k cosine for a fixed query set. The corpus is
   *     scanned ONCE per query batch (broadcast the queries, not the
-  *     corpus), scored with codegen'd zip_with/aggregate arithmetic, and
+  *     corpus), scored with the native fused VectorCosine expression, and
   *     reduced with the same two-phase top-k pattern as q_window_topn —
   *     linear in corpus size, embarrassingly parallel, no shuffle of the
   *     corpus itself. DuckDB replays it exactly.
@@ -28,27 +29,31 @@ import graft.util.Tables._
   */
 object SimilarityOps {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Fused native cosine (graft.functions.VectorCosine, codegen'd): one
+    * loop, no per-pair temporary arrays. Numerically identical to the
+    * composable zip_with/aggregate + norm form (same left-to-right
+    * accumulation), so the DuckDB oracles are unaffected.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("vector_cosine", a, b)
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // exchange after the cast projection: parallelizes the single-file
-      // fixture AND materializes `v` as an attribute, so the when()-guarded
-      // hyperplane dots in bucketIds don't re-evaluate the cast per branch
-      // (conditionals disable Catalyst subexpression elimination)
+      // fixture AND materializes `v` as an attribute, so repeated
+      // hyperplane scoring doesn't re-evaluate the cast
       .repartition(col("vec_id"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   // --- Exact brute-force top-k ----------------------------------------------
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("cos", cosine(col("v"), col("qv")))
     // two-phase top-k: per-partition candidates first, tiny final window
     val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -99,25 +104,24 @@ object SimilarityOps {
   private def bucketIds(v: Column): Column =
     array((0 until NumTables).map { t =>
       (0 until NumBits).map { b =>
-        when(dot(v, typedLit(planes(t)(b).toSeq)) > 0, lit(1 << b))
+        when(cosine(v, typedLit(planes(t)(b).toSeq)) > 0, lit(1 << b))
           .otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).withColumn("bks", bucketIds(col("v")))
-    val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
+    val buckets = e.select(col("vec_id"), col("v"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
     // probe: same table + same bucket; union across tables via distinct
     val cand = buckets.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"),
-        col("qv"), col("qnrm"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("cos", cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -141,26 +145,23 @@ object SimilarityOps {
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val cent = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     def nearestCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("_cscore").desc, col("cid"))
       df.crossJoin(broadcast(cent))
-        .withColumn("_cscore",
-          dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("_cscore", cosine(col("v"), col("cv")))
         .withColumn("_crk", row_number().over(w))
         .filter(col("_crk") <= n)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+        .select(col("vec_id"), col("v"), col("cid"))
     }
     val assigned = nearestCells(e, 1)
     val probes = nearestCells(e.filter(col("vec_id") < 10), NumProbes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cid"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
     val cand = assigned.join(probes, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("cos", cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))

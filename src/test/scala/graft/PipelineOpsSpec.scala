@@ -73,6 +73,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("winnowed fingerprints overlap heavily for planted near-dups") {
+    val ngram = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fps = DedupOps.winnowFps(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val overlaps = ngram.map { case (a, b) =>
+      val (fa, fb) = (fps(a), fps(b))
+      (fa & fb).size.toDouble / math.max(1, math.min(fa.size, fb.size))
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(ngram.nonEmpty && mean >= 0.5,
+      s"mean winnow-fingerprint overlap on planted pairs = $mean")
+  }
+
+  test("native vector_cosine equals the composable zip_with form exactly") {
+    import graft.functions.GraftFunctions
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") - 1) // 499 adjacent pairs
+      .select(col("a.vec_id").as("id"), col("a.v").as("va"), col("b.v").as("vb"))
+      .withColumn("native", call_function("vector_cosine", col("va"), col("vb")))
+      .withColumn("composed",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))))
+    val rows = pairs.select(col("native"), col("composed")).collect()
+    assert(rows.length == 499)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"bitwise mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // null/zero-norm semantics
+    val edge = s.sql(
+      """SELECT vector_cosine(array(0D, 0D), array(1D, 2D)) AS z,
+                vector_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS n""")
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("mapPartitions decode stub equals the SQL-expressed dims") {
     val viaBatch = Multimodal.decodeBatch(spark, dir)
     val viaSql = spark.read // recompute expected dims from the fixture
