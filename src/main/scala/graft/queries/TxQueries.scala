@@ -39,8 +39,10 @@ object TxQueries {
         c.newTx()
         c.createTable("nation", nation.schema)
         c.createTable("nation2", nation.schema)
+        c.createTable("nation3", nation.schema)
         c.insert("nation", nation)
         c.insert("nation2", nation)
+        c.insert("nation3", nation)
         c.commitTx()
 
         val upd = nation.filter(col("n_nationkey").between(5, 9))
@@ -49,11 +51,15 @@ object TxQueries {
         c.newTx()
         c.insert("nation", upd)
         c.insert("nation2", upd)
+        c.insert("nation3", upd)
         c.commitTx()
 
         c.newTx()
         c.deleteRows("nation", "n_nationkey", 10, 14)
         c.deleteRows("nation2", "n_nationkey", 7, 12)
+        // nation3 takes the SAME delete as nation2 but via a deletion
+        // vector — the two mechanisms must be observationally identical
+        c.deleteRowsDV("nation3", "n_nationkey", 7, 12)
         c.commitTx()
         root
       })
@@ -113,11 +119,32 @@ object TxQueries {
     FROM nation WHERE n_nationkey NOT BETWEEN 7 AND 12
     ORDER BY n_nationkey"""
 
+  // --- Deletion-vector delete: same observable state as copy-on-write -------
+  def txDvDelete(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation3", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  // --- Time travel: the state as of version 1 (after the first commit) ------
+  def txTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentStateAsOf("nation", Seq("n_nationkey"), 1)
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txTimeTravelSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "tx_scan" -> QueryDef(txScan, Some(txScanSql),
       "MVCC scan: all live versions with tx provenance, after updates+delete"),
     "tx_current_state" -> QueryDef(txCurrentState, Some(txCurrentStateSql),
       "latest-version-per-key window dedup through GraftClient"),
     "tx_after_delete" -> QueryDef(txAfterDelete, Some(txAfterDeleteSql),
-      "copy-on-write range delete spanning multiple row versions"))
+      "copy-on-write range delete spanning multiple row versions"),
+    "tx_dv_delete" -> QueryDef(txDvDelete, Some(txAfterDeleteSql),
+      "deletion-vector delete == copy-on-write delete, observationally"),
+    "tx_time_travel" -> QueryDef(txTimeTravel, Some(txTimeTravelSql),
+      "currentStateAsOf replays the pre-update pre-delete snapshot"))
 }

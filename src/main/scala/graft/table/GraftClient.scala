@@ -206,7 +206,8 @@ final class GraftClient(
       if (files.isEmpty)
         spark.createDataFrame(List.empty[Row].asJava, pSchema)
       else
-        spark.read.schema(pSchema).parquet(files: _*)
+        applyDvs(spark.read.schema(pSchema).parquet(files: _*),
+          t.snapshot.liveDvs(table, t.actions.toSeq))
     val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
     if (buf.isEmpty) committed
     else {
@@ -216,6 +217,24 @@ final class GraftClient(
       committed.unionByName(spark.createDataFrame(rows, pSchema))
     }
   }
+
+  /** Suppress rows named by live deletion vectors: a broadcast anti join
+    * on the provenance key. DVs are tiny relative to data (they exist
+    * precisely because the delete was small), so the join is shuffle-free
+    * on the data side.
+    */
+  private def applyDvs(df: DataFrame, dvs: Seq[AddDeleteVector]): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      val keys = spark.read
+        .schema(StructType(Seq(
+          StructField(TxIdCol, LongType, nullable = false),
+          StructField(RowIdxCol, LongType, nullable = false))))
+        .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
+      df.join(broadcast(keys), Seq(TxIdCol, RowIdxCol), "left_anti")
+        // a USING join fronts the key columns; restore the scan layout
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
 
   /** Current table state: latest version per key — one shuffle on keyCols.
     * This is the reference consumers' first-seen-wins dedup over the
@@ -258,17 +277,7 @@ final class GraftClient(
     val keepPred = !coalesce(pred, lit(false))
 
     // phase 1: tombstone matching unflushed rows (writes.go:101-110)
-    t.buffers.get(table).filter(_.nonEmpty).foreach { buf =>
-      val bufSchema = StructType(schema.fields :+
-        StructField(RowIdxCol, LongType, nullable = false))
-      val rows = buf.map { case (idx, r) => Row.fromSeq(r.toSeq :+ idx) }
-        .toList.asJava
-      val kept = spark.createDataFrame(rows, bufSchema)
-        .filter(keepPred).collect()
-        .map(r => (r.getLong(r.length - 1), Row.fromSeq(r.toSeq.dropRight(1))))
-        .sortBy(_._1)
-      buf.clear(); buf ++= kept
-    }
+    tombstoneBuffer(table, pred, schema)
 
     // phase 2: copy-on-write over live data objects (writes.go:113-159)
     val files = liveFiles(table)
@@ -326,6 +335,87 @@ final class GraftClient(
     } finally tx = None
   }
 
+  /** Range delete via a DELETION VECTOR instead of copy-on-write: one
+    * distributed job records the (_tx_id, _row_idx) keys of matching live
+    * rows as a small parquet object; reads anti-join it. For a small
+    * delete against a huge table this writes kilobytes where
+    * [[deleteRows]] would rewrite every touched object — the
+    * read-amplification trade the reference lists as TODO (README.md:38).
+    * [[compact]] later applies and retires DVs. Unflushed rows are
+    * tombstoned in the buffer exactly as in [[deleteRows]].
+    */
+  def deleteRowsDV(table: String, column: String, start: Any, end: Any): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    val pred = col(column).between(lit(start), lit(end))
+    tombstoneBuffer(table, pred, schema)
+
+    val files = liveFiles(table)
+    if (files.isEmpty) return
+    val matched = applyDvs(
+      spark.read.schema(provSchema(schema))
+        .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
+      t.snapshot.liveDvs(table, t.actions.toSeq))
+      .filter(pred)
+      .select(col(TxIdCol), col(RowIdxCol))
+    val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
+    matched.write.parquet(s"$rootDir/$name")
+    val n = spark.read.parquet(s"$rootDir/$name").count()
+    if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
+    else t.actions += RemoveDataObject(table, name) // empty DV: retire now
+  }
+
+  private def tombstoneBuffer(table: String,
+      pred: org.apache.spark.sql.Column, schema: StructType): Unit = {
+    val t = currentTx
+    val keepPred = !coalesce(pred, lit(false))
+    t.buffers.get(table).filter(_.nonEmpty).foreach { buf =>
+      val bufSchema = StructType(schema.fields :+
+        StructField(RowIdxCol, LongType, nullable = false))
+      val rows = buf.map { case (idx, r) => Row.fromSeq(r.toSeq :+ idx) }
+        .toList.asJava
+      val kept = spark.createDataFrame(rows, bufSchema)
+        .filter(keepPred).collect()
+        .map(r => (r.getLong(r.length - 1), Row.fromSeq(r.toSeq.dropRight(1))))
+        .sortBy(_._1)
+      buf.clear(); buf ++= kept
+    }
+  }
+
+  /** Time travel: the full multi-version scan of `table` as of log
+    * version `asOf` (the state after commits with id < asOf). Works
+    * outside any open transaction — it reads a historical snapshot, not
+    * the current one — and immutable data objects make it free: old log
+    * entries still reference the exact files that were live then, and
+    * nothing ever deletes files from disk (no vacuum), so deletes and
+    * compactions that happened later don't disturb historical replay.
+    */
+  def scanAsOf(table: String, asOf: Long): DataFrame = {
+    val snap = txLog.beginAt(asOf)
+    val schema = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
+    val pSchema = provSchema(schema)
+    val files = snap.liveFiles(table).map(a => s"$rootDir/${a.path}")
+    if (files.isEmpty) spark.createDataFrame(List.empty[Row].asJava, pSchema)
+    else applyDvs(spark.read.schema(pSchema).parquet(files: _*),
+      snap.liveDvs(table))
+  }
+
+  /** [[currentState]] of the historical snapshot at `asOf`. */
+  def currentStateAsOf(table: String, keyCols: Seq[String],
+      asOf: Long): DataFrame = {
+    val snap = txLog.beginAt(asOf)
+    val schema = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(TxIdCol).desc, col(RowIdxCol).desc)
+    scanAsOf(table, asOf)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Merge every live object of `table` into one multi-part object — the
     * reference's unimplemented compaction TODO (README.md:32), and the
     * standard answer to the small-file problem a streaming writer creates
@@ -337,15 +427,23 @@ final class GraftClient(
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
-    if (files.length <= 1) return
+    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+    if (files.length <= 1 && dvs.isEmpty) return
+    if (files.isEmpty) { // only DVs to retire; nothing masks anything
+      dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+      return
+    }
     val pSchema = provSchema(schema)
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    spark.read.schema(pSchema)
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
+    // applying the deletion vectors during the rewrite retires them:
+    // the merged object holds only surviving rows
+    applyDvs(spark.read.schema(pSchema)
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
       .write.parquet(s"$rootDir/$name")
     t.actions += AddDataObject(table, name, files.map(_.txId).min,
-      files.map(_.numRows).sum)
+      files.map(_.numRows).sum - dvs.map(_.numRows).sum)
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+    dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
   /** Abandon the open transaction (data objects it wrote stay orphaned and

@@ -19,6 +19,14 @@ final case class AddDataObject(table: String, path: String, txId: Long,
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
+/** A deletion vector: a parquet object of (_tx_id, _row_idx) keys whose
+  * rows are suppressed on read. Provenance-keyed, so it stays valid
+  * across copy-on-write rewrites and compactions (which preserve those
+  * columns). The reference lists deletion vectors as an unimplemented
+  * TODO (README.md:38). `RemoveDataObject` retires DVs too (path-keyed).
+  */
+final case class AddDeleteVector(table: String, path: String, txId: Long,
+    numRows: Long) extends Action
 
 final class CommitConflictException(id: Long)
   extends RuntimeException(
@@ -42,6 +50,19 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     }.toSet
     all.collect {
       case a: AddDataObject if a.table == table && !removed(a.path) => a
+    }.sortBy(a => (a.txId, a.path)).toVector
+  }
+
+  /** Live deletion vectors of a table, same retirement rule as data
+    * objects.
+    */
+  def liveDvs(table: String, pending: Seq[Action] = Nil): Vector[AddDeleteVector] = {
+    val all = actions ++ pending
+    val removed = all.collect {
+      case RemoveDataObject(t, p) if t == table => p
+    }.toSet
+    all.collect {
+      case a: AddDeleteVector if a.table == table && !removed(a.path) => a
     }.sortBy(a => (a.txId, a.path)).toVector
   }
 }
@@ -85,6 +106,34 @@ final class TxLog(store: ObjectStore) {
     Snapshot(last + 1, actions.result())
   }
 
+  /** Snapshot as of log version `asOf` (exclusive upper bound: the state
+    * after log ids < asOf committed) — time travel. Checkpoints are only
+    * usable when they fold a prefix of the requested range, so replay
+    * falls back to plain log files when `asOf` predates the newest
+    * checkpoint. Metadata-only, like [[begin]].
+    */
+  def beginAt(asOf: Long): Snapshot = {
+    val actions = Vector.newBuilder[Action]
+    var last = -1L
+    val base = store.listPrefixOrdered(CkptPrefix)
+      .map(n => n.stripPrefix(CkptPrefix).toLong)
+      .filter(_ <= asOf).lastOption.map { v =>
+      val j = Json.parse(new String(store.read(ckptName(v)), "UTF-8")).asObj
+      actions ++= j("actions").asArr.map(actionFromJson)
+      j("version").asLong
+    }.getOrElse(0L)
+    last = base - 1
+    store.listPrefixOrdered(LogPrefix).foreach { n =>
+      val id = n.stripPrefix(LogPrefix).toLong
+      if (id >= base && id < asOf) {
+        val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+        last = j("id").asLong
+        actions ++= j("actions").asArr.map(actionFromJson)
+      }
+    }
+    Snapshot(last + 1, actions.result())
+  }
+
   /** Atomically append `actions` as log id `snapshot.version`. */
   def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)
@@ -108,6 +157,7 @@ final class TxLog(store: ObjectStore) {
     snapshot.tables.foreach { case (t, schema) =>
       folded += ChangeMetadata(t, schema)
       folded ++= snapshot.liveFiles(t)
+      folded ++= snapshot.liveDvs(t)
     }
     val body = Json.write(Json.obj(
       "version" -> Json.num(snapshot.version),
@@ -128,6 +178,9 @@ object TxLog {
     case AddDataObject(t, p, tx, n) => Json.obj(
       "type" -> Json.str("add"), "table" -> Json.str(t),
       "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
+    case AddDeleteVector(t, p, tx, n) => Json.obj(
+      "type" -> Json.str("dv"), "table" -> Json.str(t),
+      "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
     case RemoveDataObject(t, p) => Json.obj(
       "type" -> Json.str("remove"), "table" -> Json.str(t),
       "path" -> Json.str(p))
@@ -140,6 +193,8 @@ object TxLog {
     val o = v.asObj
     o("type").asStr match {
       case "add" => AddDataObject(o("table").asStr, o("path").asStr,
+        o("txId").asLong, o("numRows").asLong)
+      case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)
       case "metadata" => ChangeMetadata(o("table").asStr,

@@ -231,6 +231,66 @@ class GraftClientSpec extends AnyFunSuite {
     viaCkpt.commitTx()
   }
 
+  test("deletion vectors suppress rows without rewriting data objects") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("x", xSchema)
+    c.writeRow("x", Seq("Joey", 1)); c.commitTx() // v0
+    c.newTx(); c.writeRow("x", Seq("Yue", 2)); c.commitTx() // v1
+    c.newTx(); c.writeRow("x", Seq("Alice", 3)); c.commitTx() // v2
+
+    def dataDirs(paths: Array[String]): Set[String] =
+      paths.map(_.split('/').dropRight(1).last)
+        .filter(p => p.startsWith("_table_x_") && !p.contains("_dv_")).toSet
+
+    c.newTx()
+    c.deleteRowsDV("x", "b", 2, 2) // v3
+    assert(scanOrdered(c, "x") == Seq(("Alice", 3), ("Joey", 1)))
+    assert(dataDirs(c.scan("x").inputFiles).size == 3,
+      "DV delete must not rewrite any data object")
+    c.commitTx()
+
+    // a fresh client sees the DV through the log
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(scanOrdered(c2, "x") == Seq(("Alice", 3), ("Joey", 1)))
+    // time travel to before the delete still sees Yue
+    assert(c2.scanAsOf("x", 3).count() == 3)
+
+    // compaction applies and retires the DV
+    c2.compact("x"); c2.commitTx()
+    val c3 = new GraftClient(spark, dir)
+    c3.newTx()
+    assert(scanOrdered(c3, "x") == Seq(("Alice", 3), ("Joey", 1)))
+    val files = c3.scan("x").inputFiles
+    assert(dataDirs(files).size == 1, "compaction merged the objects")
+    assert(!files.exists(_.contains("_dv_")), "compaction retired the DV")
+    c3.rollback()
+  }
+
+  test("time travel: scanAsOf replays any historical version") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("x", xSchema)
+    c.writeRow("x", Seq("Joey", 1)); c.commitTx() // commits as v0
+    c.newTx(); c.writeRow("x", Seq("Yue", 2)); c.commitTx() // v1
+    c.newTx(); c.deleteRows("x", "b", 1, 1); c.commitTx() // v2
+    c.newTx(); c.compact("x"); c.commitTx() // v3
+
+    def stateAt(v: Long) = c.currentStateAsOf("x", Seq("a"), v).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(stateAt(1) == Set(("Joey", 1)))
+    assert(stateAt(2) == Set(("Joey", 1), ("Yue", 2)))
+    assert(stateAt(3) == Set(("Yue", 2)), "delete visible at v3")
+    assert(stateAt(4) == Set(("Yue", 2)), "compaction preserves state")
+    intercept[IllegalArgumentException] { c.scanAsOf("x", 0) } // before DDL
+    // and the historical scan still carries provenance columns
+    assert(c.scanAsOf("x", 2)
+      .orderBy(col(c.TxIdCol).desc, col(c.RowIdxCol).desc).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("Yue", 2), ("Joey", 1)))
+  }
+
   test("schema evolution: added column reads null from pre-widening files") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
@@ -293,9 +353,12 @@ class GraftClientSpec extends AnyFunSuite {
           val v = random.nextInt(1000)
           c.writeRow("users", Seq(idx, s"User$idx", v))
           model(idx) = v
-        case 1 => // delete one key (removes every version)
+        case 1 => // delete one key (removes every version); the two delete
+          // mechanisms (copy-on-write, deletion vector) must be
+          // observationally identical, so the model exercises both
           val idx = random.nextInt(numRows)
-          c.deleteRows("users", "idx", idx, idx)
+          if (random.nextBoolean()) c.deleteRows("users", "idx", idx, idx)
+          else c.deleteRowsDV("users", "idx", idx, idx)
           model.remove(idx)
         case 2 => // read current state and compare with the model
           val got = c.currentState("users", Seq("idx")).collect()
