@@ -269,11 +269,19 @@ final class GraftClient(
     * share delete semantics exactly.
     */
   def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
+    require(schemaOf(table).fieldNames.contains(column),
+      s"no such column: $column")
+    deleteWhere(table, col(column).between(lit(start), lit(end)))
+  }
+
+  /** Copy-on-write delete of every row matching an arbitrary Catalyst
+    * predicate — the generalization of the reference's single-range
+    * surface. A null predicate result never matches (the reference skips
+    * nil rows).
+    */
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Column): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
-    // null never matches an inclusive range (the reference skips nil rows)
-    val pred = col(column).between(lit(start), lit(end))
     val keepPred = !coalesce(pred, lit(false))
 
     // phase 1: tombstone matching unflushed rows (writes.go:101-110)
@@ -345,10 +353,15 @@ final class GraftClient(
     * tombstoned in the buffer exactly as in [[deleteRows]].
     */
   def deleteRowsDV(table: String, column: String, start: Any, end: Any): Unit = {
+    require(schemaOf(table).fieldNames.contains(column),
+      s"no such column: $column")
+    deleteWhereDV(table, col(column).between(lit(start), lit(end)))
+  }
+
+  /** [[deleteWhere]] semantics via a deletion vector. */
+  def deleteWhereDV(table: String, pred: org.apache.spark.sql.Column): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
-    val pred = col(column).between(lit(start), lit(end))
     tombstoneBuffer(table, pred, schema)
 
     val files = liveFiles(table)
@@ -447,9 +460,48 @@ final class GraftClient(
   }
 
   /** Abandon the open transaction (data objects it wrote stay orphaned and
-    * unreferenced, as in the reference).
+    * unreferenced, as in the reference; [[vacuum]] reclaims them).
     */
   def rollback(): Unit = tx = None
+
+  /** Physically delete data/DV objects unreachable from the current
+    * snapshot and the last `retainVersions` historical snapshots: orphans
+    * from aborted transactions, objects superseded by copy-on-write
+    * deletes or compaction, and retired deletion vectors. Returns the
+    * number of objects removed.
+    *
+    * Time travel older than the retained window stops working afterwards —
+    * that is the point of the retention knob. Run from a maintenance
+    * context with no concurrent writer mid-transaction: an uncommitted
+    * writer's objects are not yet referenced by any log entry and would be
+    * reclaimed as orphans (the same single-maintainer assumption every
+    * lakehouse vacuum makes). Metadata work is O(retained versions);
+    * deletion is driver-side filesystem calls, no Spark jobs.
+    */
+  def vacuum(retainVersions: Int = 0): Int = {
+    require(tx.isEmpty, "vacuum must run outside a transaction")
+    val cur = txLog.begin()
+    val keep = mutable.Set[String]()
+    val from = math.max(0L, cur.version - retainVersions)
+    (from to cur.version).foreach { v =>
+      val snap = txLog.beginAt(v)
+      snap.tables.keys.foreach { tbl =>
+        keep ++= snap.liveFiles(tbl).map(_.path)
+        keep ++= snap.liveDvs(tbl).map(_.path)
+      }
+    }
+    val victims = Option(new java.io.File(rootDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_table_") &&
+        !keep(f.getName))
+    victims.foreach(deleteRecursively)
+    victims.length
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   def hasOpenTx: Boolean = tx.isDefined
 }

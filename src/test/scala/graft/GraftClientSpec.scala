@@ -268,6 +268,39 @@ class GraftClientSpec extends AnyFunSuite {
     c3.rollback()
   }
 
+  test("vacuum reclaims orphans and superseded objects, keeps live data") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("x", xSchema)
+    c.writeRow("x", Seq("Joey", 1)); c.commitTx() // v0
+    c.newTx(); c.writeRow("x", Seq("Yue", 2)); c.commitTx() // v1
+
+    // an aborted transaction leaves an orphan object on disk
+    c.newTx()
+    c.insert("x", spark.createDataFrame(
+      java.util.List.of(Row("Ghost", 9)), xSchema))
+    c.rollback()
+
+    // a copy-on-write delete supersedes the Yue object
+    c.newTx(); c.deleteRows("x", "b", 2, 2); c.commitTx() // v2
+    // and a DV delete that compaction then retires
+    c.newTx(); c.deleteRowsDV("x", "b", 99, 99); c.commitTx() // v3 (empty DV)
+
+    def fsDirs(): Set[String] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("_table_")).toSet
+    val before = fsDirs()
+    val removed = c.vacuum(retainVersions = 0)
+    assert(removed >= 2, s"expected orphan+superseded reclaimed, got $removed")
+    assert(fsDirs().size == before.size - removed)
+
+    // live data unaffected, historical replay gone (retention 0)
+    c.newTx()
+    assert(scanOrdered(c, "x") == Seq(("Joey", 1)))
+    c.rollback()
+    intercept[Exception] { c.scanAsOf("x", 2).count() }
+  }
+
   test("time travel: scanAsOf replays any historical version") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
