@@ -153,9 +153,29 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // --- Frame sampling: every 8th element of the vector payload --------------
+  // The frame-sample shape of a video/audio pipeline over typed array
+  // columns: positional explode + stride filter, no per-row UDF.
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") % 8 === 0)
+      .select(col("vec_id"), (col("pos") / 8).cast("int").as("frame_idx"),
+        col("v").cast("double").as("value"))
+      .orderBy(col("vec_id"), col("frame_idx"))
+
+  private val mmFrameSampleSql = """
+    SELECT vec_id, CAST(i AS INT) AS frame_idx,
+      CAST(embedding[CAST(i * 8 + 1 AS INT)] AS DOUBLE) AS value
+    FROM embeddings, range(0, 8) t(i)
+    ORDER BY vec_id, frame_idx"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "mm_binary_meta" -> QueryDef(mmBinaryMeta, Some(mmBinaryMetaSql),
       "opaque binary payloads: byte length, md5 checksum, magic prefix"),
+    "mm_frame_sample" -> QueryDef(mmFrameSample, Some(mmFrameSampleSql),
+      "strided frame sampling over typed array payloads"),
     "mm_decode_meta" -> QueryDef(mmDecodeMeta, Some(mmDecodeMetaSql),
       "stub decode -> typed dims metadata -> rollup by source/aspect"),
     "mm_embed_stats" -> QueryDef(mmEmbedStats, Some(mmEmbedStatsSql),

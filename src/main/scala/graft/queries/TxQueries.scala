@@ -61,6 +61,21 @@ object TxQueries {
         // vector — the two mechanisms must be observationally identical
         c.deleteRowsDV("nation3", "n_nationkey", 7, 12)
         c.commitTx()
+
+        // tx3: schema evolution on its own table — create+fill nation4,
+        // widen it with a nullable column, re-insert keys 0..4 with a
+        // value for it; pre-widening rows must read the column as null
+        c.newTx()
+        c.createTable("nation4", nation.schema)
+        c.insert("nation4", nation)
+        c.commitTx()
+        c.newTx()
+        c.addColumn("nation4",
+          org.apache.spark.sql.types.StructField("n_comment",
+            org.apache.spark.sql.types.StringType, nullable = true))
+        c.insert("nation4", nation.filter(col("n_nationkey") < 5)
+          .withColumn("n_comment", concat(lit("c_"), col("n_name"))))
+        c.commitTx()
         root
       })
     }
@@ -136,6 +151,18 @@ object TxQueries {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  // --- Schema evolution: widened column, latest-wins across versions --------
+  def txSchemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation4", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  private val txSchemaEvolutionSql = """
+    SELECT n_nationkey, n_name, n_regionkey,
+      CASE WHEN n_nationkey < 5 THEN 'c_' || n_name END AS n_comment
+    FROM nation
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "tx_scan" -> QueryDef(txScan, Some(txScanSql),
       "MVCC scan: all live versions with tx provenance, after updates+delete"),
@@ -146,5 +173,8 @@ object TxQueries {
     "tx_dv_delete" -> QueryDef(txDvDelete, Some(txAfterDeleteSql),
       "deletion-vector delete == copy-on-write delete, observationally"),
     "tx_time_travel" -> QueryDef(txTimeTravel, Some(txTimeTravelSql),
-      "currentStateAsOf replays the pre-update pre-delete snapshot"))
+      "currentStateAsOf replays the pre-update pre-delete snapshot"),
+    "tx_schema_evolution" -> QueryDef(txSchemaEvolution,
+      Some(txSchemaEvolutionSql),
+      "addColumn widening: old rows read null, new versions win per key"))
 }

@@ -310,19 +310,24 @@ final class GraftClient(
 
     if (matchedPerObject.isEmpty) return
     val touched = matchedPerObject.keySet.toSeq.sorted
-    val survivors = touched.map(n => byName(n).numRows).sum -
-      matchedPerObject.values.sum
 
-    // job 2: rewrite all touched objects' surviving rows as ONE new object
-    if (survivors > 0) {
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      spark.read.schema(pSchema)
-        .parquet(touched.map(n => s"$rootDir/$n"): _*)
-        .filter(keepPred)
-        .write.parquet(s"$rootDir/$name")
+    // job 2: rewrite all touched objects' surviving rows as ONE new object.
+    // The survivor count comes from the WRITTEN DATA (parquet count() is a
+    // footer-metadata read), never from numRows arithmetic: action-level
+    // numRows goes stale once a deletion vector's masked rows are
+    // physically removed by a later rewrite, and a skip-empty decision
+    // based on stale metadata silently drops live rows (found by the
+    // 500-op model test; pinned in DvCompactReproSpec).
+    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+    spark.read.schema(pSchema)
+      .parquet(touched.map(n => s"$rootDir/$n"): _*)
+      .filter(keepPred)
+      .write.parquet(s"$rootDir/$name")
+    val survivors = spark.read.parquet(s"$rootDir/$name").count()
+    if (survivors > 0)
       t.actions += AddDataObject(table, name,
         touched.map(n => byName(n).txId).min, survivors)
-    }
+    // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
   }
 
@@ -449,12 +454,16 @@ final class GraftClient(
     val pSchema = provSchema(schema)
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
     // applying the deletion vectors during the rewrite retires them:
-    // the merged object holds only surviving rows
+    // the merged object holds only surviving rows. numRows is counted
+    // from the written data (footer-metadata read) — DV key counts go
+    // stale when later rewrites physically remove masked rows, so
+    // files-minus-dvs arithmetic under-counts (DvCompactReproSpec).
     applyDvs(spark.read.schema(pSchema)
       .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
       .write.parquet(s"$rootDir/$name")
-    t.actions += AddDataObject(table, name, files.map(_.txId).min,
-      files.map(_.numRows).sum - dvs.map(_.numRows).sum)
+    val merged = spark.read.parquet(s"$rootDir/$name").count()
+    if (merged > 0)
+      t.actions += AddDataObject(table, name, files.map(_.txId).min, merged)
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Regression: object-level numRows metadata goes stale when a deletion
+  * vector's masked rows are later PHYSICALLY removed by a copy-on-write
+  * delete (the DV still counts them). Decisions based on metadata
+  * arithmetic (compact's survivor count, deleteRows' skip-empty-rewrite
+  * gate) then under-count and can drop live rows. Found by the 500-op
+  * randomized model test at op 323; this pins the minimal chain.
+  */
+class DvCompactReproSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("idx", IntegerType), StructField("val", IntegerType)))
+
+  private def state(c: GraftClient): Map[Int, Int] =
+    c.currentState("t", Seq("idx")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("stale DV counts must not cause data loss through compact+delete") {
+    val dir = Files.createTempDirectory("graft_dvloss").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("t", schema)
+    (0 until 6).foreach(i => c.writeRow("t", Seq(i, i * 10)))
+    c.commitTx()
+
+    // DV masks 0,1,2 (3 keys recorded)
+    c.newTx(); c.deleteRowsDV("t", "idx", 0, 2); c.commitTx()
+    // CoW delete physically removes 2,3 — one of them was DV-masked, so
+    // the DV now over-counts by 1 relative to physical rows
+    c.newTx(); c.deleteRows("t", "idx", 2, 3); c.commitTx()
+    c.newTx()
+    assert(state(c) == Map(4 -> 40, 5 -> 50))
+    // compact applies the stale DV; its survivor count must come from the
+    // data, not from numRows-minus-dvRows arithmetic
+    c.compact("t")
+    c.commitTx()
+    c.newTx()
+    assert(state(c) == Map(4 -> 40, 5 -> 50), "state after compact")
+    // the final trap: a delete that matches exactly one row must leave
+    // the other visible row alive even if metadata said 'one row total'
+    c.deleteRows("t", "idx", 4, 4)
+    assert(state(c) == Map(5 -> 50), "row 5 must survive")
+    c.commitTx()
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(state(c2) == Map(5 -> 50), "and survive a fresh replay")
+    c2.rollback()
+  }
+
+  test("DV + CoW deletes + compact across many txs") {
+    val dir = Files.createTempDirectory("graft_repro").toString
+    val c = new GraftClient(spark, dir, checkpointInterval = 5)
+    c.newTx(); c.createTable("t", schema)
+    (0 until 6).foreach(i => c.writeRow("t", Seq(i, i * 10)))
+    c.commitTx()
+
+    c.newTx(); c.deleteRowsDV("t", "idx", 1, 1); c.commitTx()
+    c.newTx(); c.writeRow("t", Seq(2, 999)); c.commitTx()
+    c.newTx(); c.deleteRows("t", "idx", 3, 3); c.commitTx()
+    c.newTx(); c.deleteRowsDV("t", "idx", 4, 4); c.commitTx()
+
+    c.newTx()
+    assert(state(c) == Map(0 -> 0, 2 -> 999, 5 -> 50), "pre-compact")
+    c.compact("t")
+    assert(state(c) == Map(0 -> 0, 2 -> 999, 5 -> 50), "same-tx post-compact")
+    c.commitTx()
+
+    c.newTx()
+    c.deleteRowsDV("t", "idx", 0, 0)
+    assert(state(c) == Map(2 -> 999, 5 -> 50), "DV after compact")
+    c.commitTx()
+
+    c.newTx(); c.compact("t"); c.commitTx()
+    c.newTx()
+    assert(state(c) == Map(2 -> 999, 5 -> 50), "second compact")
+    c.commitTx()
+  }
+}

@@ -357,7 +357,9 @@ class GraftClientSpec extends AnyFunSuite {
   // --- main_test.go:263-344 -------------------------------------------------
   test("randomized operations match an in-memory model (seed 42)") {
     val numRows = 20
-    val numOps = sys.env.getOrElse("GRAFT_MODEL_OPS", "250").toInt
+    // 500 matches the reference's randomized workload (main_test.go:265);
+    // log checkpointing + periodic compaction keep per-op cost flat
+    val numOps = sys.env.getOrElse("GRAFT_MODEL_OPS", "500").toInt
     val dir = tmp()
     val random = new Random(42)
     val c = new GraftClient(spark, dir)
@@ -396,7 +398,14 @@ class GraftClientSpec extends AnyFunSuite {
         case 2 => // read current state and compare with the model
           val got = c.currentState("users", Seq("idx")).collect()
             .map(r => r.getInt(0) -> r.getInt(2)).toMap
-          assert(got == model.toMap, s"state diverged from model at op $checks")
+          if (got != model.toMap) {
+            val files = c.scan("users").inputFiles
+              .map(_.split('/').dropRight(1).last).distinct
+            fail(s"state diverged at op $op (check $checks): got=$got " +
+              s"model=${model.toMap} scanRows=${c.scan("users").count()} " +
+              s"inputDirs=${files.length} " +
+              s"dvDirs=${files.count(_.contains("_dv_"))}")
+          }
           checks += 1
       }
       c.commitTx()
