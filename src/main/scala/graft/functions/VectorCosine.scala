@@ -80,24 +80,21 @@ case class VectorCosine(left: Expression, right: Expression)
 /** Registration + Column surface for the library's native functions. */
 object GraftFunctions {
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  /** Idempotently register the native functions into `spark`'s session
-    * catalog, so `expr("vector_cosine(a, b)")` resolves in any session
-    * the library touches (no SparkSessionExtensions ceremony required of
-    * the host application).
+  /** Register the native functions into `spark`'s session catalog, so
+    * `expr("vector_cosine(a, b)")` resolves in any session the library
+    * touches (no SparkSessionExtensions ceremony required of the host
+    * application). Unconditional: registerFunction is an idempotent
+    * overwrite for the same name, and any session-dedup guard (e.g. by
+    * identity hash code) can silently skip a distinct session on a hash
+    * collision and leak keys for collected ones.
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("vector_cosine"),
-        new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
-        (children: Seq[Expression]) => {
-          require(children.length == 2,
-            "vector_cosine expects exactly 2 arguments")
-          VectorCosine(children.head, children(1))
-        })
-    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vector_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "vector_cosine expects exactly 2 arguments")
+        VectorCosine(children.head, children(1))
+      })
 }

@@ -76,6 +76,33 @@ object TxQueries {
         c.insert("nation4", nation.filter(col("n_nationkey") < 5)
           .withColumn("n_comment", concat(lit("c_"), col("n_name"))))
         c.commitTx()
+
+        // nation5: Hive-style partitioned layout — one object per region,
+        // each with stats pinning n_regionkey to a single value, so the
+        // range scan below prunes whole objects (partition pruning ==
+        // stats-based file skipping)
+        c.newTx()
+        c.createTable("nation5", nation.schema)
+        c.insertPartitioned("nation5", nation, "n_regionkey")
+        c.commitTx()
+
+        // nation6: MERGE — update keys 0..2, insert keys 30..32, delete
+        // keys 20..22 via the delete clause; no target rewrite (DV path)
+        c.newTx()
+        c.createTable("nation6", nation.schema)
+        c.insert("nation6", nation)
+        c.commitTx()
+        val mergeSrc = nation.filter(col("n_nationkey") < 3)
+          .withColumn("n_name", concat(col("n_name"), lit("_M")))
+          .unionByName(nation.filter(col("n_nationkey") < 3)
+            .withColumn("n_nationkey", col("n_nationkey") + 30)
+            .withColumn("n_name", concat(lit("NEW_"), col("n_name"))))
+          .unionByName(nation.filter(col("n_nationkey").between(20, 22))
+            .withColumn("n_name", lit("DEL")))
+        c.newTx()
+        c.merge("nation6", mergeSrc, Seq("n_nationkey"),
+          deleteCond = col("n_name") === "DEL")
+        c.commitTx()
         root
       })
     }
@@ -163,6 +190,53 @@ object TxQueries {
     FROM nation
     ORDER BY n_nationkey"""
 
+  // --- Stats-based file skipping: partitioned layout + range scan -----------
+  def txStatsPrune(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scanRange("nation5", "n_regionkey", 1, 2)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txStatsPruneSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey BETWEEN 1 AND 2
+    ORDER BY n_nationkey"""
+
+  // --- MERGE: update + insert + delete clause through MVCC ------------------
+  def txMerge(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation6", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  private val txMergeSql = """
+    SELECT * FROM (
+      SELECT n_nationkey,
+        CASE WHEN n_nationkey < 3 THEN n_name || '_M' ELSE n_name END AS n_name,
+        n_regionkey
+      FROM nation WHERE n_nationkey NOT BETWEEN 20 AND 22
+      UNION ALL
+      SELECT n_nationkey + 30, 'NEW_' || n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 3
+    ) ORDER BY n_nationkey"""
+
+  // --- Change data feed between two log versions ----------------------------
+  def txCdf(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.changesBetween("nation", Seq("n_nationkey"), 1, 3)
+        .orderBy(col("_change"), col("n_nationkey"))
+    }
+
+  private val txCdfSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name || '_V2' AS n_name,
+        n_regionkey + 100 AS n_regionkey, 'update' AS _change
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'delete'
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+    ) ORDER BY _change, n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "tx_scan" -> QueryDef(txScan, Some(txScanSql),
       "MVCC scan: all live versions with tx provenance, after updates+delete"),
@@ -176,5 +250,11 @@ object TxQueries {
       "currentStateAsOf replays the pre-update pre-delete snapshot"),
     "tx_schema_evolution" -> QueryDef(txSchemaEvolution,
       Some(txSchemaEvolutionSql),
-      "addColumn widening: old rows read null, new versions win per key"))
+      "addColumn widening: old rows read null, new versions win per key"),
+    "tx_stats_prune" -> QueryDef(txStatsPrune, Some(txStatsPruneSql),
+      "partitioned insert + stats-based file skipping on a range scan"),
+    "tx_merge" -> QueryDef(txMerge, Some(txMergeSql),
+      "MERGE: matched update + unmatched insert + delete clause, no rewrite"),
+    "tx_cdf" -> QueryDef(txCdf, Some(txCdfSql),
+      "change data feed: row-level insert/update/delete between versions"))
 }

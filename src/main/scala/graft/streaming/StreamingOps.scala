@@ -49,6 +49,15 @@ object StreamingOps {
     * micro-batch (update mode); the latest emission per user is the
     * current answer. Events inside a batch are sorted by (ts, event_id)
     * before the gap check, matching the batch window ordering.
+    *
+    * Cross-batch ordering contract: a user's events are assumed in order
+    * ACROSS micro-batches (per-key ordered sources — e.g. a partitioned
+    * log keyed by user). An event arriving in a later batch with a
+    * timestamp strictly before the user's stored high-water mark is LATE
+    * and is dropped deterministically — folding it into the current session
+    * would silently diverge from the batch twin forever. Per-user state is
+    * one small record and lives for the job's lifetime; bound it with a
+    * watermark + timeout in deployments with unbounded key churn.
     */
   def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -64,12 +73,16 @@ object StreamingOps {
             var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0.0))
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000L // millis -> micros
-              val newSession = s.lastTsMicros == Long.MinValue ||
-                us - s.lastTsMicros > SessionGapMicros
-              s = SessionState(us,
-                s.nSessions + (if (newSession) 1L else 0L),
-                s.nEvents + 1L,
-                s.valueSum + e.value)
+              if (s.lastTsMicros != Long.MinValue && us < s.lastTsMicros) {
+                // late/out-of-order across batches: drop (see doc above)
+              } else {
+                val newSession = s.lastTsMicros == Long.MinValue ||
+                  us - s.lastTsMicros > SessionGapMicros
+                s = SessionState(us,
+                  s.nSessions + (if (newSession) 1L else 0L),
+                  s.nEvents + 1L,
+                  s.valueSum + e.value)
+              }
             }
             state.update(s)
             Iterator.single(UserSessions(userId, s.nSessions, s.nEvents, s.valueSum))

@@ -139,7 +139,29 @@ final class GraftClient(
     * (the reference preserves intra-tx row order, transactions.go:11-16).
     * The counting pass also yields the row count — no post-write re-read.
     */
-  def insert(table: String, df: DataFrame): Unit = {
+  def insert(table: String, df: DataFrame): Unit =
+    withStamped(table, df) { (t, schema, stamped, n, txId) =>
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      stamped.write.parquet(s"$rootDir/$name")
+      // footer-metadata read (no Spark job): exact written count + column
+      // min/max stats for file skipping. A count mismatch means the pinned
+      // lineage still diverged between the two passes — fail the tx rather
+      // than corrupt MVCC ordering.
+      val (written, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+      require(written == n,
+        s"insert wrote $written rows but counted $n: non-deterministic input")
+      t.actions += AddDataObject(table, name, txId, n, stats)
+    }
+
+  /** Shared bulk-write preamble: schema check, flush-before-bulk, contiguous
+    * provenance stamping over a lineage PINNED across the counting and
+    * stamping passes (a non-deterministic input — sample/rand, recomputation
+    * on retry — must not move rows between partitions after the counting
+    * pass computed offsets from them). Advances the row counter by n after
+    * `body` succeeds.
+    */
+  private def withStamped(table: String, df: DataFrame)(
+      body: (TxState, StructType, DataFrame, Long, Long) => Unit): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     require(df.schema.fieldNames.sameElements(schema.fieldNames),
@@ -151,25 +173,64 @@ final class GraftClient(
     flush(table) // keep buffered rows chronologically before the bulk batch
     val base = t.rowCounters(table)
     val txId = t.id
-    val rdd = df.rdd
-    val partCounts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-      .collect().sortBy(_._1)
-    val n = partCounts.map(_._2).sum
-    if (n == 0) return
-    val offsets: Map[Int, Long] = partCounts
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-      .init.zip(partCounts)
-      .map { case ((_, off), (pid, _)) => pid -> off }.toMap
-    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var idx = base + offsets(pid)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ txId :+ idx); idx += 1; out }
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+        .collect().sortBy(_._1)
+      val n = partCounts.map(_._2).sum
+      if (n == 0) return
+      val offsets: Map[Int, Long] = partCounts
+        .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+        .init.zip(partCounts)
+        .map { case ((_, off), (pid, _)) => pid -> off }.toMap
+      val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var idx = base + offsets(pid)
+        it.map { r => val out = Row.fromSeq(r.toSeq :+ txId :+ idx); idx += 1; out }
+      }
+      body(t, schema, spark.createDataFrame(stamped, provSchema(schema)), n, txId)
+      t.rowCounters(table) = base + n
+    } finally rdd.unpersist(false)
+  }
+
+  /** Bulk insert split into one data object per distinct value of
+    * `partCol` — Hive-style partitioned layout expressed through the stats
+    * mechanism: each object's stats pin partCol to a single value, so
+    * range scans and deletes on partCol prune whole objects (partition
+    * pruning == file skipping, no separate read-path code). One
+    * distributed write job; object registration is driver-side metadata
+    * (footer reads + directory renames — on a real object store the
+    * staging step would be a direct-to-final committer instead).
+    *
+    * The partition column STAYS in the data files (the writer partitions
+    * on a duplicate `_part` column that is dropped from the file schema by
+    * partitionBy), so every object remains a self-contained parquet dir
+    * with the full table schema — scan/delete/compact code is unchanged.
+    * Choose low-cardinality partition columns, as with any Hive layout.
+    */
+  def insertPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
+    require(df.schema.fieldNames.contains(partCol),
+      s"no such column: $partCol")
+    withStamped(table, df) { (t, schema, stamped, n, txId) =>
+      val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
+      stamped.withColumn("_part", col(partCol))
+        .write.partitionBy("_part").parquet(staging)
+      val stagingDir = new java.io.File(staging)
+      val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_part="))
+      var written = 0L
+      partDirs.foreach { d =>
+        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+        java.nio.file.Files.move(d.toPath,
+          new java.io.File(s"$rootDir/$name").toPath)
+        val (rows, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+        written += rows
+        t.actions += AddDataObject(table, name, txId, rows, stats)
+      }
+      deleteRecursively(stagingDir)
+      require(written == n,
+        s"insertPartitioned wrote $written rows but counted $n")
     }
-    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    spark.createDataFrame(stamped, provSchema(schema))
-      .write.parquet(s"$rootDir/$name")
-    t.rowCounters(table) = base + n
-    t.actions += AddDataObject(table, name, txId, n)
   }
 
   private def flush(table: String): Unit = {
@@ -184,7 +245,8 @@ final class GraftClient(
     spark.createDataFrame(rows, provSchema(schema))
       .coalesce(1)
       .write.parquet(s"$rootDir/$name")
-    t.actions += AddDataObject(table, name, t.id, buf.length.toLong)
+    val (_, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+    t.actions += AddDataObject(table, name, t.id, buf.length.toLong, stats)
     buf.clear()
   }
 
@@ -250,6 +312,115 @@ final class GraftClient(
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Metadata listing of the table's live objects (path, txId, numRows,
+    * column stats) — the planning input for stats-based file skipping;
+    * driver-side only, no Spark job.
+    */
+  def objects(table: String): Vector[AddDataObject] = liveFiles(table)
+
+  /** [[scan]] restricted by an inclusive range on `column`, with
+    * stats-based FILE SKIPPING: objects whose footer min/max can't overlap
+    * [start, end] are never opened (verifiable via `.inputFiles`). Within
+    * the opened objects, parquet row-group stats prune further and the
+    * residual filter lands via pushdown — three pruning tiers, all from
+    * one declarative predicate. Unflushed buffered rows pass through the
+    * same Catalyst predicate.
+    */
+  def scanRange(table: String, column: String, start: Any, end: Any): DataFrame = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    val pSchema = provSchema(schema)
+    val pred = col(column).between(lit(start), lit(end))
+    val files = pruneByRange(liveFiles(table), column, start, end)
+      .map(a => s"$rootDir/${a.path}")
+    val committed =
+      if (files.isEmpty)
+        spark.createDataFrame(List.empty[Row].asJava, pSchema)
+      else
+        applyDvs(spark.read.schema(pSchema).parquet(files: _*),
+          t.snapshot.liveDvs(table, t.actions.toSeq))
+    val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
+    val all =
+      if (buf.isEmpty) committed
+      else {
+        val rows = buf.map { case (idx, r) =>
+          Row.fromSeq(r.toSeq :+ t.id :+ idx)
+        }.toList.asJava
+        committed.unionByName(spark.createDataFrame(rows, pSchema))
+      }
+    all.filter(pred)
+  }
+
+  /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
+    * target rewrite: source rows satisfying `deleteCond` delete their
+    * matching target keys via a deletion vector; every other source row is
+    * inserted as a newer version, so latest-wins [[currentState]] realizes
+    * both WHEN MATCHED UPDATE and WHEN NOT MATCHED INSERT. The source is
+    * assumed dimension-sized relative to the target (it is broadcast into
+    * the DV match); a fact-sized merge source should be pre-aggregated to
+    * one row per key, as with any MERGE.
+    */
+  def merge(table: String, source: DataFrame, keyCols: Seq[String],
+      deleteCond: org.apache.spark.sql.Column = lit(false)): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"merge keys must be table columns: ${keyCols.mkString(",")}")
+    val delKeys = source.filter(coalesce(deleteCond, lit(false)))
+      .select(keyCols.map(col): _*)
+    val files = liveFiles(table)
+    if (files.nonEmpty) {
+      val matched = applyDvs(
+        spark.read.schema(provSchema(schema))
+          .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
+        t.snapshot.liveDvs(table, t.actions.toSeq))
+        .join(broadcast(delKeys), keyCols, "left_semi")
+        .select(col(TxIdCol), col(RowIdxCol))
+      val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
+      matched.write.parquet(s"$rootDir/$name")
+      val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
+      if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
+      else t.actions += RemoveDataObject(table, name)
+    }
+    insert(table, source.filter(!coalesce(deleteCond, lit(false))))
+  }
+
+  /** Row-level change data feed between two log versions: what an
+    * incremental consumer missed. A full outer join of the two snapshots'
+    * latest-version states on `keyCols`, emitting `_change` ∈
+    * insert/update/delete with the NEW row values (OLD values for a
+    * delete, since there is no new row). Unchanged rows are not emitted.
+    * Null-safe column comparison, so null→value and value→null transitions
+    * count as updates.
+    */
+  def changesBetween(table: String, keyCols: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val snap = txLog.beginAt(toVersion)
+    val schema = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$toVersion: $table"))
+    val valCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val before = currentStateAsOf(table, keyCols, fromVersion)
+    val after = currentStateAsOf(table, keyCols, toVersion)
+    val joined = before.as("b").join(after.as("a"),
+      keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _),
+      "full_outer")
+    val inAfter = keyCols.map(k => col(s"a.$k").isNotNull).reduce(_ && _)
+    val inBefore = keyCols.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    val differs =
+      if (valCols.isEmpty) lit(false)
+      else valCols.map(c => !(col(s"b.$c") <=> col(s"a.$c"))).reduce(_ || _)
+    joined
+      .withColumn("_change",
+        when(!inBefore, lit("insert"))
+          .when(!inAfter, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(schema.fieldNames.toIndexedSeq.map(c =>
+        when(col("_change") === "delete", col(s"b.$c"))
+          .otherwise(col(s"a.$c")).as(c)) :+ col("_change"): _*)
+  }
+
   /** Inclusive range delete, start <= col <= end — the reference's single
     * predicate (writes.go:58-88) — as copy-on-write (writes.go:90-162).
     *
@@ -271,15 +442,29 @@ final class GraftClient(
   def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
     require(schemaOf(table).fieldNames.contains(column),
       s"no such column: $column")
-    deleteWhere(table, col(column).between(lit(start), lit(end)))
+    // stats-based file skipping: objects whose min/max can't overlap the
+    // range are never opened, let alone rewritten
+    deleteWhereImpl(table, col(column).between(lit(start), lit(end)),
+      pruneByRange(liveFiles(table), column, start, end))
   }
+
+  /** Live objects whose stats may contain rows with start <= column <= end.
+    * Objects without stats for the column are conservatively kept.
+    */
+  private def pruneByRange(files: Vector[AddDataObject], column: String,
+      start: Any, end: Any): Vector[AddDataObject] =
+    files.filter(a => ColStats.mayOverlap(a.stats, column, start, end))
 
   /** Copy-on-write delete of every row matching an arbitrary Catalyst
     * predicate — the generalization of the reference's single-range
     * surface. A null predicate result never matches (the reference skips
     * nil rows).
     */
-  def deleteWhere(table: String, pred: org.apache.spark.sql.Column): Unit = {
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Column): Unit =
+    deleteWhereImpl(table, pred, liveFiles(table))
+
+  private def deleteWhereImpl(table: String, pred: org.apache.spark.sql.Column,
+      candidates: Vector[AddDataObject]): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     val keepPred = !coalesce(pred, lit(false))
@@ -287,8 +472,8 @@ final class GraftClient(
     // phase 1: tombstone matching unflushed rows (writes.go:101-110)
     tombstoneBuffer(table, pred, schema)
 
-    // phase 2: copy-on-write over live data objects (writes.go:113-159)
-    val files = liveFiles(table)
+    // phase 2: copy-on-write over candidate live objects (writes.go:113-159)
+    val files = candidates
     if (files.isEmpty) return
     val byName = files.map(a => a.path -> a).toMap
     val pSchema = provSchema(schema)
@@ -312,21 +497,21 @@ final class GraftClient(
     val touched = matchedPerObject.keySet.toSeq.sorted
 
     // job 2: rewrite all touched objects' surviving rows as ONE new object.
-    // The survivor count comes from the WRITTEN DATA (parquet count() is a
-    // footer-metadata read), never from numRows arithmetic: action-level
-    // numRows goes stale once a deletion vector's masked rows are
-    // physically removed by a later rewrite, and a skip-empty decision
-    // based on stale metadata silently drops live rows (found by the
-    // 500-op model test; pinned in DvCompactReproSpec).
+    // The survivor count comes from the WRITTEN DATA (parquet footers),
+    // never from numRows arithmetic: action-level numRows goes stale once
+    // a deletion vector's masked rows are physically removed by a later
+    // rewrite, and a skip-empty decision based on stale metadata silently
+    // drops live rows (found by the 500-op model test; pinned in
+    // DvCompactReproSpec).
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
     spark.read.schema(pSchema)
       .parquet(touched.map(n => s"$rootDir/$n"): _*)
       .filter(keepPred)
       .write.parquet(s"$rootDir/$name")
-    val survivors = spark.read.parquet(s"$rootDir/$name").count()
+    val (survivors, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
     if (survivors > 0)
       t.actions += AddDataObject(table, name,
-        touched.map(n => byName(n).txId).min, survivors)
+        touched.map(n => byName(n).txId).min, survivors, stats)
     // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
   }
@@ -342,9 +527,13 @@ final class GraftClient(
     try {
       txLog.commit(t.snapshot, t.actions.toSeq)
       // periodic metadata checkpoint keeps log replay O(recent txs); the
-      // fold is a fresh begin() so it includes the commit just written
+      // fold is a fresh begin() so it includes the commit just written.
+      // Best-effort: once the log entry landed the commit HAS succeeded,
+      // and a transient checkpoint failure must not masquerade as a commit
+      // failure (a retrying caller would double-apply).
       if (checkpointInterval > 0 && (t.id + 1) % checkpointInterval == 0)
-        txLog.checkpoint(txLog.begin())
+        try txLog.checkpoint(txLog.begin())
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally tx = None
   }
 
@@ -360,26 +549,32 @@ final class GraftClient(
   def deleteRowsDV(table: String, column: String, start: Any, end: Any): Unit = {
     require(schemaOf(table).fieldNames.contains(column),
       s"no such column: $column")
-    deleteWhereDV(table, col(column).between(lit(start), lit(end)))
+    deleteWhereDVImpl(table, col(column).between(lit(start), lit(end)),
+      pruneByRange(liveFiles(table), column, start, end))
   }
 
   /** [[deleteWhere]] semantics via a deletion vector. */
-  def deleteWhereDV(table: String, pred: org.apache.spark.sql.Column): Unit = {
+  def deleteWhereDV(table: String, pred: org.apache.spark.sql.Column): Unit =
+    deleteWhereDVImpl(table, pred, liveFiles(table))
+
+  private def deleteWhereDVImpl(table: String,
+      pred: org.apache.spark.sql.Column,
+      candidates: Vector[AddDataObject]): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     tombstoneBuffer(table, pred, schema)
 
-    val files = liveFiles(table)
-    if (files.isEmpty) return
+    if (candidates.isEmpty) return
     val matched = applyDvs(
       spark.read.schema(provSchema(schema))
-        .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
+        .parquet(candidates.map(a => s"$rootDir/${a.path}"): _*),
       t.snapshot.liveDvs(table, t.actions.toSeq))
       .filter(pred)
       .select(col(TxIdCol), col(RowIdxCol))
     val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
     matched.write.parquet(s"$rootDir/$name")
-    val n = spark.read.parquet(s"$rootDir/$name").count()
+    val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
+      new StructType()) // count only; DV keys carry no prunable columns
     if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
     else t.actions += RemoveDataObject(table, name) // empty DV: retire now
   }
@@ -404,10 +599,12 @@ final class GraftClient(
   /** Time travel: the full multi-version scan of `table` as of log
     * version `asOf` (the state after commits with id < asOf). Works
     * outside any open transaction — it reads a historical snapshot, not
-    * the current one — and immutable data objects make it free: old log
-    * entries still reference the exact files that were live then, and
-    * nothing ever deletes files from disk (no vacuum), so deletes and
-    * compactions that happened later don't disturb historical replay.
+    * the current one — and immutable data objects make it cheap: old log
+    * entries still reference the exact files that were live then, so
+    * later deletes and compactions don't disturb historical replay.
+    * History is only guaranteed within the last [[vacuum]]'s retained
+    * window: vacuum physically reclaims superseded objects, and time
+    * travel past its `retainVersions` horizon will fail to find files.
     */
   def scanAsOf(table: String, asOf: Long): DataFrame = {
     val snap = txLog.beginAt(asOf)
@@ -461,9 +658,9 @@ final class GraftClient(
     applyDvs(spark.read.schema(pSchema)
       .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
       .write.parquet(s"$rootDir/$name")
-    val merged = spark.read.parquet(s"$rootDir/$name").count()
+    val (merged, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
     if (merged > 0)
-      t.actions += AddDataObject(table, name, files.map(_.txId).min, merged)
+      t.actions += AddDataObject(table, name, files.map(_.txId).min, merged, stats)
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }

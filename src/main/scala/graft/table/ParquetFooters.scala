@@ -1,0 +1,109 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.tx.ColStats
+
+/** Metadata-only reads of parquet footers for a data object directory:
+  * exact row count plus per-column min/max, without touching row data.
+  *
+  * This implements the reference's "per-object column stats" TODO
+  * (README.md:37) the way every lakehouse does: bounds are gathered at
+  * write time from what the writer already recorded in the footer, so
+  * stamping stats on an object costs driver-side metadata I/O only — no
+  * Spark job, no data scan. At 100 TB the scan path then opens only
+  * objects whose bounds can overlap the predicate.
+  *
+  * Conservatism rules: a column appears in the result only if every
+  * row-group chunk either carried usable stats or was all-null; parquet's
+  * binary-stats truncation keeps min/max valid bounds, which is all
+  * pruning needs. Unsupported types are simply omitted (never pruned on).
+  */
+object ParquetFooters {
+
+  /** (rowCount, columnStats) for every part-file under `dir`. */
+  def scan(spark: SparkSession, dir: String,
+      schema: StructType): (Long, Map[String, ColStats]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+    var rows = 0L
+    // per-column running (min, max); None value = column disqualified
+    val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+    val eligible: Map[String, DataType] = schema.fields.collect {
+      case f if statType(f.dataType).isDefined => f.name -> f.dataType
+    }.toMap
+
+    parts.foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            eligible.get(name).foreach { dt =>
+              val s = chunk.getStatistics
+              if (acc.get(name).contains(None)) {
+                // already disqualified by an earlier chunk; stays so
+              } else if (s == null || s.isEmpty) {
+                acc(name) = None // unknown values: disqualify
+              } else if (s.hasNonNullValue) {
+                (decode(dt, s.genericGetMin()), decode(dt, s.genericGetMax())) match {
+                  case (Some(l), Some(h)) =>
+                    acc(name) = Some(acc.get(name).flatten match {
+                      case Some((cl, ch)) => (minOf(cl, l), maxOf(ch, h))
+                      case None => (l, h)
+                    })
+                  case _ => acc(name) = None
+                }
+              } // else: all-null chunk constrains nothing
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val stats = acc.collect {
+      case (c, Some((lo, hi))) => c -> ColStats(lo, hi)
+    }.toMap
+    (rows, stats)
+  }
+
+  private def statType(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         FloatType | DoubleType | StringType => Some(dt)
+    case _ => None
+  }
+
+  private def decode(dt: DataType, v: Comparable[_]): Option[Any] = (dt, v) match {
+    case (ByteType | ShortType | IntegerType | DateType, i: java.lang.Integer) =>
+      Some(i.longValue())
+    case (LongType, l: java.lang.Long) => Some(l.longValue())
+    case (FloatType, f: java.lang.Float) => Some(f.doubleValue())
+    case (DoubleType, d: java.lang.Double) => Some(d.doubleValue())
+    case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  private def minOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => math.min(x, y)
+    case (x: Double, y: Double) => math.min(x, y)
+    case (x: String, y: String) => if (x.compareTo(y) <= 0) x else y
+    case _ => a
+  }
+  private def maxOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: Long, y: Long) => math.max(x, y)
+    case (x: Double, y: Double) => math.max(x, y)
+    case (x: String, y: String) => if (x.compareTo(y) >= 0) x else y
+    case _ => a
+  }
+}

@@ -14,8 +14,62 @@ import graft.store.ObjectStore
   * comment deltalakeclient/transactions.go:11-16).
   */
 sealed trait Action { def table: String }
+
+/** Per-column inclusive min/max of one data object, read from parquet
+  * footers at write time — the reference's unimplemented "per-object
+  * column stats" TODO (README.md:37). Values are Long (integral/date
+  * columns), Double, or String; a column absent from the map has unknown
+  * bounds and never prunes. This is what makes partition-style file
+  * skipping work at 100 TB: a range scan or delete opens only objects
+  * whose stats can overlap the predicate.
+  */
+final case class ColStats(min: Any, max: Any)
+
+object ColStats {
+  /** Conservative overlap test: can a row with start <= col <= end exist
+    * in an object with these stats? Unknown stats or un-normalizable
+    * bounds ⇒ true (never prune on uncertainty). Null bounds mean
+    * unbounded on that side.
+    */
+  def mayOverlap(stats: Map[String, ColStats], column: String,
+      start: Any, end: Any): Boolean =
+    stats.get(column) match {
+      case None => true
+      case Some(ColStats(lo, hi)) =>
+        val s = normalize(start)
+        val e = normalize(end)
+        val belowOk = s == null || cmp(hi, s).forall(_ >= 0)
+        val aboveOk = e == null || cmp(lo, e).forall(_ <= 0)
+        belowOk && aboveOk
+    }
+
+  /** Widen query-bound values to the stats domain (Long/Double/String). */
+  def normalize(v: Any): Any = v match {
+    case null => null
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case f: Float => f.toDouble
+    case d: Double => d
+    case s: String => s
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case other => other // unknown type: cmp yields None => no pruning
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+}
+
 final case class AddDataObject(table: String, path: String, txId: Long,
-    numRows: Long) extends Action
+    numRows: Long, stats: Map[String, ColStats] = Map.empty) extends Action
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
@@ -174,10 +228,36 @@ object TxLog {
   def dataObjectName(table: String, uuid: String): String =
     s"_table_${table}_$uuid"
 
+  // stats values are tagged for exact round-trip: longs as strings (the
+  // codec's 64-bit convention), doubles as JSON numbers, strings as strings
+  private def statToJson(v: Any): JValue = v match {
+    case l: Long => Json.obj("l" -> Json.num(l))
+    case d: Double => Json.obj("d" -> JNum(d))
+    case s: String => Json.obj("s" -> Json.str(s))
+    case other => sys.error(s"unencodable stat value: $other")
+  }
+  private def statFromJson(v: JValue): Any = {
+    val o = v.asObj
+    o.get("l").map(_.asLong)
+      .orElse(o.get("d").map(_.asInstanceOf[JNum].value))
+      .orElse(o.get("s").map(_.asStr))
+      .getOrElse(sys.error(s"bad stat value: $v"))
+  }
+  private def statsToJson(stats: Map[String, ColStats]): JValue =
+    JObj(stats.map { case (c, cs) => c -> Json.obj(
+      "min" -> statToJson(cs.min), "max" -> statToJson(cs.max)) })
+  private def statsFromJson(v: JValue): Map[String, ColStats] =
+    v.asObj.map { case (c, o) =>
+      c -> ColStats(statFromJson(o.asObj("min")), statFromJson(o.asObj("max")))
+    }
+
   def actionToJson(a: Action): JValue = a match {
-    case AddDataObject(t, p, tx, n) => Json.obj(
-      "type" -> Json.str("add"), "table" -> Json.str(t),
-      "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
+    case AddDataObject(t, p, tx, n, stats) =>
+      val base = Seq(
+        "type" -> Json.str("add"), "table" -> Json.str(t),
+        "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
+      Json.obj((if (stats.isEmpty) base
+        else base :+ ("stats" -> statsToJson(stats))): _*)
     case AddDeleteVector(t, p, tx, n) => Json.obj(
       "type" -> Json.str("dv"), "table" -> Json.str(t),
       "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
@@ -193,7 +273,8 @@ object TxLog {
     val o = v.asObj
     o("type").asStr match {
       case "add" => AddDataObject(o("table").asStr, o("path").asStr,
-        o("txId").asLong, o("numRows").asLong)
+        o("txId").asLong, o("numRows").asLong,
+        o.get("stats").map(statsFromJson).getOrElse(Map.empty))
       case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)

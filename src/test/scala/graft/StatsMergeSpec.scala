@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+import graft.tx.{ColStats, Json, TxLog, AddDataObject}
+
+/** Column stats + file skipping, partitioned inserts, MERGE, and the
+  * change data feed — the round-3 scale features over the tx core.
+  */
+class StatsMergeSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stats").toString
+
+  private def kvDf(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  test("ColStats.mayOverlap: bounds, unknown columns, unknown types") {
+    val stats = Map("k" -> ColStats(10L, 20L), "v" -> ColStats("b", "f"))
+    assert(ColStats.mayOverlap(stats, "k", 15, 25))
+    assert(ColStats.mayOverlap(stats, "k", 20, 99)) // inclusive max edge
+    assert(ColStats.mayOverlap(stats, "k", 0, 10)) // inclusive min edge
+    assert(!ColStats.mayOverlap(stats, "k", 21, 99))
+    assert(!ColStats.mayOverlap(stats, "k", 0, 9))
+    assert(ColStats.mayOverlap(stats, "k", 12.5, 12.6)) // double vs long
+    assert(!ColStats.mayOverlap(stats, "k", 20.5, 99.0))
+    assert(ColStats.mayOverlap(stats, "v", "a", "c"))
+    assert(!ColStats.mayOverlap(stats, "v", "g", "z"))
+    assert(ColStats.mayOverlap(stats, "nostats", 1, 2)) // unknown col: keep
+    // un-normalizable bound type: conservative keep
+    assert(ColStats.mayOverlap(stats, "k", new Object, new Object))
+  }
+
+  test("insert stamps footer stats; they survive the log JSON round-trip") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((5, "ee"), (9, "aa"), (7, "zz")))
+    c.commitTx()
+
+    // fresh client: stats must come back from the serialized log
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    val objs = c2.objects("t")
+    assert(objs.length === 1)
+    assert(objs.head.stats("k") === ColStats(5L, 9L))
+    assert(objs.head.stats("v") === ColStats("aa", "zz"))
+    c2.rollback()
+  }
+
+  test("log entries without stats (older writers) parse to empty stats") {
+    val a = TxLog.actionFromJson(Json.parse(
+      """{"type":"add","table":"t","path":"p","txId":"3","numRows":"4"}"""))
+    assert(a === AddDataObject("t", "p", 3L, 4L, Map.empty))
+  }
+
+  test("scanRange skips objects whose stats can't overlap") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.insert("t", kvDf((10, "c"), (12, "d")))
+    c.insert("t", kvDf((20, "e"), (22, "f")))
+    c.commitTx()
+
+    c.newTx()
+    val pruned = c.scanRange("t", "k", 9, 13)
+    val full = c.scan("t").filter(col("k").between(9, 13))
+    assert(pruned.select("k", "v").collect().toSet ===
+      full.select("k", "v").collect().toSet)
+    assert(pruned.inputFiles.length < c.scan("t").inputFiles.length)
+    // only the middle object is opened
+    assert(c.objects("t").count(a =>
+      ColStats.mayOverlap(a.stats, "k", 9, 13)) === 1)
+    // buffered (unflushed) rows still flow through the same predicate
+    c.writeRow("t", Seq(11, "buffered"))
+    assert(c.scanRange("t", "k", 9, 13).select("k", "v").collect().toSet ===
+      Set(Row(10, "c"), Row(12, "d"), Row(11, "buffered")))
+    c.rollback()
+  }
+
+  test("insertPartitioned: one self-contained object per partition value") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insertPartitioned("t",
+      kvDf((1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")), "v")
+    c.commitTx()
+
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.length === 3) // one per distinct v
+    assert(objs.map(_.numRows).sum === 5)
+    // each object's stats pin v to a single value => partition pruning
+    objs.foreach(a => assert(a.stats("v").min === a.stats("v").max))
+    // the partition column is still IN the files (self-contained objects)
+    assert(c.scan("t").select("k", "v").collect().toSet ===
+      Set(Row(1, "a"), Row(2, "a"), Row(3, "b"), Row(4, "b"), Row(5, "c")))
+    val prunedFiles = c.scanRange("t", "v", "b", "b").inputFiles.length
+    assert(prunedFiles < c.scan("t").inputFiles.length)
+    c.rollback()
+  }
+
+  test("ranged delete leaves non-overlapping partitions' objects untouched") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insertPartitioned("t",
+      kvDf((1, "a"), (2, "a"), (3, "b"), (10, "b"), (5, "c")), "v")
+    c.commitTx()
+
+    c.newTx()
+    val before = c.objects("t").map(_.path).toSet
+    c.deleteRows("t", "k", 8, 99) // only partition "b" contains k in range
+    val after = c.objects("t").map(_.path).toSet
+    // exactly one object rewritten: the other two paths survive as-is
+    assert((before -- after).size === 1)
+    assert((after -- before).size === 1)
+    assert(c.currentState("t", Seq("k")).select("k", "v").collect().toSet ===
+      Set(Row(1, "a"), Row(2, "a"), Row(3, "b"), Row(5, "c")))
+    c.commitTx()
+  }
+
+  test("merge: matched update, unmatched insert, delete clause") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two"), (3, "three"), (4, "four")))
+    c.commitTx()
+
+    c.newTx()
+    // update 1, insert 9, delete 3 (row payload for the delete is a marker)
+    c.merge("t",
+      kvDf((1, "ONE"), (9, "nine"), (3, "DEL")),
+      Seq("k"), deleteCond = col("v") === "DEL")
+    c.commitTx()
+
+    c.newTx()
+    assert(c.currentState("t", Seq("k")).collect().toSet ===
+      Set(Row(1, "ONE"), Row(2, "two"), Row(4, "four"), Row(9, "nine")))
+    // no copy-on-write: the original object is still live (DV mechanism)
+    assert(c.objects("t").length === 2)
+    c.rollback()
+  }
+
+  test("merge delete of a key absent from the target is a no-op") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one")))
+    c.merge("t", kvDf((99, "DEL")), Seq("k"), deleteCond = col("v") === "DEL")
+    c.commitTx()
+    c.newTx()
+    assert(c.currentState("t", Seq("k")).collect().toSet === Set(Row(1, "one")))
+    c.rollback()
+  }
+
+  test("changesBetween classifies inserts, updates, deletes; skips unchanged") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx() // v0
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two"), (3, "three")))
+    c.commitTx()
+    c.newTx() // v1
+    c.insert("t", kvDf((2, "TWO"), (4, "four"))) // update 2, insert 4
+    c.deleteRows("t", "k", 3, 3) // delete 3
+    c.commitTx()
+
+    val changes = c.changesBetween("t", Seq("k"), 1, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(changes === Set(
+      (2, "TWO", "update"),
+      (4, "four", "insert"),
+      (3, "three", "delete")))
+    // no-change window: empty feed
+    assert(c.changesBetween("t", Seq("k"), 2, 2).collect().isEmpty)
+  }
+
+  test("footer stats: all-null column yields no stats entry, no pruning") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("s", StringType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      List(Row(1, null), Row(2, null)).asJava, schema)
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df)
+    c.commitTx()
+    c.newTx()
+    val st = c.objects("t").head.stats
+    assert(st.contains("k"))
+    assert(!st.contains("s"))
+    assert(ColStats.mayOverlap(st, "s", "a", "b")) // conservative
+    c.rollback()
+  }
+}
