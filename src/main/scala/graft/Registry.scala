@@ -18,6 +18,7 @@ object Registry {
   def all: Seq[(String, QueryDef)] =
     queries.Relational.defs ++
       queries.Relational2.defs ++
+      queries.Relational3.defs ++
       queries.Events.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Third relational pack: the remaining classic TPC-H query shapes
+  * expressible over the fixture star schema (which has no partsupp table
+  * and no l_shipmode/commitdate/receiptdate columns — Q2/Q11/Q12/Q16/
+  * Q20/Q21 are adapted or represented by their structural essence):
+  * conditional market-share aggregation (Q8), scalar-subquery HAVING
+  * (Q11), grouped-left-join distribution (Q13), conditional-ratio
+  * aggregate (Q14), view + scalar-max join (Q15), distinct-count with
+  * NOT-IN exclusion (Q16), correlated-average filter (Q17).
+  *
+  * Plan discipline: dimension sides broadcast; facts are filtered/
+  * semi-joined BEFORE their shuffles; per-group correlated values use
+  * windows (one shuffle) rather than per-row subquery execution; decimal
+  * accumulation (Tables.dsum) keeps sums bitwise-comparable with DuckDB.
+  */
+object Relational3 {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  // --- TPC-H Q8: national market share in a region ---------------------------
+  // Share of NATION_1-supplied volume among ASIA-customer orders of
+  // STANDARD parts, per order year. The fact chain shuffles on join keys
+  // once each; part/supplier/nation/region are broadcast.
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val stdParts = t(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume",
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(col("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(lit(0)), 4) /
+        dsum(col("volume"), 4)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8Sql = s"""
+    SELECT o_year,
+      ${sqlDsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END", 4)}
+        / ${sqlDsum("volume", 4)} AS mkt_share
+    FROM (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+        l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+        region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+        AND p_type = 'STANDARD') x
+    GROUP BY o_year
+    ORDER BY o_year"""
+
+  // --- TPC-H Q11 essence: suppliers above the average revenue share ----------
+  // (partsupp-free adaptation: "value" is lineitem revenue per supplier;
+  // the scalar-subquery HAVING threshold is the structural point.)
+  def q11ImportantSupp(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("value"))
+    val thr = perSupp.agg((dsum(col("value"), 4) / count(lit(1)))
+      .as("avg_value"))
+    perSupp.crossJoin(broadcast(thr))
+      .filter(col("value") > col("avg_value"))
+      .select(col("l_suppkey"), col("value"))
+      .orderBy(col("value").desc, col("l_suppkey"))
+  }
+
+  private val q11Sql = s"""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS value
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, value FROM per_supp
+    WHERE value > (SELECT ${sqlDsum("value", 4)} / COUNT(*) FROM per_supp)
+    ORDER BY value DESC, l_suppkey"""
+
+  // --- TPC-H Q13: customer order-count distribution --------------------------
+  // Left outer join keeps zero-order customers; two shuffles (custkey,
+  // then count value).
+  def q13OrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  // --- TPC-H Q14: promotion revenue ratio ------------------------------------
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-09-01") &&
+        col("l_shipdate") < ts("1997-10-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0)), 4) /
+        dsum(col("rev"), 4)).as("promo_revenue"))
+  }
+
+  private val q14Sql = s"""
+    SELECT 100.0 *
+      ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+      / ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'"""
+
+  // --- TPC-H Q15: top supplier (view + scalar max) ---------------------------
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("mx"))
+    t(spark, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q15Sql = s"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  // --- TPC-H Q16 essence: supplier diversity per brand/type ------------------
+  // (partsupp-free: supplier-part linkage comes from lineitem; the
+  // NOT-IN exclusion subquery is the structural point.)
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  private val q16Sql = """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type"""
+
+  // --- TPC-H Q17: small-quantity-order revenue -------------------------------
+  // Correlated per-part average as a window (one shuffle on partkey);
+  // the oracle states the literal correlated subquery. The deterministic
+  // decimal-sum/count average keeps the filter boundary bit-identical.
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))
+    val f = t(spark, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+    val w = Window.partitionBy(col("l_partkey"))
+    f.withColumn("avg_qty",
+        (sum(col("l_quantity").cast("decimal(30,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val q17Sql = s"""
+    WITH f AS (
+      SELECT l.* FROM lineitem l
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2')
+    SELECT ${sqlDsum("l_extendedprice", 2)} / 7.0 AS avg_yearly
+    FROM f l1
+    WHERE l_quantity < 0.5 * (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+      FROM f l2 WHERE l2.l_partkey = l1.l_partkey)"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "q8_market_share" -> QueryDef(q8MarketShare, Some(q8Sql),
+      "national market share: conditional ratio aggregate over a 5-table join"),
+    "q11_important_supp" -> QueryDef(q11ImportantSupp, Some(q11Sql),
+      "scalar-subquery HAVING: suppliers above average revenue"),
+    "q13_order_counts" -> QueryDef(q13OrderCounts, Some(q13Sql),
+      "order-count distribution via grouped left outer join"),
+    "q14_promo_revenue" -> QueryDef(q14PromoRevenue, Some(q14Sql),
+      "promotion revenue ratio with conditional aggregation"),
+    "q15_top_supplier" -> QueryDef(q15TopSupplier, Some(q15Sql),
+      "revenue view + scalar max join"),
+    "q16_supplier_diversity" -> QueryDef(q16SupplierDiversity, Some(q16Sql),
+      "distinct supplier count with NOT-IN exclusion subquery"),
+    "q17_small_qty" -> QueryDef(q17SmallQty, Some(q17Sql),
+      "correlated per-part average filter as a window"))
+}
