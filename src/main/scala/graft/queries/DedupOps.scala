@@ -18,8 +18,9 @@ import graft.util.Tables._
   *                 band-bucket self-join for candidates, exact-Jaccard
   *                 verification — the 100 TB path (candidates are generated
   *                 per bucket, never enumerated across the corpus)
-  *   - SimHash:    64-bit frequency-weighted signature, hamming ≤ 3 via
-  *                 4×16-bit pigeonhole blocks (a pair within distance 3
+  *   - SimHash:    60-bit frequency-weighted signature (portable
+  *                 top-60-bits-of-md5 word hash), hamming ≤ 3 via
+  *                 4×15-bit pigeonhole blocks (a pair within distance 3
   *                 must agree on ≥1 block), then exact bit_count check
   *   - embedding:  cosine ≥ 0.4 near-dup pairs on a deterministic prefix
   *                 subset (oracle-checkable); the unbounded-scale variant of
@@ -210,31 +211,36 @@ object DedupOps {
   }
 
   // --- SimHash near-dup ------------------------------------------------------
-  // 64-bit signature: bit j is the sign of Σ_words (±1 by bit j of the
-  // word's xxhash64). Pairs within hamming distance 3 must share one of 4
-  // 16-bit blocks (pigeonhole), so candidates come from a block-value
-  // self-join, then the exact bit_count(xor) filter. Not SQL-oracle-able
-  // (hash internals differ across engines) — rows-only check here;
-  // DedupSpec pins the planted-duplicate pairs.
+  // 60-bit signature: bit j is the sign of Σ_words (±1 by bit j of the
+  // word's hash). Pairs within hamming distance 3 must share one of 4
+  // 15-bit blocks (pigeonhole), so candidates come from a block-value
+  // self-join, then the exact bit_count(xor) filter.
+  //
+  // The word hash is the top 60 bits of md5 — engine-portable (unlike
+  // xxhash64, whose seed/internals differ across engines), so the WHOLE
+  // pipeline is replayed by the DuckDB oracle bit-for-bit: 60 bits = 15
+  // hex chars keeps the value inside a signed 64-bit int in both engines
+  // (ANSI-safe, no unsigned wraparound).
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = shingled(spark, dir, minWords = 1)
-    // explode words once, hash each once, and fold the 64 bit-planes as 64
+    // explode words once, hash each once, and fold the 60 bit-planes as 60
     // codegen'd sum aggregates (±1 per word); the signature reassembles
-    // from the per-bit sums — avoids 64 interpreted passes per document
+    // from the per-bit sums — avoids 60 interpreted passes per document
     val words = d.select(col("doc_id"), explode(col("ws")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map(j =>
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("bigint"))
+    val bitAggs = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j"))
     val sh = words.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
-      .withColumn("simhash", (0 until 64).map(j =>
+      .withColumn("simhash", (0 until 60).map(j =>
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
     val blocks = sh
       .select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(simhash, b * 16) & 65535 AS v))"))
+        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(simhash, b * 15) & 32767 AS v))"))
         .as("x"))
       .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"),
         col("x.v").as("v"))
@@ -250,6 +256,31 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private val dedupSimhashSql = s"""
+    WITH d AS (SELECT doc_id, $normSql AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+    bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+        SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+      FROM bits GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS v
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b"""
 
   // --- Embedding-cosine near-dup --------------------------------------------
   // Deterministic prefix subset (vec_id < 1000) keeps the exact pair scan
@@ -293,9 +324,10 @@ object DedupOps {
   // min over (doc, position) → per-doc aggregate, so the k-gram hash runs
   // exactly once per position (no nested-lambda re-evaluation) and the
   // per-doc work is a partition-local sort — embarrassingly parallel.
-  // Output is a per-doc fingerprint count + an order-independent digest
-  // (xxhash64 over the sorted fingerprint set); hash-seeded, so rows-only
-  // + the PipelineOpsSpec overlap pin on planted near-duplicates.
+  // The 8-gram hash is the engine-portable top-60-bits-of-md5 (as in
+  // dedup_simhash), so the DuckDB oracle replays the whole pipeline;
+  // the per-doc output is (count, min, max, additive mod-prime digest) —
+  // all order-independent and exactly representable in both engines.
   /** (doc_id, fp) winnowed fingerprint rows — shared by the query and the
     * overlap test.
     */
@@ -306,7 +338,8 @@ object DedupOps {
       .select(col("doc_id"), col("nt"), explode(expr(
         "sequence(1, greatest(length(nt) - 7, 1))")).as("i"))
       .select(col("doc_id"), col("i"),
-        expr("xxhash64(substring(nt, i, 8))").as("h"))
+        expr("cast(conv(substr(md5(substring(nt, i, 8)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(-3, 0)
     hashes
@@ -320,8 +353,37 @@ object DedupOps {
     winnowFps(spark, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fingerprints"),
-        xxhash64(sort_array(collect_set(col("fp")))).as("fp_digest"))
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        sum(col("fp") % 1000000007L).as("fp_digest"))
       .orderBy(col("doc_id"))
+
+  private val textWinnowSql = """
+    WITH d AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      FROM documents),
+    pos AS (
+      SELECT doc_id, nt,
+        unnest(range(1, greatest(length(nt) - 7, 1) + 1)) AS i
+      FROM d),
+    h AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT AS h
+      FROM pos),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM h) x
+      WHERE i >= 4)
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+      MIN(fp) AS fp_min, MAX(fp) AS fp_max,
+      CAST(SUM(fp % 1000000007) AS BIGINT) AS fp_digest
+    FROM fps
+    GROUP BY doc_id
+    ORDER BY doc_id"""
 
   def defs: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
@@ -331,11 +393,13 @@ object DedupOps {
     "dedup_minhash_lsh" -> QueryDef(dedupMinhashLsh, Some(dedupNgramSql),
       "near-dup pairs via 16x4 banded MinHash LSH, Jaccard-verified; " +
         "oracle = exact n-gram query (LSH recall is total at J>=0.9)"),
-    "dedup_simhash" -> QueryDef(dedupSimhash, None,
-      "near-dup pairs via 64-bit SimHash, hamming<=3 by pigeonhole blocks"),
+    "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql),
+      "near-dup pairs via 60-bit md5 SimHash, hamming<=3 by pigeonhole " +
+        "blocks; oracle replays the whole pipeline bit-for-bit"),
     "dedup_embed_cosine" -> QueryDef(dedupEmbedCosine,
       Some(dedupEmbedCosineSql),
       "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"),
-    "text_winnow" -> QueryDef(textWinnow, None,
-      "winnowing (rolling-hash) document fingerprints, 8-gram/4-window"))
+    "text_winnow" -> QueryDef(textWinnow, Some(textWinnowSql),
+      "winnowing (rolling-hash) document fingerprints, 8-gram/4-window; " +
+        "portable md5-60bit hash, oracle replays the pipeline"))
 }
