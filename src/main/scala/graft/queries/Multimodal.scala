@@ -171,6 +171,46 @@ object Multimodal {
     FROM embeddings, range(0, 8) t(i)
     ORDER BY vec_id, frame_idx"""
 
+  // --- Int8 embedding quantization ------------------------------------------
+  // The storage-compression step of an embedding pipeline: symmetric int8
+  // quantization per vector (scale = 127 / max|x|), reporting per-label
+  // reconstruction error. floor(x + 0.5) is used instead of round() in
+  // BOTH engines (identical half-up semantics — engine round() tie rules
+  // differ); per-element error maxes are order-independent, and the
+  // per-label sum goes through the decimal-accumulation trick (dsum).
+  def mmQuantize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", array_max(expr("transform(v, x -> abs(x))")))
+      .filter(col("amax") > 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("max_err", array_max(expr(
+        "transform(v, x -> abs(x - floor(x * scale + 0.5D) / scale))")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        dsum(col("max_err"), 12).as("sum_max_err"),
+        max(round(col("max_err"), 9)).as("worst_err"))
+      .orderBy(col("label"))
+
+  private val mmQuantizeSql = s"""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT label, v,
+        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+      WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+    q AS (
+      SELECT label,
+        list_max(list_transform(v,
+          x -> abs(x - floor(x * scale + 0.5) / scale))) AS max_err
+      FROM m)
+    SELECT label, COUNT(*) AS n_vecs,
+      ${sqlDsum("max_err", 12)} AS sum_max_err,
+      MAX(round(max_err, 9)) AS worst_err
+    FROM q
+    GROUP BY label
+    ORDER BY label"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "mm_binary_meta" -> QueryDef(mmBinaryMeta, Some(mmBinaryMetaSql),
       "opaque binary payloads: byte length, md5 checksum, magic prefix"),
@@ -179,5 +219,7 @@ object Multimodal {
     "mm_decode_meta" -> QueryDef(mmDecodeMeta, Some(mmDecodeMetaSql),
       "stub decode -> typed dims metadata -> rollup by source/aspect"),
     "mm_embed_stats" -> QueryDef(mmEmbedStats, Some(mmEmbedStatsSql),
-      "vector-column stats per label with order-exact norm sums"))
+      "vector-column stats per label with order-exact norm sums"),
+    "mm_quantize" -> QueryDef(mmQuantize, Some(mmQuantizeSql),
+      "symmetric int8 embedding quantization with reconstruction error"))
 }

@@ -237,6 +237,31 @@ object Relational3 {
       SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
       FROM f l2 WHERE l2.l_partkey = l1.l_partkey)"""
 
+  // --- Exact interpolated quantiles (sort-based aggregation) -----------------
+  // Spark `percentile` and DuckDB `quantile_cont` both compute the exact
+  // type-7 linear interpolation, so the results hash-match after a 6 dp
+  // round absorbs ulp-level interpolation differences.
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("qty_p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("qty_p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("qty_p75"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6)
+          .as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
+  private val qPercentilesSql = """
+    SELECT l_returnflag, COUNT(*) AS n,
+      round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+      round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+      round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+      round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "q8_market_share" -> QueryDef(q8MarketShare, Some(q8Sql),
       "national market share: conditional ratio aggregate over a 5-table join"),
@@ -251,5 +276,7 @@ object Relational3 {
     "q16_supplier_diversity" -> QueryDef(q16SupplierDiversity, Some(q16Sql),
       "distinct supplier count with NOT-IN exclusion subquery"),
     "q17_small_qty" -> QueryDef(q17SmallQty, Some(q17Sql),
-      "correlated per-part average filter as a window"))
+      "correlated per-part average filter as a window"),
+    "q_percentiles" -> QueryDef(qPercentiles, Some(qPercentilesSql),
+      "exact interpolated quantiles (sort-based aggregation) per group"))
 }

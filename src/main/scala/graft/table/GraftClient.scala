@@ -537,6 +537,54 @@ final class GraftClient(
     } finally tx = None
   }
 
+  /** [[commitTx]] with optimistic REBASE on conflict — the reference's
+    * declared-TODO multi-writer scenario (main_test.go:177: "TODO
+    * TestConcurrentWriters fails to commit"). On losing the log-id race,
+    * re-read the log, check the concurrent window for LOGICAL conflicts
+    * (any committed action touching a table this tx touched), and if
+    * disjoint, re-stage the same actions (data objects are already
+    * written and immutable) at the new version. Concurrent writers to
+    * disjoint tables therefore all succeed; a same-table conflict still
+    * throws — lost updates are never silent.
+    *
+    * Rebasing does not restamp row-level provenance (_tx_id stays the
+    * original attempt's id inside written parquet); that is
+    * observationally safe because the rebase is taken only when no
+    * concurrent commit touched the same table, so within-table
+    * (_tx_id, _row_idx) ordering is unaffected.
+    */
+  def commitTxRetrying(maxAttempts: Int = 5): Unit = {
+    val t = currentTx
+    t.tables.keys.foreach(flush)
+    try {
+      if (t.actions.isEmpty) return // read-only
+      val touched = t.actions.map(_.table).toSet
+      var snapshot = t.snapshot
+      var attempt = 1
+      var committed = false
+      while (!committed) {
+        try {
+          txLog.commit(snapshot, t.actions.toSeq)
+          committed = true
+        } catch {
+          case e: CommitConflictException =>
+            val newer = txLog.begin()
+            val concurrent =
+              txLog.actionsBetween(snapshot.version, newer.version)
+            if (concurrent.exists(a => touched(a.table)) ||
+                attempt >= maxAttempts)
+              throw e
+            attempt += 1
+            snapshot = newer
+        }
+      }
+      if (checkpointInterval > 0 &&
+          (snapshot.version + 1) % checkpointInterval == 0)
+        try txLog.checkpoint(txLog.begin())
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally tx = None
+  }
+
   /** Range delete via a DELETION VECTOR instead of copy-on-write: one
     * distributed job records the (_tx_id, _row_idx) keys of matching live
     * rows as a small parquet object; reads anti-join it. For a small

@@ -188,6 +188,23 @@ final class TxLog(store: ObjectStore) {
     Snapshot(last + 1, actions.result())
   }
 
+  /** Actions of the committed log entries with `from <= id < until`, in
+    * log order — the concurrent window a rebasing committer must check
+    * for logical conflicts. Reads raw log files (never checkpoints, whose
+    * folding compiles removes away). Metadata-only.
+    */
+  def actionsBetween(from: Long, until: Long): Vector[Action] = {
+    val out = Vector.newBuilder[Action]
+    store.listPrefixOrdered(LogPrefix).foreach { n =>
+      val id = n.stripPrefix(LogPrefix).toLong
+      if (id >= from && id < until) {
+        val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+        out ++= j("actions").asArr.map(actionFromJson)
+      }
+    }
+    out.result()
+  }
+
   /** Atomically append `actions` as log id `snapshot.version`. */
   def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)

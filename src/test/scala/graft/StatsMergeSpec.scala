@@ -196,6 +196,48 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(c.changesBetween("t", Seq("k"), 2, 2).collect().isEmpty)
   }
 
+  test("commitTxRetrying: disjoint-table concurrent writers both commit") {
+    val dir = tmp()
+    val c1 = new GraftClient(spark, dir)
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx() // c2 snapshots first...
+    c1.newTx()
+    c1.createTable("t1", kvSchema)
+    c1.writeRow("t1", Seq(1, "one"))
+    c1.commitTx() // ...but c1 takes log id 0
+    c2.createTable("t2", kvSchema)
+    c2.writeRow("t2", Seq(2, "two"))
+    c2.commitTxRetrying() // loses the race, rebases, succeeds
+    val c3 = new GraftClient(spark, dir)
+    c3.newTx()
+    assert(c3.scan("t1").select("k", "v").collect().toSet === Set(Row(1, "one")))
+    assert(c3.scan("t2").select("k", "v").collect().toSet === Set(Row(2, "two")))
+    c3.rollback()
+  }
+
+  test("commitTxRetrying: same-table conflict still throws") {
+    val dir = tmp()
+    val seed = new GraftClient(spark, dir)
+    seed.newTx()
+    seed.createTable("t", kvSchema)
+    seed.writeRow("t", Seq(0, "zero"))
+    seed.commitTx()
+    val c1 = new GraftClient(spark, dir)
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    c1.newTx()
+    c1.writeRow("t", Seq(1, "one"))
+    c1.commitTx()
+    c2.writeRow("t", Seq(2, "two"))
+    intercept[graft.tx.CommitConflictException] { c2.commitTxRetrying() }
+    // the loser's write is discarded, the winner's landed
+    val c3 = new GraftClient(spark, dir)
+    c3.newTx()
+    assert(c3.scan("t").select("k", "v").collect().toSet ===
+      Set(Row(0, "zero"), Row(1, "one")))
+    c3.rollback()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
