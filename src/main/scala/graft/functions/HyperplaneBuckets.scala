@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** All random-hyperplane LSH bucket ids of a vector in ONE fused,
+  * codegen'd loop: bucket t has bit b set iff dot(v, plane[t][b]) > 0.
+  *
+  * The composable form (numTables × numBits `when(cosine > 0)` branches,
+  * each with its own 64-double literal array) builds an expression tree
+  * large enough to overflow whole-stage codegen's method-size budget and
+  * fall back to interpreted eval — the generated-code-size cliff, not
+  * the arithmetic, is what made the LSH query the slowest in the bench.
+  * Here the plane matrix is ONE flat reference object and the signature
+  * computation is numTables*numBits*dim fused multiply-adds per row.
+  *
+  * `planes` is row-major [table][bit][dim] flattened; only the sign of
+  * the dot product matters, so no norms or sqrt are computed.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+    numTables: Int, numBits: Int)
+    extends UnaryExpression {
+
+  private val dim: Int = {
+    require(numTables > 0 && numBits > 0 && numBits < 31)
+    require(planes.length % (numTables * numBits) == 0)
+    planes.length / (numTables * numBits)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets expects array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0
+      var b = 0
+      while (b < numBits) {
+        val off = (t * numBits + b) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += planes(off + i) * v.getDouble(i); i += 1 }
+        if (dot > 0) sig |= 1 << b
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val arrCls = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val sig = ctx.freshName("sig")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($dim, $v.numElements());
+        int[] $out = new int[$numTables];
+        for (int $t = 0; $t < $numTables; $t++) {
+          int $sig = 0;
+          for (int $b = 0; $b < $numBits; $b++) {
+            int $off = ($t * $numBits + $b) * $dim;
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $dot += $planesRef[$off + $i] * $v.getDouble($i);
+            }
+            if ($dot > 0) $sig |= 1 << $b;
+          }
+          $out[$t] = $sig;
+        }
+        ${ev.value} = new $arrCls($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}

@@ -88,7 +88,7 @@ object GraftFunctions {
     * identity hash code) can silently skip a distinct session on a hash
     * collision and leak keys for collected ones.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
@@ -97,4 +97,31 @@ object GraftFunctions {
           "vector_cosine expects exactly 2 arguments")
         VectorCosine(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hyperplane_buckets expects (vector, numTables, numBits)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val (t, b) = (children(1), children(2)) match {
+          case (Literal(t: Int, _), Literal(b: Int, _)) => (t, b)
+          case _ => throw new IllegalArgumentException(
+            "numTables/numBits must be integer literals")
+        }
+        HyperplaneBuckets(children.head, LshPlanes.flat(t, b), t, b)
+      })
+  }
+}
+
+/** Deterministic ±1 random-hyperplane matrix shared by the expression
+  * builder and any caller that needs the raw planes (fixed seed, 64-dim).
+  */
+object LshPlanes {
+  val Dim = 64
+  def flat(numTables: Int, numBits: Int, seed: Long = 42): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables * numBits * Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
 }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,24 +88,22 @@ object SimilarityOps {
 
   // --- LSH-bucketed approximate top-k ---------------------------------------
   /** Deterministic ±1 hyperplanes: `tables` tables × `bits` planes × 64
-    * dims, from a fixed seed.
+    * dims, from a fixed seed (graft.functions.LshPlanes).
     */
   private[queries] val NumTables = 16
   private[queries] val NumBits = 6
-  private lazy val planes: IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val rnd = new Random(42)
-    IndexedSeq.fill(NumTables)(IndexedSeq.fill(NumBits)(
-      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)))
-  }
 
-  /** Array of NumTables bucket ids (table-local signatures). */
+  /** Array of NumTables bucket ids (table-local signatures), via the
+    * fused native HyperplaneBuckets expression: one codegen'd loop
+    * computing every signature bit. The composable form (96 separate
+    * `when(cosine(v, typedLit(plane)) > 0)` branches) built an
+    * expression tree past codegen's method-size budget and fell back to
+    * interpreted eval — the generated-code-size cliff made this the
+    * slowest query in the bench. Bit semantics are identical: only the
+    * dot product's SIGN matters, so norms never needed computing.
+    */
   private def bucketIds(v: Column): Column =
-    array((0 until NumTables).map { t =>
-      (0 until NumBits).map { b =>
-        when(cosine(v, typedLit(planes(t)(b).toSeq)) > 0, lit(1 << b))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    call_function("hyperplane_buckets", v, lit(NumTables), lit(NumBits))
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).withColumn("bks", bucketIds(col("v")))

@@ -31,6 +31,7 @@ object Sources {
         nation.coalesce(1).write.option("header", "true")
           .csv(s"$root/nation_csv")
         nation.coalesce(1).write.json(s"$root/nation_jsonl")
+        nation.coalesce(1).write.orc(s"$root/nation_orc")
         root
       })
     }
@@ -49,6 +50,11 @@ object Sources {
       .json(s"${ensure(spark, dir)}/nation_jsonl")
       .orderBy(col("n_nationkey"))
 
+  def srcOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(nationSchema(spark, dir))
+      .orc(s"${ensure(spark, dir)}/nation_orc")
+      .orderBy(col("n_nationkey"))
+
   private val nationSql = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
@@ -57,5 +63,7 @@ object Sources {
     "src_csv_roundtrip" -> QueryDef(srcCsv, Some(nationSql),
       "CSV read path with declared schema == parquet rows"),
     "src_jsonl_roundtrip" -> QueryDef(srcJsonl, Some(nationSql),
-      "JSON-lines read path with declared schema == parquet rows"))
+      "JSON-lines read path with declared schema == parquet rows"),
+    "src_orc_roundtrip" -> QueryDef(srcOrc, Some(nationSql),
+      "ORC read path (vectorized columnar) == parquet rows"))
 }

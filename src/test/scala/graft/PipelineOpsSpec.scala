@@ -15,6 +15,34 @@ class PipelineOpsSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("hyperplane_buckets equals the naive per-plane sign computation") {
+    import graft.functions.{GraftFunctions, LshPlanes}
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    val rows = s.read.parquet(s"$dir/embeddings.parquet")
+      .limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bks",
+        call_function("hyperplane_buckets", col("v"), lit(16), lit(6)))
+      .collect()
+    val planes = LshPlanes.flat(16, 6)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val bks = r.getSeq[Int](2)
+      (0 until 16).foreach { t =>
+        var sig = 0
+        (0 until 6).foreach { b =>
+          val off = (t * 6 + b) * LshPlanes.Dim
+          var dot = 0.0
+          v.indices.foreach(i => dot += planes(off + i) * v(i))
+          if (dot > 0) sig |= 1 << b
+        }
+        assert(bks(t) === sig, s"vec ${r.getLong(0)} table $t")
+      }
+    }
+  }
+
   test("minhash LSH finds exactly the exact-inverted-index pair set") {
     val ngram = DedupOps.dedupNgramJaccard(spark, dir)
       .select("doc_a", "doc_b").collect()
