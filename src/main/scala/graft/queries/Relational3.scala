@@ -262,6 +262,48 @@ object Relational3 {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  // --- CUBE with grouping id -------------------------------------------------
+  // All 4 grouping-set combinations of (status, priority) in one pass;
+  // grouping_id disambiguates the null-as-subtotal rows from real nulls.
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_price"),
+        grouping_id().cast("bigint").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  private val qCubeSql = s"""
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n_orders,
+      ${sqlDsum("o_totalprice", 2)} AS total_price,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+        AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority"""
+
+  // --- Pivot (long -> wide conditional aggregation) --------------------------
+  // Spark's relational pivot; the oracle states the equivalent
+  // CASE-WHEN conditional aggregation, proving the semantics.
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_extendedprice"), 2))
+      .withColumnsRenamed(Map("F" -> "price_f", "O" -> "price_o"))
+      .orderBy(col("l_returnflag"))
+
+  private val qPivotSql = s"""
+    SELECT l_returnflag,
+      ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END", 2)}
+        AS price_f,
+      ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END", 2)}
+        AS price_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "q8_market_share" -> QueryDef(q8MarketShare, Some(q8Sql),
       "national market share: conditional ratio aggregate over a 5-table join"),
@@ -278,5 +320,9 @@ object Relational3 {
     "q17_small_qty" -> QueryDef(q17SmallQty, Some(q17Sql),
       "correlated per-part average filter as a window"),
     "q_percentiles" -> QueryDef(qPercentiles, Some(qPercentilesSql),
-      "exact interpolated quantiles (sort-based aggregation) per group"))
+      "exact interpolated quantiles (sort-based aggregation) per group"),
+    "q_cube" -> QueryDef(qCube, Some(qCubeSql),
+      "CUBE over two dimensions with grouping_id disambiguation"),
+    "q_pivot" -> QueryDef(qPivot, Some(qPivotSql),
+      "relational pivot == CASE-WHEN conditional aggregation"))
 }

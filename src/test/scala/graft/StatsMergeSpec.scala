@@ -238,6 +238,76 @@ class StatsMergeSpec extends AnyFunSuite {
     c3.rollback()
   }
 
+  test("randomized merge/partitioned-insert/scanRange ops match a model") {
+    import scala.util.Random
+    val numOps = sys.env.getOrElse("GRAFT_MERGE_MODEL_OPS", "120").toInt
+    val numKeys = 30
+    val dir = tmp()
+    val random = new Random(42)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", IntegerType),
+      StructField("part", StringType)))
+    def df(rows: Seq[(Int, Int)]) = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map { case (k, v) => Row(k, v, s"p${math.floorMod(v, 3)}") }
+          .toList.asJava, schema)
+    }
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df((0 until numKeys).map(i => i -> i)))
+    c.commitTx()
+    val model = scala.collection.mutable.Map[Int, Int]() ++=
+      (0 until numKeys).map(i => i -> i)
+
+    def latestByKey(rows: Array[Row]): Map[Int, Int] =
+      rows.groupBy(_.getInt(0)).map { case (k, vs) =>
+        k -> vs.maxBy(r => (r.getLong(3), r.getLong(4))).getInt(1)
+      } // (k, v, part, _tx_id, _row_idx)
+
+    var checks = 0
+    (0 until numOps).foreach { op =>
+      if (op % 40 == 39) { c.newTx(); c.compact("t"); c.commitTx() }
+      c.newTx()
+      random.nextInt(4) match {
+        case 0 => // merge: upsert two distinct keys, delete a third
+          val ks = random.shuffle((0 until numKeys).toList).take(3)
+          val (u1, u2, del) = (ks(0), ks(1), ks(2))
+          val (v1, v2) = (random.nextInt(1000), random.nextInt(1000))
+          c.merge("t", df(Seq(u1 -> v1, u2 -> v2, del -> -1)),
+            Seq("k"), deleteCond = col("v") === -1)
+          model(u1) = v1; model(u2) = v2; model.remove(del)
+        case 1 => // partitioned bulk insert of distinct keys
+          val ks = random.shuffle((0 until numKeys).toList)
+            .take(1 + random.nextInt(4))
+          val rows = ks.map(k => k -> random.nextInt(1000))
+          c.insertPartitioned("t", df(rows), "part")
+          rows.foreach { case (k, v) => model(k) = v }
+        case 2 => // pruned range scan vs model (latest version per key)
+          val a = random.nextInt(numKeys)
+          val b = math.min(numKeys - 1, a + random.nextInt(8))
+          val got = latestByKey(c.scanRange("t", "k", a, b).collect())
+          val want = model.filter { case (k, _) => k >= a && k <= b }.toMap
+          assert(got === want, s"scanRange [$a,$b] diverged at op $op")
+          checks += 1
+        case 3 => // range delete (both mechanisms)
+          val a = random.nextInt(numKeys)
+          val b = math.min(numKeys - 1, a + random.nextInt(4))
+          if (random.nextBoolean()) c.deleteRows("t", "k", a, b)
+          else c.deleteRowsDV("t", "k", a, b)
+          (a to b).foreach(model.remove)
+      }
+      c.commitTx()
+    }
+    assert(checks > 0)
+    c.newTx()
+    val finalState = c.currentState("t", Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(finalState === model.toMap)
+    c.rollback()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
