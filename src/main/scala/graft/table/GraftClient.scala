@@ -713,6 +713,55 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** OPTIMIZE-style re-layout (1-D Z-order analog): rewrite every live
+    * object of `table` into `numBuckets` range-clustered objects on
+    * `column`, so each object's footer stats cover a narrow, mostly
+    * disjoint value range and [[scanRange]]/[[deleteRows]] pruning
+    * becomes effective on previously unclustered data. Rows keep their
+    * (_tx_id, _row_idx) provenance (MVCC untouched); deletion vectors
+    * are applied and retired, as in [[compact]]. One distributed
+    * range-exchange write job; bucket boundaries come from the range
+    * partitioner's own reservoir sample of the cluster column.
+    *
+    * Null `column` values land in the first bucket (range partitioning
+    * sorts nulls first); its stats simply omit the column's bounds if
+    * every value is null.
+    */
+  def clusterBy(table: String, column: String, numBuckets: Int = 16): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    val files = liveFiles(table)
+    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+    if (files.isEmpty) return
+    val pSchema = provSchema(schema)
+    val live = applyDvs(spark.read.schema(pSchema)
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
+    // range-exchange on the cluster column, then one object per range:
+    // spark_partition_id after a range repartition IS the bucket id, and
+    // the partitionBy staging trick (duplicate _part column) splits the
+    // write into self-contained per-bucket objects
+    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
+    live.repartitionByRange(numBuckets, col(column))
+      .withColumn("_part", spark_partition_id())
+      .write.partitionBy("_part").parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_part="))
+    val minTx = files.map(_.txId).min
+    partDirs.foreach { d =>
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      java.nio.file.Files.move(d.toPath,
+        new java.io.File(s"$rootDir/$name").toPath)
+      val (rows, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+      if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
+      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+    }
+    deleteRecursively(stagingDir)
+    files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+    dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+  }
+
   /** Abandon the open transaction (data objects it wrote stay orphaned and
     * unreferenced, as in the reference; [[vacuum]] reclaims them).
     */

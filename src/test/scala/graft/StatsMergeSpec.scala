@@ -308,6 +308,40 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("clusterBy re-layouts objects so range scans prune effectively") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    // three inserts, each spanning the WHOLE key range: every object's
+    // stats overlap every range, so nothing prunes before clustering
+    (0 until 3).foreach { i =>
+      c.insert("t", kvDf((0 until 30).map(k => (k, s"v$i-$k")): _*))
+    }
+    c.deleteRowsDV("t", "k", 7, 7) // a DV that clustering must apply+retire
+    c.commitTx()
+
+    c.newTx()
+    val before = c.objects("t")
+      .count(a => ColStats.mayOverlap(a.stats, "k", 25, 29))
+    assert(before === 3) // unclustered: every object may contain [25,29]
+    c.clusterBy("t", "k", numBuckets = 4)
+    c.commitTx()
+
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.length > 1)
+    assert(objs.map(_.numRows).sum === 87) // 90 - 3 DV-deleted versions
+    val after = objs.count(a => ColStats.mayOverlap(a.stats, "k", 25, 29))
+    assert(after < objs.length, "clustering must make ranges prunable")
+    // semantics unchanged: latest version per key, key 7 deleted
+    val state = c.currentState("t", Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(state.keySet === (0 until 30).toSet - 7)
+    assert((0 until 30).filter(_ != 7).forall(k => state(k) == s"v2-$k"))
+    c.rollback()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
