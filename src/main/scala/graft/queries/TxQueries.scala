@@ -103,6 +103,20 @@ object TxQueries {
         c.merge("nation6", mergeSrc, Seq("n_nationkey"),
           deleteCond = col("n_name") === "DEL")
         c.commitTx()
+
+        // li: the FULL lineitem fact table through the partitioned bulk
+        // write path — one object per ship month, so the range query
+        // below opens ~12 of ~80 objects. This is the scale-shaped
+        // fixture: the tx layer carrying the big table, not a toy.
+        val li = graft.util.Tables.t(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("int").as("ship_month"))
+        c.newTx()
+        c.createTable("li", li.schema)
+        c.insertPartitioned("li", li, "ship_month")
+        c.commitTx()
         root
       })
     }
@@ -237,6 +251,32 @@ object TxQueries {
       FROM nation WHERE n_nationkey BETWEEN 10 AND 14
     ) ORDER BY _change, n_nationkey"""
 
+  // --- Bulk fact table through the tx layer: prune + aggregate --------------
+  // One year of a ~80-month table: the month-partitioned layout means the
+  // scan opens ~12 objects and parquet row-group stats + pushdown handle
+  // the rest — the 100 TB read shape, verified against DuckDB over the
+  // raw fixture.
+  def txBulkRange(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scanRange("li", "ship_month", 199701, 199712)
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.util.Tables.dsum(col("l_quantity"), 2).as("sum_qty"),
+          graft.util.Tables.dsum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("ship_month"))
+    }
+
+  private val txBulkRangeSql = s"""
+    SELECT CAST(date_part('year', l_shipdate) * 100
+      + date_part('month', l_shipdate) AS INT) AS ship_month,
+      COUNT(*) AS n_lines,
+      ${graft.util.Tables.sqlDsum("l_quantity", 2)} AS sum_qty,
+      ${graft.util.Tables.sqlDsum("l_extendedprice", 2)} AS sum_price
+    FROM lineitem
+    WHERE date_part('year', l_shipdate) = 1997
+    GROUP BY 1
+    ORDER BY ship_month"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "tx_scan" -> QueryDef(txScan, Some(txScanSql),
       "MVCC scan: all live versions with tx provenance, after updates+delete"),
@@ -256,5 +296,8 @@ object TxQueries {
     "tx_merge" -> QueryDef(txMerge, Some(txMergeSql),
       "MERGE: matched update + unmatched insert + delete clause, no rewrite"),
     "tx_cdf" -> QueryDef(txCdf, Some(txCdfSql),
-      "change data feed: row-level insert/update/delete between versions"))
+      "change data feed: row-level insert/update/delete between versions"),
+    "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
+      "full lineitem through partitioned bulk write; month-range scan " +
+        "opens ~12 of ~80 objects via stats pruning"))
 }

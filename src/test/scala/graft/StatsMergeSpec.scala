@@ -215,6 +215,31 @@ class StatsMergeSpec extends AnyFunSuite {
     c3.rollback()
   }
 
+  test("commitTxRetrying: 4 threads racing on disjoint tables all commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmp()
+    val n = 4
+    val fs = (0 until n).map { i =>
+      Future {
+        val c = new GraftClient(spark, dir)
+        c.newTx()
+        c.createTable(s"t$i", kvSchema)
+        c.writeRow(s"t$i", Seq(i, s"v$i"))
+        c.commitTxRetrying(maxAttempts = 10)
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    (0 until n).foreach { i =>
+      assert(c.scan(s"t$i").select("k", "v").collect().toSet ===
+        Set(Row(i, s"v$i")), s"table t$i")
+    }
+    c.rollback()
+  }
+
   test("commitTxRetrying: same-table conflict still throws") {
     val dir = tmp()
     val seed = new GraftClient(spark, dir)
