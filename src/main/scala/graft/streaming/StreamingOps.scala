@@ -29,6 +29,26 @@ object StreamingOps {
 
   val SessionGapMicros: Long = 1800L * 1000000L // 30 min, as the batch twin
 
+  /** Streaming exact dedup — the unbounded twin of the batch
+    * `dedup_exact` query: documents arrive as a stream and the FIRST
+    * occurrence of each canonical-form md5 fingerprint survives
+    * (append-mode `dropDuplicates` keyed on the fingerprint; within a
+    * micro-batch Spark keeps an arbitrary first, across batches state
+    * makes first-seen-wins exact). Input needs a `text` column; the
+    * fingerprint rides along in the output.
+    *
+    * State note: keyed on the 32-char fingerprint only, so state is
+    * O(distinct docs). A production deployment with an event-time
+    * column should use withWatermark + dropDuplicatesWithinWatermark
+    * to bound retention; the fixture documents carry no timestamp, so
+    * that variant lives at the call site.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .dropDuplicates("fingerprint")
+
   /** Watermarked tumbling-window rollup — streaming twin of
     * Events.qHourly (same aggregates; window start == date_trunc('hour')).
     */

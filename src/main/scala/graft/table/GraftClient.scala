@@ -54,6 +54,11 @@ final class GraftClient(
 
   val TxIdCol = "_tx_id"
   val RowIdxCol = "_row_idx"
+  /** Reserved: the staging partition column of insertPartitioned/clusterBy
+    * (a user column of this name would be silently replaced and dropped
+    * from the written files).
+    */
+  val PartCol = "_part"
 
   private final class TxState(val snapshot: Snapshot) {
     val actions = mutable.Buffer[Action]()
@@ -83,8 +88,9 @@ final class GraftClient(
     if (t.tables.contains(table))
       throw new IllegalArgumentException(s"table exists: $table")
     require(!schema.fieldNames.contains(TxIdCol) &&
-      !schema.fieldNames.contains(RowIdxCol),
-      s"$TxIdCol/$RowIdxCol are reserved provenance columns")
+      !schema.fieldNames.contains(RowIdxCol) &&
+      !schema.fieldNames.contains(PartCol),
+      s"$TxIdCol/$RowIdxCol/$PartCol are reserved column names")
     t.tables(table) = schema
     t.actions += ChangeMetadata(table, schema)
   }
@@ -101,6 +107,8 @@ final class GraftClient(
     val schema = schemaOf(table)
     require(!schema.fieldNames.contains(field.name),
       s"column exists: ${field.name}")
+    require(field.name != TxIdCol && field.name != RowIdxCol &&
+      field.name != PartCol, s"${field.name} is a reserved column name")
     require(field.nullable, "added columns must be nullable: rows written " +
       "before the widening have no value for them")
     flush(table) // buffered rows carry the pre-widening arity
@@ -213,23 +221,29 @@ final class GraftClient(
       s"no such column: $partCol")
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
       val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-      stamped.withColumn("_part", col(partCol))
-        .write.partitionBy("_part").parquet(staging)
+      stamped.withColumn(PartCol, col(partCol))
+        .write.partitionBy(PartCol).parquet(staging)
       val stagingDir = new java.io.File(staging)
       val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("_part="))
-      var written = 0L
-      partDirs.foreach { d =>
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+      // validate the write BEFORE registering any action: a count
+      // mismatch (non-deterministic input) must leave the tx's action
+      // buffer clean so a caller that catches and commits anyway can't
+      // commit corrupt MVCC ordering (same order as insert's check)
+      val staged = partDirs.map { d =>
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
         java.nio.file.Files.move(d.toPath,
           new java.io.File(s"$rootDir/$name").toPath)
         val (rows, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
-        written += rows
-        t.actions += AddDataObject(table, name, txId, rows, stats)
+        (name, rows, stats)
       }
       deleteRecursively(stagingDir)
+      val written = staged.map(_._2).sum
       require(written == n,
         s"insertPartitioned wrote $written rows but counted $n")
+      staged.foreach { case (name, rows, stats) =>
+        t.actions += AddDataObject(table, name, txId, rows, stats)
+      }
     }
   }
 
@@ -367,10 +381,17 @@ final class GraftClient(
     val schema = schemaOf(table)
     require(keyCols.forall(schema.fieldNames.contains),
       s"merge keys must be table columns: ${keyCols.mkString(",")}")
+    // flush first so this tx's buffered rows become a live object the
+    // delete vector covers — otherwise a buffered row whose key the
+    // source deletes would be flushed AFTER the DV was computed and
+    // silently survive
+    flush(table)
     val delKeys = source.filter(coalesce(deleteCond, lit(false)))
       .select(keyCols.map(col): _*)
     val files = liveFiles(table)
-    if (files.nonEmpty) {
+    // isEmpty is a limit-1 job on the dimension-sized source — cheap next
+    // to the full-table DV scan it skips for the common pure-upsert merge
+    if (files.nonEmpty && !delKeys.isEmpty) {
       val matched = applyDvs(
         spark.read.schema(provSchema(schema))
           .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
@@ -400,13 +421,17 @@ final class GraftClient(
     val schema = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$toVersion: $table"))
     val valCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    // presence markers, not key-null tests: a row whose KEY is null would
+    // otherwise read as absent from its own side and misclassify
     val before = currentStateAsOf(table, keyCols, fromVersion)
+      .withColumn("_in_b", lit(1))
     val after = currentStateAsOf(table, keyCols, toVersion)
+      .withColumn("_in_a", lit(1))
     val joined = before.as("b").join(after.as("a"),
       keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _),
       "full_outer")
-    val inAfter = keyCols.map(k => col(s"a.$k").isNotNull).reduce(_ && _)
-    val inBefore = keyCols.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    val inAfter = col("a._in_a").isNotNull
+    val inBefore = col("b._in_b").isNotNull
     val differs =
       if (valCols.isEmpty) lit(false)
       else valCols.map(c => !(col(s"b.$c") <=> col(s"a.$c"))).reduce(_ || _)
@@ -520,22 +545,12 @@ final class GraftClient(
     * [[CommitConflictException]] if a concurrent committer won the id; the
     * transaction is discarded either way (transactions.go:106-147). Orphaned
     * data objects from a failed commit are unreachable (never logged).
+    *
+    * Single-attempt case of [[commitTxRetrying]] — one commit epilogue
+    * (flush, read-only skip, put, best-effort checkpoint) lives in one
+    * place.
     */
-  def commitTx(): Unit = {
-    val t = currentTx
-    t.tables.keys.foreach(flush)
-    try {
-      txLog.commit(t.snapshot, t.actions.toSeq)
-      // periodic metadata checkpoint keeps log replay O(recent txs); the
-      // fold is a fresh begin() so it includes the commit just written.
-      // Best-effort: once the log entry landed the commit HAS succeeded,
-      // and a transient checkpoint failure must not masquerade as a commit
-      // failure (a retrying caller would double-apply).
-      if (checkpointInterval > 0 && (t.id + 1) % checkpointInterval == 0)
-        try txLog.checkpoint(txLog.begin())
-        catch { case scala.util.control.NonFatal(_) => () }
-    } finally tx = None
-  }
+  def commitTx(): Unit = commitTxRetrying(maxAttempts = 1)
 
   /** [[commitTx]] with optimistic REBASE on conflict — the reference's
     * declared-TODO multi-writer scenario (main_test.go:177: "TODO
@@ -568,12 +583,11 @@ final class GraftClient(
           committed = true
         } catch {
           case e: CommitConflictException =>
+            if (attempt >= maxAttempts) throw e
             val newer = txLog.begin()
             val concurrent =
               txLog.actionsBetween(snapshot.version, newer.version)
-            if (concurrent.exists(a => touched(a.table)) ||
-                attempt >= maxAttempts)
-              throw e
+            if (concurrent.exists(a => touched(a.table))) throw e
             attempt += 1
             snapshot = newer
         }
@@ -743,11 +757,11 @@ final class GraftClient(
     // write into self-contained per-bucket objects
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     live.repartitionByRange(numBuckets, col(column))
-      .withColumn("_part", spark_partition_id())
-      .write.partitionBy("_part").parquet(staging)
+      .withColumn(PartCol, spark_partition_id())
+      .write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
     val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_part="))
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
     val minTx = files.map(_.txId).min
     partDirs.foreach { d =>
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)

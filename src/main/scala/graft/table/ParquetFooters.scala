@@ -84,12 +84,17 @@ object ParquetFooters {
     case _ => None
   }
 
+  // Non-finite floating bounds (Infinity/NaN) are rejected — they are not
+  // representable in the JSON action log, and a NaN bound can't order, so
+  // the column is conservatively disqualified instead.
   private def decode(dt: DataType, v: Comparable[_]): Option[Any] = (dt, v) match {
     case (ByteType | ShortType | IntegerType | DateType, i: java.lang.Integer) =>
       Some(i.longValue())
     case (LongType, l: java.lang.Long) => Some(l.longValue())
-    case (FloatType, f: java.lang.Float) => Some(f.doubleValue())
-    case (DoubleType, d: java.lang.Double) => Some(d.doubleValue())
+    case (FloatType, f: java.lang.Float) =>
+      Some(f.doubleValue()).filter(java.lang.Double.isFinite(_))
+    case (DoubleType, d: java.lang.Double) =>
+      Some(d.doubleValue()).filter(java.lang.Double.isFinite(_))
     case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
     case _ => None
   }

@@ -249,7 +249,12 @@ object TxLog {
   // codec's 64-bit convention), doubles as JSON numbers, strings as strings
   private def statToJson(v: Any): JValue = v match {
     case l: Long => Json.obj("l" -> Json.num(l))
-    case d: Double => Json.obj("d" -> JNum(d))
+    case d: Double =>
+      // fail the commit cleanly rather than write unparseable JSON that
+      // would corrupt the whole log (ParquetFooters already filters
+      // non-finite bounds; this is the defense in depth)
+      require(java.lang.Double.isFinite(d), s"non-finite stat bound: $d")
+      Json.obj("d" -> JNum(d))
     case s: String => Json.obj("s" -> Json.str(s))
     case other => sys.error(s"unencodable stat value: $other")
   }

@@ -161,6 +161,21 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("merge delete clause covers this tx's own buffered (unflushed) rows") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.writeRow("t", Seq(3, "buffered")) // never flushed before the merge
+    c.merge("t", kvDf((3, "DEL"), (4, "four")),
+      Seq("k"), deleteCond = col("v") === "DEL")
+    c.commitTx()
+    c.newTx()
+    assert(c.currentState("t", Seq("k")).collect().toSet ===
+      Set(Row(4, "four")), "buffered row with a deleted key must not survive")
+    c.rollback()
+  }
+
   test("merge delete of a key absent from the target is a no-op") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)

@@ -115,4 +115,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(gtv - tv) < 1e-6, s"total_value for user $u")
     }
   }
+
+  test("streaming exact dedup keeps one survivor per fingerprint") {
+    case class Doc(doc_id: Long, text: String)
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val input = MemoryStream[(Long, String)](s)
+    input.addData(b1)
+    val q = StreamingOps.dedupStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = s.table("dedup_stream").collect()
+    val gotFps = got.map(_.getString(2))
+    // exactly one survivor per distinct fingerprint, matching the batch
+    // dedup_exact group count
+    assert(gotFps.length == gotFps.distinct.length)
+    val want = graft.queries.DedupOps.dedupExact(s, dir).count()
+    assert(gotFps.length.toLong == want)
+  }
 }
