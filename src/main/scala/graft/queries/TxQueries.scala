@@ -104,6 +104,22 @@ object TxQueries {
           deleteCond = col("n_name") === "DEL")
         c.commitTx()
 
+        // nation7: dropColumn evolution — fill, drop n_regionkey (rewrite
+        // sheds the bytes), then re-add it: every row must read null, not
+        // resurrected values
+        c.newTx()
+        c.createTable("nation7", nation.schema)
+        c.insert("nation7", nation)
+        c.commitTx()
+        c.newTx()
+        c.dropColumn("nation7", "n_regionkey")
+        c.commitTx()
+        c.newTx()
+        c.addColumn("nation7",
+          org.apache.spark.sql.types.StructField("n_regionkey",
+            org.apache.spark.sql.types.IntegerType, nullable = true))
+        c.commitTx()
+
         // li: the FULL lineitem fact table through the partitioned bulk
         // write path — one object per ship month, so the range query
         // below opens ~12 of ~80 objects. This is the scale-shaped
@@ -251,6 +267,17 @@ object TxQueries {
       FROM nation WHERE n_nationkey BETWEEN 10 AND 14
     ) ORDER BY _change, n_nationkey"""
 
+  // --- Drop + re-add column: narrowed rewrite, no value resurrection --------
+  def txDropColumn(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation7", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
+  private val txDropColumnSql = """
+    SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+    FROM nation
+    ORDER BY n_nationkey"""
+
   // --- Bulk fact table through the tx layer: prune + aggregate --------------
   // One year of a ~80-month table: the month-partitioned layout means the
   // scan opens ~12 objects and parquet row-group stats + pushdown handle
@@ -299,5 +326,8 @@ object TxQueries {
       "change data feed: row-level insert/update/delete between versions"),
     "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
       "full lineitem through partitioned bulk write; month-range scan " +
-        "opens ~12 of ~80 objects via stats pruning"))
+        "opens ~12 of ~80 objects via stats pruning"),
+    "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
+      "dropColumn narrows + rewrites; re-added name reads null, never " +
+        "resurrected bytes"))
 }

@@ -117,6 +117,27 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, widened)
   }
 
+  /** Narrow `table` by dropping a column — the other half of schema
+    * evolution. The metadata narrows (last-wins ChangeMetadata, as in
+    * [[addColumn]]) and the table is COMPACTED in the same transaction so
+    * the bytes leave the files too: parquet reads are by name, so if old
+    * files kept the column, re-adding a column of the same name later
+    * would silently resurrect the old values. The rewrite is one
+    * distributed job (the same job [[compact]] runs); on a huge table,
+    * schedule drops like any OPTIMIZE.
+    */
+  def dropColumn(table: String, name: String): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(name), s"no such column: $name")
+    require(schema.length > 1, "cannot drop the last column")
+    flush(table) // buffered rows carry the pre-narrowing arity
+    val narrowed = StructType(schema.fields.filterNot(_.name == name))
+    t.tables(table) = narrowed
+    t.actions += ChangeMetadata(table, narrowed)
+    compactImpl(table, force = true) // narrowed rewrite: bytes gone
+  }
+
   def schemaOf(table: String): StructType =
     currentTx.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -700,12 +721,17 @@ final class GraftClient(
     * MVCC semantics are untouched; the merged object takes the minimum
     * original txId for its metadata slot. One distributed job.
     */
-  def compact(table: String): Unit = {
+  def compact(table: String): Unit = compactImpl(table, force = false)
+
+  /** `force` skips the single-object fast path — [[dropColumn]] needs the
+    * rewrite even then, to physically shed the dropped column's bytes.
+    */
+  private def compactImpl(table: String, force: Boolean): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
-    if (files.length <= 1 && dvs.isEmpty) return
+    if (!force && files.length <= 1 && dvs.isEmpty) return
     if (files.isEmpty) { // only DVs to retire; nothing masks anything
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
       return

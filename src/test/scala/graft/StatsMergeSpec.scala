@@ -382,6 +382,29 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("dropColumn narrows schema, sheds bytes, and re-add yields nulls") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two")))
+    c.commitTx()
+
+    c.newTx()
+    c.dropColumn("t", "v")
+    c.commitTx()
+
+    c.newTx()
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k"))
+    assert(c.scan("t").columns.toSeq === Seq("k", c.TxIdCol, c.RowIdxCol))
+    // re-adding the same name must NOT resurrect the old values —
+    // the drop physically rewrote the files without the column
+    c.addColumn("t", StructField("v", StringType, nullable = true))
+    assert(c.scan("t").select("k", "v").collect().toSet ===
+      Set(Row(1, null), Row(2, null)))
+    c.commitTx()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
