@@ -167,11 +167,96 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Both ANN variants are APPROXIMATE relative to exact top-k but fully
+  // DETERMINISTIC given the fixed seed/centroids — so DuckDB can replay
+  // the entire pipeline (signatures/assignments, candidate generation,
+  // exact rerank) and hash-compare the result. The LSH oracle embeds the
+  // ±1 plane matrix as a SQL list literal generated from the same
+  // LshPlanes source the native expression uses.
+
+  private lazy val planesLiteral: String =
+    graft.functions.LshPlanes
+      .flat(NumTables, NumBits)
+      .map(d => if (d > 0) "1" else "-1")
+      .mkString("[", ",", "]::DOUBLE[]")
+
+  private lazy val simAnnLshSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    planes AS (SELECT $planesLiteral AS pl),
+    buckets AS (
+      SELECT vec_id, t,
+        SUM(CASE WHEN dp > 0 THEN (1 << b) ELSE 0 END) AS bucket
+      FROM (
+        SELECT n.vec_id, t.t, b.b,
+          list_dot_product(n.v,
+            pl[(t.t * $NumBits + b.b) * 64 + 1 :
+               (t.t * $NumBits + b.b) * 64 + 64]) AS dp
+        FROM n CROSS JOIN planes
+        CROSS JOIN range($NumTables) t(t)
+        CROSS JOIN range($NumBits) b(b)) x
+      GROUP BY vec_id, t),
+    qb AS (SELECT * FROM buckets WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM qb q JOIN buckets c
+        ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+        list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos
+      FROM cand c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n e ON e.vec_id = c.vec_id)
+    SELECT query_id, rnk AS "rank", vec_id AS neighbor_id,
+      round(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 10
+    ORDER BY query_id, "rank""""
+
+  private val simAnnIvfSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+             WHERE vec_id < $NumCentroids),
+    ranked AS (
+      SELECT n.vec_id, cent.cid,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+                   cent.cid) AS rk
+      FROM n CROSS JOIN cent),
+    assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM ranked
+               WHERE vec_id < 10 AND rk <= $NumProbes),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+        list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos
+      FROM cand c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n e ON e.vec_id = c.vec_id)
+    SELECT query_id, rnk AS "rank", vec_id AS neighbor_id,
+      round(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 10
+    ORDER BY query_id, "rank""""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "sim_topk" -> QueryDef(simTopK, Some(simTopKSql),
       "exact cosine top-10 for 10 query vectors, two-phase top-k"),
-    "sim_ann_lsh" -> QueryDef(simAnnLsh, None,
-      "approximate top-10 via 16-table random-hyperplane LSH probing"),
-    "sim_ann_ivf" -> QueryDef(simAnnIvf, None,
-      "approximate top-10 via 32-cell IVF with 4-cell probing"))
+    "sim_ann_lsh" -> QueryDef(simAnnLsh, Some(simAnnLshSql),
+      "approximate top-10 via 16-table random-hyperplane LSH probing; " +
+        "oracle replays signatures (plane matrix as SQL literal), " +
+        "candidates, and rerank"),
+    "sim_ann_ivf" -> QueryDef(simAnnIvf, Some(simAnnIvfSql),
+      "approximate top-10 via 32-cell IVF with 4-cell probing; oracle " +
+        "replays assignment, probing, and rerank in SQL"))
 }
