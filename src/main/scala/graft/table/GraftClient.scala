@@ -802,6 +802,23 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** DESCRIBE HISTORY analog: every committed log entry as
+    * (version, actions), oldest first. Driver-side metadata only; works
+    * outside a transaction. Entries older than the newest checkpoint are
+    * still present (checkpoints never delete log files — only [[vacuum]]
+    * reclaims DATA objects).
+    */
+  def history(): Vector[(Long, Vector[Action])] = txLog.entries()
+
+  /** Register [[currentState]] as a temp view so the table is queryable
+    * through `spark.sql` — the SQL surface over the tx store. The view
+    * captures this transaction's snapshot (immutable files), so it stays
+    * valid after commit/rollback until a newer registration replaces it.
+    */
+  def createView(table: String, keyCols: Seq[String],
+      viewName: String): Unit =
+    currentState(table, keyCols).createOrReplaceTempView(viewName)
+
   /** Abandon the open transaction (data objects it wrote stay orphaned and
     * unreferenced, as in the reference; [[vacuum]] reclaims them).
     */

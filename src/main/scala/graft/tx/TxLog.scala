@@ -205,6 +205,16 @@ final class TxLog(store: ObjectStore) {
     out.result()
   }
 
+  /** Every committed log entry as (id, actions), oldest first — the
+    * DESCRIBE HISTORY surface. Raw log files only (checkpoints are a
+    * replay optimization, not history). Metadata-only.
+    */
+  def entries(): Vector[(Long, Vector[Action])] =
+    store.listPrefixOrdered(LogPrefix).map { n =>
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      j("id").asLong -> j("actions").asArr.map(actionFromJson)
+    }.toVector
+
   /** Atomically append `actions` as log id `snapshot.version`. */
   def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)

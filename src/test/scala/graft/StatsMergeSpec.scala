@@ -405,6 +405,30 @@ class StatsMergeSpec extends AnyFunSuite {
     c.commitTx()
   }
 
+  test("history lists every commit; createView exposes SQL over the store") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two")))
+    c.commitTx() // v0
+    c.newTx()
+    c.insert("t", kvDf((2, "TWO")))
+    c.commitTx() // v1
+
+    val h = c.history()
+    assert(h.map(_._1) === Vector(0L, 1L))
+    assert(h(0)._2.exists(_.isInstanceOf[graft.tx.ChangeMetadata]))
+    assert(h(1)._2.collect { case a: AddDataObject => a }.nonEmpty)
+
+    c.newTx()
+    c.createView("t", Seq("k"), "t_view")
+    c.rollback()
+    val viaSql = spark.sql(
+      "SELECT k, v FROM t_view ORDER BY k").collect().toSeq
+    assert(viaSql === Seq(Row(1, "one"), Row(2, "TWO")))
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
