@@ -409,21 +409,34 @@ final class GraftClient(
     flush(table)
     val delKeys = source.filter(coalesce(deleteCond, lit(false)))
       .select(keyCols.map(col): _*)
-    val files = liveFiles(table)
+    val allFiles = liveFiles(table)
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
     // to the full-table DV scan it skips for the common pure-upsert merge
-    if (files.nonEmpty && !delKeys.isEmpty) {
-      val matched = applyDvs(
-        spark.read.schema(provSchema(schema))
-          .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
-        t.snapshot.liveDvs(table, t.actions.toSeq))
-        .join(broadcast(delKeys), keyCols, "left_semi")
-        .select(col(TxIdCol), col(RowIdxCol))
-      val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
-      matched.write.parquet(s"$rootDir/$name")
-      val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
-      if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
-      else t.actions += RemoveDataObject(table, name)
+    if (allFiles.nonEmpty && !delKeys.isEmpty) {
+      // stats-prune the DV scan by the delete-key span: merge deletes
+      // usually touch a narrow key band, and the min/max of the
+      // dimension-sized key set is one tiny aggregate. Multi-column keys
+      // prune on the leading column.
+      val k0 = keyCols.head
+      val files = delKeys.agg(min(col(k0)), max(col(k0))).collect()
+        .headOption match {
+        case Some(r) if !r.isNullAt(0) =>
+          pruneByRange(allFiles, k0, r.get(0), r.get(1))
+        case _ => allFiles
+      }
+      if (files.nonEmpty) { // all objects pruned ⇒ no key can match
+        val matched = applyDvs(
+          spark.read.schema(provSchema(schema))
+            .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
+          t.snapshot.liveDvs(table, t.actions.toSeq))
+          .join(broadcast(delKeys), keyCols, "left_semi")
+          .select(col(TxIdCol), col(RowIdxCol))
+        val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
+        matched.write.parquet(s"$rootDir/$name")
+        val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
+        if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
+        else t.actions += RemoveDataObject(table, name)
+      }
     }
     insert(table, source.filter(!coalesce(deleteCond, lit(false))))
   }
@@ -767,22 +780,31 @@ final class GraftClient(
     * sorts nulls first); its stats simply omit the column's bounds if
     * every value is null.
     */
-  def clusterBy(table: String, column: String, numBuckets: Int = 16): Unit = {
+  def clusterBy(table: String, column: String, numBuckets: Int = 16): Unit =
+    clusterBy(table, Seq(column), numBuckets)
+
+  /** Multi-column variant: lexicographic range clustering (the leading
+    * column prunes best; later columns order within it — Delta's
+    * non-ZCUBE OPTIMIZE shape).
+    */
+  def clusterBy(table: String, columns: Seq[String], numBuckets: Int): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
+    require(columns.nonEmpty &&
+      columns.forall(schema.fieldNames.contains),
+      s"cluster columns must be table columns: ${columns.mkString(",")}")
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (files.isEmpty) return
     val pSchema = provSchema(schema)
     val live = applyDvs(spark.read.schema(pSchema)
       .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
-    // range-exchange on the cluster column, then one object per range:
+    // range-exchange on the cluster columns, then one object per range:
     // spark_partition_id after a range repartition IS the bucket id, and
     // the partitionBy staging trick (duplicate _part column) splits the
     // write into self-contained per-bucket objects
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    live.repartitionByRange(numBuckets, col(column))
+    live.repartitionByRange(numBuckets, columns.map(col): _*)
       .withColumn(PartCol, spark_partition_id())
       .write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
