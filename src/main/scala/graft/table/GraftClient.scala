@@ -788,23 +788,34 @@ final class GraftClient(
     * non-ZCUBE OPTIMIZE shape).
     */
   def clusterBy(table: String, columns: Seq[String], numBuckets: Int): Unit = {
+    require(columns.nonEmpty &&
+      columns.forall(schemaOf(table).fieldNames.contains),
+      s"cluster columns must be table columns: ${columns.mkString(",")}")
+    relayout(table, numBuckets)((live, _) =>
+      live.repartitionByRange(numBuckets, columns.map(col): _*))
+  }
+
+  /** Shared re-layout machinery for the clustering operators: read the
+    * live rows (DVs applied, so they retire), let `exchange` produce the
+    * bucketed ordering, write one self-contained object per bucket via
+    * the partitionBy staging trick (spark_partition_id after the
+    * exchange IS the bucket id), register each with footer stats, and
+    * remove the old objects/DVs. An `exchange` returning null (e.g. an
+    * all-null cluster axis) aborts without touching the table.
+    */
+  private def relayout(table: String, numBuckets: Int)(
+      exchange: (DataFrame, StructType) => DataFrame): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
-    require(columns.nonEmpty &&
-      columns.forall(schema.fieldNames.contains),
-      s"cluster columns must be table columns: ${columns.mkString(",")}")
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (files.isEmpty) return
-    val pSchema = provSchema(schema)
-    val live = applyDvs(spark.read.schema(pSchema)
+    val live = applyDvs(spark.read.schema(provSchema(schema))
       .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
-    // range-exchange on the cluster columns, then one object per range:
-    // spark_partition_id after a range repartition IS the bucket id, and
-    // the partitionBy staging trick (duplicate _part column) splits the
-    // write into self-contained per-bucket objects
+    val exchanged = exchange(live, schema)
+    if (exchanged == null) return
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    live.repartitionByRange(numBuckets, columns.map(col): _*)
+    exchanged
       .withColumn(PartCol, spark_partition_id())
       .write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
@@ -840,6 +851,47 @@ final class GraftClient(
   def createView(table: String, keyCols: Seq[String],
       viewName: String): Unit =
     currentState(table, keyCols).createOrReplaceTempView(viewName)
+
+  /** True Z-ORDER clustering on two numeric columns: each value is
+    * scaled to a 16-bit rank inside its column's global [min, max], the
+    * bits are interleaved into a 32-bit z-value, and the table is
+    * range-re-layouted on that z-value — so every output object covers a
+    * small RECTANGLE in (a, b) space and footer stats prune range
+    * predicates on EITHER column (lexicographic [[clusterBy]] only
+    * prunes the leading one). The z-value is a pure repartition
+    * expression: nothing is added to the stored schema.
+    *
+    * The column min/max come from one metadata-sized aggregate over the
+    * live data. Constant-width scaling (not equi-depth ranks) keeps the
+    * expression stateless and codegen'd; heavily skewed columns get
+    * skewed rectangles, which affects balance, not correctness.
+    */
+  def clusterByZOrder(table: String, colA: String, colB: String,
+      numBuckets: Int = 16): Unit = {
+    require(Seq(colA, colB).forall(schemaOf(table).fieldNames.contains),
+      s"no such columns: $colA/$colB")
+    relayout(table, numBuckets) { (live, _) =>
+      val bounds = live.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+        .collect().head
+      if (bounds.isNullAt(0) || bounds.isNullAt(2)) null // all-null axis
+      else {
+        def scaled(c: String, lo: Double, hi: Double) =
+          if (hi <= lo) lit(0L)
+          else least(lit(65535L), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+              .cast("long")))
+        val a16 = scaled(colA, bounds.getDouble(0), bounds.getDouble(1))
+        val b16 = scaled(colB, bounds.getDouble(2), bounds.getDouble(3))
+        val z = (0 until 16).map { i =>
+          (shiftright(a16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+            (shiftright(b16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+        }.reduce(_ + _)
+        live.repartitionByRange(numBuckets, z)
+      }
+    }
+  }
 
   /** Abandon the open transaction (data objects it wrote stay orphaned and
     * unreferenced, as in the reference; [[vacuum]] reclaims them).

@@ -429,6 +429,42 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(viaSql === Seq(Row(1, "one"), Row(2, "TWO")))
   }
 
+  test("clusterByZOrder makes BOTH columns prunable") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    // 32x32 grid, inserted in row-major slices: before re-layout, b spans
+    // the full range in EVERY object, so b never prunes
+    val grid = for (a <- 0 until 32; b <- 0 until 32) yield Row(a, b)
+    c.newTx()
+    c.createTable("t", schema)
+    grid.grouped(256).foreach { slice =>
+      c.insert("t", spark.createDataFrame(slice.toList.asJava, schema))
+    }
+    c.commitTx()
+
+    c.newTx()
+    def prunable(column: String): Int = {
+      val objs = c.objects("t")
+      objs.length - objs.count(a =>
+        graft.tx.ColStats.mayOverlap(a.stats, column, 0, 3))
+    }
+    assert(prunable("b") === 0, "pre-layout: b must span every object")
+    c.clusterByZOrder("t", "a", "b", numBuckets = 16)
+    c.commitTx()
+
+    c.newTx()
+    assert(c.objects("t").map(_.numRows).sum === 32L * 32L)
+    assert(prunable("a") > 0, "z-order: a ranges must prune")
+    assert(prunable("b") > 0, "z-order: b ranges must prune")
+    // semantics unchanged
+    assert(c.scanRange("t", "b", 5, 5).count() === 32L)
+    assert(c.currentState("t", Seq("a", "b")).count() === 32L * 32L)
+    c.rollback()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
