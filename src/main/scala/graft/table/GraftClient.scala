@@ -138,6 +138,42 @@ final class GraftClient(
     compactImpl(table, force = true) // narrowed rewrite: bytes gone
   }
 
+  /** Rename a column — completes the schema-evolution triple
+    * (add/drop/rename). Parquet reads are by NAME and the log has no
+    * per-file column-id mapping, so a metadata-only rename would read
+    * every existing file as null; instead the table is rewritten once
+    * (one distributed job, as [[dropColumn]]) with the column renamed,
+    * and the metadata follows. Old name free for later re-add (reads
+    * null — the bytes left with the rewrite).
+    */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    val t = currentTx
+    val old = schemaOf(table)
+    require(old.fieldNames.contains(from), s"no such column: $from")
+    require(!old.fieldNames.contains(to), s"column exists: $to")
+    require(to != TxIdCol && to != RowIdxCol && to != PartCol,
+      s"$to is a reserved column name")
+    flush(table) // buffered rows carry the old layout; rewrite covers them
+    val renamed = StructType(old.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val files = liveFiles(table)
+    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+    if (files.nonEmpty) {
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      applyDvs(spark.read.schema(provSchema(old))
+        .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
+        .withColumnRenamed(from, to)
+        .write.parquet(s"$rootDir/$name")
+      val (n, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", renamed)
+      if (n > 0)
+        t.actions += AddDataObject(table, name, files.map(_.txId).min, n, stats)
+      files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+      dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+    }
+    t.tables(table) = renamed
+    t.actions += ChangeMetadata(table, renamed)
+  }
+
   def schemaOf(table: String): StructType =
     currentTx.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))

@@ -465,6 +465,28 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("renameColumn rewrites files; old name re-adds as nulls") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two")))
+    c.writeRow("t", Seq(3, "buffered")) // rewrite must cover this too
+    c.renameColumn("t", "v", "name")
+    c.commitTx()
+
+    c.newTx()
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "name"))
+    assert(c.scan("t").select("k", "name").collect().toSet ===
+      Set(Row(1, "one"), Row(2, "two"), Row(3, "buffered")))
+    // stats followed the rename: the new name prunes
+    assert(c.objects("t").head.stats.contains("name"))
+    // the old name re-added reads null — no resurrected bytes
+    c.addColumn("t", StructField("v", StringType, nullable = true))
+    assert(c.scan("t").select("v").collect().forall(_.isNullAt(0)))
+    c.commitTx()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
