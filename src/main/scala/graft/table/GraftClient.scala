@@ -119,12 +119,14 @@ final class GraftClient(
 
   /** Narrow `table` by dropping a column — the other half of schema
     * evolution. The metadata narrows (last-wins ChangeMetadata, as in
-    * [[addColumn]]) and the table is COMPACTED in the same transaction so
-    * the bytes leave the files too: parquet reads are by name, so if old
-    * files kept the column, re-adding a column of the same name later
-    * would silently resurrect the old values. The rewrite is one
-    * distributed job (the same job [[compact]] runs); on a huge table,
-    * schedule drops like any OPTIMIZE.
+    * [[addColumn]]) and every live object is rewritten WITHOUT the
+    * column in the same transaction, so the bytes leave the files too:
+    * parquet reads are by name, so if old files kept the column,
+    * re-adding a column of the same name later would silently resurrect
+    * the old values. The rewrite is object-for-object
+    * ([[rewriteObjects]]): partition/cluster layout, per-object stats,
+    * and original txIds all survive. On a huge table, schedule drops
+    * like any OPTIMIZE.
     */
   def dropColumn(table: String, name: String): Unit = {
     val t = currentTx
@@ -133,18 +135,19 @@ final class GraftClient(
     require(schema.length > 1, "cannot drop the last column")
     flush(table) // buffered rows carry the pre-narrowing arity
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
+    rewriteObjects(table, schema, narrowed, identity)
     t.tables(table) = narrowed
     t.actions += ChangeMetadata(table, narrowed)
-    compactImpl(table, force = true) // narrowed rewrite: bytes gone
   }
 
   /** Rename a column — completes the schema-evolution triple
     * (add/drop/rename). Parquet reads are by NAME and the log has no
     * per-file column-id mapping, so a metadata-only rename would read
-    * every existing file as null; instead the table is rewritten once
-    * (one distributed job, as [[dropColumn]]) with the column renamed,
-    * and the metadata follows. Old name free for later re-add (reads
-    * null — the bytes left with the rewrite).
+    * every existing file as null; instead every live object is
+    * rewritten with the column renamed ([[rewriteObjects]]: one
+    * distributed job, layout and txIds preserved), and the metadata
+    * follows. Old name free for later re-add (reads null — the bytes
+    * left with the rewrite).
     */
   def renameColumn(table: String, from: String, to: String): Unit = {
     val t = currentTx
@@ -156,22 +159,63 @@ final class GraftClient(
     flush(table) // buffered rows carry the old layout; rewrite covers them
     val renamed = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    val files = liveFiles(table)
-    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
-    if (files.nonEmpty) {
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      applyDvs(spark.read.schema(provSchema(old))
-        .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
-        .withColumnRenamed(from, to)
-        .write.parquet(s"$rootDir/$name")
-      val (n, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", renamed)
-      if (n > 0)
-        t.actions += AddDataObject(table, name, files.map(_.txId).min, n, stats)
-      files.foreach(a => t.actions += RemoveDataObject(table, a.path))
-      dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
-    }
+    rewriteObjects(table, old, renamed, n => if (n == to) from else n)
     t.tables(table) = renamed
     t.actions += ChangeMetadata(table, renamed)
+  }
+
+  /** Object-for-object rewrite of every live object, projecting
+    * `readSchema` onto `newSchema` (each output column `n` sourced from
+    * input column `colSource(n)`). ONE distributed job for the whole
+    * table: rows are routed back to their source object's ordinal
+    * (derived from input_file_name) through the partitionBy staging
+    * trick, so partition/cluster layout, per-object stats tightness, and
+    * each object's ORIGINAL txId survive — unlike a compacting rewrite,
+    * which would flatten an insertPartitioned/clusterBy layout into one
+    * stats-useless object. Deletion vectors are applied and retired. An
+    * object whose rows are all DV-masked simply disappears.
+    */
+  private def rewriteObjects(table: String, readSchema: StructType,
+      newSchema: StructType, colSource: String => String): Unit = {
+    val t = currentTx
+    val files = liveFiles(table)
+    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+    if (files.isEmpty) return
+    val byOrdinal = files.zipWithIndex.map { case (a, i) => i -> a }.toMap
+    val lookupRows = files.zipWithIndex.map { case (a, i) =>
+      Row(a.path, i)
+    }.toList.asJava
+    val lookup = spark.createDataFrame(lookupRows, StructType(Seq(
+      StructField("_obj", StringType, nullable = false),
+      StructField("_ord", IntegerType, nullable = false))))
+    val live = applyDvs(spark.read.schema(provSchema(readSchema))
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
+      .withColumn("_obj",
+        expr("element_at(split(input_file_name(), '/'), -2)"))
+      .join(broadcast(lookup), "_obj")
+    val projected = live.select(
+      newSchema.fieldNames.toIndexedSeq.map(n => col(colSource(n)).as(n)) ++
+        Seq(col(TxIdCol), col(RowIdxCol), col("_ord").as(PartCol)): _*)
+    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
+    projected.write.partitionBy(PartCol).parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    Option(stagingDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+      .foreach { d =>
+        val ord = d.getName.stripPrefix(s"$PartCol=").toInt
+        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+        java.nio.file.Files.move(d.toPath,
+          new java.io.File(s"$rootDir/$name").toPath)
+        val (rows, stats) =
+          ParquetFooters.scan(spark, s"$rootDir/$name", newSchema)
+        if (rows > 0)
+          t.actions += AddDataObject(table, name, byOrdinal(ord).txId,
+            rows, stats)
+        else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      }
+    deleteRecursively(stagingDir)
+    files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+    dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
   def schemaOf(table: String): StructType =
@@ -443,8 +487,23 @@ final class GraftClient(
     // source deletes would be flushed AFTER the DV was computed and
     // silently survive
     flush(table)
+    // pinned: the key set feeds three passes (emptiness probe, min/max
+    // prune bounds, the semi-join) — with an unpinned non-deterministic
+    // source, the prune bounds could disagree with the join's keys and
+    // silently skip deletes whose target objects were pruned away. The
+    // set is dimension-sized by contract, so caching it is cheap.
     val delKeys = source.filter(coalesce(deleteCond, lit(false)))
       .select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergeDeletes(table, schema, delKeys, keyCols)
+    } finally delKeys.unpersist(false)
+    insert(table, source.filter(!coalesce(deleteCond, lit(false))))
+  }
+
+  private def mergeDeletes(table: String, schema: StructType,
+      delKeys: DataFrame, keyCols: Seq[String]): Unit = {
+    val t = currentTx
     val allFiles = liveFiles(table)
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
     // to the full-table DV scan it skips for the common pure-upsert merge
@@ -474,7 +533,6 @@ final class GraftClient(
         else t.actions += RemoveDataObject(table, name)
       }
     }
-    insert(table, source.filter(!coalesce(deleteCond, lit(false))))
   }
 
   /** Row-level change data feed between two log versions: what an
@@ -770,17 +828,12 @@ final class GraftClient(
     * MVCC semantics are untouched; the merged object takes the minimum
     * original txId for its metadata slot. One distributed job.
     */
-  def compact(table: String): Unit = compactImpl(table, force = false)
-
-  /** `force` skips the single-object fast path — [[dropColumn]] needs the
-    * rewrite even then, to physically shed the dropped column's bytes.
-    */
-  private def compactImpl(table: String, force: Boolean): Unit = {
+  def compact(table: String): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
-    if (!force && files.length <= 1 && dvs.isEmpty) return
+    if (files.length <= 1 && dvs.isEmpty) return
     if (files.isEmpty) { // only DVs to retire; nothing masks anything
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
       return
@@ -827,8 +880,8 @@ final class GraftClient(
     require(columns.nonEmpty &&
       columns.forall(schemaOf(table).fieldNames.contains),
       s"cluster columns must be table columns: ${columns.mkString(",")}")
-    relayout(table, numBuckets)((live, _) =>
-      live.repartitionByRange(numBuckets, columns.map(col): _*))
+    relayout(table, numBuckets)(live =>
+      Some(live.repartitionByRange(numBuckets, columns.map(col): _*)))
   }
 
   /** Shared re-layout machinery for the clustering operators: read the
@@ -836,11 +889,11 @@ final class GraftClient(
     * bucketed ordering, write one self-contained object per bucket via
     * the partitionBy staging trick (spark_partition_id after the
     * exchange IS the bucket id), register each with footer stats, and
-    * remove the old objects/DVs. An `exchange` returning null (e.g. an
+    * remove the old objects/DVs. `exchange` returning None (e.g. an
     * all-null cluster axis) aborts without touching the table.
     */
   private def relayout(table: String, numBuckets: Int)(
-      exchange: (DataFrame, StructType) => DataFrame): Unit = {
+      exchange: DataFrame => Option[DataFrame]): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
@@ -848,8 +901,10 @@ final class GraftClient(
     if (files.isEmpty) return
     val live = applyDvs(spark.read.schema(provSchema(schema))
       .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
-    val exchanged = exchange(live, schema)
-    if (exchanged == null) return
+    val exchanged = exchange(live) match {
+      case Some(df) => df
+      case None => return
+    }
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     exchanged
       .withColumn(PartCol, spark_partition_id())
@@ -879,14 +934,19 @@ final class GraftClient(
     */
   def history(): Vector[(Long, Vector[Action])] = txLog.entries()
 
-  /** Register [[currentState]] as a temp view so the table is queryable
-    * through `spark.sql` — the SQL surface over the tx store. The view
-    * captures this transaction's snapshot (immutable files), so it stays
-    * valid after commit/rollback until a newer registration replaces it.
+  /** Register the latest COMMITTED state as a temp view so the table is
+    * queryable through `spark.sql` — the SQL surface over the tx store.
+    * Deliberately not this transaction's view of the table: a temp view
+    * outlives the transaction, and freezing uncommitted buffered rows or
+    * pending actions into it would leak rolled-back data to later SQL
+    * readers (a phantom read). Works outside a transaction; the view
+    * stays valid (immutable files) until a newer registration replaces
+    * it.
     */
   def createView(table: String, keyCols: Seq[String],
       viewName: String): Unit =
-    currentState(table, keyCols).createOrReplaceTempView(viewName)
+    currentStateAsOf(table, keyCols, txLog.begin().version)
+      .createOrReplaceTempView(viewName)
 
   /** True Z-ORDER clustering on two numeric columns: each value is
     * scaled to a 16-bit rank inside its column's global [min, max], the
@@ -904,22 +964,52 @@ final class GraftClient(
     */
   def clusterByZOrder(table: String, colA: String, colB: String,
       numBuckets: Int = 16): Unit = {
-    require(Seq(colA, colB).forall(schemaOf(table).fieldNames.contains),
-      s"no such columns: $colA/$colB")
-    relayout(table, numBuckets) { (live, _) =>
-      val bounds = live.agg(
-        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-        .collect().head
-      if (bounds.isNullAt(0) || bounds.isNullAt(2)) null // all-null axis
+    val schema = schemaOf(table)
+    Seq(colA, colB).foreach { c =>
+      val f = schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      require(f.dataType.isInstanceOf[NumericType],
+        s"z-order needs numeric columns; $c is ${f.dataType}")
+    }
+    // bounds only steer bucket balance, never correctness (mayOverlap is
+    // computed from the REWRITTEN footers) — so take them from the
+    // objects' existing stats when every object has them (driver-side,
+    // zero jobs) and fall back to one aggregate otherwise
+    def statBounds(c: String): Option[(Double, Double)] = {
+      val per = liveFiles(table).map(_.stats.get(c).map(cs =>
+        (ColStats.normalize(cs.min), ColStats.normalize(cs.max))))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
       else {
+        val prs = per.flatten
+        val nums = prs.collect {
+          case (lo: Long, hi: Long) => (lo.toDouble, hi.toDouble)
+          case (lo: Double, hi: Double) => (lo, hi)
+        }
+        if (nums.length != prs.length) None
+        else Some((nums.map(_._1).min, nums.map(_._2).max))
+      }
+    }
+    relayout(table, numBuckets) { live =>
+      val bounds: Option[(Double, Double, Double, Double)] =
+        (statBounds(colA), statBounds(colB)) match {
+          case (Some((al, ah)), Some((bl, bh))) => Some((al, ah, bl, bh))
+          case _ =>
+            val r = live.agg(
+              min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+              min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+              .collect().head
+            if (r.isNullAt(0) || r.isNullAt(2)) None // all-null axis: no-op
+            else Some((r.getDouble(0), r.getDouble(1),
+              r.getDouble(2), r.getDouble(3)))
+        }
+      bounds.map { case (aLo, aHi, bLo, bHi) =>
         def scaled(c: String, lo: Double, hi: Double) =
           if (hi <= lo) lit(0L)
           else least(lit(65535L), greatest(lit(0L),
             ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
               .cast("long")))
-        val a16 = scaled(colA, bounds.getDouble(0), bounds.getDouble(1))
-        val b16 = scaled(colB, bounds.getDouble(2), bounds.getDouble(3))
+        val a16 = scaled(colA, aLo, aHi)
+        val b16 = scaled(colB, bLo, bHi)
         val z = (0 until 16).map { i =>
           (shiftright(a16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
             (shiftright(b16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))

@@ -382,26 +382,38 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
-  test("dropColumn narrows schema, sheds bytes, and re-add yields nulls") {
+  test("dropColumn narrows schema, sheds bytes, keeps layout; re-add nulls") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType),
+      StructField("extra", StringType)))
+    import scala.jdk.CollectionConverters._
     c.newTx()
-    c.createTable("t", kvSchema)
-    c.insert("t", kvDf((1, "one"), (2, "two")))
+    c.createTable("t", schema)
+    c.insertPartitioned("t", spark.createDataFrame(List(
+      Row(1, "a", "x"), Row(2, "a", "y"), Row(3, "b", "z"),
+      Row(4, "c", "w")).asJava, schema), "v")
     c.commitTx()
 
     c.newTx()
-    c.dropColumn("t", "v")
+    val beforeObjs = c.objects("t").length
+    assert(beforeObjs === 3) // one per partition value
+    c.dropColumn("t", "extra")
     c.commitTx()
 
     c.newTx()
-    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k"))
-    assert(c.scan("t").columns.toSeq === Seq("k", c.TxIdCol, c.RowIdxCol))
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "v"))
+    // object-for-object rewrite: the partitioned layout SURVIVES the drop
+    // (a compacting rewrite would flatten it into one stats-useless object)
+    val objs = c.objects("t")
+    assert(objs.length === beforeObjs)
+    objs.foreach(a => assert(a.stats("v").min === a.stats("v").max))
     // re-adding the same name must NOT resurrect the old values —
     // the drop physically rewrote the files without the column
-    c.addColumn("t", StructField("v", StringType, nullable = true))
-    assert(c.scan("t").select("k", "v").collect().toSet ===
-      Set(Row(1, null), Row(2, null)))
+    c.addColumn("t", StructField("extra", StringType, nullable = true))
+    assert(c.scan("t").select("k", "extra").collect().toSet ===
+      Set(Row(1, null), Row(2, null), Row(3, null), Row(4, null)))
     c.commitTx()
   }
 
@@ -422,6 +434,9 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(h(1)._2.collect { case a: AddDataObject => a }.nonEmpty)
 
     c.newTx()
+    // a buffered row must NOT leak into the view: the view reflects the
+    // latest COMMITTED state, so rolling back cannot produce a phantom
+    c.writeRow("t", Seq(99, "uncommitted"))
     c.createView("t", Seq("k"), "t_view")
     c.rollback()
     val viaSql = spark.sql(
@@ -479,6 +494,9 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "name"))
     assert(c.scan("t").select("k", "name").collect().toSet ===
       Set(Row(1, "one"), Row(2, "two"), Row(3, "buffered")))
+    // object-for-object: the bulk object and the flushed-buffer object
+    // both survive as distinct objects (layout preserved)
+    assert(c.objects("t").length === 2)
     // stats followed the rename: the new name prunes
     assert(c.objects("t").head.stats.contains("name"))
     // the old name re-added reads null — no resurrected bytes
