@@ -505,6 +505,31 @@ class StatsMergeSpec extends AnyFunSuite {
     c.commitTx()
   }
 
+  test("column stats survive the checkpoint fold and replay from it") {
+    val dir = tmp()
+    // interval 1: every commit checkpoints, so the next begin() replays
+    // from the folded snapshot, not the raw log entries
+    val c = new GraftClient(spark, dir, checkpointInterval = 1)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((5, "ee"), (9, "aa")))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", kvDf((20, "zz")))
+    c.commitTx()
+
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    val objs = c2.objects("t")
+    assert(objs.length === 2)
+    assert(objs.flatMap(_.stats.get("k")).toSet ===
+      Set(ColStats(5L, 9L), ColStats(20L, 20L)))
+    // and pruning still works off the checkpoint-replayed stats
+    assert(c2.scanRange("t", "k", 0, 10).inputFiles.length <
+      c2.scan("t").inputFiles.length)
+    c2.rollback()
+  }
+
   test("footer stats: all-null column yields no stats entry, no pruning") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
