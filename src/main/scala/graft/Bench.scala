@@ -22,21 +22,33 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("tx_scan")(spark, sfDir).count()
     catch { case _: Throwable => }
-    // min of two runs per query: this VM's run-to-run variance is large
-    // relative to per-query time, and the minimum is the standard
-    // low-noise estimator for a fixed workload
+    // min over SEPARATED full passes, not back-to-back repeats: transient
+    // host contention (another JVM on this box) lasts seconds-to-minutes, so
+    // two adjacent samples of one query are both poisoned while samples a
+    // full pass apart rarely are (r3 recorded 56s on a 2s query — min-of-2
+    // adjacent runs — during a contended driver run)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+    val passes = Seq.fill(3) {
+      SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toSeq
+    // 3-decimal rounding keeps the whole line well under the driver's
+    // 2000-char stdout-tail capture; r1-r3 all came back parsed:null
+    // because the unrounded line (~2800 chars) lost its head in the tail
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      Console.err.println(s"WARN bench line ${line.length} chars — nearing 2000-char tail budget")
+    println(line)
     spark.stop()
   }
 }

@@ -59,6 +59,25 @@ final class GraftClient(
     * from the written files).
     */
   val PartCol = "_part"
+  /** Every internal column name any code path materializes on user data:
+    * provenance (_tx_id/_row_idx), staging (_part), rewrite routing
+    * (_obj/_ord), currentState's window rank (_rn), and changesBetween's
+    * presence/verdict markers (_in_a/_in_b/_change). All are reserved at
+    * DDL time — a user column named _obj would otherwise be silently
+    * overwritten with the object-directory name during dropColumn/
+    * renameColumn, and _rn/_change would collide in currentState/CDF
+    * output.
+    */
+  val ReservedCols: Set[String] =
+    Set(TxIdCol, RowIdxCol, PartCol, "_obj", "_ord", "_rn",
+      "_in_a", "_in_b", "_change")
+
+  private def requireNotReserved(names: Seq[String]): Unit = {
+    val bad = names.filter(ReservedCols)
+    require(bad.isEmpty,
+      s"reserved column name(s): ${bad.mkString(",")} " +
+        s"(internal names: ${ReservedCols.toSeq.sorted.mkString(",")})")
+  }
 
   private final class TxState(val snapshot: Snapshot) {
     val actions = mutable.Buffer[Action]()
@@ -87,10 +106,7 @@ final class GraftClient(
     val t = currentTx
     if (t.tables.contains(table))
       throw new IllegalArgumentException(s"table exists: $table")
-    require(!schema.fieldNames.contains(TxIdCol) &&
-      !schema.fieldNames.contains(RowIdxCol) &&
-      !schema.fieldNames.contains(PartCol),
-      s"$TxIdCol/$RowIdxCol/$PartCol are reserved column names")
+    requireNotReserved(schema.fieldNames.toIndexedSeq)
     t.tables(table) = schema
     t.actions += ChangeMetadata(table, schema)
   }
@@ -107,8 +123,7 @@ final class GraftClient(
     val schema = schemaOf(table)
     require(!schema.fieldNames.contains(field.name),
       s"column exists: ${field.name}")
-    require(field.name != TxIdCol && field.name != RowIdxCol &&
-      field.name != PartCol, s"${field.name} is a reserved column name")
+    requireNotReserved(Seq(field.name))
     require(field.nullable, "added columns must be nullable: rows written " +
       "before the widening have no value for them")
     flush(table) // buffered rows carry the pre-widening arity
@@ -154,8 +169,7 @@ final class GraftClient(
     val old = schemaOf(table)
     require(old.fieldNames.contains(from), s"no such column: $from")
     require(!old.fieldNames.contains(to), s"column exists: $to")
-    require(to != TxIdCol && to != RowIdxCol && to != PartCol,
-      s"$to is a reserved column name")
+    requireNotReserved(Seq(to))
     flush(table) // buffered rows carry the old layout; rewrite covers them
     val renamed = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
@@ -188,32 +202,59 @@ final class GraftClient(
     val lookup = spark.createDataFrame(lookupRows, StructType(Seq(
       StructField("_obj", StringType, nullable = false),
       StructField("_ord", IntegerType, nullable = false))))
-    val live = applyDvs(spark.read.schema(provSchema(readSchema))
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
+    // _obj is stamped on the SCAN, before the DV anti-join: input_file_name
+    // is per-source, and a plan with the DV read joined in has two sources
+    val routed = applyDvs(spark.read.schema(provSchema(readSchema))
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
       .withColumn("_obj",
-        expr("element_at(split(input_file_name(), '/'), -2)"))
-      .join(broadcast(lookup), "_obj")
-    val projected = live.select(
+        expr("element_at(split(input_file_name(), '/'), -2)")), dvs)
+      .join(broadcast(lookup), Seq("_obj"), "left")
+      // an inner join here would silently DROP any row whose derived _obj
+      // fails to resolve (empty input_file_name under a plan/reader change);
+      // the left join + raise_error turns that into a loud job failure
+      .withColumn("_ord", coalesce(col("_ord"),
+        raise_error(concat(lit("rewriteObjects: unroutable row from object "),
+          col("_obj")))))
+    // row conservation, from DATA not metadata (action-level numRows goes
+    // stale once DV-masked rows are physically removed — DvCompactReproSpec):
+    // the expected count is one column-pruned pass over the same immutable
+    // inputs, so the two passes cannot legitimately disagree
+    val expected = routed.count()
+    val projected = routed.select(
       newSchema.fieldNames.toIndexedSeq.map(n => col(colSource(n)).as(n)) ++
         Seq(col(TxIdCol), col(RowIdxCol), col("_ord").as(PartCol)): _*)
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     projected.write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
-    Option(stagingDir.listFiles()).getOrElse(Array.empty)
+    val staged = Option(stagingDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
-      .foreach { d =>
+      .map { d =>
         val ord = d.getName.stripPrefix(s"$PartCol=").toInt
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
         java.nio.file.Files.move(d.toPath,
           new java.io.File(s"$rootDir/$name").toPath)
         val (rows, stats) =
           ParquetFooters.scan(spark, s"$rootDir/$name", newSchema)
-        if (rows > 0)
-          t.actions += AddDataObject(table, name, byOrdinal(ord).txId,
-            rows, stats)
-        else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+        (name, ord, rows, stats)
       }
     deleteRecursively(stagingDir)
+    val written = staged.map(_._3).sum
+    if (written != expected) {
+      // validate BEFORE registering any action, so a caller that catches
+      // and commits anyway can't commit a lossy rewrite
+      staged.foreach { case (name, _, _, _) =>
+        deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      }
+      throw new IllegalStateException(
+        s"rewriteObjects row-conservation failure: wrote $written rows, " +
+          s"expected $expected live rows")
+    }
+    staged.foreach { case (name, ord, rows, stats) =>
+      if (rows > 0)
+        t.actions += AddDataObject(table, name, byOrdinal(ord).txId,
+          rows, stats)
+      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+    }
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
@@ -487,18 +528,28 @@ final class GraftClient(
     // source deletes would be flushed AFTER the DV was computed and
     // silently survive
     flush(table)
-    // pinned: the key set feeds three passes (emptiness probe, min/max
-    // prune bounds, the semi-join) — with an unpinned non-deterministic
-    // source, the prune bounds could disagree with the join's keys and
-    // silently skip deletes whose target objects were pruned away. The
-    // set is dimension-sized by contract, so caching it is cheap.
-    val delKeys = source.filter(coalesce(deleteCond, lit(false)))
+    // deleteCond is evaluated ONCE, into a flag column on a pinned copy of
+    // the source, and BOTH classifications read that flag: with either a
+    // non-deterministic source (sample, recomputed shuffle) or a
+    // non-deterministic condition (rand-based sampling deletes), separate
+    // filter passes could classify a row delete in one pass and insert (or
+    // neither) in the other — breaking the exact delete/insert partition
+    // the docstring promises. The source is dimension-sized by contract,
+    // so caching it is cheap. The delete-key set is additionally pinned
+    // because it feeds three metadata passes (emptiness probe, min/max
+    // prune bounds, the semi-join) whose prune bounds must agree with the
+    // join's keys.
+    val delFlag = s"_merge_del_${UUID.randomUUID().toString.take(8)}"
+    val classified = source
+      .withColumn(delFlag, coalesce(deleteCond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delKeys = classified.filter(col(delFlag))
       .select(keyCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       mergeDeletes(table, schema, delKeys, keyCols)
-    } finally delKeys.unpersist(false)
-    insert(table, source.filter(!coalesce(deleteCond, lit(false))))
+      insert(table, classified.filter(!col(delFlag)).drop(delFlag))
+    } finally { delKeys.unpersist(false); classified.unpersist(false) }
   }
 
   private def mergeDeletes(table: String, schema: StructType,
@@ -549,11 +600,30 @@ final class GraftClient(
     val schema = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$toVersion: $table"))
     val valCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    // both snapshots are aligned to the toVersion schema: a column ADDED
+    // in the window doesn't exist on the before side (projected as null —
+    // its appearance reads as an update, which is what an incremental
+    // consumer must apply), and a column DROPPED in the window is simply
+    // absent from the feed. Without this, a widening between the versions
+    // made the full-outer join throw AnalysisException instead of
+    // reporting the feed.
+    def aligned(df: DataFrame): DataFrame =
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    // a KEY column added in the window means the before side cannot be
+    // keyed at all: every after row is an insert, so before is empty
+    val beforeSchema = txLog.beginAt(fromVersion).tables.get(table)
+    val beforeState =
+      if (beforeSchema.exists(s => keyCols.forall(s.fieldNames.contains)))
+        currentStateAsOf(table, keyCols, fromVersion)
+      else spark.createDataFrame(List.empty[Row].asJava, schema)
     // presence markers, not key-null tests: a row whose KEY is null would
     // otherwise read as absent from its own side and misclassify
-    val before = currentStateAsOf(table, keyCols, fromVersion)
+    val before = aligned(beforeState)
       .withColumn("_in_b", lit(1))
-    val after = currentStateAsOf(table, keyCols, toVersion)
+    val after = aligned(currentStateAsOf(table, keyCols, toVersion))
       .withColumn("_in_a", lit(1))
     val joined = before.as("b").join(after.as("a"),
       keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _),
@@ -695,6 +765,15 @@ final class GraftClient(
     * observationally safe because the rebase is taken only when no
     * concurrent commit touched the same table, so within-table
     * (_tx_id, _row_idx) ordering is unaffected.
+    *
+    * ISOLATION LEVEL: WriteSerializable (Delta-style), not Serializable.
+    * The conflict check covers only the WRITE set (tables this tx staged
+    * actions against); reads are not tracked, so a tx that read table A
+    * while writing table B will rebase past a concurrent commit to A —
+    * write-skew anomalies between such txs are possible. Callers needing
+    * serializable semantics must include read tables in the write set
+    * (e.g. stage a no-op metadata action) or forgo retry (maxAttempts=1,
+    * where any concurrent commit aborts this one).
     */
   def commitTxRetrying(maxAttempts: Int = 5): Unit = {
     val t = currentTx

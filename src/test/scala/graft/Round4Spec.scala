@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-4 hardening: reserved helper column names, CDF across schema
+  * widening, merge classification under a non-deterministic source, and
+  * rewrite row-conservation with deletion vectors in play.
+  */
+class Round4Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_r4").toString
+
+  private def kvDf(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  test("internal helper column names are reserved at every DDL entry") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    // createTable rejects each helper name, not just the provenance pair
+    Seq("_obj", "_ord", "_rn", "_in_a", "_in_b", "_change", "_tx_id").foreach {
+      bad =>
+        val ex = intercept[IllegalArgumentException] {
+          c.createTable(s"t$bad", StructType(Seq(
+            StructField("k", IntegerType), StructField(bad, StringType))))
+        }
+        assert(ex.getMessage.contains(bad))
+    }
+    c.createTable("t", kvSchema)
+    intercept[IllegalArgumentException] {
+      c.addColumn("t", StructField("_rn", StringType))
+    }
+    intercept[IllegalArgumentException] { c.renameColumn("t", "v", "_change") }
+    c.rollback()
+  }
+
+  test("changesBetween reports the feed across a column widening") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b"), (3, "c")))
+    c.commitTx() // v1: k,v only
+
+    c.newTx()
+    c.addColumn("t", StructField("w", IntegerType))
+    import scala.jdk.CollectionConverters._
+    val widened = spark.createDataFrame(
+      List(Row(2, "b2", 20), Row(4, "d", 40)).asJava,
+      StructType(kvSchema.fields :+ StructField("w", IntegerType)))
+    c.insert("t", widened)
+    c.deleteRows("t", "k", 3, 3)
+    c.commitTx() // v2: widened schema, update k=2, insert k=4, delete k=3
+
+    // before the fix this threw AnalysisException (no column w at v1)
+    val feed = c.changesBetween("t", Seq("k"), 1, 2).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.get(2), r.getString(3)))
+      .toMap
+    assert(feed(2) === (("b2", 20, "update")))
+    assert(feed(4) === (("d", 40, "insert")))
+    assert(feed(3) === (("c", null, "delete")))
+    assert(!feed.contains(1)) // unchanged rows are not emitted
+  }
+
+  test("merge partitions a non-deterministic source exactly (pinned src)") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    val target = (1 to 100).map(k => (k, s"old$k"))
+    c.insert("t", kvDf(target: _*))
+    c.commitTx()
+
+    c.newTx()
+    // unseeded rand(): re-evaluation gives different bits, so an unpinned
+    // classification could mark a key delete in the DV pass and insert in
+    // the insert pass (row resurrect) or neither (stale row survives)
+    c.merge("t", kvDf((1 to 100).map(k => (k, s"new$k")): _*), Seq("k"),
+      deleteCond = rand() < 0.5)
+    c.commitTx()
+
+    c.newTx()
+    val state = c.currentState("t", Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // every surviving source key must carry the SOURCE value: an "old" value
+    // for a key the source touched means the delete/insert partition leaked
+    (1 to 100).foreach { k =>
+      state.get(k).foreach(v => assert(v === s"new$k",
+        s"key $k survived with stale value $v"))
+    }
+    c.rollback()
+  }
+
+  test("dropColumn conserves rows with a live deletion vector applied") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    val s3 = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType),
+      StructField("w", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    c.createTable("t", s3)
+    c.insert("t", spark.createDataFrame(
+      (1 to 10).map(k => Row(k, s"v$k", k * 10)).toList.asJava, s3))
+    c.commitTx()
+
+    c.newTx()
+    c.deleteRowsDV("t", "k", 3, 5) // 3 rows masked, objects untouched
+    c.dropColumn("t", "w") // rewrite applies + retires the DV
+    c.commitTx()
+
+    c.newTx()
+    val rows = c.currentState("t", Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows === (1 to 10).filterNot(k => k >= 3 && k <= 5)
+      .map(k => (k, s"v$k")).toSet)
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "v"))
+    c.rollback()
+  }
+}
