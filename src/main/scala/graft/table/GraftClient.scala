@@ -753,12 +753,33 @@ final class GraftClient(
   /** [[commitTx]] with optimistic REBASE on conflict — the reference's
     * declared-TODO multi-writer scenario (main_test.go:177: "TODO
     * TestConcurrentWriters fails to commit"). On losing the log-id race,
-    * re-read the log, check the concurrent window for LOGICAL conflicts
-    * (any committed action touching a table this tx touched), and if
-    * disjoint, re-stage the same actions (data objects are already
-    * written and immutable) at the new version. Concurrent writers to
-    * disjoint tables therefore all succeed; a same-table conflict still
-    * throws — lost updates are never silent.
+    * re-read the log, check the concurrent window for LOGICAL conflicts,
+    * and if compatible, re-stage the same actions (data objects are
+    * already written and immutable) at the new version.
+    *
+    * The conflict check is FOOTPRINT-based, per table (the Delta-style
+    * concurrency matrix), not a blanket same-table rule:
+    *
+    *   - a tx whose footprint on a table is APPEND-ONLY (only
+    *     AddDataObject actions — insert/writeRow/streaming ingest) rebases
+    *     past concurrent appends, deletes, DVs, and compactions of that
+    *     table: new immutable objects cannot invalidate, or be
+    *     invalidated by, changes to objects that existed before them.
+    *     Only a concurrent ChangeMetadata conflicts (the rows were
+    *     written against a schema that no longer holds — e.g. a
+    *     concurrent dropColumn would let the appended files smuggle the
+    *     dropped column's bytes back in).
+    *   - a tx that MUTATES a table (any RemoveDataObject /
+    *     AddDeleteVector / ChangeMetadata) logically read that table's
+    *     snapshot, so ANY concurrent commit touching the table conflicts:
+    *     a concurrent append would escape the mutation's predicate, a
+    *     concurrent remove may have taken the very object it rewrote
+    *     (lost update), a concurrent metadata change pulls the schema out
+    *     from under it. Lost updates are never silent.
+    *
+    * Concurrent writers to disjoint tables therefore all succeed, as do
+    * concurrent blind appenders to the SAME table — the multi-writer
+    * streaming-ingest shape.
     *
     * Rebasing does not restamp row-level provenance (_tx_id stays the
     * original attempt's id inside written parquet); that is
@@ -780,7 +801,13 @@ final class GraftClient(
     t.tables.keys.foreach(flush)
     try {
       if (t.actions.isEmpty) return // read-only
-      val touched = t.actions.map(_.table).toSet
+      // per-table footprint: append-only iff every staged action on the
+      // table is an AddDataObject
+      val footprint: Map[String, Boolean] = t.actions.toSeq
+        .groupBy(_.table)
+        .map { case (tbl, as) =>
+          tbl -> as.forall(_.isInstanceOf[AddDataObject])
+        }
       var snapshot = t.snapshot
       var attempt = 1
       var committed = false
@@ -794,7 +821,12 @@ final class GraftClient(
             val newer = txLog.begin()
             val concurrent =
               txLog.actionsBetween(snapshot.version, newer.version)
-            if (concurrent.exists(a => touched(a.table))) throw e
+            val conflict = footprint.exists { case (tbl, appendOnly) =>
+              val theirs = concurrent.filter(_.table == tbl)
+              if (appendOnly) theirs.exists(_.isInstanceOf[ChangeMetadata])
+              else theirs.nonEmpty
+            }
+            if (conflict) throw e
             attempt += 1
             snapshot = newer
         }

@@ -106,6 +106,44 @@ class Round4Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("footprint conflicts: append vs metadata change throws; mutation vs append throws") {
+    val dir = tmp()
+    val seed = new GraftClient(spark, dir)
+    seed.newTx()
+    seed.createTable("t", kvSchema)
+    seed.insert("t", kvDf((1, "a"), (2, "b")))
+    seed.commitTx()
+
+    // append-only loser vs concurrent SCHEMA CHANGE: must throw — the
+    // appended file was written against the pre-drop schema and would
+    // smuggle dropped bytes back in
+    val w1 = new GraftClient(spark, dir)
+    val m1 = new GraftClient(spark, dir)
+    w1.newTx()
+    m1.newTx()
+    m1.dropColumn("t", "v")
+    m1.commitTx()
+    w1.writeRow("t", Seq(3, "c"))
+    intercept[graft.tx.CommitConflictException] { w1.commitTxRetrying() }
+
+    // mutation loser (delete) vs concurrent append: must throw — the
+    // delete's predicate never saw the appended rows
+    val seed2dir = tmp()
+    val s2 = new GraftClient(spark, seed2dir)
+    s2.newTx()
+    s2.createTable("t", kvSchema)
+    s2.insert("t", kvDf((1, "a"), (2, "b")))
+    s2.commitTx()
+    val del = new GraftClient(spark, seed2dir)
+    val app = new GraftClient(spark, seed2dir)
+    del.newTx()
+    app.newTx()
+    app.writeRow("t", Seq(9, "z"))
+    app.commitTx()
+    del.deleteRows("t", "k", 1, 99)
+    intercept[graft.tx.CommitConflictException] { del.commitTxRetrying() }
+  }
+
   test("dropColumn conserves rows with a live deletion vector applied") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)

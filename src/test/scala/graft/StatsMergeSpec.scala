@@ -255,7 +255,7 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
-  test("commitTxRetrying: same-table conflict still throws") {
+  test("commitTxRetrying: same-table blind appends BOTH commit (footprint rebase)") {
     val dir = tmp()
     val seed = new GraftClient(spark, dir)
     seed.newTx()
@@ -269,12 +269,33 @@ class StatsMergeSpec extends AnyFunSuite {
     c1.writeRow("t", Seq(1, "one"))
     c1.commitTx()
     c2.writeRow("t", Seq(2, "two"))
-    intercept[graft.tx.CommitConflictException] { c2.commitTxRetrying() }
-    // the loser's write is discarded, the winner's landed
+    // append-only footprint vs concurrent append: immutable new objects
+    // can't invalidate each other — the multi-writer ingest shape
+    c2.commitTxRetrying()
     val c3 = new GraftClient(spark, dir)
     c3.newTx()
     assert(c3.scan("t").select("k", "v").collect().toSet ===
-      Set(Row(0, "zero"), Row(1, "one")))
+      Set(Row(0, "zero"), Row(1, "one"), Row(2, "two")))
+    c3.rollback()
+  }
+
+  test("commitTxRetrying: single-attempt commitTx still conflicts on any race") {
+    val dir = tmp()
+    val seed = new GraftClient(spark, dir)
+    seed.newTx()
+    seed.createTable("t", kvSchema)
+    seed.commitTx()
+    val c1 = new GraftClient(spark, dir)
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    c1.newTx()
+    c1.writeRow("t", Seq(1, "one"))
+    c1.commitTx()
+    c2.writeRow("t", Seq(2, "two"))
+    intercept[graft.tx.CommitConflictException] { c2.commitTx() }
+    val c3 = new GraftClient(spark, dir)
+    c3.newTx()
+    assert(c3.scan("t").select("k", "v").collect().toSet === Set(Row(1, "one")))
     c3.rollback()
   }
 
