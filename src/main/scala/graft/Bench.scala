@@ -38,16 +38,20 @@ object Bench {
     val results = SparkEntry.queries.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toSeq
-    // 3-decimal rounding keeps the whole line well under the driver's
-    // 2000-char stdout-tail capture; r1-r3 all came back parsed:null
-    // because the unrounded line (~2800 chars) lost its head in the tail
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // Rounded values keep the whole line under the driver's 2000-char
+    // stdout-tail capture (r3 came back parsed:null because the unrounded
+    // ~2800-char line lost its head in the tail). 3 decimals normally;
+    // fall back to 2 then 1 if the query set grows the line past budget —
+    // per-query precision is noise next to this VM's ±50% variance anyway.
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1850)
-      Console.err.println(s"WARN bench line ${line.length} chars — nearing 2000-char tail budget")
+    val sfTag = sfDir.split('/').last
+    def render(dp: Int): String = {
+      val fmt = s"%.${dp}f"
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+    }
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))
     println(line)
     spark.stop()
   }
