@@ -19,6 +19,7 @@ object Registry {
     queries.Relational.defs ++
       queries.Relational2.defs ++
       queries.Relational3.defs ++
+      queries.Relational4.defs ++
       queries.Events.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++

@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Fourth relational pack: the last five TPC-H query shapes, completing
+  * all 22. The fixture star schema has no partsupp table and no
+  * l_shipmode/l_commitdate/l_receiptdate columns, so — like Q11/Q16 in
+  * [[Relational3]] — these are faithful structural adaptations:
+  *
+  *  - Q2  min-cost-supplier: supply cost is the minimum observed unit
+  *    price (l_extendedprice / l_quantity) per (part, supplier); the
+  *    correlated per-part MIN subquery is the structural point.
+  *  - Q9  product-type profit: supply cost proxied by p_retailprice;
+  *    profit rollup by supplier nation × order year.
+  *  - Q12 ship-mode priority: "mode" is l_returnflag; the commit/receipt
+  *    lag becomes shipdate > orderdate + 90 days.
+  *  - Q20 excess availability: nested IN subqueries with a grouped
+  *    HAVING threshold on shipped quantity of PROMO parts.
+  *  - Q21 waiting suppliers: EXISTS another supplier on the order /
+  *    NOT EXISTS another *late* supplier, late = shipped >60 days after
+  *    order date, restated as one per-order aggregation.
+  *
+  * Plan discipline (the 100 TB contract): every dimension side is
+  * broadcast; each query shuffles the fact table at most twice (join key
+  * then group key); correlated per-group values are windows or grouped
+  * pre-aggregations, never per-row subquery execution; money sums go
+  * through [[graft.util.Tables.dsum]] for bitwise oracle parity.
+  */
+object Relational4 {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  // --- TPC-H Q2 essence: minimum-cost supplier per part ----------------------
+  // Unit cost observed from lineitem for EUROPE suppliers; per-part
+  // minimum via a window (one extra shuffle-free pass over the grouped
+  // result — the agg already partitioned by l_partkey, so the window
+  // reuses that distribution). MIN over identical IEEE doubles is
+  // bitwise-deterministic in both engines, so the equality join to the
+  // correlated minimum hash-matches exactly.
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .join(broadcast(t(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val stdParts = t(spark, dir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val cost = t(spark, dir, "lineitem")
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(broadcast(eurSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+    cost.withColumn("min_cost", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  private val q2Sql = """
+    WITH eur_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+        MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_size <= 10 AND p_type = 'STANDARD')
+        AND l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+    FROM cost c JOIN eur_supp ON l_suppkey = s_suppkey
+    WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
+
+  // --- TPC-H Q9 essence: product-type profit by nation and year --------------
+  // Supply cost proxied as 0.5 * p_retailprice; the join topology (fact
+  // against four dimensions, rollup on nation × year) is the point.
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = t(spark, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount",
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(dsum(col("amount"), 4).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val q9Sql = s"""
+    SELECT n_name, o_year, ${sqlDsum("amount", 4)} AS sum_profit
+    FROM (
+      SELECT n_name, CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+        l_extendedprice * (1 - l_discount)
+          - 0.5 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%widget%') profit
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC"""
+
+  // --- TPC-H Q12 essence: late-shipment priority split -----------------------
+  // l_returnflag stands in for l_shipmode; "late" is shipped more than
+  // 90 days after the order date, within the 1997 ship year. One shuffle
+  // (orderkey join); the 3-group rollup partial-aggregates map-side.
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q12Sql = """
+    SELECT l_returnflag,
+      COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 END) AS high_line_count,
+      COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  // --- TPC-H Q20 essence: suppliers with excess PROMO availability -----------
+  // Nested IN subqueries become broadcast semi-joins; the grouped HAVING
+  // threshold (shipped quantity > 80 of one PROMO part) is computed in
+  // one (suppkey, partkey) shuffle, then the qualifying-supplier set —
+  // tiny relative to the fact — broadcasts back against supplier.
+  def q20ExcessSupp(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = t(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val excess = t(spark, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(dsum(col("l_quantity"), 2).as("sq"))
+      .filter(col("sq") > 80)
+      .select(col("l_suppkey")).distinct()
+    t(spark, dir, "supplier")
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q20Sql = s"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey, l_partkey
+      HAVING ${sqlDsum("l_quantity", 2)} > 80)
+    ORDER BY s_name"""
+
+  // --- TPC-H Q21 essence: suppliers who kept orders waiting ------------------
+  // A supplier "kept order o waiting" when its line shipped >60 days
+  // after the order date, the order has other suppliers (EXISTS), and no
+  // other supplier was late (NOT EXISTS). Both existential subqueries
+  // collapse into one per-order aggregation — countDistinct suppliers /
+  // late suppliers — so the whole query is two orderkey shuffles plus
+  // the final supplier rollup, never a per-row subquery.
+  def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val joined = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late", late)
+    val perOrder = joined.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .select(col("ok"))
+    joined.filter(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("ok"), "left_semi")
+      .join(broadcast(t(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  private val q21Sql = """
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "q2_min_cost_supp" -> QueryDef(q2MinCostSupp, Some(q2Sql),
+      "per-part minimum-cost supplier via correlated MIN (window form)"),
+    "q9_product_profit" -> QueryDef(q9ProductProfit, Some(q9Sql),
+      "profit rollup by supplier nation and order year over 4 dimensions"),
+    "q12_late_priority" -> QueryDef(q12LatePriority, Some(q12Sql),
+      "late-shipment priority split with date-lag join filter"),
+    "q20_excess_supp" -> QueryDef(q20ExcessSupp, Some(q20Sql),
+      "nested IN subqueries with grouped HAVING quantity threshold"),
+    "q21_waiting_supp" -> QueryDef(q21WaitingSupp, Some(q21Sql),
+      "EXISTS/NOT EXISTS waiting-supplier count as one per-order aggregation"))
+}
