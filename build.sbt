@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of re-logging it
+// with an "[info] " prefix: the bench driver tail-parses the one JSON line
+// Bench prints, and the sbt log prefix has broken that parse every round
+// (BENCH_r0{1..4}.json all record parsed:null with the line present).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
