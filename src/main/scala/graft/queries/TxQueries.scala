@@ -133,6 +133,37 @@ object TxQueries {
         c.createTable("li", li.schema)
         c.insertPartitioned("li", li, "ship_month")
         c.commitTx()
+
+        // nation8: RESTORE — fill, then a destructive tx (copy-on-write
+        // delete of keys 0..4 plus updated versions of 20..24), then
+        // restore to the post-fill version. The rollback is itself a
+        // forward commit; the original objects the delete rewrote away
+        // are re-added by path with their original txIds.
+        c.newTx()
+        c.createTable("nation8", nation.schema)
+        c.insert("nation8", nation)
+        c.commitTx()
+        val v8 = c.history().map(_._1).max + 1
+        c.newTx()
+        c.deleteRows("nation8", "n_nationkey", 0, 4)
+        c.insert("nation8", nation.filter(col("n_nationkey") >= 20)
+          .withColumn("n_name", concat(col("n_name"), lit("_X"))))
+        c.commitTx()
+        c.newTx()
+        c.restore("nation8", v8)
+        c.commitTx()
+
+        // nation9: bloom-filter point lookups — five mod-5 key groups, so
+        // every object's n_name range spans most of the alphabet (stats
+        // can't prune a name probe) and only the bloom sidecars skip files
+        c.newTx()
+        c.createTable("nation9", nation.schema)
+        (0 until 5).foreach(g =>
+          c.insert("nation9", nation.filter(col("n_nationkey") % 5 === g)))
+        c.commitTx()
+        c.newTx()
+        c.buildBloom("nation9", "n_name")
+        c.commitTx()
         root
       })
     }
@@ -208,6 +239,12 @@ object TxQueries {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  // --- RESTORE: rollback-as-commit back to the post-fill version ------------
+  def txRestore(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation8", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }
+
   // --- Schema evolution: widened column, latest-wins across versions --------
   def txSchemaEvolution(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -278,6 +315,41 @@ object TxQueries {
     FROM nation
     ORDER BY n_nationkey"""
 
+  // --- DataSource connector: format("graft") batch read with pushdown -------
+  // The same rows as tx_stats_prune, but through the registered Spark
+  // data source: Spark compiles the filter, pushes it into the relation,
+  // and the relation's stats pruning opens only the overlapping objects.
+  def txSourcePushdown(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.format("graft")
+      .option("table", "nation5").load(root)
+      .filter(col("n_regionkey").between(1, 2))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --- DataSource connector: versionAsOf time travel -------------------------
+  def txSourceTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.format("graft")
+      .option("table", "nation").option("versionAsOf", "1").load(root)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --- Bloom-filter point lookup --------------------------------------------
+  def txBloomLookup(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scanEquals("nation9", "n_name", "CANADA")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txBloomLookupSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_name = 'CANADA'
+    ORDER BY n_nationkey"""
+
   // --- Bulk fact table through the tx layer: prune + aggregate --------------
   // One year of a ~80-month table: the month-partitioned layout means the
   // scan opens ~12 objects and parquet row-group stats + pushdown handle
@@ -315,6 +387,9 @@ object TxQueries {
       "deletion-vector delete == copy-on-write delete, observationally"),
     "tx_time_travel" -> QueryDef(txTimeTravel, Some(txTimeTravelSql),
       "currentStateAsOf replays the pre-update pre-delete snapshot"),
+    "tx_restore" -> QueryDef(txRestore, Some(txTimeTravelSql),
+      "RESTORE to a prior version as a metadata-only forward commit; " +
+        "rewritten-away objects come back with their original txIds"),
     "tx_schema_evolution" -> QueryDef(txSchemaEvolution,
       Some(txSchemaEvolutionSql),
       "addColumn widening: old rows read null, new versions win per key"),
@@ -327,6 +402,15 @@ object TxQueries {
     "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
       "full lineitem through partitioned bulk write; month-range scan " +
         "opens ~12 of ~80 objects via stats pruning"),
+    "tx_bloom_lookup" -> QueryDef(txBloomLookup, Some(txBloomLookupSql),
+      "per-object bloom sidecars prune a point lookup where min/max " +
+        "stats overlap (the reference's README.md:37 bloom TODO)"),
+    "tx_source_pushdown" -> QueryDef(txSourcePushdown, Some(txStatsPruneSql),
+      "spark.read.format(\"graft\") with compiled-filter pushdown into " +
+        "stats-based object skipping"),
+    "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
+      Some(txTimeTravelSql),
+      "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
     "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
       "dropColumn narrows + rewrites; re-added name reads null, never " +
         "resurrected bytes"))

@@ -1,0 +1,306 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.StreamingShim
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.GraftClient
+import graft.tx.ColStats
+
+/** The Spark DataSource surface of the engine — `format("graft")` for both
+  * batch and streaming reads of transactional tables, registered via
+  * ServiceLoader (META-INF/services), so user code never imports graft
+  * classes:
+  *
+  *   spark.read.format("graft")
+  *     .option("table", "events").load(storeRoot)        // batch
+  *   spark.read.format("graft").option("table", "t")
+  *     .option("versionAsOf", "3").load(storeRoot)       // time travel
+  *   spark.readStream.format("graft")
+  *     .option("table", "events").load(storeRoot)        // micro-batch
+  *
+  * Batch reads are a [[PrunedFilteredScan]]: Spark pushes the compiled
+  * filter conjuncts down, the relation turns range-shaped conjuncts into
+  * per-column bounds for [[GraftClient.scanBounded]]'s stats-based FILE
+  * SKIPPING (objects whose footer min/max cannot match are never opened
+  * — at 100 TB this is the difference between a partition-pruned read and
+  * a full-table scan), applies the translatable filters inside the scan so
+  * they reach the parquet reader as row-group pushdown, and declares every
+  * filter unhandled so Spark re-applies exact semantics on top (file
+  * skipping is best-effort pruning, never a correctness dependency).
+  *
+  * Streaming reads treat the transaction log as the offset log: offset v
+  * = "all commits with id < v", so each micro-batch is exactly the
+  * objects the commits in (lastOffset, newOffset] added —
+  * [[GraftClient.addedBetween]]. Append-only by contract, like Delta's
+  * streaming source: a delete/rewrite/compaction inside a batch window
+  * fails the stream unless `ignoreChanges=true` opts into at-least-once
+  * replay. The reference has no streaming surface at all (SURVEY.md §2.2).
+  */
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def opt(parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key, throw new IllegalArgumentException(
+      s"graft source: option '$key' is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, opt(parameters, "path"),
+      opt(parameters, "table"), parameters.get("versionasof")
+        .orElse(parameters.get("versionAsOf")).map(_.toLong))
+
+  /** `df.write.format("graft").mode(...)` — one transactional commit per
+    * save. Append inserts (creating the table on first write); Overwrite
+    * retires every live object/DV in the same commit that adds the new
+    * data (readers see the old or the new snapshot, never a mix — and the
+    * old version stays time-travelable); ErrorIfExists/Ignore follow
+    * their SaveMode contracts. Retries on concurrent-writer conflicts
+    * via the rebase path.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = opt(parameters, "path")
+    val table = opt(parameters, "table")
+    val c = new GraftClient(sqlContext.sparkSession, root)
+    c.newTx()
+    val exists = c.tables.contains(table)
+    (mode, exists) match {
+      case (SaveMode.ErrorIfExists, true) =>
+        c.rollback()
+        throw new IllegalArgumentException(
+          s"table exists: $table (mode ErrorIfExists)")
+      case (SaveMode.Ignore, true) => c.rollback()
+      case (m, ex) =>
+        if (!ex) c.createTable(table, data.schema)
+        if (m == SaveMode.Overwrite && ex) c.truncate(table)
+        c.insert(table, data)
+        c.commitTxRetrying()
+    }
+    GraftRelation(sqlContext, root, table, None)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftRelation.withClient(sqlContext,
+      opt(parameters, "path"))(_.schemaOf(opt(parameters, "table"))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext, opt(parameters, "path"),
+      opt(parameters, "table"),
+      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+        .exists(_.toBoolean))
+
+  /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
+    * transaction carrying both its rows and a [[graft.tx.SetTxn]]
+    * watermark, so a post-failure batch retry sees its own watermark in
+    * the snapshot it would write into and skips: exactly-once, not
+    * at-least-once, without any sink-side dedup state.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode")
+    val table = opt(parameters, "table")
+    new GraftSink(sqlContext, opt(parameters, "path"), table,
+      parameters.get("txnappid").orElse(parameters.get("txnAppId"))
+        .getOrElse(s"sink_$table"))
+  }
+}
+
+/** V1 micro-batch sink (see [[GraftSource.createSink]]). */
+final class GraftSink(sqlContext: SQLContext, root: String, table: String,
+    appId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val c = new GraftClient(sqlContext.sparkSession, root)
+    c.newTx()
+    try {
+      if (c.lastTxn(appId).exists(_ >= batchId)) c.rollback()
+      else {
+        if (!c.tables.contains(table)) c.createTable(table, data.schema)
+        c.insert(table,
+          StreamingShim.asBatch(sqlContext.sparkSession, data))
+        c.setTxn(appId, batchId)
+        c.commitTxRetrying()
+      }
+    } finally if (c.hasOpenTx) c.rollback()
+  }
+
+  override def toString: String = s"GraftSink[$table]"
+}
+
+object GraftRelation {
+  /** Number of data objects the most recent [[GraftRelation.buildScan]]
+    * opened after stats pruning — a test observation point (the pruning
+    * happens inside buildScan, invisible to `DataFrame.inputFiles`).
+    */
+  @volatile private[graft] var lastScanObjectCount: Int = -1
+
+  private[sources] def withClient[A](sqlContext: SQLContext, root: String)(
+      f: GraftClient => A): A = {
+    val c = new GraftClient(sqlContext.sparkSession, root)
+    c.newTx()
+    try f(c) finally c.rollback() // result DataFrames stay valid: immutable files
+  }
+}
+
+final case class GraftRelation(sqlContext: SQLContext, root: String,
+    table: String, asOf: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan {
+
+  import GraftRelation.withClient
+
+  override val schema: StructType = asOf match {
+    case Some(v) => withClient(sqlContext, root)(_.schemaAsOf(table, v))
+    case None => withClient(sqlContext, root)(_.schemaOf(table))
+  }
+
+  /** Join-planning statistics: the sum of the live objects' on-disk bytes
+    * (driver-side metadata walk, no job). Without this every graft table
+    * reports the conf default (8 PiB) and can never be broadcast.
+    */
+  override def sizeInBytes: Long = withClient(sqlContext, root) { c =>
+    c.objects(table).map { a =>
+      val d = new java.io.File(s"$root/${a.path}")
+      val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      fs.filter(_.isFile).map(_.length()).sum + (if (d.isFile) d.length() else 0L)
+    }.sum.max(1L)
+  }
+
+  /** Every filter is re-applied by Spark: pruning + in-scan filtering here
+    * are performance tiers, not semantic guarantees.
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = asOf match {
+      case Some(v) => withClient(sqlContext, root) { c =>
+        GraftRelation.lastScanObjectCount = -1
+        c.scanAsOf(table, v)
+      }
+      case None => withClient(sqlContext, root) { c =>
+        val bounds = filters.toSeq.flatMap(boundsOf)
+        val live = c.objects(table)
+        val kept = live.count(a => bounds.forall { case (cn, (lo, hi)) =>
+          ColStats.mayOverlap(a.stats, cn, lo, hi) })
+        GraftRelation.lastScanObjectCount = kept
+        c.scanBounded(table, bounds)
+      }
+    }
+    val filtered = filters.flatMap(toColumn).reduceOption(_ && _)
+      .fold(base)(base.filter)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  /** Range-shaped conjuncts → inclusive per-column prune bounds. Only
+    * shapes whose violation PROVES no row in an object can match are
+    * eligible; everything else simply doesn't prune.
+    */
+  private def boundsOf(f: Filter): Seq[(String, (Any, Any))] = f match {
+    case EqualTo(a, v) => Seq(a -> (v, v))
+    case GreaterThan(a, v) => Seq(a -> (v, null))
+    case GreaterThanOrEqual(a, v) => Seq(a -> (v, null))
+    case LessThan(a, v) => Seq(a -> (null, v))
+    case LessThanOrEqual(a, v) => Seq(a -> (null, v))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      // bound by the value span; exactness comes from Spark's re-apply
+      val norm = vs.map(ColStats.normalize)
+      if (norm.forall(_.isInstanceOf[Long]))
+        Seq(a -> (norm.map(_.asInstanceOf[Long]).min,
+          norm.map(_.asInstanceOf[Long]).max))
+      else if (norm.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        Seq(a -> (norm.map(toD).min, norm.map(toD).max))
+      else if (norm.forall(_.isInstanceOf[String]))
+        Seq(a -> (norm.map(_.asInstanceOf[String]).min,
+          norm.map(_.asInstanceOf[String]).max))
+      else Nil
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case _ => Nil
+  }
+
+  private def toD(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case other => sys.error(s"unexpected: $other")
+  }
+
+  /** sources.Filter → Catalyst predicate, for the translatable shapes —
+    * applied INSIDE the scan so parquet row-group stats and pushdown see
+    * them. Untranslatable shapes are skipped (Spark re-applies them).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => toColumn(c).map(!_)
+    case And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // partial AND is still a valid narrowing
+      }
+    case Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _ => None
+  }
+}
+
+/** V1 micro-batch streaming source over the transaction log (see
+  * [[GraftSource]] scaladoc for semantics).
+  */
+final class GraftStreamSource(sqlContext: SQLContext, root: String,
+    table: String, ignoreChanges: Boolean) extends Source {
+
+  private def client =
+    new GraftClient(sqlContext.sparkSession, root)
+
+  override val schema: StructType =
+    GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+
+  override def getOffset: Option[Offset] = {
+    val v = client.latestVersion
+    if (v == 0L) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong // SerializedOffset after a restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val until = versionOf(end)
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      client.addedBetween(table, from, until, ignoreChanges))
+  }
+
+  override def stop(): Unit = {}
+}

@@ -259,6 +259,36 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** Names of every table visible to the open transaction. */
+  def tables: Set[String] = currentTx.tables.keySet.toSet
+
+  /** Latest sink-batch watermark committed (or staged in this tx) for
+    * `appId` — the exactly-once read side of [[setTxn]].
+    */
+  def lastTxn(appId: String): Option[Long] = {
+    val t = currentTx
+    t.snapshot.txns(t.actions.toSeq).get(appId)
+  }
+
+  /** Stage "appId has committed batch `version`" into this transaction,
+    * atomically with its data — the streaming sink's idempotence marker.
+    */
+  def setTxn(appId: String, version: Long): Unit =
+    currentTx.actions += SetTxn(appId, version)
+
+  /** Retire every live object and deletion vector of `table` in this tx —
+    * metadata-only (files stay for time travel until [[vacuum]]); the
+    * Overwrite half of the connector's save path.
+    */
+  def truncate(table: String): Unit = {
+    val t = currentTx
+    require(t.tables.contains(table), s"no such table: $table")
+    t.buffers.get(table).foreach(_.clear())
+    liveFiles(table).foreach(a => t.actions += RemoveDataObject(table, a.path))
+    t.snapshot.liveDvs(table, t.actions.toSeq)
+      .foreach(d => t.actions += RemoveDataObject(table, d.path))
+  }
+
   def schemaOf(table: String): StructType =
     currentTx.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
@@ -415,11 +445,38 @@ final class GraftClient(
     * with provenance columns. Latest-version semantics = order by
     * (_tx_id, _row_idx) descending; [[currentState]] does that per key.
     */
-  def scan(table: String): DataFrame = {
+  def scan(table: String): DataFrame = scanBounded(table, Nil)
+
+  /** [[scan]] with stats-based file skipping driven by inclusive
+    * per-column bounds (`null` = unbounded on that side): an object is
+    * opened only when its footer stats can overlap EVERY bound. This is
+    * the connector's pushdown entry point ([[graft.sources.GraftSource]])
+    * — a conjunctive predicate pushed by Spark becomes a bounds list here,
+    * and the same column may appear more than once (each bound prunes
+    * independently, so no driver-side bound merging is needed). NO
+    * residual filtering happens here: callers own exact semantics, this
+    * owns which files never get opened.
+    */
+  def scanBounded(table: String,
+      bounds: Seq[(String, (Any, Any))]): DataFrame = {
+    val schema = schemaOf(table)
+    bounds.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"no such column: $c") }
+    scanFiltered(table, a => bounds.forall { case (c, (lo, hi)) =>
+      ColStats.mayOverlap(a.stats, c, lo, hi) })
+  }
+
+  /** [[scan]] over only the live objects passing `filePred` — the shared
+    * core of every file-skipping read (bounds, bloom). Buffered rows of
+    * the open tx always pass through (no stats exist for them yet).
+    */
+  private def scanFiltered(table: String,
+      filePred: AddDataObject => Boolean): DataFrame = {
     val t = currentTx
     val schema = schemaOf(table)
     val pSchema = provSchema(schema)
-    val files = liveFiles(table).map(a => s"$rootDir/${a.path}")
+    val files = liveFiles(table).filter(filePred)
+      .map(a => s"$rootDir/${a.path}")
     val committed =
       if (files.isEmpty)
         spark.createDataFrame(List.empty[Row].asJava, pSchema)
@@ -482,30 +539,99 @@ final class GraftClient(
     * one declarative predicate. Unflushed buffered rows pass through the
     * same Catalyst predicate.
     */
-  def scanRange(table: String, column: String, start: Any, end: Any): DataFrame = {
+  def scanRange(table: String, column: String, start: Any, end: Any): DataFrame =
+    scanBounded(table, Seq(column -> (start, end)))
+      .filter(col(column).between(lit(start), lit(end)))
+
+  /** Attach a per-object bloom filter over `column` to every live object
+    * that lacks one — the reference's unimplemented bloom-filter TODO
+    * (README.md:37), and the point-lookup complement to min/max stats:
+    * high-cardinality keys (ids, names, hashes) overlap range-wise across
+    * every object, so [[scanRange]] pruning degenerates to a full scan,
+    * while a 1 KiB bloom per object still excludes almost all of them.
+    *
+    * One distributed pass over the un-bloomed objects: k seeded xxhash64
+    * bit positions per row, bit-or folded into `numBits/64` words per
+    * object — the same map-side-combine shape as any aggregation, no
+    * driver-side data. Each object's metadata is then re-staged
+    * (remove + re-add of the SAME path) with the bloom attached; the
+    * ordered log fold makes the re-add win. Like [[clusterBy]], run it as
+    * an OPTIMIZE-style maintenance pass; new objects written later start
+    * bloom-less until the next pass.
+    *
+    * Defaults: 1024 bits / k=4 at the reference's 64k-row object size
+    * target works out to ~2 bits per distinct key at high cardinality —
+    * false-positive-heavy in the worst case but still pruning; callers
+    * with bigger objects should scale `numBits` (bits ≈ 10× expected
+    * distincts for ~1% FP).
+    */
+  def buildBloom(table: String, column: String, numBits: Int = 1024,
+      k: Int = 4): Unit = {
     val t = currentTx
+    require(numBits % 64 == 0 && numBits > 0, s"numBits must be a multiple of 64")
+    require(k >= 1 && k <= 16, "k must be in [1,16]")
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(column), s"no such column: $column")
-    val pSchema = provSchema(schema)
-    val pred = col(column).between(lit(start), lit(end))
-    val files = pruneByRange(liveFiles(table), column, start, end)
-      .map(a => s"$rootDir/${a.path}")
-    val committed =
-      if (files.isEmpty)
-        spark.createDataFrame(List.empty[Row].asJava, pSchema)
-      else
-        applyDvs(spark.read.schema(pSchema).parquet(files: _*),
-          t.snapshot.liveDvs(table, t.actions.toSeq))
-    val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
-    val all =
-      if (buf.isEmpty) committed
+    flush(table)
+    val files = liveFiles(table).filterNot(_.blooms.contains(column))
+    if (files.isEmpty) return
+    val words = numBits / 64
+    val df = spark.read.schema(provSchema(schema))
+      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
+      .withColumn("_obj", expr("element_at(split(input_file_name(), '/'), -2)"))
+      .filter(col(column).isNotNull)
+    val posCols = (0 until k).map(i =>
+      pmod(xxhash64(lit(i), col(column)), lit(numBits.toLong)).as(s"_p$i"))
+    val wordAggs = (0 until words).map { j =>
+      expr((0 until k).map(i =>
+        s"(CASE WHEN CAST(_p$i / 64 AS INT) = $j " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 64 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").mkString("bit_or(", " | ", ")"))
+        .as(s"_w$j")
+    }
+    val collected = df.select(col("_obj") +: posCols: _*)
+      .groupBy(col("_obj"))
+      .agg(wordAggs.head, wordAggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        BloomData(k, (0 until words).map(j => r.getLong(j + 1)).toVector))
+      .toMap
+    files.foreach { a =>
+      // an all-null column yields no aggregation row: an empty bloom is
+      // correct (no non-null value can be present)
+      val bloom = collected.getOrElse(a.path,
+        BloomData(k, Vector.fill(words)(0L)))
+      t.actions += RemoveDataObject(table, a.path)
+      t.actions += a.copy(blooms = a.blooms + (column -> bloom))
+    }
+  }
+
+  /** Point lookup with two-tier file skipping: min/max stats AND the
+    * per-object bloom for `column` (objects without one only stats-prune).
+    * The k raw probe hashes are evaluated once through the same Catalyst
+    * xxhash64 expression the build used, so build and probe can never
+    * drift. Exact equality is then a normal pushed-down filter over the
+    * surviving objects.
+    */
+  def scanEquals(table: String, column: String, value: Any): DataFrame = {
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    // cast the probe to the column's type BEFORE hashing: the build hashed
+    // column-typed values, and xxhash64(3L) != xxhash64(3: Int)
+    val probe = lit(value).cast(schema(schema.fieldIndex(column)).dataType)
+    val maxK = liveFiles(table)
+      .flatMap(_.blooms.get(column)).map(_.k).maxOption.getOrElse(0)
+    val rawHashes: Seq[Long] =
+      if (maxK == 0) Nil
       else {
-        val rows = buf.map { case (idx, r) =>
-          Row.fromSeq(r.toSeq :+ t.id :+ idx)
-        }.toList.asJava
-        committed.unionByName(spark.createDataFrame(rows, pSchema))
+        val row = spark.range(1).select((0 until maxK).map(i =>
+          xxhash64(lit(i), probe).as(s"h$i")): _*).head()
+        (0 until maxK).map(row.getLong)
       }
-    all.filter(pred)
+    scanFiltered(table, a =>
+      ColStats.mayOverlap(a.stats, column, value, value) &&
+        a.blooms.get(column).forall(_.mightContain(rawHashes)))
+      .filter(col(column) === probe)
   }
 
   /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
@@ -930,6 +1056,104 @@ final class GraftClient(
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The schema of `table` at log version `asOf` — the time-travel twin
+    * of [[schemaOf]]. Works outside any open transaction.
+    */
+  def schemaAsOf(table: String, asOf: Long): StructType =
+    txLog.beginAt(asOf).tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
+
+  /** The current log version (the id the next commit will take) —
+    * metadata-only, no open transaction needed. This is the streaming
+    * source's offset domain: offset v = "all commits with id < v".
+    */
+  def latestVersion: Long = txLog.begin().version
+
+  /** Rows added to `table` by commits with `fromV <= id < untilV` — one
+    * micro-batch of the streaming source. Exactly the objects those
+    * commits Added, read with the CURRENT schema (files written before a
+    * widening surface the new columns as null), user columns only.
+    *
+    * Append-only by contract: a RemoveDataObject or AddDeleteVector in
+    * the window means a delete/rewrite/compaction landed mid-stream, and
+    * replaying its Adds would duplicate or lose rows downstream — the
+    * call fails unless `ignoreChanges` opts into at-least-once semantics
+    * (rewritten objects replay their surviving rows). Works outside any
+    * open transaction.
+    */
+  def addedBetween(table: String, fromV: Long, untilV: Long,
+      ignoreChanges: Boolean = false): DataFrame = {
+    val schema = txLog.begin().tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val window = txLog.actionsBetween(fromV, untilV)
+    if (!ignoreChanges) {
+      val changed = window.exists {
+        case RemoveDataObject(t, _) => t == table
+        case AddDeleteVector(t, _, _, _) => t == table
+        case _ => false
+      }
+      require(!changed,
+        s"commits [$fromV,$untilV) contain deletes/rewrites of $table; " +
+          "the stream is append-only (set ignoreChanges=true for " +
+          "at-least-once replay of rewritten objects)")
+    }
+    val adds = window.collect {
+      case a: AddDataObject if a.table == table => s"$rootDir/${a.path}"
+    }
+    val cols = schema.fieldNames.map(col).toIndexedSeq
+    if (adds.isEmpty)
+      spark.createDataFrame(List.empty[Row].asJava, schema)
+    else
+      spark.read.schema(provSchema(schema)).parquet(adds: _*).select(cols: _*)
+  }
+
+  /** RESTORE `table` to its state as of log version `asOf` — rollback as
+    * a forward commit, the inverse surface of [[scanAsOf]] time travel.
+    * Purely metadata: the staged actions remove objects/DVs that became
+    * live after `asOf`, re-add the ones that were live then (with their
+    * ORIGINAL txId and stats, so they sort back into their chronological
+    * MVCC slot), and reset the schema if it evolved. No data is read or
+    * written, so restoring a 100 TB table is a driver-side log diff.
+    * History stays intact — the restore is itself just another log entry,
+    * and a later restore can roll the restore back.
+    *
+    * Bounded by the same horizon as time travel: once [[vacuum]] has
+    * physically reclaimed a superseded object, restores that need it fail
+    * (checked here up front, before anything is staged).
+    */
+  def restore(table: String, asOf: Long): Unit = {
+    val t = currentTx
+    require(t.buffers.get(table).forall(_.isEmpty),
+      s"restore requires no buffered rows for $table in the open tx")
+    val snap = txLog.beginAt(asOf)
+    val thenSchema = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
+    val nowFiles = liveFiles(table).map(a => a.path -> a).toMap
+    val thenFiles = snap.liveFiles(table).map(a => a.path -> a).toMap
+    val nowDvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+      .map(d => d.path -> d).toMap
+    val thenDvs = snap.liveDvs(table).map(d => d.path -> d).toMap
+    val resurrect =
+      (thenFiles.keySet -- nowFiles.keySet) ++ (thenDvs.keySet -- nowDvs.keySet)
+    val reclaimed =
+      resurrect.filterNot(p => new java.io.File(rootDir, p).exists())
+    require(reclaimed.isEmpty,
+      s"cannot restore $table to v$asOf: object(s) physically reclaimed by " +
+        s"vacuum: ${reclaimed.toSeq.sorted.mkString(",")}")
+    (nowFiles.keySet -- thenFiles.keySet).toSeq.sorted
+      .foreach(p => t.actions += RemoveDataObject(table, p))
+    (nowDvs.keySet -- thenDvs.keySet).toSeq.sorted
+      .foreach(p => t.actions += RemoveDataObject(table, p))
+    (thenFiles.keySet -- nowFiles.keySet).toSeq.sorted
+      .foreach(p => t.actions += thenFiles(p))
+    (thenDvs.keySet -- nowDvs.keySet).toSeq.sorted
+      .foreach(p => t.actions += thenDvs(p))
+    if (schemaOf(table) != thenSchema) {
+      t.tables(table) = thenSchema
+      t.actions += ChangeMetadata(table, thenSchema)
+    }
   }
 
   /** Merge every live object of `table` into one multi-part object — the

@@ -68,8 +68,28 @@ object ColStats {
   }
 }
 
+/** Per-object bloom filter over one column's values — point-lookup file
+  * skipping where min/max stats can't help (high-cardinality keys whose
+  * ranges overlap across every object). `words` is the bit array as 64-bit
+  * words; bit positions come from `k` seeded xxhash64 hashes of the value,
+  * each taken modulo the bit width (see GraftClient.buildBloom — the
+  * reference's unimplemented bloom-filter TODO, README.md:37).
+  */
+final case class BloomData(k: Int, words: Vector[Long]) {
+  def numBits: Long = words.length.toLong * 64L
+  /** `rawHashes` are the UNREDUCED seeded hashes of the probe value (seed
+    * order 0..k-1); false means the value is definitely absent.
+    */
+  def mightContain(rawHashes: Seq[Long]): Boolean =
+    rawHashes.take(k).forall { h =>
+      val pos = java.lang.Math.floorMod(h, numBits)
+      (words((pos >> 6).toInt) & (1L << (pos & 63).toInt)) != 0L
+    }
+}
+
 final case class AddDataObject(table: String, path: String, txId: Long,
-    numRows: Long, stats: Map[String, ColStats] = Map.empty) extends Action
+    numRows: Long, stats: Map[String, ColStats] = Map.empty,
+    blooms: Map[String, BloomData] = Map.empty) extends Action
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
@@ -81,6 +101,18 @@ final case class ChangeMetadata(table: String, schema: StructType)
   */
 final case class AddDeleteVector(table: String, path: String, txId: Long,
     numRows: Long) extends Action
+
+/** Sink-transaction watermark: "application `appId` has durably committed
+  * its batch `version`" — the idempotence handshake for exactly-once
+  * streaming writes (Delta's `txn` action). A retried micro-batch sees its
+  * own watermark inside the same snapshot that would receive its rows and
+  * skips, so the check and the write are atomic. The footprint slot is a
+  * per-app pseudo-table, never a data table, so concurrent sinks to
+  * different tables rebase past each other.
+  */
+final case class SetTxn(appId: String, version: Long) extends Action {
+  def table: String = s"_txn_$appId"
+}
 
 final class CommitConflictException(id: Long)
   extends RuntimeException(
@@ -98,26 +130,34 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     * (dataobjects.go:91-92).
     */
   def liveFiles(table: String, pending: Seq[Action] = Nil): Vector[AddDataObject] = {
-    val all = actions ++ pending
-    val removed = all.collect {
-      case RemoveDataObject(t, p) if t == table => p
-    }.toSet
-    all.collect {
-      case a: AddDataObject if a.table == table && !removed(a.path) => a
-    }.sortBy(a => (a.txId, a.path)).toVector
+    // ORDERED fold, not add-unless-ever-removed: RESTORE re-adds a path
+    // that an earlier commit removed, and the re-add must win because it
+    // comes later in the log
+    val live = scala.collection.mutable.LinkedHashMap[String, AddDataObject]()
+    (actions ++ pending).foreach {
+      case a: AddDataObject if a.table == table => live(a.path) = a
+      case RemoveDataObject(t, p) if t == table => live.remove(p)
+      case _ => ()
+    }
+    live.values.toVector.sortBy(a => (a.txId, a.path))
   }
+
+  /** Latest committed sink-batch watermark per appId ([[SetTxn]]). */
+  def txns(pending: Seq[Action] = Nil): Map[String, Long] =
+    (actions ++ pending).collect { case SetTxn(a, v) => a -> v }
+      .groupMapReduce(_._1)(_._2)(math.max)
 
   /** Live deletion vectors of a table, same retirement rule as data
     * objects.
     */
   def liveDvs(table: String, pending: Seq[Action] = Nil): Vector[AddDeleteVector] = {
-    val all = actions ++ pending
-    val removed = all.collect {
-      case RemoveDataObject(t, p) if t == table => p
-    }.toSet
-    all.collect {
-      case a: AddDeleteVector if a.table == table && !removed(a.path) => a
-    }.sortBy(a => (a.txId, a.path)).toVector
+    val live = scala.collection.mutable.LinkedHashMap[String, AddDeleteVector]()
+    (actions ++ pending).foreach {
+      case a: AddDeleteVector if a.table == table => live(a.path) = a
+      case RemoveDataObject(t, p) if t == table => live.remove(p)
+      case _ => ()
+    }
+    live.values.toVector.sortBy(a => (a.txId, a.path))
   }
 }
 
@@ -240,6 +280,10 @@ final class TxLog(store: ObjectStore) {
       folded ++= snapshot.liveFiles(t)
       folded ++= snapshot.liveDvs(t)
     }
+    // sink watermarks survive the fold, or a post-checkpoint retry of an
+    // already-committed micro-batch would double-write
+    folded ++= snapshot.txns().toSeq.sortBy(_._1)
+      .map { case (a, v) => SetTxn(a, v) }
     val body = Json.write(Json.obj(
       "version" -> Json.num(snapshot.version),
       "actions" -> Json.arr(folded.result().map(actionToJson))))
@@ -283,13 +327,25 @@ object TxLog {
       c -> ColStats(statFromJson(o.asObj("min")), statFromJson(o.asObj("max")))
     }
 
+  private def bloomsToJson(blooms: Map[String, BloomData]): JValue =
+    JObj(blooms.map { case (c, b) => c -> Json.obj(
+      "k" -> Json.num(b.k),
+      "words" -> Json.arr(b.words.map(Json.num))) })
+  private def bloomsFromJson(v: JValue): Map[String, BloomData] =
+    v.asObj.map { case (c, o) =>
+      c -> BloomData(o.asObj("k").asLong.toInt,
+        o.asObj("words").asArr.map(_.asLong).toVector)
+    }
+
   def actionToJson(a: Action): JValue = a match {
-    case AddDataObject(t, p, tx, n, stats) =>
+    case AddDataObject(t, p, tx, n, stats, blooms) =>
       val base = Seq(
         "type" -> Json.str("add"), "table" -> Json.str(t),
         "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
-      Json.obj((if (stats.isEmpty) base
-        else base :+ ("stats" -> statsToJson(stats))): _*)
+      Json.obj((base ++
+        (if (stats.isEmpty) Nil else Seq("stats" -> statsToJson(stats))) ++
+        (if (blooms.isEmpty) Nil
+         else Seq("blooms" -> bloomsToJson(blooms)))): _*)
     case AddDeleteVector(t, p, tx, n) => Json.obj(
       "type" -> Json.str("dv"), "table" -> Json.str(t),
       "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
@@ -299,6 +355,9 @@ object TxLog {
     case ChangeMetadata(t, s) => Json.obj(
       "type" -> Json.str("metadata"), "table" -> Json.str(t),
       "schema" -> Json.str(s.json))
+    case SetTxn(a, v) => Json.obj(
+      "type" -> Json.str("txn"), "appId" -> Json.str(a),
+      "version" -> Json.num(v))
   }
 
   def actionFromJson(v: JValue): Action = {
@@ -306,12 +365,14 @@ object TxLog {
     o("type").asStr match {
       case "add" => AddDataObject(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong,
-        o.get("stats").map(statsFromJson).getOrElse(Map.empty))
+        o.get("stats").map(statsFromJson).getOrElse(Map.empty),
+        o.get("blooms").map(bloomsFromJson).getOrElse(Map.empty))
       case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)
       case "metadata" => ChangeMetadata(o("table").asStr,
         DataType.fromJson(o("schema").asStr).asInstanceOf[StructType])
+      case "txn" => SetTxn(o("appId").asStr, o("version").asLong)
     }
   }
 }

@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+
+/** The one Spark-internal call a V1 streaming `Source` cannot avoid:
+  * MicroBatchExecution asserts that the DataFrame `getBatch` returns
+  * carries `isStreaming = true`, and the only way to stamp that flag on a
+  * driver-built plan is `SparkSession.internalCreateDataFrame` — which is
+  * `private[sql]`. This object lives under `org.apache.spark.sql` purely
+  * to satisfy that access qualifier (the standard pattern for V1 streaming
+  * connectors); it contains no copied code and nothing else reaches into
+  * Spark internals.
+  */
+object StreamingShim {
+  /** Re-root `df`'s physical RDD as a streaming DataFrame. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
+  /** The inverse direction, for a V1 `Sink.addBatch`: the micro-batch
+    * DataFrame the engine hands over still carries isStreaming=true (so
+    * `.write` refuses it); re-root its already-planned RDD as a plain
+    * batch frame that normal writers accept.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+}

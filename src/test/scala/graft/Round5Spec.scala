@@ -1,0 +1,302 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftRelation
+import graft.table.GraftClient
+
+/** Round-5 surface: RESTORE (rollback-as-commit), the format("graft")
+  * batch connector (pushdown → stats pruning, projection, versionAsOf,
+  * statistics), and the format("graft") streaming source over the tx log.
+  */
+class Round5Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_r5").toString
+
+  private def kvDf(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  private def stateOf(c: GraftClient, table: String): Map[Int, String] = {
+    c.newTx()
+    try c.currentState(table, Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    finally c.rollback()
+  }
+
+  test("restore rolls back deletes and later inserts, metadata-only") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 10).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    val v = c.latestVersion
+
+    c.newTx()
+    c.deleteRows("t", "k", 1, 3) // copy-on-write rewrite of the object
+    c.insert("t", kvDf((11, "x11"), (12, "x12")))
+    c.commitTx()
+    assert(stateOf(c, "t").keySet === ((4 to 12).toSet))
+
+    c.newTx()
+    c.restore("t", v)
+    c.commitTx()
+    assert(stateOf(c, "t") === (1 to 10).map(k => k -> s"v$k").toMap)
+
+    // the restore is itself history: restoring to the post-delete version
+    // rolls the rollback back (fill commit = v-1, delete commit = v, so
+    // the post-delete state is beginAt(v+1))
+    c.newTx()
+    c.restore("t", v + 1)
+    c.commitTx()
+    assert(stateOf(c, "t").keySet === ((4 to 12).toSet))
+  }
+
+  test("restore reverts schema evolution and DV deletes") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.commitTx()
+    val v = c.latestVersion
+
+    c.newTx()
+    c.addColumn("t", StructField("w", IntegerType))
+    c.deleteRowsDV("t", "k", 2, 2)
+    c.commitTx()
+    assert(stateOf(c, "t") === Map(1 -> "a"))
+
+    c.newTx()
+    c.restore("t", v)
+    c.commitTx()
+    c.newTx()
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "v"))
+    c.rollback()
+    assert(stateOf(c, "t") === Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("restore past a vacuumed object fails up front") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.commitTx()
+    val v = c.latestVersion
+    c.newTx()
+    c.deleteRows("t", "k", 1, 1) // rewrites the original object away
+    c.commitTx()
+    c.vacuum() // physically reclaims the superseded original
+    c.newTx()
+    val ex = intercept[IllegalArgumentException] { c.restore("t", v) }
+    assert(ex.getMessage.contains("vacuum"))
+    c.rollback()
+  }
+
+  test("format(graft) pushdown prunes objects; projection and values hold") {
+    val dir = tmp()
+    // one object per k-decade via the partitioned path: 11 objects with
+    // tight k stats
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    c2.createTable("t", StructType(Seq(
+      StructField("dec", IntegerType), StructField("k", IntegerType),
+      StructField("v", StringType))))
+    import scala.jdk.CollectionConverters._
+    c2.insertPartitioned("t", spark.createDataFrame(
+      (1 to 100).map(k => Row(k / 10, k, s"v$k")).toList.asJava,
+      StructType(Seq(StructField("dec", IntegerType),
+        StructField("k", IntegerType), StructField("v", StringType)))), "dec")
+    c2.commitTx()
+
+    val df = spark.read.format("graft").option("table", "t").load(dir)
+      .filter(col("k").between(35, 44)).select("k", "v")
+    val rows = df.collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(rows === (35 to 44).map(k => k -> s"v$k").toSet)
+    // 100 keys over 11 decade-objects; k∈[35,44] overlaps exactly 2
+    assert(GraftRelation.lastScanObjectCount === 2,
+      s"expected 2 objects after pruning, got ${GraftRelation.lastScanObjectCount}")
+
+    // a non-range filter prunes nothing but stays correct
+    val all = spark.read.format("graft").option("table", "t").load(dir)
+      .filter(col("v").endsWith("7")).count()
+    assert(all === 10)
+  }
+
+  test("format(graft) versionAsOf reads the historical snapshot") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.commitTx()
+    val v = c.latestVersion
+    c.newTx()
+    c.deleteRows("t", "k", 1, 1)
+    c.commitTx()
+
+    val now = spark.read.format("graft").option("table", "t").load(dir)
+    assert(now.count() === 1)
+    val old = spark.read.format("graft").option("table", "t")
+      .option("versionAsOf", v.toString).load(dir)
+    assert(old.collect().map(_.getInt(0)).toSet === Set(1, 2))
+  }
+
+  test("format(graft) reports real sizeInBytes for join planning") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 50).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    val rel = GraftRelation(spark.sqlContext, dir, "t", None)
+    val sz = rel.sizeInBytes
+    assert(sz > 100 && sz < 1000000, s"implausible sizeInBytes: $sz")
+  }
+
+  test("bloom sidecars prune point lookups that stats cannot") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    // 8 objects whose string-value ranges all span ~the whole id space:
+    // min/max stats are useless for a value probe, only blooms prune
+    (0 until 8).foreach { g =>
+      c.insert("t", kvDf((g * 125 until (g + 1) * 125)
+        .map(i => (i, f"id${(i * 37) % 1000}%04d")): _*))
+    }
+    c.commitTx()
+    c.newTx()
+    c.buildBloom("t", "v")
+    c.commitTx()
+
+    // a fresh client proves the blooms round-trip through the JSON log
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(c2.objects("t").forall(_.blooms.contains("v")))
+    val hit = c2.scanEquals("t", "v", "id0111")
+    // (i*37)%1000 == 111 has exactly one solution in [0,1000)
+    assert(hit.collect().map(_.getString(1)).toSeq === Seq("id0111"))
+    val opened = hit.inputFiles.map(_.split('/').dropRight(1).last).distinct
+    assert(opened.length < 8,
+      s"bloom pruned nothing: ${opened.length} objects opened")
+    assert(c2.scanEquals("t", "v", "no-such-id").count() === 0)
+    c2.rollback()
+  }
+
+  test("streaming source: each commit becomes a micro-batch; appends accumulate") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.commitTx()
+
+    val q = spark.readStream.format("graft").option("table", "t").load(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("graft_stream_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_counts").collect()
+        .head.getLong(0) === 2L)
+
+      c.newTx()
+      c.insert("t", kvDf((3, "c"), (4, "d"), (5, "e")))
+      c.commitTx()
+      q.processAllAvailable()
+      assert(spark.table("graft_stream_counts").collect()
+        .head.getLong(0) === 5L)
+    } finally q.stop()
+  }
+
+  test("streaming sink: one commit per micro-batch, exactly-once on retry") {
+    val dir = tmp()
+    val ckpt = tmp()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[Int](s)
+    val q = in.toDF().withColumnRenamed("value", "k")
+      .withColumn("v", concat(lit("s"), col("k")))
+      .writeStream.format("graft")
+      .option("path", dir).option("table", "t")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      in.addData(4, 5)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    assert(c.scan("t").count() === 5)
+    assert(c.objects("t").length === 2) // one object per micro-batch commit
+    c.rollback()
+
+    // a redelivered batch id must be a no-op: the SetTxn watermark rides
+    // in the same commit as the rows
+    val sink = new graft.sources.GraftSink(spark.sqlContext, dir, "t",
+      "sink_t")
+    sink.addBatch(1, kvDf((99, "dup")))
+    c.newTx()
+    assert(c.scan("t").count() === 5) // batch 1 already committed: skipped
+    c.rollback()
+    sink.addBatch(2, kvDf((6, "s6")))
+    c.newTx()
+    assert(c.scan("t").count() === 6) // a NEW batch id still lands
+    c.rollback()
+  }
+
+  test("streaming source fails on non-append commits unless ignoreChanges") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 10).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    c.newTx()
+    c.deleteRows("t", "k", 1, 3) // remove + rewrite in the window
+    c.commitTx()
+
+    val failing = spark.readStream.format("graft").option("table", "t")
+      .load(dir).writeStream.format("memory")
+      .queryName("graft_stream_fail").outputMode("append").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      failing.processAllAvailable()
+      failing.awaitTermination(10000)
+    }
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
+
+    // at-least-once opt-in: the rewritten object replays its survivors
+    val q = spark.readStream.format("graft").option("table", "t")
+      .option("ignoreChanges", "true").load(dir)
+      .writeStream.format("memory").queryName("graft_stream_ic")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ks = spark.table("graft_stream_ic").collect()
+        .map(_.getInt(0)).toSeq
+      // original 10 rows + the rewrite's 7 survivors
+      assert(ks.length === 17)
+      assert(ks.toSet === (1 to 10).toSet)
+    } finally q.stop()
+  }
+}
