@@ -350,6 +350,22 @@ object TxQueries {
     WHERE n_name = 'CANADA'
     ORDER BY n_nationkey"""
 
+  // --- DataSource connector over the FACT table: pruned read + aggregate ----
+  // Same rows as tx_bulk_range but through format("graft"): the compiled
+  // between-filter pushes down, the relation opens ~12 of ~80 month
+  // objects, and Spark aggregates on top — the 100 TB read shape through
+  // the standard connector API.
+  def txSourceBulk(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.format("graft").option("table", "li").load(root)
+      .filter(col("ship_month").between(199701, 199712))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.util.Tables.dsum(col("l_quantity"), 2).as("sum_qty"),
+        graft.util.Tables.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("ship_month"))
+  }
+
   // --- Bulk fact table through the tx layer: prune + aggregate --------------
   // One year of a ~80-month table: the month-partitioned layout means the
   // scan opens ~12 objects and parquet row-group stats + pushdown handle
@@ -411,6 +427,9 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_source_bulk" -> QueryDef(txSourceBulk, Some(txBulkRangeSql),
+      "fact-table month-range aggregate through the connector: pushed " +
+        "filter opens ~12 of ~80 objects"),
     "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
       "dropColumn narrows + rewrites; re-added name reads null, never " +
         "resurrected bytes"))

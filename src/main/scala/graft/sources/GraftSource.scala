@@ -197,11 +197,10 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       }
       case None => withClient(sqlContext, root) { c =>
         val bounds = filters.toSeq.flatMap(boundsOf)
-        val live = c.objects(table)
-        val kept = live.count(a => bounds.forall { case (cn, (lo, hi)) =>
-          ColStats.mayOverlap(a.stats, cn, lo, hi) })
-        GraftRelation.lastScanObjectCount = kept
-        c.scanBounded(table, bounds)
+        val equalities = filters.toSeq.flatMap(eqOf)
+        GraftRelation.lastScanObjectCount =
+          c.prunedObjects(table, bounds, equalities).length
+        c.scanPruned(table, bounds, equalities)
       }
     }
     val filtered = filters.flatMap(toColumn).reduceOption(_ && _)
@@ -235,6 +234,16 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
           norm.map(_.asInstanceOf[String]).max))
       else Nil
     case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case _ => Nil
+  }
+
+  /** Equality conjuncts → bloom-probe candidates (stats bounds come from
+    * [[boundsOf]]; [[graft.table.GraftClient.scanPruned]] applies both
+    * tiers).
+    */
+  private def eqOf(f: Filter): Seq[(String, Any)] = f match {
+    case EqualTo(a, v) if v != null => Seq(a -> v)
+    case And(l, r) => eqOf(l) ++ eqOf(r)
     case _ => Nil
   }
 

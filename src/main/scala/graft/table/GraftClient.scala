@@ -148,6 +148,7 @@ final class GraftClient(
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(name), s"no such column: $name")
     require(schema.length > 1, "cannot drop the last column")
+    requireNoConstraintOn(table, name)
     flush(table) // buffered rows carry the pre-narrowing arity
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
     rewriteObjects(table, schema, narrowed, identity)
@@ -170,6 +171,7 @@ final class GraftClient(
     require(old.fieldNames.contains(from), s"no such column: $from")
     require(!old.fieldNames.contains(to), s"column exists: $to")
     requireNotReserved(Seq(to))
+    requireNoConstraintOn(table, from)
     flush(table) // buffered rows carry the old layout; rewrite covers them
     val renamed = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
@@ -261,6 +263,73 @@ final class GraftClient(
 
   /** Names of every table visible to the open transaction. */
   def tables: Set[String] = currentTx.tables.keySet.toSet
+
+  /** Evolution guard: refuse to drop/rename a column a CHECK constraint
+    * mentions (word-boundary textual match — conservative: a false
+    * positive asks the user to drop the constraint first, never the
+    * reverse).
+    */
+  private def requireNoConstraintOn(table: String, column: String): Unit = {
+    val pat = (".*\\b" + java.util.regex.Pattern.quote(column) + "\\b.*").r
+    val refs = constraintsOf(table).filter(c => pat.matches(c._2))
+    require(refs.isEmpty,
+      s"constraint(s) reference column $column: ${refs.keys.mkString(",")} " +
+        "(drop them first)")
+  }
+
+  /** Active CHECK constraints of `table` (committed + staged this tx). */
+  def constraintsOf(table: String): Map[String, String] = {
+    val t = currentTx
+    t.snapshot.constraints(table, t.actions.toSeq)
+  }
+
+  /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    * `sqlExpr` is a boolean SQL expression over the table's columns that
+    * no row may make FALSE (NULL passes — SQL CHECK semantics). Existing
+    * rows are validated first with one stats-prunable scan; from then on
+    * enforcement is FREE on the read side and pass-free on the write side
+    * — [[constraintGuard]] folds the check into the `_tx_id` stamp every
+    * write already computes, so a violating row fails the writing job
+    * (and thus the tx) before any object registers.
+    */
+  def addConstraint(table: String, name: String, sqlExpr: String): Unit = {
+    val t = currentTx
+    require(t.tables.contains(table), s"no such table: $table")
+    require(name.nonEmpty && sqlExpr.nonEmpty,
+      "constraint name and expression must be non-empty")
+    flush(table)
+    val violations = scan(table)
+      .filter(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
+    require(violations == 0,
+      s"existing rows violate constraint $name: $sqlExpr")
+    t.actions += SetConstraint(table, name, sqlExpr)
+  }
+
+  /** Drop a CHECK constraint by name. */
+  def dropConstraint(table: String, name: String): Unit = {
+    val t = currentTx
+    require(constraintsOf(table).contains(name),
+      s"no such constraint on $table: $name")
+    t.actions += SetConstraint(table, name, "")
+  }
+
+  /** Fold the table's CHECK constraints into the `_tx_id` column of a
+    * to-be-written frame: a violating row turns the stamp into
+    * raise_error, failing the write job — no separate validation pass,
+    * and the cost is one codegen'd boolean per row on data that is being
+    * written anyway.
+    */
+  private def constraintGuard(table: String, df: DataFrame): DataFrame = {
+    val cs = constraintsOf(table)
+    if (cs.isEmpty) df
+    else {
+      val ok = cs.values.map(e => coalesce(expr(e), lit(true)))
+        .reduce(_ && _)
+      df.withColumn(TxIdCol, when(ok, col(TxIdCol)).otherwise(raise_error(
+        lit(s"CHECK constraint violated on $table: " +
+          cs.map { case (n, e) => s"$n ($e)" }.mkString("; ")))))
+    }
+  }
 
   /** Latest sink-batch watermark committed (or staged in this tx) for
     * `appId` — the exactly-once read side of [[setTxn]].
@@ -368,7 +437,8 @@ final class GraftClient(
         var idx = base + offsets(pid)
         it.map { r => val out = Row.fromSeq(r.toSeq :+ txId :+ idx); idx += 1; out }
       }
-      body(t, schema, spark.createDataFrame(stamped, provSchema(schema)), n, txId)
+      body(t, schema, constraintGuard(table,
+        spark.createDataFrame(stamped, provSchema(schema))), n, txId)
       t.rowCounters(table) = base + n
     } finally rdd.unpersist(false)
   }
@@ -428,7 +498,7 @@ final class GraftClient(
       Row.fromSeq(r.toSeq :+ t.id :+ idx)
     }.toList.asJava
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    spark.createDataFrame(rows, provSchema(schema))
+    constraintGuard(table, spark.createDataFrame(rows, provSchema(schema)))
       .coalesce(1)
       .write.parquet(s"$rootDir/$name")
     val (_, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
@@ -616,22 +686,57 @@ final class GraftClient(
   def scanEquals(table: String, column: String, value: Any): DataFrame = {
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(column), s"no such column: $column")
-    // cast the probe to the column's type BEFORE hashing: the build hashed
-    // column-typed values, and xxhash64(3L) != xxhash64(3: Int)
     val probe = lit(value).cast(schema(schema.fieldIndex(column)).dataType)
-    val maxK = liveFiles(table)
-      .flatMap(_.blooms.get(column)).map(_.k).maxOption.getOrElse(0)
-    val rawHashes: Seq[Long] =
-      if (maxK == 0) Nil
-      else {
-        val row = spark.range(1).select((0 until maxK).map(i =>
-          xxhash64(lit(i), probe).as(s"h$i")): _*).head()
-        (0 until maxK).map(row.getLong)
-      }
-    scanFiltered(table, a =>
-      ColStats.mayOverlap(a.stats, column, value, value) &&
-        a.blooms.get(column).forall(_.mightContain(rawHashes)))
+    scanPruned(table, Seq(column -> (value, value)), Seq(column -> value))
       .filter(col(column) === probe)
+  }
+
+  /** The full file-skipping stack in one call: range `bounds` prune by
+    * min/max stats, `equalities` additionally probe per-object bloom
+    * sidecars. NO residual filtering (callers own exact semantics) — this
+    * is the connector's pushdown entry point; [[scanEquals]] and
+    * [[scanBounded]] are conveniences over it.
+    */
+  def scanPruned(table: String, bounds: Seq[(String, (Any, Any))],
+      equalities: Seq[(String, Any)]): DataFrame = {
+    val keep = prunedObjects(table, bounds, equalities).map(_.path).toSet
+    scanFiltered(table, a => keep(a.path))
+  }
+
+  /** The metadata half of [[scanPruned]]: which live objects survive the
+    * stats bounds and bloom probes — driver-side only, usable for plan
+    * introspection (the connector reports it) without reading any data.
+    */
+  def prunedObjects(table: String, bounds: Seq[(String, (Any, Any))],
+      equalities: Seq[(String, Any)]): Vector[AddDataObject] = {
+    val schema = schemaOf(table)
+    (bounds.map(_._1) ++ equalities.map(_._1)).foreach(c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c"))
+    val live = liveFiles(table)
+    // one tiny local job evaluates every probe's raw hashes through the
+    // same Catalyst xxhash64 the bloom build used (casting each probe to
+    // its column's type first — xxhash64(3L) != xxhash64(3: Int)), so
+    // build and probe can never drift
+    val maxK = live.flatMap(_.blooms.values).map(_.k).maxOption.getOrElse(0)
+    val probes: Seq[(String, Seq[Long])] =
+      if (maxK == 0 || equalities.isEmpty) Nil
+      else {
+        val hashCols = equalities.zipWithIndex.flatMap { case ((c, v), e) =>
+          val typed = lit(v).cast(schema(schema.fieldIndex(c)).dataType)
+          (0 until maxK).map(i => xxhash64(lit(i), typed).as(s"h${e}_$i"))
+        }
+        val row = spark.range(1).select(hashCols: _*).head()
+        equalities.zipWithIndex.map { case ((c, _), e) =>
+          c -> (0 until maxK).map(i => row.getLong(e * maxK + i))
+        }
+      }
+    live.filter(a =>
+      bounds.forall { case (c, (lo, hi)) =>
+        ColStats.mayOverlap(a.stats, c, lo, hi) } &&
+        equalities.forall { case (c, v) =>
+          ColStats.mayOverlap(a.stats, c, v, v) } &&
+        probes.forall { case (c, hs) =>
+          a.blooms.get(c).forall(_.mightContain(hs)) })
   }
 
   /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
@@ -949,7 +1054,13 @@ final class GraftClient(
               txLog.actionsBetween(snapshot.version, newer.version)
             val conflict = footprint.exists { case (tbl, appendOnly) =>
               val theirs = concurrent.filter(_.table == tbl)
-              if (appendOnly) theirs.exists(_.isInstanceOf[ChangeMetadata])
+              // an append must not rebase past a concurrent schema change
+              // OR constraint change: the appended file was written
+              // against the old schema and was never validated against
+              // the new invariant
+              if (appendOnly) theirs.exists(a =>
+                a.isInstanceOf[ChangeMetadata] ||
+                  a.isInstanceOf[SetConstraint])
               else theirs.nonEmpty
             }
             if (conflict) throw e

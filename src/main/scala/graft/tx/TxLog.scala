@@ -114,6 +114,15 @@ final case class SetTxn(appId: String, version: Long) extends Action {
   def table: String = s"_txn_$appId"
 }
 
+/** CHECK constraint on a table (Delta-parity): `expr` is a SQL boolean
+  * over the table's columns that every written row must not make FALSE
+  * (NULL passes, SQL CHECK semantics). Last-wins by name; an empty expr
+  * drops the constraint. Enforcement is write-side
+  * (GraftClient.constraintGuard) — reads never pay for it.
+  */
+final case class SetConstraint(table: String, name: String, expr: String)
+    extends Action
+
 final class CommitConflictException(id: Long)
   extends RuntimeException(
     s"commit conflict: log id $id was taken by a concurrent transaction")
@@ -140,6 +149,20 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
       case _ => ()
     }
     live.values.toVector.sortBy(a => (a.txId, a.path))
+  }
+
+  /** Active CHECK constraints of a table: name -> boolean SQL expr,
+    * last-wins per name, empty expr = dropped.
+    */
+  def constraints(table: String,
+      pending: Seq[Action] = Nil): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    (actions ++ pending).foreach {
+      case SetConstraint(t, n, e) if t == table =>
+        if (e.isEmpty) m.remove(n) else m(n) = e
+      case _ => ()
+    }
+    m.toMap
   }
 
   /** Latest committed sink-batch watermark per appId ([[SetTxn]]). */
@@ -277,6 +300,8 @@ final class TxLog(store: ObjectStore) {
     val folded = Vector.newBuilder[Action]
     snapshot.tables.foreach { case (t, schema) =>
       folded += ChangeMetadata(t, schema)
+      folded ++= snapshot.constraints(t).toSeq.sortBy(_._1)
+        .map { case (n, e) => SetConstraint(t, n, e) }
       folded ++= snapshot.liveFiles(t)
       folded ++= snapshot.liveDvs(t)
     }
@@ -358,6 +383,9 @@ object TxLog {
     case SetTxn(a, v) => Json.obj(
       "type" -> Json.str("txn"), "appId" -> Json.str(a),
       "version" -> Json.num(v))
+    case SetConstraint(t, n, e) => Json.obj(
+      "type" -> Json.str("constraint"), "table" -> Json.str(t),
+      "name" -> Json.str(n), "expr" -> Json.str(e))
   }
 
   def actionFromJson(v: JValue): Action = {
@@ -373,6 +401,8 @@ object TxLog {
       case "metadata" => ChangeMetadata(o("table").asStr,
         DataType.fromJson(o("schema").asStr).asInstanceOf[StructType])
       case "txn" => SetTxn(o("appId").asStr, o("version").asLong)
+      case "constraint" => SetConstraint(o("table").asStr, o("name").asStr,
+        o("expr").asStr)
     }
   }
 }

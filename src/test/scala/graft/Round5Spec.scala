@@ -196,6 +196,13 @@ class Round5Spec extends AnyFunSuite {
       s"bloom pruned nothing: ${opened.length} objects opened")
     assert(c2.scanEquals("t", "v", "no-such-id").count() === 0)
     c2.rollback()
+
+    // the connector's EqualTo pushdown reaches the bloom tier too
+    val viaSource = spark.read.format("graft").option("table", "t").load(dir)
+      .filter(col("v") === "id0111")
+    assert(viaSource.collect().map(_.getString(1)).toSeq === Seq("id0111"))
+    assert(GraftRelation.lastScanObjectCount === opened.length,
+      "connector pruned differently than scanEquals")
   }
 
   test("streaming source: each commit becomes a micro-batch; appends accumulate") {
@@ -222,6 +229,81 @@ class Round5Spec extends AnyFunSuite {
       assert(spark.table("graft_stream_counts").collect()
         .head.getLong(0) === 5L)
     } finally q.stop()
+  }
+
+  private def chainContains(t: Throwable, needle: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains(needle)))
+
+  test("CHECK constraints enforce at write time, free on reads") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.addConstraint("t", "k_pos", "k > 0")
+    c.commitTx()
+
+    // violating bulk insert fails the writing job, nothing registers
+    c.newTx()
+    val ex = intercept[Throwable] { c.insert("t", kvDf((-1, "bad"))) }
+    assert(chainContains(ex, "CHECK constraint violated"), ex.toString)
+    c.rollback()
+
+    // violating buffered row fails at flush (inside commit)
+    c.newTx()
+    c.writeRow("t", Seq(-2, "bad"))
+    val ex2 = intercept[Throwable] { c.commitTx() }
+    assert(chainContains(ex2, "CHECK constraint violated"), ex2.toString)
+
+    // valid rows and NULL (SQL CHECK semantics) still pass; the
+    // constraint survives a fresh client's log replay
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(c2.constraintsOf("t") === Map("k_pos" -> "k > 0"))
+    c2.insert("t", kvDf((3, "c")))
+    c2.writeRow("t", Seq(null, "n"))
+    c2.commitTx()
+    c2.newTx()
+    assert(c2.scan("t").count() === 4)
+
+    // evolution guard: the constrained column cannot be dropped/renamed
+    val ex3 = intercept[IllegalArgumentException] { c2.dropColumn("t", "k") }
+    assert(ex3.getMessage.contains("k_pos"))
+    c2.rollback()
+
+    // adding a constraint existing rows violate is rejected
+    c2.newTx()
+    val ex4 = intercept[IllegalArgumentException] {
+      c2.addConstraint("t", "v_upper", "v = upper(v)")
+    }
+    assert(ex4.getMessage.contains("existing rows violate"))
+    c2.rollback()
+
+    // dropConstraint lifts enforcement
+    c2.newTx()
+    c2.dropConstraint("t", "k_pos")
+    c2.insert("t", kvDf((-5, "now ok")))
+    c2.commitTx()
+  }
+
+  test("constraints and sink watermarks survive checkpoint folds") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir, checkpointInterval = 1)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.addConstraint("t", "k_pos", "k > 0")
+    c.setTxn("appX", 7)
+    c.commitTx()
+    c.newTx() // second commit forces a checkpoint covering the first
+    c.insert("t", kvDf((1, "a")))
+    c.commitTx()
+
+    val c2 = new GraftClient(spark, dir)
+    c2.newTx()
+    assert(c2.constraintsOf("t") === Map("k_pos" -> "k > 0"))
+    assert(c2.lastTxn("appX") === Some(7L))
+    c2.rollback()
   }
 
   test("streaming sink: one commit per micro-batch, exactly-once on retry") {
