@@ -154,9 +154,44 @@ object TextOps {
     FROM documents
     ORDER BY doc_id"""
 
+  // --- Deterministic train/val/test split assignment -------------------------
+  // A training-data pipeline's split must be a PURE FUNCTION of a stable
+  // key — never sampling state — so re-runs, late-arriving shards, and
+  // different engines all agree. Bucket = top-60-md5-bits(doc_id) mod 100
+  // (the engine-portable hash of dedup_simhash): 0-79 train / 80-89 val /
+  // 90-99 test. The assignment is embarrassingly parallel; the rollup is
+  // one shuffle.
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("bigint"), lit(100L))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  private val qSplitAssignSql = """
+    WITH b AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b
+    GROUP BY 1
+    ORDER BY split"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "marker-word language ID heuristic"),
+    "text_split_assign" -> QueryDef(qSplitAssign, Some(qSplitAssignSql),
+      "deterministic hash-bucket train/val/test split (pure function of " +
+        "doc_id, engine-portable md5 bucket)"),
     "text_quality" -> QueryDef(qQuality, Some(qQualitySql),
       "integer quality signals rolled up by source"),
     "text_tokens" -> QueryDef(qTokens, Some(qTokensSql),

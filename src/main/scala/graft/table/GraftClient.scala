@@ -1061,7 +1061,35 @@ final class GraftClient(
               if (appendOnly) theirs.exists(a =>
                 a.isInstanceOf[ChangeMetadata] ||
                   a.isInstanceOf[SetConstraint])
-              else theirs.nonEmpty
+              else {
+                // OBJECT-level conflicts for mutations (Delta-style), not
+                // table-level: partition-disjoint deletes/rewrites of one
+                // table commit concurrently. A mutation conflicts only
+                // with
+                //  - a schema/constraint change (predicate + validation
+                //    semantics shift under it),
+                //  - a FRESH append (txId >= our snapshot: rows our
+                //    predicate never scanned — a concurrent REWRITE keeps
+                //    its original txId < our snapshot and only carries
+                //    rows we did scan; objects it rewrote overlap our
+                //    removes if we touched them),
+                //  - a remove of an object we also remove (double
+                //    rewrite/retire of the same data),
+                //  - a same-slot sink watermark (double batch commit).
+                // A concurrent deletion vector never conflicts: DV keys
+                // are provenance-based and stay valid across our rewrite
+                // (rows we physically removed were rows it wanted gone).
+                val ourRemoves = t.actions.collect {
+                  case RemoveDataObject(tt, p) if tt == tbl => p
+                }.toSet
+                theirs.exists {
+                  case _: ChangeMetadata | _: SetConstraint => true
+                  case a: AddDataObject => a.txId >= t.snapshot.version
+                  case RemoveDataObject(_, p) => ourRemoves(p)
+                  case _: SetTxn => true
+                  case _: AddDeleteVector => false
+                }
+              }
             }
             if (conflict) throw e
             attempt += 1

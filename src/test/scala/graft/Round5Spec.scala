@@ -231,6 +231,51 @@ class Round5Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private val dkvSchema = StructType(Seq(
+    StructField("dec", IntegerType), StructField("k", IntegerType),
+    StructField("v", StringType)))
+
+  private def dkvTable(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", dkvSchema)
+    c.insertPartitioned("t", spark.createDataFrame(
+      (0 until 40).map(k => Row(k / 10, k, s"v$k")).toList.asJava,
+      dkvSchema), "dec")
+    c.commitTx()
+  }
+
+  test("object-level conflicts: partition-disjoint deletes both commit") {
+    val dir = tmp()
+    dkvTable(dir) // 4 objects, one per decade, tight k stats
+    val a = new GraftClient(spark, dir)
+    val b = new GraftClient(spark, dir)
+    a.newTx()
+    b.newTx()
+    a.deleteRows("t", "k", 0, 9) // rewrites only the decade-0 object
+    b.deleteRows("t", "k", 30, 39) // rewrites only the decade-3 object
+    b.commitTx()
+    a.commitTxRetrying() // disjoint removes: rebases instead of aborting
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    assert(c.scan("t").collect().map(_.getInt(1)).toSet === (10 to 29).toSet)
+    c.rollback()
+  }
+
+  test("object-level conflicts: same-object mutations still abort") {
+    val dir = tmp()
+    dkvTable(dir)
+    val a = new GraftClient(spark, dir)
+    val b = new GraftClient(spark, dir)
+    a.newTx()
+    b.newTx()
+    a.deleteRows("t", "k", 0, 5) // decade-0 object
+    b.deleteRows("t", "k", 6, 9) // the SAME decade-0 object
+    b.commitTx()
+    intercept[graft.tx.CommitConflictException] { a.commitTxRetrying() }
+  }
+
   private def chainContains(t: Throwable, needle: String): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(_.contains(needle)))
