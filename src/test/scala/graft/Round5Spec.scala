@@ -263,6 +263,29 @@ class Round5Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("4 threads: partition-disjoint deletes on ONE table all commit") {
+    val dir = tmp()
+    dkvTable(dir)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { g =>
+      new Thread(() => {
+        try {
+          val c = new GraftClient(spark, dir)
+          c.newTx()
+          c.deleteRows("t", "k", g * 10, g * 10 + 9)
+          c.commitTxRetrying()
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"thread failures: ${errors.toArray.mkString(";")}")
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    assert(c.scan("t").count() === 0)
+    c.rollback()
+  }
+
   test("object-level conflicts: same-object mutations still abort") {
     val dir = tmp()
     dkvTable(dir)
@@ -274,6 +297,57 @@ class Round5Spec extends AnyFunSuite {
     b.deleteRows("t", "k", 6, 9) // the SAME decade-0 object
     b.commitTx()
     intercept[graft.tx.CommitConflictException] { a.commitTxRetrying() }
+  }
+
+  test("randomized restore: every recorded version is exactly recoverable") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    val rnd = new scala.util.Random(42)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 20).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    var model: Map[Int, String] = (1 to 20).map(k => k -> s"v$k").toMap
+    // version -> expected latest-wins state at that version
+    var byVersion = Map[Long, Map[Int, String]](c.latestVersion -> model)
+    (0 until 14).foreach { step =>
+      c.newTx()
+      rnd.nextInt(5) match {
+        case 0 => // upsert: newer version wins per key
+          val k = rnd.nextInt(30) + 1
+          c.insert("t", kvDf((k, s"u$step")))
+          model += k -> s"u$step"
+        case 1 => // copy-on-write range delete (kills ALL versions)
+          val lo = rnd.nextInt(30); val hi = lo + rnd.nextInt(5)
+          c.deleteRows("t", "k", lo, hi)
+          model --= (lo to hi)
+        case 2 => // deletion-vector delete, same semantics
+          val lo = rnd.nextInt(30); val hi = lo + rnd.nextInt(5)
+          c.deleteRowsDV("t", "k", lo, hi)
+          model --= (lo to hi)
+        case 3 => // restore to a random recorded version (incl. restores)
+          val vs = byVersion.keys.toVector.sorted
+          val v = vs(rnd.nextInt(vs.length))
+          c.restore("t", v)
+          model = byVersion(v)
+        case 4 => // compaction: a semantic no-op
+          c.compact("t")
+      }
+      c.commitTx()
+      byVersion += c.latestVersion -> model
+    }
+    c.newTx()
+    val got = c.currentState("t", Seq("k")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === model)
+    // and history stays intact THROUGH restores: every recorded version
+    // replays to its recorded state via time travel
+    byVersion.foreach { case (v, want) =>
+      val at = c.currentStateAsOf("t", Seq("k"), v).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(at === want, s"divergence at version $v")
+    }
+    c.rollback()
   }
 
   private def chainContains(t: Throwable, needle: String): Boolean =
