@@ -119,13 +119,21 @@ final class GraftSource extends RelationProvider
     val table = opt(parameters, "table")
     new GraftSink(sqlContext, opt(parameters, "path"), table,
       parameters.get("txnappid").orElse(parameters.get("txnAppId"))
-        .getOrElse(s"sink_$table"))
+        .getOrElse(s"sink_$table"),
+      parameters.get("autocompact").orElse(parameters.get("autoCompact"))
+        .map(_.toInt).getOrElse(0))
   }
 }
 
-/** V1 micro-batch sink (see [[GraftSource.createSink]]). */
+/** V1 micro-batch sink (see [[GraftSource.createSink]]). `autoCompact`
+  * > 0 folds a [[GraftClient.maybeCompact]] into any batch that tips the
+  * table past that many live objects, so a long-running stream's
+  * object-per-batch layout stays bounded without a separate maintenance
+  * job — and the compaction is atomic with the batch that triggered it.
+  */
 final class GraftSink(sqlContext: SQLContext, root: String, table: String,
-    appId: String) extends org.apache.spark.sql.execution.streaming.Sink {
+    appId: String, autoCompact: Int = 0)
+    extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val c = new GraftClient(sqlContext.sparkSession, root)
@@ -136,6 +144,7 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
         if (!c.tables.contains(table)) c.createTable(table, data.schema)
         c.insert(table,
           StreamingShim.asBatch(sqlContext.sparkSession, data))
+        if (autoCompact > 0) c.maybeCompact(table, autoCompact)
         c.setTxn(appId, batchId)
         c.commitTxRetrying()
       }

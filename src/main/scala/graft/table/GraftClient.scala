@@ -1329,6 +1329,19 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** [[compact]] only when the table's live object count (including this
+    * tx's staged writes) exceeds `maxObjects` — the auto-compaction hook
+    * a high-frequency writer schedules inline (the streaming sink's
+    * `autoCompact` option): amortized, the small-file problem never
+    * accumulates, and the compaction rides the same atomic commit as the
+    * batch that tipped the threshold. Returns whether it compacted.
+    */
+  def maybeCompact(table: String, maxObjects: Int): Boolean = {
+    require(maxObjects >= 1, "maxObjects must be >= 1")
+    if (liveFiles(table).length <= maxObjects) false
+    else { compact(table); true }
+  }
+
   /** OPTIMIZE-style re-layout (1-D Z-order analog): rewrite every live
     * object of `table` into `numBuckets` range-clustered objects on
     * `column`, so each object's footer stats cover a narrow, mostly

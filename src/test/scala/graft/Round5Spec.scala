@@ -465,6 +465,34 @@ class Round5Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("sink autoCompact keeps the object count bounded as batches land") {
+    val dir = tmp()
+    val ckpt = tmp()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[Int](s)
+    val q = in.toDF().withColumnRenamed("value", "k")
+      .withColumn("v", concat(lit("s"), col("k")))
+      .writeStream.format("graft")
+      .option("path", dir).option("table", "t")
+      .option("autoCompact", "3")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      (0 until 6).foreach { b =>
+        in.addData(b * 10, b * 10 + 1)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    assert(c.scan("t").count() === 12) // compaction loses nothing
+    val n = c.objects("t").length
+    assert(n <= 4, s"autoCompact failed to bound objects: $n")
+    c.rollback()
+  }
+
   test("streaming source fails on non-append commits unless ignoreChanges") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
