@@ -90,19 +90,39 @@ final class GraftSource extends RelationProvider
     GraftRelation(sqlContext, root, table, None)
   }
 
+  private def changeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changefeed").orElse(parameters.get("changeFeed"))
+      .exists(_.toBoolean)
+
+  private def keyColumns(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keycolumns").orElse(parameters.get("keyColumns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft changeFeed source: option 'keyColumns' is required"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftRelation.withClient(sqlContext,
-      opt(parameters, "path"))(_.schemaOf(opt(parameters, "table"))))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = GraftRelation.withClient(sqlContext,
+      opt(parameters, "path"))(_.schemaOf(opt(parameters, "table")))
+    (shortName(),
+      if (changeFeed(parameters))
+        StructType(base.fields :+ org.apache.spark.sql.types
+          .StructField("_change", org.apache.spark.sql.types.StringType))
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext, opt(parameters, "path"),
-      opt(parameters, "table"),
-      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
-        .exists(_.toBoolean))
+    if (changeFeed(parameters))
+      new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
+        opt(parameters, "table"), keyColumns(parameters))
+    else
+      new GraftStreamSource(sqlContext, opt(parameters, "path"),
+        opt(parameters, "table"),
+        parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+          .exists(_.toBoolean))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -123,6 +143,45 @@ final class GraftSource extends RelationProvider
       parameters.get("autocompact").orElse(parameters.get("autoCompact"))
         .map(_.toInt).getOrElse(0))
   }
+}
+
+/** Streaming CHANGE DATA FEED source — `readStream.format("graft")
+  * .option("changeFeed", "true").option("keyColumns", "id")`: each
+  * micro-batch is the keyed latest-state diff of its commit window
+  * ([[graft.table.GraftClient.changesBetween]]) with a `_change` column
+  * ∈ insert/update/delete, so a downstream consumer can incrementally
+  * materialize the table — deletes and rewrites INCLUDED, unlike the
+  * append-only row source. The first batch (offset 0 → v) diffs against
+  * the empty table: all inserts.
+  */
+final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
+    table: String, keyCols: Seq[String]) extends Source {
+
+  private def client = new GraftClient(sqlContext.sparkSession, root)
+
+  override val schema: StructType = {
+    val base =
+      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+    StructType(base.fields :+ org.apache.spark.sql.types
+      .StructField("_change", org.apache.spark.sql.types.StringType))
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = client.latestVersion
+    if (v == 0L) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      client.changesBetween(table, keyCols,
+        start.map(versionOf).getOrElse(0L), versionOf(end)))
+
+  override def stop(): Unit = {}
 }
 
 /** V1 micro-batch sink (see [[GraftSource.createSink]]). `autoCompact`

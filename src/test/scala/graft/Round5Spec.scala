@@ -493,6 +493,36 @@ class Round5Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("streaming change feed: per-commit keyed diffs with _change labels") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b")))
+    c.commitTx()
+
+    val q = spark.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("keyColumns", "k").load(dir)
+      .writeStream.format("memory").queryName("graft_cdf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("graft_cdf").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(first === Set((1, "a", "insert"), (2, "b", "insert")))
+
+      c.newTx()
+      c.insert("t", kvDf((1, "a2"))) // latest-wins upsert
+      c.deleteRows("t", "k", 2, 2)
+      c.commitTx()
+      q.processAllAvailable()
+      val all = spark.table("graft_cdf").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(all === first ++ Set((1, "a2", "update"), (2, "b", "delete")))
+    } finally q.stop()
+  }
+
   test("streaming source fails on non-append commits unless ignoreChanges") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
