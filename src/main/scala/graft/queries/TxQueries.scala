@@ -164,6 +164,17 @@ object TxQueries {
         c.newTx()
         c.buildBloom("nation9", "n_name")
         c.commitTx()
+
+        // nation10: zero-copy SHALLOW CLONE of nation9, then a range
+        // delete on the CLONE only — copy-on-write divergence: nation9
+        // keeps all 25 rows (tx_bloom_lookup still reads it), nation10
+        // drops 10..14 without copying any surviving data
+        c.newTx()
+        c.shallowClone("nation9", "nation10")
+        c.commitTx()
+        c.newTx()
+        c.deleteRows("nation10", "n_nationkey", 10, 14)
+        c.commitTx()
         root
       })
     }
@@ -337,6 +348,18 @@ object TxQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  // --- Shallow clone: zero-copy fork + copy-on-write divergence --------------
+  def txClone(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation10", Seq("n_nationkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txCloneSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey NOT BETWEEN 10 AND 14
+    ORDER BY n_nationkey"""
+
   // --- Bloom-filter point lookup --------------------------------------------
   def txBloomLookup(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -418,6 +441,9 @@ object TxQueries {
     "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
       "full lineitem through partitioned bulk write; month-range scan " +
         "opens ~12 of ~80 objects via stats pruning"),
+    "tx_clone" -> QueryDef(txClone, Some(txCloneSql),
+      "zero-copy shallow clone; a delete on the clone diverges " +
+        "copy-on-write while the source keeps every row"),
     "tx_bloom_lookup" -> QueryDef(txBloomLookup, Some(txBloomLookupSql),
       "per-object bloom sidecars prune a point lookup where min/max " +
         "stats overlap (the reference's README.md:37 bloom TODO)"),

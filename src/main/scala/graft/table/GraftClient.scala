@@ -1248,6 +1248,32 @@ final class GraftClient(
       spark.read.schema(provSchema(schema)).parquet(adds: _*).select(cols: _*)
   }
 
+  /** SHALLOW CLONE: fork `src` as a new table `dst` without copying a
+    * byte of data (Delta's CLONE) — the clone commit re-adds every live
+    * object and deletion vector of `src` under `dst`'s name, plus its
+    * schema and constraints. Because data objects are immutable and
+    * retirement is (table, path)-keyed, the two tables immediately
+    * diverge copy-on-write: deletes/rewrites on either side produce new
+    * objects and retire only that table's references, and [[vacuum]]
+    * keeps a shared object alive while EITHER table references it.
+    * Cloning a 100 TB table is a driver-side metadata write —
+    * the standard way to fork production data for an experiment.
+    */
+  def shallowClone(src: String, dst: String): Unit = {
+    val t = currentTx
+    require(t.tables.contains(src), s"no such table: $src")
+    require(!t.tables.contains(dst), s"table exists: $dst")
+    flush(src) // buffered src rows become a live object the clone sees
+    val schema = schemaOf(src)
+    t.tables(dst) = schema
+    t.actions += ChangeMetadata(dst, schema)
+    constraintsOf(src).foreach { case (n, e) =>
+      t.actions += SetConstraint(dst, n, e) }
+    liveFiles(src).foreach(a => t.actions += a.copy(table = dst))
+    t.snapshot.liveDvs(src, t.actions.toSeq)
+      .foreach(d => t.actions += d.copy(table = dst))
+  }
+
   /** RESTORE `table` to its state as of log version `asOf` — rollback as
     * a forward commit, the inverse surface of [[scanAsOf]] time travel.
     * Purely metadata: the staged actions remove objects/DVs that became

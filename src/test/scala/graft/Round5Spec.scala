@@ -168,6 +168,45 @@ class Round5Spec extends AnyFunSuite {
     assert(sz > 100 && sz < 1000000, s"implausible sizeInBytes: $sz")
   }
 
+  test("shallow clone: zero-copy fork, copy-on-write divergence, safe vacuum") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("s", kvSchema)
+    c.insert("s", kvDf((1 to 10).map(k => (k, s"v$k")): _*))
+    c.addConstraint("s", "k_pos", "k > 0")
+    c.commitTx()
+
+    c.newTx()
+    c.shallowClone("s", "d")
+    c.commitTx()
+
+    c.newTx()
+    // the clone shares the source's objects byte-for-byte
+    assert(c.objects("d").map(_.path) === c.objects("s").map(_.path))
+    assert(c.currentState("d", Seq("k")).count() === 10)
+    // constraints travel with the clone
+    val ex = intercept[Throwable] { c.insert("d", kvDf((-1, "bad"))) }
+    assert(chainContains(ex, "CHECK constraint violated"), ex.toString)
+    c.rollback()
+
+    // mutate the clone: the source is untouched (copy-on-write)
+    c.newTx()
+    c.deleteRows("d", "k", 1, 5)
+    c.commitTx()
+    c.newTx()
+    assert(c.currentState("d", Seq("k")).count() === 5)
+    assert(c.currentState("s", Seq("k")).count() === 10)
+    c.rollback()
+
+    // vacuum keeps shared objects alive while either table uses them
+    c.vacuum()
+    c.newTx()
+    assert(c.currentState("s", Seq("k")).count() === 10)
+    assert(c.currentState("d", Seq("k")).count() === 5)
+    c.rollback()
+  }
+
   test("bloom sidecars prune point lookups that stats cannot") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
