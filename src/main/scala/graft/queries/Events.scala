@@ -111,6 +111,48 @@ object Events {
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id"""
 
+  // --- Pure interval join via bin replication --------------------------------
+  // Point-in-interval join with NO equi key: every purchase event opens a
+  // 5-minute lookback window over ALL events (any user), and we count the
+  // events falling inside each window. Declared naively (`a.ts between ...`)
+  // Spark has no equi key and plans BroadcastNestedLoopJoin — O(n·m), dead
+  // at 100 TB. The Spark-first shape: replicate each interval onto the
+  // 1-minute bins it overlaps (sequence+explode, ≤6 rows each, a bounded
+  // constant because window length / bin width is fixed), map each point to
+  // its single bin, and equi-join on the bin. A point lives in exactly one
+  // bin, so each (interval, point) pair meets at most once — no post-join
+  // dedup. The plan is a plain shuffled equi-join keyed on time, which also
+  // makes the shuffle range-local under a time-partitioned layout.
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 300000000L / 5 // 1-minute bins over a 5-minute window
+    val e = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val points = e.select(col("event_id"), col("us"),
+      expr(s"us div $binUs").as("bin"))
+    val intervals = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("us").as("p_us"))
+      .withColumn("bin", explode(sequence(
+        expr(s"(p_us - 300000000) div $binUs"), expr(s"p_us div $binUs"))))
+    intervals.join(points, Seq("bin"))
+      .filter(col("us") >= col("p_us") - lit(300000000L) &&
+        col("us") < col("p_us"))
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
+  private val qIntervalJoinSql = """
+    SELECT CAST(p.ts AS DATE) AS day, COUNT(*) AS n_pairs,
+      COUNT(DISTINCT p.event_id) AS n_purchases
+    FROM events p JOIN events e
+      ON e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY day"""
+
   // --- Semi-structured: JSON props -------------------------------------------
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -140,6 +182,9 @@ object Events {
       "gap-based sessionization via window lag"),
     "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
       "as-of join via union+last_value; DuckDB ASOF JOIN oracle"),
+    "q_interval_join" -> QueryDef(qIntervalJoin, Some(qIntervalJoinSql),
+      "pure interval join (no equi key) via bin replication: equi-join " +
+        "on 1-minute bins instead of a nested-loop range join"),
     "q_json_extract" -> QueryDef(qJsonExtract, Some(qJsonExtractSql),
       "semi-structured JSON field extraction"))
 }

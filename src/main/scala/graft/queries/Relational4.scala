@@ -247,7 +247,33 @@ object Relational4 {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name"""
 
+  // --- GROUPING SETS: the general form completing rollup + cube --------------
+  // Explicit grouping sets (status-only, priority-only, grand total) via
+  // the Spark 4 Dataset.groupingSets API — one pass over the fact table,
+  // Expand + a single hash aggregate, same plan family as rollup/cube but
+  // with a user-chosen lattice (no wasted (status, priority) cells).
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val qGroupingSetsSql = s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      COUNT(DISTINCT o_custkey) AS n_cust,
+      ${sqlDsum("o_totalprice", 2)} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_grouping_sets" -> QueryDef(qGroupingSets, Some(qGroupingSetsSql),
+      "explicit grouping-sets lattice (Expand + one hash aggregate)"),
     "q2_min_cost_supp" -> QueryDef(q2MinCostSupp, Some(q2Sql),
       "per-part minimum-cost supplier via correlated MIN (window form)"),
     "q9_product_profit" -> QueryDef(q9ProductProfit, Some(q9Sql),

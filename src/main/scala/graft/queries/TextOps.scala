@@ -186,6 +186,64 @@ object TextOps {
     GROUP BY 1
     ORDER BY split"""
 
+  // --- Stratified downsampling -----------------------------------------------
+  // Quality-aware rebalancing: the dominant language is downsampled to 10 %
+  // while the rest keep 50 %, using the same engine-portable md5 bucket as
+  // the split assignment — a pure function of doc_id, so the sample is
+  // stable across re-runs, engines, and late-arriving shards. At 100 TB
+  // this is a map-side filter (no shuffle until the audit rollup) and the
+  // per-stratum rates are just a broadcastable case expression.
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("bigint"), lit(100L))
+    val rate = when(col("lang") === "en", 10L).otherwise(50L)
+    t(spark, dir, "documents")
+      .filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val qSampleStratifiedSql = """
+    WITH b AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          AS bucket
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc,
+      MAX(doc_id) AS max_doc
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+    GROUP BY lang
+    ORDER BY lang"""
+
+  // --- Vocabulary / document frequency ---------------------------------------
+  // Corpus vocabulary with document frequency (the df of tf-idf): tokens
+  // are deduplicated per document BEFORE the explode reaches the shuffle
+  // (array_distinct on the split array), so the aggregate sees one row per
+  // (doc, token) without a distinct shuffle, and the groupBy count gets
+  // map-side partial aggregation. Top-k with a total tiebreak (df desc,
+  // token asc) keeps the result deterministic across engines.
+  def qVocab(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(array_distinct(split(lower(col("text")), " ")))
+        .as("token"))
+      .filter(length(col("token")) >= 4)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+
+  private val qVocabSql = """
+    SELECT token, COUNT(*) AS df FROM (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+    WHERE length(token) >= 4
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 20"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "marker-word language ID heuristic"),
@@ -196,6 +254,13 @@ object TextOps {
       "integer quality signals rolled up by source"),
     "text_tokens" -> QueryDef(qTokens, Some(qTokensSql),
       "whitespace + BPE-ish regex token counts"),
+    "text_sample_stratified" -> QueryDef(qSampleStratified,
+      Some(qSampleStratifiedSql),
+      "per-language deterministic hash downsampling (10 % en / 50 % rest); " +
+        "pure function of doc_id, map-side filter at scale"),
+    "text_vocab_topk" -> QueryDef(qVocab, Some(qVocabSql),
+      "document-frequency vocabulary top-k; per-doc dedup before the " +
+        "shuffle via array_distinct"),
     "text_fingerprint" -> QueryDef(qFingerprint, Some(qFingerprintSql),
       "canonical-form md5 fingerprint"))
 }

@@ -179,6 +179,52 @@ object TxQueries {
       })
     }
 
+  /** Separate store for VACUUM: physical reclamation kills time travel, so
+    * it must never run against the shared fixture (tx_time_travel et al.
+    * replay old versions there). Same logical history as `nation`
+    * (insert all → V2 versions of 5..9 → delete 10..14), then compact +
+    * vacuum(0): every superseded/rewritten/pre-compaction object is
+    * physically deleted, and the surviving state must still hash-match the
+    * oracle — the invariant that vacuum reclaims only DEAD bytes.
+    */
+  private val vacBuilt = mutable.Map[String, String]()
+
+  private def ensureVacuumed(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      vacBuilt.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_vacuum_fixture").toString
+        val c = new GraftClient(spark, root)
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        c.newTx()
+        c.createTable("nv", nation.schema)
+        c.insert("nv", nation)
+        c.commitTx()
+        c.newTx()
+        c.insert("nv", nation.filter(col("n_nationkey").between(5, 9))
+          .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+        c.commitTx()
+        c.newTx()
+        c.deleteRows("nv", "n_nationkey", 10, 14)
+        c.commitTx()
+        c.newTx()
+        c.compact("nv")
+        c.commitTx()
+        val reclaimed = c.vacuum(retainVersions = 0)
+        require(reclaimed > 0,
+          s"vacuum fixture: expected dead objects to reclaim, got $reclaimed")
+        root
+      })
+    }
+
+  def txVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureVacuumed(spark, dir))
+    c.newTx()
+    try c.currentState("nv", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    finally c.rollback()
+  }
+
   private def withClient(spark: SparkSession, sfDir: String)(
       f: GraftClient => DataFrame): DataFrame = {
     val c = new GraftClient(spark, ensure(spark, sfDir))
@@ -456,6 +502,10 @@ object TxQueries {
     "tx_source_bulk" -> QueryDef(txSourceBulk, Some(txBulkRangeSql),
       "fact-table month-range aggregate through the connector: pushed " +
         "filter opens ~12 of ~80 objects"),
+    "tx_vacuum" -> QueryDef(txVacuum, Some(txCurrentStateSql),
+      "compact + vacuum(0) physically reclaims every superseded object " +
+        "(asserted > 0 removed) while the surviving state stays " +
+        "oracle-identical — vacuum deletes only dead bytes"),
     "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
       "dropColumn narrows + rewrites; re-added name reads null, never " +
         "resurrected bytes"))
