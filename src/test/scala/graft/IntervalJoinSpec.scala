@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Events
+
+/** Pins the bin-replicated interval join to the semantics it optimizes:
+  * the naive no-equi-key range join (which Spark plans as a nested-loop —
+  * fine at sf0.001 as a test oracle, dead at scale). Any off-by-one in the
+  * bin arithmetic (a window straddling a bin boundary, a point exactly on
+  * the window edge) shows up here as a count mismatch.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("binned interval join equals the naive range join") {
+    val s = spark
+    val e = graft.util.Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("us").as("p_us"))
+    val naive = p.join(e,
+        col("us") >= col("p_us") - lit(300000000L) &&
+          col("us") < col("p_us"))
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("day"))
+      .collect().toSeq
+    val binned = Events.qIntervalJoin(s, dir).collect().toSeq
+    assert(naive.nonEmpty)
+    assert(binned === naive)
+  }
+}
