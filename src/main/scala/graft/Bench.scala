@@ -51,7 +51,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
-    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))
+    val line = Seq(3, 2, 1, 0).map(render).find(_.length <= 1900).getOrElse(render(0))
     println(line)
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.QueryDef
 import graft.util.Tables._
@@ -153,6 +153,46 @@ object Events {
     GROUP BY 1
     ORDER BY day"""
 
+  // --- Skew-resistant salted aggregation -------------------------------------
+  // event_type has ~5 distinct values over the whole corpus — the
+  // archetypal hot-key aggregation. At 100 TB a naive
+  // groupBy(event_type).agg(sum, countDistinct(user_id)) funnels every
+  // row of a hot type through one reducer. The salted rewrite keeps both
+  // aggregates exact while no shuffle ever keys on the hot key alone:
+  //  - the sum goes two-stage through a 16-way salt: partials keyed on
+  //    (event_type, salt) — 80 balanced groups — then a 5-row final
+  //    re-aggregation. Partials stay DECIMAL until the final cast, so the
+  //    result is bitwise the single-stage dsum.
+  //  - the distinct count uses user_id itself as its natural salt:
+  //    distinct on (event_type, user_id) shuffles on the full pair, then
+  //    counting the survivors per type is a tiny second shuffle.
+  def qSkewSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val sums = e
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value").cast(DecimalType(30, 2))).as("pv"),
+        count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+    val users = e.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    sums.join(users, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qSkewSaltedAggSql = """
+    SELECT event_type, COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
   // --- Semi-structured: JSON props -------------------------------------------
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -182,6 +222,10 @@ object Events {
       "gap-based sessionization via window lag"),
     "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
       "as-of join via union+last_value; DuckDB ASOF JOIN oracle"),
+    "q_skew_salted_agg" -> QueryDef(qSkewSaltedAgg, Some(qSkewSaltedAggSql),
+      "hot-key aggregation salted two-stage (16-way for the sum, " +
+        "key-extension for the distinct) — exact results, no shuffle " +
+        "keyed on the hot key alone"),
     "q_interval_join" -> QueryDef(qIntervalJoin, Some(qIntervalJoinSql),
       "pure interval join (no equi key) via bin replication: equi-join " +
         "on 1-minute bins instead of a nested-loop range join"),

@@ -211,7 +211,59 @@ object Multimodal {
     GROUP BY label
     ORDER BY label"""
 
+  // --- STUB resize: fit into a 320×180 box, never upscale --------------------
+  // The resize itself is the stub (integer box-fit on the fake dims + a
+  // proportional byte-prefix "re-encode", checksummed via the hex form so
+  // both engines agree); the 100 TB plumbing is real: per-row integer
+  // scalar work that codegens, no shuffle at all until a consumer asks for
+  // one, and the output carries (dims, payload length, checksum) exactly
+  // like a codec-backed implementation would. Scale factor is per-mille
+  // integer math — no float rounding to diverge between engines.
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val withDims = assets(spark, dir)
+      .withColumn("n_bytes", length(col("content")))
+    val dims = fakeDims(col("n_bytes"))
+    dims.take(2).foldLeft(withDims) { case (df, (n, c)) =>
+      df.withColumn(n, c) }
+      .withColumn("scale",
+        least(expr("320000 div width"), expr("180000 div height"), lit(1000L)))
+      .withColumn("out_len",
+        greatest(expr("n_bytes * scale div 1000"), lit(1L)).cast("int"))
+      .select(col("asset_id"),
+        greatest(expr("width * scale div 1000"), lit(1L)).cast("int")
+          .as("out_w"),
+        greatest(expr("height * scale div 1000"), lit(1L)).cast("int")
+          .as("out_h"),
+        col("out_len"),
+        md5(expr("substring(hex(content), 1, out_len * 2)"))
+          .as("out_checksum"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val mmResizeSql = """
+    WITH a AS (
+      SELECT doc_id AS asset_id, encode(text) AS content,
+        octet_length(encode(text)) AS n_bytes,
+        octet_length(encode(text)) % 1280 + 64 AS width,
+        (octet_length(encode(text)) * 7) % 720 + 36 AS height
+      FROM documents),
+    s AS (
+      SELECT *, LEAST(320000 // width, 180000 // height, 1000) AS scale
+      FROM a)
+    SELECT asset_id,
+      CAST(GREATEST(width * scale // 1000, 1) AS INT) AS out_w,
+      CAST(GREATEST(height * scale // 1000, 1) AS INT) AS out_h,
+      CAST(GREATEST(n_bytes * scale // 1000, 1) AS INT) AS out_len,
+      md5(substr(hex(content), 1,
+        CAST(GREATEST(n_bytes * scale // 1000, 1) AS INT) * 2))
+        AS out_checksum
+    FROM s
+    ORDER BY asset_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql),
+      "stub box-fit resize: integer per-mille scaling of dims + payload " +
+        "prefix, checksummed portably; pure map-side work"),
     "mm_binary_meta" -> QueryDef(mmBinaryMeta, Some(mmBinaryMetaSql),
       "opaque binary payloads: byte length, md5 checksum, magic prefix"),
     "mm_frame_sample" -> QueryDef(mmFrameSample, Some(mmFrameSampleSql),
