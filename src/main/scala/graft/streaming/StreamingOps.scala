@@ -49,6 +49,40 @@ object StreamingOps {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .dropDuplicates("fingerprint")
 
+  /** Stream-stream interval join — the unbounded twin of
+    * Events.qIntervalJoin's core: each purchase joins every event in its
+    * 5-minute lookback window, with no natural equi key. Spark REQUIRES
+    * an equality predicate for stream-stream joins
+    * (streamJoinStreamWithoutEqualityPredicateUnsupportedError), and the
+    * batch bin-replication rewrite supplies exactly that: the interval
+    * side explodes onto the 1-minute bins it overlaps (≤6 replicas), the
+    * point side maps to its single bin, and the join is keyed on the bin
+    * with the event-time range as residual. Both sides carry watermarks,
+    * and the range condition lets Spark evict state past the watermark —
+    * retention is O(rate × window), independent of stream length. One
+    * rewrite, two engines: the same trick that avoids the batch
+    * nested-loop join makes the streaming join expressible at all.
+    */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    val binUs = 60000000L // 1-minute bins over a 5-minute window
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"))
+      .withWatermark("p_ts", "10 minutes")
+      .withColumn("p_bin", explode(sequence(
+        expr(s"(p_us - 300000000) div $binUs"),
+        expr(s"p_us div $binUs"))))
+    val e = events
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"),
+        unix_micros(col("ts")).as("e_us"))
+      .withWatermark("e_ts", "10 minutes")
+      .withColumn("e_bin", expr(s"e_us div $binUs"))
+    p.join(e,
+      col("p_bin") === col("e_bin") &&
+        col("e_ts") >= col("p_ts") - expr("interval 5 minutes") &&
+        col("e_ts") < col("p_ts"))
+  }
+
   /** Watermarked tumbling-window rollup — streaming twin of
     * Events.qHourly (same aggregates; window start == date_trunc('hour')).
     */

@@ -28,6 +28,31 @@ class StreamingSpec extends AnyFunSuite {
       .as[Event].collect().toSeq
   }
 
+  test("stream-stream interval join emits exactly the batch pair set") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    input.addData(fixtureEvents)
+    val q = StreamingOps.intervalJoinStream(input.toDF())
+      .writeStream.format("memory").queryName("interval_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = s.table("interval_stream")
+      .agg(count(lit(1)), countDistinct(col("p_id")))
+      .collect().head
+    // batch oracle: the per-day rollup's totals over the same fixture
+    val want = Events.qIntervalJoin(s, dir)
+      .agg(sum(col("n_pairs")), sum(col("n_purchases")))
+      .collect().head
+    assert(got.getLong(0) > 0)
+    assert(got.getLong(0) === want.getLong(0))
+    // n_purchases sums per-day distinct counts; no purchase window spans
+    // midnight into another purchase's day bucket twice, so the sum is
+    // the global distinct count on this fixture
+    assert(got.getLong(1) === want.getLong(1))
+  }
+
   test("watermarked hourly rollup equals the batch rollup") {
     val s = spark
     import s.implicits._
