@@ -26,5 +26,6 @@ object Registry {
       queries.SimilarityOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++
+      queries.Bucketed.defs ++
       sources.Sources.defs
 }

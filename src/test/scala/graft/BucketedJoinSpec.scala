@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Bucketed
+
+/** The point of bucketing is the missing exchange: both sides were
+  * shuffled once at write time, so the merge join must read them
+  * co-located. If the plan regresses to shuffling (bucket spec ignored,
+  * mismatched bucket counts, config off), this fails.
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed merge join plans without a shuffle exchange") {
+    val joined = Bucketed.bucketedJoin(spark, dir)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected merge join:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
