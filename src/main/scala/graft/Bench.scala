@@ -45,13 +45,38 @@ object Bench {
     // per-query precision is noise next to this VM's ±50% variance anyway.
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
-    def render(dp: Int): String = {
-      val fmt = s"%.${dp}f"
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+    def renderWith(one: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + one(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${"%.1f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}"""
     }
-    val line = Seq(3, 2, 1, 0).map(render).find(_.length <= 1900).getOrElse(render(0))
+    def render(dp: Int): String = renderWith(v => s"%.${dp}f".format(v))
+    // compact: sub-50ms queries render as a bare 0 and integer-valued
+    // times drop their ".0" (2 chars saved each) while everything
+    // measurable keeps its 1-decimal value — preferred over the
+    // all-integer render(0), which zeroes most of the per-query signal
+    // the driver records. Budget 1915: the only stdout after the line is
+    // sbt's "[success] Total time: ..." (~76 chars) inside the driver's
+    // 2000-char tail capture.
+    val compact = renderWith { v =>
+      if (v < 0.05) "0"
+      else {
+        val s = "%.1f".format(v)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
+    }
+    val candidates = Seq(3, 2, 1).map(render) :+ compact :+ render(0)
+    val line = candidates.find(_.length <= 1915).getOrElse(render(0))
+    // full-precision copy for the repo record — the stdout line degrades
+    // per-query precision as the query set grows, this never does
+    try {
+      val detail = render(3)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    System.err.println(
+      s"bench line lengths: ${candidates.map(_.length).mkString(",")}")
     println(line)
     spark.stop()
   }
