@@ -218,6 +218,34 @@ object TextOps {
     GROUP BY lang
     ORDER BY lang"""
 
+  // --- Corpus profiling -------------------------------------------------------
+  // The ANALYZE-style one-pass profile a pipeline runs before committing
+  // compute to a corpus: row/empty counts, per-column cardinalities,
+  // value ranges. One full scan, one reduce — every aggregate here is
+  // map-side partial, so the shuffle carries a handful of numbers no
+  // matter how many executors scanned.
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("n_empty_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  private val qProfileSql = """
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_empty_text,
+      COUNT(DISTINCT lang) AS n_langs,
+      COUNT(DISTINCT source) AS n_sources,
+      MIN(n_chars) AS min_chars,
+      MAX(n_chars) AS max_chars,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents"""
+
   // --- Vocabulary / document frequency ---------------------------------------
   // Corpus vocabulary with document frequency (the df of tf-idf): tokens
   // are deduplicated per document BEFORE the explode reaches the shuffle
@@ -258,6 +286,9 @@ object TextOps {
       Some(qSampleStratifiedSql),
       "per-language deterministic hash downsampling (10 % en / 50 % rest); " +
         "pure function of doc_id, map-side filter at scale"),
+    "text_profile" -> QueryDef(qProfile, Some(qProfileSql),
+      "one-pass ANALYZE-style corpus profile: counts, cardinalities, " +
+        "ranges — all map-side partial aggregates"),
     "text_vocab_topk" -> QueryDef(qVocab, Some(qVocabSql),
       "document-frequency vocabulary top-k; per-doc dedup before the " +
         "shuffle via array_distinct"),

@@ -1447,6 +1447,38 @@ final class GraftClient(
     */
   def history(): Vector[(Long, Vector[Action])] = txLog.entries()
 
+  /** Delta's DESCRIBE DETAIL: a one-row metadata summary of a table's
+    * physical layout, computed entirely from the log and the local file
+    * listing — no data file is ever opened. `num_rows` is exact
+    * (footer-derived object counts minus DV-suppressed rows), which is
+    * the payoff of carrying numRows in every Add action: at 100 TB the
+    * row count of a petabyte table is a metadata fold, not a scan.
+    */
+  def describeDetail(table: String): DataFrame = {
+    val snap = txLog.begin()
+    val schema = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val files = snap.liveFiles(table)
+    val dvs = snap.liveDvs(table)
+    val sizeBytes = files.map { f =>
+      val d = new java.io.File(rootDir, f.path)
+      Option(d.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+    }.sum
+    val row = Row(table, snap.version, files.length.toLong,
+      files.map(_.numRows).sum - dvs.map(_.numRows).sum,
+      dvs.length.toLong, sizeBytes, schema.fields.length.toLong)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("num_objects", LongType, nullable = false),
+        StructField("num_rows", LongType, nullable = false),
+        StructField("num_dvs", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("num_columns", LongType, nullable = false))))
+  }
+
   /** Register the latest COMMITTED state as a temp view so the table is
     * queryable through `spark.sql` — the SQL surface over the tx store.
     * Deliberately not this transaction's view of the table: a temp view

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** describeDetail is a metadata fold: every number must match what the
+  * data actually says, without any data file being opened.
+  */
+class DescribeDetailSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def kvDf(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  test("detail row tracks objects, exact rows, DVs, bytes, columns") {
+    val dir = Files.createTempDirectory("graft_detail").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 10).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", kvDf((11 to 15).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    c.newTx()
+    c.deleteRowsDV("t", "k", 1, 4) // suppresses 4 rows, rewrites nothing
+    c.commitTx()
+
+    val d = c.describeDetail("t").collect().head
+    assert(d.getString(0) === "t")
+    assert(d.getLong(2) === 2L, "two insert objects")
+    assert(d.getLong(3) === 11L, "15 written - 4 DV-suppressed")
+    assert(d.getLong(4) === 1L, "one delete vector")
+    assert(d.getLong(5) > 0L, "on-disk bytes counted")
+    assert(d.getLong(6) === 2L, "two schema columns")
+
+    // the exact row count must agree with an actual scan
+    c.newTx()
+    val scanned = try c.currentState("t", Seq("k")).count()
+    finally c.rollback()
+    assert(scanned === d.getLong(3))
+  }
+}
