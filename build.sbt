@@ -16,6 +16,11 @@ run / fork := true
 // Bench prints, and the sbt log prefix has broken that parse every round
 // (BENCH_r0{1..4}.json all record parsed:null with the line present).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." line for the same
+// reason: it eats ~76 chars of the driver's 2000-char stdout-tail budget
+// right after the JSON line, which is what forces Bench's per-query map
+// to degrade precision as the query set grows.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

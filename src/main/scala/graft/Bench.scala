@@ -55,9 +55,10 @@ object Bench {
     // times drop their ".0" (2 chars saved each) while everything
     // measurable keeps its 1-decimal value — preferred over the
     // all-integer render(0), which zeroes most of the per-query signal
-    // the driver records. Budget 1915: the only stdout after the line is
-    // sbt's "[success] Total time: ..." (~76 chars) inside the driver's
-    // 2000-char tail capture.
+    // the driver records. Budget 1960: build.sbt suppresses sbt's
+    // trailing "[success]" line (showSuccess := false), so the JSON line
+    // is the last stdout inside the driver's 2000-char tail capture;
+    // 40 chars of slack for anything unexpected.
     val compact = renderWith { v =>
       if (v < 0.05) "0"
       else {
@@ -66,7 +67,7 @@ object Bench {
       }
     }
     val candidates = Seq(3, 2, 1).map(render) :+ compact :+ render(0)
-    val line = candidates.find(_.length <= 1915).getOrElse(render(0))
+    val line = candidates.find(_.length <= 1960).getOrElse(render(0))
     // full-precision copy for the repo record — the stdout line degrades
     // per-query precision as the query set grows, this never does
     try {
