@@ -271,7 +271,40 @@ object Relational4 {
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
 
+  // --- UNPIVOT / melt: the inverse of q_pivot --------------------------------
+  // Wide→long reshaping via Dataset.unpivot (Expand under the hood — one
+  // pass, rows×3 output, no shuffle until the rollup). The value columns
+  // are rounded to their fixture scale BEFORE the decimal sum so both
+  // engines aggregate identical decimals.
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("val"), 4).as("total"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .orderBy(col("metric"))
+
+  private val qUnpivotSql = s"""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem)
+    SELECT metric, COUNT(*) AS n, ${sqlDsum("val", 4)} AS total,
+      MIN(val) AS min_val, MAX(val) AS max_val
+    FROM long
+    GROUP BY metric
+    ORDER BY metric"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_unpivot" -> QueryDef(qUnpivot, Some(qUnpivotSql),
+      "UNPIVOT/melt wide-to-long (Expand, no shuffle before the rollup) " +
+        "— the inverse of q_pivot"),
     "q_grouping_sets" -> QueryDef(qGroupingSets, Some(qGroupingSetsSql),
       "explicit grouping-sets lattice (Expand + one hash aggregate)"),
     "q2_min_cost_supp" -> QueryDef(q2MinCostSupp, Some(q2Sql),
