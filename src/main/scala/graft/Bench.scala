@@ -55,10 +55,12 @@ object Bench {
     // times drop their ".0" (2 chars saved each) while everything
     // measurable keeps its 1-decimal value — preferred over the
     // all-integer render(0), which zeroes most of the per-query signal
-    // the driver records. Budget 1960: build.sbt suppresses sbt's
+    // the driver records. Budget 1980: build.sbt suppresses sbt's
     // trailing "[success]" line (showSuccess := false), so the JSON line
-    // is the last stdout inside the driver's 2000-char tail capture;
-    // 40 chars of slack for anything unexpected.
+    // plus its newline is the last stdout inside the driver's 2000-char
+    // tail capture; 20 chars of slack. At 90 queries the 1-decimal map
+    // is 1978 chars — at stdout capacity; BENCH_DETAIL.json carries full
+    // precision if future growth pushes the line down the ladder.
     val compact = renderWith { v =>
       if (v < 0.05) "0"
       else {
@@ -67,7 +69,7 @@ object Bench {
       }
     }
     val candidates = Seq(3, 2, 1).map(render) :+ compact :+ render(0)
-    val line = candidates.find(_.length <= 1960).getOrElse(render(0))
+    val line = candidates.find(_.length <= 1980).getOrElse(render(0))
     // full-precision copy for the repo record — the stdout line degrades
     // per-query precision as the query set grows, this never does
     try {

@@ -385,9 +385,46 @@ object DedupOps {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // --- Canonical-representative selection ------------------------------------
+  // The KEEP step detection feeds: inside each exact-duplicate group,
+  // exactly one survivor is chosen by a total order (longest document,
+  // doc_id as tiebreak) so every engine, re-run, and shard picks the same
+  // one. One shuffle on the fingerprint; the window scans each group once.
+  // At 100 TB this is the pass that turns "dup groups found" into the
+  // deduplicated corpus itself.
+  def dedupCanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    graft.util.Tables.t(spark, dir, "documents")
+      .withColumn("fingerprint", md5(norm))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupCanonicalPickSql = """
+    WITH f AS (
+      SELECT doc_id, n_chars,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+    r AS (
+      SELECT doc_id, fingerprint,
+        row_number() OVER (PARTITION BY fingerprint
+                           ORDER BY n_chars DESC, doc_id) AS rn
+      FROM f)
+    SELECT doc_id, fingerprint FROM r WHERE rn = 1
+    ORDER BY doc_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql),
       "exact dedup groups by canonical-form md5 fingerprint"),
+    "dedup_canonical_pick" -> QueryDef(dedupCanonicalPick,
+      Some(dedupCanonicalPickSql),
+      "KEEP step: one deterministic survivor per duplicate group " +
+        "(longest doc, doc_id tiebreak) — detection into a deduped corpus"),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramSql),
       "near-dup pairs: rare-6-gram inverted index + bigram Jaccard >= 0.5"),
     "dedup_minhash_lsh" -> QueryDef(dedupMinhashLsh, Some(dedupNgramSql),
