@@ -153,6 +153,49 @@ object Events {
     GROUP BY 1
     ORDER BY day"""
 
+  // --- Funnel analysis --------------------------------------------------------
+  // Ordered-stage conversion: first signup → first view within an hour of
+  // it → first purchase within an hour of that. Every stage is one
+  // groupBy(user_id) MIN plus an equi-join back on user_id — the same
+  // shuffle key throughout, so at 100 TB the three stages reuse one
+  // partitioning (no window function, no per-user event sorting, state is
+  // one timestamp per surviving user per stage). Microsecond arithmetic
+  // keeps the window math identical across engines.
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+    val v = e.filter(col("event_type") === "view").join(s, "user_id")
+      .filter(col("ts") > col("st") &&
+        unix_micros(col("ts")) <= unix_micros(col("st")) + hourUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val p = e.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("ts") > col("vt") &&
+        unix_micros(col("ts")) <= unix_micros(col("vt")) + hourUs)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    s.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  private val qEventsFunnelSql = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS vt FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.st
+        AND e.ts <= s.st + INTERVAL 1 HOUR GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.vt
+        AND e.ts <= v.vt + INTERVAL 1 HOUR GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after"""
+
   // --- Skew-resistant salted aggregation -------------------------------------
   // event_type has ~5 distinct values over the whole corpus — the
   // archetypal hot-key aggregation. At 100 TB a naive
@@ -222,6 +265,9 @@ object Events {
       "gap-based sessionization via window lag"),
     "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
       "as-of join via union+last_value; DuckDB ASOF JOIN oracle"),
+    "q_events_funnel" -> QueryDef(qEventsFunnel, Some(qEventsFunnelSql),
+      "ordered-stage funnel (signup -> view -> purchase, 1-hour " +
+        "windows); every stage reuses the user_id shuffle key"),
     "q_skew_salted_agg" -> QueryDef(qSkewSaltedAgg, Some(qSkewSaltedAggSql),
       "hot-key aggregation salted two-stage (16-way for the sum, " +
         "key-extension for the distinct) — exact results, no shuffle " +
