@@ -72,6 +72,28 @@ object DedupOps {
       .repartition(col("doc_id"))
       .filter(size(col("ws")) >= minWords)
 
+  /** Upper bound on candidate-bucket size shared by ALL near-dup families.
+    * A bucket key held by more than this many documents (a million exact
+    * duplicates collapsing into one band signature, a near-empty-doc block
+    * value) would make pair generation O(bucket²); such buckets are dropped
+    * — exact dedup, not near-dup, is the tool for mass-identical content.
+    */
+  private[graft] val BucketCap = 1000
+
+  /** Apply the `[2, BucketCap]` size gate to a bucketed candidate frame
+    * (`ids` = collect_list of doc ids per bucket key), while publishing
+    * `dropped_buckets` / `max_bucket` as observed metrics (visible via
+    * `df.queryExecution.observedMetrics` and any QueryExecutionListener) so
+    * a run that sheds oversize buckets says so instead of silently pruning.
+    */
+  private def cappedBuckets(buckets: DataFrame, metricName: String): DataFrame =
+    buckets
+      .observe(metricName,
+        sum(when(size(col("ids")) > BucketCap, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
+      .filter(size(col("ids")).between(2, BucketCap))
+
   /** All (doc_a < doc_b) pairs within each bucket's sorted `ids` array —
     * candidate generation stays per-bucket (never corpus-quadratic) and
     * runs in the same pass as the bucketing aggregation.
@@ -142,10 +164,9 @@ object DedupOps {
       .select(col("doc_id"), explode(sixgramT).as("g"))
     // bucket per shingle, generate pairs inside the bucket — one pass, no
     // self-join (which would execute the whole explode subtree twice); the
-    // [2,1000] size filter is the df cap against ubiquitous shingles
-    val pairs = bucketedPairs(byG.groupBy(col("g"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 1000)))
+    // [2, BucketCap] size gate is the df cap against ubiquitous shingles
+    val pairs = bucketedPairs(cappedBuckets(byG.groupBy(col("g"))
+      .agg(collect_list(col("doc_id")).as("ids")), "ngram_buckets"))
     verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
@@ -204,9 +225,11 @@ object DedupOps {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array(bandKeys.map(k => k): _*).as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bkey"))
-    val pairs = bucketedPairs(bands.groupBy(col("bkey"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1))
+    // [2, BucketCap] gate: a band bucket holding thousands of ids means
+    // mass-identical content (exact dedup's job); without the cap one such
+    // key makes pair generation O(bucket²) at crawl scale
+    val pairs = bucketedPairs(cappedBuckets(bands.groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
     verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
@@ -244,12 +267,25 @@ object DedupOps {
         .as("x"))
       .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"),
         col("x.v").as("v"))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    // bucket per (block, value) and generate pairs inside the bucket —
+    // the same capped shape as the n-gram/minhash paths, replacing the
+    // former uncapped self-join: one shared 15-bit block value held by
+    // thousands of docs (near-empty documents all hashing alike) would be
+    // O(bucket²). Signatures ride along in the bucket so the hamming check
+    // needs no join back to the aggregate.
+    val buckets = cappedBuckets(
+      blocks.groupBy(col("blk"), col("v"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids")),
+      "simhash_buckets")
+    buckets
+      .withColumn("ids", array_sort(col("ids"))) // struct sort = by doc_id
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.simhash AS sh_a, y.simhash AS sh_b))))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= 3)
@@ -272,10 +308,16 @@ object DedupOps {
     blocks AS (
       SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS v
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    capped AS (
+      SELECT doc_id, simhash, b, v FROM (
+        SELECT doc_id, simhash, b, v,
+          count(*) OVER (PARTITION BY b, v) AS n
+        FROM blocks) x
+      WHERE n BETWEEN 2 AND 1000),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.simhash AS sh_a, b.simhash AS sh_b
-      FROM blocks a JOIN blocks b
+      FROM capped a JOIN capped b
         ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
     FROM pairs
