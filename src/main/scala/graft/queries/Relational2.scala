@@ -143,13 +143,18 @@ object Relational2 {
 
   // --- TPC-H Q22-style: scalar subquery + anti join -------------------------
   // Threshold uses the deterministic decimal-sum/count form so the filter
-  // boundary is bit-identical in both engines.
+  // boundary is bit-identical in both engines. "Idle" is no order since
+  // 2000-01-01 (every fixture customer has SOME order, so an
+  // all-time anti join would be empty at every SF — an empty-vs-empty
+  // oracle match proves nothing); the date filter lands on the orders
+  // scan before the anti join, so the probe side shrinks first.
   def q22WealthyIdle(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
     val thr = cust.filter(col("c_acctbal") > 0)
       .agg((dsum(col("c_acctbal"), 2) / count(col("c_acctbal")))
         .as("avg_bal"))
     val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
     cust.crossJoin(broadcast(thr))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -165,7 +170,9 @@ object Relational2 {
     FROM customer
     WHERE c_acctbal > (SELECT ${sqlDsum("c_acctbal", 2)} / COUNT(c_acctbal)
                        FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment"""
 

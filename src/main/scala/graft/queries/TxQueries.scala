@@ -407,6 +407,10 @@ object TxQueries {
     ORDER BY n_nationkey"""
 
   // --- Bloom-filter point lookup --------------------------------------------
+  // Two probes: an absent key ("CANADA" — the bloom's raison d'être, zero
+  // objects opened) and a present key ("NATION_17" — the row comes back
+  // and only its object opens). The absent row alone would be an
+  // empty-vs-empty oracle match; the hit row carries data.
   def txBloomLookup(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
       c.scanEquals("nation9", "n_name", "CANADA")
@@ -417,6 +421,18 @@ object TxQueries {
   private val txBloomLookupSql = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     WHERE n_name = 'CANADA'
+    ORDER BY n_nationkey"""
+
+  def txBloomHit(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scanEquals("nation9", "n_name", "NATION_17")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txBloomHitSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_name = 'NATION_17'
     ORDER BY n_nationkey"""
 
   // --- DataSource connector over the FACT table: pruned read + aggregate ----
@@ -493,6 +509,9 @@ object TxQueries {
     "tx_bloom_lookup" -> QueryDef(txBloomLookup, Some(txBloomLookupSql),
       "per-object bloom sidecars prune a point lookup where min/max " +
         "stats overlap (the reference's README.md:37 bloom TODO)"),
+    "tx_bloom_hit" -> QueryDef(txBloomHit, Some(txBloomHitSql),
+      "bloom point lookup on a PRESENT key: the row returns and only " +
+        "its object opens (the absent-key row's data-carrying twin)"),
     "tx_source_pushdown" -> QueryDef(txSourcePushdown, Some(txStatsPruneSql),
       "spark.read.format(\"graft\") with compiled-filter pushdown into " +
         "stats-based object skipping"),
