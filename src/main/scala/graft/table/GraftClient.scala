@@ -783,6 +783,26 @@ final class GraftClient(
     } finally { delKeys.unpersist(false); classified.unpersist(false) }
   }
 
+  /** Stats-prune the merge-delete DV scan by the delete-key span: merge
+    * deletes usually touch a narrow key band, and the min/max of the
+    * dimension-sized key set is one tiny aggregate. Composite keys
+    * intersect every column's prune (one aggregate computes all the
+    * bounds) — an object survives only if it can overlap EVERY key
+    * column's span, so trailing columns prune too.
+    */
+  private[graft] def mergePrunedFiles(allFiles: Vector[AddDataObject],
+      delKeys: DataFrame, keyCols: Seq[String]): Vector[AddDataObject] = {
+    val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    delKeys.agg(aggs.head, aggs.tail: _*).collect().headOption match {
+      case Some(r) =>
+        keyCols.zipWithIndex.foldLeft(allFiles) { case (fs, (c, i)) =>
+          if (r.isNullAt(2 * i)) fs
+          else pruneByRange(fs, c, r.get(2 * i), r.get(2 * i + 1))
+        }
+      case _ => allFiles
+    }
+  }
+
   private def mergeDeletes(table: String, schema: StructType,
       delKeys: DataFrame, keyCols: Seq[String]): Unit = {
     val t = currentTx
@@ -790,17 +810,7 @@ final class GraftClient(
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
     // to the full-table DV scan it skips for the common pure-upsert merge
     if (allFiles.nonEmpty && !delKeys.isEmpty) {
-      // stats-prune the DV scan by the delete-key span: merge deletes
-      // usually touch a narrow key band, and the min/max of the
-      // dimension-sized key set is one tiny aggregate. Multi-column keys
-      // prune on the leading column.
-      val k0 = keyCols.head
-      val files = delKeys.agg(min(col(k0)), max(col(k0))).collect()
-        .headOption match {
-        case Some(r) if !r.isNullAt(0) =>
-          pruneByRange(allFiles, k0, r.get(0), r.get(1))
-        case _ => allFiles
-      }
+      val files = mergePrunedFiles(allFiles, delKeys, keyCols)
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         val matched = applyDvs(
           spark.read.schema(provSchema(schema))
@@ -968,6 +978,43 @@ final class GraftClient(
         touched.map(n => byName(n).txId).min, survivors, stats)
     // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
+
+    // phase 3: a row that was BOTH live-DV-masked and pred-matched was just
+    // physically removed — shrink the DVs so live DV keys always reference
+    // physically present rows. This is the invariant that keeps
+    // describeDetail's files-minus-DVs row arithmetic exact (the
+    // DvCompactReproSpec under-count scenario: deleteRowsDV followed by an
+    // overlapping copy-on-write delete). The shrink is DV-scale work: both
+    // joins broadcast the tiny DV-key side, the one big input is a
+    // provenance-column-pruned re-read of just the touched objects.
+    val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
+    if (dvs.nonEmpty) {
+      val dvKeys = spark.read
+        .schema(StructType(Seq(
+          StructField(TxIdCol, LongType, nullable = false),
+          StructField(RowIdxCol, LongType, nullable = false))))
+        .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
+      val removedMasked = spark.read.schema(pSchema)
+        .parquet(touched.map(n => s"$rootDir/$n"): _*)
+        .filter(pred)
+        .select(col(TxIdCol), col(RowIdxCol))
+        .join(broadcast(dvKeys), Seq(TxIdCol, RowIdxCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!removedMasked.isEmpty) {
+          val dvName = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
+          dvKeys
+            .join(broadcast(removedMasked), Seq(TxIdCol, RowIdxCol),
+              "left_anti")
+            .write.parquet(s"$rootDir/$dvName")
+          val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$dvName",
+            new StructType())
+          dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+          if (n > 0) t.actions += AddDeleteVector(table, dvName, t.id, n)
+          else t.actions += RemoveDataObject(table, dvName)
+        }
+      } finally removedMasked.unpersist(false)
+    }
   }
 
   /** Flush buffers, append the log entry, release the tx. Throws
@@ -1321,14 +1368,43 @@ final class GraftClient(
     }
   }
 
-  /** Merge every live object of `table` into one multi-part object — the
-    * reference's unimplemented compaction TODO (README.md:32), and the
-    * standard answer to the small-file problem a streaming writer creates
-    * at scale. Rows keep their (_tx_id, _row_idx) provenance columns, so
-    * MVCC semantics are untouched; the merged object takes the minimum
-    * original txId for its metadata slot. One distributed job.
+  /** Bin-packing compaction — the reference's unimplemented compaction
+    * TODO (README.md:32) and the answer to the small-file problem a
+    * streaming writer creates, shaped so maintenance does NOT undo the
+    * pruning that `insertPartitioned`/`clusterBy` bought. A full-table
+    * merge into one object would give the merged object min/max stats
+    * spanning everything (a month-partitioned table would compact into
+    * one un-prunable blob); instead:
+    *
+    *   - only objects with at most `targetRows / 2` rows are candidates —
+    *     large objects are never rewritten (O(small files), not O(table));
+    *   - candidates are grouped by *partition identity*: the columns whose
+    *     footer stats are a single point value in every candidate (the
+    *     shape `insertPartitioned` writes). Bins never span groups, so
+    *     per-partition pruning survives. A degenerate grouping (more
+    *     groups than half the candidates — e.g. single-row objects where
+    *     every column is a point) falls back to one group;
+    *   - within a group, candidates are ordered by the first stat-bearing
+    *     non-point column's min (stat adjacency — range-clustered
+    *     neighbors merge with neighbors, keeping bins' stat ranges
+    *     narrow), then greedily packed into bins of ≤ `targetRows` rows;
+    *   - every bin becomes one object via ONE distributed job (rows are
+    *     routed to their bin by source object, `input_file_name` → bin
+    *     id broadcast map), taking the minimum member txId for its MVCC
+    *     metadata slot. Rows keep (_tx_id, _row_idx) provenance.
+    *
+    * Deletion vectors: applied-and-retired only when every live object is
+    * being rewritten (a full sweep — then the masked rows are physically
+    * gone everywhere, including from singleton bins, which are rewritten
+    * in that case just so the DVs can retire). With any object left
+    * untouched, DVs stay live and unapplied — correct (they keep masking
+    * exactly the same rows) and keeps the files-minus-DVs row arithmetic
+    * exact. numRows per bin is counted from the written footers, never
+    * from files-minus-DV arithmetic (DvCompactReproSpec).
     */
-  def compact(table: String): Unit = {
+  def compact(table: String,
+      targetRows: Long = GraftClient.DefaultCompactTargetRows): Unit = {
+    require(targetRows >= 2, "targetRows must be >= 2")
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
@@ -1338,21 +1414,89 @@ final class GraftClient(
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
       return
     }
-    val pSchema = provSchema(schema)
-    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    // applying the deletion vectors during the rewrite retires them:
-    // the merged object holds only surviving rows. numRows is counted
-    // from the written data (footer-metadata read) — DV key counts go
-    // stale when later rewrites physically remove masked rows, so
-    // files-minus-dvs arithmetic under-counts (DvCompactReproSpec).
-    applyDvs(spark.read.schema(pSchema)
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
-      .write.parquet(s"$rootDir/$name")
-    val (merged, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
-    if (merged > 0)
-      t.actions += AddDataObject(table, name, files.map(_.txId).min, merged, stats)
-    files.foreach(a => t.actions += RemoveDataObject(table, a.path))
-    dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+    val small = files.filter(_.numRows <= math.max(1L, targetRows / 2))
+    val fullSweep = small.length == files.length
+    // retiring DVs requires the full sweep; then even singleton bins
+    // rewrite so no masked row survives physically
+    val retireDvs = fullSweep && dvs.nonEmpty
+    if (small.length < 2 && !retireDvs) return
+
+    // partition identity: columns that are a single point value in every
+    // candidate's stats; guard against the degenerate all-points case
+    val pointCols = schema.fieldNames.filter(c => small.forall(a =>
+      a.stats.get(c).exists(s => s.min != null && s.min == s.max)))
+    val grouped0 = small.groupBy(a => pointCols.map(c => a.stats(c).min).toSeq)
+    val grouped =
+      if (pointCols.isEmpty || grouped0.size > math.max(1, small.length / 2))
+        Map(Seq.empty[Any] -> small)
+      else grouped0
+
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: Long, y: Double) => x.toDouble < y
+      case (x: Double, y: Long) => x < y.toDouble
+      case (x: String, y: String) => x < y
+      case _ => false
+    }
+    val bins = mutable.ArrayBuffer[Vector[AddDataObject]]()
+    grouped.toSeq.sortBy(_._1.mkString(" ")).foreach { case (_, members) =>
+      val orderCol = schema.fieldNames
+        .filterNot(pointCols.contains)
+        .find(c => members.forall(_.stats.get(c).exists(_.min != null)))
+      val sorted = orderCol match {
+        case Some(c) => members.sortWith { (a, b) =>
+          val (x, y) = (a.stats(c).min, b.stats(c).min)
+          if (x == y) a.txId < b.txId else lt(x, y)
+        }
+        case None => members.sortBy(_.txId)
+      }
+      var cur = Vector.empty[AddDataObject]
+      var rows = 0L
+      sorted.foreach { a =>
+        if (cur.nonEmpty && rows + a.numRows > targetRows) {
+          bins += cur; cur = Vector(a); rows = a.numRows
+        } else { cur :+= a; rows += a.numRows }
+      }
+      if (cur.nonEmpty) bins += cur
+    }
+    val eligible = bins.filter(b => b.length >= 2 || retireDvs).toVector
+    if (eligible.isEmpty) return
+
+    val binOf = eligible.zipWithIndex
+      .flatMap { case (bin, i) => bin.map(_.path -> i) }.toMap
+    val srcPaths = eligible.flatten.map(_.path)
+    val src = spark.read.schema(provSchema(schema))
+      .parquet(srcPaths.map(p => s"$rootDir/$p"): _*)
+      .withColumn("_obj",
+        regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+    val mapping = spark.createDataFrame(
+      binOf.toSeq.map { case (p, b) => Row(p, b) }.asJava,
+      StructType(Seq(StructField("_obj", StringType, nullable = false),
+        StructField(PartCol, IntegerType, nullable = false))))
+    val masked = if (retireDvs) applyDvs(src, dvs) else src
+    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
+    masked.join(broadcast(mapping), "_obj").drop("_obj")
+      .write.partitionBy(PartCol).parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    Option(stagingDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+      .foreach { d =>
+        val binId = d.getName.stripPrefix(s"$PartCol=").toInt
+        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+        java.nio.file.Files.move(d.toPath,
+          new java.io.File(s"$rootDir/$name").toPath)
+        val (rows, stats) =
+          ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+        if (rows > 0)
+          t.actions += AddDataObject(table, name,
+            eligible(binId).map(_.txId).min, rows, stats)
+        else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      }
+    deleteRecursively(stagingDir)
+    eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
+    if (retireDvs)
+      dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
   /** [[compact]] only when the table's live object count (including this
@@ -1453,6 +1597,14 @@ final class GraftClient(
     * (footer-derived object counts minus DV-suppressed rows), which is
     * the payoff of carrying numRows in every Add action: at 100 TB the
     * row count of a petabyte table is a metadata fold, not a scan.
+    *
+    * The files-minus-DVs arithmetic is exact because every rewrite path
+    * maintains one invariant — live DV keys always reference physically
+    * present rows: copy-on-write deletes shrink overlapping DVs
+    * (deleteWhereImpl phase 3), compact applies DVs only on the full
+    * sweep that also retires them, and rewriteObjects/relayout apply and
+    * retire together. Pinned in DescribeDetailSpec's DV + overlapping
+    * CoW-delete interleaving.
     */
   def describeDetail(table: String): DataFrame = {
     val snap = txLog.begin()
@@ -1609,4 +1761,14 @@ final class GraftClient(
   }
 
   def hasOpenTx: Boolean = tx.isDefined
+}
+
+object GraftClient {
+  /** Default bin size for [[GraftClient.compact]], in rows. Objects at or
+    * under half this are compaction candidates; bins pack up to this many
+    * rows. Sized so a bin of typical ~1 KiB rows lands in the
+    * hundreds-of-MiB parquet-object sweet spot; callers with wide rows
+    * (embeddings, binary payloads) should pass a smaller target.
+    */
+  val DefaultCompactTargetRows: Long = 4L * 1024 * 1024
 }

@@ -51,4 +51,41 @@ class DescribeDetailSpec extends AnyFunSuite {
     finally c.rollback()
     assert(scanned === d.getLong(3))
   }
+
+  test("num_rows stays exact through DV + overlapping CoW delete") {
+    val dir = Files.createTempDirectory("graft_detail_dv").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1 to 20).map(k => (k, s"v$k")): _*))
+    c.commitTx()
+    c.newTx()
+    c.deleteRowsDV("t", "k", 1, 8) // DV masks 8 rows
+    c.commitTx()
+    // overlapping copy-on-write delete: rows 5..8 are BOTH DV-masked and
+    // pred-matched, so the rewrite physically removes them — the DV must
+    // shrink to 4 keys or files-minus-DVs under-counts by 4
+    c.newTx()
+    c.deleteRows("t", "k", 5, 12)
+    c.commitTx()
+
+    def check(label: String): Unit = {
+      val d = c.describeDetail("t").collect().head
+      c.newTx()
+      val scanned = try c.scan("t").count() finally c.rollback()
+      assert(scanned === 8L, s"$label: rows 13..20 survive")
+      assert(d.getLong(3) === scanned,
+        s"$label: metadata num_rows ${d.getLong(3)} != scanned $scanned")
+    }
+    check("after overlapping CoW delete")
+
+    // same invariant after a second disjoint CoW delete with the DV live
+    c.newTx()
+    c.deleteRows("t", "k", 13, 14)
+    c.commitTx()
+    val d2 = c.describeDetail("t").collect().head
+    c.newTx()
+    val scanned2 = try c.scan("t").count() finally c.rollback()
+    assert(scanned2 === 6L && d2.getLong(3) === 6L)
+  }
 }

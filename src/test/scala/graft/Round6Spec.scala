@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.DedupOps
+import graft.table.GraftClient
 
 /** Round-6 pins: the near-dup bucket cap must keep candidate generation
   * bounded when the corpus is flooded with exact duplicates — the judge's
@@ -93,5 +94,139 @@ class Round6Spec extends AnyFunSuite {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(groups(10000L) === 500L,
       "the capped-out flood is exact-dedup's job and must be fully grouped")
+  }
+
+  // --- bin-packing compaction ---------------------------------------------
+
+  private val mkSchema = StructType(Seq(
+    StructField("m", IntegerType), StructField("k", IntegerType)))
+
+  private def mkDf(rows: (Int, Int)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (m, k) => Row(m, k) }.toList.asJava, mkSchema)
+  }
+
+  test("bin-packing compact preserves partition pruning, skips big objects") {
+    val dir = Files.createTempDirectory("graft_r6_compact").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", mkSchema)
+    c.commitTx()
+    // 3 txs, each writing 4 rows into each of months 1..3 -> 9 small objects
+    (0 until 3).foreach { i =>
+      c.newTx()
+      c.insertPartitioned("t", mkDf((for {
+        m <- 1 to 3; j <- 0 until 4
+      } yield (m, m * 100 + i * 10 + j)): _*), "m")
+      c.commitTx()
+    }
+    // one big object: 40 rows, month 4
+    c.newTx()
+    c.insertPartitioned("t",
+      mkDf((0 until 40).map(j => (4, 400 + j)): _*), "m")
+    c.commitTx()
+
+    c.newTx()
+    val before = c.objects("t")
+    assert(before.length === 10)
+    val bigPath = before.find(_.numRows == 40).get.path
+    // smallMax = 12: the 4-row objects are candidates, the 40-row is not
+    c.compact("t", targetRows = 24)
+    c.commitTx()
+
+    c.newTx()
+    val after = c.objects("t")
+    assert(after.exists(_.path == bigPath),
+      "the large object must not be rewritten")
+    assert(after.length === 4,
+      s"one bin per month + untouched big; got ${after.map(_.numRows)}")
+    // partition pruning survives: a month-2 probe opens exactly one object
+    val pruned = c.prunedObjects("t", Seq("m" -> (2, 2)), Nil)
+    assert(pruned.length === 1, s"month probe opened ${pruned.length} objects")
+    assert(pruned.head.numRows === 12)
+    assert(c.scan("t").count() === (9 * 4 + 40).toLong)
+    c.rollback()
+  }
+
+  test("composite-key merge prunes on trailing key columns too") {
+    import scala.jdk.CollectionConverters._
+    val abSchema = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", IntegerType), StructField("v", StringType)))
+    def abDf(rows: (Int, Int, String)*) = spark.createDataFrame(
+      rows.map { case (a, b, v) => Row(a, b, v) }.toList.asJava, abSchema)
+    val dir = Files.createTempDirectory("graft_r6_merge").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", abSchema)
+    c.commitTx()
+    // 4 objects: every object spans a=1..10 (leading key can't prune),
+    // b is disjoint per object ([0,9], [10,19], [20,29], [30,39])
+    (0 until 4).foreach { i =>
+      c.newTx()
+      c.insert("t", abDf((1 to 10).map(a => (a, i * 10 + a - 1, "v")): _*))
+      c.commitTx()
+    }
+    c.newTx()
+    val all = c.objects("t")
+    assert(all.length === 4)
+    val delKeys = abDf((5, 14, "d"), (3, 12, "d")).select(col("a"), col("b"))
+    assert(c.mergePrunedFiles(all, delKeys, Seq("a", "b")).length === 1,
+      "the trailing b-span [12,14] must prune to the one b=[10,19] object")
+    assert(c.mergePrunedFiles(all, delKeys, Seq("a")).length === 4,
+      "leading-only pruning keeps everything (a spans every object)")
+    // end-to-end: the composite-key merge deletes exactly those rows
+    c.merge("t", abDf((5, 14, "del"), (3, 12, "del"), (1, 100, "new")),
+      Seq("a", "b"), deleteCond = col("v") === "del")
+    c.commitTx()
+    c.newTx()
+    val keys = c.scan("t").select("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(!keys.contains((5, 14)) && !keys.contains((3, 12)))
+    assert(keys.contains((1, 100)))
+    assert(c.scan("t").count() === 39L)
+    c.rollback()
+  }
+
+  test("partial compact keeps DVs live; full sweep retires them") {
+    val dir = Files.createTempDirectory("graft_r6_dv").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", mkSchema)
+    c.insert("t", mkDf((0 until 40).map(j => (1, j)): _*)) // big: 40 rows
+    c.commitTx()
+    (0 until 3).foreach { i =>
+      c.newTx()
+      c.insert("t", mkDf((0 until 4).map(j => (2, 100 + i * 10 + j)): _*))
+      c.commitTx()
+    }
+    c.newTx()
+    c.deleteRowsDV("t", "k", 0, 9) // masks rows living in the big object
+    c.commitTx()
+
+    def numDvs: Long = {
+      val r = c.describeDetail("t").collect().head
+      r.getLong(r.fieldIndex("num_dvs"))
+    }
+    def liveKeys: Set[Int] = {
+      c.newTx()
+      try c.scan("t").select("k").collect().map(_.getInt(0)).toSet
+      finally c.rollback()
+    }
+    assert(numDvs === 1)
+    val expect = ((10 until 40) ++ (0 until 3).flatMap(i =>
+      (0 until 4).map(j => 100 + i * 10 + j))).toSet
+
+    c.newTx()
+    c.compact("t", targetRows = 24) // big object untouched -> DV must stay
+    c.commitTx()
+    assert(numDvs === 1, "DV still masks rows in the untouched big object")
+    assert(liveKeys === expect, "partial compact must not change the scan")
+
+    c.newTx()
+    c.compact("t", targetRows = 1000) // full sweep -> DV applied + retired
+    c.commitTx()
+    assert(numDvs === 0, "full-sweep compact retires the DV")
+    assert(liveKeys === expect, "full sweep must not change the scan")
   }
 }
