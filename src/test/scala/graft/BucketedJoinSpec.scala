@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Bucketed
@@ -8,17 +11,38 @@ import graft.queries.Bucketed
   * shuffled once at write time, so the merge join must read them
   * co-located. If the plan regresses to shuffling (bucket spec ignored,
   * mismatched bucket counts, config off), this fails.
+  *
+  * The assertion is structural, not textual: ShuffleExchangeExec renders
+  * as "Exchange" in plan strings (never the literal "ShuffleExchange"),
+  * so a contains-check on that string is vacuously green. Instead the
+  * executed plan (materialized by running the query first, so AQE has
+  * finalized it) is traversed — including through AQE's query-stage
+  * wrappers, whose materialized subplans are not in `children` — and any
+  * ShuffleExchangeLike node fails the test.
   */
 class BucketedJoinSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed merge join plans without a shuffle exchange") {
+  private def collectShuffles(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case e: ShuffleExchangeLike => Seq(e)
+      case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
+      case q: QueryStageExec => collectShuffles(q.plan)
+      case _ => Nil
+    }
+    here ++ p.children.flatMap(collectShuffles)
+  }
+
+  test("bucketed merge join executes without a shuffle exchange") {
     val joined = Bucketed.bucketedJoin(spark, dir)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), s"expected merge join:\n$plan")
-    assert(!plan.contains("ShuffleExchange"),
-      s"bucketed join must not shuffle:\n$plan")
-    assert(joined.count() > 0)
+    assert(joined.count() > 0) // materialize so the AQE final plan is real
+    val plan = joined.queryExecution.executedPlan
+    assert(plan.toString.contains("SortMergeJoin"),
+      s"expected merge join:\n$plan")
+    val shuffles = collectShuffles(plan)
+    assert(shuffles.isEmpty,
+      s"bucketed join must not shuffle; found ${shuffles.map(_.nodeName)}" +
+        s" in:\n$plan")
   }
 }
