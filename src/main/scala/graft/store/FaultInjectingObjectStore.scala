@@ -1,0 +1,104 @@
+package graft.store
+
+import java.io.IOException
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** S3-model [[ObjectStore]] with deterministic fault and latency injection
+  * — the test double for the reference's unimplemented S3/minio backend
+  * (README.md:30). The sandbox has no network, but what makes object
+  * storage hard for a commit protocol is not the wire, it is the failure
+  * model, and that CAN be simulated faithfully:
+  *
+  *   - **Conditional create** follows S3's `If-None-Match: *` PUT: the
+  *     body "uploads" (latency), then the precondition is evaluated
+  *     atomically at request completion — exactly one concurrent creator
+  *     of a name wins, as on real S3 (strong consistency since 2020).
+  *   - **Request latency** per verb, so races that are nearly unhittable
+  *     on a local FS (μs puts) get a wide-open window.
+  *   - **Throttling faults** (`failEveryNthPut`): every nth put throws a
+  *     503-style IOException BEFORE any effect — the retriable SlowDown
+  *     class. Callers are expected to retry.
+  *   - **Ambiguous failures** (`ambiguousEveryNthPut`): every nth
+  *     *winning* put throws AFTER the object became visible — the
+  *     timeout-after-commit hazard every S3 client has. A naive retry
+  *     sees "already exists" for its own successful write; the recovery
+  *     is a read-back (or an idempotency record like the streaming
+  *     sink's SetTxn watermark).
+  *   - **Stale LIST windows** (`staleListWindow`): each newly created
+  *     object is omitted from its next k list calls — the pre-2020
+  *     eventual-consistency model, kept here as the adversarial case the
+  *     log must tolerate: a reader that lists stale commits at a stale
+  *     version and MUST lose the conditional put for an id that already
+  *     exists (reads of a named object are never stale).
+  *
+  * All injection is counter-driven (no wall-clock randomness), so
+  * failures reproduce run-to-run. Thread-safe; injection counters are
+  * global across threads.
+  */
+final class FaultInjectingObjectStore(
+    putLatencyMs: Long = 0,
+    listLatencyMs: Long = 0,
+    readLatencyMs: Long = 0,
+    failEveryNthPut: Int = 0,
+    ambiguousEveryNthPut: Int = 0,
+    staleListWindow: Int = 0) extends ObjectStore {
+
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  // remaining list calls for which each fresh object stays invisible
+  private val staleness = new ConcurrentHashMap[String, Integer]()
+  private val puts = new AtomicLong(0)
+  private val wins = new AtomicLong(0)
+
+  /** Total putIfAbsent calls — lets tests assert how many retries the
+    * injected faults actually forced.
+    */
+  def putAttempts: Long = puts.get()
+
+  private def nap(ms: Long): Unit = if (ms > 0) Thread.sleep(ms)
+
+  override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
+    nap(putLatencyMs) // the body upload happens before the precondition
+    val n = puts.incrementAndGet()
+    if (failEveryNthPut > 0 && n % failEveryNthPut == 0)
+      throw new IOException(
+        s"injected 503 SlowDown on put #$n of $name (no effect)")
+    val won = objects.putIfAbsent(name, data.clone()) == null
+    if (won) {
+      if (staleListWindow > 0) staleness.put(name, staleListWindow)
+      val w = wins.incrementAndGet()
+      if (ambiguousEveryNthPut > 0 && w % ambiguousEveryNthPut == 0)
+        throw new IOException(
+          s"injected ambiguous timeout on put of $name " +
+            "(object IS visible; caller must read back or dedup)")
+    }
+    won
+  }
+
+  override def listPrefixOrdered(prefix: String): Seq[String] = {
+    nap(listLatencyMs)
+    objects.keys().asScala
+      .filter(_.startsWith(prefix))
+      .filter { name =>
+        if (staleListWindow == 0) true
+        else {
+          // hide iff a staleness entry existed for this list call;
+          // decrement it (atomically per key), removing at zero
+          var hidden = false
+          staleness.computeIfPresent(name, (_, v) => {
+            hidden = true
+            if (v <= 1) null else Integer.valueOf(v - 1)
+          })
+          !hidden
+        }
+      }
+      .toSeq.sorted
+  }
+
+  override def read(name: String): Array[Byte] = {
+    nap(readLatencyMs)
+    Option(objects.get(name)).map(_.clone())
+      .getOrElse(throw new java.nio.file.NoSuchFileException(name))
+  }
+}

@@ -6,18 +6,23 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.store.{InMemoryObjectStore, LocalObjectStore, ObjectStore}
+import graft.store.{FaultInjectingObjectStore, InMemoryObjectStore, LocalObjectStore, ObjectStore}
 import graft.tx._
 
 /** The ObjectStore contract, run against every implementation, plus the
-  * tx log exercised over the non-FS store (portability proof).
+  * tx log exercised over the non-FS store (portability proof) and over
+  * the S3-model fault store (the commit protocol under object-storage
+  * failure realities: latency, throttling, ambiguous puts, stale lists).
   */
 class StoreContractSpec extends AnyFunSuite {
 
   private def impls: Seq[(String, () => ObjectStore)] = Seq(
     "local-fs" -> (() =>
       new LocalObjectStore(Files.createTempDirectory("store_c").toString)),
-    "in-memory" -> (() => new InMemoryObjectStore))
+    "in-memory" -> (() => new InMemoryObjectStore),
+    // latency on every verb so the contract holds with real request gaps
+    "s3-model" -> (() => new FaultInjectingObjectStore(
+      putLatencyMs = 2, listLatencyMs = 1, readLatencyMs = 1)))
 
   impls.foreach { case (name, mk) =>
     test(s"$name: putIfAbsent is create-if-absent; read returns the winner") {
@@ -54,6 +59,92 @@ class StoreContractSpec extends AnyFunSuite {
       pool.shutdown()
       assert(results.count(identity) == 1)
     }
+  }
+
+  test("ambiguous put failure: object is visible, read-back disambiguates") {
+    val s = new FaultInjectingObjectStore(ambiguousEveryNthPut = 1)
+    val ex = intercept[java.io.IOException] {
+      s.putIfAbsent("_log_1", "mine".getBytes)
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // the write actually landed — the S3 timeout-after-commit hazard; a
+    // retry must NOT treat the later "already exists" as a lost race
+    // without reading back whose payload won
+    assert(new String(s.read("_log_1")) == "mine")
+    assert(!s.putIfAbsent("_log_1", "theirs".getBytes))
+    assert(new String(s.read("_log_1")) == "mine")
+  }
+
+  test("stale lists: a reader commits only after its view converges") {
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val store = new FaultInjectingObjectStore(staleListWindow = 2)
+    val log = new TxLog(store)
+    log.commit(log.begin(), Seq(ChangeMetadata("t", schema)))
+    // the fresh log entry is hidden for its next 2 list calls: a reader
+    // beginning now sees version 0 again and MUST lose the conditional
+    // put — stale lists can cost retries, never correctness
+    val stale = log.begin()
+    assert(stale.version == 0, "list served a stale view")
+    intercept[CommitConflictException] {
+      log.commit(stale, Seq(ChangeMetadata("u", schema)))
+    }
+    log.begin() // second stale window elapses
+    val fresh = log.begin()
+    assert(fresh.version == 1 && fresh.tables.contains("t"))
+    log.commit(fresh, Seq(ChangeMetadata("u", schema)))
+    log.begin(); log.begin() // drain the new entry's stale window
+    val fin = log.begin()
+    assert(fin.version == 2 && fin.tables.keySet == Set("t", "u"))
+  }
+
+  test("concurrent committers linearize under latency + throttling + stale lists") {
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val store = new FaultInjectingObjectStore(putLatencyMs = 2,
+      listLatencyMs = 1, failEveryNthPut = 7, staleListWindow = 1)
+    val log = new TxLog(store)
+    var boot = 0
+    while (boot == 0) { // bootstrap commit may itself hit an injected 503
+      try { log.commit(log.begin(), Seq(ChangeMetadata("t", schema))); boot = 1 }
+      catch { case _: java.io.IOException => () }
+    }
+    val writers = 4
+    val perWriter = 8
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val futures = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          var committed = 0
+          var attempts = 0
+          while (committed < perWriter && attempts < 500) {
+            attempts += 1
+            try {
+              log.commit(log.begin(), Seq(AddDataObject("t",
+                s"_table_t_w${w}_$committed", 0, 1)))
+              committed += 1
+            } catch {
+              case _: CommitConflictException => () // lost the id race
+              case _: java.io.IOException => ()     // injected 503: retry
+            }
+          }
+          committed
+        }
+      })
+    }
+    start.countDown()
+    val done = futures.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(done.forall(_ == perWriter), s"writers finished: $done")
+    (0 until 2).foreach(_ => log.begin()) // drain stale windows
+    val snap = log.begin()
+    assert(snap.version == (writers * perWriter + 1).toLong,
+      "one contiguous log id per committed tx, no gaps, no duplicates")
+    assert(snap.liveFiles("t").map(_.path).toSet ==
+      (for { w <- 0 until writers; i <- 0 until perWriter }
+        yield s"_table_t_w${w}_$i").toSet)
+    assert(store.putAttempts > (writers * perWriter).toLong,
+      "injected faults + races must have forced retries")
   }
 
   test("tx log runs unchanged over the in-memory store") {
