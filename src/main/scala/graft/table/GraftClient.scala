@@ -88,6 +88,10 @@ final class GraftClient(
     // in-place nil tombstones, writes.go:101-110)
     val buffers = mutable.Map[String, mutable.ArrayBuffer[(Long, Row)]]()
     val rowCounters = mutable.Map[String, Long]().withDefaultValue(0L)
+    // tables whose current-snapshot DATA this tx has scanned — the read
+    // set that full-Serializable commits check against the concurrent
+    // window (historical scanAsOf reads are version-pinned and excluded)
+    val readTables = mutable.Set[String]()
     def id: Long = snapshot.version
   }
 
@@ -543,6 +547,7 @@ final class GraftClient(
   private def scanFiltered(table: String,
       filePred: AddDataObject => Boolean): DataFrame = {
     val t = currentTx
+    t.readTables += table
     val schema = schemaOf(table)
     val pSchema = provSchema(schema)
     val files = liveFiles(table).filter(filePred)
@@ -1065,16 +1070,20 @@ final class GraftClient(
     * concurrent commit touched the same table, so within-table
     * (_tx_id, _row_idx) ordering is unaffected.
     *
-    * ISOLATION LEVEL: WriteSerializable (Delta-style), not Serializable.
-    * The conflict check covers only the WRITE set (tables this tx staged
-    * actions against); reads are not tracked, so a tx that read table A
-    * while writing table B will rebase past a concurrent commit to A —
-    * write-skew anomalies between such txs are possible. Callers needing
-    * serializable semantics must include read tables in the write set
-    * (e.g. stage a no-op metadata action) or forgo retry (maxAttempts=1,
-    * where any concurrent commit aborts this one).
+    * ISOLATION LEVEL: `WriteSerializable` (Delta-style) by default — the
+    * conflict check covers the WRITE set (tables this tx staged actions
+    * against), so a tx that read table A while writing table B rebases
+    * past a concurrent commit to A and write skew between such txs is
+    * admitted. Passing `isolation = Serializable` additionally conflicts
+    * on the tracked READ set (every table whose current-snapshot data
+    * this tx scanned): any concurrent commit touching a read table
+    * aborts the rebase, which forbids write skew — two txs that each
+    * read what the other writes cannot both commit. Historical
+    * `scanAsOf` reads are version-pinned and therefore never conflict.
     */
-  def commitTxRetrying(maxAttempts: Int = 5): Unit = {
+  def commitTxRetrying(maxAttempts: Int = 5,
+      isolation: GraftClient.Isolation =
+        GraftClient.Isolation.WriteSerializable): Unit = {
     val t = currentTx
     t.tables.keys.foreach(flush)
     try {
@@ -1138,7 +1147,12 @@ final class GraftClient(
                 }
               }
             }
-            if (conflict) throw e
+            // full Serializable: reads conflict too — any concurrent
+            // commit touching a table this tx scanned aborts the rebase
+            val readConflict =
+              isolation == GraftClient.Isolation.Serializable &&
+                t.readTables.exists(tbl => concurrent.exists(_.table == tbl))
+            if (conflict || readConflict) throw e
             attempt += 1
             snapshot = newer
         }
@@ -1440,7 +1454,7 @@ final class GraftClient(
       case _ => false
     }
     val bins = mutable.ArrayBuffer[Vector[AddDataObject]]()
-    grouped.toSeq.sortBy(_._1.mkString(" ")).foreach { case (_, members) =>
+    grouped.toSeq.sortBy(_._1.mkString("|")).foreach { case (_, members) =>
       val orderCol = schema.fieldNames
         .filterNot(pointCols.contains)
         .find(c => members.forall(_.stats.get(c).exists(_.min != null)))
@@ -1645,33 +1659,47 @@ final class GraftClient(
     currentStateAsOf(table, keyCols, txLog.begin().version)
       .createOrReplaceTempView(viewName)
 
-  /** True Z-ORDER clustering on two numeric columns: each value is
-    * scaled to a 16-bit rank inside its column's global [min, max], the
-    * bits are interleaved into a 32-bit z-value, and the table is
-    * range-re-layouted on that z-value — so every output object covers a
-    * small RECTANGLE in (a, b) space and footer stats prune range
-    * predicates on EITHER column (lexicographic [[clusterBy]] only
+  /** True Z-ORDER clustering on two numeric columns — see the N-column
+    * overload; kept as the common-case entry point.
+    */
+  def clusterByZOrder(table: String, colA: String, colB: String,
+      numBuckets: Int = 16): Unit =
+    clusterByZOrder(table, Seq(colA, colB), numBuckets)
+
+  /** True Z-ORDER clustering on N ≥ 2 numeric columns: each value is
+    * scaled to a fixed-width rank inside its column's global [min, max],
+    * the N ranks' bits are interleaved into one z-value, and the table
+    * is range-re-layouted on that z-value — so every output object
+    * covers a small N-dimensional BOX and footer stats prune range
+    * predicates on ANY of the columns (lexicographic [[clusterBy]] only
     * prunes the leading one). The z-value is a pure repartition
     * expression: nothing is added to the stored schema.
     *
-    * The column min/max come from one metadata-sized aggregate over the
-    * live data. Constant-width scaling (not equi-depth ranks) keeps the
-    * expression stateless and codegen'd; heavily skewed columns get
-    * skewed rectangles, which affects balance, not correctness.
+    * Rank width is 16 bits for N ≤ 3 and shrinks to keep the interleaved
+    * value inside a signed long for wider column sets (62 / N bits —
+    * resolution per axis falls as dimensions rise, the usual z-order
+    * trade; Delta caps recommended Z-ORDER width the same way).
+    *
+    * The column min/max come from the objects' existing stats when every
+    * object carries them (driver-side, zero jobs), else one aggregate
+    * over the live data. Constant-width scaling (not equi-depth ranks)
+    * keeps the expression stateless and codegen'd; heavily skewed
+    * columns get skewed boxes, which affects balance, not correctness.
     */
-  def clusterByZOrder(table: String, colA: String, colB: String,
-      numBuckets: Int = 16): Unit = {
+  def clusterByZOrder(table: String, columns: Seq[String],
+      numBuckets: Int): Unit = {
+    require(columns.length >= 2, "z-order needs at least 2 columns")
+    require(columns.distinct.length == columns.length,
+      s"duplicate z-order columns: ${columns.mkString(",")}")
     val schema = schemaOf(table)
-    Seq(colA, colB).foreach { c =>
+    columns.foreach { c =>
       val f = schema.fields.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
       require(f.dataType.isInstanceOf[NumericType],
         s"z-order needs numeric columns; $c is ${f.dataType}")
     }
     // bounds only steer bucket balance, never correctness (mayOverlap is
-    // computed from the REWRITTEN footers) — so take them from the
-    // objects' existing stats when every object has them (driver-side,
-    // zero jobs) and fall back to one aggregate otherwise
+    // computed from the REWRITTEN footers)
     def statBounds(c: String): Option[(Double, Double)] = {
       val per = liveFiles(table).map(_.stats.get(c).map(cs =>
         (ColStats.normalize(cs.min), ColStats.normalize(cs.max))))
@@ -1687,30 +1715,37 @@ final class GraftClient(
       }
     }
     relayout(table, numBuckets) { live =>
-      val bounds: Option[(Double, Double, Double, Double)] =
-        (statBounds(colA), statBounds(colB)) match {
-          case (Some((al, ah)), Some((bl, bh))) => Some((al, ah, bl, bh))
-          case _ =>
-            val r = live.agg(
-              min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-              min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-              .collect().head
-            if (r.isNullAt(0) || r.isNullAt(2)) None // all-null axis: no-op
-            else Some((r.getDouble(0), r.getDouble(1),
-              r.getDouble(2), r.getDouble(3)))
+      val fromStats = columns.map(statBounds)
+      val bounds: Option[Seq[(Double, Double)]] =
+        if (fromStats.forall(_.isDefined)) Some(fromStats.map(_.get))
+        else {
+          val aggs = columns.flatMap(c => Seq(
+            min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val r = live.agg(aggs.head, aggs.tail: _*).collect().head
+          if (columns.indices.exists(i => r.isNullAt(2 * i)))
+            None // an all-null axis: no-op, as in the 2-column original
+          else Some(columns.indices.map(i =>
+            (r.getDouble(2 * i), r.getDouble(2 * i + 1))))
         }
-      bounds.map { case (aLo, aHi, bLo, bHi) =>
+      bounds.map { bs =>
+        val n = columns.length
+        val bitsPer = math.min(16, 62 / n)
+        val maxRank = (1L << bitsPer) - 1
         def scaled(c: String, lo: Double, hi: Double) =
           if (hi <= lo) lit(0L)
-          else least(lit(65535L), greatest(lit(0L),
-            ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
-              .cast("long")))
-        val a16 = scaled(colA, aLo, aHi)
-        val b16 = scaled(colB, bLo, bHi)
-        val z = (0 until 16).map { i =>
-          (shiftright(a16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-            (shiftright(b16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-        }.reduce(_ + _)
+          else least(lit(maxRank), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+              * lit(maxRank.toDouble)).cast("long")))
+        val ranks = columns.zip(bs).map { case (c, (lo, hi)) =>
+          scaled(c, lo, hi)
+        }
+        // bit i of rank k lands at interleaved position i*n + k (for
+        // n = 2 this is exactly the original a/b interleave)
+        val z = (for {
+          i <- 0 until bitsPer
+          (rank, k) <- ranks.zipWithIndex
+        } yield shiftright(rank, i).bitwiseAND(lit(1L)) *
+          lit(1L << (i * n + k))).reduce(_ + _)
         live.repartitionByRange(numBuckets, z)
       }
     }
@@ -1771,4 +1806,15 @@ object GraftClient {
     * (embeddings, binary payloads) should pass a smaller target.
     */
   val DefaultCompactTargetRows: Long = 4L * 1024 * 1024
+
+  /** Isolation level for [[GraftClient.commitTxRetrying]]'s optimistic
+    * rebase (the Delta-style pair): `WriteSerializable` checks only the
+    * write footprint; `Serializable` additionally aborts when a
+    * concurrent commit touched any table this tx READ.
+    */
+  sealed trait Isolation
+  object Isolation {
+    case object WriteSerializable extends Isolation
+    case object Serializable extends Isolation
+  }
 }

@@ -96,6 +96,23 @@ class Round6Spec extends AnyFunSuite {
       "the capped-out flood is exact-dedup's job and must be fully grouped")
   }
 
+  test("connected components: chains close transitively, min-id labels") {
+    import scala.jdk.CollectionConverters._
+    val es = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType)))
+    // a 5-node chain (10-14), a triangle (20,21,22), a 2-cycle (30,31),
+    // and edge direction mixed on purpose
+    val edges = Seq((11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
+      (20L, 21L), (22L, 21L), (20L, 22L), (31L, 30L))
+    val df = spark.createDataFrame(
+      edges.map { case (a, b) => Row(a, b) }.toList.asJava, es)
+    val got = graft.queries.DedupCluster.components(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L,
+      31L -> 30L))
+  }
+
   // --- bin-packing compaction ---------------------------------------------
 
   private val mkSchema = StructType(Seq(
@@ -186,6 +203,127 @@ class Round6Spec extends AnyFunSuite {
     assert(keys.contains((1, 100)))
     assert(c.scan("t").count() === 39L)
     c.rollback()
+  }
+
+  test("write skew: WriteSerializable admits it, Serializable aborts it") {
+    // the classic scenario: an invariant spans tables a and b; tx1 reads
+    // a and writes b, a concurrent tx reads b and writes a. Neither
+    // write set overlaps, so WriteSerializable rebases both — write skew
+    // — while Serializable sees the concurrent commit to a READ table
+    // and aborts.
+    def setup(): (String, GraftClient, GraftClient) = {
+      val dir = Files.createTempDirectory("graft_r6_skew").toString
+      val c1 = new GraftClient(spark, dir)
+      c1.newTx()
+      c1.createTable("acct_a", mkSchema)
+      c1.createTable("acct_b", mkSchema)
+      c1.insert("acct_a", mkDf((1, 100)))
+      c1.insert("acct_b", mkDf((1, 100)))
+      c1.commitTx()
+      (dir, c1, new GraftClient(spark, dir))
+    }
+    def skew(iso: GraftClient.Isolation): Unit = {
+      val (_, c1, c2) = setup()
+      c1.newTx()
+      assert(c1.scan("acct_a").count() === 1) // tx1 READS a ...
+      c1.insert("acct_b", mkDf((2, -100)))    // ... and writes b
+      // concurrent tx: reads b, writes a, commits first
+      c2.newTx()
+      assert(c2.scan("acct_b").count() === 1)
+      c2.insert("acct_a", mkDf((2, -100)))
+      c2.commitTx()
+      c1.commitTxRetrying(maxAttempts = 5, isolation = iso)
+    }
+    skew(GraftClient.Isolation.WriteSerializable) // admitted: both commit
+    intercept[graft.tx.CommitConflictException] {
+      skew(GraftClient.Isolation.Serializable)    // read-set conflict
+    }
+  }
+
+  test("Serializable still rebases past commits to unrelated tables") {
+    val dir = Files.createTempDirectory("graft_r6_ser").toString
+    val c1 = new GraftClient(spark, dir)
+    c1.newTx()
+    c1.createTable("t1", mkSchema)
+    c1.createTable("t2", mkSchema)
+    c1.commitTx()
+    val c2 = new GraftClient(spark, dir)
+    c1.newTx()
+    assert(c1.scan("t1").count() === 0) // read set = {t1}
+    c1.insert("t1", mkDf((1, 1)))
+    c2.newTx()
+    c2.insert("t2", mkDf((9, 9))) // concurrent commit touches only t2
+    c2.commitTx()
+    c1.commitTxRetrying(maxAttempts = 5,
+      isolation = GraftClient.Isolation.Serializable)
+    c1.newTx()
+    try assert(c1.scan("t1").count() === 1) finally c1.rollback()
+  }
+
+  test("3-column z-order makes ALL three columns prunable") {
+    import scala.jdk.CollectionConverters._
+    val s3 = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", IntegerType), StructField("d", IntegerType)))
+    val dir = Files.createTempDirectory("graft_r6_z3").toString
+    val c = new GraftClient(spark, dir)
+    // 16^3 grid inserted in row-major slices: before re-layout, b and d
+    // span the full range in every object, so neither prunes
+    val grid = for (a <- 0 until 16; b <- 0 until 16; d <- 0 until 16)
+      yield Row(a, b, d)
+    c.newTx()
+    c.createTable("t", s3)
+    grid.grouped(512).foreach { slice =>
+      c.insert("t", spark.createDataFrame(slice.toList.asJava, s3))
+    }
+    c.commitTx()
+
+    c.newTx()
+    def prunable(column: String): Int = {
+      val objs = c.objects("t")
+      objs.length - objs.count(a =>
+        graft.tx.ColStats.mayOverlap(a.stats, column, 0, 1))
+    }
+    assert(prunable("b") === 0 && prunable("d") === 0,
+      "pre-layout: b and d must span every object")
+    c.clusterByZOrder("t", Seq("a", "b", "d"), numBuckets = 16)
+    c.commitTx()
+
+    c.newTx()
+    assert(c.objects("t").map(_.numRows).sum === 16L * 16L * 16L)
+    assert(prunable("a") > 0, "z-order: a ranges must prune")
+    assert(prunable("b") > 0, "z-order: b ranges must prune")
+    assert(prunable("d") > 0, "z-order: d ranges must prune")
+    // semantics unchanged
+    assert(c.scanRange("t", "d", 5, 5).count() === 256L)
+    c.rollback()
+  }
+
+  test("maxObjectsPerTrigger drains a backlog in multiple bounded batches") {
+    val dir = Files.createTempDirectory("graft_r6_rate").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", mkSchema)
+    c.commitTx()
+    // backlog: 8 commits, one object each, BEFORE the stream starts
+    (0 until 8).foreach { i =>
+      c.newTx()
+      c.insert("t", mkDf((i, i * 10)))
+      c.commitTx()
+    }
+    val q = spark.readStream.format("graft").option("table", "t")
+      .option("maxObjectsPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("graft_rate_limited")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(spark.table("graft_rate_limited").count() === 8L,
+      "every backlogged row arrives exactly once")
+    val withData = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withData.length >= 4,
+      s"8 single-object commits at cap 2 need >= 4 batches, " +
+        s"got ${withData.map(_.numInputRows).mkString(",")}")
+    assert(withData.forall(_.numInputRows <= 2),
+      "no batch may exceed the 2-object cap (1 row per object here)")
   }
 
   test("partial compact keeps DVs live; full sweep retires them") {
