@@ -122,7 +122,9 @@ final class GraftSource extends RelationProvider
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
         parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
-          .exists(_.toBoolean))
+          .exists(_.toBoolean),
+        parameters.get("maxobjectspertrigger")
+          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -352,19 +354,63 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
 
 /** V1 micro-batch streaming source over the transaction log (see
   * [[GraftSource]] scaladoc for semantics).
+  *
+  * `maxObjectsPerTrigger` rate-limits each micro-batch to at most that
+  * many newly added data objects (always at least one full commit, so a
+  * single over-sized commit still drains): a stream starting against a
+  * long-backlogged table processes the backlog as several bounded
+  * batches instead of one giant catch-up batch — the FileStreamSource
+  * `maxFilesPerTrigger` shape. The cap is commit-aligned because the
+  * offset domain is log versions; a commit's objects never split across
+  * batches. After a restart the recovery `getBatch` re-syncs the
+  * internal high-water mark from the checkpointed offset, so an offset
+  * offered below it is already-processed territory and skips harmlessly.
   */
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
-    table: String, ignoreChanges: Boolean) extends Source {
+    table: String, ignoreChanges: Boolean,
+    maxObjectsPerTrigger: Option[Int] = None) extends Source {
 
   private def client =
     new GraftClient(sqlContext.sparkSession, root)
+
+  // highest log version this source has offered or served — the base the
+  // next rate-limited offset advances from
+  @volatile private var highWater: Long = -1L
 
   override val schema: StructType =
     GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
 
   override def getOffset: Option[Offset] = {
-    val v = client.latestVersion
-    if (v == 0L) None else Some(LongOffset(v))
+    val c = client
+    val latest = c.latestVersion
+    if (latest == 0L) return None
+    val offered = maxObjectsPerTrigger match {
+      case None => latest
+      case Some(maxObjs) =>
+        val base = math.max(highWater, 0L)
+        if (base >= latest) latest
+        else {
+          // walk the commit window in order, stopping before the commit
+          // that would push the batch past the cap (but always taking
+          // at least one commit)
+          var v = base
+          var objs = 0
+          var stopped = false
+          c.history().foreach { case (id, actions) =>
+            if (!stopped && id >= base && id < latest) {
+              val n = actions.count {
+                case a: graft.tx.AddDataObject => a.table == table
+                case _ => false
+              }
+              if (objs > 0 && objs + n > maxObjs) stopped = true
+              else { objs += n; v = id + 1 }
+            }
+          }
+          math.min(math.max(v, base + 1), latest)
+        }
+    }
+    highWater = math.max(highWater, offered)
+    Some(LongOffset(offered))
   }
 
   private def versionOf(o: Offset): Long = o match {
@@ -375,6 +421,7 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(0L)
     val until = versionOf(end)
+    highWater = math.max(highWater, until) // restart recovery re-sync
     StreamingShim.asStreaming(sqlContext.sparkSession,
       client.addedBetween(table, from, until, ignoreChanges))
   }
