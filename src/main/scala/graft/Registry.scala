@@ -23,6 +23,7 @@ object Registry {
       queries.Events.defs ++
       queries.TextOps.defs ++
       queries.DedupOps.defs ++
+      queries.DedupCluster.defs ++
       queries.SimilarityOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++

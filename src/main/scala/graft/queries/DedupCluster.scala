@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+
+/** Duplicate-CLUSTER resolution: near-dup detection emits PAIRS, but the
+  * corpus-level decision ("keep one per duplicate group") needs the
+  * transitive closure — connected components over the pair graph. A ~ B
+  * and B ~ C must collapse into one cluster even when A ~ C was never
+  * emitted (similarity is not transitive; the closure is the standard
+  * conservative grouping).
+  *
+  * Algorithm: iterative hash-to-min label propagation with pointer
+  * jumping. Each round every node takes the minimum label among itself
+  * and its neighbors (one shuffle on the edge key), then labels chase
+  * their parent's label (one self-join — pointer doubling), so
+  * convergence is O(log diameter) rounds, not O(diameter): a 1M-doc
+  * duplicate chain resolves in ~20 rounds. Each round is a pair of
+  * hash joins on (id: Long) — broadcast-free, partitioned by the join
+  * key, no driver-side graph state; the per-round driver work is one
+  * convergence count. This is the alternating-star family (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond") specialized to
+  * min-label semantics.
+  *
+  * Lineage is cut with localCheckpoint each round (iterative DataFrame
+  * plans otherwise grow exponentially); on a cluster with a checkpoint
+  * dir, `checkpoint()` is the durable equivalent.
+  */
+object DedupCluster {
+
+  /** Connected components of an undirected pair graph. Input: two Long
+    * columns (a, b) per edge. Output: (doc_id, cluster_id) for every
+    * node that appears in at least one edge, cluster_id = min node id
+    * of the component — deterministic across runs/engines/shards.
+    */
+  private[graft] def components(pairs: DataFrame, a: String, b: String)
+      : DataFrame = {
+    val edges = pairs.select(col(a).cast("long").as("src"),
+        col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"),
+        col(a).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        iter += 1
+        // min over self and neighbors' labels — one shuffle on dst->id
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("label")).as("nmin"))
+        val stepped = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+        // pointer jump: label <- label's label (doubles chase distance)
+        val jumped = stepped.as("x")
+          .join(stepped.select(col("id").as("label"),
+            col("label").as("plabel")).as("p"), Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("plabel"), col("label")))
+              .as("label"))
+          .localCheckpoint(true)
+        converged = jumped.as("n")
+          .join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+        labels = jumped
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally edges.unpersist(false)
+  }
+
+  /** Near-dup clusters over the documents fixture: the exact n-gram
+    * Jaccard pair set (already oracle-verified) closed transitively;
+    * one row per clustered doc, cluster id = min member doc_id.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    components(
+      DedupOps.dedupNgramJaccard(spark, dir).select(col("doc_a"),
+        col("doc_b")), "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+
+  // DuckDB replays the closure with a recursive reachability walk (set
+  // semantics terminate it); components are small at fixture scale so
+  // the quadratic walk is fine as an oracle
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE base AS (
+      ${DedupOps.ngramPairsSql}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM base
+      UNION ALL
+      SELECT doc_b, doc_a FROM base),
+    walk (id, reach) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+    SELECT id AS doc_id, MIN(reach) AS cluster_id
+    FROM walk
+    GROUP BY id
+    ORDER BY doc_id"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql),
+      "connected components over near-dup pairs: transitive duplicate " +
+        "clusters, min-id labels, O(log diameter) label propagation"))
+}

@@ -170,6 +170,29 @@ object DedupOps {
     verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
+  /** Verified near-dup PAIRS as a CTE-embeddable query (no ORDER BY) —
+    * the edge set DedupCluster's recursive-closure oracle builds on.
+    */
+  private[graft] val ngramPairsSql = s"""
+    $shingleCteSql,
+    g AS (SELECT doc_id, unnest(six) AS g FROM sh),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
+      WHERE df BETWEEN 2 AND 1000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(sa.big, sb.big)) AS inter,
+        len(sa.big) + len(sb.big) AS tot
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b FROM verified
+    WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5"""
+
   private val dedupNgramSql = s"""
     $shingleCteSql,
     g AS (SELECT doc_id, unnest(six) AS g FROM sh),
