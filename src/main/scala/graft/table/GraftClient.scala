@@ -1489,25 +1489,49 @@ final class GraftClient(
       StructType(Seq(StructField("_obj", StringType, nullable = false),
         StructField(PartCol, IntegerType, nullable = false))))
     val masked = if (retireDvs) applyDvs(src, dvs) else src
+    // LEFT join + raise_error, not inner: an inner join would silently
+    // DROP any row whose derived _obj fails to resolve (empty
+    // input_file_name under a plan/reader change) — the same loud-failure
+    // guard as rewriteObjects
+    val routed = masked.join(broadcast(mapping), Seq("_obj"), "left")
+      .withColumn(PartCol, coalesce(col(PartCol),
+        raise_error(concat(lit("compact: unroutable row from object "),
+          col("_obj"))).cast(IntegerType)))
+      .drop("_obj")
+    // row conservation, from DATA not metadata: the expected count is one
+    // provenance-column-pruned pass over the same immutable inputs
+    val expected = masked.count()
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    masked.join(broadcast(mapping), "_obj").drop("_obj")
-      .write.partitionBy(PartCol).parquet(staging)
+    routed.write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
-    Option(stagingDir.listFiles()).getOrElse(Array.empty)
+    val staged = Option(stagingDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
-      .foreach { d =>
+      .map { d =>
         val binId = d.getName.stripPrefix(s"$PartCol=").toInt
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
         java.nio.file.Files.move(d.toPath,
           new java.io.File(s"$rootDir/$name").toPath)
         val (rows, stats) =
           ParquetFooters.scan(spark, s"$rootDir/$name", schema)
-        if (rows > 0)
-          t.actions += AddDataObject(table, name,
-            eligible(binId).map(_.txId).min, rows, stats)
-        else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+        (name, binId, rows, stats)
       }
     deleteRecursively(stagingDir)
+    if (staged.map(_._3).sum != expected) {
+      // validate BEFORE registering any action (rewriteObjects pattern):
+      // a caller that catches and commits anyway must not commit loss
+      staged.foreach { case (name, _, _, _) =>
+        deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      }
+      throw new IllegalStateException(
+        s"compact row-conservation failure: wrote ${staged.map(_._3).sum} " +
+          s"rows, expected $expected")
+    }
+    staged.foreach { case (name, binId, rows, stats) =>
+      if (rows > 0)
+        t.actions += AddDataObject(table, name,
+          eligible(binId).map(_.txId).min, rows, stats)
+      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+    }
     eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
     if (retireDvs)
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
