@@ -56,10 +56,14 @@ object DedupCluster {
           .join(labels.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("label")).as("nmin"))
+        // checkpointed: stepped feeds BOTH sides of the pointer-jump
+        // join below — without the cut, the neighbor-min join+aggregate
+        // subtree would execute twice per round
         val stepped = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")))
               .as("label"))
+          .localCheckpoint(true)
         // pointer jump: label <- label's label (doubles chase distance)
         val jumped = stepped.as("x")
           .join(stepped.select(col("id").as("label"),

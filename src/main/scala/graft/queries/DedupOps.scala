@@ -179,7 +179,7 @@ object DedupOps {
     capped AS (
       SELECT doc_id, g FROM (
         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
-      WHERE df BETWEEN 2 AND 1000),
+      WHERE df BETWEEN 2 AND ${BucketCap}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -199,7 +199,7 @@ object DedupOps {
     capped AS (
       SELECT doc_id, g FROM (
         SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
-      WHERE df BETWEEN 2 AND 1000),
+      WHERE df BETWEEN 2 AND ${BucketCap}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -336,7 +336,7 @@ object DedupOps {
         SELECT doc_id, simhash, b, v,
           count(*) OVER (PARTITION BY b, v) AS n
         FROM blocks) x
-      WHERE n BETWEEN 2 AND 1000),
+      WHERE n BETWEEN 2 AND ${BucketCap}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.simhash AS sh_a, b.simhash AS sh_b

@@ -390,14 +390,15 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
         val base = math.max(highWater, 0L)
         if (base >= latest) latest
         else {
-          // walk the commit window in order, stopping before the commit
-          // that would push the batch past the cap (but always taking
-          // at least one commit)
+          // walk ONLY the unconsumed commit window (O(window) log reads,
+          // not O(log) — entriesBetween selects by name before reading
+          // bodies), stopping before the commit that would push the
+          // batch past the cap, but always taking at least one commit
           var v = base
           var objs = 0
           var stopped = false
-          c.history().foreach { case (id, actions) =>
-            if (!stopped && id >= base && id < latest) {
+          c.historyBetween(base, latest).foreach { case (id, actions) =>
+            if (!stopped) {
               val n = actions.count {
                 case a: graft.tx.AddDataObject => a.table == table
                 case _ => false

@@ -1266,10 +1266,17 @@ final class GraftClient(
       throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
 
   /** The current log version (the id the next commit will take) —
-    * metadata-only, no open transaction needed. This is the streaming
-    * source's offset domain: offset v = "all commits with id < v".
+    * a name-only listing, no log body or snapshot replay (the streaming
+    * source polls this every trigger). Offset v = "all commits with
+    * id < v".
     */
-  def latestVersion: Long = txLog.begin().version
+  def latestVersion: Long = txLog.latestVersion
+
+  /** Committed log entries with `from <= id < until` as (id, actions) —
+    * O(window) reads, see [[TxLog.entriesBetween]].
+    */
+  def historyBetween(from: Long, until: Long): Vector[(Long, Vector[Action])] =
+    txLog.entriesBetween(from, until)
 
   /** Rows added to `table` by commits with `fromV <= id < untilV` — one
     * micro-batch of the streaming source. Exactly the objects those
@@ -1435,15 +1442,25 @@ final class GraftClient(
     val retireDvs = fullSweep && dvs.nonEmpty
     if (small.length < 2 && !retireDvs) return
 
-    // partition identity: columns that are a single point value in every
-    // candidate's stats; guard against the degenerate all-points case
-    val pointCols = schema.fieldNames.filter(c => small.forall(a =>
-      a.stats.get(c).exists(s => s.min != null && s.min == s.max)))
-    val grouped0 = small.groupBy(a => pointCols.map(c => a.stats(c).min).toSeq)
-    val grouped =
-      if (pointCols.isEmpty || grouped0.size > math.max(1, small.length / 2))
-        Map(Seq.empty[Any] -> small)
-      else grouped0
+    // partition identity, qualified PER COLUMN (never a joint fallback
+    // that could merge bins across partitions): a column qualifies when
+    // it is a single point value in every LIVE file's stats — a multi-row
+    // object that stays point on a column is real evidence of
+    // partition-style layout, while row-unique columns lose pointness on
+    // any multi-row object. In the all-single-row corner (no multi-row
+    // evidence anywhere) every column is point, so a distinct-count guard
+    // keeps row-unique columns from making every object its own group:
+    // a genuine partition key groups several objects per value.
+    def pointIn(a: AddDataObject, c: String): Boolean =
+      a.stats.get(c).exists(s => s.min != null && s.min == s.max)
+    val allSingleRow = files.forall(_.numRows <= 1)
+    val pointCols = schema.fieldNames.filter { c =>
+      files.forall(pointIn(_, c)) &&
+        (!allSingleRow ||
+          small.map(_.stats(c).min).distinct.length <=
+            math.max(1, small.length / 2))
+    }
+    val grouped = small.groupBy(a => pointCols.map(c => a.stats(c).min).toSeq)
 
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long) => x < y
@@ -1546,8 +1563,16 @@ final class GraftClient(
     */
   def maybeCompact(table: String, maxObjects: Int): Boolean = {
     require(maxObjects >= 1, "maxObjects must be >= 1")
-    if (liveFiles(table).length <= maxObjects) false
-    else { compact(table); true }
+    val before = liveFiles(table).length
+    if (before <= maxObjects) false
+    else {
+      compact(table)
+      // bin-packing compact can be a legitimate no-op (every object
+      // large, or one small object); report what actually happened so a
+      // caller branching on the result is never told a merge ran when
+      // the object count did not drop
+      liveFiles(table).length < before
+    }
   }
 
   /** OPTIMIZE-style re-layout (1-D Z-order analog): rewrite every live
@@ -1713,6 +1738,9 @@ final class GraftClient(
   def clusterByZOrder(table: String, columns: Seq[String],
       numBuckets: Int): Unit = {
     require(columns.length >= 2, "z-order needs at least 2 columns")
+    require(columns.length <= 31,
+      s"z-order supports at most 31 columns (each needs >= 2 interleaved " +
+        s"bits in a signed long); got ${columns.length}")
     require(columns.distinct.length == columns.length,
       s"duplicate z-order columns: ${columns.mkString(",")}")
     val schema = schemaOf(table)

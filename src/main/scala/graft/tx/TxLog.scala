@@ -278,6 +278,29 @@ final class TxLog(store: ObjectStore) {
       j("id").asLong -> j("actions").asArr.map(actionFromJson)
     }.toVector
 
+  /** [[entries]] restricted to `from <= id < until` — the id is selected
+    * from the zero-padded NAME, so only the window's bodies are read
+    * (O(window) reads after one list, not O(log); the streaming source
+    * calls this every trigger).
+    */
+  def entriesBetween(from: Long, until: Long): Vector[(Long, Vector[Action])] =
+    store.listPrefixOrdered(LogPrefix)
+      .map(n => n.stripPrefix(LogPrefix).toLong -> n)
+      .filter { case (id, _) => id >= from && id < until }
+      .map { case (id, n) =>
+        val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+        id -> j("actions").asArr.map(actionFromJson)
+      }.toVector
+
+  /** The current log version (next commit id) from the name listing
+    * alone — no body or checkpoint is read. Log files are never deleted
+    * (checkpoints only bound replay), so the last name's id + 1 IS the
+    * version; an empty log is version 0.
+    */
+  def latestVersion: Long =
+    store.listPrefixOrdered(LogPrefix).lastOption
+      .map(_.stripPrefix(LogPrefix).toLong + 1).getOrElse(0L)
+
   /** Atomically append `actions` as log id `snapshot.version`. */
   def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)

@@ -166,6 +166,45 @@ class Round6Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("steady-state recompaction never merges bins across partitions") {
+    // the autoCompact steady state: after one compact each month holds ONE
+    // small bin; fresh files land in one month. A second compact must
+    // merge only within that month — a joint-identity fallback that
+    // collapses groups would pack months together and destroy pruning.
+    val dir = Files.createTempDirectory("graft_r6_steady").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", mkSchema)
+    c.commitTx()
+    (0 until 3).foreach { i =>
+      c.newTx()
+      c.insertPartitioned("t", mkDf((for {
+        m <- 1 to 3; j <- 0 until 4
+      } yield (m, m * 100 + i * 10 + j)): _*), "m")
+      c.commitTx()
+    }
+    c.newTx(); c.compact("t", targetRows = 24); c.commitTx() // 1 bin/month
+    c.newTx()
+    c.insertPartitioned("t", mkDf((0 until 4).map(j => (2, 290 + j)): _*), "m")
+    c.commitTx()
+
+    c.newTx()
+    assert(c.objects("t").length === 4) // 3 month bins + fresh month-2 file
+    c.compact("t", targetRows = 40) // all 4 are "small" (<= 20 rows)
+    c.commitTx()
+
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.length === 3, s"got ${objs.map(_.numRows)}")
+    objs.foreach { a =>
+      val s = a.stats("m")
+      assert(s.min === s.max, s"object spans months: ${a.stats("m")}")
+    }
+    assert(c.prunedObjects("t", Seq("m" -> (2, 2)), Nil).length === 1)
+    assert(c.scan("t").count() === 40L)
+    c.rollback()
+  }
+
   test("composite-key merge prunes on trailing key columns too") {
     import scala.jdk.CollectionConverters._
     val abSchema = StructType(Seq(StructField("a", IntegerType),
