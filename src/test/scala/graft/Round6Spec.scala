@@ -365,6 +365,49 @@ class Round6Spec extends AnyFunSuite {
       "no batch may exceed the 2-object cap (1 row per object here)")
   }
 
+  test("rate-limited stream restarts from checkpoint without loss or dupes") {
+    val dir = Files.createTempDirectory("graft_r6_restart").toString
+    val ckpt = Files.createTempDirectory("graft_r6_restart_ck").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", mkSchema)
+    c.commitTx()
+    (0 until 6).foreach { i =>
+      c.newTx(); c.insert("t", mkDf((i, i))); c.commitTx()
+    }
+    val outDir = Files.createTempDirectory("graft_r6_restart_out").toString
+    // memory sink cannot recover from a checkpoint; the graft sink can
+    // (SetTxn watermark), and exercises exactly-once on the write side too
+    def start() = spark.readStream.format("graft").option("table", "t")
+      .option("maxObjectsPerTrigger", "2").load(dir)
+      .writeStream.format("graft")
+      .option("path", outDir).option("table", "out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def outKeys: Seq[Int] = {
+      val oc = new GraftClient(spark, outDir)
+      oc.newTx()
+      try oc.scan("out").collect().map(_.getInt(0)).sorted.toSeq
+      finally oc.rollback()
+    }
+    // first life: drain the 6-commit backlog in capped batches, stop
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(outKeys === (0 until 6), s"first life drained; got $outKeys")
+    // new commits while the stream is down
+    (6 until 10).foreach { i =>
+      c.newTx(); c.insert("t", mkDf((i, i))); c.commitTx()
+    }
+    // second life: a FRESH source instance (highWater = -1) must recover
+    // from the checkpoint and deliver only the new commits, still capped
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(outKeys === (0 until 10),
+      s"exactly-once across restart; got $outKeys")
+    assert(q2.recentProgress.filter(_.numInputRows > 0)
+      .forall(_.numInputRows <= 2), "cap holds after restart")
+  }
+
   test("partial compact keeps DVs live; full sweep retires them") {
     val dir = Files.createTempDirectory("graft_r6_dv").toString
     val c = new GraftClient(spark, dir)
