@@ -47,9 +47,17 @@ final class GraftClient(
     spark: SparkSession,
     rootDir: String,
     dataObjectSize: Int = 64 * 1024,
-    checkpointInterval: Int = 25) {
+    checkpointInterval: Int = 25,
+    logStore: Option[ObjectStore] = None) {
 
-  val store: ObjectStore = new LocalObjectStore(rootDir)
+  /** The LOG's object store — pluggable (an S3-style conditional-put
+    * backend slots in here; `FaultInjectingObjectStore` exercises the
+    * commit protocol under that failure model at the full-client level).
+    * DATA objects always go through Spark's filesystem layer under
+    * `rootDir` — on a cluster that is the s3a/abfs path, orthogonal to
+    * this choice.
+    */
+  val store: ObjectStore = logStore.getOrElse(new LocalObjectStore(rootDir))
   private val txLog = new TxLog(store)
 
   val TxIdCol = "_tx_id"

@@ -147,6 +147,47 @@ class StoreContractSpec extends AnyFunSuite {
       "injected faults + races must have forced retries")
   }
 
+  test("full client commits through the fault store: races + 503s retry clean") {
+    val spark = SparkTestSession.spark
+    val dir = Files.createTempDirectory("graft_fault_client").toString
+    // one SHARED log store (as S3 would be), data objects on local FS
+    val faultStore = new FaultInjectingObjectStore(putLatencyMs = 1,
+      failEveryNthPut = 5)
+    def client() = new graft.table.GraftClient(spark, dir,
+      logStore = Some(faultStore))
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    def retrying[A](f: => A): A = {
+      var out: Option[A] = None
+      var attempts = 0
+      while (out.isEmpty && attempts < 50) {
+        attempts += 1
+        try out = Some(f)
+        catch { case _: java.io.IOException => () } // injected 503
+      }
+      out.getOrElse(fail("50 attempts exhausted"))
+    }
+    val c0 = client()
+    retrying { c0.newTx(); c0.createTable("t", schema); c0.commitTx() }
+    val (c1, c2) = (client(), client())
+    (0 until 5).foreach { i =>
+      import scala.jdk.CollectionConverters._
+      def ins(c: graft.table.GraftClient, k: Int): Unit = retrying {
+        c.newTx()
+        c.insert("t", spark.createDataFrame(
+          List(org.apache.spark.sql.Row(k)).asJava, schema))
+        c.commitTxRetrying() // rebases past the sibling's appends
+      }
+      ins(c1, i); ins(c2, 100 + i)
+    }
+    val c = client()
+    retrying { c.newTx() }
+    try {
+      assert(c.scan("t").count() === 10L,
+        "every append survived throttling + append-append races")
+      assert(faultStore.putAttempts > 11L, "faults actually fired")
+    } finally c.rollback()
+  }
+
   test("tx log runs unchanged over the in-memory store") {
     val schema = StructType(Seq(StructField("a", StringType)))
     val log = new TxLog(new InMemoryObjectStore)
