@@ -423,6 +423,94 @@ object DedupOps {
         sum(col("fp") % 1000000007L).as("fp_digest"))
       .orderBy(col("doc_id"))
 
+  // --- Winnow-overlap near-dup pairs (6th dedup family) ---------------------
+  // Fingerprint-based candidate generation — the plagiarism-detection
+  // shape: docs sharing winnowed fingerprints are candidates (generated
+  // per capped fingerprint bucket, like every other family), scored by
+  // CONTAINMENT = shared / min(total_a, total_b). Character-level 8-gram
+  // fingerprints collide freely on common English substrings, so the raw
+  // shared count is noise; containment separates cleanly (planted
+  // near-dups ≈ 1.0, background ≤ 0.56 on the fixture — 0.8 sits in the
+  // gap). Containment is an exact integer ratio computed with one double
+  // division in both engines, rounded to 6 dp before the threshold.
+  // The fps subtree is evaluated twice (totals + buckets); at scale the
+  // caller stages it once — recomputing a map-side md5 pass is cheaper
+  // than a persist at fixture scale.
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
+    val tot = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val shared = bucketedPairsCounted(cappedBuckets(
+      fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids")),
+      "winnow_buckets"))
+    shared
+      .join(tot.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+        "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+        "doc_b")
+      .withColumn("containment", round(col("n_shared").cast("double") /
+        least(col("nfp_a"), col("nfp_b")), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[bucketedPairs]] keeping MULTIPLICITY: (doc_a, doc_b, n_shared =
+    * number of buckets the pair co-occurred in) — the overlap count the
+    * winnow-containment score needs (a distinct would erase it).
+    */
+  private def bucketedPairsCounted(buckets: DataFrame): DataFrame =
+    buckets
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  private val dedupWinnowPairsSql = s"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    pos AS (
+      SELECT doc_id, nt,
+        unnest(range(1, greatest(length(nt) - 7, 1) + 1)) AS i
+      FROM d),
+    h AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT AS h
+      FROM pos),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM h) x
+      WHERE i >= 4),
+    tot AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+        FROM fps) x
+      WHERE df BETWEEN 2 AND ${BucketCap}),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cont AS (
+      SELECT doc_a, doc_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / least(ta.nfp, tb.nfp), 6)
+          AS containment
+      FROM shared
+      JOIN tot ta ON ta.doc_id = doc_a
+      JOIN tot tb ON tb.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_shared, containment
+    FROM cont
+    WHERE containment >= 0.8
+    ORDER BY doc_a, doc_b"""
+
   private val textWinnowSql = """
     WITH d AS (
       SELECT doc_id,
@@ -503,5 +591,9 @@ object DedupOps {
       "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"),
     "text_winnow" -> QueryDef(textWinnow, Some(textWinnowSql),
       "winnowing (rolling-hash) document fingerprints, 8-gram/4-window; " +
-        "portable md5-60bit hash, oracle replays the pipeline"))
+        "portable md5-60bit hash, oracle replays the pipeline"),
+    "dedup_winnow_pairs" -> QueryDef(dedupWinnowPairs,
+      Some(dedupWinnowPairsSql),
+      "6th dedup family: winnow-fingerprint overlap pairs, capped " +
+        "buckets, containment >= 0.8 (plagiarism-detection shape)"))
 }

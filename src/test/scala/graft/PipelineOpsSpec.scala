@@ -43,6 +43,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow-overlap pairs agree with the n-gram pair set") {
+    val ngram = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = DedupOps.dedupWinnowPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow.nonEmpty)
+    // different signal (char-level fingerprints vs word shingles), same
+    // planted duplicates: high overlap, neither family wildly larger
+    assert((winnow & ngram).size >= (ngram.size * 8) / 10,
+      s"cross-family recall collapsed: ${(winnow & ngram).size}/${ngram.size}")
+    assert(winnow.size <= 2 * ngram.size, "winnow precision collapsed")
+  }
+
   test("minhash LSH finds exactly the exact-inverted-index pair set") {
     val ngram = DedupOps.dedupNgramJaccard(spark, dir)
       .select("doc_a", "doc_b").collect()
