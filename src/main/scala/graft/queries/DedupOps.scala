@@ -393,23 +393,26 @@ object DedupOps {
   // dedup_simhash), so the DuckDB oracle replays the whole pipeline;
   // the per-doc output is (count, min, max, additive mod-prime digest) —
   // all order-independent and exactly representable in both engines.
-  /** (doc_id, fp) winnowed fingerprint rows — shared by the query and the
-    * overlap test.
+  /** (doc_id, fp) winnowed fingerprint rows — shared by the digest query
+    * (k=8, win=4: the classic local-fingerprint parameters) and the
+    * pair query (k=24, win=8: grams long enough to be discriminative
+    * across a corpus — see dedupWinnowPairs).
     */
-  private[graft] def winnowFps(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowFps(spark: SparkSession, dir: String,
+      k: Int = 8, win: Int = 4): DataFrame = {
     val d = shingled(spark, dir, minWords = 1)
       .select(col("doc_id"), concat_ws(" ", col("ws")).as("nt"))
     val hashes = d
       .select(col("doc_id"), col("nt"), explode(expr(
-        "sequence(1, greatest(length(nt) - 7, 1))")).as("i"))
+        s"sequence(1, greatest(length(nt) - ${k - 1}, 1))")).as("i"))
       .select(col("doc_id"), col("i"),
-        expr("cast(conv(substr(md5(substring(nt, i, 8)), 1, 15), 16, 10) as bigint)")
+        expr(s"cast(conv(substr(md5(substring(nt, i, $k)), 1, 15), 16, 10) as bigint)")
           .as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(-3, 0)
+      .rowsBetween(-(win - 1), 0)
     hashes
       .withColumn("fp", min(col("h")).over(w))
-      .filter(col("i") >= 4) // full 4-hash windows only
+      .filter(col("i") >= win) // full windows only
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
@@ -427,17 +430,21 @@ object DedupOps {
   // Fingerprint-based candidate generation — the plagiarism-detection
   // shape: docs sharing winnowed fingerprints are candidates (generated
   // per capped fingerprint bucket, like every other family), scored by
-  // CONTAINMENT = shared / min(total_a, total_b). Character-level 8-gram
-  // fingerprints collide freely on common English substrings, so the raw
-  // shared count is noise; containment separates cleanly (planted
-  // near-dups ≈ 1.0, background ≤ 0.56 on the fixture — 0.8 sits in the
-  // gap). Containment is an exact integer ratio computed with one double
+  // CONTAINMENT = shared / min(total_a, total_b). The pair query uses
+  // 24-char grams (window 8), NOT the digest query's 8-char grams:
+  // 8-grams collide on common English substrings across the whole
+  // corpus, which both floods candidate buckets (measured 45 s at sf0.1
+  // from mid-df buckets pair-expanding) and makes shared counts noise;
+  // 24-grams are discriminative, so buckets are near-planted-pairs-only
+  // (~100 candidate pairs at sf0.01 vs 117k with 8-grams) and
+  // containment separates totally (planted ≈ 1.0, background ≤ 0.15,
+  // threshold 0.8). Containment is an exact integer ratio, one double
   // division in both engines, rounded to 6 dp before the threshold.
   // The fps subtree is evaluated twice (totals + buckets); at scale the
   // caller stages it once — recomputing a map-side md5 pass is cheaper
   // than a persist at fixture scale.
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFps(spark, dir)
+    val fps = winnowFps(spark, dir, k = 24, win = 8)
     val tot = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val shared = bucketedPairsCounted(cappedBuckets(
       fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids")),
@@ -476,19 +483,19 @@ object DedupOps {
       FROM documents),
     pos AS (
       SELECT doc_id, nt,
-        unnest(range(1, greatest(length(nt) - 7, 1) + 1)) AS i
+        unnest(range(1, greatest(length(nt) - 23, 1) + 1)) AS i
       FROM d),
     h AS (
       SELECT doc_id, i,
-        ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT AS h
+        ('0x' || substr(md5(substr(nt, i, 24)), 1, 15))::BIGINT AS h
       FROM pos),
     fps AS (
       SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id, i,
           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
         FROM h) x
-      WHERE i >= 4),
+      WHERE i >= 8),
     tot AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
     capped AS (
       SELECT doc_id, fp FROM (
