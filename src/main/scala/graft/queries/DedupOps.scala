@@ -440,20 +440,30 @@ object DedupOps {
   // containment separates totally (planted ≈ 1.0, background ≤ 0.15,
   // threshold 0.8). Containment is an exact integer ratio, one double
   // division in both engines, rounded to 6 dp before the threshold.
-  // The fps subtree is evaluated twice (totals + buckets); at scale the
-  // caller stages it once — recomputing a map-side md5 pass is cheaper
-  // than a persist at fixture scale.
+  //
+  // ONE pass over the fingerprints: each doc's total (nfp) is a window
+  // count over the doc-partitioning winnowFps already established (no
+  // extra exchange), and the totals ride inside the bucket structs (the
+  // simhash trick), so the containment denominator needs no join back
+  // and the md5/winnow subtree executes exactly once. Pair MULTIPLICITY
+  // is kept (a distinct would erase the overlap count).
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFps(spark, dir, k = 24, win = 8)
-    val tot = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val shared = bucketedPairsCounted(cappedBuckets(
-      fps.groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids")),
-      "winnow_buckets"))
-    shared
-      .join(tot.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
-        "doc_a")
-      .join(tot.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
-        "doc_b")
+      .withColumn("nfp",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val buckets = cappedBuckets(fps.groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("nfp"))).as("ids")),
+      "winnow_buckets")
+    buckets
+      .withColumn("ids", array_sort(col("ids"))) // struct sort = doc_id
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.nfp AS nfp_a, y.nfp AS nfp_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.nfp_a").as("nfp_a"), col("p.nfp_b").as("nfp_b"))
+      .agg(count(lit(1)).as("n_shared"))
       .withColumn("containment", round(col("n_shared").cast("double") /
         least(col("nfp_a"), col("nfp_b")), 6))
       .filter(col("containment") >= 0.8)
@@ -461,20 +471,6 @@ object DedupOps {
         col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
-
-  /** [[bucketedPairs]] keeping MULTIPLICITY: (doc_a, doc_b, n_shared =
-    * number of buckets the pair co-occurred in) — the overlap count the
-    * winnow-containment score needs (a distinct would erase it).
-    */
-  private def bucketedPairsCounted(buckets: DataFrame): DataFrame =
-    buckets
-      .withColumn("ids", array_sort(col("ids")))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)), y ->
-               struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
 
   private val dedupWinnowPairsSql = s"""
     WITH d AS (
