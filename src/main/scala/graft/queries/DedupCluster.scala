@@ -24,11 +24,29 @@ import graft.QueryDef
   * al., "Connected Components in MapReduce and Beyond") specialized to
   * min-label semantics.
   *
-  * Lineage is cut with localCheckpoint each round (iterative DataFrame
-  * plans otherwise grow exponentially); on a cluster with a checkpoint
-  * dir, `checkpoint()` is the durable equivalent.
+  * Lineage is cut each round (iterative DataFrame plans otherwise grow
+  * exponentially). The cut is RELIABLE `checkpoint()` whenever the
+  * session has a checkpoint dir configured — on a real cluster losing
+  * one executor mid-iteration must not kill the job, and eager local
+  * checkpoints pin blocks to executor storage with no recovery path —
+  * falling back to `localCheckpoint` only when no dir is set (tests,
+  * exploratory local runs). Superseded frames are unpersisted as each
+  * round retires them, so block-manager storage stays O(1 round).
   */
 object DedupCluster {
+
+  /** Cut lineage: reliable checkpoint when the session has a checkpoint
+    * dir (fault-tolerant on a cluster), eager localCheckpoint otherwise.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
+  /** Free a retired frame's pinned blocks (no-op for reliable-checkpoint
+    * frames, whose files the checkpoint dir owns).
+    */
+  private def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 
   /** Connected components of an undirected pair graph. Input: two Long
     * columns (a, b) per edge. Output: (doc_id, cluster_id) for every
@@ -44,12 +62,12 @@ object DedupCluster {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
+      var labels = cut(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
       var converged = false
       var iter = 0
-      while (!converged && iter < 50) {
+      val maxIters = 50
+      while (!converged && iter < maxIters) {
         iter += 1
         // min over self and neighbors' labels — one shuffle on dst->id
         val neighborMin = edges
@@ -59,25 +77,29 @@ object DedupCluster {
         // checkpointed: stepped feeds BOTH sides of the pointer-jump
         // join below — without the cut, the neighbor-min join+aggregate
         // subtree would execute twice per round
-        val stepped = labels.join(neighborMin, Seq("id"), "left")
+        val stepped = cut(labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"))
-          .localCheckpoint(true)
+              .as("label")))
         // pointer jump: label <- label's label (doubles chase distance)
-        val jumped = stepped.as("x")
+        val jumped = cut(stepped.as("x")
           .join(stepped.select(col("id").as("label"),
             col("label").as("plabel")).as("p"), Seq("label"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("plabel"), col("label")))
-              .as("label"))
-          .localCheckpoint(true)
+              .as("label")))
         converged = jumped.as("n")
           .join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old"))
           .isEmpty
+        release(stepped)
+        release(labels)
         labels = jumped
       }
+      // 50 pointer-jumping rounds resolve any graph of diameter < 2^50;
+      // hitting the cap unconverged means wrong labels — fail loudly
+      if (!converged) throw new IllegalStateException(
+        s"DedupCluster.components did not converge in $maxIters rounds")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     } finally edges.unpersist(false)
   }

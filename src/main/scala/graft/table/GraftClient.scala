@@ -53,9 +53,12 @@ final class GraftClient(
   /** The LOG's object store — pluggable (an S3-style conditional-put
     * backend slots in here; `FaultInjectingObjectStore` exercises the
     * commit protocol under that failure model at the full-client level).
-    * DATA objects always go through Spark's filesystem layer under
-    * `rootDir` — on a cluster that is the s3a/abfs path, orthogonal to
-    * this choice.
+    * DATA objects are read/written through Spark's filesystem layer under
+    * `rootDir`, but the maintenance paths (compact/rewrite staging moves,
+    * vacuum) use driver-local java.io file ops, so THIS implementation
+    * manages data objects on a local/shared POSIX filesystem only;
+    * porting data management to s3a/abfs would mean replacing those
+    * staging moves with Hadoop FileSystem renames.
     */
   val store: ObjectStore = logStore.getOrElse(new LocalObjectStore(rootDir))
   private val txLog = new TxLog(store)
@@ -672,20 +675,34 @@ final class GraftClient(
           "ELSE CAST(0 AS BIGINT) END)").mkString("bit_or(", " | ", ")"))
         .as(s"_w$j")
     }
-    val collected = df.select(col("_obj") +: posCols: _*)
+    // Stream the per-object bloom rows to the driver one shuffle
+    // partition at a time (toLocalIterator) instead of one collect():
+    // transient driver memory is bounded by a partition (~objects/
+    // shuffle.partitions × words longs), not the whole table's blooms.
+    // The staged log actions below are still O(un-bloomed objects) on the
+    // driver — inherent to a single metadata commit; batch the call over
+    // file subsets if that ever matters.
+    val byPath = files.map(a => a.path -> a).toMap
+    val seen = mutable.Set[String]()
+    val it = df.select(col("_obj") +: posCols: _*)
       .groupBy(col("_obj"))
       .agg(wordAggs.head, wordAggs.tail: _*)
-      .collect()
-      .map(r => r.getString(0) ->
-        BloomData(k, (0 until words).map(j => r.getLong(j + 1)).toVector))
-      .toMap
-    files.foreach { a =>
+      .toLocalIterator()
+    it.forEachRemaining { r =>
+      byPath.get(r.getString(0)).foreach { a =>
+        seen += a.path
+        val bloom =
+          BloomData(k, (0 until words).map(j => r.getLong(j + 1)).toVector)
+        t.actions += RemoveDataObject(table, a.path)
+        t.actions += a.copy(blooms = a.blooms + (column -> bloom))
+      }
+    }
+    files.filterNot(a => seen(a.path)).foreach { a =>
       // an all-null column yields no aggregation row: an empty bloom is
       // correct (no non-null value can be present)
-      val bloom = collected.getOrElse(a.path,
-        BloomData(k, Vector.fill(words)(0L)))
       t.actions += RemoveDataObject(table, a.path)
-      t.actions += a.copy(blooms = a.blooms + (column -> bloom))
+      t.actions += a.copy(blooms =
+        a.blooms + (column -> BloomData(k, Vector.fill(words)(0L))))
     }
   }
 
@@ -1252,9 +1269,18 @@ final class GraftClient(
       snap.liveDvs(table))
   }
 
-  /** [[currentState]] of the historical snapshot at `asOf`. */
+  /** [[currentState]] of the historical snapshot at `asOf`.
+    *
+    * If a transaction is open and `asOf` is at-or-past its snapshot
+    * version, this is a read of CURRENT state in disguise (createView
+    * routes here with the latest version), so it joins the tx's tracked
+    * read set — otherwise Serializable isolation would admit write skew
+    * through the SQL-view surface. Strictly-historical reads stay
+    * untracked (version-pinned data can never change under us).
+    */
   def currentStateAsOf(table: String, keyCols: Seq[String],
       asOf: Long): DataFrame = {
+    tx.foreach(t => if (asOf >= t.snapshot.version) t.readTables += table)
     val snap = txLog.beginAt(asOf)
     val schema = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
@@ -1844,8 +1870,11 @@ final class GraftClient(
     }
     val victims = Option(new java.io.File(rootDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_table_") &&
-        !keep(f.getName))
+      .filter(f => f.isDirectory &&
+        ((f.getName.startsWith("_table_") && !keep(f.getName)) ||
+          // a crash between a compact/rewrite staging write and its moves
+          // strands a _staging_* dir no log entry ever references
+          f.getName.startsWith("_staging_")))
     victims.foreach(deleteRecursively)
     victims.length
   }

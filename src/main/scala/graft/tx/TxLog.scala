@@ -301,16 +301,46 @@ final class TxLog(store: ObjectStore) {
     store.listPrefixOrdered(LogPrefix).lastOption
       .map(_.stripPrefix(LogPrefix).toLong + 1).getOrElse(0L)
 
-  /** Atomically append `actions` as log id `snapshot.version`. */
+  /** Atomically append `actions` as log id `snapshot.version`.
+    *
+    * Tolerates S3's ambiguous put failure (timeout AFTER the object became
+    * visible — see [[graft.store.FaultInjectingObjectStore]]): each commit
+    * body embeds a fresh `commitId` UUID; on IOException from the
+    * conditional put, the log entry is read back and its `commitId`
+    * compared to ours to disambiguate own-write-landed (success) from
+    * lost-race (CommitConflictException) from genuinely-no-effect
+    * (rethrow — the caller may safely retry the SAME id, nothing landed).
+    * Replay ignores the extra key, so old logs stay readable.
+    */
   def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)
     val id = snapshot.version
+    val commitId = java.util.UUID.randomUUID().toString
     val body = Json.write(Json.obj(
       "id" -> Json.num(id),
+      "commitId" -> Json.str(commitId),
       "actions" -> Json.arr(actions.map(actionToJson))))
-    if (!store.putIfAbsent(logName(id), body.getBytes("UTF-8")))
-      throw new CommitConflictException(id)
+    val won =
+      try store.putIfAbsent(logName(id), body.getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException => ownWriteLanded(id, commitId) match {
+          case Some(ours) => ours
+          case None => throw e // name absent: the put truly had no effect
+        }
+      }
+    if (!won) throw new CommitConflictException(id)
   }
+
+  /** Read-back disambiguation for an ambiguous put failure: Some(true) if
+    * the entry at `id` carries our `commitId` (our write landed before the
+    * error), Some(false) if another writer's entry is there, None if no
+    * entry exists (the put had no effect).
+    */
+  private def ownWriteLanded(id: Long, commitId: String): Option[Boolean] =
+    try {
+      val j = Json.parse(new String(store.read(logName(id)), "UTF-8")).asObj
+      Some(j.get("commitId").exists(_.asStr == commitId))
+    } catch { case _: java.nio.file.NoSuchFileException => None }
 
   /** Fold `snapshot` into a checkpoint object covering every log id below
     * `snapshot.version`: last-wins schemas + the live add set (original

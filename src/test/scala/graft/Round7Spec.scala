@@ -1,0 +1,153 @@
+package graft
+
+import java.io.IOException
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupCluster
+import graft.store.{FaultInjectingObjectStore, ObjectStore}
+import graft.table.GraftClient
+import graft.tx.CommitConflictException
+
+/** Round-7 pins: ambiguous-put commit recovery, durable cluster
+  * checkpointing, staging-orphan vacuum, and the SQL-view read joining
+  * the Serializable read set.
+  */
+class Round7Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", IntegerType)))
+  private def kvDf(rows: (Int, Int)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  test("ambiguous put failures: every commit lands exactly once") {
+    // every WINNING log put throws after the entry became visible — the
+    // S3 timeout-after-commit hazard. The commit read-back must absorb
+    // it: no surfaced IOException, no duplicated or skipped log id.
+    val dir = Files.createTempDirectory("graft_r7_amb").toString
+    val store = new FaultInjectingObjectStore(ambiguousEveryNthPut = 1)
+    val c = new GraftClient(spark, dir, logStore = Some(store))
+    c.newTx(); c.createTable("t", kvSchema); c.commitTx()
+    (0 until 5).foreach { i =>
+      c.newTx(); c.insert("t", kvDf((i, i))); c.commitTx()
+    }
+    assert(c.latestVersion === 6L) // 1 create + 5 inserts, no dups
+    c.newTx()
+    try {
+      assert(c.scan("t").count() === 5L)
+      assert(c.currentState("t", Seq("k")).count() === 5L)
+    } finally c.rollback()
+  }
+
+  test("ambiguous put read-back distinguishes lost-race from no-effect") {
+    import graft.tx.TxLog
+    // store stub: the first _log_1 put stores ANOTHER writer's body and
+    // then throws — the read-back must see a foreign commitId and raise
+    // CommitConflictException, not claim success.
+    class RaceStore(lost: Boolean) extends ObjectStore {
+      val inner = new graft.store.InMemoryObjectStore
+      var armed = true
+      override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
+        if (armed && name == TxLog.logName(1)) {
+          armed = false
+          if (lost) inner.putIfAbsent(name,
+            """{"actions":[],"commitId":"theirs","id":"1"}"""
+              .getBytes("UTF-8"))
+          throw new IOException("injected ambiguous timeout")
+        }
+        inner.putIfAbsent(name, data)
+      }
+      override def listPrefixOrdered(p: String): Seq[String] =
+        inner.listPrefixOrdered(p)
+      override def read(n: String): Array[Byte] = inner.read(n)
+    }
+    def commitAt1(store: ObjectStore): Unit = {
+      val dir = Files.createTempDirectory("graft_r7_race").toString
+      val c = new GraftClient(spark, dir, logStore = Some(store))
+      c.newTx(); c.createTable("t", kvSchema); c.commitTx() // id 0
+      c.newTx(); c.insert("t", kvDf((1, 1)))
+      c.commitTx() // id 1 — the armed put
+    }
+    intercept[CommitConflictException] { commitAt1(new RaceStore(true)) }
+    // no entry landed at all: the genuine failure must surface
+    intercept[IOException] { commitAt1(new RaceStore(false)) }
+  }
+
+  test("components uses reliable checkpoints when a dir is configured") {
+    val sc = spark.sparkContext
+    val ckptDir = Files.createTempDirectory("graft_r7_ckpt").toString
+    sc.setCheckpointDir(ckptDir)
+    try {
+      val s = spark
+      import s.implicits._
+      // a 12-node chain plus an isolated pair: pointer jumping must
+      // collapse the chain to min-id 0 within the round cap
+      val chain = ((0L until 11L).map(i => (i, i + 1)) :+ (100L, 101L)).toList
+      val pairs = chain.toDF("a", "b")
+      val labels = DedupCluster.components(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L to 11L).foreach(i => assert(labels(i) === 0L))
+      assert(labels(100L) === 100L && labels(101L) === 100L)
+      // the cuts were RELIABLE: RDD checkpoint files exist under the dir
+      val wrote = Option(new java.io.File(ckptDir).listFiles())
+        .exists(_.nonEmpty)
+      assert(wrote, "no checkpoint files written — cuts stayed local")
+    } finally {
+      // SparkContext has no unset; leaving the temp dir configured is
+      // harmless (cuts simply stay reliable for the session's remainder)
+      ()
+    }
+  }
+
+  test("vacuum reclaims orphaned _staging_ directories") {
+    val dir = Files.createTempDirectory("graft_r7_vac").toString
+    val c = new GraftClient(spark, dir)
+    c.newTx(); c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, 1))); c.commitTx()
+    // a crash between a compact's staging write and its moves strands
+    // this; no log entry ever references it
+    val orphan = new java.io.File(s"$dir/_staging_deadbeef")
+    assert(orphan.mkdir())
+    Files.write(new java.io.File(orphan, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    c.vacuum()
+    assert(!orphan.exists(), "orphaned staging dir survived vacuum")
+    c.newTx()
+    try assert(c.scan("t").count() === 1L) finally c.rollback()
+  }
+
+  test("write skew through the SQL-view surface aborts under Serializable") {
+    // same invariant-across-tables scenario as Round6Spec, but tx1's read
+    // of acct_a goes through createView (version-pinned registration) —
+    // previously excluded from the read set, admitting write skew
+    val dir = Files.createTempDirectory("graft_r7_skewview").toString
+    val c1 = new GraftClient(spark, dir)
+    c1.newTx()
+    c1.createTable("acct_a", kvSchema)
+    c1.createTable("acct_b", kvSchema)
+    c1.insert("acct_a", kvDf((1, 100)))
+    c1.insert("acct_b", kvDf((1, 100)))
+    c1.commitTx()
+    val c2 = new GraftClient(spark, dir)
+    c1.newTx()
+    c1.createView("acct_a", Seq("k"), "r7_va") // tx1 READS a via SQL ...
+    assert(spark.sql("SELECT count(*) FROM r7_va").head.getLong(0) === 1L)
+    c1.insert("acct_b", kvDf((2, -100))) // ... and writes b
+    c2.newTx()
+    assert(c2.scan("acct_b").count() === 1)
+    c2.insert("acct_a", kvDf((2, -100)))
+    c2.commitTx()
+    intercept[CommitConflictException] {
+      c1.commitTxRetrying(maxAttempts = 5,
+        isolation = GraftClient.Isolation.Serializable)
+    }
+  }
+}
