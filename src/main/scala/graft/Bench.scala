@@ -13,6 +13,8 @@ object Bench {
       // keep 64-aggregate signature computations (minhash/simhash) inside
       // whole-stage codegen (100-field default falls back to interpreted)
       .config("spark.sql.codegen.maxFields", "300")
+      // SQL UPDATE/MERGE on graft catalog tables (GraftDml rewrite rules)
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

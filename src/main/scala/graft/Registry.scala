@@ -27,6 +27,7 @@ object Registry {
       queries.SimilarityOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++
+      queries.SqlSurface.defs ++
       queries.Bucketed.defs ++
       sources.Sources.defs
 }

@@ -17,6 +17,8 @@ object Verify {
       // whole-stage codegen; the 100-field default silently drops them to
       // interpreted eval (measured 3.5x)
       .config("spark.sql.codegen.maxFields", "300")
+      // SQL UPDATE/MERGE on graft catalog tables (GraftDml rewrite rules)
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,136 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryDef
+
+/** The pure-SQL surface over graft tables, oracle-checked: every fixture
+  * mutation below runs through `spark.sql` against a [[graft.sql.GraftCatalog]]
+  * — CTAS, INSERT INTO, DELETE FROM, UPDATE, MERGE INTO — and the final
+  * table states are hash-compared against DuckDB replaying the same
+  * mutations relationally. This is the proof that a SQL-only user needs
+  * no Scala client: the catalog + [[graft.sql.GraftSparkExtensions]]
+  * route every statement into the same client operators
+  * (createTable/insert/deleteWhere/merge) the API tests pin.
+  *
+  * UPDATE and MERGE require the session to carry
+  * `spark.sql.extensions=graft.sql.GraftSparkExtensions` (Verify, Bench,
+  * and the test session all set it).
+  */
+object SqlSurface {
+
+  private val built = mutable.Map[String, String]() // sfDir -> catalog name
+  private val counter = new AtomicInteger(0)
+
+  /** Build the fixture once per (JVM, sfDir); returns the catalog name. */
+  private def ensure(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_sql_fixture").toString
+        val cat = s"gsql${counter.incrementAndGet()}"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+        spark.read.parquet(s"$sfDir/nation.parquet")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .createOrReplaceTempView(s"${cat}_nation_src")
+
+        // CTAS + INSERT INTO: append-only SQL writes
+        spark.sql(s"""CREATE TABLE $cat.t_ins AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""INSERT INTO $cat.t_ins
+          SELECT n_nationkey + 100, concat(n_name, '_X'), n_regionkey + 10
+          FROM ${cat}_nation_src WHERE n_nationkey < 5""")
+
+        // DELETE FROM: SupportsDelete -> copy-on-write deleteWhere
+        spark.sql(s"""CREATE TABLE $cat.t_del AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""DELETE FROM $cat.t_del
+          WHERE n_nationkey >= 10 AND n_nationkey <= 14""")
+
+        // UPDATE: extension rewrite -> CoW deleteWhere + rewritten insert
+        spark.sql(s"""CREATE TABLE $cat.t_upd AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""UPDATE $cat.t_upd
+          SET n_name = concat(n_name, '_U'), n_regionkey = n_regionkey + 100
+          WHERE n_nationkey < 5""")
+
+        // MERGE INTO: extension rewrite -> DV delete of matched keys +
+        // append (update keys 20..22, delete 23..24, insert 30..34)
+        spark.sql(s"""CREATE TABLE $cat.t_mrg AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ${cat}_mrg_src AS
+          SELECT n_nationkey AS k, concat(n_name, '_M') AS nm,
+                 n_regionkey + 50 AS rk
+          FROM ${cat}_nation_src WHERE n_nationkey >= 20
+          UNION ALL
+          SELECT n_nationkey + 30, concat(n_name, '_M'), n_regionkey + 50
+          FROM ${cat}_nation_src WHERE n_nationkey < 5""")
+        spark.sql(s"""
+          MERGE INTO $cat.t_mrg t USING ${cat}_mrg_src s
+          ON t.n_nationkey = s.k
+          WHEN MATCHED AND s.k >= 23 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET
+            n_nationkey = s.k, n_name = s.nm, n_regionkey = s.rk
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (s.k, s.nm, s.rk)""")
+        cat
+      })
+    }
+
+  private def state(table: String)(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cat = ensure(spark, dir)
+    spark.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+      FROM $cat.$table ORDER BY n_nationkey""")
+  }
+
+  private val insertSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_name || '_X' AS n_name,
+        n_regionkey + 10 AS n_regionkey
+      FROM nation WHERE n_nationkey < 5
+    ) ORDER BY n_nationkey"""
+
+  private val deleteSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey NOT BETWEEN 10 AND 14
+    ORDER BY n_nationkey"""
+
+  private val updateSql = """
+    SELECT n_nationkey,
+      CASE WHEN n_nationkey < 5 THEN n_name || '_U' ELSE n_name END
+        AS n_name,
+      CASE WHEN n_nationkey < 5 THEN n_regionkey + 100 ELSE n_regionkey END
+        AS n_regionkey
+    FROM nation
+    ORDER BY n_nationkey"""
+
+  private val mergeSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey < 20
+      UNION ALL
+      SELECT n_nationkey, n_name || '_M' AS n_name,
+        n_regionkey + 50 AS n_regionkey
+      FROM nation WHERE n_nationkey BETWEEN 20 AND 22
+      UNION ALL
+      SELECT n_nationkey + 30, n_name || '_M', n_regionkey + 50
+      FROM nation WHERE n_nationkey < 5
+    ) ORDER BY n_nationkey"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_sql_insert" -> QueryDef(state("t_ins"), Some(insertSql),
+      "pure-SQL CTAS + INSERT INTO through the DataSourceV2 catalog"),
+    "tx_sql_delete" -> QueryDef(state("t_del"), Some(deleteSql),
+      "pure-SQL DELETE FROM via SupportsDelete -> client.deleteWhere"),
+    "tx_sql_update" -> QueryDef(state("t_upd"), Some(updateSql),
+      "pure-SQL UPDATE via the extension rewrite -> CoW delete + insert"),
+    "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
+      "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"))
+}

@@ -1,0 +1,343 @@
+package graft.sql
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.GraftClient
+
+/** DataSourceV2 `TableCatalog` over a graft table store — the SQL surface
+  * the reference never had (its whole API is the Go client,
+  * deltalakeclient/writes.go:9-30). Register per root:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.g.root", "/path/to/store")
+  * spark.sql("CREATE TABLE g.t (k BIGINT, v STRING)")
+  * spark.sql("INSERT INTO g.t VALUES (1, 'a')")
+  * spark.sql("DELETE FROM g.t WHERE k = 1")        // SupportsDelete
+  * spark.sql("UPDATE g.t SET v = 'b' WHERE k = 1") // GraftSparkExtensions
+  * spark.sql("MERGE INTO g.t ...")                 // GraftSparkExtensions
+  * }}}
+  *
+  * Every operation delegates to [[GraftClient]], so SQL and Scala callers
+  * share one commit protocol, one conflict model, one file-skipping stack.
+  * Reads ride a [[V1Scan]] bridge: pushed filters reach the client's
+  * stats/bloom pruning AND the parquet scan's own pushdown, then Spark
+  * re-applies them post-scan (conservative double-evaluation; filters are
+  * idempotent). DDL is metadata-only (O(1) log actions, no data rewrite):
+  * CREATE/DROP/RENAME table, ADD/RENAME/DROP column.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def withClient[A](f: GraftClient => A): A =
+    f(new GraftClient(SparkSession.active, root))
+
+  /** Flat store: the only namespaces are the root `[]` and `[default]`. */
+  private def namespaceOk(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
+
+  private def tableName(ident: Identifier): String = {
+    if (!namespaceOk(ident.namespace()))
+      throw new NoSuchTableException(ident)
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceOk(namespace)) throw new NoSuchNamespaceException(namespace)
+    withClient { c =>
+      c.newTx()
+      try c.tables.toArray.sorted.map(t => Identifier.of(namespace, t))
+      finally c.rollback()
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    namespaceOk(ident.namespace()) && withClient { c =>
+      c.newTx()
+      try c.tables.contains(ident.name()) finally c.rollback()
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tableName(ident)
+    val schema = withClient { c =>
+      c.newTx()
+      try {
+        if (!c.tables.contains(t)) throw new NoSuchTableException(ident)
+        c.schemaOf(t)
+      } finally c.rollback()
+    }
+    new GraftTable(root, t, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables are not partitioned at DDL time; use " +
+          "insertPartitioned/clusterBy maintenance for layout")
+    val t = tableName(ident)
+    withClient { c =>
+      c.newTx()
+      if (c.tables.contains(t)) {
+        c.rollback()
+        throw new TableAlreadyExistsException(ident)
+      }
+      c.createTable(t, schema)
+      c.commitTxRetrying()
+    }
+    new GraftTable(root, t, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = tableName(ident)
+    withClient { c =>
+      c.newTx()
+      if (!c.tables.contains(t)) {
+        c.rollback()
+        throw new NoSuchTableException(ident)
+      }
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "nested column changes are not supported")
+          c.addColumn(t, org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), add.isNullable))
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames().length == 1,
+            "nested column changes are not supported")
+          c.renameColumn(t, ren.fieldNames()(0), ren.newName())
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            "nested column changes are not supported")
+          c.dropColumn(t, del.fieldNames()(0))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+      }
+      c.commitTxRetrying()
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    namespaceOk(ident.namespace()) && withClient { c =>
+      c.newTx()
+      if (!c.tables.contains(ident.name())) { c.rollback(); false }
+      else {
+        c.dropTable(ident.name())
+        c.commitTxRetrying()
+        true
+      }
+    }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tableName(oldIdent)
+    val to = tableName(newIdent)
+    withClient { c =>
+      c.newTx()
+      if (!c.tables.contains(from)) {
+        c.rollback()
+        throw new NoSuchTableException(oldIdent)
+      }
+      if (c.tables.contains(to)) {
+        c.rollback()
+        throw new TableAlreadyExistsException(newIdent)
+      }
+      // metadata-only: the clone re-points the SAME data objects under the
+      // new name, then the old name is dropped — no data file is touched
+      c.shallowClone(from, to)
+      c.dropTable(from)
+      c.commitTxRetrying()
+    }
+  }
+
+  // ---- SupportsNamespaces (flat) ----
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespaceOk(namespace)
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceOk(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft namespaces are fixed")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces are fixed")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft namespaces are fixed")
+}
+
+/** A graft table as seen by Spark's DSv2 planner. Reads and the DELETE
+  * path are served here; INSERT rides a [[V1Write]]; UPDATE/MERGE are
+  * rewritten by [[GraftSparkExtensions]] into commands that call back
+  * into [[GraftClient]].
+  */
+final class GraftTable(val root: String, val tableName: String,
+    tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  private[sql] def withClient[A](f: GraftClient => A): A =
+    f(new GraftClient(SparkSession.active, root))
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // ---- read path ----
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  // ---- insert path ----
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this)
+
+  // ---- DELETE FROM path ----
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterTranslation.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = withClient { c =>
+    c.newTx()
+    if (filters.isEmpty) c.truncate(tableName) // unconditional DELETE
+    else {
+      val pred = filters.flatMap(FilterTranslation.toColumn)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      c.deleteWhere(tableName, pred)
+    }
+    c.commitTxRetrying()
+  }
+}
+
+/** Column pruning + filter pushdown, landing in a [[V1Scan]] bridge whose
+  * relation reads the latest committed snapshot through the client (so
+  * stats/bloom file skipping, DV masking, and parquet pushdown all
+  * engage). All filters are also returned to Spark for post-scan
+  * re-evaluation — conservative and always correct.
+  */
+final class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
+    filters // Spark re-applies everything post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = table.withClient { c =>
+          val base = c.scanAsOf(table.tableName, c.latestVersion)
+          val filtered = pushed.flatMap(FilterTranslation.toColumn)
+            .foldLeft(base)((df, p) => df.filter(p))
+          filtered
+            .select(required.fieldNames.toIndexedSeq.map(col): _*)
+            .rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** INSERT INTO (append) and INSERT OVERWRITE (truncate + append), both as
+  * one client transaction.
+  */
+final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          table.withClient { c =>
+            c.newTx()
+            if (truncateFirst || overwrite) c.truncate(table.tableName)
+            c.insert(table.tableName, data)
+            c.commitTxRetrying()
+          }
+      }
+  }
+}
+
+/** V1 `sources.Filter` → public `Column` translation for the pushdown and
+  * DELETE paths. None = untranslatable (caller treats it as residual for
+  * scans, unsupported for deletes).
+  */
+object FilterTranslation {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => attr(a).map(_ === lit(v))
+    case sources.EqualNullSafe(a, v) => attr(a).map(_ <=> lit(v))
+    case sources.GreaterThan(a, v) => attr(a).map(_ > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+    case sources.LessThan(a, v) => attr(a).map(_ < lit(v))
+    case sources.LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+    case sources.In(a, vs) =>
+      attr(a).map(_.isin(vs.toIndexedSeq.map(lit(_)): _*))
+    case sources.IsNull(a) => attr(a).map(_.isNull)
+    case sources.IsNotNull(a) => attr(a).map(_.isNotNull)
+    case sources.StringStartsWith(a, v) => attr(a).map(_.startsWith(v))
+    case sources.StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+    case sources.StringContains(a, v) => attr(a).map(_.contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** Top-level columns only — a dotted name would be a nested field
+    * reference, which graft tables don't surface.
+    */
+  private def attr(name: String): Option[Column] =
+    if (name.contains(".") || name.contains("`")) None else Some(col(name))
+}

@@ -1,0 +1,280 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftshim.SqlShim
+
+/** Session extensions completing the SQL DML surface for graft tables:
+  * `UPDATE` and `MERGE INTO` have no DSv2 fallback interface (they
+  * require SupportsRowLevelOperations' full group-replacement machinery),
+  * so — like every lakehouse format's pre-row-level-op integration — a
+  * post-hoc resolution rule rewrites the resolved logical command into a
+  * runnable command that delegates to the client's existing operators:
+  * UPDATE = copy-on-write `deleteWhere` + insert of the rewritten rows
+  * (touched objects only); MERGE = the client's DV-based delete of
+  * matched keys + append (no target rewrite — the same two bounded jobs
+  * as [[graft.table.GraftClient.merge]]).
+  *
+  * Register at session build:
+  * `.config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(_ => GraftDmlRewrite)
+}
+
+/** Matches a resolved DSv2 relation over a [[GraftTable]], looking
+  * through subquery aliases.
+  */
+object GraftRel {
+  def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case gt: GraftTable => Some((r, gt))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+}
+
+object GraftDmlRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(GraftRel(rel, gt), assignments, cond)
+          if u.resolved && cond.forall(noSubquery) =>
+        GraftUpdateCommand(rel, gt, assignments, cond)
+      case m: MergeIntoTable if m.resolved =>
+        m.targetTable match {
+          case GraftRel(rel, gt) => rewriteMerge(m, rel, gt)
+          case _ => m
+        }
+    }
+
+  private def noSubquery(e: Expression): Boolean =
+    !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** The supported MERGE shape — the reference-equivalent upsert with an
+    * optional matched-delete clause (GraftClient.merge's semantics):
+    *   ON: conjunction of `target.k = <source-only expr>` equalities
+    *   WHEN MATCHED [AND c]: at most one DELETE (source-only condition)
+    *     and at most one unconditional UPDATE
+    *   WHEN NOT MATCHED: one unconditional INSERT
+    * Assignment values and conditions may reference SOURCE columns only
+    * (a matched row is replaced wholesale, not patched — exactly the
+    * MVCC upsert). Anything else stays un-rewritten and fails analysis
+    * with Spark's own unsupported-merge error.
+    */
+  private def rewriteMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
+      gt: GraftTable): LogicalPlan = {
+    val sourceOut = m.sourceTable.outputSet
+    def sourceOnly(e: Expression): Boolean =
+      e.references.subsetOf(sourceOut) && noSubquery(e)
+
+    // ON condition → (target attr, source expr) pairs
+    val conjuncts = splitConjuncts(m.mergeCondition)
+    val keyPairs = conjuncts.map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+        (l, r) match {
+          case (a: AttributeReference, s) if rel.outputSet.contains(a) &&
+            sourceOnly(s) => Some((a, s))
+          case (s, a: AttributeReference) if rel.outputSet.contains(a) &&
+            sourceOnly(s) => Some((a, s))
+          case _ => None
+        }
+      case _ => None
+    }
+    val deletes = m.matchedActions.collect { case d: DeleteAction => d }
+    val updates = m.matchedActions.collect { case u: UpdateAction => u }
+    val inserts = m.notMatchedActions.collect { case i: InsertAction => i }
+    val supported =
+      keyPairs.nonEmpty && keyPairs.forall(_.isDefined) &&
+        !m.withSchemaEvolution &&
+        m.notMatchedBySourceActions.isEmpty &&
+        m.matchedActions.size == deletes.size + updates.size &&
+        m.notMatchedActions.size == inserts.size &&
+        deletes.size <= 1 && updates.size <= 1 && inserts.size <= 1 &&
+        deletes.forall(_.condition.forall(sourceOnly)) &&
+        updates.forall(u => u.condition.isEmpty &&
+          complete(rel, u.assignments) &&
+          u.assignments.forall(a => sourceOnly(a.value))) &&
+        inserts.forall(i => i.condition.isEmpty &&
+          complete(rel, i.assignments) &&
+          i.assignments.forall(a => sourceOnly(a.value)))
+    if (!supported) m
+    else GraftMergeCommand(rel, gt, m.sourceTable, m.mergeCondition,
+      keyPairs.flatten, deletes.headOption, updates.headOption,
+      inserts.headOption)
+  }
+
+  /** A matched row is REPLACED (DV delete + append), so the action must
+    * assign every target column — no partial patch against old values.
+    */
+  private def complete(rel: DataSourceV2Relation,
+      assignments: Seq[Assignment]): Boolean =
+    rel.output.forall(attr => assignments.exists(_.key match {
+      case k: AttributeReference => k.semanticEquals(attr)
+      case _ => false
+    }))
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** Shared helpers for the DML commands. */
+private[sql] object DmlUtil {
+  /** Re-target a predicate bound to the command's relation so it resolves
+    * by NAME against the client's own scan of the same table.
+    */
+  def unbind(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** Project `from` onto the target's full column list: each target
+    * column takes its assigned value (cast if needed) or is required to
+    * have one — MERGE/UPDATE commands always carry complete assignment
+    * lists after resolution.
+    */
+  def alignedProject(target: Seq[Attribute], assignments: Seq[Assignment],
+      from: LogicalPlan): LogicalPlan = {
+    val projectList: Seq[NamedExpression] = target.map { attr =>
+      assignments.find(asg => asg.key match {
+        case k: AttributeReference => k.semanticEquals(attr)
+        case k: Attribute => k.name == attr.name
+        case _ => false
+      }) match {
+        case Some(asg) =>
+          val v = if (asg.value.dataType == attr.dataType) asg.value
+            else Cast(asg.value, attr.dataType)
+          Alias(v, attr.name)()
+        case None => throw new IllegalStateException(
+          s"no assignment for column ${attr.name}")
+      }
+    }
+    Project(projectList, from)
+  }
+}
+
+/** `UPDATE t SET ... WHERE c` → one client tx: copy-on-write
+  * `deleteWhere(c)` (stats-pruned to the objects that can match) plus an
+  * insert of the rewritten matching rows, computed against the pinned
+  * committed snapshot through the table's own V2 scan.
+  */
+case class GraftUpdateCommand(rel: DataSourceV2Relation, gt: GraftTable,
+    assignments: Seq[Assignment], cond: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val condExpr = cond.getOrElse(Literal.TrueLiteral)
+    // full-row rewrite of the matching rows: unassigned columns pass
+    // through unchanged
+    val projectList: Seq[NamedExpression] = rel.output.map { attr =>
+      assignments.find(_.key match {
+        case k: AttributeReference => k.semanticEquals(attr)
+        case _ => false
+      }) match {
+        case Some(asg) =>
+          val v = if (asg.value.dataType == attr.dataType) asg.value
+            else Cast(asg.value, attr.dataType)
+          Alias(v, attr.name)()
+        case None => attr
+      }
+    }
+    val updated = SqlShim.ofRows(session,
+      Project(projectList, Filter(condExpr, rel)))
+    gt.withClient { c =>
+      c.newTx()
+      c.deleteWhere(gt.tableName, SqlShim.column(DmlUtil.unbind(condExpr)))
+      c.insert(gt.tableName, updated)
+      c.commitTxRetrying()
+    }
+    Nil
+  }
+}
+
+/** The supported MERGE shape as one client tx (see
+  * [[GraftDmlRewrite.rewriteMerge]] for the accepted grammar): matched
+  * keys that update or delete get a deletion-vector delete (two bounded
+  * jobs, no target rewrite), then updated rows and not-matched inserts
+  * append. Matched/not-matched classification is a semi/anti join of the
+  * source against the target's key projection at the pinned snapshot.
+  */
+case class GraftMergeCommand(rel: DataSourceV2Relation, gt: GraftTable,
+    source: LogicalPlan, mergeCond: Expression,
+    keyPairs: Seq[(AttributeReference, Expression)],
+    deleteAction: Option[DeleteAction], updateAction: Option[UpdateAction],
+    insertAction: Option[InsertAction])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    // pin the (possibly non-deterministic) source: every derived plan
+    // below embeds this same analyzed subtree, so the cache substitutes
+    val srcCache = SqlShim.ofRows(session, source).persist()
+    try {
+      srcCache.count() // materialize before any classification
+      // every mergeCond conjunct is a key equality (rewriteMerge enforces
+      // it), so the key columns are the only target attrs the join needs
+      val targetKeys = Project(keyPairs.map(_._1).distinct, rel)
+      val matched = Join(source, targetKeys, LeftSemi, Some(mergeCond),
+        JoinHint.NONE)
+      val notMatched = Join(source, targetKeys, LeftAnti, Some(mergeCond),
+        JoinHint.NONE)
+      val delCond = deleteAction.flatMap(_.condition)
+        .getOrElse(Literal.TrueLiteral)
+
+      // keys to DV-delete: all matched rows if an UPDATE clause replaces
+      // them, else only the matched rows the DELETE condition selects
+      val delKeySource: Option[LogicalPlan] =
+        (updateAction, deleteAction) match {
+          case (Some(_), _) => Some(matched)
+          case (None, Some(_)) => Some(Filter(delCond, matched))
+          case (None, None) => None
+        }
+      gt.withClient { c =>
+        c.newTx()
+        delKeySource.foreach { plan =>
+          // client.merge expects full table schema on its source; only
+          // the key columns matter for an all-delete call — null-pad the
+          // rest
+          val padded = Project(rel.output.map { attr =>
+            keyPairs.find(_._1.semanticEquals(attr)) match {
+              case Some((_, sExpr)) =>
+                val v = if (sExpr.dataType == attr.dataType) sExpr
+                  else Cast(sExpr, attr.dataType)
+                Alias(v, attr.name)()
+              case None => Alias(Literal(null, attr.dataType), attr.name)()
+            }
+          }, plan)
+          c.merge(gt.tableName, SqlShim.ofRows(session, padded),
+            keyPairs.map(_._1.name), deleteCond = lit(true))
+        }
+        updateAction.foreach { u =>
+          val survivors = deleteAction match {
+            case Some(_) => Filter(
+              org.apache.spark.sql.catalyst.expressions.Not(delCond), matched)
+            case None => matched
+          }
+          c.insert(gt.tableName, SqlShim.ofRows(session,
+            DmlUtil.alignedProject(rel.output, u.assignments, survivors)))
+        }
+        insertAction.foreach { i =>
+          c.insert(gt.tableName, SqlShim.ofRows(session,
+            DmlUtil.alignedProject(rel.output, i.assignments, notMatched)))
+        }
+        c.commitTxRetrying()
+      }
+      Nil
+    } finally srcCache.unpersist(false)
+  }
+}

@@ -126,6 +126,21 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, schema)
   }
 
+  /** Drop `table`: one [[DropTable]] log action clears the table's schema,
+    * live objects, DVs, and constraints at this log position — a metadata
+    * op, O(1) regardless of table size. Data files stay on disk until
+    * [[vacuum]] (they fall out of every retained snapshot's keep-set). A
+    * later CREATE of the same name starts clean.
+    */
+  def dropTable(table: String): Unit = {
+    val t = currentTx
+    if (!t.tables.contains(table))
+      throw new IllegalArgumentException(s"no such table: $table")
+    t.tables.remove(table)
+    t.buffers.remove(table)
+    t.actions += DropTable(table)
+  }
+
   /** Widen `table` with a new nullable column — schema evolution via a
     * last-wins ChangeMetadata, the mechanism the reference nominally has
     * (transactions.go:91-95) but documents as breaking deletes
@@ -1141,7 +1156,8 @@ final class GraftClient(
               // the new invariant
               if (appendOnly) theirs.exists(a =>
                 a.isInstanceOf[ChangeMetadata] ||
-                  a.isInstanceOf[SetConstraint])
+                  a.isInstanceOf[SetConstraint] ||
+                  a.isInstanceOf[DropTable])
               else {
                 // OBJECT-level conflicts for mutations (Delta-style), not
                 // table-level: partition-disjoint deletes/rewrites of one
@@ -1165,6 +1181,7 @@ final class GraftClient(
                 }.toSet
                 theirs.exists {
                   case _: ChangeMetadata | _: SetConstraint => true
+                  case _: DropTable => true // table gone under our feet
                   case a: AddDataObject => a.txId >= t.snapshot.version
                   case RemoveDataObject(_, p) => ourRemoves(p)
                   case _: SetTxn => true

@@ -123,6 +123,16 @@ final case class SetTxn(appId: String, version: Long) extends Action {
 final case class SetConstraint(table: String, name: String, expr: String)
     extends Action
 
+/** Drop a table: every fold clears the table's accumulated state (schema,
+  * live objects, DVs, constraints) at this point in the log, so a later
+  * CREATE of the same name starts clean and never resurrects old objects.
+  * Data files are left on disk for vacuum to reclaim (they drop out of
+  * every retained snapshot's keep-set). Needed by the SQL catalog's
+  * `DROP TABLE` / `ALTER TABLE RENAME`; the Scala client exposes it as
+  * [[graft.table.GraftClient.dropTable]].
+  */
+final case class DropTable(table: String) extends Action
+
 final class CommitConflictException(id: Long)
   extends RuntimeException(
     s"commit conflict: log id $id was taken by a concurrent transaction")
@@ -132,8 +142,16 @@ final class CommitConflictException(id: Long)
   * (deltalakeclient/transactions.go:53-104).
   */
 final case class Snapshot(version: Long, actions: Vector[Action]) {
-  def tables: Map[String, StructType] =
-    actions.collect { case ChangeMetadata(t, s) => t -> s }.toMap // last wins
+  def tables: Map[String, StructType] = {
+    // ordered fold, last wins; DropTable erases (re-create starts clean)
+    val m = scala.collection.mutable.LinkedHashMap[String, StructType]()
+    actions.foreach {
+      case ChangeMetadata(t, s) => m(t) = s
+      case DropTable(t) => m.remove(t)
+      case _ => ()
+    }
+    m.toMap
+  }
   /** Live data objects of a table, sorted by (txId, path) so rewrites sort
     * back into their original chronological position
     * (dataobjects.go:91-92).
@@ -146,6 +164,7 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     (actions ++ pending).foreach {
       case a: AddDataObject if a.table == table => live(a.path) = a
       case RemoveDataObject(t, p) if t == table => live.remove(p)
+      case DropTable(t) if t == table => live.clear()
       case _ => ()
     }
     live.values.toVector.sortBy(a => (a.txId, a.path))
@@ -160,6 +179,7 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     (actions ++ pending).foreach {
       case SetConstraint(t, n, e) if t == table =>
         if (e.isEmpty) m.remove(n) else m(n) = e
+      case DropTable(t) if t == table => m.clear()
       case _ => ()
     }
     m.toMap
@@ -178,6 +198,7 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     (actions ++ pending).foreach {
       case a: AddDeleteVector if a.table == table => live(a.path) = a
       case RemoveDataObject(t, p) if t == table => live.remove(p)
+      case DropTable(t) if t == table => live.clear()
       case _ => ()
     }
     live.values.toVector.sortBy(a => (a.txId, a.path))
@@ -439,6 +460,8 @@ object TxLog {
     case SetConstraint(t, n, e) => Json.obj(
       "type" -> Json.str("constraint"), "table" -> Json.str(t),
       "name" -> Json.str(n), "expr" -> Json.str(e))
+    case DropTable(t) => Json.obj(
+      "type" -> Json.str("droptable"), "table" -> Json.str(t))
   }
 
   def actionFromJson(v: JValue): Action = {
@@ -456,6 +479,7 @@ object TxLog {
       case "txn" => SetTxn(o("appId").asStr, o("version").asLong)
       case "constraint" => SetConstraint(o("table").asStr, o("name").asStr,
         o("expr").asStr)
+      case "droptable" => DropTable(o("table").asStr)
     }
   }
 }

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSession}
+
+/** The two `private[sql]` bridges the SQL DML commands need — same
+  * rationale as [[StreamingShim]]: this object lives under
+  * `org.apache.spark.sql` purely to satisfy the access qualifier; no
+  * copied code, nothing else reaches into Spark internals.
+  *
+  *  - A DML command (UPDATE/MERGE rewrite) holds a RESOLVED `LogicalPlan`
+  *    fragment (the target relation with the command's own attribute ids)
+  *    and must execute derived plans through the session —
+  *    `Dataset.ofRows` is the only constructor that accepts a plan.
+  *  - Converting a catalyst predicate `Expression` back into a public
+  *    `Column` (for `GraftClient.deleteWhere`) goes through
+  *    `ExpressionUtils.column` since Spark 4 removed the public
+  *    `new Column(expr)` constructor.
+  */
+object SqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
