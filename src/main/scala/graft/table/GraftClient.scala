@@ -157,21 +157,24 @@ final class GraftClient(
     require(field.nullable, "added columns must be nullable: rows written " +
       "before the widening have no value for them")
     flush(table) // buffered rows carry the pre-widening arity
-    val widened = StructType(schema.fields :+ field)
+    // fresh physical name: if this logical name was ever dropped before,
+    // old files keep their bytes under the OLD physical name, so the new
+    // column reads null from them instead of resurrecting dead values
+    val phys = s"${field.name}_${UUID.randomUUID().toString.take(8)}"
+    val mapped = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata).putString(PhysKey, phys).build())
+    val widened = StructType(schema.fields :+ mapped)
     t.tables(table) = widened
     t.actions += ChangeMetadata(table, widened)
   }
 
-  /** Narrow `table` by dropping a column — the other half of schema
-    * evolution. The metadata narrows (last-wins ChangeMetadata, as in
-    * [[addColumn]]) and every live object is rewritten WITHOUT the
-    * column in the same transaction, so the bytes leave the files too:
-    * parquet reads are by name, so if old files kept the column,
-    * re-adding a column of the same name later would silently resurrect
-    * the old values. The rewrite is object-for-object
-    * ([[rewriteObjects]]): partition/cluster layout, per-object stats,
-    * and original txIds all survive. On a huge table, schedule drops
-    * like any OPTIMIZE.
+  /** Narrow `table` by dropping a column — METADATA-ONLY via column
+    * mapping: one ChangeMetadata action, zero data objects touched, O(1)
+    * at any table size. The dropped column's bytes stay in the files
+    * (reads project them away) until [[materializeSchema]] or a compact
+    * rewrites them out; re-adding the same logical name later mints a
+    * fresh physical name in [[addColumn]], so old values can never
+    * resurrect.
     */
   def dropColumn(table: String, name: String): Unit = {
     val t = currentTx
@@ -181,19 +184,16 @@ final class GraftClient(
     requireNoConstraintOn(table, name)
     flush(table) // buffered rows carry the pre-narrowing arity
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
-    rewriteObjects(table, schema, narrowed, identity)
     t.tables(table) = narrowed
     t.actions += ChangeMetadata(table, narrowed)
   }
 
-  /** Rename a column — completes the schema-evolution triple
-    * (add/drop/rename). Parquet reads are by NAME and the log has no
-    * per-file column-id mapping, so a metadata-only rename would read
-    * every existing file as null; instead every live object is
-    * rewritten with the column renamed ([[rewriteObjects]]: one
-    * distributed job, layout and txIds preserved), and the metadata
-    * follows. Old name free for later re-add (reads null — the bytes
-    * left with the rewrite).
+  /** Rename a column — METADATA-ONLY via column mapping: the field keeps
+    * its stable physical name (pinned into field metadata on first
+    * rename) and only the logical name changes. Zero data objects
+    * touched; stats and bloom sidecars stay valid because they are keyed
+    * by the physical name. Old name free for later re-add (a fresh
+    * physical name, reads null from old files).
     */
   def renameColumn(table: String, from: String, to: String): Unit = {
     val t = currentTx
@@ -202,12 +202,35 @@ final class GraftClient(
     require(!old.fieldNames.contains(to), s"column exists: $to")
     requireNotReserved(Seq(to))
     requireNoConstraintOn(table, from)
-    flush(table) // buffered rows carry the old layout; rewrite covers them
-    val renamed = StructType(old.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
-    rewriteObjects(table, old, renamed, n => if (n == to) from else n)
+    val renamed = StructType(old.fields.map { f =>
+      if (f.name == from)
+        f.copy(name = to, metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
+      else f
+    })
     t.tables(table) = renamed
     t.actions += ChangeMetadata(table, renamed)
+  }
+
+  /** Bake the logical schema back into the files: rewrite every live
+    * object with physical == logical column names, dropping the bytes of
+    * dropped columns and re-keying per-object stats to the current
+    * names. The REORG/PURGE companion to the metadata-only
+    * [[renameColumn]]/[[dropColumn]] — O(table), schedule like any
+    * OPTIMIZE; layout, per-object stats tightness, and original txIds
+    * survive ([[rewriteObjects]]).
+    */
+  def materializeSchema(table: String): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    flush(table)
+    val clean = StructType(schema.fields.map(f =>
+      if (f.metadata.contains(PhysKey)) f.copy(metadata = Metadata.empty)
+      else f))
+    rewriteObjects(table, physSchema(schema), clean,
+      n => physOf(schema, n))
+    t.tables(table) = clean
+    t.actions += ChangeMetadata(table, clean)
   }
 
   /** Object-for-object rewrite of every live object, projecting
@@ -396,6 +419,58 @@ final class GraftClient(
     StructType(schema.fields :+ StructField(TxIdCol, LongType, nullable = false)
       :+ StructField(RowIdxCol, LongType, nullable = false))
 
+  // ---- column mapping (Delta-style, via field metadata) ----------------
+  //
+  // Parquet reads are by name, so a naive rename/drop is an O(table)
+  // rewrite. Instead each column carries a stable PHYSICAL name in its
+  // field metadata (key `graftPhysical`; absent = physical == logical,
+  // which keeps every pre-mapping table readable unchanged). Files are
+  // written and stats/bloom sidecars keyed under PHYSICAL names; reads
+  // project physical -> logical. renameColumn then only changes the
+  // logical name (files and pruning stay valid), dropColumn only narrows
+  // the logical schema (bytes stay until [[materializeSchema]]/compact),
+  // and addColumn mints a FRESH physical name so re-adding a dropped
+  // column's name can never resurrect old values.
+
+  /** Field-metadata key holding a column's physical name. */
+  val PhysKey = "graftPhysical"
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** The schema as written to / read from parquet. */
+  private def physSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physName(f))))
+
+  /** logical -> physical for the fields where the two differ. */
+  private def physRenames(schema: StructType): Map[String, String] =
+    schema.fields.iterator.map(f => f.name -> physName(f))
+      .filter(p => p._1 != p._2).toMap
+
+  /** Physical name of logical column `c` (stats/bloom key). */
+  private def physOf(schema: StructType, c: String): String =
+    physName(schema(schema.fieldIndex(c)))
+
+  /** Rename a logical-layout DataFrame for writing (prov/internal columns
+    * pass through untouched).
+    */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame = {
+    val m = physRenames(schema)
+    if (m.isEmpty) df else df.withColumnsRenamed(m)
+  }
+
+  /** Read data objects: physical columns on disk, logical columns out.
+    * Columns a file lacks (written before an addColumn, or re-added under
+    * a fresh physical name) surface as null — parquet by-name semantics.
+    */
+  private def readObjects(schema: StructType, paths: Seq[String]): DataFrame = {
+    val df = spark.read.schema(provSchema(physSchema(schema)))
+      .parquet(paths: _*)
+    val m = physRenames(schema)
+    if (m.isEmpty) df else df.withColumnsRenamed(m.map(_.swap))
+  }
+
   def writeRow(table: String, values: Seq[Any]): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
@@ -421,12 +496,13 @@ final class GraftClient(
   def insert(table: String, df: DataFrame): Unit =
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      stamped.write.parquet(s"$rootDir/$name")
+      toPhysical(stamped, schema).write.parquet(s"$rootDir/$name")
       // footer-metadata read (no Spark job): exact written count + column
       // min/max stats for file skipping. A count mismatch means the pinned
       // lineage still diverged between the two passes — fail the tx rather
       // than corrupt MVCC ordering.
-      val (written, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+      val (written, stats) =
+        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
       require(written == n,
         s"insert wrote $written rows but counted $n: non-deterministic input")
       t.actions += AddDataObject(table, name, txId, n, stats)
@@ -493,7 +569,7 @@ final class GraftClient(
       s"no such column: $partCol")
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
       val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-      stamped.withColumn(PartCol, col(partCol))
+      toPhysical(stamped.withColumn(PartCol, col(partCol)), schema)
         .write.partitionBy(PartCol).parquet(staging)
       val stagingDir = new java.io.File(staging)
       val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
@@ -506,7 +582,8 @@ final class GraftClient(
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
         java.nio.file.Files.move(d.toPath,
           new java.io.File(s"$rootDir/$name").toPath)
-        val (rows, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+        val (rows, stats) =
+          ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
         (name, rows, stats)
       }
       deleteRecursively(stagingDir)
@@ -528,10 +605,13 @@ final class GraftClient(
       Row.fromSeq(r.toSeq :+ t.id :+ idx)
     }.toList.asJava
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    constraintGuard(table, spark.createDataFrame(rows, provSchema(schema)))
+    toPhysical(
+      constraintGuard(table, spark.createDataFrame(rows, provSchema(schema))),
+      schema)
       .coalesce(1)
       .write.parquet(s"$rootDir/$name")
-    val (_, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+    val (_, stats) =
+      ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
     t.actions += AddDataObject(table, name, t.id, buf.length.toLong, stats)
     buf.clear()
   }
@@ -562,8 +642,9 @@ final class GraftClient(
     val schema = schemaOf(table)
     bounds.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"no such column: $c") }
+    // stats are keyed by PHYSICAL column names (rename-stable)
     scanFiltered(table, a => bounds.forall { case (c, (lo, hi)) =>
-      ColStats.mayOverlap(a.stats, c, lo, hi) })
+      ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) })
   }
 
   /** [[scan]] over only the live objects passing `filePred` — the shared
@@ -582,7 +663,7 @@ final class GraftClient(
       if (files.isEmpty)
         spark.createDataFrame(List.empty[Row].asJava, pSchema)
       else
-        applyDvs(spark.read.schema(pSchema).parquet(files: _*),
+        applyDvs(readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq))
     val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
     if (buf.isEmpty) committed
@@ -674,11 +755,13 @@ final class GraftClient(
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(column), s"no such column: $column")
     flush(table)
-    val files = liveFiles(table).filterNot(_.blooms.contains(column))
+    // blooms are keyed by the PHYSICAL column name (rename-stable)
+    val physCol = physOf(schema, column)
+    val files = liveFiles(table).filterNot(_.blooms.contains(physCol))
     if (files.isEmpty) return
     val words = numBits / 64
-    val df = spark.read.schema(provSchema(schema))
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
+    val df = readObjects(schema,
+        files.map(a => s"$rootDir/${a.path}"))
       .withColumn("_obj", expr("element_at(split(input_file_name(), '/'), -2)"))
       .filter(col(column).isNotNull)
     val posCols = (0 until k).map(i =>
@@ -709,7 +792,7 @@ final class GraftClient(
         val bloom =
           BloomData(k, (0 until words).map(j => r.getLong(j + 1)).toVector)
         t.actions += RemoveDataObject(table, a.path)
-        t.actions += a.copy(blooms = a.blooms + (column -> bloom))
+        t.actions += a.copy(blooms = a.blooms + (physCol -> bloom))
       }
     }
     files.filterNot(a => seen(a.path)).foreach { a =>
@@ -717,7 +800,7 @@ final class GraftClient(
       // correct (no non-null value can be present)
       t.actions += RemoveDataObject(table, a.path)
       t.actions += a.copy(blooms =
-        a.blooms + (column -> BloomData(k, Vector.fill(words)(0L))))
+        a.blooms + (physCol -> BloomData(k, Vector.fill(words)(0L))))
     }
   }
 
@@ -777,11 +860,11 @@ final class GraftClient(
       }
     live.filter(a =>
       bounds.forall { case (c, (lo, hi)) =>
-        ColStats.mayOverlap(a.stats, c, lo, hi) } &&
+        ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) } &&
         equalities.forall { case (c, v) =>
-          ColStats.mayOverlap(a.stats, c, v, v) } &&
+          ColStats.mayOverlap(a.stats, physOf(schema, c), v, v) } &&
         probes.forall { case (c, hs) =>
-          a.blooms.get(c).forall(_.mightContain(hs)) })
+          a.blooms.get(physOf(schema, c)).forall(_.mightContain(hs)) })
   }
 
   /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
@@ -836,13 +919,14 @@ final class GraftClient(
     * column's span, so trailing columns prune too.
     */
   private[graft] def mergePrunedFiles(allFiles: Vector[AddDataObject],
-      delKeys: DataFrame, keyCols: Seq[String]): Vector[AddDataObject] = {
+      delKeys: DataFrame, keyCols: Seq[String],
+      statKey: String => String = identity): Vector[AddDataObject] = {
     val aggs = keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
     delKeys.agg(aggs.head, aggs.tail: _*).collect().headOption match {
       case Some(r) =>
         keyCols.zipWithIndex.foldLeft(allFiles) { case (fs, (c, i)) =>
           if (r.isNullAt(2 * i)) fs
-          else pruneByRange(fs, c, r.get(2 * i), r.get(2 * i + 1))
+          else pruneByRange(fs, statKey(c), r.get(2 * i), r.get(2 * i + 1))
         }
       case _ => allFiles
     }
@@ -855,11 +939,11 @@ final class GraftClient(
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
     // to the full-table DV scan it skips for the common pure-upsert merge
     if (allFiles.nonEmpty && !delKeys.isEmpty) {
-      val files = mergePrunedFiles(allFiles, delKeys, keyCols)
+      val files = mergePrunedFiles(allFiles, delKeys, keyCols,
+        physOf(schema, _))
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         val matched = applyDvs(
-          spark.read.schema(provSchema(schema))
-            .parquet(files.map(a => s"$rootDir/${a.path}"): _*),
+          readObjects(schema, files.map(a => s"$rootDir/${a.path}")),
           t.snapshot.liveDvs(table, t.actions.toSeq))
           .join(broadcast(delKeys), keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
@@ -954,11 +1038,13 @@ final class GraftClient(
     // stats-based file skipping: objects whose min/max can't overlap the
     // range are never opened, let alone rewritten
     deleteWhereImpl(table, col(column).between(lit(start), lit(end)),
-      pruneByRange(liveFiles(table), column, start, end))
+      pruneByRange(liveFiles(table), physOf(schemaOf(table), column),
+        start, end))
   }
 
   /** Live objects whose stats may contain rows with start <= column <= end.
-    * Objects without stats for the column are conservatively kept.
+    * `column` is the PHYSICAL name (stats keys); objects without stats
+    * for it are conservatively kept.
     */
   private def pruneByRange(files: Vector[AddDataObject], column: String,
       start: Any, end: Any): Vector[AddDataObject] =
@@ -985,9 +1071,8 @@ final class GraftClient(
     val files = candidates
     if (files.isEmpty) return
     val byName = files.map(a => a.path -> a).toMap
-    val pSchema = provSchema(schema)
-    val scanAll = spark.read.schema(pSchema)
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
+    val scanAll = readObjects(schema,
+      files.map(a => s"$rootDir/${a.path}"))
 
     // job 1: matched-row count per object (metadata-sized result)
     val matchedPerObject: Map[String, Long] = scanAll
@@ -1013,11 +1098,11 @@ final class GraftClient(
     // drops live rows (found by the 500-op model test; pinned in
     // DvCompactReproSpec).
     val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    spark.read.schema(pSchema)
-      .parquet(touched.map(n => s"$rootDir/$n"): _*)
-      .filter(keepPred)
+    toPhysical(readObjects(schema, touched.map(n => s"$rootDir/$n"))
+        .filter(keepPred), schema)
       .write.parquet(s"$rootDir/$name")
-    val (survivors, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+    val (survivors, stats) =
+      ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
     if (survivors > 0)
       t.actions += AddDataObject(table, name,
         touched.map(n => byName(n).txId).min, survivors, stats)
@@ -1039,8 +1124,8 @@ final class GraftClient(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
         .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
-      val removedMasked = spark.read.schema(pSchema)
-        .parquet(touched.map(n => s"$rootDir/$n"): _*)
+      val removedMasked = readObjects(schema,
+          touched.map(n => s"$rootDir/$n"))
         .filter(pred)
         .select(col(TxIdCol), col(RowIdxCol))
         .join(broadcast(dvKeys), Seq(TxIdCol, RowIdxCol), "left_semi")
@@ -1219,7 +1304,8 @@ final class GraftClient(
     require(schemaOf(table).fieldNames.contains(column),
       s"no such column: $column")
     deleteWhereDVImpl(table, col(column).between(lit(start), lit(end)),
-      pruneByRange(liveFiles(table), column, start, end))
+      pruneByRange(liveFiles(table), physOf(schemaOf(table), column),
+        start, end))
   }
 
   /** [[deleteWhere]] semantics via a deletion vector. */
@@ -1235,8 +1321,7 @@ final class GraftClient(
 
     if (candidates.isEmpty) return
     val matched = applyDvs(
-      spark.read.schema(provSchema(schema))
-        .parquet(candidates.map(a => s"$rootDir/${a.path}"): _*),
+      readObjects(schema, candidates.map(a => s"$rootDir/${a.path}")),
       t.snapshot.liveDvs(table, t.actions.toSeq))
       .filter(pred)
       .select(col(TxIdCol), col(RowIdxCol))
@@ -1282,8 +1367,7 @@ final class GraftClient(
     val pSchema = provSchema(schema)
     val files = snap.liveFiles(table).map(a => s"$rootDir/${a.path}")
     if (files.isEmpty) spark.createDataFrame(List.empty[Row].asJava, pSchema)
-    else applyDvs(spark.read.schema(pSchema).parquet(files: _*),
-      snap.liveDvs(table))
+    else applyDvs(readObjects(schema, files), snap.liveDvs(table))
   }
 
   /** [[currentState]] of the historical snapshot at `asOf`.
@@ -1364,7 +1448,7 @@ final class GraftClient(
     if (adds.isEmpty)
       spark.createDataFrame(List.empty[Row].asJava, schema)
     else
-      spark.read.schema(provSchema(schema)).parquet(adds: _*).select(cols: _*)
+      readObjects(schema, adds).select(cols: _*)
   }
 
   /** SHALLOW CLONE: fork `src` as a new table `dst` without copying a
@@ -1505,7 +1589,8 @@ final class GraftClient(
     def pointIn(a: AddDataObject, c: String): Boolean =
       a.stats.get(c).exists(s => s.min != null && s.min == s.max)
     val allSingleRow = files.forall(_.numRows <= 1)
-    val pointCols = schema.fieldNames.filter { c =>
+    // stats keys are PHYSICAL names; this whole block is stats-space only
+    val pointCols = physSchema(schema).fieldNames.filter { c =>
       files.forall(pointIn(_, c)) &&
         (!allSingleRow ||
           small.map(_.stats(c).min).distinct.length <=
@@ -1523,7 +1608,7 @@ final class GraftClient(
     }
     val bins = mutable.ArrayBuffer[Vector[AddDataObject]]()
     grouped.toSeq.sortBy(_._1.mkString("|")).foreach { case (_, members) =>
-      val orderCol = schema.fieldNames
+      val orderCol = physSchema(schema).fieldNames
         .filterNot(pointCols.contains)
         .find(c => members.forall(_.stats.get(c).exists(_.min != null)))
       val sorted = orderCol match {
@@ -1548,7 +1633,10 @@ final class GraftClient(
     val binOf = eligible.zipWithIndex
       .flatMap { case (bin, i) => bin.map(_.path -> i) }.toMap
     val srcPaths = eligible.flatten.map(_.path)
-    val src = spark.read.schema(provSchema(schema))
+    // compact rewrites in PHYSICAL column space: the new objects must
+    // stay readable under the current mapping, and no logical projection
+    // is needed to route rows between bins
+    val src = spark.read.schema(provSchema(physSchema(schema)))
       .parquet(srcPaths.map(p => s"$rootDir/$p"): _*)
       .withColumn("_obj",
         regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
@@ -1580,7 +1668,7 @@ final class GraftClient(
         java.nio.file.Files.move(d.toPath,
           new java.io.File(s"$rootDir/$name").toPath)
         val (rows, stats) =
-          ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+          ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
         (name, binId, rows, stats)
       }
     deleteRecursively(stagingDir)
@@ -1670,15 +1758,14 @@ final class GraftClient(
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (files.isEmpty) return
-    val live = applyDvs(spark.read.schema(provSchema(schema))
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*), dvs)
+    val live = applyDvs(
+      readObjects(schema, files.map(a => s"$rootDir/${a.path}")), dvs)
     val exchanged = exchange(live) match {
       case Some(df) => df
       case None => return
     }
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    exchanged
-      .withColumn(PartCol, spark_partition_id())
+    toPhysical(exchanged.withColumn(PartCol, spark_partition_id()), schema)
       .write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
     val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
@@ -1688,7 +1775,8 @@ final class GraftClient(
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
       java.nio.file.Files.move(d.toPath,
         new java.io.File(s"$rootDir/$name").toPath)
-      val (rows, stats) = ParquetFooters.scan(spark, s"$rootDir/$name", schema)
+      val (rows, stats) =
+        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
       if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
       else deleteRecursively(new java.io.File(s"$rootDir/$name"))
     }
@@ -1804,7 +1892,7 @@ final class GraftClient(
     // bounds only steer bucket balance, never correctness (mayOverlap is
     // computed from the REWRITTEN footers)
     def statBounds(c: String): Option[(Double, Double)] = {
-      val per = liveFiles(table).map(_.stats.get(c).map(cs =>
+      val per = liveFiles(table).map(_.stats.get(physOf(schema, c)).map(cs =>
         (ColStats.normalize(cs.min), ColStats.normalize(cs.max))))
       if (per.isEmpty || per.exists(_.isEmpty)) None
       else {

@@ -501,13 +501,13 @@ class StatsMergeSpec extends AnyFunSuite {
     c.rollback()
   }
 
-  test("renameColumn rewrites files; old name re-adds as nulls") {
+  test("renameColumn is metadata-only; old name re-adds as nulls") {
     val dir = tmp()
     val c = new GraftClient(spark, dir)
     c.newTx()
     c.createTable("t", kvSchema)
     c.insert("t", kvDf((1, "one"), (2, "two")))
-    c.writeRow("t", Seq(3, "buffered")) // rewrite must cover this too
+    c.writeRow("t", Seq(3, "buffered")) // positional: rename must not lose it
     c.renameColumn("t", "v", "name")
     c.commitTx()
 
@@ -515,15 +515,48 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(c.schemaOf("t").fieldNames.toSeq === Seq("k", "name"))
     assert(c.scan("t").select("k", "name").collect().toSet ===
       Set(Row(1, "one"), Row(2, "two"), Row(3, "buffered")))
-    // object-for-object: the bulk object and the flushed-buffer object
-    // both survive as distinct objects (layout preserved)
     assert(c.objects("t").length === 2)
-    // stats followed the rename: the new name prunes
-    assert(c.objects("t").head.stats.contains("name"))
-    // the old name re-added reads null — no resurrected bytes
+    // column mapping: stats stay keyed by the stable PHYSICAL name, and
+    // pruning on the NEW logical name still works through the mapping
+    assert(c.objects("t").head.stats.contains("v"))
+    assert(c.scanRange("t", "name", "one", "one").count() === 1L)
+    // the old name re-added reads null — fresh physical name, so the
+    // still-on-disk bytes of the renamed column can't resurrect
     c.addColumn("t", StructField("v", StringType, nullable = true))
     assert(c.scan("t").select("v").collect().forall(_.isNullAt(0)))
     c.commitTx()
+  }
+
+  test("rename/drop stage ZERO data-object actions; files still read") {
+    import graft.tx.{AddDataObject, RemoveDataObject}
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "one"), (2, "two")))
+    c.commitTx()
+    val before = c.latestVersion
+    c.newTx()
+    c.renameColumn("t", "v", "name")
+    c.dropColumn("t", "name") // -> table is just (k)
+    c.commitTx()
+    val actions = c.historyBetween(before, before + 1).flatMap(_._2)
+    assert(actions.nonEmpty)
+    assert(!actions.exists(a => a.isInstanceOf[AddDataObject] ||
+      a.isInstanceOf[RemoveDataObject]),
+      s"rename/drop must be metadata-only, staged: $actions")
+    c.newTx()
+    assert(c.schemaOf("t").fieldNames.toSeq === Seq("k"))
+    assert(c.scan("t").select("k").collect().map(_.getInt(0)).toSet ===
+      Set(1, 2))
+    // materializeSchema purges the dropped bytes and re-keys stats
+    c.materializeSchema("t")
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("t").select("k").collect().map(_.getInt(0)).toSet ===
+      Set(1, 2))
+    assert(c.objects("t").forall(_.stats.contains("k")))
+    c.rollback()
   }
 
   test("column stats survive the checkpoint fold and replay from it") {
