@@ -227,11 +227,8 @@ final class TxLog(store: ObjectStore) {
   def begin(): Snapshot = {
     val actions = Vector.newBuilder[Action]
     var last = -1L
-    val base = store.listPrefixOrdered(CkptPrefix).lastOption.map { n =>
-      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
-      actions ++= j("actions").asArr.map(actionFromJson)
-      j("version").asLong
-    }.getOrElse(0L)
+    val base = store.listPrefixOrdered(CkptPrefix).lastOption
+      .map(readCheckpoint(_, actions)).getOrElse(0L)
     last = base - 1
     store.listPrefixOrdered(LogPrefix).foreach { n =>
       val id = n.stripPrefix(LogPrefix).toLong
@@ -255,11 +252,8 @@ final class TxLog(store: ObjectStore) {
     var last = -1L
     val base = store.listPrefixOrdered(CkptPrefix)
       .map(n => n.stripPrefix(CkptPrefix).toLong)
-      .filter(_ <= asOf).lastOption.map { v =>
-      val j = Json.parse(new String(store.read(ckptName(v)), "UTF-8")).asObj
-      actions ++= j("actions").asArr.map(actionFromJson)
-      j("version").asLong
-    }.getOrElse(0L)
+      .filter(_ <= asOf).lastOption
+      .map(v => readCheckpoint(ckptName(v), actions)).getOrElse(0L)
     last = base - 1
     store.listPrefixOrdered(LogPrefix).foreach { n =>
       val id = n.stripPrefix(LogPrefix).toLong
@@ -363,38 +357,100 @@ final class TxLog(store: ObjectStore) {
       Some(j.get("commitId").exists(_.asStr == commitId))
     } catch { case _: java.nio.file.NoSuchFileException => None }
 
-  /** Fold `snapshot` into a checkpoint object covering every log id below
-    * `snapshot.version`: last-wins schemas + the live add set (original
-    * txIds preserved, removes compiled away). Writing is race-safe: the
-    * name encodes the version, so concurrent checkpointers of the same
-    * version produce identical content and put-if-absent keeps one.
+  /** Fold `snapshot` into a MULTI-PART checkpoint covering every log id
+    * below `snapshot.version`: last-wins schemas + the live add set
+    * (original txIds preserved, removes compiled away).
+    *
+    * A 10⁶-object table's fold (every Add with stats and bloom words) is
+    * a multi-hundred-MB document — far too large to build, put, or parse
+    * as ONE driver-held string (Delta checkpoints are multi-part parquet
+    * for the same reason). The fold is therefore STREAMED into
+    * size-bounded part objects (`_ckptpart_<version>_<k>`, each ≤
+    * `maxPartBytes` of serialized actions) and committed by a tiny
+    * MANIFEST (`_ckpt_<version>` carrying only the part count): readers
+    * list manifests, so a writer that crashes mid-parts leaves only
+    * unreferenced part objects, never a torn checkpoint. Driver memory
+    * while writing or reading is one part at a time.
+    *
+    * Race-safe like the single-object scheme: names encode the version,
+    * concurrent checkpointers of one version produce identical parts,
+    * put-if-absent keeps one copy of each. Legacy single-object
+    * checkpoints (an `actions` array in the manifest) remain readable.
     * Metadata-only — no table data is touched.
     */
-  def checkpoint(snapshot: Snapshot): Unit = {
-    val folded = Vector.newBuilder[Action]
-    snapshot.tables.foreach { case (t, schema) =>
-      folded += ChangeMetadata(t, schema)
-      folded ++= snapshot.constraints(t).toSeq.sortBy(_._1)
-        .map { case (n, e) => SetConstraint(t, n, e) }
-      folded ++= snapshot.liveFiles(t)
-      folded ++= snapshot.liveDvs(t)
+  def checkpoint(snapshot: Snapshot,
+      maxPartBytes: Int = DefaultCkptPartBytes): Unit = {
+    val folded = Iterator(
+      snapshot.tables.iterator.flatMap { case (t, schema) =>
+        Iterator(ChangeMetadata(t, schema)) ++
+          snapshot.constraints(t).toSeq.sortBy(_._1).iterator
+            .map { case (n, e) => SetConstraint(t, n, e) } ++
+          snapshot.liveFiles(t).iterator ++
+          snapshot.liveDvs(t).iterator
+      },
+      // sink watermarks survive the fold, or a post-checkpoint retry of
+      // an already-committed micro-batch would double-write
+      snapshot.txns().toSeq.sortBy(_._1).iterator
+        .map { case (a, v) => SetTxn(a, v) }).flatten
+    var parts = 0
+    val sb = new StringBuilder
+    def flushPart(): Unit = if (sb.nonEmpty) {
+      val body = s"""{"actions":[$sb]}"""
+      store.putIfAbsent(ckptPartName(snapshot.version, parts),
+        body.getBytes("UTF-8"))
+      parts += 1
+      sb.clear()
     }
-    // sink watermarks survive the fold, or a post-checkpoint retry of an
-    // already-committed micro-batch would double-write
-    folded ++= snapshot.txns().toSeq.sortBy(_._1)
-      .map { case (a, v) => SetTxn(a, v) }
-    val body = Json.write(Json.obj(
+    folded.foreach { a =>
+      val j = Json.write(actionToJson(a))
+      if (sb.nonEmpty && sb.length + j.length + 1 > maxPartBytes) flushPart()
+      if (sb.nonEmpty) sb.append(',')
+      sb.append(j)
+    }
+    flushPart()
+    val manifest = Json.write(Json.obj(
       "version" -> Json.num(snapshot.version),
-      "actions" -> Json.arr(folded.result().map(actionToJson))))
-    store.putIfAbsent(ckptName(snapshot.version), body.getBytes("UTF-8"))
+      "parts" -> Json.num(parts.toLong)))
+    store.putIfAbsent(ckptName(snapshot.version), manifest.getBytes("UTF-8"))
+  }
+
+  /** Append a checkpoint's actions (multi-part or legacy inline) into
+    * `into`, one part parsed at a time; returns its version.
+    */
+  private def readCheckpoint(name: String,
+      into: scala.collection.mutable.Builder[Action, Vector[Action]]): Long = {
+    val j = Json.parse(new String(store.read(name), "UTF-8")).asObj
+    val version = j("version").asLong
+    j.get("parts") match {
+      case Some(p) =>
+        (0 until p.asLong.toInt).foreach { k =>
+          val part = Json.parse(new String(
+            store.read(ckptPartName(version, k)), "UTF-8")).asObj
+          into ++= part("actions").asArr.map(actionFromJson)
+        }
+      case None => // legacy single-object checkpoint
+        into ++= j("actions").asArr.map(actionFromJson)
+    }
+    version
   }
 }
 
 object TxLog {
   val LogPrefix = "_log_"
   val CkptPrefix = "_ckpt_"
+  /** Part objects deliberately do NOT match a CkptPrefix listing
+    * ("_ckptpart..." diverges from "_ckpt_" at the sixth character), so
+    * manifests alone decide which checkpoints exist — a writer that
+    * crashes mid-parts leaves unreferenced parts, never a torn
+    * checkpoint.
+    */
+  val CkptPartPrefix = "_ckptpart_"
+  /** ~4 MiB of serialized actions per checkpoint part. */
+  val DefaultCkptPartBytes: Int = 4 << 20
   def logName(id: Long): String = f"${LogPrefix}${id}%020d"
   def ckptName(id: Long): String = f"${CkptPrefix}${id}%020d"
+  def ckptPartName(id: Long, part: Int): String =
+    f"${CkptPartPrefix}${id}%020d_${part}%05d"
   def dataObjectName(table: String, uuid: String): String =
     s"_table_${table}_$uuid"
 

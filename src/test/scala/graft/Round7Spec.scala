@@ -124,6 +124,48 @@ class Round7Spec extends AnyFunSuite {
     try assert(c.scan("t").count() === 1L) finally c.rollback()
   }
 
+  test("multi-part checkpoint: bounded parts, exact replay at 10k objects") {
+    import graft.tx._
+    val store = new graft.store.InMemoryObjectStore
+    val log = new TxLog(store)
+    // a synthetic 10k-object table with stats and a bloom per object —
+    // the metadata volume that makes a single-document checkpoint a
+    // multi-hundred-MB driver string at production scale
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val adds = (0 until 10000).map { i =>
+      AddDataObject("big", f"_table_big_$i%06d", 1L, 1000L,
+        Map("k" -> ColStats(i * 1000L, i * 1000L + 999L)),
+        Map("k" -> BloomData(4, Vector.fill(16)(0x5a5a5a5aL + i))))
+    }
+    log.commit(Snapshot(0, Vector.empty),
+      Vector(ChangeMetadata("big", schema)))
+    // many mid-size commits, then checkpoint the folded snapshot
+    adds.grouped(500).foreach { g =>
+      val snap = log.begin()
+      log.commit(snap, g.toVector)
+    }
+    val snap = log.begin()
+    val partBytes = 256 * 1024
+    log.checkpoint(snap, maxPartBytes = partBytes)
+    val parts = store.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(parts.length > 4, s"expected many parts, got ${parts.length}")
+    parts.foreach { p =>
+      val len = store.read(p).length
+      assert(len <= partBytes + 4096, s"$p is $len bytes — unbounded part")
+    }
+    // manifests list cleanly (no part names bleed into the ckpt prefix)
+    assert(store.listPrefixOrdered(TxLog.CkptPrefix).length === 1)
+    // a fresh reader replays from the multi-part checkpoint alone
+    val replayed = new TxLog(store).begin()
+    assert(replayed.version === snap.version)
+    assert(replayed.liveFiles("big").map(_.path) ===
+      snap.liveFiles("big").map(_.path))
+    assert(replayed.liveFiles("big").head.blooms("k").words.length === 16)
+    assert(replayed.tables("big") === schema)
+  }
+
   test("write skew through the SQL-view surface aborts under Serializable") {
     // same invariant-across-tables scenario as Round6Spec, but tx1's read
     // of acct_a goes through createView (version-pinned registration) —
