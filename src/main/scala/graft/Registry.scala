@@ -24,6 +24,7 @@ object Registry {
       queries.TextOps.defs ++
       queries.DedupOps.defs ++
       queries.DedupCluster.defs ++
+      queries.CorpusOps.defs ++
       queries.SimilarityOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables.t
+
+/** The two corpus-level compositions a training-data pipeline actually
+  * ships:
+  *
+  *   - dedup_corpus — the END-TO-END deduplication deliverable: exact
+  *     groups and verified near-dup pairs merged into one edge set,
+  *     closed transitively ([[DedupCluster.components]]), one canonical
+  *     survivor kept per CLUSTER (longest doc, doc_id tiebreak — the
+  *     same total order as dedup_canonical_pick, now applied across
+  *     near-dup chains, so A~B~C collapses to one survivor even though
+  *     A~C was never emitted).
+  *   - text_contamination — probe-overlap (benchmark-contamination)
+  *     check: given a probe set (here the deterministic doc_id < 50
+  *     slice standing in for an eval benchmark), report corpus docs
+  *     whose winnowed-fingerprint containment against any single probe
+  *     doc crosses the threshold. Probe side is broadcast-sized by
+  *     construction (benchmarks are MBs against a corpus of TBs); the
+  *     corpus side is one fingerprint pass + one broadcast join — no
+  *     self-join, no bucket caps needed.
+  *
+  * At 100 TB: dedup_corpus = the near-dup family's capped-bucket pair
+  * generation + O(log diameter) label-propagation rounds + one window
+  * pass per cluster; text_contamination = linear corpus pass against a
+  * broadcast probe-fingerprint set.
+  */
+object CorpusOps {
+
+  // --- end-to-end corpus dedup ---------------------------------------------
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), md5(norm).as("fingerprint"))
+    // exact-duplicate edges: every member points at its group's min id
+    val exactEdges = docs
+      .withColumn("gmin",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("doc_id") =!= col("gmin"))
+      .select(col("doc_id").as("a"), col("gmin").as("b"))
+    // verified near-dup edges (rare-6-gram inverted index, Jaccard >= .5)
+    val nearEdges = DedupOps.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = DedupCluster.components(exactEdges.union(nearEdges),
+      "a", "b")
+    // docs in no edge are their own singleton cluster
+    val clustered = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id").as("survivor_id"), col("cluster_id"),
+        col("n_members"))
+      .orderBy(col("survivor_id"))
+  }
+
+  private val dedupCorpusSql = s"""
+    WITH RECURSIVE near AS (
+      ${DedupOps.ngramPairsSql}
+    ),
+    f AS (
+      SELECT doc_id, n_chars,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    exact_edges AS (
+      SELECT doc_id AS a, MIN(doc_id) OVER (PARTITION BY fp) AS b
+      FROM f),
+    edges0 AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION
+      SELECT a, b FROM exact_edges WHERE a <> b),
+    edges AS (
+      SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+    walk (id, reach) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    comp AS (
+      SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+    lab AS (
+      SELECT f.doc_id, f.n_chars,
+        COALESCE(c.cluster_id, f.doc_id) AS cluster_id
+      FROM f LEFT JOIN comp c ON c.doc_id = f.doc_id),
+    surv AS (
+      SELECT doc_id, cluster_id,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM lab)
+    SELECT doc_id AS survivor_id, cluster_id, n_members
+    FROM surv WHERE rn = 1
+    ORDER BY survivor_id"""
+
+  // --- contamination / probe-overlap ---------------------------------------
+  /** Probe set boundary: doc_id < ProbeMax is "the benchmark". */
+  private val ProbeMax = 50L
+  private val ContainThreshold = 0.5
+
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val fps = DedupOps.winnowFps(spark, dir, k = 24, win = 8)
+    val probeFps = fps.filter(col("doc_id") < ProbeMax)
+      .withColumnRenamed("doc_id", "probe_id")
+    val corpusFps = fps.filter(col("doc_id") >= ProbeMax)
+    val totals = corpusFps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tot"))
+    corpusFps.join(broadcast(probeFps), "fp")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("tot"), 6))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("doc_id"), col("probe_id"), col("n_shared"),
+        col("containment"))
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
+  private val textContaminationSql = s"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    pos AS (
+      SELECT doc_id, nt,
+        unnest(range(1, greatest(length(nt) - 23, 1) + 1)) AS i
+      FROM d),
+    h AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(substr(nt, i, 24)), 1, 15))::BIGINT AS h
+      FROM pos),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+        FROM h) x
+      WHERE i >= 8),
+    probe AS (SELECT doc_id AS probe_id, fp FROM fps
+              WHERE doc_id < $ProbeMax),
+    corp AS (SELECT doc_id, fp FROM fps WHERE doc_id >= $ProbeMax),
+    tot AS (SELECT doc_id, COUNT(*) AS tot FROM corp GROUP BY 1),
+    inter AS (
+      SELECT c.doc_id, p.probe_id, COUNT(*) AS n_shared
+      FROM corp c JOIN probe p ON c.fp = p.fp
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.probe_id, i.n_shared,
+      round(CAST(i.n_shared AS DOUBLE) / t.tot, 6) AS containment
+    FROM inter i JOIN tot t ON t.doc_id = i.doc_id
+    WHERE round(CAST(i.n_shared AS DOUBLE) / t.tot, 6) >= $ContainThreshold
+    ORDER BY i.doc_id, i.probe_id"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "dedup_corpus" -> QueryDef(dedupCorpus, Some(dedupCorpusSql),
+      "END-TO-END dedup: exact groups + near-dup pairs closed " +
+        "transitively, one canonical survivor per cluster"),
+    "text_contamination" -> QueryDef(textContamination,
+      Some(textContaminationSql),
+      "benchmark-contamination check: winnow-fingerprint containment " +
+        "of corpus docs against a broadcast probe set"))
+}

@@ -166,6 +166,40 @@ class Round7Spec extends AnyFunSuite {
     assert(replayed.tables("big") === schema)
   }
 
+  test("dedup_corpus collapses a planted near-dup chain to one survivor") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // chain: 1 ~ 2 ~ 3 by near-dup, 4 == 1 byte-identical; 3 is longest.
+    // 1 ~ 3 is NOT emitted directly (two suffixes apart) — only the
+    // transitive closure collapses all four.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = base + " xx"
+    val d3 = d2 + " yy"
+    val rows =
+      Seq(Row(1L, base, "en", "p", base.length.toLong),
+        Row(2L, d2, "en", "p", d2.length.toLong),
+        Row(3L, d3, "en", "p", d3.length.toLong),
+        Row(4L, base, "en", "p", base.length.toLong)) ++
+      (0 until 8).map { i =>
+        val t = (0 until 12).map(j => s"u${i}v$j").mkString(" ")
+        Row(100L + i, t, "en", "bg", t.length.toLong)
+      }
+    val dir = Files.createTempDirectory("graft_r7_corpus").toString
+    spark.createDataFrame(rows.toList.asJava, docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusOps.dedupCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chain = out.filter(_._2 == 1L)
+    assert(chain.length === 1, s"chain must yield ONE survivor: ${out.toSeq}")
+    assert(chain.head._1 === 3L, "survivor is the longest doc")
+    assert(chain.head._3 === 4L, "cluster counts all four members")
+    assert(out.length === 1 + 8, "background docs are singleton survivors")
+  }
+
   test("write skew through the SQL-view surface aborts under Serializable") {
     // same invariant-across-tables scenario as Round6Spec, but tx1's read
     // of acct_a goes through createView (version-pinned registration) —
