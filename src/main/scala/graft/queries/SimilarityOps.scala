@@ -128,20 +128,84 @@ object SimilarityOps {
   }
 
   // --- IVF-style approximate top-k ------------------------------------------
-  // Inverted-file variant: `NumCentroids` deterministic centroids (the
-  // lowest vec_ids — a real build would k-means them; determinism matters
-  // more here), every corpus vector assigned to its nearest centroid via a
-  // broadcast scoring pass, queries probe their `NumProbes` nearest cells
-  // and score only those cells' members. Corpus-side work is linear
-  // (one broadcast join against 32 centroids, one shuffle on cell id) —
-  // the shape that scales to a partition-per-cell layout at 100 TB.
+  // Inverted-file variant with TRAINED centroids: `KMeansIters` Lloyd
+  // iterations (cosine assignment, per-cell elementwise mean) from a
+  // deterministic seed (the `NumCentroids` lowest vec_ids), then every
+  // corpus vector is assigned to its nearest centroid via a broadcast
+  // scoring pass; queries probe their `NumProbes` nearest cells and
+  // score only those cells' members. Corpus-side work is linear per
+  // Lloyd pass and for the query (one broadcast join against 32
+  // centroids, one shuffle on cell id) — the shape that scales to a
+  // partition-per-cell layout at 100 TB, where training would run on a
+  // seeded SAMPLE instead of the full corpus (centroid quality needs
+  // thousands of points per cell, not billions). Training is memoized
+  // per fixture dir, and the resulting centroid VECTORS are embedded as
+  // literals into the DuckDB oracle, which replays assignment, probing,
+  // and rerank against the exact same centroids.
   private[queries] val NumCentroids = 32
-  private[queries] val NumProbes = 4
+  private[queries] val NumProbes = 8
+  private[queries] val KMeansIters = 3
+
+  private val trainedCache =
+    scala.collection.mutable.Map[String, Vector[Seq[Double]]]()
+
+  private def centroidFrame(spark: SparkSession,
+      cents: Vector[Seq[Double]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
+  /** Seeded deterministic k-means (per JVM + fixture dir): each
+    * iteration is one broadcast assignment pass and one 32×64-value
+    * mean aggregation collected to the driver. Empty cells keep their
+    * previous centroid.
+    */
+  private[queries] def centroidsFor(spark: SparkSession,
+      dir: String): Vector[Seq[Double]] = synchronized {
+    trainedCache.getOrElseUpdate(dir, {
+      val e = corpus(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var cents: Vector[Seq[Double]] = e
+          .filter(col("vec_id") < NumCentroids)
+          .orderBy(col("vec_id")).collect()
+          .map(_.getSeq[Double](1).toIndexedSeq).toVector
+        (1 to KMeansIters).foreach { _ =>
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("_s").desc, col("cid"))
+          val assigned = e.crossJoin(broadcast(centroidFrame(spark, cents)))
+            .withColumn("_s", cosine(col("v"), col("cv")))
+            .withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") === 1)
+          val means = assigned
+            .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            .toMap
+          cents = cents.zipWithIndex.map { case (old, i) =>
+            means.getOrElse(i.toLong, old)
+          }
+        }
+        cents
+      } finally e.unpersist(false)
+    })
+  }
 
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val cent = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cent = centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid"), col("cv"))
     def nearestCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("_cscore").desc, col("cid"))
@@ -216,11 +280,32 @@ object SimilarityOps {
     WHERE rnk <= 10
     ORDER BY query_id, "rank""""
 
-  private val simAnnIvfSql = s"""
+  /** Trained-centroid literals for the oracle — populated by the query's
+    * own (memoized) training run; the driver dumps oracle SQL AFTER
+    * running the queries, so the literals always reflect the exact
+    * centroids the parquet result used. The seed-centroid fallback is
+    * only reachable if the query never ran in this JVM (in which case no
+    * result exists to compare against either).
+    */
+  private def centroidCte: String = synchronized {
+    trainedCache.values.lastOption match {
+      case Some(cents) =>
+        val lits = cents.zipWithIndex.map { case (v, i) =>
+          s"($i, [${v.mkString(",")}]::DOUBLE[])"
+        }.mkString(",\n      ")
+        s"""cent0 AS (SELECT * FROM (VALUES $lits) c(cid, cv)),
+    cent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+             FROM cent0)"""
+      case None =>
+        s"""cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+             WHERE vec_id < $NumCentroids)"""
+    }
+  }
+
+  private def simAnnIvfSql: String = s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-             WHERE vec_id < $NumCentroids),
+    $centroidCte,
     ranked AS (
       SELECT n.vec_id, cent.cid,
         row_number() OVER (PARTITION BY n.vec_id
@@ -257,6 +342,7 @@ object SimilarityOps {
         "oracle replays signatures (plane matrix as SQL literal), " +
         "candidates, and rerank"),
     "sim_ann_ivf" -> QueryDef(simAnnIvf, Some(simAnnIvfSql),
-      "approximate top-10 via 32-cell IVF with 4-cell probing; oracle " +
-        "replays assignment, probing, and rerank in SQL"))
+      "approximate top-10 via 32-cell IVF (k-means-trained centroids, " +
+        "8-cell probing); oracle replays assignment, probing, and " +
+        "rerank against the trained centroid literals"))
 }

@@ -112,8 +112,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       (ivf.getOrElse(q, Set.empty) & e).size.toDouble / e.size
     }
     val mean = recalls.sum / recalls.size
-    // measured 0.84 on the fixture (4/32 cells probed); pin with margin
-    assert(mean >= 0.5, s"mean recall@10 = $mean")
+    info(f"IVF mean recall@10 = $mean%.3f")
+    // 0.850 measured with trained centroids + 8/32 probes (was 0.84 with
+    // seed centroids + 4 probes; uniform-random fixture vectors give
+    // Lloyd training no cluster structure to exploit, so probe width
+    // carries the lift). Pin raised 0.5 -> 0.8.
+    assert(mean >= 0.8, s"mean recall@10 = $mean")
   }
 
   test("winnowed fingerprints overlap heavily for planted near-dups") {
