@@ -23,11 +23,17 @@ import graft.QueryDef
   */
 object SqlSurface {
 
-  private val built = mutable.Map[String, String]() // sfDir -> catalog name
+  /** Catalog name + the pre-delete version of t_tt (the VERSION AS OF
+    * target — captured at fixture-build time, since log ids depend on
+    * build order).
+    */
+  private final case class Fixture(cat: String, ttVersion: Long)
+
+  private val built = mutable.Map[String, Fixture]() // sfDir -> fixture
   private val counter = new AtomicInteger(0)
 
-  /** Build the fixture once per (JVM, sfDir); returns the catalog name. */
-  private def ensure(spark: SparkSession, sfDir: String): String =
+  /** Build the fixture once per (JVM, sfDir). */
+  private def ensure(spark: SparkSession, sfDir: String): Fixture =
     synchronized {
       built.getOrElseUpdate(sfDir, {
         val root = Files.createTempDirectory("graft_sql_fixture").toString
@@ -77,15 +83,46 @@ object SqlSurface {
             n_nationkey = s.k, n_name = s.nm, n_regionkey = s.rk
           WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
             VALUES (s.k, s.nm, s.rk)""")
-        cat
+
+        // CALL maintenance: multi-commit table, then compact + checkpoint
+        // + vacuum through SQL procedures — the data must be bit-identical
+        // after the full maintenance cycle
+        spark.sql(s"""CREATE TABLE $cat.t_mnt AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src
+          WHERE n_nationkey < 10""")
+        spark.sql(s"""INSERT INTO $cat.t_mnt
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src
+          WHERE n_nationkey >= 10 AND n_nationkey < 20""")
+        spark.sql(s"""INSERT INTO $cat.t_mnt
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src
+          WHERE n_nationkey >= 20""")
+        spark.sql(s"CALL $cat.system.compact('t_mnt')")
+        spark.sql(s"CALL $cat.system.checkpoint()")
+        spark.sql(s"CALL $cat.system.vacuum(retain_versions => 0)")
+
+        // VERSION AS OF: capture the version right after the CTAS lands,
+        // then delete most of the table — the time-traveled read must
+        // resurrect the pre-delete state through the SQL surface alone
+        spark.sql(s"""CREATE TABLE $cat.t_tt AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        val ttVersion = new graft.table.GraftClient(spark, root).latestVersion
+        spark.sql(s"DELETE FROM $cat.t_tt WHERE n_nationkey >= 5")
+        Fixture(cat, ttVersion)
       })
     }
 
   private def state(table: String)(spark: SparkSession,
       dir: String): DataFrame = {
-    val cat = ensure(spark, dir)
+    val cat = ensure(spark, dir).cat
     spark.sql(s"""SELECT n_nationkey, n_name, n_regionkey
       FROM $cat.$table ORDER BY n_nationkey""")
+  }
+
+  private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val f = ensure(spark, dir)
+    spark.sql(s"""SELECT n_nationkey, n_name, n_regionkey
+      FROM ${f.cat}.t_tt VERSION AS OF ${f.ttVersion}
+      ORDER BY n_nationkey""")
   }
 
   private val insertSql = """
@@ -111,6 +148,14 @@ object SqlSurface {
     FROM nation
     ORDER BY n_nationkey"""
 
+  private val maintenanceSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey"""
+
+  private val timeTravelSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey"""
+
   private val mergeSql = """
     SELECT * FROM (
       SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -132,5 +177,11 @@ object SqlSurface {
     "tx_sql_update" -> QueryDef(state("t_upd"), Some(updateSql),
       "pure-SQL UPDATE via the extension rewrite -> CoW delete + insert"),
     "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
-      "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"))
+      "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"),
+    "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),
+      "SQL VERSION AS OF through TableCatalog.loadTable(ident, version): " +
+        "post-delete table read at its pre-delete version"),
+    "tx_sql_maintenance" -> QueryDef(state("t_mnt"), Some(maintenanceSql),
+      "CALL compact + checkpoint + vacuum (ProcedureCatalog) over a " +
+        "3-commit table: the maintenance cycle must not change a byte"))
 }

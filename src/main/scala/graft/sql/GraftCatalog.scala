@@ -40,7 +40,8 @@ import graft.table.GraftClient
   * idempotent). DDL is metadata-only (O(1) log actions, no data rewrite):
   * CREATE/DROP/RENAME table, ADD/RENAME/DROP column.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -92,6 +93,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       } finally c.rollback()
     }
     new GraftTable(root, t, schema)
+  }
+
+  /** `SELECT … FROM cat.t VERSION AS OF v` — same convention as the
+    * connector's `versionAsOf` option: v is the log version (state after
+    * commits with id < v). The table is read-only (writes throw).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tableName(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a log version (long), got '$version'")
+      }
+    val schema = withClient { c =>
+      try c.schemaAsOf(t, v)
+      catch {
+        case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+      }
+    }
+    new GraftTable(root, t, schema, asOf = Some(v))
+  }
+
+  /** `SELECT … FROM cat.t TIMESTAMP AS OF ts` — Spark hands micros since
+    * epoch; resolved to the greatest version whose commit wall-clock is
+    * at-or-before it via the log's per-commit `ts` field.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tableName(ident)
+    val (v, schema) = withClient { c =>
+      val v = c.versionAt(timestamp / 1000L)
+      try (v, c.schemaAsOf(t, v))
+      catch {
+        case _: IllegalArgumentException => throw new NoSuchTableException(ident)
+      }
+    }
+    new GraftTable(root, t, schema, asOf = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -178,6 +216,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  // ---- ProcedureCatalog (CALL cat.system.<proc>(...)) ----
+  private def procNamespaceOk(ns: Array[String]): Boolean =
+    namespaceOk(ns) || ns.sameElements(Array("system"))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!procNamespaceOk(ident.namespace()))
+      throw new RuntimeException(
+        s"no such procedure namespace: ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(ident.name(), root).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure: ${ident.name()} " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!procNamespaceOk(namespace)) throw new NoSuchNamespaceException(namespace)
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+  }
+
   // ---- SupportsNamespaces (flat) ----
   override def listNamespaces(): Array[Array[String]] =
     Array(Array("default"))
@@ -205,9 +263,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * path are served here; INSERT rides a [[V1Write]]; UPDATE/MERGE are
   * rewritten by [[GraftSparkExtensions]] into commands that call back
   * into [[GraftClient]].
+  *
+  * `asOf` pins the table to a historical snapshot (VERSION AS OF /
+  * TIMESTAMP AS OF resolution) — reads replay that version's live set,
+  * and every mutation path refuses.
   */
 final class GraftTable(val root: String, val tableName: String,
-    tableSchema: StructType)
+    tableSchema: StructType, val asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
@@ -226,14 +288,21 @@ final class GraftTable(val root: String, val tableName: String,
     new GraftScanBuilder(this)
 
   // ---- insert path ----
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to $tableName VERSION AS OF ${asOf.get}: " +
+        "time-traveled tables are read-only")
     new GraftWriteBuilder(this)
+  }
 
   // ---- DELETE FROM path ----
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => FilterTranslation.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = withClient { c =>
+    require(asOf.isEmpty,
+      s"cannot delete from $tableName VERSION AS OF ${asOf.get}: " +
+        "time-traveled tables are read-only")
     c.newTx()
     if (filters.isEmpty) c.truncate(tableName) // unconditional DELETE
     else {
@@ -274,7 +343,8 @@ final class GraftScanBuilder(table: GraftTable) extends ScanBuilder
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = table.withClient { c =>
-          val base = c.scanAsOf(table.tableName, c.latestVersion)
+          val base =
+            c.scanAsOf(table.tableName, table.asOf.getOrElse(c.latestVersion))
           val filtered = pushed.flatMap(FilterTranslation.toColumn)
             .foldLeft(base)((df, p) => df.filter(p))
           filtered

@@ -1,0 +1,161 @@
+package graft.sql
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.GraftClient
+
+/** The maintenance-procedure surface of [[GraftCatalog]] (Spark 4
+  * `ProcedureCatalog` — the SQL `CALL` statement):
+  *
+  * {{{
+  * CALL g.system.compact(`table` => 't', target_rows => 100000)
+  * CALL g.system.vacuum(retain_versions => 3)
+  * CALL g.system.checkpoint()
+  * CALL g.system.build_bloom('t', 'k')
+  * CALL g.system.z_order('t', 'a,b', 16)
+  * CALL g.system.history(20)
+  * }}}
+  *
+  * Each procedure is one client maintenance call wrapped in its own
+  * transaction (or none, matching the client op's contract) and returns
+  * a small summary relation via [[LocalScan]] — driver-side metadata
+  * rows, never table data. This is the OPTIMIZE/VACUUM story a lakehouse
+  * needs to be operable from pure SQL: compaction, vacuum, checkpoints,
+  * bloom builds, and re-clustering all schedulable from any SQL client.
+  */
+object GraftProcedures {
+
+  /** All procedures, keyed by CALL name. */
+  def names: Seq[String] =
+    Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
+      "history")
+
+  def load(name: String, root: String): Option[UnboundProcedure] = {
+    def client = new GraftClient(SparkSession.active, root)
+    name match {
+      case "compact" => Some(proc(name,
+        "bin-packing small-file compaction (pruning-preserving)",
+        Seq(in("table", StringType),
+          inDefault("target_rows", LongType,
+            GraftClient.DefaultCompactTargetRows.toString)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("objects_before", IntegerType),
+          StructField("objects_after", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val target = args.getLong(1)
+          val c = client
+          c.newTx()
+          val before = c.objects(t).length
+          c.compact(t, target)
+          c.commitTxRetrying()
+          c.newTx()
+          val after = try c.objects(t).length finally c.rollback()
+          Seq(row(UTF8String.fromString(t), Int.box(before), Int.box(after)))
+        }))
+      case "vacuum" => Some(proc(name,
+        "reclaim objects unreferenced by the retained snapshot window",
+        Seq(inDefault("retain_versions", IntegerType, "0")),
+        StructType(Seq(StructField("reclaimed", IntegerType))), { args =>
+          Seq(row(Int.box(client.vacuum(args.getInt(0)))))
+        }))
+      case "checkpoint" => Some(proc(name,
+        "fold the log into a multi-part checkpoint, bounding replay",
+        Seq.empty,
+        StructType(Seq(StructField("version", LongType))), { _ =>
+          Seq(row(Long.box(client.checkpointNow())))
+        }))
+      case "build_bloom" => Some(proc(name,
+        "per-object bloom sidecars for equality-lookup file skipping",
+        Seq(in("table", StringType), in("column", StringType),
+          inDefault("num_bits", IntegerType, "1024"),
+          inDefault("k", IntegerType, "4")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("column", StringType))), { args =>
+          val (t, col) =
+            (args.getUTF8String(0).toString, args.getUTF8String(1).toString)
+          val c = client
+          c.newTx()
+          c.buildBloom(t, col, args.getInt(2), args.getInt(3))
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t), UTF8String.fromString(col)))
+        }))
+      case "z_order" => Some(proc(name,
+        "re-cluster into N-dimensional z-order boxes (all axes prune)",
+        Seq(in("table", StringType), in("columns", StringType),
+          inDefault("num_buckets", IntegerType, "16")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("objects_after", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val cols = args.getUTF8String(1).toString.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+          val c = client
+          c.newTx()
+          if (cols.length == 1) c.clusterBy(t, cols.head, args.getInt(2))
+          else c.clusterByZOrder(t, cols, args.getInt(2))
+          c.commitTxRetrying()
+          c.newTx()
+          val after = try c.objects(t).length finally c.rollback()
+          Seq(row(UTF8String.fromString(t), Int.box(after)))
+        }))
+      case "history" => Some(proc(name,
+        "DESCRIBE HISTORY: committed versions, timestamps, action counts",
+        Seq(inDefault("limit", IntegerType, "20")),
+        StructType(Seq(StructField("version", LongType),
+          StructField("ts", TimestampType),
+          StructField("operations", StringType))), { args =>
+          client.historyDetailed().takeRight(args.getInt(0)).map {
+            case (v, ts, actions) =>
+              val kinds = actions.groupBy(_.getClass.getSimpleName)
+                .toSeq.sortBy(_._1)
+                .map { case (k, as) => s"$k:${as.length}" }.mkString(",")
+              row(Long.box(v), Long.box(ts * 1000L),
+                UTF8String.fromString(kinds))
+          }
+        }))
+      case _ => None
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def row(vs: AnyRef*): InternalRow =
+    new GenericInternalRow(vs.toArray[Any])
+
+  /** An UnboundProcedure whose bound form runs `body` on the driver and
+    * returns its rows as one [[LocalScan]].
+    */
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], outSchema: StructType,
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): JIterator[Scan] = {
+            val out = body(input).toArray
+            Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = out
+              override def readSchema(): StructType = outSchema
+            }).iterator()
+          }
+        }
+    }
+}

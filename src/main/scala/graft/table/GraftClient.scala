@@ -1407,6 +1407,11 @@ final class GraftClient(
     */
   def latestVersion: Long = txLog.latestVersion
 
+  /** Snapshot version as of wall-clock `tsMillis` (TIMESTAMP AS OF) —
+    * see [[TxLog.versionAtTimestamp]].
+    */
+  def versionAt(tsMillis: Long): Long = txLog.versionAtTimestamp(tsMillis)
+
   /** Committed log entries with `from <= id < until` as (id, actions) —
     * O(window) reads, see [[TxLog.entriesBetween]].
     */
@@ -1792,6 +1797,22 @@ final class GraftClient(
     * reclaims DATA objects).
     */
   def history(): Vector[(Long, Vector[Action])] = txLog.entries()
+
+  /** [[history]] with each commit's wall-clock timestamp (millis). */
+  def historyDetailed(): Vector[(Long, Long, Vector[Action])] =
+    txLog.entriesDetailed()
+
+  /** Write a checkpoint of the current snapshot immediately (the
+    * maintenance-procedure form of the every-`checkpointInterval` hook
+    * inside commit). Returns the checkpointed version. Must run outside
+    * a transaction — it folds COMMITTED state only.
+    */
+  def checkpointNow(): Long = {
+    require(tx.isEmpty, "checkpoint must run outside a transaction")
+    val snap = txLog.begin()
+    txLog.checkpoint(snap)
+    snap.version
+  }
 
   /** Delta's DESCRIBE DETAIL: a one-row metadata summary of a table's
     * physical layout, computed entirely from the log and the local file

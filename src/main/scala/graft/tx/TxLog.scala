@@ -283,6 +283,17 @@ final class TxLog(store: ObjectStore) {
     out.result()
   }
 
+  /** [[entries]] plus each commit's wall-clock `ts` (millis; 0 for
+    * entries from logs written before the field existed) — the
+    * timestamped DESCRIBE HISTORY surface.
+    */
+  def entriesDetailed(): Vector[(Long, Long, Vector[Action])] =
+    store.listPrefixOrdered(LogPrefix).map { n =>
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      (j("id").asLong, j.get("ts").map(_.asLong).getOrElse(0L),
+        j("actions").asArr.map(actionFromJson))
+    }.toVector
+
   /** Every committed log entry as (id, actions), oldest first — the
     * DESCRIBE HISTORY surface. Raw log files only (checkpoints are a
     * replay optimization, not history). Metadata-only.
@@ -306,6 +317,32 @@ final class TxLog(store: ObjectStore) {
         val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
         id -> j("actions").asArr.map(actionFromJson)
       }.toVector
+
+  /** The snapshot version as of wall-clock `tsMillis` — the greatest
+    * version whose last commit carried a `ts` at-or-before it (TIMESTAMP
+    * AS OF). Commit timestamps are assigned under the winning conditional
+    * put, so they are non-decreasing per store (modulo clock skew between
+    * writers — same caveat as Delta); the scan walks bodies oldest-first
+    * and stops at the first later entry. Entries from logs written before
+    * the `ts` field existed read as t=0 (always in the past). O(log-
+    * prefix) metadata reads; a binary search over the zero-padded names
+    * would make it O(log₂ n) if a deployment ever has logs long enough
+    * to care.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    var last = -1L
+    val names = store.listPrefixOrdered(LogPrefix).iterator
+    var done = false
+    while (!done && names.hasNext) {
+      val n = names.next()
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      val ts = j.get("ts").map(_.asLong).getOrElse(0L)
+      if (ts <= tsMillis) last = j("id").asLong else done = true
+    }
+    if (last < 0) throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMillis (first commit is later)")
+    last + 1
+  }
 
   /** The current log version (next commit id) from the name listing
     * alone — no body or checkpoint is read. Log files are never deleted
@@ -334,6 +371,7 @@ final class TxLog(store: ObjectStore) {
     val body = Json.write(Json.obj(
       "id" -> Json.num(id),
       "commitId" -> Json.str(commitId),
+      "ts" -> Json.num(System.currentTimeMillis()),
       "actions" -> Json.arr(actions.map(actionToJson))))
     val won =
       try store.putIfAbsent(logName(id), body.getBytes("UTF-8"))

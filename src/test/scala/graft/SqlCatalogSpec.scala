@@ -108,6 +108,88 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Row(1L, "a"), Row(2L, "n2"), Row(4L, "n4"), Row(5L, "n5")))
   }
 
+  test("VERSION AS OF and TIMESTAMP AS OF read historical snapshots") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.tt (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.tt VALUES (1,'a'), (2,'b'), (3,'c')")
+    val c = new GraftClient(spark, root)
+    val vFull = c.latestVersion
+    Thread.sleep(15) // commit timestamps are millisecond wall-clock
+    val tsFull = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql(s"DELETE FROM $cat.tt WHERE k >= 2")
+    assert(rows(s"SELECT k FROM $cat.tt") === Seq(Row(1L)))
+    // version pin: the pre-delete snapshot still has all three rows
+    assert(rows(s"SELECT k, v FROM $cat.tt VERSION AS OF $vFull ORDER BY k")
+      === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    // timestamp between the insert and the delete resolves to the same
+    // snapshot (timestamp_millis avoids session-timezone ambiguity)
+    assert(rows(s"""SELECT k, v FROM $cat.tt
+        TIMESTAMP AS OF timestamp_millis($tsFull) ORDER BY k""")
+      === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    // a timestamp before the first commit has no snapshot
+    intercept[Exception] {
+      rows(s"SELECT * FROM $cat.tt TIMESTAMP AS OF timestamp_millis(1000)")
+    }
+    // time-traveled tables are read-only
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.tt VERSION AS OF $vFull VALUES (9,'z')")
+    }
+    // Spark rejects it at parse/analysis or our builder refuses — either
+    // way the mutation must not land
+    assert(rows(s"SELECT count(*) AS n FROM $cat.tt") === Seq(Row(1L)))
+  }
+
+  test("CALL procedures: compact, checkpoint, history, vacuum, bloom") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.p (k BIGINT, v STRING)")
+    // 5 single-commit inserts -> 5 small objects
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.p VALUES ($i, 'v$i')")
+    }
+    val c = new GraftClient(spark, root)
+    c.newTx(); val before = c.objects("p").length; c.rollback()
+    assert(before === 5)
+    val compacted = rows(s"CALL $cat.system.compact('p')")
+    assert(compacted === Seq(Row("p", 5, 1)))
+    assert(rows(s"SELECT count(*) AS n FROM $cat.p") === Seq(Row(5L)))
+    // named-argument form + defaults
+    assert(rows(s"CALL $cat.system.build_bloom(`table` => 'p', " +
+      "column => 'k')") === Seq(Row("p", "k")))
+    val ckptV = rows(s"CALL $cat.system.checkpoint()")
+    assert(ckptV.head.getLong(0) >= 6L)
+    // history carries timestamps and per-kind action counts
+    val hist = spark.sql(s"CALL $cat.system.history(100)")
+    assert(hist.schema.fieldNames.toSeq === Seq("version", "ts", "operations"))
+    val ops = hist.collect()
+    assert(ops.length >= 7) // create + 5 inserts + compact + bloom
+    assert(ops.forall(r => r.getTimestamp(1).getTime > 0))
+    assert(ops.exists(_.getString(2).contains("ChangeMetadata")))
+    // vacuum(0) reclaims the 5 pre-compaction objects
+    val reclaimed = rows(s"CALL $cat.system.vacuum(retain_versions => 0)")
+    assert(reclaimed.head.getInt(0) >= 5)
+    assert(rows(s"SELECT count(*) AS n FROM $cat.p") === Seq(Row(5L)))
+  }
+
+  test("CALL z_order re-layouts so every axis prunes") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.z (a BIGINT, b BIGINT)")
+    spark.sql(s"INSERT INTO $cat.z SELECT id % 100, id DIV 100 " +
+      "FROM range(0, 10000)")
+    assert(rows(s"CALL $cat.system.z_order('z', 'a,b', 16)")
+      === Seq(Row("z", 16)))
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    try {
+      // post-layout, a tight predicate on EACH axis opens few objects
+      Seq("a", "b").foreach { axis =>
+        val opened = c.scanRange("z", axis, 10, 12).inputFiles.length
+        assert(opened <= 8, s"axis $axis opened $opened of 16 objects")
+      }
+      assert(c.scan("z").count() === 10000L)
+    } finally c.rollback()
+  }
+
   test("DDL: DROP, re-create clean, RENAME table, ALTER columns") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING)")
