@@ -272,6 +272,108 @@ object TextOps {
     ORDER BY df DESC, token
     LIMIT 20"""
 
+  // --- PII redaction ---------------------------------------------------------
+  // The corpus-hygiene pass every released dataset needs: regex-scrub
+  // emails/phones before training. The fixture docs are synthetic word
+  // salads with no real PII, so deterministic PII derived from doc_id is
+  // INJECTED identically on both engines first — the oracle then proves
+  // detection counts and the redacted bytes match md5-exactly. Patterns
+  // stay in the Java∩RE2 common subset (no lookaround) so Spark and
+  // DuckDB agree. Pure map-side codegen'd work: at 100 TB this is a
+  // linear pass with zero shuffles.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example.org or call 555-867-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(aug, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qPiiRedactSql = """
+    WITH aug AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.org or call 555-867-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(a,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(a, '\d{3}-\d{3}-\d{4}')) AS INT)
+        AS n_phones,
+      md5(regexp_replace(regexp_replace(a,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id"""
+
+  // --- Repetition-based quality (Gopher-style) -------------------------------
+  // Repeated-content signals from the Gopher/C4 filtering rules:
+  // duplicate-word fraction and top-bigram mass per document. Bigrams are
+  // built INSIDE the row (zip_with over the word array — no self-join)
+  // and exploded once; the two doc_id-keyed aggregations that follow are
+  // map-side-combinable, so at 100 TB this is one linear pass plus two
+  // partial-agg shuffles on doc_id. Thresholds follow Gopher's shape
+  // (distinct/total < 0.3, top-bigram mass > 0.2).
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("words"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      """zip_with(slice(words, 1, size(words) - 1),
+                  slice(words, 2, size(words) - 1),
+                  (x, y) -> concat(x, ' ', y))""")).as("bg"))
+    val topBg = bigrams.groupBy(col("doc_id"), col("bg")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("top_bg"))
+    docs
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_distinct"))
+      .join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("top_bg").cast("double") * 2 / col("n_words"))
+          .as("top_bigram_frac"),
+        (col("n_distinct").cast("double") / col("n_words") < 0.3 ||
+          col("top_bg").cast("double") * 2 / col("n_words") > 0.2)
+          .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qRepetitionSql = """
+    WITH d AS (
+      SELECT doc_id,
+        string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+          AS words
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        i -> words[i] || ' ' || words[i + 1])) AS bg
+      FROM d),
+    top AS (
+      SELECT doc_id, MAX(cnt) AS top_bg FROM (
+        SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(len(d.words) AS INT) AS n_words,
+      1.0 - CAST(len(list_distinct(d.words)) AS DOUBLE) / len(d.words)
+        AS dup_word_frac,
+      CAST(top.top_bg AS DOUBLE) * 2 / len(d.words) AS top_bigram_frac,
+      (CAST(len(list_distinct(d.words)) AS DOUBLE) / len(d.words) < 0.3
+        OR CAST(top.top_bg AS DOUBLE) * 2 / len(d.words) > 0.2)
+        AS repetitive
+    FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    ORDER BY d.doc_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "marker-word language ID heuristic"),
@@ -293,5 +395,13 @@ object TextOps {
       "document-frequency vocabulary top-k; per-doc dedup before the " +
         "shuffle via array_distinct"),
     "text_fingerprint" -> QueryDef(qFingerprint, Some(qFingerprintSql),
-      "canonical-form md5 fingerprint"))
+      "canonical-form md5 fingerprint"),
+    "text_pii_redact" -> QueryDef(qPiiRedact, Some(qPiiRedactSql),
+      "regex PII scrub (emails/phones) with injected deterministic PII; " +
+        "redacted bytes md5-matched across engines; zero-shuffle linear " +
+        "pass"),
+    "text_repetition" -> QueryDef(qRepetition, Some(qRepetitionSql),
+      "Gopher-style repetition quality: duplicate-word fraction + " +
+        "top-bigram mass; in-row bigrams (no self-join), partial-agg " +
+        "shuffles only"))
 }
