@@ -65,8 +65,11 @@ object CorpusOps {
       .orderBy(col("survivor_id"))
   }
 
-  private val dedupCorpusSql = s"""
-    WITH RECURSIVE near AS (
+  /** The exact+near-dup closure CTE chain, shared by the dedup_corpus
+    * oracle and the corpus_curation funnel oracle: ends with `surv`
+    * (doc_id, cluster_id, rn, n_members; rn = 1 is the survivor).
+    */
+  private val dedupClosureCtes = s"""near AS (
       ${DedupOps.ngramPairsSql}
     ),
     f AS (
@@ -97,10 +100,81 @@ object CorpusOps {
         row_number() OVER (PARTITION BY cluster_id
           ORDER BY n_chars DESC, doc_id) AS rn,
         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
-      FROM lab)
+      FROM lab)"""
+
+  private val dedupCorpusSql = s"""
+    WITH RECURSIVE $dedupClosureCtes
     SELECT doc_id AS survivor_id, cluster_id, n_members
     FROM surv WHERE rn = 1
     ORDER BY survivor_id"""
+
+  // --- full curation funnel -------------------------------------------------
+  /** The training-data curation FUNNEL: every document is attributed to
+    * its first failing stage — too short (n_chars < [[MinChars]]) →
+    * repetitive (distinct-word ratio < [[MinDistinctRatio]], the Gopher
+    * gate) → duplicate (not its cluster's canonical survivor, clusters
+    * from the same exact+near-dup closure as dedup_corpus) → kept — and
+    * the funnel is rolled up per source with kept-byte totals. This is
+    * the accounting report a curation run ships with its output corpus:
+    * where every byte went and why. One linear gating pass + the dedup
+    * pipeline it already shares; the rollup is one partial-agg shuffle
+    * on source.
+    */
+  private val MinChars = 150L
+  private val MinDistinctRatio = 0.35
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val words = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    val ratio = size(array_distinct(words)).cast("double") / size(words)
+    val gated = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      (col("n_chars") >= MinChars).as("len_ok"),
+      (ratio >= MinDistinctRatio).as("rep_ok"))
+    val survivors = dedupCorpus(spark, dir)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("is_surv"))
+    val kept = col("len_ok") && col("rep_ok") && col("is_surv")
+    gated.join(survivors, Seq("doc_id"), "left")
+      .withColumn("is_surv", coalesce(col("is_surv"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("len_ok") && !col("rep_ok"), 1L).otherwise(0L))
+          .as("n_repetitive"),
+        sum(when(col("len_ok") && col("rep_ok") && !col("is_surv"), 1L)
+          .otherwise(0L)).as("n_dup_dropped"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusCurationSql = s"""
+    WITH RECURSIVE $dedupClosureCtes,
+    sv AS (SELECT doc_id FROM surv WHERE rn = 1),
+    gated AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+        d.n_chars >= $MinChars AS len_ok,
+        CAST(len(list_distinct(string_split(
+            regexp_replace(trim(d.text), '\\s+', ' ', 'g'), ' ')))
+          AS DOUBLE) /
+          len(string_split(
+            regexp_replace(trim(d.text), '\\s+', ' ', 'g'), ' '))
+          >= $MinDistinctRatio AS rep_ok,
+        (sv.doc_id IS NOT NULL) AS is_surv
+      FROM documents d LEFT JOIN sv ON sv.doc_id = d.doc_id)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_too_short,
+      CAST(SUM(CASE WHEN len_ok AND NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_repetitive,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND NOT is_surv THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dup_dropped,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND is_surv THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND is_surv THEN n_chars
+        ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM gated
+    GROUP BY source
+    ORDER BY source"""
 
   // --- contamination / probe-overlap ---------------------------------------
   /** Probe set boundary: doc_id < ProbeMax is "the benchmark". */
@@ -167,5 +241,8 @@ object CorpusOps {
     "text_contamination" -> QueryDef(textContamination,
       Some(textContaminationSql),
       "benchmark-contamination check: winnow-fingerprint containment " +
-        "of corpus docs against a broadcast probe set"))
+        "of corpus docs against a broadcast probe set"),
+    "corpus_curation" -> QueryDef(corpusCuration, Some(corpusCurationSql),
+      "full curation funnel: length gate -> repetition gate -> dedup " +
+        "survivor gate, per-source accounting of where every byte went"))
 }

@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history")
+      "history", "detail")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -118,6 +118,24 @@ object GraftProcedures {
                 .map { case (k, as) => s"$k:${as.length}" }.mkString(",")
               row(Long.box(v), Long.box(ts * 1000L),
                 UTF8String.fromString(kinds))
+          }
+        }))
+      case "detail" => Some(proc(name,
+        "DESCRIBE DETAIL: objects/rows/DVs/bytes/columns from metadata",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("table_name", StringType),
+          StructField("version", LongType),
+          StructField("num_objects", LongType),
+          StructField("num_rows", LongType),
+          StructField("num_dvs", LongType),
+          StructField("size_bytes", LongType),
+          StructField("num_columns", LongType))), { args =>
+          val t = args.getUTF8String(0).toString
+          client.describeDetail(t).collect().toSeq.map { r =>
+            row(UTF8String.fromString(r.getString(0)), Long.box(r.getLong(1)),
+              Long.box(r.getLong(2)), Long.box(r.getLong(3)),
+              Long.box(r.getLong(4)), Long.box(r.getLong(5)),
+              Long.box(r.getLong(6)))
           }
         }))
       case _ => None

@@ -169,6 +169,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     val reclaimed = rows(s"CALL $cat.system.vacuum(retain_versions => 0)")
     assert(reclaimed.head.getInt(0) >= 5)
     assert(rows(s"SELECT count(*) AS n FROM $cat.p") === Seq(Row(5L)))
+    // detail: metadata-only summary agrees with the post-compact state
+    val detail = rows(s"CALL $cat.system.detail('p')").head
+    assert(detail.getString(0) === "p" && detail.getLong(2) === 1L &&
+      detail.getLong(3) === 5L && detail.getLong(6) === 2L)
   }
 
   test("CALL z_order re-layouts so every axis prunes") {
