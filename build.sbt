@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g went GC-bound once the suite passed ~100 queries (memoized ANN
+  // training + SQL-catalog fixtures share the JVM): at 8g the sf0.1
+  // bench showed a uniform ~1.2x inflation across untouched queries
+  // that 16g fully removes (measured round 7). Machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
