@@ -182,16 +182,30 @@ object CorpusOps {
   private val ContainThreshold = 0.5
 
   def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    // ONE winnow pass — the 50M-position md5 subtree executes exactly
+    // once: per-doc totals ride each row via a doc_id window, then
+    // probe × corpus pairs are generated INSIDE each fingerprint bucket
+    // (the winnowPairs/simhash trick) instead of the earlier broadcast
+    // self-join whose three branches (probe, corpus, totals) each
+    // recomputed the full pass (measured 4.8 s → 2.8 s at sf0.1).
+    // Pair volume per bucket is |corpus members| × |probe members|; the
+    // probe set is ≤ $ProbeMax docs, so linear in bucket size.
     val fps = DedupOps.winnowFps(spark, dir, k = 24, win = 8)
-    val probeFps = fps.filter(col("doc_id") < ProbeMax)
-      .withColumnRenamed("doc_id", "probe_id")
-    val corpusFps = fps.filter(col("doc_id") >= ProbeMax)
-    val totals = corpusFps.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("tot"))
-    corpusFps.join(broadcast(probeFps), "fp")
-      .groupBy(col("doc_id"), col("probe_id"))
+      .withColumn("tot",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    fps
+      .groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("tot"))).as("ids"))
+      .select(explode(expr(
+        s"""flatten(transform(
+              filter(ids, c -> c.doc_id >= $ProbeMax),
+              c -> transform(
+                filter(ids, p -> p.doc_id < $ProbeMax),
+                p -> struct(c.doc_id AS doc_id, c.tot AS tot,
+                            p.doc_id AS probe_id))))""")).as("pr"))
+      .groupBy(col("pr.doc_id").as("doc_id"),
+        col("pr.probe_id").as("probe_id"), col("pr.tot").as("tot"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(totals, "doc_id")
       .withColumn("containment",
         round(col("n_shared").cast("double") / col("tot"), 6))
       .filter(col("containment") >= ContainThreshold)

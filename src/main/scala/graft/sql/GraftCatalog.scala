@@ -283,9 +283,15 @@ final class GraftTable(val root: String, val tableName: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   // ---- read path ----
+  /** DataFrameReader time-travel options (`versionAsOf` /
+    * `timestampAsOf`) need no handling here: Spark resolves them into
+    * `TableCatalog.loadTable(ident, version/timestamp)` (SPARK-37219),
+    * so the table arrives with `asOf` already pinned — same path as the
+    * SQL clauses.
+    */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, asOf)
 
   // ---- insert path ----
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -320,7 +326,8 @@ final class GraftTable(val root: String, val tableName: String,
   * engage). All filters are also returned to Spark for post-scan
   * re-evaluation — conservative and always correct.
   */
-final class GraftScanBuilder(table: GraftTable) extends ScanBuilder
+final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = table.schema()
@@ -344,7 +351,7 @@ final class GraftScanBuilder(table: GraftTable) extends ScanBuilder
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = table.withClient { c =>
           val base =
-            c.scanAsOf(table.tableName, table.asOf.getOrElse(c.latestVersion))
+            c.scanAsOf(table.tableName, asOf.getOrElse(c.latestVersion))
           val filtered = pushed.flatMap(FilterTranslation.toColumn)
             .foldLeft(base)((df, p) => df.filter(p))
           filtered

@@ -194,6 +194,58 @@ class SqlCatalogSpec extends AnyFunSuite {
     } finally c.rollback()
   }
 
+  test("reader-option time travel: versionAsOf/timestampAsOf on table()") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.r VALUES (1,'a'), (2,'b')")
+    val c = new GraftClient(spark, root)
+    val vPre = c.latestVersion
+    Thread.sleep(15); val tsPre = System.currentTimeMillis(); Thread.sleep(15)
+    // evolve the schema AND mutate after the pin point
+    spark.sql(s"ALTER TABLE $cat.r ADD COLUMN w DOUBLE")
+    spark.sql(s"INSERT INTO $cat.r VALUES (3, 'c', 1.5)")
+    spark.sql(s"DELETE FROM $cat.r WHERE k = 1")
+    // Spark resolves reader options through loadTable(ident, version/
+    // timestamp) — SPARK-37219 — so the pinned read carries the
+    // HISTORICAL schema (no `w` yet) and the pre-delete rows
+    assert(spark.read.option("versionAsOf", vPre).table(s"$cat.r")
+      .orderBy("k").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tsPre))
+    assert(spark.read.option("timestampAsOf", tsStr).table(s"$cat.r")
+      .select("k", "v").orderBy("k").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "b")))
+    // both options together is rejected (by Spark's option resolution)
+    intercept[Exception] {
+      spark.read.option("versionAsOf", vPre).option("timestampAsOf", tsStr)
+        .table(s"$cat.r").collect()
+    }
+  }
+
+  test("versionAtTimestamp treats pre-ts log entries as always-past") {
+    val (_, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    c.createTable("old", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+    c.commitTx()
+    // strip the ts field from the committed entry, simulating a log
+    // written before the field existed
+    val dir = new java.io.File(root)
+    val logFile = dir.listFiles().filter(_.getName.startsWith("_log_"))
+      .minBy(_.getName)
+    val body = new String(
+      java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    val stripped = body.replaceAll(""",?"ts":"\d+"""", "")
+    java.nio.file.Files.write(logFile.toPath, stripped.getBytes("UTF-8"))
+    // ts-less entry reads as t=0: any timestamp resolves at-or-past it
+    assert(c.versionAt(1L) === 1L)
+    assert(c.versionAt(System.currentTimeMillis()) === 1L)
+  }
+
   test("DDL: DROP, re-create clean, RENAME table, ALTER columns") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING)")
