@@ -553,6 +553,45 @@ object SimilarityOps {
     WHERE rnk <= 10
     ORDER BY query_id, "rank""""
 
+  // --- Semantic cluster assignment ------------------------------------------
+  // The diversity-balancing primitive: label every vector with its
+  // trained k-means cell and roll up per-cluster population + coherence
+  // (mean cosine to the centroid). A curation pipeline samples per
+  // cluster from this table to balance topic coverage. One broadcast
+  // scoring pass + one partial-agg shuffle on the cell id — linear, and
+  // the same trained centroids (and literals) the IVF family uses.
+  def simClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cent = centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cscore").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("_cscore", cosine(col("v"), col("cv")))
+      .withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("_cscore")), 6).as("avg_cos"))
+      .orderBy(col("cid"))
+  }
+
+  private def simClusterAssignSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    $centroidCte,
+    ranked AS (
+      SELECT n.vec_id, cent.cid,
+        list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) AS cos,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+                   cent.cid) AS rk
+      FROM n CROSS JOIN cent)
+    SELECT cid, COUNT(*) AS n_members, round(AVG(cos), 6) AS avg_cos
+    FROM ranked WHERE rk = 1
+    GROUP BY cid
+    ORDER BY cid"""
+
   // --- IVF-PQ: cell-pruned ADC (the FAISS-at-scale composition) -------------
   // IVF supplies the pruning (probe `NumProbes` of `NumCentroids` trained
   // cells), PQ supplies the compression (ADC over the codes of probed
@@ -705,5 +744,10 @@ object SimilarityOps {
     "sim_ann_ivfpq" -> QueryDef(simAnnIvfPq, Some(simAnnIvfPqSql),
       "IVF-PQ composition: probe 8 of 32 trained cells, ADC-score only " +
         "their members' codes, exact rerank — cell pruning x code " +
-        "compression, both oracle-replayed from literals"))
+        "compression, both oracle-replayed from literals"),
+    "sim_cluster_assign" -> QueryDef(simClusterAssign,
+      Some(simClusterAssignSql),
+      "semantic cluster labeling (trained k-means cells) with " +
+        "per-cluster population + coherence rollup — the " +
+        "diversity-balancing primitive"))
 }
