@@ -258,7 +258,63 @@ object Events {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  // --- Cohort retention ------------------------------------------------------
+  // The product-analytics staple: users cohorted by first-active week,
+  // each (cohort, week-offset) cell = distinct users still active that
+  // many weeks later, as a % of cohort size. Every step is a keyed
+  // aggregation — (user, week) dedup, per-user min, cell rollup — and
+  // the cohort join shares the user_id key with the groupBy before it,
+  // so at 100 TB this is three partial-agg shuffles and one
+  // co-partitioned join; no windows over the event stream, no skew
+  // (cells are bounded by weeks², users only transit keyed aggs).
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val weeks = t(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / weekUs).as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val cells = weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = cohorts.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_wk")
+      .withColumn("retention_pct",
+        round(col("n_users").cast("double") * 100 / col("cohort_size"), 2))
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        col("cohort_size"), col("retention_pct"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  private val qEventsRetentionSql = """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+        CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk
+      FROM events),
+    coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM weeks
+            GROUP BY user_id),
+    cells AS (
+      SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+        COUNT(DISTINCT w.user_id) AS n_users
+      FROM weeks w JOIN coh c USING (user_id)
+      GROUP BY 1, 2),
+    sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_size FROM coh
+              GROUP BY 1)
+    SELECT cells.cohort_wk, cells.week_offset, cells.n_users,
+      sizes.cohort_size,
+      round(CAST(cells.n_users AS DOUBLE) * 100 / sizes.cohort_size, 2)
+        AS retention_pct
+    FROM cells JOIN sizes USING (cohort_wk)
+    ORDER BY cohort_wk, week_offset"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_events_retention" -> QueryDef(qEventsRetention,
+      Some(qEventsRetentionSql),
+      "weekly cohort retention matrix: keyed aggs only, co-partitioned " +
+        "cohort join, no event-stream windows"),
     "q_events_hourly" -> QueryDef(qHourly, Some(qHourlySql),
       "tumbling-window rollup (batch twin of the streaming agg)"),
     "q_events_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
