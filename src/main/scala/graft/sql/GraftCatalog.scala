@@ -55,6 +55,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def withClient[A](f: GraftClient => A): A =
     f(new GraftClient(SparkSession.active, root))
 
@@ -175,6 +178,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(del.fieldNames().length == 1,
             "nested column changes are not supported")
           c.dropColumn(t, del.fieldNames()(0))
+        // ALTER TABLE … ADD CONSTRAINT chk CHECK (expr) — Spark 4.1's
+        // constraint DDL, routed into the client's validate-once-then
+        // -enforce-in-the-write CHECK machinery
+        case add: TableChange.AddConstraint =>
+          add.constraint() match {
+            case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              c.addConstraint(t, ck.name(), ck.predicateSql())
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported, got: ${other.toDDL}")
+          }
+        case drop: TableChange.DropConstraint =>
+          if (!drop.ifExists() || c.constraintsOf(t).contains(drop.name()))
+            c.dropConstraint(t, drop.name())
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -281,6 +297,26 @@ final class GraftTable(val root: String, val tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The table's CHECK constraints, surfaced to Spark (4.1 constraint
+    * API) as validated+enforced — Spark then also validates DSv2 writes
+    * against them, on top of the client's own write-time enforcement.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    withClient { c =>
+      c.newTx()
+      try c.constraintsOf(tableName).toSeq.sortBy(_._1).map { case (n, e) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(e)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+      finally c.rollback()
+    }
 
   // ---- read path ----
   /** DataFrameReader time-travel options (`versionAsOf` /

@@ -246,6 +246,30 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(c.versionAt(System.currentTimeMillis()) === 1L)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes into client CHECKs") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.cc (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.cc VALUES (1,'a'), (2,'b')")
+    spark.sql(s"ALTER TABLE $cat.cc ADD CONSTRAINT k_pos CHECK (k > 0)")
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    try assert(c.constraintsOf("cc").keySet === Set("k_pos"))
+    finally c.rollback()
+    // violating INSERT fails (Spark-side enforcement via constraints(),
+    // client-side enforcement underneath — either must stop it)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.cc VALUES (-5, 'x')")
+    }
+    assert(rows(s"SELECT count(*) AS n FROM $cat.cc") === Seq(Row(2L)))
+    // adding a constraint existing rows violate fails
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.cc ADD CONSTRAINT k_big CHECK (k > 10)")
+    }
+    spark.sql(s"ALTER TABLE $cat.cc DROP CONSTRAINT k_pos")
+    spark.sql(s"INSERT INTO $cat.cc VALUES (-5, 'x')")
+    assert(rows(s"SELECT count(*) AS n FROM $cat.cc") === Seq(Row(3L)))
+  }
+
   test("DDL: DROP, re-create clean, RENAME table, ALTER columns") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING)")
