@@ -553,6 +553,79 @@ object SimilarityOps {
     WHERE rnk <= 10
     ORDER BY query_id, "rank""""
 
+  // --- IVF over a graft table: probing IS file pruning ----------------------
+  // The two halves of this project meet: the corpus is STORED in a graft
+  // table partitioned by trained IVF cell (`insertPartitioned` → one
+  // self-contained object per cell with point stats), and a query's
+  // probe list becomes per-cell equality reads through the DataSource —
+  // each scan's pushed `cell = c` filter hits the stats tier and opens
+  // EXACTLY that cell's objects. At 100 TB "probe 8 of 32 cells" is
+  // literally "open 1/4 of the data objects"; no ANN-specific index
+  // structure exists, just the table format's own layout + skipping.
+  // Result is identical to sim_ann_ivf (same centroids, same probes),
+  // so the same oracle SQL replays it.
+  private val annStoreCache = scala.collection.mutable.Map[String, String]()
+
+  private[queries] def annTableFor(spark: SparkSession,
+      dir: String): String = synchronized {
+    annStoreCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_store").toString
+      val c = new graft.table.GraftClient(spark, root)
+      val e = corpus(spark, dir)
+      val cent = centroidFrame(spark, centroidsFor(spark, dir))
+        .select(col("cid").as("cell"), col("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_cscore").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("_cscore", cosine(col("v"), col("cv")))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("vec_id"), col("cell"), col("v"))
+      c.newTx()
+      c.createTable("emb", assigned.schema)
+      c.insertPartitioned("emb", assigned, "cell")
+      c.commitTxRetrying()
+      root
+    })
+  }
+
+  def simAnnIvfTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = annTableFor(spark, dir)
+    val e = corpus(spark, dir)
+    val cent = centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cscore").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cent))
+      .withColumn("_cscore", cosine(col("v"), col("cv")))
+      .withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+    // distinct probed cells: metadata-sized (≤ NumCentroids ids)
+    val cells = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // one pruned equality read per probed cell — the pushed filter's
+    // stats probe opens only that cell's objects
+    val cand = cells.map { cl =>
+        spark.read.format("graft").option("table", "emb").load(root)
+          .filter(col("cell") === cl)
+      }.reduce(_.union(_))
+      .select(col("vec_id"), col("v"), col("cell").as("cid"))
+      .join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --- Semantic cluster assignment ------------------------------------------
   // The diversity-balancing primitive: label every vector with its
   // trained k-means cell and roll up per-cluster population + coherence
@@ -749,5 +822,9 @@ object SimilarityOps {
       Some(simClusterAssignSql),
       "semantic cluster labeling (trained k-means cells) with " +
         "per-cluster population + coherence rollup — the " +
-        "diversity-balancing primitive"))
+        "diversity-balancing primitive"),
+    "sim_ann_ivf_table" -> QueryDef(simAnnIvfTable, Some(simAnnIvfSql),
+      "IVF over a cell-partitioned graft TABLE: probing = stats-pruned " +
+        "per-cell reads through the DataSource — no index structure, " +
+        "just table layout + file skipping; result == sim_ann_ivf"))
 }

@@ -158,6 +158,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 = $mean")
   }
 
+  test("IVF-over-graft-table equals plain IVF and prunes to probed cells") {
+    val table = SimilarityOps.simAnnIvfTable(spark, dir).collect().toSeq
+    val plain = SimilarityOps.simAnnIvf(spark, dir).collect().toSeq
+    assert(table === plain,
+      "cell-partitioned table probing must reproduce sim_ann_ivf exactly")
+    // each per-cell equality read opened exactly that cell's object:
+    // insertPartitioned wrote one self-contained object per cell, and
+    // the pushed cell = c filter prunes to it via point stats
+    assert(graft.sources.GraftRelation.lastScanObjectCount === 1,
+      s"expected 1 object per cell scan, " +
+        s"got ${graft.sources.GraftRelation.lastScanObjectCount}")
+  }
+
   test("winnowed fingerprints overlap heavily for planted near-dups") {
     val ngram = DedupOps.dedupNgramJaccard(spark, dir)
       .select("doc_a", "doc_b").collect()
