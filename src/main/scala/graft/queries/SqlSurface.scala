@@ -118,6 +118,29 @@ object SqlSurface {
       FROM $cat.$table ORDER BY n_nationkey""")
   }
 
+  /** Whole-table COUNT/MIN/MAX over the three fixture tables. t_ins and
+    * t_del have no deletion vectors, so their rows come straight from the
+    * transaction log ([[graft.table.GraftClient.metadataAggregate]] via
+    * the scan builder's complete aggregate pushdown — zero data objects
+    * opened; SqlCatalogSpec proves that by hiding the data files); t_mrg
+    * carries a DV from the matched-delete clause, so its MIN/MAX fall
+    * back to the scanning path while COUNT stays metadata-exact.
+    */
+  private def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""
+      SELECT 'ins' AS src, count(*) AS cnt, min(n_nationkey) AS min_key,
+             max(n_nationkey) AS max_key
+      FROM $cat.t_ins
+      UNION ALL
+      SELECT 'del', count(*), min(n_nationkey), max(n_nationkey)
+      FROM $cat.t_del
+      UNION ALL
+      SELECT 'mrg', count(*), min(n_nationkey), max(n_nationkey)
+      FROM $cat.t_mrg
+      ORDER BY src""")
+  }
+
   private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val f = ensure(spark, dir)
     spark.sql(s"""SELECT n_nationkey, n_name, n_regionkey
@@ -156,6 +179,27 @@ object SqlSurface {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  private val aggStatsSql = """
+    SELECT * FROM (
+      SELECT 'ins' AS src, count(*) AS cnt,
+             min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+      FROM (
+        SELECT n_nationkey FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100 FROM nation WHERE n_nationkey < 5)
+      UNION ALL
+      SELECT 'del', count(*), min(n_nationkey), max(n_nationkey)
+      FROM (
+        SELECT n_nationkey FROM nation
+        WHERE n_nationkey NOT BETWEEN 10 AND 14)
+      UNION ALL
+      SELECT 'mrg', count(*), min(n_nationkey), max(n_nationkey)
+      FROM (
+        SELECT n_nationkey FROM nation WHERE n_nationkey < 23
+        UNION ALL
+        SELECT n_nationkey + 30 FROM nation WHERE n_nationkey < 5)
+    ) ORDER BY src"""
+
   private val mergeSql = """
     SELECT * FROM (
       SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -183,5 +227,10 @@ object SqlSurface {
         "post-delete table read at its pre-delete version"),
     "tx_sql_maintenance" -> QueryDef(state("t_mnt"), Some(maintenanceSql),
       "CALL compact + checkpoint + vacuum (ProcedureCatalog) over a " +
-        "3-commit table: the maintenance cycle must not change a byte"))
+        "3-commit table: the maintenance cycle must not change a byte"),
+    "tx_sql_agg_stats" -> QueryDef(aggStats, Some(aggStatsSql),
+      "metadata-only COUNT/MIN/MAX: whole-table aggregates answered " +
+        "from the transaction log via complete aggregate pushdown — " +
+        "zero data objects opened (DV-bearing t_mrg falls back for " +
+        "MIN/MAX, COUNT stays metadata-exact)"))
 }

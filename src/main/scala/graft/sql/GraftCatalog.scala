@@ -7,8 +7,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -361,13 +362,25 @@ final class GraftTable(val root: String, val tableName: String,
   * stats/bloom file skipping, DV masking, and parquet pushdown all
   * engage). All filters are also returned to Spark for post-scan
   * re-evaluation — conservative and always correct.
+  *
+  * Also [[SupportsPushDownAggregates]] (complete pushdown only):
+  * whole-table `COUNT(*)` / `MIN` / `MAX` are answered straight from the
+  * transaction log via [[GraftClient.metadataAggregate]] — zero data
+  * objects opened. Catalyst only attempts aggregate pushdown when the
+  * plan has NO residual filters above the scan, and [[pushFilters]]
+  * returns every filter as residual, so any WHERE clause automatically
+  * falls back to the scanning path; the log answers exactly the
+  * unfiltered shapes it can answer exactly.
   */
 final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Row)] = None
+  private var aggMemo: Option[(Aggregation, Option[(StructType, Row)])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -378,7 +391,81 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new V1Scan {
+  // ---- metadata-only aggregate pushdown ----
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaAnswer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggAnswer = metaAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  /** supportCompletePushDown and pushAggregation both need the answer;
+    * memoize per Aggregation instance so the log is read once.
+    */
+  private def metaAnswer(agg: Aggregation): Option[(StructType, Row)] =
+    aggMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = computeMetaAnswer(agg)
+        aggMemo = Some((agg, r))
+        r
+    }
+
+  private def computeMetaAnswer(
+      agg: Aggregation): Option[(StructType, Row)] = {
+    // group-by pushdown is not supported; pushed filters can't actually
+    // co-occur with aggregate pushdown (they stay residual in the plan,
+    // which blocks the rule) — belt and braces
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val schema = table.schema()
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 &&
+          schema.fieldNames.contains(n.fieldNames()(0)) =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some(("count(*)",
+          GraftClient.MetaCount: GraftClient.MetaAgg,
+          org.apache.spark.sql.types.LongType
+            : org.apache.spark.sql.types.DataType,
+          false))
+      case m: Min => colOf(m.column()).map(c =>
+        (s"min($c)", GraftClient.MetaMin(c): GraftClient.MetaAgg,
+          schema(c).dataType, true))
+      case m: Max => colOf(m.column()).map(c =>
+        (s"max($c)", GraftClient.MetaMax(c): GraftClient.MetaAgg,
+          schema(c).dataType, true))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val sp = specs.map(_.get)
+    table.withClient(
+        _.metadataAggregate(table.tableName, asOf, sp.map(_._2).toSeq))
+      .map { values =>
+        val st = StructType(sp.map(s =>
+          org.apache.spark.sql.types.StructField(s._1, s._3,
+            nullable = s._4)))
+        (st, Row.fromSeq(values))
+      }
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((aggSchema, row)) => new V1Scan {
+      override def readSchema(): StructType = aggSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = aggSchema
+          override def buildScan(): RDD[Row] =
+            context.sparkContext.parallelize(Seq(row), 1)
+        }.asInstanceOf[T]
+    }
+    case None => new V1Scan {
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
@@ -395,6 +482,7 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
             .rdd
         }
       }.asInstanceOf[T]
+    }
   }
 }
 

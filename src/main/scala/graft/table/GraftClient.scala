@@ -1854,6 +1854,84 @@ final class GraftClient(
         StructField("num_columns", LongType, nullable = false))))
   }
 
+  /** Answer COUNT(*) / MIN / MAX over `table` from the transaction log
+    * alone — the lakehouse "metadata-only query" optimization: every
+    * `AddDataObject` already carries its exact footer row count and
+    * per-column min/max, so a whole-table aggregate is a driver-side
+    * metadata fold, not a scan. At 100 TB, `SELECT count(*)` on a
+    * petabyte table answers in milliseconds.
+    *
+    * Returns Some(one value per requested agg, in order) only when EVERY
+    * request is answerable EXACTLY; None means the caller must scan.
+    * Exactness rules:
+    *   - count: always — live footer row counts minus live DV
+    *     cardinalities (the invariant [[describeDetail]] pins: live DV
+    *     keys always reference physically present rows).
+    *   - min/max: only when the table has NO live deletion vectors (a
+    *     DV-masked row could hold the extremum), the column's type is
+    *     fixed-width (parquet footer stats are exact values for those;
+    *     string stats may be TRUNCATED bounds, so strings are refused),
+    *     and every live object carries a stats entry for the column's
+    *     physical name — an object without one either predates the
+    *     column (all-null, which cannot affect min/max) or had its
+    *     stats disqualified (unknown values), and the two are not
+    *     distinguishable here, so both refuse. Empty table => SQL NULL.
+    */
+  def metadataAggregate(table: String, asOf: Option[Long],
+      aggs: Seq[GraftClient.MetaAgg]): Option[Seq[Any]] = {
+    import GraftClient.{MetaCount, MetaMin, MetaMax}
+    val snap = asOf.map(txLog.beginAt).getOrElse(txLog.begin())
+    val schema = snap.tables.getOrElse(table, return None)
+    val files = snap.liveFiles(table)
+    val dvs = snap.liveDvs(table)
+    val count = files.map(_.numRows).sum - dvs.map(_.numRows).sum
+
+    def bound(c: String, wantMin: Boolean): Option[Any] = {
+      if (dvs.nonEmpty) return None
+      if (!schema.fieldNames.contains(c)) return None
+      val f = schema(schema.fieldIndex(c))
+      val fixedWidth = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      if (!fixedWidth) return None
+      if (files.isEmpty) return Some(null) // MIN/MAX of empty = NULL
+      val phys = physOf(schema, c)
+      val perFile = files.map(_.stats.get(phys))
+      if (perFile.exists(_.isEmpty)) return None
+      val vals = perFile.flatten.map(s => if (wantMin) s.min else s.max)
+      // stats carry Long/Double (ParquetFooters.decode); fold and surface
+      // the column's external type
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType
+            if vals.forall(_.isInstanceOf[Long]) =>
+          val l = vals.map(_.asInstanceOf[Long])
+            .reduce((a, b) => if (wantMin) math.min(a, b) else math.max(a, b))
+          Some(f.dataType match {
+            case ByteType => l.toByte
+            case ShortType => l.toShort
+            case IntegerType => l.toInt
+            case DateType => java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(l))
+            case _ => l
+          })
+        case FloatType | DoubleType if vals.forall(_.isInstanceOf[Double]) =>
+          val d = vals.map(_.asInstanceOf[Double])
+            .reduce((a, b) => if (wantMin) math.min(a, b) else math.max(a, b))
+          Some(if (f.dataType == FloatType) d.toFloat else d)
+        case _ => None // mixed/unexpected stat value types
+      }
+    }
+
+    val resolved: Seq[Option[Any]] = aggs.map {
+      case MetaCount => Some(count)
+      case MetaMin(c) => bound(c, wantMin = true)
+      case MetaMax(c) => bound(c, wantMin = false)
+    }
+    if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
+  }
+
   /** Register the latest COMMITTED state as a temp view so the table is
     * queryable through `spark.sql` — the SQL surface over the tx store.
     * Deliberately not this transaction's view of the table: a temp view
@@ -2032,4 +2110,12 @@ object GraftClient {
     case object WriteSerializable extends Isolation
     case object Serializable extends Isolation
   }
+
+  /** Aggregate shapes the transaction log can answer without opening a
+    * single data object — see [[GraftClient.metadataAggregate]].
+    */
+  sealed trait MetaAgg
+  case object MetaCount extends MetaAgg
+  final case class MetaMin(column: String) extends MetaAgg
+  final case class MetaMax(column: String) extends MetaAgg
 }

@@ -294,4 +294,68 @@ class SqlCatalogSpec extends AnyFunSuite {
     c.newTx()
     try assert(c.objects("e").length === 1) finally c.rollback()
   }
+
+  test("whole-table COUNT/MIN/MAX answer from the log alone") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, s STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.m VALUES (5, 'a'), (1, 'b'), (9, 'c')")
+    spark.sql(s"INSERT INTO $cat.m VALUES (-3, 'd'), (7, 'e')")
+    val preSecond = new GraftClient(spark, root).latestVersion - 1
+
+    // the airtight metadata-only proof: physically hide every data
+    // object — log-answerable queries keep working, scans fail
+    val rootF = new java.io.File(root)
+    def dataDirs() = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_table_")).toSeq
+    val hide = Files.createTempDirectory("graft_hidden")
+    def hideData(): Seq[java.io.File] = {
+      val ds = dataDirs()
+      ds.foreach(d => java.nio.file.Files.move(d.toPath,
+        hide.resolve(d.getName)))
+      ds
+    }
+    def restoreData(ds: Seq[java.io.File]): Unit =
+      ds.foreach(d => java.nio.file.Files.move(
+        hide.resolve(d.getName), d.toPath))
+
+    val hidden = hideData()
+    try {
+      assert(rows(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+        s"FROM $cat.m") === Seq(Row(5L, -3L, 9L)))
+      // VERSION AS OF rides the same metadata path
+      assert(rows(s"SELECT count(*) FROM $cat.m " +
+        s"VERSION AS OF $preSecond") === Seq(Row(3L)))
+      // everything below genuinely needs the hidden bytes: SUM is not
+      // log-answerable; string MIN isn't (parquet stats may truncate);
+      // a WHERE clause blocks aggregate pushdown entirely
+      intercept[Exception] { rows(s"SELECT sum(k) FROM $cat.m") }
+      intercept[Exception] { rows(s"SELECT min(s) FROM $cat.m") }
+      intercept[Exception] {
+        rows(s"SELECT count(*) FROM $cat.m WHERE k > 0")
+      }
+    } finally restoreData(hidden)
+    // filtered fallback is correct with data back (5,1,9,7 are > 0)
+    assert(rows(s"SELECT count(*) FROM $cat.m WHERE k > 0") ===
+      Seq(Row(4L)))
+
+    // copy-on-write DELETE refreshes stats: still metadata-exact
+    spark.sql(s"DELETE FROM $cat.m WHERE k = 9")
+    val h2 = hideData()
+    try assert(rows(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      s"FROM $cat.m") === Seq(Row(4L, -3L, 7L)))
+    finally restoreData(h2)
+
+    // a DV delete (MERGE matched-delete) keeps COUNT exact but makes
+    // MIN/MAX unanswerable from stats — they must fall back to the scan
+    spark.sql(s"MERGE INTO $cat.m t USING (SELECT -3 AS k) s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    val h3 = hideData()
+    try {
+      assert(rows(s"SELECT count(*) FROM $cat.m") === Seq(Row(3L)))
+      intercept[Exception] { rows(s"SELECT min(k) FROM $cat.m") }
+    } finally restoreData(h3)
+    assert(rows(s"SELECT min(k) AS mn, max(k) AS mx FROM $cat.m") ===
+      Seq(Row(1L, 7L)))
+  }
 }
