@@ -222,6 +222,64 @@ object GraftRelation {
     */
   @volatile private[graft] var lastScanObjectCount: Int = -1
 
+  /** Range-shaped conjuncts → inclusive per-column prune bounds for
+    * [[GraftClient.scanPruned]]. Only shapes whose violation PROVES no
+    * row in an object can match are eligible; everything else simply
+    * doesn't prune. Shared by this V1 connector and the SQL catalog's
+    * scan builder ([[graft.sql.GraftScanBuilder]]).
+    */
+  private[graft] def boundsOf(f: Filter): Seq[(String, (Any, Any))] = f match {
+    case EqualTo(a, v) => Seq(a -> (v, v))
+    case GreaterThan(a, v) => Seq(a -> (v, null))
+    case GreaterThanOrEqual(a, v) => Seq(a -> (v, null))
+    case LessThan(a, v) => Seq(a -> (null, v))
+    case LessThanOrEqual(a, v) => Seq(a -> (null, v))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      // bound by the value span; exactness comes from Spark's re-apply
+      val norm = vs.map(ColStats.normalize)
+      if (norm.forall(_.isInstanceOf[Long]))
+        Seq(a -> (norm.map(_.asInstanceOf[Long]).min,
+          norm.map(_.asInstanceOf[Long]).max))
+      else if (norm.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        Seq(a -> (norm.map(toD).min, norm.map(toD).max))
+      else if (norm.forall(_.isInstanceOf[String]))
+        Seq(a -> (norm.map(_.asInstanceOf[String]).min,
+          norm.map(_.asInstanceOf[String]).max))
+      else Nil
+    case And(l, r) => boundsOf(l) ++ boundsOf(r)
+    case _ => Nil
+  }
+
+  /** Equality conjuncts → bloom-probe candidates (stats bounds come from
+    * [[boundsOf]]; [[graft.table.GraftClient.scanPruned]] applies both
+    * tiers).
+    */
+  private[graft] def eqOf(f: Filter): Seq[(String, Any)] = f match {
+    case EqualTo(a, v) if v != null => Seq(a -> v)
+    case And(l, r) => eqOf(l) ++ eqOf(r)
+    case _ => Nil
+  }
+
+  /** IN-shaped conjuncts → per-value disjunctive prune lists: an object
+    * survives only if at least one listed value passes its stats AND
+    * bloom, so a scattered IN opens the matching objects, not the whole
+    * value span ([[boundsOf]] still emits the span — both are applied,
+    * the tighter wins). Capped at 64 values to bound the driver-side
+    * probe-hash job; larger lists fall back to the span alone.
+    */
+  private[graft] def inOf(f: Filter): Seq[(String, Seq[Any])] = f match {
+    case In(a, vs) if vs.nonEmpty && vs.length <= 64 && vs.forall(_ != null) =>
+      Seq(a -> vs.toSeq)
+    case And(l, r) => inOf(l) ++ inOf(r)
+    case _ => Nil
+  }
+
+  private def toD(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case other => sys.error(s"unexpected: $other")
+  }
+
   private[sources] def withClient[A](sqlContext: SQLContext, root: String)(
       f: GraftClient => A): A = {
     val c = new GraftClient(sqlContext.sparkSession, root)
@@ -268,9 +326,10 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       case None => withClient(sqlContext, root) { c =>
         val bounds = filters.toSeq.flatMap(boundsOf)
         val equalities = filters.toSeq.flatMap(eqOf)
+        val inLists = filters.toSeq.flatMap(GraftRelation.inOf)
         GraftRelation.lastScanObjectCount =
-          c.prunedObjects(table, bounds, equalities).length
-        c.scanPruned(table, bounds, equalities)
+          c.prunedObjects(table, bounds, equalities, inLists).length
+        c.scanPruned(table, bounds, equalities, inLists)
       }
     }
     val filtered = filters.flatMap(toColumn).reduceOption(_ && _)
@@ -281,47 +340,11 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
     projected.rdd
   }
 
-  /** Range-shaped conjuncts → inclusive per-column prune bounds. Only
-    * shapes whose violation PROVES no row in an object can match are
-    * eligible; everything else simply doesn't prune.
-    */
-  private def boundsOf(f: Filter): Seq[(String, (Any, Any))] = f match {
-    case EqualTo(a, v) => Seq(a -> (v, v))
-    case GreaterThan(a, v) => Seq(a -> (v, null))
-    case GreaterThanOrEqual(a, v) => Seq(a -> (v, null))
-    case LessThan(a, v) => Seq(a -> (null, v))
-    case LessThanOrEqual(a, v) => Seq(a -> (null, v))
-    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
-      // bound by the value span; exactness comes from Spark's re-apply
-      val norm = vs.map(ColStats.normalize)
-      if (norm.forall(_.isInstanceOf[Long]))
-        Seq(a -> (norm.map(_.asInstanceOf[Long]).min,
-          norm.map(_.asInstanceOf[Long]).max))
-      else if (norm.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
-        Seq(a -> (norm.map(toD).min, norm.map(toD).max))
-      else if (norm.forall(_.isInstanceOf[String]))
-        Seq(a -> (norm.map(_.asInstanceOf[String]).min,
-          norm.map(_.asInstanceOf[String]).max))
-      else Nil
-    case And(l, r) => boundsOf(l) ++ boundsOf(r)
-    case _ => Nil
-  }
+  private def boundsOf(f: Filter): Seq[(String, (Any, Any))] =
+    GraftRelation.boundsOf(f)
 
-  /** Equality conjuncts → bloom-probe candidates (stats bounds come from
-    * [[boundsOf]]; [[graft.table.GraftClient.scanPruned]] applies both
-    * tiers).
-    */
-  private def eqOf(f: Filter): Seq[(String, Any)] = f match {
-    case EqualTo(a, v) if v != null => Seq(a -> v)
-    case And(l, r) => eqOf(l) ++ eqOf(r)
-    case _ => Nil
-  }
-
-  private def toD(v: Any): Double = v match {
-    case l: Long => l.toDouble
-    case d: Double => d
-    case other => sys.error(s"unexpected: $other")
-  }
+  private def eqOf(f: Filter): Seq[(String, Any)] =
+    GraftRelation.eqOf(f)
 
   /** sources.Filter → Catalyst predicate, for the translatable shapes —
     * applied INSIDE the scan so parquet row-group stats and pushdown see

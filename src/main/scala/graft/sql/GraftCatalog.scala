@@ -17,6 +17,7 @@ import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, T
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import graft.sources.GraftRelation
 import graft.table.GraftClient
 
 /** DataSourceV2 `TableCatalog` over a graft table store — the SQL surface
@@ -139,10 +140,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft tables are not partitioned at DDL time; use " +
-          "insertPartitioned/clusterBy maintenance for layout")
+    // `PARTITIONED BY (col)` — exactly one identity transform: the
+    // partition column is marked in its field METADATA (the same
+    // log-persisted channel column mapping uses), and every INSERT then
+    // routes through insertPartitioned: one self-contained object per
+    // value, pruned by the ordinary stats tier. Bucket/temporal
+    // transforms and multi-column specs are not supported.
+    val schemaWithPart = partitions.toSeq match {
+      case Nil => schema
+      case Seq(t: Transform) if t.name == "identity" &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        if (!schema.fieldNames.contains(c))
+          throw new IllegalArgumentException(s"no such partition column: $c")
+        StructType(schema.fields.map(f =>
+          if (f.name == c) f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putBoolean(GraftTable.PartitionKey, true).build())
+          else f))
+      case _ =>
+        throw new UnsupportedOperationException(
+          "graft tables support PARTITIONED BY (one identity column) " +
+            "only; use clusterBy/z_order maintenance for other layouts")
+    }
     val t = tableName(ident)
     withClient { c =>
       c.newTx()
@@ -150,10 +172,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         c.rollback()
         throw new TableAlreadyExistsException(ident)
       }
-      c.createTable(t, schema)
+      c.createTable(t, schemaWithPart)
       c.commitTxRetrying()
     }
-    new GraftTable(root, t, schema)
+    new GraftTable(root, t, schemaWithPart)
   }
 
   override def alterTable(ident: Identifier,
@@ -276,6 +298,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("graft namespaces are fixed")
 }
 
+object GraftCatalog {
+  /** Number of data objects the most recent catalog [[GraftScanBuilder]]
+    * scan opened after stats/bloom pruning (-1 for time-traveled reads,
+    * which scan their full historical live set) — a test observation
+    * point, mirroring [[graft.sources.GraftRelation.lastScanObjectCount]].
+    */
+  @volatile private[graft] var lastScanObjectCount: Int = -1
+}
+
+object GraftTable {
+  /** Field-metadata key marking the DDL-declared partition column
+    * (`CREATE TABLE … PARTITIONED BY (col)`). Rides the log's schema
+    * serialization like column mapping's physical names do.
+    */
+  val PartitionKey = "graftPartition"
+}
+
 /** A graft table as seen by Spark's DSv2 planner. Reads and the DELETE
   * path are served here; INSERT rides a [[V1Write]]; UPDATE/MERGE are
   * rewritten by [[GraftSparkExtensions]] into commands that call back
@@ -295,6 +334,19 @@ final class GraftTable(val root: String, val tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** The DDL-declared partition column, if any (field-metadata marker
+    * set by `CREATE TABLE … PARTITIONED BY`).
+    */
+  private[sql] def partitionCol: Option[String] =
+    tableSchema.fields.find(f =>
+      f.metadata.contains(GraftTable.PartitionKey) &&
+        f.metadata.getBoolean(GraftTable.PartitionKey)).map(_.name)
+
+  override def partitioning(): Array[Transform] =
+    partitionCol.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -466,22 +518,51 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
         }.asInstanceOf[T]
     }
     case None => new V1Scan {
-    override def readSchema(): StructType = required
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def buildScan(): RDD[Row] = table.withClient { c =>
-          val base =
-            c.scanAsOf(table.tableName, asOf.getOrElse(c.latestVersion))
-          val filtered = pushed.flatMap(FilterTranslation.toColumn)
-            .foldLeft(base)((df, p) => df.filter(p))
-          filtered
-            .select(required.fieldNames.toIndexedSeq.map(col): _*)
-            .rdd
-        }
-      }.asInstanceOf[T]
+      override def readSchema(): StructType = required
+
+      // NOTE on join-planning statistics: a V1Scan cannot report them —
+      // V2ScanRelationPushDown wraps it in V1ScanWrapper, and
+      // DataSourceV2ScanRelation.computeStats only consults the WRAPPER
+      // for SupportsReportStatistics, so an implementation here is dead
+      // code (verified against Spark 4.1 bytecode). Catalog tables get
+      // the conf-default logical size; broadcastability comes from AQE's
+      // runtime size observation instead (pinned in SqlCatalogSpec), and
+      // the V1 `spark.read.format("graft")` path reports real
+      // [[BaseRelation.sizeInBytes]] for static planning.
+
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = required
+          override def buildScan(): RDD[Row] = table.withClient { c =>
+            c.newTx() // scanPruned needs a snapshot; rollback keeps the
+            try {     // result valid (immutable files)
+              val base = asOf match {
+                case Some(v) =>
+                  GraftCatalog.lastScanObjectCount = -1
+                  c.scanAsOf(table.tableName, v)
+                case None =>
+                  // the pushed filters reach the log's file-skipping
+                  // tiers (min/max stats + blooms + per-value IN lists),
+                  // not just the parquet row-group pushdown — at 10^6
+                  // objects a point query opens a handful of footers,
+                  // not all of them
+                  val bounds = pushed.toSeq.flatMap(GraftRelation.boundsOf)
+                  val eqs = pushed.toSeq.flatMap(GraftRelation.eqOf)
+                  val ins = pushed.toSeq.flatMap(GraftRelation.inOf)
+                  GraftCatalog.lastScanObjectCount =
+                    c.prunedObjects(table.tableName, bounds, eqs, ins).length
+                  c.scanPruned(table.tableName, bounds, eqs, ins)
+              }
+              val filtered = pushed.flatMap(FilterTranslation.toColumn)
+                .foldLeft(base)((df, p) => df.filter(p))
+              filtered
+                .select(required.fieldNames.toIndexedSeq.map(col): _*)
+                .rdd
+            } finally c.rollback()
+          }
+        }.asInstanceOf[T]
     }
   }
 }
@@ -502,7 +583,10 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
           table.withClient { c =>
             c.newTx()
             if (truncateFirst || overwrite) c.truncate(table.tableName)
-            c.insert(table.tableName, data)
+            table.partitionCol match {
+              case Some(p) => c.insertPartitioned(table.tableName, data, p)
+              case None => c.insert(table.tableName, data)
+            }
             c.commitTxRetrying()
           }
       }

@@ -821,13 +821,19 @@ final class GraftClient(
 
   /** The full file-skipping stack in one call: range `bounds` prune by
     * min/max stats, `equalities` additionally probe per-object bloom
-    * sidecars. NO residual filtering (callers own exact semantics) — this
-    * is the connector's pushdown entry point; [[scanEquals]] and
-    * [[scanBounded]] are conveniences over it.
+    * sidecars, and `inLists` (IN-shaped disjunctions) keep an object
+    * only when at least ONE listed value survives its stats AND bloom —
+    * a scattered `IN (v1, …, vn)` opens the objects containing those
+    * values, not the whole [min(vs), max(vs)] span. NO residual
+    * filtering (callers own exact semantics) — this is the connector's
+    * pushdown entry point; [[scanEquals]] and [[scanBounded]] are
+    * conveniences over it.
     */
   def scanPruned(table: String, bounds: Seq[(String, (Any, Any))],
-      equalities: Seq[(String, Any)]): DataFrame = {
-    val keep = prunedObjects(table, bounds, equalities).map(_.path).toSet
+      equalities: Seq[(String, Any)],
+      inLists: Seq[(String, Seq[Any])] = Nil): DataFrame = {
+    val keep =
+      prunedObjects(table, bounds, equalities, inLists).map(_.path).toSet
     scanFiltered(table, a => keep(a.path))
   }
 
@@ -836,35 +842,43 @@ final class GraftClient(
     * introspection (the connector reports it) without reading any data.
     */
   def prunedObjects(table: String, bounds: Seq[(String, (Any, Any))],
-      equalities: Seq[(String, Any)]): Vector[AddDataObject] = {
+      equalities: Seq[(String, Any)],
+      inLists: Seq[(String, Seq[Any])] = Nil): Vector[AddDataObject] = {
     val schema = schemaOf(table)
-    (bounds.map(_._1) ++ equalities.map(_._1)).foreach(c =>
-      require(schema.fieldNames.contains(c), s"no such column: $c"))
+    (bounds.map(_._1) ++ equalities.map(_._1) ++ inLists.map(_._1))
+      .foreach(c =>
+        require(schema.fieldNames.contains(c), s"no such column: $c"))
     val live = liveFiles(table)
     // one tiny local job evaluates every probe's raw hashes through the
     // same Catalyst xxhash64 the bloom build used (casting each probe to
     // its column's type first — xxhash64(3L) != xxhash64(3: Int)), so
     // build and probe can never drift
+    val pointProbes: Seq[(String, Any)] =
+      equalities ++ inLists.flatMap { case (c, vs) => vs.map(c -> _) }
     val maxK = live.flatMap(_.blooms.values).map(_.k).maxOption.getOrElse(0)
-    val probes: Seq[(String, Seq[Long])] =
-      if (maxK == 0 || equalities.isEmpty) Nil
+    val hashes: Map[(String, Any), Seq[Long]] =
+      if (maxK == 0 || pointProbes.isEmpty) Map.empty
       else {
-        val hashCols = equalities.zipWithIndex.flatMap { case ((c, v), e) =>
+        val hashCols = pointProbes.zipWithIndex.flatMap { case ((c, v), e) =>
           val typed = lit(v).cast(schema(schema.fieldIndex(c)).dataType)
           (0 until maxK).map(i => xxhash64(lit(i), typed).as(s"h${e}_$i"))
         }
-        val row = spark.range(1).select(hashCols: _*).head()
-        equalities.zipWithIndex.map { case ((c, _), e) =>
-          c -> (0 until maxK).map(i => row.getLong(e * maxK + i))
-        }
+        val row = spark.range(1).select(hashCols.toIndexedSeq: _*).head()
+        pointProbes.zipWithIndex.map { case ((c, v), e) =>
+          (c, v) -> (0 until maxK).map(i => row.getLong(e * maxK + i))
+        }.toMap
       }
+    def valueSurvives(a: AddDataObject, c: String, v: Any): Boolean = {
+      val phys = physOf(schema, c)
+      ColStats.mayOverlap(a.stats, phys, v, v) &&
+        hashes.get((c, v)).forall(hs =>
+          a.blooms.get(phys).forall(_.mightContain(hs)))
+    }
     live.filter(a =>
       bounds.forall { case (c, (lo, hi)) =>
         ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) } &&
-        equalities.forall { case (c, v) =>
-          ColStats.mayOverlap(a.stats, physOf(schema, c), v, v) } &&
-        probes.forall { case (c, hs) =>
-          a.blooms.get(physOf(schema, c)).forall(_.mightContain(hs)) })
+        equalities.forall { case (c, v) => valueSurvives(a, c, v) } &&
+        inLists.forall { case (c, vs) => vs.exists(valueSurvives(a, c, _)) })
   }
 
   /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
@@ -1930,6 +1944,93 @@ final class GraftClient(
       case MetaMax(c) => bound(c, wantMin = false)
     }
     if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
+  }
+
+  /** GROUP-BY twin of [[metadataAggregate]]: per-group COUNT(*)/MIN/MAX
+    * when every live object is SINGLE-VALUED on `groupCol` (stats
+    * min == max — the partitioned-write layout guarantees it), so each
+    * object belongs wholly to one group and the aggregation is a
+    * driver-side fold over object metadata. min == max implies the value
+    * is exact even for strings: parquet truncates min downward and max
+    * upward, so equal truncated bounds pin the actual value. Per-partition
+    * row counts over 100 TB answer without opening a file. Refuses
+    * (None) when any object straddles values, lacks stats, or the table
+    * has live DVs (a masked row can't be attributed to its group).
+    * Returns one row per group: groupCol value ++ agg values.
+    */
+  def metadataAggregateGrouped(table: String, asOf: Option[Long],
+      groupCol: String,
+      aggs: Seq[GraftClient.MetaAgg]): Option[Seq[Seq[Any]]] = {
+    import GraftClient.{MetaCount, MetaMin, MetaMax}
+    val snap = asOf.map(txLog.beginAt).getOrElse(txLog.begin())
+    val schema = snap.tables.getOrElse(table, return None)
+    if (snap.liveDvs(table).nonEmpty) return None
+    if (!schema.fieldNames.contains(groupCol)) return None
+    val gField = schema(schema.fieldIndex(groupCol))
+    val gPhys = physOf(schema, groupCol)
+    val files = snap.liveFiles(table)
+    val keyed = files.map { a =>
+      a.stats.get(gPhys) match {
+        case Some(ColStats(lo, hi)) if lo == hi => Some(lo -> a)
+        case _ => None // multi-valued or unknown: not metadata-groupable
+      }
+    }
+    if (keyed.exists(_.isEmpty)) return None
+
+    def toExternal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (ByteType, l: Long) => Some(l.toByte)
+      case (ShortType, l: Long) => Some(l.toShort)
+      case (IntegerType, l: Long) => Some(l.toInt)
+      case (LongType, l: Long) => Some(l)
+      case (DateType, l: Long) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l)))
+      case (FloatType, d: Double) => Some(d.toFloat)
+      case (DoubleType, d: Double) => Some(d)
+      case (StringType, s: String) => Some(s)
+      case _ => None
+    }
+
+    def groupBound(group: Vector[AddDataObject], c: String,
+        wantMin: Boolean): Option[Any] = {
+      if (!schema.fieldNames.contains(c)) return None
+      val f = schema(schema.fieldIndex(c))
+      val phys = physOf(schema, c)
+      val perFile = group.map(_.stats.get(phys))
+      if (perFile.exists(_.isEmpty)) return None
+      val vals = perFile.flatten.map(s => if (wantMin) s.min else s.max)
+      val folded: Option[Any] = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType
+            if vals.forall(_.isInstanceOf[Long]) =>
+          Some(vals.map(_.asInstanceOf[Long]).reduce((a, b) =>
+            if (wantMin) math.min(a, b) else math.max(a, b)))
+        case FloatType | DoubleType
+            if vals.forall(_.isInstanceOf[Double]) =>
+          Some(vals.map(_.asInstanceOf[Double]).reduce((a, b) =>
+            if (wantMin) math.min(a, b) else math.max(a, b)))
+        // strings only when every object pins the exact value
+        case StringType if vals.forall(_.isInstanceOf[String]) &&
+            group.forall(_.stats.get(phys).exists(s => s.min == s.max)) =>
+          Some(vals.map(_.asInstanceOf[String]).reduce((a, b) =>
+            if (wantMin == (a <= b)) a else b))
+        case _ => None
+      }
+      folded.flatMap(toExternal(f.dataType, _))
+    }
+
+    val groups = keyed.flatten.groupBy(_._1).toSeq.map { case (k, as) =>
+      k -> as.map(_._2).toVector
+    }
+    val out: Seq[Option[Seq[Any]]] = groups.map { case (k, group) =>
+      val key = toExternal(gField.dataType, k)
+      val vals: Seq[Option[Any]] = aggs.map {
+        case MetaCount => Some(group.map(_.numRows).sum)
+        case MetaMin(c) => groupBound(group, c, wantMin = true)
+        case MetaMax(c) => groupBound(group, c, wantMin = false)
+      }
+      if (key.isEmpty || vals.exists(_.isEmpty)) None
+      else Some(key.get +: vals.map(_.get))
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }
 
   /** Register the latest COMMITTED state as a temp view so the table is

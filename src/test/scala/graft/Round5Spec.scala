@@ -135,6 +135,15 @@ class Round5Spec extends AnyFunSuite {
     val all = spark.read.format("graft").option("table", "t").load(dir)
       .filter(col("v").endsWith("7")).count()
     assert(all === 10)
+
+    // scattered IN prunes per VALUE: dec ∈ {0, 10} spans all 11 objects
+    // but only 2 contain a listed value
+    val scattered = spark.read.format("graft").option("table", "t")
+      .load(dir).filter(col("dec").isin(0, 10)).select("k").collect()
+    assert(scattered.map(_.getInt(0)).sorted.toSeq ===
+      ((1 to 9) ++ Seq(100)), "dec 0 holds k 1..9, dec 10 holds k 100")
+    assert(GraftRelation.lastScanObjectCount === 2,
+      s"IN should open 2 objects, got ${GraftRelation.lastScanObjectCount}")
   }
 
   test("format(graft) versionAsOf reads the historical snapshot") {

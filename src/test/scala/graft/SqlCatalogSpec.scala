@@ -295,6 +295,84 @@ class SqlCatalogSpec extends AnyFunSuite {
     try assert(c.objects("e").length === 1) finally c.rollback()
   }
 
+  test("catalog reads file-prune via log stats; AQE broadcasts small side") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 80).select(
+      (col("id") / 10).cast("long").as("p"), col("id").as("k"))
+    c.createTable("pt", df.schema)
+    c.insertPartitioned("pt", df, "p") // 8 stat-disjoint objects
+    c.commitTx()
+
+    // unbounded predicate: overlaps every object -> opens all 8
+    assert(rows(s"SELECT count(k) FROM $cat.pt WHERE k >= 0") ===
+      Seq(Row(80L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 8)
+    // point query on the partition column opens exactly 1
+    assert(rows(s"SELECT k FROM $cat.pt WHERE p = 3 ORDER BY k")
+      .map(_.getLong(0)) === (30L to 39L))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 1)
+    // range query opens exactly the 2 overlapping objects
+    assert(rows(s"SELECT count(*) FROM $cat.pt WHERE p >= 6 AND p <= 7")
+      === Seq(Row(20L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 2)
+    // scattered IN prunes per VALUE, not by span: {0, 7} spans all 8
+    // objects but only 2 contain a listed value
+    assert(rows(s"SELECT count(*) FROM $cat.pt WHERE p IN (0, 7)")
+      === Seq(Row(20L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 2)
+
+    // broadcastability: a V1Scan cannot report logical statistics
+    // (V1ScanWrapper hides SupportsReportStatistics — see the NOTE in
+    // GraftScanBuilder.build), so the small catalog table must become
+    // the broadcast side at RUNTIME via AQE's observed shuffle sizes
+    val joined = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") * 2).as("w"))
+      .join(spark.table(s"$cat.pt"), "k")
+    assert(joined.count() === 80)
+    val adaptive = joined.queryExecution.executedPlan
+    def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val hasBroadcast = finalPlan(adaptive).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty
+    assert(hasBroadcast,
+      s"AQE should convert the tiny graft side to broadcast:\n$adaptive")
+  }
+
+  test("CREATE TABLE PARTITIONED BY: inserts land one object per value") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"CREATE TABLE $cat.pp (p BIGINT, k BIGINT) PARTITIONED BY (p)")
+    spark.sql(
+      s"INSERT INTO $cat.pp SELECT id % 4 AS p, id AS k FROM range(0, 40)")
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    try assert(c.objects("pp").length === 4) finally c.rollback()
+    // the layout prunes through the ordinary stats tier
+    assert(rows(s"SELECT count(*) FROM $cat.pp WHERE p = 2") ===
+      Seq(Row(10L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 1)
+    // partitioning is reported back through DESCRIBE
+    val desc = rows(s"DESCRIBE TABLE $cat.pp").map(_.getString(0))
+    assert(desc.contains("# Partition Information") &&
+      desc.count(_ == "p") == 2, desc.mkString("; "))
+    // appends keep the per-value layout; unsupported specs refuse
+    spark.sql(
+      s"INSERT INTO $cat.pp SELECT id % 4 AS p, id AS k FROM range(40, 48)")
+    c.newTx()
+    try assert(c.objects("pp").length === 8) finally c.rollback()
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pp2 (a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (a, b)")
+    }
+  }
+
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.m (k BIGINT, s STRING)")
