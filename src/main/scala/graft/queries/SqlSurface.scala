@@ -100,6 +100,17 @@ object SqlSurface {
         spark.sql(s"CALL $cat.system.checkpoint()")
         spark.sql(s"CALL $cat.system.vacuum(retain_versions => 0)")
 
+        // PARTITIONED BY DDL: one object per region; the grouped
+        // rollup below answers from object metadata alone (grouped
+        // complete aggregate pushdown)
+        spark.sql(s"""CREATE TABLE $cat.t_part (
+            n_regionkey BIGINT, n_nationkey BIGINT, n_name STRING)
+          PARTITIONED BY (n_regionkey)""")
+        spark.sql(s"""INSERT INTO $cat.t_part
+          SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 n_name
+          FROM ${cat}_nation_src""")
+
         // VERSION AS OF: capture the version right after the CTAS lands,
         // then delete most of the table — the time-traveled read must
         // resurrect the pre-delete state through the SQL surface alone
@@ -139,6 +150,19 @@ object SqlSurface {
       SELECT 'mrg', count(*), min(n_nationkey), max(n_nationkey)
       FROM $cat.t_mrg
       ORDER BY src""")
+  }
+
+  /** Per-partition rollup over the PARTITIONED BY table: grouped
+    * complete aggregate pushdown — every object is single-valued on
+    * `n_regionkey`, so the whole result folds from object stats without
+    * opening a data file (SqlCatalogSpec proves that by hiding them).
+    */
+  private def partRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""
+      SELECT n_regionkey, count(*) AS cnt,
+             min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+      FROM $cat.t_part GROUP BY n_regionkey ORDER BY n_regionkey""")
   }
 
   private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
@@ -200,6 +224,11 @@ object SqlSurface {
         SELECT n_nationkey + 30 FROM nation WHERE n_nationkey < 5)
     ) ORDER BY src"""
 
+  private val partRollupSql = """
+    SELECT n_regionkey, count(*) AS cnt,
+           min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   private val mergeSql = """
     SELECT * FROM (
       SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -232,5 +261,9 @@ object SqlSurface {
       "metadata-only COUNT/MIN/MAX: whole-table aggregates answered " +
         "from the transaction log via complete aggregate pushdown — " +
         "zero data objects opened (DV-bearing t_mrg falls back for " +
-        "MIN/MAX, COUNT stays metadata-exact)"))
+        "MIN/MAX, COUNT stays metadata-exact)"),
+    "tx_sql_part_rollup" -> QueryDef(partRollup, Some(partRollupSql),
+      "PARTITIONED BY DDL + grouped complete aggregate pushdown: " +
+        "per-partition COUNT/MIN/MAX folded from single-valued object " +
+        "stats, no data file opened"))
 }

@@ -431,8 +431,9 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
-  private var aggAnswer: Option[(StructType, Row)] = None
-  private var aggMemo: Option[(Aggregation, Option[(StructType, Row)])] = None
+  private var aggAnswer: Option[(StructType, Seq[Row])] = None
+  private var aggMemo: Option[(Aggregation, Option[(StructType, Seq[Row])])] =
+    None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -455,7 +456,7 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
   /** supportCompletePushDown and pushAggregation both need the answer;
     * memoize per Aggregation instance so the log is read once.
     */
-  private def metaAnswer(agg: Aggregation): Option[(StructType, Row)] =
+  private def metaAnswer(agg: Aggregation): Option[(StructType, Seq[Row])] =
     aggMemo match {
       case Some((a, r)) if a eq agg => r
       case _ =>
@@ -465,11 +466,11 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
     }
 
   private def computeMetaAnswer(
-      agg: Aggregation): Option[(StructType, Row)] = {
-    // group-by pushdown is not supported; pushed filters can't actually
-    // co-occur with aggregate pushdown (they stay residual in the plan,
-    // which blocks the rule) — belt and braces
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Row])] = {
+    // pushed filters can't actually co-occur with aggregate pushdown
+    // (they stay residual in the plan, which blocks the rule) — belt
+    // and braces
+    if (pushed.nonEmpty) return None
     val schema = table.schema()
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -495,18 +496,36 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
     }
     if (specs.exists(_.isEmpty)) return None
     val sp = specs.map(_.get)
-    table.withClient(
-        _.metadataAggregate(table.tableName, asOf, sp.map(_._2).toSeq))
-      .map { values =>
-        val st = StructType(sp.map(s =>
-          org.apache.spark.sql.types.StructField(s._1, s._3,
-            nullable = s._4)))
-        (st, Row.fromSeq(values))
-      }
+    val aggFields = sp.map(s =>
+      org.apache.spark.sql.types.StructField(s._1, s._3, nullable = s._4))
+
+    agg.groupByExpressions().toSeq match {
+      case Nil =>
+        table.withClient(
+            _.metadataAggregate(table.tableName, asOf, sp.map(_._2).toSeq))
+          .map(values =>
+            (StructType(aggFields), Seq(Row.fromSeq(values))))
+      case Seq(gexpr) =>
+        // single-column GROUP BY: answerable when every live object is
+        // single-valued on the group column (the partitioned-write
+        // layout) — per-partition rollups from object metadata alone.
+        // Complete-pushdown scan output = group column, then agg columns.
+        colOf(gexpr).flatMap { g =>
+          table.withClient(_.metadataAggregateGrouped(
+              table.tableName, asOf, g, sp.map(_._2).toSeq))
+            .map { rows =>
+              val st = StructType(
+                org.apache.spark.sql.types.StructField(g,
+                  schema(g).dataType, nullable = true) +: aggFields)
+              (st, rows.map(Row.fromSeq))
+            }
+        }
+      case _ => None
+    }
   }
 
   override def build(): Scan = aggAnswer match {
-    case Some((aggSchema, row)) => new V1Scan {
+    case Some((aggSchema, answerRows)) => new V1Scan {
       override def readSchema(): StructType = aggSchema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
@@ -514,7 +533,7 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
           override def sqlContext: SQLContext = context
           override def schema: StructType = aggSchema
           override def buildScan(): RDD[Row] =
-            context.sparkContext.parallelize(Seq(row), 1)
+            context.sparkContext.parallelize(answerRows, 1)
         }.asInstanceOf[T]
     }
     case None => new V1Scan {

@@ -371,6 +371,28 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.pp2 (a BIGINT, b BIGINT) " +
         "PARTITIONED BY (a, b)")
     }
+
+    // grouped metadata aggregation: per-partition COUNT/MIN/MAX answer
+    // from object stats alone (each object is single-valued on p, so
+    // groups are unions of whole objects) — proven by hiding the data
+    val rootF = new java.io.File(root)
+    val hidden = Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_table_")).toSeq
+    val hide = Files.createTempDirectory("graft_pp_hidden")
+    hidden.foreach(d => java.nio.file.Files.move(d.toPath,
+      hide.resolve(d.getName)))
+    try {
+      // two inserts per value: counts must SUM across a group's objects
+      assert(rows(s"SELECT p, count(*) AS c, min(k) AS mn, max(k) AS mx " +
+        s"FROM $cat.pp GROUP BY p ORDER BY p") === Seq(
+        Row(0L, 12L, 0L, 44L), Row(1L, 12L, 1L, 45L),
+        Row(2L, 12L, 2L, 46L), Row(3L, 12L, 3L, 47L)))
+      // count(col) needs null counts the log lacks -> scan -> fails here
+      intercept[Exception] {
+        rows(s"SELECT p, count(k) FROM $cat.pp GROUP BY p")
+      }
+    } finally hidden.foreach(d => java.nio.file.Files.move(
+      hide.resolve(d.getName), d.toPath))
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
