@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -483,6 +483,11 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
       case _: CountStar =>
         Some(("count(*)",
           GraftClient.MetaCount: GraftClient.MetaAgg,
+          org.apache.spark.sql.types.LongType
+            : org.apache.spark.sql.types.DataType,
+          false))
+      case cnt: Count if !cnt.isDistinct => colOf(cnt.column()).map(c =>
+        (s"count($c)", GraftClient.MetaCountCol(c): GraftClient.MetaAgg,
           org.apache.spark.sql.types.LongType
             : org.apache.spark.sql.types.DataType,
           false))

@@ -1893,12 +1893,24 @@ final class GraftClient(
     */
   def metadataAggregate(table: String, asOf: Option[Long],
       aggs: Seq[GraftClient.MetaAgg]): Option[Seq[Any]] = {
-    import GraftClient.{MetaCount, MetaMin, MetaMax}
+    import GraftClient.{MetaCount, MetaCountCol, MetaMin, MetaMax}
     val snap = asOf.map(txLog.beginAt).getOrElse(txLog.begin())
     val schema = snap.tables.getOrElse(table, return None)
     val files = snap.liveFiles(table)
     val dvs = snap.liveDvs(table)
     val count = files.map(_.numRows).sum - dvs.map(_.numRows).sum
+
+    // COUNT(col) = rows - nulls: needs a null count on every live
+    // object's stats entry for the column, and no DVs (a masked row's
+    // null-ness is unknown here)
+    def countCol(c: String): Option[Any] = {
+      if (dvs.nonEmpty || !schema.fieldNames.contains(c)) return None
+      if (files.isEmpty) return Some(0L)
+      val phys = physOf(schema, c)
+      val perFile = files.map(a =>
+        a.stats.get(phys).flatMap(_.nulls).map(a.numRows - _))
+      if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+    }
 
     def bound(c: String, wantMin: Boolean): Option[Any] = {
       if (dvs.nonEmpty) return None
@@ -1940,6 +1952,7 @@ final class GraftClient(
 
     val resolved: Seq[Option[Any]] = aggs.map {
       case MetaCount => Some(count)
+      case MetaCountCol(c) => countCol(c)
       case MetaMin(c) => bound(c, wantMin = true)
       case MetaMax(c) => bound(c, wantMin = false)
     }
@@ -1961,7 +1974,7 @@ final class GraftClient(
   def metadataAggregateGrouped(table: String, asOf: Option[Long],
       groupCol: String,
       aggs: Seq[GraftClient.MetaAgg]): Option[Seq[Seq[Any]]] = {
-    import GraftClient.{MetaCount, MetaMin, MetaMax}
+    import GraftClient.{MetaCount, MetaCountCol, MetaMin, MetaMax}
     val snap = asOf.map(txLog.beginAt).getOrElse(txLog.begin())
     val schema = snap.tables.getOrElse(table, return None)
     if (snap.liveDvs(table).nonEmpty) return None
@@ -1971,7 +1984,7 @@ final class GraftClient(
     val files = snap.liveFiles(table)
     val keyed = files.map { a =>
       a.stats.get(gPhys) match {
-        case Some(ColStats(lo, hi)) if lo == hi => Some(lo -> a)
+        case Some(ColStats(lo, hi, _)) if lo == hi => Some(lo -> a)
         case _ => None // multi-valued or unknown: not metadata-groupable
       }
     }
@@ -2024,6 +2037,12 @@ final class GraftClient(
       val key = toExternal(gField.dataType, k)
       val vals: Seq[Option[Any]] = aggs.map {
         case MetaCount => Some(group.map(_.numRows).sum)
+        case MetaCountCol(c) if schema.fieldNames.contains(c) =>
+          val perFile = group.map(a => a.stats
+            .get(physOf(schema, c)).flatMap(_.nulls).map(a.numRows - _))
+          if (perFile.exists(_.isEmpty)) None
+          else Some(perFile.flatten.sum)
+        case MetaCountCol(_) => None
         case MetaMin(c) => groupBound(group, c, wantMin = true)
         case MetaMax(c) => groupBound(group, c, wantMin = false)
       }
@@ -2217,6 +2236,7 @@ object GraftClient {
     */
   sealed trait MetaAgg
   case object MetaCount extends MetaAgg
+  final case class MetaCountCol(column: String) extends MetaAgg
   final case class MetaMin(column: String) extends MetaAgg
   final case class MetaMax(column: String) extends MetaAgg
 }

@@ -40,6 +40,9 @@ object ParquetFooters {
     var rows = 0L
     // per-column running (min, max); None value = column disqualified
     val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+    // per-column running null count; None = unknown (a chunk without
+    // isNumNullsSet disqualifies — never understate nulls)
+    val nullAcc = scala.collection.mutable.Map[String, Option[Long]]()
     val eligible: Map[String, DataType] = schema.fields.collect {
       case f if statType(f.dataType).isDefined => f.name -> f.dataType
     }.toMap
@@ -53,6 +56,10 @@ object ParquetFooters {
             val name = chunk.getPath.toDotString
             eligible.get(name).foreach { dt =>
               val s = chunk.getStatistics
+              if (s != null && s.isNumNullsSet && !nullAcc.get(name).contains(None))
+                nullAcc(name) = Some(nullAcc.get(name).flatten
+                  .getOrElse(0L) + s.getNumNulls)
+              else nullAcc(name) = None
               if (acc.get(name).contains(None)) {
                 // already disqualified by an earlier chunk; stays so
               } else if (s == null || s.isEmpty) {
@@ -73,7 +80,8 @@ object ParquetFooters {
       } finally reader.close()
     }
     val stats = acc.collect {
-      case (c, Some((lo, hi))) => c -> ColStats(lo, hi)
+      case (c, Some((lo, hi))) =>
+        c -> ColStats(lo, hi, nullAcc.getOrElse(c, None))
     }.toMap
     (rows, stats)
   }

@@ -23,7 +23,7 @@ sealed trait Action { def table: String }
   * skipping work at 100 TB: a range scan or delete opens only objects
   * whose stats can overlap the predicate.
   */
-final case class ColStats(min: Any, max: Any)
+final case class ColStats(min: Any, max: Any, nulls: Option[Long] = None)
 
 object ColStats {
   /** Conservative overlap test: can a row with start <= col <= end exist
@@ -35,7 +35,7 @@ object ColStats {
       start: Any, end: Any): Boolean =
     stats.get(column) match {
       case None => true
-      case Some(ColStats(lo, hi)) =>
+      case Some(ColStats(lo, hi, _)) =>
         val s = normalize(start)
         val e = normalize(end)
         val belowOk = s == null || cmp(hi, s).forall(_ >= 0)
@@ -513,11 +513,17 @@ object TxLog {
       .getOrElse(sys.error(s"bad stat value: $v"))
   }
   private def statsToJson(stats: Map[String, ColStats]): JValue =
-    JObj(stats.map { case (c, cs) => c -> Json.obj(
-      "min" -> statToJson(cs.min), "max" -> statToJson(cs.max)) })
+    JObj(stats.map { case (c, cs) =>
+      val base = Seq("min" -> statToJson(cs.min), "max" -> statToJson(cs.max))
+      // nulls rides optionally: logs written before the field (or from
+      // writers that couldn't count) parse back to None
+      c -> JObj((base ++ cs.nulls.map(n => "nulls" -> Json.num(n))).toMap)
+    })
   private def statsFromJson(v: JValue): Map[String, ColStats] =
     v.asObj.map { case (c, o) =>
-      c -> ColStats(statFromJson(o.asObj("min")), statFromJson(o.asObj("max")))
+      c -> ColStats(statFromJson(o.asObj("min")),
+        statFromJson(o.asObj("max")),
+        o.asObj.get("nulls").map(_.asLong))
     }
 
   private def bloomsToJson(blooms: Map[String, BloomData]): JValue =

@@ -371,6 +371,10 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.pp2 (a BIGINT, b BIGINT) " +
         "PARTITIONED BY (a, b)")
     }
+    // a mixed-null object into p=1: footer null counts ride the stats
+    spark.sql(s"INSERT INTO $cat.pp SELECT 1 AS p, " +
+      "CASE WHEN id % 2 = 0 THEN id ELSE CAST(NULL AS BIGINT) END AS k " +
+      "FROM range(60, 66)")
 
     // grouped metadata aggregation: per-partition COUNT/MIN/MAX answer
     // from object stats alone (each object is single-valued on p, so
@@ -385,11 +389,14 @@ class SqlCatalogSpec extends AnyFunSuite {
       // two inserts per value: counts must SUM across a group's objects
       assert(rows(s"SELECT p, count(*) AS c, min(k) AS mn, max(k) AS mx " +
         s"FROM $cat.pp GROUP BY p ORDER BY p") === Seq(
-        Row(0L, 12L, 0L, 44L), Row(1L, 12L, 1L, 45L),
+        Row(0L, 12L, 0L, 44L), Row(1L, 18L, 1L, 64L),
         Row(2L, 12L, 2L, 46L), Row(3L, 12L, 3L, 47L)))
-      // count(col) needs null counts the log lacks -> scan -> fails here
+      // count(col) = rows - footer null counts, also metadata-only
+      assert(rows(s"SELECT p, count(k) AS c FROM $cat.pp " +
+        "GROUP BY p ORDER BY p").map(_.getLong(1)) === Seq(12L, 15L, 12L, 12L))
+      // DISTINCT is never log-answerable -> scan -> fails here
       intercept[Exception] {
-        rows(s"SELECT p, count(k) FROM $cat.pp GROUP BY p")
+        rows(s"SELECT p, count(DISTINCT k) FROM $cat.pp GROUP BY p")
       }
     } finally hidden.foreach(d => java.nio.file.Files.move(
       hide.resolve(d.getName), d.toPath))

@@ -57,8 +57,8 @@ class StatsMergeSpec extends AnyFunSuite {
     c2.newTx()
     val objs = c2.objects("t")
     assert(objs.length === 1)
-    assert(objs.head.stats("k") === ColStats(5L, 9L))
-    assert(objs.head.stats("v") === ColStats("aa", "zz"))
+    assert(objs.head.stats("k") === ColStats(5L, 9L, Some(0L)))
+    assert(objs.head.stats("v") === ColStats("aa", "zz", Some(0L)))
     c2.rollback()
   }
 
@@ -577,7 +577,7 @@ class StatsMergeSpec extends AnyFunSuite {
     val objs = c2.objects("t")
     assert(objs.length === 2)
     assert(objs.flatMap(_.stats.get("k")).toSet ===
-      Set(ColStats(5L, 9L), ColStats(20L, 20L)))
+      Set(ColStats(5L, 9L, Some(0L)), ColStats(20L, 20L, Some(0L))))
     // and pruning still works off the checkpoint-replayed stats
     assert(c2.scanRange("t", "k", 0, 10).inputFiles.length <
       c2.scan("t").inputFiles.length)
