@@ -327,7 +327,7 @@ object GraftTable {
 final class GraftTable(val root: String, val tableName: String,
     tableSchema: StructType, val asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsPartitionManagement {
 
   private[sql] def withClient[A](f: GraftClient => A): A =
     f(new GraftClient(SparkSession.active, root))
@@ -346,6 +346,59 @@ final class GraftTable(val root: String, val tableName: String,
   override def partitioning(): Array[Transform] =
     partitionCol.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+
+  // ---- SupportsPartitionManagement (SHOW PARTITIONS) ----
+  // Partitions are DEFINED BY DATA (one object per value), so listing is
+  // a metadata fold over object stats when every object is single-valued
+  // on the partition column, and a distinct scan otherwise; explicit
+  // partition DDL has nothing to manage and refuses.
+  override def partitionSchema(): StructType =
+    StructType(partitionCol.toSeq.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        tableSchema(tableSchema.fieldIndex(c)).dataType)))
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partitionCol.getOrElse(return Array.empty)
+    val dt = tableSchema(tableSchema.fieldIndex(p)).dataType
+    val values: Seq[Any] = withClient { c =>
+      c.metadataAggregateGrouped(tableName, asOf, p, Nil) match {
+        case Some(rows) => rows.map(_.head)
+        case None => // some object straddles values: fall back to a scan
+          c.scanAsOf(tableName, asOf.getOrElse(c.latestVersion))
+            .select(col(p)).distinct().collect().map(_.get(0)).toSeq
+      }
+    }
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(dt)
+    val all = values.map(v =>
+      org.apache.spark.sql.catalyst.InternalRow(toCatalyst(v)))
+    // partial-spec filter (SHOW PARTITIONS t PARTITION (p = v))
+    if (names.isEmpty) all.toArray
+    else if (names.length == 1 && names(0) == p)
+      all.filter(r => r.get(0, dt) == ident.get(0, dt)).toArray
+    else Array.empty
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions are defined by data; INSERT creates them")
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft partitions are defined by data; DELETE removes them")
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata")
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -398,8 +398,20 @@ class SqlCatalogSpec extends AnyFunSuite {
       intercept[Exception] {
         rows(s"SELECT p, count(DISTINCT k) FROM $cat.pp GROUP BY p")
       }
+      // SHOW PARTITIONS lists values from the same single-valued object
+      // stats - also metadata-only (still running with data hidden)
+      assert(rows(s"SHOW PARTITIONS $cat.pp").map(_.getString(0)).sorted
+        === Seq("p=0", "p=1", "p=2", "p=3"))
+      assert(rows(s"SHOW PARTITIONS $cat.pp PARTITION (p = 2)") ===
+        Seq(Row("p=2")))
     } finally hidden.foreach(d => java.nio.file.Files.move(
       hide.resolve(d.getName), d.toPath))
+    // an unpartitioned table has no partitions to show (errors or empty,
+    // depending on Spark's analysis path)
+    spark.sql(s"CREATE TABLE $cat.npt (k BIGINT)")
+    val np = try rows(s"SHOW PARTITIONS $cat.npt")
+      catch { case _: Exception => Nil }
+    assert(np.isEmpty)
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
