@@ -327,7 +327,21 @@ object GraftTable {
 final class GraftTable(val root: String, val tableName: String,
     tableSchema: StructType, val asOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsPartitionManagement {
+    with SupportsDelete with SupportsPartitionManagement
+    with TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one metadata-only commit retiring every live
+    * object (time travel still sees them until vacuum).
+    */
+  override def truncateTable(): Boolean = withClient { c =>
+    require(asOf.isEmpty,
+      s"cannot truncate $tableName VERSION AS OF ${asOf.get}: " +
+        "time-traveled tables are read-only")
+    c.newTx()
+    c.truncate(tableName)
+    c.commitTxRetrying()
+    true
+  }
 
   private[sql] def withClient[A](f: GraftClient => A): A =
     f(new GraftClient(SparkSession.active, root))

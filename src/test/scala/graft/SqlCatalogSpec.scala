@@ -412,6 +412,13 @@ class SqlCatalogSpec extends AnyFunSuite {
     val np = try rows(s"SHOW PARTITIONS $cat.npt")
       catch { case _: Exception => Nil }
     assert(np.isEmpty)
+
+    // TRUNCATE TABLE: one metadata commit, time travel still sees rows
+    val preTrunc = c.latestVersion
+    spark.sql(s"TRUNCATE TABLE $cat.pp")
+    assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(0L)))
+    assert(rows(s"SELECT count(*) FROM $cat.pp VERSION AS OF $preTrunc")
+      === Seq(Row(54L))) // 40 + 8 + 6 inserted above
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
