@@ -1104,23 +1104,32 @@ final class GraftClient(
     if (matchedPerObject.isEmpty) return
     val touched = matchedPerObject.keySet.toSeq.sorted
 
-    // job 2: rewrite all touched objects' surviving rows as ONE new object.
-    // The survivor count comes from the WRITTEN DATA (parquet footers),
-    // never from numRows arithmetic: action-level numRows goes stale once
-    // a deletion vector's masked rows are physically removed by a later
-    // rewrite, and a skip-empty decision based on stale metadata silently
-    // drops live rows (found by the 500-op model test; pinned in
+    // fully-matched objects (matched == physical rows: numRows is the
+    // footer-derived PHYSICAL count, and job 1 counted physical rows, so
+    // equality proves every row matches) are dropped metadata-only — a
+    // whole-partition DELETE stages RemoveDataObject actions and rewrites
+    // nothing. Only partially-matched objects pay the rewrite.
+    val partial = touched.filter(n => matchedPerObject(n) < byName(n).numRows)
+
+    // job 2: rewrite the partially-matched objects' surviving rows as ONE
+    // new object. The survivor count comes from the WRITTEN DATA (parquet
+    // footers), never from numRows arithmetic: action-level numRows goes
+    // stale once a deletion vector's masked rows are physically removed by
+    // a later rewrite, and a skip-empty decision based on stale metadata
+    // silently drops live rows (found by the 500-op model test; pinned in
     // DvCompactReproSpec).
-    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    toPhysical(readObjects(schema, touched.map(n => s"$rootDir/$n"))
-        .filter(keepPred), schema)
-      .write.parquet(s"$rootDir/$name")
-    val (survivors, stats) =
-      ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-    if (survivors > 0)
-      t.actions += AddDataObject(table, name,
-        touched.map(n => byName(n).txId).min, survivors, stats)
-    // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
+    if (partial.nonEmpty) {
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      toPhysical(readObjects(schema, partial.map(n => s"$rootDir/$n"))
+          .filter(keepPred), schema)
+        .write.parquet(s"$rootDir/$name")
+      val (survivors, stats) =
+        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
+      if (survivors > 0)
+        t.actions += AddDataObject(table, name,
+          partial.map(n => byName(n).txId).min, survivors, stats)
+      // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
+    }
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
 
     // phase 3: a row that was BOTH live-DV-masked and pred-matched was just

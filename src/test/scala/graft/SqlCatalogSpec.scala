@@ -413,12 +413,27 @@ class SqlCatalogSpec extends AnyFunSuite {
       catch { case _: Exception => Nil }
     assert(np.isEmpty)
 
+    // whole-partition DELETE is metadata-only: every touched object is
+    // FULLY matched, so the delete stages RemoveDataObject actions and
+    // rewrites nothing — no new object may appear
+    def objPaths(): Set[String] = {
+      c.newTx()
+      try c.objects("pp").map(_.path).toSet finally c.rollback()
+    }
+    val beforeDel = objPaths()
+    spark.sql(s"DELETE FROM $cat.pp WHERE p = 3")
+    val afterDel = objPaths()
+    assert(afterDel.subsetOf(beforeDel),
+      s"partition delete must not rewrite: new = ${afterDel -- beforeDel}")
+    assert((beforeDel -- afterDel).size === 2) // both p=3 objects dropped
+    assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(42L)))
+
     // TRUNCATE TABLE: one metadata commit, time travel still sees rows
     val preTrunc = c.latestVersion
     spark.sql(s"TRUNCATE TABLE $cat.pp")
     assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(0L)))
     assert(rows(s"SELECT count(*) FROM $cat.pp VERSION AS OF $preTrunc")
-      === Seq(Row(54L))) // 40 + 8 + 6 inserted above
+      === Seq(Row(42L))) // 40 + 8 + 6 inserted above, minus the 12 of p=3
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
