@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -416,7 +416,8 @@ final class GraftTable(val root: String, val tableName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** The table's CHECK constraints, surfaced to Spark (4.1 constraint
     * API) as validated+enforced — Spark then also validates DSv2 writes
@@ -658,14 +659,27 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
   }
 }
 
-/** INSERT INTO (append) and INSERT OVERWRITE (truncate + append), both as
-  * one client transaction.
+/** INSERT INTO (append), INSERT OVERWRITE (truncate + append), and
+  * filter-scoped overwrite (`INSERT OVERWRITE … PARTITION (p = v)` →
+  * OverwriteByExpression) — each as ONE client transaction. The scoped
+  * form is delete-then-append: with the partition-delete fast path, a
+  * whole-partition overwrite retires the old objects metadata-only and
+  * writes just the new data.
   */
 final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsTruncate with SupportsOverwrite {
   private var truncateFirst = false
+  private var overwriteFilters: Array[Filter] = Array.empty
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterTranslation.toColumn(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteFilters = filters
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -674,6 +688,12 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
           table.withClient { c =>
             c.newTx()
             if (truncateFirst || overwrite) c.truncate(table.tableName)
+            else if (overwriteFilters.nonEmpty) {
+              val pred = overwriteFilters
+                .flatMap(FilterTranslation.toColumn)
+                .reduceOption(_ && _).getOrElse(lit(true))
+              c.deleteWhere(table.tableName, pred)
+            }
             table.partitionCol match {
               case Some(p) => c.insertPartitioned(table.tableName, data, p)
               case None => c.insert(table.tableName, data)
@@ -708,6 +728,8 @@ object FilterTranslation {
     case sources.Or(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case sources.Not(c) => toColumn(c).map(!_)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
     case _ => None
   }
 

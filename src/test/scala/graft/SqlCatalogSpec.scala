@@ -428,12 +428,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert((beforeDel -- afterDel).size === 2) // both p=3 objects dropped
     assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(42L)))
 
+    // scoped INSERT OVERWRITE: delete-then-append in ONE tx; the
+    // partition delete is metadata-only, only the new data is written
+    val beforeOvw = objPaths()
+    spark.sql(s"INSERT OVERWRITE $cat.pp PARTITION (p = 2) " +
+      "SELECT id AS k FROM range(200, 205)")
+    assert(rows(s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      s"FROM $cat.pp WHERE p = 2") === Seq(Row(5L, 200L, 204L)))
+    val afterOvw = objPaths()
+    assert((afterOvw -- beforeOvw).size === 1, // ONLY the new p=2 object
+      s"scoped overwrite wrote ${(afterOvw -- beforeOvw).size} objects")
+    assert((beforeOvw -- afterOvw).size === 2) // both old p=2 objects out
+    assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(35L)))
+
     // TRUNCATE TABLE: one metadata commit, time travel still sees rows
     val preTrunc = c.latestVersion
     spark.sql(s"TRUNCATE TABLE $cat.pp")
     assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(0L)))
     assert(rows(s"SELECT count(*) FROM $cat.pp VERSION AS OF $preTrunc")
-      === Seq(Row(42L))) // 40 + 8 + 6 inserted above, minus the 12 of p=3
+      === Seq(Row(35L))) // 54 inserted - 12 deleted (p=3) - 12 + 5 (p=2)
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
