@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history", "detail")
+      "history", "detail", "restore")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -104,6 +104,22 @@ object GraftProcedures {
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(after)))
+        }))
+      case "restore" => Some(proc(name,
+        "RESTORE TABLE: metadata-only rollback to a version, as a " +
+          "forward commit (history and time travel keep working)",
+        Seq(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("restored_to", LongType),
+          StructField("new_version", LongType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val v = args.getLong(1)
+          val c = client
+          c.newTx()
+          c.restore(t, v)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t), Long.box(v),
+            Long.box(client.latestVersion - 1)))
         }))
       case "history" => Some(proc(name,
         "DESCRIBE HISTORY: committed versions, timestamps, action counts",

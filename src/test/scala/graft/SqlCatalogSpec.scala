@@ -447,6 +447,10 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(0L)))
     assert(rows(s"SELECT count(*) FROM $cat.pp VERSION AS OF $preTrunc")
       === Seq(Row(35L))) // 54 inserted - 12 deleted (p=3) - 12 + 5 (p=2)
+
+    // CALL restore: metadata-only rollback as a forward commit
+    spark.sql(s"CALL $cat.system.restore('pp', $preTrunc)")
+    assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(35L)))
   }
 
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
