@@ -453,6 +453,36 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(s"SELECT count(*) FROM $cat.pp") === Seq(Row(35L)))
   }
 
+  test("catalog and format(graft) connectors agree on the same store") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 500).select(col("id").as("k"),
+      (col("id") % 13).as("v"), concat(lit("s"), col("id")).as("s"))
+    c.createTable("t", df.schema)
+    c.insert("t", df)
+    c.commitTx()
+    // mutate through BOTH surfaces: DV delete via client, CoW via SQL
+    c.newTx(); c.deleteRowsDV("t", "k", 100, 149); c.commitTx()
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 300 AND k < 320")
+
+    def viaCatalog(p: org.apache.spark.sql.Column) =
+      spark.table(s"$cat.t").filter(p)
+        .collect().map(_.toSeq).toSet
+    def viaFormat(p: org.apache.spark.sql.Column) =
+      spark.read.format("graft").option("table", "t").load(root)
+        .select("k", "v", "s").filter(p)
+        .collect().map(_.toSeq).toSet
+    for (pred <- Seq(lit(true), col("k") < 250, col("v") === 7,
+        col("k").isin(50, 120, 310, 450), col("s").startsWith("s4"))) {
+      val a = viaCatalog(pred)
+      val b = viaFormat(pred)
+      assert(a === b, s"connector disagreement on $pred")
+    }
+    // both see 500 - 50 (DV) - 20 (CoW) rows
+    assert(viaCatalog(lit(true)).size === 430)
+  }
+
   test("whole-table COUNT/MIN/MAX answer from the log alone") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.m (k BIGINT, s STRING)")
