@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Training-batch assembly operators over `documents`: concat-and-chunk
+  * SEQUENCE PACKING (the GPT-style pretraining layout — concatenate the
+  * corpus in a deterministic order, slice into fixed-token context
+  * windows) and a DOMAIN MIXTURE PLAN (per-language token budgets with
+  * integer epoch counts + a deterministic fractional-epoch sample).
+  *
+  * Packing needs a GLOBAL token prefix sum. The naive window
+  * (`sum over (order by doc_id)` with no partition) funnels the whole
+  * corpus through ONE task — the classic single-partition-window scale
+  * killer. Instead this runs the textbook two-level distributed prefix
+  * sum, all in declarative ops:
+  *
+  *   1. bucket docs by id range; per-bucket LOCAL cumsum (window
+  *      partitioned by bucket — parallel, no global sort);
+  *   2. per-bucket token totals (one tiny agg, #buckets rows) get a
+  *      bucket-ordered running offset — the only unpartitioned window,
+  *      over METADATA-sized input (#buckets ≈ #partitions, not #docs);
+  *   3. broadcast-join offsets back: global_start = offset + local_cum
+  *      - tokens.
+  *
+  * At 100 TB the per-doc work never leaves its partition; the sequential
+  * step is O(#buckets). The DuckDB oracle uses the plain global window —
+  * same arithmetic, different (non-scalable) plan — proving the
+  * distributed decomposition exact, not just plausible.
+  *
+  * All arithmetic is integer (token counts, `div`/`%`), so both engines
+  * agree bit-for-bit; the overflow-prone `total * weight` products are
+  * split into quotient/remainder form (exact, and safe at 10^13+ token
+  * corpora where a raw 64-bit product would wrap).
+  */
+object PackingOps {
+
+  /** Tokens per context window. Small enough that sf0.001's ~28k tokens
+    * still yield >100 chunks worth of boundary cases.
+    */
+  private val ChunkTokens = 256L
+
+  /** Docs per prefix-sum bucket (id-range bucketing keeps the bucket →
+    * doc assignment a pure function of doc_id, so the oracle needs no
+    * knowledge of it).
+    */
+  private val BucketDocs = 64L
+
+  private def tokensWs: Column =
+    size(split(col("text"), "\\s+")).cast("long")
+
+  // --- Sequence packing: concat-and-chunk ----------------------------------
+  // Per CHUNK: how many docs land in it, how many are continuations
+  // (started in an earlier chunk), how many of its token slots each doc
+  // claims, and the doc-id span — the metadata a sequence-packing writer
+  // needs to emit fixed-length training rows.
+  def qPackChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensWs.as("tok"))
+      .withColumn("bucket", expr(s"doc_id div $BucketDocs"))
+
+    val localCum = docs.withColumn("lcum",
+      sum(col("tok")).over(Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // #buckets rows: the one sequential step, metadata-sized by design
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("tok")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+
+    val spans = localCum.join(broadcast(offsets), "bucket")
+      .withColumn("e", col("offset") + col("lcum"))
+      .withColumn("s", col("e") - col("tok"))
+
+    spans
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"s div $ChunkTokens"), expr(s"(e - 1) div $ChunkTokens"))))
+      .groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s") < col("chunk_id") * lit(ChunkTokens), 1L)
+          .otherwise(0L)).as("n_continued"),
+        sum(least(col("e"), (col("chunk_id") + 1) * lit(ChunkTokens)) -
+          greatest(col("s"), col("chunk_id") * lit(ChunkTokens)))
+          .cast("long").as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("chunk_id"))
+  }
+
+  private val qPackChunksSql = s"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+      FROM documents),
+    spans AS (
+      SELECT doc_id, tok,
+        CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS e,
+        CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+          AS BIGINT) AS s
+      FROM toks),
+    exploded AS (
+      SELECT doc_id, tok, s, e,
+        UNNEST(generate_series(s // $ChunkTokens,
+                               (e - 1) // $ChunkTokens)) AS chunk_id
+      FROM spans)
+    SELECT chunk_id,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN s < chunk_id * $ChunkTokens THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_continued,
+      CAST(SUM(LEAST(e, (chunk_id + 1) * $ChunkTokens)
+             - GREATEST(s, chunk_id * $ChunkTokens)) AS BIGINT)
+        AS chunk_tokens,
+      MIN(doc_id) AS first_doc,
+      MAX(doc_id) AS last_doc
+    FROM exploded
+    GROUP BY chunk_id
+    ORDER BY chunk_id"""
+
+  // --- Domain mixture plan -------------------------------------------------
+  // Fixed per-language target weights (parts-per-million of the total
+  // token budget). The plan emits, per language: available tokens, the
+  // integer number of FULL passes over that domain (upsampling), the
+  // per-mille fractional-epoch sampling rate, and the realized sample
+  // (deterministic md5 bucket on doc_id — a pure map-side filter at
+  // scale, same idiom as text_sample_stratified).
+  private val weightCase =
+    "CASE lang WHEN 'en' THEN 400000 WHEN 'zh' THEN 250000 " +
+      "WHEN 'de' THEN 150000 WHEN 'fr' THEN 120000 ELSE 80000 END"
+
+  def qMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokensWs.as("tok"))
+
+    val perLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_avail"))
+    val total = docs.agg(sum(col("tok")).as("total_tok"))
+
+    // target = total * w / 1e6 in wrap-safe quotient/remainder form
+    val plan = perLang.crossJoin(broadcast(total))
+      .withColumn("w_ppm", expr(weightCase).cast("long"))
+      .withColumn("target_tokens", expr(
+        "(total_tok div 1000000) * w_ppm + " +
+          "((total_tok % 1000000) * w_ppm) div 1000000"))
+      .withColumn("full_epochs", expr("target_tokens div tok_avail"))
+      .withColumn("frac_permille", expr(
+        "((target_tokens % tok_avail) * 1000) div tok_avail"))
+
+    val sampled = docs
+      .withColumn("bucket", pmod(conv(
+        substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(1000L)))
+      .join(broadcast(plan.select(col("lang"), col("frac_permille"))), "lang")
+      .filter(col("bucket") < col("frac_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        sum(col("tok")).as("sampled_tokens"))
+
+    plan.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("tok_avail"),
+        col("target_tokens"), col("full_epochs"), col("frac_permille"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+        (col("full_epochs") * col("tok_avail") +
+          coalesce(col("sampled_tokens"), lit(0L))).as("realized_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val qMixturePlanSql = s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+      FROM documents),
+    per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_avail
+      FROM toks GROUP BY lang),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total_tok FROM toks),
+    plan AS (
+      SELECT lang, n_docs, tok_avail,
+        (total_tok // 1000000) * w_ppm
+          + ((total_tok % 1000000) * w_ppm) // 1000000 AS target_tokens
+      FROM (SELECT lang, n_docs, tok_avail, total_tok,
+              CAST($weightCase AS BIGINT) AS w_ppm
+            FROM per_lang, tot)),
+    rates AS (
+      SELECT lang, n_docs, tok_avail, target_tokens,
+        target_tokens // tok_avail AS full_epochs,
+        ((target_tokens % tok_avail) * 1000) // tok_avail AS frac_permille
+      FROM plan),
+    sampled AS (
+      SELECT t.lang, COUNT(*) AS sampled_docs,
+        CAST(SUM(t.tok) AS BIGINT) AS sampled_tokens
+      FROM toks t JOIN rates r ON t.lang = r.lang
+      WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000 < r.frac_permille
+      GROUP BY t.lang)
+    SELECT r.lang, r.n_docs, r.tok_avail, r.target_tokens, r.full_epochs,
+      r.frac_permille,
+      COALESCE(s.sampled_docs, 0) AS sampled_docs,
+      COALESCE(s.sampled_tokens, 0) AS sampled_tokens,
+      r.full_epochs * r.tok_avail + COALESCE(s.sampled_tokens, 0)
+        AS realized_tokens
+    FROM rates r LEFT JOIN sampled s ON r.lang = s.lang
+    ORDER BY r.lang"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "text_pack_chunks" -> QueryDef(qPackChunks, Some(qPackChunksSql),
+      "concat-and-chunk sequence packing via a two-level distributed " +
+        "prefix sum (no single-partition window); per-chunk doc/token " +
+        "accounting"),
+    "text_mixture_plan" -> QueryDef(qMixturePlan, Some(qMixturePlanSql),
+      "per-language token-budget mixture: integer full epochs + " +
+        "deterministic md5-bucket fractional-epoch sample, " +
+        "overflow-safe integer arithmetic"))
+}

@@ -394,6 +394,19 @@ object TxQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  // --- DataSource connector: batch change data feed --------------------------
+  // The same commit-window diff as tx_cdf, but through the registered
+  // source's changeFeed batch mode (no Scala client in the user code).
+  def txSourceCdf(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.format("graft")
+      .option("table", "nation").option("changeFeed", "true")
+      .option("keyColumns", "n_nationkey")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load(root)
+      .orderBy(col("_change"), col("n_nationkey"))
+  }
+
   // --- Shallow clone: zero-copy fork + copy-on-write divergence --------------
   def txClone(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -518,6 +531,9 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_source_cdf" -> QueryDef(txSourceCdf, Some(txCdfSql),
+      "batch change data feed through the connector: " +
+        "option(\"changeFeed\") keyed snapshot diff, no Scala client"),
     "tx_source_bulk" -> QueryDef(txSourceBulk, Some(txBulkRangeSql),
       "fact-table month-range aggregate through the connector: pushed " +
         "filter opens ~12 of ~80 objects"),

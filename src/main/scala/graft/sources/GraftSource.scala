@@ -54,8 +54,17 @@ final class GraftSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, opt(parameters, "path"),
-      opt(parameters, "table"), parameters.get("versionasof")
+    if (changeFeed(parameters))
+      GraftChangesRelation(sqlContext, opt(parameters, "path"),
+        opt(parameters, "table"), keyColumns(parameters),
+        parameters.get("startingversion")
+          .orElse(parameters.get("startingVersion")).map(_.toLong)
+          .getOrElse(0L),
+        parameters.get("endingversion")
+          .orElse(parameters.get("endingVersion")).map(_.toLong))
+    else
+      GraftRelation(sqlContext, opt(parameters, "path"),
+        opt(parameters, "table"), parameters.get("versionasof")
         .orElse(parameters.get("versionAsOf")).map(_.toLong))
 
   /** `df.write.format("graft").mode(...)` — one transactional commit per
@@ -373,6 +382,31 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
       for { a <- toColumn(l); b <- toColumn(r) } yield a || b
     case _ => None
   }
+}
+
+/** BATCH change-data-feed relation — `spark.read.format("graft")
+  * .option("changeFeed", "true").option("keyColumns", "id")
+  * .option("startingVersion", v1).option("endingVersion", v2)
+  * .load(root)`: the keyed row-level diff of two snapshots
+  * ([[GraftClient.changesBetween]] — insert/update/delete in a `_change`
+  * column) as one distributed DataFrame, so incremental consumers that
+  * are NOT streams (a nightly downstream sync, an audit) get CDF without
+  * the Scala client. `endingVersion` defaults to the latest commit. The
+  * diff is a key-partitioned join of the two snapshots' live data — cost
+  * ∝ the changed window's live rows, never the log's history.
+  */
+final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
+    table: String, keyCols: Seq[String], from: Long, until: Option[Long])
+    extends BaseRelation with TableScan {
+
+  private def changes: DataFrame =
+    GraftRelation.withClient(sqlContext, root) { c =>
+      c.changesBetween(table, keyCols, from, until.getOrElse(c.latestVersion))
+    }
+
+  override val schema: StructType = changes.schema
+
+  override def buildScan(): RDD[Row] = changes.rdd
 }
 
 /** V1 micro-batch streaming source over the transaction log (see

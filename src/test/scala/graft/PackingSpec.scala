@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.PackingOps
+import graft.table.GraftClient
+
+/** Pins for the batch-assembly operators and the connector's batch change
+  * feed: the distributed two-level prefix sum must equal the naive
+  * single-window computation exactly, the chunk accounting must conserve
+  * tokens, the mixture plan must hit its integer budget identities, and
+  * `format("graft").option("changeFeed")` must return precisely
+  * `changesBetween`.
+  */
+class PackingSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pack_chunks: distributed prefix sum == naive global window") {
+    val s = spark
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"))
+    // the non-scalable reference: one global window over every doc
+    val naive = docs
+      .withColumn("e", sum(col("tok")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", col("e") - col("tok"))
+      .withColumn("chunk_id",
+        explode(sequence(expr("s div 256"), expr("(e - 1) div 256"))))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") < col("chunk_id") * 256L, 1L).otherwise(0L))
+          .as("n_continued"),
+        sum(least(col("e"), (col("chunk_id") + 1) * 256L) -
+          greatest(col("s"), col("chunk_id") * 256L)).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("chunk_id"))
+      .collect()
+    val packed = PackingOps.qPackChunks(s, dir).collect()
+    assert(packed.toSeq === naive.toSeq)
+  }
+
+  test("pack_chunks conserves tokens and fills every non-final chunk") {
+    val s = spark
+    val chunks = PackingOps.qPackChunks(s, dir).collect()
+    val total = s.read.parquet(s"$dir/documents.parquet")
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(chunks.map(_.getAs[Long]("chunk_tokens")).sum === total)
+    // every chunk but the last is exactly full; ids are dense from 0
+    chunks.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("chunk_tokens") === 256L, s"underfull: $r"))
+    assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq ===
+      (0L until chunks.length.toLong))
+    // continuation counts: a doc is continued iff it started earlier,
+    // so chunk 0 has none
+    assert(chunks.head.getAs[Long]("n_continued") === 0L)
+  }
+
+  test("mixture plan: integer budget identities hold") {
+    val rows = PackingOps.qMixturePlan(spark, dir).collect()
+    assert(rows.length === 5) // de/en/es/fr/zh in the fixture
+    val totalAvail = rows.map(_.getAs[Long]("tok_avail")).sum
+    // weights for the 5 fixture langs sum to exactly 1M ppm, so the
+    // per-lang integer targets reconstruct the corpus total (each of the
+    // 5 divisions truncates < 1 token)
+    val totalTarget = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(totalTarget <= totalAvail && totalTarget >= totalAvail - 5)
+    rows.foreach { r =>
+      val avail = r.getAs[Long]("tok_avail")
+      val target = r.getAs[Long]("target_tokens")
+      val epochs = r.getAs[Long]("full_epochs")
+      val permille = r.getAs[Long]("frac_permille")
+      assert(epochs === target / avail)
+      assert(permille === (target % avail) * 1000 / avail)
+      assert(r.getAs[Long]("sampled_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("realized_tokens") ===
+        epochs * avail + r.getAs[Long]("sampled_tokens"))
+    }
+    // en is upweighted (400k ppm on a ~36% share): must upsample
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("full_epochs") >= 1L)
+  }
+
+  test("connector batch changeFeed == changesBetween; end defaults latest") {
+    val s = spark
+    val root = Files.createTempDirectory("graft_cdf_batch").toString
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    def df(rows: (Int, String)*) = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        rows.map { case (k, v) => Row(k, v) }.toList.asJava, schema)
+    }
+    val c = new GraftClient(s, root)
+    c.newTx(); c.createTable("t", schema)
+    c.insert("t", df(1 -> "a", 2 -> "b", 3 -> "c")); c.commitTx()
+    c.newTx(); c.insert("t", df(2 -> "b2")); c.commitTx()         // update
+    c.newTx(); c.deleteRows("t", "k", 3, 3); c.commitTx()         // delete
+
+    def viaSource(end: Option[Long]) = {
+      val r = s.read.format("graft").option("table", "t")
+        .option("changeFeed", "true").option("keyColumns", "k")
+        .option("startingVersion", "1")
+      end.foreach(v => r.option("endingVersion", v.toString))
+      r.load(root).orderBy(col("_change"), col("k")).collect().toSeq
+    }
+    c.newTx()
+    val expected =
+      try c.changesBetween("t", Seq("k"), 1, c.latestVersion)
+        .orderBy(col("_change"), col("k")).collect().toSeq
+      finally c.rollback()
+    assert(viaSource(Some(3L)) === expected)
+    assert(viaSource(None) === expected) // endingVersion defaults to latest
+    assert(expected.map(_.getAs[String]("_change")).sorted ===
+      Seq("delete", "update"))
+  }
+}
