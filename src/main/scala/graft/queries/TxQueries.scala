@@ -407,6 +407,57 @@ object TxQueries {
       .orderBy(col("_change"), col("n_nationkey"))
   }
 
+  // --- CONVERT: in-place metadata-only import of a parquet directory --------
+  // A 4-file parquet dir of customer rows is imported with convertParquet
+  // (no data rewrite — the files become external objects with synthesized
+  // provenance), then mutated through every delete mechanism plus an
+  // upsert: a copy-on-write range delete (fully-covered files drop
+  // metadata-only), a deletion-vector delete (DV keys built on the
+  // SYNTHESIZED provenance must stay stable), and a client insert whose
+  // rows must MVCC-win over the converted originals.
+  private def ensureConvert(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#convert", {
+        val root = Files.createTempDirectory("graft_convert_fixture").toString
+        val src = Files.createTempDirectory("graft_convert_src").toString
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        cust.repartitionByRange(4, col("c_custkey")).write
+          .mode("overwrite").parquet(src)
+        val c = new GraftClient(spark, root)
+        c.newTx(); c.convertParquet("conv", src); c.commitTx()
+        c.newTx(); c.deleteRows("conv", "c_custkey", 0, 39); c.commitTx()
+        c.newTx(); c.deleteRowsDV("conv", "c_custkey", 100, 109); c.commitTx()
+        c.newTx()
+        c.insert("conv", cust.filter(col("c_custkey").between(120, 129))
+          .withColumn("c_mktsegment", lit("UPDATED"))
+          .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0)))
+        c.commitTx()
+        root
+      })
+    }
+
+  def txConvert(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureConvert(spark, dir))
+    c.newTx()
+    try c.currentState("conv", Seq("c_custkey")).orderBy(col("c_custkey"))
+    finally c.rollback()
+  }
+
+  private val txConvertSql = """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    upd AS (
+      SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+             c_acctbal + 1000.0 AS c_acctbal
+      FROM base WHERE c_custkey BETWEEN 120 AND 129),
+    kept AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT BETWEEN 0 AND 39
+        AND c_custkey NOT BETWEEN 100 AND 109
+        AND c_custkey NOT BETWEEN 120 AND 129)
+    SELECT * FROM kept UNION ALL SELECT * FROM upd ORDER BY c_custkey"""
+
   // --- Shallow clone: zero-copy fork + copy-on-write divergence --------------
   def txClone(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -531,6 +582,10 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_convert" -> QueryDef(txConvert, Some(txConvertSql),
+      "CONVERT: metadata-only in-place parquet import (external objects, " +
+        "synthesized provenance), then CoW delete + DV delete + MVCC " +
+        "upsert over the converted files"),
     "tx_source_cdf" -> QueryDef(txSourceCdf, Some(txCdfSql),
       "batch change data feed through the connector: " +
         "option(\"changeFeed\") keyed snapshot diff, no Scala client"),

@@ -314,7 +314,9 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
     */
   override def sizeInBytes: Long = withClient(sqlContext, root) { c =>
     c.objects(table).map { a =>
-      val d = new java.io.File(s"$root/${a.path}")
+      // external (converted-in-place) objects carry absolute paths
+      val d = new java.io.File(
+        if (a.path.startsWith("/")) a.path else s"$root/${a.path}")
       val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
       fs.filter(_.isFile).map(_.length()).sum + (if (d.isFile) d.length() else 0L)
     }.sum.max(1L)

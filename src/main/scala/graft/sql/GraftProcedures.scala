@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history", "detail", "restore")
+      "history", "detail", "restore", "convert")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -104,6 +104,23 @@ object GraftProcedures {
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(after)))
+        }))
+      case "convert" => Some(proc(name,
+        "CONVERT: import a parquet directory as a table in place — " +
+          "metadata only (footer stats), no data rewrite",
+        Seq(in("table", StringType), in("path", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("objects", IntegerType),
+          StructField("rows", LongType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val c = client
+          c.newTx()
+          c.convertParquet(t, args.getUTF8String(1).toString)
+          c.commitTxRetrying()
+          c.newTx()
+          val objs = try c.objects(t) finally c.rollback()
+          Seq(row(UTF8String.fromString(t), Int.box(objs.length),
+            Long.box(objs.map(_.numRows).sum)))
         }))
       case "restore" => Some(proc(name,
         "RESTORE TABLE: metadata-only rollback to a version, as a " +

@@ -126,6 +126,48 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, schema)
   }
 
+  /** CONVERT: import an existing parquet directory as `table` IN PLACE —
+    * metadata only, no data rewrite (Delta's `CONVERT TO DELTA`). Each
+    * `.parquet` file under `srcDir` becomes one EXTERNAL data object: an
+    * absolute-path Add carrying footer-exact numRows plus column min/max
+    * stats (so converted objects file-skip like any other) and a
+    * `rowBase` making the synthesized `(_tx_id, _row_idx)` provenance
+    * unique table-wide (see readObjects). At 100 TB the import cost is
+    * one footer read per file — no row is read or written; onboarding a
+    * petabyte lake is a metadata pass. Source files are treated as
+    * immutable: vacuum never deletes them (they live outside the table
+    * root), deletes copy-on-write AWAY from them, and `compact` /
+    * `materializeSchema` migrate their rows into managed objects, after
+    * which the originals are simply unreferenced. Exotic characters in
+    * `srcDir` that URI-encode differently than they print are not
+    * supported (the read layer would fail loudly, never misattribute).
+    */
+  def convertParquet(table: String, srcDir: String): Unit = {
+    val t = currentTx
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(srcDir).schema
+    requireNotReserved(schema.fieldNames.toIndexedSeq)
+    createTable(table, schema) // enforces non-existence, stages metadata
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    require(parts.nonEmpty, s"no parquet files under $srcDir")
+    var base = 0L
+    parts.foreach { st =>
+      val p = st.getPath.toUri.getPath // scheme-free absolute form
+      val (rows, stats) = ParquetFooters.scan(spark, p, schema)
+      t.actions += AddDataObject(table, p, t.id, rows, stats,
+        rowBase = Some(base))
+      base += rows
+    }
+    // later writes in the SAME tx must stamp row indexes above the
+    // synthesized range or (txId, rowIdx) pairs would collide
+    t.rowCounters(table) = base
+  }
+
   /** Drop `table`: one [[DropTable]] log action clears the table's schema,
     * live objects, DVs, and constraints at this log position — a metadata
     * op, O(1) regardless of table size. Data files stay on disk until
@@ -227,8 +269,7 @@ final class GraftClient(
     val clean = StructType(schema.fields.map(f =>
       if (f.metadata.contains(PhysKey)) f.copy(metadata = Metadata.empty)
       else f))
-    rewriteObjects(table, physSchema(schema), clean,
-      n => physOf(schema, n))
+    rewriteObjects(table, schema, clean, identity)
     t.tables(table) = clean
     t.actions += ChangeMetadata(table, clean)
   }
@@ -244,7 +285,7 @@ final class GraftClient(
     * stats-useless object. Deletion vectors are applied and retired. An
     * object whose rows are all DV-masked simply disappears.
     */
-  private def rewriteObjects(table: String, readSchema: StructType,
+  private def rewriteObjects(table: String, schema: StructType,
       newSchema: StructType, colSource: String => String): Unit = {
     val t = currentTx
     val files = liveFiles(table)
@@ -257,12 +298,10 @@ final class GraftClient(
     val lookup = spark.createDataFrame(lookupRows, StructType(Seq(
       StructField("_obj", StringType, nullable = false),
       StructField("_ord", IntegerType, nullable = false))))
-    // _obj is stamped on the SCAN, before the DV anti-join: input_file_name
-    // is per-source, and a plan with the DV read joined in has two sources
-    val routed = applyDvs(spark.read.schema(provSchema(readSchema))
-      .parquet(files.map(a => s"$rootDir/${a.path}"): _*)
-      .withColumn("_obj",
-        expr("element_at(split(input_file_name(), '/'), -2)")), dvs)
+    // _obj is stamped by the read layer on the SCAN, before the DV
+    // anti-join (a plan with the DV read joined in has two sources);
+    // readObjects yields LOGICAL columns, so colSource maps logical names
+    val routed = applyDvs(readObjects(schema, files, tagObj = true), dvs)
       .join(broadcast(lookup), Seq("_obj"), "left")
       // an inner join here would silently DROP any row whose derived _obj
       // fails to resolve (empty input_file_name under a plan/reader change);
@@ -463,10 +502,63 @@ final class GraftClient(
   /** Read data objects: physical columns on disk, logical columns out.
     * Columns a file lacks (written before an addColumn, or re-added under
     * a fresh physical name) surface as null — parquet by-name semantics.
+    *
+    * Internal objects (rootDir-relative paths) carry physical
+    * `_tx_id`/`_row_idx` columns; EXTERNAL objects (absolute-path Adds
+    * imported in place by [[convertParquet]]) don't, so provenance is
+    * synthesized — `_tx_id` from the Add's txId, `_row_idx` as the Add's
+    * rowBase plus the row's position in its immutable file
+    * (`_metadata.row_index`, stable across reads) — making DV anti-joins
+    * and MVCC ordering valid over files this client never wrote. With
+    * `tagObj` every row also carries `_obj`, the identity matching
+    * `AddDataObject.path` (internal: object directory name; external:
+    * absolute file path), for rewrite/compact routing. The external
+    * branch joins a broadcast metadata-sized lookup; a path-form mismatch
+    * fails loudly (left join + raise_error), never silently nulls
+    * provenance.
     */
-  private def readObjects(schema: StructType, paths: Seq[String]): DataFrame = {
-    val df = spark.read.schema(provSchema(physSchema(schema)))
-      .parquet(paths: _*)
+  private def readObjects(schema: StructType, adds: Seq[AddDataObject],
+      tagObj: Boolean = false): DataFrame = {
+    val pSchema = provSchema(physSchema(schema))
+    val outCols = pSchema.fieldNames.toIndexedSeq ++
+      (if (tagObj) Seq("_obj") else Nil)
+    val (ext, internal) = adds.partition(_.rowBase.isDefined)
+    val pieces = Seq(
+      if (internal.isEmpty) None else Some {
+        val df = spark.read.schema(pSchema)
+          .parquet(internal.map(a => s"$rootDir/${a.path}"): _*)
+        (if (tagObj) df.withColumn("_obj",
+          regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+         else df).select(outCols.map(col): _*)
+      },
+      if (ext.isEmpty) None else Some {
+        val lookup = spark.createDataFrame(
+          ext.map(a => Row(a.path, a.txId, a.rowBase.get)).toList.asJava,
+          StructType(Seq(
+            StructField("_gpath", StringType, nullable = false),
+            StructField("_gtx", LongType, nullable = false),
+            StructField("_gbase", LongType, nullable = false))))
+        spark.read.schema(physSchema(schema)).parquet(ext.map(_.path): _*)
+          // strip the scheme ("file:/", "s3a://", …) so the join key has
+          // the same scheme-free absolute form convertParquet stored
+          .withColumn("_gpath", regexp_replace(col("_metadata.file_path"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          .withColumn("_gidx", col("_metadata.row_index"))
+          .join(broadcast(lookup), Seq("_gpath"), "left")
+          .withColumn(TxIdCol, coalesce(col("_gtx"),
+            raise_error(concat(
+              lit("readObjects: external object missing from lookup: "),
+              col("_gpath"))).cast(LongType)))
+          .withColumn(RowIdxCol, col("_gbase") + col("_gidx"))
+          .withColumn("_obj", col("_gpath"))
+          .select(outCols.map(col): _*)
+      }).flatten
+    val df = pieces match {
+      case Seq(one) => one
+      case Seq(a, b) => a.unionByName(b)
+      case _ => spark.createDataFrame(List.empty[Row].asJava,
+        if (tagObj) pSchema.add("_obj", StringType) else pSchema)
+    }
     val m = physRenames(schema)
     if (m.isEmpty) df else df.withColumnsRenamed(m.map(_.swap))
   }
@@ -658,7 +750,6 @@ final class GraftClient(
     val schema = schemaOf(table)
     val pSchema = provSchema(schema)
     val files = liveFiles(table).filter(filePred)
-      .map(a => s"$rootDir/${a.path}")
     val committed =
       if (files.isEmpty)
         spark.createDataFrame(List.empty[Row].asJava, pSchema)
@@ -760,9 +851,7 @@ final class GraftClient(
     val files = liveFiles(table).filterNot(_.blooms.contains(physCol))
     if (files.isEmpty) return
     val words = numBits / 64
-    val df = readObjects(schema,
-        files.map(a => s"$rootDir/${a.path}"))
-      .withColumn("_obj", expr("element_at(split(input_file_name(), '/'), -2)"))
+    val df = readObjects(schema, files, tagObj = true)
       .filter(col(column).isNotNull)
     val posCols = (0 until k).map(i =>
       pmod(xxhash64(lit(i), col(column)), lit(numBits.toLong)).as(s"_p$i"))
@@ -957,7 +1046,7 @@ final class GraftClient(
         physOf(schema, _))
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         val matched = applyDvs(
-          readObjects(schema, files.map(a => s"$rootDir/${a.path}")),
+          readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq))
           .join(broadcast(delKeys), keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
@@ -1085,21 +1174,18 @@ final class GraftClient(
     val files = candidates
     if (files.isEmpty) return
     val byName = files.map(a => a.path -> a).toMap
-    val scanAll = readObjects(schema,
-      files.map(a => s"$rootDir/${a.path}"))
+    val scanAll = readObjects(schema, files, tagObj = true)
 
-    // job 1: matched-row count per object (metadata-sized result)
+    // job 1: matched-row count per object (metadata-sized result); _obj
+    // is the read layer's object identity (== AddDataObject.path for
+    // internal dirs and external converted files alike)
     val matchedPerObject: Map[String, Long] = scanAll
       .filter(pred)
-      .groupBy(input_file_name().as("_file"))
+      .groupBy(col("_obj"))
       .agg(count(lit(1)).as("n"))
       .collect()
-      .map { r =>
-        // .../<objectName>/part-*.parquet -> objectName
-        val parts = r.getString(0).split('/')
-        parts(parts.length - 2) -> r.getLong(1)
-      }
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
 
     if (matchedPerObject.isEmpty) return
     val touched = matchedPerObject.keySet.toSeq.sorted
@@ -1120,7 +1206,7 @@ final class GraftClient(
     // DvCompactReproSpec).
     if (partial.nonEmpty) {
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      toPhysical(readObjects(schema, partial.map(n => s"$rootDir/$n"))
+      toPhysical(readObjects(schema, partial.map(byName))
           .filter(keepPred), schema)
         .write.parquet(s"$rootDir/$name")
       val (survivors, stats) =
@@ -1147,8 +1233,7 @@ final class GraftClient(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
         .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
-      val removedMasked = readObjects(schema,
-          touched.map(n => s"$rootDir/$n"))
+      val removedMasked = readObjects(schema, touched.map(byName))
         .filter(pred)
         .select(col(TxIdCol), col(RowIdxCol))
         .join(broadcast(dvKeys), Seq(TxIdCol, RowIdxCol), "left_semi")
@@ -1344,7 +1429,7 @@ final class GraftClient(
 
     if (candidates.isEmpty) return
     val matched = applyDvs(
-      readObjects(schema, candidates.map(a => s"$rootDir/${a.path}")),
+      readObjects(schema, candidates),
       t.snapshot.liveDvs(table, t.actions.toSeq))
       .filter(pred)
       .select(col(TxIdCol), col(RowIdxCol))
@@ -1388,7 +1473,7 @@ final class GraftClient(
     val schema = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$asOf: $table"))
     val pSchema = provSchema(schema)
-    val files = snap.liveFiles(table).map(a => s"$rootDir/${a.path}")
+    val files = snap.liveFiles(table)
     if (files.isEmpty) spark.createDataFrame(List.empty[Row].asJava, pSchema)
     else applyDvs(readObjects(schema, files), snap.liveDvs(table))
   }
@@ -1470,7 +1555,7 @@ final class GraftClient(
           "at-least-once replay of rewritten objects)")
     }
     val adds = window.collect {
-      case a: AddDataObject if a.table == table => s"$rootDir/${a.path}"
+      case a: AddDataObject if a.table == table => a
     }
     val cols = schema.fieldNames.map(col).toIndexedSeq
     if (adds.isEmpty)
@@ -1660,14 +1745,11 @@ final class GraftClient(
 
     val binOf = eligible.zipWithIndex
       .flatMap { case (bin, i) => bin.map(_.path -> i) }.toMap
-    val srcPaths = eligible.flatten.map(_.path)
-    // compact rewrites in PHYSICAL column space: the new objects must
-    // stay readable under the current mapping, and no logical projection
-    // is needed to route rows between bins
-    val src = spark.read.schema(provSchema(physSchema(schema)))
-      .parquet(srcPaths.map(p => s"$rootDir/$p"): _*)
-      .withColumn("_obj",
-        regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+    // the read layer yields LOGICAL columns plus the _obj identity
+    // (handling external converted objects' synthesized provenance);
+    // toPhysical before the write keeps the new objects readable under
+    // the current column mapping
+    val src = readObjects(schema, eligible.flatten, tagObj = true)
     val mapping = spark.createDataFrame(
       binOf.toSeq.map { case (p, b) => Row(p, b) }.asJava,
       StructType(Seq(StructField("_obj", StringType, nullable = false),
@@ -1686,7 +1768,7 @@ final class GraftClient(
     // provenance-column-pruned pass over the same immutable inputs
     val expected = masked.count()
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    routed.write.partitionBy(PartCol).parquet(staging)
+    toPhysical(routed, schema).write.partitionBy(PartCol).parquet(staging)
     val stagingDir = new java.io.File(staging)
     val staged = Option(stagingDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
@@ -1786,8 +1868,7 @@ final class GraftClient(
     val files = liveFiles(table)
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (files.isEmpty) return
-    val live = applyDvs(
-      readObjects(schema, files.map(a => s"$rootDir/${a.path}")), dvs)
+    val live = applyDvs(readObjects(schema, files), dvs)
     val exchanged = exchange(live) match {
       case Some(df) => df
       case None => return

@@ -87,9 +87,18 @@ final case class BloomData(k: Int, words: Vector[Long]) {
     }
 }
 
+/** A live data object. `path` is rootDir-relative for objects the client
+  * wrote, or an absolute path (leading `/`) for EXTERNAL objects imported
+  * in place by `convertParquet` — those carry no physical provenance
+  * columns, and `rowBase` (set iff external) is the object's first
+  * `_row_idx`: reads synthesize `(_tx_id = txId, _row_idx = rowBase +
+  * file row position)`, which is stable because parquet files are
+  * immutable, so deletion vectors and copy-on-write stay valid.
+  */
 final case class AddDataObject(table: String, path: String, txId: Long,
     numRows: Long, stats: Map[String, ColStats] = Map.empty,
-    blooms: Map[String, BloomData] = Map.empty) extends Action
+    blooms: Map[String, BloomData] = Map.empty,
+    rowBase: Option[Long] = None) extends Action
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
@@ -537,14 +546,15 @@ object TxLog {
     }
 
   def actionToJson(a: Action): JValue = a match {
-    case AddDataObject(t, p, tx, n, stats, blooms) =>
+    case AddDataObject(t, p, tx, n, stats, blooms, rowBase) =>
       val base = Seq(
         "type" -> Json.str("add"), "table" -> Json.str(t),
         "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
       Json.obj((base ++
         (if (stats.isEmpty) Nil else Seq("stats" -> statsToJson(stats))) ++
         (if (blooms.isEmpty) Nil
-         else Seq("blooms" -> bloomsToJson(blooms)))): _*)
+         else Seq("blooms" -> bloomsToJson(blooms))) ++
+        rowBase.map(b => "rowBase" -> Json.num(b)).toSeq): _*)
     case AddDeleteVector(t, p, tx, n) => Json.obj(
       "type" -> Json.str("dv"), "table" -> Json.str(t),
       "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
@@ -570,7 +580,8 @@ object TxLog {
       case "add" => AddDataObject(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong,
         o.get("stats").map(statsFromJson).getOrElse(Map.empty),
-        o.get("blooms").map(bloomsFromJson).getOrElse(Map.empty))
+        o.get("blooms").map(bloomsFromJson).getOrElse(Map.empty),
+        o.get("rowBase").map(_.asLong))
       case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)

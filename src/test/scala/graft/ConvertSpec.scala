@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Pins for CONVERT (in-place metadata-only parquet import):
+  *
+  *   - the import writes NO data objects — the table root stays log-only,
+  *     and the scan equals the source directory's content;
+  *   - synthesized provenance (`_tx_id` from the Add, `_row_idx` from
+  *     rowBase + file row position) is table-unique and stable across
+  *     reads — the contract DV deletes and copy-on-write depend on;
+  *   - footer stats on converted files prune like managed objects;
+  *   - a fully-covering delete retires converted files metadata-only
+  *     (zero objects written), a partial delete copy-on-writes survivors
+  *     WITH their synthesized provenance preserved, and a DV delete's
+  *     keys stay valid;
+  *   - compact migrates external files into managed objects without
+  *     changing content;
+  *   - metadata-only rename (column mapping) reads correctly over
+  *     external files, and REORG (materializeSchema) bakes them in;
+  *   - `CALL g.system.convert` + catalog SELECT/DELETE drive the same
+  *     paths from pure SQL.
+  */
+class ConvertSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writeSrc(numFiles: Int): String = {
+    val src = Files.createTempDirectory("graft_convert_spec_src").toString
+    spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .repartitionByRange(numFiles, col("c_custkey"))
+      .write.mode("overwrite").parquet(src)
+    src
+  }
+
+  private def converted(): (GraftClient, String, String) = {
+    val root = Files.createTempDirectory("graft_convert_spec").toString
+    val src = writeSrc(4)
+    val c = new GraftClient(spark, root)
+    c.newTx(); c.convertParquet("conv", src); c.commitTx()
+    (c, root, src)
+  }
+
+  private def dataObjs(root: String) =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_table_"))
+
+  test("convert writes no data objects; scan == source; provenance unique") {
+    val (c, root, src) = converted()
+    assert(dataObjs(root).isEmpty,
+      "import must be metadata-only: " +
+        dataObjs(root).map(_.getName).mkString(","))
+    c.newTx()
+    try {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      val got = c.scan("conv")
+        .select(cols.map(col): _*).orderBy(col("c_custkey")).collect()
+      val want = spark.read.parquet(src)
+        .select(cols.map(col): _*).orderBy(col("c_custkey")).collect()
+      assert(got.toSeq === want.toSeq)
+      val prov = c.scan("conv").select(col("_tx_id"), col("_row_idx"))
+      assert(prov.distinct().count() === 150L)
+      // stability: a second read synthesizes the identical provenance
+      val p1 = prov.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p2 = prov.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 === p2 && p1.size === 150)
+    } finally c.rollback()
+  }
+
+  test("footer stats prune whole converted files") {
+    val (c, _, _) = converted()
+    c.newTx()
+    try {
+      assert(c.scan("conv").inputFiles.length === 4)
+      val opened =
+        c.scanBounded("conv", Seq("c_custkey" -> (5, 10))).inputFiles.length
+      assert(opened >= 1 && opened <= 2,
+        s"a 6-key range must open at most 2 of 4 range-partitioned files, got $opened")
+    } finally c.rollback()
+  }
+
+  test("full-cover delete is metadata-only; partial CoW keeps provenance") {
+    val (c, root, _) = converted()
+    // provenance of the rows a partial delete must NOT touch
+    c.newTx()
+    val before = try c.scan("conv").filter(col("c_custkey") > 80)
+      .select(col("_tx_id"), col("_row_idx"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    finally c.rollback()
+
+    // partial delete: some files fully covered (metadata-only drop), one
+    // partially (CoW rewrite of survivors)
+    c.newTx(); c.deleteRows("conv", "c_custkey", 0, 80); c.commitTx()
+    c.newTx()
+    try {
+      val after = c.scan("conv")
+        .select(col("_tx_id"), col("_row_idx"), col("c_custkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+      assert(after === before,
+        "CoW must preserve synthesized provenance of surviving rows")
+      // at most one rewrite object exists (the partially-covered file's
+      // survivors); fully-covered files were dropped without a write
+      assert(dataObjs(root).length <= 1)
+      val objs = c.objects("conv")
+      assert(objs.count(_.path.startsWith("/")) < 4,
+        "fully-covered external files must be retired")
+    } finally c.rollback()
+
+    // delete everything that remains: pure metadata, no new objects
+    val objsBefore = dataObjs(root).length
+    c.newTx(); c.deleteRows("conv", "c_custkey", 0, 1000); c.commitTx()
+    c.newTx()
+    try {
+      assert(c.scan("conv").count() === 0L)
+      assert(c.objects("conv").isEmpty)
+      assert(dataObjs(root).length === objsBefore,
+        "a fully-covering delete must not write data")
+    } finally c.rollback()
+  }
+
+  test("DV delete over synthesized provenance; compact migrates externals") {
+    val (c, _, _) = converted()
+    c.newTx(); c.deleteRowsDV("conv", "c_custkey", 100, 109); c.commitTx()
+    c.newTx()
+    val masked = try c.scan("conv") finally c.rollback()
+    // DV delete rewrites nothing: all four externals still live
+    c.newTx()
+    try {
+      assert(c.objects("conv").count(_.path.startsWith("/")) === 4)
+      assert(c.scan("conv").filter(
+        col("c_custkey").between(100, 109)).count() === 0L)
+      assert(c.scan("conv").count() === 140L)
+    } finally c.rollback()
+
+    c.newTx(); c.compact("conv"); c.commitTx()
+    c.newTx()
+    try {
+      val objs = c.objects("conv")
+      assert(objs.nonEmpty && objs.forall(!_.path.startsWith("/")),
+        "compact must migrate external files into managed objects")
+      assert(c.scan("conv").count() === 140L)
+      assert(c.scan("conv").filter(
+        col("c_custkey").between(100, 109)).count() === 0L)
+    } finally c.rollback()
+  }
+
+  test("column mapping over external files; REORG bakes them in") {
+    val (c, _, _) = converted()
+    c.newTx(); c.renameColumn("conv", "c_mktsegment", "segment"); c.commitTx()
+    c.newTx()
+    // metadata-only rename: external files keep the old physical name,
+    // reads project it to the new logical name
+    try {
+      assert(c.objects("conv").forall(_.path.startsWith("/")))
+      val segs = c.scan("conv").select(col("segment")).distinct().count()
+      assert(segs === 5L) // the 5 TPC-H market segments
+    } finally c.rollback()
+    c.newTx(); c.materializeSchema("conv"); c.commitTx()
+    c.newTx()
+    try {
+      assert(c.objects("conv").forall(!_.path.startsWith("/")),
+        "REORG must rewrite external files into managed objects")
+      assert(c.scan("conv").select(col("segment")).distinct().count() === 5L)
+      assert(c.scan("conv").count() === 150L)
+    } finally c.rollback()
+  }
+
+  test("CALL g.system.convert + catalog SELECT/DELETE from pure SQL") {
+    val s = spark
+    val root = Files.createTempDirectory("graft_convert_proc").toString
+    val src = Files.createTempDirectory("graft_convert_proc_src").toString
+    s.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .repartitionByRange(2, col("n_nationkey"))
+      .write.mode("overwrite").parquet(src)
+    val cat = "gconv"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val res = s.sql(s"CALL $cat.system.convert('nat', '$src')").collect()
+    assert(res.head.getInt(1) === 2 && res.head.getLong(2) === 25L)
+    assert(s.sql(s"SELECT count(*) FROM $cat.nat").head.getLong(0) === 25L)
+    s.sql(s"DELETE FROM $cat.nat WHERE n_nationkey < 5")
+    assert(s.sql(s"SELECT count(*) FROM $cat.nat").head.getLong(0) === 20L)
+    assert(s.sql(s"SELECT min(n_nationkey) FROM $cat.nat")
+      .head.get(0).toString.toLong === 5L)
+  }
+}
