@@ -202,21 +202,27 @@ object SimilarityOps {
     })
   }
 
+  /** Per-vector nearest-`n` centroid cells via one broadcast scoring
+    * pass (32 centroids — dimension-sized, always broadcast).
+    */
+  private def nearestCells(cent: DataFrame)(df: DataFrame,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cscore").desc, col("cid"))
+    df.crossJoin(broadcast(cent))
+      .withColumn("_cscore", cosine(col("v"), col("cv")))
+      .withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= n)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val cent = centroidFrame(spark, centroidsFor(spark, dir))
       .select(col("cid"), col("cv"))
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_cscore").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("_cscore", cosine(col("v"), col("cv")))
-        .withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= n)
-        .select(col("vec_id"), col("v"), col("cid"))
-    }
-    val assigned = nearestCells(e, 1)
-    val probes = nearestCells(e.filter(col("vec_id") < 10), NumProbes)
+    val cells = nearestCells(cent) _
+    val assigned = cells(e, 1)
+    val probes = cells(e.filter(col("vec_id") < 10), NumProbes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
     val cand = assigned.join(probes, "cid")
       .filter(col("vec_id") =!= col("query_id"))
@@ -230,6 +236,81 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // --- Filtered ANN (metadata predicate + IVF probing) ----------------------
+  // Vector search under a metadata PREFILTER — the "filtered search" of
+  // vector engines (corpus restricted to label ∈ {1,3,5,7}, ~40 %
+  // selectivity). The index (cell assignment) is built on the FULL
+  // corpus; the predicate composes at probe time as a semi-filter on
+  // cell members, so one index serves every predicate. Probing widens
+  // (FilteredProbes > NumProbes) to buy back the recall the filter's
+  // selectivity strips from each cell — the standard prefilter
+  // trade-off. At 100 TB with the cell-partitioned table layout
+  // (sim_ann_ivf_table) the label predicate additionally prunes files
+  // via object stats before any vector is read.
+  private[queries] val FilteredProbes = 12
+  private[graft] val FilteredLabels = Seq(1, 3, 5, 7)
+
+  def simAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val labels = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val cent = centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid"), col("cv"))
+    val cells = nearestCells(cent) _
+    val assigned = cells(e, 1)
+      .join(labels, "vec_id")
+      .filter(col("label").isin(FilteredLabels: _*))
+    val probes = cells(e.filter(col("vec_id") < 10), FilteredProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
+    val cand = assigned.join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def simAnnFilteredSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    $centroidCte,
+    ranked AS (
+      SELECT n.vec_id, cent.cid,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+                   cent.cid) AS rk
+      FROM n CROSS JOIN cent),
+    assigned AS (
+      SELECT r.vec_id, r.cid, em.label
+      FROM ranked r JOIN embeddings em ON em.vec_id = r.vec_id
+      WHERE r.rk = 1 AND em.label IN (${FilteredLabels.mkString(", ")})),
+    probes AS (SELECT vec_id AS query_id, cid FROM ranked
+               WHERE vec_id < 10 AND rk <= $FilteredProbes),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id, a.label
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id, c.label,
+        list_dot_product(q.v, e.v) / (q.nrm * e.nrm) AS cos
+      FROM cand c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n e ON e.vec_id = c.vec_id)
+    SELECT query_id, rnk AS "rank", vec_id AS neighbor_id, label,
+      round(cos, 6) AS cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= 10
+    ORDER BY query_id, "rank""""
 
   // Both ANN variants are APPROXIMATE relative to exact top-k but fully
   // DETERMINISTIC given the fixed seed/centroids — so DuckDB can replay
@@ -826,5 +907,9 @@ object SimilarityOps {
     "sim_ann_ivf_table" -> QueryDef(simAnnIvfTable, Some(simAnnIvfSql),
       "IVF over a cell-partitioned graft TABLE: probing = stats-pruned " +
         "per-cell reads through the DataSource — no index structure, " +
-        "just table layout + file skipping; result == sim_ann_ivf"))
+        "just table layout + file skipping; result == sim_ann_ivf"),
+    "sim_ann_filtered" -> QueryDef(simAnnFiltered, Some(simAnnFilteredSql),
+      "filtered vector search: label prefilter composed with IVF " +
+        "probing (widened to 12 cells); one full-corpus index serves " +
+        "every predicate, oracle replays filter + probe + rerank"))
 }

@@ -158,6 +158,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 = $mean")
   }
 
+  test("filtered ANN recall@10 against exact FILTERED top-k stays useful") {
+    // exact ground truth computed in-test: brute-force cosine over the
+    // label-filtered corpus (500 x 64 fits trivially in the test JVM)
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val keepLabels = SimilarityOps.FilteredLabels.toSet
+    val corpus = rows.filter(r => keepLabels.contains(r._3))
+    val exact = rows.filter(_._1 < 10).map { case (qid, qv, _) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map(c => (cos(qv, c._2), c._1))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(10).map(_._2).toSet
+    }.toMap
+    val ann = SimilarityOps.simAnnFiltered(spark, dir)
+      .select("query_id", "neighbor_id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ann.forall(r => keepLabels.contains(r._3)),
+      "filtered ANN returned a neighbor outside the predicate")
+    val byQ = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, e) =>
+      (byQ.getOrElse(q, Set.empty) & e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"filtered ANN mean recall@10 = $mean%.3f")
+    // measured 0.800 with 12/32 probes at ~40 % filter selectivity —
+    // widened probing (12 vs IVF's 8) buys back most of the per-cell
+    // candidates the filter removes. Pin with margin.
+    assert(mean >= 0.7, s"mean recall@10 = $mean")
+  }
+
   test("IVF-over-graft-table equals plain IVF and prunes to probed cells") {
     val table = SimilarityOps.simAnnIvfTable(spark, dir).collect().toSeq
     val plain = SimilarityOps.simAnnIvf(spark, dir).collect().toSeq
