@@ -22,6 +22,7 @@ object Registry {
       queries.Relational4.defs ++
       queries.Events.defs ++
       queries.TextOps.defs ++
+      queries.RankOps.defs ++
       queries.PackingOps.defs ++
       queries.DedupOps.defs ++
       queries.DedupCluster.defs ++

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Corpus-statistics ranking over `documents`: BM25 keyword retrieval and
+  * corpus-trained bigram-LM quality scoring — the two "train a tiny model
+  * on the corpus itself, then score every document with it" primitives of
+  * an LLM-data pipeline (Robertson & Zaragoza 2009 for BM25; CCNet-style
+  * LM filtering, Wenzek et al. 2020, for the bigram scorer).
+  *
+  * Both are two-pass map/aggregate pipelines: pass 1 trains the model
+  * (term/bigram statistics — VOCABULARY-sized, so the model broadcasts no
+  * matter how big the corpus is), pass 2 scores documents map-side against
+  * the broadcast model. At 100 TB: tokenization is per-row codegen'd
+  * string work; the training aggregations shuffle vocabulary-sized keys
+  * (bounded by |V| and |V|², not corpus size); scoring is one broadcast
+  * join per model table plus a doc-keyed aggregation. Nothing ever
+  * shuffles on raw text.
+  *
+  * ORACLE DETERMINISM: per-term/per-bigram scores are computed as one
+  * deterministic double expression (identical shape in Spark and DuckDB),
+  * rounded to integer MICRO-units, and summed as BIGINT — integer sums
+  * are order-independent, so the result hashes identically no matter how
+  * either engine schedules the aggregation (same trick as Tables.dsum).
+  */
+object RankOps {
+
+  /** Tokenizer shared by both ops (and replayed verbatim in the oracles):
+    * lowercase, split on single spaces, keep purely-alphabetic tokens.
+    */
+  private def tokenArr(text: Column): Column =
+    filter(split(lower(text), " "), t => t.rlike("^[a-z]+$"))
+
+  private val sqlTokenArr =
+    "list_filter(string_split(lower(text), ' '), " +
+      "t -> regexp_matches(t, '^[a-z]+$'))"
+
+  // --- BM25 retrieval --------------------------------------------------------
+  // Okapi BM25, k1 = 1.2, b = 0.75. The query set is a literal (the
+  // driver-side "search requests"); document frequencies and length norms
+  // come from the corpus itself.
+  private val BmQueries: Seq[(Int, String)] = Seq(
+    0 -> "dup", 0 -> "scan",
+    1 -> "spark", 1 -> "stream", 1 -> "batch",
+    2 -> "customer", 2 -> "order", 2 -> "join",
+    3 -> "vector", 3 -> "hash")
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokenArr(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl/stats/df all DERIVE from tf so the corpus is tokenized and
+    // shuffled exactly once — every other branch re-aggregates the same
+    // (doc_id, term) exchange, which ReuseExchange serves from one scan
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = BmQueries.toDF("query_id", "term")
+    // idf * saturated-tf, in ONE double expression per (doc, query term),
+    // rounded to micro so the per-doc sum is an exact BIGINT
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl") * col("n_docs") / col("total_dl")))
+    val termScore = round(idf * (col("tf") * lit(2.2)) / denom * lit(1.0e6), 0)
+      .cast("long")
+    val scored = tf.join(broadcast(q), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_m", termScore)
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_m")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val textBm25Sql = {
+    val qVals = BmQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest($sqlTokenArr) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES $qVals),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+        CAST(ROUND(
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * (dl.dl * n_docs / total_dl)))
+          * 1000000.0) AS BIGINT) AS term_m
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats),
+    agg AS (
+      SELECT query_id, doc_id, count(*) AS n_terms,
+        SUM(term_m) AS score_micro
+      FROM scored GROUP BY 1, 2)
+    SELECT query_id, rnk AS "rank", doc_id, n_terms,
+      CAST(score_micro AS BIGINT) AS score_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM agg) x
+    WHERE rnk <= 10
+    ORDER BY query_id, "rank""""
+  }
+
+  // --- Bigram-LM quality scoring --------------------------------------------
+  // Train a bigram language model (add-one smoothing over the corpus's own
+  // vocabulary) on the whole corpus, then score each document by its total
+  // and average bigram log-probability; emit the `LmWorst` lowest-scoring
+  // documents — the "perplexity filter" of CCNet, with the corpus itself
+  // as the reference model (gibberish scores far from corpus statistics).
+  private val LmWorst = 20
+
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val arr = t(spark, dir, "documents")
+      .select(col("doc_id"), tokenArr(col("text")).as("a"))
+      .filter(size(col("a")) >= 2)
+    // adjacent-pair explode: i in [1, size-1], 0-based lookups i-1 / i
+    val bigrams = arr.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(a[i - 1] AS w1, a[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val toks = arr.select(col("doc_id"), explode(col("a")).as("term"))
+    // model: c(w1,w2) and c(w1) — both vocabulary-sized, both broadcast
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = toks.groupBy(col("term").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    val perDoc = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n"))
+    val logp = round(
+      log((col("c12") + lit(1)) / (col("c1") + col("v"))) * lit(1.0e6), 0)
+      .cast("long")
+    val scored = perDoc
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bg_m", col("n") * logp)
+    val agg = scored.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("bg_m")).as("logprob_micro"))
+      .withColumn("avg_micro",
+        round(col("logprob_micro") * lit(1.0) / col("n_bigrams"), 0)
+          .cast("long"))
+    val w = Window.orderBy(col("avg_micro").asc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LmWorst)
+      .select(col("rank"), col("doc_id"), col("n_bigrams"),
+        col("logprob_micro"), col("avg_micro"))
+      .orderBy(col("rank"))
+  }
+
+  private val textLmScoreSql = s"""
+    WITH arr AS (
+      SELECT doc_id, $sqlTokenArr AS a FROM documents),
+    arr2 AS (SELECT * FROM arr WHERE len(a) >= 2),
+    bigrams AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM arr2, unnest(generate_series(1, len(a) - 1)) s(i)),
+    toks AS (SELECT doc_id, unnest(a) AS term FROM arr2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT term AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    perdoc AS (
+      SELECT doc_id, w1, w2, count(*) AS n FROM bigrams GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT p.doc_id,
+        p.n,
+        p.n * CAST(ROUND(
+          ln((c12 + 1) / (c1 + v)) * 1000000.0) AS BIGINT) AS bg_m
+      FROM perdoc p
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN vocab),
+    agg AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        CAST(SUM(bg_m) AS BIGINT) AS logprob_micro
+      FROM scored GROUP BY 1),
+    ranked AS (
+      SELECT *, CAST(ROUND(logprob_micro * 1.0 / n_bigrams) AS BIGINT)
+          AS avg_micro
+      FROM agg)
+    SELECT rnk AS "rank", doc_id, n_bigrams, logprob_micro, avg_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY avg_micro ASC, doc_id) AS rnk
+      FROM ranked) x
+    WHERE rnk <= $LmWorst
+    ORDER BY "rank""""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql),
+      "Okapi BM25 top-10 retrieval for a literal query set: corpus pass " +
+        "trains df/length norms (vocabulary-sized, broadcast), scoring " +
+        "is map-side; micro-unit integer scores make the oracle exact"),
+    "text_lm_score" -> QueryDef(textLmScore, Some(textLmScoreSql),
+      "corpus-trained bigram-LM (add-one smoothing) document scoring — " +
+        "the CCNet-style perplexity filter; emits the 20 lowest-scoring " +
+        "docs; model tables are vocabulary-sized broadcasts"))
+}
