@@ -107,7 +107,8 @@ final class GraftSource extends RelationProvider
     parameters.get("keycolumns").orElse(parameters.get("keyColumns"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(throw new IllegalArgumentException(
-        "graft changeFeed source: option 'keyColumns' is required"))
+        "graft: option 'keyColumns' is required " +
+          "(changeFeed source / upsert sink)"))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -148,11 +149,15 @@ final class GraftSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft sink supports Append output mode only, got $outputMode")
     val table = opt(parameters, "table")
+    val mode = parameters.getOrElse("mode", "append")
     new GraftSink(sqlContext, opt(parameters, "path"), table,
       parameters.get("txnappid").orElse(parameters.get("txnAppId"))
         .getOrElse(s"sink_$table"),
       parameters.get("autocompact").orElse(parameters.get("autoCompact"))
-        .map(_.toInt).getOrElse(0))
+        .map(_.toInt).getOrElse(0),
+      mode,
+      if (mode == "upsert") keyColumns(parameters) else Nil,
+      parameters.get("deletecolumn").orElse(parameters.get("deleteColumn")))
   }
 }
 
@@ -200,10 +205,26 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   * table past that many live objects, so a long-running stream's
   * object-per-batch layout stays bounded without a separate maintenance
   * job — and the compaction is atomic with the batch that triggered it.
+  *
+  * `mode = "upsert"` routes each batch through [[GraftClient.merge]] on
+  * `keyCols` instead of a plain append: matched keys are superseded
+  * (latest-wins MVCC), unmatched keys insert — a streaming MERGE. With
+  * `deleteColumn` set, source rows whose flag is true DELETE their keys
+  * instead (and the flag column is stripped from inserted rows), which
+  * makes the sink a CDC APPLY: piping one graft table's change feed into
+  * another's upsert sink incrementally materializes it. Exactly-once
+  * holds identically in both modes — the SetTxn watermark commits
+  * atomically with the batch's merge effects.
   */
 final class GraftSink(sqlContext: SQLContext, root: String, table: String,
-    appId: String, autoCompact: Int = 0)
+    appId: String, autoCompact: Int = 0, mode: String = "append",
+    keyCols: Seq[String] = Nil, deleteColumn: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
+
+  require(mode == "append" || mode == "upsert",
+    s"graft sink mode must be append|upsert, got $mode")
+  require(mode != "upsert" || keyCols.nonEmpty,
+    "graft sink upsert mode requires option 'keyColumns'")
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val c = new GraftClient(sqlContext.sparkSession, root)
@@ -211,9 +232,19 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
     try {
       if (c.lastTxn(appId).exists(_ >= batchId)) c.rollback()
       else {
-        if (!c.tables.contains(table)) c.createTable(table, data.schema)
-        c.insert(table,
-          StreamingShim.asBatch(sqlContext.sparkSession, data))
+        val batch = StreamingShim.asBatch(sqlContext.sparkSession, data)
+        if (!c.tables.contains(table)) {
+          val tableSchema = StructType(data.schema.fields
+            .filterNot(f => deleteColumn.contains(f.name)))
+          c.createTable(table, tableSchema)
+        }
+        if (mode == "upsert") {
+          val delCond = deleteColumn
+            .map(dc => org.apache.spark.sql.functions.col(dc) === true)
+            .getOrElse(org.apache.spark.sql.functions.lit(false))
+          c.merge(table, batch, keyCols, delCond,
+            dropCols = deleteColumn.toSeq)
+        } else c.insert(table, batch)
         if (autoCompact > 0) c.maybeCompact(table, autoCompact)
         c.setTxn(appId, batchId)
         c.commitTxRetrying()
@@ -221,7 +252,7 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
     } finally if (c.hasOpenTx) c.rollback()
   }
 
-  override def toString: String = s"GraftSink[$table]"
+  override def toString: String = s"GraftSink[$table:$mode]"
 }
 
 object GraftRelation {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.table.GraftClient
 
@@ -32,5 +33,38 @@ object StreamingSink {
         client.commitTx()
       } finally if (client.hasOpenTx) client.rollback()
     }
+  }
+
+  /** Exactly-once streaming UPSERT: each micro-batch is one MERGE
+    * transaction on `keyCols` (matched keys superseded latest-wins,
+    * unmatched inserted), committed atomically with a SetTxn watermark
+    * keyed by `appId` — a replayed batch (post-crash restart re-delivery)
+    * sees its own watermark at-or-above its batchId and skips, so the
+    * merge's delete-vector + insert effects apply exactly once.
+    *
+    * With `deleteColumn` set, source rows whose flag is true DELETE their
+    * keys instead of upserting (the flag is stripped from inserted rows):
+    * feeding a change-data feed into this sink incrementally materializes
+    * the upstream table. The same semantics are reachable via
+    * `writeStream.format("graft").option("mode", "upsert")`.
+    */
+  def upsertIntoTable(client: GraftClient, table: String,
+      keyCols: Seq[String], appId: String,
+      deleteColumn: Option[String] = None): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        client.newTx()
+        try {
+          if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+          else {
+            val delCond = deleteColumn.map(c => col(c) === true)
+              .getOrElse(lit(false))
+            client.merge(table, batch, keyCols, delCond,
+              dropCols = deleteColumn.toSeq)
+            client.setTxn(appId, batchId)
+            client.commitTxRetrying()
+          }
+        } finally if (client.hasOpenTx) client.rollback()
+      }
   }
 }

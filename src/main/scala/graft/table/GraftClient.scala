@@ -980,11 +980,17 @@ final class GraftClient(
     * one row per key, as with any MERGE.
     */
   def merge(table: String, source: DataFrame, keyCols: Seq[String],
-      deleteCond: org.apache.spark.sql.Column = lit(false)): Unit = {
+      deleteCond: org.apache.spark.sql.Column = lit(false),
+      dropCols: Seq[String] = Nil): Unit = {
     val t = currentTx
     val schema = schemaOf(table)
     require(keyCols.forall(schema.fieldNames.contains),
       s"merge keys must be table columns: ${keyCols.mkString(",")}")
+    // dropCols: source-only control columns (e.g. a CDC delete flag) that
+    // feed deleteCond but are not part of the table schema — stripped
+    // from the inserted rows after classification
+    require(dropCols.forall(c => !keyCols.contains(c)),
+      s"dropCols cannot include merge keys: ${dropCols.mkString(",")}")
     // flush first so this tx's buffered rows become a live object the
     // delete vector covers — otherwise a buffered row whose key the
     // source deletes would be flushed AFTER the DV was computed and
@@ -1010,7 +1016,8 @@ final class GraftClient(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       mergeDeletes(table, schema, delKeys, keyCols)
-      insert(table, classified.filter(!col(delFlag)).drop(delFlag))
+      insert(table,
+        classified.filter(!col(delFlag)).drop(delFlag).drop(dropCols: _*))
     } finally { delKeys.unpersist(false); classified.unpersist(false) }
   }
 

@@ -11,6 +11,7 @@ import graft.util.Tables
 
 object StreamingSpec {
   case class E(event_id: Long, user_id: Long, value: Double)
+  case class U(event_id: Long, value: Double, is_delete: Boolean)
 }
 
 /** Streaming twins vs their batch queries over the same fixture rows. */
@@ -168,5 +169,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotFps.length == gotFps.distinct.length)
     val want = graft.queries.DedupOps.dedupExact(s, dir).count()
     assert(gotFps.length.toLong == want)
+  }
+
+  test("upsert sink merges per batch, applies CDC deletes, replays skip") {
+    import org.apache.spark.sql.types._
+    import graft.table.GraftClient
+    import StreamingSpec.U
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val client = new GraftClient(s, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    client.newTx(); client.createTable("st", schema); client.commitTx()
+
+    val sink = StreamingSink.upsertIntoTable(client, "st", Seq("event_id"),
+      "app_upsert", deleteColumn = Some("is_delete"))
+    val input = MemoryStream[U](s)
+    val q = input.toDF().writeStream.foreachBatch(sink).start()
+    val b2 = Seq(U(1, 9.0, false), U(2, 0.0, true), U(3, 3.0, false))
+    try {
+      input.addData(Seq(U(1, 1.0, false), U(2, 2.0, false)))
+      q.processAllAvailable()
+      input.addData(b2) // update 1, DELETE 2, insert 3
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def state(): Map[Long, Double] = {
+      client.newTx()
+      try client.currentState("st", Seq("event_id")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally client.rollback()
+    }
+    assert(state() == Map(1L -> 9.0, 3L -> 3.0),
+      "matched key superseded, flagged key deleted, new key inserted")
+    val logLen = client.store.listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+
+    // post-crash re-delivery of batch 1: the SetTxn watermark (>= 1)
+    // must skip it — no new commit, no double-applied merge effects
+    sink(b2.toDF(), 1L)
+    assert(client.store.listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+      == logLen, "replayed batch must not commit")
+    assert(state() == Map(1L -> 9.0, 3L -> 3.0), "state unchanged by replay")
+  }
+
+  test("format(graft) upsert mode: streaming MERGE with auto-created table") {
+    import graft.table.GraftClient
+    import StreamingSpec.U
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert_v1").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val input = MemoryStream[U](s)
+    val q = input.toDF().writeStream.format("graft")
+      .option("path", out).option("table", "cur")
+      .option("mode", "upsert").option("keyColumns", "event_id")
+      .option("deleteColumn", "is_delete")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(U(10, 1.0, false), U(11, 2.0, false)))
+      q.processAllAvailable()
+      input.addData(Seq(U(10, 5.0, false), U(11, 0.0, true)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val c = new GraftClient(s, out)
+    c.newTx()
+    try {
+      // auto-created table schema excludes the CDC flag column
+      assert(c.schemaOf("cur").fieldNames.toSeq == Seq("event_id", "value"))
+      val cur = c.currentState("cur", Seq("event_id")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(cur == Map(10L -> 5.0), s"upsert+delete through V1 sink: $cur")
+    } finally c.rollback()
   }
 }
