@@ -1,0 +1,241 @@
+package graft.queries
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** BPE tokenizer training + application over `documents` (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — the tokenizer-construction step of an LLM data pipeline.
+  *
+  * SCALE SHAPE: classic BPE trains on word TYPES with frequencies, not
+  * the token stream — so training input is one corpus aggregation down
+  * to the vocabulary (bounded by |V|, not corpus size), the greedy merge
+  * loop runs driver-side on that vocabulary-sized table (same pattern as
+  * the trained IVF centroids), and application is a vocabulary-sized
+  * broadcast map joined to per-doc term counts. The corpus is scanned
+  * once for training counts and once for scoring; nothing larger than
+  * |V| is ever collected or shuffled beyond the (source, term) rollup.
+  *
+  * ORACLE: the trained merge list is embedded into the DuckDB SQL as a
+  * chain of literal `replace()` calls over a parenthesized symbol
+  * encoding — `scan` → `(s)(c)(a)(n)($)` — where left-to-right
+  * non-overlapping literal replacement IS the BPE merge step, and both
+  * engines agree on it exactly. All outputs are integers.
+  */
+object BpeOps {
+
+  private[graft] val NumMerges = 20
+  /** Driver-side training is bounded by the word-type count; fail loudly
+    * rather than collect an unbounded vocabulary (a real corpus trains
+    * on a capped most-frequent-types table first).
+    */
+  private val MaxVocabTypes = 100000
+
+  private def tokenArr(text: Column): Column =
+    filter(split(lower(text), " "), t => t.rlike("^[a-z]+$"))
+
+  private val sqlTokenArr =
+    "list_filter(string_split(lower(text), ' '), " +
+      "t -> regexp_matches(t, '^[a-z]+$'))"
+
+  /** word → initial symbol sequence: chars plus an end-of-word marker
+    * ('$' — disjoint from the [a-z] token alphabet).
+    */
+  private def symbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ "$"
+
+  /** One left-to-right non-overlapping merge pass (the list twin of the
+    * string `replace` the scoring pass uses).
+    */
+  private def mergePass(syms: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += (pair._1 + pair._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private val trainedCache =
+    scala.collection.mutable.Map[String, Vector[(String, String)]]()
+
+  /** Greedy BPE training: `NumMerges` rounds of "most frequent adjacent
+    * symbol pair across the frequency-weighted vocabulary, ties broken
+    * lexicographically". Fully deterministic, memoized per fixture dir.
+    */
+  private[graft] def mergesFor(spark: SparkSession,
+      dir: String): Vector[(String, String)] = synchronized {
+    trainedCache.getOrElseUpdate(dir, {
+      val counts = t(spark, dir, "documents")
+        .select(explode(tokenArr(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(counts.length <= MaxVocabTypes,
+        s"BPE training vocabulary ${counts.length} exceeds $MaxVocabTypes")
+      var vocab: Vector[(Vector[String], Long)] =
+        counts.sortBy(_._1).map { case (w, n) => symbols(w) -> n }.toVector
+      val merges = Vector.newBuilder[(String, String)]
+      var k = 0
+      var done = false
+      while (k < NumMerges && !done) {
+        val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, n) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val p = (syms(i), syms(i + 1))
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+            i += 1
+          }
+        }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val best = pairCounts.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }._1
+          merges += best
+          vocab = vocab.map { case (syms, n) => mergePass(syms, best) -> n }
+          k += 1
+        }
+      }
+      merges.result()
+    })
+  }
+
+  /** `scan` → `(s)(c)(a)(n)($)`: each symbol parenthesized, so a literal
+    * replace of `(a)(b)` → `(ab)` is exactly one BPE merge step and can
+    * never match across symbol boundaries (symbols contain no parens).
+    */
+  private def encode(term: Column): Column =
+    concat(regexp_replace(term, "(.)", "($1)"), lit("($)"))
+
+  private def applyMerges(enc: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(enc) { case (c, (a, b)) =>
+      regexp_replace(c, Pattern.quote(s"($a)($b)"),
+        java.util.regex.Matcher.quoteReplacement(s"(${a}${b})"))
+    }
+
+  /** Symbol count of an encoded sequence = number of '(' chars. */
+  private def nSyms(enc: Column): Column =
+    (length(enc) - length(translate(enc, "(", ""))).cast("long")
+
+  /** Shared tokenized-vocabulary frame: (term, n docs-wide occurrences,
+    * bpe: final encoded form, n_tokens) — vocabulary-sized.
+    */
+  private def tokenizedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    t(spark, dir, "documents")
+      .select(col("source"), explode(tokenArr(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .withColumn("bpe", applyMerges(encode(col("term")), merges))
+      .withColumn("n_tokens", nSyms(col("bpe")))
+  }
+
+  /** Per-merge adoption: how often each learned subword survives in the
+    * FINAL tokenization of the corpus (later merges can absorb earlier
+    * ones, so counts reflect the end state, weighted by occurrences).
+    */
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    val vocab = tokenizedVocab(spark, dir)
+      .groupBy("term", "bpe").agg(sum(col("n")).as("n"))
+    val mergeRows = merges.zipWithIndex.map { case ((a, b), i) =>
+      (i + 1, a + b)
+    }
+    import spark.implicits._
+    val mdf = mergeRows.toDF("merge_rank", "token")
+    val occ = (length(col("bpe")) -
+      length(replace(col("bpe"), concat(lit("("), col("token"), lit(")")),
+        lit("")))) / (length(col("token")) + lit(2))
+    vocab.crossJoin(broadcast(mdf))
+      .withColumn("occ", occ.cast("long") * col("n"))
+      .groupBy("merge_rank", "token")
+      .agg(sum(col("occ")).as("n_occurrences"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Trained-merge literals for the oracles — populated by the query's
+    * own (memoized) training run; Verify dumps oracle SQL AFTER running
+    * the queries, so the literals always reflect the merges the parquet
+    * result used (same late-binding contract as the IVF centroid
+    * literals in [[SimilarityOps]]).
+    */
+  private def trainedMerges: Vector[(String, String)] = synchronized {
+    trainedCache.values.lastOption.getOrElse(Vector.empty)
+  }
+
+  private def sqlChain(merges: Seq[(String, String)]): String =
+    merges.foldLeft(
+      "regexp_replace(term, '(.)', '(\\1)', 'g') || '($)'") {
+      case (s, (a, b)) => s"replace($s, '($a)($b)', '(${a}${b})')"
+    }
+
+  private def textBpeMergesSql: String = {
+    val merges = trainedMerges
+    val chain = sqlChain(merges)
+    val mergeVals =
+      if (merges.isEmpty) "(0, '')"
+      else merges.zipWithIndex
+        .map { case ((a, b), i) => s"(${i + 1}, '${a}${b}')" }.mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT source, unnest($sqlTokenArr) AS term FROM documents),
+    vocab0 AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    vocab AS (SELECT term, n, $chain AS bpe FROM vocab0),
+    m(merge_rank, token) AS (VALUES $mergeVals)
+    SELECT merge_rank, token,
+      CAST(SUM(((length(bpe) - length(replace(bpe, '(' || token || ')', '')))
+        / (length(token) + 2)) * n) AS BIGINT) AS n_occurrences
+    FROM vocab CROSS JOIN m
+    GROUP BY 1, 2
+    ORDER BY merge_rank"""
+  }
+
+  /** Per-source token accounting under the trained tokenizer: BPE token
+    * totals vs raw word counts — the compression the subword vocabulary
+    * buys, the number a data-mixture plan budgets with.
+    */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenizedVocab(spark, dir)
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_tokens")).as("n_bpe_tokens"))
+      .orderBy(col("source"))
+
+  private def textBpeTokensSql: String = {
+    val chain = sqlChain(trainedMerges)
+    s"""
+    WITH toks AS (
+      SELECT source, unnest($sqlTokenArr) AS term FROM documents),
+    pert AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+    enc AS (
+      SELECT source, term, n, $chain AS bpe FROM pert),
+    cnt AS (
+      SELECT source, n,
+        length(bpe) - length(replace(bpe, '(', '')) AS n_tokens
+      FROM enc)
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_words,
+      CAST(SUM(n * n_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM cnt
+    GROUP BY source
+    ORDER BY source"""
+  }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "text_bpe_merges" -> QueryDef(textBpeMerges, Some(textBpeMergesSql),
+      "BPE tokenizer training (20 greedy merges over frequency-weighted " +
+        "word types, driver loop on the vocabulary-sized table) + " +
+        "per-merge adoption counts in the final corpus tokenization; " +
+        "oracle replays the merge chain from trained literals"),
+    "text_bpe_tokens" -> QueryDef(textBpeTokens, Some(textBpeTokensSql),
+      "per-source BPE vs raw token accounting under the trained " +
+        "tokenizer — application is a vocabulary-sized broadcast map, " +
+        "corpus scanned once"))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{DedupOps, Multimodal, SimilarityOps}
+import graft.util.Tables
 
 /** Behavior pins for the pipeline operators whose outputs are not
   * SQL-oracle-able (hash-seeded or approximate): SimHash, LSH ANN, and the
@@ -156,6 +157,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     // ADC shortlist (100) loses nothing on top of cell coverage, i.e.
     // the 64x code compression is recall-free here. Pin with margin.
     assert(mean >= 0.8, s"mean recall@10 = $mean")
+  }
+
+  test("BPE training is deterministic and tokenization compresses") {
+    import graft.queries.BpeOps
+    val m1 = BpeOps.mergesFor(spark, dir)
+    assert(m1.length == BpeOps.NumMerges, s"trained ${m1.length} merges")
+    assert(m1.distinct.length == m1.length, "merges must be distinct")
+    // every merge output is buildable from its inputs (greedy chain)
+    m1.foreach { case (a, b) =>
+      assert((a + b).nonEmpty && !a.contains("(") && !b.contains(")"))
+    }
+    val toks = BpeOps.textBpeTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(toks.nonEmpty)
+    toks.foreach { case (src, nWords, nBpe) =>
+      // each word is at least 1 token and at most chars+1 ('$' marker);
+      // with 20 learned merges the corpus must tokenize to FEWER tokens
+      // than the unmerged char encoding would produce
+      assert(nBpe >= nWords, s"$src: impossible token count")
+    }
+    val totalBpe = toks.map(_._3).sum
+    val rawSyms = {
+      val d = Tables.t(spark, dir, "documents")
+      d.select(explode(filter(split(lower(col("text")), " "),
+          t => t.rlike("^[a-z]+$"))).as("w"))
+        .select(sum(length(col("w")) + lit(1))).collect()(0).getLong(0)
+    }
+    assert(totalBpe < rawSyms,
+      s"BPE must compress: $totalBpe tokens vs $rawSyms raw symbols")
+    // rerun = same result (training memoized AND deterministic)
+    assert(BpeOps.mergesFor(spark, dir) == m1)
   }
 
   test("filtered ANN recall@10 against exact FILTERED top-k stays useful") {
