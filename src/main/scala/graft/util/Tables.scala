@@ -17,16 +17,27 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-      // natively; read it as long nanos and truncate to the session's
-      // microsecond timestamps (DuckDB's epoch_us/date_trunc agree).
-      // The legacy conf belongs at session build (Verify/Bench set it);
-      // this defensive set covers ad-hoc sessions and is idempotent.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+      // generations and TIMESTAMP(MICROS) in others; normalize both to the
+      // session's microsecond TimestampType (DuckDB's epoch_us/date_trunc
+      // agree in either case). NANOS: Spark 4 refuses to read it natively,
+      // so read as long nanos (legacy conf; Verify/Bench set it at session
+      // build, this defensive set covers ad-hoc sessions) and truncate.
+      // MICROS without UTC adjustment: arrives as TIMESTAMP_NTZ; the
+      // wall-clock IS the instant because every session pins
+      // spark.sql.session.timeZone=UTC, so the cast is value-preserving.
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
