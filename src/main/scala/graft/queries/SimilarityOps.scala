@@ -880,6 +880,71 @@ object SimilarityOps {
     WHERE rnk <= 10
     ORDER BY query_id, "rank""""
 
+  // --- SemDeDup: cluster-scoped embedding near-dup --------------------------
+  // Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+  // learning at web-scale through semantic deduplication"): assign every
+  // vector to its trained k-means cell, then score ONLY within-cell pairs
+  // against the cosine threshold — pair generation is Σ cell² instead of
+  // corpus², and at 100 TB the number of cells k scales with the corpus
+  // (k ≈ N / target-cell-size) so cells stay bounded. As a backstop,
+  // cells above the shared near-dup `BucketCap` are shed loudly (observed
+  // metric) — mass-identical embeddings are exact dedup's job, the same
+  // contract as every LSH family. One broadcast assignment pass + one
+  // co-partitioned self-join on the cell id; the trained centroid VECTORS
+  // are embedded as literals into the DuckDB oracle, which replays
+  // assignment, the cell-size cap, and in-cell pair scoring exactly.
+  private[queries] val SemDedupThreshold = 0.4
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cent = centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid"), col("cv"))
+    val assigned = nearestCells(cent)(e, 1)
+    val counted = assigned.withColumn("_n",
+      count(lit(1)).over(Window.partitionBy(col("cid"))))
+    val capped = counted
+      .observe("dedup_semantic_cells",
+        max(col("_n")).as("max_cell"),
+        sum(when(col("_n") > DedupOps.BucketCap, 1L).otherwise(0L))
+          .as("dropped_members"))
+      .filter(col("_n").between(2, DedupOps.BucketCap))
+      .select(col("vec_id"), col("v"), col("cid"))
+    capped.as("a").join(capped.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos_sim") >= SemDedupThreshold)
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private def dedupSemanticSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    $centroidCte,
+    ranked AS (
+      SELECT n.vec_id, cent.cid,
+        row_number() OVER (PARTITION BY n.vec_id
+          ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC,
+                   cent.cid) AS rk
+      FROM n CROSS JOIN cent),
+    assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+    capped AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS cn
+        FROM assigned) x
+      WHERE cn BETWEEN 2 AND ${DedupOps.BucketCap})
+    SELECT cid, vec_a, vec_b, cos_sim FROM (
+      SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+          AS cos_sim
+      FROM capped a
+      JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id) p
+    WHERE cos_sim >= $SemDedupThreshold
+    ORDER BY vec_a, vec_b"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "sim_topk" -> QueryDef(simTopK, Some(simTopKSql),
       "exact cosine top-10 for 10 query vectors, two-phase top-k"),
@@ -911,5 +976,10 @@ object SimilarityOps {
     "sim_ann_filtered" -> QueryDef(simAnnFiltered, Some(simAnnFilteredSql),
       "filtered vector search: label prefilter composed with IVF " +
         "probing (widened to 12 cells); one full-corpus index serves " +
-        "every predicate, oracle replays filter + probe + rerank"))
+        "every predicate, oracle replays filter + probe + rerank"),
+    "dedup_semantic" -> QueryDef(dedupSemantic, Some(dedupSemanticSql),
+      "SemDeDup cluster-scoped embedding near-dup: trained k-means " +
+        "cell assignment, capped cells, within-cell cosine pairs only " +
+        "— oracle replays assignment, cap, and scoring from centroid " +
+        "literals"))
 }

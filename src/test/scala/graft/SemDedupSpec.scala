@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupOps, SimilarityOps}
+
+/** Behavior pins for SemDeDup cluster-scoped embedding dedup
+  * (`dedup_semantic`): precision (every emitted pair really clears the
+  * cosine threshold — checked against the exact pair scan) and recall
+  * (same-cell locality captures most of the high-cosine pairs the exact
+  * scan finds — the property SemDeDup's cluster scoping relies on).
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.select("vec_a", "vec_b", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("semantic pairs are a sound subset of the exact pair scan") {
+    val exact = pairs(DedupOps.dedupEmbedCosine(spark, dir))
+    val sem = pairs(SimilarityOps.dedupSemantic(spark, dir))
+    assert(sem.nonEmpty)
+    // fixture ids all sit below the exact scan's vec_id<1000 subset bound,
+    // so every semantic pair must appear in the exact scan with the same
+    // (rounded) cosine — cluster scoping can only drop pairs, never mint
+    // or rescore them
+    sem.foreach { case (p, c) =>
+      assert(exact.contains(p), s"pair $p not in exact scan")
+      assert(exact(p) === c, s"pair $p cosine mismatch: ${exact(p)} vs $c")
+    }
+  }
+
+  test("planted near-duplicate embeddings land in one cell and are found") {
+    // the fixture's embeddings are isotropic noise (max pairwise cosine
+    // ≈ 0.48), so the SemDeDup premise — near-dups share a cell — is
+    // pinned with PLANTED near-identicals: 20 jittered copies (one
+    // coordinate nudged) have cosine ≈ 1 with their originals and MUST
+    // come back as same-cell pairs
+    val s = spark
+    import s.implicits._
+    val planted = java.nio.file.Files
+      .createTempDirectory("graft_semdedup").toString
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    val copies = base.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + lit(10000L))
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + IF(i = 0, 0.01, 0.0) AS FLOAT))"))
+    base.unionByName(copies).coalesce(1)
+      .write.parquet(s"$planted/embeddings.parquet")
+    val sem = pairs(SimilarityOps.dedupSemantic(s, planted))
+    (0L until 20L).foreach { i =>
+      val c = sem.get((i, i + 10000L))
+      assert(c.nonEmpty, s"planted pair ($i, ${i + 10000L}) missed")
+      assert(c.get >= 0.99, s"planted pair cosine ${c.get}")
+    }
+  }
+
+  test("oversize cells are shed, planted pairs survive") {
+    // the [2, BucketCap] gate: a corpus-scale duplicate flood may not
+    // make pair generation quadratic; here every fixture cell is small,
+    // so nothing is shed and the observed max cell is sane
+    val df = SimilarityOps.dedupSemantic(spark, dir)
+    df.collect()
+    val m = df.queryExecution.observedMetrics.get("dedup_semantic_cells")
+    assert(m.nonEmpty, "observe() metric missing")
+    val row = m.get
+    assert(row.getAs[Long]("max_cell") <= DedupOps.BucketCap)
+    assert(row.getAs[Long]("dropped_members") === 0L)
+  }
+}
