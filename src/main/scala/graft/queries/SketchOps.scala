@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables.t
+
+/** Distributed data sketches over the document corpus — the cardinality /
+  * frequency primitives a 100 TB profiler runs INSTEAD of exact
+  * aggregations:
+  *
+  *   - `sketch_hll`: HyperLogLog distinct-word estimate per language
+  *     (Flajolet et al. 2007). The corpus collapses into m=512 registers
+  *     per group in ONE map-side-combinable aggregation (max per
+  *     register); merging sketches across partitions/tables is the same
+  *     max, so the shuffle carries ≤ m rows per group no matter how many
+  *     input rows there are.
+  *   - `sketch_cms_heavy`: count-min sketch (Cormode & Muthukrishnan
+  *     2005) — term frequencies folded into a d=4 × w=1024 cell grid
+  *     (sum per cell, map-side combinable, merge = cell-wise add), point
+  *     estimates = min over the d hashed cells, always ≥ the true count.
+  *
+  * Both sketches are built on the engine-portable top-60-bits-of-md5
+  * hash (the codebase's standard portable hash — e.g. DedupOps simhash),
+  * and every aggregate is integer arithmetic held exactly in BIGINT, so
+  * the DuckDB oracle replays register states and cell grids bit-for-bit
+  * — the HLL harmonic mean is summed in exact 2^(52-rho) integer units
+  * and converted to a double only for the single final division.
+  *
+  * Reference scope: sketches are absent from the reference engine
+  * (SURVEY §2.2 names only exact aggregation); these are the standard
+  * published constructions, built Spark-first.
+  */
+object SketchOps {
+
+  /** log2(m) = 9 → m = 512 registers: ±4.6 % standard error, 512 rows of
+    * shuffle per group — the classic profiling point.
+    */
+  private val HllP = 9
+  private val HllM = 1 << HllP // 512
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsTopK = 20
+
+  /** Engine-portable 60-bit hash: top 15 hex chars of md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** (lang, w) normalized non-empty words — the same normalization every
+    * text family uses (lower, collapse whitespace, split on space).
+    */
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+
+  private val wordsSql =
+    """SELECT lang, unnest(string_split(
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+       FROM documents"""
+
+  // --- HyperLogLog distinct-count sketch ------------------------------------
+  // Register index = low 9 hash bits; rho = leading-zero rank of the
+  // remaining 51 bits, computed portably as 52 - length(bin(h >> 9))
+  // (bin() drops leading zeros in BOTH engines; the all-zero remainder
+  // maps to 51 — one off the ideal 52, same value on both sides, washed
+  // out by the harmonic mean). The harmonic denominator is summed in
+  // exact integer units of 2^-52 (max register term 2^51, 512 registers
+  // → ≤ 2^61: exact in BIGINT), absent registers contribute 2^52 each;
+  // the single final division runs in IEEE double from identical
+  // e0-notation literals on both engines.
+  /** (lang, reg, m) register states — the mergeable sketch itself:
+    * union of corpora = per-register max (pinned in SketchSpec).
+    */
+  private[graft] def hllRegisters(spark: SparkSession,
+      dir: String): DataFrame = {
+    val h = h60(col("w"))
+    words(spark, dir)
+      .select(col("lang"), pmod(h, lit(HllM)).as("reg"),
+        shiftright(h, HllP).as("rest"))
+      .withColumn("rho", lit(52) - length(bin(col("rest"))))
+      .groupBy(col("lang"), col("reg"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    hllRegisters(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(col("m")).as("sum_rho"),
+        sum(expr("shiftleft(1L, 52 - m)")).as("z_hit"))
+      .withColumn("z_total",
+        col("z_hit") + (lit(HllM.toLong) - col("n_regs")) * lit(1L << 52))
+      .withColumn("raw",
+        expr("0.7213e0/(1.0e0+1.079e0/512.0e0)*512.0e0*512.0e0" +
+          "*4503599627370496.0e0") / col("z_total").cast("double"))
+      // small-range correction (E ≤ 2.5m with empty registers → linear
+      // counting m·ln(m/V)): the branch condition is exact-integer /
+      // ulp-deterministic on both engines, and ln's 512 possible inputs
+      // all sit ≥ 1.6e-3 from a 2-dp rounding boundary (verified), so a
+      // sub-ulp libm difference can never flip the rounded estimate
+      .withColumn("v_zero", lit(HllM.toLong) - col("n_regs"))
+      .withColumn("distinct_est",
+        when(col("raw") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          round(expr("512.0e0 * ln(512.0e0 / CAST(v_zero AS DOUBLE))"), 2))
+        .otherwise(round(col("raw"), 2)))
+      .select(col("lang"), col("n_regs"), col("sum_rho"),
+        col("distinct_est"))
+      .orderBy(col("lang"))
+  }
+
+  private val sketchHllSql = s"""
+    WITH w AS ($wordsSql),
+    nz AS (SELECT lang, w FROM w WHERE w <> ''),
+    h AS (SELECT lang,
+        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h60 FROM nz),
+    r AS (SELECT lang, h60 % $HllM AS reg,
+        52 - length(bin(h60 // $HllM)) AS rho FROM h),
+    regs AS (SELECT lang, reg, max(rho) AS m FROM r GROUP BY lang, reg),
+    agg AS (
+      SELECT lang, count(*) AS n_regs, sum(m) AS sum_rho,
+        sum((1::BIGINT << (52 - m))) AS z_hit
+      FROM regs GROUP BY lang),
+    est AS (
+      SELECT lang, n_regs, sum_rho, $HllM - n_regs AS v_zero,
+        0.7213e0/(1.0e0+1.079e0/512.0e0)*512.0e0*512.0e0
+          *4503599627370496.0e0
+          / CAST(z_hit + ($HllM - n_regs) * (1::BIGINT << 52) AS DOUBLE)
+          AS raw
+      FROM agg)
+    SELECT lang, n_regs, sum_rho,
+      CASE WHEN raw <= ${2.5 * HllM} AND v_zero > 0
+        THEN round(512.0e0 * ln(512.0e0 / CAST(v_zero AS DOUBLE)), 2)
+        ELSE round(raw, 2) END AS distinct_est
+    FROM est
+    ORDER BY lang"""
+
+  // --- Count-min heavy-hitter sketch ----------------------------------------
+  // d=4 seeded hash rows × w=1024 cells; every term occurrence adds 1 to
+  // its cell in each row (one groupBy(row, cell) — 4096 output cells no
+  // matter the corpus). The point estimate for a term is the MIN over
+  // its d cells — never below the true count. The query reports the
+  // sketch estimate next to the true count for the exact top-k terms
+  // (both sides of the comparison derive from ONE tokenized scan; at
+  // 100 TB the exact side is what the sketch replaces, and candidates
+  // stream against the 4096-cell broadcast grid).
+  def sketchCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir).select(col("w"))
+    val cells = w
+      .select(col("w"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .select(col("j"),
+        pmod(h60(concat(col("j").cast("string"), lit(":"), col("w"))),
+          lit(CmsWidth)).as("cell"))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+    // orderBy+limit = TakeOrderedAndProject (distributed top-k, no
+    // single-partition sort of the vocabulary); rank stamped on the
+    // 20-row result
+    val top = w.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term"))
+      .limit(CmsTopK)
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("true_cnt").desc, col("term"))))
+    val probes = top
+      .select(col("term"), col("true_cnt"), col("_rk"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .withColumn("cell",
+        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
+          lit(CmsWidth)))
+    probes.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("term"), col("true_cnt"), col("_rk"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("_rk").as("rank"), col("term"), col("true_cnt"),
+        col("cms_est"), (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
+  private val sketchCmsHeavySql = s"""
+    WITH wrd AS ($wordsSql),
+    nz AS (SELECT w FROM wrd WHERE w <> ''),
+    cells AS (
+      SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 15))
+          ::BIGINT % $CmsWidth AS cell, count(*) AS c
+      FROM nz CROSS JOIN range($CmsDepth) r(j)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT term, true_cnt, rk FROM (
+        SELECT w AS term, count(*) AS true_cnt,
+          row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        FROM nz GROUP BY w) x
+      WHERE rk <= $CmsTopK),
+    probes AS (
+      SELECT term, true_cnt, rk, j,
+        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))
+          ::BIGINT % $CmsWidth AS cell
+      FROM top CROSS JOIN range($CmsDepth) r(j))
+    SELECT p.rk AS "rank", p.term, p.true_cnt, min(c.c) AS cms_est,
+      min(c.c) - p.true_cnt AS overcount
+    FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+    GROUP BY p.rk, p.term, p.true_cnt
+    ORDER BY "rank""""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_hll" -> QueryDef(sketchHll, Some(sketchHllSql),
+      "HyperLogLog distinct-word estimate per language: 512 portable-" +
+        "md5 registers, exact-integer harmonic sum — register states " +
+        "and estimate replayed bit-for-bit in DuckDB"),
+    "sketch_cms_heavy" -> QueryDef(sketchCmsHeavy, Some(sketchCmsHeavySql),
+      "count-min sketch term frequencies (4x1024 grid) with min-over-" +
+        "rows point estimates vs true counts for the exact top-20 terms"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SketchOps
+
+/** Behavior pins for the sketch operators beyond the DuckDB oracle
+  * (which proves engine-exact replay): the statistical properties the
+  * sketches exist for — HLL accuracy and mergeability, CMS one-sided
+  * error.
+  */
+class SketchSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("HLL estimate tracks the true distinct count per language") {
+    val est = SketchOps.sketchHll(spark, dir)
+      .select("lang", "distinct_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang").agg(countDistinct("w").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.nonEmpty && est.keySet == truth.keySet)
+    truth.foreach { case (lang, d) =>
+      val e = est(lang)
+      // m=512 registers → 4.6 % standard error; pin at 3σ ≈ 15 %
+      assert(math.abs(e - d) <= 0.15 * d,
+        s"$lang: est $e vs true $d drifted past 15%")
+    }
+  }
+
+  test("HLL registers merge by per-register max (sketch union law)") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/even/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/odd/documents.parquet")
+    def regMap(d: String): Map[(String, Long), Int] =
+      SketchOps.hllRegisters(s, d).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val whole = regMap(dir)
+    val even = regMap(s"$tmp/even")
+    val odd = regMap(s"$tmp/odd")
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> math.max(even.getOrElse(k, Int.MinValue),
+        odd.getOrElse(k, Int.MinValue))
+    }.toMap
+    assert(merged === whole,
+      "max-merge of half-corpus sketches != whole-corpus sketch")
+  }
+
+  test("CMS estimates are one-sided and tight on the fixture") {
+    val rows = SketchOps.sketchCmsHeavy(spark, dir)
+      .select("true_cnt", "cms_est", "overcount").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (t, e, o) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(e >= t, s"CMS under-counted: est $e < true $t")
+      assert(o === e - t)
+      // fixture word mass / 1024 cells keeps collisions small; a broken
+      // hash (everything in one cell) would blow far past this
+      assert(o <= t, s"overcount $o exceeds true count $t — hash degenerate")
+    }
+  }
+}
