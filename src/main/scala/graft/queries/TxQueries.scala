@@ -361,6 +361,30 @@ object TxQueries {
       FROM nation WHERE n_nationkey BETWEEN 10 AND 14
     ) ORDER BY _change, n_nationkey"""
 
+  // --- CDF with pre/post-images (Delta CDF parity) --------------------------
+  // The same commit window as tx_cdf, but every update emits BOTH sides
+  // (`update_preimage` with the old values, `update_postimage` with the
+  // new) — the retraction stream incremental aggregate-view maintenance
+  // consumes (StreamingSink.aggregateInto).
+  def txCdfPreimages(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.changesBetween("nation", Seq("n_nationkey"), 1, 3, preimages = true)
+        .orderBy(col("_change"), col("n_nationkey"))
+    }
+
+  private val txCdfPreimagesSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey, 'delete' AS _change
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'update_preimage'
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+      UNION ALL
+      SELECT n_nationkey, n_name || '_V2', n_regionkey + 100,
+        'update_postimage'
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+    ) ORDER BY _change, n_nationkey"""
+
   // --- Drop + re-add column: narrowed rewrite, no value resurrection --------
   def txDropColumn(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -564,6 +588,10 @@ object TxQueries {
       "MERGE: matched update + unmatched insert + delete clause, no rewrite"),
     "tx_cdf" -> QueryDef(txCdf, Some(txCdfSql),
       "change data feed: row-level insert/update/delete between versions"),
+    "tx_cdf_preimages" -> QueryDef(txCdfPreimages, Some(txCdfPreimagesSql),
+      "CDF with update_preimage/update_postimage rows (Delta CDF " +
+        "parity) — the retraction stream incremental aggregate-view " +
+        "maintenance consumes"),
     "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
       "full lineitem through partitioned bulk write; month-range scan " +
         "opens ~12 of ~80 objects via stats pruning"),

@@ -61,7 +61,8 @@ final class GraftSource extends RelationProvider
           .orElse(parameters.get("startingVersion")).map(_.toLong)
           .getOrElse(0L),
         parameters.get("endingversion")
-          .orElse(parameters.get("endingVersion")).map(_.toLong))
+          .orElse(parameters.get("endingVersion")).map(_.toLong),
+        preimages(parameters))
     else
       GraftRelation(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), parameters.get("versionasof")
@@ -99,6 +100,10 @@ final class GraftSource extends RelationProvider
     GraftRelation(sqlContext, root, table, None)
   }
 
+  private def preimages(parameters: Map[String, String]): Boolean =
+    parameters.get("preimages").orElse(parameters.get("preImages"))
+      .exists(_.toBoolean)
+
   private def changeFeed(parameters: Map[String, String]): Boolean =
     parameters.get("changefeed").orElse(parameters.get("changeFeed"))
       .exists(_.toBoolean)
@@ -127,7 +132,8 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String]): Source =
     if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"), keyColumns(parameters))
+        opt(parameters, "table"), keyColumns(parameters),
+        preimages(parameters))
     else
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
@@ -171,7 +177,8 @@ final class GraftSource extends RelationProvider
   * the empty table: all inserts.
   */
 final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, keyCols: Seq[String]) extends Source {
+    table: String, keyCols: Seq[String], preimages: Boolean = false)
+    extends Source {
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
 
@@ -195,7 +202,7 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     StreamingShim.asStreaming(sqlContext.sparkSession,
       client.changesBetween(table, keyCols,
-        start.map(versionOf).getOrElse(0L), versionOf(end)))
+        start.map(versionOf).getOrElse(0L), versionOf(end), preimages))
 
   override def stop(): Unit = {}
 }
@@ -429,12 +436,14 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
   * ∝ the changed window's live rows, never the log's history.
   */
 final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
-    table: String, keyCols: Seq[String], from: Long, until: Option[Long])
+    table: String, keyCols: Seq[String], from: Long, until: Option[Long],
+    preimages: Boolean = false)
     extends BaseRelation with TableScan {
 
   private def changes: DataFrame =
     GraftRelation.withClient(sqlContext, root) { c =>
-      c.changesBetween(table, keyCols, from, until.getOrElse(c.latestVersion))
+      c.changesBetween(table, keyCols, from,
+        until.getOrElse(c.latestVersion), preimages)
     }
 
   override val schema: StructType = changes.schema

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
 
 import graft.table.GraftClient
 
@@ -48,6 +48,66 @@ object StreamingSink {
     * the upstream table. The same semantics are reachable via
     * `writeStream.format("graft").option("mode", "upsert")`.
     */
+  /** Incrementally-maintained aggregate MATERIALIZED VIEW: consumes the
+    * base table's change feed WITH pre/post-images
+    * (`option("preimages", "true")` on the changeFeed source /
+    * `changesBetween(..., preimages = true)`) and folds each micro-batch
+    * into `mvTable` = SELECT groupCol, count(*) AS cnt, sum(valueCol) AS
+    * total GROUP BY groupCol — without ever rescanning the base table.
+    *
+    * Per batch: every feed row contributes ±1 / ±value (insert and
+    * update_postimage add, delete and update_preimage retract — group
+    * reassignments decrement the old group and increment the new one
+    * naturally), the per-group deltas LEFT-join the MV's current state
+    * (groups untouched by the batch are never read or written), and the
+    * result lands as ONE MERGE tx: groups whose count reaches zero are
+    * deleted, the rest upsert. A SetTxn watermark commits atomically with
+    * the merge, so replayed batches skip — exactly once, like
+    * [[upsertIntoTable]].
+    *
+    * At 100 TB: incremental view maintenance costs O(changed rows +
+    * touched groups) per batch versus O(table) for a refresh; the delta
+    * frame is group-sized (broadcast into the MERGE), and the MV itself
+    * is an ordinary transactional table — snapshot-isolated, time-
+    * travelable, and readable mid-stream.
+    */
+  def aggregateInto(client: GraftClient, mvTable: String,
+      groupCol: String, valueCol: String, appId: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    if (!batch.isEmpty) {
+      val sign = when(
+        col("_change").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L))
+      val delta = batch
+        .groupBy(col(groupCol))
+        .agg(sum(sign).as("_d_cnt"),
+          sum(sign * col(valueCol)).as("_d_total"))
+      client.newTx()
+      try {
+        if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+        else {
+          if (!client.tables.contains(mvTable))
+            client.createTable(mvTable, delta
+              .select(col(groupCol), col("_d_cnt").as("cnt"),
+                col("_d_total").as("total"))
+              .schema)
+          val cur = client.currentState(mvTable, Seq(groupCol))
+            .select(col(groupCol), col("cnt"), col("total"))
+          val next = delta.join(cur, Seq(groupCol), "left")
+            .select(col(groupCol),
+              (coalesce(col("cnt"), lit(0L)) + col("_d_cnt")).as("cnt"),
+              when(col("total").isNull, col("_d_total"))
+                .otherwise(col("total") + col("_d_total")).as("total"))
+            .withColumn("_del", col("cnt") === 0L)
+          client.merge(mvTable, next, Seq(groupCol),
+            deleteCond = col("_del"), dropCols = Seq("_del"))
+          client.setTxn(appId, batchId)
+          client.commitTxRetrying()
+        }
+      } finally if (client.hasOpenTx) client.rollback()
+    }
+  }
+
   def upsertIntoTable(client: GraftClient, table: String,
       keyCols: Seq[String], appId: String,
       deleteColumn: Option[String] = None): (DataFrame, Long) => Unit = {

@@ -4,7 +4,7 @@ import java.util.UUID
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1075,7 +1075,8 @@ final class GraftClient(
     * count as updates.
     */
   def changesBetween(table: String, keyCols: Seq[String],
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      preimages: Boolean = false): DataFrame = {
     val snap = txLog.beginAt(toVersion)
     val schema = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table at v$toVersion: $table"))
@@ -1113,15 +1114,36 @@ final class GraftClient(
     val differs =
       if (valCols.isEmpty) lit(false)
       else valCols.map(c => !(col(s"b.$c") <=> col(s"a.$c"))).reduce(_ || _)
-    joined
+    val classified = joined
       .withColumn("_change",
         when(!inBefore, lit("insert"))
           .when(!inAfter, lit("delete"))
           .when(differs, lit("update")))
       .filter(col("_change").isNotNull)
-      .select(schema.fieldNames.toIndexedSeq.map(c =>
+    if (!preimages)
+      classified.select(schema.fieldNames.toIndexedSeq.map(c =>
         when(col("_change") === "delete", col(s"b.$c"))
           .otherwise(col(s"a.$c")).as(c)) :+ col("_change"): _*)
+    else {
+      // Delta-CDF-parity labels: an update emits BOTH sides —
+      // `update_preimage` (old values) then `update_postimage` (new) —
+      // so an incremental consumer can retract the old contribution and
+      // apply the new one (the property aggregate view maintenance
+      // needs; new-values-only updates cannot retract).
+      def side(p: String): Column = struct(
+        schema.fieldNames.toIndexedSeq.map(c => col(s"$p.$c").as(c)): _*)
+      classified.select(explode(
+        when(col("_change") === "insert",
+          array(struct(side("a").as("r"), lit("insert").as("l"))))
+        .when(col("_change") === "delete",
+          array(struct(side("b").as("r"), lit("delete").as("l"))))
+        .otherwise(array(
+          struct(side("b").as("r"), lit("update_preimage").as("l")),
+          struct(side("a").as("r"), lit("update_postimage").as("l")))))
+        .as("e"))
+        .select(schema.fieldNames.toIndexedSeq
+          .map(c => col(s"e.r.$c").as(c)) :+ col("e.l").as("_change"): _*)
+    }
   }
 
   /** Inclusive range delete, start <= col <= end — the reference's single

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingSink
+import graft.table.GraftClient
+
+/** Pins for CDF pre/post-images and the incrementally-maintained
+  * aggregate materialized view built on them: the MV table must track
+  * the batch aggregate of the base table exactly across inserts,
+  * value updates, group reassignments, deletes, and group extinction —
+  * and replayed batches must not double-apply.
+  */
+class IncrementalMvSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: (Int, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "g", "v")
+  }
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("changesBetween preimages: updates emit both sides") {
+    val c = new GraftClient(spark, tmp("graft_pre"))
+    c.newTx(); c.createTable("t", schema)
+    c.insert("t", df((1, "a", 10L), (2, "b", 20L))); c.commitTx()
+    val v1 = c.latestVersion
+    c.newTx()
+    c.insert("t", df((1, "a", 15L), (3, "a", 5L))) // upsert 1, insert 3
+    c.deleteRows("t", "k", 2, 2)
+    c.commitTx()
+    val v2 = c.latestVersion
+
+    val feed = c.changesBetween("t", Seq("k"), v1, v2, preimages = true)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(feed === Set(
+      (1, "a", 10L, "update_preimage"),
+      (1, "a", 15L, "update_postimage"),
+      (2, "b", 20L, "delete"),
+      (3, "a", 5L, "insert")))
+
+    // default mode is unchanged: new-values-only with a plain "update"
+    val plain = c.changesBetween("t", Seq("k"), v1, v2).collect()
+      .map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(plain === Set((1, "update"), (2, "delete"), (3, "insert")))
+  }
+
+  test("streaming MV tracks the batch aggregate through mutations") {
+    val s = spark
+    val baseDir = tmp("graft_mv_base")
+    val mvDir = tmp("graft_mv_store")
+    val ckpt = tmp("graft_mv_ck")
+    val base = new GraftClient(s, baseDir)
+    val mvClient = new GraftClient(s, mvDir)
+    base.newTx(); base.createTable("t", schema)
+    base.insert("t", df((1, "a", 10L), (2, "b", 20L), (3, "a", 7L)))
+    base.commitTx()
+
+    val q = s.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("keyColumns", "k").option("preimages", "true")
+      .load(baseDir)
+      .writeStream
+      .foreachBatch(StreamingSink.aggregateInto(mvClient, "mv", "g", "v",
+        "app_mv"))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def mvState(): Map[String, (Long, Long)] = {
+      mvClient.newTx()
+      try mvClient.currentState("mv", Seq("g")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally mvClient.rollback()
+    }
+    def expected(): Map[String, (Long, Long)] = {
+      base.newTx()
+      try base.currentState("t", Seq("k"))
+        .groupBy("g").agg(count(lit(1)), sum("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally base.rollback()
+    }
+
+    try {
+      q.processAllAvailable()
+      assert(mvState() === Map("a" -> ((2L, 17L)), "b" -> ((1L, 20L))))
+
+      // value update + group move + insert, then a commit that empties b
+      base.newTx()
+      base.insert("t", df((1, "a", 12L), (3, "c", 7L), (4, "b", 1L)))
+      base.commitTx()
+      base.newTx()
+      base.deleteRows("t", "k", 2, 2)
+      base.deleteRows("t", "k", 4, 4)
+      base.commitTx()
+      q.processAllAvailable()
+      val exp = expected()
+      assert(mvState() === exp, "MV diverged from batch aggregate")
+      assert(!mvState().contains("b"), "emptied group must be deleted")
+    } finally q.stop()
+
+    // post-crash re-delivery: watermark skips, state + log unchanged
+    val sink = StreamingSink.aggregateInto(mvClient, "mv", "g", "v", "app_mv")
+    val logLen = mvClient.store
+      .listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+    sink(df((9, "z", 99L)).withColumn("_change", lit("insert")), 0L)
+    assert(mvClient.store.listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+      === logLen, "replayed batch must not commit")
+    assert(!mvState().contains("z"), "replayed batch must not apply")
+  }
+}
