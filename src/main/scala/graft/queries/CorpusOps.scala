@@ -248,6 +248,62 @@ object CorpusOps {
     WHERE round(CAST(i.n_shared AS DOUBLE) / t.tot, 6) >= $ContainThreshold
     ORDER BY i.doc_id, i.probe_id"""
 
+  // --- exact n-gram decontamination ----------------------------------------
+  // The GPT-3-style eval-set filter (Brown et al. 2020, appendix C):
+  // a corpus document is contaminated if any of its word 13-grams
+  // appears verbatim in the probe (benchmark) set. Distinct probe grams
+  // are broadcast-sized by construction; the corpus side is ONE linear
+  // gram pass + broadcast semi-join + a doc_id-keyed count — no
+  // corpus-wide distinct, no self-join. The denominator is gram
+  // POSITIONS (size - 12, computed map-side), so no corpus-scale
+  // distinct aggregation exists anywhere in the plan.
+  private val NgramN = 13
+
+  def textNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("ws"))
+      .repartition(col("doc_id"))
+      .filter(size(col("ws")) >= NgramN)
+    val grams = d.select(col("doc_id"),
+      (size(col("ws")) - lit(NgramN - 1)).as("n_positions"),
+      explode(expr(
+        s"""transform(sequence(0, size(ws) - $NgramN),
+              i -> concat_ws(' ', slice(ws, i + 1, $NgramN)))"""))
+        .as("gram"))
+    val probe = grams.filter(col("doc_id") < ProbeMax)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= ProbeMax)
+      .join(broadcast(probe), "gram")
+      .groupBy(col("doc_id"), col("n_positions"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("frac", round(
+        col("n_contaminated").cast("double") / col("n_positions"), 6))
+      .select(col("doc_id"), col("n_positions"), col("n_contaminated"),
+        col("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textNgramDecontamSql = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    sized AS (SELECT doc_id, ws, len(ws) - ${NgramN - 1} AS n_positions
+      FROM d WHERE len(ws) >= $NgramN),
+    g AS (
+      SELECT doc_id, n_positions,
+        array_to_string(ws[i:i+${NgramN - 1}], ' ') AS gram
+      FROM sized, unnest(range(1, n_positions + 1)) t(i)),
+    probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < $ProbeMax)
+    SELECT doc_id, n_positions, count(*) AS n_contaminated,
+      round(CAST(count(*) AS DOUBLE) / n_positions, 6) AS frac
+    FROM g JOIN probe USING (gram)
+    WHERE doc_id >= $ProbeMax
+    GROUP BY doc_id, n_positions
+    ORDER BY doc_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "dedup_corpus" -> QueryDef(dedupCorpus, Some(dedupCorpusSql),
       "END-TO-END dedup: exact groups + near-dup pairs closed " +
@@ -258,5 +314,10 @@ object CorpusOps {
         "of corpus docs against a broadcast probe set"),
     "corpus_curation" -> QueryDef(corpusCuration, Some(corpusCurationSql),
       "full curation funnel: length gate -> repetition gate -> dedup " +
-        "survivor gate, per-source accounting of where every byte went"))
+        "survivor gate, per-source accounting of where every byte went"),
+    "text_ngram_decontam" -> QueryDef(textNgramDecontam,
+      Some(textNgramDecontamSql),
+      "GPT-3-style exact word-13-gram decontamination: corpus docs " +
+        "sharing any verbatim 13-gram with the broadcast probe set, " +
+        "with per-doc contaminated-position fractions"))
 }
