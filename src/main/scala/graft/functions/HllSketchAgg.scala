@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Native HyperLogLog sketch aggregate (`hll_sketch(h60)`) — the
+  * imperative-aggregate tier of the custom-operator ladder (the codegen'd
+  * scalar tier is [[VectorCosine]]/[[HyperplaneBuckets]]): one 512-byte
+  * register buffer per group, updated in place per row, merged by
+  * elementwise max — no per-row allocation, no exploded
+  * (group, register) shuffle rows like the composable form, just one
+  * sketch-sized buffer riding Spark's standard partial-aggregation
+  * machinery (map-side combine → merge), exactly how a 100 TB profiling
+  * pass wants cardinality folded.
+  *
+  * Semantics are BIT-COMPATIBLE with the composable register pipeline in
+  * `queries/SketchOps.sketchHll` (same input contract — the portable
+  * top-60-bits-of-md5 hash — same register/rho split, same exact-integer
+  * harmonic sum, same literals, same small-range branch), pinned by
+  * HllAggSpec: after Spark-side 2-dp rounding the estimates are
+  * identical (rho/register counts exactly; the sub-ulp `ln` freedom can
+  * never cross a rounding boundary — see SketchOps).
+  *
+  * Returns struct(n_regs, sum_rho, distinct_est): the register digest
+  * the oracle checks plus the unrounded estimate.
+  */
+case class HllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  private val P = 9
+  private val M = 1 << P // 512
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hll_sketch expects a BIGINT 60-bit hash column, got $t")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_regs", LongType, nullable = false),
+    StructField("sum_rho", LongType, nullable = false),
+    StructField("distinct_est", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val reg = (h % M).toInt
+      val rest = h >>> P
+      // same portable rho as the composed form: 52 - length(bin(rest)),
+      // where bin() drops leading zeros (and bin(0) = "0")
+      val binLen =
+        if (rest == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(rest)
+      val rho = 52 - binLen
+      if (rho > buf(reg)) buf(reg) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var nRegs = 0L; var sumRho = 0L; var zHit = 0L
+    var i = 0
+    while (i < M) {
+      val m = buf(i)
+      if (m > 0) { nRegs += 1; sumRho += m; zHit += 1L << (52 - m) }
+      i += 1
+    }
+    val vZero = M - nRegs
+    val zTotal = zHit + vZero * (1L << 52)
+    // identical literals + op order to the composed form / DuckDB oracle
+    val raw = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+      4503599627370496.0 / zTotal.toDouble
+    val est =
+      if (raw <= 2.5 * M && vZero > 0) 512.0 * math.log(512.0 / vZero)
+      else raw
+    new GenericInternalRow(Array[Any](nRegs, sumRho, est))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllSketchAgg =
+    copy(child = c)
+}

@@ -112,6 +112,14 @@ object GraftFunctions {
         }
         HyperplaneBuckets(children.head, LshPlanes.flat(t, b), t, b)
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "hll_sketch expects exactly 1 argument (a BIGINT 60-bit hash)")
+        HllSketchAgg(children.head)
+      })
   }
 }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.queries.SketchOps
+
+/** Pins the native `hll_sketch` imperative aggregate bit-compatible with
+  * the composable register pipeline (`SketchOps.sketchHll`): identical
+  * register digests and (after Spark-side 2-dp rounding) identical
+  * estimates, across both the single-partition and the forced
+  * partial-merge (shuffled) execution paths.
+  */
+class HllAggSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def hashed = {
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        explode(split(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("w"))
+      .filter(col("w") =!= "")
+      .select(col("lang"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  private def viaAgg(repartitioned: Boolean): Map[String, (Long, Long, Double)] = {
+    val in = if (repartitioned) hashed.repartition(16) else hashed.coalesce(1)
+    in.groupBy("lang")
+      .agg(expr("hll_sketch(h)").as("s"))
+      .select(col("lang"), col("s.n_regs"), col("s.sum_rho"),
+        round(col("s.distinct_est"), 2).as("est"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("hll_sketch matches the composable register pipeline exactly") {
+    val composed = SketchOps.sketchHll(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(composed.nonEmpty)
+    assert(viaAgg(repartitioned = false) === composed,
+      "single-partition agg diverged from composed pipeline")
+    // forced multi-partition run exercises partial buffers + merge()
+    assert(viaAgg(repartitioned = true) === composed,
+      "partial-merge agg diverged from composed pipeline")
+  }
+
+  test("hll_sketch works in plain SQL") {
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    hashed.createOrReplaceTempView("hll_in")
+    val n = s.sql(
+      "SELECT lang, hll_sketch(h).distinct_est AS e FROM hll_in GROUP BY lang")
+      .collect()
+    assert(n.length >= 2 && n.forall(_.getDouble(1) > 0))
+  }
+}
