@@ -206,6 +206,93 @@ object SketchOps {
     GROUP BY p.rk, p.term, p.true_cnt
     ORDER BY "rank""""
 
+  // --- KMV synopsis + set algebra -------------------------------------------
+  // K-minimum-values sketches (Beyer et al., SIGMOD 2007): per language,
+  // the K smallest DISTINCT word hashes form a bounded synopsis; the
+  // union synopsis of two languages is the K smallest of their merged
+  // value sets, and Jaccard ≈ |values in the union synopsis present in
+  // BOTH input synopses| / K — the SET-ALGEBRA estimate HLL cannot give
+  // (HLL unions but never intersects). Everything below the per-group
+  // K-truncation is exact integer/hash work, so DuckDB replays the
+  // synopses and every pairwise estimate bit-for-bit. The (lang, hash)
+  // dedup aggregation is map-side combinable and its shuffle carries
+  // DISTINCT hashes only (vocabulary-sized, not corpus-sized); synopses
+  // are K rows per group from there on.
+  private val KmvK = 256
+
+  def sketchKmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val synopsis = words(spark, dir)
+      .select(col("lang"), h60(col("w")).as("h"))
+      .distinct()
+      .withColumn("_rk", row_number().over(wk))
+      .filter(col("_rk") <= KmvK)
+      .select(col("lang"), col("h"))
+    val pairs = synopsis.as("a").join(synopsis.as("b"),
+        col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+    // union synopsis per pair: K smallest distinct of the merged values
+    val merged = pairs.select(col("lang_a"), col("lang_b"), col("ha").as("h"))
+      .union(pairs.select(col("lang_a"), col("lang_b"), col("hb").as("h")))
+      .distinct()
+    val wu = Window.partitionBy(col("lang_a"), col("lang_b"))
+      .orderBy(col("h"))
+    val unionK = merged.withColumn("_rk", row_number().over(wu))
+      .filter(col("_rk") <= KmvK)
+      .select(col("lang_a"), col("lang_b"), col("h"))
+    val inA = synopsis.select(col("lang").as("lang_a"), col("h"),
+      lit(1).as("_a"))
+    val inB = synopsis.select(col("lang").as("lang_b"), col("h"),
+      lit(1).as("_b"))
+    unionK.join(inA, Seq("lang_a", "h"), "left")
+      .join(inB, Seq("lang_b", "h"), "left")
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L)
+          .otherwise(0L)).as("k_both"))
+      .withColumn("jaccard_est", round(
+        col("k_both").cast("double") / col("k_union").cast("double"), 6))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  private val sketchKmvJaccardSql = s"""
+    WITH w AS ($wordsSql),
+    nz AS (SELECT DISTINCT lang,
+        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      FROM w WHERE w <> ''),
+    syn AS (
+      SELECT lang, h FROM (
+        SELECT lang, h,
+          row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+        FROM nz) x
+      WHERE rk <= $KmvK),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.h AS ha, b.h AS hb
+      FROM syn a JOIN syn b ON a.lang < b.lang),
+    merged AS (
+      SELECT DISTINCT lang_a, lang_b, h FROM (
+        SELECT lang_a, lang_b, ha AS h FROM pairs
+        UNION ALL
+        SELECT lang_a, lang_b, hb AS h FROM pairs)),
+    unionk AS (
+      SELECT lang_a, lang_b, h FROM (
+        SELECT lang_a, lang_b, h,
+          row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rk
+        FROM merged) x
+      WHERE rk <= $KmvK)
+    SELECT u.lang_a, u.lang_b, count(*) AS k_union,
+      sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+          THEN 1 ELSE 0 END) AS k_both,
+      round(CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+          THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS jaccard_est
+    FROM unionk u
+    LEFT JOIN syn a ON a.lang = u.lang_a AND a.h = u.h
+    LEFT JOIN syn b ON b.lang = u.lang_b AND b.h = u.h
+    GROUP BY u.lang_a, u.lang_b
+    ORDER BY u.lang_a, u.lang_b"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "sketch_hll" -> QueryDef(sketchHll, Some(sketchHllSql),
       "HyperLogLog distinct-word estimate per language: 512 portable-" +
@@ -213,5 +300,10 @@ object SketchOps {
         "and estimate replayed bit-for-bit in DuckDB"),
     "sketch_cms_heavy" -> QueryDef(sketchCmsHeavy, Some(sketchCmsHeavySql),
       "count-min sketch term frequencies (4x1024 grid) with min-over-" +
-        "rows point estimates vs true counts for the exact top-20 terms"))
+        "rows point estimates vs true counts for the exact top-20 terms"),
+    "sketch_kmv_jaccard" -> QueryDef(sketchKmvJaccard,
+      Some(sketchKmvJaccardSql),
+      "KMV synopses (K=256 min distinct hashes per language) with set " +
+        "algebra: pairwise vocabulary Jaccard from union-synopsis " +
+        "membership — the intersection estimate HLL cannot provide"))
 }

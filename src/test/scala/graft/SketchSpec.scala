@@ -56,6 +56,29 @@ class SketchSpec extends AnyFunSuite {
       "max-merge of half-corpus sketches != whole-corpus sketch")
   }
 
+  test("KMV Jaccard estimates track true vocabulary overlap") {
+    val est = SketchOps.sketchKmvJaccard(spark, dir)
+      .select("lang_a", "lang_b", "jaccard_est").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.size === 10, "5 languages -> 10 unordered pairs")
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(split(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    est.foreach { case ((a, b), e) =>
+      val t = {
+        val (va, vb) = (vocab(a), vocab(b))
+        (va & vb).size.toDouble / (va | vb).size
+      }
+      // K=256 → SE ≈ 1/√K ≈ 0.06; pin at ~3σ
+      assert(math.abs(e - t) <= 0.2,
+        s"($a,$b): est $e vs true $t drifted")
+    }
+  }
+
   test("CMS estimates are one-sided and tight on the fixture") {
     val rows = SketchOps.sketchCmsHeavy(spark, dir)
       .select("true_cnt", "cms_est", "overcount").collect()
