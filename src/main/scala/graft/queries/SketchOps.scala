@@ -150,19 +150,27 @@ object SketchOps {
   // 100 TB the exact side is what the sketch replaces, and candidates
   // stream against the 4096-cell broadcast grid).
   def sketchCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
-    val w = words(spark, dir).select(col("w"))
-    val cells = w
-      .select(col("w"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-      .select(col("j"),
-        pmod(h60(concat(col("j").cast("string"), lit(":"), col("w"))),
+    // ONE corpus exchange: occurrences collapse to (term, cnt) first
+    // (map-side combined), and BOTH the grid and the top-k derive from
+    // that vocabulary-sized frame — the d-way hash explode multiplies
+    // vocab rows, never corpus rows, and cells sum the pre-aggregated
+    // counts (identical grid to hashing every occurrence)
+    val counts = words(spark, dir)
+      .groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val cells = counts
+      .select(col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .select(col("j"), col("cnt"),
+        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
           lit(CmsWidth)).as("cell"))
       .groupBy(col("j"), col("cell"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("cnt")).as("c"))
     // orderBy+limit = TakeOrderedAndProject (distributed top-k, no
     // single-partition sort of the vocabulary); rank stamped on the
     // 20-row result
-    val top = w.groupBy(col("w").as("term"))
-      .agg(count(lit(1)).as("true_cnt"))
+    val top = counts
+      .select(col("term"), col("cnt").as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("term"))
       .limit(CmsTopK)
       .withColumn("_rk",
