@@ -52,6 +52,39 @@ class HllAggSpec extends AnyFunSuite {
       "partial-merge agg diverged from composed pipeline")
   }
 
+  test("hll_sketch aggregates across micro-batches equal the batch run") {
+    // streaming cardinality: the imperative agg's buffer rides the
+    // streaming state store (serialize/merge across micro-batches), so
+    // a complete-mode streaming aggregate over N batches must land on
+    // exactly the batch sketch of the union
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    GraftFunctions.ensureRegistered(s)
+    val rows = hashed.collect().map(r => (r.getString(0), r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(String, Long)](s)
+    val q = input.toDF().toDF("lang", "h")
+      .groupBy("lang").agg(expr("hll_sketch(h)").as("s"))
+      .select(col("lang"), col("s.n_regs"), col("s.sum_rho"),
+        round(col("s.distinct_est"), 2).as("est"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("hll_stream").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val batch = SketchOps.sketchHll(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(streamed === batch, "streaming sketch diverged from batch")
+  }
+
   test("hll_sketch works in plain SQL") {
     val s = spark
     GraftFunctions.ensureRegistered(s)
