@@ -119,4 +119,69 @@ class IncrementalMvSpec extends AnyFunSuite {
       === logLen, "replayed batch must not commit")
     assert(!mvState().contains("z"), "replayed batch must not apply")
   }
+
+  test("randomized mutation model: MV tracks the batch aggregate") {
+    val s = spark
+    val baseDir = tmp("graft_mvr_base")
+    val mvDir = tmp("graft_mvr_store")
+    val ckpt = tmp("graft_mvr_ck")
+    val base = new GraftClient(s, baseDir)
+    val mvClient = new GraftClient(s, mvDir)
+    val rnd = new scala.util.Random(7)
+    val groups = Array("g0", "g1", "g2", "g3")
+    val live = scala.collection.mutable.Set[Int]()
+
+    base.newTx(); base.createTable("t", schema)
+    base.insert("t", df((0, "g0", 1L), (1, "g1", 2L)))
+    base.commitTx(); live ++= Seq(0, 1)
+
+    val q = s.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("keyColumns", "k").option("preimages", "true")
+      .load(baseDir)
+      .writeStream
+      .foreachBatch(StreamingSink.aggregateInto(mvClient, "mv", "g", "v",
+        "app_mvr"))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def mvState(): Map[String, (Long, Long)] = {
+      mvClient.newTx()
+      try mvClient.currentState("mv", Seq("g")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally mvClient.rollback()
+    }
+    def expected(): Map[String, (Long, Long)] = {
+      base.newTx()
+      try base.currentState("t", Seq("k"))
+        .groupBy("g").agg(count(lit(1)), sum("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally base.rollback()
+    }
+
+    try {
+      (1 to 8).foreach { round =>
+        base.newTx()
+        (1 to 5).foreach { _ =>
+          if (live.nonEmpty && rnd.nextInt(4) == 0) {
+            val k = live.toSeq(rnd.nextInt(live.size))
+            base.deleteRows("t", "k", k, k); live -= k
+          } else {
+            val k = rnd.nextInt(25)
+            base.insert("t", df((k, groups(rnd.nextInt(groups.length)),
+              rnd.nextInt(100).toLong)))
+            live += k
+          }
+        }
+        base.commitTx()
+        if (round % 4 == 0) {
+          q.processAllAvailable()
+          assert(mvState() === expected(),
+            s"MV diverged from batch aggregate at round $round")
+        }
+      }
+      q.processAllAvailable()
+      assert(mvState() === expected(), "final MV diverged")
+    } finally q.stop()
+  }
 }
