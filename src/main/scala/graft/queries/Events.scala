@@ -42,6 +42,37 @@ object Events {
     GROUP BY 1, 2
     ORDER BY hour, event_type"""
 
+  // --- Sliding-window rollup -------------------------------------------------
+  // Spark's native sliding window (`window(ts, '2 hours', '30 minutes')`
+  // — each event replicated into windowDuration/slide = 4 windows by the
+  // Expand operator, then one (window, type) aggregation). The DuckDB
+  // oracle replays the window arithmetic explicitly: slot =
+  // floor(epoch/slide), starts = (slot − j)·slide for j ∈ [0, 4) — the
+  // exact grid Spark's TimeWindow expression produces for a
+  // divisible duration/slide pair.
+  def qSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val qSlidingSql = s"""
+    WITH slotted AS (
+      SELECT epoch_us(ts) // (1800 * 1000000) AS slot, event_type, value
+      FROM events),
+    expanded AS (
+      SELECT make_timestamp((slot - j) * 1800 * 1000000) AS win_start,
+        event_type, value
+      FROM slotted CROSS JOIN range(4) r(j))
+    SELECT win_start, event_type, COUNT(*) AS n,
+      ${sqlDsum("value", 2)} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type"""
+
   // --- Sessionization (30-min inactivity gap) --------------------------------
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -317,6 +348,10 @@ object Events {
         "cohort join, no event-stream windows"),
     "q_events_hourly" -> QueryDef(qHourly, Some(qHourlySql),
       "tumbling-window rollup (batch twin of the streaming agg)"),
+    "q_events_sliding" -> QueryDef(qSliding, Some(qSlidingSql),
+      "sliding-window rollup (2h windows every 30min) via Spark's " +
+        "native window() Expand; oracle replays the slide grid " +
+        "arithmetic explicitly"),
     "q_events_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based sessionization via window lag"),
     "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
