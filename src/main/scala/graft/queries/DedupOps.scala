@@ -65,7 +65,14 @@ object DedupOps {
     */
   private def shingled(spark: SparkSession, dir: String,
       minWords: Int = 2): DataFrame =
-    t(spark, dir, "documents")
+    normalizedWords(t(spark, dir, "documents"), minWords)
+
+  /** The same normalization over an arbitrary (doc_id, text, …) frame —
+    * the entry point streaming ingestion shares with the batch families.
+    */
+  private[graft] def normalizedWords(docs: DataFrame,
+      minWords: Int = 2): DataFrame =
+    docs
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("ws"))
@@ -222,13 +229,22 @@ object DedupOps {
   // (all ≥ 0.9) is total and the n-gram oracle doubles as this query's
   // oracle. At J=0.1 a band collides with p ≈ 1e-4 — false candidates stay
   // per-bucket, never corpus-quadratic.
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingled(spark, dir)
-    // explode shingles once, string-hash each ONCE, and derive the 64
-    // minhash functions by re-hashing the fixed-width long (8-byte xxhash
-    // rounds are ~free next to variable-length string hashing; a*h+b
-    // mixing would be cheaper still but Spark 4's ANSI mode makes 64-bit
-    // wrap-around multiplication an overflow error)
+  /** (doc_id, bkey) — the 16 banded-minhash keys per document from a
+    * (doc_id, ws) normalized-word frame. Shared by the batch LSH family
+    * and the streaming ingestion index ([[graft.streaming.StreamingSink]]
+    * nearDupInto), so both sides of an incremental join key identically.
+    *
+    * Explode shingles once, string-hash each ONCE, and derive the 64
+    * minhash functions by re-hashing the fixed-width long (8-byte xxhash
+    * rounds are ~free next to variable-length string hashing; a*h+b
+    * mixing would be cheaper still but Spark 4's ANSI mode makes 64-bit
+    * wrap-around multiplication an overflow error). Each band's
+    * 4-minhash signature collapses to ONE long key (band id mixed in),
+    * so bucketing shuffles scalar keys, not arrays; hash collisions
+    * across signatures only add candidates, which exact Jaccard
+    * verification then rejects.
+    */
+  private[graft] def minhashBandKeys(d: DataFrame): DataFrame = {
     val exploded = d.select(col("doc_id"), explode(bigramT).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       // materialize h through the exchange the groupBy needs anyway:
@@ -237,22 +253,29 @@ object DedupOps {
       .repartition(col("doc_id"))
     val minAggs = (0 until 64).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    // each band's 4-minhash signature collapses to ONE long key (band id
-    // mixed in), so bucketing shuffles scalar keys, not arrays; hash
-    // collisions across signatures only add candidates, which the exact
-    // Jaccard verification then rejects
     val bandKeys = (0 until 16).map(b =>
       xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"h${b * 4 + r}"))): _*)
         .as(s"bk$b"))
-    val bands = exploded.groupBy(col("doc_id"))
+    exploded.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array(bandKeys.map(k => k): _*).as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bkey"))
+  }
+
+  /** Candidate pairs from banded-minhash keys with the `[2, BucketCap]`
+    * gate — the pre-verification stage, exposed for the streaming
+    * ingestion pin.
+    */
+  private[graft] def minhashCandidatePairs(d: DataFrame): DataFrame =
+    bucketedPairs(cappedBuckets(minhashBandKeys(d).groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir)
     // [2, BucketCap] gate: a band bucket holding thousands of ids means
     // mass-identical content (exact dedup's job); without the cap one such
     // key makes pair generation O(bucket²) at crawl scale
-    val pairs = bucketedPairs(cappedBuckets(bands.groupBy(col("bkey"))
-      .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
+    val pairs = minhashCandidatePairs(d)
     verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 

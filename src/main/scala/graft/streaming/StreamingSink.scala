@@ -35,6 +35,81 @@ object StreamingSink {
     }
   }
 
+  /** Incremental NEAR-DUP ingestion index: consumes a stream of
+    * (doc_id, text, …) documents and maintains two transactional tables
+    * — `sigTable` (doc_id, bkey): every seen document's 16 banded-
+    * minhash keys ([[graft.queries.DedupOps.minhashBandKeys]], identical
+    * to the batch LSH family's), and `pairsTable` (doc_a, doc_b): the
+    * accumulated candidate near-dup pairs. Per batch:
+    *
+    *   - batch-internal candidates come from the batch's own capped
+    *     band buckets (the standard `[2, BucketCap]` gate);
+    *   - cross-batch candidates join the batch's band keys against the
+    *     ACCUMULATED signature table — the index lookup. Both sides are
+    *     bucket-capped (a batch-side or history-side band bucket over
+    *     `BucketCap` is shed, same contract as every LSH family), so a
+    *     duplicate flood can never make an ingest batch quadratic;
+    *   - new pairs (anti-joined against the recorded set) append to
+    *     `pairsTable`, batch signatures append to `sigTable`, both in
+    *     ONE commit with a SetTxn watermark — exactly-once, and the
+    *     index is never half-updated.
+    *
+    * Downstream, pairs feed the same exact-Jaccard verification /
+    * cluster resolution as the batch family. At 100 TB: per batch the
+    * history side is read through one band-key join (signature table is
+    * 16 longs per document, ~1 % of corpus bytes), and the batch side
+    * is broadcast-sized.
+    */
+  def nearDupInto(client: GraftClient, sigTable: String,
+      pairsTable: String, appId: String): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, count, greatest,
+      least, row_number}
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val cap = graft.queries.DedupOps.BucketCap
+        val d = graft.queries.DedupOps.normalizedWords(batch)
+        val bands = graft.queries.DedupOps.minhashBandKeys(d)
+        val internal = graft.queries.DedupOps.minhashCandidatePairs(d)
+        client.newTx()
+        try {
+          if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+          else {
+            if (!client.tables.contains(sigTable))
+              client.createTable(sigTable, bands.schema)
+            if (!client.tables.contains(pairsTable))
+              client.createTable(pairsTable,
+                internal.select(col("doc_a"), col("doc_b")).schema)
+            val histCapped = client.scan(sigTable)
+              .select(col("doc_id"), col("bkey"))
+              .withColumn("_n", count(lit(1))
+                .over(Window.partitionBy(col("bkey"))))
+              .filter(col("_n") <= cap)
+              .select(col("doc_id").as("hist_id"), col("bkey"))
+            val batchCapped = bands
+              .withColumn("_n", count(lit(1))
+                .over(Window.partitionBy(col("bkey"))))
+              .filter(col("_n") <= cap)
+              .select(col("doc_id").as("new_id"), col("bkey"))
+            val cross = histCapped.join(broadcast(batchCapped), "bkey")
+              .filter(col("hist_id") =!= col("new_id"))
+              .select(least(col("hist_id"), col("new_id")).as("doc_a"),
+                greatest(col("hist_id"), col("new_id")).as("doc_b"))
+            val fresh = cross
+              .union(internal.select(col("doc_a"), col("doc_b")))
+              .distinct()
+              .join(client.scan(pairsTable)
+                .select(col("doc_a"), col("doc_b")),
+                Seq("doc_a", "doc_b"), "left_anti")
+            client.insert(pairsTable, fresh)
+            client.insert(sigTable, bands)
+            client.setTxn(appId, batchId)
+            client.commitTxRetrying()
+          }
+        } finally if (client.hasOpenTx) client.rollback()
+      }
+  }
+
   /** Exactly-once streaming UPSERT: each micro-batch is one MERGE
     * transaction on `keyCols` (matched keys superseded latest-wins,
     * unmatched inserted), committed atomically with a SetTxn watermark

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupOps
+import graft.streaming.StreamingSink
+import graft.table.GraftClient
+
+/** Pins the incremental near-dup ingestion index: streaming the corpus
+  * in two halves must accumulate exactly the candidate pair set the
+  * batch LSH family computes over the whole corpus (batch-internal
+  * buckets + cross-batch index lookups compose to the same band
+  * collisions), with exactly-once batch application.
+  */
+class NearDupStreamSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed halves accumulate the batch candidate pair set") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_neardup").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_neardup_ck").toString
+    val client = new GraftClient(s, store)
+
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (h1, h2) = docs.partition(_._1 % 2 == 0)
+
+    val input = MemoryStream[(Long, String)](s)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingSink.nearDupInto(client, "sigs", "pairs",
+        "app_neardup"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(h1.toIndexedSeq); q.processAllAvailable()
+      input.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def accumulated(): Set[(Long, Long)] = {
+      client.newTx()
+      try client.scan("pairs").select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally client.rollback()
+    }
+    val batchCands = DedupOps.minhashCandidatePairs(
+      DedupOps.normalizedWords(
+        s.read.parquet(s"$dir/documents.parquet")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty, "fixture has no candidate pairs")
+    assert(accumulated() === batchCands,
+      "incremental index diverged from the batch candidate set")
+
+    // the signature table holds 16 band keys per ingested document
+    client.newTx()
+    val sigCount = client.scan("sigs").count()
+    client.rollback()
+    val eligible = DedupOps.normalizedWords(
+      s.read.parquet(s"$dir/documents.parquet")).count()
+    assert(sigCount === eligible * 16)
+
+    // replayed batch: no new commit, index unchanged
+    val sink = StreamingSink.nearDupInto(client, "sigs", "pairs",
+      "app_neardup")
+    val logLen = client.store
+      .listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+    sink(h1.take(3).toSeq.toDF("doc_id", "text"), 0L)
+    assert(client.store.listPrefixOrdered(graft.tx.TxLog.LogPrefix).size
+      === logLen, "replayed batch must not commit")
+    assert(accumulated() === batchCands, "replay must not change the index")
+  }
+}
