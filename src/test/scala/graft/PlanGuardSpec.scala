@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan-shape guard over EVERY registered query: no
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+  * bounded non-equi or broadcast-scalar shape makes it deliberate
+  * (whitelisted below with the reason). A new query that accidentally
+  * plans a corpus-scale cartesian/nested-loop join fails here before it
+  * ever reaches the bench.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+    * 32-row trained-centroid assignment crossJoins (sim family,
+    * dedup_semantic), the deliberately vec_id<1000-bounded exact pair
+    * scan (dedup_embed_cosine), scalar-subquery broadcasts (q22, q11,
+    * q2, q15, q17 shapes), and the 1-row-side interval/asof bin frames.
+    */
+  private val bnljAllowed: Set[String] = Set(
+    "sim_topk", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
+    "sim_ann_ivf_table", "sim_ann_filtered", "sim_cluster_assign",
+    "dedup_semantic", "dedup_embed_cosine", "mm_embed_stats",
+    "q2_min_cost_supp", "q11_important_supp", "q15_top_supplier",
+    "q17_small_qty", "q22_wealthy_idle", "text_mixture_plan",
+    "text_pack_chunks", "q_percentiles", "corpus_curation",
+    // 1-row aggregate crossJoins (funnel stage totals; corpus stats)
+    "q_events_funnel", "text_bm25", "text_lm_score",
+    // 20-row broadcast merge-table crossJoin (BPE training)
+    "text_bpe_merges",
+    // K·|groups| ≤ 1280-row synopsis inequality self-join (KMV pairs)
+    "sketch_kmv_jaccard")
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p +: p.children.flatMap(collectAll)
+    p match {
+      case a: AdaptiveSparkPlanExec => self ++ collectAll(a.initialPlan)
+      case _ => self ++ p.subqueries.flatMap(collectAll)
+    }
+  }
+
+  test("no cartesian products; nested-loop joins only where whitelisted") {
+    val failures = Registry.all.flatMap { case (name, d) =>
+      try {
+        val plan = d.fn(spark, dir).queryExecution.executedPlan
+        val nodes = collectAll(plan)
+        val cart = nodes.exists(_.isInstanceOf[CartesianProductExec])
+        val bnlj = nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+        (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (bnlj && !bnljAllowed.contains(name))
+            Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil)
+      } catch {
+        case e: Throwable => Seq(s"$name: plan build failed: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
