@@ -225,6 +225,65 @@ object TxQueries {
     finally c.rollback()
   }
 
+  // --- Incremental materialized view driven through the CDF -----------------
+  // A dedicated store: base table `t` mutated over three commits
+  // (insert-all → group-moving upserts → deletes), with the COUNT/SUM MV
+  // maintained by feeding each commit window's pre/post-image change
+  // feed through StreamingSink.aggregateInto — the same code path the
+  // streaming sink runs, driven here as deterministic batches so the
+  // final MV state lands on the hash-compare oracle signal (DuckDB
+  // replays the mutations and aggregates the final state directly).
+  private val mvBuilt = mutable.Map[String, String]()
+  private def ensureMv(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      mvBuilt.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_mv_fixture").toString
+        val c = new GraftClient(spark, root)
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_regionkey"))
+        c.newTx()
+        c.createTable("t", nation.schema)
+        c.insert("t", nation)
+        c.commitTx()
+        val v1 = c.latestVersion
+        c.newTx() // group moves: keys 5-9 relocate to n_regionkey + 100
+        c.insert("t", nation.filter(col("n_nationkey").between(5, 9))
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+        c.commitTx()
+        val v2 = c.latestVersion
+        c.newTx()
+        c.deleteRows("t", "n_nationkey", 10, 14)
+        c.commitTx()
+        val v3 = c.latestVersion
+        val sink = graft.streaming.StreamingSink.aggregateInto(
+          c, "mv", "n_regionkey", "n_nationkey", "oracle_mv")
+        Seq((0L, v1), (v1, v2), (v2, v3)).zipWithIndex.foreach {
+          case ((from, to), i) =>
+            sink(c.changesBetween("t", Seq("n_nationkey"), from, to,
+              preimages = true), i.toLong)
+        }
+        root
+      })
+    }
+
+  def txMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureMv(spark, dir))
+    c.newTx()
+    try c.currentState("mv", Seq("n_regionkey")).orderBy(col("n_regionkey"))
+    finally c.rollback()
+  }
+
+  private val txMvIncrementalSql = """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+      CAST(SUM(n_nationkey) AS BIGINT) AS total
+    FROM (
+      SELECT n_nationkey,
+        CASE WHEN n_nationkey BETWEEN 5 AND 9 THEN n_regionkey + 100
+             ELSE n_regionkey END AS n_regionkey
+      FROM nation WHERE n_nationkey NOT BETWEEN 10 AND 14)
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey"""
+
   private def withClient(spark: SparkSession, sfDir: String)(
       f: GraftClient => DataFrame): DataFrame = {
     val c = new GraftClient(spark, ensure(spark, sfDir))
@@ -592,6 +651,12 @@ object TxQueries {
       "CDF with update_preimage/update_postimage rows (Delta CDF " +
         "parity) — the retraction stream incremental aggregate-view " +
         "maintenance consumes"),
+    "tx_mv_incremental" -> QueryDef(txMvIncremental,
+      Some(txMvIncrementalSql),
+      "incrementally-maintained COUNT/SUM materialized view: each " +
+        "commit window's preimage feed folded by aggregateInto; final " +
+        "MV state hash-matches the direct aggregate of the mutated " +
+        "base table"),
     "tx_bulk_range" -> QueryDef(txBulkRange, Some(txBulkRangeSql),
       "full lineitem through partitioned bulk write; month-range scan " +
         "opens ~12 of ~80 objects via stats pruning"),
