@@ -58,7 +58,10 @@ object StreamingSink {
     * cluster resolution as the batch family. At 100 TB: per batch the
     * history side is read through one band-key join (signature table is
     * 16 longs per document, ~1 % of corpus bytes), and the batch side
-    * is broadcast-sized.
+    * is broadcast-sized. For very long-lived indexes, periodically
+    * `clusterBy(sigTable, "bkey")` so the band-key join's shuffle read
+    * prunes to the batch's key range via object stats instead of
+    * scanning the whole signature table.
     */
   def nearDupInto(client: GraftClient, sigTable: String,
       pairsTable: String, appId: String): (DataFrame, Long) => Unit = {
@@ -145,6 +148,12 @@ object StreamingSink {
     * frame is group-sized (broadcast into the MERGE), and the MV itself
     * is an ordinary transactional table — snapshot-isolated, time-
     * travelable, and readable mid-stream.
+    *
+    * Use integral (or DECIMAL) value columns for exact-deterministic
+    * totals: incremental ± folding of floating-point sums accumulates
+    * order-dependent rounding that a from-scratch aggregate would not
+    * (the `tx_mv_incremental` oracle row and the model test both pin
+    * BIGINT sums).
     */
   def aggregateInto(client: GraftClient, mvTable: String,
       groupCol: String, valueCol: String, appId: String)
