@@ -89,7 +89,28 @@ object SketchOps {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** The registered query runs the NATIVE `hll_sketch` imperative
+    * aggregate (one 512-byte buffer per group, no exploded register
+    * shuffle) — so the custom aggregate itself sits on the driver's
+    * hash-compare signal; the oracle SQL replays the composable
+    * register pipeline, and [[sketchHllComposed]] keeps the Spark-side
+    * composed form alive for the bit-compatibility pin (HllAggSpec).
+    */
   def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val h = h60(col("w"))
+    words(spark, dir)
+      .select(col("lang"), h.as("h"))
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch(h)").as("s"))
+      .select(col("lang"), col("s.n_regs").as("n_regs"),
+        col("s.sum_rho").as("sum_rho"),
+        round(col("s.distinct_est"), 2).as("distinct_est"))
+      .orderBy(col("lang"))
+  }
+
+  private[graft] def sketchHllComposed(spark: SparkSession,
+      dir: String): DataFrame = {
     hllRegisters(spark, dir).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_regs"),
         sum(col("m")).as("sum_rho"),

@@ -41,7 +41,7 @@ class HllAggSpec extends AnyFunSuite {
   }
 
   test("hll_sketch matches the composable register pipeline exactly") {
-    val composed = SketchOps.sketchHll(spark, dir).collect()
+    val composed = SketchOps.sketchHllComposed(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
     assert(composed.nonEmpty)
@@ -79,7 +79,7 @@ class HllAggSpec extends AnyFunSuite {
     val streamed = s.table("hll_stream").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    val batch = SketchOps.sketchHll(spark, dir).collect()
+    val batch = SketchOps.sketchHllComposed(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
     assert(streamed === batch, "streaming sketch diverged from batch")
