@@ -175,7 +175,23 @@ object StreamingSink {
               .select(col(groupCol), col("_d_cnt").as("cnt"),
                 col("_d_total").as("total"))
               .schema)
-          val cur = client.currentState(mvTable, Seq(groupCol))
+          // prune the MV-state read to the batch's TOUCHED groups: a
+          // micro-batch touches few groups, so reading the whole MV per
+          // batch would make maintenance O(MV size) instead of O(touched).
+          // Group keys are the MV's merge keys, so every version of a key
+          // carries the key value — filtering the scan is safe, and with
+          // ≤64 touched groups the IN list reaches parquet row-group
+          // pruning (and file skipping on a group-clustered MV). More
+          // groups than that: full-scan fallback (the join still drives
+          // from the delta side).
+          val touched = delta.select(col(groupCol)).limit(65).collect()
+            .map(_.get(0))
+          val curAll = client.currentState(mvTable, Seq(groupCol))
+          // isin() never matches NULL, so a null group key forces the
+          // full-scan fallback rather than silently resetting its row
+          val cur = (if (touched.length <= 64 && !touched.contains(null))
+              curAll.filter(col(groupCol).isin(touched.toIndexedSeq: _*))
+            else curAll)
             .select(col(groupCol), col("cnt"), col("total"))
           val next = delta.join(cur, Seq(groupCol), "left")
             .select(col(groupCol),
