@@ -374,9 +374,64 @@ object TextOps {
     FROM d LEFT JOIN top ON d.doc_id = top.doc_id
     ORDER BY d.doc_id"""
 
+  // --- Retrieval-style overlap chunking -------------------------------------
+  // The RAG/embedding-indexing layout (per-DOCUMENT sliding windows with
+  // overlap, provenance kept), distinct from pretraining's
+  // concat-and-chunk packing (PackingOps.textPackChunks, which crosses
+  // document boundaries): each doc yields windows of `ChunkSize` tokens
+  // starting every `ChunkStride`, the last window short. Pure map-side
+  // explode — zero shuffles before the final sort, embarrassingly
+  // parallel at 100 TB; chunk identity is the portable md5 of the
+  // joined window so both engines agree byte-for-byte.
+  private val ChunkSize = 128
+  private val ChunkStride = 96 // 32-token overlap
+
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+          .as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        explode(expr(
+          s"""transform(
+                sequence(0, CAST(floor((size(ws) - 1) / $ChunkStride)
+                  AS INT)),
+                i -> named_struct(
+                  'chunk_id', i,
+                  'chunk_tokens',
+                    least($ChunkSize, size(ws) - i * $ChunkStride),
+                  'chunk_md5', md5(concat_ws(' ',
+                    slice(ws, i * $ChunkStride + 1, $ChunkSize)))))"""))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("n_tokens"), col("c.chunk_tokens").as("chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val qChunkOverlapSql = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    sized AS (SELECT doc_id, ws, len(ws) AS n_tokens FROM d
+      WHERE len(ws) >= 1)
+    SELECT doc_id, i AS chunk_id, n_tokens,
+      least($ChunkSize, n_tokens - i * $ChunkStride) AS chunk_tokens,
+      md5(array_to_string(
+        ws[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize], ' '))
+        AS chunk_md5
+    FROM sized, unnest(range(0,
+      CAST(floor((n_tokens - 1) / $ChunkStride) AS BIGINT) + 1)) t(i)
+    ORDER BY doc_id, chunk_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "marker-word language ID heuristic"),
+    "text_chunk_overlap" -> QueryDef(qChunkOverlap, Some(qChunkOverlapSql),
+      "RAG-style per-document overlap chunking (128-token windows " +
+        "every 96): provenance-keeping sliding windows, portable md5 " +
+        "chunk identity, zero-shuffle map-side explode"),
     "text_split_assign" -> QueryDef(qSplitAssign, Some(qSplitAssignSql),
       "deterministic hash-bucket train/val/test split (pure function of " +
         "doc_id, engine-portable md5 bucket)"),
