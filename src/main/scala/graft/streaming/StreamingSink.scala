@@ -83,8 +83,15 @@ object StreamingSink {
             if (!client.tables.contains(pairsTable))
               client.createTable(pairsTable,
                 internal.select(col("doc_a"), col("doc_b")).schema)
+            // restrict history to the batch's band keys FIRST (broadcast
+            // semi-filter — no shuffle of the accumulated table), THEN
+            // apply the bucket cap to the touched keys only: per-batch
+            // cost is O(history rows matching the batch's keys), never a
+            // full-history window shuffle
+            val batchKeys = bands.select(col("bkey")).distinct()
             val histCapped = client.scan(sigTable)
               .select(col("doc_id"), col("bkey"))
+              .join(broadcast(batchKeys), "bkey")
               .withColumn("_n", count(lit(1))
                 .over(Window.partitionBy(col("bkey"))))
               .filter(col("_n") <= cap)
