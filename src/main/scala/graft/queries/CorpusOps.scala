@@ -123,6 +123,14 @@ object CorpusOps {
   private val MinChars = 150L
   private val MinDistinctRatio = 0.35
 
+  /** Probe set boundary: doc_id < ProbeMax is "the benchmark".
+    * Declared BEFORE the SQL vals that interpolate it — a later
+    * declaration initializes as 0 at interpolation time (Scala val
+    * order), silently emptying the probe set.
+    */
+  private val ProbeMax = 50L
+  private val ContainThreshold = 0.5
+
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val words = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
@@ -130,18 +138,28 @@ object CorpusOps {
     val gated = docs.select(col("doc_id"), col("source"), col("n_chars"),
       (col("n_chars") >= MinChars).as("len_ok"),
       (ratio >= MinDistinctRatio).as("rep_ok"))
+    // benchmark-contamination gate: any verbatim 13-gram shared with the
+    // probe slice (the text_ngram_decontam signal) drops the doc before
+    // it can count as a dedup survivor
+    val contaminated = textNgramDecontam(spark, dir)
+      .select(col("doc_id"), lit(true).as("is_cont"))
     val survivors = dedupCorpus(spark, dir)
       .select(col("survivor_id").as("doc_id"), lit(true).as("is_surv"))
-    val kept = col("len_ok") && col("rep_ok") && col("is_surv")
-    gated.join(survivors, Seq("doc_id"), "left")
+    val clean = !col("is_cont")
+    val kept = col("len_ok") && col("rep_ok") && clean && col("is_surv")
+    gated.join(contaminated, Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .withColumn("is_cont", coalesce(col("is_cont"), lit(false)))
       .withColumn("is_surv", coalesce(col("is_surv"), lit(false)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_too_short"),
         sum(when(col("len_ok") && !col("rep_ok"), 1L).otherwise(0L))
           .as("n_repetitive"),
-        sum(when(col("len_ok") && col("rep_ok") && !col("is_surv"), 1L)
-          .otherwise(0L)).as("n_dup_dropped"),
+        sum(when(col("len_ok") && col("rep_ok") && !clean, 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        sum(when(col("len_ok") && col("rep_ok") && clean && !col("is_surv"),
+          1L).otherwise(0L)).as("n_dup_dropped"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
         sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("source"))
@@ -150,6 +168,19 @@ object CorpusOps {
   private val corpusCurationSql = s"""
     WITH RECURSIVE $dedupClosureCtes,
     sv AS (SELECT doc_id FROM surv WHERE rn = 1),
+    cw AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    csized AS (SELECT doc_id, ws, len(ws) - 12 AS n_positions
+      FROM cw WHERE len(ws) >= 13),
+    cg AS (
+      SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+      FROM csized, unnest(range(1, n_positions + 1)) t(i)),
+    cprobe AS (SELECT DISTINCT gram FROM cg WHERE doc_id < $ProbeMax),
+    cont AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN cprobe USING (gram)
+      WHERE cg.doc_id >= $ProbeMax),
     gated AS (
       SELECT d.doc_id, d.source, d.n_chars,
         d.n_chars >= $MinChars AS len_ok,
@@ -159,27 +190,29 @@ object CorpusOps {
           len(string_split(
             regexp_replace(trim(d.text), '\\s+', ' ', 'g'), ' '))
           >= $MinDistinctRatio AS rep_ok,
+        (cont.doc_id IS NOT NULL) AS is_cont,
         (sv.doc_id IS NOT NULL) AS is_surv
-      FROM documents d LEFT JOIN sv ON sv.doc_id = d.doc_id)
+      FROM documents d
+      LEFT JOIN cont ON cont.doc_id = d.doc_id
+      LEFT JOIN sv ON sv.doc_id = d.doc_id)
     SELECT source, COUNT(*) AS n_docs,
       CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT)
         AS n_too_short,
       CAST(SUM(CASE WHEN len_ok AND NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
         AS n_repetitive,
-      CAST(SUM(CASE WHEN len_ok AND rep_ok AND NOT is_surv THEN 1 ELSE 0 END)
-        AS BIGINT) AS n_dup_dropped,
-      CAST(SUM(CASE WHEN len_ok AND rep_ok AND is_surv THEN 1 ELSE 0 END)
-        AS BIGINT) AS n_kept,
-      CAST(SUM(CASE WHEN len_ok AND rep_ok AND is_surv THEN n_chars
-        ELSE 0 END) AS BIGINT) AS kept_chars
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND is_cont THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_contaminated,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND NOT is_cont AND NOT is_surv
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND NOT is_cont AND is_surv
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN len_ok AND rep_ok AND NOT is_cont AND is_surv
+        THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM gated
     GROUP BY source
     ORDER BY source"""
 
   // --- contamination / probe-overlap ---------------------------------------
-  /** Probe set boundary: doc_id < ProbeMax is "the benchmark". */
-  private val ProbeMax = 50L
-  private val ContainThreshold = 0.5
 
   def textContamination(spark: SparkSession, dir: String): DataFrame = {
     // ONE winnow pass — the 50M-position md5 subtree executes exactly
