@@ -59,6 +59,12 @@ case class HllSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // the input contract is the portable NON-NEGATIVE 60-bit hash
+      // (top-15-hex-of-md5); a negative long (e.g. raw xxhash64) would
+      // silently diverge from the composed register pipeline, so fail
+      // loudly instead of corrupting the sketch
+      if (h < 0) throw new IllegalArgumentException(
+        s"hll_sketch expects a non-negative 60-bit hash, got $h")
       val reg = (h % M).toInt
       val rest = h >>> P
       // same portable rho as the composed form: 52 - length(bin(rest)),

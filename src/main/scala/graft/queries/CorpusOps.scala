@@ -141,7 +141,7 @@ object CorpusOps {
     // benchmark-contamination gate: any verbatim 13-gram shared with the
     // probe slice (the text_ngram_decontam signal) drops the doc before
     // it can count as a dedup survivor
-    val contaminated = textNgramDecontam(spark, dir)
+    val contaminated = contaminatedDocIds(spark, dir)
       .select(col("doc_id"), lit(true).as("is_cont"))
     val survivors = dedupCorpus(spark, dir)
       .select(col("survivor_id").as("doc_id"), lit(true).as("is_surv"))
@@ -292,7 +292,12 @@ object CorpusOps {
   // distinct aggregation exists anywhere in the plan.
   private val NgramN = 13
 
-  def textNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+  /** (corpus-side gram positions, distinct broadcast probe grams) — the
+    * shared halves of the 13-gram decontamination join, used by the
+    * standalone report query and the curation funnel's gate.
+    */
+  private def ngramFrames(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val d = t(spark, dir, "documents")
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
@@ -307,6 +312,22 @@ object CorpusOps {
         .as("gram"))
     val probe = grams.filter(col("doc_id") < ProbeMax)
       .select(col("gram")).distinct()
+    (grams, probe)
+  }
+
+  /** Distinct corpus doc_ids sharing any verbatim 13-gram with the
+    * probe slice — the GATE form (no counts/fractions/sort).
+    */
+  private def contaminatedDocIds(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (grams, probe) = ngramFrames(spark, dir)
+    grams.filter(col("doc_id") >= ProbeMax)
+      .join(broadcast(probe), "gram")
+      .select(col("doc_id")).distinct()
+  }
+
+  def textNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, probe) = ngramFrames(spark, dir)
     grams.filter(col("doc_id") >= ProbeMax)
       .join(broadcast(probe), "gram")
       .groupBy(col("doc_id"), col("n_positions"))

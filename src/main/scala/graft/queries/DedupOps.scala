@@ -270,6 +270,16 @@ object DedupOps {
     bucketedPairs(cappedBuckets(minhashBandKeys(d).groupBy(col("bkey"))
       .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
 
+  /** In-bucket pairs over a (doc_id, bkey) frame whose keys were ALREADY
+    * size-gated by the caller (streaming ingestion applies the cap to
+    * the history+batch TOTAL before calling this) — only the ≥2 lower
+    * bound is applied here.
+    */
+  private[graft] def bandPairs(bands: DataFrame): DataFrame =
+    bucketedPairs(bands.groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2))
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = shingled(spark, dir)
     // [2, BucketCap] gate: a band bucket holding thousands of ids means

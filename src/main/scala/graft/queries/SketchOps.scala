@@ -257,13 +257,18 @@ object SketchOps {
       .withColumn("_rk", row_number().over(wk))
       .filter(col("_rk") <= KmvK)
       .select(col("lang"), col("h"))
-    val pairs = synopsis.as("a").join(synopsis.as("b"),
+    // pair the GROUPS (|langs| rows), then equi-join each side's
+    // synopsis — the union set is built from 2K rows per pair, never a
+    // K x K value-level cross join
+    val langs = synopsis.select(col("lang")).distinct()
+    val pairs = langs.as("a").join(langs.as("b"),
         col("a.lang") < col("b.lang"))
-      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-    // union synopsis per pair: K smallest distinct of the merged values
-    val merged = pairs.select(col("lang_a"), col("lang_b"), col("ha").as("h"))
-      .union(pairs.select(col("lang_a"), col("lang_b"), col("hb").as("h")))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+    val merged = pairs
+      .join(synopsis.select(col("lang").as("lang_a"), col("h")), "lang_a")
+      .union(pairs
+        .join(synopsis.select(col("lang").as("lang_b"), col("h")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("h")))
       .distinct()
     val wu = Window.partitionBy(col("lang_a"), col("lang_b"))
       .orderBy(col("h"))
@@ -296,14 +301,17 @@ object SketchOps {
           row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
         FROM nz) x
       WHERE rk <= $KmvK),
+    langs AS (SELECT DISTINCT lang FROM syn),
     pairs AS (
-      SELECT a.lang AS lang_a, b.lang AS lang_b, a.h AS ha, b.h AS hb
-      FROM syn a JOIN syn b ON a.lang < b.lang),
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang),
     merged AS (
       SELECT DISTINCT lang_a, lang_b, h FROM (
-        SELECT lang_a, lang_b, ha AS h FROM pairs
+        SELECT p.lang_a, p.lang_b, s.h FROM pairs p
+        JOIN syn s ON s.lang = p.lang_a
         UNION ALL
-        SELECT lang_a, lang_b, hb AS h FROM pairs)),
+        SELECT p.lang_a, p.lang_b, s.h FROM pairs p
+        JOIN syn s ON s.lang = p.lang_b)),
     unionk AS (
       SELECT lang_a, lang_b, h FROM (
         SELECT lang_a, lang_b, h,

@@ -394,9 +394,13 @@ object TextOps {
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), size(col("ws")).as("n_tokens"),
         explode(expr(
+          // chunk count = 1 + ceil(max(n - size, 0) / stride), integer
+          // arithmetic — NOT floor((n-1)/stride)+1, which appends a
+          // trailing chunk fully contained in its predecessor whenever
+          // n mod stride lands inside the overlap
           s"""transform(
-                sequence(0, CAST(floor((size(ws) - 1) / $ChunkStride)
-                  AS INT)),
+                sequence(0, CAST((greatest(size(ws) - $ChunkSize, 0)
+                  + $ChunkStride - 1) DIV $ChunkStride AS INT)),
                 i -> named_struct(
                   'chunk_id', i,
                   'chunk_tokens',
@@ -422,7 +426,8 @@ object TextOps {
         ws[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize], ' '))
         AS chunk_md5
     FROM sized, unnest(range(0,
-      CAST(floor((n_tokens - 1) / $ChunkStride) AS BIGINT) + 1)) t(i)
+      (greatest(n_tokens - $ChunkSize, 0) + $ChunkStride - 1)
+        // $ChunkStride + 1)) t(i)
     ORDER BY doc_id, chunk_id"""
 
   def defs: Seq[(String, QueryDef)] = Seq(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, sum, when}
 
 import graft.table.GraftClient
 
@@ -42,13 +42,14 @@ object StreamingSink {
     * to the batch LSH family's), and `pairsTable` (doc_a, doc_b): the
     * accumulated candidate near-dup pairs. Per batch:
     *
-    *   - batch-internal candidates come from the batch's own capped
-    *     band buckets (the standard `[2, BucketCap]` gate);
-    *   - cross-batch candidates join the batch's band keys against the
-    *     ACCUMULATED signature table — the index lookup. Both sides are
-    *     bucket-capped (a batch-side or history-side band bucket over
-    *     `BucketCap` is shed, same contract as every LSH family), so a
-    *     duplicate flood can never make an ingest batch quadratic;
+    *   - candidate generation (batch-internal AND cross-batch against
+    *     the ACCUMULATED signature table) is gated on the COMBINED
+    *     history+batch bucket size ≤ `BucketCap` — the same quantity
+    *     the batch family caps on the union corpus. A key at/over the
+    *     cap stops emitting pairs for good (earlier-prefix pairs stay;
+    *     incremental caps cannot retract), so no key ever generates
+    *     more than ~C(cap, 2) pairs total and a duplicate flood can
+    *     never make an ingest batch quadratic;
     *   - new pairs (anti-joined against the recorded set) append to
     *     `pairsTable`, batch signatures append to `sigTable`, both in
     *     ONE commit with a SetTxn watermark — exactly-once, and the
@@ -73,35 +74,42 @@ object StreamingSink {
         val cap = graft.queries.DedupOps.BucketCap
         val d = graft.queries.DedupOps.normalizedWords(batch)
         val bands = graft.queries.DedupOps.minhashBandKeys(d)
-        val internal = graft.queries.DedupOps.minhashCandidatePairs(d)
         client.newTx()
         try {
           if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
           else {
             if (!client.tables.contains(sigTable))
               client.createTable(sigTable, bands.schema)
+            // restrict history to the batch's band keys FIRST (broadcast
+            // semi-filter — no shuffle of the accumulated table): per-
+            // batch cost is O(history rows matching the batch's keys),
+            // never a full-history pass
+            val batchKeys = bands.select(col("bkey")).distinct()
+            val histTouched = client.scan(sigTable)
+              .select(col("doc_id").as("hist_id"), col("bkey"))
+              .join(broadcast(batchKeys), "bkey")
+            // the bucket cap applies to the COMBINED (history + batch)
+            // bucket — the same quantity the batch family caps on the
+            // union corpus. A key at/over the cap stops emitting pairs
+            // for good (pairs already recorded under an earlier, smaller
+            // prefix stay — incremental caps cannot retract), so no key
+            // ever generates more than ~C(cap, 2) pairs total and an
+            // ingest batch can never go quadratic on a duplicate flood.
+            val batchN = bands.groupBy(col("bkey"))
+              .agg(count(lit(1)).as("_bn"))
+            val histN = histTouched.groupBy(col("bkey"))
+              .agg(count(lit(1)).as("_hn"))
+            val allowed = batchN
+              .join(histN, Seq("bkey"), "left")
+              .filter(col("_bn") + coalesce(col("_hn"), lit(0L)) <= cap)
+              .select(col("bkey"))
+            val bandsAllowed = bands.join(broadcast(allowed), "bkey")
+            val internal = graft.queries.DedupOps.bandPairs(bandsAllowed)
             if (!client.tables.contains(pairsTable))
               client.createTable(pairsTable,
                 internal.select(col("doc_a"), col("doc_b")).schema)
-            // restrict history to the batch's band keys FIRST (broadcast
-            // semi-filter — no shuffle of the accumulated table), THEN
-            // apply the bucket cap to the touched keys only: per-batch
-            // cost is O(history rows matching the batch's keys), never a
-            // full-history window shuffle
-            val batchKeys = bands.select(col("bkey")).distinct()
-            val histCapped = client.scan(sigTable)
-              .select(col("doc_id"), col("bkey"))
-              .join(broadcast(batchKeys), "bkey")
-              .withColumn("_n", count(lit(1))
-                .over(Window.partitionBy(col("bkey"))))
-              .filter(col("_n") <= cap)
-              .select(col("doc_id").as("hist_id"), col("bkey"))
-            val batchCapped = bands
-              .withColumn("_n", count(lit(1))
-                .over(Window.partitionBy(col("bkey"))))
-              .filter(col("_n") <= cap)
-              .select(col("doc_id").as("new_id"), col("bkey"))
-            val cross = histCapped.join(broadcast(batchCapped), "bkey")
+            val cross = histTouched.join(broadcast(bandsAllowed
+                .select(col("doc_id").as("new_id"), col("bkey"))), "bkey")
               .filter(col("hist_id") =!= col("new_id"))
               .select(least(col("hist_id"), col("new_id")).as("doc_a"),
                 greatest(col("hist_id"), col("new_id")).as("doc_b"))
@@ -166,9 +174,18 @@ object StreamingSink {
       groupCol: String, valueCol: String, appId: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     if (!batch.isEmpty) {
+      // fail fast on labels outside the preimage feed's four: a plain
+      // "update" (changeFeed WITHOUT preimages=true) carries only new
+      // values, and silently treating it as a retraction would corrupt
+      // the MV (cnt off by -2 per update) instead of surfacing the
+      // misconfiguration
       val sign = when(
         col("_change").isin("insert", "update_postimage"), lit(1L))
-        .otherwise(lit(-1L))
+        .when(col("_change").isin("delete", "update_preimage"), lit(-1L))
+        .otherwise(raise_error(concat(
+          lit("aggregateInto requires a preimage change feed " +
+            "(option(\"preimages\",\"true\")); unexpected _change label: "),
+          col("_change"))).cast("long"))
       val delta = batch
         .groupBy(col(groupCol))
         .agg(sum(sign).as("_d_cnt"),

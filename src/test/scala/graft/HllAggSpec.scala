@@ -85,6 +85,19 @@ class HllAggSpec extends AnyFunSuite {
     assert(streamed === batch, "streaming sketch diverged from batch")
   }
 
+  test("hll_sketch rejects out-of-domain (negative) hashes loudly") {
+    val s = spark
+    GraftFunctions.ensureRegistered(s)
+    val e = intercept[Exception] {
+      s.sql("SELECT hll_sketch(h) FROM VALUES (CAST(-1 AS BIGINT)) t(h)")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-negative 60-bit hash")),
+      s"expected the domain error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("hll_sketch works in plain SQL") {
     val s = spark
     GraftFunctions.ensureRegistered(s)

@@ -75,4 +75,31 @@ class NearDupStreamSpec extends AnyFunSuite {
       === logLen, "replayed batch must not commit")
     assert(accumulated() === batchCands, "replay must not change the index")
   }
+
+  test("duplicate flood across batches is shed by the combined cap") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_neardup_flood").toString
+    val client = new GraftClient(s, store)
+    val sink = StreamingSink.nearDupInto(client, "sigs", "pairs",
+      "app_flood")
+    // two 700-doc batches of IDENTICAL text: each batch alone is under
+    // the 1000 cap, the combined bucket (1400) is over it — batch 2 must
+    // add ZERO pairs (the cap applies to history+batch, not per side),
+    // leaving only batch 1's within-prefix pairs
+    val text = "flood flood content words repeated enough for shingles"
+    def floodDf(ids: Range) = ids.map(i => (i.toLong, text)).toDF("doc_id", "text")
+    sink(floodDf(0 until 700), 0L)
+    def pairCount(): Long = {
+      client.newTx()
+      try client.scan("pairs").count() finally client.rollback()
+    }
+    val afterB1 = pairCount()
+    assert(afterB1 === 700L * 699 / 2,
+      "batch 1 alone is under the cap: full within-batch pair set")
+    sink(floodDf(700 until 1400), 1L)
+    assert(pairCount() === afterB1,
+      "combined bucket over the cap: batch 2 must add zero pairs")
+  }
 }

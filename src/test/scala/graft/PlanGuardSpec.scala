@@ -33,7 +33,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_events_funnel", "text_bm25", "text_lm_score",
     // 20-row broadcast merge-table crossJoin (BPE training)
     "text_bpe_merges",
-    // K·|groups| ≤ 1280-row synopsis inequality self-join (KMV pairs)
+    // |groups|-row language-pair inequality join (≤5 rows per side)
     "sketch_kmv_jaccard")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
