@@ -430,6 +430,31 @@ object TextOps {
         // $ChunkStride + 1)) t(i)
     ORDER BY doc_id, chunk_id"""
 
+  // --- Deterministic fixed-size uniform sample -------------------------------
+  // Bottom-k by the portable hash: a FIXED-SIZE uniform sample of the
+  // corpus (the rate-based samples above can't bound their output size).
+  // Order by hash is a distributed TakeOrdered (per-partition bottom-k,
+  // tiny final merge), and the sample is shard-MERGEABLE: bottom-k of a
+  // union is the bottom-k of the merged per-shard bottom-ks, so
+  // parallel ingest shards can sample independently and combine — the
+  // same property the KMV synopsis exploits for cardinality.
+  private val SampleK = 256
+
+  def qSampleUniform(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(SampleK)
+
+  private val qSampleUniformSql = s"""
+    SELECT doc_id, lang, source,
+      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT $SampleK"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "text_langid" -> QueryDef(qLangId, Some(qLangIdSql),
       "marker-word language ID heuristic"),
@@ -437,6 +462,11 @@ object TextOps {
       "RAG-style per-document overlap chunking (128-token windows " +
         "every 96): provenance-keeping sliding windows, portable md5 " +
         "chunk identity, zero-shuffle map-side explode"),
+    "text_sample_uniform" -> QueryDef(qSampleUniform, Some(qSampleUniformSql),
+      "deterministic FIXED-SIZE uniform sample: bottom-256 docs by " +
+        "portable hash — distributed TakeOrdered, shard-mergeable " +
+        "(bottom-k of union = bottom-k of merged bottom-ks), " +
+        "reproducible across engines and re-runs"),
     "text_split_assign" -> QueryDef(qSplitAssign, Some(qSplitAssignSql),
       "deterministic hash-bucket train/val/test split (pure function of " +
         "doc_id, engine-portable md5 bucket)"),
