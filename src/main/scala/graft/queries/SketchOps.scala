@@ -170,6 +170,23 @@ object SketchOps {
   // (both sides of the comparison derive from ONE tokenized scan; at
   // 100 TB the exact side is what the sketch replaces, and candidates
   // stream against the 4096-cell broadcast grid).
+  /** (j, cell, c) — the count-min grid itself, the mergeable sketch:
+    * union of corpora = cell-wise ADD (pinned in SketchSpec, the CMS
+    * counterpart of the HLL register max-merge law).
+    */
+  private[graft] def cmsCells(spark: SparkSession,
+      dir: String): DataFrame =
+    words(spark, dir)
+      .groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .select(col("j"), col("cnt"),
+        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
+          lit(CmsWidth)).as("cell"))
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("cnt")).as("c"))
+
   def sketchCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus exchange: occurrences collapse to (term, cnt) first
     // (map-side combined), and BOTH the grid and the top-k derive from
@@ -179,14 +196,7 @@ object SketchOps {
     val counts = words(spark, dir)
       .groupBy(col("w").as("term"))
       .agg(count(lit(1)).as("cnt"))
-    val cells = counts
-      .select(col("term"), col("cnt"),
-        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-      .select(col("j"), col("cnt"),
-        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
-          lit(CmsWidth)).as("cell"))
-      .groupBy(col("j"), col("cell"))
-      .agg(sum(col("cnt")).as("c"))
+    val cells = cmsCells(spark, dir)
     // orderBy+limit = TakeOrderedAndProject (distributed top-k, no
     // single-partition sort of the vocabulary); rank stamped on the
     // 20-row result

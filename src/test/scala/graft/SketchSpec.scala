@@ -79,6 +79,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS grids merge by cell-wise add (sketch union law)") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/even/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/odd/documents.parquet")
+    def grid(d: String): Map[(Int, Long), Long] =
+      SketchOps.cmsCells(s, d).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = grid(dir)
+    val even = grid(s"$tmp/even")
+    val odd = grid(s"$tmp/odd")
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === whole,
+      "cell-wise add of half-corpus grids != whole-corpus grid")
+  }
+
   test("CMS estimates are one-sided and tight on the fixture") {
     val rows = SketchOps.sketchCmsHeavy(spark, dir)
       .select("true_cnt", "cms_est", "overcount").collect()
