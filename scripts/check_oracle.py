@@ -36,7 +36,22 @@ def norm(v):
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], out, order
+
+# The driver's value hash is TYPE-SENSITIVE to width classes beyond
+# int64: a DuckDB HUGEINT (int128, e.g. from sum() over BIGINT) hashes
+# differently from a Spark LONG even when every value is equal
+# (CORRECTNESS_r07: sketch_hll / sketch_kmv_jaccard). Within int64 the
+# driver hash is width-insensitive (16 green r7 rows pair Spark INTEGER
+# with DuckDB BIGINT and vice versa), so normalize that family — but NOT
+# HUGEINT/UBIGINT, which must be CAST in the oracle SQL.
+def normtype(t):
+    t = str(t).upper()
+    return {"TINYINT": "INT64", "SMALLINT": "INT64", "INTEGER": "INT64",
+            "BIGINT": "INT64", "UTINYINT": "INT64", "USMALLINT": "INT64",
+            "UINTEGER": "INT64",
+            "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+            "TIMESTAMP_NS": "TIMESTAMP"}.get(t, t)
 
 fails = []
 for name, sql in sorted(oracle.items()):
@@ -45,13 +60,19 @@ for name, sql in sorted(oracle.items()):
         print(f"MISSING  {name} (no spark output)"); fails.append(name); continue
     try:
         s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        scols, srows = canon(s.columns, s.fetchall())
+        scols, srows, sorder = canon(s.columns, s.fetchall())
         d = con.sql(sql)
-        dcols, drows = canon(d.columns, d.fetchall())
+        dcols, drows, dorder = canon(d.columns, d.fetchall())
+        stypes = [normtype(s.types[i]) for i in sorder]
+        dtypes = [normtype(d.types[i]) for i in dorder]
     except Exception as e:
         print(f"ERROR    {name}: {e}"); fails.append(name); continue
     if scols != dcols:
         print(f"SCHEMA   {name}: spark={scols} duckdb={dcols}")
+        fails.append(name); continue
+    if stypes != dtypes:
+        bad = [(c, a, b) for c, a, b in zip(scols, stypes, dtypes) if a != b]
+        print(f"TYPES    {name}: {['%s spark=%s duckdb=%s' % x for x in bad]}")
         fails.append(name); continue
     if len(srows) != len(drows):
         print(f"ROWCOUNT {name}: spark={len(srows)} duckdb={len(drows)}")
@@ -64,8 +85,6 @@ for name, sql in sorted(oracle.items()):
         fails.append(name); continue
     print(f"OK       {name} ({len(srows)} rows)")
 
-nover = [n for n in json.load(open(f"{outdir}/oracle_sql.json", "r"))
-         if False]  # placeholder
 all_q = [os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p)]
 rows_only = sorted(set(all_q) - set(oracle))
 for name in rows_only:

@@ -154,7 +154,7 @@ object SketchOps {
           / CAST(z_hit + ($HllM - n_regs) * (1::BIGINT << 52) AS DOUBLE)
           AS raw
       FROM agg)
-    SELECT lang, n_regs, sum_rho,
+    SELECT lang, n_regs, CAST(sum_rho AS BIGINT) AS sum_rho,
       CASE WHEN raw <= ${2.5 * HllM} AND v_zero > 0
         THEN round(512.0e0 * ln(512.0e0 / CAST(v_zero AS DOUBLE)), 2)
         ELSE round(raw, 2) END AS distinct_est
@@ -329,8 +329,8 @@ object SketchOps {
         FROM merged) x
       WHERE rk <= $KmvK)
     SELECT u.lang_a, u.lang_b, count(*) AS k_union,
-      sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
-          THEN 1 ELSE 0 END) AS k_both,
+      CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS k_both,
       round(CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
           THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(count(*) AS DOUBLE), 6) AS jaccard_est
