@@ -60,11 +60,13 @@ case class HllSketchAgg(
     if (v != null) {
       val h = v.asInstanceOf[Long]
       // the input contract is the portable NON-NEGATIVE 60-bit hash
-      // (top-15-hex-of-md5); a negative long (e.g. raw xxhash64) would
-      // silently diverge from the composed register pipeline, so fail
-      // loudly instead of corrupting the sketch
-      if (h < 0) throw new IllegalArgumentException(
-        s"hll_sketch expects a non-negative 60-bit hash, got $h")
+      // (top-15-hex-of-md5); anything outside [0, 2^60) — a negative
+      // long (raw xxhash64) or a 61+-bit value (rho would go
+      // non-positive and the register update would silently no-op) —
+      // diverges from the composed register pipeline, so fail loudly
+      // instead of corrupting the sketch
+      if ((h >>> 60) != 0L) throw new IllegalArgumentException(
+        s"hll_sketch expects a 60-bit hash in [0, 2^60), got $h")
       val reg = (h % M).toInt
       val rest = h >>> P
       // same portable rho as the composed form: 52 - length(bin(rest)),

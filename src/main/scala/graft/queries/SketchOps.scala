@@ -174,11 +174,8 @@ object SketchOps {
     * union of corpora = cell-wise ADD (pinned in SketchSpec, the CMS
     * counterpart of the HLL register max-merge law).
     */
-  private[graft] def cmsCells(spark: SparkSession,
-      dir: String): DataFrame =
-    words(spark, dir)
-      .groupBy(col("w").as("term"))
-      .agg(count(lit(1)).as("cnt"))
+  private[graft] def cmsCellsFrom(counts: DataFrame): DataFrame =
+    counts
       .select(col("term"), col("cnt"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
       .select(col("j"), col("cnt"),
@@ -187,16 +184,22 @@ object SketchOps {
       .groupBy(col("j"), col("cell"))
       .agg(sum(col("cnt")).as("c"))
 
+  private[graft] def cmsCells(spark: SparkSession,
+      dir: String): DataFrame =
+    cmsCellsFrom(words(spark, dir)
+      .groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("cnt")))
+
   def sketchCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
     // ONE corpus exchange: occurrences collapse to (term, cnt) first
     // (map-side combined), and BOTH the grid and the top-k derive from
-    // that vocabulary-sized frame — the d-way hash explode multiplies
-    // vocab rows, never corpus rows, and cells sum the pre-aggregated
-    // counts (identical grid to hashing every occurrence)
+    // that one vocabulary-sized frame — the d-way hash explode
+    // multiplies vocab rows, never corpus rows, and cells sum the
+    // pre-aggregated counts (identical grid to hashing every occurrence)
     val counts = words(spark, dir)
       .groupBy(col("w").as("term"))
       .agg(count(lit(1)).as("cnt"))
-    val cells = cmsCells(spark, dir)
+    val cells = cmsCellsFrom(counts)
     // orderBy+limit = TakeOrderedAndProject (distributed top-k, no
     // single-partition sort of the vocabulary); rank stamped on the
     // 20-row result

@@ -222,6 +222,19 @@ object StreamingSink {
               (coalesce(col("cnt"), lit(0L)) + col("_d_cnt")).as("cnt"),
               when(col("total").isNull, col("_d_total"))
                 .otherwise(col("total") + col("_d_total")).as("total"))
+            // feed-alignment guard: a stream started from a mid-history
+            // offset (or replayed against a pre-populated MV) folds
+            // retractions for rows this MV never counted; cnt < 0 is
+            // impossible on an aligned feed, so surface the
+            // misconfiguration instead of writing corrupt rows
+            .withColumn("cnt",
+              when(col("cnt") < 0L, raise_error(concat(
+                lit("aggregateInto: negative cnt for group "),
+                col(groupCol).cast("string"),
+                lit(" — change feed is not aligned with MV state " +
+                  "(stream started past the MV's fold point?)")))
+                .cast("long"))
+              .otherwise(col("cnt")))
             .withColumn("_del", col("cnt") === 0L)
           client.merge(mvTable, next, Seq(groupCol),
             deleteCond = col("_del"), dropCols = Seq("_del"))

@@ -120,6 +120,29 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(!mvState().contains("z"), "replayed batch must not apply")
   }
 
+  test("misaligned feed (retraction the MV never counted) fails loudly") {
+    val mvClient = new GraftClient(spark, tmp("graft_mv_mis"))
+    val sink = StreamingSink.aggregateInto(mvClient, "mv", "g", "v",
+      "app_mis")
+    sink(df((1, "a", 10L)).withColumn("_change", lit("insert")), 0L)
+    // a delete for a key the MV never folded → cnt would go negative;
+    // the guard must surface the misconfiguration, not write the row
+    val e = intercept[Exception] {
+      sink(df((2, "a", 5L), (3, "a", 6L))
+        .withColumn("_change", lit("delete")), 1L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative cnt")),
+      s"expected the feed-alignment guard, got $e")
+    mvClient.newTx()
+    try {
+      val st = mvClient.currentState("mv", Seq("g")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(st === Map("a" -> 1L), "failed batch must not corrupt the MV")
+    } finally mvClient.rollback()
+  }
+
   test("randomized mutation model: MV tracks the batch aggregate") {
     val s = spark
     val baseDir = tmp("graft_mvr_base")
