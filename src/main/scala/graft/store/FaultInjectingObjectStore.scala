@@ -101,4 +101,16 @@ final class FaultInjectingObjectStore(
     Option(objects.get(name)).map(_.clone())
       .getOrElse(throw new java.nio.file.NoSuchFileException(name))
   }
+
+  override def put(name: String, data: Array[Byte]): Unit = {
+    nap(putLatencyMs)
+    objects.put(name, data.clone())
+    if (staleListWindow > 0) staleness.put(name, staleListWindow)
+  }
+
+  override def delete(name: String): Unit = {
+    nap(putLatencyMs)
+    objects.remove(name)
+    staleness.remove(name)
+  }
 }

@@ -23,4 +23,10 @@ final class InMemoryObjectStore extends ObjectStore {
   override def read(name: String): Array[Byte] =
     Option(objects.get(name)).map(_.clone())
       .getOrElse(throw new java.nio.file.NoSuchFileException(name))
+
+  override def put(name: String, data: Array[Byte]): Unit =
+    objects.put(name, data.clone())
+
+  override def delete(name: String): Unit =
+    objects.remove(name)
 }

@@ -19,6 +19,17 @@ trait ObjectStore {
   /** All object names with the prefix, ascending lexicographic. */
   def listPrefixOrdered(prefix: String): Seq[String]
   def read(name: String): Array[Byte]
+  /** Unconditionally create-or-replace `name` (S3's plain PUT). Used
+    * only for advisory metadata whose loss or staleness is recoverable
+    * (the `_last_checkpoint` pointer) — the LOG itself goes exclusively
+    * through [[putIfAbsent]].
+    */
+  def put(name: String, data: Array[Byte]): Unit
+  /** Delete `name`; silently a no-op if absent (S3 DELETE semantics).
+    * Used by log retention to reclaim entries behind the checkpoint
+    * horizon.
+    */
+  def delete(name: String): Unit
 }
 
 /** Local-filesystem store. Atomicity comes from the same hard-link trick as
@@ -65,4 +76,22 @@ final class LocalObjectStore(rootDir: String) extends ObjectStore {
 
   override def read(name: String): Array[Byte] =
     Files.readAllBytes(root.resolve(name))
+
+  override def put(name: String, data: Array[Byte]): Unit = {
+    // write-to-temp + atomic replace: readers see the old or the new
+    // body, never a torn one
+    val tmp = root.resolve(s".tmp_${UUID.randomUUID()}")
+    try {
+      val ch = FileChannel.open(tmp, CREATE_NEW, WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(data))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, root.resolve(name), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def delete(name: String): Unit =
+    Files.deleteIfExists(root.resolve(name))
 }

@@ -48,7 +48,8 @@ final class GraftClient(
     rootDir: String,
     dataObjectSize: Int = 64 * 1024,
     checkpointInterval: Int = 25,
-    logStore: Option[ObjectStore] = None) {
+    logStore: Option[ObjectStore] = None,
+    logRetainVersions: Int = -1) {
 
   /** The LOG's object store — pluggable (an S3-style conditional-put
     * backend slots in here; `FaultInjectingObjectStore` exercises the
@@ -1423,8 +1424,20 @@ final class GraftClient(
       }
       if (checkpointInterval > 0 &&
           (snapshot.version + 1) % checkpointInterval == 0)
-        try txLog.checkpoint(txLog.begin())
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          txLog.checkpoint(txLog.begin())
+          // log retention (opt-in via logRetainVersions >= 0): after each
+          // auto-checkpoint, reclaim log/checkpoint entries no retained
+          // snapshot can need — what keeps a long-lived streaming table
+          // (one commit per micro-batch) at a BOUNDED object count
+          // instead of millions of _log_ files. Time travel below the
+          // pruned horizon errors loudly (TxLog.beginAt).
+          if (logRetainVersions >= 0) {
+            val keepFrom = math.max(0L, snapshot.version + 1 - logRetainVersions)
+            txLog.newestCheckpointAtOrBelow(keepFrom)
+              .foreach(txLog.pruneTo)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
     } finally tx = None
   }
 
@@ -1923,11 +1936,13 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
-  /** DESCRIBE HISTORY analog: every committed log entry as
+  /** DESCRIBE HISTORY analog: every RETAINED log entry as
     * (version, actions), oldest first. Driver-side metadata only; works
-    * outside a transaction. Entries older than the newest checkpoint are
-    * still present (checkpoints never delete log files — only [[vacuum]]
-    * reclaims DATA objects).
+    * outside a transaction. Checkpoints alone never delete log files, so
+    * without retention this is the full history; once [[vacuum]] (or the
+    * `logRetainVersions` auto-hook) has pruned the log, history starts
+    * at the retention horizon — same contract as Delta's DESCRIBE
+    * HISTORY after log cleanup.
     */
   def history(): Vector[(Long, Vector[Action])] = txLog.entries()
 
@@ -2288,8 +2303,12 @@ final class GraftClient(
   /** Physically delete data/DV objects unreachable from the current
     * snapshot and the last `retainVersions` historical snapshots: orphans
     * from aborted transactions, objects superseded by copy-on-write
-    * deletes or compaction, and retired deletion vectors. Returns the
-    * number of objects removed.
+    * deletes or compaction, and retired deletion vectors. Also reclaims
+    * LOG history nothing retained can replay — every `_log_*` entry,
+    * checkpoint manifest, and checkpoint part below the newest
+    * checkpoint at-or-below the retained window (a long-lived table's
+    * log stays bounded instead of accumulating one file per commit
+    * forever). Returns the number of DATA objects removed.
     *
     * Time travel older than the retained window stops working afterwards —
     * that is the point of the retention knob. Run from a maintenance
@@ -2303,7 +2322,10 @@ final class GraftClient(
     require(tx.isEmpty, "vacuum must run outside a transaction")
     val cur = txLog.begin()
     val keep = mutable.Set[String]()
-    val from = math.max(0L, cur.version - retainVersions)
+    // a previous vacuum may have pruned log history below the requested
+    // window; replayable snapshots start at the retention horizon
+    val from = math.max(txLog.oldestAvailableVersion,
+      math.max(0L, cur.version - retainVersions))
     (from to cur.version).foreach { v =>
       val snap = txLog.beginAt(v)
       snap.tables.keys.foreach { tbl =>
@@ -2319,6 +2341,12 @@ final class GraftClient(
           // strands a _staging_* dir no log entry ever references
           f.getName.startsWith("_staging_")))
     victims.foreach(deleteRecursively)
+    // log retention: entries below the newest checkpoint that still
+    // covers every retained snapshot are replayed by nobody — reclaim
+    // them so the log (and each begin()'s listing) stays bounded. Time
+    // travel below the horizon errors loudly afterwards (TxLog.beginAt)
+    // — the same contract as the data-object reclaim above.
+    txLog.newestCheckpointAtOrBelow(from).foreach(txLog.pruneTo)
     victims.length
   }
 

@@ -231,17 +231,25 @@ final class TxLog(store: ObjectStore) {
   /** Replay = latest checkpoint (if any) + only the log entries at or
     * after its version. Without checkpoints this is the reference's full
     * O(#txs) fold (transactions.go:53-104); with them it is O(#txs since
-    * last checkpoint) — the production answer to an ever-growing log.
+    * last checkpoint). The newest checkpoint is located through the
+    * `_last_checkpoint` pointer (one read, Delta's exact mechanism), so
+    * after log retention [[pruneTo]] has reclaimed old entries, begin()
+    * lists only the bounded retained suffix — never "every log file ever
+    * written".
     */
   def begin(): Snapshot = {
     val actions = Vector.newBuilder[Action]
-    var last = -1L
-    val base = store.listPrefixOrdered(CkptPrefix).lastOption
-      .map(readCheckpoint(_, actions)).getOrElse(0L)
-    last = base - 1
+    val base = loadNewestCheckpoint(actions)
+    var last = base - 1
+    var expected = base
     store.listPrefixOrdered(LogPrefix).foreach { n =>
       val id = n.stripPrefix(LogPrefix).toLong
       if (id >= base) {
+        if (id != expected) throw new IllegalStateException(
+          s"transaction log is not contiguous: expected id $expected, " +
+            s"found $id — entries were reclaimed past the checkpoint " +
+            "horizon or the log is corrupt")
+        expected = id + 1
         val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
         last = j("id").asLong
         actions ++= j("actions").asArr.map(actionFromJson)
@@ -249,6 +257,30 @@ final class TxLog(store: ObjectStore) {
     }
     Snapshot(last + 1, actions.result())
   }
+
+  /** Newest checkpoint version, found via the `_last_checkpoint` pointer
+    * when present-and-valid (one object read), falling back to a
+    * `_ckpt_` listing. The pointer is advisory: it is overwritten
+    * best-effort after each checkpoint, may briefly lag (older = replay
+    * a few more log entries), and may name a checkpoint that retention
+    * has since reclaimed (detected by the manifest read; listing wins).
+    */
+  def newestCheckpointVersion: Option[Long] = {
+    val ptr =
+      try {
+        val j = Json.parse(new String(store.read(LastCkptPtr), "UTF-8")).asObj
+        val v = j("version").asLong
+        store.read(ckptName(v)) // validate the manifest still exists
+        Some(v)
+      } catch { case _: Exception => None }
+    ptr.orElse(store.listPrefixOrdered(CkptPrefix).lastOption
+      .map(_.stripPrefix(CkptPrefix).toLong))
+  }
+
+  private def loadNewestCheckpoint(
+      into: scala.collection.mutable.Builder[Action, Vector[Action]]): Long =
+    newestCheckpointVersion.map(v => readCheckpoint(ckptName(v), into))
+      .getOrElse(0L)
 
   /** Snapshot as of log version `asOf` (exclusive upper bound: the state
     * after log ids < asOf committed) — time travel. Checkpoints are only
@@ -264,15 +296,46 @@ final class TxLog(store: ObjectStore) {
       .filter(_ <= asOf).lastOption
       .map(v => readCheckpoint(ckptName(v), actions)).getOrElse(0L)
     last = base - 1
+    // log ids are dense (every commit takes last+1), so replaying
+    // [base, asOf) must see exactly base, base+1, ... — a gap at the
+    // START means retention reclaimed the requested history, and
+    // returning a silently partial snapshot would be data loss
+    var expected = base
     store.listPrefixOrdered(LogPrefix).foreach { n =>
       val id = n.stripPrefix(LogPrefix).toLong
       if (id >= base && id < asOf) {
+        if (id != expected) throw new IllegalStateException(
+          s"time travel to version $asOf needs log ids from $expected, " +
+            s"but the oldest available is $id: that history was " +
+            "reclaimed by vacuum's log retention (or the log is corrupt)")
+        expected = id + 1
         val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
         last = j("id").asLong
         actions ++= j("actions").asArr.map(actionFromJson)
       }
     }
+    if (expected == base && base < asOf && latestVersion > base)
+      // nothing replayed past the checkpoint but newer history exists:
+      // the range [base, asOf) was reclaimed wholesale
+      throw new IllegalStateException(
+        s"time travel to version $asOf: history before version " +
+          s"${oldestAvailableVersion} was reclaimed by vacuum's log " +
+          "retention")
     Snapshot(last + 1, actions.result())
+  }
+
+  /** Oldest version [[beginAt]] can still reconstruct: the oldest
+    * remaining checkpoint if retention has pruned the head of the log,
+    * else 0.
+    */
+  def oldestAvailableVersion: Long = {
+    val oldestLog = store.listPrefixOrdered(LogPrefix).headOption
+      .map(_.stripPrefix(LogPrefix).toLong)
+    if (oldestLog.contains(0L)) 0L
+    else store.listPrefixOrdered(CkptPrefix).headOption
+      .map(_.stripPrefix(CkptPrefix).toLong)
+      .filter(c => oldestLog.forall(_ >= c))
+      .getOrElse(oldestLog.getOrElse(0L))
   }
 
   /** Actions of the committed log entries with `from <= id < until`, in
@@ -281,6 +344,7 @@ final class TxLog(store: ObjectStore) {
     * folding compiles removes away). Metadata-only.
     */
   def actionsBetween(from: Long, until: Long): Vector[Action] = {
+    requireWindowAvailable(from, until)
     val out = Vector.newBuilder[Action]
     store.listPrefixOrdered(LogPrefix).foreach { n =>
       val id = n.stripPrefix(LogPrefix).toLong
@@ -290,6 +354,25 @@ final class TxLog(store: ObjectStore) {
       }
     }
     out.result()
+  }
+
+  /** Fail loudly when `[from, until)` reaches below the retained log
+    * suffix — a raw-entry consumer (change feed, conflict rebase,
+    * history) that silently skipped reclaimed entries would fabricate
+    * an incomplete view.
+    */
+  private def requireWindowAvailable(from: Long, until: Long): Unit = {
+    if (from >= until) return
+    val oldest = store.listPrefixOrdered(LogPrefix).headOption
+      .map(_.stripPrefix(LogPrefix).toLong)
+      .getOrElse(latestVersion)
+    if (from < oldest && until > from)
+      // the window starts below the oldest retained entry; only ok if
+      // nothing was ever reclaimed (oldest is genuinely id 0)
+      if (oldest > 0L) throw new IllegalStateException(
+        s"log entries [$from, ${math.min(until, oldest)}) were reclaimed " +
+          "by vacuum's log retention; the oldest retained entry is " +
+          s"$oldest — restart the consumer from a current snapshot")
   }
 
   /** [[entries]] plus each commit's wall-clock `ts` (millis; 0 for
@@ -318,7 +401,8 @@ final class TxLog(store: ObjectStore) {
     * (O(window) reads after one list, not O(log); the streaming source
     * calls this every trigger).
     */
-  def entriesBetween(from: Long, until: Long): Vector[(Long, Vector[Action])] =
+  def entriesBetween(from: Long, until: Long): Vector[(Long, Vector[Action])] = {
+    requireWindowAvailable(from, until)
     store.listPrefixOrdered(LogPrefix)
       .map(n => n.stripPrefix(LogPrefix).toLong -> n)
       .filter { case (id, _) => id >= from && id < until }
@@ -326,6 +410,7 @@ final class TxLog(store: ObjectStore) {
         val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
         id -> j("actions").asArr.map(actionFromJson)
       }.toVector
+  }
 
   /** The snapshot version as of wall-clock `tsMillis` — the greatest
     * version whose last commit carried a `ts` at-or-before it (TIMESTAMP
@@ -354,13 +439,57 @@ final class TxLog(store: ObjectStore) {
   }
 
   /** The current log version (next commit id) from the name listing
-    * alone — no body or checkpoint is read. Log files are never deleted
-    * (checkpoints only bound replay), so the last name's id + 1 IS the
-    * version; an empty log is version 0.
+    * alone — no body is read. When retention has reclaimed EVERY log
+    * entry (all ids < the newest checkpoint, and nothing committed
+    * since), the checkpoint version IS the next id; a log entry, when
+    * present, is always newer than any checkpoint's fold.
     */
   def latestVersion: Long =
     store.listPrefixOrdered(LogPrefix).lastOption
-      .map(_.stripPrefix(LogPrefix).toLong + 1).getOrElse(0L)
+      .map(_.stripPrefix(LogPrefix).toLong + 1)
+      .orElse(newestCheckpointVersion)
+      .getOrElse(0L)
+
+  /** Delete every log entry, checkpoint manifest, and checkpoint part
+    * strictly below `horizon` — the log-retention reclaim. `horizon`
+    * MUST be the version of a still-present checkpoint (or 0 = no-op):
+    * [[begin]] then replays from that checkpoint and the retained
+    * contiguous log suffix. Returns the number of objects deleted.
+    *
+    * Deletion order is crash-safe: manifests first (so no reader can
+    * select a checkpoint whose parts are gone), then parts, then log
+    * entries OLDEST-LAST is not needed — log ids below a surviving
+    * checkpoint are never replayed by [[begin]], and [[beginAt]] fails
+    * loudly on the gap rather than returning partial history.
+    */
+  def pruneTo(horizon: Long): Int = {
+    if (horizon <= 0) return 0
+    var n = 0
+    store.listPrefixOrdered(CkptPrefix).foreach { name =>
+      if (name.stripPrefix(CkptPrefix).toLong < horizon) {
+        store.delete(name); n += 1
+      }
+    }
+    store.listPrefixOrdered(CkptPartPrefix).foreach { name =>
+      val v = name.stripPrefix(CkptPartPrefix).takeWhile(_ != '_').toLong
+      if (v < horizon) { store.delete(name); n += 1 }
+    }
+    store.listPrefixOrdered(LogPrefix).foreach { name =>
+      if (name.stripPrefix(LogPrefix).toLong < horizon) {
+        store.delete(name); n += 1
+      }
+    }
+    n
+  }
+
+  /** Version of the newest checkpoint at or below `v`, if any — the
+    * highest legal [[pruneTo]] horizon that keeps versions >= `v`
+    * replayable.
+    */
+  def newestCheckpointAtOrBelow(v: Long): Option[Long] =
+    store.listPrefixOrdered(CkptPrefix)
+      .map(_.stripPrefix(CkptPrefix).toLong)
+      .filter(_ <= v).lastOption
 
   /** Atomically append `actions` as log id `snapshot.version`.
     *
@@ -459,6 +588,18 @@ final class TxLog(store: ObjectStore) {
       "version" -> Json.num(snapshot.version),
       "parts" -> Json.num(parts.toLong)))
     store.putIfAbsent(ckptName(snapshot.version), manifest.getBytes("UTF-8"))
+    // advance the _last_checkpoint pointer (plain overwrite put, Delta's
+    // mechanism). Best-effort and advisory: a crash before this line, or
+    // two checkpointers racing the overwrite, leaves at worst an OLDER
+    // pointer — readers replay a few more log entries and the `_ckpt_`
+    // listing fallback still finds the newest. Never move it backwards.
+    val stale = try {
+      val j = Json.parse(new String(store.read(LastCkptPtr), "UTF-8")).asObj
+      j("version").asLong >= snapshot.version
+    } catch { case _: Exception => false }
+    if (!stale)
+      store.put(LastCkptPtr, Json.write(Json.obj(
+        "version" -> Json.num(snapshot.version))).getBytes("UTF-8"))
   }
 
   /** Append a checkpoint's actions (multi-part or legacy inline) into
@@ -485,6 +626,11 @@ final class TxLog(store: ObjectStore) {
 object TxLog {
   val LogPrefix = "_log_"
   val CkptPrefix = "_ckpt_"
+  /** Pointer object naming the newest checkpoint version — one read
+    * replaces a full `_ckpt_` listing in [[TxLog.begin]]. Advisory
+    * (overwrite-put; may lag), validated against the named manifest.
+    */
+  val LastCkptPtr = "_last_checkpoint"
   /** Part objects deliberately do NOT match a CkptPrefix listing
     * ("_ckptpart..." diverges from "_ckpt_" at the sixth character), so
     * manifests alone decide which checkpoints exist — a writer that

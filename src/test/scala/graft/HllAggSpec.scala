@@ -85,17 +85,21 @@ class HllAggSpec extends AnyFunSuite {
     assert(streamed === batch, "streaming sketch diverged from batch")
   }
 
-  test("hll_sketch rejects out-of-domain (negative) hashes loudly") {
+  test("hll_sketch rejects out-of-domain hashes loudly (neg and >= 2^60)") {
     val s = spark
     GraftFunctions.ensureRegistered(s)
-    val e = intercept[Exception] {
-      s.sql("SELECT hll_sketch(h) FROM VALUES (CAST(-1 AS BIGINT)) t(h)")
-        .collect()
-    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("non-negative 60-bit hash")),
-      s"expected the domain error, got: ${messages(e).mkString(" | ")}")
+    // negative (raw xxhash64) AND 61+-bit (rho would go non-positive and
+    // the register update would silently no-op) must both fail loudly
+    for (bad <- Seq("-1", (1L << 60).toString, Long.MaxValue.toString)) {
+      val e = intercept[Exception] {
+        s.sql(s"SELECT hll_sketch(h) FROM VALUES (CAST($bad AS BIGINT)) t(h)")
+          .collect()
+      }
+      assert(messages(e).exists(_.contains("60-bit hash")),
+        s"$bad: expected the domain error, got: ${messages(e).mkString(" | ")}")
+    }
   }
 
   test("hll_sketch works in plain SQL") {

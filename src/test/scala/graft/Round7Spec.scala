@@ -68,6 +68,8 @@ class Round7Spec extends AnyFunSuite {
       override def listPrefixOrdered(p: String): Seq[String] =
         inner.listPrefixOrdered(p)
       override def read(n: String): Array[Byte] = inner.read(n)
+      override def put(n: String, d: Array[Byte]): Unit = inner.put(n, d)
+      override def delete(n: String): Unit = inner.delete(n)
     }
     def commitAt1(store: ObjectStore): Unit = {
       val dir = Files.createTempDirectory("graft_r7_race").toString

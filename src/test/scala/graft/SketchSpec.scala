@@ -34,21 +34,6 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
-  test("hll_sketch rejects out-of-domain hashes loudly (neg and >= 2^60)") {
-    val s = spark
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    import s.implicits._
-    for (bad <- Seq(-1L, 1L << 60, Long.MaxValue)) {
-      val e = intercept[Exception] {
-        Seq(bad).toDF("h").agg(expr("hll_sketch(h)")).collect()
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("60-bit hash")),
-        s"$bad: expected the domain-guard message, got $e")
-    }
-  }
-
   test("HLL registers merge by per-register max (sketch union law)") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
