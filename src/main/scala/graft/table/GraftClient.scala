@@ -123,6 +123,16 @@ final class GraftClient(
     if (t.tables.contains(table))
       throw new IllegalArgumentException(s"table exists: $table")
     requireNotReserved(schema.fieldNames.toIndexedSeq)
+    // pin the log's protocol on first create (Delta writes protocol with
+    // the table's first commit): future format changes bump the engine
+    // constants and down-level engines then fail loudly, never
+    // mis-replay. Logs that already carry a protocol are left alone.
+    val hasProtocol =
+      t.snapshot.actions.exists(_.isInstanceOf[SetProtocol]) ||
+        t.actions.exists(_.isInstanceOf[SetProtocol])
+    if (!hasProtocol)
+      t.actions += SetProtocol(
+        TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion)
     t.tables(table) = schema
     t.actions += ChangeMetadata(table, schema)
   }
@@ -1348,6 +1358,15 @@ final class GraftClient(
       isolation: GraftClient.Isolation =
         GraftClient.Isolation.WriteSerializable): Unit = {
     val t = currentTx
+    // writer-side protocol gate: refuse to append to a log whose format
+    // contract we don't fully implement (the read side is gated in
+    // TxLog.begin)
+    val proto = t.snapshot.protocol
+    if (proto.minWriter > TxLog.SupportedWriterVersion)
+      throw new IllegalStateException(
+        s"log requires writer protocol version ${proto.minWriter}, but " +
+          s"this engine supports ${TxLog.SupportedWriterVersion} — " +
+          "upgrade the engine to write to this table store")
     t.tables.keys.foreach(flush)
     try {
       if (t.actions.isEmpty) return // read-only
@@ -1409,6 +1428,12 @@ final class GraftClient(
                   case RemoveDataObject(_, p) => ourRemoves(p)
                   case _: SetTxn => true
                   case _: AddDeleteVector => false
+                  // two first-creates racing both stamp the engine's own
+                  // protocol — identical, safe to rebase past; a genuine
+                  // concurrent protocol UPGRADE invalidates what this tx
+                  // validated against and must conflict
+                  case p: SetProtocol => p != SetProtocol(
+                    TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion)
                 }
               }
             }

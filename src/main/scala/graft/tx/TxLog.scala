@@ -142,6 +142,20 @@ final case class SetConstraint(table: String, name: String, expr: String)
   */
 final case class DropTable(table: String) extends Action
 
+/** Log-format capability gate (Delta's protocol action): a reader must
+  * support at least `minReader` and a writer at least `minWriter` to
+  * touch this log. Written at table create, last-wins on replay; logs
+  * with no protocol action read as (1, 1) — the format this engine has
+  * written since round 1 (including optional fields that older readers
+  * skip harmlessly: `ts`, `commitId`, `nulls`, `rowBase`). A FUTURE
+  * incompatible change (new action type, new mandatory field) bumps the
+  * constant and commits an upgraded SetProtocol, making down-level
+  * readers/writers fail with a clear message instead of silently
+  * mis-replaying the log.
+  */
+final case class SetProtocol(minReader: Int, minWriter: Int)
+    extends Action { def table: String = "" }
+
 final class CommitConflictException(id: Long)
   extends RuntimeException(
     s"commit conflict: log id $id was taken by a concurrent transaction")
@@ -151,6 +165,13 @@ final class CommitConflictException(id: Long)
   * (deltalakeclient/transactions.go:53-104).
   */
 final case class Snapshot(version: Long, actions: Vector[Action]) {
+  /** Effective protocol of this snapshot: the last [[SetProtocol]] in
+    * the log, or (1, 1) for logs written before the action existed.
+    */
+  def protocol: SetProtocol =
+    actions.reverseIterator.collectFirst { case p: SetProtocol => p }
+      .getOrElse(SetProtocol(1, 1))
+
   def tables: Map[String, StructType] = {
     // ordered fold, last wins; DropTable erases (re-create starts clean)
     val m = scala.collection.mutable.LinkedHashMap[String, StructType]()
@@ -255,7 +276,20 @@ final class TxLog(store: ObjectStore) {
         actions ++= j("actions").asArr.map(actionFromJson)
       }
     }
-    Snapshot(last + 1, actions.result())
+    checkedProtocol(Snapshot(last + 1, actions.result()))
+  }
+
+  /** Reader-side protocol gate ([[SetProtocol]]): refuse to hand out a
+    * snapshot this engine cannot faithfully interpret.
+    */
+  private def checkedProtocol(s: Snapshot): Snapshot = {
+    val p = s.protocol
+    if (p.minReader > SupportedReaderVersion)
+      throw new IllegalStateException(
+        s"log requires reader protocol version ${p.minReader}, but this " +
+          s"engine supports $SupportedReaderVersion — upgrade the engine " +
+          "to read this table store")
+    s
   }
 
   /** Newest checkpoint version, found via the `_last_checkpoint` pointer
@@ -321,7 +355,7 @@ final class TxLog(store: ObjectStore) {
         s"time travel to version $asOf: history before version " +
           s"${oldestAvailableVersion} was reclaimed by vacuum's log " +
           "retention")
-    Snapshot(last + 1, actions.result())
+    checkedProtocol(Snapshot(last + 1, actions.result()))
   }
 
   /** Oldest version [[beginAt]] can still reconstruct: the oldest
@@ -557,6 +591,10 @@ final class TxLog(store: ObjectStore) {
   def checkpoint(snapshot: Snapshot,
       maxPartBytes: Int = DefaultCkptPartBytes): Unit = {
     val folded = Iterator(
+      // protocol survives the fold (and leads it, so a down-level reader
+      // rejects the checkpoint before touching anything else)
+      Iterator.single(snapshot.protocol)
+        .filter(p => p != SetProtocol(1, 1)),
       snapshot.tables.iterator.flatMap { case (t, schema) =>
         Iterator(ChangeMetadata(t, schema)) ++
           snapshot.constraints(t).toSeq.sortBy(_._1).iterator
@@ -624,6 +662,13 @@ final class TxLog(store: ObjectStore) {
 }
 
 object TxLog {
+  /** Highest [[SetProtocol]] reader/writer versions this engine
+    * implements. Version 1 is the complete format as of round 8
+    * (optional fields are additive and skip-safe; anything beyond needs
+    * a bump + a committed protocol upgrade).
+    */
+  val SupportedReaderVersion = 1
+  val SupportedWriterVersion = 1
   val LogPrefix = "_log_"
   val CkptPrefix = "_ckpt_"
   /** Pointer object naming the newest checkpoint version — one read
@@ -718,6 +763,9 @@ object TxLog {
       "name" -> Json.str(n), "expr" -> Json.str(e))
     case DropTable(t) => Json.obj(
       "type" -> Json.str("droptable"), "table" -> Json.str(t))
+    case SetProtocol(r, w) => Json.obj(
+      "type" -> Json.str("protocol"), "minReader" -> Json.num(r.toLong),
+      "minWriter" -> Json.num(w.toLong))
   }
 
   def actionFromJson(v: JValue): Action = {
@@ -737,6 +785,12 @@ object TxLog {
       case "constraint" => SetConstraint(o("table").asStr, o("name").asStr,
         o("expr").asStr)
       case "droptable" => DropTable(o("table").asStr)
+      case "protocol" => SetProtocol(o("minReader").asLong.toInt,
+        o("minWriter").asLong.toInt)
+      case other => throw new IllegalStateException(
+        s"unknown log action type '$other' — this log was written by a " +
+          "newer engine (check its SetProtocol requirements); refusing " +
+          "to replay partially")
     }
   }
 }

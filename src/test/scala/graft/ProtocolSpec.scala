@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.InMemoryObjectStore
+import graft.table.GraftClient
+import graft.tx._
+
+/** Pins for log protocol versioning ([[SetProtocol]]): a table create
+  * stamps the log with the engine's supported versions, a log demanding
+  * a NEWER reader/writer makes this engine fail with a clear upgrade
+  * message (instead of silently mis-replaying a format it doesn't
+  * understand), and protocol-free legacy logs keep working as (1, 1).
+  */
+class ProtocolSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false)))
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_proto").toString
+
+  test("createTable writes the protocol once; replay folds it") {
+    val store = new InMemoryObjectStore
+    val c = new GraftClient(spark, tmp(), logStore = Some(store))
+    c.newTx(); c.createTable("a", schema); c.commitTx()
+    c.newTx(); c.createTable("b", schema); c.commitTx()
+    val log = new TxLog(store)
+    val snap = log.begin()
+    assert(snap.protocol === SetProtocol(
+      TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion))
+    // exactly one protocol action — the second create saw the first
+    assert(snap.actions.count(_.isInstanceOf[SetProtocol]) === 1)
+  }
+
+  test("a bumped minReader makes begin() fail with an upgrade message") {
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.commit(log.begin(), Seq(
+      SetProtocol(TxLog.SupportedReaderVersion + 1, 1),
+      ChangeMetadata("t", schema)))
+    val e = intercept[IllegalStateException] { log.begin() }
+    assert(e.getMessage.contains("reader protocol version") &&
+      e.getMessage.contains("upgrade"),
+      s"unclear protocol error: ${e.getMessage}")
+    // the client surfaces the same error
+    val c = new GraftClient(spark, tmp(), logStore = Some(store))
+    intercept[IllegalStateException] { c.newTx() }
+  }
+
+  test("a bumped minWriter allows reads but refuses commits") {
+    val store = new InMemoryObjectStore
+    val seedLog = new TxLog(store)
+    seedLog.commit(seedLog.begin(), Seq(
+      SetProtocol(1, TxLog.SupportedWriterVersion + 1),
+      ChangeMetadata("t", schema)))
+    val c = new GraftClient(spark, tmp(), logStore = Some(store))
+    c.newTx()
+    assert(c.tables.contains("t")) // reading is fine
+    c.rollback()
+    val s = spark
+    import s.implicits._
+    c.newTx()
+    c.insert("t", Seq(1).toDF("k"))
+    val e = intercept[IllegalStateException] { c.commitTx() }
+    assert(e.getMessage.contains("writer protocol version") &&
+      e.getMessage.contains("upgrade"))
+    c.rollback()
+  }
+
+  test("protocol survives checkpoint + retention prune") {
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.commit(log.begin(), Seq(
+      SetProtocol(1, TxLog.SupportedWriterVersion + 1),
+      ChangeMetadata("t", schema)))
+    log.checkpoint(log.begin())
+    log.pruneTo(1)
+    assert(store.listPrefixOrdered(TxLog.LogPrefix).isEmpty)
+    assert(log.begin().protocol.minWriter ===
+      TxLog.SupportedWriterVersion + 1,
+      "checkpoint fold must carry the protocol")
+  }
+
+  test("legacy protocol-free logs read and write as (1, 1)") {
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    // hand-written legacy entry: no protocol action anywhere
+    log.commit(log.begin(), Seq(ChangeMetadata("t", schema)))
+    val c = new GraftClient(spark, tmp(), logStore = Some(store))
+    val s = spark
+    import s.implicits._
+    c.newTx()
+    assert(c.tables.contains("t"))
+    c.insert("t", Seq(1).toDF("k"))
+    c.commitTx() // writer gate passes at the default (1, 1)
+    assert(new TxLog(store).begin().protocol === SetProtocol(1, 1))
+  }
+
+  test("an unknown future action type fails loudly, not partially") {
+    val store = new InMemoryObjectStore
+    store.putIfAbsent(TxLog.logName(0),
+      """{"id":0,"actions":[{"type":"rowtracking","table":"t"}]}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { new TxLog(store).begin() }
+    assert(e.getMessage.contains("unknown log action type") &&
+      e.getMessage.contains("rowtracking"))
+  }
+}
