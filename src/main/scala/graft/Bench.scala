@@ -24,6 +24,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("tx_scan")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // sim_ann_ivf_table exists to measure cell-pruned PROBE READS; its
+    // one-time fixture (trained centroids + the cell-partitioned graft
+    // table) is environment setup, so build it here where the tx
+    // fixtures build, not inside the first timed pass
+    try SparkEntry.queries("sim_ann_ivf_table")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // min over SEPARATED full passes, not back-to-back repeats: transient
     // host contention (another JVM on this box) lasts seconds-to-minutes, so
     // two adjacent samples of one query are both poisoned while samples a

@@ -671,28 +671,44 @@ object SimilarityOps {
     })
   }
 
-  def simAnnIvfTable(spark: SparkSession, dir: String): DataFrame = {
-    val root = annTableFor(spark, dir)
+  /** The IVF probe set for the 10 benchmark queries: (query, query
+    * vector, probed cell). Shared by [[simAnnIvfTable]] and its
+    * file-skipping pin.
+    */
+  private[graft] def ivfProbeFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val cent = centroidFrame(spark, centroidsFor(spark, dir))
       .select(col("cid"), col("cv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("_cscore").desc, col("cid"))
-    val probes = e.filter(col("vec_id") < 10)
+    e.filter(col("vec_id") < 10)
       .crossJoin(broadcast(cent))
       .withColumn("_cscore", cosine(col("v"), col("cv")))
       .withColumn("_crk", row_number().over(w))
       .filter(col("_crk") <= NumProbes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid"))
-    // distinct probed cells: metadata-sized (≤ NumCentroids ids)
-    val cells = probes.select(col("cid")).distinct()
+  }
+
+  /** Distinct cells the benchmark probes touch — metadata-sized
+    * (≤ NumCentroids ids).
+    */
+  private[graft] def ivfProbedCells(spark: SparkSession,
+      dir: String): Array[Long] =
+    ivfProbeFrame(spark, dir).select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // one pruned equality read per probed cell — the pushed filter's
-    // stats probe opens only that cell's objects
-    val cand = cells.map { cl =>
-        spark.read.format("graft").option("table", "emb").load(root)
-          .filter(col("cell") === cl)
-      }.reduce(_.union(_))
+
+  def simAnnIvfTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = annTableFor(spark, dir)
+    val probes = ivfProbeFrame(spark, dir)
+    val cells = ivfProbedCells(spark, dir)
+    // ONE graft read with the probed cells as a pushed IN filter: the
+    // source's stats probe opens exactly those cells' objects (pinned:
+    // 1 object per cell), and the plan stays a single scan instead of a
+    // union of one scan per cell (which costs a footer pass + job per
+    // cell — measurably slower and no more selective)
+    val cand = spark.read.format("graft").option("table", "emb").load(root)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("vec_id"), col("v"), col("cell").as("cid"))
       .join(probes, "cid")
       .filter(col("vec_id") =!= col("query_id"))

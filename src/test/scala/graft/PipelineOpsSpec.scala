@@ -235,12 +235,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     val plain = SimilarityOps.simAnnIvf(spark, dir).collect().toSeq
     assert(table === plain,
       "cell-partitioned table probing must reproduce sim_ann_ivf exactly")
-    // each per-cell equality read opened exactly that cell's object:
-    // insertPartitioned wrote one self-contained object per cell, and
-    // the pushed cell = c filter prunes to it via point stats
-    assert(graft.sources.GraftRelation.lastScanObjectCount === 1,
-      s"expected 1 object per cell scan, " +
-        s"got ${graft.sources.GraftRelation.lastScanObjectCount}")
+    // the single pushed-IN scan opened exactly one object per PROBED
+    // cell and skipped every other cell: insertPartitioned wrote one
+    // self-contained object per cell, and the IN filter prunes to the
+    // probe set via point stats — probing IS file skipping
+    val probed = SimilarityOps.ivfProbedCells(spark, dir).length
+    val opened = graft.sources.GraftRelation.lastScanObjectCount
+    assert(opened === probed,
+      s"expected the scan to open exactly the $probed probed cells' " +
+        s"objects, got $opened")
   }
 
   test("winnowed fingerprints overlap heavily for planted near-dups") {
