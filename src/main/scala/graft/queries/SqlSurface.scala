@@ -111,6 +111,19 @@ object SqlSurface {
                  n_name
           FROM ${cat}_nation_src""")
 
+        // multi-column PARTITIONED BY: one object per (region, parity)
+        // combination — stats single-valued on BOTH columns, so point
+        // queries on the pair open one object and a trailing-column
+        // predicate alone still prunes (stats, not Hive paths)
+        spark.sql(s"""CREATE TABLE $cat.t_part2 (
+            n_regionkey BIGINT, odd BIGINT, n_nationkey BIGINT,
+            n_name STRING)
+          PARTITIONED BY (n_regionkey, odd)""")
+        spark.sql(s"""INSERT INTO $cat.t_part2
+          SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey % 2 AS BIGINT),
+                 CAST(n_nationkey AS BIGINT), n_name
+          FROM ${cat}_nation_src""")
+
         // VERSION AS OF: capture the version right after the CTAS lands,
         // then delete most of the table — the time-traveled read must
         // resurrect the pre-delete state through the SQL surface alone
@@ -163,6 +176,20 @@ object SqlSurface {
       SELECT n_regionkey, count(*) AS cnt,
              min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
       FROM $cat.t_part GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  /** Per-(region, parity) rollup over the 2-column PARTITIONED BY
+    * table: every object is single-valued on both columns, so the
+    * grouped rollup folds from object stats alone, exactly like the
+    * single-column form.
+    */
+  private def partRollup2(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""
+      SELECT n_regionkey, odd, count(*) AS cnt,
+             min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+      FROM $cat.t_part2 GROUP BY n_regionkey, odd
+      ORDER BY n_regionkey, odd""")
   }
 
   private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
@@ -229,6 +256,14 @@ object SqlSurface {
            min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  private val partRollup2Sql = """
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(n_nationkey % 2 AS BIGINT) AS odd,
+           count(*) AS cnt,
+           CAST(min(n_nationkey) AS BIGINT) AS min_key,
+           CAST(max(n_nationkey) AS BIGINT) AS max_key
+    FROM nation GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private val mergeSql = """
     SELECT * FROM (
       SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -265,5 +300,10 @@ object SqlSurface {
     "tx_sql_part_rollup" -> QueryDef(partRollup, Some(partRollupSql),
       "PARTITIONED BY DDL + grouped complete aggregate pushdown: " +
         "per-partition COUNT/MIN/MAX folded from single-valued object " +
-        "stats, no data file opened"))
+        "stats, no data file opened"),
+    "tx_sql_part_rollup2" -> QueryDef(partRollup2, Some(partRollup2Sql),
+      "multi-column PARTITIONED BY (a, b): one object per value " +
+        "combination, stats single-valued on both columns — point " +
+        "queries on the pair open one object, trailing-column " +
+        "predicates prune via stats"))
 }

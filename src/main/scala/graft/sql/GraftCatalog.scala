@@ -140,30 +140,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (col)` — exactly one identity transform: the
-    // partition column is marked in its field METADATA (the same
-    // log-persisted channel column mapping uses), and every INSERT then
-    // routes through insertPartitioned: one self-contained object per
-    // value, pruned by the ordinary stats tier. Bucket/temporal
-    // transforms and multi-column specs are not supported.
+    // `PARTITIONED BY (a, b, ...)` — identity transforms only: each
+    // partition column is marked in its field METADATA with its ordinal
+    // (the same log-persisted channel column mapping uses), and every
+    // INSERT then routes through insertPartitioned: one self-contained
+    // object per VALUE COMBINATION, stats single-valued on every
+    // partition column, pruned by the ordinary stats tier (a trailing
+    // column alone prunes too — no Hive leading-prefix restriction).
+    // Bucket/temporal transforms are not supported.
     val schemaWithPart = partitions.toSeq match {
       case Nil => schema
-      case Seq(t: Transform) if t.name == "identity" &&
+      case ts if ts.forall(t => t.name == "identity" &&
           t.references.length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        val c = t.references()(0).fieldNames()(0)
-        if (!schema.fieldNames.contains(c))
-          throw new IllegalArgumentException(s"no such partition column: $c")
-        StructType(schema.fields.map(f =>
-          if (f.name == c) f.copy(metadata =
+          t.references()(0).fieldNames().length == 1) =>
+        val cols = ts.map(_.references()(0).fieldNames()(0))
+        require(cols.distinct == cols,
+          s"duplicate partition column in: ${cols.mkString(", ")}")
+        cols.foreach { c =>
+          if (!schema.fieldNames.contains(c))
+            throw new IllegalArgumentException(s"no such partition column: $c")
+        }
+        val ord = cols.zipWithIndex.toMap
+        StructType(schema.fields.map(f => ord.get(f.name) match {
+          case Some(i) => f.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
-              .putBoolean(GraftTable.PartitionKey, true).build())
-          else f))
+              .putBoolean(GraftTable.PartitionKey, true)
+              .putLong(GraftTable.PartitionOrdKey, i.toLong).build())
+          case None => f
+        }))
       case _ =>
         throw new UnsupportedOperationException(
-          "graft tables support PARTITIONED BY (one identity column) " +
-            "only; use clusterBy/z_order maintenance for other layouts")
+          "graft tables support PARTITIONED BY (identity columns) only; " +
+            "use clusterBy/z_order maintenance for other layouts")
     }
     val t = tableName(ident)
     withClient { c =>
@@ -308,11 +317,15 @@ object GraftCatalog {
 }
 
 object GraftTable {
-  /** Field-metadata key marking the DDL-declared partition column
-    * (`CREATE TABLE … PARTITIONED BY (col)`). Rides the log's schema
+  /** Field-metadata key marking a DDL-declared partition column
+    * (`CREATE TABLE … PARTITIONED BY (a, b)`). Rides the log's schema
     * serialization like column mapping's physical names do.
     */
   val PartitionKey = "graftPartition"
+  /** Ordinal of the column within the partition spec (absent on tables
+    * created before multi-column support ⇒ 0, the only column).
+    */
+  val PartitionOrdKey = "graftPartitionOrd"
 }
 
 /** A graft table as seen by Spark's DSv2 planner. Reads and the DELETE
@@ -349,16 +362,20 @@ final class GraftTable(val root: String, val tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
-  /** The DDL-declared partition column, if any (field-metadata marker
-    * set by `CREATE TABLE … PARTITIONED BY`).
+  /** The DDL-declared partition columns in spec order (field-metadata
+    * markers set by `CREATE TABLE … PARTITIONED BY`); empty when
+    * unpartitioned.
     */
-  private[sql] def partitionCol: Option[String] =
-    tableSchema.fields.find(f =>
+  private[sql] def partitionCols: Seq[String] =
+    tableSchema.fields.filter(f =>
       f.metadata.contains(GraftTable.PartitionKey) &&
-        f.metadata.getBoolean(GraftTable.PartitionKey)).map(_.name)
+        f.metadata.getBoolean(GraftTable.PartitionKey))
+      .sortBy(f => if (f.metadata.contains(GraftTable.PartitionOrdKey))
+        f.metadata.getLong(GraftTable.PartitionOrdKey) else 0L)
+      .map(_.name).toSeq
 
   override def partitioning(): Array[Transform] =
-    partitionCol.toArray.map(c =>
+    partitionCols.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
 
   // ---- SupportsPartitionManagement (SHOW PARTITIONS) ----
@@ -367,32 +384,47 @@ final class GraftTable(val root: String, val tableName: String,
   // on the partition column, and a distinct scan otherwise; explicit
   // partition DDL has nothing to manage and refuses.
   override def partitionSchema(): StructType =
-    StructType(partitionCol.toSeq.map(c =>
+    StructType(partitionCols.map(c =>
       org.apache.spark.sql.types.StructField(c,
         tableSchema(tableSchema.fieldIndex(c)).dataType)))
 
   override def listPartitionIdentifiers(names: Array[String],
       ident: org.apache.spark.sql.catalyst.InternalRow)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partitionCol.getOrElse(return Array.empty)
-    val dt = tableSchema(tableSchema.fieldIndex(p)).dataType
-    val values: Seq[Any] = withClient { c =>
-      c.metadataAggregateGrouped(tableName, asOf, p, Nil) match {
-        case Some(rows) => rows.map(_.head)
-        case None => // some object straddles values: fall back to a scan
+    val ps = partitionCols
+    if (ps.isEmpty) return Array.empty
+    val dts = ps.map(c => tableSchema(tableSchema.fieldIndex(c)).dataType)
+    // distinct combinations: metadata fold when single-column and every
+    // object is single-valued; otherwise one distinct scan (still the
+    // partition columns only — pruned to those columns at the reader)
+    val combos: Seq[Seq[Any]] = withClient { c =>
+      (if (ps.length == 1)
+        c.metadataAggregateGrouped(tableName, asOf, ps.head, Nil)
+      else None) match {
+        case Some(rows) => rows.map(r => Seq(r.head))
+        case None =>
           c.scanAsOf(tableName, asOf.getOrElse(c.latestVersion))
-            .select(col(p)).distinct().collect().map(_.get(0)).toSeq
+            .select(ps.map(col): _*).distinct().collect()
+            .map(_.toSeq).toSeq
       }
     }
-    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToCatalystConverter(dt)
-    val all = values.map(v =>
-      org.apache.spark.sql.catalyst.InternalRow(toCatalyst(v)))
-    // partial-spec filter (SHOW PARTITIONS t PARTITION (p = v))
+    val toCatalyst = dts.map(dt =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt))
+    val all = combos.map(vs =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        vs.zip(toCatalyst).map { case (v, f) => f(v) }))
+    // partial-spec filter (SHOW PARTITIONS t PARTITION (a = v, ...)):
+    // `names` may be any subset of the partition columns
     if (names.isEmpty) all.toArray
-    else if (names.length == 1 && names(0) == p)
-      all.filter(r => r.get(0, dt) == ident.get(0, dt)).toArray
-    else Array.empty
+    else if (names.forall(ps.contains)) {
+      val sel = names.toSeq.map(n => ps.indexOf(n))
+      all.filter { r =>
+        sel.zipWithIndex.forall { case (pi, ni) =>
+          r.get(pi, dts(pi)) == ident.get(ni, dts(pi))
+        }
+      }.toArray
+    } else Array.empty
   }
 
   override def createPartition(
@@ -694,9 +726,9 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
                 .reduceOption(_ && _).getOrElse(lit(true))
               c.deleteWhere(table.tableName, pred)
             }
-            table.partitionCol match {
-              case Some(p) => c.insertPartitioned(table.tableName, data, p)
-              case None => c.insert(table.tableName, data)
+            table.partitionCols match {
+              case Seq() => c.insert(table.tableName, data)
+              case ps => c.insertPartitioned(table.tableName, data, ps)
             }
             c.commitTxRetrying()
           }

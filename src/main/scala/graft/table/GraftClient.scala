@@ -667,16 +667,43 @@ final class GraftClient(
     * with the full table schema — scan/delete/compact code is unchanged.
     * Choose low-cardinality partition columns, as with any Hive layout.
     */
-  def insertPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
-    require(df.schema.fieldNames.contains(partCol),
-      s"no such column: $partCol")
+  def insertPartitioned(table: String, df: DataFrame, partCol: String): Unit =
+    insertPartitioned(table, df, Seq(partCol))
+
+  /** Multi-column form: one data object per DISTINCT VALUE COMBINATION
+    * of `partCols` (nested identity transforms — the (date, source)
+    * layout real tables use). Each object's stats pin EVERY partition
+    * column to a single value, so the existing pruning machinery works
+    * unchanged: a point query on the full combination opens one object,
+    * and a predicate on any SUBSET of the columns — including trailing
+    * ones alone — prunes via the same per-column stats (no Hive-style
+    * leading-prefix restriction, because pruning is stats, not paths).
+    */
+  def insertPartitioned(table: String, df: DataFrame,
+      partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"partition columns must be non-empty and distinct: $partCols")
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    // staging duplicates (consumed by partitionBy, dropped from files)
+    val stageCols = partCols.indices.map(i => s"$PartCol$i")
+    stageCols.foreach(sc => require(!df.schema.fieldNames.contains(sc),
+      s"column name collides with the staging layout: $sc"))
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
       val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-      toPhysical(stamped.withColumn(PartCol, col(partCol)), schema)
-        .write.partitionBy(PartCol).parquet(staging)
+      val withParts = partCols.zip(stageCols).foldLeft(
+        toPhysical(stamped, schema)) { case (d, (c, sc)) =>
+        d.withColumn(sc, col(physOf(schema, c)))
+      }
+      withParts.write.partitionBy(stageCols: _*).parquet(staging)
+      // walk to the LEAF dirs (depth = #partCols): one per combination
+      def leaves(dir: java.io.File, depth: Int): Seq[java.io.File] =
+        if (depth == 0) Seq(dir)
+        else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && f.getName.contains("="))
+          .flatMap(leaves(_, depth - 1))
       val stagingDir = new java.io.File(staging)
-      val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+      val partDirs = leaves(stagingDir, partCols.length)
       // validate the write BEFORE registering any action: a count
       // mismatch (non-deterministic input) must leave the tx's action
       // buffer clean so a caller that catches and commits anyway can't

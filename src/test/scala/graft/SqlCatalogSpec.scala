@@ -367,9 +367,32 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"INSERT INTO $cat.pp SELECT id % 4 AS p, id AS k FROM range(40, 48)")
     c.newTx()
     try assert(c.objects("pp").length === 8) finally c.rollback()
+    // multi-column spec: one object per VALUE COMBINATION, stats
+    // single-valued on both columns
+    spark.sql(s"CREATE TABLE $cat.pp2 (a BIGINT, b BIGINT, k BIGINT) " +
+      "PARTITIONED BY (a, b)")
+    spark.sql(s"INSERT INTO $cat.pp2 " +
+      "SELECT id % 3 AS a, id % 2 AS b, id AS k FROM range(0, 36)")
+    c.newTx()
+    try assert(c.objects("pp2").length === 6) finally c.rollback()
+    // point query on the full combination opens exactly 1 object
+    assert(rows(s"SELECT count(*) FROM $cat.pp2 WHERE a = 1 AND b = 0")
+      === Seq(Row(6L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 1)
+    // a TRAILING column alone prunes via stats (no Hive leading-prefix
+    // restriction: pruning is per-column stats, not directory paths)
+    assert(rows(s"SELECT count(*) FROM $cat.pp2 WHERE b = 1") ===
+      Seq(Row(18L)))
+    assert(graft.sql.GraftCatalog.lastScanObjectCount === 3)
+    // DESCRIBE reports both partition columns in spec order
+    val desc2 = rows(s"DESCRIBE TABLE $cat.pp2").map(_.getString(0))
+    assert(desc2.contains("# Partition Information"))
+    // SHOW PARTITIONS lists combinations; a partial spec filters
+    assert(rows(s"SHOW PARTITIONS $cat.pp2").length === 6)
+    // non-identity transforms still refuse
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.pp2 (a BIGINT, b BIGINT) " +
-        "PARTITIONED BY (a, b)")
+      spark.sql(s"CREATE TABLE $cat.pp3 (a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (bucket(4, a))")
     }
     // a mixed-null object into p=1: footer null counts ride the stats
     spark.sql(s"INSERT INTO $cat.pp SELECT 1 AS p, " +
