@@ -98,7 +98,13 @@ object DedupOps {
       .observe(metricName,
         sum(when(size(col("ids")) > BucketCap, 1L).otherwise(0L))
           .as("dropped_buckets"),
-        max(size(col("ids"))).as("max_bucket"))
+        max(size(col("ids"))).as("max_bucket"),
+        // candidate pairs the kept buckets will generate (Σ C(size, 2))
+        // — the scale-probe observable: growth must track corpus size,
+        // and a flood's quadratic contribution must be GONE, not counted
+        sum(when(size(col("ids")).between(2, BucketCap),
+          expr("CAST(size(ids) AS BIGINT) * (size(ids) - 1) div 2"))
+          .otherwise(0L)).as("cand_pairs"))
       .filter(size(col("ids")).between(2, BucketCap))
 
   /** All (doc_a < doc_b) pairs within each bucket's sorted `ids` array —

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupOps
+
+/** Empirical scale probe for the near-dup candidate caps (round-7 ask):
+  * the linearity/shed story was design-argued and flood-tested at one
+  * size — here it is MEASURED, via the observed `cand_pairs` /
+  * `dropped_buckets` metrics (never wall time), at 1× and 8× corpus
+  * scale.
+  *
+  *   - 8× more DATA (shingle-disjoint replicas): candidate pairs grow
+  *     ≤ linearly — each replica contributes its own buckets, nothing
+  *     cross-multiplies.
+  *   - 8× more of the SAME data (a flood block crossing the cap): the
+  *     quadratic term is GONE from cand_pairs and the shed counter
+  *     fires — candidate volume DROPS below the 1× run instead of
+  *     exploding 64×.
+  */
+class DedupScaleProbeSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** `copies` shingle-DISJOINT replicas of the sf0.001 documents table:
+    * replica i offsets doc_id and prefixes every word with `r{i}`, so
+    * replicas share no shingle and candidate structure repeats per
+    * replica instead of cross-multiplying.
+    */
+  private def replicated(copies: Int): String = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reps = (0 until copies).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"r$i" + "$1"))
+    }
+    val dir = Files.createTempDirectory(s"graft_probe_${copies}x").toString
+    reps.reduce(_.unionAll(_)).repartition(8)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def metricsOf(df: DataFrame, name: String): Row = {
+    df.collect()
+    df.queryExecution.observedMetrics(name)
+  }
+  private def candPairs(m: Row): Long = m.getLong(m.fieldIndex("cand_pairs"))
+  private def dropped(m: Row): Long = m.getLong(m.fieldIndex("dropped_buckets"))
+
+  test("8x disjoint data: n-gram candidate pairs grow exactly linearly") {
+    val m1 = metricsOf(DedupOps.dedupNgramJaccard(spark, replicated(1)),
+      "ngram_buckets")
+    val m8 = metricsOf(DedupOps.dedupNgramJaccard(spark, replicated(8)),
+      "ngram_buckets")
+    assert(candPairs(m1) > 0, "probe needs a non-trivial 1x candidate set")
+    // shingle-disjoint replicas repeat the same bucket structure 8x:
+    // candidate pairs are exactly 8x, per-bucket sizes unchanged
+    assert(candPairs(m8) === 8 * candPairs(m1),
+      s"ngram cand_pairs: 1x=${candPairs(m1)} 8x=${candPairs(m8)}")
+    assert(m8.getInt(m8.fieldIndex("max_bucket")) ===
+      m1.getInt(m1.fieldIndex("max_bucket")),
+      "replication of disjoint data must not grow any bucket")
+    assert(dropped(m1) === 0 && dropped(m8) === 0)
+  }
+
+  test("8x disjoint data: minhash candidate pairs grow at most linearly") {
+    val m1 = metricsOf(DedupOps.dedupMinhashLsh(spark, replicated(1)),
+      "minhash_buckets")
+    val m8 = metricsOf(DedupOps.dedupMinhashLsh(spark, replicated(8)),
+      "minhash_buckets")
+    assert(candPairs(m1) > 0)
+    // band keys re-randomize per replica (mutated words, fresh hashes),
+    // so counts vary per replica — but growth must stay linear-order:
+    // a quadratic stage would land at ~64x. Bound = 2x the linear rate.
+    assert(candPairs(m8) <= 16 * candPairs(m1),
+      s"minhash cand_pairs grew superlinearly: " +
+        s"1x=${candPairs(m1)} 8x=${candPairs(m8)}")
+    assert(dropped(m8) === 0,
+      "disjoint replication must not push any bucket over the cap")
+  }
+
+  test("8x of the SAME data: the flood's quadratic term sheds, loudly") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val flood = "the quick brown fox jumps over its own lazy shadow " +
+      "every single morning without fail"
+    val twin = "solo duo trio quad penta hexa septa octa nona deca " +
+      "undeca dodeca trideca quattuordeca quindeca"
+    def corpus(floodN: Int): String = {
+      import scala.jdk.CollectionConverters._
+      val rows =
+        Seq(Row(1L, twin, "en", "plant", twin.length.toLong),
+          Row(2L, twin, "en", "plant", twin.length.toLong)) ++
+        (0 until floodN).map(i =>
+          Row(10000L + i, flood, "en", "flood", flood.length.toLong))
+      val dir = Files.createTempDirectory(s"graft_probe_fl$floodN").toString
+      spark.createDataFrame(rows.toList.asJava, docSchema).repartition(4)
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // 130 copies: below the 1000 cap -> kept, counted, quadratic C(130,2)
+    val m1 = metricsOf(DedupOps.dedupNgramJaccard(spark, corpus(130)),
+      "ngram_buckets")
+    // 8x the flood: over the cap -> the whole quadratic term must VANISH
+    // from cand_pairs (not 64x it) and the shed counter must say so
+    val m8 = metricsOf(DedupOps.dedupNgramJaccard(spark, corpus(8 * 130)),
+      "ngram_buckets")
+    assert(dropped(m1) === 0 && candPairs(m1) >= 130L * 129 / 2)
+    assert(dropped(m8) >= 1, "shed counter must fire at 8x")
+    assert(candPairs(m8) < candPairs(m1),
+      s"flood quadratic term must shed, not grow: " +
+        s"1x=${candPairs(m1)} 8x=${candPairs(m8)}")
+  }
+}
