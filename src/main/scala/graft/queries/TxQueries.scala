@@ -490,6 +490,18 @@ object TxQueries {
       .orderBy(col("_change"), col("n_nationkey"))
   }
 
+  // --- CDF in pure SQL: the table_changes TVF --------------------------------
+  // The same window again, through `SELECT … FROM table_changes_by_path`
+  // — Delta's SQL CDF surface, resolved by GraftTvfResolution into the
+  // connector's change-feed relation at analysis time.
+  def txSqlCdf(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.sql(s"""
+      SELECT n_nationkey, n_name, n_regionkey, _change
+      FROM table_changes_by_path('$root', 'nation', 'n_nationkey', 1, 3)
+      ORDER BY _change, n_nationkey""")
+  }
+
   // --- CONVERT: in-place metadata-only import of a parquet directory --------
   // A 4-file parquet dir of customer rows is imported with convertParquet
   // (no data rewrite — the files become external objects with synthesized
@@ -682,6 +694,10 @@ object TxQueries {
     "tx_source_cdf" -> QueryDef(txSourceCdf, Some(txCdfSql),
       "batch change data feed through the connector: " +
         "option(\"changeFeed\") keyed snapshot diff, no Scala client"),
+    "tx_sql_cdf" -> QueryDef(txSqlCdf, Some(txCdfSql),
+      "CDF in pure SQL: SELECT FROM table_changes_by_path(...) — the " +
+        "Delta-parity TVF resolved by an injected analyzer rule into " +
+        "the connector's change-feed relation"),
     "tx_source_bulk" -> QueryDef(txSourceBulk, Some(txBulkRangeSql),
       "fact-table month-range aggregate through the connector: pushed " +
         "filter opens ~12 of ~80 objects"),

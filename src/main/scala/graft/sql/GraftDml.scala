@@ -27,8 +27,12 @@ import org.apache.spark.sql.graftshim.SqlShim
   * `.config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => GraftDmlRewrite)
+    // pure-SQL CDF: SELECT ... FROM table_changes(...)
+    ext.injectTableFunction(GraftTvf.tableChanges)
+    ext.injectTableFunction(GraftTvf.tableChangesByPath)
+  }
 }
 
 /** Matches a resolved DSv2 relation over a [[GraftTable]], looking

@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Delta-parity `table_changes` table-valued functions, registered
+  * through `SparkSessionExtensions.injectTableFunction` (the official
+  * TVF channel — the builder maps the call's argument expressions to a
+  * LogicalPlan at analysis time):
+  *
+  *   table_changes('cat.tbl', 'k1[,k2…]', start [, end [, preimages]])
+  *   table_changes_by_path('/store/root', 'tbl', 'keys', start [, end [, preimages]])
+  *
+  * Both resolve to the batch CDF read (`format("graft")`,
+  * `changeFeed=true`) over `[start, end)`; `end` defaults to latest.
+  * DIVERGENCE FROM DELTA, by design: this engine's CDF is a KEYED
+  * SNAPSHOT DIFF (`changesBetween` — the key columns are an argument),
+  * not per-file CDC actions, so the feed is exact against any pair of
+  * versions regardless of how the writes happened. The optional boolean
+  * `preimages` switches updates to the
+  * `update_preimage`/`update_postimage` retraction form.
+  */
+object GraftTvf {
+  type Registration = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => LogicalPlan)
+
+  val tableChanges: Registration = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo(getClass.getName, "table_changes"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 3 && args.length <= 5, usage)
+      val ref = lit(args.head, "table").toString
+      val parts = ref.split('.')
+      require(parts.length == 2,
+        s"table_changes: expected 'catalog.table', got '$ref'")
+      val rootConf = s"spark.sql.catalog.${parts(0)}.root"
+      val root = SparkSession.active.conf.getOption(rootConf).getOrElse(
+        throw new IllegalArgumentException(
+          s"table_changes: '${parts(0)}' is not a graft catalog " +
+            s"($rootConf unset)"))
+      build(root, parts(1), args.drop(1))
+    })
+
+  val tableChangesByPath: Registration = (
+    FunctionIdentifier("table_changes_by_path"),
+    new ExpressionInfo(getClass.getName, "table_changes_by_path"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 4 && args.length <= 6, usage)
+      build(lit(args(0), "path").toString, lit(args(1), "table").toString,
+        args.drop(2))
+    })
+
+  private def build(root: String, table: String,
+      rest: Seq[Expression]): LogicalPlan = {
+    val r = SparkSession.active.read.format("graft")
+      .option("table", table).option("changeFeed", "true")
+      .option("keyColumns", lit(rest.head, "key columns").toString)
+      .option("startingVersion", lit(rest(1), "startingVersion").toString)
+    val r2 = if (rest.length >= 3)
+      r.option("endingVersion", lit(rest(2), "endingVersion").toString)
+    else r
+    val r3 = if (rest.length == 4)
+      r2.option("preimages", lit(rest(3), "preimages").toString)
+    else r2
+    r3.load(root).queryExecution.analyzed
+  }
+
+  private def lit(e: Expression, what: String): Any = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case Literal(v, _) if v != null => v
+    case other => throw new IllegalArgumentException(
+      s"table_changes: $what must be a literal, got $other")
+  }
+
+  private val usage = "usage: table_changes('cat.tbl', 'keys', start " +
+    "[, end [, preimages]]) or table_changes_by_path(root, tbl, keys, " +
+    "start [, end [, preimages]])"
+}

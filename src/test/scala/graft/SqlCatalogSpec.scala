@@ -345,6 +345,40 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"AQE should convert the tiny graft side to broadcast:\n$adaptive")
   }
 
+  test("table_changes TVF: pure-SQL CDF, both forms, preimages opt-in") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.c VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val v1 = new GraftClient(spark, root).latestVersion
+    spark.sql(s"UPDATE $cat.c SET v = 'B' WHERE k = 2")
+    spark.sql(s"DELETE FROM $cat.c WHERE k = 3")
+    val v2 = new GraftClient(spark, root).latestVersion
+
+    // catalog form: table_changes('cat.tbl', keys, start, end)
+    val feed = rows(s"""SELECT k, v, _change
+      FROM table_changes('$cat.c', 'k', $v1, $v2)
+      ORDER BY _change, k""")
+    assert(feed === Seq(Row(3L, "c", "delete"), Row(2L, "B", "update")))
+
+    // by-path form + preimages: updates emit both sides
+    val pre = rows(s"""SELECT k, v, _change
+      FROM table_changes_by_path('$root', 'c', 'k', $v1, $v2, true)
+      WHERE _change LIKE 'update%' ORDER BY _change""")
+    assert(pre === Seq(Row(2L, "B", "update_postimage"),
+      Row(2L, "b", "update_preimage")))
+
+    // end defaults to latest; TVF composes with ordinary SQL on top
+    assert(rows(s"""SELECT count(*) AS n
+        FROM table_changes('$cat.c', 'k', $v1)
+        WHERE _change = 'delete'""") === Seq(Row(1L)))
+
+    // unknown catalogs and malformed args fail with the usage message
+    val e = intercept[Exception] {
+      rows(s"SELECT * FROM table_changes('nope.c', 'k', 0)")
+    }
+    assert(e.getMessage.contains("not a graft catalog"))
+  }
+
   test("CREATE TABLE PARTITIONED BY: inserts land one object per value") {
     val (cat, root) = newCatalog()
     spark.sql(
