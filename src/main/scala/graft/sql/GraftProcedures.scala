@@ -42,10 +42,15 @@ object GraftProcedures {
     def client = new GraftClient(SparkSession.active, root)
     name match {
       case "compact" => Some(proc(name,
-        "bin-packing small-file compaction (pruning-preserving)",
+        "bin-packing small-file compaction (pruning-preserving); " +
+          "optional where_column/start/end scope compacts only objects " +
+          "whose stats may overlap the range",
         Seq(in("table", StringType),
           inDefault("target_rows", LongType,
-            GraftClient.DefaultCompactTargetRows.toString)),
+            GraftClient.DefaultCompactTargetRows.toString),
+          inDefault("where_column", StringType, "NULL"),
+          inDefault("where_start", StringType, "NULL"),
+          inDefault("where_end", StringType, "NULL")),
         StructType(Seq(StructField("table", StringType),
           StructField("objects_before", IntegerType),
           StructField("objects_after", IntegerType))), { args =>
@@ -53,8 +58,26 @@ object GraftProcedures {
           val target = args.getLong(1)
           val c = client
           c.newTx()
+          val scope = Option(args.getUTF8String(2)).map(_.toString)
+            .filter(_.nonEmpty).map { colName =>
+              // bounds arrive as SQL strings; coerce to the column's
+              // stats domain so ColStats.mayOverlap compares natively
+              val dt = c.schemaOf(t)(colName).dataType
+              def parse(s: UTF8String): Any = {
+                if (s == null) null
+                else dt match {
+                  case ByteType | ShortType | IntegerType | LongType =>
+                    s.toString.toLong
+                  case FloatType | DoubleType => s.toString.toDouble
+                  case DateType => java.time.LocalDate.parse(s.toString)
+                  case _ => s.toString
+                }
+              }
+              (colName, parse(args.getUTF8String(3)),
+                parse(args.getUTF8String(4)))
+            }
           val before = c.objects(t).length
-          c.compact(t, target)
+          c.compact(t, target, scope)
           c.commitTxRetrying()
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()

@@ -1766,7 +1766,8 @@ final class GraftClient(
     * from files-minus-DV arithmetic (DvCompactReproSpec).
     */
   def compact(table: String,
-      targetRows: Long = GraftClient.DefaultCompactTargetRows): Unit = {
+      targetRows: Long = GraftClient.DefaultCompactTargetRows,
+      scope: Option[(String, Any, Any)] = None): Unit = {
     require(targetRows >= 2, "targetRows must be >= 2")
     val t = currentTx
     val schema = schemaOf(table)
@@ -1777,7 +1778,21 @@ final class GraftClient(
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
       return
     }
-    val small = files.filter(_.numRows <= math.max(1L, targetRows / 2))
+    // optional maintenance SCOPE (column, start, end): only objects whose
+    // stats may overlap the inclusive range are candidates — at 100 TB
+    // you compact the partitions a backfill just fragmented, never the
+    // whole table. Stats-conservative (unknown stats ⇒ in scope, which is
+    // correctness-neutral for compaction); the full-sweep DV retirement
+    // below can only trigger when the scope covers every live object,
+    // because `small` is drawn from the scoped subset but compared
+    // against ALL live files.
+    val scoped = scope match {
+      case None => files
+      case Some((c, s, e)) =>
+        val phys = physOf(schema, c)
+        files.filter(a => ColStats.mayOverlap(a.stats, phys, s, e))
+    }
+    val small = scoped.filter(_.numRows <= math.max(1L, targetRows / 2))
     val fullSweep = small.length == files.length
     // retiring DVs requires the full sweep; then even singleton bins
     // rewrite so no masked row survives physically

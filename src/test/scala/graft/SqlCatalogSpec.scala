@@ -345,6 +345,38 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"AQE should convert the tiny graft side to broadcast:\n$adaptive")
   }
 
+  test("scoped compaction: where-range compacts only overlapping objects") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.sc (p BIGINT, k BIGINT) PARTITIONED BY (p)")
+    // 3 commits x 2 partitions -> 3 small objects per partition value
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.sc " +
+        s"SELECT id % 2 AS p, id + ${i * 100} AS k FROM range(0, 8)")
+    }
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val before = c.objects("sc")
+    c.rollback()
+    assert(before.length === 6)
+    val p1Before = before.filter(_.stats("p").min == 1L).map(_.path).toSet
+
+    // scope p = 0: only partition 0's three objects merge
+    val out = rows(s"CALL $cat.system.compact(`table` => 'sc', " +
+      "target_rows => 1000, where_column => 'p', " +
+      "where_start => '0', where_end => '0')")
+    assert(out === Seq(Row("sc", 6, 4)))
+    c.newTx()
+    val after = c.objects("sc")
+    c.rollback()
+    assert(after.filter(_.stats("p").min == 1L).map(_.path).toSet ===
+      p1Before, "out-of-scope partition's objects must be untouched")
+    assert(after.count(_.stats("p").min == 0L) === 1,
+      "in-scope partition must compact to one object")
+    // data unchanged
+    assert(rows(s"SELECT count(*) AS n, sum(k) AS s FROM $cat.sc") ===
+      rows("SELECT 24 AS n, CAST(2484 AS BIGINT) AS s"))
+  }
+
   test("table_changes TVF: pure-SQL CDF, both forms, preimages opt-in") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.c (k BIGINT, v STRING)")
