@@ -289,6 +289,63 @@ object Events {
     GROUP BY event_type
     ORDER BY event_type"""
 
+  // --- Gap-fill resample + forward fill --------------------------------------
+  // Time-series resampling: each event_type series downsampled onto a
+  // complete 15-minute slot grid — COUNT + MAX per observed slot, empty
+  // slots materialized from the series' span, and the last observed value
+  // carried forward across gaps (last_value IGNORE NULLS). The Spark-first
+  // decomposition keeps the data-sized work keyed: the only pass over raw
+  // events is a (type, slot) partial aggregation; the grid itself is
+  // sequence+explode over per-series [min,max] spans (rows ∝ series ×
+  // time-range, independent of event volume), and the forward-fill window
+  // runs over that RESAMPLED grid, never the event stream — at 100 TB the
+  // window input is still only slots × series. MAX is the slot reducer (not
+  // last-observed) so the result is order-insensitive and engine-exact with
+  // no tiebreak protocol.
+  def qEventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val slotUs = 900L * 1000000L
+    val obs = t(spark, dir, "events")
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $slotUs").as("slot"), col("value"))
+      .groupBy(col("event_type"), col("slot"))
+      .agg(count(lit(1)).as("n_obs"), max(col("value")).as("v"))
+    val grid = obs.groupBy(col("event_type"))
+      .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
+      .select(col("event_type"),
+        explode(sequence(col("s0"), col("s1"))).as("slot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "slot"), "left")
+      .select(col("event_type"),
+        timestamp_micros(col("slot") * slotUs).as("slot_ts"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("slot_ts"))
+  }
+
+  private val qEventsResampleSql = """
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // 900000000 AS slot,
+        COUNT(*) AS n_obs, MAX(value) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT event_type, MIN(slot) AS s0, MAX(slot) AS s1
+      FROM obs GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(s0, s1)) AS slot
+      FROM spans)
+    SELECT g.event_type AS event_type,
+      make_timestamp(g.slot * 900000000) AS slot_ts,
+      COALESCE(o.n_obs, 0) AS n_obs,
+      LAST_VALUE(o.v IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.slot
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+      o.n_obs IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.slot = o.slot
+    ORDER BY event_type, slot_ts"""
+
   // --- Cohort retention ------------------------------------------------------
   // The product-analytics staple: users cohorted by first-active week,
   // each (cohort, week-offset) cell = distinct users still active that
@@ -367,5 +424,9 @@ object Events {
       "pure interval join (no equi key) via bin replication: equi-join " +
         "on 1-minute bins instead of a nested-loop range join"),
     "q_json_extract" -> QueryDef(qJsonExtract, Some(qJsonExtractSql),
-      "semi-structured JSON field extraction"))
+      "semi-structured JSON field extraction"),
+    "q_events_resample" -> QueryDef(qEventsResample, Some(qEventsResampleSql),
+      "time-series gap-fill resample: 15-min slot downsample, complete " +
+        "grid via sequence/explode, forward-fill over the resampled grid " +
+        "(window input is slots x series, never the event stream)"))
 }

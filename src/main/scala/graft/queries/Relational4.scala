@@ -301,7 +301,47 @@ object Relational4 {
     GROUP BY metric
     ORDER BY metric"""
 
+  // --- Window-function breadth: lag/lead/ntile/percent_rank ------------------
+  // The navigation + distribution window families over one per-customer
+  // partition: order sequence (row_number), neighboring order prices
+  // (lag/lead), within-customer price quartile (ntile) and percentile
+  // (percent_rank, tie-broken by orderkey so the rank is total and
+  // engine-exact). Both window specs share the o_custkey partition key, so
+  // the plan is ONE shuffle on the (high-cardinality) customer key with two
+  // in-partition sorts — no global sort, no single-partition window, the
+  // shape that survives 100 TB. ntile/row_number cast to BIGINT for
+  // engine-identical output types.
+  def qWindowLagNtile(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wp = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(ws).cast("bigint").as("seq"),
+        lag(col("o_totalprice"), 1).over(ws).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(ws).as("next_price"),
+        ntile(4).over(ws).cast("bigint").as("quartile"),
+        round(percent_rank().over(wp), 6).as("pr"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  private val qWindowLagNtileSql = """
+    SELECT o_custkey, o_orderkey,
+      CAST(ROW_NUMBER() OVER ws AS BIGINT) AS seq,
+      LAG(o_totalprice) OVER ws AS prev_price,
+      LEAD(o_totalprice) OVER ws AS next_price,
+      CAST(NTILE(4) OVER ws AS BIGINT) AS quartile,
+      round(PERCENT_RANK() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, seq"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_window_lag_ntile" -> QueryDef(qWindowLagNtile, Some(qWindowLagNtileSql),
+      "navigation + distribution window families (lag/lead/row_number/" +
+        "ntile/percent_rank) sharing one customer-key shuffle"),
     "q_unpivot" -> QueryDef(qUnpivot, Some(qUnpivotSql),
       "UNPIVOT/melt wide-to-long (Expand, no shuffle before the rollup) " +
         "— the inverse of q_pivot"),
