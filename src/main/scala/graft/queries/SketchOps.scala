@@ -343,7 +343,95 @@ object SketchOps {
     GROUP BY u.lang_a, u.lang_b
     ORDER BY u.lang_a, u.lang_b"""
 
+  // --- Mergeable histogram quantile sketch -----------------------------------
+  // The quantile member of the sketch family (HLL = cardinality, CMS =
+  // frequency): per-language document-length quantiles estimated from a
+  // fixed B=128-bin equi-width histogram over the corpus [min,max] span.
+  // The sketch is (lang, bin) → count — merge across corpora/partitions is
+  // cell-wise ADD (pinned in SketchSpec), the histogram is ≤ B rows per
+  // group no matter the corpus size, and the quantile readout walks the
+  // ≤B-row cumulative grid, never the data. Everything is integer
+  // arithmetic (bin index, ceil thresholds via (a+b-1) div b, bin-edge
+  // estimates), so DuckDB replays the sketch bit-for-bit. Estimate
+  // contract: the returned value is the LOWER EDGE of the bin containing
+  // the q-quantile — within one bin width (span/B) of the exact quantile.
+  private val HistB = 128
+
+  /** (lang, bin, cnt) histogram cells over EXPLICIT [lo,hi] bounds — the
+    * mergeable sketch itself: union of corpora = cell-wise ADD (pinned in
+    * SketchSpec). Shared bounds are what make shards bin-compatible; a
+    * production profiler fixes them from domain knowledge or a first
+    * metadata pass, exactly as the registered query's bounds aggregate does.
+    */
+  private[graft] def histCellsAt(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        expr(s"((n_chars - ${lo}L) * $HistB) div (${hi}L - ${lo}L + 1)")
+          .as("bin"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def sketchHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
+    val bounds = docs.agg(min(col("n_chars")).as("lo"),
+      max(col("n_chars")).as("hi"))
+    val cells = docs.crossJoin(broadcast(bounds))
+      .select(col("lang"),
+        expr(s"((n_chars - lo) * $HistB) div (hi - lo + 1)").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("lang"), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("total", sum(col("cnt")).over(wtot))
+      .withColumn("est", expr(s"lo + (bin * (hi - lo + 1)) div $HistB"))
+      .groupBy(col("lang"))
+      .agg(expr("max(total)").as("n_docs"),
+        expr("min(CASE WHEN cum >= (total + 1) div 2 THEN est END)")
+          .as("p50_est"),
+        expr("min(CASE WHEN cum >= (total * 9 + 9) div 10 THEN est END)")
+          .as("p90_est"),
+        expr("min(CASE WHEN cum >= (total * 99 + 99) div 100 THEN est END)")
+          .as("p99_est"))
+      .orderBy(col("lang"))
+  }
+
+  private val sketchHistQuantilesSql = s"""
+    WITH d AS (SELECT lang, n_chars FROM documents),
+    b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM d),
+    cells AS (
+      SELECT lang, ((n_chars - lo) * $HistB) // (hi - lo + 1) AS bin,
+        lo, hi, COUNT(*) AS cnt
+      FROM d CROSS JOIN b
+      GROUP BY 1, 2, 3, 4),
+    c AS (
+      SELECT lang, cnt,
+        SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER (PARTITION BY lang) AS total,
+        lo + (bin * (hi - lo + 1)) // $HistB AS est
+      FROM cells)
+    SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+      CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN est END) AS BIGINT)
+        AS p50_est,
+      CAST(MIN(CASE WHEN cum >= (total * 9 + 9) // 10 THEN est END)
+        AS BIGINT) AS p90_est,
+      CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN est END)
+        AS BIGINT) AS p99_est
+    FROM c
+    GROUP BY lang
+    ORDER BY lang"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_hist_quantiles" -> QueryDef(sketchHistQuantiles,
+      Some(sketchHistQuantilesSql),
+      "mergeable 128-bin equi-width histogram quantile sketch (p50/p90/" +
+        "p99 bin-edge estimates, merge = cell-wise add, all-integer " +
+        "replay)"),
     "sketch_hll" -> QueryDef(sketchHll, Some(sketchHllSql),
       "HyperLogLog distinct-word estimate per language: 512 portable-" +
         "md5 registers, exact-integer harmonic sum — register states " +

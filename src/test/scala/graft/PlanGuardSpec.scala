@@ -34,7 +34,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // 20-row broadcast merge-table crossJoin (BPE training)
     "text_bpe_merges",
     // |groups|-row language-pair inequality join (≤5 rows per side)
-    "sketch_kmv_jaccard")
+    "sketch_kmv_jaccard",
+    // 1-row global-bounds crossJoin feeding the bin expression
+    "sketch_hist_quantiles")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val self = p +: p.children.flatMap(collectAll)

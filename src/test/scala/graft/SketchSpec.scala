@@ -100,6 +100,59 @@ class SketchSpec extends AnyFunSuite {
       "cell-wise add of half-corpus grids != whole-corpus grid")
   }
 
+  test("histogram cells merge by cell-wise add (sketch union law)") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/even/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/odd/documents.parquet")
+    val Array(lo, hi) = docs.agg(min("n_chars"), max("n_chars"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    def cells(d: String): Map[(String, Long), Long] =
+      SketchOps.histCellsAt(s, d, lo, hi).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(dir)
+    val even = cells(s"$tmp/even")
+    val odd = cells(s"$tmp/odd")
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === whole,
+      "cell-wise add of half-corpus histograms != whole-corpus histogram")
+  }
+
+  test("histogram quantile estimates sit within one bin width of exact") {
+    val s = spark
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val Array(lo, hi) = docs.agg(min("n_chars"), max("n_chars"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val binW = (hi - lo + 1 + 127) / 128
+    val est = SketchOps.sketchHistQuantiles(s, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the sketch targets the DISCRETE (type-1, ceil-rank) quantile: the
+    // value at rank ceil(q*n) in sorted order — interpolated percentiles
+    // average neighboring values and can legitimately cross bin edges
+    val byLang = docs.select("lang", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def disc(xs: Array[Long], qn: Long, qd: Long): Long =
+      xs(((xs.length * qn + qd - 1) / qd - 1).toInt)
+    assert(est.keySet === byLang.keySet && est.nonEmpty)
+    est.foreach { case (lang, (e50, e90, e99)) =>
+      val xs = byLang(lang)
+      // the estimate is the lower edge of the bin holding the quantile
+      // element: est <= exact < est + binW
+      Seq((e50, disc(xs, 1, 2), "p50"), (e90, disc(xs, 9, 10), "p90"),
+        (e99, disc(xs, 99, 100), "p99")).foreach { case (e, t, n) =>
+          assert(e <= t && t < e + binW,
+            s"$lang $n: exact $t outside est bin [$e, ${e + binW})")
+      }
+    }
+  }
+
   test("CMS estimates are one-sided and tight on the fixture") {
     val rows = SketchOps.sketchCmsHeavy(spark, dir)
       .select("true_cnt", "cms_est", "overcount").collect()
