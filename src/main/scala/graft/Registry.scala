@@ -23,6 +23,7 @@ object Registry {
       queries.Events.defs ++
       queries.TextOps.defs ++
       queries.RankOps.defs ++
+      queries.ClassifierOps.defs ++
       queries.SketchOps.defs ++
       queries.BpeOps.defs ++
       queries.PackingOps.defs ++

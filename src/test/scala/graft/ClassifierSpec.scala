@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ClassifierOps
+
+/** Pins for the trained logistic-regression quality filter beyond the
+  * DuckDB oracle (which proves the scoring replay): the training
+  * machinery's two load-bearing claims — it actually learns, and the
+  * micro-unit gradient makes the trained weights independent of data
+  * layout/accumulation order.
+  */
+class ClassifierSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("training separates the weak labels far above the constant baseline") {
+    val rows = ClassifierOps.textQualityClassifier(spark, dir)
+      .select("n_docs", "n_label_high", "n_correct").collect()
+    val n = rows.map(_.getLong(0)).sum
+    val pos = rows.map(_.getLong(1)).sum
+    val correct = rows.map(_.getLong(2)).sum
+    val acc = correct.toDouble / n
+    val baseline = math.max(pos, n - pos).toDouble / n // constant classifier
+    assert(n === 500)
+    assert(acc >= 0.9, s"accuracy $acc below 0.9")
+    assert(acc > baseline + 0.05,
+      s"accuracy $acc does not beat constant baseline $baseline")
+  }
+
+  test("trained weights are identical under a different data layout") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    // same rows, different file count / partition order
+    s.read.parquet(s"$dir/documents.parquet").repartition(7)
+      .write.parquet(s"$tmp/documents.parquet")
+    val w1 = ClassifierOps.train(s, dir)
+    val w2 = ClassifierOps.train(s, tmp)
+    assert(w1.toSeq === w2.toSeq,
+      "micro-unit gradient should make training layout-independent")
+  }
+}
