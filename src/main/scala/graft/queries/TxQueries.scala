@@ -553,6 +553,54 @@ object TxQueries {
         AND c_custkey NOT BETWEEN 120 AND 129)
     SELECT * FROM kept UNION ALL SELECT * FROM upd ORDER BY c_custkey"""
 
+  // --- COPY INTO: idempotent incremental landing-zone ingestion --------------
+  // Three loads against a growing landing directory: batch 1 (two files),
+  // a same-tx double-run (must be a no-op — pending watermarks count), a
+  // second landing drop with REORDERED columns (aligned by name, old
+  // files skipped), and a final drained call that loads nothing. The
+  // oracle is the full supplier table: exactly-once ingestion means the
+  // three calls reconstruct it with no dupes and no gaps.
+  private def ensureCopyInto(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#copyinto", {
+        val root = Files.createTempDirectory("graft_cpin_fixture").toString
+        val landing = Files.createTempDirectory("graft_cpin_landing").toString
+        val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+        supp.filter(col("s_suppkey") % 3 === 0).repartition(2)
+          .write.mode("append").parquet(landing)
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("cp", supp.schema)
+        require(c.copyInto("cp", landing).nonEmpty, "batch 1 must load")
+        require(c.copyInto("cp", landing).isEmpty,
+          "same-tx double run must see pending watermarks")
+        c.commitTx()
+        supp.filter(col("s_suppkey") % 3 =!= 0)
+          .select(col("s_acctbal"), col("s_name"), col("s_nationkey"),
+            col("s_suppkey"))
+          .repartition(2).write.mode("append").parquet(landing)
+        c.newTx()
+        require(c.copyInto("cp", landing).nonEmpty, "batch 2 must load")
+        c.commitTx()
+        c.newTx()
+        require(c.copyInto("cp", landing).isEmpty,
+          "drained landing zone must load nothing")
+        c.rollback()
+        root
+      })
+    }
+
+  def txCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureCopyInto(spark, dir))
+    c.newTx()
+    try c.currentState("cp", Seq("s_suppkey")).orderBy(col("s_suppkey"))
+    finally c.rollback()
+  }
+
+  private val txCopyIntoSql = """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    ORDER BY s_suppkey"""
+
   // --- Shallow clone: zero-copy fork + copy-on-write divergence --------------
   def txClone(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -687,6 +735,10 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_copy_into" -> QueryDef(txCopyInto, Some(txCopyIntoSql),
+      "COPY INTO: idempotent incremental landing-zone ingestion — " +
+        "per-file SetTxn watermarks commit atomically with the rows, " +
+        "repeats/overlaps load nothing twice, columns aligned by name"),
     "tx_convert" -> QueryDef(txConvert, Some(txConvertSql),
       "CONVERT: metadata-only in-place parquet import (external objects, " +
         "synthesized provenance), then CoW delete + DV delete + MVCC " +

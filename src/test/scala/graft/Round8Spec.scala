@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-8 behavior pins: COPY INTO idempotency mechanics beyond the
+  * oracle row (rollback containment, read-only drained commits, name-
+  * keyed skip of rewritten files).
+  */
+class Round8Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshClient(): (GraftClient, String) = {
+    val root = Files.createTempDirectory("graft_r8").toString
+    (new GraftClient(spark, root), root)
+  }
+
+  test("copyInto: rolled-back load leaves no watermark; retry reloads") {
+    val (c, _) = freshClient()
+    val landing = Files.createTempDirectory("graft_r8_land").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.coalesce(1).write.mode("append").parquet(landing)
+    c.newTx(); c.createTable("t", n.schema); c.commitTx()
+    c.newTx()
+    assert(c.copyInto("t", landing).nonEmpty)
+    c.rollback() // crash before commit: rows AND watermarks both vanish
+    c.newTx()
+    val reloaded = c.copyInto("t", landing)
+    assert(reloaded.nonEmpty, "aborted load must not leave watermarks")
+    c.commitTx()
+    c.newTx()
+    try {
+      assert(c.currentState("t", Seq("n_nationkey")).count() === n.count(),
+        "exactly one copy of the rows after abort+retry")
+      assert(c.copyInto("t", landing).isEmpty)
+    } finally c.rollback()
+  }
+
+  test("copyInto: drained call stages nothing — commit stays read-only") {
+    val (c, _) = freshClient()
+    val landing = Files.createTempDirectory("graft_r8_land2").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.coalesce(1).write.mode("append").parquet(landing)
+    c.newTx(); c.createTable("t", n.schema)
+    c.copyInto("t", landing); c.commitTx()
+    val v = c.latestVersion
+    c.newTx()
+    assert(c.copyInto("t", landing).isEmpty)
+    c.commitTx() // no staged actions -> read-only commit, no log growth
+    assert(c.latestVersion === v,
+      "drained COPY INTO must not write a log entry")
+  }
+
+  test("copyInto: a rewritten file under a loaded name is not re-loaded") {
+    val (c, _) = freshClient()
+    val landing = Files.createTempDirectory("graft_r8_land3").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.filter(col("n_nationkey") < 5).coalesce(1)
+      .write.mode("append").parquet(landing)
+    c.newTx(); c.createTable("t", n.schema)
+    val first = c.copyInto("t", landing)
+    assert(first.size === 1)
+    c.commitTx()
+    // overwrite the landed file's CONTENT under the same name — the
+    // landing-zone contract keys loads by file name, so nothing reloads
+    val f = new java.io.File(landing).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val tmp = Files.createTempDirectory("graft_r8_tmp").toString + "/out"
+    n.filter(col("n_nationkey") >= 20).coalesce(1).write.parquet(tmp)
+    val newPart = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(newPart.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    c.newTx()
+    try {
+      assert(c.copyInto("t", landing).isEmpty,
+        "name-keyed idempotency: rewritten content must not re-load")
+      assert(c.currentState("t", Seq("n_nationkey"))
+        .agg(max("n_nationkey")).collect()(0).getInt(0) < 5,
+        "table must still hold the originally loaded rows only")
+    } finally c.rollback()
+  }
+}
