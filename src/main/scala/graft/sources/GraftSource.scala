@@ -252,7 +252,14 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
           c.merge(table, batch, keyCols, delCond,
             dropCols = deleteColumn.toSeq)
         } else c.insert(table, batch)
-        if (autoCompact > 0) c.maybeCompact(table, autoCompact)
+        // explicit writer option wins; otherwise the TABLE carries its
+        // own compaction policy via TBLPROPERTIES — every stream landing
+        // in it inherits the policy with zero sink configuration
+        val effCompact =
+          if (autoCompact > 0) autoCompact
+          else c.tablePropertiesOf(table)
+            .get("graft.autoCompact.maxObjects").map(_.toInt).getOrElse(0)
+        if (effCompact > 0) c.maybeCompact(table, effCompact)
         c.setTxn(appId, batchId)
         c.commitTxRetrying()
       }

@@ -182,6 +182,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new TableAlreadyExistsException(ident)
       }
       c.createTable(t, schemaWithPart)
+      // CREATE TABLE … TBLPROPERTIES: persist user properties with the
+      // create commit; Spark-managed bookkeeping keys stay out of the log
+      val user = properties.asScala.filterNot { case (k, _) =>
+        GraftCatalog.ReservedProps(k) || k.startsWith("option.")
+      }.toMap
+      if (user.nonEmpty) c.setTableProperties(t, user)
       c.commitTxRetrying()
     }
     new GraftTable(root, t, schemaWithPart)
@@ -223,6 +229,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case drop: TableChange.DropConstraint =>
           if (!drop.ifExists() || c.constraintsOf(t).contains(drop.name()))
             c.dropConstraint(t, drop.name())
+        // ALTER TABLE … SET/UNSET TBLPROPERTIES
+        case set: TableChange.SetProperty =>
+          c.setTableProperties(t, Map(set.property() -> set.value()))
+        case rm: TableChange.RemoveProperty =>
+          c.unsetTableProperties(t, Seq(rm.property()))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -314,6 +325,15 @@ object GraftCatalog {
     * point, mirroring [[graft.sources.GraftRelation.lastScanObjectCount]].
     */
   @volatile private[graft] var lastScanObjectCount: Int = -1
+
+  /** Spark-managed bookkeeping keys that must not leak into the log as
+    * user TBLPROPERTIES.
+    */
+  private[sql] val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "external", "comment",
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT)
 }
 
 object GraftTable {
@@ -361,6 +381,14 @@ final class GraftTable(val root: String, val tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** Durable TBLPROPERTIES from the log (surfaced in DESCRIBE TABLE
+    * EXTENDED and SHOW TBLPROPERTIES).
+    */
+  override def properties(): util.Map[String, String] = withClient { c =>
+    c.newTx()
+    try c.tablePropertiesOf(tableName).asJava finally c.rollback()
+  }
 
   /** The DDL-declared partition columns in spec order (field-metadata
     * markers set by `CREATE TABLE … PARTITIONED BY`); empty when

@@ -426,6 +426,49 @@ final class GraftClient(
     t.snapshot.constraints(table, t.actions.toSeq)
   }
 
+  /** Durable table properties of `table` (committed + staged this tx). */
+  def tablePropertiesOf(table: String): Map[String, String] = {
+    val t = currentTx
+    require(t.tables.contains(table), s"no such table: $table")
+    t.snapshot.properties(table, t.actions.toSeq)
+  }
+
+  /** SET TBLPROPERTIES: merge `props` into the table's durable
+    * configuration — one metadata action, O(1) at any table size.
+    * Recognized `graft.*` keys change engine behavior (checked where they
+    * apply, e.g. [[requireMutable]] for `graft.appendOnly`, the streaming
+    * sink for `graft.autoCompact.maxObjects`); unrecognized keys are
+    * carried verbatim (user annotations, pipeline metadata).
+    */
+  def setTableProperties(table: String, props: Map[String, String]): Unit = {
+    val t = currentTx
+    require(t.tables.contains(table), s"no such table: $table")
+    require(props.nonEmpty, "no properties given")
+    t.actions += SetProperties(table,
+      scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
+  }
+
+  /** UNSET TBLPROPERTIES: remove keys (absent keys are a no-op, matching
+    * SQL's IF EXISTS-less UNSET in Delta).
+    */
+  def unsetTableProperties(table: String, keys: Seq[String]): Unit = {
+    val t = currentTx
+    require(t.tables.contains(table), s"no such table: $table")
+    require(keys.nonEmpty, "no keys given")
+    t.actions += SetProperties(table, Map.empty, keys.toVector)
+  }
+
+  /** Gate row-mutation verbs on `graft.appendOnly` (Delta's
+    * delta.appendOnly): an append-only table refuses DELETE / MERGE /
+    * UPDATE-shaped rewrites / TRUNCATE while inserts keep flowing — the
+    * audit-log contract.
+    */
+  private def requireMutable(table: String, verb: String): Unit =
+    require(!tablePropertiesOf(table).get("graft.appendOnly")
+        .contains("true"),
+      s"$verb on $table refused: table property graft.appendOnly=true " +
+        "(UNSET it to allow row mutation)")
+
   /** Add a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
     * `sqlExpr` is a boolean SQL expression over the table's columns that
     * no row may make FALSE (NULL passes — SQL CHECK semantics). Existing
@@ -495,6 +538,7 @@ final class GraftClient(
   def truncate(table: String): Unit = {
     val t = currentTx
     require(t.tables.contains(table), s"no such table: $table")
+    requireMutable(table, "TRUNCATE")
     t.buffers.get(table).foreach(_.clear())
     liveFiles(table).foreach(a => t.actions += RemoveDataObject(table, a.path))
     t.snapshot.liveDvs(table, t.actions.toSeq)
@@ -1061,6 +1105,7 @@ final class GraftClient(
       deleteCond: org.apache.spark.sql.Column = lit(false),
       dropCols: Seq[String] = Nil): Unit = {
     val t = currentTx
+    requireMutable(table, "MERGE")
     val schema = schemaOf(table)
     require(keyCols.forall(schema.fieldNames.contains),
       s"merge keys must be table columns: ${keyCols.mkString(",")}")
@@ -1271,6 +1316,7 @@ final class GraftClient(
   private def deleteWhereImpl(table: String, pred: org.apache.spark.sql.Column,
       candidates: Vector[AddDataObject]): Unit = {
     val t = currentTx
+    requireMutable(table, "DELETE")
     val schema = schemaOf(table)
     val keepPred = !coalesce(pred, lit(false))
 
@@ -1466,6 +1512,9 @@ final class GraftClient(
               if (appendOnly) theirs.exists(a =>
                 a.isInstanceOf[ChangeMetadata] ||
                   a.isInstanceOf[SetConstraint] ||
+                  // e.g. a concurrent graft.appendOnly=true must not be
+                  // rebased past by a write it was meant to gate
+                  a.isInstanceOf[SetProperties] ||
                   a.isInstanceOf[DropTable])
               else {
                 // OBJECT-level conflicts for mutations (Delta-style), not
@@ -1490,6 +1539,7 @@ final class GraftClient(
                 }.toSet
                 theirs.exists {
                   case _: ChangeMetadata | _: SetConstraint => true
+                  case _: SetProperties => true // config shifted under us
                   case _: DropTable => true // table gone under our feet
                   case a: AddDataObject => a.txId >= t.snapshot.version
                   case RemoveDataObject(_, p) => ourRemoves(p)
@@ -1558,6 +1608,7 @@ final class GraftClient(
       pred: org.apache.spark.sql.Column,
       candidates: Vector[AddDataObject]): Unit = {
     val t = currentTx
+    requireMutable(table, "DELETE")
     val schema = schemaOf(table)
     tombstoneBuffer(table, pred, schema)
 
@@ -1719,6 +1770,9 @@ final class GraftClient(
     t.actions += ChangeMetadata(dst, schema)
     constraintsOf(src).foreach { case (n, e) =>
       t.actions += SetConstraint(dst, n, e) }
+    val props = tablePropertiesOf(src)
+    if (props.nonEmpty) t.actions += SetProperties(dst,
+      scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
     liveFiles(src).foreach(a => t.actions += a.copy(table = dst))
     t.snapshot.liveDvs(src, t.actions.toSeq)
       .foreach(d => t.actions += d.copy(table = dst))

@@ -132,6 +132,17 @@ final case class SetTxn(appId: String, version: Long) extends Action {
 final case class SetConstraint(table: String, name: String, expr: String)
     extends Action
 
+/** Durable table properties (Delta's TBLPROPERTIES): `set` merges
+  * key → value, `unset` removes keys, applied in log order (last wins per
+  * key). Properties are configuration that travels WITH the table —
+  * `graft.appendOnly` blocks row mutation verbs, `graft.autoCompact.
+  * maxObjects` gives streaming sinks their compaction default — and they
+  * survive checkpoint folds and shallow clones like any metadata.
+  * Readers never pay for them (write-side / maintenance-side only).
+  */
+final case class SetProperties(table: String, set: Map[String, String],
+    unset: Vector[String] = Vector.empty) extends Action
+
 /** Drop a table: every fold clears the table's accumulated state (schema,
   * live objects, DVs, constraints) at this point in the log, so a later
   * CREATE of the same name starts clean and never resurrects old objects.
@@ -209,6 +220,22 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     (actions ++ pending).foreach {
       case SetConstraint(t, n, e) if t == table =>
         if (e.isEmpty) m.remove(n) else m(n) = e
+      case DropTable(t) if t == table => m.clear()
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  /** Durable table properties: key -> value, last-wins fold of
+    * [[SetProperties]] set/unset in log order.
+    */
+  def properties(table: String,
+      pending: Seq[Action] = Nil): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    (actions ++ pending).foreach {
+      case SetProperties(t, set, unset) if t == table =>
+        set.foreach { case (k, v) => m(k) = v }
+        unset.foreach(m.remove)
       case DropTable(t) if t == table => m.clear()
       case _ => ()
     }
@@ -599,6 +626,11 @@ final class TxLog(store: ObjectStore) {
         Iterator(ChangeMetadata(t, schema)) ++
           snapshot.constraints(t).toSeq.sortBy(_._1).iterator
             .map { case (n, e) => SetConstraint(t, n, e) } ++
+          // key-sorted so concurrent checkpointers emit identical parts
+          (if (snapshot.properties(t).isEmpty) Iterator.empty
+           else Iterator.single(SetProperties(t,
+             scala.collection.immutable.ListMap(
+               snapshot.properties(t).toSeq.sortBy(_._1): _*)))) ++
           snapshot.liveFiles(t).iterator ++
           snapshot.liveDvs(t).iterator
       },
@@ -761,6 +793,12 @@ object TxLog {
     case SetConstraint(t, n, e) => Json.obj(
       "type" -> Json.str("constraint"), "table" -> Json.str(t),
       "name" -> Json.str(n), "expr" -> Json.str(e))
+    case SetProperties(t, set, unset) => Json.obj(
+      "type" -> Json.str("properties"), "table" -> Json.str(t),
+      "set" -> JObj(scala.collection.immutable.ListMap(
+        set.toSeq.sortBy(_._1).map { case (k, v) =>
+          k -> Json.str(v) }: _*)),
+      "unset" -> Json.arr(unset.map(Json.str)))
     case DropTable(t) => Json.obj(
       "type" -> Json.str("droptable"), "table" -> Json.str(t))
     case SetProtocol(r, w) => Json.obj(
@@ -784,6 +822,9 @@ object TxLog {
       case "txn" => SetTxn(o("appId").asStr, o("version").asLong)
       case "constraint" => SetConstraint(o("table").asStr, o("name").asStr,
         o("expr").asStr)
+      case "properties" => SetProperties(o("table").asStr,
+        o("set").asObj.map { case (k, v) => k -> v.asStr },
+        o("unset").asArr.map(_.asStr))
       case "droptable" => DropTable(o("table").asStr)
       case "protocol" => SetProtocol(o("minReader").asLong.toInt,
         o("minWriter").asLong.toInt)

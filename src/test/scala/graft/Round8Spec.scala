@@ -56,6 +56,85 @@ class Round8Spec extends AnyFunSuite {
       "drained COPY INTO must not write a log entry")
   }
 
+  test("TBLPROPERTIES: set/unset last-wins, clone copies, fold survives") {
+    val (c, root) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    c.newTx(); c.createTable("t", n.schema); c.insert("t", n)
+    c.setTableProperties("t", Map("pipeline.owner" -> "etl",
+      "graft.autoCompact.maxObjects" -> "8"))
+    c.commitTx()
+    c.newTx()
+    assert(c.tablePropertiesOf("t")("pipeline.owner") === "etl")
+    c.setTableProperties("t", Map("pipeline.owner" -> "ml")) // last wins
+    c.unsetTableProperties("t", Seq("graft.autoCompact.maxObjects"))
+    // staged-this-tx view already reflects both
+    assert(c.tablePropertiesOf("t") === Map("pipeline.owner" -> "ml"))
+    c.shallowClone("t", "t2") // clone carries the properties
+    c.commitTx()
+    c.newTx()
+    assert(c.tablePropertiesOf("t") === Map("pipeline.owner" -> "ml"))
+    assert(c.tablePropertiesOf("t2") === Map("pipeline.owner" -> "ml"))
+    c.rollback()
+    // checkpoint fold + replay keeps them
+    c.checkpointNow()
+    val c2 = new GraftClient(spark, root)
+    c2.newTx()
+    assert(c2.tablePropertiesOf("t") === Map("pipeline.owner" -> "ml"))
+    c2.rollback()
+  }
+
+  test("graft.appendOnly blocks mutation verbs, inserts keep flowing") {
+    val (c, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    c.newTx(); c.createTable("t", n.schema); c.insert("t", n)
+    c.setTableProperties("t", Map("graft.appendOnly" -> "true"))
+    c.commitTx()
+    c.newTx()
+    intercept[IllegalArgumentException](
+      c.deleteRows("t", "n_nationkey", 0, 5))
+    intercept[IllegalArgumentException](
+      c.deleteRowsDV("t", "n_nationkey", 0, 5))
+    intercept[IllegalArgumentException](c.truncate("t"))
+    intercept[IllegalArgumentException](
+      c.merge("t", n.limit(1), Seq("n_nationkey")))
+    c.insert("t", n) // appends unaffected
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("t").count() === 2 * n.count())
+    c.unsetTableProperties("t", Seq("graft.appendOnly"))
+    c.deleteRows("t", "n_nationkey", 0, 24) // lifted in the same tx
+    c.commitTx()
+    c.newTx()
+    try assert(c.currentState("t", Seq("n_nationkey")).count() === 0)
+    finally c.rollback()
+  }
+
+  test("graft.autoCompact.maxObjects property drives the sink default") {
+    val root = Files.createTempDirectory("graft_r8_sinkprop").toString
+    val s = spark
+    val c = new GraftClient(s, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    c.newTx(); c.createTable("t", schema)
+    c.setTableProperties("t", Map("graft.autoCompact.maxObjects" -> "3"))
+    c.commitTx()
+    val sink = new graft.sources.GraftSink(s.sqlContext, root, "t", "app")
+    import s.implicits._
+    (0 until 6).foreach { b =>
+      sink.addBatch(b.toLong,
+        Seq((b * 10, s"s$b"), (b * 10 + 1, s"x$b")).toDF("k", "v"))
+    }
+    c.newTx()
+    try {
+      assert(c.scan("t").count() === 12, "compaction must lose nothing")
+      assert(c.objects("t").length <= 4,
+        "table-property autoCompact failed to bound objects")
+    } finally c.rollback()
+  }
+
   test("copyInto: a rewritten file under a loaded name is not re-loaded") {
     val (c, _) = freshClient()
     val landing = Files.createTempDirectory("graft_r8_land3").toString

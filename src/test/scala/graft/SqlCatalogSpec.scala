@@ -635,4 +635,33 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(s"SELECT min(k) AS mn, max(k) AS mx FROM $cat.m") ===
       Seq(Row(1L, 7L)))
   }
+
+  test("TBLPROPERTIES through SQL: create, show, alter set/unset, gate") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('pipeline.owner' = 'etl')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+    def props(): Map[String, String] =
+      rows(s"SHOW TBLPROPERTIES $cat.t")
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props()("pipeline.owner") === "etl")
+    // Spark bookkeeping keys never reach the log
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    assert(c.tablePropertiesOf("t") === Map("pipeline.owner" -> "etl"))
+    c.rollback()
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+      "('pipeline.owner' = 'ml', 'graft.appendOnly' = 'true')")
+    assert(props()("pipeline.owner") === "ml")
+    // the property gates SQL DML too — one shared enforcement path
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+    }
+    assert(e.getMessage.contains("appendOnly"))
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'c')") // appends still flow
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('graft.appendOnly')")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+    assert(rows(s"SELECT count(*) AS n FROM $cat.t") === Seq(Row(2L)))
+    assert(!props().contains("graft.appendOnly"))
+  }
 }
