@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history", "detail", "restore", "convert")
+      "history", "detail", "restore", "convert", "copy_into")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -84,10 +84,32 @@ object GraftProcedures {
           Seq(row(UTF8String.fromString(t), Int.box(before), Int.box(after)))
         }))
       case "vacuum" => Some(proc(name,
-        "reclaim objects unreferenced by the retained snapshot window",
-        Seq(inDefault("retain_versions", IntegerType, "0")),
-        StructType(Seq(StructField("reclaimed", IntegerType))), { args =>
-          Seq(row(Int.box(client.vacuum(args.getInt(0)))))
+        "reclaim objects unreferenced by the retained snapshot window; " +
+          "dry_run => true reports the victim count without deleting",
+        Seq(inDefault("retain_versions", IntegerType, "0"),
+          inDefault("dry_run", BooleanType, "false")),
+        StructType(Seq(StructField("reclaimed", IntegerType),
+          StructField("dry_run", BooleanType))), { args =>
+          val dry = args.getBoolean(1)
+          Seq(row(Int.box(client.vacuum(args.getInt(0), dry)),
+            Boolean.box(dry)))
+        }))
+      case "copy_into" => Some(proc(name,
+        "idempotent incremental load: copy not-yet-loaded parquet files " +
+          "from a landing directory into the table (per-file watermarks)",
+        Seq(in("table", StringType), in("path", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("files_loaded", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val c = client
+          c.newTx()
+          val loaded =
+            try {
+              val l = c.copyInto(t, args.getUTF8String(1).toString)
+              c.commitTxRetrying()
+              l
+            } finally if (c.hasOpenTx) c.rollback()
+          Seq(row(UTF8String.fromString(t), Int.box(loaded.length)))
         }))
       case "checkpoint" => Some(proc(name,
         "fold the log into a multi-part checkpoint, bounding replay",

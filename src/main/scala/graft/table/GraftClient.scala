@@ -2479,7 +2479,7 @@ final class GraftClient(
     * lakehouse vacuum makes). Metadata work is O(retained versions);
     * deletion is driver-side filesystem calls, no Spark jobs.
     */
-  def vacuum(retainVersions: Int = 0): Int = {
+  def vacuum(retainVersions: Int = 0, dryRun: Boolean = false): Int = {
     require(tx.isEmpty, "vacuum must run outside a transaction")
     val cur = txLog.begin()
     val keep = mutable.Set[String]()
@@ -2501,13 +2501,18 @@ final class GraftClient(
           // a crash between a compact/rewrite staging write and its moves
           // strands a _staging_* dir no log entry ever references
           f.getName.startsWith("_staging_")))
-    victims.foreach(deleteRecursively)
-    // log retention: entries below the newest checkpoint that still
-    // covers every retained snapshot are replayed by nobody — reclaim
-    // them so the log (and each begin()'s listing) stays bounded. Time
-    // travel below the horizon errors loudly afterwards (TxLog.beginAt)
-    // — the same contract as the data-object reclaim above.
-    txLog.newestCheckpointAtOrBelow(from).foreach(txLog.pruneTo)
+    // dry run (VACUUM ... DRY RUN): report what a real run would
+    // reclaim — objects AND log horizon — without touching anything;
+    // the operator's blast-radius check before an irreversible delete
+    if (!dryRun) {
+      victims.foreach(deleteRecursively)
+      // log retention: entries below the newest checkpoint that still
+      // covers every retained snapshot are replayed by nobody — reclaim
+      // them so the log (and each begin()'s listing) stays bounded. Time
+      // travel below the horizon errors loudly afterwards (TxLog.beginAt)
+      // — the same contract as the data-object reclaim above.
+      txLog.newestCheckpointAtOrBelow(from).foreach(txLog.pruneTo)
+    }
     victims.length
   }
 

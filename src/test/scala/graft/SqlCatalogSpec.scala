@@ -636,6 +636,43 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Row(1L, 7L)))
   }
 
+  test("CALL copy_into loads incrementally; vacuum dry_run predicts") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    val landing = Files.createTempDirectory("graft_sql_land").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    assert(rows(s"CALL $cat.system.copy_into('t', '$landing')") ===
+      Seq(Row("t", 1)))
+    // drained: second call loads nothing
+    assert(rows(s"CALL $cat.system.copy_into('t', '$landing')") ===
+      Seq(Row("t", 0)))
+    Seq((3L, "c")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    assert(rows(s"CALL $cat.system.copy_into('t', '$landing')") ===
+      Seq(Row("t", 1)))
+    assert(rows(s"SELECT count(*) AS n FROM $cat.t") === Seq(Row(3L)))
+
+    // orphan an object (CoW delete supersedes it), then: dry run counts
+    // without deleting — table history intact — and the real run
+    // reclaims exactly the predicted number
+    val c = new GraftClient(spark, root)
+    val preDelete = c.latestVersion
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+    val predicted = rows(s"CALL $cat.system.vacuum(0, true)")
+    assert(predicted.head.getBoolean(1) === true)
+    val nPred = predicted.head.getInt(0)
+    assert(nPred > 0, "superseded object should be reclaimable")
+    // dry run deleted nothing: time travel still reads the pre-delete state
+    c.newTx()
+    try assert(c.scanAsOf("t", preDelete).count() === 3)
+    finally c.rollback()
+    assert(rows(s"CALL $cat.system.vacuum(0, false)") ===
+      Seq(Row(nPred, false)))
+  }
+
   test("TBLPROPERTIES through SQL: create, show, alter set/unset, gate") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
