@@ -346,6 +346,66 @@ object Events {
       ON g.event_type = o.event_type AND g.slot = o.slot
     ORDER BY event_type, slot_ts"""
 
+  // --- Rolling z-score anomaly detection -------------------------------------
+  // The monitoring staple: per event_type, each hour's total value scored
+  // against the trailing 24-hour window (mean/std from exact decimal
+  // window sums; the frame EXCLUDES the current hour so an anomaly cannot
+  // mask itself), |z| > 2 flags the hour. Spark-first decomposition: the
+  // only data-sized pass is the (type, hour) partial aggregation; the
+  // rolling window runs over the HOURLY grid (rows ∝ series × hours, not
+  // events). Determinism across engines: per-hour totals and both window
+  // sums stay exact DECIMAL (squares at scale 4), and the z computation is
+  // a fixed-order chain of IEEE double ops (division and sqrt are
+  // correctly rounded, so identical inputs give identical bits).
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("tot"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("s1", sum(col("tot")).over(w))
+      .withColumn("s2", sum(col("tot") * col("tot")).over(w))
+      .withColumn("n", count(col("tot")).over(w))
+      .filter(col("n") >= 12)
+      .withColumn("z", expr(
+        "(CAST(tot AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / " +
+          "sqrt((CAST(s2 AS DOUBLE) - " +
+          "(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n)"))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("tot").cast("double").as("total_value"),
+        round(col("z"), 4).as("z_score"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val qEventsAnomalySql = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+        SUM(CAST(value AS DECIMAL(18,2))) AS tot,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, hour, n_events, tot,
+        SUM(tot) OVER w AS s1,
+        SUM(tot * tot) OVER w AS s2,
+        COUNT(tot) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour, n_events,
+      CAST(tot AS DOUBLE) AS total_value,
+      round(z, 4) AS z_score
+    FROM (
+      SELECT event_type, hour, n_events, tot,
+        (CAST(tot AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+          sqrt((CAST(s2 AS DOUBLE) -
+            (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n) AS z
+      FROM win WHERE n >= 12) x
+    WHERE abs(z) > 2
+    ORDER BY event_type, hour"""
+
   // --- Cohort retention ------------------------------------------------------
   // The product-analytics staple: users cohorted by first-active week,
   // each (cohort, week-offset) cell = distinct users still active that
@@ -428,5 +488,9 @@ object Events {
     "q_events_resample" -> QueryDef(qEventsResample, Some(qEventsResampleSql),
       "time-series gap-fill resample: 15-min slot downsample, complete " +
         "grid via sequence/explode, forward-fill over the resampled grid " +
-        "(window input is slots x series, never the event stream)"))
+        "(window input is slots x series, never the event stream)"),
+    "q_events_anomaly" -> QueryDef(qEventsAnomaly, Some(qEventsAnomalySql),
+      "rolling z-score anomaly detection: trailing-24h mean/std from " +
+        "exact decimal window sums over the hourly grid (self-excluding " +
+        "frame), fixed-order IEEE z computation — engine-exact"))
 }

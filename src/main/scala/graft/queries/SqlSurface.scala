@@ -124,6 +124,31 @@ object SqlSurface {
                  CAST(n_nationkey AS BIGINT), n_name
           FROM ${cat}_nation_src""")
 
+        // TBLPROPERTIES + the appendOnly gate through pure SQL: the
+        // CTAS carries the property, the gated DELETE must fail (the
+        // engine refuses, nothing mutates), UNSET lifts the gate and the
+        // delete lands — the final state proves the gate neither leaked
+        // a mutation nor blocked one silently after lifting
+        spark.sql(s"""CREATE TABLE $cat.t_props
+          TBLPROPERTIES ('graft.appendOnly' = 'true') AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""INSERT INTO $cat.t_props
+          SELECT n_nationkey + 100, n_name, n_regionkey
+          FROM ${cat}_nation_src WHERE n_nationkey < 3""")
+        val gated =
+          try {
+            spark.sql(s"DELETE FROM $cat.t_props WHERE n_nationkey < 103")
+            false
+          } catch {
+            case e: Exception if e.getMessage != null &&
+              e.getMessage.contains("appendOnly") => true
+          }
+        require(gated, "appendOnly must block SQL DELETE")
+        spark.sql(
+          s"ALTER TABLE $cat.t_props UNSET TBLPROPERTIES ('graft.appendOnly')")
+        spark.sql(s"""DELETE FROM $cat.t_props
+          WHERE n_nationkey >= 100 AND n_nationkey < 102""")
+
         // VERSION AS OF: capture the version right after the CTAS lands,
         // then delete most of the table — the time-traveled read must
         // resurrect the pre-delete state through the SQL surface alone
@@ -230,6 +255,14 @@ object SqlSurface {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  private val propsSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+      WHERE n_nationkey = 2
+    ) ORDER BY n_nationkey"""
+
   private val aggStatsSql = """
     SELECT * FROM (
       SELECT 'ins' AS src, count(*) AS cnt,
@@ -301,6 +334,11 @@ object SqlSurface {
       "PARTITIONED BY DDL + grouped complete aggregate pushdown: " +
         "per-partition COUNT/MIN/MAX folded from single-valued object " +
         "stats, no data file opened"),
+    "tx_sql_properties" -> QueryDef(state("t_props"), Some(propsSql),
+      "TBLPROPERTIES through SQL: CTAS carries graft.appendOnly=true, " +
+        "the gated DELETE refuses (verified at fixture build), UNSET " +
+        "lifts it and the delete lands — gate leaks nothing, blocks " +
+        "nothing after lifting"),
     "tx_sql_part_rollup2" -> QueryDef(partRollup2, Some(partRollup2Sql),
       "multi-column PARTITIONED BY (a, b): one object per value " +
         "combination, stats single-valued on both columns — point " +
