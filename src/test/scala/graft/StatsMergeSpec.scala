@@ -328,17 +328,26 @@ class StatsMergeSpec extends AnyFunSuite {
       } // (k, v, part, _tx_id, _row_idx)
 
     var checks = 0
+    var gateChecks = 0
+    var appendOnly = false
+    val landings = scala.collection.mutable.Buffer[String]()
     (0 until numOps).foreach { op =>
       if (op % 40 == 39) { c.newTx(); c.compact("t"); c.commitTx() }
       c.newTx()
-      random.nextInt(4) match {
-        case 0 => // merge: upsert two distinct keys, delete a third
+      random.nextInt(6) match {
+        case 0 => // merge: upsert two distinct keys, delete a third —
+          // refused wholesale under the appendOnly gate (model unchanged)
           val ks = random.shuffle((0 until numKeys).toList).take(3)
           val (u1, u2, del) = (ks(0), ks(1), ks(2))
           val (v1, v2) = (random.nextInt(1000), random.nextInt(1000))
-          c.merge("t", df(Seq(u1 -> v1, u2 -> v2, del -> -1)),
+          def go() = c.merge("t", df(Seq(u1 -> v1, u2 -> v2, del -> -1)),
             Seq("k"), deleteCond = col("v") === -1)
-          model(u1) = v1; model(u2) = v2; model.remove(del)
+          if (appendOnly) {
+            intercept[IllegalArgumentException](go()); gateChecks += 1
+          } else {
+            go()
+            model(u1) = v1; model(u2) = v2; model.remove(del)
+          }
         case 1 => // partitioned bulk insert of distinct keys
           val ks = random.shuffle((0 until numKeys).toList)
             .take(1 + random.nextInt(4))
@@ -352,16 +361,44 @@ class StatsMergeSpec extends AnyFunSuite {
           val want = model.filter { case (k, _) => k >= a && k <= b }.toMap
           assert(got === want, s"scanRange [$a,$b] diverged at op $op")
           checks += 1
-        case 3 => // range delete (both mechanisms)
+        case 3 => // range delete (both mechanisms); refused under the gate
           val a = random.nextInt(numKeys)
           val b = math.min(numKeys - 1, a + random.nextInt(4))
-          if (random.nextBoolean()) c.deleteRows("t", "k", a, b)
-          else c.deleteRowsDV("t", "k", a, b)
-          (a to b).foreach(model.remove)
+          def go() =
+            if (random.nextBoolean()) c.deleteRows("t", "k", a, b)
+            else c.deleteRowsDV("t", "k", a, b)
+          if (appendOnly) {
+            intercept[IllegalArgumentException](go()); gateChecks += 1
+          } else {
+            go()
+            (a to b).foreach(model.remove)
+          }
+        case 4 => // COPY INTO: fresh landing file, or a re-point at an
+          // already-drained one (must load nothing)
+          if (landings.nonEmpty && random.nextBoolean()) {
+            val d = landings(random.nextInt(landings.size))
+            assert(c.copyInto("t", d).isEmpty,
+              s"re-pointed landing $d must be drained at op $op")
+          } else {
+            val ks = random.shuffle((0 until numKeys).toList)
+              .take(1 + random.nextInt(3))
+            val rows = ks.map(k => k -> random.nextInt(1000))
+            val d = tmp()
+            df(rows).coalesce(1).write.mode("append").parquet(d)
+            assert(c.copyInto("t", d).nonEmpty)
+            landings += d
+            rows.foreach { case (k, v) => model(k) = v }
+          }
+        case 5 => // toggle the appendOnly gate (durable TBLPROPERTIES)
+          appendOnly = !appendOnly
+          if (appendOnly)
+            c.setTableProperties("t", Map("graft.appendOnly" -> "true"))
+          else c.unsetTableProperties("t", Seq("graft.appendOnly"))
       }
       c.commitTx()
     }
     assert(checks > 0)
+    assert(gateChecks > 0, "the op mix never exercised the appendOnly gate")
     c.newTx()
     val finalState = c.currentState("t", Seq("k")).collect()
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
