@@ -292,35 +292,36 @@ object Events {
   // --- Gap-fill resample + forward fill --------------------------------------
   // Time-series resampling: each event_type series downsampled onto a
   // complete 15-minute slot grid — COUNT + MAX per observed slot, empty
-  // slots materialized from the series' span, and the last observed value
-  // carried forward across gaps (last_value IGNORE NULLS). The Spark-first
-  // decomposition keeps the data-sized work keyed: the only pass over raw
-  // events is a (type, slot) partial aggregation; the grid itself is
-  // sequence+explode over per-series [min,max] spans (rows ∝ series ×
-  // time-range, independent of event volume), and the forward-fill window
-  // runs over that RESAMPLED grid, never the event stream — at 100 TB the
-  // window input is still only slots × series. MAX is the slot reducer (not
-  // last-observed) so the result is order-insensitive and engine-exact with
-  // no tiebreak protocol.
+  // slots materialized, last observed value carried across gaps. The
+  // Spark-first decomposition does it all in ONE pass over the events:
+  // a (type, slot) partial aggregation, then each observed slot OWNS the
+  // gap up to the next observation (lead + sequence/explode), emitting
+  // the missing slots with its value — forward fill by construction, no
+  // grid/observation join, no second scan (an earlier grid-join form
+  // scanned events twice because column pruning made the two aggregation
+  // subplans non-identical and defeated AQE exchange reuse — measured,
+  // not guessed). The window (lead) and the explode both run over the
+  // RESAMPLED frame: slots × series rows, never the event stream. MAX is
+  // the slot reducer so the result is order-insensitive and engine-exact
+  // with no tiebreak protocol.
   def qEventsResample(spark: SparkSession, dir: String): DataFrame = {
     val slotUs = 900L * 1000000L
-    val obs = t(spark, dir, "events")
+    val wlead = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+    t(spark, dir, "events")
       .select(col("event_type"),
         expr(s"unix_micros(ts) div $slotUs").as("slot"), col("value"))
       .groupBy(col("event_type"), col("slot"))
       .agg(count(lit(1)).as("n_obs"), max(col("value")).as("v"))
-    val grid = obs.groupBy(col("event_type"))
-      .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
+      .withColumn("nxt", lead(col("slot"), 1).over(wlead))
+      .select(col("event_type"), col("slot"), col("n_obs"), col("v"),
+        explode(sequence(col("slot"),
+          coalesce(col("nxt") - 1, col("slot")))).as("g"))
       .select(col("event_type"),
-        explode(sequence(col("s0"), col("s1"))).as("slot"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("event_type", "slot"), "left")
-      .select(col("event_type"),
-        timestamp_micros(col("slot") * slotUs).as("slot_ts"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
-        col("n_obs").isNull.as("is_gap"))
+        timestamp_micros(col("g") * slotUs).as("slot_ts"),
+        when(col("g") === col("slot"), col("n_obs")).otherwise(lit(0L))
+          .as("n_obs"),
+        col("v").as("v_fill"),
+        (col("g") > col("slot")).as("is_gap"))
       .orderBy(col("event_type"), col("slot_ts"))
   }
 
@@ -329,21 +330,20 @@ object Events {
       SELECT event_type, epoch_us(ts) // 900000000 AS slot,
         COUNT(*) AS n_obs, MAX(value) AS v
       FROM events GROUP BY 1, 2),
-    spans AS (
-      SELECT event_type, MIN(slot) AS s0, MAX(slot) AS s1
-      FROM obs GROUP BY 1),
+    led AS (
+      SELECT event_type, slot, n_obs, v,
+        LEAD(slot) OVER (PARTITION BY event_type ORDER BY slot) AS nxt
+      FROM obs),
     grid AS (
-      SELECT event_type, unnest(generate_series(s0, s1)) AS slot
-      FROM spans)
-    SELECT g.event_type AS event_type,
-      make_timestamp(g.slot * 900000000) AS slot_ts,
-      COALESCE(o.n_obs, 0) AS n_obs,
-      LAST_VALUE(o.v IGNORE NULLS) OVER (
-        PARTITION BY g.event_type ORDER BY g.slot
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
-      o.n_obs IS NULL AS is_gap
-    FROM grid g LEFT JOIN obs o
-      ON g.event_type = o.event_type AND g.slot = o.slot
+      SELECT event_type, slot, n_obs, v,
+        unnest(generate_series(slot, COALESCE(nxt - 1, slot))) AS g
+      FROM led)
+    SELECT event_type,
+      make_timestamp(g * 900000000) AS slot_ts,
+      CASE WHEN g = slot THEN n_obs ELSE 0 END AS n_obs,
+      v AS v_fill,
+      g > slot AS is_gap
+    FROM grid
     ORDER BY event_type, slot_ts"""
 
   // --- Rolling z-score anomaly detection -------------------------------------
