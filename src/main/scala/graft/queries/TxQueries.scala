@@ -553,6 +553,52 @@ object TxQueries {
         AND c_custkey NOT BETWEEN 120 AND 129)
     SELECT * FROM kept UNION ALL SELECT * FROM upd ORDER BY c_custkey"""
 
+  // --- Join-driven dynamic file pruning (DPP analog) -------------------------
+  // Star-join over a nationkey-partitioned customer fact: the dim side
+  // (nations of one region) is filtered first, its 5 keys prune the
+  // 25-object fact scan to 5 objects via scanSemi (pinned in Round8Spec),
+  // and the broadcast join + rollup run over only the surviving rows.
+  private def ensureDpp(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#dpp", {
+        val root = Files.createTempDirectory("graft_dpp_fixture").toString
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("cust", cust.schema)
+        c.insertPartitioned("cust", cust, "c_nationkey")
+        c.commitTx()
+        root
+      })
+    }
+
+  def txDppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureDpp(spark, dir))
+    c.newTx()
+    try {
+      val dim = spark.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"), col("n_name"))
+      val fact = c.scanSemi("cust", "c_nationkey",
+        dim.select(col("n_nationkey")))
+      fact.join(broadcast(dim),
+          fact("c_nationkey") === dim("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          graft.util.Tables.dsum(col("c_acctbal"), 2).as("total_bal"))
+        .orderBy(col("n_name"))
+    } finally c.rollback()
+  }
+
+  private val txDppJoinSql = """
+    SELECT n_name, COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+    GROUP BY n_name
+    ORDER BY n_name"""
+
   // --- COPY INTO: idempotent incremental landing-zone ingestion --------------
   // Three loads against a growing landing directory: batch 1 (two files),
   // a same-tx double-run (must be a no-op — pending watermarks count), a
@@ -735,6 +781,10 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_dpp_join" -> QueryDef(txDppJoin, Some(txDppJoinSql),
+      "join-driven dynamic file pruning: a filtered dim's keys prune " +
+        "the partitioned fact scan to |matched partitions| objects " +
+        "(scanSemi, bounded driver key list, loud full-scan fallback)"),
     "tx_copy_into" -> QueryDef(txCopyInto, Some(txCopyIntoSql),
       "COPY INTO: idempotent incremental landing-zone ingestion — " +
         "per-file SetTxn watermarks commit atomically with the rows, " +

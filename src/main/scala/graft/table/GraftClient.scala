@@ -1030,6 +1030,36 @@ final class GraftClient(
       .filter(col(column) === probe)
   }
 
+  /** Join-driven dynamic file pruning (the DPP/DFP analog for graft
+    * tables): prune `table`'s objects by the DISTINCT values a dim-side
+    * frame's single `column` takes BEFORE the join executes — the
+    * star-join shape where a filtered dimension should keep the fact
+    * scan from touching partitions no dim row can match. The key list is
+    * collected driver-side under a LOUD bound (`maxKeys`, default 64 —
+    * the IN-list pruning cap): filtered dimensions are broadcast-sized
+    * by construction, so their key set is driver-sized; past the cap the
+    * method falls back to the FULL scan (pruning is an optimization,
+    * never a correctness gate — the caller's join still applies exact
+    * semantics). The returned frame is exactly-filtered to the key set,
+    * so callers join it directly. At 100 TB against a partitioned/
+    * clustered fact table this turns a full-table scan into
+    * |matched partitions| object reads for one extra dim-side job.
+    */
+  def scanSemi(table: String, column: String, keys: DataFrame,
+      maxKeys: Int = 64): DataFrame = {
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    require(keys.schema.length == 1,
+      s"keys frame must have exactly one column, got ${keys.schema.length}")
+    val vals = keys.distinct().limit(maxKeys + 1).collect()
+      .map(_.get(0)).toSeq
+    if (vals.length > maxKeys) scan(table) // fall back, never truncate
+    else {
+      scanPruned(table, Nil, Nil, Seq(column -> vals))
+        .filter(col(column).isInCollection(vals))
+    }
+  }
+
   /** The full file-skipping stack in one call: range `bounds` prune by
     * min/max stats, `equalities` additionally probe per-object bloom
     * sidecars, and `inLists` (IN-shaped disjunctions) keep an object

@@ -56,6 +56,34 @@ class Round8Spec extends AnyFunSuite {
       "drained COPY INTO must not write a log entry")
   }
 
+  test("scanSemi prunes to the dim keys' objects; cap falls back to full") {
+    val (c, _) = freshClient()
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i, i % 10, s"v$i")).toDF("k", "p", "v")
+    c.newTx()
+    c.createTable("t", df.schema)
+    c.insertPartitioned("t", df, "p")
+    c.commitTx()
+    c.newTx()
+    try {
+      assert(c.objects("t").length === 10)
+      def objectsOpened(df: org.apache.spark.sql.DataFrame): Int =
+        df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+          .length
+      val keys = Seq(2, 7).toDF("p")
+      val pruned = c.scanSemi("t", "p", keys)
+      assert(objectsOpened(pruned) === 2,
+        "dim keys {2,7} must open exactly their 2 partition objects")
+      assert(pruned.count() === 20)
+      // over the cap: full scan, same exact rows (pruning never truncates)
+      val wide = (0 until 5).toDF("p")
+      val fb = c.scanSemi("t", "p", wide, maxKeys = 3)
+      assert(objectsOpened(fb) === 10, "past the cap -> full scan")
+      assert(fb.count() === 100, "fallback must not filter")
+    } finally c.rollback()
+  }
+
   test("TBLPROPERTIES: set/unset last-wins, clone copies, fold survives") {
     val (c, root) = freshClient()
     val n = spark.read.parquet(s"$dir/nation.parquet")
