@@ -98,6 +98,13 @@ object ClassifierOps {
 
   private val cache = TrieMap.empty[String, Array[Double]]
 
+  /** The fixture dir the REGISTERED QUERY last ran against — the oracle
+    * must replay that training run's weights, and `cache.values` order
+    * is hash-arbitrary once tests have trained extra dirs in the same
+    * JVM.
+    */
+  @volatile private var lastQueryDir: Option[String] = None
+
   /** Batch-GD training: w_j ← w_j − lr · mean((σ(w·x) − y) · x_j), the
     * per-doc terms rounded to micro-units so the distributed sum is
     * exact and order-independent. Memoized per fixture dir (the oracle
@@ -134,6 +141,7 @@ object ClassifierOps {
     */
   def textQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val w = train(spark, dir)
+    lastQueryDir = Some(dir)
     features(spark, dir)
       .withColumn("z", expr(logitExpr(w)))
       .groupBy(col("source"))
@@ -153,7 +161,7 @@ object ClassifierOps {
     * query never ran in this JVM).
     */
   private def textQualityClassifierSql: String = synchronized {
-    val w = cache.values.lastOption.getOrElse(Array.fill(5)(0.0))
+    val w = lastQueryDir.flatMap(cache.get).getOrElse(Array.fill(5)(0.0))
     s"""
     WITH $featuresSql,
     s AS (SELECT source, y, ${logitExpr(w)} AS z FROM f)

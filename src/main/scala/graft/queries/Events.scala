@@ -313,9 +313,15 @@ object Events {
       .groupBy(col("event_type"), col("slot"))
       .agg(count(lit(1)).as("n_obs"), max(col("value")).as("v"))
       .withColumn("nxt", lead(col("slot"), 1).over(wlead))
+      // gap materialization is BOUNDED (384 slots = 4 days): one corrupt
+      // outlier timestamp must not explode a series into millions of
+      // filled rows (or past sequence()'s array cap) — past the bound the
+      // forward fill stops until the next real observation, the
+      // monitoring-grade semantics for a dead series
       .select(col("event_type"), col("slot"), col("n_obs"), col("v"),
         explode(sequence(col("slot"),
-          coalesce(col("nxt") - 1, col("slot")))).as("g"))
+          least(coalesce(col("nxt") - 1, col("slot")),
+            col("slot") + lit(384L)))).as("g"))
       .select(col("event_type"),
         timestamp_micros(col("g") * slotUs).as("slot_ts"),
         when(col("g") === col("slot"), col("n_obs")).otherwise(lit(0L))
@@ -336,7 +342,8 @@ object Events {
       FROM obs),
     grid AS (
       SELECT event_type, slot, n_obs, v,
-        unnest(generate_series(slot, COALESCE(nxt - 1, slot))) AS g
+        unnest(generate_series(slot,
+          LEAST(COALESCE(nxt - 1, slot), slot + 384))) AS g
       FROM led)
     SELECT event_type,
       make_timestamp(g * 900000000) AS slot_ts,
@@ -360,7 +367,11 @@ object Events {
   def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = t(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(sum(col("value").cast(DecimalType(18, 2))).as("tot"),
+      .agg(sum(col("value").cast(DecimalType(18, 2)))
+        // pin the per-hour total back to (18,2): tot*tot then stays an
+        // exact in-range DECIMAL in BOTH engines (a wider operand makes
+        // DuckDB silently fall back to DOUBLE at width 38*2 > 38)
+        .cast(DecimalType(18, 2)).as("tot"),
         count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-24, -1)
@@ -369,6 +380,12 @@ object Events {
       .withColumn("s2", sum(col("tot") * col("tot")).over(w))
       .withColumn("n", count(col("tot")).over(w))
       .filter(col("n") >= 12)
+      // zero/degenerate-variance guard: a constant series yields var = 0
+      // (z would be NaN/Inf, and NaN compares TRUE under > in Spark) —
+      // an unexceptional constant hour must not flag
+      .filter(expr(
+        "(CAST(s2 AS DOUBLE) - " +
+          "(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n > 0"))
       .withColumn("z", expr(
         "(CAST(tot AS DOUBLE) - CAST(s1 AS DOUBLE) / n) / " +
           "sqrt((CAST(s2 AS DOUBLE) - " +
@@ -383,7 +400,7 @@ object Events {
   private val qEventsAnomalySql = """
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
-        SUM(CAST(value AS DECIMAL(18,2))) AS tot,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot,
         COUNT(*) AS n_events
       FROM events GROUP BY 1, 2),
     win AS (
@@ -402,7 +419,9 @@ object Events {
         (CAST(tot AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
           sqrt((CAST(s2 AS DOUBLE) -
             (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n) AS z
-      FROM win WHERE n >= 12) x
+      FROM win WHERE n >= 12
+        AND (CAST(s2 AS DOUBLE) -
+          (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n > 0) x
     WHERE abs(z) > 2
     ORDER BY event_type, hour"""
 

@@ -388,7 +388,8 @@ object SketchOps {
     cells
       .withColumn("cum", sum(col("cnt")).over(wcum))
       .withColumn("total", sum(col("cnt")).over(wtot))
-      .withColumn("est", expr(s"lo + (bin * (hi - lo + 1)) div $HistB"))
+      .withColumn("est", expr(
+        s"lo + (bin * (hi - lo + 1) + $HistB - 1) div $HistB"))
       .groupBy(col("lang"))
       .agg(expr("max(total)").as("n_docs"),
         expr("min(CASE WHEN cum >= (total + 1) div 2 THEN est END)")
@@ -413,7 +414,7 @@ object SketchOps {
         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         SUM(cnt) OVER (PARTITION BY lang) AS total,
-        lo + (bin * (hi - lo + 1)) // $HistB AS est
+        lo + (bin * (hi - lo + 1) + $HistB - 1) // $HistB AS est
       FROM cells)
     SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
       CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN est END) AS BIGINT)

@@ -258,7 +258,10 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
         val effCompact =
           if (autoCompact > 0) autoCompact
           else c.tablePropertiesOf(table)
-            .get("graft.autoCompact.maxObjects").map(_.toInt).getOrElse(0)
+            .get("graft.autoCompact.maxObjects")
+            .map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"invalid graft.autoCompact.maxObjects on $table: $v")))
+            .getOrElse(0)
         if (effCompact > 0) c.maybeCompact(table, effCompact)
         c.setTxn(appId, batchId)
         c.commitTxRetrying()

@@ -229,9 +229,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case drop: TableChange.DropConstraint =>
           if (!drop.ifExists() || c.constraintsOf(t).contains(drop.name()))
             c.dropConstraint(t, drop.name())
-        // ALTER TABLE … SET/UNSET TBLPROPERTIES
-        case set: TableChange.SetProperty =>
+        // ALTER TABLE … SET/UNSET TBLPROPERTIES — Spark bookkeeping keys
+        // are skipped here exactly as on the CREATE path, so a key is
+        // never reserved on one surface but durable on the other
+        case set: TableChange.SetProperty
+            if !GraftCatalog.ReservedProps(set.property()) &&
+              !set.property().startsWith("option.") =>
           c.setTableProperties(t, Map(set.property() -> set.value()))
+        case _: TableChange.SetProperty => () // reserved: ignore
         case rm: TableChange.RemoveProperty =>
           c.unsetTableProperties(t, Seq(rm.property()))
         case other => throw new UnsupportedOperationException(

@@ -212,7 +212,9 @@ final class GraftClient(
       .filter(p => !loaded.contains(s"copy:$table:${p.getName}"))
       .sortBy(_.getName)
     if (fresh.nonEmpty) {
-      val df = spark.read.parquet(fresh.map(_.toUri.getPath): _*)
+      // full URIs, not bare paths: the landing directory may live on a
+      // non-default filesystem (the listing already resolved through it)
+      val df = spark.read.parquet(fresh.map(_.toString): _*)
       insert(table, df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
       fresh.foreach(p => setTxn(s"copy:$table:${p.getName}", 1L))
     }
@@ -444,6 +446,15 @@ final class GraftClient(
     val t = currentTx
     require(t.tables.contains(table), s"no such table: $table")
     require(props.nonEmpty, "no properties given")
+    // engine-recognized keys are validated at SET time — a malformed
+    // value must fail THIS statement, not crash-loop every later stream
+    // batch or mutation that consults it
+    props.get("graft.appendOnly").foreach(v =>
+      require(v == "true" || v == "false",
+        s"graft.appendOnly must be true|false, got: $v"))
+    props.get("graft.autoCompact.maxObjects").foreach(v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"graft.autoCompact.maxObjects must be a positive int, got: $v"))
     t.actions += SetProperties(table,
       scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
   }

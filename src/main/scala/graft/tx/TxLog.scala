@@ -242,10 +242,23 @@ final case class Snapshot(version: Long, actions: Vector[Action]) {
     m.toMap
   }
 
-  /** Latest committed sink-batch watermark per appId ([[SetTxn]]). */
-  def txns(pending: Seq[Action] = Nil): Map[String, Long] =
-    (actions ++ pending).collect { case SetTxn(a, v) => a -> v }
-      .groupMapReduce(_._1)(_._2)(math.max)
+  /** Latest committed sink-batch watermark per appId ([[SetTxn]]).
+    * COPY INTO watermarks (`copy:<table>:<file>`) are scoped to their
+    * table's lifetime: DropTable clears them, so a dropped-and-recreated
+    * table reloads a landing directory from scratch (the documented
+    * "a later CREATE starts clean" invariant). Sink watermarks
+    * (arbitrary appIds) are app-scoped, not table-scoped, and survive.
+    */
+  def txns(pending: Seq[Action] = Nil): Map[String, Long] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    (actions ++ pending).foreach {
+      case SetTxn(a, v) => m(a) = math.max(v, m.getOrElse(a, Long.MinValue))
+      case DropTable(t) =>
+        m.keys.filter(_.startsWith(s"copy:$t:")).toList.foreach(m.remove)
+      case _ => ()
+    }
+    m.toMap
+  }
 
   /** Live deletion vectors of a table, same retirement rule as data
     * objects.
@@ -627,10 +640,11 @@ final class TxLog(store: ObjectStore) {
           snapshot.constraints(t).toSeq.sortBy(_._1).iterator
             .map { case (n, e) => SetConstraint(t, n, e) } ++
           // key-sorted so concurrent checkpointers emit identical parts
-          (if (snapshot.properties(t).isEmpty) Iterator.empty
-           else Iterator.single(SetProperties(t,
-             scala.collection.immutable.ListMap(
-               snapshot.properties(t).toSeq.sortBy(_._1): _*)))) ++
+          { val props = snapshot.properties(t)
+            if (props.isEmpty) Iterator.empty
+            else Iterator.single(SetProperties(t,
+              scala.collection.immutable.ListMap(
+                props.toSeq.sortBy(_._1): _*))) } ++
           snapshot.liveFiles(t).iterator ++
           snapshot.liveDvs(t).iterator
       },

@@ -41,6 +41,23 @@ class Round8Spec extends AnyFunSuite {
     } finally c.rollback()
   }
 
+  test("copyInto: DROP + re-CREATE starts clean — watermarks cleared") {
+    val (c, _) = freshClient()
+    val landing = Files.createTempDirectory("graft_r8_land4").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.coalesce(1).write.mode("append").parquet(landing)
+    c.newTx(); c.createTable("t", n.schema)
+    assert(c.copyInto("t", landing).nonEmpty)
+    c.commitTx()
+    c.newTx(); c.dropTable("t"); c.commitTx()
+    c.newTx(); c.createTable("t", n.schema)
+    assert(c.copyInto("t", landing).nonEmpty,
+      "a re-created table must reload the landing zone from scratch")
+    c.commitTx()
+    c.newTx()
+    try assert(c.scan("t").count() === n.count()) finally c.rollback()
+  }
+
   test("copyInto: drained call stages nothing — commit stays read-only") {
     val (c, _) = freshClient()
     val landing = Files.createTempDirectory("graft_r8_land2").toString
