@@ -104,6 +104,49 @@ object Events {
     GROUP BY user_id
     ORDER BY user_id"""
 
+  // --- Per-session rows via Spark's native session_window --------------------
+  // The second sessionization API: q_events_sessionize rolls sessions up
+  // per user with a lag window; this one emits ONE ROW PER SESSION using
+  // Spark's native session_window aggregation (dynamic-gap merging in a
+  // single hash aggregate — the same operator Structured Streaming uses
+  // for stateful session windows, so the batch form here is the exact
+  // semantics a streaming twin would carry). The DuckDB oracle replays
+  // the classic gaps-and-islands decomposition (lag → new-session flag →
+  // running island id) and must land on identical session boundaries.
+  // One shuffle on (user_id); session count per user is data-bounded.
+  def qEventsSessionWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"),
+        min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"), col("first_event"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val qEventsSessionWindowsSql = s"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN epoch_us(ts) -
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+            >= 1800000000 THEN 1
+          WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+            IS NULL THEN 1
+          ELSE 0 END AS new_s
+      FROM events),
+    isl AS (
+      SELECT user_id, ts, event_id, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM x)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      ${sqlDsum("value", 2)} AS total_value,
+      MIN(event_id) AS first_event
+    FROM isl
+    GROUP BY user_id, island
+    ORDER BY user_id, session_start"""
+
   // --- As-of join -------------------------------------------------------------
   // For every purchase, the most recent prior-or-equal click by the same
   // user. Spark has no ASOF JOIN; instead of a range join (quadratic blow-up
@@ -490,6 +533,11 @@ object Events {
         "arithmetic explicitly"),
     "q_events_sessionize" -> QueryDef(qSessionize, Some(qSessionizeSql),
       "gap-based sessionization via window lag"),
+    "q_events_session_windows" -> QueryDef(qEventsSessionWindows,
+      Some(qEventsSessionWindowsSql),
+      "one row per session via Spark's native session_window aggregate " +
+        "(the streaming-capable operator); oracle replays gaps-and-" +
+        "islands and must match every session boundary"),
     "q_asof_join" -> QueryDef(qAsofJoin, Some(qAsofJoinSql),
       "as-of join via union+last_value; DuckDB ASOF JOIN oracle"),
     "q_events_funnel" -> QueryDef(qEventsFunnel, Some(qEventsFunnelSql),

@@ -98,6 +98,28 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"), col("first_event"), col("last_event"))
 
+  /** One row per session via the NATIVE session_window aggregate — the
+    * streaming twin of Events.qEventsSessionWindows (same operator, same
+    * 30-minute gap): Spark merges/extends per-key session state inside
+    * the state store and emits a session once the watermark passes its
+    * close (APPEND is the only mode Spark supports for streaming session
+    * windows) — state is O(open sessions), the exact production shape
+    * for session analytics over an unbounded stream. StreamingSpec pins
+    * it equal to the batch form by advancing the watermark past every
+    * session close with sentinel events.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double")
+          .as("total_value"),
+        min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"), col("first_event"))
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming twin
     * of Events.qSessionize. Emits the running per-user totals each
     * micro-batch (update mode); the latest emission per user is the

@@ -72,6 +72,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("native session_window streaming agg equals the batch session rows") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val evs = fixtureEvents
+    input.addData(evs)
+    val q = StreamingOps.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits a session only after the watermark passes its
+      // close: two sentinel rounds (watermark computed at batch end,
+      // applied next batch) push it past every fixture session
+      val maxMs = evs.map(_.ts.getTime).max
+      Seq(1, 2).foreach { i =>
+        input.addData(Event(-i, new java.sql.Timestamp(
+          maxMs + i * 10L * 3600 * 1000), -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = s.table("session_stream").filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    val want = Events.qEventsSessionWindows(s, dir)
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("foreachBatch sink commits each micro-batch as one transaction") {
     import org.apache.spark.sql.types._
     import graft.table.GraftClient
