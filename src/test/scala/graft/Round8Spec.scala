@@ -41,6 +41,32 @@ class Round8Spec extends AnyFunSuite {
     } finally c.rollback()
   }
 
+  test("copyInto: two racing writers load the landing zone exactly once") {
+    val (c1, root) = freshClient()
+    val c2 = new GraftClient(spark, root)
+    val landing = Files.createTempDirectory("graft_r8_race").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.coalesce(1).write.mode("append").parquet(landing)
+    c1.newTx(); c1.createTable("t", n.schema); c1.commitTx()
+    // both clients open a tx against the same snapshot; both see the
+    // file as unloaded and stage rows + watermark
+    c1.newTx(); c2.newTx()
+    assert(c1.copyInto("t", landing).nonEmpty)
+    assert(c2.copyInto("t", landing).nonEmpty)
+    c1.commitTxRetrying()
+    // the loser must CONFLICT on the same-slot watermark (a rebase would
+    // double-load) — never silently commit a duplicate
+    intercept[Exception] { c2.commitTxRetrying() }
+    // the loser's correct follow-up: a fresh tx sees the watermark and
+    // loads nothing
+    c2.newTx()
+    assert(c2.copyInto("t", landing).isEmpty)
+    c2.rollback()
+    c1.newTx()
+    try assert(c1.scan("t").count() === n.count(),
+      "exactly one copy of the landed rows") finally c1.rollback()
+  }
+
   test("copyInto: DROP + re-CREATE starts clean — watermarks cleared") {
     val (c, _) = freshClient()
     val landing = Files.createTempDirectory("graft_r8_land4").toString
