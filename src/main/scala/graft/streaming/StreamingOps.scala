@@ -120,6 +120,87 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("total_value"), col("first_event"))
 
+  /** One closed hour of one series, as produced by a watermarked hourly
+    * rollup upstream: `totCents` is the exact DECIMAL(18,2) total in
+    * integer cents (the state stays exact; doubles are derived, never
+    * stored).
+    */
+  case class HourTotal(event_type: String, hour: Timestamp, totCents: Long,
+      n_events: Long)
+
+  case class AnomalyRow(event_type: String, hour: Timestamp, n_events: Long,
+      total_value: Double, z_score: Double)
+
+  /** Internal ring state as parallel (us, cents) arrays — public because
+    * Spark's state-encoder codegen reflects on the constructor.
+    */
+  case class AnomalyState(us: Array[Long], cents: Array[Long])
+
+  /** Online rolling z-score anomaly detection — the streaming twin of
+    * Events.qEventsAnomaly: each CLOSED hour (the output of a
+    * watermarked hourly rollup) is scored against the trailing 24 closed
+    * hours of its series, held as exact integer cents in one small ring
+    * per key. The arithmetic mirrors the batch form operation-for-
+    * operation (exact decimal sums → correctly-rounded double division /
+    * sqrt in the same order), so emitted anomalies are BIT-EQUAL to the
+    * batch rows (pinned in StreamingSpec). State is 24 (hour, cents)
+    * pairs per series — constant per key, forever.
+    *
+    * Ordering contract: hours arrive in order per series (they are
+    * watermark-closed windows, which close monotonically); a
+    * late-arriving earlier hour is dropped deterministically rather than
+    * rewriting history.
+    */
+  def anomalyStream(hours: Dataset[HourTotal]): Dataset[AnomalyRow] = {
+    import hours.sparkSession.implicits._
+    hours
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[HourTotal],
+            state: GroupState[AnomalyState]) =>
+          val sorted = it.toVector.sortBy(_.hour.getTime)
+          var ring: Vector[(Long, Long)] = state.getOption
+            .map(a => a.us.zip(a.cents).toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AnomalyRow]
+          sorted.foreach { h =>
+            val us = h.hour.getTime * 1000L
+            if (ring.nonEmpty && us <= ring.last._1) {
+              // late closed hour: drop (see ordering contract)
+            } else {
+              val win = ring.takeRight(24)
+              val n = win.length
+              if (n >= 12) {
+                // batch-identical arithmetic: s1 exact at scale 2, s2
+                // exact at scale 4 (cents² units), then the same IEEE
+                // double chain
+                val s1D = BigDecimal(win.map(_._2).sum, 2).doubleValue
+                val s2D = BigDecimal(
+                  win.map(c => c._2 * c._2).sum, 4).doubleValue
+                val totD = BigDecimal(h.totCents, 2).doubleValue
+                val varD = (s2D - (s1D * s1D) / n) / n
+                if (varD > 0) {
+                  val z = (totD - s1D / n) / math.sqrt(varD)
+                  if (math.abs(z) > 2)
+                    // Spark's round(double, 4) goes through
+                    // BigDecimal.valueOf (Double.toString), HALF_UP —
+                    // mirror it exactly for the bit-equality pin
+                    out += AnomalyRow(tpe, h.hour, h.n_events, totD,
+                      java.math.BigDecimal.valueOf(z)
+                        .setScale(4, java.math.RoundingMode.HALF_UP)
+                        .doubleValue)
+                }
+              }
+              ring = (ring :+ (us, h.totCents)).takeRight(24)
+            }
+          }
+          state.update(AnomalyState(ring.map(_._1).toArray,
+            ring.map(_._2).toArray))
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming twin
     * of Events.qSessionize. Emits the running per-user totals each
     * micro-batch (update mode); the latest emission per user is the

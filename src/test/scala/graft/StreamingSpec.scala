@@ -102,6 +102,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("online rolling-anomaly stream emits exactly the batch anomaly rows") {
+    val s = spark
+    import s.implicits._
+    import StreamingOps.{AnomalyRow, HourTotal}
+    // closed hourly totals, exactly what a watermarked hourly rollup
+    // emits upstream — exact cents so state stays integer
+    val hourly = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)") *
+        100).cast("long").as("totCents"),
+        count(lit(1)).as("n_events"))
+      .as[HourTotal].collect().sortBy(_.hour.getTime)
+    // three chunks split on hour boundaries: per-series order holds
+    val cut1 = hourly(hourly.length / 3).hour.getTime
+    val cut2 = hourly(2 * hourly.length / 3).hour.getTime
+    val chunks = Seq(
+      hourly.filter(_.hour.getTime <= cut1),
+      hourly.filter(h => h.hour.getTime > cut1 && h.hour.getTime <= cut2),
+      hourly.filter(_.hour.getTime > cut2))
+    val input = MemoryStream[HourTotal](s)
+    val q = StreamingOps.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("update").start()
+    try chunks.foreach { ch => input.addData(ch); q.processAllAvailable() }
+    finally q.stop()
+
+    val got = s.table("anomaly_stream")
+      .orderBy(col("event_type"), col("hour")).collect().toSeq
+    val want = Events.qEventsAnomaly(s, dir)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("total_value"), col("z_score"))
+      .orderBy(col("event_type"), col("hour")).collect().toSeq
+    assert(want.nonEmpty && got == want,
+      s"stream emitted ${got.size} rows vs batch ${want.size}")
+  }
+
   test("foreachBatch sink commits each micro-batch as one transaction") {
     import org.apache.spark.sql.types._
     import graft.table.GraftClient
