@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history", "detail", "restore", "convert", "copy_into")
+      "history", "detail", "restore", "convert", "copy_into", "clone")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -93,6 +93,27 @@ object GraftProcedures {
           val dry = args.getBoolean(1)
           Seq(row(Int.box(client.vacuum(args.getInt(0), dry)),
             Boolean.box(dry)))
+        }))
+      case "clone" => Some(proc(name,
+        "zero-copy shallow clone; version >= 0 clones the source AS OF " +
+          "that log version (time-travel clone)",
+        Seq(in("source", StringType), in("target", StringType),
+          inDefault("version", LongType, "-1")),
+        StructType(Seq(StructField("source", StringType),
+          StructField("target", StringType),
+          StructField("objects", IntegerType))), { args =>
+          val src = args.getUTF8String(0).toString
+          val dst = args.getUTF8String(1).toString
+          val v = args.getLong(2)
+          val c = client
+          c.newTx()
+          if (v < 0) c.shallowClone(src, dst)
+          else c.shallowCloneAt(src, dst, v)
+          c.commitTxRetrying()
+          c.newTx()
+          val objs = try c.objects(dst) finally c.rollback()
+          Seq(row(UTF8String.fromString(src), UTF8String.fromString(dst),
+            Int.box(objs.length)))
         }))
       case "copy_into" => Some(proc(name,
         "idempotent incremental load: copy not-yet-loaded parquet files " +

@@ -1819,6 +1819,44 @@ final class GraftClient(
       .foreach(d => t.actions += d.copy(table = dst))
   }
 
+  /** Shallow clone of `src`'s state AS OF log version `asOf` (Delta's
+    * `CLONE … VERSION AS OF`): the zero-copy fork, pointed at history —
+    * fork yesterday's 100 TB table for a backfill experiment without
+    * copying a byte or disturbing today's writers. Same mechanics as
+    * [[shallowClone]] (objects/DVs re-added under the new name with
+    * their ORIGINAL txIds, schema and constraints as they were THEN),
+    * bounded by the same vacuum horizon as time travel: once the
+    * historical snapshot's objects are reclaimed, the clone refuses up
+    * front. Properties are taken from the historical snapshot too — the
+    * clone is the table as it WAS, configuration included.
+    */
+  def shallowCloneAt(src: String, dst: String, asOf: Long): Unit = {
+    val t = currentTx
+    require(!t.tables.contains(dst), s"table exists: $dst")
+    val snap = txLog.beginAt(asOf)
+    val schema = snap.tables.getOrElse(src,
+      throw new IllegalArgumentException(s"no such table at v$asOf: $src"))
+    val files = snap.liveFiles(src)
+    // same vacuum-horizon check as restore: managed names live under the
+    // root, external (converted) objects are absolute
+    val missing = files.map(_.path).filterNot { p =>
+      val f = new java.io.File(p)
+      (if (f.isAbsolute) f else new java.io.File(rootDir, p)).exists()
+    }
+    require(missing.isEmpty,
+      s"cannot clone $src at v$asOf: object(s) physically reclaimed by " +
+        s"vacuum: ${missing.sorted.mkString(",")}")
+    t.tables(dst) = schema
+    t.actions += ChangeMetadata(dst, schema)
+    snap.constraints(src).foreach { case (n, e) =>
+      t.actions += SetConstraint(dst, n, e) }
+    val props = snap.properties(src)
+    if (props.nonEmpty) t.actions += SetProperties(dst,
+      scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
+    files.foreach(a => t.actions += a.copy(table = dst))
+    snap.liveDvs(src).foreach(d => t.actions += d.copy(table = dst))
+  }
+
   /** RESTORE `table` to its state as of log version `asOf` — rollback as
     * a forward commit, the inverse surface of [[scanAsOf]] time travel.
     * Purely metadata: the staged actions remove objects/DVs that became

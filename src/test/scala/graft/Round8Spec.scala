@@ -127,6 +127,43 @@ class Round8Spec extends AnyFunSuite {
     } finally c.rollback()
   }
 
+  test("shallowCloneAt forks historical state; vacuumed history refuses") {
+    val (c, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    c.newTx(); c.createTable("t", n.schema); c.insert("t", n)
+    c.setTableProperties("t", Map("pipeline.owner" -> "v1")); c.commitTx()
+    val v1 = c.latestVersion
+    c.newTx()
+    c.deleteRows("t", "n_nationkey", 0, 19)
+    c.setTableProperties("t", Map("pipeline.owner" -> "v2"))
+    c.commitTx()
+    c.newTx(); c.shallowCloneAt("t", "t_then", v1); c.commitTx()
+    c.newTx()
+    try {
+      // the clone is the table as it WAS: all rows, old properties
+      assert(c.currentState("t_then", Seq("n_nationkey")).count() ===
+        n.count())
+      assert(c.tablePropertiesOf("t_then") === Map("pipeline.owner" -> "v1"))
+      // while the source moved on
+      assert(c.currentState("t", Seq("n_nationkey")).count() ===
+        n.count() - 20)
+    } finally c.rollback()
+    // diverge the clone freely; the source is untouched
+    c.newTx(); c.deleteRows("t_then", "n_nationkey", 20, 24); c.commitTx()
+    c.newTx()
+    try assert(c.currentState("t", Seq("n_nationkey")).count() ===
+      n.count() - 20)
+    finally c.rollback()
+    // after vacuum reclaims the pre-delete objects, cloning at v1 refuses
+    c.newTx(); c.dropTable("t_then"); c.commitTx()
+    c.vacuum(0)
+    c.newTx()
+    val e = intercept[IllegalArgumentException](
+      c.shallowCloneAt("t", "t_again", v1))
+    assert(e.getMessage.contains("vacuum"))
+    c.rollback()
+  }
+
   test("TBLPROPERTIES: set/unset last-wins, clone copies, fold survives") {
     val (c, root) = freshClient()
     val n = spark.read.parquet(s"$dir/nation.parquet")

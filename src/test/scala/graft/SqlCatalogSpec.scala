@@ -673,6 +673,22 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Row(nPred, false)))
   }
 
+  test("CALL clone: zero-copy fork, current and time-travel forms") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val preDelete = new GraftClient(spark, root).latestVersion
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+    rows(s"CALL $cat.system.clone('t', 't_now')")
+    rows(s"CALL $cat.system.clone('t', 't_then', $preDelete)")
+    assert(rows(s"SELECT count(*) FROM $cat.t_now") === Seq(Row(2L)))
+    assert(rows(s"SELECT count(*) FROM $cat.t_then") === Seq(Row(3L)))
+    // clones diverge without touching the source
+    spark.sql(s"DELETE FROM $cat.t_then WHERE k = 3")
+    assert(rows(s"SELECT count(*) FROM $cat.t_then") === Seq(Row(2L)))
+    assert(rows(s"SELECT count(*) FROM $cat.t") === Seq(Row(2L)))
+  }
+
   test("TBLPROPERTIES through SQL: create, show, alter set/unset, gate") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
