@@ -90,14 +90,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val t = tableName(ident)
-    val schema = withClient { c =>
+    // schema AND properties from ONE snapshot: properties() is then a
+    // field read per call, not a fresh log replay (DESCRIBE and every
+    // plan touch it)
+    val (schema, props) = withClient { c =>
       c.newTx()
       try {
         if (!c.tables.contains(t)) throw new NoSuchTableException(ident)
-        c.schemaOf(t)
+        (c.schemaOf(t), c.tablePropertiesOf(t))
       } finally c.rollback()
     }
-    new GraftTable(root, t, schema)
+    new GraftTable(root, t, schema, tableProps = props)
   }
 
   /** `SELECT … FROM cat.t VERSION AS OF v` — same convention as the
@@ -363,7 +366,8 @@ object GraftTable {
   * and every mutation path refuses.
   */
 final class GraftTable(val root: String, val tableName: String,
-    tableSchema: StructType, val asOf: Option[Long] = None)
+    tableSchema: StructType, val asOf: Option[Long] = None,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsPartitionManagement
     with TruncatableTable {
@@ -387,13 +391,11 @@ final class GraftTable(val root: String, val tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
 
-  /** Durable TBLPROPERTIES from the log (surfaced in DESCRIBE TABLE
-    * EXTENDED and SHOW TBLPROPERTIES).
+  /** Durable TBLPROPERTIES from the log, captured at loadTable time
+    * (surfaced in DESCRIBE TABLE EXTENDED and SHOW TBLPROPERTIES) — a
+    * field read, not a per-call log replay.
     */
-  override def properties(): util.Map[String, String] = withClient { c =>
-    c.newTx()
-    try c.tablePropertiesOf(tableName).asJava finally c.rollback()
-  }
+  override def properties(): util.Map[String, String] = tableProps.asJava
 
   /** The DDL-declared partition columns in spec order (field-metadata
     * markers set by `CREATE TABLE … PARTITIONED BY`); empty when
