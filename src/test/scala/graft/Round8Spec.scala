@@ -67,6 +67,29 @@ class Round8Spec extends AnyFunSuite {
       "exactly one copy of the landed rows") finally c1.rollback()
   }
 
+  test("copyInto under ambiguous commit faults lands exactly once") {
+    // every winning log put throws AFTER the entry became visible (S3
+    // timeout-after-commit): the commit read-back must absorb it, and a
+    // re-pointed COPY INTO must see the watermark that DID land
+    val root = Files.createTempDirectory("graft_r8_amb").toString
+    val store = new graft.store.FaultInjectingObjectStore(
+      ambiguousEveryNthPut = 1)
+    val c = new GraftClient(spark, root, logStore = Some(store))
+    val landing = Files.createTempDirectory("graft_r8_amb_land").toString
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.coalesce(1).write.mode("append").parquet(landing)
+    c.newTx(); c.createTable("t", n.schema); c.commitTx()
+    c.newTx()
+    assert(c.copyInto("t", landing).nonEmpty)
+    c.commitTx() // ambiguous failure absorbed by read-back
+    c.newTx()
+    assert(c.copyInto("t", landing).isEmpty,
+      "the watermark that landed through the ambiguous put must hold")
+    c.rollback()
+    c.newTx()
+    try assert(c.scan("t").count() === n.count()) finally c.rollback()
+  }
+
   test("copyInto: DROP + re-CREATE starts clean — watermarks cleared") {
     val (c, _) = freshClient()
     val landing = Files.createTempDirectory("graft_r8_land4").toString
