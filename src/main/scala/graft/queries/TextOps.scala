@@ -440,6 +440,52 @@ object TextOps {
   // same property the KMV synopsis exploits for cardinality.
   private val SampleK = 256
 
+  // --- Deterministic WEIGHTED sampling ---------------------------------------
+  // Quality-weighted Poisson sampling, the curation primitive "sample
+  // documents proportional to a quality score" (here the score is
+  // n_chars): doc i is selected iff h_i/2^60 < k·w_i/W, i.e. with
+  // probability k·w_i/W (naturally capped at 1 when k·w_i ≥ W), giving
+  // expected size k with inclusion probability ∝ weight. The comparison
+  // is rearranged to h·W < k·w·2^60 and evaluated in EXACT integer
+  // arithmetic (DECIMAL in Spark, HUGEINT in DuckDB — no float ever
+  // touches the decision), so the sample is bit-reproducible across
+  // engines, re-runs, AND shards: the per-doc predicate makes the union
+  // of per-shard samples exactly the whole-corpus sample (pinned). One
+  // scan + a 1-row total-weight broadcast; selection is map-side.
+  private val WeightedK = 100L
+  private val H60Max = 1L << 60
+
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tot = docs.agg(sum(col("n_chars")).as("W"))
+    docs
+      .withColumn("h", conv(substring(
+        md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(
+        s"CAST(h AS DECIMAL(19,0)) * CAST(W AS DECIMAL(12,0)) < " +
+          s"CAST($WeightedK AS DECIMAL(4,0)) * " +
+          s"CAST(n_chars AS DECIMAL(10,0)) * " +
+          s"CAST($H60Max AS DECIMAL(19,0))"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSampleWeightedSql = s"""
+    WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents),
+    h AS (
+      SELECT doc_id, lang, n_chars,
+        ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          AS h
+      FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM h CROSS JOIN tot
+    WHERE CAST(h AS HUGEINT) * W
+      < CAST($WeightedK AS HUGEINT) * n_chars * $H60Max
+    ORDER BY doc_id"""
+
   def qSampleUniform(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
@@ -462,6 +508,12 @@ object TextOps {
       "RAG-style per-document overlap chunking (128-token windows " +
         "every 96): provenance-keeping sliding windows, portable md5 " +
         "chunk identity, zero-shuffle map-side explode"),
+    "text_sample_weighted" -> QueryDef(qSampleWeighted,
+      Some(qSampleWeightedSql),
+      "quality-weighted Poisson sampling (inclusion probability " +
+        "proportional to weight, expected size k) decided in exact " +
+        "integer arithmetic — bit-reproducible across engines, re-runs, " +
+        "and shards"),
     "text_sample_uniform" -> QueryDef(qSampleUniform, Some(qSampleUniformSql),
       "deterministic FIXED-SIZE uniform sample: bottom-256 docs by " +
         "portable hash — distributed TakeOrdered, shard-mergeable " +

@@ -16,6 +16,25 @@ class PipelineOpsSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("weighted sample: expected size, weight bias, deterministic") {
+    val s = spark
+    val sel = graft.queries.TextOps.qSampleWeighted(s, dir).collect()
+    // expected size k=100, Poisson sd ~10: a 4-sigma band
+    assert(sel.length >= 60 && sel.length <= 140,
+      s"sample size ${sel.length} outside the expected-100 band")
+    // inclusion probability is proportional to n_chars: the sample must
+    // skew long
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect()(0).getDouble(0)
+    val selMean = sel.map(_.getLong(2)).sum.toDouble / sel.length
+    assert(selMean > corpusMean,
+      s"selected mean $selMean not above corpus mean $corpusMean")
+    // exact integer decision -> identical re-runs
+    val again = graft.queries.TextOps.qSampleWeighted(s, dir).collect()
+    assert(sel.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
   test("hyperplane_buckets equals the naive per-plane sign computation") {
     import graft.functions.{GraftFunctions, LshPlanes}
     val s = spark

@@ -36,7 +36,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // |groups|-row language-pair inequality join (≤5 rows per side)
     "sketch_kmv_jaccard",
     // 1-row global-bounds crossJoin feeding the bin expression
-    "sketch_hist_quantiles")
+    "sketch_hist_quantiles",
+    // 1-row total-weight crossJoin feeding the selection predicate
+    "text_sample_weighted")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val self = p +: p.children.flatMap(collectAll)
