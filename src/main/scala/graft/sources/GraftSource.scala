@@ -140,7 +140,9 @@ final class GraftSource extends RelationProvider
         parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
           .exists(_.toBoolean),
         parameters.get("maxobjectspertrigger")
-          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt))
+          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
+        parameters.get("maxrowspertrigger")
+          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -477,7 +479,8 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
   */
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
     table: String, ignoreChanges: Boolean,
-    maxObjectsPerTrigger: Option[Int] = None) extends Source {
+    maxObjectsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None) extends Source {
 
   private def client =
     new GraftClient(sqlContext.sparkSession, root)
@@ -493,32 +496,39 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     val c = client
     val latest = c.latestVersion
     if (latest == 0L) return None
-    val offered = maxObjectsPerTrigger match {
-      case None => latest
-      case Some(maxObjs) =>
+    val offered =
+      if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
+      else {
         val base = math.max(highWater, 0L)
         if (base >= latest) latest
         else {
           // walk ONLY the unconsumed commit window (O(window) log reads,
           // not O(log) — entriesBetween selects by name before reading
           // bodies), stopping before the commit that would push the
-          // batch past the cap, but always taking at least one commit
+          // batch past EITHER cap (objects and/or rows — Delta's
+          // maxFiles/maxBytesPerTrigger pair), but always taking at
+          // least one commit
           var v = base
           var objs = 0
+          var rows = 0L
           var stopped = false
           c.historyBetween(base, latest).foreach { case (id, actions) =>
             if (!stopped) {
-              val n = actions.count {
-                case a: graft.tx.AddDataObject => a.table == table
-                case _ => false
+              val adds = actions.collect {
+                case a: graft.tx.AddDataObject if a.table == table => a
               }
-              if (objs > 0 && objs + n > maxObjs) stopped = true
-              else { objs += n; v = id + 1 }
+              val n = adds.length
+              val r = adds.map(_.numRows).sum
+              val past =
+                maxObjectsPerTrigger.exists(m => objs + n > m) ||
+                  maxRowsPerTrigger.exists(m => rows + r > m)
+              if ((objs > 0 || rows > 0) && past) stopped = true
+              else { objs += n; rows += r; v = id + 1 }
             }
           }
           math.min(math.max(v, base + 1), latest)
         }
-    }
+      }
     highWater = math.max(highWater, offered)
     Some(LongOffset(offered))
   }

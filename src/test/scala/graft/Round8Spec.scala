@@ -187,6 +187,36 @@ class Round8Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("maxRowsPerTrigger drains a backlog in row-bounded batches") {
+    val root = Files.createTempDirectory("graft_r8_rows").toString
+    val s = spark
+    import s.implicits._
+    val c = new GraftClient(s, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    // backlog: 6 commits of 5 rows each
+    (0 until 6).foreach { i =>
+      c.newTx()
+      c.insert("t", (i * 5 until i * 5 + 5).toDF("k"))
+      c.commitTx()
+    }
+    val q = s.readStream.format("graft").option("table", "t")
+      .option("maxRowsPerTrigger", "10").load(root)
+      .writeStream.format("memory").queryName("graft_rows_limited")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(s.table("graft_rows_limited").count() === 30L,
+      "every backlogged row arrives exactly once")
+    val withData = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withData.length >= 3,
+      s"30 rows at cap 10 need >= 3 batches, got " +
+        withData.map(_.numInputRows).mkString(","))
+    assert(withData.forall(_.numInputRows <= 10),
+      "no batch may exceed the 10-row cap (commit-aligned)")
+  }
+
   test("TBLPROPERTIES: set/unset last-wins, clone copies, fold survives") {
     val (c, root) = freshClient()
     val n = spark.read.parquet(s"$dir/nation.parquet")
