@@ -706,6 +706,64 @@ final class GraftClient(
       t.actions += AddDataObject(table, name, txId, n, stats)
     }
 
+  /** Identity-column insert (Delta's GENERATED ALWAYS AS IDENTITY, client
+    * form): `df` carries every table column EXCEPT `idCol` (a LongType
+    * column of the table); this call reserves the id range
+    * [next, next+n) from the durable high-water property
+    * `graft.identity.<col>.next`, stamps ids deterministically over the
+    * same pinned-lineage partition-offset scheme the provenance stamp
+    * uses, and bumps the high-water IN THE SAME COMMIT — ids are unique
+    * and increasing across the table's lifetime, with gaps only where
+    * transactions aborted (Delta's exact contract: monotone, not
+    * contiguous). Concurrency: the property bump conflicts with any
+    * concurrent commit to the table (SetProperties is a conflict for
+    * appends and mutations alike), so two racing identity inserts can
+    * never double-allocate — the loser fails loudly and the caller
+    * re-runs `insertIdentity` to reserve a fresh range. Returns the
+    * reserved range start.
+    */
+  def insertIdentity(table: String, df: DataFrame, idCol: String): Long = {
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(idCol), s"no such column: $idCol")
+    require(schema(schema.fieldIndex(idCol)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"identity column $idCol must be BIGINT")
+    require(!df.schema.fieldNames.contains(idCol),
+      s"GENERATED ALWAYS: the insert must not supply $idCol")
+    val others = schema.fieldNames.filterNot(_ == idCol)
+    require(df.schema.fieldNames.sameElements(others),
+      s"insert schema mismatch: ${df.schema.fieldNames.mkString(",")} vs " +
+        s"expected ${others.mkString(",")}")
+    val key = s"graft.identity.$idCol.next"
+    val next = tablePropertiesOf(table).get(key).map(_.toLong).getOrElse(0L)
+    // pinned lineage + per-partition offsets, the provenance-stamp scheme:
+    // ids are deterministic for a deterministic input
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+        .collect().sortBy(_._1)
+      val n = partCounts.map(_._2).sum
+      if (n == 0) return next
+      val offsets: Map[Int, Long] = partCounts
+        .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+        .init.zip(partCounts)
+        .map { case ((_, off), (pid, _)) => pid -> off }.toMap
+      val withId = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var id = next + offsets(pid)
+        it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
+      }
+      val full = spark.createDataFrame(withId,
+        StructType(schema(schema.fieldIndex(idCol)) +:
+          others.map(c => schema(schema.fieldIndex(c)))))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      insert(table, full)
+      setTableProperties(table, Map(key -> (next + n).toString))
+      next
+    } finally rdd.unpersist(false)
+  }
+
   /** Shared bulk-write preamble: schema check, flush-before-bulk, contiguous
     * provenance stamping over a lineage PINNED across the counting and
     * stamping passes (a non-deterministic input — sample/rand, recomputation

@@ -187,6 +187,51 @@ class Round8Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("insertIdentity: monotone unique ids; racing writers never collide") {
+    val (c, root) = freshClient()
+    val s = spark
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    c.newTx()
+    assert(c.insertIdentity("t", (0 until 10).toDF("k"), "id") === 0L)
+    c.commitTx()
+    c.newTx()
+    assert(c.insertIdentity("t", (10 until 15).toDF("k"), "id") === 10L)
+    c.commitTx()
+    c.newTx()
+    try {
+      val ids = c.currentState("t", Seq("id")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids === (0L until 15L), s"expected 0..14, got $ids")
+      // GENERATED ALWAYS: supplying the id column refuses
+      intercept[IllegalArgumentException](
+        c.insertIdentity("t", Seq((99L, 99)).toDF("id", "k"), "id"))
+    } finally c.rollback()
+    // race: both reserve from one snapshot — the loser CONFLICTS (a
+    // rebase would double-allocate the range), then retries fresh
+    val c2 = new GraftClient(spark, root)
+    c.newTx(); c2.newTx()
+    c.insertIdentity("t", Seq(100).toDF("k"), "id")
+    c2.insertIdentity("t", Seq(200).toDF("k"), "id")
+    c.commitTxRetrying()
+    intercept[Exception](c2.commitTxRetrying())
+    c2.newTx()
+    c2.insertIdentity("t", Seq(200).toDF("k"), "id")
+    c2.commitTxRetrying()
+    c.newTx()
+    try {
+      val all = c.currentState("t", Seq("id")).collect()
+        .map(_.getLong(0)).toSeq
+      assert(all.distinct.size === all.size, "identity ids must be unique")
+      assert(all.size === 17)
+    } finally c.rollback()
+  }
+
   test("maxRowsPerTrigger drains a backlog in row-bounded batches") {
     val root = Files.createTempDirectory("graft_r8_rows").toString
     val s = spark
