@@ -553,6 +553,55 @@ object TxQueries {
         AND c_custkey NOT BETWEEN 120 AND 129)
     SELECT * FROM kept UNION ALL SELECT * FROM upd ORDER BY c_custkey"""
 
+  // --- Identity columns on the oracle signal ---------------------------------
+  // Two insertIdentity calls (sorted single-partition input makes the
+  // assignment order portable): the first reserves [0, 25) in key order,
+  // the second [25, 30) over keys 0..4 — so id = rank within its batch
+  // plus the batch's reserved base, which DuckDB replays with
+  // ROW_NUMBER. Proves the atomic range-reservation mechanics
+  // (property high-water + stamp) end-to-end on the hash compare.
+  private def ensureIdentity(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#identity", {
+        val root = Files.createTempDirectory("graft_id_fixture").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType) +: nation.schema.fields)
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("idn", schema)
+        require(c.insertIdentity("idn",
+          nation.orderBy(col("n_nationkey")).coalesce(1), "id") == 0L)
+        c.commitTx()
+        c.newTx()
+        require(c.insertIdentity("idn",
+          nation.filter(col("n_nationkey") < 5)
+            .orderBy(col("n_nationkey")).coalesce(1), "id") == 25L)
+        c.commitTx()
+        root
+      })
+    }
+
+  def txIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureIdentity(spark, dir))
+    c.newTx()
+    try c.scan("idn").select(col("id"), col("n_nationkey"), col("n_name"))
+      .orderBy(col("id"))
+    finally c.rollback()
+  }
+
+  private val txIdentitySql = """
+    SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS id,
+      n_nationkey, n_name
+    FROM nation
+    UNION ALL
+    SELECT 25 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1,
+      n_nationkey, n_name
+    FROM nation WHERE n_nationkey < 5
+    ORDER BY id"""
+
   // --- Join-driven dynamic file pruning (DPP analog) -------------------------
   // Star-join over a nationkey-partitioned customer fact: the dim side
   // (nations of one region) is filtered first, its 5 keys prune the
@@ -781,6 +830,10 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_identity" -> QueryDef(txIdentity, Some(txIdentitySql),
+      "GENERATED ALWAYS AS IDENTITY: two inserts reserve id ranges " +
+        "atomically via the property high-water; ids replayed with " +
+        "ROW_NUMBER in DuckDB"),
     "tx_dpp_join" -> QueryDef(txDppJoin, Some(txDppJoinSql),
       "join-driven dynamic file pruning: a filtered dim's keys prune " +
         "the partitioned fact scan to |matched partitions| objects " +
