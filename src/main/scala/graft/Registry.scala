@@ -28,6 +28,7 @@ object Registry {
       queries.BpeOps.defs ++
       queries.PackingOps.defs ++
       queries.DedupOps.defs ++
+      queries.SubstringOps.defs ++
       queries.DedupCluster.defs ++
       queries.CorpusOps.defs ++
       queries.SimilarityOps.defs ++

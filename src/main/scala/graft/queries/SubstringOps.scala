@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Exact substring deduplication — the span-level dedup family (public
+  * algorithm: Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better", arXiv:2107.06499). Document-level dedup (DedupOps) keeps
+  * or drops WHOLE documents; this family finds verbatim spans repeated
+  * ACROSS documents (boilerplate, licenses, quoted passages) and cuts the
+  * non-canonical copies while one deterministic owner keeps its text.
+  *
+  * The published implementation builds a corpus-wide suffix array — a
+  * single-machine structure that does not shard. The Spark-native shape is
+  * the fixed-length-shingle reduction: a repeated span of ≥ L words is
+  * exactly a run of repeated L-word shingles, so
+  *
+  *   1. one linear pass explodes each doc into its L-word shingle hashes
+  *      (position-stamped, md5-prefix keys — portable to the oracle),
+  *   2. one exchange keyed by shingle hash finds hashes held by ≥ 2
+  *      distinct docs and elects the canonical owner (min doc_id) — a
+  *      gram in a million docs is still ONE row here, never a pair blowup,
+  *   3. one join back marks the duplicated start positions per doc, and
+  *   4. per-doc aggregation merges overlapping shingle spans into covered
+  *      word positions (detection) or cuts the non-owner positions and
+  *      reassembles the surviving text (the Lee-et-al. cut).
+  *
+  * Every stage is linear in corpus grams with map-side combine; there is no
+  * all-pairs or per-pair stage anywhere, so the 100 TB cost is two shuffles
+  * of gram-sized rows. Both queries replay bit-for-bit in DuckDB.
+  */
+object SubstringOps {
+
+  /** Span length in words. 8 normalized words ≈ the 50-BPE-token threshold
+    * of the paper scaled to the fixture's 10-99-word documents.
+    */
+  private val L = 8
+
+  /** (doc_id, ws) for docs long enough to shingle. */
+  private def longDocs(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.normalizedWords(t(spark, dir, "documents"))
+      .filter(size(col("ws")) >= L)
+
+  /** (doc_id, i, k): 1-based start position and 60-bit-md5-prefix key of
+    * every L-word shingle. Grams are materialized inside one transform()
+    * BEFORE the explode so the word array is not carried per exploded row.
+    */
+  private def grams(spark: SparkSession, dir: String): DataFrame =
+    longDocs(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${L - 1}), " +
+          s"i -> substr(md5(array_join(slice(ws, i, $L), ' ')), 1, 15))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("k"))
+
+  /** (doc_id, i, own): duplicated shingle starts with their canonical
+    * owner. The groupBy(k) is the one corpus-wide exchange; its output is
+    * one row per DISTINCT duplicated gram regardless of how many million
+    * docs share it.
+    */
+  private def dupStarts(spark: SparkSession, dir: String): DataFrame = {
+    val g = grams(spark, dir)
+    val d = g.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("own"))
+      .filter(col("nd") >= 2)
+      .select("k", "own")
+    g.join(d, "k").select("doc_id", "i", "own")
+  }
+
+  /** Detection: per document, how much of it is verbatim-repeated
+    * elsewhere — duplicated shingle starts, covered word positions
+    * (overlapping spans merged by the distinct), and the coverage ratio.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val m = dupStarts(spark, dir)
+    val starts = m.groupBy("doc_id").agg(count(lit(1)).as("dup_starts"))
+    val covered = m
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(L - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_words"))
+    val tot = longDocs(spark, dir)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("total_words"))
+    starts.join(covered, "doc_id").join(tot, "doc_id")
+      .select(col("doc_id"), col("dup_starts"), col("covered_words"),
+        col("total_words"),
+        round(col("covered_words").cast("double") / col("total_words"), 6)
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringSql = s"""
+    WITH wz AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+          ' ') AS w
+      FROM documents),
+    ld AS (SELECT doc_id, w FROM wz WHERE len(w) >= $L),
+    g AS (SELECT doc_id, i,
+        substr(md5(array_to_string(w[i:i+${L - 1}], ' ')), 1, 15) AS k
+      FROM ld, unnest(generate_series(1, len(w) - ${L - 1})) AS t(i)),
+    d AS (SELECT k, min(doc_id) AS own FROM g GROUP BY k
+      HAVING count(DISTINCT doc_id) >= 2),
+    m AS (SELECT g.doc_id, g.i, d.own FROM g JOIN d USING (k)),
+    starts AS (SELECT doc_id, count(*) AS dup_starts FROM m GROUP BY doc_id),
+    cov AS (SELECT doc_id, count(*) AS covered_words FROM (
+        SELECT DISTINCT doc_id, i + off AS pos
+        FROM m, unnest(generate_series(0, ${L - 1})) AS o(off))
+      GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(w) AS total_words FROM ld)
+    SELECT t.doc_id, s.dup_starts, c.covered_words, t.total_words,
+      round(CAST(c.covered_words AS DOUBLE) / t.total_words, 6) AS coverage
+    FROM starts s JOIN cov c USING (doc_id) JOIN tot t USING (doc_id)
+    ORDER BY t.doc_id"""
+
+  /** The cut: every doc drops word positions covered by a duplicated
+    * shingle whose canonical owner is ANOTHER doc. Non-owner copies never
+    * survive (their positions are cut by the very shingles that made them
+    * duplicates); the owner keeps its copy except where it overlaps a span
+    * owned elsewhere — the same wrinkle the published suffix-array cut has.
+    * Output is the per-doc audit row (kept/cut counts + md5 of the cleaned
+    * text) rather than the cleaned strings themselves, so the oracle row
+    * stays small while still pinning the reassembled text bit-for-bit.
+    */
+  def dedupSubstringCut(spark: SparkSession, dir: String): DataFrame = {
+    val ld = longDocs(spark, dir)
+    val words = ld
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+    val cut = dupStarts(spark, dir)
+      .filter(col("own") =!= col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(L - 1))).as("pos"))
+      .distinct()
+    val kept = words.join(cut, Seq("doc_id", "pos"), "left_anti")
+    val tot = ld
+      .select(col("doc_id"), size(col("ws")).cast("long").as("total_words"))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_words"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ")).as("cleaned_md5"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("total_words"), col("kept_words"),
+        (col("total_words") - col("kept_words")).as("cut_words"),
+        col("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringCutSql = s"""
+    WITH wz AS (
+      SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+          ' ') AS w
+      FROM documents),
+    ld AS (SELECT doc_id, w FROM wz WHERE len(w) >= $L),
+    g AS (SELECT doc_id, i,
+        substr(md5(array_to_string(w[i:i+${L - 1}], ' ')), 1, 15) AS k
+      FROM ld, unnest(generate_series(1, len(w) - ${L - 1})) AS t(i)),
+    d AS (SELECT k, min(doc_id) AS own FROM g GROUP BY k
+      HAVING count(DISTINCT doc_id) >= 2),
+    m AS (SELECT g.doc_id, g.i, d.own FROM g JOIN d USING (k)),
+    cut AS (SELECT DISTINCT doc_id, i + off AS pos
+      FROM m, unnest(generate_series(0, ${L - 1})) AS o(off)
+      WHERE own <> doc_id),
+    words AS (SELECT doc_id, pos, w[pos] AS word
+      FROM ld, unnest(generate_series(1, len(w))) AS t(pos)),
+    kept AS (SELECT wd.doc_id, wd.pos, wd.word FROM words wd
+      ANTI JOIN cut c ON c.doc_id = wd.doc_id AND c.pos = wd.pos),
+    tot AS (SELECT doc_id, len(w) AS total_words FROM ld)
+    SELECT k.doc_id, t.total_words, count(*) AS kept_words,
+      t.total_words - count(*) AS cut_words,
+      md5(string_agg(k.word, ' ' ORDER BY k.pos)) AS cleaned_md5
+    FROM kept k JOIN tot t USING (doc_id)
+    GROUP BY k.doc_id, t.total_words
+    ORDER BY k.doc_id"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "dedup_substring" -> QueryDef(dedupSubstring, Some(dedupSubstringSql),
+      "exact substring dedup, detection: per-doc duplicated 8-word-span " +
+        "starts, merged covered positions, coverage ratio (Lee et al. " +
+        "2022 family, shingle reduction instead of a suffix array)"),
+    "dedup_substring_cut" -> QueryDef(dedupSubstringCut,
+      Some(dedupSubstringCutSql),
+      "exact substring dedup, cut: non-owner copies of repeated spans " +
+        "removed, min-doc_id owner keeps its text; audit row pins the " +
+        "cleaned text md5 bit-for-bit"))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SubstringOps
+
+/** Behavior pins for exact substring dedup beyond the DuckDB oracle
+  * (which proves bit-for-bit replay): the invariants the cut exists for.
+  */
+class SubstringSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val L = 8
+
+  private def normalized = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"),
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+        .as("ws"))
+    .filter(size(col("ws")) >= L)
+
+  test("detection: counts are internally consistent") {
+    val rows = SubstringOps.dedupSubstring(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture has planted near-dups; detection empty")
+    rows.foreach { r =>
+      val (starts, covered, total, cov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(starts >= 1 && starts <= total - L + 1)
+      assert(covered >= L && covered <= total,
+        s"covered $covered outside [$L, $total]")
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+  }
+
+  test("cut: kept + cut == total; untouched docs keep their exact text") {
+    val cut = SubstringOps.dedupSubstringCut(spark, dir).collect()
+    cut.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"doc ${r.getLong(0)}: kept+cut != total")
+    }
+    val detected = SubstringOps.dedupSubstring(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectMd5 = normalized
+      .select(col("doc_id"), md5(array_join(col("ws"), " ")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = cut.filterNot(r => detected(r.getLong(0)))
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getLong(3) == 0L, s"undetected doc ${r.getLong(0)} was cut")
+      assert(r.getString(4) == expectMd5(r.getLong(0)),
+        s"undetected doc ${r.getLong(0)} text changed")
+    }
+  }
+
+  test("cut: no originally-duplicated gram survives in more than one doc") {
+    val s = spark
+    import s.implicits._
+    // rebuild cleaned word lists the same way the query does
+    val words = normalized
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("word"))
+    val g = normalized
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${L - 1}), " +
+          s"i -> substr(md5(array_join(slice(ws, i, $L), ' ')), 1, 15))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("k"))
+    val d = g.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("own"))
+      .filter(col("nd") >= 2).select("k", "own")
+    val dupKeys = d.select("k").as[String].collect().toSet
+    assert(dupKeys.nonEmpty)
+    val cutPos = g.join(d, "k").filter(col("own") =!= col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(L - 1))).as("pos"))
+      .distinct()
+    val cleaned = words.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")).as("ws"))
+    val survivors = cleaned.filter(size(col("ws")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${L - 1}), " +
+          s"i -> substr(md5(array_join(slice(ws, i, $L), ' ')), 1, 15))"))
+        .as("k"))
+      .filter(col("k").isin(dupKeys.toSeq: _*))
+      .groupBy("k").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    assert(survivors.isEmpty,
+      "a duplicated span survived the cut in two different docs")
+  }
+}
