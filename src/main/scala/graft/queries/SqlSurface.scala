@@ -149,6 +149,26 @@ object SqlSurface {
         spark.sql(s"""DELETE FROM $cat.t_props
           WHERE n_nationkey >= 100 AND n_nationkey < 102""")
 
+        // partition EVOLUTION: created PARTITIONED BY (n_regionkey), the
+        // first half of the data lands in that layout; then the spec
+        // changes to (odd) through the metadata-only CALL and the second
+        // half lands one-object-per-parity. Old objects keep pruning on
+        // region, new ones on parity (stats, not paths), and the rollup
+        // below must read the two layouts as one table.
+        spark.sql(s"""CREATE TABLE $cat.t_pev (
+            n_regionkey BIGINT, odd BIGINT, n_nationkey BIGINT,
+            n_name STRING)
+          PARTITIONED BY (n_regionkey)""")
+        spark.sql(s"""INSERT INTO $cat.t_pev
+          SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey % 2 AS BIGINT),
+                 CAST(n_nationkey AS BIGINT), n_name
+          FROM ${cat}_nation_src WHERE n_nationkey < 13""")
+        spark.sql(s"CALL $cat.system.set_partitioning('t_pev', 'odd')")
+        spark.sql(s"""INSERT INTO $cat.t_pev
+          SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey % 2 AS BIGINT),
+                 CAST(n_nationkey AS BIGINT), n_name
+          FROM ${cat}_nation_src WHERE n_nationkey >= 13""")
+
         // VERSION AS OF: capture the version right after the CTAS lands,
         // then delete most of the table — the time-traveled read must
         // resurrect the pre-delete state through the SQL surface alone
@@ -297,6 +317,23 @@ object SqlSurface {
            CAST(max(n_nationkey) AS BIGINT) AS max_key
     FROM nation GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  private def partEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""
+      SELECT n_regionkey, odd, count(*) AS cnt,
+             min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+      FROM $cat.t_pev GROUP BY n_regionkey, odd
+      ORDER BY n_regionkey, odd""")
+  }
+
+  private val partEvolveSql = """
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(n_nationkey % 2 AS BIGINT) AS odd,
+           count(*) AS cnt,
+           CAST(min(n_nationkey) AS BIGINT) AS min_key,
+           CAST(max(n_nationkey) AS BIGINT) AS max_key
+    FROM nation GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private val mergeSql = """
     SELECT * FROM (
       SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -343,5 +380,10 @@ object SqlSurface {
       "multi-column PARTITIONED BY (a, b): one object per value " +
         "combination, stats single-valued on both columns — point " +
         "queries on the pair open one object, trailing-column " +
-        "predicates prune via stats"))
+        "predicates prune via stats"),
+    "tx_part_evolve" -> QueryDef(partEvolve, Some(partEvolveSql),
+      "partition evolution: spec changed (region)->(odd) mid-table via " +
+        "metadata-only CALL set_partitioning; old objects keep the old " +
+        "layout, new inserts route by the new spec, one rollup reads " +
+        "both layouts as one table"))
 }

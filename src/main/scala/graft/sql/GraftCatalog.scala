@@ -349,11 +349,11 @@ object GraftTable {
     * (`CREATE TABLE … PARTITIONED BY (a, b)`). Rides the log's schema
     * serialization like column mapping's physical names do.
     */
-  val PartitionKey = "graftPartition"
+  val PartitionKey = GraftClient.PartitionKey
   /** Ordinal of the column within the partition spec (absent on tables
     * created before multi-column support ⇒ 0, the only column).
     */
-  val PartitionOrdKey = "graftPartitionOrd"
+  val PartitionOrdKey = GraftClient.PartitionOrdKey
 }
 
 /** A graft table as seen by Spark's DSv2 planner. Reads and the DELETE

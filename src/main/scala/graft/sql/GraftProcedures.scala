@@ -36,7 +36,8 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
-      "history", "detail", "restore", "convert", "copy_into", "clone")
+      "history", "detail", "restore", "convert", "copy_into", "clone",
+      "set_partitioning")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -236,6 +237,24 @@ object GraftProcedures {
               Long.box(r.getLong(4)), Long.box(r.getLong(5)),
               Long.box(r.getLong(6)))
           }
+        }))
+      case "set_partitioning" => Some(proc(name,
+        "partition evolution: change the declared partition spec " +
+          "(metadata-only; existing objects keep their layout and " +
+          "stats-prune as before, future INSERTs route by the new spec; " +
+          "empty string makes the table unpartitioned)",
+        Seq(in("table", StringType), in("columns", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("partitioned_by", StringType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val cols = args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val c = client
+          c.newTx()
+          c.alterPartitioning(t, cols)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t),
+            UTF8String.fromString(cols.mkString(","))))
         }))
       case _ => None
     }

@@ -307,6 +307,59 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, renamed)
   }
 
+  /** Partition evolution (Iceberg-style): change the table's DECLARED
+    * partition spec — one metadata-only ChangeMetadata rewriting the
+    * partition markers, ZERO data objects touched at any table size.
+    * Already-written objects keep their old layout and stay exactly as
+    * prunable as before, because pruning here is per-object STATS, not
+    * directory paths: an old object is single-valued on the old spec's
+    * columns, a new one on the new spec's, and a predicate on either
+    * set skips whichever objects its stats rule out. Future inserts
+    * (SQL INSERT routing, [[insertPartitioned]] callers reading the
+    * spec) lay out one object per new-spec value combination. Pass
+    * `Nil` to make the table unpartitioned (inserts become plain
+    * appends). The old layout is migrated lazily by ordinary
+    * maintenance: a partition-scoped [[compact]] or [[clusterBy]] over
+    * the old region rewrites it into the new shape when wanted.
+    */
+  def alterPartitioning(table: String, partCols: Seq[String]): Unit = {
+    import GraftClient.{PartitionKey, PartitionOrdKey}
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(partCols.distinct == partCols,
+      s"duplicate partition column in: ${partCols.mkString(", ")}")
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    val ord = partCols.zipWithIndex.toMap
+    val respecced = StructType(schema.fields.map { f =>
+      val b = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(PartitionKey).remove(PartitionOrdKey)
+      ord.get(f.name).foreach { i =>
+        b.putBoolean(PartitionKey, true)
+        b.putLong(PartitionOrdKey, i.toLong)
+      }
+      f.copy(metadata = b.build())
+    })
+    t.tables(table) = respecced
+    t.actions += ChangeMetadata(table, respecced)
+  }
+
+  /** The declared partition spec of `table` (markers written by the SQL
+    * catalog's `PARTITIONED BY` and [[alterPartitioning]]), in spec
+    * order; empty when unpartitioned. API callers use it to route
+    * inserts the way the SQL catalog does:
+    * `insertPartitioned(t, df, declaredPartitioning(t))`.
+    */
+  def declaredPartitioning(table: String): Seq[String] = {
+    import GraftClient.{PartitionKey, PartitionOrdKey}
+    schemaOf(table).fields
+      .filter(f => f.metadata.contains(PartitionKey) &&
+        f.metadata.getBoolean(PartitionKey))
+      .sortBy(f => if (f.metadata.contains(PartitionOrdKey))
+        f.metadata.getLong(PartitionOrdKey) else 0L)
+      .map(_.name).toSeq
+  }
+
   /** Bake the logical schema back into the files: rewrite every live
     * object with physical == logical column names, dropping the bytes of
     * dropped columns and re-keying per-object stats to the current
@@ -2662,6 +2715,17 @@ final class GraftClient(
 }
 
 object GraftClient {
+  /** Field-metadata key marking a declared partition column (the SQL
+    * catalog's `PARTITIONED BY` and [[GraftClient.alterPartitioning]]
+    * both write it; it rides the log's schema serialization like column
+    * mapping's physical names do).
+    */
+  val PartitionKey = "graftPartition"
+  /** Ordinal of the column within the partition spec (absent on tables
+    * created before multi-column support ⇒ 0, the only column).
+    */
+  val PartitionOrdKey = "graftPartitionOrd"
+
   /** Default bin size for [[GraftClient.compact]], in rows. Objects at or
     * under half this are compaction candidates; bins pack up to this many
     * rows. Sized so a bin of typical ~1 KiB rows lands in the

@@ -370,4 +370,56 @@ class Round8Spec extends AnyFunSuite {
         "table must still hold the originally loaded rows only")
     } finally c.rollback()
   }
+
+  test("alterPartitioning: metadata-only respec; mixed layouts both prune") {
+    val (c, _) = freshClient()
+    val s = spark
+    import s.implicits._
+    val half1 = (0 until 60).map(i => (i % 3, i % 2, i)).toDF("a", "b", "k")
+    c.newTx()
+    c.createTable("t", half1.schema)
+    c.insertPartitioned("t", half1, "a")
+    c.commitTx()
+
+    // evolve (a) -> (b): one metadata-only commit, zero objects touched
+    c.newTx()
+    val before = c.objects("t").map(_.path).toSet
+    c.alterPartitioning("t", Seq("b"))
+    c.commitTx()
+    c.newTx()
+    try {
+      assert(c.objects("t").map(_.path).toSet === before,
+        "partition evolution must not add, remove, or rewrite objects")
+      assert(c.declaredPartitioning("t") === Seq("b"))
+
+      // new data routed by the NEW spec: one object per b value
+      val half2 = (60 until 120).map(i => (i % 3, i % 2, i))
+        .toDF("a", "b", "k")
+      c.insertPartitioned("t", half2, c.declaredPartitioning("t"))
+      c.commitTx()
+      c.newTx()
+      assert(c.objects("t").length === 3 + 2,
+        "3 old per-a objects + 2 new per-b objects")
+
+      def opened(df: org.apache.spark.sql.DataFrame): Int =
+        df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+          .length
+      // predicate on the OLD spec column: the old layout still prunes
+      // (1 of 3 old objects); new objects are mixed on `a`, both open
+      val onA = c.scanRange("t", "a", 1, 1)
+      assert(opened(onA) === 1 + 2, "old layout must keep pruning on a")
+      assert(onA.count() === 40)
+      // predicate on the NEW spec column: the new layout prunes
+      // (1 of 2 new objects); old objects are mixed on `b`, all open
+      val onB = c.scanRange("t", "b", 1, 1)
+      assert(opened(onB) === 3 + 1, "new layout must prune on b")
+      assert(onB.count() === 60)
+
+      // spec to Nil: unpartitioned, plain appends
+      c.alterPartitioning("t", Nil)
+      c.commitTx()
+      c.newTx()
+      assert(c.declaredPartitioning("t").isEmpty)
+    } finally c.rollback()
+  }
 }
