@@ -32,6 +32,7 @@ object Registry {
       queries.DedupCluster.defs ++
       queries.CorpusOps.defs ++
       queries.SimilarityOps.defs ++
+      queries.ProjectionOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++
       queries.SqlSurface.defs ++

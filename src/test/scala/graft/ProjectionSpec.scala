@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{ProjectionOps, SimilarityOps}
+
+/** Behavior pins for the JL random projection beyond the DuckDB oracle
+  * (which proves engine-exact replay): the distance-preservation property
+  * the projection exists for, and the shortlist recall it buys.
+  */
+class ProjectionSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("JL property: projected distances track original distances") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .filter("vec_id < 40").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val signs = ProjectionOps.signs
+    val scale = 1.0 / math.sqrt(signs.length.toDouble)
+    def project(v: Array[Double]): Array[Double] =
+      signs.map(row => row.zip(v).map { case (s, x) => s * x }.sum * scale)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+    } yield d2(project(vecs(i)), project(vecs(j))) / d2(vecs(i), vecs(j))
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) <= 0.2,
+      s"E[projected/original distance^2] = $mean drifted from 1")
+    ratios.foreach(r => assert(r > 0.15 && r < 2.5,
+      s"individual distortion $r outside the JL concentration band"))
+  }
+
+  test("RP shortlist recall: top-10 overlap with exact search") {
+    val exact = SimilarityOps.simTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = ProjectionOps.simRpAnn(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.keySet == approx.keySet)
+    val recalls = exact.map { case (q, e) =>
+      approx(q).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // deterministic (seeded signs, fixed fixture): measured 0.31 on the
+    // uniform-random embeddings whose neighbor structure is weakest —
+    // same regime as the LSH recall pin
+    assert(mean >= 0.25, s"mean RP recall $mean below 0.25")
+  }
+}
