@@ -175,6 +175,24 @@ object TxQueries {
         c.newTx()
         c.deleteRows("nation10", "n_nationkey", 10, 14)
         c.commitTx()
+
+        // ev_gen: GENERATED ALWAYS AS column — `day = to_date(ts)` is
+        // computed by the engine, the declared layout partitions by it
+        // (one object per day), and the insert never mentions it.
+        // Queried by tx_generated through scanRange on the RAW ts (the
+        // derived-bound path: ts has no footer stats, day prunes for it).
+        val events = graft.util.Tables.t(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("value"))
+        c.newTx()
+        c.createTable("ev_gen", org.apache.spark.sql.types.StructType(
+          events.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "day", org.apache.spark.sql.types.DateType, nullable = true)))
+        c.setGeneratedColumn("ev_gen", "day", "to_date(ts)")
+        c.alterPartitioning("ev_gen", Seq("day"))
+        c.commitTx()
+        c.newTx()
+        c.insertGenerated("ev_gen", events)
+        c.commitTx()
         root
       })
     }
@@ -779,7 +797,31 @@ object TxQueries {
     GROUP BY 1
     ORDER BY ship_month"""
 
+  // --- Generated column: engine-computed day, derived pruning from ts ------
+  def txGenerated(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scanRange("ev_gen", "ts",
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-10T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-14T23:59:59Z")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.util.Tables.dsum(col("value"), 6).as("total"))
+        .orderBy(col("day"))
+    }
+
+  private val txGeneratedSql = """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-14 23:59:59'
+    GROUP BY 1 ORDER BY 1"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_generated" -> QueryDef(txGenerated, Some(txGeneratedSql),
+      "GENERATED ALWAYS AS column: day = to_date(ts) computed by the " +
+        "engine, layout partitioned by it, and the raw-ts range scan " +
+        "prunes through the DERIVED day bounds (ts has no footer stats)"),
     "tx_scan" -> QueryDef(txScan, Some(txScanSql),
       "MVCC scan: all live versions with tx provenance, after updates+delete"),
     "tx_current_state" -> QueryDef(txCurrentState, Some(txCurrentStateSql),

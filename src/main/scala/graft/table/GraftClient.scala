@@ -344,6 +344,88 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, respecced)
   }
 
+  /** Mark `column` as GENERATED ALWAYS AS `exprSql` (Delta's generated
+    * columns) — one metadata-only ChangeMetadata. The expression may
+    * reference any OTHER column; [[insertGenerated]] computes it on every
+    * insert (callers must not supply it), and when the expression is the
+    * recognized monotone form `to_date(base)`, `scanBounded` DERIVES
+    * bounds on this column from query bounds on `base` — the Delta trick
+    * that lets a predicate on a raw timestamp prune a date-partitioned
+    * layout the query never mentions.
+    */
+  def setGeneratedColumn(table: String, column: String,
+      exprSql: String): Unit = {
+    import GraftClient.GeneratedAsKey
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    // resolve the expression against the OTHER columns: bad references
+    // and self-references fail here, at declaration time
+    val others = StructType(schema.fields.filterNot(_.name == column))
+    val probeType = spark
+      .createDataFrame(List.empty[Row].asJava, others)
+      .withColumn(column, expr(exprSql)).schema(column).dataType
+    require(probeType == schema(schema.fieldIndex(column)).dataType,
+      s"generation expression type $probeType != declared " +
+        s"${schema(schema.fieldIndex(column)).dataType} for $column")
+    flush(table)
+    val marked = StructType(schema.fields.map(f =>
+      if (f.name == column) f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putString(GeneratedAsKey, exprSql).build())
+      else f))
+    t.tables(table) = marked
+    t.actions += ChangeMetadata(table, marked)
+  }
+
+  /** The generated columns of `table`: logical name -> SQL expression. */
+  def generatedColumns(table: String): Map[String, String] = {
+    import GraftClient.GeneratedAsKey
+    schemaOf(table).fields
+      .filter(_.metadata.contains(GeneratedAsKey))
+      .map(f => f.name -> f.metadata.getString(GeneratedAsKey)).toMap
+  }
+
+  /** Insert with every generated column computed by the ENGINE — `df`
+    * must carry all table columns except the generated ones (supplying
+    * one refuses, the GENERATED ALWAYS contract: a writer-computed value
+    * could silently disagree with the expression and break derived
+    * pruning). Routes through the declared partition spec, so the
+    * standard layout is partition-by-generated-date with inserts that
+    * never mention the date.
+    */
+  def insertGenerated(table: String, df: DataFrame): Unit = {
+    val gens = generatedColumns(table)
+    require(gens.nonEmpty, s"$table has no generated columns")
+    gens.keys.foreach(g => require(!df.schema.fieldNames.contains(g),
+      s"GENERATED ALWAYS: the insert must not supply $g"))
+    val order = schemaOf(table).fieldNames
+    val full = gens.foldLeft(df) { case (d, (g, e)) =>
+      d.withColumn(g, expr(e))
+    }.select(order.map(col).toIndexedSeq: _*)
+    declaredPartitioning(table) match {
+      case Nil => insert(table, full)
+      case ps => insertPartitioned(table, full, ps)
+    }
+  }
+
+  /** Does generated-column expression `e` have the recognized monotone
+    * shape `to_date(c)`?
+    */
+  private def isToDateOf(e: String, c: String): Boolean =
+    e.replaceAll("\\s+", "").equalsIgnoreCase(s"to_date($c)")
+
+  /** `to_date` of a query-bound value, driver-side (sessions pin UTC). */
+  private def toDateBound(v: Any): Any = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    case t: java.time.Instant =>
+      t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
+    case _ => null // unknown type: contributes no derived bound
+  }
+
   /** The declared partition spec of `table` (markers written by the SQL
     * catalog's `PARTITIONED BY` and [[alterPartitioning]]), in spec
     * order; empty when unpartitioned. API callers use it to route
@@ -978,8 +1060,20 @@ final class GraftClient(
     val schema = schemaOf(table)
     bounds.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"no such column: $c") }
+    // DERIVED bounds: a generated column g = to_date(c) is monotone
+    // non-decreasing in c, so c ∈ [lo, hi] implies g ∈ [to_date(lo),
+    // to_date(hi)] — a date-partitioned layout prunes from a predicate
+    // on the raw timestamp it was derived from (which itself carries no
+    // footer stats). A bound value of unrecognized type contributes
+    // null, which mayOverlap treats as unbounded — conservative.
+    val gens = generatedColumns(table)
+    val derived = bounds.flatMap { case (c, (lo, hi)) =>
+      gens.collect { case (g, e) if isToDateOf(e, c) =>
+        g -> (toDateBound(lo), toDateBound(hi))
+      }
+    }
     // stats are keyed by PHYSICAL column names (rename-stable)
-    scanFiltered(table, a => bounds.forall { case (c, (lo, hi)) =>
+    scanFiltered(table, a => (bounds ++ derived).forall { case (c, (lo, hi)) =>
       ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) })
   }
 
@@ -2725,6 +2819,14 @@ object GraftClient {
     * created before multi-column support ⇒ 0, the only column).
     */
   val PartitionOrdKey = "graftPartitionOrd"
+
+  /** Field-metadata key holding a generated column's SQL expression
+    * (Delta's `GENERATED ALWAYS AS` semantics) — set by
+    * [[GraftClient.setGeneratedColumn]], computed by
+    * [[GraftClient.insertGenerated]], and consulted by `scanBounded` for
+    * derived partition pruning.
+    */
+  val GeneratedAsKey = "graftGeneratedAs"
 
   /** Default bin size for [[GraftClient.compact]], in rows. Objects at or
     * under half this are compaction candidates; bins pack up to this many

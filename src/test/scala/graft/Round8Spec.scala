@@ -422,4 +422,42 @@ class Round8Spec extends AnyFunSuite {
       assert(c.declaredPartitioning("t").isEmpty)
     } finally c.rollback()
   }
+
+  test("generated column: engine-computed day, raw-ts bounds prune objects") {
+    val (c, _) = freshClient()
+    val events = graft.util.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    c.newTx()
+    c.createTable("t", org.apache.spark.sql.types.StructType(
+      events.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "day", org.apache.spark.sql.types.DateType, nullable = true)))
+    c.setGeneratedColumn("t", "day", "to_date(ts)")
+    c.alterPartitioning("t", Seq("day"))
+    c.commitTx()
+    c.newTx()
+    intercept[IllegalArgumentException] {
+      c.insertGenerated("t", events.withColumn("day", expr("to_date(ts)")))
+    }
+    c.insertGenerated("t", events)
+    c.commitTx()
+    c.newTx()
+    try {
+      assert(c.objects("t").length === 30, "one object per January day")
+      def opened(df: org.apache.spark.sql.DataFrame): Int =
+        df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+          .length
+      val lo = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-10T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-14T23:59:59Z"))
+      val scan = c.scanRange("t", "ts", lo, hi)
+      // ts itself carries no footer stats — the pruning below is ENTIRELY
+      // the derived to_date bound on the generated partition column
+      assert(opened(scan) === 5,
+        "raw-ts range must open exactly its 5 day objects")
+      val expected = events
+        .filter(col("ts").between(lit(lo), lit(hi))).count()
+      assert(scan.count() === expected)
+    } finally c.rollback()
+  }
 }
