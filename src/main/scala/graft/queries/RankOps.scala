@@ -208,7 +208,99 @@ object RankOps {
     WHERE rnk <= $LmWorst
     ORDER BY "rank""""
 
+  // --- DSIR importance weighting --------------------------------------------
+  // Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score every candidate document by the likelihood
+  // ratio of a TARGET-domain LM over a RAW-corpus LM, then up-sample the
+  // highest-ratio candidates to shift the corpus mixture toward the
+  // target. Here both models are add-one-smoothed unigram LMs over the
+  // shared vocabulary (target = the 'en' slice, raw = the whole corpus),
+  // candidates are the non-target docs, and weights are integer
+  // micro-units so the ranking replays exactly. Same 100 TB shape as
+  // BM25/LM scoring: the two model tables are VOCABULARY-sized
+  // broadcasts; the only corpus-sized work is one tokenize + count pass.
+  private val DsirTop = 20
+
+  def textDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokenArr(col("text")).as("a"))
+      .filter(size(col("a")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(col("a")).as("term"))
+    val ct = toks.filter(col("lang") === "en")
+      .groupBy("term").agg(count(lit(1)).as("ct"))
+    val cs = toks.groupBy("term").agg(count(lit(1)).as("cs"))
+    val totals = toks.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("ts"),
+      countDistinct(col("term")).as("v"))
+    val perDoc = toks.filter(col("lang") =!= "en")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val lrMicro = round(
+      (log((col("ct") + lit(1)) / (col("tt") + col("v"))) -
+        log((col("cs") + lit(1)) / (col("ts") + col("v")))) * lit(1.0e6), 0)
+      .cast("long")
+    val agg = perDoc
+      .join(broadcast(cs), "term")
+      .join(broadcast(ct), Seq("term"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w_m", col("n") * lrMicro)
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"), sum(col("w_m")).as("weight_micro"))
+      .withColumn("avg_micro",
+        round(col("weight_micro") * lit(1.0) / col("n_tokens"), 0)
+          .cast("long"))
+    val w = Window.orderBy(col("avg_micro").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DsirTop)
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        col("weight_micro"), col("avg_micro"))
+      .orderBy(col("rank"))
+  }
+
+  private val textDsirSql = s"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(a) AS term FROM (
+        SELECT doc_id, lang, $sqlTokenArr AS a FROM documents)
+      WHERE len(a) >= 1),
+    ct AS (SELECT term, count(*) AS ct FROM toks
+      WHERE lang = 'en' GROUP BY 1),
+    cs AS (SELECT term, count(*) AS cs FROM toks GROUP BY 1),
+    totals AS (SELECT
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+      count(*) AS ts, count(DISTINCT term) AS v FROM toks),
+    perdoc AS (SELECT doc_id, term, count(*) AS n FROM toks
+      WHERE lang <> 'en' GROUP BY 1, 2),
+    scored AS (
+      SELECT p.doc_id, p.n,
+        p.n * CAST(ROUND(
+          (ln((COALESCE(ct.ct, 0) + 1) / (t.tt + t.v)) -
+           ln((cs.cs + 1) / (t.ts + t.v))) * 1000000.0) AS BIGINT) AS w_m
+      FROM perdoc p
+      JOIN cs USING (term)
+      LEFT JOIN ct USING (term)
+      CROSS JOIN totals t),
+    agg AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(SUM(w_m) AS BIGINT) AS weight_micro
+      FROM scored GROUP BY 1),
+    ranked AS (
+      SELECT *, CAST(ROUND(weight_micro * 1.0 / n_tokens) AS BIGINT)
+          AS avg_micro
+      FROM agg)
+    SELECT rnk AS "rank", doc_id, n_tokens, weight_micro, avg_micro
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY avg_micro DESC, doc_id) AS rnk
+      FROM ranked) x
+    WHERE rnk <= $DsirTop
+    ORDER BY "rank""""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "text_dsir" -> QueryDef(textDsir, Some(textDsirSql),
+      "DSIR data selection: unigram target-vs-raw LM likelihood ratios " +
+        "(add-one smoothing, integer micro-units) rank the non-target " +
+        "docs most worth up-sampling toward the 'en' target"),
     "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql),
       "Okapi BM25 top-10 retrieval for a literal query set: corpus pass " +
         "trains df/length norms (vocabulary-sized, broadcast), scoring " +
