@@ -817,7 +817,34 @@ object TxQueries {
                  AND TIMESTAMP '2024-01-14 23:59:59'
     GROUP BY 1 ORDER BY 1"""
 
+  // --- Manifest export: external engines read the live set ------------------
+  def txManifest(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      val out = Files.createTempDirectory("graft_manifest").toString
+      val mf = c.generateManifest("nation", out)
+      val paths = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(mf)))
+        .asScala.toSeq.filter(_.nonEmpty)
+      // an external engine's view: plain parquet reads of the listed
+      // files (no log, no client) — project away the provenance columns
+      spark.read.parquet(paths: _*)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"), col("n_name"))
+    }
+
+  private val txManifestSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation WHERE n_nationkey NOT BETWEEN 10 AND 14
+      UNION ALL
+      SELECT n_nationkey, n_name || '_V2', n_regionkey + 100
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 9)
+    ORDER BY n_nationkey, n_name"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_manifest" -> QueryDef(txManifest, Some(txManifestSql),
+      "symlink-style manifest export: external engines read the " +
+        "committed live set as plain parquet paths, no log needed"),
     "tx_generated" -> QueryDef(txGenerated, Some(txGeneratedSql),
       "GENERATED ALWAYS AS column: day = to_date(ts) computed by the " +
         "engine, layout partitioned by it, and the raw-ts range scan " +

@@ -426,6 +426,46 @@ final class GraftClient(
     case _ => null // unknown type: contributes no derived bound
   }
 
+  /** Export a symlink-style manifest (the shape of Delta's `GENERATE
+    * symlink_format_manifest` / Hive's SymlinkTextInputFormat): one text
+    * file listing the absolute path of every parquet part file in the
+    * table's COMMITTED live set, so an external engine that understands
+    * plain parquet but not the log (Trino, DuckDB, Athena…) can read a
+    * consistent snapshot. Returns the manifest file's path.
+    *
+    * Refuses while deletion vectors are live — a path list cannot express
+    * row-level masks; run a full-sweep [[compact]] to retire them first.
+    * Readers see PHYSICAL column names plus the provenance columns
+    * (project them away); buffered rows of the open tx are uncommitted
+    * and never listed. The manifest is an EXPORT artifact: written where
+    * the caller points, never part of the log, stale after the next
+    * commit — regenerate on a schedule, as Delta does. Driver cost is
+    * O(#objects) metadata plus one directory listing per object.
+    */
+  def generateManifest(table: String, outDir: String): String = {
+    val t = currentTx
+    t.readTables += table
+    schemaOf(table) // no such table fails here, loudly
+    require(t.snapshot.liveDvs(table, t.actions.toSeq).isEmpty,
+      s"$table has live deletion vectors; a path manifest cannot express " +
+        "row masks — run a full-sweep compact to retire them, then " +
+        "regenerate")
+    val parts = liveFiles(table).flatMap { a =>
+      val d = new java.io.File(s"$rootDir/${a.path}")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getAbsolutePath)
+    }.sorted
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    val mf = new java.io.File(dir,
+      s"manifest-$table-v${t.snapshot.version}.txt")
+    java.nio.file.Files.write(mf.toPath,
+      (parts.mkString("\n") + "\n").getBytes("UTF-8"))
+    mf.getAbsolutePath
+  }
+
   /** The declared partition spec of `table` (markers written by the SQL
     * catalog's `PARTITIONED BY` and [[alterPartitioning]]), in spec
     * order; empty when unpartitioned. API callers use it to route

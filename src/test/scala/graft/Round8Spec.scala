@@ -460,4 +460,32 @@ class Round8Spec extends AnyFunSuite {
       assert(scan.count() === expected)
     } finally c.rollback()
   }
+
+  test("generateManifest: refuses on live DVs; clean after full compact") {
+    val (c, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    c.newTx(); c.createTable("t", n.schema); c.insert("t", n); c.commitTx()
+    c.newTx(); c.deleteRowsDV("t", "n_nationkey", 10, 14); c.commitTx()
+    val out = Files.createTempDirectory("graft_r8_mf").toString
+    c.newTx()
+    val e = intercept[IllegalArgumentException] { c.generateManifest("t", out) }
+    assert(e.getMessage.contains("deletion vectors"))
+    // full-sweep compact retires the DVs; the manifest then lists exactly
+    // the live objects' part files and reads back the masked state
+    c.compact("t")
+    c.commitTx()
+    c.newTx()
+    try {
+      val mf = c.generateManifest("t", out)
+      val paths = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(mf)))
+        .asScala.toSeq.filter(_.nonEmpty)
+      assert(paths.nonEmpty && paths.forall(_.endsWith(".parquet")))
+      val external = spark.read.parquet(paths: _*)
+      assert(external.count() === 20, "manifest read must see post-DV state")
+      assert(external.select("n_nationkey").collect().map(_.getInt(0)).toSet
+        === (0 until 25).toSet -- (10 to 14))
+    } finally c.rollback()
+  }
 }
