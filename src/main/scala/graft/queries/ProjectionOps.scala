@@ -162,7 +162,170 @@ object ProjectionOps {
     ORDER BY query_id, rnk"""
   }
 
+  // --- PCA: covariance pass + driver eigen-solve + projection --------------
+  // The classical linear reduction next to the JL one: ONE d²-sized
+  // aggregation pass folds the corpus into a 64×64 covariance matrix
+  // (exact decimal sums, so the matrix is bit-identical in both engines
+  // and across any partitioning/retry), the eigen-solve is driver-side
+  // power iteration on that metadata-sized matrix (the trained-literal
+  // contract: principal axes are inlined into the oracle SQL), and the
+  // projection is a zero-shuffle linear pass. At 100 TB the only
+  // data-sized work is the covariance aggregation, whose shuffle volume
+  // is d²·partitions regardless of row count.
+
+  /** Upper-triangle covariance entries (i ≤ j), population form
+    * Σxy/n − μ_i·μ_j. Products are summed as DECIMAL(30,12) — exact and
+    * order-independent — then the arithmetic over the resulting doubles
+    * is identical in both engines.
+    */
+  def simPcaCov(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val sums = e
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(graft.util.Tables.dsum(col("x"), 9).as("sx"),
+        count(lit(1)).as("n"))
+    val prods = e
+      .select(explode(expr(
+        "flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> " +
+          "struct(i AS i, j AS j, v[i] * v[j] AS xx))))")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xx"))
+      .groupBy("i", "j")
+      .agg(graft.util.Tables.dsum(col("xx"), 12).as("sxx"),
+        count(lit(1)).as("n"))
+    val si = sums.select(col("i").as("i"), col("sx").as("sx_i"))
+    val sj = sums.select(col("i").as("j"), col("sx").as("sx_j"))
+    prods.join(si, "i").join(sj, "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("sxx") / col("n") -
+          (col("sx_i") / col("n")) * (col("sx_j") / col("n")), 9)
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
+  private val simPcaCovSql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT i,
+        CAST(SUM(CAST(v[i + 1] AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+        count(*) AS n
+      FROM e, unnest(generate_series(0, 63)) t(i) GROUP BY i),
+    p AS (SELECT g.i, g.j,
+        CAST(SUM(CAST(v[g.i + 1] * v[g.j + 1] AS DECIMAL(30,12)))
+          AS DOUBLE) AS sxx,
+        count(*) AS n
+      FROM e, (SELECT a.i, b.j
+        FROM unnest(generate_series(0, 63)) a(i),
+             unnest(generate_series(0, 63)) b(j)
+        WHERE b.j >= a.i) g
+      GROUP BY g.i, g.j)
+    SELECT p.i, p.j,
+      round(p.sxx / p.n - (si.sx / si.n) * (sj.sx / sj.n), 9) AS cov
+    FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+    ORDER BY p.i, p.j"""
+
+  /** Per-sfDir trained PCA model: mean vector + top-2 principal axes from
+    * 100 power iterations (with one deflation) over the driver-collected
+    * covariance. Deterministic: the covariance doubles are engine- and
+    * partitioning-exact (decimal sums), the iteration count is fixed, and
+    * the sign convention pins each axis (first nonzero component > 0).
+    */
+  private val pcaCache =
+    scala.collection.mutable.Map[String, (Array[Double], Array[Double], Array[Double])]()
+
+  private def pcaModel(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Array[Double]) = synchronized {
+    pcaCache.getOrElseUpdate(dir, {
+      val e = corpus(spark, dir)
+      val rows = simPcaCov(spark, dir).collect()
+      val d = InDim
+      val c = Array.ofDim[Double](d, d)
+      rows.foreach { r =>
+        val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+        c(i)(j) = v; c(j)(i) = v
+      }
+      val means = e
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(graft.util.Tables.dsum(col("x"), 9).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("i"), (col("sx") / col("n")).as("mu"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mu = Array.tabulate(d)(means(_))
+      def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+        Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * x(j)).sum)
+      def normalize(x: Array[Double]): Array[Double] = {
+        val nrm = math.sqrt(x.map(v => v * v).sum)
+        val y = x.map(_ / nrm)
+        val lead = y.find(math.abs(_) > 1e-12).getOrElse(1.0)
+        if (lead < 0) y.map(-_) else y
+      }
+      def power(m: Array[Array[Double]]): Array[Double] = {
+        var x = Array.tabulate(d)(i => 1.0 / (i + 1)) // fixed asymmetric seed
+        (0 until 100).foreach(_ => x = normalize(matVec(m, x)))
+        x
+      }
+      val e1 = power(c)
+      val l1 = {
+        val cx = matVec(c, e1)
+        e1.zip(cx).map { case (a, b) => a * b }.sum
+      }
+      val deflated = Array.tabulate(d, d)((i, j) => c(i)(j) - l1 * e1(i) * e1(j))
+      val e2 = power(deflated)
+      (mu, e1, e2)
+    })
+  }
+
+  /** Projection onto the two principal axes: pc_k = v·e_k − μ·e_k, with
+    * μ·e_k folded into a driver-side scalar literal.
+    */
+  def simPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (mu, e1, e2) = pcaModel(spark, dir)
+    def dotLit(v: Column, axis: Array[Double]): Column = {
+      val s: Seq[Column] = axis.toIndexedSeq.map(x => lit(x))
+      aggregate(zip_with(v, array(s: _*), (x, a) => x * a),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    def center(axis: Array[Double]): Double =
+      mu.zip(axis).map { case (m, a) => m * a }.sum
+    corpus(spark, dir)
+      .select(col("vec_id"),
+        round(dotLit(col("v"), e1) - lit(center(e1)), 6).as("pc1"),
+        round(dotLit(col("v"), e2) - lit(center(e2)), 6).as("pc2"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle with the TRAINED axis literals — resolved when the driver
+    * dumps oracle SQL (after the queries ran), same contract as the IVF
+    * centroid literals.
+    */
+  private def simPcaProjectSql: String = synchronized {
+    pcaCache.values.lastOption match {
+      case Some((mu, e1, e2)) =>
+        def l(a: Array[Double]) = a.mkString("[", ",", "]::DOUBLE[]")
+        def c(axis: Array[Double]) =
+          mu.zip(axis).map { case (m, a) => m * a }.sum
+        s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+      round(list_dot_product(v, ${l(e1)}) - (${c(e1)}), 6) AS pc1,
+      round(list_dot_product(v, ${l(e2)}) - (${c(e2)}), 6) AS pc2
+    FROM e ORDER BY vec_id"""
+      case None =>
+        // unreachable in the driver flow: no result parquet exists either
+        "SELECT 1 AS untrained WHERE 1 = 0"
+    }
+  }
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "sim_pca_cov" -> QueryDef(simPcaCov, Some(simPcaCovSql),
+      "64x64 covariance matrix (upper triangle) in ONE d^2-sized " +
+        "aggregation pass; exact decimal sums make it bit-identical " +
+        "across engines, partitionings, and retries"),
+    "sim_pca_project" -> QueryDef(simPcaProject, Some(simPcaProjectSql),
+      "PCA projection onto the top-2 principal axes: driver power " +
+        "iteration on the collected covariance (metadata-sized), axes " +
+        "replayed as literals in the oracle, zero-shuffle projection"),
     "sim_rp_project" -> QueryDef(simRpProject, Some(simRpProjectSql),
       "Johnson-Lindenstrauss +/-1 random projection 64->16 dims " +
         "(md5-seeded sign matrix inlined as literals in both engines); " +

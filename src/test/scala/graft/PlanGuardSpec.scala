@@ -38,7 +38,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // 1-row global-bounds crossJoin feeding the bin expression
     "sketch_hist_quantiles",
     // 1-row total-weight crossJoin feeding the selection predicate
-    "text_sample_weighted")
+    "text_sample_weighted",
+    // 10-row broadcast query side on the =!= non-equi probe (sim_topk's
+    // exact shape, scored on quarter-width projected vectors)
+    "sim_rp_ann",
+    // 1-row corpus-totals crossJoin (tt/ts/v) feeding the log-ratio
+    "text_dsir")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val self = p +: p.children.flatMap(collectAll)

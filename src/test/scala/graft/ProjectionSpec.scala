@@ -53,4 +53,24 @@ class ProjectionSpec extends AnyFunSuite {
     // same regime as the LSH recall pin
     assert(mean >= 0.25, s"mean RP recall $mean below 0.25")
   }
+
+  test("PCA: pc1 carries at least the best single axis's variance") {
+    val cov = ProjectionOps.simPcaCov(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxDiag = (0 until 64).map(i => cov((i.toLong, i.toLong))).max
+    assert(maxDiag > 0)
+    val pcs = ProjectionOps.simPcaProject(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(pcs.map(_._1).toIndexedSeq)
+    val v2 = variance(pcs.map(_._2).toIndexedSeq)
+    // λmax ≥ max_ii C_ii for any symmetric PSD matrix; the sample
+    // variance along the (power-iterated) top axis realizes ~λmax
+    assert(v1 >= maxDiag * 0.98,
+      s"var(pc1)=$v1 below best single-axis variance $maxDiag")
+    assert(v1 >= v2, "axis order: pc1 must dominate pc2")
+  }
 }
