@@ -176,6 +176,24 @@ object TxQueries {
         c.deleteRows("nation10", "n_nationkey", 10, 14)
         c.commitTx()
 
+        // nation11: bounded clustering + incremental maintenance — the
+        // full layout lifecycle (cluster → unaligned append → incremental
+        // re-bucket through the STORED grid) must preserve content
+        // bit-for-bit on the oracle signal
+        c.newTx()
+        c.createTable("nation11", nation.schema)
+        c.insert("nation11", nation.filter(col("n_nationkey") < 15))
+        c.commitTx()
+        c.newTx()
+        c.clusterByBounded("nation11", "n_nationkey", 4)
+        c.commitTx()
+        c.newTx()
+        c.insert("nation11", nation.filter(col("n_nationkey") >= 15))
+        c.commitTx()
+        c.newTx()
+        c.clusterIncremental("nation11", "n_nationkey")
+        c.commitTx()
+
         // ev_gen: GENERATED ALWAYS AS column — `day = to_date(ts)` is
         // computed by the engine, the declared layout partitions by it
         // (one object per day), and the insert never mentions it.
@@ -841,7 +859,22 @@ object TxQueries {
       FROM nation WHERE n_nationkey BETWEEN 5 AND 9)
     ORDER BY n_nationkey, n_name"""
 
+  // --- Incremental clustering preserves content ----------------------------
+  def txClusterIncr(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scan("nation11")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txClusterIncrSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_cluster_incr" -> QueryDef(txClusterIncr, Some(txClusterIncrSql),
+      "bounded clustering + incremental re-bucket through the stored " +
+        "grid preserve the table's content bit-for-bit"),
     "tx_manifest" -> QueryDef(txManifest, Some(txManifestSql),
       "symlink-style manifest export: external engines read the " +
         "committed live set as plain parquet paths, no log needed"),

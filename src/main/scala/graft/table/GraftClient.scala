@@ -2421,6 +2421,115 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** Bounded range clustering — [[clusterBy]] with EXPLICIT, DURABLE
+    * bucket boundaries, the prerequisite for incremental maintenance
+    * (Delta's liquid-clustering idea): boundaries are computed once from
+    * the live data (exact percentiles here; at 100 TB swap in
+    * percentile_approx — boundary placement is a layout choice, never a
+    * correctness one), stored as table properties, and every later
+    * [[clusterIncremental]] routes ONLY newly appended objects through
+    * the same stored grid. Rows keep their (txId, rowIdx) provenance —
+    * the rewrite is pure re-layout, so live DVs keep matching and are
+    * neither applied nor retired. Nulls route to bucket 0.
+    */
+  def clusterByBounded(table: String, column: String,
+      numBuckets: Int = 16): Unit = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    val files = liveFiles(table)
+    require(files.nonEmpty, s"$table is empty; nothing to cluster")
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val boundsRow = readObjects(schema, files)
+      .select(expr(s"percentile(CAST(`$column` AS DOUBLE), " +
+        s"array(${qs.mkString(",")}))").as("b"))
+      .collect().head
+    require(!boundsRow.isNullAt(0), s"$column is all-null; cannot cluster")
+    val bounds = boundsRow.getSeq[Double](0)
+    rebucketFiles(table, files, bucketIdExpr(column, bounds))
+    setTableProperties(table, Map(
+      s"graft.cluster.$column.bounds" -> bounds.mkString(","),
+      s"graft.cluster.$column.txid" -> t.id.toString))
+  }
+
+  /** Incremental clustering: re-bucket ONLY the objects appended since
+    * the last (full or incremental) clustering pass, through the STORED
+    * boundary grid — O(new data), never O(table). Each increment adds at
+    * most numBuckets bucket-aligned objects; the per-bucket object count
+    * is reclaimed by an ordinary partition-scoped [[compact]] (also
+    * O(touched buckets)), so the steady-state maintenance loop —
+    * nightly incremental cluster + scoped compact — never rewrites the
+    * clustered bulk. Mutations that merge rewritten rows across buckets
+    * (a wide copy-on-write delete) can degrade old-region alignment;
+    * a fresh [[clusterByBounded]] restores it. Returns the number of
+    * objects re-bucketed.
+    */
+  def clusterIncremental(table: String, column: String): Int = {
+    val t = currentTx
+    val props = tablePropertiesOf(table)
+    val bounds = props.get(s"graft.cluster.$column.bounds")
+      .map(_.split(",").map(_.toDouble).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bounded clustering on $column; " +
+          "run clusterByBounded first"))
+    val since = props(s"graft.cluster.$column.txid").toLong
+    val fresh = liveFiles(table).filter(_.txId > since)
+    if (fresh.isEmpty) return 0
+    rebucketFiles(table, fresh, bucketIdExpr(column, bounds))
+    setTableProperties(table,
+      Map(s"graft.cluster.$column.txid" -> t.id.toString))
+    fresh.length
+  }
+
+  /** Bucket id under an explicit boundary grid: the count of boundaries
+    * strictly below the value (so ids are stable under re-application).
+    * Null values yield bucket 0.
+    */
+  private def bucketIdExpr(column: String, bounds: Seq[Double]): Column =
+    expr(s"size(filter(array(${bounds.mkString(",")}), " +
+      s"b -> CAST(`$column` AS DOUBLE) > b))")
+
+  /** Provenance-preserving re-layout of a SUBSET of live objects: one
+    * self-contained object per distinct bucket value, rows keeping their
+    * original (txId, rowIdx) — DVs stay valid, MVCC ordering untouched
+    * (objects carry the min input txId, the [[relayout]] convention).
+    */
+  private def rebucketFiles(table: String, files: Vector[AddDataObject],
+      bucket: Column): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    if (files.isEmpty) return
+    val live = readObjects(schema, files)
+    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
+    toPhysical(live.withColumn(PartCol, bucket), schema)
+      .write.partitionBy(PartCol).parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+    val minTx = files.map(_.txId).min
+    val staged = partDirs.toSeq.map { d =>
+      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
+      java.nio.file.Files.move(d.toPath,
+        new java.io.File(s"$rootDir/$name").toPath)
+      val (rows, stats) =
+        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
+      (name, rows, stats)
+    }
+    deleteRecursively(stagingDir)
+    // row conservation BEFORE any action lands: a lost or duplicated row
+    // must fail the tx, not commit a corrupt layout
+    val written = staged.map(_._2).sum
+    val expected = files.map(_.numRows).sum
+    require(written == expected,
+      s"rebucket wrote $written rows but inputs held $expected")
+    staged.foreach { case (name, rows, stats) =>
+      if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
+      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+    }
+    files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+  }
+
   /** DESCRIBE HISTORY analog: every RETAINED log entry as
     * (version, actions), oldest first. Driver-side metadata only; works
     * outside a transaction. Checkpoints alone never delete log files, so

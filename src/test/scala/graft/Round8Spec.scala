@@ -488,4 +488,40 @@ class Round8Spec extends AnyFunSuite {
         === (0 until 25).toSet -- (10 to 14))
     } finally c.rollback()
   }
+
+  test("clusterIncremental: stored grid routes only the appended objects") {
+    val (c, _) = freshClient()
+    val s = spark
+    import s.implicits._
+    def opened(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        .length
+    val part1 = (0 until 800).map(i => (i, s"v$i")).toDF("k", "v")
+    c.newTx(); c.createTable("t", part1.schema)
+    c.insert("t", part1); c.commitTx()
+    c.newTx(); c.clusterByBounded("t", "k", 8); c.commitTx()
+    c.newTx()
+    val clustered = c.objects("t").map(_.path).toSet
+    assert(clustered.size === 8, "8 buckets -> 8 objects")
+    assert(opened(c.scanRange("t", "k", 100, 100)) === 1)
+    // unaligned append: one object spanning the low buckets
+    val part2 = (800 until 1000).map(i => (i % 200, s"w$i")).toDF("k", "v")
+    c.insert("t", part2); c.commitTx()
+    c.newTx()
+    assert(c.objects("t").length === 9)
+    assert(c.clusterIncremental("t", "k") === 1,
+      "exactly the appended object re-buckets")
+    c.commitTx()
+    c.newTx()
+    try {
+      val after = c.objects("t").map(_.path).toSet
+      assert(clustered.subsetOf(after),
+        "incremental must NOT rewrite the clustered bulk")
+      assert(after.size <= 8 + 8)
+      // the bucket holding k=100 now has the old object + the new slice
+      assert(opened(c.scanRange("t", "k", 100, 100)) === 2)
+      assert(c.scan("t").count() === 1000, "re-layout preserves rows")
+      assert(c.clusterIncremental("t", "k") === 0, "steady state is a noop")
+    } finally c.rollback()
+  }
 }
