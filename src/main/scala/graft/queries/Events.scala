@@ -520,7 +520,45 @@ object Events {
     FROM cells JOIN sizes USING (cohort_wk)
     ORDER BY cohort_wk, week_offset"""
 
+  // --- Purchase-to-click attribution: LEFT OUTER interval join -------------
+  // The outer sibling of q_interval_join: every purchase joins the SAME
+  // USER's clicks in the preceding 12 hours, and purchases with no
+  // attributable click still emit (null click id). The user_id equality
+  // key makes this a plain shuffled equi-join with the time range as
+  // residual (no binning needed, no nested loop) — and it is exactly the
+  // key Spark's streaming engine needs to shard and expire outer-join
+  // state, so the streaming twin (StreamingOps.attributionJoinStream) is
+  // the same join verbatim.
+  def qEventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("p_user"), col("c_id"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  private val qEventsAttributionSql = """
+    SELECT p.event_id AS p_id, p.user_id AS p_user, c.event_id AS c_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 12 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY p_id, c_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_events_attribution" -> QueryDef(qEventsAttribution,
+      Some(qEventsAttributionSql),
+      "purchase-to-click attribution: LEFT OUTER interval join on the " +
+        "user key, unattributed purchases kept with null click"),
     "q_events_retention" -> QueryDef(qEventsRetention,
       Some(qEventsRetentionSql),
       "weekly cohort retention matrix: keyed aggs only, co-partitioned " +

@@ -37,7 +37,7 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
-      "set_partitioning")
+      "set_partitioning", "cluster_bounded", "cluster_incremental")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -237,6 +237,38 @@ object GraftProcedures {
               Long.box(r.getLong(4)), Long.box(r.getLong(5)),
               Long.box(r.getLong(6)))
           }
+        }))
+      case "cluster_bounded" => Some(proc(name,
+        "bounded range clustering: compute + store bucket boundaries, " +
+          "one object per bucket (prerequisite for cluster_incremental)",
+        Seq(in("table", StringType), in("column", StringType),
+          inDefault("buckets", IntegerType, "16")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("column", StringType),
+          StructField("buckets", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val colName = args.getUTF8String(1).toString
+          val b = args.getInt(2)
+          val c = client
+          c.newTx()
+          c.clusterByBounded(t, colName, b)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName),
+            Int.box(b)))
+        }))
+      case "cluster_incremental" => Some(proc(name,
+        "incremental clustering: re-bucket only objects appended since " +
+          "the last pass through the stored boundary grid (O(new data))",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("rebucketed_objects", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val colName = args.getUTF8String(1).toString
+          val c = client
+          c.newTx()
+          val n = c.clusterIncremental(t, colName)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t), Int.box(n)))
         }))
       case "set_partitioning" => Some(proc(name,
         "partition evolution: change the declared partition spec " +

@@ -83,6 +83,33 @@ object StreamingOps {
         col("e_ts") < col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the streaming twin of
+    * Events.qEventsAttribution, verbatim: purchases join the SAME USER's
+    * clicks in the preceding 12 hours; a purchase with no attributable
+    * click still emits (null click id) once both watermarks pass its
+    * window. The user_id equality key is what lets the engine shard the
+    * join state and EXPIRE it: outer state for a purchase is held only
+    * until the click-side watermark clears `p_ts`, so retention is
+    * O(rate × window), independent of stream length — the outer-join
+    * capability inner binned joins can't express.
+    */
+  def attributionJoinStream(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("p_user"), col("c_id"))
+  }
+
   /** Watermarked tumbling-window rollup — streaming twin of
     * Events.qHourly (same aggregates; window start == date_trunc('hour')).
     */

@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.getLong(1) === want.getLong(1))
   }
 
+  test("stream-stream LEFT OUTER attribution equals the batch left join") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Event](s)
+    val evs = fixtureEvents
+    input.addData(evs)
+    val q = StreamingOps.attributionJoinStream(input.toDF())
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // outer rows emit only after BOTH watermarks pass the join window;
+      // the watermarks live BEHIND the type filters, so the sentinels
+      // must be a far-future purchase AND click (user -1 matches nothing)
+      val maxMs = evs.map(_.ts.getTime).max
+      Seq(1, 2, 3).foreach { i =>
+        val ts = new java.sql.Timestamp(maxMs + i * 48L * 3600 * 1000)
+        input.addData(
+          Event(-2 * i, ts, -1L, "purchase", 0.0),
+          Event(-2 * i - 1, ts, -1L, "click", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = s.table("attr_stream").filter(col("p_user") >= 0)
+      .orderBy(col("p_id"), col("c_id")).collect().toSeq
+    val want = Events.qEventsAttribution(s, dir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.exists(_.isNullAt(2)), "unmatched purchases must emit")
+    assert(got == want)
+  }
+
   test("watermarked hourly rollup equals the batch rollup") {
     val s = spark
     import s.implicits._
