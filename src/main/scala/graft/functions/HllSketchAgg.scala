@@ -86,21 +86,7 @@ case class HllSketchAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var nRegs = 0L; var sumRho = 0L; var zHit = 0L
-    var i = 0
-    while (i < M) {
-      val m = buf(i)
-      if (m > 0) { nRegs += 1; sumRho += m; zHit += 1L << (52 - m) }
-      i += 1
-    }
-    val vZero = M - nRegs
-    val zTotal = zHit + vZero * (1L << 52)
-    // identical literals + op order to the composed form / DuckDB oracle
-    val raw = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
-      4503599627370496.0 / zTotal.toDouble
-    val est =
-      if (raw <= 2.5 * M && vZero > 0) 512.0 * math.log(512.0 / vZero)
-      else raw
+    val (nRegs, sumRho, est) = HllMath.evalRegisters(buf)
     new GenericInternalRow(Array[Any](nRegs, sumRho, est))
   }
 
@@ -112,5 +98,105 @@ case class HllSketchAgg(
   override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): HllSketchAgg =
+    copy(child = c)
+}
+
+/** The shared register math: update/merge/eval identical to the composed
+  * SketchOps pipeline and the DuckDB oracle — one definition consumed by
+  * both aggregate tiers and the driver-side NDV-property decoder
+  * (`GraftClient.approxDistinct`), so a registers blob means the same
+  * thing everywhere it is read.
+  */
+object HllMath {
+  val P = 9
+  val M = 1 << P // 512
+
+  /** In-place register update for one 60-bit portable hash. */
+  def update(buf: Array[Byte], h: Long): Unit = {
+    if ((h >>> 60) != 0L) throw new IllegalArgumentException(
+      s"hll register update expects a 60-bit hash in [0, 2^60), got $h")
+    val reg = (h % M).toInt
+    val rest = h >>> P
+    val binLen =
+      if (rest == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(rest)
+    val rho = 52 - binLen
+    if (rho > buf(reg)) buf(reg) = rho.toByte
+  }
+
+  /** Elementwise max — the HLL union law. Mutates and returns `a`. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** (n_regs, sum_rho, estimate) from a register blob — identical
+    * literals and op order to the composed form / DuckDB oracle.
+    */
+  def evalRegisters(buf: Array[Byte]): (Long, Long, Double) = {
+    var nRegs = 0L; var sumRho = 0L; var zHit = 0L
+    var i = 0
+    while (i < M) {
+      val m = buf(i)
+      if (m > 0) { nRegs += 1; sumRho += m; zHit += 1L << (52 - m) }
+      i += 1
+    }
+    val vZero = M - nRegs
+    val zTotal = zHit + vZero * (1L << 52)
+    val raw = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+      4503599627370496.0 / zTotal.toDouble
+    val est =
+      if (raw <= 2.5 * M && vZero > 0) 512.0 * math.log(512.0 / vZero)
+      else raw
+    (nRegs, sumRho, est)
+  }
+}
+
+/** Raw-register sibling of [[HllSketchAgg]] (`hll_registers(h60)`):
+  * returns the 512-byte register blob itself instead of the evaluated
+  * estimate — the mergeable form persisted by ANALYZE
+  * (`GraftClient.analyzeNdv`), where later increments max-merge fresh
+  * objects' blobs into the stored one without rescanning the table.
+  */
+case class HllRegistersAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hll_registers expects a BIGINT 60-bit hash column, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](HllMath.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllMath.update(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllMath.merge(a, b)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllRegistersAgg =
     copy(child = c)
 }

@@ -120,6 +120,14 @@ object GraftFunctions {
           "hll_sketch expects exactly 1 argument (a BIGINT 60-bit hash)")
         HllSketchAgg(children.head)
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "hll_registers expects exactly 1 argument (a BIGINT 60-bit hash)")
+        HllRegistersAgg(children.head)
+      })
   }
 }
 

@@ -176,6 +176,14 @@ object TxQueries {
         c.deleteRows("nation10", "n_nationkey", 10, 14)
         c.commitTx()
 
+        // ANALYZE: NDV sketches for nation's name/regionkey — consumed
+        // by tx_ndv from METADATA alone (approxDistinct never opens an
+        // object; the DuckDB oracle replays the register pipeline over
+        // the reconstructed live state)
+        c.newTx()
+        c.analyzeNdv("nation", Seq("n_name", "n_regionkey"))
+        c.commitTx()
+
         // nation11: bounded clustering + incremental maintenance — the
         // full layout lifecycle (cluster → unaligned append → incremental
         // re-bucket through the STORED grid) must preserve content
@@ -871,7 +879,52 @@ object TxQueries {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  // --- NDV stats from metadata ----------------------------------------------
+  def txNdv(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      val s = spark
+      import s.implicits._
+      Seq(
+        ("n_name", c.approxDistinct("nation", "n_name")),
+        ("n_regionkey", c.approxDistinct("nation", "n_regionkey")))
+        .toDF("column", "distinct_est").orderBy("column")
+    }
+
+  private val txNdvSql = """
+    WITH live AS (
+      SELECT n_name, n_regionkey FROM nation
+      WHERE n_nationkey NOT BETWEEN 10 AND 14
+      UNION ALL
+      SELECT n_name || '_V2', n_regionkey + 100 FROM nation
+      WHERE n_nationkey BETWEEN 5 AND 9),
+    vals AS (
+      SELECT 'n_name' AS col, CAST(n_name AS VARCHAR) AS v FROM live
+      UNION ALL
+      SELECT 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM live),
+    h AS (SELECT col, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h60
+      FROM vals),
+    r AS (SELECT col, h60 % 512 AS reg,
+      52 - length(bin(h60 // 512)) AS rho FROM h),
+    regs AS (SELECT col, reg, max(rho) AS m FROM r GROUP BY col, reg),
+    agg AS (SELECT col, count(*) AS n_regs,
+        sum((1::BIGINT << (52 - m))) AS z_hit FROM regs GROUP BY col),
+    est AS (SELECT col, n_regs, 512 - n_regs AS v_zero,
+        0.7213e0/(1.0e0+1.079e0/512.0e0)*512.0e0*512.0e0
+          *4503599627370496.0e0
+          / CAST(z_hit + (512 - n_regs) * (1::BIGINT << 52) AS DOUBLE)
+          AS raw
+      FROM agg)
+    SELECT col AS "column",
+      CASE WHEN raw <= 1280.0e0 AND v_zero > 0
+        THEN round(512.0e0 * ln(512.0e0 / CAST(v_zero AS DOUBLE)), 2)
+        ELSE round(raw, 2) END AS distinct_est
+    FROM est ORDER BY "column""""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_ndv" -> QueryDef(txNdv, Some(txNdvSql),
+      "ANALYZE NDV: per-column HLL register blobs in table properties; " +
+        "approxDistinct answers from metadata alone, oracle replays " +
+        "the register pipeline over the reconstructed live state"),
     "tx_cluster_incr" -> QueryDef(txClusterIncr, Some(txClusterIncrSql),
       "bounded clustering + incremental re-bucket through the stored " +
         "grid preserve the table's content bit-for-bit"),

@@ -37,7 +37,8 @@ object GraftProcedures {
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
-      "set_partitioning", "cluster_bounded", "cluster_incremental")
+      "set_partitioning", "cluster_bounded", "cluster_incremental",
+      "analyze")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -237,6 +238,25 @@ object GraftProcedures {
               Long.box(r.getLong(4)), Long.box(r.getLong(5)),
               Long.box(r.getLong(6)))
           }
+        }))
+      case "analyze" => Some(proc(name,
+        "ANALYZE: store mergeable per-column HLL NDV sketches in table " +
+          "properties; returns the estimates (metadata-only afterwards " +
+          "via approxDistinct; analyzeIncremental keeps them fresh)",
+        Seq(in("table", StringType), in("columns", StringType)),
+        StructType(Seq(StructField("column", StringType),
+          StructField("distinct_est", DoubleType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val cols = args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val c = client
+          c.newTx()
+          c.analyzeNdv(t, cols)
+          c.commitTxRetrying()
+          c.newTx()
+          try cols.map(cn => row(UTF8String.fromString(cn),
+            Double.box(c.approxDistinct(t, cn))))
+          finally c.rollback()
         }))
       case "cluster_bounded" => Some(proc(name,
         "bounded range clustering: compute + store bucket boundaries, " +

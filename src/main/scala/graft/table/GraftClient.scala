@@ -2421,6 +2421,98 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  private def ndvKey(c: String) = s"graft.ndv.$c.registers"
+  private def ndvTxKey(c: String) = s"graft.ndv.$c.txid"
+
+  /** ANALYZE: compute a mergeable HLL register blob per requested column
+    * over the table's live data and store it (base64) in table
+    * properties — after this, [[approxDistinct]] answers NDV from
+    * METADATA alone, the stats a planner wants for join-side and
+    * broadcast decisions at 100 TB. One aggregation pass total for all
+    * columns (512 bytes of state per column, map-side combined).
+    * [[analyzeIncremental]] keeps the stats fresh for O(new data):
+    * sketches union by register max, so fresh objects fold into the
+    * stored blob without rescanning the bulk. Deletes cannot subtract
+    * from a sketch — estimates go stale-HIGH until the next full
+    * [[analyzeNdv]] (the usual ANALYZE cadence).
+    */
+  def analyzeNdv(table: String, columns: Seq[String]): Unit =
+    analyzeInto(table, columns, liveFiles(table), base = Map.empty)
+
+  /** Fold ONLY objects appended since the last analyze into the stored
+    * sketches. Columns come from the existing properties; refuses if the
+    * table was never analyzed. Returns the number of fresh objects.
+    */
+  def analyzeIncremental(table: String): Int = {
+    val props = tablePropertiesOf(table)
+    val cols = schemaOf(table).fieldNames.filter(c =>
+      props.contains(ndvKey(c))).toSeq
+    require(cols.nonEmpty,
+      s"$table has no NDV stats; run analyzeNdv first")
+    val since = cols.map(c => props(ndvTxKey(c)).toLong).min
+    val fresh = liveFiles(table).filter(_.txId > since)
+    if (fresh.isEmpty) return 0
+    val base = cols.map(c => c ->
+      java.util.Base64.getDecoder.decode(props(ndvKey(c)))).toMap
+    analyzeInto(table, cols, fresh, base)
+    fresh.length
+  }
+
+  private def analyzeInto(table: String, columns: Seq[String],
+      files: Vector[AddDataObject], base: Map[String, Array[Byte]]): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    flush(table)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val blobs: Map[String, Array[Byte]] =
+      if (files.isEmpty) Map.empty
+      else {
+        // the portable 60-bit md5 hash — the input contract every HLL
+        // consumer (SketchOps pipeline, aggregates, oracles) shares
+        val aggs = columns.map(c =>
+          expr(s"hll_registers(CAST(conv(substr(md5(CAST(`$c` AS " +
+            s"STRING)), 1, 15), 16, 10) AS BIGINT))").as(s"_ndv_$c"))
+        val row = readObjects(schema, files).agg(aggs.head, aggs.tail: _*)
+          .collect().head
+        columns.zipWithIndex.map { case (c, i) =>
+          c -> row.getAs[Array[Byte]](i)
+        }.toMap
+      }
+    val enc = java.util.Base64.getEncoder
+    val merged = columns.map { c =>
+      val blob = (base.get(c), blobs.get(c)) match {
+        case (Some(b), Some(f)) => graft.functions.HllMath.merge(b, f)
+        case (Some(b), None) => b
+        case (None, Some(f)) => f
+        case (None, None) => new Array[Byte](graft.functions.HllMath.M)
+      }
+      c -> blob
+    }
+    setTableProperties(table,
+      merged.flatMap { case (c, blob) => Seq(
+        ndvKey(c) -> enc.encodeToString(blob),
+        ndvTxKey(c) -> t.id.toString)
+      }.toMap)
+  }
+
+  /** NDV estimate for an analyzed column, from METADATA alone (the
+    * stored register blob) — no data object is opened. Rounded to 2 dp,
+    * the engine-exact convention the sketch oracles pin.
+    */
+  def approxDistinct(table: String, column: String): Double = {
+    val props = tablePropertiesOf(table)
+    val blob = props.getOrElse(ndvKey(column),
+      throw new IllegalArgumentException(
+        s"$table.$column has no NDV stats; run analyzeNdv first"))
+    val regs = java.util.Base64.getDecoder.decode(blob)
+    val (_, _, est) = graft.functions.HllMath.evalRegisters(regs)
+    // HALF_UP at 2 dp — the same rounding SQL round() applies in both
+    // engines, so the estimate lands on the oracle signal unchanged
+    BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Bounded range clustering — [[clusterBy]] with EXPLICIT, DURABLE
     * bucket boundaries, the prerequisite for incremental maintenance
     * (Delta's liquid-clustering idea): boundaries are computed once from

@@ -524,4 +524,37 @@ class Round8Spec extends AnyFunSuite {
       assert(c.clusterIncremental("t", "k") === 0, "steady state is a noop")
     } finally c.rollback()
   }
+
+  test("NDV stats: metadata answers; incremental analyze == full analyze") {
+    val (c, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    c.newTx(); c.createTable("t", n.schema)
+    c.insert("t", n.filter(col("n_nationkey") < 15)); c.commitTx()
+    c.newTx(); c.analyzeNdv("t", Seq("n_name")); c.commitTx()
+    c.newTx()
+    val est1 = c.approxDistinct("t", "n_name")
+    assert(math.abs(est1 - 15) <= 0.15 * 15 + 1,
+      s"est $est1 drifted from true 15")
+    c.insert("t", n.filter(col("n_nationkey") >= 15)); c.commitTx()
+    c.newTx()
+    assert(c.analyzeIncremental("t") === 1,
+      "exactly the appended object folds in")
+    c.commitTx()
+    c.newTx()
+    try {
+      val est2 = c.approxDistinct("t", "n_name")
+      assert(est2 > est1, "new names must raise the estimate")
+      assert(math.abs(est2 - 25) <= 0.15 * 25 + 1,
+        s"est $est2 drifted from true 25")
+      assert(c.analyzeIncremental("t") === 0, "steady state is a noop")
+      // union law: the incremental path's registers equal a fresh full
+      // analyze's, so the estimates are IDENTICAL, not just close
+      c.analyzeNdv("t", Seq("n_name"))
+      c.commitTx()
+      c.newTx()
+      assert(c.approxDistinct("t", "n_name") === est2,
+        "incremental merge must equal the full rescan")
+    } finally c.rollback()
+  }
 }
