@@ -176,6 +176,24 @@ object TxQueries {
         c.deleteRows("nation10", "n_nationkey", 10, 14)
         c.commitTx()
 
+        // nation13: schema-evolving ingestion — three insertEvolving
+        // batches (exact schema, a NEW column, a MISSING column); the
+        // final state must read widened + null-filled bit-for-bit
+        c.newTx()
+        c.createTable("nation13", nation.schema)
+        c.insertEvolving("nation13", nation.filter(col("n_nationkey") < 10))
+        c.commitTx()
+        c.newTx()
+        c.insertEvolving("nation13",
+          nation.filter(col("n_nationkey").between(10, 19))
+            .withColumn("n_comment", concat(lit("c_"), col("n_name"))))
+        c.commitTx()
+        c.newTx()
+        c.insertEvolving("nation13",
+          nation.filter(col("n_nationkey") >= 20)
+            .select("n_nationkey", "n_name"))
+        c.commitTx()
+
         // ANALYZE: NDV sketches for nation's name/regionkey — consumed
         // by tx_ndv from METADATA alone (approxDistinct never opens an
         // object; the DuckDB oracle replays the register pipeline over
@@ -920,7 +938,33 @@ object TxQueries {
         ELSE round(raw, 2) END AS distinct_est
     FROM est ORDER BY "column""""
 
+  // --- mergeSchema ingestion -------------------------------------------------
+  def txEvolveInsert(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scan("nation13")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_comment"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txEvolveInsertSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey,
+        CAST(NULL AS VARCHAR) AS n_comment
+      FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'c_' || n_name
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 19
+      UNION ALL
+      SELECT n_nationkey, n_name, CAST(NULL AS INTEGER), NULL
+      FROM nation WHERE n_nationkey >= 20)
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_evolve_insert" -> QueryDef(txEvolveInsert, Some(txEvolveInsertSql),
+      "mergeSchema ingestion: a new frame column auto-widens the table " +
+        "(metadata-only), an omitted nullable column writes null, type " +
+        "conflicts refuse"),
     "tx_ndv" -> QueryDef(txNdv, Some(txNdvSql),
       "ANALYZE NDV: per-column HLL register blobs in table properties; " +
         "approxDistinct answers from metadata alone, oracle replays " +

@@ -881,6 +881,36 @@ final class GraftClient(
       t.actions += AddDataObject(table, name, txId, n, stats)
     }
 
+  /** Schema-evolving insert (Delta's `mergeSchema`): columns in `df`
+    * that the table lacks are ADDED first (nullable, metadata-only via
+    * [[addColumn]] — old rows read them as null), and table columns the
+    * frame omits are written as null (they must be nullable). Type
+    * conflicts refuse loudly — silent coercion is how a drifting
+    * upstream corrupts a 100 TB table. The common ingestion contract:
+    * feeds gain fields over time, the table follows, nothing rewrites.
+    */
+  def insertEvolving(table: String, df: DataFrame): Unit = {
+    val before = schemaOf(table)
+    df.schema.fields.filterNot(f => before.fieldNames.contains(f.name))
+      .foreach(f => addColumn(table, f.copy(nullable = true)))
+    val schema = schemaOf(table)
+    df.schema.fields.foreach { f =>
+      val t = schema(schema.fieldIndex(f.name)).dataType
+      require(f.dataType == t,
+        s"mergeSchema type conflict on ${f.name}: frame ${f.dataType} " +
+          s"vs table $t — cast explicitly or evolve the table first")
+    }
+    val cols = schema.fields.map { f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else {
+        require(f.nullable,
+          s"insert omits non-nullable column ${f.name}")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    insert(table, df.select(cols.toIndexedSeq: _*))
+  }
+
   /** Identity-column insert (Delta's GENERATED ALWAYS AS IDENTITY, client
     * form): `df` carries every table column EXCEPT `idCol` (a LongType
     * column of the table); this call reserves the id range

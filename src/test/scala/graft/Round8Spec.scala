@@ -557,4 +557,32 @@ class Round8Spec extends AnyFunSuite {
         "incremental merge must equal the full rescan")
     } finally c.rollback()
   }
+
+  test("insertEvolving: widens, null-fills, and refuses type conflicts") {
+    val (c, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    c.newTx(); c.createTable("t", n.schema)
+    c.insertEvolving("t", n.filter(col("n_nationkey") < 5)); c.commitTx()
+    c.newTx()
+    // type conflict: the existing column arrives as a string
+    val bad = n.filter(col("n_nationkey") >= 5)
+      .withColumn("n_regionkey", col("n_regionkey").cast("string"))
+    val e = intercept[IllegalArgumentException] { c.insertEvolving("t", bad) }
+    assert(e.getMessage.contains("type conflict"))
+    c.rollback()
+    c.newTx()
+    c.insertEvolving("t", n.filter(col("n_nationkey").between(5, 9))
+      .withColumn("extra", col("n_nationkey") * 2))
+    c.commitTx()
+    c.newTx()
+    try {
+      val rows = c.currentState("t", Seq("n_nationkey"))
+        .select("n_nationkey", "extra").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toMap
+      assert(rows(3) === None, "pre-widening rows read the new column null")
+      assert(rows(7) === Some(14))
+    } finally c.rollback()
+  }
 }
