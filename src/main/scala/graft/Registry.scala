@@ -33,6 +33,7 @@ object Registry {
       queries.CorpusOps.defs ++
       queries.SimilarityOps.defs ++
       queries.ProjectionOps.defs ++
+      queries.MmrOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++
       queries.SqlSurface.defs ++

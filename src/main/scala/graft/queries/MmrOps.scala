@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+  * 1998) — the selection step after retrieval: pick results that are
+  * RELEVANT to the query but NOT redundant with what's already picked,
+  * score(d) = λ·rel(d, q) − (1−λ)·max_{s∈S} sim(d, s), greedily.
+  *
+  * The greedy loop is inherently sequential, so the split is the same as
+  * every trained-model op here: the DISTRIBUTED part scores the corpus
+  * and shortlists the top `Pool` per query (two-phase top-k — the only
+  * data-sized work), and the driver runs the greedy selection over the
+  * collected shortlist (Pool×queries rows — bounded-collect, like the
+  * BPE merge loop and the PCA eigen-solve). Every cosine on the driver
+  * is the same left-to-right accumulation as `vector_cosine` /
+  * DuckDB's list_dot_product, so the DuckDB oracle replays the whole
+  * selection — shortlist, pairwise sims, greedy argmax with id
+  * tie-break — via a recursive CTE, bit-for-bit.
+  */
+object MmrOps {
+
+  private val Lambda = 0.7
+  private val Pool = 30
+  private val K = 10
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", call_function("vector_cosine", col("v"), col("qv")))
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val local = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(wLocal))
+      .filter(col("_rk") <= Pool).drop("_pid", "_rk")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val shortlist = local.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= Pool)
+      .select(col("query_id"), col("vec_id"), col("v"), col("rel"))
+      .collect() // Pool × |queries| rows — bounded by construction
+
+    val out = shortlist.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .flatMap { case (qid, rows) =>
+        val cand = rows.map { r =>
+          (r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3))
+        }
+        val simCache =
+          scala.collection.mutable.Map[(Long, Long), Double]()
+        def sim(a: (Long, Array[Double], Double),
+            b: (Long, Array[Double], Double)): Double =
+          simCache.getOrElseUpdate((a._1, b._1), cosine(a._2, b._2))
+        val selected =
+          scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]()
+        val picks = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        while (picks.length < K && selected.length < cand.length) {
+          val remaining = cand.filterNot(c =>
+            selected.exists(_._1 == c._1))
+          // argmax(score), min-id tie-break — the oracle's exact rule
+          var best: (Long, Array[Double], Double) = null
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { c =>
+            val red = if (selected.isEmpty) 0.0
+              else selected.map(s => sim(c, s)).max
+            val score = Lambda * c._3 - (1.0 - Lambda) * red
+            if (score > bestScore ||
+                (score == bestScore && best != null && c._1 < best._1)) {
+              best = c; bestScore = score
+            }
+          }
+          selected += best
+          picks += ((best._1, bestScore))
+        }
+        picks.zipWithIndex.map { case ((id, score), i) =>
+          Row(qid, (i + 1).toLong, id,
+            BigDecimal(score).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava,
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("pos", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("mmr_score", DoubleType, nullable = false))))
+      .orderBy("query_id", "pos")
+  }
+
+  private val simMmrSql = s"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id < 10),
+    rel0 AS (SELECT q.qid, nn.vec_id AS id, nn.v, nn.nrm,
+        list_dot_product(nn.v, q.qv) / (nn.nrm * q.qnrm) AS rel
+      FROM n nn, q WHERE nn.vec_id <> q.qid),
+    cand AS (SELECT * FROM (
+        SELECT qid, id, v, nrm, rel,
+          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rk
+        FROM rel0) WHERE rk <= $Pool),
+    sims AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+    rec AS (
+      SELECT qid, 0 AS step, CAST(NULL AS BIGINT) AS id,
+        CAST(NULL AS DOUBLE) AS score, []::BIGINT[] AS ids
+      FROM q
+      UNION ALL
+      SELECT rec.qid, rec.step + 1,
+        (SELECT c.id FROM cand c WHERE c.qid = rec.qid
+           AND NOT list_contains(rec.ids, c.id)
+         ORDER BY $Lambda * c.rel - ${1.0 - Lambda} * coalesce(
+             (SELECT max(s.sim) FROM sims s WHERE s.qid = c.qid
+                AND s.ia = c.id AND list_contains(rec.ids, s.ib)), 0.0e0)
+           DESC, c.id LIMIT 1),
+        (SELECT $Lambda * c.rel - ${1.0 - Lambda} * coalesce(
+             (SELECT max(s.sim) FROM sims s WHERE s.qid = c.qid
+                AND s.ia = c.id AND list_contains(rec.ids, s.ib)), 0.0e0)
+         FROM cand c WHERE c.qid = rec.qid
+           AND NOT list_contains(rec.ids, c.id)
+         ORDER BY $Lambda * c.rel - ${1.0 - Lambda} * coalesce(
+             (SELECT max(s.sim) FROM sims s WHERE s.qid = c.qid
+                AND s.ia = c.id AND list_contains(rec.ids, s.ib)), 0.0e0)
+           DESC, c.id LIMIT 1),
+        list_append(rec.ids,
+          (SELECT c.id FROM cand c WHERE c.qid = rec.qid
+             AND NOT list_contains(rec.ids, c.id)
+           ORDER BY $Lambda * c.rel - ${1.0 - Lambda} * coalesce(
+               (SELECT max(s.sim) FROM sims s WHERE s.qid = c.qid
+                  AND s.ia = c.id AND list_contains(rec.ids, s.ib)), 0.0e0)
+             DESC, c.id LIMIT 1))
+      FROM rec WHERE rec.step < $K)
+    SELECT qid AS query_id, CAST(step AS BIGINT) AS pos, id AS vec_id,
+      round(score, 6) AS mmr_score
+    FROM rec WHERE step >= 1
+    ORDER BY query_id, pos"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "sim_mmr" -> QueryDef(simMmr, Some(simMmrSql),
+      "MMR diversified top-10 (lambda=0.7): distributed top-30 " +
+        "shortlist per query, driver greedy over the bounded collect; " +
+        "oracle replays the whole selection via a recursive CTE"))
+}

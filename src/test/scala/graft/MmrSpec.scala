@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{MmrOps, SimilarityOps}
+
+/** Behavior pin for MMR beyond the DuckDB oracle (which proves the exact
+  * greedy replay): the diversity property the reranker exists for.
+  */
+class MmrSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MMR picks are less mutually similar than the plain top-10") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for { i <- ids; j <- ids if i < j } yield cos(vecs(i), vecs(j))
+      ps.sum / ps.size
+    }
+    val mmr = MmrOps.simMmr(spark, dir)
+      .select("query_id", "pos", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    val topk = SimilarityOps.simTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    assert(mmr.keySet == topk.keySet && mmr.nonEmpty)
+    // per-query: the first MMR pick IS the most relevant doc
+    mmr.foreach { case (q, picks) =>
+      assert(picks.head == topk(q).head,
+        s"query $q: MMR must start from the top relevance hit")
+    }
+    // in aggregate: diversification lowers mean pairwise similarity
+    val mmrSim = mmr.map { case (_, ids) => meanPairSim(ids) }.sum / mmr.size
+    val topSim = topk.map { case (_, ids) => meanPairSim(ids) }.sum / topk.size
+    assert(mmrSim < topSim,
+      s"MMR mean pairwise sim $mmrSim not below top-k's $topSim")
+  }
+}

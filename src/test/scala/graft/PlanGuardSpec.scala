@@ -42,6 +42,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // 10-row broadcast query side on the =!= non-equi probe (sim_topk's
     // exact shape, scored on quarter-width projected vectors)
     "sim_rp_ann",
+    // same 10-row broadcast probe shape feeding the MMR shortlist
+    "sim_mmr",
     // 1-row corpus-totals crossJoin (tt/ts/v) feeding the log-ratio
     "text_dsir")
 
