@@ -328,6 +328,54 @@ object TxQueries {
       })
     }
 
+  /** Separate store PAIR for cross-store replication: the source replays
+    * nation's 3-commit history, two change bundles ship the windows
+    * (0, v2] and (v2, v3] to a replica built only from bundles — the
+    * replica's current state must equal the source's bit-for-bit.
+    */
+  private val builtRepl = mutable.Map[String, String]()
+
+  private def ensureRepl(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      builtRepl.getOrElseUpdate(sfDir, {
+        val srcRoot = Files.createTempDirectory("graft_repl_src").toString
+        val dstRoot = Files.createTempDirectory("graft_repl_dst").toString
+        val c = new GraftClient(spark, srcRoot)
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        c.newTx(); c.createTable("t", nation.schema)
+        c.insert("t", nation); c.commitTx()
+        c.newTx()
+        c.insert("t", nation.filter(col("n_nationkey").between(5, 9))
+          .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+        c.commitTx()
+        val v2 = c.latestVersion
+        c.newTx(); c.deleteRows("t", "n_nationkey", 10, 14); c.commitTx()
+        val v3 = c.latestVersion
+        val b1 = Files.createTempDirectory("graft_repl_b1").toString
+        val b2 = Files.createTempDirectory("graft_repl_b2").toString
+        c.newTx()
+        c.exportChanges("t", Seq("n_nationkey"), 0, v2, b1)
+        c.exportChanges("t", Seq("n_nationkey"), v2, v3, b2)
+        c.rollback()
+        val d = new GraftClient(spark, dstRoot)
+        d.newTx(); d.createTable("t", nation.schema); d.commitTx()
+        d.newTx()
+        require(d.importChanges("t", b1)); d.commitTxRetrying()
+        d.newTx()
+        require(d.importChanges("t", b2)); d.commitTxRetrying()
+        dstRoot
+      })
+    }
+
+  def txReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val d = new GraftClient(spark, ensureRepl(spark, dir))
+    d.newTx()
+    try d.currentState("t", Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    finally d.rollback()
+  }
+
   def txMvIncremental(spark: SparkSession, dir: String): DataFrame = {
     val c = new GraftClient(spark, ensureMv(spark, dir))
     c.newTx()
@@ -961,6 +1009,10 @@ object TxQueries {
     ORDER BY n_nationkey"""
 
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_replicate" -> QueryDef(txReplicate, Some(txCurrentStateSql),
+      "cross-store incremental replication: two exported change bundles " +
+        "(keyed diffs, O(changed rows)) rebuild the source's state on a " +
+        "replica store exactly-once via SetTxn window watermarks"),
     "tx_evolve_insert" -> QueryDef(txEvolveInsert, Some(txEvolveInsertSql),
       "mergeSchema ingestion: a new frame column auto-widens the table " +
         "(metadata-only), an omitted nullable column writes null, type " +

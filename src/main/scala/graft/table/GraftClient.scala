@@ -2451,6 +2451,82 @@ final class GraftClient(
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
 
+  /** Export the keyed change bundle for the commit window
+    * (fromVersion, toVersion] — the portable unit of CROSS-STORE
+    * incremental replication: one parquet frame of full rows labeled
+    * `_change` ∈ insert/update/delete (the [[changesBetween]] keyed
+    * diff, O(changed rows) at any table size) plus a `bundle.json`
+    * envelope (source identity, table, keys, window). A replica applies
+    * bundles in window order with [[importChanges]]; re-applying or
+    * skipping a window is detected there, not trusted here. Returns the
+    * bundle directory.
+    */
+  def exportChanges(table: String, keyCols: Seq[String], fromVersion: Long,
+      toVersion: Long, outDir: String): String = {
+    val diff = changesBetween(table, keyCols, fromVersion, toVersion)
+    diff.write.mode("overwrite").parquet(s"$outDir/rows")
+    val meta = s"""{"src":${jsonStr(rootDir)},"table":${jsonStr(table)},""" +
+      s""""keys":[${keyCols.map(jsonStr).mkString(",")}],""" +
+      s""""fromVersion":$fromVersion,"toVersion":$toVersion}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/bundle.json"),
+      (meta + "\n").getBytes("UTF-8"))
+    outDir
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Apply an exported change bundle to `dstTable` — EXACTLY-ONCE and
+    * GAP-FREE: the applied window high-water rides a [[SetTxn]] marker
+    * (keyed by source store + table) committed atomically with the
+    * MERGE, so a re-applied bundle returns false without touching data,
+    * and a bundle whose `fromVersion` does not extend the applied
+    * high-water refuses loudly (out-of-order application would silently
+    * diverge the replica). Upserts and deletes land as one [[merge]] —
+    * O(bundle rows + touched objects). Returns true when applied.
+    */
+  def importChanges(dstTable: String, bundleDir: String): Boolean = {
+    val metaPath = java.nio.file.Paths.get(s"$bundleDir/bundle.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"not a bundle (no bundle.json): $bundleDir")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[0-9-]+)").r
+      m.findFirstMatchIn(meta).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"bundle.json missing $k"))
+    }
+    def unq(s: String): String =
+      if (s.startsWith("\"")) s.substring(1, s.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      else s
+    val src = unq(field("src"))
+    val srcTable = unq(field("table"))
+    val fromV = field("fromVersion").toLong
+    val toV = field("toVersion").toLong
+    val keys = "\"keys\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(unq).toSeq
+    val appId = s"graft-replicate:$src:$srcTable"
+    val applied = lastTxn(appId).getOrElse(0L)
+    if (applied >= toV) return false // this window already landed
+    require(applied == fromV,
+      s"bundle gap: replica has applied window up to v$applied of " +
+        s"$src:$srcTable but the bundle starts at v$fromV — apply the " +
+        "intervening bundles first")
+    val rows = spark.read.parquet(s"$bundleDir/rows")
+    merge(dstTable, rows, keys,
+      deleteCond = col("_change") === "delete",
+      dropCols = Seq("_change"))
+    setTxn(appId, toV)
+    true
+  }
+
   private def ndvKey(c: String) = s"graft.ndv.$c.registers"
   private def ndvTxKey(c: String) = s"graft.ndv.$c.txid"
 

@@ -558,6 +558,42 @@ class Round8Spec extends AnyFunSuite {
     } finally c.rollback()
   }
 
+  test("replication bundles: exactly-once re-apply, gap refusal") {
+    val (src, _) = freshClient()
+    val (dst, _) = freshClient()
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src.newTx(); src.createTable("t", n.schema)
+    src.insert("t", n.filter(col("n_nationkey") < 10)); src.commitTx()
+    val v1 = src.latestVersion
+    src.newTx()
+    src.insert("t", n.filter(col("n_nationkey") >= 10)); src.commitTx()
+    val v2 = src.latestVersion
+    val b1 = Files.createTempDirectory("graft_r8_b1").toString
+    val b2 = Files.createTempDirectory("graft_r8_b2").toString
+    src.newTx()
+    src.exportChanges("t", Seq("n_nationkey"), 0, v1, b1)
+    src.exportChanges("t", Seq("n_nationkey"), v1, v2, b2)
+    src.rollback()
+    dst.newTx(); dst.createTable("t", n.schema); dst.commitTx()
+    // gap: applying window 2 before window 1 must refuse
+    dst.newTx()
+    val gap = intercept[IllegalArgumentException] {
+      dst.importChanges("t", b2)
+    }
+    assert(gap.getMessage.contains("bundle gap"))
+    dst.rollback()
+    dst.newTx(); assert(dst.importChanges("t", b1)); dst.commitTx()
+    dst.newTx(); assert(dst.importChanges("t", b2)); dst.commitTx()
+    dst.newTx()
+    try {
+      // re-apply: exactly-once marker makes it a no-op
+      assert(!dst.importChanges("t", b1))
+      assert(!dst.importChanges("t", b2))
+      assert(dst.currentState("t", Seq("n_nationkey")).count() === 25)
+    } finally dst.rollback()
+  }
+
   test("insertEvolving: widens, null-fills, and refuses type conflicts") {
     val (c, _) = freshClient()
     val n = spark.read.parquet(s"$dir/nation.parquet")
