@@ -312,6 +312,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == Map(1L -> 9.0, 3L -> 3.0), "state unchanged by replay")
   }
 
+  test("continuous cross-store replication: CDF stream drives a replica") {
+    import graft.table.GraftClient
+    val s = spark
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft_crepl_s")
+      .toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_crepl_d")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crepl_ck")
+      .toString
+    val src = new GraftClient(s, srcRoot)
+    val n = s.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src.newTx(); src.createTable("t", n.schema)
+    src.insert("t", n); src.commitTx()
+
+    // the whole replication pipeline is the two connectors composed:
+    // change feed out of the source store, upsert (with CDC deletes)
+    // into the replica store — exactly-once on both ends
+    val q = s.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("keyColumns", "n_nationkey")
+      .load(srcRoot)
+      .withColumn("_del", col("_change") === "delete").drop("_change")
+      .writeStream.format("graft")
+      .option("path", dstRoot).option("table", "t")
+      .option("mode", "upsert").option("keyColumns", "n_nationkey")
+      .option("deleteColumn", "_del")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // live mutations while the stream runs: updates, then deletes
+      src.newTx()
+      src.insert("t", n.filter(col("n_nationkey").between(5, 9))
+        .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+        .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+      src.commitTx()
+      q.processAllAvailable()
+      src.newTx()
+      src.deleteRows("t", "n_nationkey", 10, 14)
+      src.commitTx()
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dst = new GraftClient(s, dstRoot)
+    def state(c: GraftClient): Seq[(Int, String, Int)] = {
+      c.newTx()
+      try c.currentState("t", Seq("n_nationkey"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      finally c.rollback()
+    }
+    val want = state(src)
+    val got = state(dst)
+    assert(got.nonEmpty && got.size === 20)
+    assert(got === want, "replica must track the source exactly")
+  }
+
   test("format(graft) upsert mode: streaming MERGE with auto-created table") {
     import graft.table.GraftClient
     import StreamingSpec.U
