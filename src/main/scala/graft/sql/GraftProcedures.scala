@@ -207,17 +207,20 @@ object GraftProcedures {
             Long.box(client.latestVersion - 1)))
         }))
       case "history" => Some(proc(name,
-        "DESCRIBE HISTORY: committed versions, timestamps, action counts",
+        "DESCRIBE HISTORY: committed versions, timestamps, operation " +
+          "names (commit envelope), action counts",
         Seq(inDefault("limit", IntegerType, "20")),
         StructType(Seq(StructField("version", LongType),
           StructField("ts", TimestampType),
+          StructField("operation", StringType),
           StructField("operations", StringType))), { args =>
           client.historyDetailed().takeRight(args.getInt(0)).map {
-            case (v, ts, actions) =>
+            case (v, ts, op, actions) =>
               val kinds = actions.groupBy(_.getClass.getSimpleName)
                 .toSeq.sortBy(_._1)
                 .map { case (k, as) => s"$k:${as.length}" }.mkString(",")
               row(Long.box(v), Long.box(ts * 1000L),
+                UTF8String.fromString(op.getOrElse("UNKNOWN")),
                 UTF8String.fromString(kinds))
           }
         }))

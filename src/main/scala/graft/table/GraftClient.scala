@@ -104,10 +104,24 @@ final class GraftClient(
     // set that full-Serializable commits check against the concurrent
     // window (historical scanAsOf reads are version-pinned and excluded)
     val readTables = mutable.Set[String]()
+    // the operation name recorded in the commit envelope (DESCRIBE
+    // HISTORY's `operation`); FIRST public mutator wins, so a composite
+    // op (MERGE calling insert internally) is named by its outer verb
+    var op: Option[String] = None
     def id: Long = snapshot.version
   }
 
   private var tx: Option[TxState] = None
+
+  /** Record `op` as this commit's operation name (surfaced by DESCRIBE
+    * HISTORY); the FIRST public mutator to tag wins, so composite ops
+    * (MERGE's internal insert, insertGenerated's routed
+    * insertPartitioned) are named by their outer verb.
+    */
+  private def tagOp(op: String): Unit = {
+    val t = currentTx
+    if (t.op.isEmpty) t.op = Some(op)
+  }
 
   private def currentTx: TxState =
     tx.getOrElse(throw new IllegalStateException("no open transaction"))
@@ -119,6 +133,7 @@ final class GraftClient(
   }
 
   def createTable(table: String, schema: StructType): Unit = {
+    tagOp("CREATE TABLE")
     val t = currentTx
     if (t.tables.contains(table))
       throw new IllegalArgumentException(s"table exists: $table")
@@ -154,6 +169,7 @@ final class GraftClient(
     * supported (the read layer would fail loudly, never misattribute).
     */
   def convertParquet(table: String, srcDir: String): Unit = {
+    tagOp("CONVERT")
     val t = currentTx
     val schema = spark.read.option("mergeSchema", "true")
       .parquet(srcDir).schema
@@ -200,6 +216,7 @@ final class GraftClient(
     * staged, so a commit of an otherwise-empty tx stays read-only).
     */
   def copyInto(table: String, srcDir: String): Seq[String] = {
+    tagOp("COPY INTO")
     val t = currentTx
     val schema = schemaOf(table)
     val conf = spark.sessionState.newHadoopConf()
@@ -244,6 +261,7 @@ final class GraftClient(
     * and a range delete on the new column simply never matches old rows.
     */
   def addColumn(table: String, field: StructField): Unit = {
+    tagOp("ALTER")
     val t = currentTx
     val schema = schemaOf(table)
     require(!schema.fieldNames.contains(field.name),
@@ -272,6 +290,7 @@ final class GraftClient(
     * resurrect.
     */
   def dropColumn(table: String, name: String): Unit = {
+    tagOp("ALTER")
     val t = currentTx
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(name), s"no such column: $name")
@@ -291,6 +310,7 @@ final class GraftClient(
     * physical name, reads null from old files).
     */
   def renameColumn(table: String, from: String, to: String): Unit = {
+    tagOp("ALTER")
     val t = currentTx
     val old = schemaOf(table)
     require(old.fieldNames.contains(from), s"no such column: $from")
@@ -323,6 +343,7 @@ final class GraftClient(
     * the old region rewrites it into the new shape when wanted.
     */
   def alterPartitioning(table: String, partCols: Seq[String]): Unit = {
+    tagOp("ALTER")
     import GraftClient.{PartitionKey, PartitionOrdKey}
     val t = currentTx
     val schema = schemaOf(table)
@@ -355,6 +376,7 @@ final class GraftClient(
     */
   def setGeneratedColumn(table: String, column: String,
       exprSql: String): Unit = {
+    tagOp("ALTER")
     import GraftClient.GeneratedAsKey
     val t = currentTx
     val schema = schemaOf(table)
@@ -491,6 +513,7 @@ final class GraftClient(
     * survive ([[rewriteObjects]]).
     */
   def materializeSchema(table: String): Unit = {
+    tagOp("REORG")
     val t = currentTx
     val schema = schemaOf(table)
     flush(table)
@@ -722,6 +745,7 @@ final class GraftClient(
     * Overwrite half of the connector's save path.
     */
   def truncate(table: String): Unit = {
+    tagOp("TRUNCATE")
     val t = currentTx
     require(t.tables.contains(table), s"no such table: $table")
     requireMutable(table, "TRUNCATE")
@@ -845,6 +869,7 @@ final class GraftClient(
   }
 
   def writeRow(table: String, values: Seq[Any]): Unit = {
+    tagOp("INSERT")
     val t = currentTx
     val schema = schemaOf(table)
     require(values.length == schema.length,
@@ -978,6 +1003,7 @@ final class GraftClient(
     */
   private def withStamped(table: String, df: DataFrame)(
       body: (TxState, StructType, DataFrame, Long, Long) => Unit): Unit = {
+    tagOp("INSERT")
     val t = currentTx
     val schema = schemaOf(table)
     require(df.schema.fieldNames.sameElements(schema.fieldNames),
@@ -1248,6 +1274,7 @@ final class GraftClient(
     */
   def buildBloom(table: String, column: String, numBits: Int = 1024,
       k: Int = 4): Unit = {
+    tagOp("BLOOM")
     val t = currentTx
     require(numBits % 64 == 0 && numBits > 0, s"numBits must be a multiple of 64")
     require(k >= 1 && k <= 16, "k must be in [1,16]")
@@ -1420,6 +1447,7 @@ final class GraftClient(
   def merge(table: String, source: DataFrame, keyCols: Seq[String],
       deleteCond: org.apache.spark.sql.Column = lit(false),
       dropCols: Seq[String] = Nil): Unit = {
+    tagOp("MERGE")
     val t = currentTx
     requireMutable(table, "MERGE")
     val schema = schemaOf(table)
@@ -1604,6 +1632,7 @@ final class GraftClient(
     * share delete semantics exactly.
     */
   def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
+    tagOp("DELETE")
     require(schemaOf(table).fieldNames.contains(column),
       s"no such column: $column")
     // stats-based file skipping: objects whose min/max can't overlap the
@@ -1626,8 +1655,10 @@ final class GraftClient(
     * surface. A null predicate result never matches (the reference skips
     * nil rows).
     */
-  def deleteWhere(table: String, pred: org.apache.spark.sql.Column): Unit =
+  def deleteWhere(table: String, pred: org.apache.spark.sql.Column): Unit = {
+    tagOp("DELETE")
     deleteWhereImpl(table, pred, liveFiles(table))
+  }
 
   private def deleteWhereImpl(table: String, pred: org.apache.spark.sql.Column,
       candidates: Vector[AddDataObject]): Unit = {
@@ -1811,7 +1842,7 @@ final class GraftClient(
       var committed = false
       while (!committed) {
         try {
-          txLog.commit(snapshot, t.actions.toSeq)
+          txLog.commit(snapshot, t.actions.toSeq, t.op)
           committed = true
         } catch {
           case e: CommitConflictException =>
@@ -1909,6 +1940,7 @@ final class GraftClient(
     * tombstoned in the buffer exactly as in [[deleteRows]].
     */
   def deleteRowsDV(table: String, column: String, start: Any, end: Any): Unit = {
+    tagOp("DELETE")
     require(schemaOf(table).fieldNames.contains(column),
       s"no such column: $column")
     deleteWhereDVImpl(table, col(column).between(lit(start), lit(end)),
@@ -2077,6 +2109,7 @@ final class GraftClient(
     * the standard way to fork production data for an experiment.
     */
   def shallowClone(src: String, dst: String): Unit = {
+    tagOp("CLONE")
     val t = currentTx
     require(t.tables.contains(src), s"no such table: $src")
     require(!t.tables.contains(dst), s"table exists: $dst")
@@ -2106,6 +2139,7 @@ final class GraftClient(
     * clone is the table as it WAS, configuration included.
     */
   def shallowCloneAt(src: String, dst: String, asOf: Long): Unit = {
+    tagOp("CLONE")
     val t = currentTx
     require(!t.tables.contains(dst), s"table exists: $dst")
     val snap = txLog.beginAt(asOf)
@@ -2147,6 +2181,7 @@ final class GraftClient(
     * (checked here up front, before anything is staged).
     */
   def restore(table: String, asOf: Long): Unit = {
+    tagOp("RESTORE")
     val t = currentTx
     require(t.buffers.get(table).forall(_.isEmpty),
       s"restore requires no buffered rows for $table in the open tx")
@@ -2216,6 +2251,7 @@ final class GraftClient(
   def compact(table: String,
       targetRows: Long = GraftClient.DefaultCompactTargetRows,
       scope: Option[(String, Any, Any)] = None): Unit = {
+    tagOp("COMPACT")
     require(targetRows >= 2, "targetRows must be >= 2")
     val t = currentTx
     val schema = schemaOf(table)
@@ -2420,6 +2456,7 @@ final class GraftClient(
     */
   private def relayout(table: String, numBuckets: Int)(
       exchange: DataFrame => Option[DataFrame]): Unit = {
+    tagOp("CLUSTER")
     val t = currentTx
     val schema = schemaOf(table)
     val files = liveFiles(table)
@@ -2492,6 +2529,7 @@ final class GraftClient(
     * O(bundle rows + touched objects). Returns true when applied.
     */
   def importChanges(dstTable: String, bundleDir: String): Boolean = {
+    tagOp("REPLICATE")
     val metaPath = java.nio.file.Paths.get(s"$bundleDir/bundle.json")
     require(java.nio.file.Files.exists(metaPath),
       s"not a bundle (no bundle.json): $bundleDir")
@@ -2566,6 +2604,7 @@ final class GraftClient(
 
   private def analyzeInto(table: String, columns: Seq[String],
       files: Vector[AddDataObject], base: Map[String, Array[Byte]]): Unit = {
+    tagOp("ANALYZE")
     val t = currentTx
     val schema = schemaOf(table)
     columns.foreach(c => require(schema.fieldNames.contains(c),
@@ -2632,6 +2671,7 @@ final class GraftClient(
     */
   def clusterByBounded(table: String, column: String,
       numBuckets: Int = 16): Unit = {
+    tagOp("CLUSTER")
     require(numBuckets >= 2, "numBuckets must be >= 2")
     val t = currentTx
     val schema = schemaOf(table)
@@ -2664,6 +2704,7 @@ final class GraftClient(
     * objects re-bucketed.
     */
   def clusterIncremental(table: String, column: String): Int = {
+    tagOp("CLUSTER")
     val t = currentTx
     val props = tablePropertiesOf(table)
     val bounds = props.get(s"graft.cluster.$column.bounds")
@@ -2739,7 +2780,7 @@ final class GraftClient(
   def history(): Vector[(Long, Vector[Action])] = txLog.entries()
 
   /** [[history]] with each commit's wall-clock timestamp (millis). */
-  def historyDetailed(): Vector[(Long, Long, Vector[Action])] =
+  def historyDetailed(): Vector[(Long, Long, Option[String], Vector[Action])] =
     txLog.entriesDetailed()
 
   /** Write a checkpoint of the current snapshot immediately (the

@@ -453,10 +453,11 @@ final class TxLog(store: ObjectStore) {
     * entries from logs written before the field existed) — the
     * timestamped DESCRIBE HISTORY surface.
     */
-  def entriesDetailed(): Vector[(Long, Long, Vector[Action])] =
+  def entriesDetailed(): Vector[(Long, Long, Option[String], Vector[Action])] =
     store.listPrefixOrdered(LogPrefix).map { n =>
       val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
       (j("id").asLong, j.get("ts").map(_.asLong).getOrElse(0L),
+        j.get("op").map(_.asStr),
         j("actions").asArr.map(actionFromJson))
     }.toVector
 
@@ -576,15 +577,21 @@ final class TxLog(store: ObjectStore) {
     * (rethrow — the caller may safely retry the SAME id, nothing landed).
     * Replay ignores the extra key, so old logs stay readable.
     */
-  def commit(snapshot: Snapshot, actions: Seq[Action]): Unit = {
+  def commit(snapshot: Snapshot, actions: Seq[Action],
+      op: Option[String] = None): Unit = {
     if (actions.isEmpty) return // read-only tx writes nothing (txns.go:120-131)
     val id = snapshot.version
     val commitId = java.util.UUID.randomUUID().toString
-    val body = Json.write(Json.obj(
+    // `op` is commitInfo in the ENVELOPE, not a new action type: replay
+    // ignores unknown envelope keys, so old readers stay compatible and
+    // no protocol bump is needed
+    val fields = Seq(
       "id" -> Json.num(id),
       "commitId" -> Json.str(commitId),
-      "ts" -> Json.num(System.currentTimeMillis()),
-      "actions" -> Json.arr(actions.map(actionToJson))))
+      "ts" -> Json.num(System.currentTimeMillis())) ++
+      op.map(o => "op" -> Json.str(o)).toSeq :+
+      ("actions" -> Json.arr(actions.map(actionToJson)))
+    val body = Json.write(Json.obj(fields: _*))
     val won =
       try store.putIfAbsent(logName(id), body.getBytes("UTF-8"))
       catch {

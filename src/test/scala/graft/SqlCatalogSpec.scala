@@ -158,13 +158,18 @@ class SqlCatalogSpec extends AnyFunSuite {
       "column => 'k')") === Seq(Row("p", "k")))
     val ckptV = rows(s"CALL $cat.system.checkpoint()")
     assert(ckptV.head.getLong(0) >= 6L)
-    // history carries timestamps and per-kind action counts
+    // history carries timestamps, operation names, per-kind action counts
     val hist = spark.sql(s"CALL $cat.system.history(100)")
-    assert(hist.schema.fieldNames.toSeq === Seq("version", "ts", "operations"))
+    assert(hist.schema.fieldNames.toSeq ===
+      Seq("version", "ts", "operation", "operations"))
     val ops = hist.collect()
     assert(ops.length >= 7) // create + 5 inserts + compact + bloom
     assert(ops.forall(r => r.getTimestamp(1).getTime > 0))
-    assert(ops.exists(_.getString(2).contains("ChangeMetadata")))
+    assert(ops.exists(_.getString(3).contains("ChangeMetadata")))
+    // operation names from the commit envelope (first public verb wins)
+    assert(ops.exists(_.getString(2) == "CREATE TABLE"))
+    assert(ops.exists(_.getString(2) == "INSERT"))
+    assert(ops.exists(_.getString(2) == "COMPACT"))
     // vacuum(0) reclaims the 5 pre-compaction objects
     val reclaimed = rows(s"CALL $cat.system.vacuum(retain_versions => 0)")
     assert(reclaimed.head.getInt(0) >= 5)
