@@ -554,7 +554,50 @@ object Events {
     WHERE p.event_type = 'purchase'
     ORDER BY p_id, c_id"""
 
+  // --- SCD Type 2: change-tracked dimension from an event stream ----------
+  // The warehouse classic: per user, collapse the event-type sequence
+  // into validity segments — one row per RUN of equal values, carrying
+  // [valid_from, valid_to) and a current-row flag. Two windows over one
+  // user-keyed shuffle (run detection by lag, segment close by lead);
+  // at 100 TB the cost is the single user_id exchange, the same key
+  // every other per-user op here already shuffles on.
+  def qEventsScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  private val qEventsScd2Sql = """
+    WITH runs AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM (
+        SELECT user_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events)
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        AS valid_to,
+      (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        IS NULL) AS is_current
+    FROM runs
+    ORDER BY user_id, valid_from"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "q_events_scd2" -> QueryDef(qEventsScd2, Some(qEventsScd2Sql),
+      "SCD Type 2 dimension build: per-user event-type runs collapsed " +
+        "into [valid_from, valid_to) validity segments + current flag"),
     "q_events_attribution" -> QueryDef(qEventsAttribution,
       Some(qEventsAttributionSql),
       "purchase-to-click attribution: LEFT OUTER interval join on the " +

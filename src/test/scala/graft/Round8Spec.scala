@@ -594,6 +594,63 @@ class Round8Spec extends AnyFunSuite {
     } finally dst.rollback()
   }
 
+  test("replication model: a random mutation history replays bundle-by-bundle") {
+    val (src, _) = freshClient()
+    val (dst, _) = freshClient()
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v")
+    src.newTx()
+    src.createTable("t", df(Seq((0L, 0L))).schema)
+    src.insert("t", df((0L until 40L).map(k => k -> k)))
+    src.commitTx()
+    dst.newTx(); dst.createTable("t", df(Seq((0L, 0L))).schema); dst.commitTx()
+    var applied = 0L
+    def ship(): Unit = {
+      val to = src.latestVersion
+      if (to == applied) return
+      val b = Files.createTempDirectory("graft_r8_mb").toString
+      src.newTx()
+      try src.exportChanges("t", Seq("k"), applied, to, b)
+      finally src.rollback()
+      dst.newTx()
+      assert(dst.importChanges("t", b))
+      dst.commitTxRetrying()
+      applied = to
+    }
+    ship()
+    (1 to 12).foreach { _ =>
+      src.newTx()
+      rnd.nextInt(3) match {
+        case 0 => // fresh inserts in a new key band
+          val base = 100L + rnd.nextInt(1000)
+          src.insert("t", df((0L until 5L).map(i => (base + i) -> rnd.nextLong(50))))
+        case 1 => // range delete
+          val lo = rnd.nextInt(40).toLong
+          src.deleteRows("t", "k", lo, lo + rnd.nextInt(10))
+        case 2 => // keyed upsert via MERGE (update some, insert some)
+          val ks = Seq.fill(6)(rnd.nextInt(60).toLong).distinct
+          src.merge("t", df(ks.map(k => k -> rnd.nextLong(50))), Seq("k"))
+      }
+      src.commitTx()
+      ship()
+    }
+    def state(c: GraftClient): Map[Long, Long] = {
+      c.newTx()
+      try c.currentState("t", Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally c.rollback()
+    }
+    val want = state(src)
+    val got = state(dst)
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"replica diverged after 12 random mutations: ${
+        (want.toSet diff got.toSet).take(5)} / ${
+        (got.toSet diff want.toSet).take(5)}")
+  }
+
   test("insertEvolving: widens, null-fills, and refuses type conflicts") {
     val (c, _) = freshClient()
     val n = spark.read.parquet(s"$dir/nation.parquet")
