@@ -194,6 +194,20 @@ object TxQueries {
             .select("n_nationkey", "n_name"))
         c.commitTx()
 
+        // nation14 + quarantine: expectations split one batch into the
+        // main table and the quarantine table ATOMICALLY (one tx, two
+        // tables); both sides are hash-checked
+        c.newTx()
+        c.createTable("nation14", nation.schema)
+        c.createTable("nation14_q", org.apache.spark.sql.types.StructType(
+          nation.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "_violated", org.apache.spark.sql.types.StringType,
+            nullable = true)))
+        c.insertExpect("nation14", nation, Map(
+          "key_small" -> "n_nationkey < 20",
+          "region_ok" -> "n_regionkey <> 2"), "nation14_q")
+        c.commitTx()
+
         // ANALYZE: NDV sketches for nation's name/regionkey — consumed
         // by tx_ndv from METADATA alone (approxDistinct never opens an
         // object; the DuckDB oracle replays the register pipeline over
@@ -1008,7 +1022,45 @@ object TxQueries {
       FROM nation WHERE n_nationkey >= 20)
     ORDER BY n_nationkey"""
 
+  // --- Expectations + quarantine --------------------------------------------
+  def txExpectations(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scan("nation14")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txExpectationsSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey < 20 AND n_regionkey <> 2
+    ORDER BY n_nationkey"""
+
+  def txExpectationsQ(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.scan("nation14_q")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_violated"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txExpectationsQSql = """
+    SELECT n_nationkey, n_name, n_regionkey,
+      concat_ws(',',
+        CASE WHEN n_nationkey < 20 THEN NULL ELSE 'key_small' END,
+        CASE WHEN n_regionkey <> 2 THEN NULL ELSE 'region_ok' END)
+        AS _violated
+    FROM nation
+    WHERE NOT (n_nationkey < 20 AND n_regionkey <> 2)
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "tx_expectations" -> QueryDef(txExpectations, Some(txExpectationsSql),
+      "expectations: rows passing every named rule land in the main " +
+        "table (quarantine split is atomic — one tx, two tables)"),
+    "tx_expectations_q" -> QueryDef(txExpectationsQ,
+      Some(txExpectationsQSql),
+      "the quarantine side: failing rows tagged with the comma-joined " +
+        "names of the expectations they violated"),
     "tx_replicate" -> QueryDef(txReplicate, Some(txCurrentStateSql),
       "cross-store incremental replication: two exported change bundles " +
         "(keyed diffs, O(changed rows)) rebuild the source's state on a " +

@@ -936,6 +936,46 @@ final class GraftClient(
     insert(table, df.select(cols.toIndexedSeq: _*))
   }
 
+  /** Expectations with QUARANTINE (the Delta-Live-Tables pattern, the
+    * third enforcement mode next to refuse-the-commit CHECK constraints
+    * and silent filters): every row is evaluated against every named
+    * expectation; passing rows land in `table`, failing rows land in
+    * `quarantineTable` tagged `_violated` (comma-joined failed
+    * expectation names, name order) — BOTH inserts in the SAME
+    * transaction, which multi-table commits make atomic: downstream
+    * sees the full batch split or nothing, and the quarantine table is
+    * an ordinary transactional table to inspect, fix, and re-ingest.
+    * The classification is evaluated ONCE on a pinned copy (the merge
+    * discipline): a non-deterministic source cannot route a row to both
+    * tables or neither. Returns (passed, quarantined) counts.
+    */
+  def insertExpect(table: String, df: DataFrame,
+      expectations: Map[String, String],
+      quarantineTable: String): (Long, Long) = {
+    tagOp("INSERT")
+    require(expectations.nonEmpty, "no expectations given")
+    val qSchema = schemaOf(quarantineTable)
+    require(qSchema.fieldNames.contains("_violated"),
+      s"$quarantineTable needs a _violated STRING column")
+    val flags = expectations.toSeq.sortBy(_._1).map { case (name, e) =>
+      when(coalesce(expr(e), lit(false)), lit(null).cast("string"))
+        .otherwise(lit(name))
+    }
+    val tagged = df
+      .withColumn("_violated", concat_ws(",", flags: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = tagged.filter(col("_violated") === "").drop("_violated")
+      val bad = tagged.filter(col("_violated") =!= "")
+      val nGood = good.count()
+      val nBad = bad.count()
+      if (nGood > 0) insert(table, good)
+      if (nBad > 0) insert(quarantineTable,
+        bad.select(qSchema.fieldNames.map(col).toIndexedSeq: _*))
+      (nGood, nBad)
+    } finally tagged.unpersist(false)
+  }
+
   /** Identity-column insert (Delta's GENERATED ALWAYS AS IDENTITY, client
     * form): `df` carries every table column EXCEPT `idCol` (a LongType
     * column of the table); this call reserves the id range
