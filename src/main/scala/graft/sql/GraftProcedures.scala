@@ -38,7 +38,7 @@ object GraftProcedures {
     Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
       "set_partitioning", "cluster_bounded", "cluster_incremental",
-      "analyze")
+      "analyze", "replicate_export", "replicate_import")
 
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
@@ -241,6 +241,38 @@ object GraftProcedures {
               Long.box(r.getLong(4)), Long.box(r.getLong(5)),
               Long.box(r.getLong(6)))
           }
+        }))
+      case "replicate_export" => Some(proc(name,
+        "export the keyed change bundle for a commit window — the " +
+          "portable unit of cross-store incremental replication",
+        Seq(in("table", StringType), in("keys", StringType),
+          in("from_version", LongType), in("to_version", LongType),
+          in("out_dir", StringType)),
+        StructType(Seq(StructField("bundle", StringType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val keys = args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val (fromV, toV) = (args.getLong(2), args.getLong(3))
+          val out = args.getUTF8String(4).toString
+          val c = client
+          c.newTx()
+          try Seq(row(UTF8String.fromString(
+            c.exportChanges(t, keys, fromV, toV, out))))
+          finally c.rollback()
+        }))
+      case "replicate_import" => Some(proc(name,
+        "apply an exported change bundle exactly-once (SetTxn window " +
+          "watermark; out-of-order bundles refuse with a gap error)",
+        Seq(in("table", StringType), in("bundle_dir", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("applied", BooleanType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val b = args.getUTF8String(1).toString
+          val c = client
+          c.newTx()
+          val applied = c.importChanges(t, b)
+          if (applied) c.commitTxRetrying() else c.rollback()
+          Seq(row(UTF8String.fromString(t), Boolean.box(applied)))
         }))
       case "analyze" => Some(proc(name,
         "ANALYZE: store mergeable per-column HLL NDV sketches in table " +

@@ -722,4 +722,24 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(s"SELECT count(*) AS n FROM $cat.t") === Seq(Row(2L)))
     assert(!props().contains("graft.appendOnly"))
   }
+
+  test("replicate_export/import procedures move a window across stores") {
+    val (cat1, root1) = newCatalog()
+    val (cat2, _) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat1.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat1.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $cat1.t WHERE k = 2")
+    val toV = new GraftClient(spark, root1).latestVersion
+    val bundle = Files.createTempDirectory("graft_sql_bundle").toString
+    rows(s"CALL $cat1.system.replicate_export('t', 'k', 0, $toV, '$bundle')")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT, v STRING)")
+    assert(rows(s"CALL $cat2.system.replicate_import('t', '$bundle')") ===
+      Seq(Row("t", true)))
+    assert(rows(s"SELECT k, v FROM $cat2.t ORDER BY k") ===
+      Seq(Row(1L, "a"), Row(3L, "c")))
+    // exactly-once: a re-applied bundle is a no-op
+    assert(rows(s"CALL $cat2.system.replicate_import('t', '$bundle')") ===
+      Seq(Row("t", false)))
+    assert(rows(s"SELECT count(*) AS n FROM $cat2.t") === Seq(Row(2L)))
+  }
 }
