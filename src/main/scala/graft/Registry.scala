@@ -34,6 +34,7 @@ object Registry {
       queries.SimilarityOps.defs ++
       queries.ProjectionOps.defs ++
       queries.MmrOps.defs ++
+      queries.GraphOps.defs ++
       queries.Multimodal.defs ++
       queries.TxQueries.defs ++
       queries.SqlSurface.defs ++

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Graph analytics over the events AFFINITY graph — the bipartite
+  * user ↔ event-type graph keeping only OVER-REPRESENTED edges (the type
+  * makes up ≥ 1/5 of that user's events), which gives the graph real
+  * structure: users link to 1–4 types, types collect very different
+  * followings, degrees vary 2–9 on the fixture. PageRank over it is the
+  * canonical iterative-join workload (Page et al. 1999; GraphX executes
+  * the same shape as repeated shuffles) ranking types by weighted
+  * attention and users by breadth.
+  *
+  * Spark-native shape: `Iters` rounds of (edges ⋈ ranks) → groupBy(dst),
+  * each a hash-partitioned join on the node id (the partitioning a real
+  * cluster reuses across rounds), each round persisted and the previous
+  * freed — the [[DedupCluster]] iteration discipline. The per-term
+  * contribution rank/deg is a double computed identically in both
+  * engines and each round's sum is DECIMAL-exact, so all 10 rounds
+  * replay in DuckDB bit-for-bit as unrolled CTEs (the induction the PCA
+  * covariance established: exact sums of identical terms stay identical).
+  */
+object GraphOps {
+
+  private val Damping = 0.85
+  private val Iters = 10
+
+  private def edges0(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val ut = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val tot = ev.groupBy("user_id").agg(count(lit(1)).as("t"))
+    ut.join(tot, "user_id")
+      .filter(col("c") * 5 >= col("t"))
+      .select(concat(lit("u:"), col("user_id")).as("a"),
+        concat(lit("t:"), col("event_type")).as("b"))
+  }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = edges0(spark, dir)
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src")
+      val n = deg.count()
+      var ranks = deg
+        .select(col("src").as("id"),
+          (lit(1.0) / lit(n.toDouble)).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (1 to Iters).foreach { _ =>
+        val next = ed.join(ranks, ed("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("deg")).as("c"))
+          .groupBy("dst")
+          .agg(graft.util.Tables.dsum(col("c"), 15).as("s"))
+          .select(col("dst").as("id"),
+            (lit(0.15) / lit(n.toDouble) +
+              lit(Damping) * col("s")).as("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before freeing the previous round
+        ranks.unpersist(false)
+        ranks = next
+      }
+      ranks
+        .select(col("id").as("node"), round(col("rank"), 9).as("pagerank"))
+        .orderBy("node")
+    } finally edges.unpersist(false)
+  }
+
+  private def graphPagerankSql: String = {
+    val rounds = (1 to Iters).map { k =>
+      s"""r$k AS (
+      SELECT e.dst AS id,
+        0.15e0 / nn.n + 0.85e0 *
+          CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(30,15))) AS DOUBLE)
+          AS rank
+      FROM edges e
+      JOIN r${k - 1} r ON r.id = e.src
+      JOIN deg d ON d.id = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, count(*) AS t FROM events GROUP BY 1),
+    e0 AS (
+      SELECT 'u:' || CAST(ut.user_id AS VARCHAR) AS a,
+             't:' || event_type AS b
+      FROM ut JOIN tot USING (user_id) WHERE ut.c * 5 >= tot.t),
+    edges AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL
+      SELECT b, a FROM e0),
+    deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT id, 1.0e0 / nn.n AS rank FROM deg CROSS JOIN nn),
+    $rounds
+    SELECT id AS node, round(rank, 9) AS pagerank
+    FROM r$Iters ORDER BY id"""
+  }
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "graph_pagerank" -> QueryDef(graphPagerank, Some(graphPagerankSql),
+      "PageRank (d=0.85, 10 rounds) over the user/event-type affinity " +
+        "graph: iterative hash-joins on the node id, DECIMAL-exact " +
+        "round sums, oracle replays all rounds as unrolled CTEs"))
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GraphOps
+
+/** Behavior pins for PageRank beyond the DuckDB oracle (which proves the
+  * 10-round replay): the probability-mass invariants of the algorithm
+  * and the hub structure of the affinity graph.
+  */
+class GraphSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("PageRank: positive ranks, conserved mass, hubs outrank leaves") {
+    val rows = GraphOps.graphPagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, r) => assert(r > 0, s"$id rank $r <= 0") }
+    // no dangling nodes (symmetric edges): each round redistributes all
+    // mass, so sum(rank) stays at 1 up to the per-round 1e-15 rounding
+    val mass = rows.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass drifted from 1")
+    // the affinity graph is irregular by construction (users keep 1-4
+    // over-represented types, types collect different followings), so
+    // the ranks must NOT be the uniform fixed point
+    assert(rows.map(_._2).max > rows.map(_._2).min,
+      "affinity graph ranks collapsed to uniform")
+    // type nodes aggregate many users' attention: the global top rank
+    // belongs to a type hub
+    val top = rows.maxBy(_._2)._1
+    assert(top.startsWith("t:"), s"top-ranked node $top is not a type hub")
+  }
+}
