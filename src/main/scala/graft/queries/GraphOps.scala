@@ -120,7 +120,42 @@ object GraphOps {
     FROM r$Iters ORDER BY id"""
   }
 
+  // --- Triangle enumeration over the near-dup pair graph -------------------
+  // The standard distributed algorithm: with edges canonically ordered
+  // (a < b, which the pair queries already emit), a triangle is exactly
+  // e1=(a,b) ⋈ e2=(b,c) closed by e3=(a,c) — two equi-joins, each
+  // triangle found ONCE. The ordering bounds the join fan-out by
+  // out-degree, and the pair set's bucket caps bound that upstream;
+  // no enumeration step is ever quadratic in nodes. Triangles in the
+  // near-dup graph are mutually-duplicated triples — the clusters
+  // where transitive closure is load-bearing rather than incidental.
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = DedupOps.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    p.as("e1")
+      .join(p.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(p.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+      .orderBy("a", "b", "c")
+  }
+
+  private val graphTrianglesSql = s"""
+    WITH p AS (
+      ${DedupOps.ngramPairsSql}
+    )
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM p e1
+    JOIN p e2 ON e2.doc_a = e1.doc_b
+    JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ORDER BY a, b, c"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "graph_triangles" -> QueryDef(graphTriangles, Some(graphTrianglesSql),
+      "triangle enumeration over the near-dup pair graph via the " +
+        "ordered-edge two-join algorithm: each mutually-duplicated " +
+        "triple found exactly once, fan-out bounded by out-degree"),
     "graph_pagerank" -> QueryDef(graphPagerank, Some(graphPagerankSql),
       "PageRank (d=0.85, 10 rounds) over the user/event-type affinity " +
         "graph: iterative hash-joins on the node id, DECIMAL-exact " +
