@@ -468,11 +468,13 @@ final class GraftClient(
     val t = currentTx
     t.readTables += table
     schemaOf(table) // no such table fails here, loudly
-    require(t.snapshot.liveDvs(table, t.actions.toSeq).isEmpty,
+    // COMMITTED snapshot only — this tx's staged objects and DVs are
+    // uncommitted and must neither be listed nor block the export
+    require(t.snapshot.liveDvs(table).isEmpty,
       s"$table has live deletion vectors; a path manifest cannot express " +
         "row masks — run a full-sweep compact to retire them, then " +
         "regenerate")
-    val parts = liveFiles(table).flatMap { a =>
+    val parts = t.snapshot.liveFiles(table).flatMap { a =>
       val d = new java.io.File(s"$rootDir/${a.path}")
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
         .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
@@ -954,6 +956,8 @@ final class GraftClient(
       quarantineTable: String): (Long, Long) = {
     tagOp("INSERT")
     require(expectations.nonEmpty, "no expectations given")
+    require(!df.schema.fieldNames.contains("_violated"),
+      "the insert frame may not carry a _violated column")
     val qSchema = schemaOf(quarantineTable)
     require(qSchema.fieldNames.contains("_violated"),
       s"$quarantineTable needs a _violated STRING column")
@@ -2590,6 +2594,7 @@ final class GraftClient(
     val keys = "\"keys\"\\s*:\\s*\\[([^\\]]*)\\]".r
       .findFirstMatchIn(meta).map(_.group(1)).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).map(unq).toSeq
+    require(keys.nonEmpty, s"bundle has no key columns: $bundleDir")
     val appId = s"graft-replicate:$src:$srcTable"
     val applied = lastTxn(appId).getOrElse(0L)
     if (applied >= toV) return false // this window already landed
@@ -2634,7 +2639,10 @@ final class GraftClient(
     require(cols.nonEmpty,
       s"$table has no NDV stats; run analyzeNdv first")
     val since = cols.map(c => props(ndvTxKey(c)).toLong).min
-    val fresh = liveFiles(table).filter(_.txId > since)
+    // >= : same-tx objects flushed after the marker tx recorded it are
+    // still unfolded; re-folding an already-folded object is a NO-OP
+    // under the register max-merge, so the overlap is self-healing
+    val fresh = liveFiles(table).filter(_.txId >= since)
     if (fresh.isEmpty) return 0
     val base = cols.map(c => c ->
       java.util.Base64.getDecoder.decode(props(ndvKey(c)))).toMap
@@ -2716,6 +2724,7 @@ final class GraftClient(
     val t = currentTx
     val schema = schemaOf(table)
     require(schema.fieldNames.contains(column), s"no such column: $column")
+    flush(table) // buffered rows join the re-layout instead of dodging it
     val files = liveFiles(table)
     require(files.nonEmpty, s"$table is empty; nothing to cluster")
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
@@ -2753,7 +2762,13 @@ final class GraftClient(
         s"$table has no bounded clustering on $column; " +
           "run clusterByBounded first"))
     val since = props(s"graft.cluster.$column.txid").toLong
-    val fresh = liveFiles(table).filter(_.txId > since)
+    flush(table) // same-tx buffered rows become objects we can re-bucket
+    // >= : an object written by the SAME tx that recorded the marker
+    // (buffered rows flushed after a cluster call) is still unclustered;
+    // re-bucketing an already-aligned object is wasteful but correct,
+    // and rebucket outputs carry their inputs' older minTx, so they are
+    // never picked up again
+    val fresh = liveFiles(table).filter(_.txId >= since)
     if (fresh.isEmpty) return 0
     rebucketFiles(table, fresh, bucketIdExpr(column, bounds))
     setTableProperties(table,
