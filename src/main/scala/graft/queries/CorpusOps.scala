@@ -358,7 +358,96 @@ object CorpusOps {
     GROUP BY doc_id, n_positions
     ORDER BY doc_id"""
 
+  // --- The release manifest: what a training run actually consumes ---------
+  /** The funnel's OUTPUT side: the kept set (same gates as
+    * [[corpusCuration]] — length, repetition, decontamination, dedup
+    * survivor) assigned to train/val/test by the deterministic md5
+    * bucket (the `text_split_assign` rule, so re-releases land docs in
+    * the same split), summarized per split as the doc/token/char
+    * manifest a training run is handed. One composition, every gate
+    * shared with its standalone query.
+    */
+  def corpusRelease(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val words = split(regexp_replace(trim(col("text")), "\\s+", " "), " ")
+    val ratio = size(array_distinct(words)).cast("double") / size(words)
+    val nTokens = size(split(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+      .cast("long")
+    val gated = docs.select(col("doc_id"), col("n_chars"),
+      nTokens.as("n_tokens"),
+      (col("n_chars") >= MinChars && ratio >= MinDistinctRatio)
+        .as("gates_ok"))
+    val contaminated = contaminatedDocIds(spark, dir)
+      .select(col("doc_id"), lit(true).as("is_cont"))
+    val survivors = dedupCorpus(spark, dir)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("is_surv"))
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")),
+      1, 15), 16, 10).cast("bigint"), lit(100L))
+    gated.join(contaminated, Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .filter(col("gates_ok") &&
+        coalesce(col("is_cont"), lit(false)) === false &&
+        coalesce(col("is_surv"), lit(false)) === true)
+      .withColumn("split", when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+  }
+
+  private val corpusReleaseSql = s"""
+    WITH RECURSIVE $dedupClosureCtes,
+    sv AS (SELECT doc_id FROM surv WHERE rn = 1),
+    cw AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    csized AS (SELECT doc_id, ws, len(ws) - 12 AS n_positions
+      FROM cw WHERE len(ws) >= 13),
+    cg AS (
+      SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+      FROM csized, unnest(range(1, n_positions + 1)) t(i)),
+    cprobe AS (SELECT DISTINCT gram FROM cg WHERE doc_id < $ProbeMax),
+    cont AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN cprobe USING (gram)
+      WHERE cg.doc_id >= $ProbeMax),
+    kept AS (
+      SELECT d.doc_id, d.n_chars,
+        len(string_split(
+          regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '))
+          AS n_tokens
+      FROM documents d
+      LEFT JOIN cont ON cont.doc_id = d.doc_id
+      JOIN sv ON sv.doc_id = d.doc_id
+      WHERE d.n_chars >= $MinChars
+        AND CAST(len(list_distinct(string_split(
+              regexp_replace(trim(d.text), '\\s+', ' ', 'g'), ' ')))
+            AS DOUBLE) /
+            len(string_split(
+              regexp_replace(trim(d.text), '\\s+', ' ', 'g'), ' '))
+            >= $MinDistinctRatio
+        AND cont.doc_id IS NULL)
+    SELECT CASE
+        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < 80 THEN 'train'
+        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < 90 THEN 'val'
+        ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM kept
+    GROUP BY 1
+    ORDER BY split"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "corpus_release" -> QueryDef(corpusRelease, Some(corpusReleaseSql),
+      "the release manifest: the curated kept set split train/val/test " +
+        "by the deterministic md5 bucket, per-split doc/token/char " +
+        "totals — the funnel's handoff artifact"),
     "dedup_corpus" -> QueryDef(dedupCorpus, Some(dedupCorpusSql),
       "END-TO-END dedup: exact groups + near-dup pairs closed " +
         "transitively, one canonical survivor per cluster"),
