@@ -32,6 +32,8 @@ object Registry {
       queries.DedupCluster.defs ++
       queries.CorpusOps.defs ++
       queries.SimilarityOps.defs ++
+      queries.MiningOps.defs ++
+      queries.SegmentOps.defs ++
       queries.ProjectionOps.defs ++
       queries.MmrOps.defs ++
       queries.GraphOps.defs ++

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.GraftFunctions
+import graft.util.Tables._
+
+/** Training-set mining over `embeddings` (`vec_id, embedding float[64],
+  * label`): the two embedding-space curation passes a contrastive /
+  * classifier training pipeline runs after dedup.
+  *
+  *   - simHardNegatives: hard-negative mining — for each query vector, the
+  *     top-k most similar vectors whose label DIFFERS from the query's.
+  *     These are the confusable negatives a contrastive loss learns most
+  *     from (the standard dense-retrieval mining step). Same
+  *     broadcast-queries / scan-corpus-once / two-phase top-k shape as
+  *     SimilarityOps.simTopK — linear in corpus size, no corpus shuffle —
+  *     with the label inequality composed into the join condition so
+  *     same-label rows are dropped before scoring.
+  *   - simPrototypeOutliers: prototypicality pruning (the SSL-prototypes
+  *     metric of Sorscher et al. 2022, "Beyond neural scaling laws") —
+  *     score every vector by cosine to its own label's centroid and
+  *     surface the least-prototypical members per label: likely
+  *     mislabels / noise, the rows a data-pruning pass drops first.
+  *
+  * Oracle determinism: centroids are summed over ROWS, and double addition
+  * is order-dependent, so the centroid is computed in EXACT integer space —
+  * components quantized to 1e-4 via floor(x*10000+0.5) (floor, not round:
+  * no half-even/half-up ambiguity across engines), summed as BIGINTs, and
+  * the centroid left UNNORMALIZED (cosine is scale-invariant, so the sum
+  * vector scores identically to the mean vector). Every sum stays far
+  * under 2^53, so the subsequent double cosine sees exactly-representable
+  * inputs and both engines compute bit-identical scores.
+  */
+object MiningOps {
+
+  private def cosine(a: Column, b: Column): Column =
+    call_function("vector_cosine", a, b)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+  }
+
+  // --- Hard-negative mining -------------------------------------------------
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"))
+    // label inequality in the join condition: same-label rows never score
+    val scored = e.join(broadcast(q), col("label") =!= col("query_label"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val candidates = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(wLocal))
+      .filter(col("_rk") <= 5)
+      .drop("_pid", "_rk")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simHardNegativesSql = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM e),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+          FROM n WHERE vec_id < 10)
+    SELECT qid AS query_id, qlabel AS query_label, rnk AS "rank",
+      vec_id AS neighbor_id, label AS neighbor_label,
+      round(cos, 6) AS cos_sim
+    FROM (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+        list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm) AS cos,
+        row_number() OVER (
+          PARTITION BY q.qid
+          ORDER BY list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm) DESC,
+                   e.vec_id) AS rnk
+      FROM n e JOIN q ON e.label != q.qlabel) x
+    WHERE rnk <= 5
+    ORDER BY query_id, "rank""""
+
+  // --- Prototypicality outliers ---------------------------------------------
+  /** Quantization scale: 1e-4 components keep every integer sum exact in
+    * a double (|x|<1, dim 64 → dot terms ≤ ~6e3 * 6e3*n; norms bounded
+    * well under 2^53 through corpus sizes orders of magnitude past the
+    * test SFs).
+    */
+  private val Scale = 10000
+
+  def simPrototypeOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(v, x -> floor(x * $Scale + 0.5d))").as("q"))
+    // centroid = EXACT elementwise integer sum per label (order-free);
+    // dims explode to (label, dim, x) with map-side partial sums — the
+    // shuffle carries 10 labels x 64 dims, not the corpus
+    val cent = e.select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), " +
+        "f -> cast(f.s as double))").as("cv"))
+    val members = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+    val scored = e
+      .join(broadcast(cent), Seq("label"))
+      .join(broadcast(members), Seq("label"))
+      .withColumn("cos",
+        cosine(expr("transform(q, x -> cast(x as double))"), col("cv")))
+    // least-prototypical 3 per label, two-phase so no label becomes a
+    // single-reducer sort at scale
+    val wLocal = Window.partitionBy(col("label"), col("_pid"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    val candidates = scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(wLocal))
+      .filter(col("_rk") <= 3)
+      .drop("_pid", "_rk")
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("proto_cos"), col("n_members"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  private val simPrototypeOutliersSql = s"""
+    WITH e AS (
+      SELECT vec_id, label,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(floor(x * $Scale + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    dims AS (
+      SELECT label, i AS dim, q[i] AS x
+      FROM e, LATERAL unnest(range(1, 65)) AS t(i)),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS cv
+      FROM (SELECT label, dim, CAST(sum(x) AS BIGINT) AS s
+            FROM dims GROUP BY label, dim)
+      GROUP BY label),
+    members AS (SELECT label, count(*) AS n_members FROM e GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label, m.n_members,
+        list_dot_product(qd, cv) /
+          (sqrt(list_dot_product(qd, qd)) * sqrt(list_dot_product(cv, cv)))
+          AS cos
+      FROM (SELECT vec_id, label,
+              list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+            FROM e) e
+      JOIN cent USING (label) JOIN members m USING (label))
+    SELECT label, rnk AS "rank", vec_id, round(cos, 6) AS proto_cos,
+      n_members
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY cos ASC, vec_id) AS rnk
+          FROM scored) x
+    WHERE rnk <= 3
+    ORDER BY label, "rank""""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "sim_hard_negatives" -> QueryDef(simHardNegatives,
+      Some(simHardNegativesSql),
+      "hard-negative mining: top-5 cross-label cosine neighbors per " +
+        "query vector (broadcast queries, one corpus scan, two-phase " +
+        "top-k) — the dense-retrieval contrastive mining step"),
+    "sim_prototype_outliers" -> QueryDef(simPrototypeOutliers,
+      Some(simPrototypeOutliersSql),
+      "prototypicality pruning (SSL-prototypes): cosine to the own-label " +
+        "centroid, 3 least-prototypical members per label; centroid is " +
+        "an exact integer sum so the oracle is bit-deterministic"))
+}

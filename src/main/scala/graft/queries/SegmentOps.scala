@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.util.Tables._
+
+/** Segment-level text curation over `documents`: the chunk/bigram passes a
+  * web-corpus pipeline runs between document-level filtering and packing.
+  *
+  *   - textBoilerplate: CCNet/RefinedWeb-style boilerplate removal adapted
+  *     to newline-free text — documents are segmented into consecutive
+  *     8-word chunks (deterministic segmentation standing in for line
+  *     splits), a chunk seen in >= 3 DISTINCT documents is template
+  *     boilerplate, and each document is reassembled from its surviving
+  *     chunks in order. Corpus-frequency removal, NOT pairwise dedup: a
+  *     nav-bar shared by a million pages dies here without any pair ever
+  *     being enumerated (contrast dedup_substring_cut's owner-keeps cut).
+  *   - textLengthBuckets: padding-efficiency batch planning — docs are
+  *     routed to power-of-two token-length buckets, batches of 16 form
+  *     WITHIN (bucket, shard) so no bucket becomes one global sort, and
+  *     the rollup prices the padding cost of pad-to-batch-max vs
+  *     pad-to-bucket (the fairseq-style length-bucketed batching step).
+  *   - textPmi: collocation mining — adjacent-pair lift over the corpus
+  *     bigram table in EXACT integer arithmetic (lift_ppm below), the
+  *     PMI ranking step of phrase-vocabulary induction.
+  *
+  * All arithmetic is integral (counts, integer division), so the DuckDB
+  * oracles match bit-for-bit; every stage is one hash exchange over keys
+  * the corpus already produces (chunk hash, bucket, bigram).
+  */
+object SegmentOps {
+
+  private val ChunkWords = 8
+  private val BoilerDocs = 3
+
+  // --- Boilerplate chunk removal --------------------------------------------
+  /** (doc_id, pos, chunk): consecutive ChunkWords-word segments, last one
+    * ragged. One explode, no shuffle until the frequency agg.
+    */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${ChunkWords}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $ChunkWords + 1, $ChunkWords), ' '))"))
+        .as(Seq("pos", "chunk")))
+
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val c = chunks(spark, dir)
+    val freq = c.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    // join on the chunk key both sides already hash by; the boilerplate
+    // SET is small but the chunk table is corpus-sized, so this stays a
+    // shuffle join, never a forced broadcast
+    c.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= BoilerDocs, 1).otherwise(0)).as("n_removed"),
+        // collect_list skips nulls: only surviving chunks are gathered,
+        // array_sort restores document order
+        expr(s"array_join(transform(array_sort(collect_list(" +
+          s"IF(nd < $BoilerDocs, struct(pos, chunk), NULL))), " +
+          "f -> f.chunk), ' ')").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textBoilerplateSql = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, i AS pos,
+            array_to_string(
+              ws[(i * $ChunkWords + 1):(i * $ChunkWords + $ChunkWords)],
+              ' ') AS chunk
+          FROM w, LATERAL unnest(
+            range(CAST(ceil(len(ws) / ${ChunkWords}.0) AS BIGINT))) AS t(i)),
+    f AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM c GROUP BY chunk)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(sum(CASE WHEN f.nd >= $BoilerDocs THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      coalesce(string_agg(CASE WHEN f.nd < $BoilerDocs THEN c.chunk END,
+        ' ' ORDER BY c.pos), '') AS clean_text
+    FROM c JOIN f USING (chunk)
+    GROUP BY c.doc_id ORDER BY doc_id"""
+
+  // --- Length-bucketed batch planning ---------------------------------------
+  private val BatchSize = 16
+  private val NumShards = 8
+
+  /** Power-of-two bucket via a fixed CASE ladder (no float log2): exact
+    * and identical across engines.
+    */
+  private def bucketLadder(nExpr: String): String =
+    s"CASE WHEN $nExpr <= 16 THEN 16 WHEN $nExpr <= 32 THEN 32 " +
+      s"WHEN $nExpr <= 64 THEN 64 WHEN $nExpr <= 128 THEN 128 " +
+      s"WHEN $nExpr <= 256 THEN 256 WHEN $nExpr <= 512 THEN 512 " +
+      "ELSE 1024 END"
+
+  def textLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("bucket", expr(bucketLadder("n")).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(NumShards.toLong)))
+    // batches form within (bucket, shard): deterministic, and the window
+    // sort is per-shard, never one reducer per bucket; longest-first
+    // ordering packs similar lengths together (minimal pad-to-max waste)
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n").desc, col("doc_id"))
+    val batched = d.withColumn("batch",
+      ((row_number().over(w) - 1) / BatchSize).cast("long"))
+    val perBatch = batched.groupBy(col("bucket"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("mx"),
+        sum(col("n")).as("tok"))
+    perBatch.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("tok")).as("total_tokens"),
+        (sum(col("mx") * col("cnt")) - sum(col("tok"))).as("pad_to_max"),
+        (sum(col("bucket") * col("cnt")) - sum(col("tok")))
+          .as("pad_to_bucket"))
+      .orderBy(col("bucket"))
+  }
+
+  private val textLengthBucketsSql = s"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, n, CAST(${bucketLadder("n")} AS BIGINT) AS bucket,
+        doc_id % $NumShards AS shard
+      FROM d),
+    r AS (
+      SELECT *, (row_number() OVER (
+          PARTITION BY bucket, shard ORDER BY n DESC, doc_id) - 1)
+          // $BatchSize AS batch
+      FROM b),
+    pb AS (
+      SELECT bucket, shard, batch, count(*) AS cnt, max(n) AS mx,
+        CAST(sum(n) AS BIGINT) AS tok
+      FROM r GROUP BY bucket, shard, batch)
+    SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_batches,
+      CAST(sum(tok) AS BIGINT) AS total_tokens,
+      CAST(sum(mx * cnt) - sum(tok) AS BIGINT) AS pad_to_max,
+      CAST(sum(bucket * cnt) - sum(tok) AS BIGINT) AS pad_to_bucket
+    FROM pb GROUP BY bucket ORDER BY bucket"""
+
+  // --- PMI collocations -----------------------------------------------------
+  private val PmiMinCount = 10
+
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = d.select(explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> struct(ws[i - 1] AS a, ws[i] AS b))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = d.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val pairCounts = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    // unigram table + scalar total both broadcast: the corpus-sized pass
+    // is the single bigram aggregation above
+    pairCounts
+      .join(broadcast(uni.withColumnRenamed("w", "a")
+        .withColumnRenamed("c", "c_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("w", "b")
+        .withColumnRenamed("c", "c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      // lift in parts-per-million, exact integer arithmetic (div, not /:
+      // Spark's / on longs is a double divide):
+      // lift = p(ab)/(p(a)p(b)) ~= c_ab * N / (c_a * c_b)
+      .withColumn("lift_ppm", expr(
+        "CAST((c_ab * n_tokens * 1000000L) div (c_a * c_b) AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift_ppm").desc, col("a"), col("b"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("a"), col("b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("lift_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  private val textPmiSql = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT ws[i] AS a, ws[i + 1] AS b
+           FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)),
+    uni AS (SELECT unnest(ws) AS tok FROM w),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg
+           GROUP BY a, b HAVING count(*) >= $PmiMinCount),
+    scored AS (
+      SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        CAST(pc.c_ab * t.n_tokens * 1000000 // (ua.c * ub.c) AS BIGINT)
+          AS lift_ppm
+      FROM pc JOIN uc ua ON pc.a = ua.tok
+              JOIN uc ub ON pc.b = ub.tok, tot t)
+    SELECT rnk AS "rank", a, b, c_ab, c_a, c_b, lift_ppm
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY lift_ppm DESC, a, b) AS rnk
+          FROM scored) x
+    WHERE rnk <= 20 ORDER BY rnk"""
+
+  def defs: Seq[(String, QueryDef)] = Seq(
+    "text_boilerplate" -> QueryDef(textBoilerplate,
+      Some(textBoilerplateSql),
+      "CCNet-style boilerplate removal: 8-word chunk segmentation, " +
+        "chunks in >= 3 distinct docs stripped by corpus frequency " +
+        "(no pair enumeration), docs reassembled in order"),
+    "text_length_buckets" -> QueryDef(textLengthBuckets,
+      Some(textLengthBucketsSql),
+      "length-bucketed batch planning: power-of-two buckets, batches " +
+        "of 16 within (bucket, shard), padding priced pad-to-max vs " +
+        "pad-to-bucket — all-integer, shard-parallel"),
+    "text_pmi" -> QueryDef(textPmi, Some(textPmiSql),
+      "PMI collocation mining: top-20 adjacent-pair lift in exact " +
+        "integer ppm over one bigram aggregation; unigram table and " +
+        "total broadcast"))
+}
