@@ -343,6 +343,22 @@ object GraftProcedures {
           Seq(row(UTF8String.fromString(t),
             UTF8String.fromString(cols.mkString(","))))
         }))
+      case "reorg" => Some(proc(name,
+        "REORG/PURGE: rewrite every live object so physical column " +
+          "names match the logical schema (bakes in metadata-only " +
+          "renames/drops) and deletion vectors are materialized and " +
+          "retired — the O(table) physical-cleanup companion to the " +
+          "metadata-only schema changes; layout and original txIds " +
+          "survive",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("table", StringType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val c = client
+          c.newTx()
+          c.materializeSchema(t)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t)))
+        }))
       case _ => None
     }
   }

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{MiningOps, SegmentOps}
+
+/** Behavior pins for the mining / segment-curation queries beyond their
+  * DuckDB oracles (which prove value equality): the structural invariants
+  * each operator promises, checked against the raw fixtures — plus the
+  * `CALL system.reorg` SQL surface over materializeSchema.
+  */
+class MiningSegmentSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val n = new AtomicInteger(0)
+
+  test("hard negatives: cross-label only, dense ranks, valid cosines") {
+    val rows = MiningOps.simHardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("query_label") != r.getAs[Int]("neighbor_label"),
+        s"negative shares the query's label: $r")
+      val cos = r.getAs[Double]("cos_sim")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5),
+        s"query $q ranks not dense 1..5")
+    }
+  }
+
+  test("prototype outliers: 3 per label, ascending prototypicality") {
+    val rows = MiningOps.simPrototypeOutliers(spark, dir).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.size == 10, s"expected 10 labels, got ${byLabel.size}")
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.length == 3, s"label $l has ${rs.length} outliers")
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("proto_cos")).toSeq
+      assert(byRank == byRank.sorted,
+        s"label $l outliers not ascending in proto_cos: $byRank")
+      // an outlier is by definition below the label's membership size
+      rs.foreach(r => assert(r.getAs[Long]("n_members") >= 3))
+    }
+  }
+
+  test("boilerplate: chunk accounting consistent with the raw corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SegmentOps.textBoilerplate(spark, dir)
+    val raw = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("words"))
+    val joined = out.join(raw, "doc_id").collect()
+    assert(joined.length == raw.count())
+    var removedTotal = 0L
+    joined.foreach { r =>
+      val words = r.getAs[Int]("words")
+      val nChunks = r.getAs[Long]("n_chunks")
+      val nRemoved = r.getAs[Long]("n_removed")
+      assert(nChunks == (words + 7) / 8,
+        s"doc ${r.getAs[Long]("doc_id")}: $nChunks chunks for $words words")
+      assert(nRemoved >= 0 && nRemoved <= nChunks)
+      val clean = r.getAs[String]("clean_text")
+      if (nRemoved == 0)
+        assert(clean.split(" ").count(_.nonEmpty) == words,
+          "untouched doc must reassemble to its original word count")
+      if (nRemoved == nChunks) assert(clean.isEmpty)
+      removedTotal += nRemoved
+    }
+    assert(removedTotal > 0,
+      "fixture contains >=3-doc chunks; removal must fire somewhere")
+  }
+
+  test("length buckets: doc conservation, power-of-two, pad ordering") {
+    val rows = SegmentOps.textLengthBuckets(spark, dir).collect()
+    val total = graft.util.Tables.t(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert((b & (b - 1)) == 0 && b >= 16, s"bucket $b not a power of two")
+      val toMax = r.getAs[Long]("pad_to_max")
+      val toBucket = r.getAs[Long]("pad_to_bucket")
+      assert(toMax >= 0 && toBucket >= toMax,
+        s"bucket $b: pad_to_bucket $toBucket < pad_to_max $toMax")
+      assert(r.getAs[Long]("n_batches") >= 1)
+    }
+  }
+
+  test("pmi: min-count respected, lift descending, dense top-20") {
+    val rows = SegmentOps.textPmi(spark, dir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val lifts = rows.sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("lift_ppm")).toSeq
+    assert(lifts == lifts.sorted.reverse, "lift not descending by rank")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= 10)
+      assert(r.getAs[Long]("c_a") >= r.getAs[Long]("c_ab"))
+      assert(r.getAs[Long]("c_b") >= r.getAs[Long]("c_ab"))
+    }
+  }
+
+  test("CALL system.reorg bakes renames in and retires DVs") {
+    val root = Files.createTempDirectory("graft_reorg").toString
+    val cat = s"greorg${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.r VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(s"ALTER TABLE $cat.r RENAME COLUMN v TO w")
+    spark.sql(s"DELETE FROM $cat.r WHERE k = 2")
+    val out = spark.sql(s"CALL $cat.system.reorg('r')").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("r"))
+    // logical result unchanged by the rewrite
+    assert(spark.sql(s"SELECT k, w FROM $cat.r ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // physical files now carry the LOGICAL column name: a raw parquet
+    // read of the live objects must expose `w`, not `v` or a mapped name
+    val client = new graft.table.GraftClient(spark, root)
+    client.newTx()
+    val live = client.scan("r").inputFiles.toSeq
+    client.rollback()
+    val phys = spark.read.parquet(live: _*)
+    // user columns carry the LOGICAL names; the MVCC provenance columns
+    // (_tx_id/_row_idx) ride every data object by design
+    assert(phys.columns.filterNot(_.startsWith("_")).toSet == Set("k", "w"),
+      s"physical columns ${phys.columns.toSeq} after reorg")
+    assert(phys.count() == 2, "DV-masked row must be physically gone")
+  }
+}
