@@ -708,6 +708,98 @@ object TxQueries {
       })
     }
 
+  // --- Metadata-only type widening -------------------------------------------
+  // INT column widened to BIGINT in one ChangeMetadata; pre-widen files
+  // keep int32 bytes (the reader up-converts per file), post-widen rows
+  // carry values past Int.MaxValue — the mix reads as one BIGINT column.
+  private def ensureWiden(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#widen", {
+        val root = Files.createTempDirectory("graft_widen_fixture").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("wdn", nation.schema)
+        c.insert("wdn", nation)
+        c.commitTx()
+        c.newTx()
+        c.widenColumnType("wdn", "n_nationkey",
+          org.apache.spark.sql.types.LongType)
+        c.commitTx()
+        c.newTx()
+        c.insert("wdn", nation.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey").cast("long") + 3000000000L)
+            .as("n_nationkey"), col("n_name")))
+        c.commitTx()
+        root
+      })
+    }
+
+  def txWiden(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureWiden(spark, dir))
+    c.newTx()
+    try c.scan("wdn").select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+    finally c.rollback()
+  }
+
+  private val txWidenSql = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT) + 3000000000, n_name
+    FROM nation WHERE n_nationkey < 5
+    ORDER BY n_nationkey"""
+
+  // --- Initial column defaults ----------------------------------------------
+  // Metadata-only ADD COLUMN ... DEFAULT (Iceberg initial-default shape):
+  // the 25 pre-alter rows read the default by original txId, the 5
+  // post-alter rows own their written values including an explicit null.
+  private def ensureDefaults(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#defaults", {
+        val root = Files.createTempDirectory("graft_dflt_fixture").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("dft", nation.schema)
+        c.insert("dft", nation)
+        c.commitTx()
+        c.newTx()
+        c.addColumnWithDefault("dft",
+          org.apache.spark.sql.types.StructField("bonus",
+            org.apache.spark.sql.types.LongType), "7")
+        c.commitTx()
+        c.newTx()
+        c.insert("dft", nation.filter(col("n_nationkey") < 5)
+          .select((col("n_nationkey") + 100).as("n_nationkey"),
+            col("n_name"),
+            when(col("n_nationkey") >= 2, col("n_nationkey").cast("long"))
+              .as("bonus")))
+        c.commitTx()
+        root
+      })
+    }
+
+  def txDefault(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureDefaults(spark, dir))
+    c.newTx()
+    try c.scan("dft")
+      .select(col("n_nationkey"), col("n_name"), col("bonus"))
+      .orderBy(col("n_nationkey"))
+    finally c.rollback()
+  }
+
+  private val txDefaultSql = """
+    SELECT n_nationkey, n_name, CAST(7 AS BIGINT) AS bonus FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name,
+      CASE WHEN n_nationkey >= 2 THEN CAST(n_nationkey AS BIGINT) END
+        AS bonus
+    FROM nation WHERE n_nationkey < 5
+    ORDER BY n_nationkey"""
+
   def txIdentity(spark: SparkSession, dir: String): DataFrame = {
     val c = new GraftClient(spark, ensureIdentity(spark, dir))
     c.newTx()
@@ -1133,6 +1225,14 @@ object TxQueries {
     "tx_source_time_travel" -> QueryDef(txSourceTimeTravel,
       Some(txTimeTravelSql),
       "format(\"graft\").option(\"versionAsOf\", ...) historical read"),
+    "tx_widen" -> QueryDef(txWiden, Some(txWidenSql),
+      "metadata-only type widening: INT column to BIGINT in one " +
+        "ChangeMetadata, old int32 files up-converted per file by the " +
+        "reader, post-widen rows past Int.MaxValue"),
+    "tx_default" -> QueryDef(txDefault, Some(txDefaultSql),
+      "ADD COLUMN with an initial DEFAULT: metadata-only widening, " +
+        "pre-alter rows read the default by original txId, post-alter " +
+        "rows own their values (explicit null stays null)"),
     "tx_identity" -> QueryDef(txIdentity, Some(txIdentitySql),
       "GENERATED ALWAYS AS IDENTITY: two inserts reserve id ranges " +
         "atomically via the property high-water; ids replayed with " +

@@ -215,6 +215,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(ren.fieldNames().length == 1,
             "nested column changes are not supported")
           c.renameColumn(t, ren.fieldNames()(0), ren.newName())
+        // ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only type
+        // widening (narrowing refuses inside widenColumnType)
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames().length == 1,
+            "nested column changes are not supported")
+          c.widenColumnType(t, upd.fieldNames()(0), upd.newDataType())
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1,
             "nested column changes are not supported")

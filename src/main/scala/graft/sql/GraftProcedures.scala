@@ -343,6 +343,28 @@ object GraftProcedures {
           Seq(row(UTF8String.fromString(t),
             UTF8String.fromString(cols.mkString(","))))
         }))
+      case "add_column" => Some(proc(name,
+        "ALTER TABLE ADD COLUMN with an INITIAL DEFAULT: metadata-only " +
+          "widening where rows written before the column existed read " +
+          "the default (by original txId, so the fill survives " +
+          "compaction/REORG); later writes own their values, explicit " +
+          "nulls stay null",
+        Seq(in("table", StringType), in("column", StringType),
+          in("type", StringType), in("default", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("column", StringType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val colName = args.getUTF8String(1).toString
+          val dt = org.apache.spark.sql.types.DataType
+            .fromDDL(args.getUTF8String(2).toString)
+          val dflt = args.getUTF8String(3).toString
+          val c = client
+          c.newTx()
+          c.addColumnWithDefault(t,
+            org.apache.spark.sql.types.StructField(colName, dt), dflt)
+          c.commitTxRetrying()
+          Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName)))
+        }))
       case "reorg" => Some(proc(name,
         "REORG/PURGE: rewrite every live object so physical column " +
           "names match the logical schema (bakes in metadata-only " +

@@ -281,6 +281,98 @@ final class GraftClient(
     t.actions += ChangeMetadata(table, widened)
   }
 
+  /** METADATA-ONLY type widening (Delta's type-widening table feature):
+    * change a column to a strictly wider type in one ChangeMetadata —
+    * zero data objects touched at any table size. Old files keep their
+    * narrow physical encoding; the parquet reader up-converts per file
+    * (int32 read as long, float as double, decimal rescaled — native in
+    * Spark 4's vectorized reader). Sound around the sidecars by
+    * construction and by repair:
+    *   - min/max STATS are stored pre-normalized to the Long/Double
+    *     domain ([[ColStats.normalize]]), so pruning compares identically
+    *     across the transition;
+    *   - BLOOM probes hash the probe cast to the CURRENT column type
+    *     (xxhash64(3L) != xxhash64(3: Int)), so this column's bloom
+    *     sidecars are DROPPED here (metadata-only re-Adds, the same
+    *     commit shape as buildBloom) — a stale bloom would silently
+    *     false-prune; rebuild with buildBloom when wanted.
+    * Widening chains only (byte<short<int<long, float<double,
+    * integral→double, decimal growth that never shrinks scale or
+    * integer digits); anything else refuses — narrowing is a rewrite,
+    * not an ALTER.
+    */
+  def widenColumnType(table: String, column: String,
+      newType: DataType): Unit = {
+    tagOp("ALTER")
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(schema.fieldNames.contains(column), s"no such column: $column")
+    val f = schema(schema.fieldIndex(column))
+    require(isWidening(f.dataType, newType),
+      s"cannot widen ${f.dataType.simpleString} to ${newType.simpleString}" +
+        ": only byte<short<int<long, float<double, integral->double and " +
+        "non-shrinking decimal growth are metadata-only")
+    flush(table) // buffered rows land under the pre-widening schema
+    val phys = physName(f)
+    liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
+      t.actions += RemoveDataObject(table, a.path)
+      t.actions += a.copy(blooms = a.blooms - phys)
+    }
+    val widened = StructType(schema.fields.map(x =>
+      if (x.name == column) x.copy(dataType = newType) else x))
+    t.tables(table) = widened
+    t.actions += ChangeMetadata(table, widened)
+  }
+
+  private def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) =>
+        true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision > a.precision || b.scale > a.scale)
+      case _ => false
+    }
+
+  /** [[addColumn]] with an INITIAL DEFAULT (Iceberg's initial-default /
+    * Delta's existingDefault shape): metadata-only — the default literal
+    * and the alter's snapshot version ride the column's field metadata,
+    * and reads fill the default for exactly the rows written BEFORE the
+    * column existed (`_tx_id < since`; CoW rewrites preserve original
+    * txIds, so the fill survives compaction/REORG untouched). Rows
+    * written after the alter carry the physical column; an explicit null
+    * stays null — this is a read default for pre-existing rows, not a
+    * write default. Exact under concurrency: appends conflict with
+    * ChangeMetadata, so every committed row either predates the alter or
+    * was written against the widened schema. The literal must be a
+    * foldable non-null expression castable to the column type — checked
+    * eagerly so a typo fails at ALTER time, not at first read.
+    */
+  def addColumnWithDefault(table: String, field: StructField,
+      defaultSql: String): Unit = {
+    val checked =
+      try spark.range(1).select(expr(defaultSql).cast(field.dataType))
+        .collect().head.get(0)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"default for ${field.name} does not evaluate as " +
+            s"${field.dataType.simpleString}: $defaultSql", e)
+      }
+    require(checked != null,
+      s"default for ${field.name} must not evaluate to null: $defaultSql")
+    val since = currentTx.snapshot.version
+    val withDefault = field.copy(metadata = new MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putString(DefaultValKey, defaultSql)
+      .putLong(DefaultSinceKey, since).build())
+    addColumn(table, withDefault)
+  }
+
   /** Narrow `table` by dropping a column — METADATA-ONLY via column
     * mapping: one ChangeMetadata action, zero data objects touched, O(1)
     * at any table size. The dropped column's bytes stay in the files
@@ -553,8 +645,13 @@ final class GraftClient(
       StructField("_ord", IntegerType, nullable = false))))
     // _obj is stamped by the read layer on the SCAN, before the DV
     // anti-join (a plan with the DV read joined in has two sources);
-    // readObjects yields LOGICAL columns, so colSource maps logical names
-    val routed = applyDvs(readObjects(schema, files, tagObj = true), dvs)
+    // readObjects yields LOGICAL columns, so colSource maps logical names.
+    // Initial defaults are BAKED into the rewrite (materializeSchema
+    // clears the field metadata that drives the read-time fill, so the
+    // fill must become physical bytes here — the REORG materializes
+    // defaults exactly like it materializes DVs)
+    val routed = applyDefaults(schema,
+      applyDvs(readObjects(schema, files, tagObj = true), dvs))
       .join(broadcast(lookup), Seq("_obj"), "left")
       // an inner join here would silently DROP any row whose derived _obj
       // fails to resolve (empty input_file_name under a plan/reader change);
@@ -780,6 +877,31 @@ final class GraftClient(
 
   /** Field-metadata key holding a column's physical name. */
   val PhysKey = "graftPhysical"
+
+  /** Field-metadata keys for initial column defaults
+    * ([[addColumnWithDefault]]): the default's SQL literal, and the
+    * alter-time snapshot version — rows with `_tx_id` strictly below it
+    * predate the column and read the default.
+    */
+  val DefaultValKey = "graftDefault"
+  val DefaultSinceKey = "graftDefaultSince"
+
+  /** Fill initial defaults on a logical-column frame that still carries
+    * provenance: null values in rows written before the column existed
+    * become the stored literal. A frame read at a pre-alter version never
+    * gets here with the metadata (the snapshot's schema lacks it).
+    */
+  private def applyDefaults(schema: StructType, df: DataFrame): DataFrame = {
+    val defaulted = schema.fields.filter(_.metadata.contains(DefaultValKey))
+    if (defaulted.isEmpty) df
+    else defaulted.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, when(
+        col(f.name).isNull &&
+          col(TxIdCol) < f.metadata.getLong(DefaultSinceKey),
+        expr(f.metadata.getString(DefaultValKey)).cast(f.dataType))
+        .otherwise(col(f.name)))
+    }
+  }
 
   private def physName(f: StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
@@ -1235,13 +1357,15 @@ final class GraftClient(
         applyDvs(readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq))
     val buf = t.buffers.getOrElse(table, mutable.ArrayBuffer())
-    if (buf.isEmpty) committed
-    else {
-      val rows = buf.map { case (idx, r) =>
-        Row.fromSeq(r.toSeq :+ t.id :+ idx)
-      }.toList.asJava
-      committed.unionByName(spark.createDataFrame(rows, pSchema))
-    }
+    val all =
+      if (buf.isEmpty) committed
+      else {
+        val rows = buf.map { case (idx, r) =>
+          Row.fromSeq(r.toSeq :+ t.id :+ idx)
+        }.toList.asJava
+        committed.unionByName(spark.createDataFrame(rows, pSchema))
+      }
+    applyDefaults(schema, all)
   }
 
   /** Suppress rows named by live deletion vectors: a broadcast anti join
@@ -1601,7 +1725,10 @@ final class GraftClient(
     // reporting the feed.
     def aligned(df: DataFrame): DataFrame =
       df.select(schema.fields.toIndexedSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
+        // present columns cast too: a type WIDENING inside the window
+        // leaves the before side narrower, and the join/compare below
+        // must see one type (the cast is a no-op when types match)
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     // a KEY column added in the window means the before side cannot be
@@ -2052,7 +2179,10 @@ final class GraftClient(
     val pSchema = provSchema(schema)
     val files = snap.liveFiles(table)
     if (files.isEmpty) spark.createDataFrame(List.empty[Row].asJava, pSchema)
-    else applyDvs(readObjects(schema, files), snap.liveDvs(table))
+    // the as-of SCHEMA drives the fill: at a pre-alter version the
+    // column (and its default metadata) doesn't exist yet
+    else applyDefaults(schema,
+      applyDvs(readObjects(schema, files), snap.liveDvs(table)))
   }
 
   /** [[currentState]] of the historical snapshot at `asOf`.
@@ -2138,7 +2268,10 @@ final class GraftClient(
     if (adds.isEmpty)
       spark.createDataFrame(List.empty[Row].asJava, schema)
     else
-      readObjects(schema, adds).select(cols: _*)
+      // initial defaults fill here too: a stream reading a pre-alter
+      // window through the CURRENT schema sees the same values a batch
+      // scan would (the fill keys on each row's own txId)
+      applyDefaults(schema, readObjects(schema, adds)).select(cols: _*)
   }
 
   /** SHALLOW CLONE: fork `src` as a new table `dst` without copying a

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Pins for initial column defaults (`addColumnWithDefault` /
+  * `CALL system.add_column`) beyond the tx_default oracle: the version
+  * boundary, validation, time travel, and the interplay with the two
+  * rewrite families (compact preserves the fill via original txIds;
+  * REORG bakes it into bytes because it clears the driving metadata).
+  */
+class DefaultsSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val n = new AtomicInteger(0)
+
+  private def fixture(): (GraftClient, String) = {
+    val root = Files.createTempDirectory("graft_defaults").toString
+    val ss = spark
+    import ss.implicits._
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))))
+    c.insert("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    c.commitTx()
+    (c, root)
+  }
+
+  test("old rows read the default, new rows own values, null stays null") {
+    val (c, _) = fixture()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((3L, "c", Some(5L)), (4L, "d", None))
+      .toDF("k", "v", "score"))
+    c.commitTx()
+    c.newTx()
+    val got = c.scan("t").select("k", "score").orderBy("k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+                                 else Some(r.getLong(1)))).toSeq
+    c.rollback()
+    assert(got == Seq(1L -> Some(42L), 2L -> Some(42L),
+      3L -> Some(5L), 4L -> None))
+  }
+
+  test("defaults validate eagerly: null and non-castable refuse") {
+    val (c, _) = fixture()
+    c.newTx()
+    intercept[IllegalArgumentException] {
+      c.addColumnWithDefault("t", StructField("x", LongType), "NULL")
+    }
+    intercept[IllegalArgumentException] {
+      c.addColumnWithDefault("t", StructField("y", LongType),
+        "'not a number'")
+    }
+    c.rollback()
+  }
+
+  test("time travel to a pre-alter version has no column, post-alter fills") {
+    val (c, _) = fixture()
+    c.newTx()
+    val preAlter = c.latestVersion
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx()
+    assert(!c.scanAsOf("t", preAlter).columns.contains("score"))
+    val post = c.scanAsOf("t", c.latestVersion)
+    assert(post.select("score").collect().map(_.getLong(0)).toSeq ==
+      Seq(42L, 42L))
+    c.rollback()
+  }
+
+  test("compact preserves the fill; REORG bakes it into physical bytes") {
+    val (c, _) = fixture()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((3L, "c", Some(5L))).toDF("k", "v", "score"))
+    c.commitTx()
+    val expected = Seq(1L -> 42L, 2L -> 42L, 3L -> 5L)
+    def state(): Seq[(Long, Long)] = {
+      c.newTx()
+      try c.scan("t").select("k", "score").orderBy("k").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      finally c.rollback()
+    }
+    c.newTx(); c.compact("t", 1000); c.commitTx()
+    assert(state() == expected, "fill lost across compact")
+    c.newTx(); c.materializeSchema("t"); c.commitTx()
+    assert(state() == expected, "fill lost across REORG")
+    // post-REORG the default is BYTES: raw parquet shows 42, no metadata
+    c.newTx()
+    val live = c.scan("t").inputFiles.toSeq
+    c.rollback()
+    val raw = spark.read.parquet(live: _*)
+      .select("k", "score").orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(raw == expected, s"raw physical rows $raw lack baked defaults")
+  }
+
+  test("CALL system.add_column: the SQL surface end-to-end") {
+    val root = Files.createTempDirectory("graft_defaults_sql").toString
+    val cat = s"gdflt${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b')")
+    val out = spark.sql(
+      s"CALL $cat.system.add_column('t', 'score', 'BIGINT', '7')").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("t", "score")))
+    spark.sql(s"INSERT INTO $cat.t VALUES (3,'c', 9)")
+    assert(spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 9L)))
+  }
+}

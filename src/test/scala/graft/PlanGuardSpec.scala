@@ -45,7 +45,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // same 10-row broadcast probe shape feeding the MMR shortlist
     "sim_mmr",
     // 1-row corpus-totals crossJoin (tt/ts/v) feeding the log-ratio
-    "text_dsir")
+    "text_dsir",
+    // 10-row broadcast query side on the label-inequality non-equi
+    // probe (sim_topk's exact shape with the cross-label filter)
+    "sim_hard_negatives",
+    // 1-row token-total crossJoin feeding the integer lift expression
+    "text_pmi")
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     val self = p +: p.children.flatMap(collectAll)

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Pins for metadata-only type widening beyond the tx_widen oracle: the
+  * refusal matrix, sidecar soundness (stats still prune, stale blooms
+  * are dropped — a kept bloom would FALSE-PRUNE because probe hashes are
+  * typed), time travel, and the SQL ALTER COLUMN TYPE path.
+  */
+class WidenSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val n = new AtomicInteger(0)
+
+  private def fixture(): GraftClient = {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_widen").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType))))
+    // three objects with disjoint key ranges so stats pruning is visible
+    c.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((10, "c"), (11, "d")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((20, "e"), (21, "f")).toDF("k", "v"))
+    c.commitTx()
+    c
+  }
+
+  test("widening refuses narrowing and unrelated conversions") {
+    val c = fixture()
+    c.newTx()
+    intercept[IllegalArgumentException] {
+      c.widenColumnType("t", "k", ByteType) // narrowing
+    }
+    intercept[IllegalArgumentException] {
+      c.widenColumnType("t", "v", LongType) // string -> long
+    }
+    intercept[IllegalArgumentException] {
+      c.widenColumnType("t", "k", IntegerType) // no-op
+    }
+    c.rollback()
+  }
+
+  test("decimal growth: scale and integer digits may only grow") {
+    val c = fixture()
+    c.newTx()
+    c.addColumn("t", StructField("d", DecimalType(10, 2)))
+    c.commitTx()
+    c.newTx()
+    intercept[IllegalArgumentException] {
+      c.widenColumnType("t", "d", DecimalType(10, 4)) // digits shrink
+    }
+    c.widenColumnType("t", "d", DecimalType(20, 4)) // both grow: fine
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("t").schema("d").dataType == DecimalType(20, 4))
+    c.rollback()
+  }
+
+  test("stats still prune after widening; values read back as long") {
+    val c = fixture()
+    c.newTx()
+    c.widenColumnType("t", "k", LongType)
+    c.commitTx()
+    c.newTx()
+    // pre-widen footer stats (stored normalized as longs) prune with
+    // long bounds: the [10,11] object alone survives
+    val pruned = c.scanBounded("t", Seq("k" -> (5L, 15L)))
+    val objects = pruned.inputFiles
+      .map(_.split('/').dropRight(1).last).distinct
+    assert(objects.length == 1,
+      s"expected 1 object, opened ${objects.toSeq}")
+    assert(c.scan("t").select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 10L, 11L, 20L, 21L))
+    c.rollback()
+  }
+
+  test("widening drops the column's blooms instead of false-pruning") {
+    val c = fixture()
+    c.newTx()
+    c.buildBloom("t", "k", numBits = 1024, k = 4)
+    c.commitTx()
+    c.newTx()
+    c.widenColumnType("t", "k", LongType)
+    c.commitTx()
+    c.newTx()
+    // a stale int-hashed bloom would reject the long-typed probe hash
+    // and silently drop the row; the widen removed it, so the equality
+    // scan falls back to stats and finds the row
+    // scanPruned prunes FILES only (callers own exact row semantics):
+    // the row must be present — a stale bloom would have dropped its
+    // whole object
+    val hit = c.scanPruned("t", Nil, Seq("k" -> 10L))
+      .filter(col("k") === 10L)
+    assert(hit.select("v").collect().map(_.getString(0)).toSeq == Seq("c"))
+    c.rollback()
+  }
+
+  test("time travel reads the pre-widen schema") {
+    val c = fixture()
+    c.newTx()
+    val preWiden = c.latestVersion
+    c.widenColumnType("t", "k", LongType)
+    c.commitTx()
+    c.newTx()
+    assert(c.scanAsOf("t", preWiden).schema("k").dataType == IntegerType)
+    assert(c.scanAsOf("t", c.latestVersion).schema("k").dataType == LongType)
+    c.rollback()
+  }
+
+  test("SQL: ALTER TABLE ALTER COLUMN TYPE widens end-to-end") {
+    val root = Files.createTempDirectory("graft_widen_sql").toString
+    val cat = s"gwdn${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b')")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3000000005, 'big')")
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3000000005L))
+    // narrowing refuses — Spark's analyzer rejects it before our
+    // catalog's own widenColumnType guard would
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE INT")
+    }
+    val msg = err.getMessage.toLowerCase
+    assert(msg.contains("widen") || msg.contains("cannot") ||
+      msg.contains("not supported"))
+  }
+}
