@@ -41,24 +41,41 @@ object SketchOps {
   private val HllP = 9
   private val HllM = 1 << HllP // 512
 
-  private val CmsDepth = 4
-  private val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
   private val CmsTopK = 20
 
   /** Engine-portable 60-bit hash: top 15 hex chars of md5. */
-  private def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** (lang, w) normalized non-empty words — the same normalization every
-    * text family uses (lower, collapse whitespace, split on space).
+  /** (lang, w) normalized non-empty words from any documents-shaped
+    * frame — the same normalization every text family uses (lower,
+    * collapse whitespace, split on space). Frame-parameterized so the
+    * streaming CMS sink tokenizes its micro-batches identically.
     */
-  private def words(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  private[graft] def wordsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"),
         explode(split(
           regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
           .as("w"))
       .filter(col("w") =!= "")
+
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    wordsOf(t(spark, dir, "documents"))
+
+  /** (term, j, cell) probe coordinates for a `term`-keyed frame — the
+    * same cell addressing [[cmsCellsFrom]] writes with, shared with the
+    * streaming maintainer so build and probe can never drift.
+    */
+  private[graft] def cmsProbes(terms: DataFrame): DataFrame =
+    terms
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .withColumn("cell",
+        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
+          lit(CmsWidth)))
 
   private val wordsSql =
     """SELECT lang, unnest(string_split(

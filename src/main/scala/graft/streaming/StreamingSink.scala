@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, lit, min, raise_error, sum, when}
 
 import graft.table.GraftClient
 
@@ -237,6 +237,88 @@ object StreamingSink {
               .otherwise(col("cnt")))
             .withColumn("_del", col("cnt") === 0L)
           client.merge(mvTable, next, Seq(groupCol),
+            deleteCond = col("_del"), dropCols = Seq("_del"))
+          client.setTxn(appId, batchId)
+          client.commitTxRetrying()
+        }
+      } finally if (client.hasOpenTx) client.rollback()
+    }
+  }
+
+  /** Continuously-maintained COUNT-MIN SKETCH + heavy-hitter candidates
+    * over a stream of documents — the frequency member of the streaming
+    * sketch family. Per micro-batch, ONE transaction:
+    *
+    *   1. tokenize the batch (the exact normalization the batch CMS
+    *      uses) and fold its (term, cnt) vocabulary into a batch-local
+    *      grid delta ([[graft.queries.SketchOps.cmsCellsFrom]]);
+    *   2. MERGE the delta into `gridTable` cell-wise — the CMS union law
+    *      (union of corpora = cell-wise add, pinned in SketchSpec) is
+    *      what makes the stored grid EQUAL the batch grid over
+    *      everything ingested so far, bit-for-bit;
+    *   3. re-estimate candidates against the post-merge grid (an
+    *      in-memory frame — never a re-read): the union of the batch's
+    *      terms and the stored candidates, kept when
+    *      `est * heavyDivisor >= N` (N = exact total token count = the
+    *      sum of hash row 0 — a property of the grid, no separate
+    *      counter), upserted into `candTable`, dropped when they fall
+    *      below as N grows;
+    *   4. a SetTxn watermark rides the same commit — replays skip,
+    *      exactly-once like every sink here.
+    *
+    * State is sketch-sized by construction: the grid is ≤ depth×width
+    * rows (4096) at ANY stream length, candidates are bounded by the
+    * heavy-hitter threshold (≤ ~heavyDivisor×overcount), and per-batch
+    * work is one vocabulary-sized aggregation over the batch — never a
+    * re-scan of history. Both tables are ordinary transactional tables:
+    * snapshot-isolated, time-travelable, readable mid-stream.
+    */
+  def cmsInto(client: GraftClient, gridTable: String, candTable: String,
+      appId: String, heavyDivisor: Long = 50L)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    if (!batch.isEmpty) {
+      import graft.queries.SketchOps
+      val counts = SketchOps.wordsOf(batch)
+        .groupBy(col("w").as("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val delta = SketchOps.cmsCellsFrom(counts)
+        .select(col("j"), col("cell"), col("c").as("_d"))
+      client.newTx()
+      try {
+        if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+        else {
+          if (!client.tables.contains(gridTable))
+            client.createTable(gridTable, delta
+              .select(col("j"), col("cell"), col("_d").as("c")).schema)
+          if (!client.tables.contains(candTable))
+            client.createTable(candTable, counts
+              .select(col("term"), col("cnt").as("cms_est")).schema)
+          // the whole grid is ≤ CmsDepth×CmsWidth rows — read it once,
+          // fold the delta in memory, use the SAME frame for the merge
+          // and the candidate estimates (no post-merge re-read)
+          val cur = client.currentState(gridTable, Seq("j", "cell"))
+            .select(col("j"), col("cell"), col("c"))
+          val nextGrid = delta.join(cur, Seq("j", "cell"), "full")
+            .select(col("j"), col("cell"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+                .as("c"))
+          client.merge(gridTable, nextGrid, Seq("j", "cell"))
+          // N rides the grid: every token lands in exactly one cell of
+          // each hash row, so row 0 sums to the exact total
+          val terms = counts.select(col("term"))
+            .union(client.currentState(candTable, Seq("term"))
+              .select(col("term")))
+            .distinct()
+          val ests = SketchOps.cmsProbes(terms)
+            .join(broadcast(nextGrid), Seq("j", "cell"), "left")
+            .groupBy(col("term"))
+            .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+          val total = nextGrid.filter(col("j") === 0)
+            .agg(sum(col("c")).as("n")).select(col("n"))
+          val next = ests.crossJoin(broadcast(total))
+            .withColumn("_del", col("cms_est") * heavyDivisor < col("n"))
+            .select(col("term"), col("cms_est"), col("_del"))
+          client.merge(candTable, next, Seq("term"),
             deleteCond = col("_del"), dropCols = Seq("_del"))
           client.setTxn(appId, batchId)
           client.commitTxRetrying()

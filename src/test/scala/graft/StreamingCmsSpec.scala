@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SketchOps
+import graft.streaming.StreamingSink
+import graft.table.GraftClient
+
+/** Pins for the streaming COUNT-MIN maintainer: after any number of
+  * micro-batches the stored grid must be CELL-WISE EQUAL to the batch
+  * CMS over everything ingested (the union law made incremental),
+  * candidates must obey the heavy-hitter threshold contract, replays
+  * must not double-count, and estimates must match the batch sketch's.
+  */
+class StreamingCmsSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("3 micro-batches fold to the batch grid; replay no-ops; " +
+    "candidates match the threshold") {
+    val root = Files.createTempDirectory("graft_cms_stream").toString
+    val c = new GraftClient(spark, root)
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val sink = StreamingSink.cmsInto(c, "grid", "heavy", "app_cms")
+    (0 until 3).foreach { b =>
+      sink(docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+    }
+
+    def grid(): Map[(Int, Long), Long] = {
+      c.newTx()
+      try c.currentState("grid", Seq("j", "cell")).collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("cell")) ->
+          r.getAs[Long]("c")).toMap
+      finally c.rollback()
+    }
+    val streamed = grid()
+    val batch = SketchOps.cmsCells(spark, dir).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("c")).toMap
+    assert(streamed == batch,
+      "stored grid diverged from the batch CMS over the same corpus")
+
+    // replayed batch: SetTxn watermark skips it, the grid is unchanged
+    sink(docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+    assert(grid() == batch, "replayed batch double-counted")
+
+    // candidate contract: every stored candidate passes the threshold,
+    // every truly-heavy term is stored (est >= true count, so the
+    // candidate set can only over-approximate)
+    c.newTx()
+    val cands = c.currentState("heavy", Seq("term")).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("cms_est")).toMap
+    c.rollback()
+    val counts = SketchOps.wordsOf(docs)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("cnt")).toMap
+    val n = counts.values.sum
+    assert(cands.nonEmpty)
+    cands.foreach { case (t, est) =>
+      assert(est * 50L >= n, s"stored candidate $t below threshold")
+      assert(est >= counts(t), s"CMS estimate below true count for $t")
+    }
+    counts.filter { case (_, cnt) => cnt * 50L >= n }.keys.foreach { t =>
+      assert(cands.contains(t), s"truly-heavy term $t missing")
+    }
+
+    // estimate equality with the batch sketch on its own top-20
+    val batchTop = SketchOps.sketchCmsHeavy(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("cms_est")).toMap
+    batchTop.foreach { case (t, est) =>
+      cands.get(t).foreach(se =>
+        assert(se == est, s"streamed estimate for $t: $se != batch $est"))
+    }
+  }
+}
