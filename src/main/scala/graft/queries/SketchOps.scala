@@ -96,9 +96,15 @@ object SketchOps {
     * union of corpora = per-register max (pinned in SketchSpec).
     */
   private[graft] def hllRegisters(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    hllRegistersOf(t(spark, dir, "documents"))
+
+  /** [[hllRegisters]] over any documents-shaped frame — shared with the
+    * streaming maintainer so batch and stream hash identically.
+    */
+  private[graft] def hllRegistersOf(docs: DataFrame): DataFrame = {
     val h = h60(col("w"))
-    words(spark, dir)
+    wordsOf(docs)
       .select(col("lang"), pmod(h, lit(HllM)).as("reg"),
         shiftright(h, HllP).as("rest"))
       .withColumn("rho", lit(52) - length(bin(col("rest"))))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, lit, min, raise_error, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, greatest, lit, min, raise_error, sum, when}
 
 import graft.table.GraftClient
 
@@ -320,6 +320,42 @@ object StreamingSink {
             .select(col("term"), col("cms_est"), col("_del"))
           client.merge(candTable, next, Seq("term"),
             deleteCond = col("_del"), dropCols = Seq("_del"))
+          client.setTxn(appId, batchId)
+          client.commitTxRetrying()
+        }
+      } finally if (client.hasOpenTx) client.rollback()
+    }
+  }
+
+  /** Continuously-maintained HYPERLOGLOG registers over a stream of
+    * documents — the distinct-count member of the streaming sketch
+    * family, symmetric to [[cmsInto]]: each micro-batch folds its
+    * (lang, reg, m) register states into `regTable` by PER-REGISTER MAX
+    * (the pinned HLL union law), one exactly-once tx per batch. The
+    * table is <= langs x 512 rows at any stream length; estimates read
+    * from it match the batch sketch bit-for-bit because max-merge is
+    * associative and the hash pipeline is shared code.
+    */
+  def hllInto(client: GraftClient, regTable: String, appId: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    if (!batch.isEmpty) {
+      import graft.queries.SketchOps
+      val delta = SketchOps.hllRegistersOf(batch)
+        .select(col("lang"), col("reg"), col("m").as("_d"))
+      client.newTx()
+      try {
+        if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+        else {
+          if (!client.tables.contains(regTable))
+            client.createTable(regTable, delta
+              .select(col("lang"), col("reg"), col("_d").as("m")).schema)
+          val cur = client.currentState(regTable, Seq("lang", "reg"))
+            .select(col("lang"), col("reg"), col("m"))
+          val next = delta.join(cur, Seq("lang", "reg"), "full")
+            .select(col("lang"), col("reg"),
+              greatest(coalesce(col("m"), lit(0)),
+                coalesce(col("_d"), lit(0))).as("m"))
+          client.merge(regTable, next, Seq("lang", "reg"))
           client.setTxn(appId, batchId)
           client.commitTxRetrying()
         }

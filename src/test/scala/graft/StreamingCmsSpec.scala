@@ -75,4 +75,29 @@ class StreamingCmsSpec extends AnyFunSuite {
         assert(se == est, s"streamed estimate for $t: $se != batch $est"))
     }
   }
+
+  test("streaming HLL registers max-merge to the batch sketch; replay no-ops") {
+    val root = Files.createTempDirectory("graft_hll_stream").toString
+    val c = new GraftClient(spark, root)
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    val sink = StreamingSink.hllInto(c, "regs", "app_hll")
+    (0 until 3).foreach { b =>
+      sink(docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+    }
+    def regs(): Map[(String, Long), Int] = {
+      c.newTx()
+      try c.currentState("regs", Seq("lang", "reg")).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("reg")) ->
+          r.getAs[Int]("m")).toMap
+      finally c.rollback()
+    }
+    val streamed = regs()
+    val batch = SketchOps.hllRegisters(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("reg")) ->
+        r.getAs[Int]("m")).toMap
+    assert(streamed == batch,
+      "stored registers diverged from the batch HLL over the same corpus")
+    sink(docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+    assert(regs() == batch, "replayed batch disturbed the registers")
+  }
 }
