@@ -653,16 +653,8 @@ object SimilarityOps {
       val root = java.nio.file.Files
         .createTempDirectory("graft_ann_store").toString
       val c = new graft.table.GraftClient(spark, root)
-      val e = corpus(spark, dir)
-      val cent = centroidFrame(spark, centroidsFor(spark, dir))
-        .select(col("cid").as("cell"), col("cv"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("_cscore").desc, col("cell"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("_cscore", cosine(col("v"), col("cv")))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("vec_id"), col("cell"), col("v"))
+      val assigned =
+        assignCells(corpus(spark, dir), ivfCentroidFrame(spark, dir))
       c.newTx()
       c.createTable("emb", assigned.schema)
       c.insertPartitioned("emb", assigned, "cell")
@@ -670,6 +662,38 @@ object SimilarityOps {
       root
     })
   }
+
+  /** The trained IVF centroids as a (cell, cv) frame — the shared
+    * assignment basis for the batch table build AND the streaming
+    * maintainer ([[graft.streaming.StreamingSink.ivfInto]]).
+    */
+  private[graft] def ivfCentroidFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    centroidFrame(spark, centroidsFor(spark, dir))
+      .select(col("cid").as("cell"), col("cv"))
+
+  /** Argmax-cell assignment of a (vec_id, v) frame against a broadcast
+    * (cell, cv) centroid frame: one scoring pass, ties to the lower
+    * cell id — identical between batch build and stream ingest by
+    * construction.
+    */
+  private[graft] def assignCells(e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_cscore").desc, col("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("_cscore", cosine(col("v"), col("cv")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("cell"), col("v"))
+  }
+
+  /** Cast a raw embeddings batch (vec_id, embedding float[]) to the
+    * (vec_id, v double[]) shape the assignment scores.
+    */
+  private[graft] def embedBatch(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
 
   /** The IVF probe set for the 10 benchmark queries: (query, query
     * vector, probed cell). Shared by [[simAnnIvfTable]] and its

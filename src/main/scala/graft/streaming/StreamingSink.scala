@@ -363,6 +363,43 @@ object StreamingSink {
     }
   }
 
+  /** Continuously-maintained IVF VECTOR INDEX: streams embeddings into
+    * the cell-partitioned table layout the batch ANN family probes
+    * ([[graft.queries.SimilarityOps.simAnnIvfTable]] — probing = stats-
+    * based file skipping, no index structure besides the table itself).
+    * Per micro-batch, ONE transaction: argmax-cell assignment against
+    * the broadcast trained centroids (the exact batch-build scoring,
+    * shared code), `insertPartitioned` by cell (each batch adds one
+    * stats-single-valued object per touched cell), SetTxn watermark —
+    * exactly-once. A probe issued mid-stream sees a consistent snapshot
+    * and opens only its probed cells' objects.
+    *
+    * Per-cell object count grows by ≤1 per batch; reclaim with the
+    * partition-scoped `compact(table, rows, scope=("cell", c, c))` (or
+    * the table's `graft.autoCompact.maxObjects` property) — maintenance
+    * is O(one cell), never a table rewrite.
+    */
+  def ivfInto(client: GraftClient, table: String, centroids: DataFrame,
+      appId: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        import graft.queries.SimilarityOps
+        val assigned = SimilarityOps.assignCells(
+          SimilarityOps.embedBatch(batch), centroids)
+        client.newTx()
+        try {
+          if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+          else {
+            if (!client.tables.contains(table))
+              client.createTable(table, assigned.schema)
+            client.insertPartitioned(table, assigned, "cell")
+            client.setTxn(appId, batchId)
+            client.commitTxRetrying()
+          }
+        } finally if (client.hasOpenTx) client.rollback()
+      }
+  }
+
   def upsertIntoTable(client: GraftClient, table: String,
       keyCols: Seq[String], appId: String,
       deleteColumn: Option[String] = None): (DataFrame, Long) => Unit = {

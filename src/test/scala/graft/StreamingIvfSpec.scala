@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.SimilarityOps
+import graft.streaming.StreamingSink
+import graft.table.GraftClient
+
+/** Pins for the streaming IVF index maintainer: assignments identical to
+  * the batch build, per-cell object layout (probing = file skipping),
+  * probe results equal to the batch ANN query, replay exactly-once.
+  */
+class StreamingIvfSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed cell table matches the batch build and probes equally") {
+    val root = Files.createTempDirectory("graft_ivf_stream").toString
+    val c = new GraftClient(spark, root)
+    val emb = graft.util.Tables.t(spark, dir, "embeddings")
+    val cent = SimilarityOps.ivfCentroidFrame(spark, dir)
+    val sink = StreamingSink.ivfInto(c, "emb", cent, "app_ivf")
+    (0 until 3).foreach { b =>
+      sink(emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+    }
+
+    // assignments == the batch build's (shared scoring code, but pin the
+    // composition: three partial ingests must cover the corpus exactly)
+    def streamedCells(): Set[(Long, Long)] = {
+      c.newTx()
+      try c.scan("emb").select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally c.rollback()
+    }
+    val expected = SimilarityOps.assignCells(
+      SimilarityOps.embedBatch(emb), cent)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedCells() == expected)
+
+    // replay: watermark skips, nothing double-ingests
+    sink(emb.filter(pmod(col("vec_id"), lit(3)) === 2), 2L)
+    assert(streamedCells() == expected, "replayed batch double-ingested")
+
+    // layout: a one-cell bound opens at most 3 objects (one per batch
+    // that touched the cell) and yields exactly that cell's members
+    val someCell = expected.head._2
+    c.newTx()
+    val oneCell = c.scanBounded("emb", Seq("cell" -> (someCell, someCell)))
+    val objects = oneCell.inputFiles
+      .map(_.split('/').dropRight(1).last).distinct
+    assert(objects.length <= 3,
+      s"cell $someCell spread over ${objects.length} objects")
+    val got = oneCell.filter(col("cell") === someCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    c.rollback()
+    assert(got == expected.filter(_._2 == someCell).map(_._1))
+
+    // probe equivalence: the standard 10-query probe over the STREAMED
+    // table reproduces the batch ANN result exactly
+    val probes = SimilarityOps.ivfProbeFrame(spark, dir)
+    val cells = SimilarityOps.ivfProbedCells(spark, dir)
+    val cand = spark.read.format("graft").option("table", "emb").load(root)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"), col("cell").as("cid"))
+      .join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos",
+        call_function("vector_cosine", col("v"), col("qv")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val streamedProbe = cand.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val batchProbe = SimilarityOps.simAnnIvfTable(spark, dir)
+      .collect().toSeq
+    assert(streamedProbe == batchProbe,
+      "probe over the streamed index diverged from the batch ANN")
+  }
+}
