@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Randomized model test for the round-8 schema features composed with
+  * everything they interact with: upserts, both delete mechanisms,
+  * initial-default column adds, type widening, compaction, and REORG —
+  * against an in-memory row model. The invariant is the user-visible
+  * one: `currentState` equals the model after every mutation mix, no
+  * matter which physical representation (pre-alter files, CoW rewrites,
+  * DV masks, compacted bins, REORG-baked bytes) currently holds a row.
+  */
+class SchemaModelSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("randomized schema evolution matches the model (seed 1234)") {
+    val numRows = 16
+    val numOps = 160
+    val random = new Random(1234)
+    val root = Files.createTempDirectory("graft_schema_model").toString
+    val c = new GraftClient(spark, root)
+
+    // columns: name -> (isLong, defaultForPreexistingRows)
+    val cols = scala.collection.mutable.LinkedHashMap[String, Boolean](
+      "idx" -> false, "v" -> false)
+    var extraCols = 0
+    val model = scala.collection.mutable.Map[Int, Map[String, Long]]()
+
+    c.newTx()
+    c.createTable("m", StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("v", IntegerType))))
+    (0 until numRows).foreach { i =>
+      c.writeRow("m", Seq(i, i * 2))
+      model(i) = Map("idx" -> i.toLong, "v" -> (i * 2).toLong)
+    }
+    c.commitTx()
+
+    def rowValues(idx: Int): (Seq[Any], Map[String, Long]) = {
+      // keys.toSeq first: mapping over the key SET would collapse
+      // duplicate random values and shrink the row
+      val vs = cols.keys.toSeq.map { n =>
+        if (n == "idx") idx.toLong else random.nextInt(1000).toLong
+      }
+      val physical = cols.zip(vs).map { case ((n, isLong), v) =>
+        if (isLong) v else Int.box(v.toInt): Any
+      }.toSeq
+      (physical, cols.keys.zip(vs).toMap)
+    }
+
+    var checks = 0
+    (0 until numOps).foreach { op =>
+      if (op % 40 == 39) { c.newTx(); c.compact("m"); c.commitTx() }
+      if (op % 55 == 54) { c.newTx(); c.materializeSchema("m"); c.commitTx() }
+      c.newTx()
+      assert(c.schemaOf("m").length == cols.size,
+        s"op $op: tracked ${cols.keys.toSeq} vs schema " +
+          s"${c.schemaOf("m").fieldNames.toSeq}")
+      random.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // upsert with values for every column
+          val idx = random.nextInt(numRows)
+          val (phys, logical) = rowValues(idx)
+          c.writeRow("m", phys)
+          model(idx) = logical
+        case 4 | 5 => // delete one key, both mechanisms
+          val idx = random.nextInt(numRows)
+          if (random.nextBoolean()) c.deleteRows("m", "idx", idx, idx)
+          else c.deleteRowsDV("m", "idx", idx, idx)
+          model.remove(idx)
+        case 6 => // add a defaulted column: preexisting rows read it
+          if (extraCols < 4) {
+            extraCols += 1
+            val name = s"c$extraCols"
+            val dflt = random.nextInt(100).toLong
+            c.addColumnWithDefault("m",
+              StructField(name, LongType), dflt.toString)
+            cols(name) = true
+            model.keys.foreach(k => model(k) = model(k) + (name -> dflt))
+          }
+        case 7 => // widen an int column to long (at most once each)
+          cols.find { case (n, isLong) => !isLong && n != "idx" }
+            .foreach { case (n, _) =>
+              c.widenColumnType("m", n, LongType)
+              cols(n) = true
+            }
+        case _ => // compare with the model
+          val got = c.currentState("m", Seq("idx")).collect().map { r =>
+            val m = cols.keys.map { n =>
+              val i = r.fieldIndex(n)
+              n -> (r.get(i) match {
+                case x: Int => x.toLong
+                case x: Long => x
+                case null => fail(s"null $n in $r at op $op")
+              })
+            }.toMap
+            m("idx").toInt -> m
+          }.toMap
+          assert(got == model.toMap, s"state diverged at op $op " +
+            s"(check $checks): got=$got model=${model.toMap}")
+          checks += 1
+      }
+      c.commitTx()
+    }
+    assert(checks > 10 && extraCols > 0)
+    c.newTx()
+    val fin = c.currentState("m", Seq("idx")).collect().map { r =>
+      cols.keys.map { n =>
+        n -> (r.get(r.fieldIndex(n)) match {
+          case x: Int => x.toLong
+          case x: Long => x
+        })
+      }.toMap
+    }.map(m => m("idx").toInt -> m).toMap
+    c.rollback()
+    assert(fin == model.toMap)
+  }
+}
