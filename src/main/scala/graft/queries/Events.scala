@@ -407,6 +407,56 @@ object Events {
   // sums stay exact DECIMAL (squares at scale 4), and the z computation is
   // a fixed-order chain of IEEE double ops (division and sqrt are
   // correctly rounded, so identical inputs give identical bits).
+  // --- Robust outliers (median / MAD) ---------------------------------------
+  // The distribution-free data-quality gate: flag values more than
+  // 3 MADs from their type's median — robust where the z-score family
+  // (q_events_anomaly) is dragged by the outliers it hunts. Exactness:
+  // values quantize to integer cents (floor(x*100+0.5) — no rounding-
+  // mode ambiguity), medians interpolate to exact binary fractions
+  // (.0/.5 halves of integers; deviations then quarter-exact), so both
+  // engines compare identical doubles and the outlier COUNT — a knife-
+  // edge predicate — is bit-deterministic. Three linear passes over
+  // events with 5-row broadcast joins between them; no event-stream
+  // window anywhere.
+  def qEventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"),
+        count(lit(1)).as("n"))
+    val d = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = d.groupBy(col("event_type"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad_cents"))
+    d.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"))
+      .agg(sum(when(col("dev") > lit(3.0) * col("mad_cents"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val qEventsMadOutliersSql = """
+    WITH e AS (SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med_cents,
+            CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type),
+    d AS (SELECT e.event_type, m.n, m.med_cents,
+            abs(e.cents - m.med_cents) AS dev
+          FROM e JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+           FROM d GROUP BY event_type)
+    SELECT d.event_type, d.n, d.med_cents, md.mad_cents,
+      CAST(sum(CASE WHEN d.dev > 3.0 * md.mad_cents THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type, d.n, d.med_cents, md.mad_cents
+    ORDER BY d.event_type"""
+
   def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = t(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -637,6 +687,12 @@ object Events {
       "time-series gap-fill resample: 15-min slot downsample, complete " +
         "grid via sequence/explode, forward-fill over the resampled grid " +
         "(window input is slots x series, never the event stream)"),
+    "q_events_mad_outliers" -> QueryDef(qEventsMadOutliers,
+      Some(qEventsMadOutliersSql),
+      "robust outlier gate: per-type median/MAD in exact integer cents " +
+        "(quantile interpolation lands on exact binary fractions), " +
+        "values > 3 MADs flagged — distribution-free, bit-deterministic " +
+        "knife-edge counts"),
     "q_events_anomaly" -> QueryDef(qEventsAnomaly, Some(qEventsAnomalySql),
       "rolling z-score anomaly detection: trailing-24h mean/std from " +
         "exact decimal window sums over the hourly grid (self-excluding " +
