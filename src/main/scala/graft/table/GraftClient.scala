@@ -299,7 +299,10 @@ final class GraftClient(
     * Widening chains only (byte<short<int<long, float<double,
     * integral→double, decimal growth that never shrinks scale or
     * integer digits); anything else refuses — narrowing is a rewrite,
-    * not an ALTER.
+    * not an ALTER. NDV blobs (ANALYZE) hash the STRING form, so
+    * integral widenings leave them exact; float→double changes the
+    * string of non-dyadic fractions, so NDV estimates on a widened
+    * float column may double-count until the next full analyzeNdv.
     */
   def widenColumnType(table: String, column: String,
       newType: DataType): Unit = {

@@ -111,6 +111,21 @@ class DefaultsSpec extends AnyFunSuite {
     assert(raw == expected, s"raw physical rows $raw lack baked defaults")
   }
 
+  test("streaming window reads fill defaults for pre-alter rows") {
+    val (c, _) = fixture()
+    c.newTx()
+    val preAlter = c.latestVersion
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    // the window covers only PRE-alter commits, read through the
+    // current schema: a stream catching up from offset 0 must see the
+    // same values a batch scan would, not nulls
+    val fed = c.addedBetween("t", 0L, preAlter)
+      .select("k", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(fed == Seq(1L -> 42L, 2L -> 42L))
+  }
+
   test("CALL system.add_column: the SQL surface end-to-end") {
     val root = Files.createTempDirectory("graft_defaults_sql").toString
     val cat = s"gdflt${n.incrementAndGet()}"

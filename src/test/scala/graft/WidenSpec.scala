@@ -121,6 +121,23 @@ class WidenSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("streaming window reads across a widen surface the current type") {
+    val c = fixture()
+    c.newTx()
+    c.widenColumnType("t", "k", LongType)
+    c.commitTx()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.insert("t", Seq((3000000001L, "g")).toDF("k", "v"))
+    c.commitTx()
+    // a window spanning pre-widen commits reads old int32 objects
+    // through the CURRENT long schema — per-file up-conversion, one feed
+    val fed = c.addedBetween("t", 0L, c.latestVersion)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fed == Seq(1L, 2L, 10L, 11L, 20L, 21L, 3000000001L))
+  }
+
   test("SQL: ALTER TABLE ALTER COLUMN TYPE widens end-to-end") {
     val root = Files.createTempDirectory("graft_widen_sql").toString
     val cat = s"gwdn${n.incrementAndGet()}"
