@@ -34,7 +34,18 @@ import graft.util.Tables.t
 object CorpusOps {
 
   // --- end-to-end corpus dedup ---------------------------------------------
-  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    clusterRanks(spark, dir)
+      .filter(col("_rn") === 1)
+      .select(col("doc_id").as("survivor_id"), col("cluster_id"),
+        col("n_members"))
+      .orderBy(col("survivor_id"))
+
+  /** The shared closure+ranking frame behind [[dedupCorpus]] and
+    * [[corpusPairs]]: every document with its cluster id, canonical
+    * rank (_rn = 1 is the survivor), and cluster size.
+    */
+  private def clusterRanks(spark: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), md5(norm).as("fingerprint"))
@@ -59,10 +70,27 @@ object CorpusOps {
       .withColumn("_rn", row_number().over(w))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .filter(col("_rn") === 1)
-      .select(col("doc_id").as("survivor_id"), col("cluster_id"),
+  }
+
+  /** Contrastive training-pair EXPORT (the SimCSE/retrieval-training
+    * handoff): each duplicate cluster contributes (anchor = canonical
+    * survivor, positive = every other member) pairs — text pairs known
+    * to be semantically equivalent because the dedup closure put them
+    * in one cluster. Downstream these are the positives a contrastive
+    * loss trains on (hard negatives come from sim_hard_negatives).
+    * Reuses the exact closure [[dedupCorpus]] ships, so the pair set is
+    * consistent with the released corpus by construction.
+    */
+  def corpusPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = clusterRanks(spark, dir)
+    val anchors = ranked.filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("anchor_id"),
         col("n_members"))
-      .orderBy(col("survivor_id"))
+    val members = ranked.filter(col("_rn") > 1)
+      .select(col("cluster_id"), col("doc_id").as("positive_id"))
+    anchors.join(members, Seq("cluster_id"))
+      .select(col("anchor_id"), col("positive_id"), col("n_members"))
+      .orderBy(col("anchor_id"), col("positive_id"))
   }
 
   /** The exact+near-dup closure CTE chain, shared by the dedup_corpus
@@ -107,6 +135,16 @@ object CorpusOps {
     SELECT doc_id AS survivor_id, cluster_id, n_members
     FROM surv WHERE rn = 1
     ORDER BY survivor_id"""
+
+  // declared AFTER dedupClosureCtes: an earlier val would interpolate
+  // null at init time (the ProbeMax lesson below)
+  private val corpusPairsSql = s"""
+    WITH RECURSIVE $dedupClosureCtes
+    SELECT a.doc_id AS anchor_id, m.doc_id AS positive_id, a.n_members
+    FROM surv a JOIN surv m USING (cluster_id)
+    WHERE a.rn = 1 AND m.rn > 1
+    ORDER BY anchor_id, positive_id"""
+
 
   // --- full curation funnel -------------------------------------------------
   /** The training-data curation FUNNEL: every document is attributed to
@@ -448,6 +486,10 @@ object CorpusOps {
       "the release manifest: the curated kept set split train/val/test " +
         "by the deterministic md5 bucket, per-split doc/token/char " +
         "totals — the funnel's handoff artifact"),
+    "corpus_pairs" -> QueryDef(corpusPairs, Some(corpusPairsSql),
+      "contrastive training-pair export: (canonical survivor, member) " +
+        "positives per duplicate cluster, consistent with the released " +
+        "corpus by construction (shared closure)"),
     "dedup_corpus" -> QueryDef(dedupCorpus, Some(dedupCorpusSql),
       "END-TO-END dedup: exact groups + near-dup pairs closed " +
         "transitively, one canonical survivor per cluster"),
