@@ -173,10 +173,15 @@ object SegmentOps {
         .withColumnRenamed("c", "c_b")), Seq("b"))
       .crossJoin(broadcast(totals))
       // lift in parts-per-million, exact integer arithmetic (div, not /:
-      // Spark's / on longs is a double divide):
+      // Spark's / on longs is a double divide). The numerator runs in
+      // DECIMAL(38,0): c_ab*N*1e6 overflows BIGINT silently in Spark
+      // (and loudly in DuckDB) once the corpus passes a few million
+      // tokens; the QUOTIENT is bounded by 1e6*N so the final cast is
+      // safe at any realistic scale.
       // lift = p(ab)/(p(a)p(b)) ~= c_ab * N / (c_a * c_b)
       .withColumn("lift_ppm", expr(
-        "CAST((c_ab * n_tokens * 1000000L) div (c_a * c_b) AS BIGINT)"))
+        "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_tokens * 1000000) " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("lift_ppm").desc, col("a"), col("b"))))
       .filter(col("rank") <= 20)
@@ -197,8 +202,8 @@ object SegmentOps {
            GROUP BY a, b HAVING count(*) >= $PmiMinCount),
     scored AS (
       SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b,
-        CAST(pc.c_ab * t.n_tokens * 1000000 // (ua.c * ub.c) AS BIGINT)
-          AS lift_ppm
+        CAST(CAST(pc.c_ab AS HUGEINT) * t.n_tokens * 1000000
+          // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm
       FROM pc JOIN uc ua ON pc.a = ua.tok
               JOIN uc ub ON pc.b = ub.tok, tot t)
     SELECT rnk AS "rank", a, b, c_ab, c_a, c_b, lift_ppm

@@ -49,6 +49,12 @@ object SketchOps {
   private[graft] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The ONE cell-address expression for hash row `j` of `term` —
+    * shared by the grid build and every probe so they cannot drift.
+    */
+  private def cmsCell(j: Column, term: Column): Column =
+    pmod(h60(concat(j.cast("string"), lit(":"), term)), lit(CmsWidth))
+
   /** (lang, w) normalized non-empty words from any documents-shaped
     * frame — the same normalization every text family uses (lower,
     * collapse whitespace, split on space). Frame-parameterized so the
@@ -73,9 +79,7 @@ object SketchOps {
     terms
       .select(col("term"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-      .withColumn("cell",
-        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
-          lit(CmsWidth)))
+      .withColumn("cell", cmsCell(col("j"), col("term")))
 
   private val wordsSql =
     """SELECT lang, unnest(string_split(
@@ -202,8 +206,7 @@ object SketchOps {
       .select(col("term"), col("cnt"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
       .select(col("j"), col("cnt"),
-        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
-          lit(CmsWidth)).as("cell"))
+        cmsCell(col("j"), col("term")).as("cell"))
       .groupBy(col("j"), col("cell"))
       .agg(sum(col("cnt")).as("c"))
 
@@ -235,9 +238,7 @@ object SketchOps {
     val probes = top
       .select(col("term"), col("true_cnt"), col("_rk"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-      .withColumn("cell",
-        pmod(h60(concat(col("j").cast("string"), lit(":"), col("term"))),
-          lit(CmsWidth)))
+      .withColumn("cell", cmsCell(col("j"), col("term")))
     probes.join(broadcast(cells), Seq("j", "cell"))
       .groupBy(col("term"), col("true_cnt"), col("_rk"))
       .agg(min(col("c")).as("cms_est"))

@@ -368,10 +368,16 @@ final class GraftClient(
       }
     require(checked != null,
       s"default for ${field.name} must not evaluate to null: $defaultSql")
+    // store the FROZEN literal, not the raw SQL: a volatile expression
+    // ("rand()", "current_date()") evaluates once at ALTER time and
+    // every future read fills that one value — the initial-default
+    // contract is a constant, never a per-scan re-evaluation
+    val frozen = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(checked, field.dataType).sql
     val since = currentTx.snapshot.version
     val withDefault = field.copy(metadata = new MetadataBuilder()
       .withMetadata(field.metadata)
-      .putString(DefaultValKey, defaultSql)
+      .putString(DefaultValKey, frozen)
       .putLong(DefaultSinceKey, since).build())
     addColumn(table, withDefault)
   }
@@ -1457,7 +1463,11 @@ final class GraftClient(
     val files = liveFiles(table).filterNot(_.blooms.contains(physCol))
     if (files.isEmpty) return
     val words = numBits / 64
-    val df = readObjects(schema, files, tagObj = true)
+    // defaults filled before hashing: pre-alter objects must bloom the
+    // default value their rows READ, or a point lookup on it would
+    // false-prune them (the empty-bloom branch below stays correct for
+    // genuinely all-null columns)
+    val df = applyDefaults(schema, readObjects(schema, files, tagObj = true))
       .filter(col(column).isNotNull)
     val posCols = (0 until k).map(i =>
       pmod(xxhash64(lit(i), col(column)), lit(numBits.toLong)).as(s"_p$i"))
@@ -1690,9 +1700,11 @@ final class GraftClient(
       val files = mergePrunedFiles(allFiles, delKeys, keyCols,
         physOf(schema, _))
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
-        val matched = applyDvs(
+        // defaults filled before the key join: merge keys on an
+        // initial-default column must match what scans show
+        val matched = applyDefaults(schema, applyDvs(
           readObjects(schema, files),
-          t.snapshot.liveDvs(table, t.actions.toSeq))
+          t.snapshot.liveDvs(table, t.actions.toSeq)))
           .join(broadcast(delKeys), keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
         val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
@@ -1848,7 +1860,11 @@ final class GraftClient(
     val files = candidates
     if (files.isEmpty) return
     val byName = files.map(a => a.path -> a).toMap
-    val scanAll = readObjects(schema, files, tagObj = true)
+    // defaults filled BEFORE the predicate: a DELETE on an
+    // initial-default column must match the values a scan shows, not
+    // the physical nulls underneath
+    val scanAll = applyDefaults(schema,
+      readObjects(schema, files, tagObj = true))
 
     // job 1: matched-row count per object (metadata-sized result); _obj
     // is the read layer's object identity (== AddDataObject.path for
@@ -1880,8 +1896,12 @@ final class GraftClient(
     // DvCompactReproSpec).
     if (partial.nonEmpty) {
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      toPhysical(readObjects(schema, partial.map(byName))
-          .filter(keepPred), schema)
+      // defaults are filled for the predicate AND therefore baked into
+      // the rewritten survivors (rows keep their original _tx_id, so a
+      // filled value reads identically either way; explicit post-alter
+      // nulls are untouched by the txId-gated fill)
+      toPhysical(applyDefaults(schema, readObjects(schema,
+          partial.map(byName))).filter(keepPred), schema)
         .write.parquet(s"$rootDir/$name")
       val (survivors, stats) =
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
@@ -1907,7 +1927,8 @@ final class GraftClient(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
         .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
-      val removedMasked = readObjects(schema, touched.map(byName))
+      val removedMasked = applyDefaults(schema,
+          readObjects(schema, touched.map(byName)))
         .filter(pred)
         .select(col(TxIdCol), col(RowIdxCol))
         .join(broadcast(dvKeys), Seq(TxIdCol, RowIdxCol), "left_semi")
@@ -2135,9 +2156,11 @@ final class GraftClient(
     tombstoneBuffer(table, pred, schema)
 
     if (candidates.isEmpty) return
-    val matched = applyDvs(
+    // defaults filled before the predicate — same contract as the
+    // copy-on-write path
+    val matched = applyDefaults(schema, applyDvs(
       readObjects(schema, candidates),
-      t.snapshot.liveDvs(table, t.actions.toSeq))
+      t.snapshot.liveDvs(table, t.actions.toSeq)))
       .filter(pred)
       .select(col(TxIdCol), col(RowIdxCol))
     val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")

@@ -66,6 +66,68 @@ class DefaultsSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("volatile default expressions freeze to one literal at ALTER time") {
+    val (c, _) = fixture()
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("r", LongType),
+      "CAST(rand() * 1000000 AS BIGINT)")
+    c.commitTx()
+    c.newTx()
+    def vals() = c.scan("t").select("r").collect().map(_.getLong(0)).toSeq
+    val first = vals()
+    assert(first.distinct.length == 1,
+      s"volatile default not frozen across rows: $first")
+    assert(vals() == first, "volatile default re-evaluated across scans")
+    c.rollback()
+  }
+
+  test("deletes and merges see the default, not the physical null") {
+    val (c, _) = fixture()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((3L, "c", Some(9L))).toDF("k", "v", "score"))
+    c.commitTx()
+    // DELETE WHERE score = 42 must remove the two PRE-alter rows whose
+    // physical bytes are null — both mechanisms
+    c.newTx()
+    c.deleteWhere("t", col("score") === 42L)
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("t").select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L), "CoW delete missed default-filled rows")
+    c.rollback()
+    // DV variant on a fresh fixture
+    val (c2, _) = fixture()
+    c2.newTx()
+    c2.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c2.commitTx()
+    c2.newTx()
+    c2.deleteWhereDV("t", col("score") === 42L)
+    c2.commitTx()
+    c2.newTx()
+    assert(c2.scan("t").count() == 0, "DV delete missed default-filled rows")
+    c2.rollback()
+  }
+
+  test("bloom built over a defaulted column finds the default value") {
+    val (c, _) = fixture()
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx(); c.buildBloom("t", "score"); c.commitTx()
+    c.newTx()
+    // a bloom hashing physical nulls would false-prune the pre-alter
+    // object; the fill runs before hashing, so the lookup finds both rows
+    val hit = c.scanPruned("t", Nil, Seq("score" -> 42L))
+      .filter(col("score") === 42L)
+    assert(hit.count() == 2, "bloom false-pruned default-filled rows")
+    c.rollback()
+  }
+
   test("time travel to a pre-alter version has no column, post-alter fills") {
     val (c, _) = fixture()
     c.newTx()
