@@ -176,9 +176,46 @@ object SqlSurface {
           SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
         val ttVersion = new graft.table.GraftClient(spark, root).latestVersion
         spark.sql(s"DELETE FROM $cat.t_tt WHERE n_nationkey >= 5")
+
+        // REORG composite: the whole round-8 schema-evolution surface in
+        // one SQL-only lifecycle — rename (metadata-only), widen
+        // (metadata-only), defaulted add (metadata-only), a delete that
+        // must see the default, then CALL reorg to bake it all into
+        // physical bytes; the final state is pure relational algebra for
+        // the oracle
+        spark.sql(s"""CREATE TABLE $cat.t_ro AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"ALTER TABLE $cat.t_ro RENAME COLUMN n_name TO nm")
+        spark.sql(s"ALTER TABLE $cat.t_ro ALTER COLUMN n_regionkey " +
+          "TYPE BIGINT")
+        spark.sql(s"CALL $cat.system.add_column('t_ro', 'tier', " +
+          "'BIGINT', '7')")
+        spark.sql(s"DELETE FROM $cat.t_ro WHERE tier = 7 " +
+          "AND n_nationkey >= 20")
+        spark.sql(s"""INSERT INTO $cat.t_ro
+          SELECT n_nationkey + 200, concat(n_name, '_R'),
+            CAST(n_regionkey AS BIGINT) + 3000000000, 9
+          FROM ${cat}_nation_src WHERE n_nationkey < 3""")
+        spark.sql(s"CALL $cat.system.reorg('t_ro')")
         Fixture(cat, ttVersion)
       })
     }
+
+  private def reorgState(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""SELECT n_nationkey, nm, n_regionkey, tier
+      FROM $cat.t_ro ORDER BY n_nationkey""")
+  }
+
+  private val reorgSql = """
+    SELECT n_nationkey, n_name AS nm,
+      CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(7 AS BIGINT) AS tier
+    FROM nation WHERE n_nationkey < 20
+    UNION ALL
+    SELECT n_nationkey + 200, n_name || '_R',
+      CAST(n_regionkey AS BIGINT) + 3000000000, CAST(9 AS BIGINT)
+    FROM nation WHERE n_nationkey < 3
+    ORDER BY n_nationkey"""
 
   private def state(table: String)(spark: SparkSession,
       dir: String): DataFrame = {
@@ -359,6 +396,11 @@ object SqlSurface {
     "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),
       "SQL VERSION AS OF through TableCatalog.loadTable(ident, version): " +
         "post-delete table read at its pre-delete version"),
+    "tx_sql_reorg" -> QueryDef(reorgState, Some(reorgSql),
+      "the SQL-only schema-evolution lifecycle: rename + widen + " +
+        "defaulted add (all metadata-only) + a DELETE keyed on the " +
+        "default + CALL reorg baking everything into physical bytes; " +
+        "final state pure relational algebra for the oracle"),
     "tx_sql_maintenance" -> QueryDef(state("t_mnt"), Some(maintenanceSql),
       "CALL compact + checkpoint + vacuum (ProcedureCatalog) over a " +
         "3-commit table: the maintenance cycle must not change a byte"),
