@@ -374,6 +374,14 @@ final class GraftClient(
     // contract is a constant, never a per-scan re-evaluation
     val frozen = org.apache.spark.sql.catalyst.expressions.Literal
       .create(checked, field.dataType).sql
+    // defaults are a PROTOCOL-2 feature: a v1 reader ignores the field
+    // metadata and silently reads nulls, a v1 writer's REORG clears it
+    // without baking — upgrade pre-v2 logs in this same commit so
+    // down-level engines fail loudly instead
+    val proto = currentTx.snapshot.protocol
+    if (proto.minReader < 2 || proto.minWriter < 2)
+      currentTx.actions += SetProtocol(
+        math.max(proto.minReader, 2), math.max(proto.minWriter, 2))
     val since = currentTx.snapshot.version
     val withDefault = field.copy(metadata = new MetadataBuilder()
       .withMetadata(field.metadata)

@@ -716,12 +716,17 @@ final class TxLog(store: ObjectStore) {
 
 object TxLog {
   /** Highest [[SetProtocol]] reader/writer versions this engine
-    * implements. Version 1 is the complete format as of round 8
-    * (optional fields are additive and skip-safe; anything beyond needs
-    * a bump + a committed protocol upgrade).
+    * implements. Version 1 is the complete format through mid-round 8
+    * (optional fields are additive and skip-safe). Version 2 adds
+    * INITIAL COLUMN DEFAULTS (`graftDefault`/`graftDefaultSince` field
+    * metadata): a v1 reader would silently surface nulls where the
+    * table contract says the default, and a v1 writer's REORG would
+    * clear the driving metadata without baking the values — so
+    * `addColumnWithDefault` upgrades pre-v2 logs in its own commit and
+    * down-level engines fail loudly instead.
     */
-  val SupportedReaderVersion = 1
-  val SupportedWriterVersion = 1
+  val SupportedReaderVersion = 2
+  val SupportedWriterVersion = 2
   val LogPrefix = "_log_"
   val CkptPrefix = "_ckpt_"
   /** Pointer object naming the newest checkpoint version — one read

@@ -188,6 +188,25 @@ class DefaultsSpec extends AnyFunSuite {
     assert(fed == Seq(1L -> 42L, 2L -> 42L))
   }
 
+  test("a defaulted add upgrades a pre-v2 log's protocol in its commit") {
+    import graft.store.InMemoryObjectStore
+    import graft.tx.{ChangeMetadata, SetProtocol, TxLog}
+    // a legacy log: table committed with NO protocol action => (1, 1)
+    val store = new InMemoryObjectStore
+    val seed = new TxLog(store)
+    seed.commit(seed.begin(), Seq(ChangeMetadata("t",
+      StructType(Seq(StructField("k", LongType, nullable = false))))))
+    assert(new TxLog(store).begin().protocol == SetProtocol(1, 1))
+    val c = new GraftClient(spark,
+      Files.createTempDirectory("graft_proto_dflt").toString,
+      logStore = Some(store))
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    assert(new TxLog(store).begin().protocol == SetProtocol(2, 2),
+      "defaulted add must upgrade the pre-v2 log")
+  }
+
   test("CALL system.add_column: the SQL surface end-to-end") {
     val root = Files.createTempDirectory("graft_defaults_sql").toString
     val cat = s"gdflt${n.incrementAndGet()}"
