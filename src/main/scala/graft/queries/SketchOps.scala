@@ -451,7 +451,83 @@ object SketchOps {
     GROUP BY lang
     ORDER BY lang"""
 
+  // --- Streaming-maintained sketch state on the oracle signal ---------------
+  // The stream-built tables themselves, hash-compared against DuckDB
+  // computing the same sketch from the FULL corpus in one shot: the
+  // union laws (cell-wise add, register max) are what make a 3-batch
+  // incremental fold land bit-equal to the batch computation.
+  private val streamStores =
+    scala.collection.mutable.Map[String, String]()
+
+  private def streamStoreFor(spark: SparkSession, dir: String): String =
+    synchronized {
+      streamStores.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sketch_stream").toString
+        val c = new graft.table.GraftClient(spark, root)
+        val docs = t(spark, dir, "documents")
+        val cms = graft.streaming.StreamingSink
+          .cmsInto(c, "grid", "heavy", "app_cms_fix")
+        val hll = graft.streaming.StreamingSink
+          .hllInto(c, "regs", "app_hll_fix")
+        (0 until 3).foreach { b =>
+          val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          cms(batch, b.toLong)
+          hll(batch, b.toLong)
+        }
+        root
+      })
+    }
+
+  def sketchCmsStream(spark: SparkSession, dir: String): DataFrame = {
+    val c = new graft.table.GraftClient(spark, streamStoreFor(spark, dir))
+    c.newTx()
+    try c.currentState("grid", Seq("j", "cell"))
+      .select(col("j").cast("long").as("j"), col("cell"), col("c"))
+      .orderBy(col("j"), col("cell"))
+    finally c.rollback()
+  }
+
+  private val sketchCmsStreamSql = s"""
+    WITH wrd AS ($wordsSql),
+    nz AS (SELECT w FROM wrd WHERE w <> '')
+    SELECT CAST(j AS BIGINT) AS j,
+      ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 15))
+        ::BIGINT % $CmsWidth AS cell,
+      CAST(count(*) AS BIGINT) AS c
+    FROM nz CROSS JOIN range($CmsDepth) r(j)
+    GROUP BY 1, 2 ORDER BY j, cell"""
+
+  def sketchHllStream(spark: SparkSession, dir: String): DataFrame = {
+    val c = new graft.table.GraftClient(spark, streamStoreFor(spark, dir))
+    c.newTx()
+    try c.currentState("regs", Seq("lang", "reg"))
+      .select(col("lang"), col("reg"), col("m").cast("long").as("m"))
+      .orderBy(col("lang"), col("reg"))
+    finally c.rollback()
+  }
+
+  private val sketchHllStreamSql = s"""
+    WITH w AS ($wordsSql),
+    nz AS (SELECT lang, w FROM w WHERE w <> ''),
+    h AS (SELECT lang,
+        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h60 FROM nz),
+    r AS (SELECT lang, h60 % $HllM AS reg,
+        52 - length(bin(h60 // $HllM)) AS rho FROM h)
+    SELECT lang, reg, CAST(max(rho) AS BIGINT) AS m
+    FROM r GROUP BY lang, reg ORDER BY lang, reg"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_cms_stream" -> QueryDef(sketchCmsStream,
+      Some(sketchCmsStreamSql),
+      "the STREAM-maintained CMS grid table itself on the oracle " +
+        "signal: 3 incremental micro-batch folds hash-equal DuckDB's " +
+        "one-shot full-corpus grid (the cell-wise-add union law)"),
+    "sketch_hll_stream" -> QueryDef(sketchHllStream,
+      Some(sketchHllStreamSql),
+      "the STREAM-maintained HLL register table on the oracle signal: " +
+        "3 incremental max-merges hash-equal the one-shot registers"),
+
     "sketch_hist_quantiles" -> QueryDef(sketchHistQuantiles,
       Some(sketchHistQuantilesSql),
       "mergeable 128-bin equi-width histogram quantile sketch (p50/p90/" +
