@@ -722,8 +722,37 @@ object SimilarityOps {
     ivfProbeFrame(spark, dir).select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
 
-  def simAnnIvfTable(spark: SparkSession, dir: String): DataFrame = {
-    val root = annTableFor(spark, dir)
+  def simAnnIvfTable(spark: SparkSession, dir: String): DataFrame =
+    ivfTableProbe(spark, dir, annTableFor(spark, dir))
+
+  /** The streamed twin's store: the SAME cell-partitioned table built by
+    * [[graft.streaming.StreamingSink.ivfInto]] over 3 micro-batches —
+    * registering its probe under the ivf oracle puts the streaming
+    * index maintainer on the driver's hash-compare signal.
+    */
+  private val ivfStreamCache = scala.collection.mutable.Map[String, String]()
+
+  private[queries] def ivfStreamStoreFor(spark: SparkSession,
+      dir: String): String = synchronized {
+    ivfStreamCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_stream").toString
+      val c = new graft.table.GraftClient(spark, root)
+      val emb = graft.util.Tables.t(spark, dir, "embeddings")
+      val sink = graft.streaming.StreamingSink
+        .ivfInto(c, "emb", ivfCentroidFrame(spark, dir), "app_ivf_fix")
+      (0 until 3).foreach { b =>
+        sink(emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
+      }
+      root
+    })
+  }
+
+  def simAnnIvfStream(spark: SparkSession, dir: String): DataFrame =
+    ivfTableProbe(spark, dir, ivfStreamStoreFor(spark, dir))
+
+  private def ivfTableProbe(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     val probes = ivfProbeFrame(spark, dir)
     val cells = ivfProbedCells(spark, dir)
     // ONE graft read with the probed cells as a pushed IN filter: the
@@ -1009,6 +1038,10 @@ object SimilarityOps {
       "semantic cluster labeling (trained k-means cells) with " +
         "per-cluster population + coherence rollup — the " +
         "diversity-balancing primitive"),
+    "sim_ann_ivf_stream" -> QueryDef(simAnnIvfStream, Some(simAnnIvfSql),
+      "the STREAM-built IVF cell table on the oracle signal: 3 " +
+        "exactly-once ivfInto micro-batches, probed identically to " +
+        "sim_ann_ivf_table — result must equal the one-shot index"),
     "sim_ann_ivf_table" -> QueryDef(simAnnIvfTable, Some(simAnnIvfSql),
       "IVF over a cell-partitioned graft TABLE: probing = stats-pruned " +
         "per-cell reads through the DataSource — no index structure, " +
