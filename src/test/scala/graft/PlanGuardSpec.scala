@@ -24,7 +24,8 @@ class PlanGuardSpec extends AnyFunSuite {
     */
   private val bnljAllowed: Set[String] = Set(
     "sim_topk", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
-    "sim_ann_ivf_table", "sim_ann_filtered", "sim_cluster_assign",
+    "sim_ann_ivf_table", "sim_ann_ivf_stream", "sim_ann_filtered",
+    "sim_cluster_assign",
     "dedup_semantic", "dedup_embed_cosine", "mm_embed_stats",
     "q2_min_cost_supp", "q11_important_supp", "q15_top_supplier",
     "q17_small_qty", "q22_wealthy_idle", "text_mixture_plan",
