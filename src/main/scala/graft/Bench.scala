@@ -30,6 +30,13 @@ object Bench {
     // fixtures build, not inside the first timed pass
     try SparkEntry.queries("sim_ann_ivf_table")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // same contract for the STREAM-built fixtures: the rows exist to
+    // measure reads of the maintained tables, not the one-time
+    // 3-micro-batch folds that create them
+    Seq("sim_ann_ivf_stream", "sketch_cms_stream").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => }
+    }
     // min over SEPARATED full passes, not back-to-back repeats: transient
     // host contention (another JVM on this box) lasts seconds-to-minutes, so
     // two adjacent samples of one query are both poisoned while samples a
