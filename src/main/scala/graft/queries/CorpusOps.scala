@@ -68,6 +68,11 @@ object CorpusOps {
       .orderBy(col("n_chars").desc, col("doc_id"))
     clustered
       .withColumn("_rn", row_number().over(w))
+      // the default frame (unbounded preceding .. current) makes
+      // first_value the cluster's rank-1 doc for EVERY member — the
+      // anchor rides the same window pass, so corpusPairs needs no
+      // self-join or second traversal of the closure
+      .withColumn("anchor_id", first(col("doc_id")).over(w))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
@@ -81,17 +86,12 @@ object CorpusOps {
     * Reuses the exact closure [[dedupCorpus]] ships, so the pair set is
     * consistent with the released corpus by construction.
     */
-  def corpusPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = clusterRanks(spark, dir)
-    val anchors = ranked.filter(col("_rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("anchor_id"),
+  def corpusPairs(spark: SparkSession, dir: String): DataFrame =
+    clusterRanks(spark, dir)
+      .filter(col("_rn") > 1)
+      .select(col("anchor_id"), col("doc_id").as("positive_id"),
         col("n_members"))
-    val members = ranked.filter(col("_rn") > 1)
-      .select(col("cluster_id"), col("doc_id").as("positive_id"))
-    anchors.join(members, Seq("cluster_id"))
-      .select(col("anchor_id"), col("positive_id"), col("n_members"))
       .orderBy(col("anchor_id"), col("positive_id"))
-  }
 
   /** The exact+near-dup closure CTE chain, shared by the dedup_corpus
     * oracle and the corpus_curation funnel oracle: ends with `surv`

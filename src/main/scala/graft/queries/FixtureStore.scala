@@ -1,0 +1,23 @@
+package graft.queries
+
+import scala.collection.mutable
+
+/** Build-once temp-rooted table stores, memoized per (JVM, prefix, key)
+  * — the shared home of the pattern previously copy-pasted by the ANN
+  * table, the streamed sketch tables, and the streamed IVF index. A
+  * failed build is NOT cached (getOrElseUpdate only stores on success),
+  * so a transient failure retries on the next caller.
+  */
+private[queries] object FixtureStore {
+  private val stores = mutable.Map[String, String]()
+
+  def memoized(prefix: String, key: String)(build: String => Unit): String =
+    synchronized {
+      stores.getOrElseUpdate(s"$prefix#$key", {
+        val root = java.nio.file.Files
+          .createTempDirectory(prefix).toString
+        build(root)
+        root
+      })
+    }
+}

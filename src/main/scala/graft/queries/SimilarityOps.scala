@@ -645,13 +645,9 @@ object SimilarityOps {
   // structure exists, just the table format's own layout + skipping.
   // Result is identical to sim_ann_ivf (same centroids, same probes),
   // so the same oracle SQL replays it.
-  private val annStoreCache = scala.collection.mutable.Map[String, String]()
-
   private[queries] def annTableFor(spark: SparkSession,
-      dir: String): String = synchronized {
-    annStoreCache.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ann_store").toString
+      dir: String): String =
+    FixtureStore.memoized("graft_ann_store", dir) { root =>
       val c = new graft.table.GraftClient(spark, root)
       val assigned =
         assignCells(corpus(spark, dir), ivfCentroidFrame(spark, dir))
@@ -659,9 +655,7 @@ object SimilarityOps {
       c.createTable("emb", assigned.schema)
       c.insertPartitioned("emb", assigned, "cell")
       c.commitTxRetrying()
-      root
-    })
-  }
+    }
 
   /** The trained IVF centroids as a (cell, cv) frame — the shared
     * assignment basis for the batch table build AND the streaming
@@ -730,13 +724,9 @@ object SimilarityOps {
     * registering its probe under the ivf oracle puts the streaming
     * index maintainer on the driver's hash-compare signal.
     */
-  private val ivfStreamCache = scala.collection.mutable.Map[String, String]()
-
   private[queries] def ivfStreamStoreFor(spark: SparkSession,
-      dir: String): String = synchronized {
-    ivfStreamCache.getOrElseUpdate(dir, {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ann_stream").toString
+      dir: String): String =
+    FixtureStore.memoized("graft_ann_stream", dir) { root =>
       val c = new graft.table.GraftClient(spark, root)
       val emb = graft.util.Tables.t(spark, dir, "embeddings")
       val sink = graft.streaming.StreamingSink
@@ -744,9 +734,7 @@ object SimilarityOps {
       (0 until 3).foreach { b =>
         sink(emb.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong)
       }
-      root
-    })
-  }
+    }
 
   def simAnnIvfStream(spark: SparkSession, dir: String): DataFrame =
     ivfTableProbe(spark, dir, ivfStreamStoreFor(spark, dir))

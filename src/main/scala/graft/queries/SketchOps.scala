@@ -456,27 +456,19 @@ object SketchOps {
   // computing the same sketch from the FULL corpus in one shot: the
   // union laws (cell-wise add, register max) are what make a 3-batch
   // incremental fold land bit-equal to the batch computation.
-  private val streamStores =
-    scala.collection.mutable.Map[String, String]()
-
   private def streamStoreFor(spark: SparkSession, dir: String): String =
-    synchronized {
-      streamStores.getOrElseUpdate(dir, {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sketch_stream").toString
-        val c = new graft.table.GraftClient(spark, root)
-        val docs = t(spark, dir, "documents")
-        val cms = graft.streaming.StreamingSink
-          .cmsInto(c, "grid", "heavy", "app_cms_fix")
-        val hll = graft.streaming.StreamingSink
-          .hllInto(c, "regs", "app_hll_fix")
-        (0 until 3).foreach { b =>
-          val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-          cms(batch, b.toLong)
-          hll(batch, b.toLong)
-        }
-        root
-      })
+    FixtureStore.memoized("graft_sketch_stream", dir) { root =>
+      val c = new graft.table.GraftClient(spark, root)
+      val docs = t(spark, dir, "documents")
+      val cms = graft.streaming.StreamingSink
+        .cmsInto(c, "grid", "heavy", "app_cms_fix")
+      val hll = graft.streaming.StreamingSink
+        .hllInto(c, "regs", "app_hll_fix")
+      (0 until 3).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        cms(batch, b.toLong)
+        hll(batch, b.toLong)
+      }
     }
 
   def sketchCmsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -139,15 +139,17 @@ final class GraftClient(
       throw new IllegalArgumentException(s"table exists: $table")
     requireNotReserved(schema.fieldNames.toIndexedSeq)
     // pin the log's protocol on first create (Delta writes protocol with
-    // the table's first commit): future format changes bump the engine
-    // constants and down-level engines then fail loudly, never
-    // mis-replay. Logs that already carry a protocol are left alone.
+    // the table's first commit) at the BASE format version — a table
+    // only requires what it uses, so a down-level engine keeps reading
+    // new tables until a gated feature (initial defaults) actually
+    // lands and ITS commit upgrades the log. Logs that already carry a
+    // protocol are left alone.
     val hasProtocol =
       t.snapshot.actions.exists(_.isInstanceOf[SetProtocol]) ||
         t.actions.exists(_.isInstanceOf[SetProtocol])
     if (!hasProtocol)
       t.actions += SetProtocol(
-        TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion)
+        TxLog.BaseReaderVersion, TxLog.BaseWriterVersion)
     t.tables(table) = schema
     t.actions += ChangeMetadata(table, schema)
   }
@@ -898,7 +900,11 @@ final class GraftClient(
   /** Field-metadata keys for initial column defaults
     * ([[addColumnWithDefault]]): the default's SQL literal, and the
     * alter-time snapshot version — rows with `_tx_id` strictly below it
-    * predate the column and read the default.
+    * predate the column and read the default. WRITER CONTRACT (part of
+    * protocol v2): the stored value is always a FROZEN literal —
+    * [[addColumnWithDefault]] evaluates the caller's expression once
+    * and stores `Literal.sql`, never the raw text — so the per-scan
+    * `expr()` below can only ever re-parse a constant.
     */
   val DefaultValKey = "graftDefault"
   val DefaultSinceKey = "graftDefaultSince"
@@ -2095,12 +2101,13 @@ final class GraftClient(
                   case RemoveDataObject(_, p) => ourRemoves(p)
                   case _: SetTxn => true
                   case _: AddDeleteVector => false
-                  // two first-creates racing both stamp the engine's own
+                  // two first-creates racing both stamp the BASE
                   // protocol — identical, safe to rebase past; a genuine
-                  // concurrent protocol UPGRADE invalidates what this tx
-                  // validated against and must conflict
+                  // concurrent protocol UPGRADE (a feature landing)
+                  // invalidates what this tx validated against and must
+                  // conflict
                   case p: SetProtocol => p != SetProtocol(
-                    TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion)
+                    TxLog.BaseReaderVersion, TxLog.BaseWriterVersion)
                 }
               }
             }

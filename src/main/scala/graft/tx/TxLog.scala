@@ -727,6 +727,15 @@ object TxLog {
     */
   val SupportedReaderVersion = 2
   val SupportedWriterVersion = 2
+
+  /** The protocol a FRESH table starts at — the base format, version 1.
+    * Tables only require what they use (Delta's minimum-required-
+    * protocol model): a v1 engine keeps reading new tables until a
+    * v2 feature (initial column defaults) actually lands, at which
+    * point that feature's commit upgrades the log.
+    */
+  val BaseReaderVersion = 1
+  val BaseWriterVersion = 1
   val LogPrefix = "_log_"
   val CkptPrefix = "_ckpt_"
   /** Pointer object naming the newest checkpoint version — one read

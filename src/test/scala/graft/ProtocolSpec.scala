@@ -29,8 +29,10 @@ class ProtocolSpec extends AnyFunSuite {
     c.newTx(); c.createTable("b", schema); c.commitTx()
     val log = new TxLog(store)
     val snap = log.begin()
+    // fresh tables stamp the BASE format — they only require what they
+    // use; feature commits (defaults) upgrade later
     assert(snap.protocol === SetProtocol(
-      TxLog.SupportedReaderVersion, TxLog.SupportedWriterVersion))
+      TxLog.BaseReaderVersion, TxLog.BaseWriterVersion))
     // exactly one protocol action — the second create saw the first
     assert(snap.actions.count(_.isInstanceOf[SetProtocol]) === 1)
   }
