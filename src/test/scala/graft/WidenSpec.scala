@@ -121,6 +121,29 @@ class WidenSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("widening a defaulted column keeps the fill, cast to the new type") {
+    val c = fixture()
+    c.newTx()
+    c.addColumnWithDefault("t", StructField("score", IntegerType), "7")
+    c.commitTx()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.insert("t", Seq((30, "x", 9)).toDF("k", "v", "score"))
+    c.commitTx()
+    c.newTx()
+    c.widenColumnType("t", "score", LongType)
+    c.commitTx()
+    c.newTx()
+    // pre-default rows still fill (now as LONG), the explicit value
+    // up-converts, and the metadata survived the type change
+    val got = c.scan("t").select("k", "score").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    c.rollback()
+    assert(got == Seq(1 -> 7L, 2 -> 7L, 10 -> 7L, 11 -> 7L,
+      20 -> 7L, 21 -> 7L, 30 -> 9L))
+  }
+
   test("streaming window reads across a widen surface the current type") {
     val c = fixture()
     c.newTx()
