@@ -357,6 +357,13 @@ final class GraftClient(
     * was written against the widened schema. The literal must be a
     * foldable non-null expression castable to the column type — checked
     * eagerly so a typo fails at ALTER time, not at first read.
+    *
+    * Same-transaction edge (documented, pinned): rows buffered EARLIER
+    * in the altering transaction share its txId and flush under the
+    * pre-alter schema, so they read NULL, not the default — the txId
+    * boundary cannot order writes within one transaction. Commit the
+    * alter in its own transaction (the SQL surface always does) for the
+    * clean pre/post split.
     */
   def addColumnWithDefault(table: String, field: StructField,
       defaultSql: String): Unit = {

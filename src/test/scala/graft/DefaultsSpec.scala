@@ -66,6 +66,25 @@ class DefaultsSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("same-tx rows written before the alter read null (documented edge)") {
+    val (c, _) = fixture()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.insert("t", Seq((3L, "c")).toDF("k", "v")) // buffered pre-alter
+    c.addColumnWithDefault("t", StructField("score", LongType), "42")
+    c.commitTx()
+    c.newTx()
+    val got = c.scan("t").select("k", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    c.rollback()
+    // the two PRE-tx rows fill; the same-tx pre-alter row shares the
+    // alter's txId and reads null — the txId boundary cannot order
+    // writes within one transaction (scaladoc'd on addColumnWithDefault)
+    assert(got.toSeq == Seq(1L -> Some(42L), 2L -> Some(42L), 3L -> None))
+  }
+
   test("volatile default expressions freeze to one literal at ALTER time") {
     val (c, _) = fixture()
     c.newTx()
