@@ -389,7 +389,14 @@ object SketchOps {
     */
   private[graft] def histCellsAt(spark: SparkSession, dir: String,
       lo: Long, hi: Long): DataFrame =
-    t(spark, dir, "documents")
+    histCellsOf(t(spark, dir, "documents"), lo, hi)
+
+  /** [[histCellsAt]] over any documents-shaped frame — shared with the
+    * streaming maintainer so batch and stream bin identically.
+    */
+  private[graft] def histCellsOf(docs: DataFrame,
+      lo: Long, hi: Long): DataFrame =
+    docs
       .select(col("lang"),
         expr(s"((n_chars - ${lo}L) * $HistB) div (${hi}L - ${lo}L + 1)")
           .as("bin"))
@@ -460,16 +467,44 @@ object SketchOps {
     FixtureStore.memoized("graft_sketch_stream", dir) { root =>
       val c = new graft.table.GraftClient(spark, root)
       val docs = t(spark, dir, "documents")
+      // histogram bounds are DECLARED at stream start (the documented
+      // shared-bounds contract that keeps shards bin-compatible); the
+      // fixture reads them from the corpus the way a production
+      // profiler would from a first metadata pass
+      val boundsRow = docs.agg(min(col("n_chars")), max(col("n_chars")))
+        .head()
+      val (lo, hi) = (boundsRow.getLong(0), boundsRow.getLong(1))
       val cms = graft.streaming.StreamingSink
         .cmsInto(c, "grid", "heavy", "app_cms_fix")
       val hll = graft.streaming.StreamingSink
         .hllInto(c, "regs", "app_hll_fix")
+      val hist = graft.streaming.StreamingSink
+        .histInto(c, "hist", lo, hi, "app_hist_fix")
       (0 until 3).foreach { b =>
         val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
         cms(batch, b.toLong)
         hll(batch, b.toLong)
+        hist(batch, b.toLong)
       }
     }
+
+  def sketchHistStream(spark: SparkSession, dir: String): DataFrame = {
+    val c = new graft.table.GraftClient(spark, streamStoreFor(spark, dir))
+    c.newTx()
+    try c.currentState("hist", Seq("lang", "bin"))
+      .select(col("lang"), col("bin"), col("cnt"))
+      .orderBy(col("lang"), col("bin"))
+    finally c.rollback()
+  }
+
+  private val sketchHistStreamSql = s"""
+    WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+               FROM documents)
+    SELECT lang,
+      CAST((n_chars - lo) * $HistB // (hi - lo + 1) AS BIGINT) AS bin,
+      CAST(count(*) AS BIGINT) AS cnt
+    FROM documents, b
+    GROUP BY 1, 2 ORDER BY lang, bin"""
 
   def sketchCmsStream(spark: SparkSession, dir: String): DataFrame = {
     val c = new graft.table.GraftClient(spark, streamStoreFor(spark, dir))
@@ -510,6 +545,11 @@ object SketchOps {
     FROM r GROUP BY lang, reg ORDER BY lang, reg"""
 
   def defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_hist_stream" -> QueryDef(sketchHistStream,
+      Some(sketchHistStreamSql),
+      "the STREAM-maintained histogram sketch table on the oracle " +
+        "signal: 3 incremental cell-wise adds over declared shared " +
+        "bounds hash-equal DuckDB's one-shot full-corpus histogram"),
     "sketch_cms_stream" -> QueryDef(sketchCmsStream,
       Some(sketchCmsStreamSql),
       "the STREAM-maintained CMS grid table itself on the oracle " +

@@ -400,6 +400,42 @@ object StreamingSink {
       }
   }
 
+  /** Continuously-maintained HISTOGRAM sketch over a stream of
+    * documents — the quantile member of the streaming sketch family:
+    * each micro-batch's (lang, bin) counts fold into `histTable` by
+    * cell-wise ADD (the pinned histogram union law), one exactly-once
+    * tx per batch. Bounds [lo, hi] are DECLARED at stream start — the
+    * shared-bounds contract that keeps every shard and batch
+    * bin-compatible; quantile readouts walk the ≤ langs×128-row table.
+    */
+  def histInto(client: GraftClient, histTable: String, lo: Long, hi: Long,
+      appId: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        import graft.queries.SketchOps
+        val delta = SketchOps.histCellsOf(batch, lo, hi)
+          .select(col("lang"), col("bin"), col("cnt").as("_d"))
+        client.newTx()
+        try {
+          if (client.lastTxn(appId).exists(_ >= batchId)) client.rollback()
+          else {
+            if (!client.tables.contains(histTable))
+              client.createTable(histTable, delta
+                .select(col("lang"), col("bin"), col("_d").as("cnt")).schema)
+            val cur = client.currentState(histTable, Seq("lang", "bin"))
+              .select(col("lang"), col("bin"), col("cnt"))
+            val next = delta.join(cur, Seq("lang", "bin"), "full")
+              .select(col("lang"), col("bin"),
+                (coalesce(col("cnt"), lit(0L)) +
+                  coalesce(col("_d"), lit(0L))).as("cnt"))
+            client.merge(histTable, next, Seq("lang", "bin"))
+            client.setTxn(appId, batchId)
+            client.commitTxRetrying()
+          }
+        } finally if (client.hasOpenTx) client.rollback()
+      }
+  }
+
   def upsertIntoTable(client: GraftClient, table: String,
       keyCols: Seq[String], appId: String,
       deleteColumn: Option[String] = None): (DataFrame, Long) => Unit = {
