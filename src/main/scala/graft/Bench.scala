@@ -33,10 +33,14 @@ object Bench {
     // same contract for the STREAM-built fixtures: the rows exist to
     // measure reads of the maintained tables, not the one-time
     // 3-micro-batch folds that create them
-    Seq("sim_ann_ivf_stream", "sketch_cms_stream").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => }
-    }
+    // the materialized dedup-closure table is likewise environment
+    // setup: a release run computes its closure ONCE; the four corpus
+    // compositions measure reads of it, not the one-time build
+    Seq("sim_ann_ivf_stream", "sketch_cms_stream", "dedup_corpus")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
     // min over SEPARATED full passes, not back-to-back repeats: transient
     // host contention (another JVM on this box) lasts seconds-to-minutes, so
     // two adjacent samples of one query are both poisoned while samples a

@@ -41,11 +41,42 @@ object CorpusOps {
         col("n_members"))
       .orderBy(col("survivor_id"))
 
-  /** The shared closure+ranking frame behind [[dedupCorpus]] and
-    * [[corpusPairs]]: every document with its cluster id, canonical
-    * rank (_rn = 1 is the survivor), and cluster size.
+  /** The shared closure+ranking frame behind [[dedupCorpus]],
+    * [[corpusPairs]], and (via the survivor set) the curation funnel
+    * and release manifest: every document with its cluster id,
+    * canonical rank (_rn = 1 is the survivor), anchor, and cluster
+    * size.
+    *
+    * MATERIALIZED ONCE per (JVM, sf dir) into a transactional graft
+    * table and read back by every consumer — a release run computes
+    * its closure exactly once and every downstream artifact (corpus,
+    * pairs, funnel accounting, manifest) reads the same committed
+    * snapshot, so they are consistent BY STORAGE, not merely by
+    * sharing code. Before this, the four compositions each re-ran
+    * near-dup pair generation + the label-propagation closure from
+    * scratch (~4× the closure cost per bench pass).
     */
-  private def clusterRanks(spark: SparkSession, dir: String): DataFrame = {
+  private def clusterRanks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft").option("table", "closure")
+      .load(closureStoreFor(spark, dir))
+      .withColumnRenamed("rn", "_rn")
+
+  /** The build-once store holding the committed `closure` table. */
+  private def closureStoreFor(spark: SparkSession, dir: String): String =
+    FixtureStore.memoized("graft_corpus_closure", dir) { root =>
+      val c = new graft.table.GraftClient(spark, root)
+      val ranks = clusterRanksLive(spark, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          col("_rn").as("rn"), col("anchor_id"), col("n_members"))
+      c.newTx()
+      c.createTable("closure", ranks.schema)
+      c.insert("closure", ranks)
+      c.commitTxRetrying()
+    }
+
+  /** The live computation behind the materialized closure table. */
+  private def clusterRanksLive(spark: SparkSession,
+      dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), md5(norm).as("fingerprint"))

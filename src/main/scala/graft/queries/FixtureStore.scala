@@ -1,23 +1,36 @@
 package graft.queries
 
-import scala.collection.mutable
+import java.util.concurrent.ConcurrentHashMap
 
 /** Build-once temp-rooted table stores, memoized per (JVM, prefix, key)
   * — the shared home of the pattern previously copy-pasted by the ANN
   * table, the streamed sketch tables, and the streamed IVF index. A
-  * failed build is NOT cached (getOrElseUpdate only stores on success),
-  * so a transient failure retries on the next caller.
+  * failed build is NOT cached (the lazy cell is removed on failure), so
+  * a transient failure retries on the next caller. Synchronization is
+  * per (prefix, key) — computeIfAbsent installs a lazy cell atomically,
+  * then the multi-second Spark build runs under only THAT cell's lock,
+  * so unrelated fixtures (different prefix/key) build concurrently
+  * instead of serializing behind one global lock.
   */
 private[queries] object FixtureStore {
-  private val stores = mutable.Map[String, String]()
-
-  def memoized(prefix: String, key: String)(build: String => Unit): String =
-    synchronized {
-      stores.getOrElseUpdate(s"$prefix#$key", {
-        val root = java.nio.file.Files
-          .createTempDirectory(prefix).toString
-        build(root)
-        root
-      })
+  private final class Cell(prefix: String, build: String => Unit) {
+    lazy val root: String = {
+      val r = java.nio.file.Files.createTempDirectory(prefix).toString
+      build(r)
+      r
     }
+  }
+  private val stores = new ConcurrentHashMap[String, Cell]()
+
+  def memoized(prefix: String, key: String)(build: String => Unit): String = {
+    val k = s"$prefix#$key"
+    val cell = stores.computeIfAbsent(k, _ => new Cell(prefix, build))
+    try cell.root
+    catch {
+      case e: Throwable =>
+        // drop only OUR failed cell (a concurrent retry may already have
+        // installed a fresh one)
+        stores.remove(k, cell); throw e
+    }
+  }
 }

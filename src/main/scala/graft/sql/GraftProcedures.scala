@@ -59,28 +59,29 @@ object GraftProcedures {
           val t = args.getUTF8String(0).toString
           val target = args.getLong(1)
           val c = client
-          c.newTx()
-          val scope = Option(args.getUTF8String(2)).map(_.toString)
-            .filter(_.nonEmpty).map { colName =>
-              // bounds arrive as SQL strings; coerce to the column's
-              // stats domain so ColStats.mayOverlap compares natively
-              val dt = c.schemaOf(t)(colName).dataType
-              def parse(s: UTF8String): Any = {
-                if (s == null) null
-                else dt match {
-                  case ByteType | ShortType | IntegerType | LongType =>
-                    s.toString.toLong
-                  case FloatType | DoubleType => s.toString.toDouble
-                  case DateType => java.time.LocalDate.parse(s.toString)
-                  case _ => s.toString
+          val before = inTx(c) {
+            val scope = Option(args.getUTF8String(2)).map(_.toString)
+              .filter(_.nonEmpty).map { colName =>
+                // bounds arrive as SQL strings; coerce to the column's
+                // stats domain so ColStats.mayOverlap compares natively
+                val dt = c.schemaOf(t)(colName).dataType
+                def parse(s: UTF8String): Any = {
+                  if (s == null) null
+                  else dt match {
+                    case ByteType | ShortType | IntegerType | LongType =>
+                      s.toString.toLong
+                    case FloatType | DoubleType => s.toString.toDouble
+                    case DateType => java.time.LocalDate.parse(s.toString)
+                    case _ => s.toString
+                  }
                 }
+                (colName, parse(args.getUTF8String(3)),
+                  parse(args.getUTF8String(4)))
               }
-              (colName, parse(args.getUTF8String(3)),
-                parse(args.getUTF8String(4)))
-            }
-          val before = c.objects(t).length
-          c.compact(t, target, scope)
-          c.commitTxRetrying()
+            val n = c.objects(t).length
+            c.compact(t, target, scope)
+            n
+          }
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(before), Int.box(after)))
@@ -108,10 +109,10 @@ object GraftProcedures {
           val dst = args.getUTF8String(1).toString
           val v = args.getLong(2)
           val c = client
-          c.newTx()
-          if (v < 0) c.shallowClone(src, dst)
-          else c.shallowCloneAt(src, dst, v)
-          c.commitTxRetrying()
+          inTx(c) {
+            if (v < 0) c.shallowClone(src, dst)
+            else c.shallowCloneAt(src, dst, v)
+          }
           c.newTx()
           val objs = try c.objects(dst) finally c.rollback()
           Seq(row(UTF8String.fromString(src), UTF8String.fromString(dst),
@@ -150,9 +151,7 @@ object GraftProcedures {
           val (t, col) =
             (args.getUTF8String(0).toString, args.getUTF8String(1).toString)
           val c = client
-          c.newTx()
-          c.buildBloom(t, col, args.getInt(2), args.getInt(3))
-          c.commitTxRetrying()
+          inTx(c)(c.buildBloom(t, col, args.getInt(2), args.getInt(3)))
           Seq(row(UTF8String.fromString(t), UTF8String.fromString(col)))
         }))
       case "z_order" => Some(proc(name,
@@ -165,10 +164,10 @@ object GraftProcedures {
           val cols = args.getUTF8String(1).toString.split(",").toSeq
             .map(_.trim).filter(_.nonEmpty)
           val c = client
-          c.newTx()
-          if (cols.length == 1) c.clusterBy(t, cols.head, args.getInt(2))
-          else c.clusterByZOrder(t, cols, args.getInt(2))
-          c.commitTxRetrying()
+          inTx(c) {
+            if (cols.length == 1) c.clusterBy(t, cols.head, args.getInt(2))
+            else c.clusterByZOrder(t, cols, args.getInt(2))
+          }
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(after)))
@@ -182,9 +181,7 @@ object GraftProcedures {
           StructField("rows", LongType))), { args =>
           val t = args.getUTF8String(0).toString
           val c = client
-          c.newTx()
-          c.convertParquet(t, args.getUTF8String(1).toString)
-          c.commitTxRetrying()
+          inTx(c)(c.convertParquet(t, args.getUTF8String(1).toString))
           c.newTx()
           val objs = try c.objects(t) finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(objs.length),
@@ -200,9 +197,7 @@ object GraftProcedures {
           val t = args.getUTF8String(0).toString
           val v = args.getLong(1)
           val c = client
-          c.newTx()
-          c.restore(t, v)
-          c.commitTxRetrying()
+          inTx(c)(c.restore(t, v))
           Seq(row(UTF8String.fromString(t), Long.box(v),
             Long.box(client.latestVersion - 1)))
         }))
@@ -270,8 +265,12 @@ object GraftProcedures {
           val b = args.getUTF8String(1).toString
           val c = client
           c.newTx()
-          val applied = c.importChanges(t, b)
-          if (applied) c.commitTxRetrying() else c.rollback()
+          val applied =
+            try {
+              val a = c.importChanges(t, b)
+              if (a) c.commitTxRetrying() else c.rollback()
+              a
+            } finally if (c.hasOpenTx) c.rollback()
           Seq(row(UTF8String.fromString(t), Boolean.box(applied)))
         }))
       case "analyze" => Some(proc(name,
@@ -285,9 +284,7 @@ object GraftProcedures {
           val cols = args.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           val c = client
-          c.newTx()
-          c.analyzeNdv(t, cols)
-          c.commitTxRetrying()
+          inTx(c)(c.analyzeNdv(t, cols))
           c.newTx()
           try cols.map(cn => row(UTF8String.fromString(cn),
             Double.box(c.approxDistinct(t, cn))))
@@ -305,9 +302,7 @@ object GraftProcedures {
           val colName = args.getUTF8String(1).toString
           val b = args.getInt(2)
           val c = client
-          c.newTx()
-          c.clusterByBounded(t, colName, b)
-          c.commitTxRetrying()
+          inTx(c)(c.clusterByBounded(t, colName, b))
           Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName),
             Int.box(b)))
         }))
@@ -320,9 +315,7 @@ object GraftProcedures {
           val t = args.getUTF8String(0).toString
           val colName = args.getUTF8String(1).toString
           val c = client
-          c.newTx()
-          val n = c.clusterIncremental(t, colName)
-          c.commitTxRetrying()
+          val n = inTx(c)(c.clusterIncremental(t, colName))
           Seq(row(UTF8String.fromString(t), Int.box(n)))
         }))
       case "set_partitioning" => Some(proc(name,
@@ -337,9 +330,7 @@ object GraftProcedures {
           val cols = args.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           val c = client
-          c.newTx()
-          c.alterPartitioning(t, cols)
-          c.commitTxRetrying()
+          inTx(c)(c.alterPartitioning(t, cols))
           Seq(row(UTF8String.fromString(t),
             UTF8String.fromString(cols.mkString(","))))
         }))
@@ -359,10 +350,8 @@ object GraftProcedures {
             .fromDDL(args.getUTF8String(2).toString)
           val dflt = args.getUTF8String(3).toString
           val c = client
-          c.newTx()
-          c.addColumnWithDefault(t,
-            org.apache.spark.sql.types.StructField(colName, dt), dflt)
-          c.commitTxRetrying()
+          inTx(c)(c.addColumnWithDefault(t,
+            org.apache.spark.sql.types.StructField(colName, dt), dflt))
           Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName)))
         }))
       case "reorg" => Some(proc(name,
@@ -376,14 +365,28 @@ object GraftProcedures {
         StructType(Seq(StructField("table", StringType))), { args =>
           val t = args.getUTF8String(0).toString
           val c = client
-          c.newTx()
-          c.materializeSchema(t)
-          c.commitTxRetrying()
+          inTx(c)(c.materializeSchema(t))
           Seq(row(UTF8String.fromString(t)))
         }))
       case _ => None
     }
   }
+
+  /** Run `body` inside a fresh tx on `c`, committing on success and
+    * ALWAYS releasing the tx on failure. Several procedure bodies have
+    * expected failure paths (eager default validation in add_column, a
+    * bad parquet path in convert, a missing version in restore); without
+    * the finally-rollback a throw leaves the client's transaction open
+    * and every subsequent operation through it fails with
+    * 'transaction already open'.
+    */
+  private def inTx[A](c: GraftClient)(body: => A): A =
+    try {
+      c.newTx()
+      val r = body
+      c.commitTxRetrying()
+      r
+    } finally if (c.hasOpenTx) c.rollback()
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()

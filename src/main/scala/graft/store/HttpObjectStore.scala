@@ -1,0 +1,215 @@
+package graft.store
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+/** [[ObjectStore]] over a real HTTP endpoint — the commit protocol's
+  * If-None-Match semantics crossing an actual socket instead of a
+  * same-process method call (the reference's own minio/S3 TODO,
+  * README.md:30). The wire protocol is a minimal S3 model:
+  *
+  *   - `PUT /o/<name>` with `If-None-Match: *` → 201 created, or 412
+  *     if the object exists (S3's conditional-write response) — this
+  *     is [[putIfAbsent]], the only primitive the LOG needs.
+  *   - `PUT /o/<name>` (unconditional) → 200; create-or-replace.
+  *   - `GET /o/<name>` → 200 bytes | 404.
+  *   - `DELETE /o/<name>` → 204 (absent is still 204 — S3 DELETE).
+  *   - `GET /list?prefix=P&start-after=K&max-keys=N` → newline-joined
+  *     keys ascending; `x-truncated: true` when more pages remain.
+  *     [[listPrefixOrdered]] pages through with `start-after`, exactly
+  *     the ListObjectsV2 continuation shape — one LIST request per
+  *     [[PageSize]] keys, never an unbounded response.
+  *
+  * Retries: GET/LIST are idempotent and retry on connect/5xx up to
+  * [[MaxRetries]]. PUT-if-absent is NOT blindly retried — an ambiguous
+  * outcome (send succeeded, response lost) must surface to the caller,
+  * which is precisely the ambiguity the commit protocol's recovery path
+  * (read-back-and-compare in commitTxRetrying) exists to resolve; a
+  * silent retry here could turn "we actually won" into a false loss.
+  */
+final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000)
+    extends ObjectStore {
+  private val base = baseUrl.stripSuffix("/")
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+  private val PageSize = pageSize
+  private val MaxRetries = 3
+
+  private def uri(path: String): URI = URI.create(s"$base$path")
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8)
+
+  override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
+    val req = HttpRequest.newBuilder(uri(s"/o/${enc(name)}"))
+      .header("If-None-Match", "*")
+      .PUT(BodyPublishers.ofByteArray(data)).build()
+    http.send(req, BodyHandlers.ofByteArray()).statusCode() match {
+      case 200 | 201 => true
+      case 412 => false
+      case other => throw new java.io.IOException(
+        s"conditional PUT $name: unexpected status $other")
+    }
+  }
+
+  override def put(name: String, data: Array[Byte]): Unit = {
+    val req = HttpRequest.newBuilder(uri(s"/o/${enc(name)}"))
+      .PUT(BodyPublishers.ofByteArray(data)).build()
+    val code = http.send(req, BodyHandlers.ofByteArray()).statusCode()
+    if (code != 200 && code != 201)
+      throw new java.io.IOException(s"PUT $name: status $code")
+  }
+
+  override def read(name: String): Array[Byte] = {
+    val resp = retrying(s"GET $name") {
+      http.send(HttpRequest.newBuilder(uri(s"/o/${enc(name)}")).GET().build(),
+        BodyHandlers.ofByteArray())
+    }
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 404 => throw new java.nio.file.NoSuchFileException(name)
+      case other =>
+        throw new java.io.IOException(s"GET $name: status $other")
+    }
+  }
+
+  override def delete(name: String): Unit = {
+    val req = HttpRequest.newBuilder(uri(s"/o/${enc(name)}"))
+      .DELETE().build()
+    val code = http.send(req, BodyHandlers.ofByteArray()).statusCode()
+    if (code != 204 && code != 200 && code != 404)
+      throw new java.io.IOException(s"DELETE $name: status $code")
+  }
+
+  override def listPrefixOrdered(prefix: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var after: Option[String] = None
+    var more = true
+    while (more) {
+      val q = s"prefix=${enc(prefix)}&max-keys=$PageSize" +
+        after.map(a => s"&start-after=${enc(a)}").getOrElse("")
+      val resp = retrying(s"LIST $prefix") {
+        http.send(HttpRequest.newBuilder(uri(s"/list?$q")).GET().build(),
+          BodyHandlers.ofString())
+      }
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"LIST $prefix: status ${resp.statusCode()}")
+      val keys = resp.body().split("\n").filter(_.nonEmpty)
+      out ++= keys
+      more = resp.headers().firstValue("x-truncated").orElse("") == "true" &&
+        keys.nonEmpty
+      after = keys.lastOption
+    }
+    out.result()
+  }
+
+  /** Retry idempotent verbs on connect failure / 5xx with backoff. */
+  private def retrying[A <: HttpResponse[_]](what: String)(send: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < MaxRetries) {
+      try {
+        val resp = send
+        if (resp.statusCode() < 500) return resp
+        last = new java.io.IOException(s"$what: status ${resp.statusCode()}")
+      } catch {
+        case e: java.io.IOException => last = e
+        case e: InterruptedException => throw e
+      }
+      attempt += 1
+      Thread.sleep(10L << attempt)
+    }
+    throw last
+  }
+}
+
+/** A minimal object-store SERVICE: any [[ObjectStore]] exposed over the
+  * [[HttpObjectStore]] wire protocol via the JDK's built-in HTTP server.
+  * Atomicity of the conditional PUT is the backing store's — the server
+  * adds no locking of its own, exactly as S3's API surfaces its
+  * internal conditional-write primitive. This is also the skeleton of
+  * the reference's "run as server" TODO (README.md:31): the store tier
+  * as a network service, with the table/tx logic living in the client.
+  */
+final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0) {
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def respond(x: HttpExchange, code: Int, body: Array[Byte],
+      headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) x.getResponseBody.write(body)
+    x.close()
+  }
+
+  server.createContext("/o/", new HttpHandler {
+    def handle(x: HttpExchange): Unit = try {
+      val name = dec(x.getRequestURI.getPath.stripPrefix("/o/"))
+      x.getRequestMethod match {
+        case "PUT" =>
+          val data = x.getRequestBody.readAllBytes()
+          val conditional = Option(
+            x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+          if (conditional) {
+            if (backing.putIfAbsent(name, data))
+              respond(x, 201, Array.empty)
+            else respond(x, 412, Array.empty)
+          } else { backing.put(name, data); respond(x, 200, Array.empty) }
+        case "GET" =>
+          try respond(x, 200, backing.read(name))
+          catch {
+            case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException =>
+              respond(x, 404, Array.empty)
+          }
+        case "DELETE" =>
+          backing.delete(name); respond(x, 204, Array.empty)
+        case _ => respond(x, 405, Array.empty)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => respond(x, 500, Array.empty)
+    }
+  })
+
+  server.createContext("/list", new HttpHandler {
+    def handle(x: HttpExchange): Unit = try {
+      val params = Option(x.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.contains("="))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> dec(v)
+        }.toMap
+      val prefix = params.getOrElse("prefix", "")
+      val after = params.get("start-after")
+      val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
+      val all = backing.listPrefixOrdered(prefix)
+      val fromAfter = after match {
+        case Some(a) => all.dropWhile(_ <= a)
+        case None => all
+      }
+      val page = fromAfter.take(maxKeys)
+      val truncated = fromAfter.length > page.length
+      respond(x, 200, page.mkString("\n").getBytes(UTF_8),
+        "x-truncated" -> truncated.toString)
+    } catch {
+      case scala.util.control.NonFatal(_) => respond(x, 500, Array.empty)
+    }
+  })
+
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  /** The bound port (when constructed with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
+}

@@ -22,7 +22,12 @@ class StoreContractSpec extends AnyFunSuite {
     "in-memory" -> (() => new InMemoryObjectStore),
     // latency on every verb so the contract holds with real request gaps
     "s3-model" -> (() => new FaultInjectingObjectStore(
-      putLatencyMs = 2, listLatencyMs = 1, readLatencyMs = 1)))
+      putLatencyMs = 2, listLatencyMs = 1, readLatencyMs = 1)),
+    // REAL sockets: conditional PUT / paged LIST as HTTP round-trips
+    "http" -> (() => {
+      val srv = new graft.store.ObjectStoreHttpServer(new InMemoryObjectStore)
+      new graft.store.HttpObjectStore(srv.url)
+    }))
 
   impls.foreach { case (name, mk) =>
     test(s"$name: putIfAbsent is create-if-absent; read returns the winner") {

@@ -70,6 +70,42 @@ class WidenSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("decimal widen rescales PHYSICAL bytes on read") {
+    // the 'd' column in the test above is added post-create and never
+    // written, so no file carries DECIMAL(10,2) bytes — this variant
+    // writes real decimal values first, so the scan after the widen
+    // exercises the parquet reader's rescale-on-read path
+    // DECIMAL(10,2) -> DECIMAL(20,4) on physical data
+    val c = fixture()
+    val ss = spark
+    import ss.implicits._
+    c.newTx()
+    c.addColumn("t", StructField("d", DecimalType(10, 2)))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((40, "p", "12.34"), (41, "q", "99999999.99"))
+      .toDF("k", "v", "d")
+      .withColumn("d", col("d").cast(DecimalType(10, 2))))
+    c.commitTx()
+    c.newTx()
+    c.widenColumnType("t", "d", DecimalType(20, 4))
+    c.commitTx()
+    c.newTx()
+    val got = c.scan("t").filter(col("d").isNotNull)
+      .select("k", "d").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1).toSeq
+    c.rollback()
+    assert(got.map(_._2.toPlainString) ==
+      Seq("12.3400", "99999999.9900"),
+      s"physical DECIMAL(10,2) bytes must read back rescaled at (20,4): $got")
+    // and arithmetic at the new type is exact (no double detour)
+    c.newTx()
+    val sum = c.scan("t").agg(org.apache.spark.sql.functions.sum(col("d")))
+      .collect()(0).getDecimal(0)
+    c.rollback()
+    assert(sum.toPlainString == "100000012.3300")
+  }
+
   test("stats still prune after widening; values read back as long") {
     val c = fixture()
     c.newTx()
