@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Build a K x scaled copy of a testdata sf dir by replicating rows with
+id offsets — the sf1 scale-checkpoint input (10 x sf0.1).
+
+Replicas are DECORRELATED so the workload grows linearly, like organic
+data, instead of manufacturing cross-replica duplicate structure:
+  - documents: each replica k>0 salts the text with a ' r<k>x' suffix
+    (no cross-replica exact/near dups; within-replica dup structure
+    repeats per replica). doc_id offset by k*10M keeps the probe slice
+    (doc_id < 50) exactly the replica-0 one.
+  - embeddings: replica k>0 flips the sign of dimensions where
+    dim % 10 == k-1 (cosine between replicas drops far below the dedup
+    thresholds; norms unchanged so IVF geometry stays realistic).
+  - events: event_id/user_id offsets -> disjoint per-replica subgraphs.
+  - TPC-H tables: copied verbatim (the scale probe targets the
+    data-pipeline heavy hitters, not TPC-H).
+
+Usage: make_scale.py SRC DST K
+"""
+import duckdb, sys, os, shutil
+
+src, dst, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+OFF = 10_000_000
+
+docs = []
+for k in range(K):
+    if k == 0:
+        docs.append(f"SELECT * FROM '{src}/documents.parquet'")
+    else:
+        docs.append(
+            f"SELECT doc_id + {k * OFF} AS doc_id, "
+            f"text || ' r{k}x' AS text, lang, source, "
+            f"length(text || ' r{k}x') AS n_chars "
+            f"FROM '{src}/documents.parquet'")
+con.sql(f"COPY ({' UNION ALL '.join(docs)}) TO '{dst}/documents.parquet' "
+        "(FORMAT PARQUET)")
+
+embs = []
+for k in range(K):
+    if k == 0:
+        embs.append(f"SELECT * FROM '{src}/embeddings.parquet'")
+    else:
+        embs.append(
+            f"SELECT vec_id + {k * OFF} AS vec_id, "
+            f"list_transform(embedding, "
+            f"  (x, i) -> CASE WHEN (i - 1) % 10 = {k - 1} THEN -x ELSE x END"
+            f") AS embedding, label "
+            f"FROM '{src}/embeddings.parquet'")
+con.sql(f"COPY ({' UNION ALL '.join(embs)}) TO '{dst}/embeddings.parquet' "
+        "(FORMAT PARQUET)")
+
+evs = []
+for k in range(K):
+    if k == 0:
+        evs.append(f"SELECT * FROM '{src}/events.parquet'")
+    else:
+        evs.append(
+            f"SELECT event_id + {k * OFF} AS event_id, ts, "
+            f"user_id + {k * OFF} AS user_id, event_type, value, props "
+            f"FROM '{src}/events.parquet'")
+con.sql(f"COPY ({' UNION ALL '.join(evs)}) TO '{dst}/events.parquet' "
+        "(FORMAT PARQUET)")
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]:
+    shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+for t in ["documents", "embeddings", "events"]:
+    n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n}")

@@ -216,6 +216,20 @@ object TxQueries {
         c.analyzeNdv("nation", Seq("n_name", "n_regionkey"))
         c.commitTx()
 
+        // nation15: DELETE-AWARE NDV — analyze FIRST, then a bulk
+        // delete; the refreshed metadata estimate (per-object sketch
+        // refold + a re-sketch of only the rewritten survivors) must
+        // equal the DuckDB HLL replay over the POST-delete live rows,
+        // which a stale-HIGH sketch cannot (tx_ndv_refresh)
+        c.newTx()
+        c.createTable("nation15", nation.schema)
+        c.insert("nation15", nation)
+        c.analyzeNdv("nation15", Seq("n_name", "n_regionkey"))
+        c.commitTx()
+        c.newTx()
+        c.deleteRows("nation15", "n_nationkey", 10, 14)
+        c.commitTx()
+
         // nation11: bounded clustering + incremental maintenance — the
         // full layout lifecycle (cluster → unaligned append → incremental
         // re-bucket through the STORED grid) must preserve content
@@ -567,6 +581,61 @@ object TxQueries {
         'update_postimage'
       FROM nation WHERE n_nationkey BETWEEN 5 AND 9
     ) ORDER BY _change, n_nationkey"""
+
+  // --- FILE-LEVEL change feed: no key columns (Delta cdc actions) -----------
+  // A dedicated store with graft.enableChangeDataFeed set at creation:
+  // commit 1 appends updated versions of keys 5..9 (append-only commits
+  // carry no CDC objects — their inserts derive from the add actions, so
+  // the append path pays zero write amplification), commit 2 runs a
+  // copy-on-write delete of keys 10..14 (its CDC object records the live
+  // matched rows at write time). The window read is a UNION of
+  // per-commit records — no snapshot diff, no natural key required —
+  // closing the keyed-CDF divergence note that stood in GraftTvf.
+  private val cdcBuilt = mutable.Map[String, String]()
+  private def ensureCdfNokeys(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      cdcBuilt.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_cdc_fixture").toString
+        val c = new GraftClient(spark, root)
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        c.newTx()
+        c.createTable("nc", nation.schema)
+        c.setTableProperties("nc", Map(GraftClient.CdfProperty -> "true"))
+        c.insert("nc", nation)
+        c.commitTx()
+        c.newTx()
+        c.insert("nc", nation.filter(col("n_nationkey").between(5, 9))
+          .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+        c.commitTx()
+        c.newTx()
+        c.deleteRows("nc", "n_nationkey", 10, 14)
+        c.commitTx()
+        root
+      })
+    }
+
+  def txCdfNokeys(spark: SparkSession, dir: String): DataFrame =
+    // through the registered source: changeFeed WITHOUT keyColumns
+    // routes to the file-level reader (the SQL TVF form
+    // table_changes('cat.nc', 1) resolves to this same read)
+    spark.read.format("graft").option("table", "nc")
+      .option("changeFeed", "true").option("startingVersion", "1")
+      .load(ensureCdfNokeys(spark, dir))
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("n_nationkey"))
+
+  private val txCdfNokeysSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name || '_V2' AS n_name,
+        n_regionkey + 100 AS n_regionkey, 'insert' AS _change_type,
+        1 AS _commit_version
+      FROM nation WHERE n_nationkey BETWEEN 5 AND 9
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey, 'delete', 2
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 14
+    ) ORDER BY _commit_version, _change_type, n_nationkey"""
 
   // --- Drop + re-add column: narrowed rewrite, no value resurrection --------
   def txDropColumn(spark: SparkSession, dir: String): DataFrame =
@@ -1092,6 +1161,44 @@ object TxQueries {
         ELSE round(raw, 2) END AS distinct_est
     FROM est ORDER BY "column""""
 
+  // --- Delete-aware NDV: stats refreshed BY the delete ----------------------
+  def txNdvRefresh(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      val s = spark
+      import s.implicits._
+      Seq(
+        ("n_name", c.approxDistinct("nation15", "n_name")),
+        ("n_regionkey", c.approxDistinct("nation15", "n_regionkey")))
+        .toDF("column", "distinct_est").orderBy("column")
+    }
+
+  private val txNdvRefreshSql = """
+    WITH live AS (
+      SELECT n_name, n_regionkey FROM nation
+      WHERE n_nationkey NOT BETWEEN 10 AND 14),
+    vals AS (
+      SELECT 'n_name' AS col, CAST(n_name AS VARCHAR) AS v FROM live
+      UNION ALL
+      SELECT 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM live),
+    h AS (SELECT col, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h60
+      FROM vals),
+    r AS (SELECT col, h60 % 512 AS reg,
+      52 - length(bin(h60 // 512)) AS rho FROM h),
+    regs AS (SELECT col, reg, max(rho) AS m FROM r GROUP BY col, reg),
+    agg AS (SELECT col, count(*) AS n_regs,
+        sum((1::BIGINT << (52 - m))) AS z_hit FROM regs GROUP BY col),
+    est AS (SELECT col, n_regs, 512 - n_regs AS v_zero,
+        0.7213e0/(1.0e0+1.079e0/512.0e0)*512.0e0*512.0e0
+          *4503599627370496.0e0
+          / CAST(z_hit + (512 - n_regs) * (1::BIGINT << 52) AS DOUBLE)
+          AS raw
+      FROM agg)
+    SELECT col AS "column",
+      CASE WHEN raw <= 1280.0e0 AND v_zero > 0
+        THEN round(512.0e0 * ln(512.0e0 / CAST(v_zero AS DOUBLE)), 2)
+        ELSE round(raw, 2) END AS distinct_est
+    FROM est ORDER BY "column""""
+
   // --- mergeSchema ingestion -------------------------------------------------
   def txEvolveInsert(spark: SparkSession, dir: String): DataFrame =
     withClient(spark, dir) { c =>
@@ -1201,6 +1308,16 @@ object TxQueries {
       "CDF with update_preimage/update_postimage rows (Delta CDF " +
         "parity) — the retraction stream incremental aggregate-view " +
         "maintenance consumes"),
+    "tx_ndv_refresh" -> QueryDef(txNdvRefresh, Some(txNdvRefreshSql),
+      "DELETE-AWARE NDV: analyze before a bulk delete; the delete " +
+        "refolds per-object sketches (metadata) + re-sketches only the " +
+        "rewritten survivors, so the estimate matches a post-delete " +
+        "HLL replay instead of going stale-HIGH"),
+    "tx_cdf_nokeys" -> QueryDef(txCdfNokeys, Some(txCdfNokeysSql),
+      "FILE-LEVEL change feed (Delta cdc actions): per-commit change " +
+        "records read without key columns — appends derive inserts " +
+        "from add actions, mutating commits read their recorded CDC " +
+        "objects (graft.enableChangeDataFeed)"),
     "tx_mv_incremental" -> QueryDef(txMvIncremental,
       Some(txMvIncrementalSql),
       "incrementally-maintained COUNT/SUM materialized view: each " +

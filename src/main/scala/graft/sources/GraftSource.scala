@@ -55,8 +55,11 @@ final class GraftSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     if (changeFeed(parameters))
+      // keyColumns present → keyed snapshot diff; absent → file-level
+      // per-commit CDC records (requires the table property
+      // graft.enableChangeDataFeed on mutating commits)
       GraftChangesRelation(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"), keyColumns(parameters),
+        opt(parameters, "table"), keyColumnsOpt(parameters),
         parameters.get("startingversion")
           .orElse(parameters.get("startingVersion")).map(_.toLong)
           .getOrElse(0L),
@@ -113,7 +116,15 @@ final class GraftSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "graft: option 'keyColumns' is required " +
-          "(changeFeed source / upsert sink)"))
+          "(streaming changeFeed source / upsert sink)"))
+
+  /** Like [[keyColumns]] but absence is legal: the batch change feed
+    * falls back to FILE-LEVEL per-commit CDC records.
+    */
+  private def keyColumnsOpt(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keycolumns").orElse(parameters.get("keyColumns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -454,7 +465,12 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
 
   private def changes: DataFrame =
     GraftRelation.withClient(sqlContext, root) { c =>
-      c.changesBetween(table, keyCols, from,
+      if (keyCols.isEmpty)
+        // file-level per-commit records (Delta's cdc actions) — no row
+        // identity needed; preimages is meaningless here (updates are
+        // delete+insert of the affected rows)
+        c.changesByFile(table, from, until.getOrElse(c.latestVersion))
+      else c.changesBetween(table, keyCols, from,
         until.getOrElse(c.latestVersion), preimages)
     }
 

@@ -12,16 +12,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * LogicalPlan at analysis time):
   *
   *   table_changes('cat.tbl', 'k1[,k2…]', start [, end [, preimages]])
+  *   table_changes('cat.tbl', start [, end])
   *   table_changes_by_path('/store/root', 'tbl', 'keys', start [, end [, preimages]])
+  *   table_changes_by_path('/store/root', 'tbl', start [, end])
   *
-  * Both resolve to the batch CDF read (`format("graft")`,
+  * All resolve to the batch CDF read (`format("graft")`,
   * `changeFeed=true`) over `[start, end)`; `end` defaults to latest.
-  * DIVERGENCE FROM DELTA, by design: this engine's CDF is a KEYED
-  * SNAPSHOT DIFF (`changesBetween` — the key columns are an argument),
-  * not per-file CDC actions, so the feed is exact against any pair of
-  * versions regardless of how the writes happened. The optional boolean
-  * `preimages` switches updates to the
-  * `update_preimage`/`update_postimage` retraction form.
+  * TWO feed shapes, selected by whether key columns are given:
+  *
+  *   - KEYED snapshot diff (`changesBetween`): exact against any pair
+  *     of versions regardless of how the writes happened; the optional
+  *     boolean `preimages` switches updates to the
+  *     `update_preimage`/`update_postimage` retraction form.
+  *   - FILE-LEVEL per-commit records (`changesByFile` — Delta's cdc
+  *     actions): no natural key required; mutating commits must have
+  *     been written with table property `graft.enableChangeDataFeed`
+  *     (append-only commits derive their inserts for free). Adds
+  *     `_change_type` and `_commit_version` columns.
   */
 object GraftTvf {
   type Registration = (FunctionIdentifier, ExpressionInfo,
@@ -31,7 +38,7 @@ object GraftTvf {
     FunctionIdentifier("table_changes"),
     new ExpressionInfo(getClass.getName, "table_changes"),
     (args: Seq[Expression]) => {
-      require(args.length >= 3 && args.length <= 5, usage)
+      require(args.length >= 2 && args.length <= 5, usage)
       val ref = lit(args.head, "table").toString
       val parts = ref.split('.')
       require(parts.length == 2,
@@ -48,23 +55,36 @@ object GraftTvf {
     FunctionIdentifier("table_changes_by_path"),
     new ExpressionInfo(getClass.getName, "table_changes_by_path"),
     (args: Seq[Expression]) => {
-      require(args.length >= 4 && args.length <= 6, usage)
+      require(args.length >= 3 && args.length <= 6, usage)
       build(lit(args(0), "path").toString, lit(args(1), "table").toString,
         args.drop(2))
     })
 
   private def build(root: String, table: String,
       rest: Seq[Expression]): LogicalPlan = {
-    val r = SparkSession.active.read.format("graft")
+    val base = SparkSession.active.read.format("graft")
       .option("table", table).option("changeFeed", "true")
-      .option("keyColumns", lit(rest.head, "key columns").toString)
-      .option("startingVersion", lit(rest(1), "startingVersion").toString)
-    val r2 = if (rest.length >= 3)
-      r.option("endingVersion", lit(rest(2), "endingVersion").toString)
-    else r
-    val r3 = if (rest.length == 4)
-      r2.option("preimages", lit(rest(3), "preimages").toString)
-    else r2
+    // a STRING first argument is the key-column list (keyed snapshot
+    // diff); a NUMERIC first argument is `start` (file-level feed, no
+    // keys — Delta's own table_changes shape)
+    val r3 = lit(rest.head, "keys or start") match {
+      case keys: String =>
+        val r = base.option("keyColumns", keys)
+          .option("startingVersion", lit(rest(1), "startingVersion").toString)
+        val r2 = if (rest.length >= 3)
+          r.option("endingVersion", lit(rest(2), "endingVersion").toString)
+        else r
+        if (rest.length == 4)
+          r2.option("preimages", lit(rest(3), "preimages").toString)
+        else r2
+      case start =>
+        require(rest.length <= 2,
+          "table_changes without keys takes (table, start [, end])")
+        val r = base.option("startingVersion", start.toString)
+        if (rest.length == 2)
+          r.option("endingVersion", lit(rest(1), "endingVersion").toString)
+        else r
+    }
     r3.load(root).queryExecution.analyzed
   }
 
@@ -76,6 +96,6 @@ object GraftTvf {
   }
 
   private val usage = "usage: table_changes('cat.tbl', 'keys', start " +
-    "[, end [, preimages]]) or table_changes_by_path(root, tbl, keys, " +
-    "start [, end [, preimages]])"
+    "[, end [, preimages]]) | table_changes('cat.tbl', start [, end]) " +
+    "| table_changes_by_path(root, tbl, ...same tails...)"
 }

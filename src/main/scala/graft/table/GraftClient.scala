@@ -108,6 +108,12 @@ final class GraftClient(
     // HISTORY's `operation`); FIRST public mutator wins, so a composite
     // op (MERGE calling insert internally) is named by its outer verb
     var op: Option[String] = None
+    // tables whose CHANGE record this tx has started (a CDC object was
+    // staged): once set, later inserts in the SAME tx must mirror their
+    // rows into CDC too, because a window reader treats a commit's CDC
+    // objects as the COMPLETE change record (Delta's rule) and ignores
+    // its add actions
+    val cdcTables = mutable.Set[String]()
     def id: Long = snapshot.version
   }
 
@@ -1057,7 +1063,9 @@ final class GraftClient(
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
       require(written == n,
         s"insert wrote $written rows but counted $n: non-deterministic input")
-      t.actions += AddDataObject(table, name, txId, n, stats)
+      val add = AddDataObject(table, name, txId, n, stats)
+      t.actions += add
+      mirrorInsertCdc(table, add)
     }
 
   /** Schema-evolving insert (Delta's `mergeSchema`): columns in `df`
@@ -1275,7 +1283,18 @@ final class GraftClient(
         toPhysical(stamped, schema)) { case (d, (c, sc)) =>
         d.withColumn(sc, col(physOf(schema, c)))
       }
-      withParts.write.partitionBy(stageCols: _*).parquet(staging)
+      // WRITE-SIDE CLUSTERING (Delta's optimized write): one exchange on
+      // the partition values so each value lands contiguously in ONE
+      // task — without it every input task holds rows of every value and
+      // each object fragments into up-to-#tasks part-files (32 tasks ×
+      // 30 values = up to 960 small files per insert, then compaction
+      // debt). The catalog's write also declares this through DSv2
+      // RequiresDistributionAndOrdering, but Spark's V1-fallback insert
+      // re-plans the pre-optimization query and drops the prepared
+      // distribution, so the authoritative exchange lives here, where
+      // every insert path (SQL, client API, connector save) funnels.
+      withParts.repartition(stageCols.map(col): _*)
+        .write.partitionBy(stageCols: _*).parquet(staging)
       // walk to the LEAF dirs (depth = #partCols): one per combination
       def leaves(dir: java.io.File, depth: Int): Seq[java.io.File] =
         if (depth == 0) Seq(dir)
@@ -1301,7 +1320,9 @@ final class GraftClient(
       require(written == n,
         s"insertPartitioned wrote $written rows but counted $n")
       staged.foreach { case (name, rows, stats) =>
-        t.actions += AddDataObject(table, name, txId, rows, stats)
+        val add = AddDataObject(table, name, txId, rows, stats)
+        t.actions += add
+        mirrorInsertCdc(table, add)
       }
     }
   }
@@ -1322,7 +1343,9 @@ final class GraftClient(
       .write.parquet(s"$rootDir/$name")
     val (_, stats) =
       ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-    t.actions += AddDataObject(table, name, t.id, buf.length.toLong, stats)
+    val add = AddDataObject(table, name, t.id, buf.length.toLong, stats)
+    t.actions += add
+    mirrorInsertCdc(table, add)
     buf.clear()
   }
 
@@ -1723,16 +1746,21 @@ final class GraftClient(
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         // defaults filled before the key join: merge keys on an
         // initial-default column must match what scans show
-        val matched = applyDefaults(schema, applyDvs(
+        val matchedFull = applyDefaults(schema, applyDvs(
           readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq)))
           .join(broadcast(delKeys), keyCols, "left_semi")
-          .select(col(TxIdCol), col(RowIdxCol))
+        val matched = matchedFull.select(col(TxIdCol), col(RowIdxCol))
         val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
         matched.write.parquet(s"$rootDir/$name")
         val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
-        if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
-        else t.actions += RemoveDataObject(table, name)
+        if (n > 0) {
+          t.actions += AddDeleteVector(table, name, t.id, n)
+          // merge's change record: the deleted old rows here; the
+          // upserted/inserted new images mirror via the insert hook,
+          // which fires because this marked the table CDC-touched
+          if (cdfEnabled(t, table)) writeCdc(table, matchedFull, "delete")
+        } else t.actions += RemoveDataObject(table, name)
       }
     }
   }
@@ -1820,6 +1848,148 @@ final class GraftClient(
     }
   }
 
+  // --- file-level change data feed (Delta AddCDCFile parity) ---------------
+
+  /** Is the file-level change feed recorded for `table` in this tx's
+    * view? Opt-in via `setTableProperties(table,
+    * Map(GraftClient.CdfProperty -> "true"))` — exactly Delta's
+    * `delta.enableChangeDataFeed`. Recording costs one extra parquet
+    * write per mutating commit, proportional to the CHANGED rows (never
+    * the table), which is why it is a property and not the default.
+    */
+  private def cdfEnabled(t: TxState, table: String): Boolean =
+    t.snapshot.properties(table, t.actions.toSeq)
+      .get(GraftClient.CdfProperty).contains("true")
+
+  /** Write `rows` (logical columns) as a CDC object with the given
+    * `_change_type` and stage its action. Marks the table CDC-touched
+    * so later inserts in this tx mirror themselves too.
+    */
+  private def writeCdc(table: String, rows: DataFrame,
+      changeType: String): Unit = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    val name = TxLog.dataObjectName(table, s"cdc_${UUID.randomUUID()}")
+    rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .withColumn(GraftClient.ChangeTypeCol, lit(changeType))
+      .write.parquet(s"$rootDir/$name")
+    val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
+      new StructType())
+    if (n > 0) {
+      t.actions += AddCdcObject(table, name, t.id, n)
+      t.cdcTables += table
+    } else t.actions += RemoveDataObject(table, name)
+  }
+
+  /** Insert-path mirror: once a tx has staged CDC for a table, every
+    * subsequently staged data object's rows must ALSO appear in CDC
+    * (the reader ignores adds when CDC objects are present). Reads the
+    * just-written object back rather than re-evaluating the caller's
+    * DataFrame, so a non-deterministic input cannot diverge between the
+    * data and its change record.
+    */
+  private def mirrorInsertCdc(table: String, add: AddDataObject): Unit = {
+    val t = currentTx
+    if (t.cdcTables.contains(table))
+      writeCdc(table,
+        applyDefaults(schemaOf(table),
+          readObjects(schemaOf(table), Vector(add))), "insert")
+  }
+
+  /** Row-level change feed WITHOUT key columns — per-commit change
+    * records, Delta's file-level CDC. For each commit in
+    * `[fromVersion, toVersion)` the changes are, in order of precedence:
+    *
+    *   1. the commit's CDC objects, if any (the complete record written
+    *      because `graft.enableChangeDataFeed` was set);
+    *   2. derived inserts, when the commit only ADDS data objects
+    *      (append-only commits carry no CDC objects — Delta's own
+    *      design, so the append path pays zero write amplification);
+    *   3. derived deletes, when the commit only REMOVES objects (a
+    *      TRUNCATE / whole-object delete): the removed objects' rows at
+    *      the prior version, minus rows already DV-masked then;
+    *   4. nothing, for layout-only maintenance commits (COMPACT,
+    *      CLUSTER, REORG, BLOOM, ANALYZE — adds+removes that change no
+    *      row);
+    *   5. otherwise the commit mutated rows without recording CDC
+    *      (the property was off, or the op was RESTORE, whose change
+    *      set is a cross-version diff by nature) — loud error naming
+    *      the version, like Delta's missing-CDC read failure; the keyed
+    *      [[changesBetween]] still works for any window.
+    *
+    * Result columns: the table's columns at `toVersion`'s schema (a
+    * commit's rows are aligned by name, missing columns null), plus
+    * `_change_type` and `_commit_version`. Updates surface as
+    * delete+insert of the affected rows — without keys there is no row
+    * identity to pair pre/post images; use the keyed feed for
+    * retraction-form updates.
+    */
+  def changesByFile(table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val toSchema = txLog.beginAt(toVersion).tables.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"no such table at v$toVersion: $table"))
+    val maintenanceOps = Set("COMPACT", "CLUSTER", "REORG", "BLOOM",
+      "ANALYZE", "CHECKPOINT")
+    def aligned(df: DataFrame): DataFrame =
+      df.select(toSchema.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(GraftClient.ChangeTypeCol): _*)
+    val ops = txLog.entriesDetailed()
+      .filter { case (id, _, _, _) => id >= fromVersion && id < toVersion }
+    val pieces: Seq[DataFrame] = ops.flatMap { case (v, _, op, as) =>
+      val cdc = as.collect { case c: AddCdcObject if c.table == table => c }
+      val adds = as.collect { case a: AddDataObject if a.table == table => a }
+      val removes = as.collect {
+        case r: RemoveDataObject if r.table == table => r }
+      val dvs = as.collect {
+        case d: AddDeleteVector if d.table == table => d }
+      val atV = txLog.beginAt(v + 1).tables.getOrElse(table, toSchema)
+      val piece: Option[DataFrame] =
+        if (cdc.nonEmpty) {
+          // CDC objects carry logical columns + _change_type at their
+          // commit's schema; read with it explicitly so a later ALTER
+          // doesn't change what was recorded
+          val cdcSchema = StructType(atV.fields :+
+            StructField(GraftClient.ChangeTypeCol, StringType))
+          Some(aligned(spark.read.schema(cdcSchema)
+            .parquet(cdc.map(c => s"$rootDir/${c.path}"): _*)))
+        } else if (adds.nonEmpty && removes.isEmpty && dvs.isEmpty) {
+          Some(aligned(applyDefaults(atV, readObjects(atV, adds.toVector))
+            .withColumn(GraftClient.ChangeTypeCol, lit("insert"))))
+        } else if (removes.nonEmpty && adds.isEmpty && dvs.isEmpty) {
+          // rows live at the PRIOR version inside the removed objects,
+          // DV-masked rows excluded (they were already deleted)
+          val prior = txLog.beginAt(v)
+          val priorSchema = prior.tables.getOrElse(table, atV)
+          val byPath = prior.liveFiles(table).map(a => a.path -> a).toMap
+          val victims = removes.flatMap(r => byPath.get(r.path)).toVector
+          if (victims.isEmpty) None // DV retirements only
+          else Some(aligned(applyDefaults(priorSchema,
+            applyDvs(readObjects(priorSchema, victims),
+              prior.liveDvs(table)))
+            .withColumn(GraftClient.ChangeTypeCol, lit("delete"))))
+        } else if (adds.isEmpty && removes.isEmpty && dvs.isEmpty) {
+          None // metadata-only commit
+        } else if (op.exists(maintenanceOps)) {
+          None // layout-only rewrite: no row changed
+        } else throw new IllegalStateException(
+          s"table_changes: version $v of '$table' mutated rows without " +
+            "a change record — set table property " +
+            s"'${GraftClient.CdfProperty}'='true' before mutating (or " +
+            "use the keyed table_changes form, which diffs snapshots " +
+            "and needs no per-commit record)")
+      piece.map(_.withColumn("_commit_version", lit(v)))
+    }
+    val empty = StructType(toSchema.fields ++ Seq(
+      StructField(GraftClient.ChangeTypeCol, StringType),
+      StructField("_commit_version", LongType, nullable = false)))
+    if (pieces.isEmpty)
+      spark.createDataFrame(List.empty[Row].asJava, empty)
+    else pieces.reduce(_ unionByName _)
+  }
+
   /** Inclusive range delete, start <= col <= end — the reference's single
     * predicate (writes.go:58-88) — as copy-on-write (writes.go:90-162).
     *
@@ -1889,7 +2059,14 @@ final class GraftClient(
 
     // job 1: matched-row count per object (metadata-sized result); _obj
     // is the read layer's object identity (== AddDataObject.path for
-    // internal dirs and external converted files alike)
+    // internal dirs and external converted files alike).
+    // DRIVER-MEMORY CONTRACT: this map is O(#TOUCHED objects), ~200 B
+    // per entry — same order as the log-replay metadata the driver
+    // already holds (a 100 TB table at 128 MB objects is ~800k entries,
+    // ~160 MB). The loud cap below trips long before heap pressure; a
+    // delete that legitimately touches more objects than that should be
+    // issued as range-scoped deleteRows calls (stats-pruned per call),
+    // which is also how you'd bound its single-commit blast radius.
     val matchedPerObject: Map[String, Long] = scanAll
       .filter(pred)
       .groupBy(col("_obj"))
@@ -1897,9 +2074,23 @@ final class GraftClient(
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+    require(matchedPerObject.size <= GraftClient.MaxDeleteTouchedObjects,
+      s"delete touches ${matchedPerObject.size} objects (cap " +
+        s"${GraftClient.MaxDeleteTouchedObjects}): split into " +
+        "range-scoped deleteRows calls to bound driver metadata and " +
+        "single-commit blast radius")
 
     if (matchedPerObject.isEmpty) return
     val touched = matchedPerObject.keySet.toSeq.sorted
+
+    // file-level change record (before removes are staged, so the DV
+    // view is still the pre-delete one): the LIVE matched rows —
+    // DV-masked rows were already deleted and must not re-report
+    if (cdfEnabled(t, table))
+      writeCdc(table, applyDefaults(schema, applyDvs(
+        readObjects(schema, touched.map(byName)),
+        t.snapshot.liveDvs(table, t.actions.toSeq))).filter(pred),
+        "delete")
 
     // fully-matched objects (matched == physical rows: numRows is the
     // footer-derived PHYSICAL count, and job 1 counted physical rows, so
@@ -1926,12 +2117,22 @@ final class GraftClient(
         .write.parquet(s"$rootDir/$name")
       val (survivors, stats) =
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-      if (survivors > 0)
-        t.actions += AddDataObject(table, name,
+      if (survivors > 0) {
+        val add = AddDataObject(table, name,
           partial.map(n => byName(n).txId).min, survivors, stats)
+        // if the table is ANALYZEd, sketch the rewrite output now (one
+        // small aggregation over rows this job just wrote) so the
+        // post-delete NDV refresh below stays metadata-exact
+        val cols = ndvColumns(table)
+        t.actions += (if (cols.isEmpty) add
+          else add.copy(ndv = ndvBlobsFor(schema, add, cols)))
+      }
       // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
     }
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
+    // delete-aware stats: the live set just changed — refold the stored
+    // NDV blobs from the surviving objects' per-object sketches
+    analyzeRefresh(table)
 
     // phase 3: a row that was BOTH live-DV-masked and pred-matched was just
     // physically removed — shrink the DVs so live DV keys always reference
@@ -2180,17 +2381,19 @@ final class GraftClient(
     if (candidates.isEmpty) return
     // defaults filled before the predicate — same contract as the
     // copy-on-write path
-    val matched = applyDefaults(schema, applyDvs(
+    val matchedFull = applyDefaults(schema, applyDvs(
       readObjects(schema, candidates),
       t.snapshot.liveDvs(table, t.actions.toSeq)))
       .filter(pred)
-      .select(col(TxIdCol), col(RowIdxCol))
+    val matched = matchedFull.select(col(TxIdCol), col(RowIdxCol))
     val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
     matched.write.parquet(s"$rootDir/$name")
     val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
       new StructType()) // count only; DV keys carry no prunable columns
-    if (n > 0) t.actions += AddDeleteVector(table, name, t.id, n)
-    else t.actions += RemoveDataObject(table, name) // empty DV: retire now
+    if (n > 0) {
+      t.actions += AddDeleteVector(table, name, t.id, n)
+      if (cdfEnabled(t, table)) writeCdc(table, matchedFull, "delete")
+    } else t.actions += RemoveDataObject(table, name) // empty DV: retire now
   }
 
   private def tombstoneBuffer(table: String,
@@ -2610,15 +2813,35 @@ final class GraftClient(
         s"compact row-conservation failure: wrote ${staged.map(_._3).sum} " +
           s"rows, expected $expected")
     }
+    val ndvCols = ndvColumns(table)
     staged.foreach { case (name, binId, rows, stats) =>
-      if (rows > 0)
-        t.actions += AddDataObject(table, name,
+      if (rows > 0) {
+        val add = AddDataObject(table, name,
           eligible(binId).map(_.txId).min, rows, stats)
-      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+        // delete-aware stats ride the rewrite: a pure re-layout bin's
+        // blob is the register-max merge of its inputs' (METADATA-only,
+        // exact — same rows); a DV-retiring sweep physically dropped
+        // masked rows, so its outputs re-sketch from the written data
+        val withNdv =
+          if (ndvCols.isEmpty) add
+          else if (!retireDvs && eligible(binId).forall(a =>
+              ndvCols.forall(c => a.ndv.contains(physOf(schema, c)))))
+            add.copy(ndv = ndvCols.map { c =>
+              val p = physOf(schema, c)
+              p -> eligible(binId).map(_.ndv(p))
+                .foldLeft(new Array[Byte](graft.functions.HllMath.M))(
+                  graft.functions.HllMath.merge)
+            }.toMap)
+          else add.copy(ndv = ndvBlobsFor(schema, add, ndvCols))
+        t.actions += withNdv
+      } else deleteRecursively(new java.io.File(s"$rootDir/$name"))
     }
     eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
     if (retireDvs)
       dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+    // a DV-retiring sweep materialized deletions: refold the stored NDV
+    // blobs so the estimate stops counting the masked rows
+    if (retireDvs) analyzeRefresh(table)
   }
 
   /** [[compact]] only when the table's live object count (including this
@@ -2840,6 +3063,13 @@ final class GraftClient(
       s"no such column: $c"))
     flush(table)
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // ONE aggregation pass, grouped PER OBJECT: each object's register
+    // blob is staged onto its add action (bloom-style remove+re-add),
+    // and the table blob is the driver-side register-max merge of them.
+    // The per-object tier is what makes the stats DELETE-AWARE: a later
+    // delete/compaction refreshes the table estimate from metadata plus
+    // only the rows it rewrites ([[analyzeRefresh]]), instead of going
+    // stale-HIGH until the next full ANALYZE.
     val blobs: Map[String, Array[Byte]] =
       if (files.isEmpty) Map.empty
       else {
@@ -2848,10 +3078,24 @@ final class GraftClient(
         val aggs = columns.map(c =>
           expr(s"hll_registers(CAST(conv(substr(md5(CAST(`$c` AS " +
             s"STRING)), 1, 15), 16, 10) AS BIGINT))").as(s"_ndv_$c"))
-        val row = readObjects(schema, files).agg(aggs.head, aggs.tail: _*)
-          .collect().head
+        val rows = readObjects(schema, files, tagObj = true)
+          .groupBy(col("_obj"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val byPath = files.map(a => a.path -> a).toMap
+        rows.foreach { r =>
+          byPath.get(r.getString(0)).foreach { a =>
+            val perCol = columns.zipWithIndex.map { case (c, i) =>
+              physOf(schema, c) -> r.getAs[Array[Byte]](i + 1)
+            }.toMap
+            t.actions += RemoveDataObject(table, a.path)
+            t.actions += a.copy(ndv = a.ndv ++ perCol)
+          }
+        }
         columns.zipWithIndex.map { case (c, i) =>
-          c -> row.getAs[Array[Byte]](i)
+          c -> rows.map(_.getAs[Array[Byte]](i + 1))
+            .foldLeft(new Array[Byte](graft.functions.HllMath.M))(
+              graft.functions.HllMath.merge)
         }.toMap
       }
     val enc = java.util.Base64.getEncoder
@@ -2869,6 +3113,61 @@ final class GraftClient(
         ndvKey(c) -> enc.encodeToString(blob),
         ndvTxKey(c) -> t.id.toString)
       }.toMap)
+  }
+
+  /** DELETE-AWARE NDV refresh: recompute the stored table-level blobs as
+    * the register-max merge of the LIVE objects' per-object blobs
+    * (pending actions included) — called by the delete and compaction
+    * paths, which just changed the live set. METADATA-ONLY: no data
+    * object is opened; a rewrite's output got its own blob from the
+    * rows it was writing anyway. Exact whenever every live object
+    * carries a blob for every analyzed column; objects appended since
+    * the last ANALYZE lack one, in which case the stored estimate is
+    * left alone (stale-HIGH, the pre-existing contract) — run
+    * [[analyzeIncremental]] to fold them in O(new data) first.
+    * DV-masked rows still count until a rewrite materializes the
+    * deletion — a sketch cannot subtract.
+    */
+  private def analyzeRefresh(table: String): Unit = {
+    val t = currentTx
+    val props = tablePropertiesOf(table)
+    val schema = schemaOf(table)
+    val cols = schema.fieldNames.filter(c => props.contains(ndvKey(c))).toSeq
+    if (cols.isEmpty) return
+    val live = liveFiles(table)
+    val phys = cols.map(c => c -> physOf(schema, c)).toMap
+    if (live.exists(a => cols.exists(c => !a.ndv.contains(phys(c))))) return
+    val enc = java.util.Base64.getEncoder
+    setTableProperties(table, cols.flatMap { c =>
+      val merged = live.map(_.ndv(phys(c)))
+        .foldLeft(new Array[Byte](graft.functions.HllMath.M))(
+          graft.functions.HllMath.merge)
+      Seq(ndvKey(c) -> enc.encodeToString(merged),
+        ndvTxKey(c) -> t.id.toString)
+    }.toMap)
+  }
+
+  /** Per-object NDV blobs for a single just-written object, computed
+    * from one small aggregation over it — the rewrite paths attach this
+    * to their output add so [[analyzeRefresh]] stays exact.
+    */
+  private def ndvBlobsFor(schema: StructType, add: AddDataObject,
+      cols: Seq[String]): Map[String, Array[Byte]] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val aggs = cols.map(c =>
+      expr(s"hll_registers(CAST(conv(substr(md5(CAST(`$c` AS " +
+        s"STRING)), 1, 15), 16, 10) AS BIGINT))").as(s"_ndv_$c"))
+    val row = readObjects(schema, Vector(add)).agg(aggs.head, aggs.tail: _*)
+      .collect().head
+    cols.zipWithIndex.map { case (c, i) =>
+      physOf(schema, c) -> row.getAs[Array[Byte]](i)
+    }.toMap
+  }
+
+  /** Columns of `table` with stored NDV stats (logical names). */
+  private def ndvColumns(table: String): Seq[String] = {
+    val props = tablePropertiesOf(table)
+    schemaOf(table).fieldNames.filter(c => props.contains(ndvKey(c))).toSeq
   }
 
   /** NDV estimate for an analyzed column, from METADATA alone (the
@@ -3402,6 +3701,18 @@ final class GraftClient(
         keep ++= snap.liveDvs(tbl).map(_.path)
       }
     }
+    // CDC objects live exactly as long as their commit's log entry: keep
+    // those referenced by entries that survive this run's log retention
+    // (below the prune horizon, entry and change record reclaim together)
+    val pruneTarget = txLog.newestCheckpointAtOrBelow(from)
+    txLog.entriesBetween(
+      pruneTarget.getOrElse(txLog.oldestAvailableVersion), cur.version)
+      .foreach { case (_, as) =>
+        as.foreach {
+          case c: AddCdcObject => keep += c.path
+          case _ => ()
+        }
+      }
     val victims = Option(new java.io.File(rootDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
@@ -3419,7 +3730,7 @@ final class GraftClient(
       // them so the log (and each begin()'s listing) stays bounded. Time
       // travel below the horizon errors loudly afterwards (TxLog.beginAt)
       // — the same contract as the data-object reclaim above.
-      txLog.newestCheckpointAtOrBelow(from).foreach(txLog.pruneTo)
+      pruneTarget.foreach(txLog.pruneTo)
     }
     victims.length
   }
@@ -3433,6 +3744,23 @@ final class GraftClient(
 }
 
 object GraftClient {
+  /** Loud cap on objects one copy-on-write delete may touch — ~10× a
+    * 100 TB table's object count at 128 MB objects, so it only trips on
+    * pathology (an unscoped predicate over a hyper-fragmented table),
+    * not on real work. See the driver-memory contract in deleteWhereImpl.
+    */
+  val MaxDeleteTouchedObjects: Int = 8000000
+
+  /** Table property enabling the FILE-LEVEL change feed (Delta's
+    * `delta.enableChangeDataFeed`): mutating commits record their
+    * changed rows as CDC objects, so `table_changes` works without key
+    * columns. Costs one parquet write per mutating commit, sized by the
+    * changed rows.
+    */
+  val CdfProperty = "graft.enableChangeDataFeed"
+  /** Change-classification column of the file-level feed. */
+  val ChangeTypeCol = "_change_type"
+
   /** Field-metadata key marking a declared partition column (the SQL
     * catalog's `PARTITIONED BY` and [[GraftClient.alterPartitioning]]
     * both write it; it rides the log's schema serialization like column

@@ -95,10 +95,19 @@ final case class BloomData(k: Int, words: Vector[Long]) {
   * file row position)`, which is stable because parquet files are
   * immutable, so deletion vectors and copy-on-write stay valid.
   */
+/** `ndv` (keyed by PHYSICAL column name, like blooms) holds this
+  * object's per-column HLL register blob, written by ANALYZE: the
+  * table-level NDV estimate is the register-max merge of its live
+  * objects' blobs, which is what makes stats DELETE-AWARE — dropping an
+  * object drops exactly its contribution, and a compaction's output
+  * merges its inputs' blobs without a scan. ~512 B per analyzed column
+  * per object in the log, the same order as a bloom sidecar.
+  */
 final case class AddDataObject(table: String, path: String, txId: Long,
     numRows: Long, stats: Map[String, ColStats] = Map.empty,
     blooms: Map[String, BloomData] = Map.empty,
-    rowBase: Option[Long] = None) extends Action
+    rowBase: Option[Long] = None,
+    ndv: Map[String, Array[Byte]] = Map.empty) extends Action
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
@@ -109,6 +118,19 @@ final case class ChangeMetadata(table: String, schema: StructType)
   * TODO (README.md:38). `RemoveDataObject` retires DVs too (path-keyed).
   */
 final case class AddDeleteVector(table: String, path: String, txId: Long,
+    numRows: Long) extends Action
+
+/** Row-level change-data object for ONE commit — Delta's `AddCDCFile`
+  * (the `cdc` action): a parquet object carrying the table's logical
+  * columns plus `_change_type` ('insert' | 'delete'). Written by
+  * row-mutating operations when the table property
+  * `graft.enableChangeDataFeed` is true, so `table_changes` works
+  * WITHOUT key columns: a window read unions each commit's CDC objects
+  * instead of diffing keyed snapshots. Never part of [[Snapshot.liveFiles]]
+  * (scans ignore it — the fold's `case _` arm); vacuum retains it while
+  * its commit's log entry is retained and reclaims it with the entry.
+  */
+final case class AddCdcObject(table: String, path: String, txId: Long,
     numRows: Long) extends Action
 
 /** Sink-transaction watermark: "application `appId` has durably committed
@@ -804,7 +826,7 @@ object TxLog {
     }
 
   def actionToJson(a: Action): JValue = a match {
-    case AddDataObject(t, p, tx, n, stats, blooms, rowBase) =>
+    case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv) =>
       val base = Seq(
         "type" -> Json.str("add"), "table" -> Json.str(t),
         "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
@@ -812,9 +834,16 @@ object TxLog {
         (if (stats.isEmpty) Nil else Seq("stats" -> statsToJson(stats))) ++
         (if (blooms.isEmpty) Nil
          else Seq("blooms" -> bloomsToJson(blooms))) ++
-        rowBase.map(b => "rowBase" -> Json.num(b)).toSeq): _*)
+        rowBase.map(b => "rowBase" -> Json.num(b)).toSeq ++
+        (if (ndv.isEmpty) Nil
+         else Seq("ndv" -> JObj(ndv.map { case (c, blob) =>
+           c -> Json.str(java.util.Base64.getEncoder.encodeToString(blob))
+         })))): _*)
     case AddDeleteVector(t, p, tx, n) => Json.obj(
       "type" -> Json.str("dv"), "table" -> Json.str(t),
+      "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
+    case AddCdcObject(t, p, tx, n) => Json.obj(
+      "type" -> Json.str("cdc"), "table" -> Json.str(t),
       "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
     case RemoveDataObject(t, p) => Json.obj(
       "type" -> Json.str("remove"), "table" -> Json.str(t),
@@ -848,8 +877,13 @@ object TxLog {
         o("txId").asLong, o("numRows").asLong,
         o.get("stats").map(statsFromJson).getOrElse(Map.empty),
         o.get("blooms").map(bloomsFromJson).getOrElse(Map.empty),
-        o.get("rowBase").map(_.asLong))
+        o.get("rowBase").map(_.asLong),
+        o.get("ndv").map(_.asObj.map { case (c, v) =>
+          c -> java.util.Base64.getDecoder.decode(v.asStr)
+        }).getOrElse(Map.empty))
       case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
+        o("txId").asLong, o("numRows").asLong)
+      case "cdc" => AddCdcObject(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "remove" => RemoveDataObject(o("table").asStr, o("path").asStr)
       case "metadata" => ChangeMetadata(o("table").asStr,

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** File-level change feed (Delta AddCDCFile parity) beyond the
+  * tx_cdf_nokeys oracle row: DV deletes, merge (delete + mirrored
+  * inserts in one commit), truncate-derived deletes, compaction
+  * emitting nothing, the loud missing-record error, vacuum retention,
+  * and the SQL TVF's no-keys form.
+  */
+class CdcSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def fixture(): (GraftClient, String) = {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_cdc").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType))))
+    c.setTableProperties("t", Map(GraftClient.CdfProperty -> "true"))
+    c.insert("t", Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v"))
+    c.commitTx()
+    (c, root)
+  }
+
+  private def feed(c: GraftClient, from: Long, to: Long): Seq[(Int, String, String, Long)] =
+    c.changesByFile("t", from, to)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._4, t._3, t._1)).toSeq
+
+  test("create commit derives inserts; DV delete records its rows") {
+    val (c, _) = fixture()
+    c.newTx()
+    c.deleteWhereDV("t", col("k") === 2)
+    c.commitTx()
+    assert(feed(c, 0, c.latestVersion) == Seq(
+      (2, "b", "delete", 1L),
+      (1, "a", "insert", 0L), (2, "b", "insert", 0L),
+      (3, "c", "insert", 0L), (4, "d", "insert", 0L)
+    ).sortBy(t => (t._4, t._3, t._1)))
+  }
+
+  test("merge: one commit emits deletes AND mirrored inserts") {
+    val ss = spark
+    import ss.implicits._
+    val (c, _) = fixture()
+    c.newTx()
+    // source: delete k=1, upsert k=3 (new image), insert k=9
+    c.merge("t",
+      Seq((1, "x", true), (3, "C2", false), (9, "i", false))
+        .toDF("k", "v", "del"),
+      Seq("k"), deleteCond = col("del"), dropCols = Seq("del"))
+    c.commitTx()
+    val v = c.latestVersion - 1
+    assert(feed(c, v, v + 1) == Seq(
+      (1, "a", "delete", v),
+      (3, "C2", "insert", v), (9, "i", "insert", v)
+    ).sortBy(t => (t._4, t._3, t._1)))
+  }
+
+  test("truncate derives deletes from removed objects, minus DV-masked") {
+    val (c, _) = fixture()
+    c.newTx()
+    c.deleteWhereDV("t", col("k") === 4) // masked BEFORE the truncate
+    c.commitTx()
+    c.newTx()
+    c.truncate("t")
+    c.commitTx()
+    val v = c.latestVersion - 1
+    // k=4 was already deleted at v-1; the truncate must not re-report it
+    assert(feed(c, v, v + 1) == Seq(
+      (1, "a", "delete", v), (2, "b", "delete", v), (3, "c", "delete", v)))
+  }
+
+  test("compaction emits nothing; CoW delete emits only live rows") {
+    val ss = spark
+    import ss.implicits._
+    val (c, _) = fixture()
+    c.newTx()
+    c.insert("t", Seq((5, "e")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    c.compact("t")
+    c.commitTxRetrying()
+    val afterCompact = c.latestVersion
+    c.newTx()
+    c.deleteWhere("t", col("k") >= 4) // CoW across the compacted object
+    c.commitTx()
+    assert(feed(c, afterCompact - 1, afterCompact) == Nil,
+      "layout-only compaction must not appear in the feed")
+    assert(feed(c, afterCompact, c.latestVersion) == Seq(
+      (4, "d", "delete", afterCompact), (5, "e", "delete", afterCompact)))
+  }
+
+  test("mutating without the property is a loud, version-naming error") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_cdc_off").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false))))
+    c.insert("t", Seq(1, 2, 3).toDF("k"))
+    c.commitTx()
+    c.newTx()
+    c.deleteWhere("t", col("k") === 2)
+    c.commitTx()
+    val e = intercept[IllegalStateException] {
+      c.changesByFile("t", 0, c.latestVersion).collect()
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains(GraftClient.CdfProperty))
+  }
+
+  test("vacuum keeps CDC objects of retained windows") {
+    val (c, root) = fixture()
+    c.newTx()
+    c.deleteWhere("t", col("k") <= 2)
+    c.commitTx()
+    c.newTx()
+    c.compact("t")
+    c.commitTxRetrying()
+    c.vacuum(retainVersions = 10) // everything retained
+    assert(feed(c, 1, 2) == Seq(
+      (1, "a", "delete", 1L), (2, "b", "delete", 1L)),
+      "the delete's CDC object must survive a retaining vacuum")
+    // CDC objects are really on disk under the store root
+    assert(new java.io.File(root).listFiles()
+      .exists(_.getName.contains("_cdc_")))
+  }
+
+  test("SQL TVF: table_changes without keys reads the file-level feed") {
+    val (_, root) = fixture()
+    val out = spark.sql(
+      s"SELECT * FROM table_changes_by_path('$root', 't', 0) ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "insert", 0L), (2, "insert", 0L),
+      (3, "insert", 0L), (4, "insert", 0L)))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-9 pins: delete-aware NDV stats (per-object sketches refolded by
+  * deletes/compactions, metadata-only) and DSv2 write-side distribution
+  * (INSERT into a partitioned catalog table clusters by the partition
+  * columns, so each object is one contiguous file).
+  */
+class Round9Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val n = new AtomicInteger(0)
+
+  private def ndvFixture(): GraftClient = {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_ndv9").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType))))
+    c.insert("t", (0 until 50).map(i => (i, s"val_$i")).toDF("k", "v"))
+    c.analyzeNdv("t", Seq("v"))
+    c.commitTx()
+    c
+  }
+
+  test("delete refreshes NDV: estimate tracks the live set, from metadata") {
+    val c = ndvFixture()
+    c.newTx()
+    val before = c.approxDistinct("t", "v")
+    assert(math.abs(before - 50.0) / 50.0 < 0.15, s"pre-delete est $before")
+    c.deleteWhere("t", col("k") >= 25)
+    c.commitTx()
+    c.newTx()
+    val after = c.approxDistinct("t", "v")
+    c.rollback()
+    assert(math.abs(after - 25.0) / 25.0 < 0.15,
+      s"post-delete estimate must track the 25 surviving values, got " +
+        s"$after (stale-HIGH would stay near $before)")
+  }
+
+  test("whole-object delete refreshes by refold alone; append stays stale until incremental") {
+    val ss = spark
+    import ss.implicits._
+    val c = ndvFixture()
+    c.newTx()
+    // second object, disjoint values, analyzed incrementally
+    c.insert("t", (100 until 150).map(i => (i, s"val_$i")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    assert(c.analyzeIncremental("t") >= 1)
+    c.commitTx()
+    c.newTx()
+    val full = c.approxDistinct("t", "v")
+    assert(math.abs(full - 100.0) / 100.0 < 0.15, s"got $full")
+    // drop the ENTIRE second object: pure metadata refold, no rewrite
+    c.deleteWhere("t", col("k") >= 100)
+    c.commitTx()
+    c.newTx()
+    val dropped = c.approxDistinct("t", "v")
+    // un-analyzed append: refresh must leave the stored estimate alone
+    c.insert("t", (200 until 260).map(i => (i, s"x_$i")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    c.deleteWhere("t", col("k") === 1)
+    c.commitTx()
+    c.newTx()
+    val conservative = c.approxDistinct("t", "v")
+    c.rollback()
+    assert(math.abs(dropped - 50.0) / 50.0 < 0.15, s"got $dropped")
+    assert(conservative == dropped,
+      "with an un-analyzed live object the refresh must not refold " +
+        "(it would silently drop the unanalyzed rows' contribution)")
+  }
+
+  test("DV-retiring compaction refolds the estimate") {
+    val c = ndvFixture()
+    c.newTx()
+    c.deleteWhereDV("t", col("k") >= 40) // masked, not yet physical
+    c.commitTx()
+    c.newTx()
+    val masked = c.approxDistinct("t", "v")
+    assert(masked > 40.0, "a sketch cannot subtract: DV delete stays high")
+    c.compact("t") // full sweep materializes the DV
+    c.commitTxRetrying()
+    c.newTx()
+    val after = c.approxDistinct("t", "v")
+    c.rollback()
+    assert(math.abs(after - 40.0) / 40.0 < 0.15,
+      s"post-materialization estimate must track 40 live values: $after")
+  }
+
+  test("pure re-layout compaction: blobs merge from metadata, estimate unchanged") {
+    val ss = spark
+    import ss.implicits._
+    val c = ndvFixture()
+    c.newTx()
+    c.insert("t", (50 until 80).map(i => (i, s"val_$i")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    assert(c.analyzeIncremental("t") >= 1)
+    c.commitTx()
+    c.newTx()
+    val before = c.approxDistinct("t", "v")
+    c.compact("t")
+    c.commitTxRetrying()
+    c.newTx()
+    val after = c.approxDistinct("t", "v")
+    // the compacted object carries a MERGED blob (no rescan), so a later
+    // delete still refreshes exactly
+    c.deleteWhere("t", col("k") >= 40)
+    c.commitTx()
+    c.newTx()
+    val postDelete = c.approxDistinct("t", "v")
+    c.rollback()
+    assert(after == before, "pure re-layout must not change the estimate")
+    assert(math.abs(postDelete - 40.0) / 40.0 < 0.15, s"got $postDelete")
+  }
+
+  test("INSERT into a partitioned catalog table: one file per object") {
+    val cat = s"gwd9${n.incrementAndGet()}"
+    val root = Files.createTempDirectory("graft_dist9").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k INT, p INT) PARTITIONED BY (p)")
+    // 4 partition values spread over many input partitions: without the
+    // write-side clustering each object would hold one part-file per
+    // input task touching its value
+    spark.range(0, 4000).selectExpr("CAST(id AS INT) AS k",
+        "CAST(id % 4 AS INT) AS p")
+      .repartition(8, col("k")) // deliberately NOT by p
+      .createOrReplaceTempView(s"src_$cat")
+    val plan = spark.sql(
+      s"INSERT INTO $cat.t SELECT k, p FROM src_$cat")
+    val objects = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(f =>
+        f.isDirectory && f.getName.startsWith("_table_t_"))
+    assert(objects.length == 4,
+      s"one object per partition value, got ${objects.length}")
+    objects.foreach { o =>
+      val parts = o.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"write-side clustering must leave ONE contiguous file per " +
+          s"object, got ${parts.length} in ${o.getName}")
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").collect()(0)
+      .getLong(0) == 4000L)
+  }
+}
