@@ -132,7 +132,14 @@ final class GraftSource extends RelationProvider
     val base = GraftRelation.withClient(sqlContext,
       opt(parameters, "path"))(_.schemaOf(opt(parameters, "table")))
     (shortName(),
-      if (changeFeed(parameters))
+      if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            GraftClient.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      else if (changeFeed(parameters))
         StructType(base.fields :+ org.apache.spark.sql.types
           .StructField("_change", org.apache.spark.sql.types.StringType))
       else base)
@@ -141,7 +148,10 @@ final class GraftSource extends RelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    if (changeFeed(parameters))
+    if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
+      new GraftFileChangeFeedSource(sqlContext, opt(parameters, "path"),
+        opt(parameters, "table"))
+    else if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), keyColumns(parameters),
         preimages(parameters))
@@ -216,6 +226,48 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     StreamingShim.asStreaming(sqlContext.sparkSession,
       client.changesBetween(table, keyCols,
         start.map(versionOf).getOrElse(0L), versionOf(end), preimages))
+
+  override def stop(): Unit = {}
+}
+
+/** Streaming FILE-LEVEL change feed — `readStream.format("graft")
+  * .option("changeFeed", "true")` with NO `keyColumns`: each
+  * micro-batch unions the commit window's per-commit CDC records
+  * ([[graft.table.GraftClient.changesByFile]]) — `_change_type` +
+  * `_commit_version` columns, Delta's own streaming CDF shape. Mutating
+  * commits in the stream must carry CDC records
+  * (`graft.enableChangeDataFeed`); an unrecorded mutation fails the
+  * stream loudly naming the version, same as the batch read.
+  */
+final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
+    table: String) extends Source {
+
+  private def client = new GraftClient(sqlContext.sparkSession, root)
+
+  override val schema: StructType = {
+    val base =
+      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(GraftClient.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = client.latestVersion
+    if (v == 0L) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      client.changesByFile(table,
+        start.map(versionOf).getOrElse(0L), versionOf(end)))
 
   override def stop(): Unit = {}
 }

@@ -784,6 +784,19 @@ final class GraftClient(
     props.get("graft.autoCompact.maxObjects").foreach(v =>
       require(v.toIntOption.exists(_ > 0),
         s"graft.autoCompact.maxObjects must be a positive int, got: $v"))
+    props.get(GraftClient.CdfProperty).foreach { v =>
+      require(v == "true" || v == "false",
+        s"${GraftClient.CdfProperty} must be true|false, got: $v")
+      // file-level CDC is a PROTOCOL-3 feature: a v2 reader would crash
+      // on the cdc action with the generic unknown-action error, and a
+      // v2 writer would mutate the table WITHOUT recording its change
+      // set (silent feed corruption) — upgrade the log in this commit
+      // so down-level engines fail with the named upgrade message
+      val proto = t.snapshot.protocol
+      if (v == "true" && (proto.minReader < 3 || proto.minWriter < 3))
+        t.actions += SetProtocol(
+          math.max(proto.minReader, 3), math.max(proto.minWriter, 3))
+    }
     t.actions += SetProperties(table,
       scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
   }
@@ -3741,6 +3754,15 @@ final class GraftClient(
   }
 
   def hasOpenTx: Boolean = tx.isDefined
+
+  /** Effective log protocol of the open tx's snapshot (pending
+    * [[SetProtocol]] actions included) — the DESCRIBE-surface for
+    * capability gates.
+    */
+  def protocolOf: SetProtocol =
+    (currentTx.actions.reverseIterator.collectFirst {
+      case p: SetProtocol => p
+    }).getOrElse(currentTx.snapshot.protocol)
 }
 
 object GraftClient {

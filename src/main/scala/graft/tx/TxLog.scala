@@ -745,10 +745,17 @@ object TxLog {
     * table contract says the default, and a v1 writer's REORG would
     * clear the driving metadata without baking the values — so
     * `addColumnWithDefault` upgrades pre-v2 logs in its own commit and
-    * down-level engines fail loudly instead.
+    * down-level engines fail loudly instead. Version 3 adds FILE-LEVEL
+    * CDC (`cdc` actions + the `graft.enableChangeDataFeed` property): a
+    * v2 reader would crash on the unknown action with a generic error
+    * instead of the named upgrade message, and a v2 writer would mutate
+    * a CDF-enabled table WITHOUT recording its change set — silently
+    * corrupting the feed downstream consumers rely on — so enabling the
+    * property upgrades the log in the same commit. (Per-object `ndv`
+    * blobs on add actions are additive and skip-safe; no gate.)
     */
-  val SupportedReaderVersion = 2
-  val SupportedWriterVersion = 2
+  val SupportedReaderVersion = 3
+  val SupportedWriterVersion = 3
 
   /** The protocol a FRESH table starts at — the base format, version 1.
     * Tables only require what they use (Delta's minimum-required-

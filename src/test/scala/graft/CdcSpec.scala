@@ -139,6 +139,42 @@ class CdcSpec extends AnyFunSuite {
       .exists(_.getName.contains("_cdc_")))
   }
 
+  test("enabling CDF upgrades the log to protocol 3 in the same commit") {
+    val (c, _) = fixture() // fixture sets the property at create
+    c.newTx()
+    val p = c.protocolOf
+    c.rollback()
+    assert(p.minReader >= 3 && p.minWriter >= 3,
+      s"CDF-enabled log must gate down-level engines, got $p")
+  }
+
+  test("streaming file-level CDF: micro-batches carry per-commit records") {
+    val ss = spark
+    import ss.implicits._
+    val (c, root) = fixture()
+    val out = Files.createTempDirectory("graft_cdc_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_stream_ck").toString
+    val stream = ss.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream.start().awaitTermination(60000)
+    c.newTx()
+    c.deleteWhere("t", col("k") === 3)
+    c.commitTx()
+    stream.start().awaitTermination(60000)
+    val got = ss.read.parquet(out)
+      .select("k", GraftClient.ChangeTypeCol, "_commit_version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._2, t._1)).toSeq
+    assert(got == Seq(
+      (1, "insert", 0L), (2, "insert", 0L), (3, "insert", 0L),
+      (4, "insert", 0L), (3, "delete", 1L)),
+      s"got $got")
+  }
+
   test("SQL TVF: table_changes without keys reads the file-level feed") {
     val (_, root) = fixture()
     val out = spark.sql(

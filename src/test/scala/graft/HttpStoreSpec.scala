@@ -127,6 +127,40 @@ class HttpStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("server-side faults surface as HTTP errors; commits still linearize") {
+    // the S3-model fault store BEHIND the server: injected 503s become
+    // real HTTP 500s, and the tx log's commit loop must converge over
+    // them with no gap and no duplicate — failure handling exercised
+    // through an actual socket, not a same-process throw
+    val faulty = new graft.store.FaultInjectingObjectStore(
+      failEveryNthPut = 5)
+    val srv = new ObjectStoreHttpServer(faulty)
+    try {
+      val s = new HttpObjectStore(srv.url)
+      val schema = StructType(Seq(StructField("a", StringType)))
+      val log = new graft.tx.TxLog(s)
+      var committed = 0
+      var attempts = 0
+      while (committed < 12 && attempts < 200) {
+        attempts += 1
+        try {
+          log.commit(log.begin(),
+            Seq(graft.tx.AddDataObject("t", s"_table_t_$committed", 0, 1)))
+          committed += 1
+        } catch {
+          case _: java.io.IOException => () // injected 503 over the wire
+          case _: graft.tx.CommitConflictException => ()
+        }
+      }
+      assert(committed == 12, s"only $committed commits in $attempts tries")
+      assert(attempts > 12, "faults must actually have fired")
+      val snap = log.begin()
+      assert(snap.version == 12L, "contiguous ids despite wire faults")
+      assert(snap.liveFiles("t").map(_.path).toSet ==
+        (0 until 12).map(i => s"_table_t_$i").toSet)
+    } finally srv.stop()
+  }
+
   test("server fronting a local-FS store: durability tier swaps freely") {
     // same wire protocol, hard-link-atomic backing — the configuration
     // a single-box deployment would run

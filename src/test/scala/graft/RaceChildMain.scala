@@ -20,6 +20,12 @@ object RaceChildMain {
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val n = args(1).toInt
+    // optional third arg: an http://… endpoint — the LOG then crosses a
+    // real socket to the parent's ObjectStoreHttpServer while parquet
+    // data shares the filesystem root (the S3-deployment split, now
+    // ALSO across a process boundary)
+    val logStore = args.lift(2).map(url =>
+      new graft.store.HttpObjectStore(url))
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-race-child")
@@ -29,7 +35,7 @@ object RaceChildMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val c = new GraftClient(spark, root)
+    val c = new GraftClient(spark, root, logStore = logStore)
     // cross-process first-writer-wins on a raw conditional put: the
     // parent attempts the same object after this JVM exits and must
     // lose, reading back OUR payload (main_test.go:56-58 semantics at

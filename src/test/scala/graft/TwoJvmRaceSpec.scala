@@ -6,26 +6,39 @@ import java.util.concurrent.TimeUnit
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.store.{InMemoryObjectStore, ObjectStore, ObjectStoreHttpServer}
 import graft.table.GraftClient
 
 /** The commit protocol across PROCESS boundaries: a second JVM (forked
   * with the same classpath) races `commitTxRetrying` against this one
-  * over the same local store. Every prior race pin (the 4-thread
-  * contention rows, StatsMergeSpec) ran inside one JVM, where the
-  * store's atomicity could in principle have been an artifact of JVM
-  * memory fences; this test grounds first-writer-wins + rebase in
-  * OS-level hard-link atomicity (Files.createLink ≙ the reference's
-  * os.Link, objectstorage/localobjectstorage.go:58), the semantics the
-  * reference itself pins in main_test.go:56-58.
+  * over the same store. Every prior race pin (the 4-thread contention
+  * rows, StatsMergeSpec) ran inside one JVM, where the store's
+  * atomicity could in principle have been an artifact of JVM memory
+  * fences; these tests ground first-writer-wins + rebase in
+  *
+  *   - OS-level hard-link atomicity (Files.createLink ≙ the reference's
+  *     os.Link, objectstorage/localobjectstorage.go:58) for the
+  *     local-FS store, and
+  *   - a REAL network round-trip per conditional put for the HTTP
+  *     store (both JVMs' If-None-Match puts arriving at one
+  *     ObjectStoreHttpServer over sockets),
+  *
+  * the semantics the reference pins in main_test.go:56-58.
   */
 class TwoJvmRaceSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
 
-  test("two JVMs race commitTxRetrying: no lost commit, contiguous log") {
+  /** Fork the child, overlap its commits with the parent's, assert no
+    * lost commit + contiguous log + cross-process conditional-put
+    * winner. `parentStore` None = shared local-FS log; Some = the
+    * parent's store with `childUrl` handed to the child JVM.
+    */
+  private def runRace(parentStore: Option[ObjectStore],
+      childUrl: Option[String]): Unit = {
     val ss = spark
     import ss.implicits._
     val root = Files.createTempDirectory("graft_2jvm").toString
-    val parent = new GraftClient(ss, root)
+    val parent = new GraftClient(ss, root, logStore = parentStore)
     parent.newTx()
     parent.createTable("t", StructType(Seq(
       StructField("k", IntegerType, nullable = false))))
@@ -44,7 +57,8 @@ class TwoJvmRaceSpec extends AnyFunSuite {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx3g", "-cp", System.getProperty("java.class.path"),
-      "graft.RaceChildMain", root, childCommits.toString))
+      "graft.RaceChildMain", root, childCommits.toString) ++
+      childUrl.toSeq)
     val proc = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(false).start()
     val stdout = new java.io.BufferedReader(
@@ -110,5 +124,16 @@ class TwoJvmRaceSpec extends AnyFunSuite {
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
     }
+  }
+
+  test("two JVMs race commitTxRetrying: no lost commit, contiguous log") {
+    runRace(None, None)
+  }
+
+  test("two JVMs race through ONE HTTP store: sockets + processes") {
+    val srv = new ObjectStoreHttpServer(new InMemoryObjectStore)
+    try runRace(Some(new graft.store.HttpObjectStore(srv.url)),
+      Some(srv.url))
+    finally srv.stop()
   }
 }
