@@ -66,10 +66,30 @@ final class GraftSource extends RelationProvider
         parameters.get("endingversion")
           .orElse(parameters.get("endingVersion")).map(_.toLong),
         preimages(parameters))
-    else
+    else {
+      val byVersion = parameters.get("versionasof")
+        .orElse(parameters.get("versionAsOf")).map(_.toLong)
+      // timestampAsOf (Delta-parity): epoch millis or an ISO-8601
+      // instant/date-time, resolved to the greatest version whose
+      // commit ts is at-or-before it — metadata-only resolution
+      val byTs = parameters.get("timestampasof")
+        .orElse(parameters.get("timestampAsOf")).map { raw =>
+          val millis = raw.toLongOption.getOrElse {
+            try java.time.Instant.parse(raw).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+                  .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            }
+          }
+          GraftRelation.withClient(sqlContext,
+            opt(parameters, "path"))(_.versionAt(millis))
+        }
+      require(byVersion.isEmpty || byTs.isEmpty,
+        "graft: versionAsOf and timestampAsOf are mutually exclusive")
       GraftRelation(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"), parameters.get("versionasof")
-        .orElse(parameters.get("versionAsOf")).map(_.toLong))
+        opt(parameters, "table"), byVersion.orElse(byTs))
+    }
 
   /** `df.write.format("graft").mode(...)` — one transactional commit per
     * save. Append inserts (creating the table on first write); Overwrite

@@ -784,6 +784,9 @@ final class GraftClient(
     props.get("graft.autoCompact.maxObjects").foreach(v =>
       require(v.toIntOption.exists(_ > 0),
         s"graft.autoCompact.maxObjects must be a positive int, got: $v"))
+    props.get(GraftClient.AutoAnalyzeProperty).foreach(v =>
+      require(v == "true" || v == "false",
+        s"${GraftClient.AutoAnalyzeProperty} must be true|false, got: $v"))
     props.get(GraftClient.CdfProperty).foreach { v =>
       require(v == "true" || v == "false",
         s"${GraftClient.CdfProperty} must be true|false, got: $v")
@@ -1078,7 +1081,7 @@ final class GraftClient(
         s"insert wrote $written rows but counted $n: non-deterministic input")
       val add = AddDataObject(table, name, txId, n, stats)
       t.actions += add
-      mirrorInsertCdc(table, add)
+      afterInsertObject(table, add)
     }
 
   /** Schema-evolving insert (Delta's `mergeSchema`): columns in `df`
@@ -1335,7 +1338,7 @@ final class GraftClient(
       staged.foreach { case (name, rows, stats) =>
         val add = AddDataObject(table, name, txId, rows, stats)
         t.actions += add
-        mirrorInsertCdc(table, add)
+        afterInsertObject(table, add)
       }
     }
   }
@@ -1358,7 +1361,7 @@ final class GraftClient(
       ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
     val add = AddDataObject(table, name, t.id, buf.length.toLong, stats)
     t.actions += add
-    mirrorInsertCdc(table, add)
+    afterInsertObject(table, add)
     buf.clear()
   }
 
@@ -1909,6 +1912,30 @@ final class GraftClient(
           readObjects(schemaOf(table), Vector(add))), "insert")
   }
 
+  /** Every staged insert object passes through here: the CDC mirror
+    * (when this tx already has a change record open) and, with the
+    * opt-in `graft.autoAnalyze=true` property on an ANALYZEd table,
+    * write-time stats freshness — the new object gets its per-column
+    * NDV blobs (one small aggregation over the rows just written) and
+    * the table estimate refolds, so appends never leave the stats
+    * stale. Off by default: a bulk load prefers one
+    * [[analyzeIncremental]] at the end over a pass per object.
+    */
+  private def afterInsertObject(table: String, add: AddDataObject): Unit = {
+    mirrorInsertCdc(table, add)
+    val t = currentTx
+    if (t.snapshot.properties(table, t.actions.toSeq)
+        .get(GraftClient.AutoAnalyzeProperty).contains("true")) {
+      val cols = ndvColumns(table)
+      if (cols.nonEmpty) {
+        t.actions += RemoveDataObject(table, add.path)
+        t.actions += add.copy(ndv =
+          add.ndv ++ ndvBlobsFor(schemaOf(table), add, cols))
+        analyzeRefresh(table)
+      }
+    }
+  }
+
   /** Row-level change feed WITHOUT key columns — per-commit change
     * records, Delta's file-level CDC. For each commit in
     * `[fromVersion, toVersion)` the changes are, in order of precedence:
@@ -1944,6 +1971,10 @@ final class GraftClient(
         s"no such table at v$toVersion: $table"))
     val maintenanceOps = Set("COMPACT", "CLUSTER", "REORG", "BLOOM",
       "ANALYZE", "CHECKPOINT")
+    // a window starting below the retention horizon must refuse loudly:
+    // entriesDetailed() lists only RETAINED entries, and serving the
+    // surviving suffix would present a partial feed as complete
+    txLog.requireWindowAvailable(fromVersion, toVersion)
     def aligned(df: DataFrame): DataFrame =
       df.select(toSchema.fields.toIndexedSeq.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
@@ -1987,6 +2018,23 @@ final class GraftClient(
           None // metadata-only commit
         } else if (op.exists(maintenanceOps)) {
           None // layout-only rewrite: no row changed
+        } else if (op.contains("RESTORE")) {
+          // a restore's change set is a cross-version diff by nature (no
+          // CDC object can be written for "whatever the old version
+          // had") — but MVCC provenance gives every row a durable
+          // identity, so the diff needs NO key columns: rows whose
+          // (_tx_id, _row_idx) exist at v+1 but not v are re-inserted,
+          // the reverse are deleted. Two snapshot reads, restore-rare.
+          val prov = Seq(TxIdCol, RowIdxCol)
+          val prior = scanAsOf(table, v)
+          val cur = scanAsOf(table, v + 1)
+          val ins = cur.join(prior.select(prov.map(col): _*), prov,
+            "left_anti")
+            .withColumn(GraftClient.ChangeTypeCol, lit("insert"))
+          val del = prior.join(cur.select(prov.map(col): _*), prov,
+            "left_anti")
+            .withColumn(GraftClient.ChangeTypeCol, lit("delete"))
+          Some(aligned(ins.unionByName(del)))
         } else throw new IllegalStateException(
           s"table_changes: version $v of '$table' mutated rows without " +
             "a change record — set table property " +
@@ -3782,6 +3830,10 @@ object GraftClient {
   val CdfProperty = "graft.enableChangeDataFeed"
   /** Change-classification column of the file-level feed. */
   val ChangeTypeCol = "_change_type"
+  /** Opt-in write-time NDV freshness: inserts on an ANALYZEd table
+    * sketch their objects immediately and refold the table estimate.
+    */
+  val AutoAnalyzeProperty = "graft.autoAnalyze"
 
   /** Field-metadata key marking a declared partition column (the SQL
     * catalog's `PARTITIONED BY` and [[GraftClient.alterPartitioning]]

@@ -457,7 +457,12 @@ final class TxLog(store: ObjectStore) {
     * history) that silently skipped reclaimed entries would fabricate
     * an incomplete view.
     */
-  private def requireWindowAvailable(from: Long, until: Long): Unit = {
+  /** Refuse a window read whose start predates the oldest retained log
+    * entry — silently serving the surviving suffix would present a
+    * partial feed as complete. Public because the file-level change
+    * feed reads entries itself.
+    */
+  def requireWindowAvailable(from: Long, until: Long): Unit = {
     if (from >= until) return
     val oldest = store.listPrefixOrdered(LogPrefix).headOption
       .map(_.stripPrefix(LogPrefix).toLong)

@@ -175,6 +175,63 @@ class CdcSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("pure SQL end-to-end: ALTER enables CDF, DELETE records, TVF reads") {
+    val root = Files.createTempDirectory("graft_cdc_sql").toString
+    val cat = s"gcdc${(System.nanoTime() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      s"'${GraftClient.CdfProperty}'='true')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 2")
+    val got = spark.sql(
+      s"SELECT k, ${GraftClient.ChangeTypeCol}, _commit_version " +
+        s"FROM table_changes('$cat.t', 2) ORDER BY _commit_version, k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "insert", 2L), (2, "insert", 2L),
+      (3, "insert", 2L), (2, "delete", 3L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("RESTORE in the window: provenance-keyed diff, no keys, no CDC object") {
+    val (c, _) = fixture()
+    c.newTx()
+    c.deleteWhere("t", col("k") >= 3) // v1: CDC-recorded delete
+    c.commitTx()
+    c.newTx()
+    c.restore("t", 1L) // v2: back to the pre-delete state
+    c.commitTx()
+    val v = c.latestVersion - 1
+    assert(feed(c, v, v + 1) == Seq(
+      (3, "c", "insert", v), (4, "d", "insert", v)),
+      "the restore must re-insert exactly the rows the delete removed")
+  }
+
+  test("log retention reclaims CDC objects below the horizon; reads error loudly") {
+    val ss = spark
+    import ss.implicits._
+    val (c, root) = fixture()
+    c.newTx()
+    c.deleteWhere("t", col("k") === 2) // CDC object at v1
+    c.commitTx()
+    (0 until 3).foreach { i =>
+      c.newTx(); c.insert("t", Seq(100 + i).map((_, "z")).toDF("k", "v"))
+      c.commitTx()
+    }
+    assert(c.checkpointNow() > 1L)
+    c.vacuum(retainVersions = 0)
+    // the v1 entry is pruned; its CDC object must be gone from disk...
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.contains("_cdc_")),
+      "CDC objects below the retention horizon must reclaim with their " +
+        "log entries")
+    // ...and a window read across the reclaimed history refuses loudly
+    intercept[IllegalStateException] {
+      c.changesByFile("t", 0, c.latestVersion).collect()
+    }
+  }
+
   test("SQL TVF: table_changes without keys reads the file-level feed") {
     val (_, root) = fixture()
     val out = spark.sql(

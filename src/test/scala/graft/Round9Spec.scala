@@ -126,6 +126,60 @@ class Round9Spec extends AnyFunSuite {
     assert(math.abs(postDelete - 40.0) / 40.0 < 0.15, s"got $postDelete")
   }
 
+  test("autoAnalyze: appends sketch themselves; estimate never stales") {
+    val ss = spark
+    import ss.implicits._
+    val c = ndvFixture()
+    c.newTx()
+    c.setTableProperties("t",
+      Map(GraftClient.AutoAnalyzeProperty -> "true"))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", (100 until 150).map(i => (i, s"val_$i")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx()
+    val grown = c.approxDistinct("t", "v")
+    // the refreshed state stays delete-exact too: every object has a blob
+    c.deleteWhere("t", col("k") >= 50)
+    c.commitTx()
+    c.newTx()
+    val shrunk = c.approxDistinct("t", "v")
+    c.rollback()
+    assert(math.abs(grown - 100.0) / 100.0 < 0.15,
+      s"append must fold into the estimate with no analyze call: $grown")
+    assert(math.abs(shrunk - 50.0) / 50.0 < 0.15, s"got $shrunk")
+  }
+
+  test("connector timestampAsOf resolves to the version at that instant") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_tsasof").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false))))
+    c.insert("t", Seq(1, 2).toDF("k"))
+    c.commitTx()
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    c.newTx()
+    c.insert("t", Seq(3).toDF("k"))
+    c.commitTx()
+    val early = ss.read.format("graft").option("table", "t")
+      .option("timestampAsOf", between.toString).load(root)
+    assert(early.count() == 2L)
+    val late = ss.read.format("graft").option("table", "t")
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+          .toString).load(root)
+    assert(late.count() == 3L)
+    intercept[IllegalArgumentException] {
+      ss.read.format("graft").option("table", "t")
+        .option("versionAsOf", "1")
+        .option("timestampAsOf", between.toString).load(root)
+    }
+  }
+
   test("INSERT into a partitioned catalog table: one file per object") {
     val cat = s"gwd9${n.incrementAndGet()}"
     val root = Files.createTempDirectory("graft_dist9").toString
