@@ -194,6 +194,27 @@ class CdcSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("SQL UPDATE under CDF: one commit records delete + mirrored insert") {
+    val root = Files.createTempDirectory("graft_cdc_upd").toString
+    val cat = s"gcdu${(System.nanoTime() % 100000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING) TBLPROPERTIES(" +
+      s"'${GraftClient.CdfProperty}'='true')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b')")
+    spark.sql(s"UPDATE $cat.t SET v = 'B2' WHERE k = 2")
+    val v = spark.sql(s"SELECT max(_commit_version) FROM " +
+      s"table_changes('$cat.t', 0)").collect()(0).getLong(0)
+    val got = spark.sql(
+      s"SELECT k, v, ${GraftClient.ChangeTypeCol} FROM " +
+        s"table_changes('$cat.t', $v) ORDER BY " +
+        s"${GraftClient.ChangeTypeCol}, k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((2, "b", "delete"), (2, "B2", "insert")),
+      s"the UPDATE commit's record must carry old image out + new " +
+        s"image in: ${got.toSeq}")
+  }
+
   test("RESTORE in the window: provenance-keyed diff, no keys, no CDC object") {
     val (c, _) = fixture()
     c.newTx()

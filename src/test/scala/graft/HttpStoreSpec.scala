@@ -161,6 +161,28 @@ class HttpStoreSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("ambiguous put over the wire: 500 after the write landed, read-back wins") {
+    // the S3 timeout-after-commit hazard through a REAL socket: the
+    // server-side store persists the object then errors, the client
+    // sees HTTP 500, and the commit protocol's read-back recovery must
+    // classify it as own-write-landed (success), not a lost race
+    val faulty = new graft.store.FaultInjectingObjectStore(
+      ambiguousEveryNthPut = 1)
+    val srv = new ObjectStoreHttpServer(faulty)
+    try {
+      val s = new HttpObjectStore(srv.url)
+      val log = new graft.tx.TxLog(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType)))
+      // every put is ambiguous: commit must still succeed via read-back
+      log.commit(log.begin(), Seq(graft.tx.ChangeMetadata("t", schema)))
+      val snap = log.begin()
+      assert(snap.version == 1L && snap.tables.contains("t"),
+        "ambiguous-but-landed commit must read back as success")
+    } finally srv.stop()
+  }
+
   test("server fronting a local-FS store: durability tier swaps freely") {
     // same wire protocol, hard-link-atomic backing — the configuration
     // a single-box deployment would run
