@@ -591,29 +591,24 @@ object TxQueries {
   // matched rows at write time). The window read is a UNION of
   // per-commit records — no snapshot diff, no natural key required —
   // closing the keyed-CDF divergence note that stood in GraftTvf.
-  private val cdcBuilt = mutable.Map[String, String]()
   private def ensureCdfNokeys(spark: SparkSession, sfDir: String): String =
-    synchronized {
-      cdcBuilt.getOrElseUpdate(sfDir, {
-        val root = Files.createTempDirectory("graft_cdc_fixture").toString
-        val c = new GraftClient(spark, root)
-        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
-          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-        c.newTx()
-        c.createTable("nc", nation.schema)
-        c.setTableProperties("nc", Map(GraftClient.CdfProperty -> "true"))
-        c.insert("nc", nation)
-        c.commitTx()
-        c.newTx()
-        c.insert("nc", nation.filter(col("n_nationkey").between(5, 9))
-          .withColumn("n_name", concat(col("n_name"), lit("_V2")))
-          .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
-        c.commitTx()
-        c.newTx()
-        c.deleteRows("nc", "n_nationkey", 10, 14)
-        c.commitTx()
-        root
-      })
+    FixtureStore.memoized("graft_cdc_fixture", sfDir) { root =>
+      val c = new GraftClient(spark, root)
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      c.newTx()
+      c.createTable("nc", nation.schema)
+      c.setTableProperties("nc", Map(GraftClient.CdfProperty -> "true"))
+      c.insert("nc", nation)
+      c.commitTx()
+      c.newTx()
+      c.insert("nc", nation.filter(col("n_nationkey").between(5, 9))
+        .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+        .withColumn("n_regionkey", col("n_regionkey") + lit(100)))
+      c.commitTx()
+      c.newTx()
+      c.deleteRows("nc", "n_nationkey", 10, 14)
+      c.commitTx()
     }
 
   def txCdfNokeys(spark: SparkSession, dir: String): DataFrame =

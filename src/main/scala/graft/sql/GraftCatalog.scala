@@ -754,34 +754,18 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
     this
   }
 
-  override def build(): Write = new V1Write
-      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-    // WRITE-SIDE DISTRIBUTION: ask Spark to cluster incoming rows by the
-    // declared partition columns BEFORE the write (one exchange in the
-    // INSERT plan). Without it, every task holds rows of every partition
-    // value, so a 32-task insert into a 30-value partitioned table
-    // fragments each partition's object into up to 32 part-files —
-    // clustered, each value lands contiguously and each object is one
-    // file. Unpartitioned tables request nothing (no gratuitous shuffle).
-    override def requiredDistribution()
-        : org.apache.spark.sql.connector.distributions.Distribution = {
-      import org.apache.spark.sql.connector.distributions.Distributions
-      import org.apache.spark.sql.connector.expressions.Expressions
-      table.partitionCols match {
-        case Seq() => Distributions.unspecified()
-        case ps => Distributions.clustered(
-          ps.toArray.map(c => Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression))
-      }
-    }
-    // strictly required: a RepartitionByExpression in the write query
-    // (non-strict would be an AQE-advisory rebalance, which the V1
-    // fallback's re-planned Dataset does not reliably honor)
-    override def distributionStrictlyRequired(): Boolean = true
-    override def requiredOrdering()
-        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
-
+  // Write-side distribution note: `RequiresDistributionAndOrdering` is
+  // NOT implemented here because Spark's V1-fallback path
+  // (AppendDataExecV1) re-plans the ORIGINAL analyzed query and drops
+  // the prepared distribution — measured: an 8-task insert stayed
+  // 8 part-files per object with the interface declared, strict or
+  // not — and on any Spark that did honor it the exchange would
+  // duplicate the authoritative one inside
+  // GraftClient.insertPartitioned (the "WRITE-SIDE CLUSTERING"
+  // repartition), where every insert path funnels. If this builder ever
+  // moves to a true BatchWrite, declare the distribution there and drop
+  // the client-side repartition.
+  override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =

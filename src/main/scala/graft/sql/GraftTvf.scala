@@ -69,6 +69,7 @@ object GraftTvf {
     // keys — Delta's own table_changes shape)
     val r3 = lit(rest.head, "keys or start") match {
       case keys: String =>
+        require(rest.length >= 2, usage) // keyed form needs a start
         val r = base.option("keyColumns", keys)
           .option("startingVersion", lit(rest(1), "startingVersion").toString)
         val r2 = if (rest.length >= 3)

@@ -154,7 +154,11 @@ final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0) {
 
   server.createContext("/o/", new HttpHandler {
     def handle(x: HttpExchange): Unit = try {
-      val name = dec(x.getRequestURI.getPath.stripPrefix("/o/"))
+      // getRawPath, NOT getPath: getPath already percent-decodes, and a
+      // second URLDecoder pass would 500 on names containing '%' and
+      // collide 'a+b' with 'a b' — a wrong conditional-put verdict on
+      // the one primitive the commit log depends on
+      val name = dec(x.getRequestURI.getRawPath.stripPrefix("/o/"))
       x.getRequestMethod match {
         case "PUT" =>
           val data = x.getRequestBody.readAllBytes()

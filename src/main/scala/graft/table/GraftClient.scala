@@ -1762,20 +1762,27 @@ final class GraftClient(
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         // defaults filled before the key join: merge keys on an
         // initial-default column must match what scans show
-        val matchedFull = applyDefaults(schema, applyDvs(
+        val live = applyDefaults(schema, applyDvs(
           readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq)))
-          .join(broadcast(delKeys), keyCols, "left_semi")
-        val matched = matchedFull.select(col(TxIdCol), col(RowIdxCol))
+        val matched = live.join(broadcast(delKeys), keyCols, "left_semi")
+          .select(col(TxIdCol), col(RowIdxCol))
         val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
         matched.write.parquet(s"$rootDir/$name")
         val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
         if (n > 0) {
           t.actions += AddDeleteVector(table, name, t.id, n)
-          // merge's change record: the deleted old rows here; the
-          // upserted/inserted new images mirror via the insert hook,
-          // which fires because this marked the table CDC-touched
-          if (cdfEnabled(t, table)) writeCdc(table, matchedFull, "delete")
+          // merge's change record, from READ-BACK of the persisted DV
+          // keys (a non-deterministic source cannot diverge the feed);
+          // the upserted/inserted new images mirror via the insert
+          // hook, which fires because this marked the table CDC-touched
+          if (cdfEnabled(t, table))
+            writeCdc(table, live.join(
+              spark.read.schema(StructType(Seq(
+                StructField(TxIdCol, LongType, nullable = false),
+                StructField(RowIdxCol, LongType, nullable = false))))
+                .parquet(s"$rootDir/$name"),
+              Seq(TxIdCol, RowIdxCol), "left_semi"), "delete")
         } else t.actions += RemoveDataObject(table, name)
       }
     }
@@ -1879,11 +1886,29 @@ final class GraftClient(
 
   /** Write `rows` (logical columns) as a CDC object with the given
     * `_change_type` and stage its action. Marks the table CDC-touched
-    * so later inserts in this tx mirror themselves too.
+    * so later inserts in this tx mirror themselves too — and BACKFILLS
+    * inserts staged EARLIER in this tx: the reader treats a commit's
+    * CDC objects as the complete record and ignores add actions, so an
+    * insert-then-delete tx would otherwise silently drop its inserted
+    * rows from the feed. Backfill mirrors only NET-NEW objects (an
+    * autoAnalyze/bloom re-add of a pre-tx path is a metadata amendment,
+    * not an insert), last add per path wins.
     */
   private def writeCdc(table: String, rows: DataFrame,
       changeType: String): Unit = {
     val t = currentTx
+    if (!t.cdcTables.contains(table)) {
+      t.cdcTables += table // first: the mirrors below must not re-enter
+      val preLive = t.snapshot.liveFiles(table).map(_.path).toSet
+      val net = mutable.LinkedHashMap[String, AddDataObject]()
+      t.actions.foreach {
+        case a: AddDataObject if a.table == table && !preLive(a.path) =>
+          net(a.path) = a
+        case RemoveDataObject(tb, p) if tb == table => net.remove(p)
+        case _ => ()
+      }
+      net.values.foreach(a => mirrorInsertCdc(table, a))
+    }
     val schema = schemaOf(table)
     val name = TxLog.dataObjectName(table, s"cdc_${UUID.randomUUID()}")
     rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -1948,14 +1973,17 @@ final class GraftClient(
     *   3. derived deletes, when the commit only REMOVES objects (a
     *      TRUNCATE / whole-object delete): the removed objects' rows at
     *      the prior version, minus rows already DV-masked then;
-    *   4. nothing, for layout-only maintenance commits (COMPACT,
-    *      CLUSTER, REORG, BLOOM, ANALYZE — adds+removes that change no
-    *      row);
-    *   5. otherwise the commit mutated rows without recording CDC
-    *      (the property was off, or the op was RESTORE, whose change
-    *      set is a cross-version diff by nature) — loud error naming
-    *      the version, like Delta's missing-CDC read failure; the keyed
-    *      [[changesBetween]] still works for any window.
+    *   4. nothing, for net-no-change commits (metadata amendments like
+    *      an autoAnalyze/bloom remove+re-add, empty-DV retirements) and
+    *      for layout-only maintenance commits (COMPACT, CLUSTER, REORG,
+    *      BLOOM, ANALYZE — which the CALL procedures run in their own
+    *      tx);
+    *   5. otherwise (RESTORE, or any mutation committed before the CDF
+    *      property was set) a PROVENANCE-KEYED snapshot diff: MVCC
+    *      (_tx_id, _row_idx) is a durable row identity, so the
+    *      cross-version diff needs no key columns — correct for every
+    *      commit shape, at the cost of two snapshot scans per such
+    *      commit, which is why recorded CDC is the fast path.
     *
     * Result columns: the table's columns at `toVersion`'s schema (a
     * commit's rows are aligned by name, missing columns null), plus
@@ -1969,27 +1997,41 @@ final class GraftClient(
     val toSchema = txLog.beginAt(toVersion).tables.getOrElse(table,
       throw new IllegalArgumentException(
         s"no such table at v$toVersion: $table"))
+    // maintenance ops run in their own tx (the CALL procedures
+    // guarantee it): their commits are pure re-layout and emit nothing
     val maintenanceOps = Set("COMPACT", "CLUSTER", "REORG", "BLOOM",
       "ANALYZE", "CHECKPOINT")
-    // a window starting below the retention horizon must refuse loudly:
-    // entriesDetailed() lists only RETAINED entries, and serving the
-    // surviving suffix would present a partial feed as complete
-    txLog.requireWindowAvailable(fromVersion, toVersion)
+    // one base replay + window-only store reads: snapshots for every
+    // commit in the window ROLL FORWARD locally from the base instead
+    // of re-replaying the whole log per commit (the streaming source
+    // calls this every trigger)
+    val base = txLog.beginAt(fromVersion)
+    val entries = txLog.entriesDetailedBetween(fromVersion, toVersion)
     def aligned(df: DataFrame): DataFrame =
       df.select(toSchema.fields.toIndexedSeq.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType).as(f.name)
       } :+ col(GraftClient.ChangeTypeCol): _*)
-    val ops = txLog.entriesDetailed()
-      .filter { case (id, _, _, _) => id >= fromVersion && id < toVersion }
-    val pieces: Seq[DataFrame] = ops.flatMap { case (v, _, op, as) =>
+    var prevSnap = base
+    val pieces: Seq[DataFrame] = entries.flatMap { case (v, op, as) =>
+      val curSnap = Snapshot(v + 1, prevSnap.actions ++ as)
+      val prev = prevSnap
+      prevSnap = curSnap
       val cdc = as.collect { case c: AddCdcObject if c.table == table => c }
-      val adds = as.collect { case a: AddDataObject if a.table == table => a }
-      val removes = as.collect {
-        case r: RemoveDataObject if r.table == table => r }
-      val dvs = as.collect {
-        case d: AddDeleteVector if d.table == table => d }
-      val atV = txLog.beginAt(v + 1).tables.getOrElse(table, toSchema)
+      // classification is by NET effect on the live set, not raw action
+      // counts: a remove+re-add of one path (autoAnalyze/bloom metadata
+      // amendment) is no change, an empty-DV retirement is no change, a
+      // brand-new path is an insert — raw counts misread all of these
+      val prevLive = prev.liveFiles(table)
+      val curLive = curSnap.liveFiles(table)
+      val prevPaths = prevLive.map(_.path).toSet
+      val curPaths = curLive.map(_.path).toSet
+      val added = curLive.filterNot(a => prevPaths(a.path))
+      val removed = prevLive.filterNot(a => curPaths(a.path))
+      val prevDvPaths = prev.liveDvs(table).map(_.path).toSet
+      val newDvs = curSnap.liveDvs(table)
+        .filterNot(d => prevDvPaths(d.path))
+      val atV = curSnap.tables.getOrElse(table, toSchema)
       val piece: Option[DataFrame] =
         if (cdc.nonEmpty) {
           // CDC objects carry logical columns + _change_type at their
@@ -1999,32 +2041,27 @@ final class GraftClient(
             StructField(GraftClient.ChangeTypeCol, StringType))
           Some(aligned(spark.read.schema(cdcSchema)
             .parquet(cdc.map(c => s"$rootDir/${c.path}"): _*)))
-        } else if (adds.nonEmpty && removes.isEmpty && dvs.isEmpty) {
-          Some(aligned(applyDefaults(atV, readObjects(atV, adds.toVector))
+        } else if (added.nonEmpty && removed.isEmpty && newDvs.isEmpty) {
+          Some(aligned(applyDefaults(atV, readObjects(atV, added))
             .withColumn(GraftClient.ChangeTypeCol, lit("insert"))))
-        } else if (removes.nonEmpty && adds.isEmpty && dvs.isEmpty) {
-          // rows live at the PRIOR version inside the removed objects,
-          // DV-masked rows excluded (they were already deleted)
-          val prior = txLog.beginAt(v)
-          val priorSchema = prior.tables.getOrElse(table, atV)
-          val byPath = prior.liveFiles(table).map(a => a.path -> a).toMap
-          val victims = removes.flatMap(r => byPath.get(r.path)).toVector
-          if (victims.isEmpty) None // DV retirements only
-          else Some(aligned(applyDefaults(priorSchema,
-            applyDvs(readObjects(priorSchema, victims),
-              prior.liveDvs(table)))
+        } else if (removed.nonEmpty && added.isEmpty && newDvs.isEmpty) {
+          // whole-object deletes (TRUNCATE): rows live at the PRIOR
+          // version inside the removed objects, DV-masked excluded
+          Some(aligned(applyDefaults(atV,
+            applyDvs(readObjects(atV, removed), prev.liveDvs(table)))
             .withColumn(GraftClient.ChangeTypeCol, lit("delete"))))
-        } else if (adds.isEmpty && removes.isEmpty && dvs.isEmpty) {
-          None // metadata-only commit
+        } else if (added.isEmpty && removed.isEmpty && newDvs.isEmpty) {
+          None // metadata-only / pure re-layout amendment
         } else if (op.exists(maintenanceOps)) {
-          None // layout-only rewrite: no row changed
-        } else if (op.contains("RESTORE")) {
-          // a restore's change set is a cross-version diff by nature (no
-          // CDC object can be written for "whatever the old version
-          // had") — but MVCC provenance gives every row a durable
-          // identity, so the diff needs NO key columns: rows whose
-          // (_tx_id, _row_idx) exist at v+1 but not v are re-inserted,
-          // the reverse are deleted. Two snapshot reads, restore-rare.
+          None // layout-only rewrite in its own tx: no row changed
+        } else {
+          // UNRECORDED mutation (RESTORE by nature; any mutation made
+          // before the CDF property was set): MVCC provenance gives
+          // every row a durable identity, so a cross-version diff needs
+          // NO key columns — rows whose (_tx_id, _row_idx) exist at
+          // v+1 but not v are inserts, the reverse deletes. Correct for
+          // every commit shape; costs two snapshot scans per such
+          // commit, which is why recorded CDC is the fast path.
           val prov = Seq(TxIdCol, RowIdxCol)
           val prior = scanAsOf(table, v)
           val cur = scanAsOf(table, v + 1)
@@ -2035,12 +2072,7 @@ final class GraftClient(
             "left_anti")
             .withColumn(GraftClient.ChangeTypeCol, lit("delete"))
           Some(aligned(ins.unionByName(del)))
-        } else throw new IllegalStateException(
-          s"table_changes: version $v of '$table' mutated rows without " +
-            "a change record — set table property " +
-            s"'${GraftClient.CdfProperty}'='true' before mutating (or " +
-            "use the keyed table_changes form, which diffs snapshots " +
-            "and needs no per-commit record)")
+        }
       piece.map(_.withColumn("_commit_version", lit(v)))
     }
     val empty = StructType(toSchema.fields ++ Seq(
@@ -2144,14 +2176,30 @@ final class GraftClient(
     if (matchedPerObject.isEmpty) return
     val touched = matchedPerObject.keySet.toSeq.sorted
 
-    // file-level change record (before removes are staged, so the DV
-    // view is still the pre-delete one): the LIVE matched rows —
-    // DV-masked rows were already deleted and must not re-report
-    if (cdfEnabled(t, table))
-      writeCdc(table, applyDefaults(schema, applyDvs(
-        readObjects(schema, touched.map(byName)),
-        t.snapshot.liveDvs(table, t.actions.toSeq))).filter(pred),
-        "delete")
+    // file-level change record, derived from READ-BACK, never from
+    // re-evaluating the predicate: deleted = the touched objects' live
+    // rows MINUS the survivors the rewrite actually persisted
+    // (provenance anti-join) — so a non-deterministic predicate cannot
+    // make the feed name different rows than were actually deleted.
+    // Runs after the rewrite parquet exists but BEFORE its add action
+    // is staged (writeCdc's backfill would misread the rewrite as an
+    // insert of this tx).
+    def recordDeleteCdc(survivorsPath: Option[String]): Unit =
+      if (cdfEnabled(t, table)) {
+        val live = applyDefaults(schema, applyDvs(
+          readObjects(schema, touched.map(byName)),
+          t.snapshot.liveDvs(table, t.actions.toSeq)))
+        val deleted = survivorsPath match {
+          case Some(p) =>
+            val survProv = spark.read.schema(StructType(Seq(
+                StructField(TxIdCol, LongType, nullable = false),
+                StructField(RowIdxCol, LongType, nullable = false))))
+              .parquet(s"$rootDir/$p")
+            live.join(survProv, Seq(TxIdCol, RowIdxCol), "left_anti")
+          case None => live // every touched object fully matched
+        }
+        writeCdc(table, deleted, "delete")
+      }
 
     // fully-matched objects (matched == physical rows: numRows is the
     // footer-derived PHYSICAL count, and job 1 counted physical rows, so
@@ -2178,6 +2226,7 @@ final class GraftClient(
         .write.parquet(s"$rootDir/$name")
       val (survivors, stats) =
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
+      recordDeleteCdc(if (survivors > 0) Some(name) else None)
       if (survivors > 0) {
         val add = AddDataObject(table, name,
           partial.map(n => byName(n).txId).min, survivors, stats)
@@ -2189,7 +2238,7 @@ final class GraftClient(
           else add.copy(ndv = ndvBlobsFor(schema, add, cols)))
       }
       // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
-    }
+    } else recordDeleteCdc(None)
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
     // delete-aware stats: the live set just changed — refold the stored
     // NDV blobs from the surviving objects' per-object sketches
@@ -2442,18 +2491,26 @@ final class GraftClient(
     if (candidates.isEmpty) return
     // defaults filled before the predicate — same contract as the
     // copy-on-write path
-    val matchedFull = applyDefaults(schema, applyDvs(
+    val live = applyDefaults(schema, applyDvs(
       readObjects(schema, candidates),
       t.snapshot.liveDvs(table, t.actions.toSeq)))
-      .filter(pred)
-    val matched = matchedFull.select(col(TxIdCol), col(RowIdxCol))
+    val matched = live.filter(pred).select(col(TxIdCol), col(RowIdxCol))
     val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
     matched.write.parquet(s"$rootDir/$name")
     val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
       new StructType()) // count only; DV keys carry no prunable columns
     if (n > 0) {
       t.actions += AddDeleteVector(table, name, t.id, n)
-      if (cdfEnabled(t, table)) writeCdc(table, matchedFull, "delete")
+      // change record from READ-BACK of the persisted DV keys, never a
+      // predicate re-evaluation: the feed names exactly the rows the DV
+      // masks, even under a non-deterministic predicate
+      if (cdfEnabled(t, table))
+        writeCdc(table, live.join(
+          spark.read.schema(StructType(Seq(
+            StructField(TxIdCol, LongType, nullable = false),
+            StructField(RowIdxCol, LongType, nullable = false))))
+            .parquet(s"$rootDir/$name"),
+          Seq(TxIdCol, RowIdxCol), "left_semi"), "delete")
     } else t.actions += RemoveDataObject(table, name) // empty DV: retire now
   }
 

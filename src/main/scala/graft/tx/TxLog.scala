@@ -498,6 +498,23 @@ final class TxLog(store: ObjectStore) {
       j("id").asLong -> j("actions").asArr.map(actionFromJson)
     }.toVector
 
+  /** [[entriesDetailed]] restricted to `from <= id < until`: only the
+    * window's bodies are read (O(window) store reads after one list) —
+    * the file-level change feed's per-trigger access pattern.
+    */
+  def entriesDetailedBetween(from: Long, until: Long)
+      : Vector[(Long, Option[String], Vector[Action])] = {
+    requireWindowAvailable(from, until)
+    store.listPrefixOrdered(LogPrefix)
+      .map(n => n.stripPrefix(LogPrefix).toLong -> n)
+      .filter { case (id, _) => id >= from && id < until }
+      .map { case (id, n) =>
+        val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+        (id, j.get("op").map(_.asStr),
+          j("actions").asArr.map(actionFromJson))
+      }.toVector
+  }
+
   /** [[entries]] restricted to `from <= id < until` — the id is selected
     * from the zero-padded NAME, so only the window's bodies are read
     * (O(window) reads after one list, not O(log); the streaming source

@@ -102,7 +102,7 @@ class CdcSpec extends AnyFunSuite {
       (4, "d", "delete", afterCompact), (5, "e", "delete", afterCompact)))
   }
 
-  test("mutating without the property is a loud, version-naming error") {
+  test("mutation without the property: provenance-diff fallback, still exact") {
     val ss = spark
     import ss.implicits._
     val root = Files.createTempDirectory("graft_cdc_off").toString
@@ -113,13 +113,65 @@ class CdcSpec extends AnyFunSuite {
     c.insert("t", Seq(1, 2, 3).toDF("k"))
     c.commitTx()
     c.newTx()
-    c.deleteWhere("t", col("k") === 2)
+    c.deleteWhere("t", col("k") === 2) // unrecorded: CDF was never on
     c.commitTx()
-    val e = intercept[IllegalStateException] {
-      c.changesByFile("t", 0, c.latestVersion).collect()
-    }
-    assert(e.getMessage.contains("version 1") &&
-      e.getMessage.contains(GraftClient.CdfProperty))
+    // the reader falls back to the provenance-keyed snapshot diff for
+    // the unrecorded mutation commit — correct, just not the fast path
+    val got = c.changesByFile("t", 0, c.latestVersion)
+      .select("k", GraftClient.ChangeTypeCol, "_commit_version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._2, t._1)).toSeq
+    assert(got == Seq((1, "insert", 0L), (2, "insert", 0L),
+      (3, "insert", 0L), (2, "delete", 1L)), s"got $got")
+  }
+
+  test("insert-then-delete in ONE tx: backfill keeps the inserts in the feed") {
+    val ss = spark
+    import ss.implicits._
+    val (c, _) = fixture()
+    c.newTx()
+    c.insert("t", Seq((7, "g"), (8, "h")).toDF("k", "v"))
+    c.deleteWhere("t", col("k") === 1) // stages CDC AFTER the insert
+    c.commitTx()
+    val v = c.latestVersion - 1
+    assert(feed(c, v, v + 1) == Seq(
+      (1, "a", "delete", v),
+      (7, "g", "insert", v), (8, "h", "insert", v)
+    ).sortBy(t => (t._4, t._3, t._1)),
+      "inserts staged before the tx's first CDC write must be " +
+        "backfilled into the change record")
+  }
+
+  test("autoAnalyze + CDF together: appends still derive as inserts") {
+    val ss = spark
+    import ss.implicits._
+    val (c, _) = fixture()
+    c.newTx()
+    c.analyzeNdv("t", Seq("v"))
+    c.setTableProperties("t",
+      Map(GraftClient.AutoAnalyzeProperty -> "true"))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", Seq((9, "i")).toDF("k", "v")) // add + ndv re-add
+    c.commitTx()
+    val v = c.latestVersion - 1
+    assert(feed(c, v, v + 1) == Seq((9, "i", "insert", v)),
+      "the autoAnalyze remove+re-add is a metadata amendment, not a " +
+        "mutation — the commit must classify as a plain append")
+  }
+
+  test("merge whose delete keys match nothing: feed still derives inserts") {
+    val ss = spark
+    import ss.implicits._
+    val (c, _) = fixture()
+    c.newTx()
+    // delete-flagged key 99 is absent: mergeDeletes writes an empty DV
+    // and retires it in the same commit (net no-op) alongside the adds
+    c.merge("t", Seq((99, "x", true), (10, "j", false)).toDF("k", "v", "del"),
+      Seq("k"), deleteCond = col("del"), dropCols = Seq("del"))
+    c.commitTx()
+    val v = c.latestVersion - 1
+    assert(feed(c, v, v + 1) == Seq((10, "j", "insert", v)), feed(c, v, v + 1))
   }
 
   test("vacuum keeps CDC objects of retained windows") {

@@ -48,6 +48,16 @@ class HttpStoreSpec extends AnyFunSuite {
       intercept[java.nio.file.NoSuchFileException](s.read("_log_nope"))
       s.delete("_log_1")
       assert(s.putIfAbsent("_log_1", "second-life".getBytes))
+      // names with URL-special characters round-trip (the server decodes
+      // the RAW path exactly once): '%' must not 500, '+' and ' ' must
+      // not collide — a collision is a wrong conditional-put verdict
+      assert(s.putIfAbsent("_log_a%b", "pct".getBytes))
+      assert(new String(s.read("_log_a%b")) == "pct")
+      assert(s.putIfAbsent("_log_a+b", "plus".getBytes))
+      assert(s.putIfAbsent("_log_a b", "space".getBytes),
+        "'a b' must not collide with 'a+b'")
+      assert(new String(s.read("_log_a+b")) == "plus")
+      assert(new String(s.read("_log_a b")) == "space")
     }
   }
 
