@@ -169,6 +169,18 @@ object SqlSurface {
                  CAST(n_nationkey AS BIGINT), n_name
           FROM ${cat}_nation_src WHERE n_nationkey >= 13""")
 
+        // atomic RTAS (StagingTableCatalog): REPLACE TABLE … AS SELECT
+        // retires the old incarnation and publishes the new data as ONE
+        // commit (a mid-query failure leaves the old table untouched);
+        // the old incarnation stays time-travelable below that commit
+        spark.sql(s"""CREATE TABLE $cat.t_rtas AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""REPLACE TABLE $cat.t_rtas AS
+          SELECT n_nationkey + 1000 AS n_nationkey,
+                 lower(n_name) AS n_name,
+                 n_regionkey * 2 AS n_regionkey
+          FROM ${cat}_nation_src WHERE n_nationkey % 2 = 0""")
+
         // VERSION AS OF: capture the version right after the CTAS lands,
         // then delete most of the table — the time-traveled read must
         // resurrect the pre-delete state through the SQL surface alone
@@ -384,9 +396,21 @@ object SqlSurface {
       FROM nation WHERE n_nationkey < 5
     ) ORDER BY n_nationkey"""
 
+  private val rtasSql = """
+    SELECT n_nationkey + 1000 AS n_nationkey, lower(n_name) AS n_name,
+           n_regionkey * 2 AS n_regionkey
+    FROM nation WHERE n_nationkey % 2 = 0
+    ORDER BY n_nationkey"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
     "tx_sql_insert" -> QueryDef(state("t_ins"), Some(insertSql),
-      "pure-SQL CTAS + INSERT INTO through the DataSourceV2 catalog"),
+      "pure-SQL CTAS + INSERT INTO through the DataSourceV2 catalog " +
+        "(CTAS is atomic via StagingTableCatalog: create + data in ONE " +
+        "log commit)"),
+    "tx_sql_rtas" -> QueryDef(state("t_rtas"), Some(rtasSql),
+      "atomic REPLACE TABLE AS SELECT (StagingTableCatalog): old " +
+        "incarnation retired + new data published as ONE commit, old " +
+        "versions still time-travelable"),
     "tx_sql_delete" -> QueryDef(state("t_del"), Some(deleteSql),
       "pure-SQL DELETE FROM via SupportsDelete -> client.deleteWhere"),
     "tx_sql_update" -> QueryDef(state("t_upd"), Some(updateSql),

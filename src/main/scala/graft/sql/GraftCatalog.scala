@@ -43,7 +43,7 @@ import graft.table.GraftClient
   * CREATE/DROP/RENAME table, ADD/RENAME/DROP column.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -140,18 +140,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(root, t, schema, asOf = Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (a, b, ...)` — identity transforms only: each
-    // partition column is marked in its field METADATA with its ordinal
-    // (the same log-persisted channel column mapping uses), and every
-    // INSERT then routes through insertPartitioned: one self-contained
-    // object per VALUE COMBINATION, stats single-valued on every
-    // partition column, pruned by the ordinary stats tier (a trailing
-    // column alone prunes too — no Hive leading-prefix restriction).
-    // Bucket/temporal transforms are not supported.
-    val schemaWithPart = partitions.toSeq match {
+  /** `PARTITIONED BY (a, b, ...)` — identity transforms only: each
+    * partition column is marked in its field METADATA with its ordinal
+    * (the same log-persisted channel column mapping uses), and every
+    * INSERT then routes through insertPartitioned: one self-contained
+    * object per VALUE COMBINATION, stats single-valued on every
+    * partition column, pruned by the ordinary stats tier (a trailing
+    * column alone prunes too — no Hive leading-prefix restriction).
+    * Bucket/temporal transforms are not supported. Shared by the plain
+    * and the staged (atomic CTAS/RTAS) create paths.
+    */
+  private def partitionedSchema(schema: StructType,
+      partitions: Array[Transform]): StructType =
+    partitions.toSeq match {
       case Nil => schema
       case ts if ts.forall(t => t.name == "identity" &&
           t.references.length == 1 &&
@@ -177,6 +178,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft tables support PARTITIONED BY (identity columns) only; " +
             "use clusterBy/z_order maintenance for other layouts")
     }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val schemaWithPart = partitionedSchema(schema, partitions)
     val t = tableName(ident)
     withClient { c =>
       c.newTx()
@@ -194,6 +200,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       c.commitTxRetrying()
     }
     new GraftTable(root, t, schemaWithPart)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  // The staged table holds ONE open client transaction: CREATE (and for
+  // REPLACE, the retirement of the old incarnation) is staged together
+  // with the data objects the query writes, and commitStagedChanges()
+  // publishes everything as ONE log commit. Spark's non-atomic fallback
+  // (a create commit, then a separate append commit) leaves an EMPTY
+  // table behind when the query fails mid-write; here a failure aborts
+  // the tx and eagerly reclaims the objects it wrote
+  // (GraftClient.abortAndClean), so the store is exactly as before.
+  // REPLACE keeps history: the old incarnation's versions stay
+  // time-travelable below the one replace commit.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = false, orCreate = false, op = "CREATE TABLE AS SELECT")
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = false, op = "REPLACE TABLE AS SELECT")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = true, op = "REPLACE TABLE AS SELECT")
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean, op: String): StagedTable = {
+    val t = tableName(ident)
+    val schemaWithPart = partitionedSchema(schema, partitions)
+    val user = properties.asScala.filterNot { case (k, _) =>
+      GraftCatalog.ReservedProps(k) || k.startsWith("option.")
+    }.toMap
+    val c = new GraftClient(SparkSession.active, root)
+    c.newTx()
+    try {
+      c.tagOperation(op)
+      val exists = c.tables.contains(t)
+      if (!replace && exists) throw new TableAlreadyExistsException(ident)
+      if (replace && !exists && !orCreate) throw new NoSuchTableException(ident)
+      if (replace && exists) c.dropTable(t)
+      c.createTable(t, schemaWithPart)
+      if (user.nonEmpty) c.setTableProperties(t, user)
+    } catch { case e: Throwable => c.rollback(); throw e }
+    new GraftStagedTable(root, t, schemaWithPart, c)
   }
 
   override def alterTable(ident: Identifier,
@@ -786,6 +844,51 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
           }
       }
   }
+}
+
+/** The in-flight table of an atomic CTAS/RTAS: its write builder inserts
+  * into the ONE client transaction the catalog's `stage*` opened (where
+  * the CREATE — and for REPLACE, the old incarnation's retirement — is
+  * already staged), `commitStagedChanges()` publishes it all as one log
+  * commit, and `abortStagedChanges()` rolls back AND eagerly reclaims the
+  * data objects the query already wrote. Partition routing matches the
+  * plain write path: a `PARTITIONED BY` CTAS clusters by the partition
+  * values and writes one self-contained object per value combination.
+  */
+final class GraftStagedTable(root: String, name0: String,
+    tableSchema: StructType, client: GraftClient)
+    extends StagedTable with SupportsWrite {
+  // schema-derived partition metadata is identical to the committed
+  // table's, so a plain GraftTable view answers partitioning questions
+  private val view = new GraftTable(root, name0, tableSchema)
+
+  override def name(): String = name0
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = view.partitioning()
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // a staged table is empty by construction; truncate-for-overwrite
+      // has nothing to remove
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              view.partitionCols match {
+                case Seq() => client.insert(name0, data)
+                case ps => client.insertPartitioned(name0, data, ps)
+              }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = client.commitTxRetrying()
+  override def abortStagedChanges(): Unit = client.abortAndClean()
 }
 
 /** V1 `sources.Filter` → public `Column` translation for the pushdown and

@@ -43,6 +43,43 @@ final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000)
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, UTF_8)
 
+  /** Per-INSTANCE cache identity, not per-endpoint: a long-lived client
+    * rolls its snapshot forward across transactions, while a fresh
+    * client (or a client of a restarted server) starts clean — an
+    * endpoint-wide key could serve phantom state after a server was
+    * rebuilt at the same host:port.
+    */
+  override val cacheKey: Option[String] =
+    Some(s"http:$base#${java.util.UUID.randomUUID()}")
+
+  /** Server-side range listing: the first page starts AFTER the given
+    * key (S3 ListObjectsV2 `start-after`), so an incremental replay
+    * ships only the log's tail over the wire.
+    */
+  override def listPrefixAfter(prefix: String,
+      after: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var cursor: Option[String] = Some(after)
+    var more = true
+    while (more) {
+      val q = s"prefix=${enc(prefix)}&max-keys=$PageSize" +
+        cursor.map(a => s"&start-after=${enc(a)}").getOrElse("")
+      val resp = retrying(s"LIST $prefix after $after") {
+        http.send(HttpRequest.newBuilder(uri(s"/list?$q")).GET().build(),
+          BodyHandlers.ofString())
+      }
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"LIST $prefix: status ${resp.statusCode()}")
+      val keys = resp.body().split("\n").filter(_.nonEmpty)
+      out ++= keys
+      more = resp.headers().firstValue("x-truncated").orElse("") == "true" &&
+        keys.nonEmpty
+      cursor = keys.lastOption
+    }
+    out.result()
+  }
+
   override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
     val req = HttpRequest.newBuilder(uri(s"/o/${enc(name)}"))
       .header("If-None-Match", "*")

@@ -30,6 +30,30 @@ trait ObjectStore {
     * horizon.
     */
   def delete(name: String): Unit
+
+  /** Object names with the prefix STRICTLY AFTER `after`, ascending —
+    * the incremental-replay listing (a snapshot cached at version v
+    * needs only names after `_log_{v-1}`). Default: full prefix
+    * listing, filtered; stores with server-side range listing override
+    * so the wire carries only the tail (S3 ListObjectsV2 `start-after`,
+    * the HTTP store's page parameter).
+    */
+  def listPrefixAfter(prefix: String, after: String): Seq[String] =
+    listPrefixOrdered(prefix).filter(_ > after)
+
+  /** Stable identity for TxLog's JVM-wide snapshot cache, or None to
+    * opt out of caching (fault-injecting test stores, in-memory stores
+    * whose reads are free). Two store instances returning the SAME key
+    * assert they observe the SAME append-only log — the local store
+    * keys by canonical root path, the HTTP store by instance (two
+    * clients of one endpoint each keep their own rolled snapshot).
+    * Contract: a keyed store's log may only grow (conditional puts) or
+    * be pruned at the head (retention); deleting the store out from
+    * under a live JVM and rebuilding different history at the same key
+    * is out of contract — the same assumption every lakehouse snapshot
+    * cache (e.g. Delta's DeltaLog cache) makes.
+    */
+  def cacheKey: Option[String] = None
 }
 
 /** Local-filesystem store. Atomicity comes from the same hard-link trick as
@@ -40,6 +64,14 @@ trait ObjectStore {
 final class LocalObjectStore(rootDir: String) extends ObjectStore {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
+
+  /** Canonical root path: every client of one on-disk store shares one
+    * cached snapshot (the catalog constructs a fresh client per SQL
+    * operation — without this key each would replay the log from its
+    * checkpoint).
+    */
+  override val cacheKey: Option[String] =
+    Some(s"file:${root.toAbsolutePath.normalize}")
 
   override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
     val tmp = root.resolve(s".tmp_${UUID.randomUUID()}")

@@ -132,6 +132,13 @@ final class GraftClient(
   private def currentTx: TxState =
     tx.getOrElse(throw new IllegalStateException("no open transaction"))
 
+  /** Name the open transaction's commit operation (DESCRIBE HISTORY)
+    * before any mutator runs — first name wins, so a composite caller
+    * (atomic CTAS/RTAS) labels the commit by its outer verb instead of
+    * its first internal step.
+    */
+  def tagOperation(op: String): Unit = tagOp(op)
+
   def newTx(): Unit = {
     if (tx.isDefined)
       throw new IllegalStateException("transaction already open")
@@ -3785,6 +3792,30 @@ final class GraftClient(
     * unreferenced, as in the reference; [[vacuum]] reclaims them).
     */
   def rollback(): Unit = tx = None
+
+  /** [[rollback]] plus eager reclaim of the data/DV/CDC objects the open
+    * transaction already wrote. A crashed writer can only leave orphans
+    * for [[vacuum]], but a DELIBERATE abort (a failed atomic CTAS, a
+    * procedure unwinding) knows exactly what it wrote — deleting it now
+    * keeps the store free of debris that would otherwise sit until the
+    * next vacuum. Only objects staged by THIS tx are touched (paths are
+    * fresh UUIDs, so nothing committed can collide); best-effort, a
+    * missing object is already gone.
+    */
+  def abortAndClean(): Unit = {
+    tx.foreach { t =>
+      t.actions.foreach {
+        case a: AddDataObject =>
+          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+        case a: AddDeleteVector =>
+          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+        case a: AddCdcObject =>
+          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+        case _ => ()
+      }
+    }
+    tx = None
+  }
 
   /** Physically delete data/DV objects unreachable from the current
     * snapshot and the last `retainVersions` historical snapshots: orphans

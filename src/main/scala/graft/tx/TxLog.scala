@@ -320,7 +320,34 @@ final class TxLog(store: ObjectStore) {
     * lists only the bounded retained suffix — never "every log file ever
     * written".
     */
-  def begin(): Snapshot = {
+  def begin(): Snapshot = store.cacheKey match {
+    case None => checkedProtocol(replayFull().snap)
+    case Some(key) =>
+      // JVM-wide snapshot cache (Delta's DeltaLog cache): reuse the last
+      // materialized snapshot and read ONLY the log entries committed
+      // since — freshness is re-validated against the store on EVERY
+      // begin by the tail listing, so external writers (other clients,
+      // other processes, other machines over HTTP) are always seen.
+      // Every N rolled entries the snapshot re-bases through a full
+      // replay, picking up newer checkpoints so the cached action vector
+      // periodically re-compacts (removes folded away).
+      val cached = TxLog.snapCache.get(key)
+      val next =
+        (if (cached == null || cached.snap.version == 0 ||
+            cached.applied >= TxLog.RebaseAfter) None
+         else rollForward(cached))
+          .getOrElse(replayFull())
+      // an empty log's snapshot is not worth caching (and a version-0
+      // cache entry would make the roll-forward's tail listing start
+      // before every name)
+      if (next.snap.version > 0) TxLog.snapCache.put(key, next)
+      checkedProtocol(next.snap)
+  }
+
+  /** The uncached replay: newest checkpoint + the contiguous retained
+    * log suffix at or after it.
+    */
+  private def replayFull(): TxLog.CachedSnap = {
     val actions = Vector.newBuilder[Action]
     val base = loadNewestCheckpoint(actions)
     var last = base - 1
@@ -338,7 +365,34 @@ final class TxLog(store: ObjectStore) {
         actions ++= j("actions").asArr.map(actionFromJson)
       }
     }
-    checkedProtocol(Snapshot(last + 1, actions.result()))
+    TxLog.CachedSnap(base, 0, Snapshot(last + 1, actions.result()))
+  }
+
+  /** Roll a cached snapshot forward by the entries committed since, or
+    * None when a full replay must decide (tail not authenticated). The
+    * listing starts ONE BEFORE the last applied entry: seeing that
+    * entry's own name again authenticates the tail — a wiped/rebuilt
+    * store at the same key, a reclaimed last-applied entry (retention
+    * ran past it), or any gap all fail the check and fall back, so the
+    * cache can never serve phantom state the store no longer backs.
+    */
+  private def rollForward(c: TxLog.CachedSnap): Option[TxLog.CachedSnap] = {
+    val lastApplied = c.snap.version - 1
+    val names = store.listPrefixAfter(LogPrefix, logName(lastApplied - 1))
+    if (!names.headOption.contains(logName(lastApplied))) return None
+    var expected = lastApplied + 1
+    val actions = Vector.newBuilder[Action]
+    names.drop(1).foreach { n =>
+      val id = n.stripPrefix(LogPrefix).toLong
+      if (id != expected) return None // mid-tail gap: full replay screams
+      expected += 1
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      actions ++= j("actions").asArr.map(actionFromJson)
+    }
+    val applied = (expected - lastApplied - 1).toInt
+    if (applied == 0) Some(c)
+    else Some(TxLog.CachedSnap(c.ckptBase, c.applied + applied,
+      Snapshot(expected, c.snap.actions ++ actions.result())))
   }
 
   /** Reader-side protocol gate ([[SetProtocol]]): refuse to hand out a
@@ -645,6 +699,20 @@ final class TxLog(store: ObjectStore) {
         }
       }
     if (!won) throw new CommitConflictException(id)
+    // the committer's own write advances its cached snapshot in place,
+    // so the next begin() re-lists but re-reads nothing. The actions are
+    // ROUND-TRIPPED through the codec first: the cached snapshot must be
+    // identical to what a replay of the written entry would produce
+    // (staged actions may carry pre-normalization value types).
+    store.cacheKey.foreach { k =>
+      val c = TxLog.snapCache.get(k)
+      if (c != null && c.snap.version == id) {
+        val replayed = Json.parse(body).asObj("actions").asArr
+          .map(actionFromJson)
+        TxLog.snapCache.put(k, c.copy(applied = c.applied + 1,
+          snap = Snapshot(id + 1, c.snap.actions ++ replayed)))
+      }
+    }
   }
 
   /** Read-back disambiguation for an ambiguous put failure: Some(true) if
@@ -759,6 +827,19 @@ final class TxLog(store: ObjectStore) {
 }
 
 object TxLog {
+  /** One JVM-wide cached snapshot per store ([[ObjectStore.cacheKey]]):
+    * `applied` counts entries rolled forward since the last full replay
+    * — at [[RebaseAfter]] the next begin() re-bases through a full
+    * replay so newer checkpoints re-compact the action vector.
+    */
+  private[tx] final case class CachedSnap(ckptBase: Long, applied: Int,
+      snap: Snapshot)
+  private[tx] val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  private[tx] val RebaseAfter = 64
+  /** Test hook: drop every cached snapshot (e.g. to pin cached == cold). */
+  private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+
   /** Highest [[SetProtocol]] reader/writer versions this engine
     * implements. Version 1 is the complete format through mid-round 8
     * (optional fields are additive and skip-safe). Version 2 adds

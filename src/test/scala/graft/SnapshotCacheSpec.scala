@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{LocalObjectStore, ObjectStore}
+import graft.table.GraftClient
+import graft.tx.TxLog
+
+/** The JVM-wide snapshot cache: begin() re-validates freshness against
+  * the store every time (external writers are always seen) but re-reads
+  * only the log entries committed since the cached version — the
+  * S3-round-trip budget of a transaction begin is O(new commits), not
+  * O(retained log).
+  */
+class SnapshotCacheSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  /** Local store that counts whole-object log reads; SAME cacheKey as
+    * the wrapped store so the cache engages.
+    */
+  private class CountingStore(root: String) extends ObjectStore {
+    private val under = new LocalObjectStore(root)
+    val logReads = new AtomicInteger(0)
+    override def putIfAbsent(name: String, data: Array[Byte]): Boolean =
+      under.putIfAbsent(name, data)
+    override def listPrefixOrdered(prefix: String): Seq[String] =
+      under.listPrefixOrdered(prefix)
+    override def listPrefixAfter(prefix: String, after: String): Seq[String] =
+      under.listPrefixAfter(prefix, after)
+    override def read(name: String): Array[Byte] = {
+      if (name.startsWith(TxLog.LogPrefix)) logReads.incrementAndGet()
+      under.read(name)
+    }
+    override def put(name: String, data: Array[Byte]): Unit =
+      under.put(name, data)
+    override def delete(name: String): Unit = under.delete(name)
+    override def cacheKey: Option[String] = under.cacheKey
+  }
+
+  test("begin() after warm cache reads ONLY the new entries") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_snapcache").toString
+    val store = new CountingStore(root)
+    val writer = new GraftClient(spark, root, logStore = Some(store))
+    writer.newTx()
+    writer.createTable("t", Seq((1, "a")).toDF("k", "v").schema)
+    writer.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    writer.commitTx()
+    (0 until 5).foreach { i =>
+      writer.newTx()
+      writer.insert("t", Seq((10 + i, s"x$i")).toDF("k", "v"))
+      writer.commitTx()
+    }
+
+    // steady state for the SAME process: its own commits advanced the
+    // cache in place, so a fresh tx re-lists but re-reads nothing
+    store.logReads.set(0)
+    writer.newTx()
+    assert(writer.scan("t").count() == 7)
+    writer.rollback()
+    assert(store.logReads.get() == 0,
+      s"warm begin must read zero log bodies, read ${store.logReads.get()}")
+
+    // an EXTERNAL writer commits — through an uncacheable store, so it
+    // cannot advance the shared cache (a same-key client would: the
+    // cache is shared by canonical root on purpose). The next begin
+    // sees it via the tail listing and reads exactly the new entries.
+    val foreign = new CountingStore(root) {
+      override def cacheKey: Option[String] = None
+    }
+    val other = new GraftClient(spark, root, logStore = Some(foreign))
+    other.newTx()
+    other.insert("t", Seq((99, "ext")).toDF("k", "v"))
+    other.commitTx()
+    store.logReads.set(0)
+    writer.newTx()
+    assert(writer.scan("t").count() == 8,
+      "the cached snapshot must see the external commit")
+    writer.rollback()
+    assert(store.logReads.get() == 1,
+      s"one new commit => one body read, got ${store.logReads.get()}")
+  }
+
+  test("cached and cold snapshots agree exactly (post-checkpoint too)") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_snapcache2").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    c.createTable("t", Seq((1L, "a")).toDF("k", "v").schema)
+    c.insert("t", (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    c.commitTx()
+    c.newTx(); c.deleteRows("t", "k", 10, 19); c.commitTx()
+    c.checkpointNow()
+    c.newTx(); c.insert("t", Seq((100L, "z")).toDF("k", "v")); c.commitTx()
+
+    val warm = { c.newTx(); val r = c.scan("t").orderBy("k").collect().toSeq
+      c.rollback(); r }
+    TxLog.clearSnapshotCache()
+    val cold = { c.newTx(); val r = c.scan("t").orderBy("k").collect().toSeq
+      c.rollback(); r }
+    assert(warm == cold, "rolled-forward and cold-replayed snapshots " +
+      "must be indistinguishable")
+    assert(warm.map(_.getLong(0)) ==
+      ((0L until 10L) ++ (20L until 50L) :+ 100L))
+  }
+
+  test("a reclaimed tail entry falls back to full replay, never phantom") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_snapcache3").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    c.createTable("t", Seq((1, "a")).toDF("k", "v").schema)
+    c.insert("t", Seq((1, "a")).toDF("k", "v"))
+    c.commitTx()
+    (0 until 3).foreach { i =>
+      c.newTx(); c.insert("t", Seq((i, "b")).toDF("k", "v")); c.commitTx()
+    }
+    // checkpoint + retention prune the entries the cache rolled through;
+    // the authentication listing no longer sees the last applied name's
+    // predecessor region — begin must re-base, not trust the cache blind
+    c.checkpointNow()
+    c.vacuum(retainVersions = 0)
+    c.newTx()
+    assert(c.scan("t").count() == 4)
+    c.rollback()
+  }
+}

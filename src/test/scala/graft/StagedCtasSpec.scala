@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Atomic CTAS/RTAS through StagingTableCatalog: create + data publish as
+  * ONE log commit, a failing query leaves NO table and NO debris, and
+  * REPLACE keeps the old incarnation time-travelable.
+  */
+class StagedCtasSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+  private val n = new AtomicInteger(0)
+
+  private def newCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft_ctas").toString
+    val cat = s"gctas${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+
+  test("CTAS is ONE commit: create + data atomically, history says CTAS") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    val before = c.latestVersion
+    spark.sql(
+      s"CREATE TABLE $cat.t AS SELECT id AS k, id * 2 AS v FROM range(5)")
+    assert(c.latestVersion == before + 1,
+      "create and data must publish as ONE log commit")
+    assert(rows(s"SELECT k, v FROM $cat.t ORDER BY k") ===
+      (0L until 5L).map(i => Row(i, i * 2)))
+    val op = c.historyDetailed().last._3
+    assert(op.contains("CREATE TABLE AS SELECT"), s"history op was $op")
+  }
+
+  test("failing CTAS leaves NO table and no data-object debris") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    val before = c.latestVersion
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad AS " +
+        "SELECT id, assert_true(id < 2, 'boom') AS chk FROM range(10)")
+    }
+    assert(c.latestVersion == before, "no commit may have been published")
+    c.newTx()
+    val exists = c.tables.contains("bad")
+    c.rollback()
+    assert(!exists, "the failed CTAS must not leave a table behind")
+    // abortStagedChanges eagerly reclaimed anything the query wrote
+    val debris = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("_table_"))
+    assert(debris.isEmpty,
+      s"no orphaned data objects expected, found: ${debris.mkString(",")}")
+  }
+
+  test("RTAS replaces atomically and keeps history time-travelable") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.r AS SELECT id AS k FROM range(3)")
+    val c = new GraftClient(spark, root)
+    val vOld = c.latestVersion
+    spark.sql(s"REPLACE TABLE $cat.r AS SELECT id + 100 AS k FROM range(2)")
+    assert(c.latestVersion == vOld + 1, "REPLACE publishes one commit")
+    assert(rows(s"SELECT k FROM $cat.r ORDER BY k") ===
+      Seq(Row(100L), Row(101L)))
+    // the old incarnation is still below the replace commit
+    assert(rows(s"SELECT k FROM $cat.r VERSION AS OF $vOld ORDER BY k") ===
+      Seq(Row(0L), Row(1L), Row(2L)))
+    // plain REPLACE of a missing table refuses; OR REPLACE creates
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.nope AS SELECT 1 AS x")
+    }
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.fresh AS SELECT 7 AS x")
+    assert(rows(s"SELECT x FROM $cat.fresh") === Seq(Row(7)))
+  }
+
+  test("partitioned CTAS routes through clustered writes: 1 file/object") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.p PARTITIONED BY (g) AS " +
+      "SELECT id AS k, CAST(id % 4 AS INT) AS g FROM range(64)")
+    assert(rows(s"SELECT g, count(*) AS c FROM $cat.p GROUP BY g ORDER BY g")
+      === (0 until 4).map(g => Row(g, 16L)))
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val objs = try c.objects("p") finally c.rollback()
+    assert(objs.length == 4, s"one object per partition value: $objs")
+    objs.foreach { o =>
+      val parts = Option(new java.io.File(s"$root/${o.path}").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"clustered write → exactly one file per object, got " +
+          s"${parts.length} in ${o.path}")
+    }
+  }
+}
