@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -564,11 +565,20 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
   * batches. After a restart the recovery `getBatch` re-syncs the
   * internal high-water mark from the checkpointed offset, so an offset
   * offered below it is already-processed territory and skips harmlessly.
+  *
+  * `Trigger.AvailableNow` is supported NATIVELY (the [[SupportsTriggerAvailableNow]]
+  * mixin — the FileStreamSource shape for a V1 `Source`): the end version
+  * is pinned when the query starts, the backlog drains up to it as
+  * normally rate-limited micro-batches, and the query then terminates.
+  * Without the mixin Spark's default falls back to single-batch
+  * (Trigger.Once) execution, which under a rate limit would stop after
+  * the FIRST slice of the backlog — silent data loss for a drain job.
   */
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
     table: String, ignoreChanges: Boolean,
     maxObjectsPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None) extends Source {
+    maxRowsPerTrigger: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def client =
     new GraftClient(sqlContext.sparkSession, root)
@@ -580,9 +590,52 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   override val schema: StructType =
     GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
 
+  // Trigger.AvailableNow's pinned end: batches never reach past it, so
+  // the drain terminates even while new commits keep landing (they
+  // belong to the next run)
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(client.latestVersion)
+
+  /** Advertise the constructor caps in ReadLimit terms. The values are
+    * not re-parsed from the limit handed back to [[latestOffset]] — the
+    * caps live in the constructor — but MicroBatchExecution requires the
+    * advertised and applied limits to agree.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    (maxObjectsPerTrigger, maxRowsPerTrigger) match {
+      case (Some(o), None) => ReadLimit.maxFiles(o)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case (Some(o), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(o),
+          ReadLimit.maxRows(r)))
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** The admission-control offset surface (used by MicroBatchExecution
+    * for EVERY trigger once the mixin is present): same logic as
+    * [[getOffset]], with the checkpointed start re-syncing the
+    * high-water mark after a restart.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    Option(start).foreach { o =>
+      highWater = math.max(highWater, versionOfV2(o))
+    }
+    getOffset.orNull
+  }
+
+  private def versionOfV2(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
   override def getOffset: Option[Offset] = {
     val c = client
-    val latest = c.latestVersion
+    val latest = {
+      val l = c.latestVersion
+      availableNowEnd.fold(l)(math.min(l, _))
+    }
     if (latest == 0L) return None
     val offered =
       if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest

@@ -2603,6 +2603,12 @@ final class GraftClient(
     */
   def versionAt(tsMillis: Long): Long = txLog.versionAtTimestamp(tsMillis)
 
+  /** First commit id committed at-or-after `tsMillis` (the change feed's
+    * `startingTimestamp`) — see [[TxLog.versionAfterTimestamp]].
+    */
+  def versionAfter(tsMillis: Long): Long =
+    txLog.versionAfterTimestamp(tsMillis)
+
   /** Committed log entries with `from <= id < until` as (id, actions) —
     * O(window) reads, see [[TxLog.entriesBetween]].
     */

@@ -587,28 +587,54 @@ final class TxLog(store: ObjectStore) {
 
   /** The snapshot version as of wall-clock `tsMillis` — the greatest
     * version whose last commit carried a `ts` at-or-before it (TIMESTAMP
-    * AS OF). Commit timestamps are assigned under the winning conditional
-    * put, so they are non-decreasing per store (modulo clock skew between
-    * writers — same caveat as Delta); the scan walks bodies oldest-first
-    * and stops at the first later entry. Entries from logs written before
-    * the `ts` field existed read as t=0 (always in the past). O(log-
-    * prefix) metadata reads; a binary search over the zero-padded names
-    * would make it O(log₂ n) if a deployment ever has logs long enough
-    * to care.
+    * AS OF). Raw commit timestamps come from each WRITER's clock, so a
+    * later commit can carry an earlier wall clock when writers on
+    * different machines skew; like Delta, the scan MONOTONIZES them
+    * (effective ts = max over the prefix), which keeps the effective
+    * sequence non-decreasing so (a) the early stop at the first later
+    * entry is sound and (b) the version picked can never be older than
+    * one whose commit the asked-for instant already covers. Entries from
+    * logs written before the `ts` field existed read as t=0 (always in
+    * the past). O(log-prefix) metadata reads; a binary search over the
+    * zero-padded names would make it O(log₂ n) if a deployment ever has
+    * logs long enough to care — monotonized timestamps stay
+    * binary-searchable.
     */
   def versionAtTimestamp(tsMillis: Long): Long = {
     var last = -1L
+    var eff = Long.MinValue
     val names = store.listPrefixOrdered(LogPrefix).iterator
     var done = false
     while (!done && names.hasNext) {
       val n = names.next()
       val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
-      val ts = j.get("ts").map(_.asLong).getOrElse(0L)
-      if (ts <= tsMillis) last = j("id").asLong else done = true
+      eff = math.max(eff, j.get("ts").map(_.asLong).getOrElse(0L))
+      if (eff <= tsMillis) last = j("id").asLong else done = true
     }
     if (last < 0) throw new IllegalArgumentException(
       s"no commit at or before timestamp $tsMillis (first commit is later)")
     last + 1
+  }
+
+  /** The first commit id whose MONOTONIZED wall clock is at-or-after
+    * `tsMillis` — the change feed's `startingTimestamp` resolution ("all
+    * changes committed at or after the instant", Delta semantics): the
+    * change window then STARTS at snapshot version = that commit id, so
+    * the commit itself is inside the window. Same effective-clock rule
+    * as [[versionAtTimestamp]] — the two stay consistent under writer
+    * clock skew. Throws when every retained commit is earlier.
+    */
+  def versionAfterTimestamp(tsMillis: Long): Long = {
+    var eff = Long.MinValue
+    val names = store.listPrefixOrdered(LogPrefix).iterator
+    while (names.hasNext) {
+      val n = names.next()
+      val j = Json.parse(new String(store.read(n), "UTF-8")).asObj
+      eff = math.max(eff, j.get("ts").map(_.asLong).getOrElse(0L))
+      if (eff >= tsMillis) return j("id").asLong
+    }
+    throw new IllegalArgumentException(
+      s"no commit at or after timestamp $tsMillis (latest commit is earlier)")
   }
 
   /** The current log version (next commit id) from the name listing

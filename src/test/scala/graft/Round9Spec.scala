@@ -209,4 +209,42 @@ class Round9Spec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").collect()(0)
       .getLong(0) == 4000L)
   }
+
+  test("Trigger.AvailableNow drains a rate-limited backlog, then stops") {
+    import scala.jdk.CollectionConverters._
+    val ss = spark
+    val dir = Files.createTempDirectory("graft_availnow").toString
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val c = new GraftClient(ss, dir)
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    // 6-commit backlog, one object each, before the query starts
+    (0 until 6).foreach { i =>
+      c.newTx()
+      c.insert("t", ss.createDataFrame(
+        List(org.apache.spark.sql.Row(i)).asJava, schema))
+      c.commitTx()
+    }
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("maxObjectsPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("graft_avail_now")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(180000L),
+        "AvailableNow must terminate on its own once the backlog drains")
+    } finally q.stop()
+    assert(ss.table("graft_avail_now").collect().map(_.getInt(0)).sorted
+      .toSeq === (0 until 6), "every backlogged row arrives exactly once")
+    // the native SupportsTriggerAvailableNow path drains in RATE-LIMITED
+    // batches; the single-batch Trigger.Once fallback (what Spark does
+    // for a source without the mixin) would have stopped after the first
+    // 2-object slice and lost rows 2..5
+    val withData = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withData.length >= 3,
+      s"6 single-object commits at cap 2 need >= 3 batches, got " +
+        withData.map(_.numInputRows).mkString(","))
+    assert(withData.forall(_.numInputRows <= 2),
+      "no batch may exceed the 2-object cap")
+  }
 }

@@ -251,6 +251,37 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(c.versionAt(System.currentTimeMillis()) === 1L)
   }
 
+  test("versionAtTimestamp monotonizes writer-clock skew (Delta-parity)") {
+    val (_, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    c.newTx(); c.createTable("skew", schema); c.commitTx()
+    c.newTx(); c.setTableProperties("skew", Map("a" -> "1")); c.commitTx()
+    c.newTx(); c.setTableProperties("skew", Map("b" -> "2")); c.commitTx()
+    // rewrite the three commits' wall clocks to [1000, 5000, 2000]:
+    // the MIDDLE writer's clock ran ahead, so the raw sequence is
+    // non-monotonic — exactly the cross-machine skew shape
+    val dir = new java.io.File(root)
+    val logs = dir.listFiles().filter(_.getName.startsWith("_log_"))
+      .sortBy(_.getName).take(3)
+    logs.zip(Seq(1000L, 5000L, 2000L)).foreach { case (f, t) =>
+      val body = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      java.nio.file.Files.write(f.toPath,
+        body.replaceAll(""""ts":"\d+"""", s""""ts":"$t"""").getBytes("UTF-8"))
+    }
+    // effective (monotonized) clocks are [1000, 5000, 5000]: a read as
+    // of t=2000 must NOT resolve to version 3 (which would include the
+    // t=5000 commit's effects through commit 2's snapshot) — it stops
+    // at version 1, the newest snapshot wholly at-or-before the instant
+    assert(c.versionAt(2000L) === 1L)
+    assert(c.versionAt(4999L) === 1L)
+    assert(c.versionAt(5000L) === 3L)
+    intercept[IllegalArgumentException](c.versionAt(999L))
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT routes into client CHECKs") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.cc (k BIGINT, v STRING)")
