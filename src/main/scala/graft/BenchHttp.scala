@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.store.{HttpObjectStore, InMemoryObjectStore, ObjectStore, ObjectStoreHttpServer}
+import graft.table.GraftClient
+import graft.tx.TxLog
+
+/** Commit-protocol pricing over the REAL networked store: every log
+  * read/list/conditional-put crosses an HTTP socket (the deployment
+  * shape the multi-writer story assumes at 100 TB — S3-style store,
+  * many writers). Three probes, one JSON line each:
+  *
+  *   1. sequential commits, snapshot cache ON — the production shape:
+  *      begin() re-validates freshness with one tail LIST, reads only
+  *      new entries.
+  *   2. sequential commits, cache OFF (cacheKey = None wrapper): every
+  *      begin() re-reads the whole retained log over the wire — what
+  *      the cache buys, priced.
+  *   3. 4 writers × 25 commits on ONE table, commitTxRetrying: conflict
+  *      arbitration entirely via HTTP conditional puts; reports total
+  *      wall, commits, and store-level put conflicts (each 412 = one
+  *      lost race → one rebase).
+  */
+object BenchHttp {
+  /** Wrapper that hides the cache key (probe 2) and counts conditional
+    * puts + conflicts (probe 3).
+    */
+  private final class Probe(under: ObjectStore, cached: Boolean)
+      extends ObjectStore {
+    val puts = new AtomicInteger(0)
+    val conflicts = new AtomicInteger(0)
+    override def putIfAbsent(n: String, d: Array[Byte]): Boolean = {
+      puts.incrementAndGet()
+      val won = under.putIfAbsent(n, d)
+      if (!won) conflicts.incrementAndGet()
+      won
+    }
+    override def listPrefixOrdered(p: String): Seq[String] =
+      under.listPrefixOrdered(p)
+    override def listPrefixAfter(p: String, a: String): Seq[String] =
+      under.listPrefixAfter(p, a)
+    override def read(n: String): Array[Byte] = under.read(n)
+    override def put(n: String, d: Array[Byte]): Unit = under.put(n, d)
+    override def delete(n: String): Unit = under.delete(n)
+    override def cacheKey: Option[String] =
+      if (cached) under.cacheKey else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val seqCommits = 50;
+    {
+      def sequential(cached: Boolean): (Double, Double) = {
+        // fresh server + store per probe: the LOG lives in the store,
+        // so sharing one would make probe 2 replay probe 1's history
+        val srv = new ObjectStoreHttpServer(new InMemoryObjectStore)
+        try sequentialOn(srv, cached) finally srv.stop()
+      }
+
+      def sequentialOn(srv: ObjectStoreHttpServer,
+          cached: Boolean): (Double, Double) = {
+        val root = Files.createTempDirectory("graft_http_bench").toString
+        val store = new Probe(new HttpObjectStore(srv.url), cached)
+        val c = new GraftClient(spark, root, logStore = Some(store))
+        c.newTx()
+        c.createTable("t", StructType(Seq(
+          StructField("k", LongType, nullable = false))))
+        c.commitTx()
+        // warm the write path once so JVM/codegen setup isn't charged
+        c.newTx(); c.insert("t", Seq(-1L).toDF("k")); c.commitTx()
+        val t0 = System.nanoTime()
+        (0 until seqCommits).foreach { i =>
+          c.newTx()
+          c.insert("t", Seq(i.toLong).toDF("k"))
+          c.commitTx()
+        }
+        val total = (System.nanoTime() - t0) / 1e9
+        (total, total / seqCommits)
+      }
+
+      TxLog.clearSnapshotCache()
+      val (onTotal, onPer) = sequential(cached = true)
+      TxLog.clearSnapshotCache()
+      val (offTotal, offPer) = sequential(cached = false)
+
+      // contention probe: 4 writers, ONE shared table, tiny inserts —
+      // every commit arbitrates the same log slot over the wire
+      val srv = new ObjectStoreHttpServer(new InMemoryObjectStore)
+      val root = Files.createTempDirectory("graft_http_race").toString
+      val boot = new Probe(new HttpObjectStore(srv.url), cached = true)
+      val bc = new GraftClient(spark, root, logStore = Some(boot))
+      bc.newTx()
+      bc.createTable("r", StructType(Seq(
+        StructField("w", LongType, nullable = false))))
+      bc.commitTx()
+      val raceStore = new Probe(new HttpObjectStore(srv.url), cached = true)
+      val writers = 4
+      val perWriter = 25
+      val t0 = System.nanoTime()
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          val c = new GraftClient(spark, root, logStore = Some(raceStore))
+          (0 until perWriter).foreach { i =>
+            c.newTx()
+            c.insert("r", Seq(w * 1000L + i).toDF("w"))
+            c.commitTxRetrying(maxAttempts = 200)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val raceTotal = (System.nanoTime() - t0) / 1e9
+      val check = new GraftClient(spark, root, logStore = Some(raceStore))
+      check.newTx()
+      val landed = check.scan("r").count()
+      check.rollback()
+      require(landed == writers.toLong * perWriter,
+        s"race lost rows: $landed")
+
+      println(
+        s"""{"metric":"http_commit","seq_commits":$seqCommits,""" +
+        s""""cache_on_total_sec":${f"$onTotal%.2f"},""" +
+        s""""cache_on_per_commit_sec":${f"$onPer%.3f"},""" +
+        s""""cache_off_total_sec":${f"$offTotal%.2f"},""" +
+        s""""cache_off_per_commit_sec":${f"$offPer%.3f"},""" +
+        s""""race_writers":$writers,"race_commits_each":$perWriter,""" +
+        s""""race_total_sec":${f"$raceTotal%.2f"},""" +
+        s""""race_conditional_puts":${raceStore.puts.get},""" +
+        s""""race_conflicts":${raceStore.conflicts.get}}""")
+      srv.stop()
+    }
+  }
+}

@@ -800,6 +800,83 @@ object TxQueries {
       })
     }
 
+  // --- Nested struct column: create/insert/evolve/scan with nested stats ---
+  // `meta STRUCT<source, n_chars>` built from documents; layout
+  // partitioned by the NESTED leaf meta.source (one object per source,
+  // footer stats pinning the leaf, so nested pruning == partition
+  // pruning); then IN-STRUCT schema evolution adds meta.lang
+  // metadata-only — rows written before the alter read the new leaf as
+  // null, later rows carry it.
+  private def ensureNested(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#nested", {
+        import org.apache.spark.sql.types._
+        val root = Files.createTempDirectory("graft_nested_fixture").toString
+        val metaT = StructType(Seq(
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val metaT2 = StructType(metaT.fields :+
+          StructField("lang", StringType))
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("nst", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("meta", metaT))))
+        c.insertPartitioned("nst",
+          docs.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"),
+              struct(col("source"), col("n_chars")).cast(metaT).as("meta")),
+          "meta.source")
+        c.commitTx()
+        c.newTx()
+        c.addColumn("nst", StructField("meta.lang", StringType))
+        c.insert("nst", docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            struct(col("source"), col("n_chars"), col("lang"))
+              .cast(metaT2).as("meta")))
+        c.commitTx()
+        root
+      })
+    }
+
+  def txNested(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scanRange("nst", "meta.source", "src0", "src2")
+      .select(col("doc_id"), col("meta.source").as("source"),
+        col("meta.n_chars").as("n_chars"), col("meta.lang").as("lang"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txNestedSql = """
+    SELECT doc_id, source, n_chars,
+      CASE WHEN doc_id % 5 = 0 THEN lang END AS lang
+    FROM documents
+    WHERE source BETWEEN 'src0' AND 'src2'
+    ORDER BY doc_id"""
+
+  // --- LIKE-prefix pruning on string stats ----------------------------------
+  // scanPrefix compiles 'src1%' to the stats range [src1, src2): over
+  // the source-partitioned nested layout, only the 11 src1* objects of
+  // 20 are opened; exact startsWith applies on top.
+  def txPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scanPrefix("nst", "meta.source", "src1")
+      .select(col("doc_id"), col("meta.source").as("source"),
+        col("meta.n_chars").as("n_chars"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txPrefixSql = """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE source LIKE 'src1%'
+    ORDER BY doc_id"""
+
   def txWiden(spark: SparkSession, dir: String): DataFrame = {
     val c = new GraftClient(spark, ensureWiden(spark, dir))
     c.newTx()
@@ -1377,5 +1454,14 @@ object TxQueries {
         "oracle-identical — vacuum deletes only dead bytes"),
     "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
       "dropColumn narrows + rewrites; re-added name reads null, never " +
-        "resurrected bytes"))
+        "resurrected bytes"),
+    "tx_prefix" -> QueryDef(txPrefix, Some(txPrefixSql),
+      "LIKE-prefix scan: 'src1%' compiles to stats range [src1, src2) " +
+        "over string min/max — 11 of 20 objects opened, exact " +
+        "startsWith on top"),
+    "tx_nested" -> QueryDef(txNested, Some(txNestedSql),
+      "nested struct column end-to-end: layout partitioned by the " +
+        "nested leaf meta.source (footer stats prune on it), plus " +
+        "in-struct evolution — meta.lang added metadata-only, " +
+        "pre-alter rows read null"))
 }

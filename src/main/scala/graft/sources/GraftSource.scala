@@ -75,14 +75,7 @@ final class GraftSource extends RelationProvider
       // commit ts is at-or-before it — metadata-only resolution
       val byTs = parameters.get("timestampasof")
         .orElse(parameters.get("timestampAsOf")).map { raw =>
-          val millis = raw.toLongOption.getOrElse {
-            try java.time.Instant.parse(raw).toEpochMilli
-            catch {
-              case _: java.time.format.DateTimeParseException =>
-                java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-                  .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-            }
-          }
+          val millis = GraftSource.parseTimestampMillis(raw)
           GraftRelation.withClient(sqlContext,
             opt(parameters, "path"))(_.versionAt(millis))
         }
@@ -147,6 +140,25 @@ final class GraftSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Optional `startingVersion` / `startingTimestamp` for a NEW
+    * change-feed stream (Left = version, Right = epoch millis, resolved
+    * via versionAfterTimestamp at stream start). Without it a fresh
+    * stream seeds at version 0 — on any table whose log head was pruned
+    * (checkpoint + vacuum retention) that fails the window-availability
+    * check on the very first batch with no way to start later.
+    */
+  private def streamStart(parameters: Map[String, String])
+      : Option[Either[Long, Long]] = {
+    val v = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map(_.toLong)
+    val ts = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp"))
+      .map(GraftSource.parseTimestampMillis)
+    require(v.isEmpty || ts.isEmpty,
+      "graft: startingVersion and startingTimestamp are mutually exclusive")
+    v.map(Left(_)).orElse(ts.map(Right(_)))
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -171,11 +183,11 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String]): Source =
     if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
       new GraftFileChangeFeedSource(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"))
+        opt(parameters, "table"), streamStart(parameters))
     else if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), keyColumns(parameters),
-        preimages(parameters))
+        preimages(parameters), streamStart(parameters))
     else
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
@@ -211,6 +223,22 @@ final class GraftSource extends RelationProvider
   }
 }
 
+private[sources] object GraftSource {
+  /** Epoch millis, an ISO-8601 instant, or a space/'T'-separated local
+    * date-time (interpreted as UTC) — the accepted forms for every
+    * timestamp option on this source.
+    */
+  def parseTimestampMillis(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      try java.time.Instant.parse(raw).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+            .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      }
+    }
+}
+
 /** Streaming CHANGE DATA FEED source — `readStream.format("graft")
   * .option("changeFeed", "true").option("keyColumns", "id")`: each
   * micro-batch is the keyed latest-state diff of its commit window
@@ -221,10 +249,19 @@ final class GraftSource extends RelationProvider
   * the empty table: all inserts.
   */
 final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, keyCols: Seq[String], preimages: Boolean = false)
+    table: String, keyCols: Seq[String], preimages: Boolean = false,
+    start: Option[Either[Long, Long]] = None)
     extends Source {
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
+
+  // startingVersion / startingTimestamp seed for a fresh stream (no
+  // checkpointed offset yet); resolved once, at first use
+  private lazy val seedVersion: Long = start match {
+    case Some(Left(v)) => v
+    case Some(Right(ts)) => client.versionAfter(ts)
+    case None => 0L
+  }
 
   override val schema: StructType = {
     val base =
@@ -246,7 +283,8 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     StreamingShim.asStreaming(sqlContext.sparkSession,
       client.changesBetween(table, keyCols,
-        start.map(versionOf).getOrElse(0L), versionOf(end), preimages))
+        start.map(versionOf).getOrElse(seedVersion), versionOf(end),
+        preimages))
 
   override def stop(): Unit = {}
 }
@@ -261,9 +299,17 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   * stream loudly naming the version, same as the batch read.
   */
 final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String) extends Source {
+    table: String, start: Option[Either[Long, Long]] = None) extends Source {
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
+
+  // startingVersion / startingTimestamp seed for a fresh stream (no
+  // checkpointed offset yet); resolved once, at first use
+  private lazy val seedVersion: Long = start match {
+    case Some(Left(v)) => v
+    case Some(Right(ts)) => client.versionAfter(ts)
+    case None => 0L
+  }
 
   override val schema: StructType = {
     val base =
@@ -288,7 +334,7 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     StreamingShim.asStreaming(sqlContext.sparkSession,
       client.changesByFile(table,
-        start.map(versionOf).getOrElse(0L), versionOf(end)))
+        start.map(versionOf).getOrElse(seedVersion), versionOf(end)))
 
   override def stop(): Unit = {}
 }
@@ -389,6 +435,12 @@ object GraftRelation {
         Seq(a -> (norm.map(_.asInstanceOf[String]).min,
           norm.map(_.asInstanceOf[String]).max))
       else Nil
+    case StringStartsWith(a, v) if v.nonEmpty =>
+      // LIKE 'p%' prunes through the string min/max: rows match only in
+      // [p, prefixUpperBound(p)] (null upper = unbounded). Parquet's
+      // truncated string stats are conservative the same way, so the
+      // bound never false-prunes.
+      Seq(a -> (v, ColStats.prefixUpperBound(v)))
     case And(l, r) => boundsOf(l) ++ boundsOf(r)
     case _ => Nil
   }

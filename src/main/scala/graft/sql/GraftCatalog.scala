@@ -634,8 +634,23 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
   private var aggMemo: Option[(Aggregation, Option[(StructType, Seq[Row])])] =
     None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** Top-level column pruning only: Spark may hand a NESTED-pruned
+    * schema (`meta` narrowed to the referenced leaves), but this scan
+    * returns whole struct values per selected top-level column — so
+    * each pruned field is widened back to the table's full column type.
+    * Reporting the narrowed struct while producing full rows would make
+    * the row re-encoder read fields at wrong ordinals (a Long where the
+    * pruned schema says String). Nested I/O pruning still happens one
+    * layer down, in the parquet reader, when the residual plan projects
+    * the leaves.
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val full = table.schema()
+    required = StructType(requiredSchema.fields.map { f =>
+      if (full.fieldNames.contains(f.name)) full(full.fieldIndex(f.name))
+      else f
+    })
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)

@@ -318,6 +318,26 @@ object GraftProcedures {
           val n = inTx(c)(c.clusterIncremental(t, colName))
           Seq(row(UTF8String.fromString(t), Int.box(n)))
         }))
+      case "cluster_rebound" => Some(proc(name,
+        "recompute the clustering grid from the CURRENT distribution " +
+          "and re-layout — the answer to a drifted staleness metric " +
+          "(graft.cluster.<col>.staleness, recorded by every " +
+          "cluster_incremental pass)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("column", StringType),
+          StructField("staleness_before", DoubleType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val colName = args.getUTF8String(1).toString
+          val c = client
+          val before = inTx(c) {
+            val s = c.clusterStaleness(t, colName)
+            c.clusterRebound(t, colName)
+            s
+          }
+          Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName),
+            Double.box(before)))
+        }))
       case "set_partitioning" => Some(proc(name,
         "partition evolution: change the declared partition spec " +
           "(metadata-only; existing objects keep their layout and " +

@@ -85,8 +85,17 @@ final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000)
       .header("If-None-Match", "*")
       .PUT(BodyPublishers.ofByteArray(data)).build()
     http.send(req, BodyHandlers.ofByteArray()).statusCode() match {
-      case 200 | 201 => true
+      case 201 => true
       case 412 => false
+      // 200 is the UNCONDITIONAL-put response: it means the
+      // If-None-Match header was stripped in transit and we just
+      // overwrote whatever was there — reporting "won" here would turn a
+      // lost commit arbitration into silent log corruption. Throw so the
+      // ambiguity surfaces to the commit recovery path (read-back in
+      // commitTxRetrying), which resolves who actually owns the slot.
+      case 200 => throw new java.io.IOException(
+        s"conditional PUT $name answered 200: If-None-Match was not " +
+          "honored (header dropped in transit?); outcome ambiguous")
       case other => throw new java.io.IOException(
         s"conditional PUT $name: unexpected status $other")
     }

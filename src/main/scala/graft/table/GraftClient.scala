@@ -276,6 +276,7 @@ final class GraftClient(
     * and a range delete on the new column simply never matches old rows.
     */
   def addColumn(table: String, field: StructField): Unit = {
+    if (field.name.contains('.')) return addNestedColumn(table, field)
     tagOp("ALTER")
     val t = currentTx
     val schema = schemaOf(table)
@@ -292,6 +293,49 @@ final class GraftClient(
     val mapped = field.copy(metadata = new MetadataBuilder()
       .withMetadata(field.metadata).putString(PhysKey, phys).build())
     val widened = StructType(schema.fields :+ mapped)
+    t.tables(table) = widened
+    t.actions += ChangeMetadata(table, widened)
+  }
+
+  /** Schema evolution INSIDE a struct — `addColumn(t, StructField(
+    * "meta.lang", ...))` routes here: the parent struct gains a new
+    * nullable field in one ChangeMetadata, zero data objects touched.
+    * Old files lack the leaf and read it as null (parquet nested
+    * by-name semantics, same contract as top-level widening). Nested
+    * fields are physical == logical: they can be added but never
+    * dropped or renamed (those ALTERs refuse dotted names), so the
+    * dropped-name-resurrection hazard that forces fresh physical names
+    * at the top level cannot arise below it.
+    */
+  private def addNestedColumn(table: String, field: StructField): Unit = {
+    tagOp("ALTER")
+    val t = currentTx
+    val schema = schemaOf(table)
+    val parts = field.name.split('.').toSeq
+    require(field.nullable, "added columns must be nullable: rows written " +
+      "before the widening have no value for them")
+    requireNotReserved(Seq(parts.head))
+    require(!hasColumnPath(schema, field.name),
+      s"column exists: ${field.name}")
+    flush(table)
+    def widen(st: StructType, path: Seq[String]): StructType = path match {
+      case Seq(leaf) =>
+        StructType(st.fields :+ field.copy(name = leaf))
+      case head +: rest =>
+        require(st.fieldNames.contains(head),
+          s"no such column: $head (adding ${field.name})")
+        val f = st(st.fieldIndex(head))
+        f.dataType match {
+          case inner: StructType =>
+            val updated = f.copy(dataType = widen(inner, rest))
+            StructType(st.fields.map(x =>
+              if (x.name == head) updated else x))
+          case other => throw new IllegalArgumentException(
+            s"$head is ${other.simpleString}, not a struct " +
+              s"(adding ${field.name})")
+        }
+    }
+    val widened = widen(schema, parts)
     t.tables(table) = widened
     t.actions += ChangeMetadata(table, widened)
   }
@@ -380,6 +424,9 @@ final class GraftClient(
     */
   def addColumnWithDefault(table: String, field: StructField,
       defaultSql: String): Unit = {
+    require(!field.name.contains('.'),
+      s"initial defaults are top-level only (adding ${field.name}): " +
+        "add the nested field without a default via addColumn")
     val checked =
       try spark.range(1).select(expr(defaultSql).cast(field.dataType))
         .collect().head.get(0)
@@ -424,6 +471,10 @@ final class GraftClient(
     tagOp("ALTER")
     val t = currentTx
     val schema = schemaOf(table)
+    require(!name.contains('.'), s"cannot drop nested field $name: " +
+      "nested fields are add-only (physical == logical below the top " +
+      "level); drop would need column mapping per leaf — rewrite the " +
+      "struct column instead")
     require(schema.fieldNames.contains(name), s"no such column: $name")
     require(schema.length > 1, "cannot drop the last column")
     requireNoConstraintOn(table, name)
@@ -444,6 +495,10 @@ final class GraftClient(
     tagOp("ALTER")
     val t = currentTx
     val old = schemaOf(table)
+    require(!from.contains('.') && !to.contains('.'),
+      s"cannot rename nested field $from: nested fields are add-only " +
+        "(physical == logical below the top level) — rewrite the " +
+        "struct column instead")
     require(old.fieldNames.contains(from), s"no such column: $from")
     require(!old.fieldNames.contains(to), s"column exists: $to")
     requireNotReserved(Seq(to))
@@ -975,9 +1030,54 @@ final class GraftClient(
     schema.fields.iterator.map(f => f.name -> physName(f))
       .filter(p => p._1 != p._2).toMap
 
-  /** Physical name of logical column `c` (stats/bloom key). */
+  /** Physical name of logical column `c` (stats/bloom key). Dotted paths
+    * address nested-struct leaves: the TOP segment maps through column
+    * mapping (files key the whole struct under the top-level physical
+    * name), nested segments are physical == logical — nested fields are
+    * never dropped or renamed (refused at the ALTER surface), so the
+    * resurrection hazard column mapping exists for cannot arise below
+    * the top level.
+    */
   private def physOf(schema: StructType, c: String): String =
-    physName(schema(schema.fieldIndex(c)))
+    if (!c.contains('.')) physName(schema(schema.fieldIndex(c)))
+    else {
+      val parts = c.split('.')
+      (physName(schema(schema.fieldIndex(parts.head))) +: parts.tail.toSeq)
+        .mkString(".")
+    }
+
+  /** Deep type equality modulo nullability — the insert contract for a
+    * struct column. Top-level scalars keep exact equality (as before);
+    * struct-valued frames built with `struct(...)` routinely carry
+    * non-null nested fields, which may always be written into nullable
+    * declared ones. Field NAMES stay strict: parquet is by-name.
+    */
+  private def sameTypeIgnoringNullability(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name &&
+            sameTypeIgnoringNullability(f.dataType, g.dataType)
+        }
+      case (ArrayType(x, _), ArrayType(y, _)) =>
+        sameTypeIgnoringNullability(x, y)
+      case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+        sameTypeIgnoringNullability(xk, yk) &&
+          sameTypeIgnoringNullability(xv, yv)
+      case _ => a == b
+    }
+
+  /** Does `c` (possibly dotted) resolve to a field / nested leaf? */
+  private def hasColumnPath(schema: StructType, c: String): Boolean = {
+    var cur: DataType = schema
+    c.split('.').forall { seg =>
+      cur match {
+        case st: StructType if st.fieldNames.contains(seg) =>
+          cur = st(st.fieldIndex(seg)).dataType; true
+        case _ => false
+      }
+    }
+  }
 
   /** Rename a logical-layout DataFrame for writing (prov/internal columns
     * pass through untouched).
@@ -1236,7 +1336,7 @@ final class GraftClient(
     require(df.schema.fieldNames.sameElements(schema.fieldNames),
       s"insert schema mismatch: ${df.schema.fieldNames.mkString(",")}")
     schema.fields.zip(df.schema.fields).foreach { case (want, got) =>
-      require(got.dataType == want.dataType,
+      require(sameTypeIgnoringNullability(got.dataType, want.dataType),
         s"insert type mismatch for ${want.name}: ${got.dataType} vs declared ${want.dataType}")
     }
     flush(table) // keep buffered rows chronologically before the bulk batch
@@ -1294,7 +1394,9 @@ final class GraftClient(
       partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct: $partCols")
-    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+    // dotted paths partition by a nested-struct leaf (the object's
+    // stats then pin that leaf, so nested pruning == partition pruning)
+    partCols.foreach(c => require(hasColumnPath(df.schema, c),
       s"no such column: $c"))
     // staging duplicates (consumed by partitionBy, dropped from files)
     val stageCols = partCols.indices.map(i => s"$PartCol$i")
@@ -1397,7 +1499,7 @@ final class GraftClient(
       bounds: Seq[(String, (Any, Any))]): DataFrame = {
     val schema = schemaOf(table)
     bounds.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c), s"no such column: $c") }
+      require(hasColumnPath(schema, c), s"no such column: $c") }
     // DERIVED bounds: a generated column g = to_date(c) is monotone
     // non-decreasing in c, so c ∈ [lo, hi] implies g ∈ [to_date(lo),
     // to_date(hi)] — a date-partitioned layout prunes from a predicate
@@ -1493,6 +1595,21 @@ final class GraftClient(
   def scanRange(table: String, column: String, start: Any, end: Any): DataFrame =
     scanBounded(table, Seq(column -> (start, end)))
       .filter(col(column).between(lit(start), lit(end)))
+
+  /** LIKE-'prefix%' scan with stats-based file skipping: the prefix
+    * compiles to the range [prefix, [[ColStats.prefixUpperBound]]] over
+    * the existing string min/max (parquet's truncated bounds stay
+    * conservative), so only objects whose range can contain the prefix
+    * are opened; the exact startsWith filter applies on top. The same
+    * compilation serves both connectors' pushed StringStartsWith
+    * filters ([[graft.sources.GraftRelation.boundsOf]]).
+    */
+  def scanPrefix(table: String, column: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix matches every row — use scan")
+    scanBounded(table,
+      Seq(column -> (prefix, ColStats.prefixUpperBound(prefix))))
+      .filter(col(column).startsWith(prefix))
+  }
 
   /** Attach a per-object bloom filter over `column` to every live object
     * that lacks one — the reference's unimplemented bloom-filter TODO
@@ -2085,9 +2202,28 @@ final class GraftClient(
     val empty = StructType(toSchema.fields ++ Seq(
       StructField(GraftClient.ChangeTypeCol, StringType),
       StructField("_commit_version", LongType, nullable = false)))
+    val pageSize = spark.conf.getOption("spark.graft.cdf.unionPageSize")
+      .map(_.toInt).getOrElse(GraftClient.CdfUnionPageSize)
     if (pieces.isEmpty)
       spark.createDataFrame(List.empty[Row].asJava, empty)
-    else pieces.reduce(_ unionByName _)
+    else if (pieces.length <= pageSize) pieces.reduce(_ unionByName _)
+    else {
+      // A window spanning thousands of commits would otherwise build a
+      // thousands-way union (driver plan-size growth — the plan, not the
+      // data, is the problem). Page internally: each page of commit
+      // pieces is materialized into a spill directory and the result is
+      // ONE multi-file parquet scan — plan depth bounded by the page
+      // size no matter how wide the window. The spill lives until JVM
+      // exit (the returned DataFrame may be consumed much later).
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdf-spill-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(dir.toFile)))
+      pieces.grouped(pageSize).foreach { page =>
+        page.reduce(_ unionByName _).write.mode("append")
+          .parquet(dir.toString)
+      }
+      spark.read.schema(empty).parquet(dir.toString)
+    }
   }
 
   /** Inclusive range delete, start <= col <= end — the reference's single
@@ -2381,6 +2517,15 @@ final class GraftClient(
         } catch {
           case e: CommitConflictException =>
             if (attempt >= maxAttempts) throw e
+            // jittered exponential backoff before re-basing: under a
+            // conflict storm (N writers hammering one log) re-trying at
+            // full speed lets an unlucky writer lose every arbitration
+            // while faster peers keep advancing the slot — measured over
+            // the HTTP store (BenchHttp: a writer lost 50 straight).
+            // Randomized sleep desynchronizes the contenders, the same
+            // cure every optimistic-commit protocol ships.
+            Thread.sleep(scala.util.Random.nextInt(
+              4 << math.min(attempt, 6)).toLong)
             val newer = txLog.begin()
             val concurrent =
               txLog.actionsBetween(snapshot.version, newer.version)
@@ -3382,9 +3527,78 @@ final class GraftClient(
     val fresh = liveFiles(table).filter(_.txId >= since)
     if (fresh.isEmpty) return 0
     rebucketFiles(table, fresh, bucketIdExpr(column, bounds))
+    // drift check rides every pass, metadata-only: the recorded
+    // staleness is the maintenance loop's signal to cluster_rebound
+    // before edge-bucket pileup erodes pruning
+    val staleness = clusterStaleness(table, column)
     setTableProperties(table,
-      Map(s"graft.cluster.$column.txid" -> t.id.toString))
+      Map(s"graft.cluster.$column.txid" -> t.id.toString,
+        s"graft.cluster.$column.staleness" -> f"$staleness%.4f"))
     fresh.length
+  }
+
+  /** Staleness of the stored clustering grid for `column`: the
+    * estimated fraction of live rows lying OUTSIDE the grid's interior
+    * boundary span, from footer stats alone — O(metadata), no object
+    * opened. Per object, mass outside [first, last] boundary is
+    * estimated uniform-within-range from its min/max; objects without
+    * stats contribute nothing. A FRESH grid holds ~2/numBuckets of mass
+    * outside its interior boundaries by construction, so values well
+    * above that mean the distribution has DRIFTED: new appends pile
+    * into the two edge buckets, `clusterIncremental` keeps placing them
+    * there, and range-scan pruning on the clustered column silently
+    * degrades. [[clusterIncremental]] records this after every pass
+    * (property `graft.cluster.<column>.staleness`); once it sits well
+    * past the fresh-grid expectation of 2/numBuckets, run
+    * [[clusterRebound]] (CALL system.cluster_rebound).
+    */
+  def clusterStaleness(table: String, column: String): Double = {
+    val props = tablePropertiesOf(table)
+    val bounds = props.get(s"graft.cluster.$column.bounds")
+      .map(_.split(",").map(_.toDouble).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bounded clustering on $column"))
+    val phys = physOf(schemaOf(table), column)
+    val lo = bounds.head
+    val hi = bounds.last
+    def asD(v: Any): Option[Double] = v match {
+      case l: Long => Some(l.toDouble)
+      case d: Double => Some(d)
+      case _ => None
+    }
+    var total = 0.0
+    var outside = 0.0
+    liveFiles(table).foreach { a =>
+      a.stats.get(phys).foreach { cs =>
+        (asD(cs.min), asD(cs.max)) match {
+          case (Some(mn), Some(mx)) =>
+            val w = mx - mn
+            val frac =
+              if (w <= 0) { if (mn < lo || mn > hi) 1.0 else 0.0 }
+              else (math.max(0.0, math.min(mx, lo) - mn) +
+                math.max(0.0, mx - math.max(mn, hi))) / w
+            total += a.numRows
+            outside += frac * a.numRows
+          case _ => ()
+        }
+      }
+    }
+    if (total == 0.0) 0.0 else outside / total
+  }
+
+  /** Recompute the clustering grid from the CURRENT live distribution
+    * and re-layout — the answer to a drifted [[clusterStaleness]]. Same
+    * bucket count as the stored grid. A full rewrite by design (the
+    * bulk's placement is what drifted); the steady state remains
+    * incremental passes, with rebound as the occasional re-baseline,
+    * exactly like a lakehouse re-OPTIMIZE after workload shift.
+    */
+  def clusterRebound(table: String, column: String): Unit = {
+    val props = tablePropertiesOf(table)
+    val bounds = props.getOrElse(s"graft.cluster.$column.bounds",
+      throw new IllegalArgumentException(
+        s"$table has no bounded clustering on $column"))
+    clusterByBounded(table, column, bounds.split(",").length + 1)
   }
 
   /** Bucket id under an explicit boundary grid: the count of boundaries
@@ -3804,16 +4018,23 @@ final class GraftClient(
     * for [[vacuum]], but a DELIBERATE abort (a failed atomic CTAS, a
     * procedure unwinding) knows exactly what it wrote — deleting it now
     * keeps the store free of debris that would otherwise sit until the
-    * next vacuum. Only objects staged by THIS tx are touched (paths are
-    * fresh UUIDs, so nothing committed can collide); best-effort, a
-    * missing object is already gone.
+    * next vacuum. Maintenance paths (analyzeNdv, buildBloom,
+    * widenColumnType) stage remove+re-ADD amendments of objects the
+    * COMMITTED log still references, so "staged Add" does NOT imply
+    * "created by this tx": any path live in the tx's snapshot is
+    * committed data and must survive the abort. Best-effort, a missing
+    * object is already gone.
     */
   def abortAndClean(): Unit = {
     tx.foreach { t =>
+      val committed: Set[String] = t.snapshot.tables.keys.flatMap { tbl =>
+        t.snapshot.liveFiles(tbl).map(_.path) ++
+          t.snapshot.liveDvs(tbl).map(_.path)
+      }.toSet
       t.actions.foreach {
-        case a: AddDataObject =>
+        case a: AddDataObject if !committed(a.path) =>
           deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
-        case a: AddDeleteVector =>
+        case a: AddDeleteVector if !committed(a.path) =>
           deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
         case a: AddCdcObject =>
           deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
@@ -3924,6 +4145,12 @@ object GraftClient {
   val CdfProperty = "graft.enableChangeDataFeed"
   /** Change-classification column of the file-level feed. */
   val ChangeTypeCol = "_change_type"
+
+  /** [[GraftClient.changesByFile]] unions at most this many per-commit
+    * pieces into one plan; wider windows page through a parquet spill
+    * (override: `spark.graft.cdf.unionPageSize`).
+    */
+  val CdfUnionPageSize = 64
   /** Opt-in write-time NDV freshness: inserts on an ANALYZEd table
     * sketch their objects immediately and refold the table estimate.
     */

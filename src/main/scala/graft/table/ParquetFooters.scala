@@ -43,8 +43,13 @@ object ParquetFooters {
     // per-column running null count; None = unknown (a chunk without
     // isNumNullsSet disqualifies — never understate nulls)
     val nullAcc = scala.collection.mutable.Map[String, Option[Long]]()
-    val eligible: Map[String, DataType] = schema.fields.collect {
-      case f if statType(f.dataType).isDefined => f.name -> f.dataType
+    // Leaves of nested structs participate too: the footer's chunk path
+    // is already dotted (`meta.source`), so stats on nested leaves cost
+    // the same metadata-only read as top-level columns — and a scan
+    // bounded on `meta.source` prunes objects exactly like one on a
+    // flat column.
+    val eligible: Map[String, DataType] = leafPaths(schema).collect {
+      case (p, dt) if statType(dt).isDefined => p -> dt
     }.toMap
 
     parts.foreach { st =>
@@ -85,6 +90,20 @@ object ParquetFooters {
     }.toMap
     (rows, stats)
   }
+
+  /** Dotted (path, leafType) pairs for every scalar leaf, descending
+    * through structs (arrays/maps are not stats-prunable and stop the
+    * walk — their chunk paths carry repetition groups anyway).
+    */
+  private[table] def leafPaths(schema: StructType,
+      prefix: String = ""): Seq[(String, DataType)] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = prefix + f.name
+      f.dataType match {
+        case st: StructType => leafPaths(st, p + ".")
+        case dt => Seq(p -> dt)
+      }
+    }
 
   private def statType(dt: DataType): Option[DataType] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |

@@ -43,6 +43,21 @@ object ColStats {
         belowOk && aboveOk
     }
 
+  /** Smallest string strictly greater than EVERY string with this
+    * prefix — the exclusive upper bound a LIKE-'p%' scan compiles to
+    * ([p, prefixUpperBound(p)]): increment the last non-maximal char,
+    * dropping trailing U+FFFF chars first. Null = unbounded above (the
+    * whole prefix is U+FFFF). Used inclusively against min/max stats,
+    * which stays conservative — and parquet's truncated string bounds
+    * are already conservative in the same direction.
+    */
+  def prefixUpperBound(p: String): String = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) null
+    else p.substring(0, i) + (p.charAt(i) + 1).toChar
+  }
+
   /** Widen query-bound values to the stats domain (Long/Double/String). */
   def normalize(v: Any): Any = v match {
     case null => null
@@ -860,11 +875,25 @@ object TxLog {
     */
   private[tx] final case class CachedSnap(ckptBase: Long, applied: Int,
       snap: Snapshot)
-  private[tx] val snapCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  /** Bounded LRU: per-instance cache keys (e.g. [[graft.store.HttpObjectStore]]
+    * mints a fresh UUID per store object) would otherwise pin one full
+    * action vector per constructed store for the life of the JVM —
+    * patterns that build a store per operation (as the SQL catalog builds
+    * clients) must not grow heap without bound. 64 live stores of cache
+    * is plenty; an evicted entry just costs its owner one full replay.
+    */
+  private[tx] val snapCache: java.util.Map[String, CachedSnap] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CachedSnap](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CachedSnap]): Boolean =
+          size() > 64
+      })
   private[tx] val RebaseAfter = 64
   /** Test hook: drop every cached snapshot (e.g. to pin cached == cold). */
   private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
+  /** Test hook: live entry count (pins the LRU bound). */
+  private[graft] def snapshotCacheSize: Int = snapCache.size()
 
   /** Highest [[SetProtocol]] reader/writer versions this engine
     * implements. Version 1 is the complete format through mid-round 8

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.InMemoryObjectStore
+import graft.table.GraftClient
+
+/** A Hadoop FileSystem under a NON-local scheme (`graftfs://`), backed
+  * by RawLocalFileSystem: every data-plane byte must cross the Hadoop
+  * FS abstraction to reach it — any java.io/NIO shortcut on the data
+  * path would miss the scheme and fail loudly. This is the "rootDir on
+  * a remote FS" contract pin: with the LOG on the pluggable ObjectStore
+  * (here in-memory) and the DATA under this scheme, a full
+  * insert/scan/delete/time-travel lifecycle proves the read/write path
+  * depends only on `spark.read.parquet` / `df.write.parquet` semantics,
+  * exactly the split Delta runs on (LogStore vs Hadoop FS).
+  *
+  * Deliberately OUT of scope, per the documented client contract
+  * (GraftClient constructor note): maintenance re-layouts
+  * (insertPartitioned/compact/clusterBy staging moves) and vacuum use
+  * driver-local file ops and would need Hadoop rename/delete to go
+  * remote — that port point is called out in the doc, not silently
+  * assumed.
+  */
+final class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
+class RemoteFsSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("full client lifecycle with the data plane on a non-local " +
+    "Hadoop scheme: insert, pruned scan, CoW + DV delete, time travel") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft_remote_fs").toString
+    val root = s"graftfs:$local"
+    val c = new GraftClient(ss, root,
+      logStore = Some(new InMemoryObjectStore))
+
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))))
+    c.insert("t", (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    c.insert("t", (50L until 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    c.commitTx()
+
+    c.newTx()
+    assert(c.scan("t").count() == 100)
+    // stats pruning works through the scheme (footers read via Hadoop FS)
+    val hit = c.scanRange("t", "k", 10, 20)
+    assert(hit.count() == 11)
+    assert(hit.inputFiles.forall(_.startsWith("graftfs:")),
+      "scan must read through the non-local scheme")
+    assert(hit.inputFiles.map(_.split('/').dropRight(1).last)
+      .distinct.length == 1, "range scan must prune to the first object")
+    c.rollback()
+
+    // copy-on-write delete: rewrite job writes through the scheme
+    c.newTx()
+    c.deleteRows("t", "k", 0, 9)
+    c.commitTx()
+    // DV delete: the vector object also rides the scheme
+    c.newTx()
+    c.deleteRowsDV("t", "k", 90, 99)
+    c.commitTx()
+
+    c.newTx()
+    assert(c.scan("t").count() == 80)
+    assert(c.currentState("t", Seq("k")).count() == 80)
+    // time travel re-reads pre-delete objects that only exist remotely
+    assert(c.scanAsOf("t", 1).count() == 100)
+    c.rollback()
+
+    // a fresh client replays the in-memory log and reads the same bytes
+    val c2 = new GraftClient(ss, root,
+      logStore = Some(new InMemoryObjectStore))
+    // (fresh in-memory store is EMPTY — this client must see no table)
+    c2.newTx()
+    assert(!c2.tables.contains("t"),
+      "log lives in the store, not on the data filesystem")
+    c2.rollback()
+  }
+}
