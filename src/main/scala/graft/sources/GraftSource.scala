@@ -196,7 +196,8 @@ final class GraftSource extends RelationProvider
         parameters.get("maxobjectspertrigger")
           .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
         parameters.get("maxrowspertrigger")
-          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
+          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong),
+        streamStart(parameters))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -629,11 +630,22 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
     table: String, ignoreChanges: Boolean,
     maxObjectsPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None) extends Source
+    maxRowsPerTrigger: Option[Long] = None,
+    start: Option[Either[Long, Long]] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def client =
     new GraftClient(sqlContext.sparkSession, root)
+
+  // startingVersion / startingTimestamp seed for a fresh stream (no
+  // checkpointed offset yet): without it a new stream on a table whose
+  // log head was pruned (checkpoint + vacuum retention) starts at 0 and
+  // the first batch fails the availability check with no way past it
+  private lazy val seedVersion: Long = start match {
+    case Some(Left(v)) => v
+    case Some(Right(ts)) => client.versionAfter(ts)
+    case None => 0L
+  }
 
   // highest log version this source has offered or served — the base the
   // next rate-limited offset advances from
@@ -692,7 +704,7 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     val offered =
       if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
       else {
-        val base = math.max(highWater, 0L)
+        val base = math.max(highWater, seedVersion)
         if (base >= latest) latest
         else {
           // walk ONLY the unconsumed commit window (O(window) log reads,
@@ -732,7 +744,7 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(0L)
+    val from = start.map(versionOf).getOrElse(seedVersion)
     val until = versionOf(end)
     highWater = math.max(highWater, until) // restart recovery re-sync
     StreamingShim.asStreaming(sqlContext.sparkSession,

@@ -1067,6 +1067,14 @@ final class GraftClient(
       case _ => a == b
     }
 
+  /** DataType at a (possibly dotted) column path; caller must have
+    * validated with [[hasColumnPath]].
+    */
+  private def typeAtPath(schema: StructType, c: String): DataType =
+    c.split('.').foldLeft(schema: DataType) { (cur, seg) =>
+      cur.asInstanceOf[StructType].apply(seg).dataType
+    }
+
   /** Does `c` (possibly dotted) resolve to a field / nested leaf? */
   private def hasColumnPath(schema: StructType, c: String): Boolean = {
     var cur: DataType = schema
@@ -1201,17 +1209,73 @@ final class GraftClient(
     */
   def insertEvolving(table: String, df: DataFrame): Unit = {
     val before = schemaOf(table)
+    // top-level additions (a whole new struct column adds in one step)
     df.schema.fields.filterNot(f => before.fieldNames.contains(f.name))
       .foreach(f => addColumn(table, f.copy(nullable = true)))
-    val schema = schemaOf(table)
+    // NESTED additions: leaves the frame's structs carry that the
+    // table's lack — each one a metadata-only in-struct addColumn
+    // (`meta.lang`), recursing to any depth. The common ingestion
+    // reality: feeds grow fields inside their metadata struct too.
+    def addNested(tbl: StructType, inc: StructType, prefix: String): Unit =
+      inc.fields.foreach { f =>
+        val p = s"$prefix${f.name}"
+        if (!tbl.fieldNames.contains(f.name))
+          addColumn(table, f.copy(name = p, nullable = true))
+        else (tbl(tbl.fieldIndex(f.name)).dataType, f.dataType) match {
+          case (ts: StructType, is: StructType) =>
+            addNested(ts, is, p + ".")
+          case _ => () // leaf/leaf or mismatch: checked below
+        }
+      }
     df.schema.fields.foreach { f =>
-      val t = schema(schema.fieldIndex(f.name)).dataType
-      require(f.dataType == t,
-        s"mergeSchema type conflict on ${f.name}: frame ${f.dataType} " +
-          s"vs table $t — cast explicitly or evolve the table first")
+      before.fields.find(_.name == f.name).foreach { tf =>
+        (tf.dataType, f.dataType) match {
+          case (ts: StructType, is: StructType) =>
+            addNested(ts, is, s"${f.name}.")
+          case _ => ()
+        }
+      }
+    }
+    val schema = schemaOf(table)
+    // conflicts refuse loudly with the dotted path; a frame struct may
+    // be a SUBSET of the table's (omitted leaves write null), but a
+    // shared leaf must agree on type — silent coercion is how a
+    // drifting upstream corrupts a 100 TB table
+    def checkTypes(want: DataType, got: DataType, path: String): Unit =
+      (want, got) match {
+        case (w: StructType, g: StructType) =>
+          g.fields.foreach { f =>
+            checkTypes(w(w.fieldIndex(f.name)).dataType, f.dataType,
+              s"$path.${f.name}")
+          }
+        case _ => require(sameTypeIgnoringNullability(got, want),
+          s"mergeSchema type conflict on $path: frame $got " +
+            s"vs table $want — cast explicitly or evolve the table first")
+      }
+    df.schema.fields.foreach(f => checkTypes(
+      schema(schema.fieldIndex(f.name)).dataType, f.dataType, f.name))
+    // align: table column order, struct columns rebuilt to the table's
+    // full leaf set (frame-omitted leaves null; a null struct stays a
+    // null struct, not a struct of nulls)
+    def align(want: DataType, have: Option[(Column, DataType)],
+        name: String): Column = (want, have) match {
+      case (st: StructType, Some((c, hs: StructType))) =>
+        when(c.isNull, lit(null).cast(st)).otherwise(
+          struct(st.fields.toIndexedSeq.map { f =>
+            val sub = if (hs.fieldNames.contains(f.name))
+              Some((c.getField(f.name),
+                hs(hs.fieldIndex(f.name)).dataType))
+            else None
+            align(f.dataType, sub, f.name)
+          }: _*)).as(name)
+      case (dt, Some((c, _))) => c.as(name)
+      case (dt, None) => lit(null).cast(dt).as(name)
     }
     val cols = schema.fields.map { f =>
-      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      if (df.schema.fieldNames.contains(f.name))
+        align(f.dataType,
+          Some((col(f.name),
+            df.schema(df.schema.fieldIndex(f.name)).dataType)), f.name)
       else {
         require(f.nullable,
           s"insert omits non-nullable column ${f.name}")
@@ -1702,8 +1766,8 @@ final class GraftClient(
     */
   def scanEquals(table: String, column: String, value: Any): DataFrame = {
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
-    val probe = lit(value).cast(schema(schema.fieldIndex(column)).dataType)
+    require(hasColumnPath(schema, column), s"no such column: $column")
+    val probe = lit(value).cast(typeAtPath(schema, column))
     scanPruned(table, Seq(column -> (value, value)), Seq(column -> value))
       .filter(col(column) === probe)
   }
@@ -1766,7 +1830,7 @@ final class GraftClient(
     val schema = schemaOf(table)
     (bounds.map(_._1) ++ equalities.map(_._1) ++ inLists.map(_._1))
       .foreach(c =>
-        require(schema.fieldNames.contains(c), s"no such column: $c"))
+        require(hasColumnPath(schema, c), s"no such column: $c"))
     val live = liveFiles(table)
     // one tiny local job evaluates every probe's raw hashes through the
     // same Catalyst xxhash64 the bloom build used (casting each probe to
@@ -1779,7 +1843,7 @@ final class GraftClient(
       if (maxK == 0 || pointProbes.isEmpty) Map.empty
       else {
         val hashCols = pointProbes.zipWithIndex.flatMap { case ((c, v), e) =>
-          val typed = lit(v).cast(schema(schema.fieldIndex(c)).dataType)
+          val typed = lit(v).cast(typeAtPath(schema, c))
           (0 until maxK).map(i => xxhash64(lit(i), typed).as(s"h${e}_$i"))
         }
         val row = spark.range(1).select(hashCols.toIndexedSeq: _*).head()
@@ -2246,7 +2310,7 @@ final class GraftClient(
     */
   def deleteRows(table: String, column: String, start: Any, end: Any): Unit = {
     tagOp("DELETE")
-    require(schemaOf(table).fieldNames.contains(column),
+    require(hasColumnPath(schemaOf(table), column),
       s"no such column: $column")
     // stats-based file skipping: objects whose min/max can't overlap the
     // range are never opened, let alone rewritten
@@ -2621,7 +2685,7 @@ final class GraftClient(
     */
   def deleteRowsDV(table: String, column: String, start: Any, end: Any): Unit = {
     tagOp("DELETE")
-    require(schemaOf(table).fieldNames.contains(column),
+    require(hasColumnPath(schemaOf(table), column),
       s"no such column: $column")
     deleteWhereDVImpl(table, col(column).between(lit(start), lit(end)),
       pruneByRange(liveFiles(table), physOf(schemaOf(table), column),

@@ -475,4 +475,127 @@ class Round10Spec extends AnyFunSuite {
     assert(c.clusterStaleness("t", "k") <= 0.3)
     c.rollback()
   }
+  // ---------------------------------------------------------------- //
+  // Nested mergeSchema ingestion + nested deletes/constraints
+  // ---------------------------------------------------------------- //
+
+  test("insertEvolving grows struct leaves (mergeSchema into structs); " +
+    "frame-omitted nested leaves write null; conflicts name the path") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestevolve").toString
+    val c = new GraftClient(ss, root)
+    val metaV1 = StructType(Seq(StructField("source", StringType)))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaV1))))
+    c.insert("d", Seq(1, 2).toDF("id").select(col("id"),
+      struct(lit("web").as("source")).cast(metaV1).as("meta")))
+    c.commitTx()
+
+    // feed grows meta.lang AND a new top-level score column
+    val metaV2 = StructType(metaV1.fields :+ StructField("lang", StringType))
+    c.newTx()
+    c.insertEvolving("d", Seq(3).toDF("id").select(col("id"),
+      struct(lit("wiki").as("source"), lit("en").as("lang"))
+        .cast(metaV2).as("meta"),
+      lit(0.5).as("score")))
+    c.commitTx()
+    c.newTx()
+    val out = c.scan("d")
+      .select(col("id"), col("meta.source").as("s"),
+        col("meta.lang").as("l"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toList.sortBy(_._1)
+    assert(out == List((1, "web", null, null), (2, "web", null, null),
+      (3, "wiki", "en", 0.5)))
+
+    // a frame still on the OLD struct shape inserts fine (omitted
+    // nested leaf writes null)
+    c.insertEvolving("d", Seq(4).toDF("id").select(col("id"),
+      struct(lit("old").as("source")).cast(metaV1).as("meta")))
+    assert(c.scan("d").filter(col("id") === 4)
+      .select(col("meta.lang")).collect().head.isNullAt(0))
+
+    // a type conflict inside the struct names the dotted path
+    val bad = StructType(Seq(StructField("source", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      c.insertEvolving("d", Seq(9).toDF("id").select(col("id"),
+        struct(lit(7L).as("source")).cast(bad).as("meta")))
+    }
+    assert(e.getMessage.contains("meta.source"), e.getMessage)
+    c.rollback()
+  }
+
+  test("nested-path range delete and CHECK constraint on a nested leaf") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestops").toString
+    val c = new GraftClient(ss, root)
+    val metaT = StructType(Seq(StructField("ts", LongType)))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaT))))
+    def df(ids: Range) = ids.toDF("id").select(col("id"),
+      struct((col("id") * 10L).as("ts")).cast(metaT).as("meta"))
+    c.insert("d", df(0 until 10))
+    c.commitTx()
+
+    // range delete keyed on the nested leaf (stats prune + CoW rewrite)
+    c.newTx()
+    c.deleteRows("d", "meta.ts", 30, 50)
+    c.commitTx()
+    // ... and the DV variant on a nested path too
+    c.newTx()
+    c.deleteRowsDV("d", "meta.ts", 90, 90)
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("d").select("id").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(0, 1, 2, 6, 7, 8))
+    // point scan keyed on the nested leaf
+    assert(c.scanEquals("d", "meta.ts", 20L).select("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+
+    // CHECK constraint over a nested leaf enforces on insert
+    c.addConstraint("d", "ts_nonneg", "meta.ts >= 0")
+    c.commitTx()
+    c.newTx()
+    intercept[Exception] {
+      c.insert("d", Seq(-1).toDF("id").select(col("id"),
+        struct(lit(-5L).as("ts")).cast(metaT).as("meta")))
+      c.commitTx()
+    }
+    c.rollback()
+    c.newTx()
+    c.insert("d", Seq(20).toDF("id").select(col("id"),
+      struct(lit(200L).as("ts")).cast(metaT).as("meta")))
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("d").count() == 7)
+    c.rollback()
+  }
+
+  test("plain row stream source honors startingVersion") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_rowstart").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false))))
+    c.commitTx()
+    (0 until 6).foreach { i =>
+      c.newTx(); c.insert("t", Seq(i).toDF("k")); c.commitTx()
+    }
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("startingVersion", "5").load(root)
+      .writeStream.format("memory").queryName("r10_row_seeded")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ks = ss.table("r10_row_seeded").select("k")
+      .as[Int].collect().sorted.toSeq
+    assert(ks == Seq(4, 5), s"seeded row stream must start at v5, got $ks")
+  }
 }
