@@ -836,6 +836,28 @@ object TxQueries {
             struct(col("source"), col("n_chars"), col("lang"))
               .cast(metaT2).as("meta")))
         c.commitTx()
+
+        // nse: nested mergeSchema — the table is created on the OLD
+        // struct shape, then a later feed arrives with a grown struct
+        // (meta.lang) AND a new top-level score; insertEvolving evolves
+        // the table (both metadata-only) and aligns the write
+        val metaS = StructType(Seq(StructField("source", StringType)))
+        val metaSL = StructType(metaS.fields :+
+          StructField("lang", StringType))
+        c.newTx()
+        c.createTable("nse", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("meta", metaS))))
+        c.insert("nse", docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            struct(col("source")).cast(metaS).as("meta")))
+        c.commitTx()
+        c.newTx()
+        c.insertEvolving("nse", docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            struct(col("source"), col("lang")).cast(metaSL).as("meta"),
+            col("n_chars").cast(DoubleType).as("score")))
+        c.commitTx()
         root
       })
     }
@@ -875,6 +897,24 @@ object TxQueries {
     SELECT doc_id, source, n_chars
     FROM documents
     WHERE source LIKE 'src1%'
+    ORDER BY doc_id"""
+
+  // --- Nested mergeSchema on the oracle signal ------------------------------
+  def txNestedEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scan("nse")
+      .select(col("doc_id"), col("meta.source").as("source"),
+        col("meta.lang").as("lang"), col("score"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txNestedEvolveSql = """
+    SELECT doc_id, source,
+      CASE WHEN doc_id % 5 = 0 THEN lang END AS lang,
+      CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars AS DOUBLE) END AS score
+    FROM documents
     ORDER BY doc_id"""
 
   def txWiden(spark: SparkSession, dir: String): DataFrame = {
@@ -1459,6 +1499,10 @@ object TxQueries {
       "LIKE-prefix scan: 'src1%' compiles to stats range [src1, src2) " +
         "over string min/max — 11 of 20 objects opened, exact " +
         "startsWith on top"),
+    "tx_nested_evolve" -> QueryDef(txNestedEvolve, Some(txNestedEvolveSql),
+      "nested mergeSchema: a feed with a grown struct (meta.lang) and " +
+        "a new top-level column evolves the table metadata-only via " +
+        "insertEvolving; old rows read the new leaf as null"),
     "tx_nested" -> QueryDef(txNested, Some(txNestedSql),
       "nested struct column end-to-end: layout partitioned by the " +
         "nested leaf meta.source (footer stats prune on it), plus " +

@@ -368,20 +368,34 @@ final class GraftClient(
     tagOp("ALTER")
     val t = currentTx
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
-    val f = schema(schema.fieldIndex(column))
-    require(isWidening(f.dataType, newType),
-      s"cannot widen ${f.dataType.simpleString} to ${newType.simpleString}" +
+    require(hasColumnPath(schema, column), s"no such column: $column")
+    val oldType = typeAtPath(schema, column)
+    require(isWidening(oldType, newType),
+      s"cannot widen ${oldType.simpleString} to ${newType.simpleString}" +
         ": only byte<short<int<long, float<double, integral->double and " +
         "non-shrinking decimal growth are metadata-only")
     flush(table) // buffered rows land under the pre-widening schema
-    val phys = physName(f)
+    // blooms hash the probe cast to the CURRENT type, so a widened
+    // column's sidecars are dropped (stale blooms false-prune); nested
+    // leaves never carry blooms (buildBloom is top-level only)
+    val phys = physOf(schema, column)
     liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
       t.actions += a.copy(blooms = a.blooms - phys)
     }
-    val widened = StructType(schema.fields.map(x =>
-      if (x.name == column) x.copy(dataType = newType) else x))
+    // dotted path: widen the leaf INSIDE the struct — same one
+    // ChangeMetadata, zero objects touched; the parquet reader
+    // up-converts nested leaves per file exactly as it does flat ones
+    def widenAt(st: StructType, path: Seq[String]): StructType = path match {
+      case Seq(leaf) => StructType(st.fields.map(x =>
+        if (x.name == leaf) x.copy(dataType = newType) else x))
+      case head +: rest =>
+        StructType(st.fields.map(x =>
+          if (x.name == head) x.copy(dataType =
+            widenAt(x.dataType.asInstanceOf[StructType], rest))
+          else x))
+    }
+    val widened = widenAt(schema, column.split('.').toSeq)
     t.tables(table) = widened
     t.actions += ChangeMetadata(table, widened)
   }

@@ -598,4 +598,47 @@ class Round10Spec extends AnyFunSuite {
       .as[Int].collect().sorted.toSeq
     assert(ks == Seq(4, 5), s"seeded row stream must start at v5, got $ks")
   }
+  test("nested type widening: meta.ts INT -> BIGINT metadata-only; " +
+    "old int32 files up-convert on read") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestwiden").toString
+    val c = new GraftClient(ss, root)
+    val metaInt = StructType(Seq(StructField("ts", IntegerType)))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaInt))))
+    c.insert("d", Seq(1, 2).toDF("id").select(col("id"),
+      struct((col("id") * 10).as("ts")).cast(metaInt).as("meta")))
+    c.commitTx()
+    val objectsBefore = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("_table_"))
+
+    c.newTx()
+    c.widenColumnType("d", "meta.ts", LongType)
+    c.commitTx()
+    // zero data objects touched by the ALTER
+    assert(new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("_table_")) == objectsBefore)
+
+    val metaLong = StructType(Seq(StructField("ts", LongType)))
+    c.newTx()
+    c.insert("d", Seq(3).toDF("id").select(col("id"),
+      struct(lit(3000000000L).as("ts")).cast(metaLong).as("meta")))
+    c.commitTx()
+    c.newTx()
+    val out = c.scan("d").select(col("id"), col("meta.ts").as("ts"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, 10L), (2, 20L), (3, 3000000000L)),
+      s"old int32 nested bytes must read as BIGINT, got $out")
+    // narrowing inside a struct still refuses
+    intercept[IllegalArgumentException](
+      c.widenColumnType("d", "meta.ts", IntegerType))
+    // nested-leaf stats keep pruning across the widening (bounds
+    // normalized to the Long domain on both sides)
+    assert(c.scanRange("d", "meta.ts", 3000000000L, 4000000000L)
+      .inputFiles.map(_.split('/').dropRight(1).last).distinct.length == 1)
+    c.rollback()
+  }
 }
