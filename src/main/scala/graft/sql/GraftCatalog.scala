@@ -935,9 +935,14 @@ object FilterTranslation {
     case _ => None
   }
 
-  /** Top-level columns only — a dotted name would be a nested field
-    * reference, which graft tables don't surface.
+  /** Dotted names are NESTED field references (DSv2 pushes them for V1
+    * `Filter` builders — `meta.source = 'x'` arrives as
+    * `EqualTo("meta.source", x)`), and `col` resolves them natively, so
+    * they flow into the same bounds/stats pruning as flat columns.
+    * Backquoted names are refused: a top-level column literally named
+    * `a.b` would be indistinguishable from a nested path here, and not
+    * pushing a filter is always safe (Spark re-applies exact semantics).
     */
   private def attr(name: String): Option[Column] =
-    if (name.contains(".") || name.contains("`")) None else Some(col(name))
+    if (name.contains("`")) None else Some(col(name))
 }
