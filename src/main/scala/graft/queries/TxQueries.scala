@@ -858,6 +858,26 @@ object TxQueries {
             struct(col("source"), col("lang")).cast(metaSL).as("meta"),
             col("n_chars").cast(DoubleType).as("score")))
         c.commitTx()
+
+        // cplx: MAP and ARRAY<STRUCT> columns — the other two complex
+        // shapes a production corpus schema carries (typed attributes
+        // bag; per-chunk offsets). Opaque to stats (leafPaths stops at
+        // them), fully typed through create/insert/scan/replay.
+        val chunkT = ArrayType(StructType(Seq(
+          StructField("pos", IntegerType),
+          StructField("len", LongType))))
+        c.newTx()
+        c.createTable("cplx", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("attrs", MapType(StringType, StringType)),
+          StructField("chunks", chunkT))))
+        c.insert("cplx", docs.select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("source"), col("source"))
+            .as("attrs"),
+          array(struct(lit(0).as("pos"), col("n_chars").as("len")),
+            struct(lit(1).as("pos"), (col("n_chars") * 2).as("len")))
+            .cast(chunkT).as("chunks")))
+        c.commitTx()
         root
       })
     }
@@ -916,6 +936,40 @@ object TxQueries {
       CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars AS DOUBLE) END AS score
     FROM documents
     ORDER BY doc_id"""
+
+  // --- MAP column roundtrip through the tx layer ----------------------------
+  def txMap(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scan("cplx")
+      .select(col("doc_id"),
+        element_at(col("attrs"), "lang").as("lang"),
+        element_at(col("attrs"), "source").as("source"),
+        size(col("attrs")).as("n_attrs"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txMapSql = """
+    SELECT doc_id, lang, source, 2 AS n_attrs
+    FROM documents ORDER BY doc_id"""
+
+  // --- ARRAY<STRUCT> column: explode + per-doc aggregate --------------------
+  def txArray(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scan("cplx")
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c.len")).as("total_len"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txArraySql = """
+    SELECT doc_id, 3 * n_chars AS total_len, CAST(2 AS BIGINT) AS n_chunks
+    FROM documents ORDER BY doc_id"""
 
   def txWiden(spark: SparkSession, dir: String): DataFrame = {
     val c = new GraftClient(spark, ensureWiden(spark, dir))
@@ -1499,6 +1553,12 @@ object TxQueries {
       "LIKE-prefix scan: 'src1%' compiles to stats range [src1, src2) " +
         "over string min/max — 11 of 20 objects opened, exact " +
         "startsWith on top"),
+    "tx_map" -> QueryDef(txMap, Some(txMapSql),
+      "MAP<STRING,STRING> column through create/insert/scan/replay; " +
+        "element_at + size on the read side"),
+    "tx_array_struct" -> QueryDef(txArray, Some(txArraySql),
+      "ARRAY<STRUCT> column: typed per-chunk records roundtrip, " +
+        "explode + per-doc aggregate on the read side"),
     "tx_nested_evolve" -> QueryDef(txNestedEvolve, Some(txNestedEvolveSql),
       "nested mergeSchema: a feed with a grown struct (meta.lang) and " +
         "a new top-level column evolves the table metadata-only via " +
