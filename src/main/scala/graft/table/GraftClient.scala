@@ -3557,14 +3557,14 @@ final class GraftClient(
     require(numBuckets >= 2, "numBuckets must be >= 2")
     val t = currentTx
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
+    require(hasColumnPath(schema, column), s"no such column: $column")
     flush(table) // buffered rows join the re-layout instead of dodging it
     val files = liveFiles(table)
     require(files.nonEmpty, s"$table is empty; nothing to cluster")
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val boundsRow = readObjects(schema, files)
-      .select(expr(s"percentile(CAST(`$column` AS DOUBLE), " +
-        s"array(${qs.mkString(",")}))").as("b"))
+      .select(expr(s"percentile(CAST(${GraftClient.sqlRef(column)} AS " +
+        s"DOUBLE), array(${qs.mkString(",")}))").as("b"))
       .collect().head
     require(!boundsRow.isNullAt(0), s"$column is all-null; cannot cluster")
     val bounds = boundsRow.getSeq[Double](0)
@@ -3685,7 +3685,7 @@ final class GraftClient(
     */
   private def bucketIdExpr(column: String, bounds: Seq[Double]): Column =
     expr(s"size(filter(array(${bounds.mkString(",")}), " +
-      s"b -> CAST(`$column` AS DOUBLE) > b))")
+      s"b -> CAST(${GraftClient.sqlRef(column)} AS DOUBLE) > b))")
 
   /** Provenance-preserving re-layout of a SUBSET of live objects: one
     * self-contained object per distinct bucket value, rows keeping their
@@ -4223,6 +4223,13 @@ object GraftClient {
   val CdfProperty = "graft.enableChangeDataFeed"
   /** Change-classification column of the file-level feed. */
   val ChangeTypeCol = "_change_type"
+
+  /** SQL reference for a (possibly dotted) column path: each segment
+    * backquoted separately, so `meta.ts` parses as nested field access
+    * while a weirdly-named flat column still round-trips.
+    */
+  private[table] def sqlRef(column: String): String =
+    column.split('.').map(seg => s"`$seg`").mkString(".")
 
   /** [[GraftClient.changesByFile]] unions at most this many per-commit
     * pieces into one plan; wider windows page through a parquet spill

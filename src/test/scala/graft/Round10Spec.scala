@@ -675,4 +675,37 @@ class Round10Spec extends AnyFunSuite {
     // translate nested refs for non-file sources — catalog SQL is the
     // pruned surface)
   }
+  test("bounded clustering on a NESTED leaf: grid over meta.ts, " +
+    "incremental pass, staleness, pruning") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestclust").toString
+    val c = new GraftClient(ss, root)
+    val metaT = StructType(Seq(StructField("ts", LongType)))
+    def df(vals: Seq[Long]) = vals.toDF("v").select(
+      col("v").cast("int").as("id"),
+      struct(col("v").as("ts")).cast(metaT).as("meta"))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("meta", metaT))))
+    c.insert("d", df((0L until 400L).map(i => i % 100)))
+    c.clusterByBounded("d", "meta.ts", numBuckets = 4)
+    c.commitTx()
+    c.newTx()
+    // clustered layout: a quartile scan on the nested leaf opens 1 of 4
+    val hit = c.scanRange("d", "meta.ts", 10L, 20L)
+    assert(hit.inputFiles.map(_.split('/').dropRight(1).last)
+      .distinct.length == 1)
+    assert(hit.count() == 44)
+    // incremental pass routes fresh appends through the stored grid
+    c.insert("d", df((0L until 100L)))
+    assert(c.clusterIncremental("d", "meta.ts") > 0)
+    assert(c.tablePropertiesOf("d")("graft.cluster.meta.ts.staleness")
+      .toDouble <= 0.6)
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("d").count() == 500)
+    c.rollback()
+  }
 }
