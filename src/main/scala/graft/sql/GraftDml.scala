@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{AssignmentUtils, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.plans.LeftAnti
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -145,13 +145,25 @@ private[sql] object DmlUtil {
     case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
   }
 
+  /** Normalize assignments to ONE per top-level target column: nested
+    * keys (`SET meta.lang = v`) fold into a struct-rebuild expression
+    * for their root column via Spark's own aligner — without this a
+    * nested SET silently matched nothing and passed the old value
+    * through. The aligner also rejects conflicting/duplicate paths.
+    */
+  def alignAssignments(target: Seq[Attribute],
+      assignments: Seq[Assignment]): Seq[Assignment] =
+    AssignmentUtils.alignUpdateAssignments(target, assignments, false,
+      false)
+
   /** Project `from` onto the target's full column list: each target
     * column takes its assigned value (cast if needed) or is required to
-    * have one — MERGE/UPDATE commands always carry complete assignment
-    * lists after resolution.
+    * have one — assignment lists are [[alignAssignments]]-normalized
+    * first, so nested SETs land as struct rebuilds on their root column.
     */
-  def alignedProject(target: Seq[Attribute], assignments: Seq[Assignment],
+  def alignedProject(target: Seq[Attribute], rawAssignments: Seq[Assignment],
       from: LogicalPlan): LogicalPlan = {
+    val assignments = alignAssignments(target, rawAssignments)
     val projectList: Seq[NamedExpression] = target.map { attr =>
       assignments.find(asg => asg.key match {
         case k: AttributeReference => k.semanticEquals(attr)
@@ -182,9 +194,12 @@ case class GraftUpdateCommand(rel: DataSourceV2Relation, gt: GraftTable,
   override def run(session: SparkSession): Seq[Row] = {
     val condExpr = cond.getOrElse(Literal.TrueLiteral)
     // full-row rewrite of the matching rows: unassigned columns pass
-    // through unchanged
+    // through unchanged; nested SETs are first folded into their root
+    // column as struct rebuilds (DmlUtil.alignAssignments — without it
+    // `SET meta.lang = v` silently matched nothing)
+    val aligned = DmlUtil.alignAssignments(rel.output, assignments)
     val projectList: Seq[NamedExpression] = rel.output.map { attr =>
-      assignments.find(_.key match {
+      aligned.find(_.key match {
         case k: AttributeReference => k.semanticEquals(attr)
         case _ => false
       }) match {

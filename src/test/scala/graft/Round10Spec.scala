@@ -708,4 +708,47 @@ class Round10Spec extends AnyFunSuite {
     assert(c.scan("d").count() == 500)
     c.rollback()
   }
+  test("SQL UPDATE and MERGE set NESTED fields: struct rebuilt on the " +
+    "root column, siblings untouched") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nupd").toString
+    val c = new GraftClient(ss, root)
+    val metaT = StructType(Seq(StructField("source", StringType),
+      StructField("lang", StringType)))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaT))))
+    c.insert("d", Seq(1, 2).toDF("id").select(col("id"),
+      struct(lit("web").as("source"), lit("xx").as("lang"))
+        .cast(metaT).as("meta")))
+    c.commitTx()
+    ss.conf.set("spark.sql.catalog.r10nupd", "graft.sql.GraftCatalog")
+    ss.conf.set("spark.sql.catalog.r10nupd.root", root)
+
+    // nested SET folds into a struct rebuild on the root column —
+    // before this fix it silently matched nothing (no-op update)
+    ss.sql("UPDATE r10nupd.d SET meta.lang = 'en' WHERE id = 1")
+    def state(): Seq[(Int, String, String)] =
+      ss.sql("SELECT id, meta.source, meta.lang FROM r10nupd.d ORDER BY id")
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(state() == Seq((1, "web", "en"), (2, "web", "xx")))
+
+    // UPDATE with both a nested and a flat assignment in one statement
+    ss.sql("UPDATE r10nupd.d SET meta.source = 'crawl', id = id + 10 " +
+      "WHERE id = 2")
+    assert(state() == Seq((1, "web", "en"), (12, "crawl", "xx")))
+
+    // MERGE keeps its documented complete-assignment grammar: a partial
+    // nested SET cannot supply the unassigned target columns from the
+    // source-only matched plan, so it refuses loudly instead of
+    // guessing (Spark surfaces the fall-through as TABLE_OPERATION)
+    Seq((1, "de")).toDF("id", "new_lang").createOrReplaceTempView("src_nupd")
+    intercept[Exception] {
+      ss.sql("MERGE INTO r10nupd.d t USING src_nupd s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET meta.lang = s.new_lang")
+    }
+  }
 }
