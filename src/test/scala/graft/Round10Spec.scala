@@ -741,6 +741,10 @@ class Round10Spec extends AnyFunSuite {
       "WHERE id = 2")
     assert(state() == Seq((1, "web", "en"), (12, "crawl", "xx")))
 
+    // DELETE WHERE on a nested predicate removes exactly the matches
+    ss.sql("DELETE FROM r10nupd.d WHERE meta.lang = 'xx'")
+    assert(state() == Seq((1, "web", "en")))
+
     // MERGE keeps its documented complete-assignment grammar: a partial
     // nested SET cannot supply the unassigned target columns from the
     // source-only matched plan, so it refuses loudly instead of
