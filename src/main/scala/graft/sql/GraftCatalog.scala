@@ -264,25 +264,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new NoSuchTableException(ident)
       }
       changes.foreach {
+        // multi-part field names are IN-STRUCT changes: the client's
+        // dotted-path surface handles add (metadata-only, old rows read
+        // null) and type widening; drop/rename below the top level
+        // refuse inside the client (nested fields are add-only)
         case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            "nested column changes are not supported")
           c.addColumn(t, org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType(), add.isNullable))
+            add.fieldNames().mkString("."), add.dataType(),
+            add.isNullable))
         case ren: TableChange.RenameColumn =>
-          require(ren.fieldNames().length == 1,
-            "nested column changes are not supported")
-          c.renameColumn(t, ren.fieldNames()(0), ren.newName())
+          c.renameColumn(t, ren.fieldNames().mkString("."), ren.newName())
         // ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only type
         // widening (narrowing refuses inside widenColumnType)
         case upd: TableChange.UpdateColumnType =>
-          require(upd.fieldNames().length == 1,
-            "nested column changes are not supported")
-          c.widenColumnType(t, upd.fieldNames()(0), upd.newDataType())
+          c.widenColumnType(t, upd.fieldNames().mkString("."),
+            upd.newDataType())
         case del: TableChange.DeleteColumn =>
-          require(del.fieldNames().length == 1,
-            "nested column changes are not supported")
-          c.dropColumn(t, del.fieldNames()(0))
+          c.dropColumn(t, del.fieldNames().mkString("."))
         // ALTER TABLE … ADD CONSTRAINT chk CHECK (expr) — Spark 4.1's
         // constraint DDL, routed into the client's validate-once-then
         // -enforce-in-the-write CHECK machinery

@@ -745,6 +745,18 @@ class Round10Spec extends AnyFunSuite {
     ss.sql("DELETE FROM r10nupd.d WHERE meta.lang = 'xx'")
     assert(state() == Seq((1, "web", "en")))
 
+    // in-struct DDL through SQL: ADD COLUMNS (meta.rank) is the
+    // client's metadata-only nested evolution; ALTER COLUMN TYPE widens
+    // the leaf; nested drop keeps refusing (add-only below top level)
+    ss.sql("ALTER TABLE r10nupd.d ADD COLUMNS (meta.rank INT)")
+    ss.sql("ALTER TABLE r10nupd.d ALTER COLUMN meta.rank TYPE BIGINT")
+    val withRank = ss.sql(
+      "SELECT id, meta.rank FROM r10nupd.d").collect()
+    assert(withRank.forall(_.isNullAt(1)),
+      "pre-evolution rows must read the new nested leaf as null")
+    intercept[Exception](
+      ss.sql("ALTER TABLE r10nupd.d DROP COLUMN meta.rank"))
+
     // MERGE keeps its documented complete-assignment grammar: a partial
     // nested SET cannot supply the unassigned target columns from the
     // source-only matched plan, so it refuses loudly instead of
