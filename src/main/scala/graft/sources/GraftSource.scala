@@ -111,7 +111,13 @@ final class GraftSource extends RelationProvider
       case (m, ex) =>
         if (!ex) c.createTable(table, data.schema)
         if (m == SaveMode.Overwrite && ex) c.truncate(table)
-        c.insert(table, data)
+        // option("mergeSchema", "true"): frame columns / struct leaves
+        // the table lacks evolve it first (metadata-only), omitted
+        // nullable columns write null — Delta's mergeSchema contract
+        val mergeSchema = parameters.get("mergeschema")
+          .orElse(parameters.get("mergeSchema")).exists(_.toBoolean)
+        if (mergeSchema && ex) c.insertEvolving(table, data)
+        else c.insert(table, data)
         c.commitTxRetrying()
     }
     GraftRelation(sqlContext, root, table, None)

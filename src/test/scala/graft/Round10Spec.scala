@@ -767,4 +767,36 @@ class Round10Spec extends AnyFunSuite {
         "WHEN MATCHED THEN UPDATE SET meta.lang = s.new_lang")
     }
   }
+  test("connector write with mergeSchema evolves the table " +
+    "(new column and new struct leaf)") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_mergew").toString
+    val metaT = StructType(Seq(StructField("source", StringType)))
+    Seq(1, 2).toDF("id").select(col("id"),
+      struct(lit("web").as("source")).cast(metaT).as("meta"))
+      .write.format("graft").option("table", "d").save(root)
+    val metaT2 = StructType(metaT.fields :+ StructField("lang", StringType))
+    // a grown frame WITHOUT the flag refuses (no silent coercion) ...
+    intercept[Exception] {
+      Seq(4).toDF("id").select(col("id"),
+        struct(lit("x").as("source"), lit("y").as("lang"))
+          .cast(metaT2).as("meta"), lit(2.0).as("score"))
+        .write.format("graft").mode("append")
+        .option("table", "d").save(root)
+    }
+    // ... and WITH it evolves the table: meta.lang + top-level score
+    Seq(3).toDF("id").select(col("id"),
+      struct(lit("wiki").as("source"), lit("en").as("lang"))
+        .cast(metaT2).as("meta"),
+      lit(1.5).as("score"))
+      .write.format("graft").mode("append")
+      .option("table", "d").option("mergeSchema", "true").save(root)
+    val out = ss.read.format("graft").option("table", "d").load(root)
+      .select(col("id"), col("meta.lang").as("l"), col("score"))
+      .collect().map(r => (r.getInt(0),
+        r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toList.sortBy(_._1)
+    assert(out == List((1, null, null), (2, null, null), (3, "en", 1.5)))
+  }
 }
