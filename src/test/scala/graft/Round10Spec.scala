@@ -799,4 +799,30 @@ class Round10Spec extends AnyFunSuite {
       .toList.sortBy(_._1)
     assert(out == List((1, null, null), (2, null, null), (3, "en", 1.5)))
   }
+  test("an append cannot rebase past a concurrent IN-STRUCT evolution") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestconc").toString
+    val metaT = StructType(Seq(StructField("source", StringType)))
+    val boot = new GraftClient(ss, root)
+    boot.newTx()
+    boot.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaT))))
+    boot.commitTx()
+
+    // writer A stages an append against the OLD struct shape ...
+    val a = new GraftClient(ss, root)
+    a.newTx()
+    a.insert("d", Seq(1).toDF("id").select(col("id"),
+      struct(lit("web").as("source")).cast(metaT).as("meta")))
+    // ... while writer B commits an in-struct evolution first
+    val b = new GraftClient(ss, root)
+    b.newTx()
+    b.addColumn("d", StructField("meta.lang", StringType))
+    b.commitTx()
+    // the append was written against the pre-evolution schema and was
+    // never validated against the new one: it must NOT silently rebase
+    intercept[Exception](a.commitTxRetrying())
+  }
 }
