@@ -825,4 +825,35 @@ class Round10Spec extends AnyFunSuite {
     // never validated against the new one: it must NOT silently rebase
     intercept[Exception](a.commitTxRetrying())
   }
+  test("compaction re-harvests NESTED leaf stats: meta pruning " +
+    "survives maintenance re-layout") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r10_nestcompact").toString
+    val c = new GraftClient(ss, root, dataObjectSize = 4)
+    val metaT = StructType(Seq(StructField("ts", LongType)))
+    c.newTx()
+    c.createTable("d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("meta", metaT))))
+    // many small objects, each covering a narrow meta.ts range
+    (0 until 6).foreach { k =>
+      c.insert("d", Seq(k).toDF("id").select(col("id"),
+        struct((col("id") * 100L).as("ts")).cast(metaT).as("meta")))
+    }
+    c.commitTx()
+    c.newTx()
+    val removed = c.compact("d", targetRows = 1000)
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("d").count() == 6)
+    // the compacted object's footer scan walked nested leaves, so a
+    // range scan on meta.ts still prunes (here: everything fits one
+    // object, so the pin is that stats EXIST and bounds are correct —
+    // an out-of-range scan opens nothing)
+    assert(c.scanRange("d", "meta.ts", 10000L, 20000L).inputFiles.isEmpty,
+      "out-of-range nested scan must open nothing after compaction")
+    assert(c.scanRange("d", "meta.ts", 0L, 100L).count() == 2)
+    c.rollback()
+  }
 }
