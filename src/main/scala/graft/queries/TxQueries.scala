@@ -878,6 +878,60 @@ object TxQueries {
             struct(lit(1).as("pos"), (col("n_chars") * 2).as("len")))
             .cast(chunkT).as("chunks")))
         c.commitTx()
+
+        // nbl: bloom point-lookup tier on a NESTED leaf. The key is
+        // unique per row and lexicographically scattered across the 4
+        // objects (doc_id % 4), so every object's min/max SPANS any
+        // probe — stats alone open all 4; only the per-object bloom
+        // keyed by the leaf's dotted physical path prunes. Bloom sized
+        // ~16 bits/key so the tier stays sharp at every SF.
+        val keyT = StructType(Seq(
+          StructField("source", StringType),
+          StructField("key", StringType)))
+        c.newTx()
+        c.createTable("nbl", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("meta", keyT))))
+        (0 until 4).foreach { g =>
+          c.insert("nbl", docs.filter(col("doc_id") % 4 === g)
+            .select(col("doc_id"),
+              struct(col("source"),
+                concat(lit("k"), col("doc_id")).as("key"))
+                .cast(keyT).as("meta")))
+        }
+        c.commitTx()
+        c.newTx()
+        val nDocs = docs.count()
+        val bloomBits = (((nDocs * 4L + 63) / 64) * 64).toInt.max(1024)
+        c.buildBloom("nbl", "meta.key", numBits = bloomBits)
+        c.commitTx()
+
+        // ndf: IN-STRUCT initial default — meta.cat is added WITH
+        // DEFAULT 'web' after the first insert: pre-alter rows read the
+        // default by original txId, post-alter rows own their written
+        // value (an explicit null stays null) — tx_default's contract,
+        // one level down.
+        c.newTx()
+        c.createTable("ndf", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("meta", metaT))))
+        c.insert("ndf", docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            struct(col("source"), col("n_chars")).cast(metaT).as("meta")))
+        c.commitTx()
+        c.newTx()
+        c.addColumnWithDefault("ndf",
+          StructField("meta.cat", StringType), "'web'")
+        c.commitTx()
+        val metaTC = StructType(metaT.fields :+
+          StructField("cat", StringType))
+        c.newTx()
+        c.insert("ndf", docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            struct(col("source"), col("n_chars"),
+              when(col("doc_id") % 10 === 0, col("lang")).as("cat"))
+              .cast(metaTC).as("meta")))
+        c.commitTx()
         root
       })
     }
@@ -934,6 +988,49 @@ object TxQueries {
     SELECT doc_id, source,
       CASE WHEN doc_id % 5 = 0 THEN lang END AS lang,
       CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars AS DOUBLE) END AS score
+    FROM documents
+    ORDER BY doc_id"""
+
+  // --- Nested bloom point lookup ---------------------------------------------
+  // The pin rides INSIDE the oracle row: the probe must open strictly
+  // fewer objects through the bloom tier than stats alone allow (stats
+  // span every object on the scattered key), then return the exact row.
+  def txNestedBloom(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try {
+      val statsOnly = c.prunedObjects("nbl",
+        Seq("meta.key" -> ("k42", "k42")), Nil).length
+      val bloomed = c.prunedObjects("nbl", Nil,
+        Seq("meta.key" -> "k42")).length
+      require(bloomed < statsOnly,
+        s"nested bloom must out-prune stats: opened $bloomed of " +
+          s"$statsOnly stats-surviving objects")
+      c.scanEquals("nbl", "meta.key", "k42")
+        .select(col("doc_id"), col("meta.source").as("source"),
+          col("meta.key").as("key"))
+    } finally c.rollback()
+  }
+
+  private val txNestedBloomSql = """
+    SELECT doc_id, source, 'k' || CAST(doc_id AS VARCHAR) AS key
+    FROM documents WHERE doc_id = 42"""
+
+  // --- In-struct initial default ----------------------------------------------
+  def txNestedDefault(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try c.scan("ndf")
+      .select(col("doc_id"), col("meta.source").as("source"),
+        col("meta.n_chars").as("n_chars"), col("meta.cat").as("cat"))
+      .orderBy(col("doc_id"))
+    finally c.rollback()
+  }
+
+  private val txNestedDefaultSql = """
+    SELECT doc_id, source, n_chars,
+      CASE WHEN doc_id % 5 <> 0 THEN 'web'
+           WHEN doc_id % 10 = 0 THEN lang END AS cat
     FROM documents
     ORDER BY doc_id"""
 
@@ -1567,5 +1664,15 @@ object TxQueries {
       "nested struct column end-to-end: layout partitioned by the " +
         "nested leaf meta.source (footer stats prune on it), plus " +
         "in-struct evolution — meta.lang added metadata-only, " +
-        "pre-alter rows read null"))
+        "pre-alter rows read null"),
+    "tx_nested_bloom" -> QueryDef(txNestedBloom, Some(txNestedBloomSql),
+      "bloom point lookup on a NESTED leaf (meta.key): stats span " +
+        "every object on the scattered key, the bloom tier opens " +
+        "strictly fewer (asserted in-plan) — nested parity for the " +
+        "point-lookup tier"),
+    "tx_nested_default" -> QueryDef(txNestedDefault,
+      Some(txNestedDefaultSql),
+      "in-struct ADD COLUMN with an initial DEFAULT (meta.cat): " +
+        "pre-alter rows read 'web' by original txId, post-alter rows " +
+        "own their values, explicit null stays null"))
 }

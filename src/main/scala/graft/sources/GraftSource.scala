@@ -287,11 +287,15 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     case other => other.json.toLong
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    StreamingShim.asStreaming(sqlContext.sparkSession,
-      client.changesBetween(table, keyCols,
-        start.map(versionOf).getOrElse(seedVersion), versionOf(end),
-        preimages))
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = client.changesBetween(table, keyCols,
+      start.map(versionOf).getOrElse(seedVersion), versionOf(end),
+      preimages)
+    // mid-stream evolution fails loudly, never silently drifts —
+    // see GraftStreamSource.requireStableSchema
+    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
+    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
+  }
 
   override def stop(): Unit = {}
 }
@@ -338,10 +342,14 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
     case other => other.json.toLong
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    StreamingShim.asStreaming(sqlContext.sparkSession,
-      client.changesByFile(table,
-        start.map(versionOf).getOrElse(seedVersion), versionOf(end)))
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = client.changesByFile(table,
+      start.map(versionOf).getOrElse(seedVersion), versionOf(end))
+    // mid-stream evolution fails loudly, never silently drifts —
+    // see GraftStreamSource.requireStableSchema
+    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
+    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
+  }
 
   override def stop(): Unit = {}
 }
@@ -506,12 +514,18 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
     * reports the conf default (8 PiB) and can never be broadcast.
     */
   override def sizeInBytes: Long = withClient(sqlContext, root) { c =>
+    // Hadoop FS, not java.io: the root may be on a remote scheme
+    val conf = sqlContext.sparkSession.sessionState.newHadoopConf()
     c.objects(table).map { a =>
       // external (converted-in-place) objects carry absolute paths
-      val d = new java.io.File(
+      val p = new org.apache.hadoop.fs.Path(
         if (a.path.startsWith("/")) a.path else s"$root/${a.path}")
-      val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      fs.filter(_.isFile).map(_.length()).sum + (if (d.isFile) d.length() else 0L)
+      try {
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        if (st.isFile) st.getLen
+        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      } catch { case _: java.io.FileNotFoundException => 0L }
     }.sum.max(1L)
   }
 
@@ -753,9 +767,47 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     val from = start.map(versionOf).getOrElse(seedVersion)
     val until = versionOf(end)
     highWater = math.max(highWater, until) // restart recovery re-sync
-    StreamingShim.asStreaming(sqlContext.sparkSession,
-      client.addedBetween(table, from, until, ignoreChanges))
+    val batch = client.addedBetween(table, from, until, ignoreChanges)
+    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
+    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
   }
 
   override def stop(): Unit = {}
+}
+
+private[sources] object GraftStreamSource {
+  /** Mid-stream schema evolution contract (pinned in Round11Spec): a
+    * RUNNING stream was planned against the schema its source reported
+    * at start, so a table evolution between micro-batches (top-level or
+    * in-struct addColumn, widen, drop) FAILS the stream loudly with this
+    * named error instead of Spark's generic "Invalid batch" assertion —
+    * never silently drops or nulls the drifted columns. Restarting the
+    * stream adopts the new schema (Delta's exact behavior).
+    */
+  def requireStableSchema(table: String, declared: StructType,
+      got: StructType): Unit =
+    require(sameShape(declared, got),
+      s"graft stream on $table: table schema changed mid-stream (the " +
+        s"stream started with ${declared.simpleString}, the batch read " +
+        s"produced ${got.simpleString}); restart the stream to adopt " +
+        "the new schema")
+
+  /** Structural (name + type) equality, ignoring nullability and field
+    * metadata — a batch read's parquet-derived nullability must not
+    * false-trip the evolution check.
+    */
+  private def sameShape(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name && sameShape(f.dataType, g.dataType)
+        }
+      case (ArrayType(x, _), ArrayType(y, _)) => sameShape(x, y)
+      case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+        sameShape(xk, yk) && sameShape(xv, yv)
+      case _ => a == b
+    }
+  }
 }

@@ -31,7 +31,19 @@ import java.time.Duration
   * (read-back-and-compare in commitTxRetrying) exists to resolve; a
   * silent retry here could turn "we actually won" into a false loss.
   */
-final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000)
+/** `createdStatuses`: the status codes that mean "conditional PUT
+  * created the object". 201-on-create is part of THIS store's wire
+  * contract (ObjectStoreHttpServer answers 201, so a bare 200 can only
+  * mean the If-None-Match header was stripped and an overwrite
+  * happened — an ambiguity the commit recovery path must resolve).
+  * Real S3-compatible endpoints answer 200 OK to a SUCCESSFUL
+  * conditional PUT: point this client at one by passing
+  * `createdStatuses = Set(200)`, which reclassifies 200 as a win (and
+  * loses the header-stripped-in-transit detection, which such
+  * endpoints make undetectable by status alone).
+  */
+final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000,
+    createdStatuses: Set[Int] = Set(201))
     extends ObjectStore {
   private val base = baseUrl.stripSuffix("/")
   private val http = HttpClient.newBuilder()
@@ -85,14 +97,17 @@ final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000)
       .header("If-None-Match", "*")
       .PUT(BodyPublishers.ofByteArray(data)).build()
     http.send(req, BodyHandlers.ofByteArray()).statusCode() match {
-      case 201 => true
+      case c if createdStatuses(c) => true
       case 412 => false
-      // 200 is the UNCONDITIONAL-put response: it means the
-      // If-None-Match header was stripped in transit and we just
-      // overwrote whatever was there — reporting "won" here would turn a
-      // lost commit arbitration into silent log corruption. Throw so the
-      // ambiguity surfaces to the commit recovery path (read-back in
+      // Under the default contract (201-on-create), 200 is the
+      // UNCONDITIONAL-put response: it means the If-None-Match header
+      // was stripped in transit and we just overwrote whatever was
+      // there — reporting "won" here would turn a lost commit
+      // arbitration into silent log corruption. Throw so the ambiguity
+      // surfaces to the commit recovery path (read-back in
       // commitTxRetrying), which resolves who actually owns the slot.
+      // (S3-compatible endpoints that answer 200 on create opt in via
+      // `createdStatuses = Set(200)` — see the class doc.)
       case 200 => throw new java.io.IOException(
         s"conditional PUT $name answered 200: If-None-Match was not " +
           "honored (header dropped in transit?); outcome ambiguous")

@@ -54,15 +54,50 @@ final class GraftClient(
   /** The LOG's object store — pluggable (an S3-style conditional-put
     * backend slots in here; `FaultInjectingObjectStore` exercises the
     * commit protocol under that failure model at the full-client level).
-    * DATA objects are read/written through Spark's filesystem layer under
-    * `rootDir`, but the maintenance paths (compact/rewrite staging moves,
-    * vacuum) use driver-local java.io file ops, so THIS implementation
-    * manages data objects on a local/shared POSIX filesystem only;
-    * porting data management to s3a/abfs would mean replacing those
-    * staging moves with Hadoop FileSystem renames.
+    * DATA objects — scans, writes, AND every maintenance path (staging
+    * moves of compact/cluster/REORG, vacuum deletes, manifest listings)
+    * — go through the Hadoop FileSystem resolved from `rootDir`'s
+    * scheme, the same split Delta runs on (LogStore vs Hadoop FS): point
+    * `rootDir` at s3a/abfs/any registered scheme and the WHOLE
+    * lifecycle works, not just reads (RemoteFsSpec pins it). The only
+    * caveat: staging moves use `FileSystem.rename`, which is a copy on
+    * stores without native rename — a direct-to-final committer would
+    * be the next step there.
     */
   val store: ObjectStore = logStore.getOrElse(new LocalObjectStore(rootDir))
   private val txLog = new TxLog(store)
+
+  // ---- data-plane filesystem (Hadoop FS, scheme-resolved) --------------
+  private val rootPath = new org.apache.hadoop.fs.Path(rootDir)
+  private lazy val dataFs: org.apache.hadoop.fs.FileSystem =
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  /** rootDir-relative name -> Path on the data filesystem. */
+  private def dataPath(rel: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(rootPath, rel)
+  /** Children of `p` (empty when missing) — one FS LIST call. */
+  private def listPath(p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    try dataFs.listStatus(p).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+  /** Atomic-on-POSIX directory move (registration of a staged object);
+    * a failed rename fails the tx loudly, never half-registers.
+    */
+  private def movePath(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(dataFs.rename(src, dst), s"filesystem rename failed: $src -> $dst")
+  private def deletePath(p: org.apache.hadoop.fs.Path): Unit = {
+    dataFs.delete(p, true); ()
+  }
+  /** Does an Add-action path still exist physically? Managed names are
+    * rootDir-relative (the data FS); external converted objects carry a
+    * scheme-free absolute path that resolves on the DEFAULT filesystem
+    * (the form convertParquet stores).
+    */
+  private def objectExists(p: String): Boolean =
+    if (p.startsWith("/")) {
+      val ep = new org.apache.hadoop.fs.Path(p)
+      ep.getFileSystem(spark.sessionState.newHadoopConf()).exists(ep)
+    } else dataFs.exists(dataPath(p))
 
   val TxIdCol = "_tx_id"
   val RowIdxCol = "_row_idx"
@@ -73,8 +108,9 @@ final class GraftClient(
   val PartCol = "_part"
   /** Every internal column name any code path materializes on user data:
     * provenance (_tx_id/_row_idx), staging (_part), rewrite routing
-    * (_obj/_ord), currentState's window rank (_rn), and changesBetween's
-    * presence/verdict markers (_in_a/_in_b/_change). All are reserved at
+    * (_obj/_ord), currentState's window rank (_rn), changesBetween's
+    * presence/verdict markers (_in_a/_in_b/_change), and the insert
+    * stamp's offset plumbing (_pid/_mid/_goff). All are reserved at
     * DDL time — a user column named _obj would otherwise be silently
     * overwritten with the object-directory name during dropColumn/
     * renameColumn, and _rn/_change would collide in currentState/CDF
@@ -82,7 +118,7 @@ final class GraftClient(
     */
   val ReservedCols: Set[String] =
     Set(TxIdCol, RowIdxCol, PartCol, "_obj", "_ord", "_rn",
-      "_in_a", "_in_b", "_change")
+      "_in_a", "_in_b", "_change", "_pid", "_mid", "_goff")
 
   private def requireNotReserved(names: Seq[String]): Unit = {
     val bad = names.filter(ReservedCols)
@@ -90,6 +126,27 @@ final class GraftClient(
       s"reserved column name(s): ${bad.mkString(",")} " +
         s"(internal names: ${ReservedCols.toSeq.sorted.mkString(",")})")
   }
+
+  /** Refuse '.' anywhere in a declared field name, at any nesting depth:
+    * every column-path surface (addColumn routing, scan bounds, deletes,
+    * stats keys) splits on '.' to address nested leaves, so a literal
+    * dot in a name would be silently misrouted as a path — a column
+    * named "a.b" would resolve as struct a, leaf b. Checked at DDL time
+    * (createTable/CONVERT/addColumn), where the loud refusal belongs.
+    */
+  private def requireNoDotsInNames(dt: DataType, where: String): Unit =
+    dt match {
+      case st: StructType => st.fields.foreach { f =>
+        require(!f.name.contains('.'),
+          s"$where: field name may not contain '.': ${f.name} " +
+            "(dots address nested leaves; rename the field)")
+        requireNoDotsInNames(f.dataType, where)
+      }
+      case ArrayType(e, _) => requireNoDotsInNames(e, where)
+      case MapType(k, v, _) =>
+        requireNoDotsInNames(k, where); requireNoDotsInNames(v, where)
+      case _ => ()
+    }
 
   private final class TxState(val snapshot: Snapshot) {
     val actions = mutable.Buffer[Action]()
@@ -151,6 +208,7 @@ final class GraftClient(
     if (t.tables.contains(table))
       throw new IllegalArgumentException(s"table exists: $table")
     requireNotReserved(schema.fieldNames.toIndexedSeq)
+    requireNoDotsInNames(schema, s"createTable($table)")
     // pin the log's protocol on first create (Delta writes protocol with
     // the table's first commit) at the BASE format version — a table
     // only requires what it uses, so a down-level engine keeps reading
@@ -283,6 +341,7 @@ final class GraftClient(
     require(!schema.fieldNames.contains(field.name),
       s"column exists: ${field.name}")
     requireNotReserved(Seq(field.name))
+    requireNoDotsInNames(field.dataType, s"addColumn(${field.name})")
     require(field.nullable, "added columns must be nullable: rows written " +
       "before the widening have no value for them")
     flush(table) // buffered rows carry the pre-widening arity
@@ -315,6 +374,7 @@ final class GraftClient(
     require(field.nullable, "added columns must be nullable: rows written " +
       "before the widening have no value for them")
     requireNotReserved(Seq(parts.head))
+    requireNoDotsInNames(field.dataType, s"addColumn(${field.name})")
     require(!hasColumnPath(schema, field.name),
       s"column exists: ${field.name}")
     flush(table)
@@ -377,7 +437,7 @@ final class GraftClient(
     flush(table) // buffered rows land under the pre-widening schema
     // blooms hash the probe cast to the CURRENT type, so a widened
     // column's sidecars are dropped (stale blooms false-prune); nested
-    // leaves never carry blooms (buildBloom is top-level only)
+    // (nested leaves carry blooms too — physOf keys their dotted path)
     val phys = physOf(schema, column)
     liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
@@ -438,9 +498,10 @@ final class GraftClient(
     */
   def addColumnWithDefault(table: String, field: StructField,
       defaultSql: String): Unit = {
-    require(!field.name.contains('.'),
-      s"initial defaults are top-level only (adding ${field.name}): " +
-        "add the nested field without a default via addColumn")
+    // dotted names route through addNestedColumn with the default
+    // metadata riding the leaf: an in-struct add carries its initial
+    // default exactly like a top-level one (applyDefaults fills nested
+    // leaves via withField; a null parent struct stays null)
     val checked =
       try spark.range(1).select(expr(defaultSql).cast(field.dataType))
         .collect().head.get(0)
@@ -674,20 +735,31 @@ final class GraftClient(
       s"$table has live deletion vectors; a path manifest cannot express " +
         "row masks — run a full-sweep compact to retire them, then " +
         "regenerate")
+    // Hadoop-FS listing, so the manifest exports correctly when rootDir
+    // lives on a remote scheme; local paths stay plain-absolute (external
+    // engines read them verbatim), remote ones keep their full URI
+    def printable(p: org.apache.hadoop.fs.Path): String = {
+      val u = p.toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath
+      else p.toString
+    }
     val parts = t.snapshot.liveFiles(table).flatMap { a =>
-      val d = new java.io.File(s"$rootDir/${a.path}")
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(_.getAbsolutePath)
+      listPath(dataPath(a.path))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => printable(st.getPath))
     }.sorted
-    val dir = new java.io.File(outDir)
-    dir.mkdirs()
-    val mf = new java.io.File(dir,
+    // the manifest itself goes wherever the caller points (its own FS)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    outFs.mkdirs(outPath)
+    val mf = new org.apache.hadoop.fs.Path(outPath,
       s"manifest-$table-v${t.snapshot.version}.txt")
-    java.nio.file.Files.write(mf.toPath,
-      (parts.mkString("\n") + "\n").getBytes("UTF-8"))
-    mf.getAbsolutePath
+    val os = outFs.create(mf, true)
+    try os.write((parts.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    printable(mf)
   }
 
   /** The declared partition spec of `table` (markers written by the SQL
@@ -777,26 +849,24 @@ final class GraftClient(
         Seq(col(TxIdCol), col(RowIdxCol), col("_ord").as(PartCol)): _*)
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     projected.write.partitionBy(PartCol).parquet(staging)
-    val stagingDir = new java.io.File(staging)
-    val staged = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
-      .map { d =>
-        val ord = d.getName.stripPrefix(s"$PartCol=").toInt
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val staged = listPath(stagingPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartCol="))
+      .map { st =>
+        val ord = st.getPath.getName.stripPrefix(s"$PartCol=").toInt
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        java.nio.file.Files.move(d.toPath,
-          new java.io.File(s"$rootDir/$name").toPath)
+        movePath(st.getPath, dataPath(name))
         val (rows, stats) =
           ParquetFooters.scan(spark, s"$rootDir/$name", newSchema)
         (name, ord, rows, stats)
       }
-    deleteRecursively(stagingDir)
+    deletePath(stagingPath)
     val written = staged.map(_._3).sum
     if (written != expected) {
       // validate BEFORE registering any action, so a caller that catches
       // and commits anyway can't commit a lossy rewrite
-      staged.foreach { case (name, _, _, _) =>
-        deleteRecursively(new java.io.File(s"$rootDir/$name"))
-      }
+      staged.foreach { case (name, _, _, _) => deletePath(dataPath(name)) }
       throw new IllegalStateException(
         s"rewriteObjects row-conservation failure: wrote $written rows, " +
           s"expected $expected live rows")
@@ -805,7 +875,7 @@ final class GraftClient(
       if (rows > 0)
         t.actions += AddDataObject(table, name, byOrdinal(ord).txId,
           rows, stats)
-      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      else deletePath(dataPath(name))
     }
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
@@ -949,6 +1019,53 @@ final class GraftClient(
     }
   }
 
+  /** Enforce declared NOT NULL on a to-be-written frame, top-level and
+    * nested: for every declared non-nullable leaf whose FRAME type is
+    * nullable (a frame from a parquet read, a struct() with nullable
+    * members), fold `leaf IS NOT NULL OR some ancestor struct IS NULL`
+    * into the `_tx_id` stamp — the [[constraintGuard]] shape: a null in
+    * a non-nullable leaf fails the writing job (and the tx) before any
+    * object registers, at the cost of one codegen'd boolean per row.
+    * A null ANCESTOR is legal (the leaf constraint scopes to present
+    * parents, parquet's definition-level semantics); leaves whose frame
+    * type is already non-nullable cost nothing. This is the
+    * one-directional nullability contract: non-nullable frame into
+    * nullable table is free, nullable frame into non-nullable table is
+    * runtime-checked — never silently violated.
+    */
+  private def nullabilityGuard(table: String, schema: StructType,
+      df: DataFrame): DataFrame = {
+    def guarded(want: StructType, got: DataType,
+        prefix: Seq[String]): Seq[Seq[String]] = got match {
+      case gs: StructType => want.fields.toSeq.flatMap { f =>
+        gs.fields.find(_.name == f.name).toSeq.flatMap { g =>
+          val here =
+            if (!f.nullable && g.nullable) Seq(prefix :+ f.name) else Nil
+          here ++ ((f.dataType, g.dataType) match {
+            case (ws: StructType, _) =>
+              guarded(ws, g.dataType, prefix :+ f.name)
+            case _ => Nil
+          })
+        }
+      }
+      case _ => Nil
+    }
+    val paths = guarded(schema, df.schema, Nil)
+    if (paths.isEmpty) df
+    else {
+      val ok = paths.map { p =>
+        val leafOk = col(p.mkString(".")).isNotNull
+        p.init.inits.filter(_.nonEmpty).foldLeft(leafOk) { (acc, anc) =>
+          acc || col(anc.mkString(".")).isNull
+        }
+      }.reduce(_ && _)
+      df.withColumn(TxIdCol, when(ok, col(TxIdCol)).otherwise(raise_error(
+        lit(s"NOT NULL violated on $table: null written to a declared " +
+          s"non-nullable column (guarded: " +
+          s"${paths.map(_.mkString(".")).mkString(", ")})"))))
+    }
+  }
+
   /** Latest sink-batch watermark committed (or staged in this tx) for
     * `appId` — the exactly-once read side of [[setTxn]].
     */
@@ -1018,16 +1135,37 @@ final class GraftClient(
     * provenance: null values in rows written before the column existed
     * become the stored literal. A frame read at a pre-alter version never
     * gets here with the metadata (the snapshot's schema lacks it).
+    * NESTED defaulted leaves fill inside their struct via `withField`;
+    * a null PARENT struct stays null (the default fills missing leaves
+    * of present structs — Iceberg's initial-default scoping, and the
+    * same rule the NOT NULL guard uses).
     */
   private def applyDefaults(schema: StructType, df: DataFrame): DataFrame = {
-    val defaulted = schema.fields.filter(_.metadata.contains(DefaultValKey))
+    def collectDefaulted(st: StructType,
+        prefix: Seq[String]): Seq[(Seq[String], StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        val here =
+          if (f.metadata.contains(DefaultValKey)) Seq((prefix :+ f.name, f))
+          else Nil
+        here ++ (f.dataType match {
+          case s: StructType => collectDefaulted(s, prefix :+ f.name)
+          case _ => Nil
+        })
+      }
+    val defaulted = collectDefaulted(schema, Nil)
     if (defaulted.isEmpty) df
-    else defaulted.foldLeft(df) { (d, f) =>
-      d.withColumn(f.name, when(
-        col(f.name).isNull &&
-          col(TxIdCol) < f.metadata.getLong(DefaultSinceKey),
+    else defaulted.foldLeft(df) { case (d, (path, f)) =>
+      val leaf = col(path.mkString("."))
+      val filled = when(
+        leaf.isNull && col(TxIdCol) < f.metadata.getLong(DefaultSinceKey),
         expr(f.metadata.getString(DefaultValKey)).cast(f.dataType))
-        .otherwise(col(f.name)))
+        .otherwise(leaf)
+      if (path.length == 1) d.withColumn(path.head, filled)
+      else {
+        val top = col(path.head)
+        d.withColumn(path.head, when(top.isNull, top)
+          .otherwise(top.withField(path.tail.mkString("."), filled)))
+      }
     }
   }
 
@@ -1270,9 +1408,12 @@ final class GraftClient(
       schema(schema.fieldIndex(f.name)).dataType, f.dataType, f.name))
     // align: table column order, struct columns rebuilt to the table's
     // full leaf set (frame-omitted leaves null; a null struct stays a
-    // null struct, not a struct of nulls)
+    // null struct, not a struct of nulls). A frame-omitted NESTED leaf
+    // needs the declared leaf nullable, the same contract the top-level
+    // omission path enforces — silently nulling a non-nullable leaf
+    // would violate the declared schema (Delta refuses both cases).
     def align(want: DataType, have: Option[(Column, DataType)],
-        name: String): Column = (want, have) match {
+        name: String, path: String): Column = (want, have) match {
       case (st: StructType, Some((c, hs: StructType))) =>
         when(c.isNull, lit(null).cast(st)).otherwise(
           struct(st.fields.toIndexedSeq.map { f =>
@@ -1280,7 +1421,9 @@ final class GraftClient(
               Some((c.getField(f.name),
                 hs(hs.fieldIndex(f.name)).dataType))
             else None
-            align(f.dataType, sub, f.name)
+            if (sub.isEmpty) require(f.nullable,
+              s"insert omits non-nullable nested field $path.${f.name}")
+            align(f.dataType, sub, f.name, s"$path.${f.name}")
           }: _*)).as(name)
       case (dt, Some((c, _))) => c.as(name)
       case (dt, None) => lit(null).cast(dt).as(name)
@@ -1289,7 +1432,7 @@ final class GraftClient(
       if (df.schema.fieldNames.contains(f.name))
         align(f.dataType,
           Some((col(f.name),
-            df.schema(df.schema.fieldIndex(f.name)).dataType)), f.name)
+            df.schema(df.schema.fieldIndex(f.name)).dataType)), f.name, f.name)
       else {
         require(f.nullable,
           s"insert omits non-nullable column ${f.name}")
@@ -1371,32 +1514,24 @@ final class GraftClient(
         s"expected ${others.mkString(",")}")
     val key = s"graft.identity.$idCol.next"
     val next = tablePropertiesOf(table).get(key).map(_.toLong).getOrElse(0L)
-    // pinned lineage + per-partition offsets, the provenance-stamp scheme:
-    // ids are deterministic for a deterministic input
-    val rdd = df.rdd.persist(
+    // pinned lineage + per-partition offsets, the provenance-stamp scheme
+    // (see withStamped): ids are deterministic for a deterministic input,
+    // and the stamp stays a Dataset expression inside codegen — no RDD hop
+    val pinned = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val partCounts = rdd
-        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-        .collect().sortBy(_._1)
+      val partCounts = pinned
+        .groupBy(spark_partition_id().as("_pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = partCounts.map(_._2).sum
       if (n == 0) return next
-      val offsets: Map[Int, Long] = partCounts
-        .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-        .init.zip(partCounts)
-        .map { case ((_, off), (pid, _)) => pid -> off }.toMap
-      val withId = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var id = next + offsets(pid)
-        it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
-      }
-      val full = spark.createDataFrame(withId,
-        StructType(schema(schema.fieldIndex(idCol)) +:
-          others.map(c => schema(schema.fieldIndex(c)))))
+      val full = stampOffsets(pinned, partCounts)
+        .withColumn(idCol, lit(next) + col("_goff") + col("_mid"))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       insert(table, full)
       setTableProperties(table, Map(key -> (next + n).toString))
       next
-    } finally rdd.unpersist(false)
+    } finally pinned.unpersist(false)
   }
 
   /** Shared bulk-write preamble: schema check, flush-before-bulk, contiguous
@@ -1405,6 +1540,15 @@ final class GraftClient(
     * on retry — must not move rows between partitions after the counting
     * pass computed offsets from them). Advances the row counter by n after
     * `body` succeeds.
+    *
+    * Both passes are DATASET-level so the stamped write stays inside
+    * whole-stage codegen end to end (no RDD hop, no Row re-encoding):
+    * the counting pass is a one-row-per-partition aggregate on
+    * `spark_partition_id`, and the stamp is `base + offset[pid] +
+    * row-in-partition`, where row-in-partition is the low 33 bits of
+    * `monotonically_increasing_id` (its documented layout: partition id
+    * high, per-partition counter low). Partition identity is pinned by
+    * the persist, so the two passes and the write see the same layout.
     */
   private def withStamped(table: String, df: DataFrame)(
       body: (TxState, StructType, DataFrame, Long, Long) => Unit): Unit = {
@@ -1420,25 +1564,51 @@ final class GraftClient(
     flush(table) // keep buffered rows chronologically before the bulk batch
     val base = t.rowCounters(table)
     val txId = t.id
-    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val partCounts = rdd
-        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-        .collect().sortBy(_._1)
+      val partCounts = pinned
+        .groupBy(spark_partition_id().as("_pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = partCounts.map(_._2).sum
       if (n == 0) return
-      val offsets: Map[Int, Long] = partCounts
-        .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-        .init.zip(partCounts)
-        .map { case ((_, off), (pid, _)) => pid -> off }.toMap
-      val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var idx = base + offsets(pid)
-        it.map { r => val out = Row.fromSeq(r.toSeq :+ txId :+ idx); idx += 1; out }
-      }
-      body(t, schema, constraintGuard(table,
-        spark.createDataFrame(stamped, provSchema(schema))), n, txId)
+      // per-partition global offsets as a BROADCAST lookup (the
+      // rewriteObjects routing shape), not an N-element array literal —
+      // a 100k-partition cluster insert must not codegen a 100k-child
+      // CreateArray. Both nondeterministic inputs (_pid, _mid) are
+      // projected BEFORE the join; Catalyst never moves them across it.
+      val stamped = stampOffsets(pinned, partCounts)
+        .withColumn(TxIdCol, lit(txId))
+        .withColumn(RowIdxCol, lit(base) + col("_goff") + col("_mid"))
+        .select(schema.fieldNames.toIndexedSeq.map(col) ++
+          Seq(col(TxIdCol), col(RowIdxCol)): _*)
+      body(t, schema, nullabilityGuard(table, schema,
+        constraintGuard(table, stamped)), n, txId)
       t.rowCounters(table) = base + n
-    } finally rdd.unpersist(false)
+    } finally pinned.unpersist(false)
+  }
+
+  /** Attach `_goff` (the partition's global row offset, from the
+    * counting pass) and `_mid` (the row's position within its
+    * partition, the low 33 bits of `monotonically_increasing_id`'s
+    * documented partition-high/counter-low layout) to a PINNED frame —
+    * the Dataset-level half of the contiguous-stamp scheme shared by
+    * [[withStamped]] and [[insertIdentity]].
+    */
+  private def stampOffsets(pinned: DataFrame,
+      partCounts: Array[(Int, Long)]): DataFrame = {
+    val offsets = partCounts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+      .init.zip(partCounts)
+      .map { case ((_, off), (pid, _)) => Row(pid, off) }
+    val lookup = spark.createDataFrame(offsets.toList.asJava,
+      StructType(Seq(
+        StructField("_pid", IntegerType, nullable = false),
+        StructField("_goff", LongType, nullable = false))))
+    pinned
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(lookup), Seq("_pid"))
   }
 
   /** Bulk insert split into one data object per distinct value of
@@ -1499,26 +1669,26 @@ final class GraftClient(
       withParts.repartition(stageCols.map(col): _*)
         .write.partitionBy(stageCols: _*).parquet(staging)
       // walk to the LEAF dirs (depth = #partCols): one per combination
-      def leaves(dir: java.io.File, depth: Int): Seq[java.io.File] =
+      def leaves(dir: org.apache.hadoop.fs.Path,
+          depth: Int): Seq[org.apache.hadoop.fs.Path] =
         if (depth == 0) Seq(dir)
-        else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-          .filter(f => f.isDirectory && f.getName.contains("="))
-          .flatMap(leaves(_, depth - 1))
-      val stagingDir = new java.io.File(staging)
-      val partDirs = leaves(stagingDir, partCols.length)
+        else listPath(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => leaves(st.getPath, depth - 1))
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val partDirs = leaves(stagingPath, partCols.length)
       // validate the write BEFORE registering any action: a count
       // mismatch (non-deterministic input) must leave the tx's action
       // buffer clean so a caller that catches and commits anyway can't
       // commit corrupt MVCC ordering (same order as insert's check)
       val staged = partDirs.map { d =>
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        java.nio.file.Files.move(d.toPath,
-          new java.io.File(s"$rootDir/$name").toPath)
+        movePath(d, dataPath(name))
         val (rows, stats) =
           ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
         (name, rows, stats)
       }
-      deleteRecursively(stagingDir)
+      deletePath(stagingPath)
       val written = staged.map(_._2).sum
       require(written == n,
         s"insertPartitioned wrote $written rows but counted $n")
@@ -1718,7 +1888,13 @@ final class GraftClient(
     require(numBits % 64 == 0 && numBits > 0, s"numBits must be a multiple of 64")
     require(k >= 1 && k <= 16, "k must be in [1,16]")
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(column), s"no such column: $column")
+    // dotted paths key the bloom sidecar by the leaf's PHYSICAL dotted
+    // path (top segment through column mapping, nested segments
+    // physical == logical) — the same key space stats use, so
+    // scanEquals("meta.source", v) probes nested blooms exactly like
+    // flat ones. A corpus keyed on a struct leaf keeps the point-lookup
+    // tier.
+    require(hasColumnPath(schema, column), s"no such column: $column")
     flush(table)
     // blooms are keyed by the PHYSICAL column name (rename-stable)
     val physCol = physOf(schema, column)
@@ -2291,18 +2467,28 @@ final class GraftClient(
       // data, is the problem). Page internally: each page of commit
       // pieces is materialized into a spill directory and the result is
       // ONE multi-file parquet scan — plan depth bounded by the page
-      // size no matter how wide the window. The spill lives until JVM
-      // exit (the returned DataFrame may be consumed much later).
-      val dir = java.nio.file.Files.createTempDirectory("graft-cdf-spill-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(dir.toFile)))
+      // size no matter how wide the window. Spills live under ONE
+      // per-client root inside rootDir (`_cdfspill_*`), one subdir per
+      // call — so they ride the data filesystem (wide-window CDF works
+      // on a remote scheme) and [[vacuum]] reclaims them like stranded
+      // staging dirs: a long-lived service that diffs wide windows
+      // repeatedly holds disk only until its next maintenance pass, not
+      // until JVM exit. (Vacuum's single-maintainer contract covers the
+      // unconsumed-DataFrame race, as it does for every reclaim.)
+      val dir = s"$cdfSpillRoot/${UUID.randomUUID()}"
       pieces.grouped(pageSize).foreach { page =>
         page.reduce(_ unionByName _).write.mode("append")
-          .parquet(dir.toString)
+          .parquet(dir)
       }
-      spark.read.schema(empty).parquet(dir.toString)
+      spark.read.schema(empty).parquet(dir)
     }
   }
+
+  /** This client's change-feed spill root (created lazily by the first
+    * wide-window diff; reclaimed by [[vacuum]]).
+    */
+  private lazy val cdfSpillRoot: String =
+    s"$rootDir/_cdfspill_${UUID.randomUUID()}"
 
   /** Inclusive range delete, start <= col <= end — the reference's single
     * predicate (writes.go:58-88) — as copy-on-write (writes.go:90-162).
@@ -2929,11 +3115,9 @@ final class GraftClient(
       throw new IllegalArgumentException(s"no such table at v$asOf: $src"))
     val files = snap.liveFiles(src)
     // same vacuum-horizon check as restore: managed names live under the
-    // root, external (converted) objects are absolute
-    val missing = files.map(_.path).filterNot { p =>
-      val f = new java.io.File(p)
-      (if (f.isAbsolute) f else new java.io.File(rootDir, p)).exists()
-    }
+    // root (the data FS), external (converted) objects are absolute on
+    // the filesystem their scheme-free path resolves to
+    val missing = files.map(_.path).filterNot(p => objectExists(p))
     require(missing.isEmpty,
       s"cannot clone $src at v$asOf: object(s) physically reclaimed by " +
         s"vacuum: ${missing.sorted.mkString(",")}")
@@ -2977,8 +3161,7 @@ final class GraftClient(
     val thenDvs = snap.liveDvs(table).map(d => d.path -> d).toMap
     val resurrect =
       (thenFiles.keySet -- nowFiles.keySet) ++ (thenDvs.keySet -- nowDvs.keySet)
-    val reclaimed =
-      resurrect.filterNot(p => new java.io.File(rootDir, p).exists())
+    val reclaimed = resurrect.filterNot(p => objectExists(p))
     require(reclaimed.isEmpty,
       s"cannot restore $table to v$asOf: object(s) physically reclaimed by " +
         s"vacuum: ${reclaimed.toSeq.sorted.mkString(",")}")
@@ -3144,25 +3327,23 @@ final class GraftClient(
     val expected = masked.count()
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     toPhysical(routed, schema).write.partitionBy(PartCol).parquet(staging)
-    val stagingDir = new java.io.File(staging)
-    val staged = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
-      .map { d =>
-        val binId = d.getName.stripPrefix(s"$PartCol=").toInt
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val staged = listPath(stagingPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartCol="))
+      .map { st =>
+        val binId = st.getPath.getName.stripPrefix(s"$PartCol=").toInt
         val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        java.nio.file.Files.move(d.toPath,
-          new java.io.File(s"$rootDir/$name").toPath)
+        movePath(st.getPath, dataPath(name))
         val (rows, stats) =
           ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
         (name, binId, rows, stats)
       }
-    deleteRecursively(stagingDir)
+    deletePath(stagingPath)
     if (staged.map(_._3).sum != expected) {
       // validate BEFORE registering any action (rewriteObjects pattern):
       // a caller that catches and commits anyway must not commit loss
-      staged.foreach { case (name, _, _, _) =>
-        deleteRecursively(new java.io.File(s"$rootDir/$name"))
-      }
+      staged.foreach { case (name, _, _, _) => deletePath(dataPath(name)) }
       throw new IllegalStateException(
         s"compact row-conservation failure: wrote ${staged.map(_._3).sum} " +
           s"rows, expected $expected")
@@ -3188,7 +3369,7 @@ final class GraftClient(
             }.toMap)
           else add.copy(ndv = ndvBlobsFor(schema, add, ndvCols))
         t.actions += withNdv
-      } else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      } else deletePath(dataPath(name))
     }
     eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
     if (retireDvs)
@@ -3242,7 +3423,7 @@ final class GraftClient(
     */
   def clusterBy(table: String, columns: Seq[String], numBuckets: Int): Unit = {
     require(columns.nonEmpty &&
-      columns.forall(schemaOf(table).fieldNames.contains),
+      columns.forall(hasColumnPath(schemaOf(table), _)),
       s"cluster columns must be table columns: ${columns.mkString(",")}")
     relayout(table, numBuckets)(live =>
       Some(live.repartitionByRange(numBuckets, columns.map(col): _*)))
@@ -3272,20 +3453,20 @@ final class GraftClient(
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     toPhysical(exchanged.withColumn(PartCol, spark_partition_id()), schema)
       .write.partitionBy(PartCol).parquet(staging)
-    val stagingDir = new java.io.File(staging)
-    val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val partDirs = listPath(stagingPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartCol="))
     val minTx = files.map(_.txId).min
-    partDirs.foreach { d =>
+    partDirs.foreach { st =>
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      java.nio.file.Files.move(d.toPath,
-        new java.io.File(s"$rootDir/$name").toPath)
+      movePath(st.getPath, dataPath(name))
       val (rows, stats) =
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
       if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
-      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      else deletePath(dataPath(name))
     }
-    deleteRecursively(stagingDir)
+    deletePath(stagingPath)
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
   }
@@ -3307,9 +3488,12 @@ final class GraftClient(
     val meta = s"""{"src":${jsonStr(rootDir)},"table":${jsonStr(table)},""" +
       s""""keys":[${keyCols.map(jsonStr).mkString(",")}],""" +
       s""""fromVersion":$fromVersion,"toVersion":$toVersion}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/bundle.json"),
-      (meta + "\n").getBytes("UTF-8"))
+    // the bundle envelope goes wherever the caller points (its own FS —
+    // a cross-store replication bundle usually lands on shared storage)
+    val mp = new org.apache.hadoop.fs.Path(s"$outDir/bundle.json")
+    val mfs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = mfs.create(mp, true)
+    try os.write((meta + "\n").getBytes("UTF-8")) finally os.close()
     outDir
   }
 
@@ -3332,10 +3516,16 @@ final class GraftClient(
     */
   def importChanges(dstTable: String, bundleDir: String): Boolean = {
     tagOp("REPLICATE")
-    val metaPath = java.nio.file.Paths.get(s"$bundleDir/bundle.json")
-    require(java.nio.file.Files.exists(metaPath),
+    val metaPath = new org.apache.hadoop.fs.Path(s"$bundleDir/bundle.json")
+    val metaFs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(metaFs.exists(metaPath),
       s"not a bundle (no bundle.json): $bundleDir")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    val in = metaFs.open(metaPath)
+    val meta = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
     def field(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[0-9-]+)").r
       m.findFirstMatchIn(meta).map(_.group(1)).getOrElse(
@@ -3701,19 +3891,19 @@ final class GraftClient(
     val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
     toPhysical(live.withColumn(PartCol, bucket), schema)
       .write.partitionBy(PartCol).parquet(staging)
-    val stagingDir = new java.io.File(staging)
-    val partDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val partDirs = listPath(stagingPath)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$PartCol="))
     val minTx = files.map(_.txId).min
-    val staged = partDirs.toSeq.map { d =>
+    val staged = partDirs.map { st =>
       val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      java.nio.file.Files.move(d.toPath,
-        new java.io.File(s"$rootDir/$name").toPath)
+      movePath(st.getPath, dataPath(name))
       val (rows, stats) =
         ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
       (name, rows, stats)
     }
-    deleteRecursively(stagingDir)
+    deletePath(stagingPath)
     // row conservation BEFORE any action lands: a lost or duplicated row
     // must fail the tx, not commit a corrupt layout
     val written = staged.map(_._2).sum
@@ -3722,7 +3912,7 @@ final class GraftClient(
       s"rebucket wrote $written rows but inputs held $expected")
     staged.foreach { case (name, rows, stats) =>
       if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
-      else deleteRecursively(new java.io.File(s"$rootDir/$name"))
+      else deletePath(dataPath(name))
     }
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
   }
@@ -3775,8 +3965,7 @@ final class GraftClient(
     val files = snap.liveFiles(table)
     val dvs = snap.liveDvs(table)
     val sizeBytes = files.map { f =>
-      val d = new java.io.File(rootDir, f.path)
-      Option(d.listFiles()).getOrElse(Array.empty).map(_.length()).sum
+      listPath(dataPath(f.path)).filter(_.isFile).map(_.getLen).sum
     }.sum
     val row = Row(table, snap.version, files.length.toLong,
       files.map(_.numRows).sum - dvs.map(_.numRows).sum,
@@ -4027,11 +4216,14 @@ final class GraftClient(
     require(columns.distinct.length == columns.length,
       s"duplicate z-order columns: ${columns.mkString(",")}")
     val schema = schemaOf(table)
+    // dotted paths z-order on nested-struct leaves (the same per-segment
+    // resolution clusterByBounded uses): their footer stats prune like
+    // flat columns, so a (meta.ts, flat) z-layout prunes BOTH axes
     columns.foreach { c =>
-      val f = schema.fields.find(_.name == c)
-        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
-      require(f.dataType.isInstanceOf[NumericType],
-        s"z-order needs numeric columns; $c is ${f.dataType}")
+      require(hasColumnPath(schema, c), s"no such column: $c")
+      val dt = typeAtPath(schema, c)
+      require(dt.isInstanceOf[NumericType],
+        s"z-order needs numeric columns; $c is ${dt.simpleString}")
     }
     // bounds only steer bucket balance, never correctness (mayOverlap is
     // computed from the REWRITTEN footers)
@@ -4111,11 +4303,11 @@ final class GraftClient(
       }.toSet
       t.actions.foreach {
         case a: AddDataObject if !committed(a.path) =>
-          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+          deletePath(dataPath(a.path))
         case a: AddDeleteVector if !committed(a.path) =>
-          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+          deletePath(dataPath(a.path))
         case a: AddCdcObject =>
-          deleteRecursively(new java.io.File(s"$rootDir/${a.path}"))
+          deletePath(dataPath(a.path))
         case _ => ()
       }
     }
@@ -4167,18 +4359,21 @@ final class GraftClient(
           case _ => ()
         }
       }
-    val victims = Option(new java.io.File(rootDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        ((f.getName.startsWith("_table_") && !keep(f.getName)) ||
+    val victims = listPath(rootPath)
+      .filter(st => st.isDirectory && {
+        val n = st.getPath.getName
+        (n.startsWith("_table_") && !keep(n)) ||
           // a crash between a compact/rewrite staging write and its moves
-          // strands a _staging_* dir no log entry ever references
-          f.getName.startsWith("_staging_")))
+          // strands a _staging_* dir no log entry ever references;
+          // _cdfspill_* pages of wide-window change-feed reads reclaim
+          // here too (their lifetime contract — see changesByFile)
+          n.startsWith("_staging_") || n.startsWith("_cdfspill_")
+      })
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
     if (!dryRun) {
-      victims.foreach(deleteRecursively)
+      victims.foreach(st => deletePath(st.getPath))
       // log retention: entries below the newest checkpoint that still
       // covers every retained snapshot are replayed by nobody — reclaim
       // them so the log (and each begin()'s listing) stays bounded. Time
@@ -4187,11 +4382,6 @@ final class GraftClient(
       pruneTarget.foreach(txLog.pruneTo)
     }
     victims.length
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 
   def hasOpenTx: Boolean = tx.isDefined

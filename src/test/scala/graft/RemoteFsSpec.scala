@@ -19,12 +19,11 @@ import graft.table.GraftClient
   * depends only on `spark.read.parquet` / `df.write.parquet` semantics,
   * exactly the split Delta runs on (LogStore vs Hadoop FS).
   *
-  * Deliberately OUT of scope, per the documented client contract
-  * (GraftClient constructor note): maintenance re-layouts
-  * (insertPartitioned/compact/clusterBy staging moves) and vacuum use
-  * driver-local file ops and would need Hadoop rename/delete to go
-  * remote — that port point is called out in the doc, not silently
-  * assumed.
+  * The MAINTENANCE data plane rides the same abstraction (round 11):
+  * staging moves (insertPartitioned/compact/clusterBy/REORG), vacuum
+  * deletes, manifest listings, and CDF spill pages all go through the
+  * Hadoop FileSystem resolved from rootDir's scheme — pinned below by
+  * running the full maintenance lifecycle with rootDir on graftfs://.
   */
 final class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfs"
@@ -88,5 +87,93 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(!c2.tables.contains("t"),
       "log lives in the store, not on the data filesystem")
     c2.rollback()
+  }
+
+  test("maintenance data plane crosses the non-local scheme: " +
+    "partitioned insert, compact, cluster, z-order, REORG, manifest, " +
+    "wide-window CDF spill, vacuum") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft_remote_fs_maint").toString
+    val root = s"graftfs:$local"
+    val c = new GraftClient(ss, root,
+      logStore = Some(new InMemoryObjectStore))
+
+    def fixture(i: Long) = (i, (i % 5).toInt, s"v$i", i.toDouble)
+
+    c.newTx()
+    c.createTable("m", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", IntegerType, nullable = false),
+      StructField("v", StringType),
+      StructField("x", DoubleType, nullable = false))))
+    c.setTableProperties("m", Map("graft.enableChangeDataFeed" -> "true"))
+    c.commitTx()
+    // insertPartitioned: leaf-dir walk + renames on the remote scheme
+    c.newTx()
+    c.insertPartitioned("m", (0L until 100L).map(fixture)
+      .toDF("k", "p", "v", "x"), "p")
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("m").length == 5)
+    assert(c.scan("m").count() == 100)
+    c.rollback()
+    // several small appends to give compact bins, then compact
+    (0 until 4).foreach { j =>
+      c.newTx()
+      c.insert("m", (100L + j * 10 until 110L + j * 10).map(fixture)
+        .toDF("k", "p", "v", "x"))
+      c.commitTx()
+    }
+    c.newTx(); c.compact("m", targetRows = 64); c.commitTx()
+    c.newTx()
+    assert(c.scan("m").count() == 140)
+    // clusterBy + z-order: relayout staging rides the scheme
+    c.clusterBy("m", "k", numBuckets = 4)
+    c.commitTx()
+    c.newTx(); c.clusterByZOrder("m", "k", "x", numBuckets = 4); c.commitTx()
+    c.newTx()
+    assert(c.scan("m").count() == 140)
+    // REORG (rewriteObjects) after a metadata-only drop
+    c.dropColumn("m", "v")
+    c.commitTx()
+    c.newTx(); c.materializeSchema("m"); c.commitTx()
+    c.newTx()
+    assert(c.scan("m").count() == 140)
+    assert(c.scan("m").columns.toSet == Set("k", "p", "x", "_tx_id", "_row_idx"))
+    // manifest export lists part files through the scheme
+    val outDir = Files.createTempDirectory("graft_remote_mf").toString
+    val mf = c.generateManifest("m", outDir)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(mf)))
+      .asScala.filter(_.nonEmpty)
+    assert(lines.nonEmpty && lines.forall(_.startsWith("graftfs:")),
+      s"manifest must list scheme-qualified paths, got: ${lines.take(2)}")
+    c.rollback()
+    // wide-window CDF with a tiny union page size: spill pages must be
+    // written and read through the scheme, under the client's spill root
+    ss.conf.set("spark.graft.cdf.unionPageSize", "2")
+    try {
+      c.newTx()
+      val changes = c.changesByFile("m", 0, c.latestVersion)
+      assert(changes.count() > 0)
+      assert(changes.inputFiles.forall(_.startsWith("graftfs:")),
+        "CDF spill pages must live on the data filesystem")
+      c.rollback()
+    } finally ss.conf.unset("spark.graft.cdf.unionPageSize")
+    val spills = new java.io.File(local).listFiles()
+      .filter(_.getName.startsWith("_cdfspill_"))
+    assert(spills.nonEmpty, "wide-window CDF must spill under rootDir")
+    // vacuum reclaims superseded objects AND the spill root remotely
+    c.vacuum(retainVersions = 0)
+    val after = new java.io.File(local).listFiles().map(_.getName)
+    assert(!after.exists(_.startsWith("_cdfspill_")),
+      "vacuum must reclaim CDF spill roots")
+    assert(!after.exists(_.startsWith("_staging_")))
+    c.newTx()
+    assert(c.scan("m").count() == 140, "vacuum must spare the live set")
+    c.rollback()
   }
 }

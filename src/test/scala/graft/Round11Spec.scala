@@ -1,0 +1,370 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-11 pins: nested-leaf parity (blooms, initial defaults, z-order
+  * on struct leaves), the one-directional nullability contract (declared
+  * NOT NULL enforced at write time, top-level and nested), '.'-in-name
+  * refusal at DDL time, the Dataset-level provenance stamp (contiguous
+  * ids with no RDD hop), and the mid-stream schema-evolution contract
+  * (loud named failure, restart adopts the new schema).
+  */
+class Round11Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def metaSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("ts", LongType))))))
+
+  private def metaRow(id: Long, source: String, ts: Long) =
+    org.apache.spark.sql.Row(id, org.apache.spark.sql.Row(source, ts))
+
+  private def metaDf(rows: Seq[(Long, String, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, s, t) => metaRow(i, s, t) }.asJava, metaSchema)
+  }
+
+  // ---------------------------------------------------------------- //
+  // nested blooms: the point-lookup tier works on struct leaves
+  // ---------------------------------------------------------------- //
+
+  test("bloom on a nested leaf prunes objects stats alone cannot") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_r11_nbloom").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", metaSchema)
+    // value-scattered fixture: every object's (min, max) on meta.source
+    // spans the probe, so stats keep ALL objects; the blooms don't
+    (0 until 4).foreach { o =>
+      c.insert("t", metaDf((0 until 50).map(i =>
+        (o * 50L + i, if (i == 0) "aaa" else if (i == 49) "zzz"
+         else s"mid_${o}_$i", i.toLong))))
+    }
+    c.commitTx()
+    c.newTx()
+    val statsOnly = c.prunedObjects("t",
+      Seq("meta.source" -> ("mid_2_7", "mid_2_7")), Nil).length
+    assert(statsOnly == 4, s"scattered fixture must defeat stats: $statsOnly")
+    c.buildBloom("t", "meta.source", numBits = 4096)
+    c.commitTx()
+    c.newTx()
+    val withBloom = c.prunedObjects("t", Nil,
+      Seq("meta.source" -> "mid_2_7"))
+    assert(withBloom.length < statsOnly,
+      s"nested bloom must prune: ${withBloom.length} vs $statsOnly")
+    val hit = c.scanEquals("t", "meta.source", "mid_2_7")
+    assert(hit.count() == 1, "exact semantics survive the bloom tier")
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
+  // in-struct initial defaults
+  // ---------------------------------------------------------------- //
+
+  test("addColumnWithDefault on a nested leaf: pre-alter rows read the " +
+    "default, post-alter nulls stay null, REORG bakes it") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_r11_ndef").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", metaSchema)
+    c.insert("t", metaDf(Seq((1L, "a", 10L), (2L, "b", 20L))))
+    c.commitTx()
+    c.newTx()
+    c.addColumnWithDefault("t",
+      StructField("meta.lang", StringType, nullable = true), "'en'")
+    c.commitTx()
+    // post-alter writer: one explicit value, one explicit null
+    c.newTx()
+    import scala.jdk.CollectionConverters._
+    val evolved = c.schemaOf("t")
+    c.insert("t", ss.createDataFrame(Seq(
+      org.apache.spark.sql.Row(3L,
+        org.apache.spark.sql.Row("c", 30L, "fr")),
+      org.apache.spark.sql.Row(4L,
+        org.apache.spark.sql.Row("d", 40L, null))).asJava, evolved))
+    c.commitTx()
+    def langs(cl: GraftClient): Map[Long, String] = {
+      cl.newTx()
+      try cl.scan("t").select(col("id"), col("meta.lang")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else r.getString(1))).toMap
+      finally cl.rollback()
+    }
+    val want = Map(1L -> "en", 2L -> "en", 3L -> "fr", 4L -> null)
+    assert(langs(c) == want,
+      "pre-alter rows read the default; an explicit post-alter null stays")
+    // the fill survives compaction (original txIds preserved) and is
+    // BAKED by REORG (physical bytes, metadata cleared of mapping)
+    c.newTx(); c.compact("t", targetRows = 1000); c.commitTx()
+    assert(langs(c) == want, "fill survives compaction")
+    c.newTx(); c.materializeSchema("t"); c.commitTx()
+    assert(langs(c) == want, "REORG bakes the default into the bytes")
+  }
+
+  // ---------------------------------------------------------------- //
+  // z-order on a nested leaf
+  // ---------------------------------------------------------------- //
+
+  test("z-order on (meta.ts, x) prunes BOTH axes post-layout") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_r11_nz").toString
+    val c = new GraftClient(ss, root)
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("ts", LongType))))))
+    c.newTx()
+    c.createTable("t", schema)
+    // row-major grid: neither axis is clustered on insert
+    val rows = (0 until 1024).map { i =>
+      org.apache.spark.sql.Row(i.toLong, (i % 32).toDouble,
+        org.apache.spark.sql.Row((i / 32).toLong))
+    }
+    c.insert("t", ss.createDataFrame(rows.asJava, schema).repartition(8))
+    c.commitTx()
+    c.newTx()
+    c.clusterByZOrder("t", Seq("meta.ts", "x"), numBuckets = 16)
+    c.commitTx()
+    c.newTx()
+    val total = c.objects("t").length
+    assert(total >= 8, s"z-order should produce several objects: $total")
+    val byTs = c.prunedObjects("t",
+      Seq("meta.ts" -> (2L, 3L)), Nil).length
+    val byX = c.prunedObjects("t",
+      Seq("x" -> (2.0, 3.0)), Nil).length
+    assert(byTs < total && byX < total,
+      s"both axes must prune after z-order: ts=$byTs x=$byX of $total")
+    assert(c.scanRange("t", "meta.ts", 2L, 3L).count() == 64)
+    assert(c.scanRange("t", "x", 2.0, 3.0).count() == 64)
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
+  // one-directional nullability: declared NOT NULL enforced at write
+  // ---------------------------------------------------------------- //
+
+  test("a null written to a declared non-nullable column fails the tx, " +
+    "top-level and nested; null parents stay legal") {
+    val ss = spark
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_r11_nn").toString
+    val c = new GraftClient(ss, root)
+    val declared = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType, nullable = false),
+        StructField("opt", StringType))))))
+    c.newTx()
+    c.createTable("t", declared)
+    c.commitTx()
+    // the frame arrives all-nullable (the parquet-read reality)
+    val loose = StructType(Seq(
+      StructField("k", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType),
+        StructField("opt", StringType))))))
+    def frame(rows: Seq[org.apache.spark.sql.Row]) =
+      ss.createDataFrame(rows.asJava, loose)
+    // legal: values present; null PARENT struct is fine (leaf constraint
+    // scopes to present parents); null in the nullable leaf is fine
+    c.newTx()
+    c.insert("t", frame(Seq(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("a", null)),
+      org.apache.spark.sql.Row(2L, null))))
+    c.commitTx()
+    c.newTx()
+    assert(c.scan("t").count() == 2)
+    c.rollback()
+    // violation: null top-level k
+    c.newTx()
+    val e1 = intercept[Exception] {
+      c.insert("t", frame(Seq(
+        org.apache.spark.sql.Row(null, org.apache.spark.sql.Row("x", null)))))
+    }
+    assert(e1.getMessage != null)
+    c.rollback()
+    // violation: null nested src under a PRESENT parent
+    c.newTx()
+    val e2 = intercept[Exception] {
+      c.insert("t", frame(Seq(
+        org.apache.spark.sql.Row(3L, org.apache.spark.sql.Row(null, "y")))))
+    }
+    assert(e2.getMessage != null)
+    c.rollback()
+    // nothing from the failed writes leaked
+    c.newTx()
+    assert(c.scan("t").count() == 2, "failed writes must not land rows")
+    c.rollback()
+  }
+
+  test("insertEvolving refuses a frame omitting a non-nullable nested leaf") {
+    val ss = spark
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_r11_evnn").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("src", StringType, nullable = false),
+        StructField("opt", StringType)))))))
+    c.commitTx()
+    // frame's struct lacks the non-nullable leaf `src`
+    val partial = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("opt", StringType))))))
+    c.newTx()
+    val e = intercept[IllegalArgumentException] {
+      c.insertEvolving("t", ss.createDataFrame(Seq(
+        org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("o")))
+        .asJava, partial))
+    }
+    assert(e.getMessage.contains("non-nullable nested field meta.src"),
+      e.getMessage)
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
+  // '.' in declared names refuses at DDL time
+  // ---------------------------------------------------------------- //
+
+  test("createTable and addColumn refuse '.' in field names at any depth") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_r11_dots").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    val e1 = intercept[IllegalArgumentException] {
+      c.createTable("t", StructType(Seq(
+        StructField("a.b", LongType, nullable = false))))
+    }
+    assert(e1.getMessage.contains("may not contain '.'"), e1.getMessage)
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    // a struct column whose INNER field is dotted is just as misroutable
+    val e2 = intercept[IllegalArgumentException] {
+      c.addColumn("t", StructField("m", StructType(Seq(
+        StructField("x.y", LongType)))))
+    }
+    assert(e2.getMessage.contains("may not contain '.'"), e2.getMessage)
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
+  // Dataset-level provenance stamp: contiguous, unique, ordered
+  // ---------------------------------------------------------------- //
+
+  test("multi-partition insert stamps contiguous unique row indexes; " +
+    "later writes in the tx sort after") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r11_stamp").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    c.insert("t", (0L until 997L).toDF("k").repartition(13))
+    // buffered row AFTER the bulk insert must get a larger index
+    c.writeRow("t", Seq(9999L))
+    c.commitTx()
+    c.newTx()
+    val idx = c.scan("t").select("_row_idx").as[Long].collect().sorted
+    assert(idx.length == 998)
+    assert(idx.toSeq == (0L until 998L),
+      "row indexes must be exactly 0..n-1 (contiguous, unique)")
+    val lateIdx = c.scan("t").filter(col("k") === 9999L)
+      .select("_row_idx").as[Long].head()
+    assert(lateIdx == 997L, "post-bulk buffered row sorts after the bulk")
+    c.rollback()
+    // identity stamping rides the same scheme
+    c.newTx()
+    c.createTable("u", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))))
+    val start = c.insertIdentity("u",
+      (0L until 500L).toDF("v").repartition(7), "id")
+    assert(start == 0L)
+    val start2 = c.insertIdentity("u",
+      (500L until 600L).toDF("v").repartition(3), "id")
+    assert(start2 == 500L, "second reservation starts at the high water")
+    c.commitTx()
+    c.newTx()
+    val ids = c.scan("u").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 600L),
+      "identity ids must be exactly 0..n-1 across both inserts")
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
+  // mid-stream schema evolution: loud named failure, restart adopts
+  // ---------------------------------------------------------------- //
+
+  test("a running stream fails loudly when the table evolves " +
+    "mid-stream; a restarted stream adopts the new schema") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r11_sev").toString
+    val ckpt = Files.createTempDirectory("graft_r11_sev_ck").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    c.insert("t", Seq(1L, 2L).toDF("k"))
+    c.commitTx()
+
+    val q = ss.readStream.format("graft")
+      .option("table", "t").load(root)
+      .writeStream.format("memory").queryName("r11_sev")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(ss.table("r11_sev").count() == 2)
+      // evolve BETWEEN micro-batches, then commit more rows
+      c.newTx(); c.addColumn("t", StructField("v", StringType)); c.commitTx()
+      c.newTx()
+      import scala.jdk.CollectionConverters._
+      c.insert("t", ss.createDataFrame(
+        Seq(org.apache.spark.sql.Row(3L, "x")).asJava, c.schemaOf("t")))
+      c.commitTx()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause match {
+        case null => e.getMessage
+        case cause => cause.getMessage + e.getMessage
+      }
+      assert(msg.contains("schema changed mid-stream"),
+        s"must fail with the named evolution error, got: $msg")
+    } finally q.stop()
+
+    // a FRESH stream (new checkpoint) adopts the evolved schema
+    val ckpt2 = Files.createTempDirectory("graft_r11_sev_ck2").toString
+    val q2 = ss.readStream.format("graft")
+      .option("table", "t").load(root)
+      .writeStream.format("memory").queryName("r11_sev2")
+      .option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = ss.table("r11_sev2").orderBy("k")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      assert(got == Seq((1L, null), (2L, null), (3L, "x")),
+        s"restarted stream reads old rows as null in the new column: $got")
+    } finally q2.stop()
+  }
+}
