@@ -1,0 +1,79 @@
+package graft
+
+import graft.store.{HttpObjectStore, InMemoryObjectStore, ObjectStore, ObjectStoreHttpServer}
+import graft.tx._
+
+/** Checkpoint-format micro-bench: cold `begin()` (full replay from the
+  * newest checkpoint) over a synthetic 20k-object snapshot, parquet
+  * parts vs the legacy JSON parts — in-memory (pure decode cost) and
+  * over the real HTTP store (decode + transfer, where the win is
+  * largest). Prints one JSON line; numbers recorded in BASELINE.md
+  * ("Checkpoint format").
+  *
+  * No Spark session: the checkpoint codec is a log-plane concern.
+  */
+object BenchCkpt {
+  private def actions(objects: Int): Vector[Action] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    Vector[Action](ChangeMetadata("t", schema)) ++
+      (0 until objects).toVector.map { i =>
+        AddDataObject("t", f"_table_t_$i%08d", txId = i / 10L,
+          numRows = 100000L + i,
+          stats = Map(
+            "k" -> ColStats(i.toLong, i + 100L, Some(0L)),
+            "v" -> ColStats(s"doc_$i%08d", s"doc_$i%08d_zzz", Some(3L))))
+      }
+  }
+
+  private def coldBegin(store: ObjectStore, reps: Int): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      TxLog.clearSnapshotCache()
+      val t0 = System.nanoTime()
+      val snap = new TxLog(store).begin()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(snap.liveFiles("t").nonEmpty)
+      best = math.min(best, dt)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val snap = Snapshot(n + 100L, actions(n))
+
+    val pqMem = new InMemoryObjectStore
+    new TxLog(pqMem).checkpoint(snap)
+    val jsMem = new InMemoryObjectStore
+    new TxLog(jsMem).checkpointJson(snap)
+    val pqMemT = coldBegin(pqMem, 5)
+    val jsMemT = coldBegin(jsMem, 5)
+
+    val pqBytes = pqMem.listPrefixOrdered(TxLog.CkptPartPrefix)
+      .map(pqMem.read(_).length.toLong).sum
+    val jsBytes = jsMem.listPrefixOrdered(TxLog.CkptPartPrefix)
+      .map(jsMem.read(_).length.toLong).sum
+
+    // HTTP variant: same checkpoints served over real sockets
+    val pqSrv = new ObjectStoreHttpServer(pqMem, 0)
+    val jsSrv = new ObjectStoreHttpServer(jsMem, 0)
+    val (pqHttpT, jsHttpT) =
+      try (coldBegin(new HttpObjectStore(pqSrv.url), 3),
+        coldBegin(new HttpObjectStore(jsSrv.url), 3))
+      finally { pqSrv.stop(); jsSrv.stop() }
+
+    println(s"""{"metric":"ckpt_cold_begin","objects":$n,""" +
+      s""""parquet_mem_sec":${f"$pqMemT%.3f"},""" +
+      s""""json_mem_sec":${f"$jsMemT%.3f"},""" +
+      s""""parquet_http_sec":${f"$pqHttpT%.3f"},""" +
+      s""""json_http_sec":${f"$jsHttpT%.3f"},""" +
+      s""""parquet_bytes":$pqBytes,"json_bytes":$jsBytes}""")
+    // the JDK HttpServer's executor threads are non-daemon; don't let a
+    // lingering dispatcher keep the forked bench JVM alive
+    sys.exit(0)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.tx
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.MessageTypeParser
+
+/** PARQUET checkpoint parts (Delta moved its checkpoints from JSON to
+  * parquet for exactly this): a cold `begin()` on a 10⁶-object table
+  * otherwise parses O(objects) of JSON text on the driver. One row per
+  * action; the O(objects) fields (kind/table/path/txId/numRows/rowBase)
+  * are TYPED columns decoded by parquet's columnar reader, while the
+  * variable sidecars (stats/blooms/ndv) stay compact JSON strings in
+  * optional columns — Delta's own checkpoint shape (its `add.stats` is
+  * a JSON string column too). The metadata-sized action types
+  * (ChangeMetadata/SetTxn/constraints/properties/protocol — O(tables),
+  * not O(objects)) ride whole as one JSON `body` column.
+  *
+  * Parts are written through the [[graft.store.ObjectStore]] byte API
+  * (the log plane's only contract), so the encode/decode stages through
+  * a driver-local scratch file — parquet needs a seekable stream, and
+  * a part is ≤ maxPartBytes by construction, so the scratch is bounded.
+  * No Spark session is involved: checkpoints must be writable from any
+  * log-plane context (maintenance procedures, the commit hook).
+  *
+  * Legacy JSON checkpoints (multi-part and single-object) stay
+  * readable — the manifest's `format` field selects the codec
+  * ([[TxLog.readCheckpoint]]).
+  */
+private[tx] object CkptParquet {
+
+  private val Schema = MessageTypeParser.parseMessageType(
+    """message graft_ckpt {
+      |  required binary kind (UTF8);
+      |  optional binary tbl (UTF8);
+      |  optional binary path (UTF8);
+      |  optional int64 txId;
+      |  optional int64 numRows;
+      |  optional int64 rowBase;
+      |  optional binary stats (UTF8);
+      |  optional binary blooms (UTF8);
+      |  optional binary ndv (UTF8);
+      |  optional binary body (UTF8);
+      |}""".stripMargin)
+
+  /** Approximate serialized size of one action — the part-boundary
+    * estimator (bounds driver memory per part; never exact, never
+    * needs to be).
+    */
+  def sizeEstimate(a: Action): Long = a match {
+    case ad: AddDataObject =>
+      64L + ad.path.length + ad.table.length +
+        ad.stats.iterator.map { case (c, _) => c.length + 48L }.sum +
+        ad.blooms.iterator.map { case (c, b) =>
+          c.length + b.words.length * 20L + 16L }.sum +
+        ad.ndv.iterator.map { case (c, b) =>
+          c.length + (b.length * 4L) / 3 + 16L }.sum
+    case _ => 256L
+  }
+
+  private def ndvToJson(ndv: Map[String, Array[Byte]]): JValue =
+    JObj(ndv.map { case (c, blob) =>
+      c -> Json.str(java.util.Base64.getEncoder.encodeToString(blob))
+    })
+
+  private def ndvFromJson(v: JValue): Map[String, Array[Byte]] =
+    v.asObj.map { case (c, s) =>
+      c -> java.util.Base64.getDecoder.decode(s.asStr)
+    }
+
+  def write(actions: Seq[Action]): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempFile("graft_ckpt_w", ".parquet")
+    java.nio.file.Files.delete(tmp) // the writer requires a fresh path
+    try {
+      val conf = new Configuration()
+      GroupWriteSupport.setSchema(Schema, conf)
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(tmp.toString))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      val f = new SimpleGroupFactory(Schema)
+      try actions.foreach { a =>
+        val g = f.newGroup()
+        a match {
+          case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv) =>
+            g.append("kind", "add").append("tbl", t).append("path", p)
+            g.append("txId", tx).append("numRows", n)
+            rowBase.foreach(b => g.append("rowBase", b))
+            if (stats.nonEmpty)
+              g.append("stats", Json.write(TxLog.statsToJson(stats)))
+            if (blooms.nonEmpty)
+              g.append("blooms", Json.write(TxLog.bloomsToJson(blooms)))
+            if (ndv.nonEmpty)
+              g.append("ndv", Json.write(ndvToJson(ndv)))
+          case AddDeleteVector(t, p, tx, n) =>
+            g.append("kind", "dv").append("tbl", t).append("path", p)
+            g.append("txId", tx).append("numRows", n)
+          case AddCdcObject(t, p, tx, n) =>
+            g.append("kind", "cdc").append("tbl", t).append("path", p)
+            g.append("txId", tx).append("numRows", n)
+          case other =>
+            g.append("kind", "other")
+            g.append("body", Json.write(TxLog.actionToJson(other)))
+        }
+        w.write(g)
+      } finally w.close()
+      java.nio.file.Files.readAllBytes(tmp)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  def read(bytes: Array[Byte]): Vector[Action] = {
+    val tmp = java.nio.file.Files.createTempFile("graft_ckpt_r", ".parquet")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(tmp.toString))
+        .withConf(new Configuration())
+        .build()
+      val out = Vector.newBuilder[Action]
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += fromGroup(g)
+          g = reader.read()
+        }
+      } finally reader.close()
+      out.result()
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  private def optS(g: Group, field: String): Option[String] =
+    if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
+    else None
+  private def optL(g: Group, field: String): Option[Long] =
+    if (g.getFieldRepetitionCount(field) > 0) Some(g.getLong(field, 0))
+    else None
+
+  private def fromGroup(g: Group): Action = g.getString("kind", 0) match {
+    case "add" => AddDataObject(
+      optS(g, "tbl").get, optS(g, "path").get,
+      optL(g, "txId").get, optL(g, "numRows").get,
+      optS(g, "stats").map(s => TxLog.statsFromJson(Json.parse(s)))
+        .getOrElse(Map.empty),
+      optS(g, "blooms").map(s => TxLog.bloomsFromJson(Json.parse(s)))
+        .getOrElse(Map.empty),
+      optL(g, "rowBase"),
+      optS(g, "ndv").map(s => ndvFromJson(Json.parse(s)))
+        .getOrElse(Map.empty))
+    case "dv" => AddDeleteVector(optS(g, "tbl").get, optS(g, "path").get,
+      optL(g, "txId").get, optL(g, "numRows").get)
+    case "cdc" => AddCdcObject(optS(g, "tbl").get, optS(g, "path").get,
+      optL(g, "txId").get, optL(g, "numRows").get)
+    case "other" => TxLog.actionFromJson(Json.parse(optS(g, "body").get))
+    case unknown => throw new IllegalStateException(
+      s"unknown checkpoint action kind '$unknown' — written by a newer " +
+        "engine; refusing to replay partially")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.InMemoryObjectStore
+import graft.tx._
+
+/** Parquet checkpoint format pins (round 11): a 10k-object checkpoint
+  * written as parquet parts replays to a snapshot IDENTICAL to the JSON
+  * fold (every action field, stats/blooms/ndv sidecars included); legacy
+  * JSON checkpoints (multi-part and pre-format manifests) stay readable;
+  * parts stay size-bounded; retention reclaims parquet parts by the same
+  * names.
+  */
+class CkptFormatSpec extends AnyFunSuite {
+
+  private def syntheticActions(objects: Int): Vector[Action] = {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType)))
+    val adds = (0 until objects).toVector.map { i =>
+      AddDataObject("t", f"_table_t_$i%08d", txId = i / 10L,
+        numRows = 100L + i,
+        stats = Map(
+          "k" -> ColStats(i.toLong, i + 100L, Some(0L)),
+          "v" -> ColStats(s"a$i", s"z$i", Some(3L))),
+        blooms =
+          if (i % 7 == 0) Map("k" -> BloomData(4,
+            Vector.tabulate(16)(w => i.toLong * 31 + w)))
+          else Map.empty,
+        rowBase = if (i % 11 == 0) Some(i * 1000L) else None,
+        ndv =
+          if (i % 5 == 0) Map("k" -> Array.tabulate[Byte](64)(b =>
+            ((i + b) % 127).toByte))
+          else Map.empty)
+    }
+    Vector[Action](
+      SetProtocol(2, 2),
+      ChangeMetadata("t", schema),
+      SetConstraint("t", "pos", "k >= 0"),
+      SetProperties("t", Map("graft.appendOnly" -> "false")),
+      SetTxn("app1", 42L)) ++ adds ++ Vector[Action](
+      AddDeleteVector("t", "_table_t_dv_0", 3L, 7L))
+  }
+
+  /** Equality via the JSON codec — Action's ndv carries Array[Byte],
+    * whose case-class equality is reference equality.
+    */
+  private def canon(as: Seq[Action]): Seq[String] =
+    as.map(a => Json.write(TxLog.actionToJson(a)))
+
+  test("10k-object parquet checkpoint replays bit-identical to the " +
+    "JSON fold, in bounded parts") {
+    val actions = syntheticActions(10000)
+    val snap = Snapshot(10123L, actions)
+
+    val pqStore = new InMemoryObjectStore
+    new TxLog(pqStore).checkpoint(snap, maxPartBytes = 1 << 20)
+    val jsStore = new InMemoryObjectStore
+    new TxLog(jsStore).checkpointJson(snap, maxPartBytes = 1 << 20)
+
+    // manifest declares the format; several bounded parts exist
+    val mf = new String(pqStore.read(TxLog.ckptName(10123L)), "UTF-8")
+    assert(mf.contains("\"format\":\"parquet\"") ||
+      mf.contains("\"format\": \"parquet\""), mf)
+    val parts = pqStore.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(parts.length > 1, s"expected multiple parts, got $parts")
+    parts.foreach { p =>
+      assert(pqStore.read(p).length < (2 << 20),
+        s"part $p exceeds the size bound")
+    }
+
+    val fromPq = new TxLog(pqStore).begin()
+    val fromJs = new TxLog(jsStore).begin()
+    assert(fromPq.version == fromJs.version)
+    assert(canon(fromPq.actions) == canon(fromJs.actions),
+      "parquet and JSON checkpoints must fold to the identical snapshot")
+    // spot-check typed round-trips survived the columnar codec
+    val adds = fromPq.liveFiles("t")
+    assert(adds.length == 10000)
+    assert(adds.exists(_.blooms.nonEmpty) && adds.exists(_.ndv.nonEmpty) &&
+      adds.exists(_.rowBase.isDefined))
+    assert(fromPq.liveDvs("t").length == 1)
+    assert(fromPq.protocol == SetProtocol(2, 2))
+    assert(fromPq.txns().get("app1").contains(42L))
+  }
+
+  test("legacy JSON checkpoints (format-less manifests) stay readable " +
+    "and retention reclaims parquet parts by name") {
+    val actions = syntheticActions(50)
+    val snap = Snapshot(60L, actions)
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.checkpointJson(snap) // the pre-round-11 on-disk form
+    assert(canon(log.begin().actions) == canon(snap.actions.filterNot(_ ==
+      SetProperties("t", Map("graft.appendOnly" -> "false")))) ||
+      log.begin().liveFiles("t").length == 50,
+      "legacy JSON checkpoint must replay")
+    // a newer parquet checkpoint at a later version supersedes it...
+    val snap2 = Snapshot(80L, actions)
+    log.checkpoint(snap2)
+    assert(log.begin().liveFiles("t").length == 50)
+    // ...and pruneTo reclaims BOTH formats' parts below the horizon
+    val removed = log.pruneTo(80L)
+    assert(removed > 0)
+    assert(store.listPrefixOrdered(TxLog.CkptPartPrefix)
+      .forall(_.startsWith(TxLog.ckptPartName(80L, 0).take(30))),
+      "only the newest checkpoint's parts survive")
+    assert(log.begin().liveFiles("t").length == 50)
+  }
+}
