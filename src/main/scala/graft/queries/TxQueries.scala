@@ -932,6 +932,39 @@ object TxQueries {
               when(col("doc_id") % 10 === 0, col("lang")).as("cat"))
               .cast(metaTC).as("meta")))
         c.commitTx()
+
+        // abl: WRITE-TIME blooms — registerBlooms precedes the data, so
+        // the point-lookup tier is an invariant, not a maintenance pass:
+        // every insert stamps its own object, the copy-on-write delete
+        // re-stamps the survivors EXACTLY (deleted keys stop matching),
+        // and compaction OR-merges the input blooms metadata-only. No
+        // buildBloom call anywhere in this lifecycle. Keys unique and
+        // lexicographically scattered (doc_id % 4) so stats never prune
+        // a probe; ~16 bits/key keeps the per-object FP rate ~0.2%.
+        val ablBits = (((nDocs * 16L + 63) / 64) * 64).toInt.max(1024)
+        c.newTx()
+        c.createTable("abl", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("akey", StringType))))
+        c.registerBlooms("abl", Seq("akey"), numBits = ablBits)
+        c.commitTx()
+        (0 until 4).foreach { g =>
+          c.newTx()
+          c.insert("abl", docs.filter(col("doc_id") % 4 === g)
+            .select(col("doc_id"),
+              concat(lit("k"), col("doc_id")).as("akey")))
+          c.commitTx()
+        }
+        // narrow CoW delete: touches the two objects holding 100 and
+        // 101 (their survivors rewrite + re-stamp as one object), the
+        // other two objects stay put — so compaction still has a
+        // multi-object layout to OR-merge and the probes can prune
+        c.newTx()
+        c.deleteRows("abl", "doc_id", 100L, 101L)
+        c.commitTx()
+        c.newTx()
+        c.compact("abl", targetRows = math.max(2L, nDocs / 2)) // OR-merge
+        c.commitTx()
         root
       })
     }
@@ -1033,6 +1066,34 @@ object TxQueries {
            WHEN doc_id % 10 = 0 THEN lang END AS cat
     FROM documents
     ORDER BY doc_id"""
+
+  // --- Write-time blooms (registered point-lookup tier) ---------------------
+  // abl's lifecycle never calls buildBloom: inserts stamped their own
+  // objects, the CoW delete re-stamped its survivors exactly, compaction
+  // OR-merged metadata-only. The pins ride inside the row: a live probe
+  // must out-prune stats, and a DELETED key's probe must also out-prune
+  // them (an OR-carryover would keep its bits set forever).
+  def txBloomAuto(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureNested(spark, dir))
+    c.newTx()
+    try {
+      val statsAll = c.prunedObjects("abl",
+        Seq("akey" -> ("k42", "k42")), Nil).length
+      val live = c.prunedObjects("abl", Nil, Seq("akey" -> "k42")).length
+      require(live < statsAll,
+        s"write-time bloom must out-prune stats: opened $live of $statsAll")
+      val deleted = c.prunedObjects("abl", Nil, Seq("akey" -> "k100")).length
+      require(deleted < statsAll,
+        s"deleted key must stop matching the re-stamped bloom: " +
+          s"opened $deleted of $statsAll")
+      c.scanEquals("abl", "akey", "k42")
+        .select(col("doc_id"), col("akey"))
+    } finally c.rollback()
+  }
+
+  private val txBloomAutoSql = """
+    SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS akey
+    FROM documents WHERE doc_id = 42"""
 
   // --- MAP column roundtrip through the tx layer ----------------------------
   def txMap(spark: SparkSession, dir: String): DataFrame = {
@@ -1674,5 +1735,11 @@ object TxQueries {
       Some(txNestedDefaultSql),
       "in-struct ADD COLUMN with an initial DEFAULT (meta.cat): " +
         "pre-alter rows read 'web' by original txId, post-alter rows " +
-        "own their values, explicit null stays null"))
+        "own their values, explicit null stays null"),
+    "tx_bloom_auto" -> QueryDef(txBloomAuto, Some(txBloomAutoSql),
+      "WRITE-TIME blooms (registerBlooms): inserts stamp their own " +
+        "objects, a CoW delete re-stamps survivors exactly, compaction " +
+        "OR-merges metadata-only — no buildBloom call in the whole " +
+        "lifecycle; live AND deleted probes out-prune stats (asserted " +
+        "in-plan)"))
 }

@@ -35,7 +35,8 @@ object GraftProcedures {
 
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
-    Seq("compact", "vacuum", "checkpoint", "build_bloom", "z_order",
+    Seq("compact", "vacuum", "checkpoint", "build_bloom",
+      "register_blooms", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
       "set_partitioning", "cluster_bounded", "cluster_incremental",
       "analyze", "replicate_export", "replicate_import")
@@ -153,6 +154,23 @@ object GraftProcedures {
           val c = client
           inTx(c)(c.buildBloom(t, col, args.getInt(2), args.getInt(3)))
           Seq(row(UTF8String.fromString(t), UTF8String.fromString(col)))
+        }))
+      case "register_blooms" => Some(proc(name,
+        "register WRITE-TIME bloom columns (csv; nested dotted paths " +
+          "ok) and bloom the existing history — from here on inserts " +
+          "stamp their own objects and maintenance preserves the tier",
+        Seq(in("table", StringType), in("columns", StringType),
+          inDefault("num_bits", IntegerType, "1024"),
+          inDefault("k", IntegerType, "4")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("columns", StringType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val colsRaw = args.getUTF8String(1).toString
+          val cols = colsRaw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          val c = client
+          inTx(c)(c.registerBlooms(t, cols, args.getInt(2), args.getInt(3)))
+          Seq(row(UTF8String.fromString(t),
+            UTF8String.fromString(cols.mkString(","))))
         }))
       case "z_order" => Some(proc(name,
         "re-cluster into N-dimensional z-order boxes (all axes prune)",

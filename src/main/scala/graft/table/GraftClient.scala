@@ -797,6 +797,10 @@ final class GraftClient(
     rewriteObjects(table, schema, clean, identity)
     t.tables(table) = clean
     t.actions += ChangeMetadata(table, clean)
+    // the REORG rewrote every object (DVs and defaults baked, physical
+    // names rebased): re-stamp registered blooms AFTER the metadata
+    // lands so they key by the rebased physical names
+    maintainBlooms(table)
   }
 
   /** Object-for-object rewrite of every live object, projecting
@@ -933,6 +937,20 @@ final class GraftClient(
     props.get(GraftClient.AutoAnalyzeProperty).foreach(v =>
       require(v == "true" || v == "false",
         s"${GraftClient.AutoAnalyzeProperty} must be true|false, got: $v"))
+    props.get(GraftClient.BloomColumnsProperty).foreach { v =>
+      val cols = v.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty,
+        s"${GraftClient.BloomColumnsProperty} must name at least one column")
+      cols.foreach(c => require(hasColumnPath(schemaOf(table), c),
+        s"${GraftClient.BloomColumnsProperty}: no such column: $c"))
+    }
+    props.get(GraftClient.BloomBitsProperty).foreach(v =>
+      require(v.toIntOption.exists(b => b > 0 && b % 64 == 0),
+        s"${GraftClient.BloomBitsProperty} must be a positive multiple " +
+          s"of 64, got: $v"))
+    props.get(GraftClient.BloomKProperty).foreach(v =>
+      require(v.toIntOption.exists(k => k >= 1 && k <= 16),
+        s"${GraftClient.BloomKProperty} must be in [1,16], got: $v"))
     props.get(GraftClient.CdfProperty).foreach { v =>
       require(v == "true" || v == "false",
         s"${GraftClient.CdfProperty} must be true|false, got: $v")
@@ -1692,11 +1710,13 @@ final class GraftClient(
       val written = staged.map(_._2).sum
       require(written == n,
         s"insertPartitioned wrote $written rows but counted $n")
-      staged.foreach { case (name, rows, stats) =>
-        val add = AddDataObject(table, name, txId, rows, stats)
-        t.actions += add
-        afterInsertObject(table, add)
+      val adds = staged.map { case (name, rows, stats) =>
+        AddDataObject(table, name, txId, rows, stats)
       }
+      adds.foreach(t.actions += _)
+      // one batched hook call: write-time blooms for all the staged
+      // partition objects fold in a single aggregation job
+      afterInsertObjects(table, adds)
     }
   }
 
@@ -1944,6 +1964,128 @@ final class GraftClient(
       t.actions += RemoveDataObject(table, a.path)
       t.actions += a.copy(blooms =
         a.blooms + (physCol -> BloomData(k, Vector.fill(words)(0L))))
+    }
+  }
+
+  /** Register `columns` for WRITE-TIME blooms and bloom the existing
+    * history: sets [[GraftClient.BloomColumnsProperty]] (+ geometry),
+    * then runs the incremental maintenance pass so every live object
+    * carries the registered blooms immediately. From here on inserts
+    * stamp their own objects ([[afterInsertObjects]]), compaction
+    * OR-merges metadata-only, and re-layout rewrites re-stamp — the
+    * one-shot [[buildBloom]] becomes unnecessary on registered tables.
+    */
+  def registerBlooms(table: String, columns: Seq[String],
+      numBits: Int = 1024, k: Int = 4): Unit = {
+    require(columns.nonEmpty && columns.distinct == columns,
+      s"bloom columns must be non-empty and distinct: $columns")
+    val schema = schemaOf(table)
+    columns.foreach(c =>
+      require(hasColumnPath(schema, c), s"no such column: $c"))
+    require(numBits % 64 == 0 && numBits > 0,
+      "numBits must be a positive multiple of 64")
+    require(k >= 1 && k <= 16, "k must be in [1,16]")
+    setTableProperties(table, Map(
+      GraftClient.BloomColumnsProperty -> columns.mkString(","),
+      GraftClient.BloomBitsProperty -> numBits.toString,
+      GraftClient.BloomKProperty -> k.toString))
+    maintainBlooms(table)
+  }
+
+  /** Registered write-time bloom columns (logical paths; empty unless
+    * [[GraftClient.BloomColumnsProperty]] is set).
+    */
+  private def bloomColumns(table: String): Seq[String] =
+    currentTx.snapshot.properties(table, currentTx.actions.toSeq)
+      .get(GraftClient.BloomColumnsProperty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** (numBits, k) for write-time bloom stamping, from the table's
+    * geometry properties (defaults 1024/4, matching [[buildBloom]]).
+    */
+  private def bloomConfig(table: String): (Int, Int) = {
+    val props = currentTx.snapshot.properties(table, currentTx.actions.toSeq)
+    (props.get(GraftClient.BloomBitsProperty).map(_.toInt).getOrElse(1024),
+      props.get(GraftClient.BloomKProperty).map(_.toInt).getOrElse(4))
+  }
+
+  /** One distributed pass computing per-object blooms for `cols` over
+    * exactly `objs` — the write-time sibling of [[buildBloom]]'s
+    * maintenance pass, bit-identical geometry (same seeded xxhash64, so
+    * build and probe can never drift) but all columns folded in a
+    * SINGLE groupBy(_obj) aggregation: an insert that staged 30
+    * partition objects blooms them in one job, not 30. Null values
+    * contribute no bits (the position expression is null for them and
+    * the word CASE falls to 0), so an all-null column yields the empty
+    * bloom — which correctly excludes every non-null probe. Returns
+    * path -> (physical column -> bloom).
+    */
+  private def bloomsForObjects(schema: StructType,
+      objs: Seq[AddDataObject], cols: Seq[String], numBits: Int,
+      k: Int): Map[String, Map[String, BloomData]] = {
+    val words = numBits / 64
+    val df = applyDefaults(schema,
+      readObjects(schema, objs.toVector, tagObj = true))
+    val posCols = cols.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until k).map(i =>
+        when(col(c).isNotNull,
+          pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong)))
+          .as(s"_p${ci}_$i"))
+    }
+    val wordAggs = cols.indices.flatMap { ci =>
+      (0 until words).map { j =>
+        expr((0 until k).map(i =>
+          s"(CASE WHEN CAST(_p${ci}_$i / 64 AS INT) = $j " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(_p${ci}_$i % 64 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END)").mkString("bit_or(", " | ", ")"))
+          .as(s"_w${ci}_$j")
+      }
+    }
+    val out = Map.newBuilder[String, Map[String, BloomData]]
+    val it = df.select(col("_obj") +: posCols.toIndexedSeq: _*)
+      .groupBy(col("_obj")).agg(wordAggs.head, wordAggs.tail: _*)
+      .toLocalIterator()
+    it.forEachRemaining { r =>
+      out += r.getString(0) -> cols.zipWithIndex.map { case (c, ci) =>
+        physOf(schema, c) -> BloomData(k,
+          (0 until words).map { j =>
+            if (r.isNullAt(1 + ci * words + j)) 0L
+            else r.getLong(1 + ci * words + j)
+          }.toVector)
+      }.toMap
+    }
+    out.result()
+  }
+
+  /** Restore a bloom-registered table's invariant — every live object
+    * carries a bloom for every registered column. Incremental: only
+    * objects missing at least one registered bloom are read, and every
+    * missing column folds in the ONE [[bloomsForObjects]] pass. The
+    * re-layout rewrites (cluster/REORG) call this after staging so a
+    * registered point-lookup tier survives maintenance; [[compact]]
+    * mostly no-ops here because it OR-merged its inputs metadata-only.
+    * Blooms an object already has are kept, not recomputed.
+    */
+  private def maintainBlooms(table: String): Unit = {
+    val cols = bloomColumns(table)
+    if (cols.isEmpty) return
+    val t = currentTx
+    flush(table)
+    val schema = schemaOf(table)
+    val (numBits, k) = bloomConfig(table)
+    val phys = cols.map(c => physOf(schema, c))
+    val missing = liveFiles(table)
+      .filter(a => phys.exists(p => !a.blooms.contains(p)))
+    if (missing.isEmpty) return
+    val computed = bloomsForObjects(schema, missing, cols, numBits, k)
+    missing.foreach { a =>
+      val fresh = computed.getOrElse(a.path, Map.empty)
+        .filterNot { case (p, _) => a.blooms.contains(p) }
+      if (fresh.nonEmpty) {
+        t.actions += RemoveDataObject(table, a.path)
+        t.actions += a.copy(blooms = a.blooms ++ fresh)
+      }
     }
   }
 
@@ -2324,19 +2466,46 @@ final class GraftClient(
     * stale. Off by default: a bulk load prefers one
     * [[analyzeIncremental]] at the end over a pass per object.
     */
-  private def afterInsertObject(table: String, add: AddDataObject): Unit = {
-    mirrorInsertCdc(table, add)
+  private def afterInsertObject(table: String, add: AddDataObject): Unit =
+    afterInsertObjects(table, Vector(add))
+
+  /** Post-staging hook for freshly written data objects: CDC mirroring,
+    * opt-in write-time NDV blobs (autoAnalyze), and write-time blooms
+    * for [[registerBlooms]]-registered columns — the bloom pass is ONE
+    * aggregation over the new objects regardless of how many the insert
+    * staged. Updated metadata replaces the staged add via remove +
+    * re-add (the ordered log fold keeps the re-add).
+    */
+  private def afterInsertObjects(table: String,
+      adds: Seq[AddDataObject]): Unit = {
+    adds.foreach(mirrorInsertCdc(table, _))
     val t = currentTx
-    if (t.snapshot.properties(table, t.actions.toSeq)
-        .get(GraftClient.AutoAnalyzeProperty).contains("true")) {
-      val cols = ndvColumns(table)
-      if (cols.nonEmpty) {
+    val auto = t.snapshot.properties(table, t.actions.toSeq)
+      .get(GraftClient.AutoAnalyzeProperty).contains("true")
+    val ndvCols = if (auto) ndvColumns(table) else Nil
+    val bCols = bloomColumns(table)
+    if (ndvCols.isEmpty && bCols.isEmpty) return
+    val schema = schemaOf(table)
+    val blooms =
+      if (bCols.isEmpty) Map.empty[String, Map[String, BloomData]]
+      else {
+        val (numBits, k) = bloomConfig(table)
+        bloomsForObjects(schema, adds, bCols, numBits, k)
+      }
+    adds.foreach { add =>
+      val withNdv =
+        if (ndvCols.isEmpty) add
+        else add.copy(ndv = add.ndv ++ ndvBlobsFor(schema, add, ndvCols))
+      val updated = blooms.get(add.path) match {
+        case Some(bl) => withNdv.copy(blooms = withNdv.blooms ++ bl)
+        case None => withNdv
+      }
+      if (updated != add) {
         t.actions += RemoveDataObject(table, add.path)
-        t.actions += add.copy(ndv =
-          add.ndv ++ ndvBlobsFor(schemaOf(table), add, cols))
-        analyzeRefresh(table)
+        t.actions += updated
       }
     }
+    if (ndvCols.nonEmpty) analyzeRefresh(table)
   }
 
   /** Row-level change feed WITHOUT key columns — per-commit change
@@ -2641,8 +2810,23 @@ final class GraftClient(
         // small aggregation over rows this job just wrote) so the
         // post-delete NDV refresh below stays metadata-exact
         val cols = ndvColumns(table)
-        t.actions += (if (cols.isEmpty) add
-          else add.copy(ndv = ndvBlobsFor(schema, add, cols)))
+        val withNdv = if (cols.isEmpty) add
+          else add.copy(ndv = ndvBlobsFor(schema, add, cols))
+        // registered blooms: re-stamp the survivor object EXACTLY (an
+        // OR-carryover of the inputs' blooms would keep the deleted
+        // values' bits forever, degrading toward all-ones across
+        // repeated deletes) — one more aggregation over the same
+        // just-written rows
+        val bCols = bloomColumns(table)
+        t.actions += (if (bCols.isEmpty) withNdv
+          else {
+            val (numBits, k) = bloomConfig(table)
+            bloomsForObjects(schema, Vector(add), bCols, numBits, k)
+              .get(add.path) match {
+              case Some(bl) => withNdv.copy(blooms = withNdv.blooms ++ bl)
+              case None => withNdv
+            }
+          })
       }
       // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
     } else recordDeleteCdc(None)
@@ -3368,7 +3552,22 @@ final class GraftClient(
                   graft.functions.HllMath.merge)
             }.toMap)
           else add.copy(ndv = ndvBlobsFor(schema, add, ndvCols))
-        t.actions += withNdv
+        // blooms ride compaction METADATA-ONLY: a bin's rows are exactly
+        // the union of its input objects' rows (routing is per object),
+        // so the bitwise-OR union of same-geometry input blooms is exact
+        // for the output. A DV-retiring sweep leaves the dropped rows'
+        // bits set — false positives only, never a false prune. Columns
+        // any input lacks (or carries at a different geometry) fall to
+        // the maintainBlooms pass below on registered tables.
+        val inputs = eligible(binId)
+        val mergedBlooms = inputs.map(_.blooms.keySet)
+          .reduce(_ intersect _).iterator.flatMap { c =>
+            val bs = inputs.map(_.blooms(c))
+            bs.tail.foldLeft(Option(bs.head))((acc, b) =>
+              acc.flatMap(_.union(b))).map(c -> _)
+          }.toMap
+        t.actions += (if (mergedBlooms.isEmpty) withNdv
+          else withNdv.copy(blooms = mergedBlooms))
       } else deletePath(dataPath(name))
     }
     eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
@@ -3377,6 +3576,9 @@ final class GraftClient(
     // a DV-retiring sweep materialized deletions: refold the stored NDV
     // blobs so the estimate stops counting the masked rows
     if (retireDvs) analyzeRefresh(table)
+    // on a bloom-registered table, re-stamp whatever the OR-merge could
+    // not carry (bins with un-bloomed or geometry-mismatched inputs)
+    maintainBlooms(table)
   }
 
   /** [[compact]] only when the table's live object count (including this
@@ -3469,6 +3671,9 @@ final class GraftClient(
     deletePath(stagingPath)
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
+    // value-routed rewrites mix rows across inputs, so input blooms
+    // cannot be carried; re-stamp the outputs on registered tables
+    maintainBlooms(table)
   }
 
   /** Export the keyed change bundle for the commit window
@@ -3915,6 +4120,10 @@ final class GraftClient(
       else deletePath(dataPath(name))
     }
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
+    // bounded re-clustering routes rows by value: re-stamp registered
+    // blooms on the rewritten outputs (incremental — scoped rewrites
+    // only read the objects they just replaced)
+    maintainBlooms(table)
   }
 
   /** DESCRIBE HISTORY analog: every RETAINED log entry as
@@ -4430,6 +4639,28 @@ object GraftClient {
     * sketch their objects immediately and refold the table estimate.
     */
   val AutoAnalyzeProperty = "graft.autoAnalyze"
+
+  /** Table property registering WRITE-TIME bloom columns (Delta's
+    * `delta.bloomFilter` index analog): a csv of column paths (nested
+    * dotted leaves included). Every insert path stamps fresh objects
+    * with blooms for these columns inline (one aggregation over the
+    * rows just written, all columns in one pass), compaction OR-merges
+    * input blooms metadata-only, and the clustering/REORG rewrites
+    * re-stamp their outputs — so a registered table's point-lookup tier
+    * never silently degrades to stats-only between [[GraftClient
+    * .buildBloom]] maintenance passes. Set via [[GraftClient
+    * .registerBlooms]] (which also blooms existing history) or plain
+    * SET TBLPROPERTIES (new writes only).
+    */
+  val BloomColumnsProperty = "graft.bloom.columns"
+  /** Write-time bloom geometry: bits per object bloom (positive
+    * multiple of 64; ~10× expected per-object distincts for ~1% FP)
+    * and seeded-hash count. Table-wide — per-object blooms built with
+    * different geometries coexist (probes adapt per bloom), but
+    * compaction can only OR-merge same-geometry inputs.
+    */
+  val BloomBitsProperty = "graft.bloom.bits"
+  val BloomKProperty = "graft.bloom.k"
 
   /** Field-metadata key marking a declared partition column (the SQL
     * catalog's `PARTITIONED BY` and [[GraftClient.alterPartitioning]]

@@ -100,6 +100,16 @@ final case class BloomData(k: Int, words: Vector[Long]) {
       val pos = java.lang.Math.floorMod(h, numBits)
       (words((pos >> 6).toInt) & (1L << (pos & 63).toInt)) != 0L
     }
+  /** Bitwise-OR union with a same-geometry bloom (same k, same width):
+    * EXACT for an object holding the concatenation of the two inputs'
+    * rows, which is how compaction merges bins metadata-only. None when
+    * the geometries differ — OR-ing mismatched widths would corrupt
+    * every probe, so callers fall back to a rebuild instead.
+    */
+  def union(o: BloomData): Option[BloomData] =
+    if (o.k == k && o.words.length == words.length)
+      Some(BloomData(k, words.zip(o.words).map { case (a, b) => a | b }))
+    else None
 }
 
 /** A live data object. `path` is rootDir-relative for objects the client

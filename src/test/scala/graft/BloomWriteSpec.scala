@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Write-time bloom registration (`registerBlooms` /
+  * `graft.bloom.columns`): on a registered table the point-lookup tier
+  * is an INVARIANT, not a maintenance pass — every insert path stamps
+  * its own objects, compaction OR-merges input blooms metadata-only,
+  * the re-layout rewrites re-stamp their outputs, and a copy-on-write
+  * delete re-stamps the survivor object exactly (so deleted values stop
+  * matching the bloom instead of degrading it toward all-ones).
+  */
+class BloomWriteSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("ts", LongType))))))
+
+  private def df(rows: Seq[(Long, String, String, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.map { case (i, k, s, t) =>
+      org.apache.spark.sql.Row(i, k, org.apache.spark.sql.Row(s, t))
+    }.asJava, schema)
+  }
+
+  // scattered keys: every object's (min, max) covers any probe, so
+  // min/max stats never prune and only the bloom tier can
+  private def scattered(obj: Int, n: Int): Seq[(Long, String, String, Long)] =
+    (0 until n).map { i =>
+      val k = if (i == 0) "aaa" else if (i == n - 1) "zzz"
+        else s"k_${obj}_$i"
+      (obj * 1000L + i, k, s"s_${obj}_$i", i.toLong)
+    }
+
+  private def fresh(tag: String): (GraftClient, String) = {
+    val root = Files.createTempDirectory(s"graft_bloomw_$tag").toString
+    (new GraftClient(spark, root), root)
+  }
+
+  test("registerBlooms blooms the history AND every later insert path " +
+    "stamps its own objects — no further maintenance call") {
+    val (c, _) = fresh("paths")
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(scattered(0, 40))) // pre-registration history
+    c.commitTx()
+    c.newTx()
+    c.registerBlooms("t", Seq("key", "meta.source"), numBits = 4096)
+    c.commitTx()
+    // path 1: bulk insert; path 2: partitioned insert (many objects,
+    // ONE bloom job); path 3: buffered writeRow + implicit flush
+    c.newTx()
+    c.insert("t", df(scattered(1, 40)))
+    c.insertPartitioned("t",
+      df((0 until 30).map(i =>
+        (2000L + i, s"k_2_$i", s"s_2_$i", (i % 3).toLong))), Seq("meta.ts"))
+    c.writeRow("t", Seq(3000L, "k_3_0",
+      org.apache.spark.sql.Row("s_3_0", 0L)))
+    c.commitTx()
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.length >= 6, s"expected >=6 objects, got ${objs.length}")
+    objs.foreach { a =>
+      assert(a.blooms.contains("key") && a.blooms.contains("meta.source"),
+        s"object ${a.path} missing a registered bloom: ${a.blooms.keySet}")
+      assert(a.blooms("key").words.length == 4096 / 64,
+        "registered geometry must be honored")
+    }
+    // absent probe: blooms exclude every object (stats can't — scattered)
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "nope")).isEmpty,
+      "absent key must prune every object through the bloom tier")
+    // present probes stay exact, flat and nested
+    assert(c.scanEquals("t", "key", "k_2_7").count() == 1)
+    assert(c.scanEquals("t", "meta.source", "s_1_5").count() == 1)
+    val opened = c.prunedObjects("t", Nil, Seq("key" -> "k_1_5")).length
+    assert(opened < objs.length,
+      s"present probe must out-prune stats: opened $opened of ${objs.length}")
+    c.rollback()
+  }
+
+  test("compaction OR-merges input blooms metadata-only and the merged " +
+    "bloom still prunes and still answers exactly") {
+    val (c, _) = fresh("compact")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    (0 until 6).foreach(o => c.insert("t", df(scattered(o, 20))))
+    c.commitTx()
+    c.newTx()
+    val inputs = c.objects("t")
+    val expectOr = inputs.map(_.blooms("key").words)
+      .reduce((x, y) => x.zip(y).map { case (a, b) => a | b })
+    c.compact("t", targetRows = 1000)
+    c.commitTx()
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.length == 1, s"compact must merge: ${objs.length}")
+    // the single output's bloom is the exact bitwise OR of the inputs'
+    assert(objs.head.blooms("key").words == expectOr,
+      "compacted bloom must be the metadata-only OR of its inputs")
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
+    assert(c.scanEquals("t", "key", "k_4_11").count() == 1)
+    c.rollback()
+  }
+
+  test("re-layout rewrites (clusterBy, REORG) re-stamp registered blooms " +
+    "on their value-routed outputs") {
+    val (c, _) = fresh("relayout")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"))
+    (0 until 4).foreach(o => c.insert("t", df(scattered(o, 25))))
+    c.clusterBy("t", "id", numBuckets = 4)
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms.contains("key")),
+      "cluster outputs must carry the registered bloom")
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
+    c.materializeSchema("t")
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms.contains("key")),
+      "REORG outputs must carry the registered bloom")
+    assert(c.scanEquals("t", "key", "k_3_9").count() == 1)
+    c.rollback()
+  }
+
+  test("a copy-on-write delete re-stamps the survivor exactly: the " +
+    "deleted value stops matching the bloom") {
+    val (c, _) = fresh("delete")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    c.insert("t", df(scattered(0, 30)))
+    c.insert("t", df(scattered(1, 30)))
+    c.commitTx()
+    c.newTx()
+    // k_0_7 lives only in object 0; delete exactly that row (CoW — the
+    // object rewrites its 29 survivors)
+    c.deleteRows("t", "id", 7L, 7L)
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms.contains("key")),
+      "the rewritten survivor object must be re-stamped")
+    // an OR-carryover would keep k_0_7's bits forever; the exact
+    // re-stamp excludes the rewritten object, and object 1 never had it
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "k_0_7")).isEmpty,
+      "deleted value must stop matching the re-stamped bloom")
+    assert(c.scanEquals("t", "key", "k_0_8").count() == 1,
+      "surviving rows stay exact")
+    c.rollback()
+  }
+
+  test("properties-only registration (SET TBLPROPERTIES) blooms new " +
+    "writes; malformed bloom properties refuse at SET time") {
+    val (c, _) = fresh("props")
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(scattered(0, 20))) // before the property: un-bloomed
+    c.setTableProperties("t",
+      Map(GraftClient.BloomColumnsProperty -> "key",
+        GraftClient.BloomBitsProperty -> "2048"))
+    c.insert("t", df(scattered(1, 20))) // after: stamped at write time
+    c.commitTx()
+    c.newTx()
+    val byBloomed = c.objects("t").partition(_.blooms.contains("key"))
+    assert(byBloomed._1.length == 1 && byBloomed._2.length == 1,
+      "property alone blooms new writes, not history")
+    assert(byBloomed._1.head.blooms("key").words.length == 2048 / 64)
+    // history catches up on the next maintenance pass
+    c.compact("t", targetRows = 1000)
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms.contains("key")),
+      "compaction restores the invariant over pre-property history")
+    intercept[IllegalArgumentException] {
+      c.setTableProperties("t", Map(GraftClient.BloomBitsProperty -> "100"))
+    }
+    intercept[IllegalArgumentException] {
+      c.setTableProperties("t",
+        Map(GraftClient.BloomColumnsProperty -> "no_such"))
+    }
+    c.rollback()
+  }
+
+  test("CALL graft.system.register_blooms registers and blooms from SQL") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_bloomw_sql").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(scattered(0, 20)))
+    c.commitTx()
+    ss.conf.set("spark.sql.catalog.gbloomw", "graft.sql.GraftCatalog")
+    ss.conf.set("spark.sql.catalog.gbloomw.root", root)
+    ss.sql("CALL gbloomw.system.register_blooms('t', 'key, meta.source')")
+      .collect()
+    c.newTx()
+    assert(c.objects("t").forall(a =>
+      a.blooms.contains("key") && a.blooms.contains("meta.source")),
+      "the procedure must bloom history for every listed column")
+    assert(c.tablePropertiesOf("t")
+      .get(GraftClient.BloomColumnsProperty)
+      .contains("key,meta.source"))
+    c.rollback()
+  }
+}
