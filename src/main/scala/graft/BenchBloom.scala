@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftClient
+
+/** Write-time bloom micro-bench: what does `registerBlooms` cost each
+  * insert (the one extra column-pruned aggregation per staged batch),
+  * and what does the probe win (objects opened + wall time for a point
+  * lookup, bloom tier vs stats-only)? Prints one JSON line; numbers
+  * recorded in BASELINE.md ("Write-time blooms").
+  *
+  * Fixture: `objects` data objects of `rows` rows each, a unique
+  * scattered string key per row (every object's min/max spans every
+  * probe, so stats never prune — the bloom's worst-best case).
+  */
+object BenchBloom {
+  private def timed[A](reps: Int)(f: => A): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val objects = args.headOption.map(_.toInt).getOrElse(16)
+    val rows = args.lift(1).map(_.toInt).getOrElse(64 * 1024)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def mkKey = concat(lit("k"), col("id") * 2654435761L % 1000000007L)
+    def batch(o: Int) = spark.range(o.toLong * rows, (o + 1L) * rows)
+      .select(col("id"), mkKey.as("akey"))
+
+    def build(register: Boolean): (GraftClient, Double) = {
+      val root = Files.createTempDirectory("graft_bench_bloom").toString
+      val c = new GraftClient(spark, root)
+      c.newTx()
+      c.createTable("t", batch(0).schema)
+      if (register)
+        // ~10 bits per row-key for ~1% FP at the object size
+        c.registerBlooms("t", Seq("akey"),
+          numBits = ((rows * 10L + 63) / 64 * 64).toInt)
+      c.commitTx()
+      val sec = timed(1) {
+        (0 until objects).foreach { o =>
+          c.newTx(); c.insert("t", batch(o)); c.commitTx()
+        }
+      }
+      (c, sec)
+    }
+
+    val (plain, plainInsertSec) = build(register = false)
+    val (bloomed, bloomInsertSec) = build(register = true)
+
+    // probe: a key that exists in exactly one object — stats span all
+    val probe = spark.range(7L * rows + 13, 7L * rows + 14)
+      .select(mkKey).head().getString(0)
+    def opened(c: GraftClient): Int = {
+      c.newTx()
+      try c.prunedObjects("t", Nil, Seq("akey" -> probe)).length
+      finally c.rollback()
+    }
+    def lookupSec(c: GraftClient): Double = timed(3) {
+      c.newTx()
+      try require(c.scanEquals("t", "akey", probe).count() == 1)
+      finally c.rollback()
+    }
+    val openedPlain = opened(plain)
+    val openedBloom = opened(bloomed)
+    val lookupPlain = lookupSec(plain)
+    val lookupBloom = lookupSec(bloomed)
+
+    // compact on the registered table: the OR-merge is metadata-only,
+    // so registered-vs-plain compaction cost should be ~identical
+    def compactSec(c: GraftClient): Double = timed(1) {
+      c.newTx(); c.compact("t", targetRows = rows * 4L); c.commitTx()
+    }
+    val compactPlain = compactSec(plain)
+    val compactBloom = compactSec(bloomed)
+
+    println(s"""{"metric":"bloom_write_time","objects":$objects,""" +
+      s""""rows_per_object":$rows,""" +
+      s""""insert_plain_sec":${f"$plainInsertSec%.2f"},""" +
+      s""""insert_bloomed_sec":${f"$bloomInsertSec%.2f"},""" +
+      s""""probe_opened_plain":$openedPlain,""" +
+      s""""probe_opened_bloomed":$openedBloom,""" +
+      s""""probe_plain_sec":${f"$lookupPlain%.3f"},""" +
+      s""""probe_bloomed_sec":${f"$lookupBloom%.3f"},""" +
+      s""""compact_plain_sec":${f"$compactPlain%.2f"},""" +
+      s""""compact_bloomed_sec":${f"$compactBloom%.2f"}}""")
+    spark.stop()
+  }
+}

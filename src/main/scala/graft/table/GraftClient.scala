@@ -1920,50 +1920,16 @@ final class GraftClient(
     val physCol = physOf(schema, column)
     val files = liveFiles(table).filterNot(_.blooms.contains(physCol))
     if (files.isEmpty) return
-    val words = numBits / 64
-    // defaults filled before hashing: pre-alter objects must bloom the
-    // default value their rows READ, or a point lookup on it would
-    // false-prune them (the empty-bloom branch below stays correct for
-    // genuinely all-null columns)
-    val df = applyDefaults(schema, readObjects(schema, files, tagObj = true))
-      .filter(col(column).isNotNull)
-    val posCols = (0 until k).map(i =>
-      pmod(xxhash64(lit(i), col(column)), lit(numBits.toLong)).as(s"_p$i"))
-    val wordAggs = (0 until words).map { j =>
-      expr((0 until k).map(i =>
-        s"(CASE WHEN CAST(_p$i / 64 AS INT) = $j " +
-          s"THEN shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 64 AS INT)) " +
-          "ELSE CAST(0 AS BIGINT) END)").mkString("bit_or(", " | ", ")"))
-        .as(s"_w$j")
-    }
-    // Stream the per-object bloom rows to the driver one shuffle
-    // partition at a time (toLocalIterator) instead of one collect():
-    // transient driver memory is bounded by a partition (~objects/
-    // shuffle.partitions × words longs), not the whole table's blooms.
-    // The staged log actions below are still O(un-bloomed objects) on the
-    // driver — inherent to a single metadata commit; batch the call over
-    // file subsets if that ever matters.
-    val byPath = files.map(a => a.path -> a).toMap
-    val seen = mutable.Set[String]()
-    val it = df.select(col("_obj") +: posCols: _*)
-      .groupBy(col("_obj"))
-      .agg(wordAggs.head, wordAggs.tail: _*)
-      .toLocalIterator()
-    it.forEachRemaining { r =>
-      byPath.get(r.getString(0)).foreach { a =>
-        seen += a.path
-        val bloom =
-          BloomData(k, (0 until words).map(j => r.getLong(j + 1)).toVector)
-        t.actions += RemoveDataObject(table, a.path)
-        t.actions += a.copy(blooms = a.blooms + (physCol -> bloom))
-      }
-    }
-    files.filterNot(a => seen(a.path)).foreach { a =>
-      // an all-null column yields no aggregation row: an empty bloom is
-      // correct (no non-null value can be present)
+    // one explode-shaped pass (see bloomsForObjects for the plan-size
+    // contract); defaults are filled inside it before hashing, so
+    // pre-alter objects bloom the default value their rows READ and a
+    // point lookup on it never false-prunes; an all-null column gets
+    // the empty bloom
+    val computed = bloomsForObjects(schema, files, Seq(column), numBits, k)
+    files.foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
       t.actions += a.copy(blooms =
-        a.blooms + (physCol -> BloomData(k, Vector.fill(words)(0L))))
+        a.blooms + (physCol -> computed(a.path)(physCol)))
     }
   }
 
@@ -2011,15 +1977,25 @@ final class GraftClient(
   }
 
   /** One distributed pass computing per-object blooms for `cols` over
-    * exactly `objs` — the write-time sibling of [[buildBloom]]'s
-    * maintenance pass, bit-identical geometry (same seeded xxhash64, so
-    * build and probe can never drift) but all columns folded in a
-    * SINGLE groupBy(_obj) aggregation: an insert that staged 30
-    * partition objects blooms them in one job, not 30. Null values
-    * contribute no bits (the position expression is null for them and
-    * the word CASE falls to 0), so an all-null column yields the empty
-    * bloom — which correctly excludes every non-null probe. Returns
-    * path -> (physical column -> bloom).
+    * exactly `objs` — the core of both [[buildBloom]] and the
+    * write-time stamping ([[afterInsertObjects]]), all columns folded
+    * in a SINGLE job: an insert that staged 30 partition objects blooms
+    * them in one pass, not 30. EXPLODE shape, not a
+    * word-per-aggregate-column shape: each value contributes k (column,
+    * bit-position) rows, folded by groupBy(_obj, column, word) +
+    * bit_or, so the expression tree is O(cols·k) and NEVER scales with
+    * the geometry — a per-word aggregate column codegens numBits/64
+    * expressions (measured: 89 MB task binaries and executor OOM at a
+    * 655k-bit geometry), while here a million-bit bloom costs the same
+    * plan as a 1024-bit one and the shuffle carries at most
+    * objects × cols × words partial rows. Null values contribute no
+    * rows, so an all-null column keeps its zero-initialized vector —
+    * the empty bloom, which correctly excludes every non-null probe.
+    * Driver memory is the returned map itself: objs × cols × words
+    * longs — the same order as the bloom-carrying add actions the
+    * caller is about to stage. Returns path -> (physical column ->
+    * bloom); probes use the identical seeded xxhash64, so build and
+    * probe can never drift.
     */
   private def bloomsForObjects(schema: StructType,
       objs: Seq[AddDataObject], cols: Seq[String], numBits: Int,
@@ -2027,35 +2003,36 @@ final class GraftClient(
     val words = numBits / 64
     val df = applyDefaults(schema,
       readObjects(schema, objs.toVector, tagObj = true))
-    val posCols = cols.zipWithIndex.flatMap { case (c, ci) =>
+    val hashes = cols.zipWithIndex.flatMap { case (c, ci) =>
       (0 until k).map(i =>
         when(col(c).isNotNull,
-          pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong)))
-          .as(s"_p${ci}_$i"))
+          struct(lit(ci).as("ci"),
+            pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong))
+              .as("pos"))))
     }
-    val wordAggs = cols.indices.flatMap { ci =>
-      (0 until words).map { j =>
-        expr((0 until k).map(i =>
-          s"(CASE WHEN CAST(_p${ci}_$i / 64 AS INT) = $j " +
-            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(_p${ci}_$i % 64 AS INT)) " +
-            "ELSE CAST(0 AS BIGINT) END)").mkString("bit_or(", " | ", ")"))
-          .as(s"_w${ci}_$j")
+    val grouped = df
+      .select(col("_obj"), explode(array(hashes.toIndexedSeq: _*)).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("_obj"), col("h.ci").as("ci"),
+        expr("CAST(h.pos / 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(h.pos % 64 AS INT))")
+          .as("b"))
+      .groupBy(col("_obj"), col("ci"), col("w"))
+      .agg(expr("bit_or(b)").as("b"))
+    // zero-initialized accumulators; partial rows OR in, in any order
+    val acc = mutable.Map[String, Array[Array[Long]]]()
+    objs.foreach(a =>
+      acc(a.path) = Array.fill(cols.length)(new Array[Long](words)))
+    grouped.toLocalIterator().forEachRemaining { r =>
+      acc.get(r.getString(0)).foreach { m =>
+        m(r.getInt(1))(r.getInt(2)) |= r.getLong(3)
       }
     }
-    val out = Map.newBuilder[String, Map[String, BloomData]]
-    val it = df.select(col("_obj") +: posCols.toIndexedSeq: _*)
-      .groupBy(col("_obj")).agg(wordAggs.head, wordAggs.tail: _*)
-      .toLocalIterator()
-    it.forEachRemaining { r =>
-      out += r.getString(0) -> cols.zipWithIndex.map { case (c, ci) =>
-        physOf(schema, c) -> BloomData(k,
-          (0 until words).map { j =>
-            if (r.isNullAt(1 + ci * words + j)) 0L
-            else r.getLong(1 + ci * words + j)
-          }.toVector)
+    acc.iterator.map { case (p, m) =>
+      p -> cols.zipWithIndex.map { case (c, ci) =>
+        physOf(schema, c) -> BloomData(k, m(ci).toVector)
       }.toMap
-    }
-    out.result()
+    }.toMap
   }
 
   /** Restore a bloom-registered table's invariant — every live object

@@ -16,6 +16,8 @@ import graft.table.GraftClient
   * delete re-stamps the survivor object exactly (so deleted values stop
   * matching the bloom instead of degrading it toward all-ones).
   */
+case class BloomRow(id: Long, akey: String)
+
 class BloomWriteSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
 
@@ -190,6 +192,40 @@ class BloomWriteSpec extends AnyFunSuite {
       c.setTableProperties("t",
         Map(GraftClient.BloomColumnsProperty -> "no_such"))
     }
+    c.rollback()
+  }
+
+  test("the streaming sink's micro-batches stamp registered blooms " +
+    "like any other insert") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_bloomw_stream").toString
+    val c = new GraftClient(s, root)
+    c.newTx()
+    c.createTable("ev", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("akey", StringType))))
+    c.registerBlooms("ev", Seq("akey"), numBits = 2048)
+    c.commitTx()
+    val input = MemoryStream[BloomRow](s)
+    val q = input.toDF().writeStream
+      .foreachBatch(graft.streaming.StreamingSink.intoTable(c, "ev"))
+      .start()
+    try {
+      input.addData((0 until 20).map(i => BloomRow(i, s"k$i")))
+      q.processAllAvailable()
+      input.addData((20 until 40).map(i => BloomRow(i, s"k$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    c.newTx()
+    val objs = c.objects("ev")
+    assert(objs.length >= 2 && objs.forall(_.blooms.contains("akey")),
+      s"stream-written objects must carry the registered bloom: " +
+        s"${objs.map(_.blooms.keySet)}")
+    assert(c.prunedObjects("ev", Nil, Seq("akey" -> "absent")).isEmpty,
+      "bloom tier active on stream-written objects")
+    assert(c.scanEquals("ev", "akey", "k25").count() == 1)
     c.rollback()
   }
 
