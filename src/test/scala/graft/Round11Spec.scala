@@ -367,4 +367,60 @@ class Round11Spec extends AnyFunSuite {
         s"restarted stream reads old rows as null in the new column: $got")
     } finally q2.stop()
   }
+
+  // ---------------------------------------------------------------- //
+  // generated column derived FROM a nested leaf: engine-computed and
+  // derived-pruning — the realistic corpus shape (partition by a date
+  // generated from meta.ts) closing the last nested-parity corner
+  // ---------------------------------------------------------------- //
+
+  test("a generated date column over a NESTED timestamp leaf computes " +
+    "on insert and derives partition pruning from a meta.ts predicate") {
+    val ss = spark
+    val root = Files.createTempDirectory("graft_r11_ngen").toString
+    val c = new GraftClient(ss, root)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("ts", TimestampType),
+        StructField("source", StringType)))),
+      StructField("day", DateType)))
+    c.newTx()
+    c.createTable("t", schema)
+    c.setGeneratedColumn("t", "day", "to_date(meta.ts)")
+    c.alterPartitioning("t", Seq("day"))
+    c.commitTx()
+    import scala.jdk.CollectionConverters._
+    def ts(d: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2026-01-$d%02dT$h%02d:00:00Z"))
+    val rows = (0 until 40).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        org.apache.spark.sql.Row(ts(1 + i % 4, i % 24), s"s$i"))
+    }
+    val noDay = StructType(schema.fields.filterNot(_.name == "day"))
+    c.newTx()
+    // GENERATED ALWAYS: the frame must NOT carry `day`; the engine
+    // computes it from the nested leaf and routes the partition layout
+    c.insertGenerated("t", ss.createDataFrame(rows.asJava, noDay))
+    intercept[IllegalArgumentException] {
+      c.insertGenerated("t", ss.createDataFrame(rows.asJava, noDay)
+        .withColumn("day", org.apache.spark.sql.functions
+          .to_date(col("meta.ts"))))
+    }
+    c.commitTx()
+    c.newTx()
+    val all = c.objects("t")
+    assert(all.length == 4, s"one object per generated day: ${all.length}")
+    // a predicate on the RAW nested timestamp derives a bound on the
+    // generated day column — partition pruning without mentioning `day`
+    val opened = c.scanBounded("t",
+      Seq("meta.ts" -> (ts(2, 0), ts(2, 23)))).inputFiles.length
+    assert(opened < all.length,
+      s"derived day bound must prune partitions: opened $opened of 4")
+    val got = c.scanRange("t", "meta.ts", ts(2, 0), ts(2, 23))
+      .select(col("id"), col("day")).collect()
+    assert(got.nonEmpty && got.forall(_.getDate(1).toString == "2026-01-02"),
+      "derived pruning stays exact")
+    c.rollback()
+  }
 }
