@@ -36,7 +36,7 @@ object GraftProcedures {
   /** All procedures, keyed by CALL name. */
   def names: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "build_bloom",
-      "register_blooms", "z_order",
+      "register_blooms", "drop_bloom", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
       "set_partitioning", "cluster_bounded", "cluster_incremental",
       "analyze", "replicate_export", "replicate_import")
@@ -171,6 +171,19 @@ object GraftProcedures {
           inTx(c)(c.registerBlooms(t, cols, args.getInt(2), args.getInt(3)))
           Seq(row(UTF8String.fromString(t),
             UTF8String.fromString(cols.mkString(","))))
+        }))
+      case "drop_bloom" => Some(proc(name,
+        "drop a column's per-object blooms metadata-only (the re-keying " +
+          "path: follow with register_blooms/build_bloom at the new " +
+          "geometry; between the two the column stats-prunes)",
+        Seq(in("table", StringType), in("column", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("column", StringType))), { args =>
+          val (t, colName) =
+            (args.getUTF8String(0).toString, args.getUTF8String(1).toString)
+          val c = client
+          inTx(c)(c.dropBloom(t, colName))
+          Seq(row(UTF8String.fromString(t), UTF8String.fromString(colName)))
         }))
       case "z_order" => Some(proc(name,
         "re-cluster into N-dimensional z-order boxes (all axes prune)",

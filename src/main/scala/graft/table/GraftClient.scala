@@ -1958,6 +1958,28 @@ final class GraftClient(
     maintainBlooms(table)
   }
 
+  /** Drop every live object's bloom for `column` — METADATA-ONLY
+    * (remove + re-add actions, zero data touched), the re-keying path:
+    * blooms at a wrong geometry are otherwise permanent because
+    * [[buildBloom]] and [[maintainBlooms]] deliberately skip objects
+    * that already carry the column (rebuild-avoidance). `dropBloom`
+    * then [[registerBlooms]] (or [[buildBloom]]) re-keys at the new
+    * geometry in one transaction; between the two the column simply
+    * stats-prunes, so there is no correctness window.
+    */
+  def dropBloom(table: String, column: String): Unit = {
+    tagOp("BLOOM")
+    val t = currentTx
+    val schema = schemaOf(table)
+    require(hasColumnPath(schema, column), s"no such column: $column")
+    flush(table)
+    val phys = physOf(schema, column)
+    liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
+      t.actions += RemoveDataObject(table, a.path)
+      t.actions += a.copy(blooms = a.blooms - phys)
+    }
+  }
+
   /** Registered write-time bloom columns (logical paths; empty unless
     * [[GraftClient.BloomColumnsProperty]] is set).
     */

@@ -195,6 +195,33 @@ class BloomWriteSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("dropBloom + registerBlooms re-keys the geometry metadata-only " +
+    "(existing blooms are otherwise deliberately kept)") {
+    val (c, _) = fresh("rekey")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 1024)
+    c.insert("t", df(scattered(0, 30)))
+    c.insert("t", df(scattered(1, 30)))
+    c.commitTx()
+    c.newTx()
+    // re-registering at a new geometry alone does NOT rebuild: existing
+    // blooms are kept (rebuild-avoidance), so the old 16-word blooms stay
+    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    assert(c.objects("t").forall(_.blooms("key").words.length == 1024 / 64),
+      "existing blooms are kept, not silently rebuilt")
+    // the re-keying path: drop (metadata-only) then re-register
+    c.dropBloom("t", "key")
+    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms("key").words.length == 4096 / 64),
+      "dropBloom + registerBlooms re-keys every live object")
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
+    assert(c.scanEquals("t", "key", "k_1_7").count() == 1)
+    c.rollback()
+  }
+
   test("the streaming sink's micro-batches stamp registered blooms " +
     "like any other insert") {
     val s = spark
