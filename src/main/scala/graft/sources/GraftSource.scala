@@ -522,9 +522,10 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
         if (a.path.startsWith("/")) a.path else s"$root/${a.path}")
       try {
         val fs = p.getFileSystem(conf)
-        val st = fs.getFileStatus(p)
-        if (st.isFile) st.getLen
-        else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+        // ONE remote RPC per object, not getFileStatus + listStatus:
+        // listStatus on a file returns its own status, on a directory
+        // its children — a planning-time path priced per live object
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
       } catch { case _: java.io.FileNotFoundException => 0L }
     }.sum.max(1L)
   }

@@ -557,6 +557,11 @@ final class GraftClient(
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
     t.tables(table) = narrowed
     t.actions += ChangeMetadata(table, narrowed)
+    // drop the column's paths from the bloom registration (orphaned
+    // sidecar bytes are harmless; a later re-add mints a fresh physical
+    // name, so old blooms can never false-answer for the new column)
+    remapBloomRegistration(table, c =>
+      if (c == name || c.startsWith(name + ".")) None else Some(c))
   }
 
   /** Rename a column — METADATA-ONLY via column mapping: the field keeps
@@ -586,6 +591,13 @@ final class GraftClient(
     })
     t.tables(table) = renamed
     t.actions += ChangeMetadata(table, renamed)
+    // a registered bloom column (or a registered nested path under a
+    // renamed struct) follows the rename; the sidecars stay valid (they
+    // key by the stable physical name)
+    remapBloomRegistration(table, c => Some(
+      if (c == from) to
+      else if (c.startsWith(from + ".")) to + c.stripPrefix(from)
+      else c))
   }
 
   /** Partition evolution (Iceberg-style): change the table's DECLARED
@@ -1981,13 +1993,41 @@ final class GraftClient(
   }
 
   /** Registered write-time bloom columns (logical paths; empty unless
-    * [[GraftClient.BloomColumnsProperty]] is set).
+    * [[GraftClient.BloomColumnsProperty]] is set). Filtered to paths
+    * the CURRENT schema actually has — the same defensive shape as
+    * [[ndvColumns]]: rename/drop rewrite the property in the same
+    * commit, but a registration written by another engine version (or
+    * a hand-edited property) must degrade to "that column stops
+    * stamping", never to "every write on the table throws".
     */
-  private def bloomColumns(table: String): Seq[String] =
+  private def bloomColumns(table: String): Seq[String] = {
+    val schema = schemaOf(table)
     currentTx.snapshot.properties(table, currentTx.actions.toSeq)
       .get(GraftClient.BloomColumnsProperty)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        .filter(hasColumnPath(schema, _)))
       .getOrElse(Nil)
+  }
+
+  /** Keep the bloom registration consistent across column DDL: rename
+    * maps the affected path segments to the new name (blooms are keyed
+    * by PHYSICAL names, so the sidecars themselves stay valid across a
+    * rename — only the logical registration needs the update); drop
+    * removes the dropped column's paths (orphaned sidecar bytes are
+    * harmless and vanish at the next rewrite).
+    */
+  private def remapBloomRegistration(table: String,
+      f: String => Option[String]): Unit = {
+    val t = currentTx
+    t.snapshot.properties(table, t.actions.toSeq)
+      .get(GraftClient.BloomColumnsProperty).foreach { v =>
+        val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val remapped = cols.flatMap(f)
+        if (remapped != cols)
+          t.actions += SetProperties(table, Map(
+            GraftClient.BloomColumnsProperty -> remapped.mkString(",")))
+      }
+  }
 
   /** (numBits, k) for write-time bloom stamping, from the table's
     * geometry properties (defaults 1024/4, matching [[buildBloom]]).
@@ -4540,6 +4580,13 @@ final class GraftClient(
     * lakehouse vacuum makes). Metadata work is O(retained versions);
     * deletion is driver-side filesystem calls, no Spark jobs.
     */
+  /** Minimum age before vacuum reclaims a `_cdfspill_*` page dir
+    * (override: `spark.graft.cdf.spillRetainMs`; tests set 0).
+    */
+  private def spillRetainMs: Long =
+    spark.conf.getOption("spark.graft.cdf.spillRetainMs")
+      .map(_.toLong).getOrElse(60L * 60 * 1000)
+
   def vacuum(retainVersions: Int = 0, dryRun: Boolean = false): Int = {
     require(tx.isEmpty, "vacuum must run outside a transaction")
     val cur = txLog.begin()
@@ -4574,8 +4621,17 @@ final class GraftClient(
           // a crash between a compact/rewrite staging write and its moves
           // strands a _staging_* dir no log entry ever references;
           // _cdfspill_* pages of wide-window change-feed reads reclaim
-          // here too (their lifetime contract — see changesByFile)
-          n.startsWith("_staging_") || n.startsWith("_cdfspill_")
+          // here too (their lifetime contract — see changesByFile) but
+          // only past an AGE horizon: a spill younger than
+          // spillRetainMs may back a DataFrame some session is still
+          // consuming — the vacuuming service's own wide-window feed
+          // included — and deleting it mid-read fails that read. Age is
+          // the only portable liveness signal an object store offers;
+          // the default (1 h) dwarfs any real micro-batch.
+          n.startsWith("_staging_") ||
+          (n.startsWith("_cdfspill_") &&
+            st.getModificationTime < System.currentTimeMillis() -
+              spillRetainMs)
       })
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;

@@ -50,10 +50,20 @@ private[tx] object CkptParquet {
     * estimator (bounds driver memory per part; never exact, never
     * needs to be).
     */
+  private def statValSize(v: Any): Long = v match {
+    case s: String => s.length + 8L
+    case _ => 24L // numeric/date/null bounds are a few JSON tokens
+  }
+
   def sizeEstimate(a: Action): Long = a match {
     case ad: AddDataObject =>
+      // string bounds are stored untruncated, so they must be priced by
+      // their ACTUAL length — a flat per-stat constant undershoots by
+      // orders of magnitude on multi-KB keys (URLs, document ids) and
+      // breaks the bounded-driver-memory contract of the part scheme
       64L + ad.path.length + ad.table.length +
-        ad.stats.iterator.map { case (c, _) => c.length + 48L }.sum +
+        ad.stats.iterator.map { case (c, cs) =>
+          c.length + statValSize(cs.min) + statValSize(cs.max) + 16L }.sum +
         ad.blooms.iterator.map { case (c, b) =>
           c.length + b.words.length * 20L + 16L }.sum +
         ad.ndv.iterator.map { case (c, b) =>
@@ -77,8 +87,12 @@ private[tx] object CkptParquet {
     try {
       val conf = new Configuration()
       GroupWriteSupport.setSchema(Schema, conf)
+      // scheme-qualified scratch path: a bare string Path resolves
+      // against fs.defaultFS (hdfs://, s3a:// on cluster configs) while
+      // the java.nio half of this method reads the LOCAL file — the
+      // file: URI pins both halves to the same filesystem
       val w = ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(tmp.toString))
+        .builder(new org.apache.hadoop.fs.Path(tmp.toUri))
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
@@ -118,7 +132,7 @@ private[tx] object CkptParquet {
       java.nio.file.Files.write(tmp, bytes)
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(tmp.toString))
+          new org.apache.hadoop.fs.Path(tmp.toUri)) // file:-pinned, as in write
         .withConf(new Configuration())
         .build()
       val out = Vector.newBuilder[Action]

@@ -846,7 +846,8 @@ final class TxLog(store: ObjectStore) {
       val batch = scala.collection.mutable.ArrayBuffer[Action]()
       var approx = 0L
       def flushPart(): Unit = if (batch.nonEmpty) {
-        store.putIfAbsent(ckptPartName(snapshot.version, parts),
+        store.putIfAbsent(
+          ckptPartName(snapshot.version, parts, parquet = true),
           CkptParquet.write(batch.toSeq))
         parts += 1
         batch.clear()
@@ -908,7 +909,8 @@ final class TxLog(store: ObjectStore) {
     j.get("parts") match {
       case Some(p) if parquet =>
         (0 until p.asLong.toInt).foreach { k =>
-          into ++= CkptParquet.read(store.read(ckptPartName(version, k)))
+          into ++= CkptParquet.read(
+            store.read(ckptPartName(version, k, parquet = true)))
         }
       case Some(p) =>
         (0 until p.asLong.toInt).foreach { k =>
@@ -997,8 +999,18 @@ object TxLog {
   val DefaultCkptPartBytes: Int = 4 << 20
   def logName(id: Long): String = f"${LogPrefix}${id}%020d"
   def ckptName(id: Long): String = f"${CkptPrefix}${id}%020d"
-  def ckptPartName(id: Long, part: Int): String =
-    f"${CkptPartPrefix}${id}%020d_${part}%05d"
+  /** Part names carry the FORMAT as a suffix (parquet parts end in
+    * 'p'; legacy JSON parts are bare) so a mixed-version fleet racing
+    * two checkpointers of one version can never interleave formats
+    * under one set of names: each writer putIfAbsent-s its own complete
+    * set, whichever MANIFEST lands first selects a self-consistent set,
+    * and the loser's parts are unreferenced orphans the retention
+    * sweep reclaims by version. A pre-parquet engine reading a parquet
+    * manifest fails loudly on the missing bare-named part (it cannot
+    * decode parquet regardless); same-version engines dedupe naturally.
+    */
+  def ckptPartName(id: Long, part: Int, parquet: Boolean = false): String =
+    f"${CkptPartPrefix}${id}%020d_${part}%05d" + (if (parquet) "p" else "")
   def dataObjectName(table: String, uuid: String): String =
     s"_table_${table}_$uuid"
 

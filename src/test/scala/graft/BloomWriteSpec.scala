@@ -195,6 +195,43 @@ class BloomWriteSpec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("the registration follows column DDL: rename remaps it (sidecars " +
+    "stay valid by physical name), drop clears it — writes never throw") {
+    val (c, _) = fresh("ddl")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key", "meta.source"), numBits = 2048)
+    c.insert("t", df(scattered(0, 30)))
+    c.commitTx()
+    c.newTx()
+    c.renameColumn("t", "key", "kid")
+    c.commitTx()
+    c.newTx()
+    assert(c.tablePropertiesOf("t")(GraftClient.BloomColumnsProperty)
+      == "kid,meta.source", "rename must remap the registration")
+    // the pre-rename blooms still serve probes through the NEW name
+    // (keyed by the stable physical name), and new writes keep stamping
+    assert(c.prunedObjects("t", Nil, Seq("kid" -> "absent")).isEmpty)
+    c.insert("t", df(scattered(1, 30)).withColumnRenamed("key", "kid"))
+    c.commitTx()
+    c.newTx()
+    assert(c.objects("t").forall(_.blooms.size == 2),
+      "post-rename writes keep stamping both registered columns")
+    assert(c.scanEquals("t", "kid", "k_1_7").count() == 1)
+    // drop clears the dropped column's registration; writes survive
+    c.dropColumn("t", "kid")
+    c.commitTx()
+    c.newTx()
+    assert(c.tablePropertiesOf("t")(GraftClient.BloomColumnsProperty)
+      == "meta.source", "drop must clear the dropped registration")
+    c.insert("t", df(scattered(2, 30)).drop("key"))
+    c.commitTx()
+    c.newTx()
+    assert(c.scanEquals("t", "meta.source", "s_2_5").count() == 1,
+      "the surviving registration keeps working after the drop")
+    c.rollback()
+  }
+
   test("dropBloom + registerBlooms re-keys the geometry metadata-only " +
     "(existing blooms are otherwise deliberately kept)") {
     val (c, _) = fresh("rekey")

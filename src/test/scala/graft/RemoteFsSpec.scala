@@ -166,11 +166,20 @@ class RemoteFsSpec extends AnyFunSuite {
     val spills = new java.io.File(local).listFiles()
       .filter(_.getName.startsWith("_cdfspill_"))
     assert(spills.nonEmpty, "wide-window CDF must spill under rootDir")
-    // vacuum reclaims superseded objects AND the spill root remotely
+    // vacuum reclaims spill roots only past the AGE horizon — a fresh
+    // spill may back an in-flight DataFrame (this one does), so the
+    // default 1 h retention must SPARE it...
     c.vacuum(retainVersions = 0)
+    assert(new java.io.File(local).listFiles().map(_.getName)
+      .exists(_.startsWith("_cdfspill_")),
+      "a fresh spill must survive vacuum (age horizon)")
+    // ...and reclaim it once aged out (tests collapse the horizon to 0)
+    ss.conf.set("spark.graft.cdf.spillRetainMs", "0")
+    try c.vacuum(retainVersions = 0)
+    finally ss.conf.unset("spark.graft.cdf.spillRetainMs")
     val after = new java.io.File(local).listFiles().map(_.getName)
     assert(!after.exists(_.startsWith("_cdfspill_")),
-      "vacuum must reclaim CDF spill roots")
+      "vacuum must reclaim CDF spill roots past the age horizon")
     assert(!after.exists(_.startsWith("_staging_")))
     c.newTx()
     assert(c.scan("m").count() == 140, "vacuum must spare the live set")
