@@ -512,7 +512,45 @@ object CorpusOps {
     GROUP BY 1
     ORDER BY split"""
 
+  // --- Leakage-free split: assignment by CLUSTER, not doc ------------------
+  /** Train/val/test assignment hashed on the dedup CLUSTER id — the
+    * `text_split_assign` rule one level up the closure. Hashing per-doc
+    * leaks: a near-duplicate pair split across train and test inflates
+    * eval (the contamination path n-gram decontam exists to catch);
+    * hashing the cluster id puts every member of a duplicate cluster in
+    * ONE split by construction. Reads the same committed closure table
+    * the release artifacts use, so split and corpus are consistent by
+    * storage. Returns the per-doc assignment (what a sharding step
+    * consumes); deterministic across re-releases, like split_assign.
+    */
+  def corpusSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("cluster_id").cast("string")),
+      1, 15), 16, 10).cast("bigint"), lit(100L))
+    clusterRanks(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val corpusSplitLeakfreeSql = s"""
+    WITH RECURSIVE $dedupClosureCtes
+    SELECT doc_id, cluster_id,
+      CASE
+        WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 100 < 90 THEN 'train'
+        WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 100 < 95 THEN 'val'
+        ELSE 'test' END AS split
+    FROM surv
+    ORDER BY doc_id"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "corpus_split_leakfree" -> QueryDef(corpusSplitLeakfree,
+      Some(corpusSplitLeakfreeSql),
+      "leakage-free split: train/val/test hashed on the dedup CLUSTER " +
+        "id, so near-duplicates never straddle an eval boundary — " +
+        "per-doc assignment from the committed closure"),
     "corpus_release" -> QueryDef(corpusRelease, Some(corpusReleaseSql),
       "the release manifest: the curated kept set split train/val/test " +
         "by the deterministic md5 bucket, per-split doc/token/char " +
