@@ -109,4 +109,24 @@ class CkptFormatSpec extends AnyFunSuite {
       "only the newest checkpoint's parts survive")
     assert(log.begin().liveFiles("t").length == 50)
   }
+
+  test("mixed-version engines racing one version's checkpoint never " +
+    "interleave formats: format-suffixed part names keep each set whole") {
+    val actions = syntheticActions(200)
+    val snap = Snapshot(300L, actions)
+    val store = new InMemoryObjectStore
+    // a pre-parquet engine and this engine both checkpoint version 300
+    // concurrently — putIfAbsent arbitration, interleaved part writes.
+    // With shared part names the survivor could MIX codecs under one
+    // manifest (permanently unreadable); with format-suffixed names
+    // each writer lands a complete set and the manifest selects one.
+    new TxLog(store).checkpointJson(snap, maxPartBytes = 16 << 10)
+    new TxLog(store).checkpoint(snap, maxPartBytes = 16 << 10)
+    val parts = store.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(parts.exists(_.endsWith("p")) && parts.exists(!_.endsWith("p")),
+      s"both format's parts must coexist under distinct names: $parts")
+    val folded = new TxLog(store).begin()
+    assert(folded.version == 300L && folded.liveFiles("t").length == 200,
+      "whichever manifest won arbitration folds a complete checkpoint")
+  }
 }
