@@ -38,7 +38,11 @@ object BenchBloom {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def mkKey = concat(lit("k"), col("id") * 2654435761L % 1000000007L)
+    // hash-prefixed for lexicographic scatter (stats never prune a
+    // probe), id-suffixed for injectivity (the exact-count requires
+    // below must never trip on a birthday collision in the hash space)
+    def mkKey = concat(lit("k"), col("id") * 2654435761L % 1000000007L,
+      lit("_"), col("id"))
     def batch(o: Int) = spark.range(o.toLong * rows, (o + 1L) * rows)
       .select(col("id"), mkKey.as("akey"))
 

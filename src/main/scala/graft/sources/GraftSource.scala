@@ -798,17 +798,8 @@ private[sources] object GraftStreamSource {
     * false-trip the evolution check.
     */
   private def sameShape(a: org.apache.spark.sql.types.DataType,
-      b: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    (a, b) match {
-      case (x: StructType, y: StructType) =>
-        x.length == y.length && x.fields.zip(y.fields).forall {
-          case (f, g) => f.name == g.name && sameShape(f.dataType, g.dataType)
-        }
-      case (ArrayType(x, _), ArrayType(y, _)) => sameShape(x, y)
-      case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
-        sameShape(xk, yk) && sameShape(xv, yv)
-      case _ => a == b
-    }
-  }
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    // the ONE structural comparator — shared with the insert-contract
+    // check so "same schema" can never mean two different things
+    graft.table.GraftClient.sameTypeIgnoringNullability(a, b)
 }

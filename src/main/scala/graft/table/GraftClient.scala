@@ -96,8 +96,14 @@ final class GraftClient(
   private def objectExists(p: String): Boolean =
     if (p.startsWith("/")) {
       val ep = new org.apache.hadoop.fs.Path(p)
-      ep.getFileSystem(spark.sessionState.newHadoopConf()).exists(ep)
+      ep.getFileSystem(externalConf).exists(ep)
     } else dataFs.exists(dataPath(p))
+  /** One conf for all external-path resolution: clone/restore call
+    * [[objectExists]] per snapshot object, and newHadoopConf() clones
+    * the full multi-thousand-entry SQL+Hadoop conf each time — hoisted
+    * so a metadata-only op stays metadata-sized.
+    */
+  private lazy val externalConf = spark.sessionState.newHadoopConf()
 
   val TxIdCol = "_tx_id"
   val RowIdxCol = "_row_idx"
@@ -1065,34 +1071,83 @@ final class GraftClient(
     */
   private def nullabilityGuard(table: String, schema: StructType,
       df: DataFrame): DataFrame = {
-    def guarded(want: StructType, got: DataType,
-        prefix: Seq[String]): Seq[Seq[String]] = got match {
-      case gs: StructType => want.fields.toSeq.flatMap { f =>
-        gs.fields.find(_.name == f.name).toSeq.flatMap { g =>
-          val here =
-            if (!f.nullable && g.nullable) Seq(prefix :+ f.name) else Nil
-          here ++ ((f.dataType, g.dataType) match {
-            case (ws: StructType, _) =>
-              guarded(ws, g.dataType, prefix :+ f.name)
-            case _ => Nil
-          })
+    val guardedPaths = mutable.ArrayBuffer[String]()
+    // Some(fn) when `want` declares a non-nullable position the frame's
+    // `got` might null — fn maps a VALUE of this type to its guard
+    // predicate. Recurses through structs AND array elements / map
+    // values (a NOT NULL leaf inside array<struct<…>> is as much a part
+    // of the declared contract as a top-level one; forall/map_values
+    // keep the check codegen'd per row). A null container passes — the
+    // constraint scopes to PRESENT ancestors, parquet's
+    // definition-level semantics.
+    def valueGuard(want: DataType, got: DataType,
+        prefix: String): Option[org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column] = (want, got) match {
+      case (ws: StructType, gs: StructType) =>
+        val parts = ws.fields.toSeq.flatMap { f =>
+          gs.fields.find(_.name == f.name).toSeq.flatMap { g =>
+            val p = s"$prefix${f.name}"
+            val here: Seq[org.apache.spark.sql.Column =>
+                org.apache.spark.sql.Column] =
+              if (!f.nullable && g.nullable) {
+                guardedPaths += p
+                Seq(c => c.getField(f.name).isNotNull)
+              } else Nil
+            here ++ valueGuard(f.dataType, g.dataType, s"$p.")
+              .map(fn => (c: org.apache.spark.sql.Column) =>
+                fn(c.getField(f.name))).toSeq
+          }
         }
-      }
-      case _ => Nil
+        if (parts.isEmpty) None
+        else Some(c => c.isNull || parts.map(_(c)).reduce(_ && _))
+      case (wa: ArrayType, ga: ArrayType) =>
+        val elems = {
+          val own: Seq[org.apache.spark.sql.Column =>
+              org.apache.spark.sql.Column] =
+            if (!wa.containsNull && ga.containsNull) {
+              guardedPaths += s"${prefix.stripSuffix(".")}[]"
+              Seq(e => e.isNotNull)
+            } else Nil
+          own ++ valueGuard(wa.elementType, ga.elementType, prefix).toSeq
+        }
+        if (elems.isEmpty) None
+        else Some(c => c.isNull ||
+          forall(c, e => elems.map(_(e)).reduce(_ && _)))
+      case (wm: MapType, gm: MapType) =>
+        val vals = {
+          val own: Seq[org.apache.spark.sql.Column =>
+              org.apache.spark.sql.Column] =
+            if (!wm.valueContainsNull && gm.valueContainsNull) {
+              guardedPaths += s"${prefix.stripSuffix(".")}{}"
+              Seq(e => e.isNotNull)
+            } else Nil
+          own ++ valueGuard(wm.valueType, gm.valueType, prefix).toSeq
+        }
+        if (vals.isEmpty) None
+        else Some(c => c.isNull ||
+          forall(map_values(c), e => vals.map(_(e)).reduce(_ && _)))
+      case _ => None
     }
-    val paths = guarded(schema, df.schema, Nil)
-    if (paths.isEmpty) df
+    // top level: named columns, no container to scope to — a declared
+    // non-nullable top-level column guards unconditionally
+    val guards = schema.fields.toSeq.flatMap { f =>
+      df.schema.fields.find(_.name == f.name).toSeq.flatMap { g =>
+        val here =
+          if (!f.nullable && g.nullable) {
+            guardedPaths += f.name
+            Seq(col(f.name).isNotNull)
+          } else Nil
+        here ++ valueGuard(f.dataType, g.dataType, s"${f.name}.")
+          .map(fn => fn(col(f.name))).toSeq
+      }
+    }
+    if (guards.isEmpty) df
     else {
-      val ok = paths.map { p =>
-        val leafOk = col(p.mkString(".")).isNotNull
-        p.init.inits.filter(_.nonEmpty).foldLeft(leafOk) { (acc, anc) =>
-          acc || col(anc.mkString(".")).isNull
-        }
-      }.reduce(_ && _)
+      val ok = guards.reduce(_ && _)
       df.withColumn(TxIdCol, when(ok, col(TxIdCol)).otherwise(raise_error(
         lit(s"NOT NULL violated on $table: null written to a declared " +
           s"non-nullable column (guarded: " +
-          s"${paths.map(_.mkString(".")).mkString(", ")})"))))
+          s"${guardedPaths.mkString(", ")})"))))
     }
   }
 
@@ -1235,19 +1290,7 @@ final class GraftClient(
     * declared ones. Field NAMES stay strict: parquet is by-name.
     */
   private def sameTypeIgnoringNullability(a: DataType, b: DataType): Boolean =
-    (a, b) match {
-      case (x: StructType, y: StructType) =>
-        x.length == y.length && x.fields.zip(y.fields).forall {
-          case (f, g) => f.name == g.name &&
-            sameTypeIgnoringNullability(f.dataType, g.dataType)
-        }
-      case (ArrayType(x, _), ArrayType(y, _)) =>
-        sameTypeIgnoringNullability(x, y)
-      case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
-        sameTypeIgnoringNullability(xk, yk) &&
-          sameTypeIgnoringNullability(xv, yv)
-      case _ => a == b
-    }
+    GraftClient.sameTypeIgnoringNullability(a, b)
 
   /** DataType at a (possibly dotted) column path; caller must have
     * validated with [[hasColumnPath]].
@@ -2031,11 +2074,17 @@ final class GraftClient(
 
   /** (numBits, k) for write-time bloom stamping, from the table's
     * geometry properties (defaults 1024/4, matching [[buildBloom]]).
+    * Same defensive contract as [[bloomColumns]]: this engine's
+    * setTableProperties validates at SET time, but a foreign-written or
+    * hand-edited geometry must degrade to the defaults, never make
+    * every write on the table throw.
     */
   private def bloomConfig(table: String): (Int, Int) = {
     val props = currentTx.snapshot.properties(table, currentTx.actions.toSeq)
-    (props.get(GraftClient.BloomBitsProperty).map(_.toInt).getOrElse(1024),
-      props.get(GraftClient.BloomKProperty).map(_.toInt).getOrElse(4))
+    (props.get(GraftClient.BloomBitsProperty).flatMap(_.toIntOption)
+      .filter(b => b > 0 && b % 64 == 0).getOrElse(1024),
+      props.get(GraftClient.BloomKProperty).flatMap(_.toIntOption)
+        .filter(k => k >= 1 && k <= 16).getOrElse(4))
   }
 
   /** One distributed pass computing per-object blooms for `cols` over
@@ -4619,25 +4668,38 @@ final class GraftClient(
         val n = st.getPath.getName
         (n.startsWith("_table_") && !keep(n)) ||
           // a crash between a compact/rewrite staging write and its moves
-          // strands a _staging_* dir no log entry ever references;
-          // _cdfspill_* pages of wide-window change-feed reads reclaim
-          // here too (their lifetime contract — see changesByFile) but
-          // only past an AGE horizon: a spill younger than
-          // spillRetainMs may back a DataFrame some session is still
-          // consuming — the vacuuming service's own wide-window feed
-          // included — and deleting it mid-read fails that read. Age is
-          // the only portable liveness signal an object store offers;
-          // the default (1 h) dwarfs any real micro-batch.
-          n.startsWith("_staging_") ||
-          (n.startsWith("_cdfspill_") &&
-            st.getModificationTime < System.currentTimeMillis() -
-              spillRetainMs)
+          // strands a _staging_* dir no log entry ever references
+          n.startsWith("_staging_")
       })
+    // _cdfspill_* pages of wide-window change-feed reads reclaim here
+    // too (their lifetime contract — see changesByFile) but only past
+    // an AGE horizon: a spill younger than spillRetainMs may back a
+    // DataFrame some session is still consuming — the vacuuming
+    // service's own wide-window feed included — and deleting it
+    // mid-read fails that read. Age is the only portable liveness
+    // signal an object store offers; the default (1 h) dwarfs any real
+    // micro-batch. The gate applies to each PAGE dir (one per
+    // changesByFile call), never the shared per-client root: on POSIX
+    // every new spill refreshes the root's mtime, so a root-level gate
+    // would keep a busy service's spills forever — and on a
+    // creation-time store it would delete a fresh page under a 2-hour-
+    // old root.
+    val spillHorizon = System.currentTimeMillis() - spillRetainMs
+    val spillRoots = listPath(rootPath).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("_cdfspill_"))
+    val spillPages = spillRoots.flatMap(r => listPath(r.getPath)
+      .filter(p => p.isDirectory && p.getModificationTime < spillHorizon))
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
     if (!dryRun) {
       victims.foreach(st => deletePath(st.getPath))
+      spillPages.foreach(st => deletePath(st.getPath))
+      // an emptied spill root is itself reclaimed (keeps rootDir tidy;
+      // the owning client lazily re-creates on its next wide diff)
+      spillRoots.foreach { r =>
+        if (listPath(r.getPath).isEmpty) deletePath(r.getPath)
+      }
       // log retention: entries below the newest checkpoint that still
       // covers every retained snapshot are replayed by nobody — reclaim
       // them so the log (and each begin()'s listing) stays bounded. Time
@@ -4645,7 +4707,7 @@ final class GraftClient(
       // — the same contract as the data-object reclaim above.
       pruneTarget.foreach(txLog.pruneTo)
     }
-    victims.length
+    victims.length + spillPages.length
   }
 
   def hasOpenTx: Boolean = tx.isDefined
@@ -4716,6 +4778,27 @@ object GraftClient {
     */
   val BloomBitsProperty = "graft.bloom.bits"
   val BloomKProperty = "graft.bloom.k"
+
+  /** Structural (name + type) equality, ignoring nullability and field
+    * metadata at every depth — the ONE comparator behind both the
+    * insert-contract check and the streaming source's mid-stream
+    * evolution check (a parquet-derived nullability difference must
+    * never false-trip either).
+    */
+  private[graft] def sameTypeIgnoringNullability(a: DataType,
+      b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall {
+        case (f, g) => f.name == g.name &&
+          sameTypeIgnoringNullability(f.dataType, g.dataType)
+      }
+    case (ArrayType(x, _), ArrayType(y, _)) =>
+      sameTypeIgnoringNullability(x, y)
+    case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+      sameTypeIgnoringNullability(xk, yk) &&
+        sameTypeIgnoringNullability(xv, yv)
+    case _ => a == b
+  }
 
   /** Field-metadata key marking a declared partition column (the SQL
     * catalog's `PARTITIONED BY` and [[GraftClient.alterPartitioning]]

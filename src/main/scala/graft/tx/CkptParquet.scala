@@ -123,7 +123,15 @@ private[tx] object CkptParquet {
         w.write(g)
       } finally w.close()
       java.nio.file.Files.readAllBytes(tmp)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      // the writer goes through Hadoop's checksummed LocalFileSystem,
+      // which drops a `.<name>.crc` sibling the nio delete above knows
+      // nothing about — without this a long-lived driver leaks one tmp
+      // file per checkpoint part
+      java.nio.file.Files.deleteIfExists(
+        tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
+    }
   }
 
   def read(bytes: Array[Byte]): Vector[Action] = {

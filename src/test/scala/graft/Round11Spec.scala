@@ -210,6 +210,66 @@ class Round11Spec extends AnyFunSuite {
     c.rollback()
   }
 
+  test("NOT NULL inside array elements and map values is guarded too — " +
+    "the declared contract does not stop at container boundaries") {
+    val ss = spark
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_r11_nnarr").toString
+    val c = new GraftClient(ss, root)
+    val declared = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("src", StringType, nullable = false),
+        StructField("opt", StringType))), containsNull = false)),
+      StructField("attrs", MapType(StringType, StringType,
+        valueContainsNull = false))))
+    c.newTx()
+    c.createTable("t", declared)
+    c.commitTx()
+    val loose = StructType(Seq(
+      StructField("k", LongType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("src", StringType),
+        StructField("opt", StringType))), containsNull = true)),
+      StructField("attrs", MapType(StringType, StringType,
+        valueContainsNull = true))))
+    def frame(rows: Seq[org.apache.spark.sql.Row]) =
+      ss.createDataFrame(rows.asJava, loose)
+    def elem(src: String, opt: String) = org.apache.spark.sql.Row(src, opt)
+    // legal: present leaves; null CONTAINER columns; null in the
+    // nullable leaf inside an element
+    c.newTx()
+    c.insert("t", frame(Seq(
+      org.apache.spark.sql.Row(1L, Seq(elem("a", null), elem("b", "x")),
+        Map("m" -> "v")),
+      org.apache.spark.sql.Row(2L, null, null))))
+    c.commitTx()
+    // violation: null non-nullable leaf INSIDE an array element
+    c.newTx()
+    intercept[Exception] {
+      c.insert("t", frame(Seq(org.apache.spark.sql.Row(
+        3L, Seq(elem(null, "y")), Map("m" -> "v")))))
+    }
+    c.rollback()
+    // violation: null ELEMENT where containsNull = false
+    c.newTx()
+    intercept[Exception] {
+      c.insert("t", frame(Seq(org.apache.spark.sql.Row(
+        4L, Seq(elem("a", null), null), Map("m" -> "v")))))
+    }
+    c.rollback()
+    // violation: null map VALUE where valueContainsNull = false
+    c.newTx()
+    intercept[Exception] {
+      c.insert("t", frame(Seq(org.apache.spark.sql.Row(
+        5L, Seq(elem("a", null)), Map("m" -> null)))))
+    }
+    c.rollback()
+    c.newTx()
+    assert(c.scan("t").count() == 2, "failed writes must not land rows")
+    c.rollback()
+  }
+
   test("insertEvolving refuses a frame omitting a non-nullable nested leaf") {
     val ss = spark
     import scala.jdk.CollectionConverters._
