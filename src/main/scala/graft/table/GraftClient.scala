@@ -4484,7 +4484,8 @@ final class GraftClient(
       numBuckets: Int = 16): Unit =
     clusterByZOrder(table, Seq(colA, colB), numBuckets)
 
-  /** True Z-ORDER clustering on N ≥ 2 numeric columns: each value is
+  /** True Z-ORDER clustering on N ≥ 2 numeric or string columns: each
+    * value is
     * scaled to a fixed-width rank inside its column's global [min, max],
     * the N ranks' bits are interleaved into one z-value, and the table
     * is range-re-layouted on that z-value — so every output object
@@ -4519,11 +4520,31 @@ final class GraftClient(
     columns.foreach { c =>
       require(hasColumnPath(schema, c), s"no such column: $c")
       val dt = typeAtPath(schema, c)
-      require(dt.isInstanceOf[NumericType],
-        s"z-order needs numeric columns; $c is ${dt.simpleString}")
+      require(dt.isInstanceOf[NumericType] || dt == StringType,
+        s"z-order needs numeric or string columns; $c is ${dt.simpleString}")
+    }
+    // order-preserving numeric image of a value for rank scaling:
+    // numerics cast to double; STRINGS map to their first 6.5 UTF-8
+    // bytes as a 52-bit big-endian integer (13 hex digits — exactly
+    // representable in a double), so lexicographic order is preserved
+    // at z-order resolution. The corpus-canonical (source, ts) layout
+    // z-orders directly; resolution past 6 bytes of shared prefix is
+    // lost, which affects box tightness, never correctness.
+    def zRankRaw(c: String): org.apache.spark.sql.Column =
+      typeAtPath(schema, c) match {
+        case StringType => expr("CAST(CONV(rpad(substring(hex(encode(" +
+          s"${GraftClient.sqlRef(c)}, 'UTF-8')), 1, 13), 13, '0'), 16, " +
+          "10) AS DOUBLE)")
+        case _ => col(c).cast("double")
+      }
+    def zStringRank(s: String): Double = {
+      val hexs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .take(7).map(b => f"${b & 0xff}%02X").mkString
+      java.lang.Long.parseLong((hexs + "0" * 13).take(13), 16).toDouble
     }
     // bounds only steer bucket balance, never correctness (mayOverlap is
-    // computed from the REWRITTEN footers)
+    // computed from the REWRITTEN footers); string stat bounds may be
+    // parquet-truncated, which is likewise balance-only
     def statBounds(c: String): Option[(Double, Double)] = {
       val per = liveFiles(table).map(_.stats.get(physOf(schema, c)).map(cs =>
         (ColStats.normalize(cs.min), ColStats.normalize(cs.max))))
@@ -4533,6 +4554,7 @@ final class GraftClient(
         val nums = prs.collect {
           case (lo: Long, hi: Long) => (lo.toDouble, hi.toDouble)
           case (lo: Double, hi: Double) => (lo, hi)
+          case (lo: String, hi: String) => (zStringRank(lo), zStringRank(hi))
         }
         if (nums.length != prs.length) None
         else Some((nums.map(_._1).min, nums.map(_._2).max))
@@ -4544,7 +4566,7 @@ final class GraftClient(
         if (fromStats.forall(_.isDefined)) Some(fromStats.map(_.get))
         else {
           val aggs = columns.flatMap(c => Seq(
-            min(col(c)).cast("double"), max(col(c)).cast("double")))
+            min(zRankRaw(c)), max(zRankRaw(c))))
           val r = live.agg(aggs.head, aggs.tail: _*).collect().head
           if (columns.indices.exists(i => r.isNullAt(2 * i)))
             None // an all-null axis: no-op, as in the 2-column original
@@ -4555,13 +4577,14 @@ final class GraftClient(
         val n = columns.length
         val bitsPer = math.min(16, 62 / n)
         val maxRank = (1L << bitsPer) - 1
-        def scaled(c: String, lo: Double, hi: Double) =
+        def scaled(raw: org.apache.spark.sql.Column, lo: Double,
+            hi: Double) =
           if (hi <= lo) lit(0L)
           else least(lit(maxRank), greatest(lit(0L),
-            ((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+            ((raw - lit(lo)) / lit(hi - lo)
               * lit(maxRank.toDouble)).cast("long")))
         val ranks = columns.zip(bs).map { case (c, (lo, hi)) =>
-          scaled(c, lo, hi)
+          scaled(zRankRaw(c), lo, hi)
         }
         // bit i of rank k lands at interleaved position i*n + k (for
         // n = 2 this is exactly the original a/b interleave)

@@ -429,6 +429,42 @@ class Round11Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // z-order on a STRING axis: the corpus-canonical (source, ts) layout
+  // ---------------------------------------------------------------- //
+
+  test("z-order on (source STRING, ts) prunes BOTH axes post-layout " +
+    "via the order-preserving 52-bit prefix rank") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r11_zstr").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    val df = ss.range(0, 4000).select(
+      col("id"),
+      concat(lit("src"), col("id") % 8).as("source"),
+      (col("id") * 37 % 4000).as("ts"))
+    c.createTable("t", df.schema)
+    c.insert("t", df)
+    c.clusterByZOrder("t", Seq("source", "ts"), numBuckets = 16)
+    c.commitTx()
+    c.newTx()
+    val all = c.objects("t").length
+    assert(all >= 8, s"expected a multi-object layout, got $all")
+    // a STRING-axis point probe opens a fraction of the layout
+    val bySource = c.scanBounded("t",
+      Seq("source" -> ("src3", "src3"))).inputFiles.length
+    assert(bySource < all,
+      s"string axis must prune: opened $bySource of $all")
+    // ...and the numeric axis prunes the SAME layout
+    val byTs = c.scanBounded("t",
+      Seq("ts" -> (100L, 300L))).inputFiles.length
+    assert(byTs < all, s"numeric axis must prune: opened $byTs of $all")
+    // exactness survives the re-layout
+    assert(c.scanRange("t", "source", "src3", "src3").count() == 500)
+    c.rollback()
+  }
+
+  // ---------------------------------------------------------------- //
   // generated column derived FROM a nested leaf: engine-computed and
   // derived-pruning — the realistic corpus shape (partition by a date
   // generated from meta.ts) closing the last nested-parity corner
