@@ -101,7 +101,12 @@ final class GraftClient(
   /** One conf for all external-path resolution: clone/restore call
     * [[objectExists]] per snapshot object, and newHadoopConf() clones
     * the full multi-thousand-entry SQL+Hadoop conf each time — hoisted
-    * so a metadata-only op stays metadata-sized.
+    * so a metadata-only op stays metadata-sized. DELIBERATELY captured
+    * once per client: Hadoop/session conf changed after the first
+    * external-path check (e.g. refreshed object-store credentials set
+    * via spark.conf) is not seen for this client's lifetime —
+    * construct a fresh client after rotating credentials (clients are
+    * cheap; the SQL catalog already builds one per operation).
     */
   private lazy val externalConf = spark.sessionState.newHadoopConf()
 
@@ -445,9 +450,10 @@ final class GraftClient(
     // column's sidecars are dropped (stale blooms false-prune); nested
     // (nested leaves carry blooms too — physOf keys their dotted path)
     val phys = physOf(schema, column)
-    liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
+    liveFiles(table).filter(hasBloom(_, phys)).foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
-      t.actions += a.copy(blooms = a.blooms - phys)
+      t.actions += a.copy(blooms = a.blooms - phys,
+        bloomRefs = a.bloomRefs - phys)
     }
     // dotted path: widen the leaf INSIDE the struct — same one
     // ChangeMetadata, zero objects touched; the parquet reader
@@ -1950,11 +1956,13 @@ final class GraftClient(
     * an OPTIMIZE-style maintenance pass; new objects written later start
     * bloom-less until the next pass.
     *
-    * Defaults: 1024 bits / k=4 at the reference's 64k-row object size
-    * target works out to ~2 bits per distinct key at high cardinality —
-    * false-positive-heavy in the worst case but still pruning; callers
-    * with bigger objects should scale `numBits` (bits ≈ 10× expected
-    * distincts for ~1% FP).
+    * `numBits` is a per-object CAP, not a fixed geometry: each object's
+    * width derives from its own row count (~10 bits/row for ~1 % FP,
+    * [[bloomBitsFor]]), clamped by the cap — so a table whose object
+    * sizes vary 100× holds the FP target everywhere instead of running
+    * big objects at a fraction of the bits-per-key. Bitsets land as
+    * per-object SIDECAR store objects; only a fixed-size [[BloomRef]]
+    * rides the log (driver snapshot and checkpoints stay O(objects)).
     */
   def buildBloom(table: String, column: String, numBits: Int = 1024,
       k: Int = 4): Unit = {
@@ -1973,7 +1981,7 @@ final class GraftClient(
     flush(table)
     // blooms are keyed by the PHYSICAL column name (rename-stable)
     val physCol = physOf(schema, column)
-    val files = liveFiles(table).filterNot(_.blooms.contains(physCol))
+    val files = liveFiles(table).filterNot(hasBloom(_, physCol))
     if (files.isEmpty) return
     // one explode-shaped pass (see bloomsForObjects for the plan-size
     // contract); defaults are filled inside it before hashing, so
@@ -1983,8 +1991,8 @@ final class GraftClient(
     val computed = bloomsForObjects(schema, files, Seq(column), numBits, k)
     files.foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
-      t.actions += a.copy(blooms =
-        a.blooms + (physCol -> computed(a.path)(physCol)))
+      t.actions += withBloomStamp(table, a,
+        Map(physCol -> computed(a.path)(physCol)))
     }
   }
 
@@ -2006,8 +2014,27 @@ final class GraftClient(
     require(numBits % 64 == 0 && numBits > 0,
       "numBits must be a positive multiple of 64")
     require(k >= 1 && k <= 16, "k must be in [1,16]")
+    // UNION with any existing registration: "register one more column"
+    // must never silently drop the columns already registered (new
+    // writes would stop stamping them and the point-lookup tier would
+    // degrade with no error). A geometry change is refused loudly —
+    // existing sidecars would be probed at the wrong width — the
+    // re-keying path is dropBloom per column, then re-register.
+    val t = currentTx
+    val existing = t.snapshot.properties(table, t.actions.toSeq)
+    existing.get(GraftClient.BloomColumnsProperty).foreach { _ =>
+      val (oldBits, oldK) = bloomConfig(table)
+      require(oldBits == numBits && oldK == k,
+        s"bloom geometry mismatch: table is registered at " +
+          s"numBits=$oldBits k=$oldK, asked for numBits=$numBits k=$k " +
+          "— dropBloom the registered columns, then re-register at the " +
+          "new geometry")
+    }
+    val merged = (existing.get(GraftClient.BloomColumnsProperty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil) ++ columns).distinct
     setTableProperties(table, Map(
-      GraftClient.BloomColumnsProperty -> columns.mkString(","),
+      GraftClient.BloomColumnsProperty -> merged.mkString(","),
       GraftClient.BloomBitsProperty -> numBits.toString,
       GraftClient.BloomKProperty -> k.toString))
     maintainBlooms(table)
@@ -2029,10 +2056,125 @@ final class GraftClient(
     require(hasColumnPath(schema, column), s"no such column: $column")
     flush(table)
     val phys = physOf(schema, column)
-    liveFiles(table).filter(_.blooms.contains(phys)).foreach { a =>
+    liveFiles(table).filter(hasBloom(_, phys)).foreach { a =>
       t.actions += RemoveDataObject(table, a.path)
-      t.actions += a.copy(blooms = a.blooms - phys)
+      t.actions += a.copy(blooms = a.blooms - phys,
+        bloomRefs = a.bloomRefs - phys)
     }
+  }
+
+  // ---- bloom sidecar residency ---------------------------------------
+  // Bitsets live as their own DATA-PLANE objects (`_bloom_<table>_<uuid>`
+  // flat files under rootDir); the log carries only fixed-size
+  // [[BloomRef]] pointers, so driver snapshot and checkpoint bytes stay
+  // O(objects) regardless of geometry. Sidecars are uuid-named and
+  // immutable once written — the decode cache below can never stale.
+
+  /** Serialize one object's bitsets as a sidecar file; returns its
+    * rootDir-relative name. Format: magic, count, then per column
+    * (name, k, numWords, words) — a few lines of codec instead of a
+    * parquet dependency, because a sidecar is one bounded binary blob
+    * read whole.
+    */
+  private def writeBloomSidecar(table: String,
+      blooms: Map[String, BloomData]): String = {
+    val name = s"_bloom_${table}_${UUID.randomUUID()}"
+    val out = dataFs.create(dataPath(name), false)
+    try {
+      val d = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(out, 64 * 1024))
+      d.writeInt(GraftClient.BloomSidecarMagic)
+      d.writeInt(blooms.size)
+      blooms.toSeq.sortBy(_._1).foreach { case (c, b) =>
+        val cb = c.getBytes("UTF-8")
+        d.writeInt(cb.length); d.write(cb)
+        d.writeInt(b.k); d.writeInt(b.words.length)
+        b.words.foreach(d.writeLong)
+      }
+      d.flush()
+    } finally out.close()
+    name
+  }
+
+  private def readBloomSidecarUncached(rel: String): Map[String, BloomData] = {
+    val in = dataFs.open(dataPath(rel))
+    try {
+      val d = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(in, 64 * 1024))
+      require(d.readInt() == GraftClient.BloomSidecarMagic,
+        s"not a bloom sidecar: $rel")
+      val n = d.readInt()
+      (0 until n).map { _ =>
+        val len = d.readInt()
+        val cb = new Array[Byte](len); d.readFully(cb)
+        val k = d.readInt(); val w = d.readInt()
+        val words = Vector.fill(w)(d.readLong())
+        new String(cb, "UTF-8") -> BloomData(k, words)
+      }.toMap
+    } finally in.close()
+  }
+
+  /** Decoded sidecar through the JVM-wide byte-bounded cache. None when
+    * the sidecar is unreadable — e.g. a reader pinned at an old version
+    * whose sidecars vacuum reclaimed past retention: the probe then
+    * simply does not prune on it (conservative, never wrong; the DATA
+    * read still fails loudly if the data objects are gone too).
+    */
+  private def loadBloomSidecar(rel: String): Option[Map[String, BloomData]] = {
+    val key = s"$rootPath/$rel"
+    GraftClient.bloomSidecarCache.get(key).orElse {
+      try {
+        val m = readBloomSidecarUncached(rel)
+        GraftClient.bloomSidecarCache.put(key, m)
+        Some(m)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** The bloom over PHYSICAL column `physCol` carried by `a`: inline
+    * (legacy logs) or loaded from its sidecar (cached). None = no bloom
+    * for the column, or the sidecar is unreadable / inconsistent with
+    * its ref — both degrade to "no pruning on this object".
+    */
+  def bloomOf(a: AddDataObject, physCol: String): Option[BloomData] =
+    a.blooms.get(physCol).orElse(
+      a.bloomRefs.get(physCol).flatMap(r =>
+        loadBloomSidecar(r.path).flatMap(_.get(physCol))
+          .filter(b => b.k == r.k && b.numBits == r.numBits)))
+
+  /** Does `a` carry a bloom for `physCol` (inline or sidecar)? The
+    * metadata-only membership test — never opens a sidecar.
+    */
+  def hasBloom(a: AddDataObject, physCol: String): Boolean =
+    a.blooms.contains(physCol) || a.bloomRefs.contains(physCol)
+
+  /** Stage `fresh` bitsets for `a` as ONE new sidecar: refs added,
+    * superseded inline/sidecar entries for those columns dropped (the
+    * old sidecar object becomes garbage for vacuum once the re-add
+    * commits). The action mutation only — callers stage the
+    * remove+re-add pair.
+    */
+  private def withBloomStamp(table: String, a: AddDataObject,
+      fresh: Map[String, BloomData]): AddDataObject =
+    if (fresh.isEmpty) a
+    else {
+      val path = writeBloomSidecar(table, fresh)
+      a.copy(blooms = a.blooms -- fresh.keys,
+        bloomRefs = a.bloomRefs ++ fresh.map { case (c, b) =>
+          c -> BloomRef(b.k, b.numBits, path) })
+    }
+
+  /** Per-object bloom geometry: ~10 bits per row (≈1 % FP for
+    * high-cardinality keys), rounded to whole words, floored at 1024
+    * bits, clamped by the table's registered width (which is therefore
+    * a CAP, not a fixed geometry) — an object 100× bigger than its
+    * neighbors gets 100× the bits instead of running at a hundredth of
+    * the bits-per-key, and a trickle write stops paying big-object
+    * bytes. The writer knows `numRows` at stamp time, so this is free.
+    */
+  private def bloomBitsFor(numRows: Long, capBits: Int): Int = {
+    val ideal = (10L * math.max(numRows, 1L) + 63) / 64 * 64
+    math.min(capBits.toLong, math.max(1024L, ideal)).toInt
   }
 
   /** Registered write-time bloom columns (logical paths; empty unless
@@ -2109,19 +2251,28 @@ final class GraftClient(
     * probe can never drift.
     */
   private def bloomsForObjects(schema: StructType,
-      objs: Seq[AddDataObject], cols: Seq[String], numBits: Int,
+      objs: Seq[AddDataObject], cols: Seq[String], capBits: Int,
       k: Int): Map[String, Map[String, BloomData]] = {
-    val words = numBits / 64
+    // per-OBJECT geometry (capBits is the cap, see bloomBitsFor): the
+    // modulus becomes a joined column instead of a literal — a tiny
+    // broadcast (path, bits) frame, never O(objects) in the plan tree
+    val bitsFor: Map[String, Int] =
+      objs.map(a => a.path -> bloomBitsFor(a.numRows, capBits)).toMap
+    val bitsDf = spark.createDataFrame(
+      objs.map(a => Row(a.path, bitsFor(a.path).toLong)).asJava,
+      StructType(Seq(StructField("_obj", StringType, nullable = false),
+        StructField("_bits", LongType, nullable = false))))
     val df = applyDefaults(schema,
       readObjects(schema, objs.toVector, tagObj = true))
     val hashes = cols.zipWithIndex.flatMap { case (c, ci) =>
       (0 until k).map(i =>
         when(col(c).isNotNull,
           struct(lit(ci).as("ci"),
-            pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong))
+            pmod(xxhash64(lit(i), col(c)), col("_bits"))
               .as("pos"))))
     }
     val grouped = df
+      .join(broadcast(bitsDf), "_obj")
       .select(col("_obj"), explode(array(hashes.toIndexedSeq: _*)).as("h"))
       .filter(col("h").isNotNull)
       .select(col("_obj"), col("h.ci").as("ci"),
@@ -2133,7 +2284,8 @@ final class GraftClient(
     // zero-initialized accumulators; partial rows OR in, in any order
     val acc = mutable.Map[String, Array[Array[Long]]]()
     objs.foreach(a =>
-      acc(a.path) = Array.fill(cols.length)(new Array[Long](words)))
+      acc(a.path) = Array.fill(cols.length)(
+        new Array[Long](bitsFor(a.path) / 64)))
     grouped.toLocalIterator().forEachRemaining { r =>
       acc.get(r.getString(0)).foreach { m =>
         m(r.getInt(1))(r.getInt(2)) |= r.getLong(3)
@@ -2164,15 +2316,15 @@ final class GraftClient(
     val (numBits, k) = bloomConfig(table)
     val phys = cols.map(c => physOf(schema, c))
     val missing = liveFiles(table)
-      .filter(a => phys.exists(p => !a.blooms.contains(p)))
+      .filter(a => phys.exists(p => !hasBloom(a, p)))
     if (missing.isEmpty) return
     val computed = bloomsForObjects(schema, missing, cols, numBits, k)
     missing.foreach { a =>
       val fresh = computed.getOrElse(a.path, Map.empty)
-        .filterNot { case (p, _) => a.blooms.contains(p) }
+        .filterNot { case (p, _) => hasBloom(a, p) }
       if (fresh.nonEmpty) {
         t.actions += RemoveDataObject(table, a.path)
-        t.actions += a.copy(blooms = a.blooms ++ fresh)
+        t.actions += withBloomStamp(table, a, fresh)
       }
     }
   }
@@ -2258,7 +2410,12 @@ final class GraftClient(
     // build and probe can never drift
     val pointProbes: Seq[(String, Any)] =
       equalities ++ inLists.flatMap { case (c, vs) => vs.map(c -> _) }
-    val maxK = live.flatMap(_.blooms.values).map(_.k).maxOption.getOrElse(0)
+    // k rides in the REF (and inline legacy blooms), so hash planning
+    // never opens a sidecar; sidecars load lazily below, and only for
+    // objects that already survived min/max stats (the && short-circuit)
+    val maxK = live.iterator.flatMap(a =>
+      a.blooms.valuesIterator.map(_.k) ++
+        a.bloomRefs.valuesIterator.map(_.k)).maxOption.getOrElse(0)
     val hashes: Map[(String, Any), Seq[Long]] =
       if (maxK == 0 || pointProbes.isEmpty) Map.empty
       else {
@@ -2275,7 +2432,7 @@ final class GraftClient(
       val phys = physOf(schema, c)
       ColStats.mayOverlap(a.stats, phys, v, v) &&
         hashes.get((c, v)).forall(hs =>
-          a.blooms.get(phys).forall(_.mightContain(hs)))
+          bloomOf(a, phys).forall(_.mightContain(hs)))
     }
     live.filter(a =>
       bounds.forall { case (c, (lo, hi)) =>
@@ -2585,7 +2742,7 @@ final class GraftClient(
         if (ndvCols.isEmpty) add
         else add.copy(ndv = add.ndv ++ ndvBlobsFor(schema, add, ndvCols))
       val updated = blooms.get(add.path) match {
-        case Some(bl) => withNdv.copy(blooms = withNdv.blooms ++ bl)
+        case Some(bl) => withBloomStamp(table, withNdv, bl)
         case None => withNdv
       }
       if (updated != add) {
@@ -2911,7 +3068,7 @@ final class GraftClient(
             val (numBits, k) = bloomConfig(table)
             bloomsForObjects(schema, Vector(add), bCols, numBits, k)
               .get(add.path) match {
-              case Some(bl) => withNdv.copy(blooms = withNdv.blooms ++ bl)
+              case Some(bl) => withBloomStamp(table, withNdv, bl)
               case None => withNdv
             }
           })
@@ -3107,6 +3264,12 @@ final class GraftClient(
                   case RemoveDataObject(_, p) => ourRemoves(p)
                   case _: SetTxn => true
                   case _: AddDeleteVector => false
+                  // a concurrent commit's CDC record is commit-scoped
+                  // bookkeeping (uuid path, never in liveFiles) — it
+                  // can't collide with anything this tx staged; without
+                  // this arm the exists() threw MatchError instead of
+                  // DECIDING whenever the concurrent writer had CDF on
+                  case _: AddCdcObject => false
                   // two first-creates racing both stamp the BASE
                   // protocol — identical, safe to rebase past; a genuine
                   // concurrent protocol UPGRADE (a feature landing)
@@ -3640,22 +3803,36 @@ final class GraftClient(
                   graft.functions.HllMath.merge)
             }.toMap)
           else add.copy(ndv = ndvBlobsFor(schema, add, ndvCols))
-        // blooms ride compaction METADATA-ONLY: a bin's rows are exactly
-        // the union of its input objects' rows (routing is per object),
-        // so the bitwise-OR union of same-geometry input blooms is exact
-        // for the output. A DV-retiring sweep leaves the dropped rows'
-        // bits set — false positives only, never a false prune. Columns
-        // any input lacks (or carries at a different geometry) fall to
-        // the maintainBlooms pass below on registered tables.
+        // blooms ride compaction CHEAPLY: a bin's rows are exactly the
+        // union of its input objects' rows (routing is per object), so
+        // the bitwise-OR union of same-geometry input blooms is exact
+        // for the output — loaded through the sidecar cache, OR'd, and
+        // written as ONE merged sidecar (no row scan). A DV-retiring
+        // sweep leaves the dropped rows' bits set — false positives
+        // only, never a false prune. The OR is kept only when the
+        // shared input width still meets the OUTPUT's derived
+        // per-object target ([[bloomBitsFor]]): merging ten objects
+        // must not quietly run the result at a tenth of its bits-per-
+        // key. Columns any input lacks, carries at mismatched
+        // geometry, or whose OR would under-shoot the target fall to
+        // the maintainBlooms re-stamp below on registered tables.
         val inputs = eligible(binId)
-        val mergedBlooms = inputs.map(_.blooms.keySet)
+        val (capBits, _) = bloomConfig(table)
+        val outTarget = bloomBitsFor(rows, capBits)
+        val mergedBlooms = inputs
+          .map(a => a.blooms.keySet ++ a.bloomRefs.keySet)
           .reduce(_ intersect _).iterator.flatMap { c =>
-            val bs = inputs.map(_.blooms(c))
-            bs.tail.foldLeft(Option(bs.head))((acc, b) =>
-              acc.flatMap(_.union(b))).map(c -> _)
+            val bs = inputs.map(bloomOf(_, c))
+            if (bs.exists(_.isEmpty)) None
+            else {
+              val list = bs.map(_.get)
+              list.tail.foldLeft(Option(list.head))((acc, b) =>
+                acc.flatMap(_.union(b)))
+                .filter(_.numBits >= outTarget)
+                .map(c -> _)
+            }
           }.toMap
-        t.actions += (if (mergedBlooms.isEmpty) withNdv
-          else withNdv.copy(blooms = mergedBlooms))
+        t.actions += withBloomStamp(table, withNdv, mergedBlooms)
       } else deletePath(dataPath(name))
     }
     eligible.flatten.foreach(a => t.actions += RemoveDataObject(table, a.path))
@@ -4618,12 +4795,20 @@ final class GraftClient(
   def abortAndClean(): Unit = {
     tx.foreach { t =>
       val committed: Set[String] = t.snapshot.tables.keys.flatMap { tbl =>
-        t.snapshot.liveFiles(tbl).map(_.path) ++
+        val files = t.snapshot.liveFiles(tbl)
+        files.map(_.path) ++
+          files.flatMap(_.bloomRefs.valuesIterator.map(_.path)) ++
           t.snapshot.liveDvs(tbl).map(_.path)
       }.toSet
       t.actions.foreach {
-        case a: AddDataObject if !committed(a.path) =>
-          deletePath(dataPath(a.path))
+        case a: AddDataObject =>
+          if (!committed(a.path)) deletePath(dataPath(a.path))
+          // a maintenance re-add references a COMMITTED data path but a
+          // FRESH sidecar — the sidecar is this tx's debris even though
+          // the data object must survive, so the two are checked
+          // independently
+          a.bloomRefs.valuesIterator.map(_.path).filterNot(committed)
+            .foreach(p => deletePath(dataPath(p)))
         case a: AddDeleteVector if !committed(a.path) =>
           deletePath(dataPath(a.path))
         case a: AddCdcObject =>
@@ -4670,7 +4855,13 @@ final class GraftClient(
     (from to cur.version).foreach { v =>
       val snap = txLog.beginAt(v)
       snap.tables.keys.foreach { tbl =>
-        keep ++= snap.liveFiles(tbl).map(_.path)
+        val files = snap.liveFiles(tbl)
+        keep ++= files.map(_.path)
+        // bloom sidecars live exactly as long as SOME retained
+        // snapshot's object references them (clones sharing a sidecar
+        // keep it alive from either side, like shared data objects)
+        keep ++= files.iterator.flatMap(_.bloomRefs.valuesIterator
+          .map(_.path))
         keep ++= snap.liveDvs(tbl).map(_.path)
       }
     }
@@ -4687,13 +4878,17 @@ final class GraftClient(
         }
       }
     val victims = listPath(rootPath)
-      .filter(st => st.isDirectory && {
+      .filter { st =>
         val n = st.getPath.getName
-        (n.startsWith("_table_") && !keep(n)) ||
+        (st.isDirectory && ((n.startsWith("_table_") && !keep(n)) ||
           // a crash between a compact/rewrite staging write and its moves
           // strands a _staging_* dir no log entry ever references
-          n.startsWith("_staging_")
-      })
+          n.startsWith("_staging_"))) ||
+          // bloom sidecars unreferenced by every retained snapshot:
+          // superseded by a re-stamp, or orphaned by an aborted tx —
+          // same single-maintainer contract as data-object orphans
+          (n.startsWith("_bloom_") && !keep(n))
+      }
     // _cdfspill_* pages of wide-window change-feed reads reclaim here
     // too (their lifetime contract — see changesByFile) but only past
     // an AGE horizon: a spill younger than spillRetainMs may back a
@@ -4710,8 +4905,19 @@ final class GraftClient(
     val spillHorizon = System.currentTimeMillis() - spillRetainMs
     val spillRoots = listPath(rootPath).filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("_cdfspill_"))
+    // age = the newest FILE inside the page, not the dir mtime:
+    // object-store filesystems (S3A et al) report 0/synthetic mtimes
+    // for directories, which would make every fresh page look ancient
+    // and get reclaimed mid-read on exactly the remote schemes the
+    // rootDir spill placement exists for. Files carry real mtimes
+    // everywhere; an empty listing falls back to the dir mtime.
+    def pageAge(p: org.apache.hadoop.fs.FileStatus): Long = {
+      val files = listPath(p.getPath).filter(_.isFile)
+      if (files.isEmpty) p.getModificationTime
+      else files.map(_.getModificationTime).max
+    }
     val spillPages = spillRoots.flatMap(r => listPath(r.getPath)
-      .filter(p => p.isDirectory && p.getModificationTime < spillHorizon))
+      .filter(p => p.isDirectory && pageAge(p) < spillHorizon))
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
@@ -4746,6 +4952,38 @@ final class GraftClient(
 }
 
 object GraftClient {
+  private[table] val BloomSidecarMagic: Int = 0x47424c31 // "GBL1"
+
+  /** JVM-wide LRU of decoded bloom sidecars, keyed by absolute sidecar
+    * path. Safe to share across clients/tables because sidecars are
+    * uuid-named and immutable once written. Bounded by DECODED bytes,
+    * not entries — a wide probe over thousands of big-geometry objects
+    * must not grow driver heap without bound; an evicted entry costs
+    * its next prober one store read.
+    */
+  private[graft] object bloomSidecarCache {
+    private val MaxBytes = 64L << 20
+    private var bytes = 0L
+    private val m = new java.util.LinkedHashMap[
+        String, Map[String, BloomData]](64, 0.75f, true)
+    private def sizeOf(v: Map[String, BloomData]): Long =
+      v.iterator.map { case (c, b) => 64L + c.length + b.words.length * 8L }
+        .sum
+    def get(k: String): Option[Map[String, BloomData]] =
+      synchronized(Option(m.get(k)))
+    def put(k: String, v: Map[String, BloomData]): Unit = synchronized {
+      if (m.containsKey(k)) return
+      m.put(k, v)
+      bytes += sizeOf(v)
+      val it = m.entrySet().iterator()
+      while (bytes > MaxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { bytes -= sizeOf(e.getValue); it.remove() }
+      }
+    }
+    private[graft] def clear(): Unit = synchronized { m.clear(); bytes = 0L }
+  }
+
   /** Loud cap on objects one copy-on-write delete may touch — ~10× a
     * 100 TB table's object count at 128 MB objects, so it only trips on
     * pathology (an unscoped predicate over a hyper-fragmented table),

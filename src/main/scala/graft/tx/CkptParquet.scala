@@ -43,6 +43,7 @@ private[tx] object CkptParquet {
       |  optional binary stats (UTF8);
       |  optional binary blooms (UTF8);
       |  optional binary ndv (UTF8);
+      |  optional binary bloomRefs (UTF8);
       |  optional binary body (UTF8);
       |}""".stripMargin)
 
@@ -67,7 +68,9 @@ private[tx] object CkptParquet {
         ad.blooms.iterator.map { case (c, b) =>
           c.length + b.words.length * 20L + 16L }.sum +
         ad.ndv.iterator.map { case (c, b) =>
-          c.length + (b.length * 4L) / 3 + 16L }.sum
+          c.length + (b.length * 4L) / 3 + 16L }.sum +
+        ad.bloomRefs.iterator.map { case (c, r) =>
+          c.length + r.path.length + 32L }.sum
     case _ => 256L
   }
 
@@ -100,7 +103,8 @@ private[tx] object CkptParquet {
       try actions.foreach { a =>
         val g = f.newGroup()
         a match {
-          case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv) =>
+          case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv,
+              refs) =>
             g.append("kind", "add").append("tbl", t).append("path", p)
             g.append("txId", tx).append("numRows", n)
             rowBase.foreach(b => g.append("rowBase", b))
@@ -110,6 +114,9 @@ private[tx] object CkptParquet {
               g.append("blooms", Json.write(TxLog.bloomsToJson(blooms)))
             if (ndv.nonEmpty)
               g.append("ndv", Json.write(ndvToJson(ndv)))
+            if (refs.nonEmpty)
+              g.append("bloomRefs",
+                Json.write(TxLog.bloomRefsToJson(refs)))
           case AddDeleteVector(t, p, tx, n) =>
             g.append("kind", "dv").append("tbl", t).append("path", p)
             g.append("txId", tx).append("numRows", n)
@@ -156,7 +163,11 @@ private[tx] object CkptParquet {
   }
 
   private def optS(g: Group, field: String): Option[String] =
-    if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
+    // containsField guard: parts written before a column existed (e.g.
+    // bloomRefs) produce Groups under the FILE schema, and asking for
+    // an unknown field would throw instead of reading as absent
+    if (g.getType.containsField(field) &&
+        g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
     else None
   private def optL(g: Group, field: String): Option[Long] =
     if (g.getFieldRepetitionCount(field) > 0) Some(g.getLong(field, 0))
@@ -172,6 +183,9 @@ private[tx] object CkptParquet {
         .getOrElse(Map.empty),
       optL(g, "rowBase"),
       optS(g, "ndv").map(s => ndvFromJson(Json.parse(s)))
+        .getOrElse(Map.empty),
+      optS(g, "bloomRefs")
+        .map(s => TxLog.bloomRefsFromJson(Json.parse(s)))
         .getOrElse(Map.empty))
     case "dv" => AddDeleteVector(optS(g, "tbl").get, optS(g, "path").get,
       optL(g, "txId").get, optL(g, "numRows").get)

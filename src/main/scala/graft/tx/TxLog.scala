@@ -112,6 +112,21 @@ final case class BloomData(k: Int, words: Vector[Long]) {
     else None
 }
 
+/** Pointer to a per-object bloom SIDECAR: the bitset lives as its own
+  * store object (`_bloom_<table>_<uuid>` on the data plane) and only
+  * this fixed-size reference rides the log — so driver snapshot and
+  * checkpoint bytes stay O(objects), not O(objects × bloom geometry).
+  * (At the documented production geometry — ~10 bits/key, 80 KB/object/
+  * column — inline bitsets would put ~80 GB in the driver snapshot of a
+  * 10⁶-object table; Delta stores bloom indexes as per-file sidecars
+  * for the same reason.) `k`/`numBits` ride here so probe planning
+  * (which objects can prune, at what k) never opens a sidecar; the
+  * bitset itself is loaded lazily, and ONLY for objects surviving
+  * min/max stats. Several columns of one object may share one sidecar
+  * `path` (the sidecar holds a column → bitset map).
+  */
+final case class BloomRef(k: Int, numBits: Long, path: String)
+
 /** A live data object. `path` is rootDir-relative for objects the client
   * wrote, or an absolute path (leading `/`) for EXTERNAL objects imported
   * in place by `convertParquet` — those carry no physical provenance
@@ -128,11 +143,18 @@ final case class BloomData(k: Int, words: Vector[Long]) {
   * merges its inputs' blobs without a scan. ~512 B per analyzed column
   * per object in the log, the same order as a bloom sidecar.
   */
+/** `blooms` (INLINE bitsets) is the legacy residency — logs written
+  * before sidecars still probe correctly through it; every NEW stamp
+  * writes a sidecar and records only a [[BloomRef]] in `bloomRefs`.
+  * The two maps are disjoint per column by construction (a re-stamp
+  * drops the inline entry it supersedes).
+  */
 final case class AddDataObject(table: String, path: String, txId: Long,
     numRows: Long, stats: Map[String, ColStats] = Map.empty,
     blooms: Map[String, BloomData] = Map.empty,
     rowBase: Option[Long] = None,
-    ndv: Map[String, Array[Byte]] = Map.empty) extends Action
+    ndv: Map[String, Array[Byte]] = Map.empty,
+    bloomRefs: Map[String, BloomRef] = Map.empty) extends Action
 final case class RemoveDataObject(table: String, path: String) extends Action
 final case class ChangeMetadata(table: String, schema: StructType)
     extends Action
@@ -880,7 +902,13 @@ final class TxLog(store: ObjectStore) {
     val manifest = Json.write(Json.obj(Seq(
       "version" -> Json.num(snapshot.version),
       "parts" -> Json.num(parts.toLong)) ++
-      (if (parquet) Seq("format" -> Json.str("parquet")) else Nil): _*))
+      // pnames: parts use the 'p'-suffixed naming — recorded so readers
+      // key the part names on the manifest instead of probing (see
+      // readCheckpoint: the FIRST parquet engine wrote format:"parquet"
+      // manifests over BARE part names, so the suffix cannot be
+      // inferred from the format alone)
+      (if (parquet) Seq("format" -> Json.str("parquet"),
+        "pnames" -> JBool(true)) else Nil): _*))
     store.putIfAbsent(ckptName(snapshot.version), manifest.getBytes("UTF-8"))
     // advance the _last_checkpoint pointer (plain overwrite put, Delta's
     // mechanism). Best-effort and advisory: a crash before this line, or
@@ -908,9 +936,25 @@ final class TxLog(store: ObjectStore) {
     val parquet = j.get("format").exists(_.asStr == "parquet")
     j.get("parts") match {
       case Some(p) if parquet =>
+        // Part-name style: manifests with pnames:true use the
+        // 'p'-suffixed names directly. Manifests WITHOUT the flag are
+        // from before it existed, and those come in BOTH namings — the
+        // first parquet engine wrote bare part names under the same
+        // format:"parquet" manifest — so one prefix listing resolves
+        // which names actually exist (throwing on the missing suffixed
+        // part would make pre-flag tables unreadable once pruneTo
+        // reclaimed the log below their checkpoint).
+        val suffixed: Int => Boolean =
+          if (j.get("pnames").exists { case JBool(b) => b; case _ => false })
+            _ => true
+          else {
+            val present = store
+              .listPrefixOrdered(f"${CkptPartPrefix}${version}%020d_").toSet
+            k => present(ckptPartName(version, k, parquet = true))
+          }
         (0 until p.asLong.toInt).foreach { k =>
           into ++= CkptParquet.read(
-            store.read(ckptPartName(version, k, parquet = true)))
+            store.read(ckptPartName(version, k, parquet = suffixed(k))))
         }
       case Some(p) =>
         (0 until p.asLong.toInt).foreach { k =>
@@ -1048,6 +1092,17 @@ object TxLog {
         o.asObj.get("nulls").map(_.asLong))
     }
 
+  private[tx] def bloomRefsToJson(refs: Map[String, BloomRef]): JValue =
+    JObj(refs.map { case (c, r) => c -> Json.obj(
+      "k" -> Json.num(r.k),
+      "bits" -> Json.num(r.numBits),
+      "path" -> Json.str(r.path)) })
+  private[tx] def bloomRefsFromJson(v: JValue): Map[String, BloomRef] =
+    v.asObj.map { case (c, o) =>
+      c -> BloomRef(o.asObj("k").asLong.toInt, o.asObj("bits").asLong,
+        o.asObj("path").asStr)
+    }
+
   private[tx] def bloomsToJson(blooms: Map[String, BloomData]): JValue =
     JObj(blooms.map { case (c, b) => c -> Json.obj(
       "k" -> Json.num(b.k),
@@ -1059,7 +1114,7 @@ object TxLog {
     }
 
   def actionToJson(a: Action): JValue = a match {
-    case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv) =>
+    case AddDataObject(t, p, tx, n, stats, blooms, rowBase, ndv, refs) =>
       val base = Seq(
         "type" -> Json.str("add"), "table" -> Json.str(t),
         "path" -> Json.str(p), "txId" -> Json.num(tx), "numRows" -> Json.num(n))
@@ -1067,6 +1122,11 @@ object TxLog {
         (if (stats.isEmpty) Nil else Seq("stats" -> statsToJson(stats))) ++
         (if (blooms.isEmpty) Nil
          else Seq("blooms" -> bloomsToJson(blooms))) ++
+        (if (refs.isEmpty) Nil
+         // additive and skip-safe for down-level readers: an engine
+         // that ignores the key simply doesn't bloom-prune (correct,
+         // slower) — no protocol bump needed
+         else Seq("bloomref" -> bloomRefsToJson(refs))) ++
         rowBase.map(b => "rowBase" -> Json.num(b)).toSeq ++
         (if (ndv.isEmpty) Nil
          else Seq("ndv" -> JObj(ndv.map { case (c, blob) =>
@@ -1113,7 +1173,8 @@ object TxLog {
         o.get("rowBase").map(_.asLong),
         o.get("ndv").map(_.asObj.map { case (c, v) =>
           c -> java.util.Base64.getDecoder.decode(v.asStr)
-        }).getOrElse(Map.empty))
+        }).getOrElse(Map.empty),
+        o.get("bloomref").map(bloomRefsFromJson).getOrElse(Map.empty))
       case "dv" => AddDeleteVector(o("table").asStr, o("path").asStr,
         o("txId").asLong, o("numRows").asLong)
       case "cdc" => AddCdcObject(o("table").asStr, o("path").asStr,

@@ -1,0 +1,249 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.LocalObjectStore
+import graft.table.GraftClient
+import graft.tx._
+
+/** Bloom SIDECAR residency — the round-11 scale-killer fix: bitsets live
+  * as per-object store objects (`_bloom_<table>_<uuid>`), the log carries
+  * only fixed-size [[BloomRef]] pointers, so driver snapshot and
+  * checkpoint bytes are O(objects) regardless of bloom geometry (at the
+  * production geometry of ~80 KB/object/column, inline bitsets would put
+  * ~80 GB into a 10⁶-object table's snapshot). Pins: log residency,
+  * geometry-independent log+checkpoint bytes, per-object derived
+  * geometry holding the FP target across 100×-varied object sizes,
+  * vacuum keep/reclaim of sidecars, the old-reader degrade contract, and
+  * legacy inline blooms staying probe-able.
+  */
+class BloomSidecarSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("key", StringType)))
+
+  // scattered keys: every object's (min,max) covers any probe, so only
+  // the bloom tier can prune
+  private def df(obj: Int, n: Int) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame((0 until n).map { i =>
+      val k = if (i == 0) "aaa" else if (i == n - 1) "zzz"
+        else s"k_${obj}_$i"
+      Row(obj * 100000L + i, k)
+    }.asJava, schema)
+  }
+
+  private def fresh(tag: String): (GraftClient, Path) = {
+    val root = Files.createTempDirectory(s"graft_bside_$tag")
+    (new GraftClient(spark, root.toString), root)
+  }
+
+  private def filesBy(root: Path, prefix: String): Seq[Path] = {
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+    } finally s.close()
+  }
+  private def bytesBy(root: Path, prefixes: String*): Long =
+    prefixes.map(p => filesBy(root, p).map(Files.size).sum).sum
+
+  test("bitsets never ride the log: actions carry refs, sidecar objects " +
+    "carry the words") {
+    val (c, root) = fresh("resid")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    c.insert("t", df(0, 50))
+    c.insert("t", df(1, 50))
+    c.commitTx()
+    c.newTx()
+    val objs = c.objects("t")
+    assert(objs.nonEmpty)
+    objs.foreach { a =>
+      assert(a.blooms.isEmpty, s"inline bitset leaked into the log: ${a.path}")
+      assert(a.bloomRefs.contains("key"))
+    }
+    assert(filesBy(root, "_bloom_t_").nonEmpty, "sidecar objects must exist")
+    // the raw log text carries no word arrays — only the tiny refs
+    filesBy(root, "_log_").foreach { f =>
+      val body = new String(Files.readAllBytes(f), "UTF-8")
+      assert(!body.contains("\"words\""),
+        s"log entry ${f.getFileName} carries an inline bitset")
+    }
+    assert(filesBy(root, "_log_").exists(f =>
+      new String(Files.readAllBytes(f), "UTF-8").contains("\"bloomref\"")))
+    // probes work through the sidecar tier
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
+    assert(c.scanEquals("t", "key", "k_1_7").count() == 1)
+    c.rollback()
+  }
+
+  test("log + checkpoint bytes are independent of bloom geometry " +
+    "(sidecar bytes are where the geometry goes)") {
+    def build(cap: Int): Path = {
+      val (c, root) = fresh(s"geom$cap")
+      c.newTx()
+      c.createTable("t", schema)
+      c.registerBlooms("t", Seq("key"), numBits = cap)
+      c.commitTx()
+      (0 until 3).foreach { o =>
+        c.newTx(); c.insert("t", df(o, 2000)); c.commitTx()
+      }
+      c.checkpointNow()
+      root
+    }
+    val small = build(1024)        // every object at the 1024-bit floor
+    val big = build(1 << 20)       // 2000-row objects derive ~20k bits
+    val smallMeta = bytesBy(small, "_log_", "_ckpt")
+    val bigMeta = bytesBy(big, "_log_", "_ckpt")
+    val smallSide = bytesBy(small, "_bloom_")
+    val bigSide = bytesBy(big, "_bloom_")
+    assert(bigSide > smallSide * 3,
+      s"geometry must land in sidecars: $bigSide vs $smallSide")
+    assert(bigMeta <= (smallMeta * 1.25).toLong,
+      s"log+checkpoint bytes must not scale with geometry: " +
+        s"$bigMeta vs $smallMeta")
+  }
+
+  test("per-object derived geometry: 100x-varied object sizes hold " +
+    "~10 bits/key everywhere, and absent probes stay ~1% FP") {
+    val (c, _) = fresh("fp")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 1 << 20)
+    c.insert("t", df(0, 100))     // small object
+    c.insert("t", df(1, 10000))   // 100x bigger
+    c.commitTx()
+    c.newTx()
+    val byRows = c.objects("t").map(a => a.numRows -> a).toMap
+    assert(c.bloomOf(byRows(100L), "key").get.numBits == 1024,
+      "small object at the floor width")
+    assert(c.bloomOf(byRows(10000L), "key").get.numBits == 100032,
+      "big object derives ~10 bits/row instead of running at 1024")
+    // 200 absent probes x 2 objects: at ~10 bits/key the expected FP is
+    // ~1% — allow 10% before calling it broken
+    val opened = (0 until 200).map(i =>
+      c.prunedObjects("t", Nil, Seq("key" -> s"nope_$i")).length).sum
+    assert(opened <= 40, s"FP too high for the derived geometry: " +
+      s"$opened/400 object-probes opened")
+    assert(c.scanEquals("t", "key", "k_1_7777").count() == 1)
+    c.rollback()
+  }
+
+  test("vacuum keeps referenced sidecars, reclaims superseded ones, and " +
+    "an old reader degrades to no-prune instead of failing") {
+    val (c, root) = fresh("vac")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 1024)
+    c.insert("t", df(0, 60))
+    c.commitTx()
+    c.newTx()
+    val oldActions = c.objects("t")
+    val oldSidecars = oldActions.flatMap(_.bloomRefs.values.map(_.path))
+    c.rollback()
+    assert(oldSidecars.nonEmpty)
+    // re-key: dropBloom + re-register writes FRESH sidecars; the old
+    // ones are now referenced only by historical snapshots
+    c.newTx()
+    c.dropBloom("t", "key")
+    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty))
+    c.registerBlooms("t", Seq("key"), numBits = 2048)
+    c.commitTx()
+    c.newTx()
+    val newSidecars = c.objects("t").flatMap(_.bloomRefs.values.map(_.path))
+    c.rollback()
+    assert(newSidecars.nonEmpty && newSidecars.toSet != oldSidecars.toSet)
+    assert(c.vacuum() > 0, "vacuum must reclaim the superseded sidecars")
+    val left = filesBy(root, "_bloom_t_").map(_.getFileName.toString).toSet
+    assert(left == newSidecars.toSet,
+      s"exactly the referenced sidecars survive: $left vs $newSidecars")
+    // current probes still prune and answer exactly
+    c.newTx()
+    assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
+    assert(c.scanEquals("t", "key", "k_0_7").count() == 1)
+    c.rollback()
+    // the old-reader contract: an action whose sidecar was reclaimed
+    // probes as "no bloom" (conservative no-prune, never a wrong
+    // answer); its DATA is still live, so the read itself is exact
+    GraftClient.bloomSidecarCache.clear()
+    assert(c.bloomOf(oldActions.head, "key").isEmpty,
+      "reclaimed sidecar must degrade to no-prune")
+  }
+
+  test("abortAndClean removes the tx's fresh sidecars but never a " +
+    "committed object's") {
+    val (c, root) = fresh("abort")
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("key"), numBits = 1024)
+    c.insert("t", df(0, 40))
+    c.commitTx()
+    val committed = filesBy(root, "_bloom_t_").map(_.getFileName.toString)
+    assert(committed.nonEmpty)
+    // an aborted insert leaves no sidecar debris
+    c.newTx()
+    c.insert("t", df(1, 40))
+    c.abortAndClean()
+    assert(filesBy(root, "_bloom_t_").map(_.getFileName.toString)
+      .sorted == committed.sorted,
+      "aborted tx's sidecars must be cleaned, committed ones kept")
+    // a maintenance re-stamp references the COMMITTED data path with a
+    // FRESH sidecar: abort deletes the sidecar, keeps the data
+    c.newTx()
+    c.dropBloom("t", "key")
+    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty))
+    c.registerBlooms("t", Seq("key"), numBits = 2048)
+    c.abortAndClean()
+    assert(filesBy(root, "_bloom_t_").map(_.getFileName.toString)
+      .sorted == committed.sorted)
+    c.newTx()
+    assert(c.scanEquals("t", "key", "k_0_7").count() == 1,
+      "committed data survives the maintenance abort")
+    c.rollback()
+  }
+
+  test("legacy logs with INLINE bitsets keep probing (and inline wins " +
+    "over a ref for the same column)") {
+    val (c, root) = fresh("legacy")
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(0, 50))
+    c.insert("t", df(1, 50))
+    c.commitTx()
+    c.newTx()
+    c.buildBloom("t", "key", numBits = 1024)
+    c.commitTx()
+    // rewrite the log the way a PRE-SIDECAR engine would have written
+    // it: same bitsets, inline in the add actions
+    c.newTx()
+    val withRefs = c.objects("t")
+    val inline = withRefs.map(a =>
+      a.copy(blooms = Map("key" -> c.bloomOf(a, "key").get),
+        bloomRefs = Map.empty))
+    c.rollback()
+    val log = new TxLog(new LocalObjectStore(root.toString))
+    val snap = log.begin()
+    log.commit(snap, withRefs.map(a =>
+      RemoveDataObject("t", a.path)) ++ inline)
+    // a fresh client over the legacy-shaped log: the inline tier prunes
+    val c2 = new GraftClient(spark, root.toString)
+    c2.newTx()
+    c2.objects("t").foreach { a =>
+      assert(a.blooms.contains("key") && a.bloomRefs.isEmpty)
+      assert(c2.bloomOf(a, "key").nonEmpty)
+    }
+    assert(c2.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty,
+      "inline legacy blooms must keep pruning")
+    assert(c2.scanEquals("t", "key", "k_1_7").count() == 1)
+    c2.rollback()
+  }
+}

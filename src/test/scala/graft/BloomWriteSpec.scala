@@ -73,10 +73,16 @@ class BloomWriteSpec extends AnyFunSuite {
     val objs = c.objects("t")
     assert(objs.length >= 6, s"expected >=6 objects, got ${objs.length}")
     objs.foreach { a =>
-      assert(a.blooms.contains("key") && a.blooms.contains("meta.source"),
-        s"object ${a.path} missing a registered bloom: ${a.blooms.keySet}")
-      assert(a.blooms("key").words.length == 4096 / 64,
-        "registered geometry must be honored")
+      assert(c.hasBloom(a, "key") && c.hasBloom(a, "meta.source"),
+        s"object ${a.path} missing a registered bloom: " +
+          s"${a.blooms.keySet ++ a.bloomRefs.keySet}")
+      // registered numBits is a CAP; these objects are tiny (<=40 rows)
+      // so every one derives the 1024-bit floor — and the bitsets live
+      // in SIDECARS, never inline in the log
+      assert(a.blooms.isEmpty && a.bloomRefs.contains("key"),
+        "bitsets must ride as sidecar refs, not inline log payload")
+      assert(c.bloomOf(a, "key").get.numBits == 1024,
+        "per-object derived geometry (floor) under the registered cap")
     }
     // absent probe: blooms exclude every object (stats can't — scattered)
     assert(c.prunedObjects("t", Nil, Seq("key" -> "nope")).isEmpty,
@@ -95,12 +101,15 @@ class BloomWriteSpec extends AnyFunSuite {
     val (c, _) = fresh("compact")
     c.newTx()
     c.createTable("t", schema)
-    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    // cap 1024: the merged output's derived target stays at the shared
+    // input width, so the OR is kept (a larger cap would re-stamp at
+    // the output's derived geometry instead — pinned below)
+    c.registerBlooms("t", Seq("key"), numBits = 1024)
     (0 until 6).foreach(o => c.insert("t", df(scattered(o, 20))))
     c.commitTx()
     c.newTx()
     val inputs = c.objects("t")
-    val expectOr = inputs.map(_.blooms("key").words)
+    val expectOr = inputs.map(c.bloomOf(_, "key").get.words)
       .reduce((x, y) => x.zip(y).map { case (a, b) => a | b })
     c.compact("t", targetRows = 1000)
     c.commitTx()
@@ -108,8 +117,8 @@ class BloomWriteSpec extends AnyFunSuite {
     val objs = c.objects("t")
     assert(objs.length == 1, s"compact must merge: ${objs.length}")
     // the single output's bloom is the exact bitwise OR of the inputs'
-    assert(objs.head.blooms("key").words == expectOr,
-      "compacted bloom must be the metadata-only OR of its inputs")
+    assert(c.bloomOf(objs.head, "key").get.words == expectOr,
+      "compacted bloom must be the sidecar-level OR of its inputs")
     assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
     assert(c.scanEquals("t", "key", "k_4_11").count() == 1)
     c.rollback()
@@ -125,13 +134,13 @@ class BloomWriteSpec extends AnyFunSuite {
     c.clusterBy("t", "id", numBuckets = 4)
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms.contains("key")),
+    assert(c.objects("t").forall(c.hasBloom(_, "key")),
       "cluster outputs must carry the registered bloom")
     assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
     c.materializeSchema("t")
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms.contains("key")),
+    assert(c.objects("t").forall(c.hasBloom(_, "key")),
       "REORG outputs must carry the registered bloom")
     assert(c.scanEquals("t", "key", "k_3_9").count() == 1)
     c.rollback()
@@ -152,7 +161,7 @@ class BloomWriteSpec extends AnyFunSuite {
     c.deleteRows("t", "id", 7L, 7L)
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms.contains("key")),
+    assert(c.objects("t").forall(c.hasBloom(_, "key")),
       "the rewritten survivor object must be re-stamped")
     // an OR-carryover would keep k_0_7's bits forever; the exact
     // re-stamp excludes the rewritten object, and object 1 never had it
@@ -175,15 +184,16 @@ class BloomWriteSpec extends AnyFunSuite {
     c.insert("t", df(scattered(1, 20))) // after: stamped at write time
     c.commitTx()
     c.newTx()
-    val byBloomed = c.objects("t").partition(_.blooms.contains("key"))
+    val byBloomed = c.objects("t").partition(c.hasBloom(_, "key"))
     assert(byBloomed._1.length == 1 && byBloomed._2.length == 1,
       "property alone blooms new writes, not history")
-    assert(byBloomed._1.head.blooms("key").words.length == 2048 / 64)
+    // 20-row object: the derived floor (1024) applies under the 2048 cap
+    assert(c.bloomOf(byBloomed._1.head, "key").get.numBits == 1024)
     // history catches up on the next maintenance pass
     c.compact("t", targetRows = 1000)
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms.contains("key")),
+    assert(c.objects("t").forall(c.hasBloom(_, "key")),
       "compaction restores the invariant over pre-property history")
     intercept[IllegalArgumentException] {
       c.setTableProperties("t", Map(GraftClient.BloomBitsProperty -> "100"))
@@ -215,7 +225,8 @@ class BloomWriteSpec extends AnyFunSuite {
     c.insert("t", df(scattered(1, 30)).withColumnRenamed("key", "kid"))
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms.size == 2),
+    assert(c.objects("t").forall(a =>
+      (a.blooms.keySet ++ a.bloomRefs.keySet).size == 2),
       "post-rename writes keep stamping both registered columns")
     assert(c.scanEquals("t", "kid", "k_1_7").count() == 1)
     // drop clears the dropped column's registration; writes survive
@@ -232,28 +243,47 @@ class BloomWriteSpec extends AnyFunSuite {
     c.rollback()
   }
 
-  test("dropBloom + registerBlooms re-keys the geometry metadata-only " +
-    "(existing blooms are otherwise deliberately kept)") {
+  test("re-registration UNIONS columns, refuses a geometry change " +
+    "loudly, and dropBloom + registerBlooms re-keys under the new cap") {
     val (c, _) = fresh("rekey")
     c.newTx()
     c.createTable("t", schema)
+    // 500-row objects: the derived width (5056 bits) exceeds the floor,
+    // so the cap genuinely clamps — cap 1024 pins everything at 1024
     c.registerBlooms("t", Seq("key"), numBits = 1024)
-    c.insert("t", df(scattered(0, 30)))
-    c.insert("t", df(scattered(1, 30)))
+    c.insert("t", df(scattered(0, 500)))
+    c.insert("t", df(scattered(1, 500)))
     c.commitTx()
     c.newTx()
-    // re-registering at a new geometry alone does NOT rebuild: existing
-    // blooms are kept (rebuild-avoidance), so the old 16-word blooms stay
-    c.registerBlooms("t", Seq("key"), numBits = 4096)
-    assert(c.objects("t").forall(_.blooms("key").words.length == 1024 / 64),
-      "existing blooms are kept, not silently rebuilt")
-    // the re-keying path: drop (metadata-only) then re-register
+    // registering ANOTHER column must union, not replace: the original
+    // registration keeps stamping (the silent-drop ADVICE finding)
+    c.registerBlooms("t", Seq("meta.source"), numBits = 1024)
+    assert(c.tablePropertiesOf("t")(GraftClient.BloomColumnsProperty)
+      == "key,meta.source",
+      "re-registration must union with the existing column set")
+    // a geometry change is refused loudly — existing sidecars would be
+    // probed at the wrong width
+    val e = intercept[IllegalArgumentException] {
+      c.registerBlooms("t", Seq("key"), numBits = 8192)
+    }
+    assert(e.getMessage.contains("geometry mismatch"))
+    assert(c.objects("t").forall(a =>
+      c.bloomOf(a, "key").get.numBits == 1024),
+      "existing blooms are kept, never silently rebuilt")
+    // the re-keying path: drop every registered column (metadata-only),
+    // then re-register at the new cap — 500-row objects now derive
+    // their real per-object width (5056 bits) under the 8192 cap
     c.dropBloom("t", "key")
-    c.registerBlooms("t", Seq("key"), numBits = 4096)
+    c.dropBloom("t", "meta.source")
+    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty,
+      GraftClient.BloomBitsProperty, GraftClient.BloomKProperty))
+    c.registerBlooms("t", Seq("key"), numBits = 8192)
     c.commitTx()
     c.newTx()
-    assert(c.objects("t").forall(_.blooms("key").words.length == 4096 / 64),
-      "dropBloom + registerBlooms re-keys every live object")
+    assert(c.objects("t").forall(a =>
+      c.bloomOf(a, "key").get.numBits == 5056),
+      "dropBloom + registerBlooms re-keys every live object at its " +
+        "derived per-object width under the new cap")
     assert(c.prunedObjects("t", Nil, Seq("key" -> "absent")).isEmpty)
     assert(c.scanEquals("t", "key", "k_1_7").count() == 1)
     c.rollback()
@@ -284,9 +314,9 @@ class BloomWriteSpec extends AnyFunSuite {
     } finally q.stop()
     c.newTx()
     val objs = c.objects("ev")
-    assert(objs.length >= 2 && objs.forall(_.blooms.contains("akey")),
+    assert(objs.length >= 2 && objs.forall(c.hasBloom(_, "akey")),
       s"stream-written objects must carry the registered bloom: " +
-        s"${objs.map(_.blooms.keySet)}")
+        s"${objs.map(a => a.blooms.keySet ++ a.bloomRefs.keySet)}")
     assert(c.prunedObjects("ev", Nil, Seq("akey" -> "absent")).isEmpty,
       "bloom tier active on stream-written objects")
     assert(c.scanEquals("ev", "akey", "k25").count() == 1)
@@ -307,7 +337,7 @@ class BloomWriteSpec extends AnyFunSuite {
       .collect()
     c.newTx()
     assert(c.objects("t").forall(a =>
-      a.blooms.contains("key") && a.blooms.contains("meta.source")),
+      c.hasBloom(a, "key") && c.hasBloom(a, "meta.source")),
       "the procedure must bloom history for every listed column")
     assert(c.tablePropertiesOf("t")
       .get(GraftClient.BloomColumnsProperty)

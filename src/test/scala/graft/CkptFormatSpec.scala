@@ -33,6 +33,10 @@ class CkptFormatSpec extends AnyFunSuite {
         ndv =
           if (i % 5 == 0) Map("k" -> Array.tabulate[Byte](64)(b =>
             ((i + b) % 127).toByte))
+          else Map.empty,
+        bloomRefs =
+          if (i % 13 == 0) Map("v" -> BloomRef(4, 2048L,
+            f"_bloom_t_$i%08d"))
           else Map.empty)
     }
     Vector[Action](
@@ -128,5 +132,34 @@ class CkptFormatSpec extends AnyFunSuite {
     val folded = new TxLog(store).begin()
     assert(folded.version == 300L && folded.liveFiles("t").length == 200,
       "whichever manifest won arbitration folds a complete checkpoint")
+  }
+
+  test("parquet checkpoints with BARE part names (written by the first " +
+    "parquet engine, before the suffix) replay via the listing fallback") {
+    val actions = syntheticActions(500)
+    val snap = Snapshot(777L, actions)
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.checkpoint(snap, maxPartBytes = 64 << 10)
+    val expect = canon(log.begin().actions)
+    // devolve to the exact legacy layout: format:"parquet" manifest
+    // WITHOUT pnames, parts under bare names — what commit-era-one
+    // parquet checkpointing wrote. Throwing on the missing suffixed
+    // part would make such a table permanently unreadable once pruneTo
+    // reclaimed the log below it.
+    val parts = store.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(parts.nonEmpty && parts.forall(_.endsWith("p")))
+    parts.foreach { n =>
+      store.putIfAbsent(n.dropRight(1), store.read(n))
+      store.delete(n)
+    }
+    store.delete(TxLog.ckptName(777L))
+    store.putIfAbsent(TxLog.ckptName(777L),
+      s"""{"version":777,"parts":${parts.length},"format":"parquet"}"""
+        .getBytes("UTF-8"))
+    val replayed = log.begin()
+    assert(replayed.version == 777L, "bare-named parquet ckpt must replay")
+    assert(canon(replayed.actions) == expect,
+      "fallback replay must be identical to the suffixed-name replay")
   }
 }

@@ -235,7 +235,7 @@ class Round5Spec extends AnyFunSuite {
     // a fresh client proves the blooms round-trip through the JSON log
     val c2 = new GraftClient(spark, dir)
     c2.newTx()
-    assert(c2.objects("t").forall(_.blooms.contains("v")))
+    assert(c2.objects("t").forall(c2.hasBloom(_, "v")))
     val hit = c2.scanEquals("t", "v", "id0111")
     // (i*37)%1000 == 111 has exactly one solution in [0,1000)
     assert(hit.collect().map(_.getString(1)).toSeq === Seq("id0111"))
