@@ -46,7 +46,7 @@ object BenchBloom {
     def batch(o: Int) = spark.range(o.toLong * rows, (o + 1L) * rows)
       .select(col("id"), mkKey.as("akey"))
 
-    def build(register: Boolean): (GraftClient, Double) = {
+    def build(register: Boolean): (GraftClient, Double, String) = {
       val root = Files.createTempDirectory("graft_bench_bloom").toString
       val c = new GraftClient(spark, root)
       c.newTx()
@@ -61,11 +61,29 @@ object BenchBloom {
           c.newTx(); c.insert("t", batch(o)); c.commitTx()
         }
       }
-      (c, sec)
+      (c, sec, root)
     }
 
-    val (plain, plainInsertSec) = build(register = false)
-    val (bloomed, bloomInsertSec) = build(register = true)
+    val (plain, plainInsertSec, plainRoot) = build(register = false)
+    val (bloomed, bloomInsertSec, bloomRoot) = build(register = true)
+
+    // sidecar residency: the geometry lands in _bloom_* store objects,
+    // while log + checkpoint bytes stay geometry-independent (the scale
+    // contract — inline bitsets would put objects x 80 KB into both)
+    def bytesBy(root: String, prefixes: String*): Long = {
+      val s = Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => prefixes.exists(p.getFileName.toString.startsWith))
+          .map(Files.size).sum
+      } finally s.close()
+    }
+    plain.checkpointNow()
+    bloomed.checkpointNow()
+    val metaPlain = bytesBy(plainRoot, "_log_", "_ckpt")
+    val metaBloomed = bytesBy(bloomRoot, "_log_", "_ckpt")
+    val sidecarBytes = bytesBy(bloomRoot, "_bloom_")
 
     // probe: a key that exists in exactly one object — stats span all
     val probe = spark.range(7L * rows + 13, 7L * rows + 14)
@@ -102,7 +120,10 @@ object BenchBloom {
       s""""probe_plain_sec":${f"$lookupPlain%.3f"},""" +
       s""""probe_bloomed_sec":${f"$lookupBloom%.3f"},""" +
       s""""compact_plain_sec":${f"$compactPlain%.2f"},""" +
-      s""""compact_bloomed_sec":${f"$compactBloom%.2f"}}""")
+      s""""compact_bloomed_sec":${f"$compactBloom%.2f"},""" +
+      s""""meta_bytes_plain":$metaPlain,""" +
+      s""""meta_bytes_bloomed":$metaBloomed,""" +
+      s""""sidecar_bytes":$sidecarBytes}""")
     spark.stop()
   }
 }

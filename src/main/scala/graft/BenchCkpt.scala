@@ -4,11 +4,19 @@ import graft.store.{HttpObjectStore, InMemoryObjectStore, ObjectStore, ObjectSto
 import graft.tx._
 
 /** Checkpoint-format micro-bench: cold `begin()` (full replay from the
-  * newest checkpoint) over a synthetic 20k-object snapshot, parquet
+  * newest checkpoint) over a synthetic N-object snapshot, parquet
   * parts vs the legacy JSON parts — in-memory (pure decode cost) and
   * over the real HTTP store (decode + transfer, where the win is
   * largest). Prints one JSON line; numbers recorded in BASELINE.md
-  * ("Checkpoint format").
+  * ("Checkpoint format" / "10⁶-object cold begin").
+  *
+  * The synthetic shape is a production-realistic ANALYZEd + bloom-
+  * registered table: every add carries two columns of min/max stats,
+  * every object a bloom sidecar REF (the post-sidecar residency —
+  * fixed-size, the bitsets themselves are store objects a cold begin
+  * never touches), and every 10th object a 512 B HLL ndv blob.
+  * Also reports the retained HEAP of the held snapshot per object —
+  * the driver-memory bound a 10⁶-object table imposes.
   *
   * No Spark session: the checkpoint codec is a log-plane concern.
   */
@@ -25,7 +33,13 @@ object BenchCkpt {
           numRows = 100000L + i,
           stats = Map(
             "k" -> ColStats(i.toLong, i + 100L, Some(0L)),
-            "v" -> ColStats(s"doc_$i%08d", s"doc_$i%08d_zzz", Some(3L))))
+            "v" -> ColStats(s"doc_$i%08d", s"doc_$i%08d_zzz", Some(3L))),
+          ndv =
+            if (i % 10 == 0)
+              Map("k" -> Array.tabulate[Byte](512)(b => ((i + b) % 63).toByte))
+            else Map.empty,
+          bloomRefs = Map("k" ->
+            BloomRef(4, 655360L, f"_bloom_t_$i%08d")))
       }
   }
 
@@ -42,16 +56,29 @@ object BenchCkpt {
     best
   }
 
+  private def usedHeap(): Long = {
+    (0 until 3).foreach(_ => System.gc())
+    Thread.sleep(50)
+    val rt = Runtime.getRuntime
+    rt.totalMemory() - rt.freeMemory()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
-    val snap = Snapshot(n + 100L, actions(n))
 
     val pqMem = new InMemoryObjectStore
-    new TxLog(pqMem).checkpoint(snap)
+    new TxLog(pqMem).checkpoint(Snapshot(n + 100L, actions(n)))
     val jsMem = new InMemoryObjectStore
-    new TxLog(jsMem).checkpointJson(snap)
-    val pqMemT = coldBegin(pqMem, 5)
-    val jsMemT = coldBegin(jsMem, 5)
+    new TxLog(jsMem).checkpointJson(Snapshot(n + 100L, actions(n)))
+    val pqMemT = coldBegin(pqMem, if (n >= 500000) 3 else 5)
+    val jsMemT = coldBegin(jsMem, if (n >= 500000) 2 else 5)
+
+    // retained driver heap per object while HOLDING the snapshot — the
+    // bound a 10⁶-object table imposes on the driver
+    val base = usedHeap()
+    val held = new TxLog(pqMem).begin()
+    val perObj = (usedHeap() - base).toDouble / n
+    require(held.liveFiles("t").length == n)
 
     val pqBytes = pqMem.listPrefixOrdered(TxLog.CkptPartPrefix)
       .map(pqMem.read(_).length.toLong).sum
@@ -62,8 +89,8 @@ object BenchCkpt {
     val pqSrv = new ObjectStoreHttpServer(pqMem, 0)
     val jsSrv = new ObjectStoreHttpServer(jsMem, 0)
     val (pqHttpT, jsHttpT) =
-      try (coldBegin(new HttpObjectStore(pqSrv.url), 3),
-        coldBegin(new HttpObjectStore(jsSrv.url), 3))
+      try (coldBegin(new HttpObjectStore(pqSrv.url), if (n >= 500000) 2 else 3),
+        coldBegin(new HttpObjectStore(jsSrv.url), if (n >= 500000) 1 else 3))
       finally { pqSrv.stop(); jsSrv.stop() }
 
     println(s"""{"metric":"ckpt_cold_begin","objects":$n,""" +
@@ -71,7 +98,8 @@ object BenchCkpt {
       s""""json_mem_sec":${f"$jsMemT%.3f"},""" +
       s""""parquet_http_sec":${f"$pqHttpT%.3f"},""" +
       s""""json_http_sec":${f"$jsHttpT%.3f"},""" +
-      s""""parquet_bytes":$pqBytes,"json_bytes":$jsBytes}""")
+      s""""parquet_bytes":$pqBytes,"json_bytes":$jsBytes,""" +
+      s""""heap_bytes_per_object":${f"$perObj%.0f"}}""")
     // the JDK HttpServer's executor threads are non-daemon; don't let a
     // lingering dispatcher keep the forked bench JVM alive
     sys.exit(0)

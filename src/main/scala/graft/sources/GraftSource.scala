@@ -165,11 +165,23 @@ final class GraftSource extends RelationProvider
     v.map(Left(_)).orElse(ts.map(Right(_)))
   }
 
+  private def trackLoc(parameters: Map[String, String]): Option[String] =
+    parameters.get("schematrackinglocation")
+      .orElse(parameters.get("schemaTrackingLocation"))
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val base = GraftRelation.withClient(sqlContext,
-      opt(parameters, "path"))(_.schemaOf(opt(parameters, "table")))
+    // with a schemaTrackingLocation, the PLANNED schema is the tracked
+    // one (persisted by a previous run when the table evolved under
+    // it), so a plain restart adopts the evolution with no operator
+    // step — Delta's schemaTrackingLocation contract. Plain-source
+    // streams only; the change-feed sources keep today's
+    // fail-and-restart contract.
+    val base = (if (changeFeed(parameters)) None else trackLoc(parameters))
+      .flatMap(l => GraftStreamSource.readTracked(sqlContext, l))
+      .getOrElse(GraftRelation.withClient(sqlContext,
+        opt(parameters, "path"))(_.schemaOf(opt(parameters, "table"))))
     (shortName(),
       if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
         StructType(base.fields ++ Seq(
@@ -203,7 +215,8 @@ final class GraftSource extends RelationProvider
           .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
         parameters.get("maxrowspertrigger")
           .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong),
-        streamStart(parameters))
+        streamStart(parameters),
+        trackLoc(parameters))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -652,7 +665,8 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     table: String, ignoreChanges: Boolean,
     maxObjectsPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    start: Option[Either[Long, Long]] = None) extends Source
+    start: Option[Either[Long, Long]] = None,
+    schemaTrackingLocation: Option[String] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def client =
@@ -672,8 +686,21 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   // next rate-limited offset advances from
   @volatile private var highWater: Long = -1L
 
-  override val schema: StructType =
-    GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+  /** With a tracking location, the declared schema is the TRACKED one
+    * (last persisted adoption) — a restart after an evolution resumes
+    * at the evolved schema with no operator step; the location is
+    * initialized with the table's current schema on first use.
+    */
+  override val schema: StructType = schemaTrackingLocation match {
+    case Some(loc) =>
+      GraftStreamSource.readTracked(sqlContext, loc).getOrElse {
+        val s = GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+        GraftStreamSource.writeTracked(sqlContext, loc, s)
+        s
+      }
+    case None =>
+      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+  }
 
   // Trigger.AvailableNow's pinned end: batches never reach past it, so
   // the drain terminates even while new commits keep landing (they
@@ -769,8 +796,35 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     val until = versionOf(end)
     highWater = math.max(highWater, until) // restart recovery re-sync
     val batch = client.addedBetween(table, from, until, ignoreChanges)
-    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
-    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
+    val out = schemaTrackingLocation match {
+      case Some(loc)
+          if !GraftStreamSource.sameShape(schema, batch.schema) =>
+        // persist the evolved schema FIRST: whether this run continues
+        // or stops, the next start resumes at the new schema from the
+        // checkpointed offset — no operator step
+        GraftStreamSource.writeTracked(sqlContext, loc, batch.schema)
+        if (GraftStreamSource.isAdditive(schema, batch.schema))
+          // purely-additive evolution (new nullable columns/leaves):
+          // the RUNNING plan keeps its shape — the batch is projected
+          // back to the declared schema, so the stream crosses the
+          // micro-batch boundary without stopping; the new column
+          // becomes visible on the next restart, null-filled for
+          // pre-evolution objects (the scan's default alignment). The
+          // opt-in trades "new column visible immediately" for "the
+          // stream keeps running" — the tracked file guarantees the
+          // column is never silently lost across a restart.
+          GraftStreamSource.projectTo(batch, schema)
+        else throw new IllegalStateException(
+          s"graft stream on $table: table schema changed mid-stream in " +
+            s"a non-additive way (${schema.simpleString} -> " +
+            s"${batch.schema.simpleString}); the evolved schema is " +
+            s"tracked at $loc — restarting the stream resumes at it " +
+            "from the checkpointed offset, no other step needed")
+      case _ =>
+        GraftStreamSource.requireStableSchema(table, schema, batch.schema)
+        batch
+    }
+    StreamingShim.asStreaming(sqlContext.sparkSession, out)
   }
 
   override def stop(): Unit = {}
@@ -797,9 +851,88 @@ private[sources] object GraftStreamSource {
     * metadata — a batch read's parquet-derived nullability must not
     * false-trip the evolution check.
     */
-  private def sameShape(a: org.apache.spark.sql.types.DataType,
+  private[sources] def sameShape(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean =
     // the ONE structural comparator — shared with the insert-contract
     // check so "same schema" can never mean two different things
     graft.table.GraftClient.sameTypeIgnoringNullability(a, b)
+
+  // ---- schema tracking (opt-in `schemaTrackingLocation`) --------------
+
+  /** Is `got` the result of a purely-ADDITIVE evolution of `declared`:
+    * every declared column/leaf still present at the same type, any
+    * extra fields new (they read null-filled on old objects)? Struct
+    * fields recurse; arrays/maps must match exactly (an element-type
+    * evolution is not projectable back without a rebuild the running
+    * plan can't absorb).
+    */
+  private[sources] def isAdditive(
+      declared: org.apache.spark.sql.types.DataType,
+      got: org.apache.spark.sql.types.DataType): Boolean =
+    (declared, got) match {
+      case (d: StructType, g: StructType) =>
+        d.fields.forall { f =>
+          g.fields.find(_.name == f.name)
+            .exists(gf => isAdditive(f.dataType, gf.dataType))
+        }
+      case (d, g) => sameShape(d, g)
+    }
+
+  /** Project `batch` (an additive evolution of `declared`) back to the
+    * declared shape, nested levels included — the running plan keeps
+    * its schema, the extra columns wait for the next restart.
+    */
+  private[sources] def projectTo(batch: org.apache.spark.sql.DataFrame,
+      declared: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, struct, when}
+    def shape(path: Column,
+        dt: org.apache.spark.sql.types.DataType,
+        got: org.apache.spark.sql.types.DataType): Column = (dt, got) match {
+      case (d: StructType, g: StructType) if !sameShape(d, g) =>
+        // rebuild only the structs that actually gained leaves; a null
+        // struct stays null instead of becoming a struct of nulls
+        val rebuilt = struct(d.fields.toIndexedSeq.map(f =>
+          shape(path.getField(f.name), f.dataType,
+            g.fields.find(_.name == f.name).get.dataType).as(f.name)): _*)
+        when(path.isNull, null).otherwise(rebuilt)
+      case _ => path
+    }
+    batch.select(declared.fields.toIndexedSeq.map { f =>
+      val g = batch.schema.fields.find(_.name == f.name).get
+      shape(col(f.name), f.dataType, g.dataType).as(f.name)
+    }: _*)
+  }
+
+  private def trackedPath(loc: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc, "graft_schema.json")
+
+  /** The tracked schema at `loc`, if one was persisted. */
+  private[sources] def readTracked(sqlContext: SQLContext,
+      loc: String): Option[StructType] = {
+    val p = trackedPath(loc)
+    val fs = p.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(body)
+        .asInstanceOf[StructType])
+    }
+  }
+
+  /** Persist `schema` at `loc` (atomic-enough overwrite: tracked
+    * schemas only move forward, and a torn write is repaired by the
+    * next adoption — the file is advisory planning state, never data).
+    */
+  private[sources] def writeTracked(sqlContext: SQLContext, loc: String,
+      schema: StructType): Unit = {
+    val p = trackedPath(loc)
+    val fs = p.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
 }

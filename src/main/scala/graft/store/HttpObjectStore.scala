@@ -196,7 +196,13 @@ final class HttpObjectStore(baseUrl: String, pageSize: Int = 1000,
   * the reference's "run as server" TODO (README.md:31): the store tier
   * as a network service, with the table/tx logic living in the client.
   */
-final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0) {
+/** `createdStatus`: what a SUCCESSFUL conditional PUT answers — 201 is
+  * this wire protocol's native contract; 200 models S3-compatible
+  * endpoints (clients opt in via `createdStatuses = Set(200)`, the path
+  * this knob exists to exercise end-to-end).
+  */
+final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0,
+    createdStatus: Int = 201) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val server =
@@ -227,7 +233,7 @@ final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0) {
             x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
           if (conditional) {
             if (backing.putIfAbsent(name, data))
-              respond(x, 201, Array.empty)
+              respond(x, createdStatus, Array.empty)
             else respond(x, 412, Array.empty)
           } else { backing.put(name, data); respond(x, 200, Array.empty) }
         case "GET" =>

@@ -1,0 +1,322 @@
+package graft.store
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+/** [[ObjectStore]] over the S3 REST dialect — the reference's minio/S3
+  * TODO (README.md:30) taken to the actual protocol shape rather than a
+  * private wire format:
+  *
+  *   - `PUT /<bucket>/<key>` with `If-None-Match: *` → **200 OK** on a
+  *     successful conditional create (S3 answers 200 with an ETag, not
+  *     201), **412 Precondition Failed** when the key exists, and
+  *     **409 Conflict** when a CONCURRENT conditional write to the same
+  *     key is in flight (S3's documented behavior): a 409 had no
+  *     effect, so it is retried here bounded — unlike an ambiguous
+  *     IOException, which must surface to the commit recovery path.
+  *   - `GET /<bucket>?list-type=2&prefix=…&max-keys=…` → ListObjectsV2
+  *     XML: `<Contents><Key>…` entries ascending, `<IsTruncated>` and
+  *     `<NextContinuationToken>` for pagination. Subsequent pages pass
+  *     `continuation-token` (which, per the S3 contract, supersedes
+  *     `start-after`; `start-after` only positions the FIRST page —
+  *     which is how [[listPrefixAfter]] ships only the log's tail).
+  *   - `GET /<bucket>/<key>` → 200 bytes | 404; `DELETE` → 204
+  *     (idempotent — absent is still 204).
+  *
+  * Retries: GET/LIST are idempotent and retry on connect/5xx.
+  * Conditional PUT retries ONLY on 409 (documented no-effect); a
+  * transport-level failure stays ambiguous and surfaces, exactly as in
+  * [[HttpObjectStore]] — the commit protocol's read-back recovery owns
+  * that case.
+  */
+final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
+    pageSize: Int = 1000) extends ObjectStore {
+  private val base = baseUrl.stripSuffix("/")
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+  private val MaxRetries = 3
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, UTF_8)
+  private def objUri(key: String): URI =
+    URI.create(s"$base/${enc(bucket)}/${enc(key)}")
+
+  /** Per-instance cache identity (see [[HttpObjectStore.cacheKey]]). */
+  override val cacheKey: Option[String] =
+    Some(s"s3:$base/$bucket#${java.util.UUID.randomUUID()}")
+
+  override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (true) {
+      val req = HttpRequest.newBuilder(objUri(name))
+        .header("If-None-Match", "*")
+        .PUT(BodyPublishers.ofByteArray(data)).build()
+      http.send(req, BodyHandlers.ofByteArray()).statusCode() match {
+        case 200 => return true // S3: 200 OK on conditional create
+        case 412 => return false
+        case 409 =>
+          // concurrent conditional write on this key: OUR request had
+          // no effect (S3's documented ConditionalRequestConflict), so
+          // a bounded retry is safe; past the bound, surface it as
+          // ambiguous-shaped I/O failure and let the caller's
+          // read-back recovery decide
+          attempt += 1
+          if (attempt >= MaxRetries) throw new java.io.IOException(
+            s"conditional PUT $name: persistent 409 conflict")
+          Thread.sleep(5L << attempt)
+        case other => throw new java.io.IOException(
+          s"conditional PUT $name: unexpected status $other")
+      }
+    }
+    false // unreachable
+  }
+
+  override def put(name: String, data: Array[Byte]): Unit = {
+    val req = HttpRequest.newBuilder(objUri(name))
+      .PUT(BodyPublishers.ofByteArray(data)).build()
+    val code = http.send(req, BodyHandlers.ofByteArray()).statusCode()
+    if (code != 200)
+      throw new java.io.IOException(s"PUT $name: status $code")
+  }
+
+  override def read(name: String): Array[Byte] = {
+    val resp = retrying(s"GET $name") {
+      http.send(HttpRequest.newBuilder(objUri(name)).GET().build(),
+        BodyHandlers.ofByteArray())
+    }
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 404 => throw new java.nio.file.NoSuchFileException(name)
+      case other =>
+        throw new java.io.IOException(s"GET $name: status $other")
+    }
+  }
+
+  override def delete(name: String): Unit = {
+    val code = http.send(
+      HttpRequest.newBuilder(objUri(name)).DELETE().build(),
+      BodyHandlers.ofByteArray()).statusCode()
+    if (code != 204 && code != 200)
+      throw new java.io.IOException(s"DELETE $name: status $code")
+  }
+
+  override def listPrefixOrdered(prefix: String): Seq[String] =
+    listPaged(prefix, startAfter = None)
+
+  override def listPrefixAfter(prefix: String, after: String): Seq[String] =
+    listPaged(prefix, startAfter = Some(after))
+
+  private def listPaged(prefix: String,
+      startAfter: Option[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var first = true
+    var more = true
+    while (more) {
+      val q = s"list-type=2&prefix=${enc(prefix)}&max-keys=$pageSize" +
+        // start-after positions only the FIRST page; later pages resume
+        // from the opaque continuation token (the S3 precedence rule)
+        (if (first) startAfter.map(a => s"&start-after=${enc(a)}")
+          .getOrElse("") else "") +
+        token.map(t => s"&continuation-token=${enc(t)}").getOrElse("")
+      val resp = retrying(s"LIST $prefix") {
+        http.send(HttpRequest.newBuilder(
+          URI.create(s"$base/${enc(bucket)}?$q")).GET().build(),
+          BodyHandlers.ofString())
+      }
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"LIST $prefix: status ${resp.statusCode()}")
+      val xml = resp.body()
+      out ++= S3Xml.keys(xml)
+      more = S3Xml.isTruncated(xml)
+      token = S3Xml.nextToken(xml)
+      if (more && token.isEmpty)
+        throw new java.io.IOException(
+          s"LIST $prefix: truncated page without a continuation token")
+      first = false
+    }
+    out.result()
+  }
+
+  /** Retry idempotent verbs on connect failure / 5xx with backoff. */
+  private def retrying[A <: HttpResponse[_]](what: String)(send: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < MaxRetries) {
+      try {
+        val resp = send
+        if (resp.statusCode() < 500) return resp
+        last = new java.io.IOException(s"$what: status ${resp.statusCode()}")
+      } catch {
+        case e: java.io.IOException => last = e
+        case e: InterruptedException => throw e
+      }
+      attempt += 1
+      Thread.sleep(10L << attempt)
+    }
+    throw last
+  }
+}
+
+/** The few XML fragments ListObjectsV2 responses need — hand-rolled
+  * (escape/unescape + tag scan) instead of an XML dependency, because
+  * the response grammar here is fixed and flat.
+  */
+private[store] object S3Xml {
+  def escape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&amp;", "&")
+
+  private def tagged(xml: String, tag: String): Seq[String] = {
+    val open = s"<$tag>"
+    val close = s"</$tag>"
+    val out = Seq.newBuilder[String]
+    var i = xml.indexOf(open)
+    while (i >= 0) {
+      val j = xml.indexOf(close, i + open.length)
+      require(j >= 0, s"unclosed <$tag> in ListObjectsV2 response")
+      out += xml.substring(i + open.length, j)
+      i = xml.indexOf(open, j + close.length)
+    }
+    out.result()
+  }
+
+  def keys(xml: String): Seq[String] = tagged(xml, "Key").map(unescape)
+  def isTruncated(xml: String): Boolean =
+    tagged(xml, "IsTruncated").headOption.contains("true")
+  def nextToken(xml: String): Option[String] =
+    tagged(xml, "NextContinuationToken").headOption.map(unescape)
+}
+
+/** An in-repo S3-SEMANTICS server: any [[ObjectStore]] exposed through
+  * the ListObjectsV2 + conditional-PUT dialect [[S3ObjectStore]] speaks.
+  * The point is the protocol shape — 200-on-create, XML list pages with
+  * continuation tokens, 409 on concurrent conditional writes — not a
+  * full S3 implementation; against a real endpoint only the base URL
+  * changes. `conflict409EveryNth` > 0 makes every Nth conditional PUT
+  * answer 409 WITHOUT effect (the throttled-conditional-write reality
+  * the client's bounded retry must absorb).
+  */
+final class S3DialectServer(backing: ObjectStore, port: Int = 0,
+    bucket: String = "graft", conflict409EveryNth: Int = 0) {
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+  private val condPuts = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  private def respond(x: HttpExchange, code: Int, body: Array[Byte],
+      headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) x.getResponseBody.write(body)
+    x.close()
+  }
+
+  private def listXml(params: Map[String, String]): Array[Byte] = {
+    val prefix = params.getOrElse("prefix", "")
+    val maxKeys = params.get("max-keys").map(_.toInt).getOrElse(1000)
+    // continuation-token supersedes start-after (the S3 precedence
+    // rule); the token is an opaque encoding of the last key served
+    val resumeAfter = params.get("continuation-token")
+      .map(t => new String(
+        java.util.Base64.getUrlDecoder.decode(t), UTF_8))
+      .orElse(params.get("start-after"))
+    val all = backing.listPrefixOrdered(prefix)
+    val fromAfter = resumeAfter match {
+      case Some(a) => all.dropWhile(_ <= a)
+      case None => all
+    }
+    val page = fromAfter.take(maxKeys)
+    val truncated = fromAfter.length > page.length
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    sb.append("<ListBucketResult>")
+    sb.append(s"<Name>${S3Xml.escape(bucket)}</Name>")
+    sb.append(s"<Prefix>${S3Xml.escape(prefix)}</Prefix>")
+    sb.append(s"<KeyCount>${page.length}</KeyCount>")
+    sb.append(s"<MaxKeys>$maxKeys</MaxKeys>")
+    sb.append(s"<IsTruncated>$truncated</IsTruncated>")
+    page.foreach(k =>
+      sb.append(s"<Contents><Key>${S3Xml.escape(k)}</Key></Contents>"))
+    if (truncated) sb.append("<NextContinuationToken>" +
+      java.util.Base64.getUrlEncoder.withoutPadding()
+        .encodeToString(page.last.getBytes(UTF_8)) +
+      "</NextContinuationToken>")
+    sb.append("</ListBucketResult>")
+    sb.toString.getBytes(UTF_8)
+  }
+
+  server.createContext("/", new HttpHandler {
+    def handle(x: HttpExchange): Unit = try {
+      // raw path (no double-decode — see ObjectStoreHttpServer)
+      val segs = x.getRequestURI.getRawPath.stripPrefix("/")
+        .split("/", 2).toSeq.map(dec)
+      if (segs.headOption.forall(_ != bucket)) {
+        respond(x, 404, Array.empty); return
+      }
+      val key = segs.lift(1).getOrElse("")
+      x.getRequestMethod match {
+        case "GET" if key.isEmpty =>
+          val params = Option(x.getRequestURI.getRawQuery).getOrElse("")
+            .split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> dec(v) }
+            .toMap
+          if (!params.get("list-type").contains("2")) {
+            respond(x, 400, Array.empty); return
+          }
+          respond(x, 200, listXml(params),
+            "Content-Type" -> "application/xml")
+        case "GET" =>
+          try respond(x, 200, backing.read(key))
+          catch {
+            case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException =>
+              respond(x, 404, Array.empty)
+          }
+        case "PUT" =>
+          val data = x.getRequestBody.readAllBytes()
+          val conditional = Option(
+            x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+          if (conditional) {
+            if (conflict409EveryNth > 0 &&
+                condPuts.incrementAndGet() % conflict409EveryNth == 0)
+              respond(x, 409, Array.empty) // no effect — client retries
+            else if (backing.putIfAbsent(key, data))
+              respond(x, 200, Array.empty, "ETag" -> "\"graft\"")
+            else respond(x, 412, Array.empty)
+          } else { backing.put(key, data); respond(x, 200, Array.empty) }
+        case "DELETE" =>
+          backing.delete(key); respond(x, 204, Array.empty)
+        case _ => respond(x, 405, Array.empty)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => respond(x, 500, Array.empty)
+    }
+  })
+
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
+}

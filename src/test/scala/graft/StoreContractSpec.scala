@@ -27,6 +27,23 @@ class StoreContractSpec extends AnyFunSuite {
     "http" -> (() => {
       val srv = new graft.store.ObjectStoreHttpServer(new InMemoryObjectStore)
       new graft.store.HttpObjectStore(srv.url)
+    }),
+    // the S3 REST dialect: 200-on-create conditional PUT, ListObjectsV2
+    // XML pages via continuation tokens (pageSize=2 forces pagination in
+    // every listing test), and injected 409 conflicts the client's
+    // bounded no-effect retry must absorb
+    "s3-dialect" -> (() => {
+      val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+        conflict409EveryNth = 5)
+      new graft.store.S3ObjectStore(srv.url, pageSize = 2)
+    }),
+    // an S3-compatible endpoint answering 200 to a SUCCESSFUL
+    // conditional PUT over the native wire protocol — the
+    // `createdStatuses = Set(200)` opt-in reclassifies 200 as a win
+    "http-200-create" -> (() => {
+      val srv = new graft.store.ObjectStoreHttpServer(
+        new InMemoryObjectStore, createdStatus = 200)
+      new graft.store.HttpObjectStore(srv.url, createdStatuses = Set(200))
     }))
 
   impls.foreach { case (name, mk) =>
@@ -191,6 +208,83 @@ class StoreContractSpec extends AnyFunSuite {
         "every append survived throttling + append-append races")
       assert(faultStore.putAttempts > 11L, "faults actually fired")
     } finally c.rollback()
+  }
+
+  test("s3 dialect: tx log end-to-end (commits, checkpoint, cold replay) " +
+    "through XML-paginated listings and injected 409s") {
+    val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+      conflict409EveryNth = 3)
+    try {
+      val store = new graft.store.S3ObjectStore(srv.url, pageSize = 2)
+      val log = new TxLog(store)
+      val schema = StructType(Seq(StructField("a", StringType)))
+      log.commit(log.begin(), Seq(ChangeMetadata("t", schema)))
+      (0 until 9).foreach { i =>
+        log.commit(log.begin(),
+          Seq(AddDataObject("t", f"_table_t_$i%03d", i.toLong, 1)))
+      }
+      log.checkpoint(log.begin())
+      // a COLD client (fresh instance cache key) replays checkpoint +
+      // tail purely through token-paginated LIST + GET
+      val cold = new TxLog(new graft.store.S3ObjectStore(srv.url,
+        pageSize = 2)).begin()
+      assert(cold.version == 10)
+      assert(cold.liveFiles("t").map(_.path) ==
+        (0 until 9).map(i => f"_table_t_$i%03d").toVector)
+    } finally srv.stop()
+  }
+
+  test("s3 dialect: a lister paging with continuation tokens stays " +
+    "complete while a concurrent writer appends (read-after-list race)") {
+    val srv = new graft.store.S3DialectServer(new InMemoryObjectStore)
+    try {
+      val store = new graft.store.S3ObjectStore(srv.url, pageSize = 2)
+      (0 until 10).foreach(i =>
+        store.putIfAbsent(TxLog.logName(i), s"v$i".getBytes))
+      val writer = new Thread(() =>
+        (10 until 30).foreach { i =>
+          store.putIfAbsent(TxLog.logName(i), s"v$i".getBytes)
+          Thread.sleep(1)
+        })
+      writer.start()
+      try {
+        // every key present at LIST start must appear exactly once, in
+        // order, regardless of how many pages the listing spans and how
+        // many keys land mid-pagination (appended keys sort AFTER the
+        // cursor, so they may or may not appear — never duplicated)
+        (0 until 20).foreach { _ =>
+          val keys = store.listPrefixOrdered(TxLog.LogPrefix)
+          assert(keys == keys.sorted && keys.distinct == keys,
+            s"pagination produced out-of-order or duplicate keys")
+          assert((0 until 10).forall(i => keys.contains(TxLog.logName(i))),
+            "a key present at LIST start fell out of a paginated listing")
+        }
+      } finally writer.join()
+    } finally srv.stop()
+  }
+
+  test("s3 dialect: persistent 409 surfaces as I/O failure (ambiguity " +
+    "stays visible), transient 409 retries to an effectful outcome") {
+    val always = new graft.store.S3DialectServer(new InMemoryObjectStore,
+      conflict409EveryNth = 1)
+    try {
+      val s = new graft.store.S3ObjectStore(always.url)
+      val e = intercept[java.io.IOException] {
+        s.putIfAbsent("_log_1", "x".getBytes)
+      }
+      assert(e.getMessage.contains("409"))
+    } finally always.stop()
+    val sometimes = new graft.store.S3DialectServer(new InMemoryObjectStore,
+      conflict409EveryNth = 2)
+    try {
+      val s = new graft.store.S3ObjectStore(sometimes.url)
+      // every other conditional PUT 409s first — the bounded retry must
+      // absorb it and still arbitrate create-if-absent correctly
+      (0 until 6).foreach(i =>
+        assert(s.putIfAbsent(s"_log_$i", "a".getBytes)))
+      assert(!s.putIfAbsent("_log_3", "b".getBytes))
+      assert(new String(s.read("_log_3")) == "a")
+    } finally sometimes.stop()
   }
 
   test("tx log runs unchanged over the in-memory store") {

@@ -136,4 +136,13 @@ class TwoJvmRaceSpec extends AnyFunSuite {
       Some(srv.url))
     finally srv.stop()
   }
+
+  test("two JVMs race through ONE S3-dialect store: 200-on-create " +
+    "conditional PUTs + token-paginated listings across processes") {
+    val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+      conflict409EveryNth = 7)
+    try runRace(Some(new graft.store.S3ObjectStore(srv.url, pageSize = 3)),
+      Some(s"s3+${srv.url}"))
+    finally srv.stop()
+  }
 }
