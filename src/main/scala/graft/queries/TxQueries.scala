@@ -1211,6 +1211,62 @@ object TxQueries {
     FROM nation WHERE n_nationkey < 5
     ORDER BY id"""
 
+  // --- NESTED identity: the generated leaf lives INSIDE a struct -------------
+  // Same range-reservation mechanics as tx_identity, but the id is
+  // `meta.id` — the insert carries meta{name} only and the stamp
+  // rebuilds the struct with the generated leaf at its declared
+  // position (round 12; the physical-path plumbing blooms/defaults
+  // use).
+  private def ensureIdentityNested(spark: SparkSession,
+      sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#identity_nested", {
+        val root = Files.createTempDirectory("graft_idn_fixture").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"),
+            struct(col("n_name").as("name")).as("meta"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          nation.schema.fields(0),
+          org.apache.spark.sql.types.StructField("meta",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("name",
+                org.apache.spark.sql.types.StringType))))))
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("idnn", schema)
+        require(c.insertIdentity("idnn",
+          nation.orderBy(col("n_nationkey")).coalesce(1), "meta.id") == 0L)
+        c.commitTx()
+        c.newTx()
+        require(c.insertIdentity("idnn",
+          nation.filter(col("n_nationkey") < 5)
+            .orderBy(col("n_nationkey")).coalesce(1), "meta.id") == 25L)
+        c.commitTx()
+        root
+      })
+    }
+
+  def txIdentityNested(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureIdentityNested(spark, dir))
+    c.newTx()
+    try c.scan("idnn").select(col("meta.id").as("id"),
+      col("n_nationkey"), col("meta.name").as("name"))
+      .orderBy(col("id"))
+    finally c.rollback()
+  }
+
+  private val txIdentityNestedSql = """
+    SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS id,
+      n_nationkey, n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT 25 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1,
+      n_nationkey, n_name AS name
+    FROM nation WHERE n_nationkey < 5
+    ORDER BY id"""
+
   // --- Join-driven dynamic file pruning (DPP analog) -------------------------
   // Star-join over a nationkey-partitioned customer fact: the dim side
   // (nations of one region) is filtered first, its 5 keys prune the
@@ -1678,6 +1734,12 @@ object TxQueries {
       "GENERATED ALWAYS AS IDENTITY: two inserts reserve id ranges " +
         "atomically via the property high-water; ids replayed with " +
         "ROW_NUMBER in DuckDB"),
+    "tx_identity_nested" -> QueryDef(txIdentityNested,
+      Some(txIdentityNestedSql),
+      "identity column on a STRUCT LEAF (meta.id): the insert carries " +
+        "the struct minus the leaf, the stamp rebuilds it with the " +
+        "generated id at its declared position; same atomic range " +
+        "reservation"),
     "tx_dpp_join" -> QueryDef(txDppJoin, Some(txDppJoinSql),
       "join-driven dynamic file pruning: a filtered dim's keys prune " +
         "the partitioned fact scan to |matched partitions| objects " +

@@ -110,6 +110,22 @@ final class GraftClient(
     */
   private lazy val externalConf = spark.sessionState.newHadoopConf()
 
+  /** Every read of a LOG-GOVERNED object (data objects, deletion
+    * vectors, CDC objects, CDF spill pages, replication bundles) pins
+    * `ignoreMissingFiles=false` AT THE SOURCE, overriding the session
+    * conf. Clusters running object stores commonly set
+    * `spark.sql.files.ignoreMissingFiles=true` to survive stray
+    * listings — under that conf a file reclaimed mid-scan (vacuum past
+    * the reader's snapshot) would SILENTLY corrupt the read: a missing
+    * deletion vector un-deletes its rows, a missing data object drops
+    * its rows, a missing spill page truncates a change feed. The
+    * retention contract is "an over-held reader completes or fails
+    * loudly" — so these reads must throw on a mid-scan miss no matter
+    * what the session tolerates for plain file scans.
+    */
+  private def strictRead: org.apache.spark.sql.DataFrameReader =
+    spark.read.option("ignoreMissingFiles", "false")
+
   val TxIdCol = "_tx_id"
   val RowIdxCol = "_row_idx"
   /** Reserved: the staging partition column of insertPartitioned/clusterBy
@@ -315,7 +331,9 @@ final class GraftClient(
     if (fresh.nonEmpty) {
       // full URIs, not bare paths: the landing directory may live on a
       // non-default filesystem (the listing already resolved through it)
-      val df = spark.read.parquet(fresh.map(_.toString): _*)
+      // strict: a landing file vanishing mid-copy must fail the COPY,
+      // not get marked ingested (setTxn below) with its rows absent
+      val df = strictRead.parquet(fresh.map(_.toString): _*)
       insert(table, df.select(schema.fieldNames.map(col).toIndexedSeq: _*))
       fresh.foreach(p => setTxn(s"copy:$table:${p.getName}", 1L))
     }
@@ -1352,7 +1370,7 @@ final class GraftClient(
     val (ext, internal) = adds.partition(_.rowBase.isDefined)
     val pieces = Seq(
       if (internal.isEmpty) None else Some {
-        val df = spark.read.schema(pSchema)
+        val df = strictRead.schema(pSchema)
           .parquet(internal.map(a => s"$rootDir/${a.path}"): _*)
         (if (tagObj) df.withColumn("_obj",
           regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
@@ -1365,7 +1383,7 @@ final class GraftClient(
             StructField("_gpath", StringType, nullable = false),
             StructField("_gtx", LongType, nullable = false),
             StructField("_gbase", LongType, nullable = false))))
-        spark.read.schema(physSchema(schema)).parquet(ext.map(_.path): _*)
+        strictRead.schema(physSchema(schema)).parquet(ext.map(_.path): _*)
           // strip the scheme ("file:/", "s3a://", …) so the join key has
           // the same scheme-free absolute form convertParquet stored
           .withColumn("_gpath", regexp_replace(col("_metadata.file_path"),
@@ -1579,18 +1597,30 @@ final class GraftClient(
     * re-runs `insertIdentity` to reserve a fresh range. Returns the
     * reserved range start.
     */
+  /** Nested identity targets (`meta.id`-style) use the same physical-
+    * path plumbing blooms/defaults use: the insert carries the table
+    * schema MINUS the leaf (a parent struct the removal empties is
+    * absent entirely), and the stamp rebuilds each struct on the path
+    * with the generated id at its declared position. A null parent
+    * struct MATERIALIZES (the generated id exists on every row; sibling
+    * leaves stay null). Conflict semantics are unchanged — the range
+    * reservation is the same SetProperties bump.
+    */
   def insertIdentity(table: String, df: DataFrame, idCol: String): Long = {
     val schema = schemaOf(table)
-    require(schema.fieldNames.contains(idCol), s"no such column: $idCol")
-    require(schema(schema.fieldIndex(idCol)).dataType ==
+    require(hasColumnPath(schema, idCol), s"no such column: $idCol")
+    require(typeAtPath(schema, idCol) ==
       org.apache.spark.sql.types.LongType,
       s"identity column $idCol must be BIGINT")
-    require(!df.schema.fieldNames.contains(idCol),
-      s"GENERATED ALWAYS: the insert must not supply $idCol")
-    val others = schema.fieldNames.filterNot(_ == idCol)
-    require(df.schema.fieldNames.sameElements(others),
-      s"insert schema mismatch: ${df.schema.fieldNames.mkString(",")} vs " +
-        s"expected ${others.mkString(",")}")
+    val path = idCol.split('.').toSeq
+    val expect = GraftClient.removeLeafOpt(schema, path).getOrElse(
+      StructType(Nil))
+    require(expect.nonEmpty,
+      s"identity table must have at least one non-identity column")
+    require(sameTypeIgnoringNullability(df.schema, expect),
+      s"GENERATED ALWAYS: the insert must carry every column except " +
+        s"$idCol — got ${df.schema.simpleString}, expected " +
+        expect.simpleString)
     val key = s"graft.identity.$idCol.next"
     val next = tablePropertiesOf(table).get(key).map(_.toLong).getOrElse(0L)
     // pinned lineage + per-partition offsets, the provenance-stamp scheme
@@ -1604,14 +1634,47 @@ final class GraftClient(
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = partCounts.map(_._2).sum
       if (n == 0) return next
+      val idVal = lit(next) + col("_goff") + col("_mid")
       val full = stampOffsets(pinned, partCounts)
-        .withColumn(idCol, lit(next) + col("_goff") + col("_mid"))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(schema.fields.toIndexedSeq.map { f =>
+          (if (f.name == path.head) {
+            val src =
+              if (path.length == 1) None
+              else if (expect.fieldNames.contains(f.name))
+                Some(col(f.name))
+              else None
+            leafInserted(src, f.dataType, path.tail, idVal)
+          } else col(f.name)).as(f.name)
+        }: _*)
       insert(table, full)
       setTableProperties(table, Map(key -> (next + n).toString))
       next
     } finally pinned.unpersist(false)
   }
+
+  /** Rebuild `declared` at `path` with `value` as the identity leaf,
+    * sourcing every other leaf from `cur` (whose type is the declared
+    * type minus the leaf; None when the removal emptied this subtree
+    * out of the insert — every sibling then reads null).
+    */
+  private def leafInserted(cur: Option[Column], declared: DataType,
+      path: Seq[String], value: Column): Column =
+    if (path.isEmpty) value
+    else {
+      val st = declared.asInstanceOf[StructType]
+      struct(st.fields.toIndexedSeq.map { f =>
+        (if (f.name == path.head) {
+          val src =
+            if (path.length == 1) None
+            else cur.filter(_ => GraftClient.removeLeafOpt(
+              f.dataType.asInstanceOf[StructType], path.tail).isDefined)
+              .map(_.getField(f.name))
+          leafInserted(src, f.dataType, path.tail, value)
+        } else cur.map(_.getField(f.name))
+          .getOrElse(lit(null).cast(f.dataType))
+        ).as(f.name)
+      }: _*)
+    }
 
   /** Shared bulk-write preamble: schema check, flush-before-bulk, contiguous
     * provenance stamping over a lineage PINNED across the counting and
@@ -1883,7 +1946,7 @@ final class GraftClient(
   private def applyDvs(df: DataFrame, dvs: Seq[AddDeleteVector]): DataFrame =
     if (dvs.isEmpty) df
     else {
-      val keys = spark.read
+      val keys = strictRead
         .schema(StructType(Seq(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
@@ -2543,7 +2606,7 @@ final class GraftClient(
           // hook, which fires because this marked the table CDC-touched
           if (cdfEnabled(t, table))
             writeCdc(table, live.join(
-              spark.read.schema(StructType(Seq(
+              strictRead.schema(StructType(Seq(
                 StructField(TxIdCol, LongType, nullable = false),
                 StructField(RowIdxCol, LongType, nullable = false))))
                 .parquet(s"$rootDir/$name"),
@@ -2831,7 +2894,7 @@ final class GraftClient(
           // doesn't change what was recorded
           val cdcSchema = StructType(atV.fields :+
             StructField(GraftClient.ChangeTypeCol, StringType))
-          Some(aligned(spark.read.schema(cdcSchema)
+          Some(aligned(strictRead.schema(cdcSchema)
             .parquet(cdc.map(c => s"$rootDir/${c.path}"): _*)))
         } else if (added.nonEmpty && removed.isEmpty && newDvs.isEmpty) {
           Some(aligned(applyDefaults(atV, readObjects(atV, added))
@@ -2894,7 +2957,7 @@ final class GraftClient(
         page.reduce(_ unionByName _).write.mode("append")
           .parquet(dir)
       }
-      spark.read.schema(empty).parquet(dir)
+      strictRead.schema(empty).parquet(dir)
     }
   }
 
@@ -3012,7 +3075,7 @@ final class GraftClient(
           t.snapshot.liveDvs(table, t.actions.toSeq)))
         val deleted = survivorsPath match {
           case Some(p) =>
-            val survProv = spark.read.schema(StructType(Seq(
+            val survProv = strictRead.schema(StructType(Seq(
                 StructField(TxIdCol, LongType, nullable = false),
                 StructField(RowIdxCol, LongType, nullable = false))))
               .parquet(s"$rootDir/$p")
@@ -3090,7 +3153,7 @@ final class GraftClient(
     // provenance-column-pruned re-read of just the touched objects.
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (dvs.nonEmpty) {
-      val dvKeys = spark.read
+      val dvKeys = strictRead
         .schema(StructType(Seq(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
@@ -3357,7 +3420,7 @@ final class GraftClient(
       // masks, even under a non-deterministic predicate
       if (cdfEnabled(t, table))
         writeCdc(table, live.join(
-          spark.read.schema(StructType(Seq(
+          strictRead.schema(StructType(Seq(
             StructField(TxIdCol, LongType, nullable = false),
             StructField(RowIdxCol, LongType, nullable = false))))
             .parquet(s"$rootDir/$name"),
@@ -4020,7 +4083,7 @@ final class GraftClient(
       s"bundle gap: replica has applied window up to v$applied of " +
         s"$src:$srcTable but the bundle starts at v$fromV — apply the " +
         "intervening bundles first")
-    val rows = spark.read.parquet(s"$bundleDir/rows")
+    val rows = strictRead.parquet(s"$bundleDir/rows")
     merge(dstTable, rows, keys,
       deleteCond = col("_change") === "delete",
       dropCols = Seq("_change"))
@@ -4952,6 +5015,23 @@ final class GraftClient(
 }
 
 object GraftClient {
+  /** `st` minus the leaf at `path`; None when the removal empties the
+    * struct entirely (the parent then disappears from the expected
+    * insert shape — [[GraftClient.insertIdentity]]).
+    */
+  private[table] def removeLeafOpt(st: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val fields = st.fields.flatMap { f =>
+      if (f.name != path.head) Some(f)
+      else if (path.length == 1) None
+      else removeLeafOpt(
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+        path.tail).map(ns => f.copy(dataType = ns))
+    }
+    if (fields.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType(fields))
+  }
+
   private[table] val BloomSidecarMagic: Int = 0x47424c31 // "GBL1"
 
   /** JVM-wide LRU of decoded bloom sidecars, keyed by absolute sidecar

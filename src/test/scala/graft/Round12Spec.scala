@@ -1,0 +1,283 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-12 pins: restart-free streaming schema adoption behind the
+  * opt-in `schemaTrackingLocation` (Delta's contract) — an ADDITIVE
+  * evolution keeps the stream running across the micro-batch boundary
+  * (batches projected to the planned shape, the new column adopted on
+  * the next restart, null-filled for pre-evolution objects), a
+  * non-additive evolution fails ONCE with the tracked schema persisted
+  * so a plain restart resumes with no operator step. Without the
+  * option, round 11's loud-failure contract is untouched (pinned
+  * there).
+  */
+class Round12Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  /** foreachBatch collector (memory sink can't recover a checkpoint):
+    * rows land as (schema column names, row tuples).
+    */
+  private class Collected {
+    val batches =
+      new scala.collection.mutable.ArrayBuffer[(Seq[String], Seq[Seq[Any]])]
+    def add(df: org.apache.spark.sql.DataFrame): Unit = synchronized {
+      batches += ((df.columns.toSeq,
+        df.collect().toSeq.map(_.toSeq)))
+    }
+    def rows: Seq[Seq[Any]] = synchronized(batches.flatMap(_._2).toSeq)
+    def shapes: Seq[Seq[String]] = synchronized(batches.map(_._1).toSeq)
+  }
+
+  test("schemaTrackingLocation: an additive evolution crosses the " +
+    "micro-batch boundary without stopping; the restart adopts it") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_track").toString
+    val ckpt = Files.createTempDirectory("graft_r12_track_ck").toString
+    val trk = Files.createTempDirectory("graft_r12_track_loc").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    c.insert("t", Seq(1L, 2L).toDF("k"))
+    c.commitTx()
+
+    def stream(into: Collected) = ss.readStream.format("graft")
+      .option("table", "t")
+      .option("schemaTrackingLocation", trk)
+      .load(root)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        into.add(df))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val got1 = new Collected
+    val q = stream(got1)
+    try {
+      q.processAllAvailable()
+      assert(got1.rows.map(_.head).toSet == Set(1L, 2L))
+      // ADDITIVE evolution between micro-batches + more rows: the
+      // stream must NOT stop — the batch is projected to the planned
+      // shape and row 3 flows through at the old schema
+      c.newTx(); c.addColumn("t", StructField("v", StringType)); c.commitTx()
+      c.newTx()
+      import scala.jdk.CollectionConverters._
+      c.insert("t", ss.createDataFrame(
+        Seq(org.apache.spark.sql.Row(3L, "x")).asJava, c.schemaOf("t")))
+      c.commitTx()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"additive evolution must not stop a tracked stream: ${q.exception}")
+      assert(got1.rows.map(_.head).toSet == Set(1L, 2L, 3L),
+        "the post-evolution batch crossed the boundary")
+      assert(got1.shapes.forall(_ == Seq("k")),
+        s"the running plan keeps its shape: ${got1.shapes}")
+    } finally q.stop()
+
+    // the evolution was tracked: a PLAIN restart (same checkpoint, no
+    // operator step) plans at the evolved schema and resumes from the
+    // checkpointed offset
+    val got2 = new Collected
+    val q2 = stream(got2)
+    try {
+      c.newTx()
+      import scala.jdk.CollectionConverters._
+      c.insert("t", ss.createDataFrame(
+        Seq(org.apache.spark.sql.Row(4L, "y")).asJava, c.schemaOf("t")))
+      c.commitTx()
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart must adopt: ${q2.exception}")
+      assert(got2.shapes.nonEmpty && got2.shapes.forall(_ == Seq("k", "v")),
+        s"restart plans at the evolved schema: ${got2.shapes}")
+      assert(got2.rows.map(r => (r.head, r(1))).toSet == Set((4L, "y")),
+        s"resumed from the checkpointed offset: ${got2.rows}")
+    } finally q2.stop()
+  }
+
+  test("schemaTrackingLocation: a non-additive evolution fails ONCE " +
+    "with the schema tracked; the plain restart resumes at it") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_trackn").toString
+    val ckpt = Files.createTempDirectory("graft_r12_trackn_ck").toString
+    val trk = Files.createTempDirectory("graft_r12_trackn_loc").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))))
+    import scala.jdk.CollectionConverters._
+    c.insert("t", ss.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "a")).asJava, c.schemaOf("t")))
+    c.commitTx()
+
+    def stream(into: Collected) = ss.readStream.format("graft")
+      .option("table", "t")
+      .option("schemaTrackingLocation", trk)
+      .load(root)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        into.add(df))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val got1 = new Collected
+    val q = stream(got1)
+    try {
+      q.processAllAvailable()
+      // dropColumn is NOT additive: the running plan cannot keep its
+      // shape — one loud failure naming the tracking location
+      c.newTx(); c.dropColumn("t", "v"); c.commitTx()
+      c.newTx(); c.insert("t", Seq(2L).toDF("k")); c.commitTx()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse("") +
+        e.getMessage
+      assert(msg.contains("non-additive") && msg.contains("tracked at"),
+        s"named tracked-evolution error expected, got: $msg")
+    } finally q.stop()
+
+    // no operator step: same checkpoint, and the stream resumes at the
+    // dropped-column schema from the checkpointed offset
+    val got2 = new Collected
+    val q2 = stream(got2)
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart must resume: ${q2.exception}")
+      assert(got2.shapes.forall(_ == Seq("k")),
+        s"restart plans at the tracked (dropped) schema: ${got2.shapes}")
+      assert(got2.rows.map(_.head).toSet == Set(2L),
+        s"the failed batch replays at the new schema: ${got2.rows}")
+    } finally q2.stop()
+  }
+
+  // --- retention vs over-held readers -------------------------------------
+  // The contract: a reader whose snapshot outlives vacuum's retention
+  // either completes or fails LOUDLY — never a silently-wrong answer.
+  // The sharp edge is `spark.sql.files.ignoreMissingFiles=true`, a
+  // common cluster-wide setting on object stores: under it a reclaimed
+  // deletion vector would silently UN-delete rows, a reclaimed data
+  // object silently drop them, a reclaimed CDF spill page silently
+  // truncate a change feed. Log-governed reads pin the per-source
+  // option to false (GraftClient.strictRead), so the session conf
+  // cannot buy convenience with transactional correctness.
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete()
+  }
+
+  private def withIgnoreMissing[A](body: => A): A = {
+    val ss = spark
+    ss.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try body finally ss.conf.unset("spark.sql.files.ignoreMissingFiles")
+  }
+
+  test("a reclaimed deletion vector fails the over-held reader loudly " +
+    "(never un-deletes) even under ignoreMissingFiles=true") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_dvret").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(StructField("k", LongType))))
+    c.insert("t", (0L until 10L).toDF("k"))
+    c.commitTx()
+    c.newTx()
+    c.deleteRowsDV("t", "k", 0, 4)
+    c.commitTx()
+    c.newTx()
+    val held = c.scan("t")
+    assert(held.count() == 5)
+    c.rollback()
+    // reclaim the DV out from under the planned DataFrame (what a
+    // vacuum past this reader's retention does to the store)
+    val dvDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.contains("_dv_"))
+    assert(dvDirs.nonEmpty, "fixture must have a DV object")
+    dvDirs.foreach(deleteDir)
+    withIgnoreMissing {
+      val e = intercept[Exception](held.count())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          t.getMessage != null && t.getMessage.contains("does not exist")),
+        s"expected a missing-file failure, got: $e")
+    }
+  }
+
+  test("a reclaimed data object fails the over-held historical reader " +
+    "loudly (never drops rows) even under ignoreMissingFiles=true") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_objret").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(StructField("k", LongType))))
+    c.insert("t", (0L until 10L).toDF("k"))
+    c.commitTx()
+    val v1 = c.latestVersion
+    c.newTx()
+    c.deleteRows("t", "k", 0, 4) // CoW rewrite supersedes the v1 object
+    c.commitTx()
+    val held = c.scanAsOf("t", v1)
+    assert(held.count() == 10)
+    assert(c.vacuum(retainVersions = 0) > 0,
+      "vacuum must reclaim the superseded object")
+    withIgnoreMissing {
+      intercept[Exception](held.count())
+    }
+    // the CURRENT reader is untouched by the reclaim
+    c.newTx()
+    assert(c.scan("t").count() == 5)
+    c.rollback()
+  }
+
+  test("a reclaimed CDF spill page fails the in-flight change feed " +
+    "loudly (never truncates) even under ignoreMissingFiles=true") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_spillret").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(StructField("k", LongType))))
+    c.setTableProperties("t", Map("graft.enableChangeDataFeed" -> "true"))
+    c.commitTx()
+    (0 until 4).foreach { i =>
+      c.newTx()
+      c.insert("t", Seq(i.toLong).toDF("k"))
+      c.commitTx()
+    }
+    ss.conf.set("spark.graft.cdf.unionPageSize", "2")
+    val held =
+      try {
+        c.newTx()
+        val df = c.changesByFile("t", 0, c.latestVersion)
+        c.rollback()
+        df
+      } finally ss.conf.unset("spark.graft.cdf.unionPageSize")
+    assert(held.count() == 4)
+    assert(new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("_cdfspill_")),
+      "the wide window must have spilled")
+    // age the page out and reclaim it while the DataFrame is held
+    ss.conf.set("spark.graft.cdf.spillRetainMs", "0")
+    try c.vacuum(retainVersions = 0)
+    finally ss.conf.unset("spark.graft.cdf.spillRetainMs")
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("_cdfspill_")))
+    withIgnoreMissing {
+      intercept[Exception](held.count())
+    }
+  }
+}
