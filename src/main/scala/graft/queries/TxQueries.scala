@@ -1281,6 +1281,11 @@ object TxQueries {
         val c = new GraftClient(spark, root)
         c.newTx()
         c.createTable("cust", cust.schema)
+        // write-time registration BEFORE the insert: the partitioned
+        // write stamps every object's c_custkey bloom, so both the
+        // narrow (tx_dpp_join) and wide (tx_wide_semi) semi paths
+        // probe the sidecar tier on this fixture
+        c.registerBlooms("cust", Seq("c_custkey"))
         c.insertPartitioned("cust", cust, "c_nationkey")
         c.commitTx()
         root
@@ -1312,6 +1317,28 @@ object TxQueries {
     WHERE n_regionkey = 2
     GROUP BY n_name
     ORDER BY n_name"""
+
+  // --- WIDE semi probe: past the IN-list cap, executor-side pruning ----------
+  // Same fixture; the key set (every 7th custkey) exceeds an explicit
+  // maxKeys=8 cap, so scanSemi takes the DISTRIBUTED path: broadcast
+  // object metadata, per-executor stats+bloom probes (the fixture's
+  // write-time c_custkey blooms), exact left-semi join (round 12).
+  def txWideSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureDpp(spark, dir))
+    c.newTx()
+    try {
+      val keys = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey")).filter(col("c_custkey") % 7 === 0)
+      c.scanSemi("cust", "c_custkey", keys, maxKeys = 8)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    } finally c.rollback()
+  }
+
+  private val txWideSemiSql = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    ORDER BY c_custkey"""
 
   // --- COPY INTO: idempotent incremental landing-zone ingestion --------------
   // Three loads against a growing landing directory: batch 1 (two files),
@@ -1740,6 +1767,10 @@ object TxQueries {
         "the struct minus the leaf, the stamp rebuilds it with the " +
         "generated id at its declared position; same atomic range " +
         "reservation"),
+    "tx_wide_semi" -> QueryDef(txWideSemi, Some(txWideSemiSql),
+      "wide semi probe past the IN-list cap: distributed executor-side " +
+        "stats+bloom pruning over broadcast object metadata, exact " +
+        "left-semi join (the 10^5-key dim-driven fact prune shape)"),
     "tx_dpp_join" -> QueryDef(txDppJoin, Some(txDppJoinSql),
       "join-driven dynamic file pruning: a filtered dim's keys prune " +
         "the partitioned fact scan to |matched partitions| objects " +

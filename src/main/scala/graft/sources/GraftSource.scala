@@ -923,16 +923,34 @@ private[sources] object GraftStreamSource {
     }
   }
 
-  /** Persist `schema` at `loc` (atomic-enough overwrite: tracked
-    * schemas only move forward, and a torn write is repaired by the
-    * next adoption — the file is advisory planning state, never data).
+  /** Persist `schema` at `loc`. No-op when the tracked content already
+    * matches: after an additive evolution the RUNNING plan keeps its
+    * old declared shape, so every subsequent getBatch re-enters the
+    * evolution arm — without the compare each micro-batch would
+    * rewrite an identical file on the hot planning path. The overwrite
+    * itself goes through a temp file + delete + rename, never a
+    * truncate-in-place: a concurrently (re)starting query must never
+    * read a TORN file (fromJson would throw and fail the restart
+    * spuriously) — in the brief absent window readTracked returns None
+    * and the restart falls back to the table's current schema, which
+    * post-evolution IS the schema being written.
     */
   private[sources] def writeTracked(sqlContext: SQLContext, loc: String,
       schema: StructType): Unit = {
     val p = trackedPath(loc)
     val fs = p.getFileSystem(
       sqlContext.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    if (scala.util.Try(readTracked(sqlContext, loc)).toOption.flatten
+        .contains(schema)) return
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"schemaTrackingLocation: could not publish tracked schema at $p")
+    }
   }
 }

@@ -282,5 +282,14 @@ final class ObjectStoreHttpServer(backing: ObjectStore, port: Int = 0,
   /** The bound port (when constructed with port = 0). */
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
-  def stop(): Unit = server.stop(0)
+  // HttpServer.stop does NOT stop a caller-supplied executor — without
+  // the shutdown each server instance leaks 8 non-daemon threads that
+  // keep a forked JVM alive after main() returns
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 }

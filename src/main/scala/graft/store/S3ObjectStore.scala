@@ -40,7 +40,23 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
     .connectTimeout(Duration.ofSeconds(10)).build()
   private val MaxRetries = 3
 
-  private def enc(s: String): String = java.net.URLEncoder.encode(s, UTF_8)
+  /** RFC 3986 percent-encoding (space → %20), NOT form encoding:
+    * URLEncoder's '+' is a LITERAL plus to S3 in a path segment, so a
+    * key containing a space would round-trip under the wrong physical
+    * key ("a+b") while listings return the true name ("a b") — prefix
+    * queries would then miss the object against a real endpoint.
+    */
+  private def enc(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' ||
+          c == '~') sb += c
+      else sb ++= f"%%${b & 0xff}%02X"
+    }
+    sb.toString
+  }
   private def objUri(key: String): URI =
     URI.create(s"$base/${enc(bucket)}/${enc(key)}")
 
@@ -221,7 +237,9 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
   private val condPuts = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def dec(s: String): String =
-    java.net.URLDecoder.decode(s, UTF_8)
+    // percent-only decoding: a literal '+' in an S3 path or query is a
+    // plus, not a space (form encoding does not apply here)
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
 
   private def respond(x: HttpExchange, code: Int, body: Array[Byte],
       headers: (String, String)*): Unit = {
@@ -318,5 +336,14 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
 
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
-  def stop(): Unit = server.stop(0)
+  // HttpServer.stop does NOT stop a caller-supplied executor — without
+  // the shutdown each server instance leaks 8 non-daemon threads that
+  // keep a forked JVM alive after main() returns
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 }

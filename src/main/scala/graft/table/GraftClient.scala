@@ -2110,7 +2110,12 @@ final class GraftClient(
     * that already carry the column (rebuild-avoidance). `dropBloom`
     * then [[registerBlooms]] (or [[buildBloom]]) re-keys at the new
     * geometry in one transaction; between the two the column simply
-    * stats-prunes, so there is no correctness window.
+    * stats-prunes, so there is no correctness window. On a REGISTERED
+    * table the drop also removes the column from
+    * [[GraftClient.BloomColumnsProperty]] (geometry properties go when
+    * the registration empties) — so the re-register recipe works and
+    * an intervening insert can't re-stamp the dropped column at the
+    * old width.
     */
   def dropBloom(table: String, column: String): Unit = {
     tagOp("BLOOM")
@@ -2123,6 +2128,27 @@ final class GraftClient(
       t.actions += RemoveDataObject(table, a.path)
       t.actions += a.copy(blooms = a.blooms - phys,
         bloomRefs = a.bloomRefs - phys)
+    }
+    // de-REGISTER too: registerBlooms' geometry-mismatch error says
+    // "dropBloom the registered columns, then re-register at the new
+    // geometry" — that recipe only works if the drop removes the column
+    // from the write-time registration. Left registered, the geometry
+    // properties survive and re-registration refuses forever, and any
+    // insert between the two re-stamps the dropped column at the OLD
+    // width (afterInsertObjects reads the registration, not the files).
+    val props = t.snapshot.properties(table, t.actions.toSeq)
+    props.get(GraftClient.BloomColumnsProperty).foreach { v =>
+      val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.contains(column)) {
+        val left = cols.filterNot(_ == column)
+        if (left.nonEmpty)
+          setTableProperties(table, Map(
+            GraftClient.BloomColumnsProperty -> left.mkString(",")))
+        else unsetTableProperties(table, Seq(
+          GraftClient.BloomColumnsProperty,
+          GraftClient.BloomBitsProperty,
+          GraftClient.BloomKProperty))
+      }
     }
   }
 
@@ -2159,40 +2185,14 @@ final class GraftClient(
     name
   }
 
-  private def readBloomSidecarUncached(rel: String): Map[String, BloomData] = {
-    val in = dataFs.open(dataPath(rel))
-    try {
-      val d = new java.io.DataInputStream(
-        new java.io.BufferedInputStream(in, 64 * 1024))
-      require(d.readInt() == GraftClient.BloomSidecarMagic,
-        s"not a bloom sidecar: $rel")
-      val n = d.readInt()
-      (0 until n).map { _ =>
-        val len = d.readInt()
-        val cb = new Array[Byte](len); d.readFully(cb)
-        val k = d.readInt(); val w = d.readInt()
-        val words = Vector.fill(w)(d.readLong())
-        new String(cb, "UTF-8") -> BloomData(k, words)
-      }.toMap
-    } finally in.close()
-  }
-
   /** Decoded sidecar through the JVM-wide byte-bounded cache. None when
     * the sidecar is unreadable — e.g. a reader pinned at an old version
     * whose sidecars vacuum reclaimed past retention: the probe then
     * simply does not prune on it (conservative, never wrong; the DATA
     * read still fails loudly if the data objects are gone too).
     */
-  private def loadBloomSidecar(rel: String): Option[Map[String, BloomData]] = {
-    val key = s"$rootPath/$rel"
-    GraftClient.bloomSidecarCache.get(key).orElse {
-      try {
-        val m = readBloomSidecarUncached(rel)
-        GraftClient.bloomSidecarCache.put(key, m)
-        Some(m)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
-  }
+  private def loadBloomSidecar(rel: String): Option[Map[String, BloomData]] =
+    GraftClient.loadBloomSidecarAt(s"$rootPath/$rel", dataFs)
 
   /** The bloom over PHYSICAL column `physCol` carried by `a`: inline
     * (legacy logs) or loaded from its sidecar (cached). None = no bloom
@@ -2430,11 +2430,94 @@ final class GraftClient(
       s"keys frame must have exactly one column, got ${keys.schema.length}")
     val vals = keys.distinct().limit(maxKeys + 1).collect()
       .map(_.get(0)).toSeq
-    if (vals.length > maxKeys) scan(table) // fall back, never truncate
-    else {
+    if (vals.length > maxKeys) {
+      // WIDE key set: the driver IN-list path would collect an
+      // unbounded key list, so probe DISTRIBUTED instead — each
+      // executor tests its key partitions against the broadcast object
+      // metadata, loading only the sidecars it actually touches
+      // ([[wideSurvivors]]). Exact semantics via the semi join; pruning
+      // stays an optimization, never a correctness gate.
+      val keep = wideSurvivors(table, column, keys)
+      val keyCol = keys.columns.head
+      scanFiltered(table, a => keep(a.path)).join(
+        keys.distinct().withColumnRenamed(keyCol, column),
+        Seq(column), "left_semi")
+    } else {
       scanPruned(table, Nil, Nil, Seq(column -> vals))
         .filter(col(column).isInCollection(vals))
     }
+  }
+
+  /** EXECUTOR-side stats+bloom probe for wide key sets — the wide half
+    * of the sidecar design: the driver ships each live object's
+    * fixed-size probe metadata (its stats and bloom ref for `column`)
+    * as ONE broadcast, the keys stay distributed, and each executor
+    * loads only the sidecars its key partitions actually probe (JVM-
+    * wide byte-bounded cache per executor). An object already proven
+    * surviving within a partition is skipped for later keys, so a hot
+    * object costs one sidecar probe per partition, not per key.
+    * Returns the surviving object paths (driver-bounded: ≤ |objects|).
+    */
+  private def wideSurvivors(table: String, column: String,
+      keys: DataFrame): Set[String] = {
+    val schema = schemaOf(table)
+    val phys = physOf(schema, column)
+    val live = liveFiles(table)
+    if (live.isEmpty) return Set.empty
+    val colType = typeAtPath(schema, column)
+    val maxK = live.iterator.flatMap(a =>
+      a.blooms.get(phys).map(_.k) ++ a.bloomRefs.get(phys).map(_.k))
+      .maxOption.getOrElse(0)
+    // fixed-size per object: path, stats map, legacy inline bloom,
+    // (ref, absolute sidecar path) — never the bitsets themselves
+    val meta: Array[(String, Map[String, ColStats], Option[BloomData],
+        Option[(BloomRef, String)])] =
+      live.map(a => (a.path, a.stats, a.blooms.get(phys),
+        a.bloomRefs.get(phys).map(r => (r, s"$rootPath/${r.path}"))))
+        .toArray
+    val metaB = spark.sparkContext.broadcast(meta)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sessionState.newHadoopConf()))
+    // the SAME per-index xxhash64 the bloom build used, computed inside
+    // codegen before the probe partition sees the row
+    val hashCols = (0 until maxK).map(i =>
+      xxhash64(lit(i), col("_wv")).as(s"_wh$i"))
+    val probe = keys.toDF("_wv")
+      .select(col("_wv").cast(colType).as("_wv")).distinct()
+      .select((col("_wv") +: hashCols).toIndexedSeq: _*)
+    val physCol = phys // avoid capturing `this` in the task closure
+    val kMax = maxK
+    import spark.implicits._
+    probe.mapPartitions { it =>
+      val objs = metaB.value
+      val conf = confB.value.value
+      var fsCache: org.apache.hadoop.fs.FileSystem = null
+      def fsFor(p: String): org.apache.hadoop.fs.FileSystem = {
+        if (fsCache == null)
+          fsCache = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        fsCache
+      }
+      val surviving = new scala.collection.mutable.HashSet[String]
+      it.foreach { row =>
+        if (surviving.size < objs.length) {
+          val v = row.get(0)
+          val hs = (0 until kMax).map(i => row.getLong(1 + i))
+          objs.foreach { case (path, stats, inline, ref) =>
+            if (!surviving.contains(path) &&
+                ColStats.mayOverlap(stats, physCol, v, v)) {
+              val bloom = inline.orElse(ref.flatMap { case (r, abs) =>
+                GraftClient.loadBloomSidecarAt(abs, fsFor(abs))
+                  .flatMap(_.get(physCol))
+                  .filter(b => b.k == r.k && b.numBits == r.numBits)
+              })
+              if (bloom.forall(_.mightContain(hs))) surviving += path
+            }
+          }
+        }
+      }
+      surviving.iterator
+    }.distinct().collect().toSet
   }
 
   /** The full file-skipping stack in one call: range `bounds` prune by
@@ -2491,6 +2574,37 @@ final class GraftClient(
           (c, v) -> (0 until maxK).map(i => row.getLong(e * maxK + i))
         }.toMap
       }
+    // PREFETCH the sidecars the filter below will open, concurrently
+    // on a bounded pool: the filter probes objects one at a time, and a
+    // cold equality scan over 10k stats-overlapping objects on a
+    // remote store would otherwise pay one SERIAL round trip each —
+    // minutes of driver-side planning where ~8-way fetch is enough.
+    // Exactly the loads the filter performs: refs of probed columns on
+    // objects that survive min/max stats, minus what's already cached.
+    if (hashes.nonEmpty) {
+      val wanted = live.iterator.flatMap { a =>
+        pointProbes.iterator.flatMap { case (c, v) =>
+          val phys = physOf(schema, c)
+          if (ColStats.mayOverlap(a.stats, phys, v, v))
+            a.bloomRefs.get(phys).map(_.path)
+          else None
+        }
+      }.toVector.distinct
+        .filter(r => GraftClient.bloomSidecarCache
+          .get(s"$rootPath/$r").isEmpty)
+      if (wanted.length > 1) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(wanted.length, 8),
+          r => { val t = new Thread(r, "graft-bloom-prefetch")
+            t.setDaemon(true); t })
+        try wanted
+          .map(r => pool.submit(new Runnable {
+            def run(): Unit = loadBloomSidecar(r) }))
+          .foreach(f => try f.get()
+            catch { case scala.util.control.NonFatal(_) => () })
+        finally pool.shutdown()
+      }
+    }
     def valueSurvives(a: AddDataObject, c: String, v: Any): Boolean = {
       val phys = physOf(schema, c)
       ColStats.mayOverlap(a.stats, phys, v, v) &&
@@ -5041,6 +5155,48 @@ object GraftClient {
     * must not grow driver heap without bound; an evicted entry costs
     * its next prober one store read.
     */
+  /** Decode one sidecar stream — the static half of the reader, shared
+    * by the driver probe path and the EXECUTOR-side wide-probe path
+    * (each executor JVM caches what its partitions touch).
+    */
+  private def decodeBloomSidecar(in: java.io.InputStream,
+      what: String): Map[String, BloomData] = {
+    val d = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(in, 64 * 1024))
+    require(d.readInt() == BloomSidecarMagic, s"not a bloom sidecar: $what")
+    val n = d.readInt()
+    (0 until n).map { _ =>
+      val len = d.readInt()
+      val cb = new Array[Byte](len); d.readFully(cb)
+      val k = d.readInt(); val w = d.readInt()
+      val words = Vector.fill(w)(d.readLong())
+      new String(cb, "UTF-8") -> BloomData(k, words)
+    }.toMap
+  }
+
+  /** Load + cache the sidecar at absolute path `abs` through `fs`.
+    * Failures are NEGATIVE-CACHED as "no usable blooms": sidecars are
+    * uuid-named and immutable, so a reclaimed one never comes back at
+    * its path — without the entry an over-held reader (the vacuum
+    * degrade case) would re-issue the failing store read for EVERY
+    * (object, probe value) pair. A transient store error costs only
+    * pruning on this object for the cache entry's lifetime, never a
+    * wrong answer.
+    */
+  private[table] def loadBloomSidecarAt(abs: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Map[String, BloomData]] =
+    bloomSidecarCache.get(abs).orElse {
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(abs))
+        val m = try decodeBloomSidecar(in, abs) finally in.close()
+        bloomSidecarCache.put(abs, m)
+        Some(m)
+      } catch { case scala.util.control.NonFatal(_) =>
+        bloomSidecarCache.put(abs, Map.empty)
+        None
+      }
+    }
+
   private[graft] object bloomSidecarCache {
     private val MaxBytes = 64L << 20
     private var bytes = 0L

@@ -953,8 +953,25 @@ final class TxLog(store: ObjectStore) {
           else {
             val present = store
               .listPrefixOrdered(f"${CkptPartPrefix}${version}%020d_").toSet
-            k => ckptPartName(version, k,
-              parquet = present(ckptPartName(version, k, parquet = true)))
+            // commit to ONE naming family for the whole set: a racing
+            // engine at the same version may have written the OTHER
+            // family with a different cut (its size estimator diverged)
+            // and lost the manifest putIfAbsent — resolving per part
+            // index could splice two cuts into one replay (duplicated/
+            // dropped actions, a silently wrong snapshot). Reading ALL
+            // parts of the manifest writer's OWN family is safe, and
+            // that family is identified by size — so: bare when the
+            // bare family's total equals the manifest count, else
+            // suffixed when its total does, else bare, which then
+            // throws loudly on the missing part.
+            // family sizes from the listing (parts number contiguously
+            // from 0): the manifest's own family is the one whose TOTAL
+            // equals the manifest count — a racer's family with a
+            // different cut has a different total and is never spliced
+            val bareTotal = present.count(!_.endsWith("p"))
+            val sufTotal = present.size - bareTotal
+            val useSuffixed = bareTotal != count && sufTotal == count
+            k => ckptPartName(version, k, parquet = useSuffixed)
           }
         val decode: Array[Byte] => Vector[Action] =
           if (parquet) CkptParquet.read

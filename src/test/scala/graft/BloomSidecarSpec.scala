@@ -154,8 +154,7 @@ class BloomSidecarSpec extends AnyFunSuite {
     // re-key: dropBloom + re-register writes FRESH sidecars; the old
     // ones are now referenced only by historical snapshots
     c.newTx()
-    c.dropBloom("t", "key")
-    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty))
+    c.dropBloom("t", "key") // de-registers the column too
     c.registerBlooms("t", Seq("key"), numBits = 2048)
     c.commitTx()
     c.newTx()
@@ -199,8 +198,7 @@ class BloomSidecarSpec extends AnyFunSuite {
     // a maintenance re-stamp references the COMMITTED data path with a
     // FRESH sidecar: abort deletes the sidecar, keeps the data
     c.newTx()
-    c.dropBloom("t", "key")
-    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty))
+    c.dropBloom("t", "key") // de-registers the column too
     c.registerBlooms("t", Seq("key"), numBits = 2048)
     c.abortAndClean()
     assert(filesBy(root, "_bloom_t_").map(_.getFileName.toString)

@@ -270,13 +270,12 @@ class BloomWriteSpec extends AnyFunSuite {
     assert(c.objects("t").forall(a =>
       c.bloomOf(a, "key").get.numBits == 1024),
       "existing blooms are kept, never silently rebuilt")
-    // the re-keying path: drop every registered column (metadata-only),
-    // then re-register at the new cap — 500-row objects now derive
-    // their real per-object width (5056 bits) under the 8192 cap
+    // the re-keying path EXACTLY as registerBlooms' error prescribes:
+    // drop every registered column (dropBloom also de-registers it —
+    // no property surgery), then re-register at the new cap — 500-row
+    // objects now derive their real per-object width (5056 bits)
     c.dropBloom("t", "key")
     c.dropBloom("t", "meta.source")
-    c.unsetTableProperties("t", Seq(GraftClient.BloomColumnsProperty,
-      GraftClient.BloomBitsProperty, GraftClient.BloomKProperty))
     c.registerBlooms("t", Seq("key"), numBits = 8192)
     c.commitTx()
     c.newTx()

@@ -162,4 +162,38 @@ class CkptFormatSpec extends AnyFunSuite {
     assert(canon(replayed.actions) == expect,
       "fallback replay must be identical to the suffixed-name replay")
   }
+
+  test("the bare-name fallback never splices families: a stray suffixed " +
+    "part from a differently-cut racing checkpoint is ignored whole") {
+    val actions = syntheticActions(500)
+    val snap = Snapshot(778L, actions)
+    // a racing engine's cut at SMALLER parts: its part 0 holds fewer
+    // actions than the manifest writer's part 0 — reading it in place
+    // of the bare part 0 would silently drop the difference
+    val racer = new InMemoryObjectStore
+    new TxLog(racer).checkpoint(snap, maxPartBytes = 16 << 10)
+    val strayName = racer.listPrefixOrdered(TxLog.CkptPartPrefix).head
+    val strayBytes = racer.read(strayName)
+    // the manifest writer's checkpoint, devolved to bare names
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.checkpoint(snap, maxPartBytes = 64 << 10)
+    val expect = canon(log.begin().actions)
+    val parts = store.listPrefixOrdered(TxLog.CkptPartPrefix)
+    parts.foreach { n =>
+      store.putIfAbsent(n.dropRight(1), store.read(n))
+      store.delete(n)
+    }
+    store.delete(TxLog.ckptName(778L))
+    store.putIfAbsent(TxLog.ckptName(778L),
+      s"""{"version":778,"parts":${parts.length},"format":"parquet"}"""
+        .getBytes("UTF-8"))
+    // inject the racer's suffixed part 0 next to the complete bare set:
+    // per-part resolution would prefer it for k=0 and splice two cuts
+    store.putIfAbsent(strayName, strayBytes)
+    val replayed = new TxLog(store).begin()
+    assert(canon(replayed.actions) == expect,
+      "replay must use the manifest writer's complete bare family, " +
+        "never a spliced mix with the racer's differently-cut part")
+  }
 }

@@ -185,4 +185,44 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(c.scan("m").count() == 140, "vacuum must spare the live set")
     c.rollback()
   }
+
+  test("wide scanSemi probes sidecars EXECUTOR-side through a non-local " +
+    "scheme: the broadcast Hadoop conf must resolve graftfs:// on the " +
+    "task side") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft_remote_wide").toString
+    val root = s"graftfs:$local"
+    val c = new GraftClient(ss, root,
+      logStore = Some(new InMemoryObjectStore))
+    c.newTx()
+    c.createTable("w", StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType))))
+    c.registerBlooms("w", Seq("k"))
+    c.commitTx()
+    (0 until 4).foreach { o =>
+      c.newTx()
+      c.insert("w", (0 until 200).map { i =>
+        val k = if (i == 0) "aaa" else if (i == 199) "zzz"
+          else s"k_${o}_$i"
+        (k, o * 1000L + i)
+      }.toDF("k", "x").coalesce(1))
+      c.commitTx()
+    }
+    c.newTx()
+    // sidecars live under graftfs://; force the EXECUTOR-side load path
+    // by clearing the shared JVM cache the driver may have warmed
+    GraftClient.bloomSidecarCache.clear()
+    val keys = ((1 to 8).map(i => s"k_1_$i") ++
+      (1 to 4).map(i => s"absent_$i")).toDF("key")
+    val got = c.scanSemi("w", "k", keys, maxKeys = 4)
+    assert(got.count() == 8)
+    assert(got.select("x").as[Long].collect().toSet ==
+      (1 to 8).map(1000L + _).toSet)
+    assert(got.inputFiles.forall(_.startsWith("graftfs:")),
+      "the pruned scan must stay on the scheme")
+    c.rollback()
+  }
 }

@@ -280,4 +280,49 @@ class Round12Spec extends AnyFunSuite {
       intercept[Exception](held.count())
     }
   }
+
+  test("wide scanSemi probes EXECUTOR-side: past the IN-list cap the " +
+    "distributed stats+bloom probe prunes to the true objects instead " +
+    "of falling back to a full scan") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_r12_wide").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType))))
+    c.registerBlooms("t", Seq("k"), numBits = 1 << 16)
+    c.commitTx()
+    // 8 objects of SCATTERED keys: every object's (min,max) spans any
+    // probe, so only the bloom tier can prune
+    (0 until 8).foreach { o =>
+      c.newTx()
+      c.insert("t", (0 until 300).map { i =>
+        val k = if (i == 0) "aaa" else if (i == 299) "zzz"
+          else s"k_${o}_$i"
+        (k, o * 1000L + i)
+      }.toDF("k", "x").coalesce(1))
+      c.commitTx()
+    }
+    c.newTx()
+    // 20 distinct keys against an explicit maxKeys=8 cap → the WIDE
+    // (distributed) path. EVERY key probes EVERY object, and at ~1 %
+    // FP/key an untrue object survives with 1 − 0.99²⁰ ≈ 18 % — so the
+    // key count stays small enough that expected extra openings are
+    // ~1 of 6 (a large IN-list compounds per-object FP by design; the
+    // fix at scale is more bits/key, not fewer probes).
+    val keys = ((0 until 5).map(i => s"absent_$i") ++
+      (1 to 10).map(i => s"k_2_$i") ++ (1 to 5).map(i => s"k_5_$i"))
+      .toDF("key")
+    val got = c.scanSemi("t", "k", keys, maxKeys = 8)
+    assert(got.count() == 15)
+    assert(got.select("x").as[Long].collect().toSet ==
+      ((1 to 10).map(2000L + _) ++ (1 to 5).map(5000L + _)).toSet)
+    val opened = got.inputFiles.flatMap(
+      _.split('/').find(_.startsWith("_table_t_"))).toSet
+    assert(opened.size <= 5,
+      s"wide probe must prune (2 true objects + ~1 expected FP), " +
+        s"opened: ${opened.size} of 8")
+    c.rollback()
+  }
 }

@@ -234,6 +234,26 @@ class StoreContractSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("s3 dialect: keys with spaces, pluses, and percent signs " +
+    "round-trip under their TRUE names (RFC 3986 paths, not form " +
+    "encoding) and list under the right prefix") {
+    val srv = new graft.store.S3DialectServer(new InMemoryObjectStore)
+    try {
+      val store = new graft.store.S3ObjectStore(srv.url, pageSize = 2)
+      // URLEncoder-style form encoding would ship "a b" as "a+b" — a
+      // DIFFERENT physical key to S3 — while listings return the true
+      // name, so prefix reads would miss the object entirely
+      val keys = Seq("a b_1", "a+b_2", "a%20b_3", "a b+c%d_4")
+      keys.foreach(k => assert(store.putIfAbsent(k, k.getBytes("UTF-8"))))
+      keys.foreach(k =>
+        assert(new String(store.read(k), "UTF-8") == k,
+          s"round-trip under the true key: $k"))
+      assert(store.listPrefixOrdered("a b").toSet == Set("a b_1", "a b+c%d_4"))
+      assert(store.listPrefixOrdered("a+b") == Vector("a+b_2"))
+      assert(store.listPrefixOrdered("a%20b") == Vector("a%20b_3"))
+    } finally srv.stop()
+  }
+
   test("s3 dialect: a lister paging with continuation tokens stays " +
     "complete while a concurrent writer appends (read-after-list race)") {
     val srv = new graft.store.S3DialectServer(new InMemoryObjectStore)
