@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftClient
+
+/** Wide-probe micro-bench: a dim-driven semi join whose key set is far
+  * past the driver IN-list cap. Compares the round-12 EXECUTOR-side
+  * metadata probe (`scanSemi` wide path: broadcast object metadata,
+  * distributed stats+bloom tests, exact left-semi join) against the
+  * pre-round-12 behavior (full scan + semi join). Prints one JSON
+  * line; numbers recorded in BASELINE.md ("Wide-probe pruning").
+  *
+  * Fixture: the 100 TB shape the wide path exists for — a fact table
+  * CLUSTERED by the probe column (insert batches carry disjoint id
+  * ranges, so every object has tight min/max), keys drawn from exactly
+  * TWO objects' ranges. Stats prune 30 of 32 objects before any bloom
+  * is consulted (the && short-circuit — no sidecar I/O for
+  * stats-pruned objects); blooms refine within the survivors. The
+  * OPPOSITE fixture — scattered keys where only blooms can prune — is
+  * the point-lookup regime (BenchBloom): at ~10 bits/key a
+  * 1000-key set compounds per-object FP to ~1, so wide sets rely on
+  * clustering, exactly as a real lakehouse does.
+  */
+object BenchWide {
+  private def timed[A](reps: Int)(f: => A): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val objects = args.headOption.map(_.toInt).getOrElse(32)
+    val rows = args.lift(1).map(_.toInt).getOrElse(64 * 1024)
+    val keyCount = args.lift(2).map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def batch(o: Int) = spark.range(o.toLong * rows, (o + 1L) * rows)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+
+    val root = Files.createTempDirectory("graft_bench_wide").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    c.createTable("t", batch(0).schema)
+    c.registerBlooms("t", Seq("id"))
+    c.commitTx()
+    (0 until objects).foreach { o =>
+      c.newTx(); c.insert("t", batch(o)); c.commitTx()
+    }
+
+    // keys from exactly two objects' ranges, half each
+    val half = keyCount / 2
+    val keys = spark.range(0, half)
+      .select((col("id") * 7 % rows + 3L * rows).as("k"))
+      .union(spark.range(0, keyCount - half)
+        .select((col("id") * 11 % rows +
+          (objects / 2).toLong * rows).as("k")))
+      .distinct()
+    keys.cache()
+    val distinctKeys = keys.count()
+
+    c.newTx()
+    // pre-round-12 shape: full scan + semi join (pruning never engages)
+    val full = timed(3) {
+      require(c.scan("t").join(keys.withColumnRenamed("k", "id"),
+        Seq("id"), "left_semi").count() == distinctKeys)
+    }
+    // round-12 wide path (cap far below the key count)
+    var openedWide = 0
+    val wide = timed(3) {
+      val got = c.scanSemi("t", "id", keys, maxKeys = 64)
+      require(got.count() == distinctKeys)
+      openedWide = got.inputFiles.length
+    }
+    val totalFiles = c.scan("t").inputFiles.length
+    c.rollback()
+
+    println(s"""{"metric":"wide_probe","objects":$objects,""" +
+      s""""rows_per_object":$rows,"keys":$distinctKeys,""" +
+      s""""full_scan_semi_sec":${f"$full%.3f"},""" +
+      s""""wide_probe_sec":${f"$wide%.3f"},""" +
+      s""""files_opened_wide":$openedWide,"files_total":$totalFiles}""")
+    spark.stop()
+  }
+}

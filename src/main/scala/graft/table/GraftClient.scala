@@ -2414,11 +2414,12 @@ final class GraftClient(
     * scan from touching partitions no dim row can match. The key list is
     * collected driver-side under a LOUD bound (`maxKeys`, default 64 —
     * the IN-list pruning cap): filtered dimensions are broadcast-sized
-    * by construction, so their key set is driver-sized; past the cap the
-    * method falls back to the FULL scan (pruning is an optimization,
-    * never a correctness gate — the caller's join still applies exact
-    * semantics). The returned frame is exactly-filtered to the key set,
-    * so callers join it directly. At 100 TB against a partitioned/
+    * by construction, so their key set is driver-sized; past the cap
+    * the probe goes DISTRIBUTED instead ([[wideSurvivors]] — executor-
+    * side stats+bloom tests over broadcast object metadata), so pruning
+    * survives any key-set width. The returned frame is exactly-filtered
+    * to the key set on BOTH paths, so callers join it directly. At
+    * 100 TB against a partitioned/
     * clustered fact table this turns a full-table scan into
     * |matched partitions| object reads for one extra dim-side job.
     */
@@ -2483,8 +2484,11 @@ final class GraftClient(
     // codegen before the probe partition sees the row
     val hashCols = (0 until maxK).map(i =>
       xxhash64(lit(i), col("_wv")).as(s"_wh$i"))
+    // null keys can never semi-match (SQL equality) — dropped here so
+    // the probe rows' hash columns are non-null primitives
     val probe = keys.toDF("_wv")
-      .select(col("_wv").cast(colType).as("_wv")).distinct()
+      .select(col("_wv").cast(colType).as("_wv"))
+      .filter(col("_wv").isNotNull).distinct()
       .select((col("_wv") +: hashCols).toIndexedSeq: _*)
     val physCol = phys // avoid capturing `this` in the task closure
     val kMax = maxK

@@ -142,11 +142,15 @@ class Round8Spec extends AnyFunSuite {
       assert(objectsOpened(pruned) === 2,
         "dim keys {2,7} must open exactly their 2 partition objects")
       assert(pruned.count() === 20)
-      // over the cap: full scan, same exact rows (pruning never truncates)
+      // over the cap (round 12): the DISTRIBUTED wide probe — same
+      // exact semantics (now uniformly key-filtered, where the old
+      // full-scan fallback returned unfiltered rows), still pruned
       val wide = (0 until 5).toDF("p")
       val fb = c.scanSemi("t", "p", wide, maxKeys = 3)
-      assert(objectsOpened(fb) === 10, "past the cap -> full scan")
-      assert(fb.count() === 100, "fallback must not filter")
+      assert(objectsOpened(fb) === 5,
+        "past the cap -> executor-side probe still prunes to the keys' " +
+          "partition objects")
+      assert(fb.count() === 50, "wide path is exactly key-filtered")
     } finally c.rollback()
   }
 
