@@ -949,8 +949,20 @@ private[sources] object GraftStreamSource {
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"schemaTrackingLocation: could not publish tracked schema at $p")
+      // two publishers racing the SAME adoption: on rename-refuses-
+      // overwrite filesystems (HDFS) the loser lands here with the
+      // winner's file already in place — a semantic no-op, not a
+      // failure. Only a DIFFERENT published schema is an error.
+      if (!scala.util.Try(readTracked(sqlContext, loc)).toOption.flatten
+          .contains(schema))
+        throw new java.io.IOException(
+          s"schemaTrackingLocation: could not publish tracked schema at $p")
     }
+    // best-effort reclaim of tmp files a crashed publisher stranded
+    try fs.listStatus(p.getParent)
+      .filter(_.getPath.getName.startsWith(s"${p.getName}.tmp-"))
+      .filter(_.getPath != tmp)
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 }

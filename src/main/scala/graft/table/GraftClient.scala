@@ -2437,12 +2437,19 @@ final class GraftClient(
       // executor tests its key partitions against the broadcast object
       // metadata, loading only the sidecars it actually touches
       // ([[wideSurvivors]]). Exact semantics via the semi join; pruning
-      // stays an optimization, never a correctness gate.
-      val keep = wideSurvivors(table, column, keys)
+      // stays an optimization, never a correctness gate. The key frame
+      // is PINNED (eager localCheckpoint) before the probe: the probe
+      // and the lazy semi join are two evaluations, and a
+      // non-deterministic or recomputed source (sample, executor loss)
+      // could otherwise yield a join key whose object the probe never
+      // saw — pruned rows silently missing (the same two-pass
+      // divergence merge() pins its source against).
       val keyCol = keys.columns.head
-      scanFiltered(table, a => keep(a.path)).join(
-        keys.distinct().withColumnRenamed(keyCol, column),
-        Seq(column), "left_semi")
+      val pinned = keys.distinct()
+        .withColumnRenamed(keyCol, column).localCheckpoint(true)
+      val keep = wideSurvivors(table, column, pinned)
+      scanFiltered(table, a => keep(a.path))
+        .join(pinned, Seq(column), "left_semi")
     } else {
       scanPruned(table, Nil, Nil, Seq(column -> vals))
         .filter(col(column).isInCollection(vals))
@@ -2466,14 +2473,18 @@ final class GraftClient(
     val live = liveFiles(table)
     if (live.isEmpty) return Set.empty
     val colType = typeAtPath(schema, column)
-    val maxK = live.iterator.flatMap(a =>
-      a.blooms.get(phys).map(_.k) ++ a.bloomRefs.get(phys).map(_.k))
+    val maxK = live.iterator.flatMap(a => a.bloomRefs.get(phys).map(_.k))
       .maxOption.getOrElse(0)
-    // fixed-size per object: path, stats map, legacy inline bloom,
-    // (ref, absolute sidecar path) — never the bitsets themselves
-    val meta: Array[(String, Map[String, ColStats], Option[BloomData],
+    // fixed-size per object: path, stats map, (ref, absolute sidecar
+    // path) — NEVER bitsets. Legacy INLINE blooms are deliberately
+    // excluded: shipping them would make the broadcast
+    // O(objects × geometry), the exact shape the sidecar redesign
+    // removed — a legacy object probes stats-only on this path
+    // (conservative no-prune; the narrow driver path still uses its
+    // inline bloom).
+    val meta: Array[(String, Map[String, ColStats],
         Option[(BloomRef, String)])] =
-      live.map(a => (a.path, a.stats, a.blooms.get(phys),
+      live.map(a => (a.path, a.stats,
         a.bloomRefs.get(phys).map(r => (r, s"$rootPath/${r.path}"))))
         .toArray
     val metaB = spark.sparkContext.broadcast(meta)
@@ -2507,14 +2518,14 @@ final class GraftClient(
         if (surviving.size < objs.length) {
           val v = row.get(0)
           val hs = (0 until kMax).map(i => row.getLong(1 + i))
-          objs.foreach { case (path, stats, inline, ref) =>
+          objs.foreach { case (path, stats, ref) =>
             if (!surviving.contains(path) &&
                 ColStats.mayOverlap(stats, physCol, v, v)) {
-              val bloom = inline.orElse(ref.flatMap { case (r, abs) =>
+              val bloom = ref.flatMap { case (r, abs) =>
                 GraftClient.loadBloomSidecarAt(abs, fsFor(abs))
                   .flatMap(_.get(physCol))
                   .filter(b => b.k == r.k && b.numBits == r.numBits)
-              })
+              }
               if (bloom.forall(_.mightContain(hs))) surviving += path
             }
           }
@@ -2587,7 +2598,14 @@ final class GraftClient(
     // objects that survive min/max stats, minus what's already cached.
     if (hashes.nonEmpty) {
       val wanted = live.iterator.flatMap { a =>
-        pointProbes.iterator.flatMap { case (c, v) =>
+        // same conjuncts as the filter below, bounds INCLUDED — a
+        // bounds-rejected object's bloom is never opened there, so
+        // prefetching it would only issue dead remote reads and evict
+        // useful cache entries
+        if (!bounds.forall { case (c, (lo, hi)) =>
+          ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) })
+          Iterator.empty
+        else pointProbes.iterator.flatMap { case (c, v) =>
           val phys = physOf(schema, c)
           if (ColStats.mayOverlap(a.stats, phys, v, v))
             a.bloomRefs.get(phys).map(_.path)
@@ -5206,19 +5224,26 @@ object GraftClient {
     private var bytes = 0L
     private val m = new java.util.LinkedHashMap[
         String, Map[String, BloomData]](64, 0.75f, true)
-    private def sizeOf(v: Map[String, BloomData]): Long =
-      v.iterator.map { case (c, b) => 64L + c.length + b.words.length * 8L }
-        .sum
+    // entry cost includes the KEY and a floor, so negative-cache
+    // entries (Map.empty for unreadable sidecars) still count toward
+    // MaxBytes — a 10⁶-sidecar vacuum-degrade scenario must evict,
+    // not accumulate a zero-weight entry per reclaimed path
+    private def sizeOf(k: String, v: Map[String, BloomData]): Long =
+      64L + k.length +
+        v.iterator.map { case (c, b) =>
+          64L + c.length + b.words.length * 8L }.sum
     def get(k: String): Option[Map[String, BloomData]] =
       synchronized(Option(m.get(k)))
     def put(k: String, v: Map[String, BloomData]): Unit = synchronized {
       if (m.containsKey(k)) return
       m.put(k, v)
-      bytes += sizeOf(v)
+      bytes += sizeOf(k, v)
       val it = m.entrySet().iterator()
       while (bytes > MaxBytes && it.hasNext) {
         val e = it.next()
-        if (e.getKey != k) { bytes -= sizeOf(e.getValue); it.remove() }
+        if (e.getKey != k) {
+          bytes -= sizeOf(e.getKey, e.getValue); it.remove()
+        }
       }
     }
     private[graft] def clear(): Unit = synchronized { m.clear(); bytes = 0L }

@@ -967,7 +967,13 @@ final class TxLog(store: ObjectStore) {
             // family sizes from the listing (parts number contiguously
             // from 0): the manifest's own family is the one whose TOTAL
             // equals the manifest count — a racer's family with a
-            // different cut has a different total and is never spliced
+            // different cut has a different total and is never spliced.
+            // Accepted residual: a racer that CRASHED after writing
+            // exactly `count` parts of a larger planned set is
+            // indistinguishable from a complete family by listing alone
+            // (pre-pnames manifests carry no family marker); pnames
+            // manifests — everything written since the flag — name
+            // their family authoritatively and never take this branch.
             val bareTotal = present.count(!_.endsWith("p"))
             val sufTotal = present.size - bareTotal
             val useSuffixed = bareTotal != count && sufTotal == count
