@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.DirectWrite
+
+/** Mechanics of the rename-free committer in isolation: files land at
+  * final names, partition dirs route to the namer, losing/failed
+  * attempts never reach the committed set, empty frames commit empty.
+  */
+class DirectWriteSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_direct").toString
+
+  test("unpartitioned write: one object per task, directly at its " +
+    "final name, no _temporary/_SUCCESS/_staging debris") {
+    val ss = spark
+    import ss.implicits._
+    val root = tmp()
+    val files = DirectWrite.write(
+      (0 until 100).toDF("k").repartition(4),
+      root, Nil,
+      d => s"_table_t_${DirectWrite.freshUuid()}")
+    assert(files.length == 4)
+    assert(files.forall(_._1.isEmpty))
+    val entries = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(entries == files.map(_._2).toSet,
+      s"only final object dirs may exist, got $entries")
+    assert(entries.forall(_.startsWith("_table_t_")))
+    // each object is a self-contained parquet dir readable on its own
+    val total = files.map(f =>
+      ss.read.parquet(s"$root/${f._2}").count()).sum
+    assert(total == 100)
+  }
+
+  test("partitioned write: namer sees the escaped partition dir, the " +
+    "partition column is dropped from the files") {
+    val ss = spark
+    import ss.implicits._
+    val root = tmp()
+    val df = (0 until 90).map(i => (i, i % 3)).toDF("k", "p")
+      .repartition(col("p"))
+    val files = DirectWrite.write(df, root, Seq("p"),
+      d => s"_table_t_${d.get.stripPrefix("p=")}_${DirectWrite.freshUuid()}")
+    assert(files.map(_._1.get).toSet == Set("p=0", "p=1", "p=2"))
+    files.foreach { case (dir, name) =>
+      val part = ss.read.parquet(s"$root/$name")
+      assert(part.columns.toSeq == Seq("k"), "partition col must be dropped")
+      assert(part.count() == 30)
+      assert(name.startsWith(s"_table_t_${dir.get.stripPrefix("p=")}_"))
+    }
+    val entries = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(entries == files.map(_._2).toSet)
+  }
+
+  test("empty frame: commits an empty file set, leaves nothing behind") {
+    val ss = spark
+    import ss.implicits._
+    val root = tmp()
+    val files = DirectWrite.write(
+      Seq.empty[Int].toDF("k").repartition(3).filter(col("k") > 0),
+      root, Nil, _ => s"_table_t_${DirectWrite.freshUuid()}")
+    // Spark may commit zero files or empty-only parts; either way no
+    // rows and no unregistered debris beyond the returned names
+    val entries = Option(new java.io.File(root).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(entries == files.map(_._2).toSet)
+    assert(files.map(f => ss.read.parquet(s"$root/${f._2}").count()).sum == 0)
+  }
+
+  test("failed task attempts self-clean their objects (vacuum owns the " +
+    "rest; nothing a reader trusts is ever visible pre-registration)") {
+    val ss = spark
+    import ss.implicits._
+    val root = tmp()
+    // every row throws: each task creates its part file (writers open
+    // eagerly), then aborts — abortTask must delete the attempt's objects
+    val boom = udf((i: Int) => {
+      throw new RuntimeException("boom"); i
+    })
+    intercept[Exception] {
+      DirectWrite.write(
+        (0 until 10).toDF("k").repartition(2).select(boom(col("k")).as("k")),
+        root, Nil, _ => s"_table_t_${DirectWrite.freshUuid()}")
+    }
+    val entries = Option(new java.io.File(root).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(entries.isEmpty, s"aborted attempts must self-clean, got $entries")
+  }
+}
