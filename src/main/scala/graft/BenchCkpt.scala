@@ -66,10 +66,18 @@ object BenchCkpt {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
 
+    // the WRITE side is timed too (round 13: parts encode + PUT on a
+    // bounded pool, pipelined with the fold stream — the driver used to
+    // encode parts serially, exactly where a 10^6-action checkpoint
+    // spends its time)
     val pqMem = new InMemoryObjectStore
+    val t0 = System.nanoTime()
     new TxLog(pqMem).checkpoint(Snapshot(n + 100L, actions(n)))
+    val pqWriteT = (System.nanoTime() - t0) / 1e9
     val jsMem = new InMemoryObjectStore
+    val t1 = System.nanoTime()
     new TxLog(jsMem).checkpointJson(Snapshot(n + 100L, actions(n)))
+    val jsWriteT = (System.nanoTime() - t1) / 1e9
     val pqMemT = coldBegin(pqMem, if (n >= 500000) 3 else 5)
     val jsMemT = coldBegin(jsMem, if (n >= 500000) 2 else 5)
 
@@ -99,6 +107,8 @@ object BenchCkpt {
       s""""parquet_http_sec":${f"$pqHttpT%.3f"},""" +
       s""""json_http_sec":${f"$jsHttpT%.3f"},""" +
       s""""parquet_bytes":$pqBytes,"json_bytes":$jsBytes,""" +
+      s""""parquet_write_sec":${f"$pqWriteT%.3f"},""" +
+      s""""json_write_sec":${f"$jsWriteT%.3f"},""" +
       s""""heap_bytes_per_object":${f"$perObj%.0f"}}""")
     // the JDK HttpServer's executor threads are non-daemon; don't let a
     // lingering dispatcher keep the forked bench JVM alive

@@ -87,11 +87,47 @@ object BenchWide {
     val totalFiles = c.scan("t").inputFiles.length
     c.rollback()
 
+    // round-13 stats-tier micro-bench: the interval index
+    // (WideProbeIndex, sorted-by-min + binary search) vs the linear
+    // tier it replaced, on a PURE-METADATA fixture far past what a real
+    // table fixture can set up cheaply — 10^5 objects x 10^5 keys
+    // (VERDICT r12 item 5; the linear tier is O(keys x objects), the
+    // index O(keys x log objects + hits))
+    val mObjs = 100000
+    val mKeys = 100000
+    val bounds = IndexedSeq.tabulate(mObjs)(i =>
+      Some(graft.tx.ColStats(i * 10L, i * 10L + 9L)))
+    val statsArr = bounds.map(b => Map("k" -> b.get)).toArray
+    val idx = graft.table.WideProbeIndex.build(bounds)
+    val probeKeys = Array.tabulate(mKeys)(i => (i.toLong * 7919L) %
+      (mObjs * 10L))
+    val idxSec = timed(3) {
+      var hits = 0L
+      probeKeys.foreach(k => idx.candidates(k).foreach(_ => hits += 1))
+      require(hits == mKeys.toLong, s"disjoint layout: 1 hit/key, got $hits")
+    }
+    // linear tier on a 100x-smaller key set, extrapolated (the full
+    // cross product is ~10^10 stats tests — the point being made)
+    val linSec = timed(1) {
+      var hits = 0L
+      probeKeys.take(mKeys / 100).foreach { k =>
+        var i = 0
+        while (i < mObjs) {
+          if (graft.tx.ColStats.mayOverlap(statsArr(i), "k", k, k)) hits += 1
+          i += 1
+        }
+      }
+      require(hits == (mKeys / 100).toLong)
+    } * 100
+
     println(s"""{"metric":"wide_probe","objects":$objects,""" +
       s""""rows_per_object":$rows,"keys":$distinctKeys,""" +
       s""""full_scan_semi_sec":${f"$full%.3f"},""" +
       s""""wide_probe_sec":${f"$wide%.3f"},""" +
-      s""""files_opened_wide":$openedWide,"files_total":$totalFiles}""")
+      s""""files_opened_wide":$openedWide,"files_total":$totalFiles,""" +
+      s""""meta_objects":$mObjs,"meta_keys":$mKeys,""" +
+      s""""meta_index_probe_sec":${f"$idxSec%.3f"},""" +
+      s""""meta_linear_probe_sec_est":${f"$linSec%.1f"}}""")
     spark.stop()
   }
 }

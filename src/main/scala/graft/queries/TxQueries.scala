@@ -176,6 +176,26 @@ object TxQueries {
         c.deleteRows("nation10", "n_nationkey", 10, 14)
         c.commitTx()
 
+        // nation_me: MERGE WITH SCHEMA EVOLUTION — the upsert source
+        // carries a column the target lacks (n_src): matched keys
+        // update AND carry it, unmatched keys insert with it, every
+        // pre-evolution row reads it as null. The flagless form's
+        // refusal is pinned in MergeEvolveSpec.
+        c.newTx()
+        c.createTable("nation_me", nation.schema)
+        c.insert("nation_me", nation)
+        c.commitTx()
+        val meSrc = nation.filter(col("n_nationkey") < 5)
+          .withColumn("n_name", concat(col("n_name"), lit("_U")))
+          .withColumn("n_src", lit("cdc"))
+          .unionByName(nation.filter(col("n_nationkey") < 3)
+            .withColumn("n_nationkey", col("n_nationkey") + 40)
+            .withColumn("n_src", lit("new")))
+        c.newTx()
+        c.merge("nation_me", meSrc, Seq("n_nationkey"),
+          evolveSchema = true)
+        c.commitTx()
+
         // nation13: schema-evolving ingestion — three insertEvolving
         // batches (exact schema, a NEW column, a MISSING column); the
         // final state must read widened + null-filled bit-for-bit
@@ -538,6 +558,28 @@ object TxQueries {
       FROM nation WHERE n_nationkey NOT BETWEEN 20 AND 22
       UNION ALL
       SELECT n_nationkey + 30, 'NEW_' || n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 3
+    ) ORDER BY n_nationkey"""
+
+  // --- MERGE WITH SCHEMA EVOLUTION: source-only column widens the target ----
+  def txMergeEvolve(spark: SparkSession, dir: String): DataFrame =
+    withClient(spark, dir) { c =>
+      c.currentState("nation_me", Seq("n_nationkey"))
+        .orderBy(col("n_nationkey"))
+    }
+
+  private val txMergeEvolveSql = """
+    SELECT * FROM (
+      SELECT n_nationkey, n_name, n_regionkey,
+        CAST(NULL AS VARCHAR) AS n_src
+      FROM nation WHERE n_nationkey >= 5
+      UNION ALL
+      SELECT n_nationkey, n_name || '_U' AS n_name, n_regionkey,
+        'cdc' AS n_src
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n_nationkey + 40 AS n_nationkey, n_name, n_regionkey,
+        'new' AS n_src
       FROM nation WHERE n_nationkey < 3
     ) ORDER BY n_nationkey"""
 
@@ -1707,6 +1749,11 @@ object TxQueries {
       "addColumn widening: old rows read null, new versions win per key"),
     "tx_stats_prune" -> QueryDef(txStatsPrune, Some(txStatsPruneSql),
       "partitioned insert + stats-based file skipping on a range scan"),
+    "tx_merge_evolve" -> QueryDef(txMergeEvolve, Some(txMergeEvolveSql),
+      "MERGE WITH SCHEMA EVOLUTION: a source-only column routes through " +
+        "the insertEvolving widening (metadata-only addColumn), matched " +
+        "keys update + carry it, pre-evolution rows read null; the " +
+        "flagless merge still refuses unknown columns"),
     "tx_merge" -> QueryDef(txMerge, Some(txMergeSql),
       "MERGE: matched update + unmatched insert + delete clause, no rewrite"),
     "tx_cdf" -> QueryDef(txCdf, Some(txCdfSql),
@@ -1774,7 +1821,8 @@ object TxQueries {
     "tx_dpp_join" -> QueryDef(txDppJoin, Some(txDppJoinSql),
       "join-driven dynamic file pruning: a filtered dim's keys prune " +
         "the partitioned fact scan to |matched partitions| objects " +
-        "(scanSemi, bounded driver key list, loud full-scan fallback)"),
+        "(scanSemi, bounded driver key list; past the cap the " +
+        "distributed wide probe takes over, still exactly key-filtered)"),
     "tx_copy_into" -> QueryDef(txCopyInto, Some(txCopyIntoSql),
       "COPY INTO: idempotent incremental landing-zone ingestion — " +
         "per-file SetTxn watermarks commit atomically with the rows, " +

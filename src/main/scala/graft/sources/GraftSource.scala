@@ -175,10 +175,11 @@ final class GraftSource extends RelationProvider
     // with a schemaTrackingLocation, the PLANNED schema is the tracked
     // one (persisted by a previous run when the table evolved under
     // it), so a plain restart adopts the evolution with no operator
-    // step — Delta's schemaTrackingLocation contract. Plain-source
-    // streams only; the change-feed sources keep today's
-    // fail-and-restart contract.
-    val base = (if (changeFeed(parameters)) None else trackLoc(parameters))
+    // step — Delta's schemaTrackingLocation contract. All three stream
+    // shapes participate: the plain row source, the keyed change feed,
+    // and the file-level CDC feed (the tracked file stores the BASE
+    // table schema; the feed columns re-decorate below).
+    val base = trackLoc(parameters)
       .flatMap(l => GraftStreamSource.readTracked(sqlContext, l))
       .getOrElse(GraftRelation.withClient(sqlContext,
         opt(parameters, "path"))(_.schemaOf(opt(parameters, "table"))))
@@ -201,11 +202,13 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String]): Source =
     if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
       new GraftFileChangeFeedSource(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"), streamStart(parameters))
+        opt(parameters, "table"), streamStart(parameters),
+        trackLoc(parameters))
     else if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), keyColumns(parameters),
-        preimages(parameters), streamStart(parameters))
+        preimages(parameters), streamStart(parameters),
+        trackLoc(parameters))
     else
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
@@ -239,7 +242,9 @@ final class GraftSource extends RelationProvider
         .map(_.toInt).getOrElse(0),
       mode,
       if (mode == "upsert") keyColumns(parameters) else Nil,
-      parameters.get("deletecolumn").orElse(parameters.get("deleteColumn")))
+      parameters.get("deletecolumn").orElse(parameters.get("deleteColumn")),
+      parameters.get("evolveschema").orElse(parameters.get("evolveSchema"))
+        .exists(_.toBoolean))
   }
 }
 
@@ -270,7 +275,8 @@ private[sources] object GraftSource {
   */
 final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     table: String, keyCols: Seq[String], preimages: Boolean = false,
-    start: Option[Either[Long, Long]] = None)
+    start: Option[Either[Long, Long]] = None,
+    schemaTrackingLocation: Option[String] = None)
     extends Source {
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
@@ -283,9 +289,13 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     case None => 0L
   }
 
+  /** Base = tracked-or-current (see [[GraftStreamSource.resolveTrackedBase]]),
+    * decorated with the feed column — a restart after an evolution
+    * resumes at the evolved shape from the checkpointed offset.
+    */
   override val schema: StructType = {
-    val base =
-      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+    val base = GraftStreamSource.resolveTrackedBase(sqlContext, root,
+      table, schemaTrackingLocation)
     StructType(base.fields :+ org.apache.spark.sql.types
       .StructField("_change", org.apache.spark.sql.types.StringType))
   }
@@ -304,10 +314,9 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     val batch = client.changesBetween(table, keyCols,
       start.map(versionOf).getOrElse(seedVersion), versionOf(end),
       preimages)
-    // mid-stream evolution fails loudly, never silently drifts —
-    // see GraftStreamSource.requireStableSchema
-    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
-    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
+        schemaTrackingLocation, feedCols = 1))
   }
 
   override def stop(): Unit = {}
@@ -323,7 +332,8 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   * stream loudly naming the version, same as the batch read.
   */
 final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, start: Option[Either[Long, Long]] = None) extends Source {
+    table: String, start: Option[Either[Long, Long]] = None,
+    schemaTrackingLocation: Option[String] = None) extends Source {
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
 
@@ -335,9 +345,12 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
     case None => 0L
   }
 
+  /** Base = tracked-or-current, decorated with the two CDC columns —
+    * same restart-adoption contract as the keyed feed.
+    */
   override val schema: StructType = {
-    val base =
-      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+    val base = GraftStreamSource.resolveTrackedBase(sqlContext, root,
+      table, schemaTrackingLocation)
     StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField(GraftClient.ChangeTypeCol,
         org.apache.spark.sql.types.StringType),
@@ -358,10 +371,9 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val batch = client.changesByFile(table,
       start.map(versionOf).getOrElse(seedVersion), versionOf(end))
-    // mid-stream evolution fails loudly, never silently drifts —
-    // see GraftStreamSource.requireStableSchema
-    GraftStreamSource.requireStableSchema(table, schema, batch.schema)
-    StreamingShim.asStreaming(sqlContext.sparkSession, batch)
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
+        schemaTrackingLocation, feedCols = 2))
   }
 
   override def stop(): Unit = {}
@@ -385,7 +397,8 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
   */
 final class GraftSink(sqlContext: SQLContext, root: String, table: String,
     appId: String, autoCompact: Int = 0, mode: String = "append",
-    keyCols: Seq[String] = Nil, deleteColumn: Option[String] = None)
+    keyCols: Seq[String] = Nil, deleteColumn: Option[String] = None,
+    evolveSchema: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   require(mode == "append" || mode == "upsert",
@@ -409,9 +422,15 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
           val delCond = deleteColumn
             .map(dc => org.apache.spark.sql.functions.col(dc) === true)
             .getOrElse(org.apache.spark.sql.functions.lit(false))
+          // evolveSchema: a continuous replication pipeline whose
+          // upstream adds a column widens the replica in-batch (the
+          // merge routes through insertEvolving) instead of stopping —
+          // paired with the source side's schemaTrackingLocation this
+          // closes the restart-free replication loop
           c.merge(table, batch, keyCols, delCond,
-            dropCols = deleteColumn.toSeq)
-        } else c.insert(table, batch)
+            dropCols = deleteColumn.toSeq, evolveSchema = evolveSchema)
+        } else if (evolveSchema) c.insertEvolving(table, batch)
+        else c.insert(table, batch)
         // explicit writer option wins; otherwise the TABLE carries its
         // own compaction policy via TBLPROPERTIES — every stream landing
         // in it inherits the policy with zero sink configuration
@@ -691,16 +710,8 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     * at the evolved schema with no operator step; the location is
     * initialized with the table's current schema on first use.
     */
-  override val schema: StructType = schemaTrackingLocation match {
-    case Some(loc) =>
-      GraftStreamSource.readTracked(sqlContext, loc).getOrElse {
-        val s = GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
-        GraftStreamSource.writeTracked(sqlContext, loc, s)
-        s
-      }
-    case None =>
-      GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
-  }
+  override val schema: StructType = GraftStreamSource
+    .resolveTrackedBase(sqlContext, root, table, schemaTrackingLocation)
 
   // Trigger.AvailableNow's pinned end: batches never reach past it, so
   // the drain terminates even while new commits keep landing (they
@@ -796,35 +807,9 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     val until = versionOf(end)
     highWater = math.max(highWater, until) // restart recovery re-sync
     val batch = client.addedBetween(table, from, until, ignoreChanges)
-    val out = schemaTrackingLocation match {
-      case Some(loc)
-          if !GraftStreamSource.sameShape(schema, batch.schema) =>
-        // persist the evolved schema FIRST: whether this run continues
-        // or stops, the next start resumes at the new schema from the
-        // checkpointed offset — no operator step
-        GraftStreamSource.writeTracked(sqlContext, loc, batch.schema)
-        if (GraftStreamSource.isAdditive(schema, batch.schema))
-          // purely-additive evolution (new nullable columns/leaves):
-          // the RUNNING plan keeps its shape — the batch is projected
-          // back to the declared schema, so the stream crosses the
-          // micro-batch boundary without stopping; the new column
-          // becomes visible on the next restart, null-filled for
-          // pre-evolution objects (the scan's default alignment). The
-          // opt-in trades "new column visible immediately" for "the
-          // stream keeps running" — the tracked file guarantees the
-          // column is never silently lost across a restart.
-          GraftStreamSource.projectTo(batch, schema)
-        else throw new IllegalStateException(
-          s"graft stream on $table: table schema changed mid-stream in " +
-            s"a non-additive way (${schema.simpleString} -> " +
-            s"${batch.schema.simpleString}); the evolved schema is " +
-            s"tracked at $loc — restarting the stream resumes at it " +
-            "from the checkpointed offset, no other step needed")
-      case _ =>
-        GraftStreamSource.requireStableSchema(table, schema, batch.schema)
-        batch
-    }
-    StreamingShim.asStreaming(sqlContext.sparkSession, out)
+    StreamingShim.asStreaming(sqlContext.sparkSession,
+      GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
+        schemaTrackingLocation, feedCols = 0))
   }
 
   override def stop(): Unit = {}
@@ -858,6 +843,61 @@ private[sources] object GraftStreamSource {
     graft.table.GraftClient.sameTypeIgnoringNullability(a, b)
 
   // ---- schema tracking (opt-in `schemaTrackingLocation`) --------------
+
+  /** The source's declared BASE schema: the tracked one when a location
+    * is set (initialized with the table's current schema on first use,
+    * so a restart after an evolution resumes at the evolved shape), the
+    * table's current schema otherwise. Shared by all three stream
+    * shapes — the change-feed sources decorate it with their feed
+    * columns after the fact.
+    */
+  private[sources] def resolveTrackedBase(sqlContext: SQLContext,
+      root: String, table: String, loc: Option[String]): StructType =
+    loc match {
+      case Some(l) =>
+        readTracked(sqlContext, l).getOrElse {
+          val s =
+            GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+          writeTracked(sqlContext, l, s)
+          s
+        }
+      case None =>
+        GraftRelation.withClient(sqlContext, root)(_.schemaOf(table))
+    }
+
+  /** One evolution policy for every stream shape's getBatch. Without a
+    * tracking location: a drifted batch fails loudly
+    * ([[requireStableSchema]] — never silently drops or nulls columns).
+    * With one: the evolved BASE (batch schema minus the trailing
+    * `feedCols` feed columns) is persisted FIRST — whether this run
+    * continues or stops, the next start resumes at the new schema from
+    * the checkpointed offset with no operator step. A purely-additive
+    * evolution (new nullable columns/leaves) then keeps the RUNNING
+    * plan alive by projecting the batch back to the declared shape —
+    * the new column becomes visible on the next restart, null-filled
+    * for pre-evolution objects; anything non-additive stops the stream
+    * with the restart-resumes-at-tracked message. The opt-in trades
+    * "new column visible immediately" for "the stream keeps running" —
+    * the tracked file guarantees the column is never silently lost.
+    */
+  private[sources] def adoptOrFail(sqlContext: SQLContext, table: String,
+      declared: StructType, batch: org.apache.spark.sql.DataFrame,
+      loc: Option[String], feedCols: Int): org.apache.spark.sql.DataFrame =
+    loc match {
+      case Some(l) if !sameShape(declared, batch.schema) =>
+        writeTracked(sqlContext, l,
+          StructType(batch.schema.fields.dropRight(feedCols)))
+        if (isAdditive(declared, batch.schema)) projectTo(batch, declared)
+        else throw new IllegalStateException(
+          s"graft stream on $table: table schema changed mid-stream in " +
+            s"a non-additive way (${declared.simpleString} -> " +
+            s"${batch.schema.simpleString}); the evolved schema is " +
+            s"tracked at $l — restarting the stream resumes at it " +
+            "from the checkpointed offset, no other step needed")
+      case _ =>
+        requireStableSchema(table, declared, batch.schema)
+        batch
+    }
 
   /** Is `got` the result of a purely-ADDITIVE evolution of `declared`:
     * every declared column/leaf still present at the same type, any

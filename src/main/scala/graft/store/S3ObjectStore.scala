@@ -34,11 +34,34 @@ import java.time.Duration
   * that case.
   */
 final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
-    pageSize: Int = 1000) extends ObjectStore {
+    pageSize: Int = 1000,
+    sign: HttpRequest.Builder => HttpRequest.Builder = identity)
+    extends ObjectStore {
   private val base = baseUrl.stripSuffix("/")
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
   private val MaxRetries = 3
+
+  /** Every request flows through `sign` just before send — the
+    * pluggable auth seam for REAL endpoints. Recipes:
+    *
+    *   - static bearer/API-key gateways (and minio behind an auth
+    *     proxy): `b => b.header("Authorization", s"Bearer $tok")` —
+    *     rotating tokens read a @volatile var inside the closure;
+    *   - AWS SigV4: compute the signature from the builder's method/
+    *     URI/payload-hash with any SigV4 signer and add the
+    *     `Authorization` + `x-amz-date` + `x-amz-content-sha256`
+    *     headers here. The hook runs INSIDE the retry loops, so each
+    *     attempt re-signs with a fresh date — expired-signature retries
+    *     behave correctly by construction;
+    *   - presigned-URL setups need no hook: bake the query into
+    *     `baseUrl`'s gateway.
+    *
+    * The sign hook must be idempotent per builder (it receives a fresh
+    * builder every attempt) and thread-safe (stores are shared across
+    * Spark driver threads).
+    */
+  private def build(b: HttpRequest.Builder): HttpRequest = sign(b).build()
 
   /** RFC 3986 percent-encoding (space → %20), NOT form encoding:
     * URLEncoder's '+' is a LITERAL plus to S3 in a path segment, so a
@@ -67,9 +90,9 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
   override def putIfAbsent(name: String, data: Array[Byte]): Boolean = {
     var attempt = 0
     while (true) {
-      val req = HttpRequest.newBuilder(objUri(name))
+      val req = build(HttpRequest.newBuilder(objUri(name))
         .header("If-None-Match", "*")
-        .PUT(BodyPublishers.ofByteArray(data)).build()
+        .PUT(BodyPublishers.ofByteArray(data)))
       http.send(req, BodyHandlers.ofByteArray()).statusCode() match {
         case 200 => return true // S3: 200 OK on conditional create
         case 412 => return false
@@ -91,8 +114,8 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
   }
 
   override def put(name: String, data: Array[Byte]): Unit = {
-    val req = HttpRequest.newBuilder(objUri(name))
-      .PUT(BodyPublishers.ofByteArray(data)).build()
+    val req = build(HttpRequest.newBuilder(objUri(name))
+      .PUT(BodyPublishers.ofByteArray(data)))
     val code = http.send(req, BodyHandlers.ofByteArray()).statusCode()
     if (code != 200)
       throw new java.io.IOException(s"PUT $name: status $code")
@@ -100,7 +123,7 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
 
   override def read(name: String): Array[Byte] = {
     val resp = retrying(s"GET $name") {
-      http.send(HttpRequest.newBuilder(objUri(name)).GET().build(),
+      http.send(build(HttpRequest.newBuilder(objUri(name)).GET()),
         BodyHandlers.ofByteArray())
     }
     resp.statusCode() match {
@@ -113,7 +136,7 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
 
   override def delete(name: String): Unit = {
     val code = http.send(
-      HttpRequest.newBuilder(objUri(name)).DELETE().build(),
+      build(HttpRequest.newBuilder(objUri(name)).DELETE()),
       BodyHandlers.ofByteArray()).statusCode()
     if (code != 204 && code != 200)
       throw new java.io.IOException(s"DELETE $name: status $code")
@@ -139,8 +162,8 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
           .getOrElse("") else "") +
         token.map(t => s"&continuation-token=${enc(t)}").getOrElse("")
       val resp = retrying(s"LIST $prefix") {
-        http.send(HttpRequest.newBuilder(
-          URI.create(s"$base/${enc(bucket)}?$q")).GET().build(),
+        http.send(build(HttpRequest.newBuilder(
+          URI.create(s"$base/${enc(bucket)}?$q")).GET()),
           BodyHandlers.ofString())
       }
       if (resp.statusCode() != 200)
@@ -229,7 +252,8 @@ private[store] object S3Xml {
   * the client's bounded retry must absorb).
   */
 final class S3DialectServer(backing: ObjectStore, port: Int = 0,
-    bucket: String = "graft", conflict409EveryNth: Int = 0) {
+    bucket: String = "graft", conflict409EveryNth: Int = 0,
+    requireAuth: Option[String] = None) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val server =
@@ -285,6 +309,16 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
 
   server.createContext("/", new HttpHandler {
     def handle(x: HttpExchange): Unit = try {
+      // auth enforcement (the real-endpoint shape the client's `sign`
+      // hook exists for): EVERY request must carry the expected
+      // Authorization header or gets S3's 403 — list, read, write,
+      // conditional create and delete alike
+      requireAuth.foreach { expect =>
+        if (!Option(x.getRequestHeaders.getFirst("Authorization"))
+            .contains(expect)) {
+          respond(x, 403, Array.empty); return
+        }
+      }
       // raw path (no double-decode — see ObjectStoreHttpServer)
       val segs = x.getRequestURI.getRawPath.stripPrefix("/")
         .split("/", 2).toSeq.map(dec)

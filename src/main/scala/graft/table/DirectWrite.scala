@@ -187,4 +187,22 @@ private[graft] object DirectWrite {
 
   /** A fresh UUID string — executors mint object names with this. */
   def freshUuid(): String = UUID.randomUUID().toString
+
+  /** Namer minting regular data-object names for `table` (captures only
+    * the table-name string — executor-safe).
+    */
+  def tableNamer(table: String): Option[String] => String =
+    _ => graft.tx.TxLog.dataObjectName(table, freshUuid())
+
+  /** [[tableNamer]] with a uuid prefix tag (`"dv_"`, `"cdc_"` — the
+    * object-kind convention of the non-data-object actions).
+    */
+  def taggedNamer(table: String, tag: String): Option[String] => String =
+    _ => graft.tx.TxLog.dataObjectName(table, tag + freshUuid())
+
+  /** Namer minting names under a fixed rootDir-relative directory —
+    * ephemeral non-table objects (CDF spill pages).
+    */
+  def prefixNamer(relDir: String): Option[String] => String =
+    _ => s"$relDir/obj_${freshUuid()}"
 }

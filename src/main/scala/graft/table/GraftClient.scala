@@ -59,10 +59,13 @@ final class GraftClient(
     * — go through the Hadoop FileSystem resolved from `rootDir`'s
     * scheme, the same split Delta runs on (LogStore vs Hadoop FS): point
     * `rootDir` at s3a/abfs/any registered scheme and the WHOLE
-    * lifecycle works, not just reads (RemoteFsSpec pins it). The only
-    * caveat: staging moves use `FileSystem.rename`, which is a copy on
-    * stores without native rename — a direct-to-final committer would
-    * be the next step there.
+    * lifecycle works, not just reads (RemoteFsSpec pins it). Every
+    * object write — inserts AND maintenance rewrites — goes through the
+    * rename-free [[DirectCommitProtocol]], so no data-plane path ever
+    * calls `FileSystem.rename`: on stores without native rename (S3A et
+    * al., where rename = copy + delete) graft pays exactly 1× write I/O
+    * for every byte it lays out (RemoteFsSpec pins rename-freedom on a
+    * rename-refusing scheme).
     */
   val store: ObjectStore = logStore.getOrElse(new LocalObjectStore(rootDir))
   private val txLog = new TxLog(store)
@@ -79,15 +82,57 @@ final class GraftClient(
       : Seq[org.apache.hadoop.fs.FileStatus] =
     try dataFs.listStatus(p).toSeq
     catch { case _: java.io.FileNotFoundException => Nil }
-  /** Atomic-on-POSIX directory move (registration of a staged object);
-    * a failed rename fails the tx loudly, never half-registers.
-    */
-  private def movePath(src: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Unit =
-    require(dataFs.rename(src, dst), s"filesystem rename failed: $src -> $dst")
   private def deletePath(p: org.apache.hadoop.fs.Path): Unit = {
     dataFs.delete(p, true); ()
   }
+  /** One distributed parquet write whose objects land DIRECTLY at their
+    * final `_table_<t>_<uuid>` names — the rename-free committer
+    * ([[DirectCommitProtocol]]): no `_staging_` hop, no
+    * `FileSystem.rename`, 1× write I/O on object stores. Returns one
+    * row per committed object: (escaped partition dir — None when
+    * `partCols` is empty —, object name, footer row count, footer
+    * stats). `partCols` are consumed by the layout and dropped from the
+    * file schema, exactly like `DataFrameWriter.partitionBy`; callers
+    * therefore footer-scan with the FILE schema (`fileSchema`). Objects
+    * a failed/aborted job already wrote are unreferenced debris under
+    * regular names: never visible to a reader, reclaimed by vacuum.
+    */
+  private def writeObjectsDirect(table: String, df: DataFrame,
+      partCols: Seq[String], fileSchema: StructType)
+      : Seq[(Option[String], String, Long, Map[String, ColStats])] = {
+    val committed =
+      DirectWrite.write(df, rootDir, partCols, DirectWrite.tableNamer(table))
+    val scans = ParquetFooters.scanMany(spark,
+      committed.map { case (_, name) => s"$rootDir/$name" }, fileSchema)
+    committed.zip(scans).map { case ((dir, name), (rows, stats)) =>
+      (dir, name, rows, stats)
+    }
+  }
+  /** [[writeObjectsDirect]] for the unpartitioned object writers (data,
+    * DV-key, CDC objects): one object per task, names carrying `tag`.
+    * Returns (name, footer row count) per committed object — callers
+    * register the non-empty ones and [[dropEmptyObjects]] the rest
+    * (an empty task's writer still opens a file eagerly).
+    */
+  private def writeDirectTagged(table: String, df: DataFrame,
+      tag: String = "", countSchema: StructType = new StructType())
+      : Seq[(String, Long, Map[String, ColStats])] = {
+    val committed =
+      DirectWrite.write(df, rootDir, Nil, DirectWrite.taggedNamer(table, tag))
+    val scans = ParquetFooters.scanMany(spark,
+      committed.map { case (_, name) => s"$rootDir/$name" }, countSchema)
+    committed.zip(scans).map { case ((_, name), (rows, stats)) =>
+      (name, rows, stats)
+    }
+  }
+  /** Delete the 0-row objects of a direct write — never registered, so
+    * deleting them now just saves vacuum the work.
+    */
+  private def dropEmptyObjects(
+      objs: Seq[(String, Long, Map[String, ColStats])]): Unit =
+    objs.foreach { case (name, rows, _) =>
+      if (rows == 0L) deletePath(dataPath(name))
+    }
   /** Does an Add-action path still exist physically? Managed names are
     * rootDir-relative (the data FS); external converted objects carry a
     * scheme-free absolute path that resolves on the DEFAULT filesystem
@@ -893,21 +938,17 @@ final class GraftClient(
     val projected = routed.select(
       newSchema.fieldNames.toIndexedSeq.map(n => col(colSource(n)).as(n)) ++
         Seq(col(TxIdCol), col(RowIdxCol), col("_ord").as(PartCol)): _*)
-    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    projected.write.partitionBy(PartCol).parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val staged = listPath(stagingPath)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartCol="))
-      .map { st =>
-        val ord = st.getPath.getName.stripPrefix(s"$PartCol=").toInt
-        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        movePath(st.getPath, dataPath(name))
-        val (rows, stats) =
-          ParquetFooters.scan(spark, s"$rootDir/$name", newSchema)
+    // hash-exchange on the routing value: each original object's rows
+    // land in ONE task, so the direct committer (one object per
+    // task × value) re-materializes exactly one object per input — the
+    // old partitionBy staging merged multi-task output per value; the
+    // rename-free committer must co-locate instead
+    val staged = writeObjectsDirect(table,
+      projected.repartition(col(PartCol)), Seq(PartCol), newSchema)
+      .map { case (dir, name, rows, stats) =>
+        val ord = dir.get.stripPrefix(s"$PartCol=").toInt
         (name, ord, rows, stats)
       }
-    deletePath(stagingPath)
     val written = staged.map(_._3).sum
     if (written != expected) {
       // validate BEFORE registering any action, so a caller that catches
@@ -1421,8 +1462,17 @@ final class GraftClient(
     if (buf.length >= dataObjectSize) flush(table)
   }
 
-  /** Bulk distributed insert (the reference's TODO-scale path): stages the
-    * whole DataFrame as one data object without driver materialization.
+  /** Bulk distributed insert (the reference's TODO-scale path): writes
+    * the DataFrame as data objects without driver materialization —
+    * ONE OBJECT PER WRITE TASK (the Delta AddFile granularity), landed
+    * rename-free at final names by [[DirectCommitProtocol]]. Per-task
+    * objects are what make direct writes attempt-safe (a zombie
+    * speculative attempt's files sit in their own unregistered dirs,
+    * never inside a registered one) and give per-task min/max stats —
+    * finer pruning than one whole-insert bound. A caller that wants
+    * fewer, larger objects controls it the Spark way (repartition
+    * before insert); steady-state small-object buildup is compact's
+    * job, as in every lakehouse.
     *
     * Row indexes are CONTIGUOUS (base..base+n-1): a cheap counting pass
     * computes per-partition offsets, then the write pass stamps
@@ -1433,19 +1483,21 @@ final class GraftClient(
     */
   def insert(table: String, df: DataFrame): Unit =
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      toPhysical(stamped, schema).write.parquet(s"$rootDir/$name")
+      val objs = writeDirectTagged(table, toPhysical(stamped, schema),
+        countSchema = physSchema(schema))
       // footer-metadata read (no Spark job): exact written count + column
       // min/max stats for file skipping. A count mismatch means the pinned
       // lineage still diverged between the two passes — fail the tx rather
       // than corrupt MVCC ordering.
-      val (written, stats) =
-        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
+      val written = objs.map(_._2).sum
       require(written == n,
         s"insert wrote $written rows but counted $n: non-deterministic input")
-      val add = AddDataObject(table, name, txId, n, stats)
-      t.actions += add
-      afterInsertObject(table, add)
+      dropEmptyObjects(objs)
+      val adds = objs.collect { case (name, rows, stats) if rows > 0 =>
+        AddDataObject(table, name, txId, rows, stats)
+      }
+      adds.foreach(t.actions += _)
+      afterInsertObjects(table, adds)
     }
 
   /** Schema-evolving insert (Delta's `mergeSchema`): columns in `df`
@@ -1708,17 +1760,34 @@ final class GraftClient(
     val txId = t.id
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val partCounts = pinned
+      val partCounts0 = pinned
         .groupBy(spark_partition_id().as("_pid")).count()
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val n = partCounts.map(_._2).sum
+      val n = partCounts0.map(_._2).sum
       if (n == 0) return
+      // OPTIMIZED WRITE (Delta's optimizeWrite shape, row-count based):
+      // the direct committer registers one object per task, so an
+      // over-parallel upstream (32 slices of a 25-row frame) would
+      // otherwise land 25 one-row objects. Right-size the write to
+      // ~dataObjectSize rows per object, engaging only when it at
+      // least halves the object count — the exchange is deterministic
+      // (round-robin sorts locally first) and its shuffle files are
+      // computed once and REUSED by both the recount and the write
+      // job, so partition identity stays pinned for the stamp.
+      val k = math.max(1L, math.min(partCounts0.length.toLong,
+        (n + dataObjectSize - 1) / dataObjectSize)).toInt
+      val (src, partCounts) =
+        if (partCounts0.length >= k * 2) {
+          val r = pinned.repartition(k)
+          (r, r.groupBy(spark_partition_id().as("_pid")).count()
+            .collect().map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1))
+        } else (pinned, partCounts0)
       // per-partition global offsets as a BROADCAST lookup (the
       // rewriteObjects routing shape), not an N-element array literal —
       // a 100k-partition cluster insert must not codegen a 100k-child
       // CreateArray. Both nondeterministic inputs (_pid, _mid) are
       // projected BEFORE the join; Catalyst never moves them across it.
-      val stamped = stampOffsets(pinned, partCounts)
+      val stamped = stampOffsets(src, partCounts)
         .withColumn(TxIdCol, lit(txId))
         .withColumn(RowIdxCol, lit(base) + col("_goff") + col("_mid"))
         .select(schema.fieldNames.toIndexedSeq.map(col) ++
@@ -1793,7 +1862,6 @@ final class GraftClient(
     stageCols.foreach(sc => require(!df.schema.fieldNames.contains(sc),
       s"column name collides with the staging layout: $sc"))
     withStamped(table, df) { (t, schema, stamped, n, txId) =>
-      val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
       val withParts = partCols.zip(stageCols).foldLeft(
         toPhysical(stamped, schema)) { case (d, (c, sc)) =>
         d.withColumn(sc, col(physOf(schema, c)))
@@ -1808,29 +1876,14 @@ final class GraftClient(
       // re-plans the pre-optimization query and drops the prepared
       // distribution, so the authoritative exchange lives here, where
       // every insert path (SQL, client API, connector save) funnels.
-      withParts.repartition(stageCols.map(col): _*)
-        .write.partitionBy(stageCols: _*).parquet(staging)
-      // walk to the LEAF dirs (depth = #partCols): one per combination
-      def leaves(dir: org.apache.hadoop.fs.Path,
-          depth: Int): Seq[org.apache.hadoop.fs.Path] =
-        if (depth == 0) Seq(dir)
-        else listPath(dir)
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .flatMap(st => leaves(st.getPath, depth - 1))
-      val stagingPath = new org.apache.hadoop.fs.Path(staging)
-      val partDirs = leaves(stagingPath, partCols.length)
       // validate the write BEFORE registering any action: a count
       // mismatch (non-deterministic input) must leave the tx's action
       // buffer clean so a caller that catches and commits anyway can't
       // commit corrupt MVCC ordering (same order as insert's check)
-      val staged = partDirs.map { d =>
-        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        movePath(d, dataPath(name))
-        val (rows, stats) =
-          ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-        (name, rows, stats)
-      }
-      deletePath(stagingPath)
+      val staged = writeObjectsDirect(table,
+        withParts.repartition(stageCols.map(col): _*),
+        stageCols, physSchema(schema))
+        .map { case (_, name, rows, stats) => (name, rows, stats) }
       val written = staged.map(_._2).sum
       require(written == n,
         s"insertPartitioned wrote $written rows but counted $n")
@@ -1852,17 +1905,20 @@ final class GraftClient(
     val rows = buf.map { case (idx, r) =>
       Row.fromSeq(r.toSeq :+ t.id :+ idx)
     }.toList.asJava
-    val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-    toPhysical(
-      constraintGuard(table, spark.createDataFrame(rows, provSchema(schema))),
-      schema)
-      .coalesce(1)
-      .write.parquet(s"$rootDir/$name")
-    val (_, stats) =
-      ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-    val add = AddDataObject(table, name, t.id, buf.length.toLong, stats)
-    t.actions += add
-    afterInsertObject(table, add)
+    val objs = writeDirectTagged(table,
+      toPhysical(
+        constraintGuard(table,
+          spark.createDataFrame(rows, provSchema(schema))), schema)
+        .coalesce(1),
+      countSchema = physSchema(schema))
+    require(objs.map(_._2).sum == buf.length.toLong,
+      s"flush wrote ${objs.map(_._2).sum} rows of ${buf.length} buffered")
+    dropEmptyObjects(objs)
+    val adds = objs.collect { case (name, rowsN, stats) if rowsN > 0 =>
+      AddDataObject(table, name, t.id, rowsN, stats)
+    }
+    adds.foreach(t.actions += _)
+    afterInsertObjects(table, adds)
     buf.clear()
   }
 
@@ -2027,8 +2083,8 @@ final class GraftClient(
     * per-object SIDECAR store objects; only a fixed-size [[BloomRef]]
     * rides the log (driver snapshot and checkpoints stay O(objects)).
     */
-  def buildBloom(table: String, column: String, numBits: Int = 1024,
-      k: Int = 4): Unit = {
+  def buildBloom(table: String, column: String,
+      numBits: Int = GraftClient.DefaultBloomCapBits, k: Int = 4): Unit = {
     tagOp("BLOOM")
     val t = currentTx
     require(numBits % 64 == 0 && numBits > 0, s"numBits must be a multiple of 64")
@@ -2068,7 +2124,7 @@ final class GraftClient(
     * one-shot [[buildBloom]] becomes unnecessary on registered tables.
     */
   def registerBlooms(table: String, columns: Seq[String],
-      numBits: Int = 1024, k: Int = 4): Unit = {
+      numBits: Int = GraftClient.DefaultBloomCapBits, k: Int = 4): Unit = {
     require(columns.nonEmpty && columns.distinct == columns,
       s"bloom columns must be non-empty and distinct: $columns")
     val schema = schemaOf(table)
@@ -2278,7 +2334,8 @@ final class GraftClient(
   }
 
   /** (numBits, k) for write-time bloom stamping, from the table's
-    * geometry properties (defaults 1024/4, matching [[buildBloom]]).
+    * geometry properties (defaults
+    * [[GraftClient.DefaultBloomCapBits]]/4, matching [[buildBloom]]).
     * Same defensive contract as [[bloomColumns]]: this engine's
     * setTableProperties validates at SET time, but a foreign-written or
     * hand-edited geometry must degrade to the defaults, never make
@@ -2287,7 +2344,8 @@ final class GraftClient(
   private def bloomConfig(table: String): (Int, Int) = {
     val props = currentTx.snapshot.properties(table, currentTx.actions.toSeq)
     (props.get(GraftClient.BloomBitsProperty).flatMap(_.toIntOption)
-      .filter(b => b > 0 && b % 64 == 0).getOrElse(1024),
+      .filter(b => b > 0 && b % 64 == 0)
+      .getOrElse(GraftClient.DefaultBloomCapBits),
       props.get(GraftClient.BloomKProperty).flatMap(_.toIntOption)
         .filter(k => k >= 1 && k <= 16).getOrElse(4))
   }
@@ -2475,19 +2533,22 @@ final class GraftClient(
     val colType = typeAtPath(schema, column)
     val maxK = live.iterator.flatMap(a => a.bloomRefs.get(phys).map(_.k))
       .maxOption.getOrElse(0)
-    // fixed-size per object: path, stats map, (ref, absolute sidecar
-    // path) — NEVER bitsets. Legacy INLINE blooms are deliberately
-    // excluded: shipping them would make the broadcast
-    // O(objects × geometry), the exact shape the sidecar redesign
-    // removed — a legacy object probes stats-only on this path
-    // (conservative no-prune; the narrow driver path still uses its
-    // inline bloom).
-    val meta: Array[(String, Map[String, ColStats],
-        Option[(BloomRef, String)])] =
-      live.map(a => (a.path, a.stats,
+    // fixed-size per object: path, (ref, absolute sidecar path) — NEVER
+    // bitsets. Legacy INLINE blooms are deliberately excluded: shipping
+    // them would make the broadcast O(objects × geometry), the exact
+    // shape the sidecar redesign removed — a legacy object probes
+    // stats-only on this path (conservative no-prune; the narrow driver
+    // path still uses its inline bloom). The stats tier ships as a
+    // PRE-SORTED interval index ([[WideProbeIndex]]): each key finds
+    // its stats-overlapping objects in O(log objects + hits), not by
+    // testing every object — the difference between ~2×10⁶ and ~10¹¹
+    // comparisons per partition at 10⁶ objects × 10⁵ keys.
+    val meta: Array[(String, Option[(BloomRef, String)])] =
+      live.map(a => (a.path,
         a.bloomRefs.get(phys).map(r => (r, s"$rootPath/${r.path}"))))
         .toArray
-    val metaB = spark.sparkContext.broadcast(meta)
+    val index = WideProbeIndex.build(live.map(_.stats.get(phys)))
+    val metaB = spark.sparkContext.broadcast((meta, index))
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(
         spark.sessionState.newHadoopConf()))
@@ -2504,35 +2565,43 @@ final class GraftClient(
     val physCol = phys // avoid capturing `this` in the task closure
     val kMax = maxK
     import spark.implicits._
-    probe.mapPartitions { it =>
-      val objs = metaB.value
-      val conf = confB.value.value
-      var fsCache: org.apache.hadoop.fs.FileSystem = null
-      def fsFor(p: String): org.apache.hadoop.fs.FileSystem = {
-        if (fsCache == null)
-          fsCache = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
-        fsCache
-      }
-      val surviving = new scala.collection.mutable.HashSet[String]
-      it.foreach { row =>
-        if (surviving.size < objs.length) {
-          val v = row.get(0)
-          val hs = (0 until kMax).map(i => row.getLong(1 + i))
-          objs.foreach { case (path, stats, ref) =>
-            if (!surviving.contains(path) &&
-                ColStats.mayOverlap(stats, physCol, v, v)) {
-              val bloom = ref.flatMap { case (r, abs) =>
-                GraftClient.loadBloomSidecarAt(abs, fsFor(abs))
-                  .flatMap(_.get(physCol))
-                  .filter(b => b.k == r.k && b.numBits == r.numBits)
+    try {
+      probe.mapPartitions { it =>
+        val (objs, idx) = metaB.value
+        val conf = confB.value.value
+        var fsCache: org.apache.hadoop.fs.FileSystem = null
+        def fsFor(p: String): org.apache.hadoop.fs.FileSystem = {
+          if (fsCache == null)
+            fsCache = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+          fsCache
+        }
+        val surviving = new scala.collection.mutable.HashSet[String]
+        it.foreach { row =>
+          if (surviving.size < objs.length) {
+            val v = ColStats.normalize(row.get(0))
+            val hs = (0 until kMax).map(i => row.getLong(1 + i))
+            idx.candidates(v).foreach { i =>
+              val (path, ref) = objs(i)
+              if (!surviving.contains(path)) {
+                val bloom = ref.flatMap { case (r, abs) =>
+                  GraftClient.loadBloomSidecarAt(abs, fsFor(abs))
+                    .flatMap(_.get(physCol))
+                    .filter(b => b.k == r.k && b.numBits == r.numBits)
+                }
+                if (bloom.forall(_.mightContain(hs))) surviving += path
               }
-              if (bloom.forall(_.mightContain(hs))) surviving += path
             }
           }
         }
-      }
-      surviving.iterator
-    }.distinct().collect().toSet
+        surviving.iterator
+      }.distinct().collect().toSet
+    } finally {
+      // one-shot broadcasts: release executor + driver copies NOW
+      // rather than waiting on GC/ContextCleaner (a long-lived service
+      // issuing many wide probes would otherwise accumulate them)
+      metaB.destroy()
+      confB.destroy()
+    }
   }
 
   /** The full file-skipping stack in one call: range `bounds` prune by
@@ -2651,7 +2720,7 @@ final class GraftClient(
     */
   def merge(table: String, source: DataFrame, keyCols: Seq[String],
       deleteCond: org.apache.spark.sql.Column = lit(false),
-      dropCols: Seq[String] = Nil): Unit = {
+      dropCols: Seq[String] = Nil, evolveSchema: Boolean = false): Unit = {
     tagOp("MERGE")
     val t = currentTx
     requireMutable(table, "MERGE")
@@ -2688,8 +2757,19 @@ final class GraftClient(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       mergeDeletes(table, schema, delKeys, keyCols)
-      insert(table,
-        classified.filter(!col(delFlag)).drop(delFlag).drop(dropCols: _*))
+      val upserts =
+        classified.filter(!col(delFlag)).drop(delFlag).drop(dropCols: _*)
+      // MERGE … WITH SCHEMA EVOLUTION (the Delta shape): source-only
+      // columns route through the insertEvolving widening path — new
+      // nullable columns/leaves are ADDED metadata-only, pre-evolution
+      // rows (matched-row old versions included) read them as null.
+      // Type conflicts still refuse loudly inside insertEvolving, and
+      // the flagless form keeps refusing ANY unknown column: a CDC
+      // pipeline must opt in to upstream drift, never absorb it
+      // silently. (The delete leg runs on the PRE-evolution schema by
+      // construction: merge keys must already be table columns.)
+      if (evolveSchema) insertEvolving(table, upserts)
+      else insert(table, upserts)
     } finally { delKeys.unpersist(false); classified.unpersist(false) }
   }
 
@@ -2731,11 +2811,13 @@ final class GraftClient(
           t.snapshot.liveDvs(table, t.actions.toSeq)))
         val matched = live.join(broadcast(delKeys), keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
-        val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
-        matched.write.parquet(s"$rootDir/$name")
-        val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name", new StructType())
-        if (n > 0) {
+        val objs = writeDirectTagged(table, matched, "dv_")
+        dropEmptyObjects(objs)
+        val dvObjs = objs.filter(_._2 > 0)
+        dvObjs.foreach { case (name, n, _) =>
           t.actions += AddDeleteVector(table, name, t.id, n)
+        }
+        if (dvObjs.nonEmpty) {
           // merge's change record, from READ-BACK of the persisted DV
           // keys (a non-deterministic source cannot diverge the feed);
           // the upserted/inserted new images mirror via the insert
@@ -2745,9 +2827,9 @@ final class GraftClient(
               strictRead.schema(StructType(Seq(
                 StructField(TxIdCol, LongType, nullable = false),
                 StructField(RowIdxCol, LongType, nullable = false))))
-                .parquet(s"$rootDir/$name"),
+                .parquet(dvObjs.map(o => s"$rootDir/${o._1}"): _*),
               Seq(TxIdCol, RowIdxCol), "left_semi"), "delete")
-        } else t.actions += RemoveDataObject(table, name)
+        }
       }
     }
   }
@@ -2874,16 +2956,16 @@ final class GraftClient(
       net.values.foreach(a => mirrorInsertCdc(table, a))
     }
     val schema = schemaOf(table)
-    val name = TxLog.dataObjectName(table, s"cdc_${UUID.randomUUID()}")
-    rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-      .withColumn(GraftClient.ChangeTypeCol, lit(changeType))
-      .write.parquet(s"$rootDir/$name")
-    val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
-      new StructType())
-    if (n > 0) {
-      t.actions += AddCdcObject(table, name, t.id, n)
-      t.cdcTables += table
-    } else t.actions += RemoveDataObject(table, name)
+    val objs = writeDirectTagged(table,
+      rows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn(GraftClient.ChangeTypeCol, lit(changeType)), "cdc_")
+    dropEmptyObjects(objs)
+    objs.foreach { case (name, n, _) =>
+      if (n > 0) {
+        t.actions += AddCdcObject(table, name, t.id, n)
+        t.cdcTables += table
+      }
+    }
   }
 
   /** Insert-path mirror: once a tx has staged CDC for a table, every
@@ -3089,11 +3171,18 @@ final class GraftClient(
       // until JVM exit. (Vacuum's single-maintainer contract covers the
       // unconsumed-DataFrame race, as it does for every reclaim.)
       val dir = s"$cdfSpillRoot/${UUID.randomUUID()}"
-      pieces.grouped(pageSize).foreach { page =>
-        page.reduce(_ unionByName _).write.mode("append")
-          .parquet(dir)
-      }
-      strictRead.schema(empty).parquet(dir)
+      val rel = dir.stripPrefix(s"$rootDir/")
+      // rename-free spill: pages land DIRECTLY under the page dir via
+      // the direct committer, and the read names the EXACT committed
+      // objects (never the dir), so debris a crashed attempt left in
+      // the page dir can't duplicate feed rows — same
+      // uniqueness/visibility/reclamation contract as data objects
+      val written = pieces.grouped(pageSize).flatMap { page =>
+        DirectWrite.write(page.reduce(_ unionByName _), rootDir, Nil,
+          DirectWrite.prefixNamer(rel))
+      }.map { case (_, name) => s"$rootDir/$name" }.toVector
+      if (written.isEmpty) spark.createDataFrame(List.empty[Row].asJava, empty)
+      else strictRead.schema(empty).parquet(written: _*)
     }
   }
 
@@ -3204,20 +3293,19 @@ final class GraftClient(
     // Runs after the rewrite parquet exists but BEFORE its add action
     // is staged (writeCdc's backfill would misread the rewrite as an
     // insert of this tx).
-    def recordDeleteCdc(survivorsPath: Option[String]): Unit =
+    def recordDeleteCdc(survivorPaths: Seq[String]): Unit =
       if (cdfEnabled(t, table)) {
         val live = applyDefaults(schema, applyDvs(
           readObjects(schema, touched.map(byName)),
           t.snapshot.liveDvs(table, t.actions.toSeq)))
-        val deleted = survivorsPath match {
-          case Some(p) =>
+        val deleted =
+          if (survivorPaths.nonEmpty) {
             val survProv = strictRead.schema(StructType(Seq(
                 StructField(TxIdCol, LongType, nullable = false),
                 StructField(RowIdxCol, LongType, nullable = false))))
-              .parquet(s"$rootDir/$p")
+              .parquet(survivorPaths.map(p => s"$rootDir/$p"): _*)
             live.join(survProv, Seq(TxIdCol, RowIdxCol), "left_anti")
-          case None => live // every touched object fully matched
-        }
+          } else live // every touched object fully matched
         writeCdc(table, deleted, "delete")
       }
 
@@ -3236,20 +3324,20 @@ final class GraftClient(
     // silently drops live rows (found by the 500-op model test; pinned in
     // DvCompactReproSpec).
     if (partial.nonEmpty) {
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
       // defaults are filled for the predicate AND therefore baked into
       // the rewritten survivors (rows keep their original _tx_id, so a
       // filled value reads identically either way; explicit post-alter
       // nulls are untouched by the txId-gated fill)
-      toPhysical(applyDefaults(schema, readObjects(schema,
-          partial.map(byName))).filter(keepPred), schema)
-        .write.parquet(s"$rootDir/$name")
-      val (survivors, stats) =
-        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-      recordDeleteCdc(if (survivors > 0) Some(name) else None)
-      if (survivors > 0) {
-        val add = AddDataObject(table, name,
-          partial.map(n => byName(n).txId).min, survivors, stats)
+      val objs = writeDirectTagged(table,
+        toPhysical(applyDefaults(schema, readObjects(schema,
+          partial.map(byName))).filter(keepPred), schema),
+        countSchema = physSchema(schema))
+      dropEmptyObjects(objs)
+      val survObjs = objs.filter(_._2 > 0)
+      recordDeleteCdc(survObjs.map(_._1))
+      val minTx = partial.map(n => byName(n).txId).min
+      survObjs.foreach { case (name, survivors, stats) =>
+        val add = AddDataObject(table, name, minTx, survivors, stats)
         // if the table is ANALYZEd, sketch the rewrite output now (one
         // small aggregation over rows this job just wrote) so the
         // post-delete NDV refresh below stays metadata-exact
@@ -3272,8 +3360,7 @@ final class GraftClient(
             }
           })
       }
-      // (an all-matched rewrite leaves an empty orphan dir; vacuum reclaims)
-    } else recordDeleteCdc(None)
+    } else recordDeleteCdc(Nil)
     touched.foreach(n => t.actions += RemoveDataObject(table, n))
     // delete-aware stats: the live set just changed — refold the stored
     // NDV blobs from the surviving objects' per-object sketches
@@ -3302,16 +3389,14 @@ final class GraftClient(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!removedMasked.isEmpty) {
-          val dvName = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
-          dvKeys
-            .join(broadcast(removedMasked), Seq(TxIdCol, RowIdxCol),
-              "left_anti")
-            .write.parquet(s"$rootDir/$dvName")
-          val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$dvName",
-            new StructType())
+          val objs = writeDirectTagged(table,
+            dvKeys.join(broadcast(removedMasked), Seq(TxIdCol, RowIdxCol),
+              "left_anti"), "dv_")
+          dropEmptyObjects(objs)
           dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
-          if (n > 0) t.actions += AddDeleteVector(table, dvName, t.id, n)
-          else t.actions += RemoveDataObject(table, dvName)
+          objs.foreach { case (dvName, n, _) =>
+            if (n > 0) t.actions += AddDeleteVector(table, dvName, t.id, n)
+          }
         }
       } finally removedMasked.unpersist(false)
     }
@@ -3545,12 +3630,14 @@ final class GraftClient(
       readObjects(schema, candidates),
       t.snapshot.liveDvs(table, t.actions.toSeq)))
     val matched = live.filter(pred).select(col(TxIdCol), col(RowIdxCol))
-    val name = TxLog.dataObjectName(table, s"dv_${UUID.randomUUID()}")
-    matched.write.parquet(s"$rootDir/$name")
-    val (n, _) = ParquetFooters.scan(spark, s"$rootDir/$name",
-      new StructType()) // count only; DV keys carry no prunable columns
-    if (n > 0) {
+    // count only; DV keys carry no prunable columns
+    val objs = writeDirectTagged(table, matched, "dv_")
+    dropEmptyObjects(objs)
+    val dvObjs = objs.filter(_._2 > 0)
+    dvObjs.foreach { case (name, n, _) =>
       t.actions += AddDeleteVector(table, name, t.id, n)
+    }
+    if (dvObjs.nonEmpty) {
       // change record from READ-BACK of the persisted DV keys, never a
       // predicate re-evaluation: the feed names exactly the rows the DV
       // masks, even under a non-deterministic predicate
@@ -3559,9 +3646,9 @@ final class GraftClient(
           strictRead.schema(StructType(Seq(
             StructField(TxIdCol, LongType, nullable = false),
             StructField(RowIdxCol, LongType, nullable = false))))
-            .parquet(s"$rootDir/$name"),
+            .parquet(dvObjs.map(o => s"$rootDir/${o._1}"): _*),
           Seq(TxIdCol, RowIdxCol), "left_semi"), "delete")
-    } else t.actions += RemoveDataObject(table, name) // empty DV: retire now
+    }
   }
 
   private def tombstoneBuffer(table: String,
@@ -3959,21 +4046,18 @@ final class GraftClient(
     // row conservation, from DATA not metadata: the expected count is one
     // provenance-column-pruned pass over the same immutable inputs
     val expected = masked.count()
-    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    toPhysical(routed, schema).write.partitionBy(PartCol).parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val staged = listPath(stagingPath)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartCol="))
-      .map { st =>
-        val binId = st.getPath.getName.stripPrefix(s"$PartCol=").toInt
-        val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-        movePath(st.getPath, dataPath(name))
-        val (rows, stats) =
-          ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-        (name, binId, rows, stats)
+    // hash-exchange on the bin id: a bin's rows (bounded by targetRows)
+    // land in ONE task, so each bin re-materializes as exactly one
+    // object with one part file — the point of bin-packing (without
+    // this, rows of one bin scattered across read tasks would come out
+    // as one object PER TASK and the small-file problem would survive
+    // its own compaction)
+    val staged = writeObjectsDirect(table,
+      toPhysical(routed, schema).repartition(col(PartCol)),
+      Seq(PartCol), physSchema(schema))
+      .map { case (dir, name, rows, stats) =>
+        (name, dir.get.stripPrefix(s"$PartCol=").toInt, rows, stats)
       }
-    deletePath(stagingPath)
     if (staged.map(_._3).sum != expected) {
       // validate BEFORE registering any action (rewriteObjects pattern):
       // a caller that catches and commits anyway must not commit loss
@@ -4116,23 +4200,15 @@ final class GraftClient(
       case Some(df) => df
       case None => return
     }
-    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    toPhysical(exchanged.withColumn(PartCol, spark_partition_id()), schema)
-      .write.partitionBy(PartCol).parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val partDirs = listPath(stagingPath)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartCol="))
     val minTx = files.map(_.txId).min
-    partDirs.foreach { st =>
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      movePath(st.getPath, dataPath(name))
-      val (rows, stats) =
-        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-      if (rows > 0) t.actions += AddDataObject(table, name, minTx, rows, stats)
-      else deletePath(dataPath(name))
-    }
-    deletePath(stagingPath)
+    writeObjectsDirect(table,
+      toPhysical(exchanged.withColumn(PartCol, spark_partition_id()), schema),
+      Seq(PartCol), physSchema(schema))
+      .foreach { case (_, name, rows, stats) =>
+        if (rows > 0)
+          t.actions += AddDataObject(table, name, minTx, rows, stats)
+        else deletePath(dataPath(name))
+      }
     files.foreach(a => t.actions += RemoveDataObject(table, a.path))
     dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
     // value-routed rewrites mix rows across inputs, so input blooms
@@ -4557,22 +4633,14 @@ final class GraftClient(
     val schema = schemaOf(table)
     if (files.isEmpty) return
     val live = readObjects(schema, files)
-    val staging = s"$rootDir/_staging_${UUID.randomUUID()}"
-    toPhysical(live.withColumn(PartCol, bucket), schema)
-      .write.partitionBy(PartCol).parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val partDirs = listPath(stagingPath)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartCol="))
     val minTx = files.map(_.txId).min
-    val staged = partDirs.map { st =>
-      val name = TxLog.dataObjectName(table, UUID.randomUUID().toString)
-      movePath(st.getPath, dataPath(name))
-      val (rows, stats) =
-        ParquetFooters.scan(spark, s"$rootDir/$name", physSchema(schema))
-      (name, rows, stats)
-    }
-    deletePath(stagingPath)
+    // hash-exchange on the bucket id: one task per bucket, so the
+    // direct committer materializes exactly one object per bucket
+    val staged = writeObjectsDirect(table,
+      toPhysical(live.withColumn(PartCol, bucket), schema)
+        .repartition(col(PartCol)),
+      Seq(PartCol), physSchema(schema))
+      .map { case (_, name, rows, stats) => (name, rows, stats) }
     // row conservation BEFORE any action lands: a lost or duplicated row
     // must fail the tx, not commit a corrupt layout
     val written = staged.map(_._2).sum
@@ -5051,17 +5119,61 @@ final class GraftClient(
     // window; replayable snapshots start at the retention horizon
     val from = math.max(txLog.oldestAvailableVersion,
       math.max(0L, cur.version - retainVersions))
-    (from to cur.version).foreach { v =>
-      val snap = txLog.beginAt(v)
-      snap.tables.keys.foreach { tbl =>
-        val files = snap.liveFiles(tbl)
-        keep ++= files.map(_.path)
-        // bloom sidecars live exactly as long as SOME retained
-        // snapshot's object references them (clones sharing a sidecar
-        // keep it alive from either side, like shared data objects)
-        keep ++= files.iterator.flatMap(_.bloomRefs.valuesIterator
-          .map(_.path))
-        keep ++= snap.liveDvs(tbl).map(_.path)
+    // keep = the union of every retained version's live set. ONE
+    // historical replay (beginAt(from)) seeds an evolving live-map;
+    // each retained version then folds forward by its single log entry
+    // — O(window) entry reads and O(window-actions) fold work, instead
+    // of O(window) full snapshot replays (O(window × log-fold), which
+    // made a wide retention window quadratic driver work). Equivalence
+    // with the per-version replay is pinned in VacuumWindowSpec: a path
+    // is kept iff it is live at SOME boundary version in [from, cur] —
+    // i.e. live at `from`, or added by a window entry and still live
+    // when that entry's own fold finishes (an add superseded or dropped
+    // within its own commit was never visible at any boundary).
+    val seed = txLog.beginAt(from)
+    val liveF = mutable.Map[String,
+      mutable.LinkedHashMap[String, AddDataObject]]()
+    val liveD = mutable.Map[String,
+      mutable.LinkedHashMap[String, AddDeleteVector]]()
+    seed.tables.keys.foreach { tbl =>
+      liveF(tbl) = mutable.LinkedHashMap(
+        seed.liveFiles(tbl).map(a => a.path -> a): _*)
+      liveD(tbl) = mutable.LinkedHashMap(
+        seed.liveDvs(tbl).map(d => d.path -> d): _*)
+    }
+    // bloom sidecars live exactly as long as SOME retained snapshot's
+    // object references them (clones sharing a sidecar keep it alive
+    // from either side, like shared data objects)
+    def keepFile(a: AddDataObject): Unit = {
+      keep += a.path
+      keep ++= a.bloomRefs.valuesIterator.map(_.path)
+    }
+    liveF.values.foreach(_.values.foreach(keepFile))
+    liveD.values.foreach(_.values.foreach(d => keep += d.path))
+    txLog.entriesBetween(from, cur.version).foreach { case (_, as) =>
+      as.foreach {
+        case a: AddDataObject =>
+          liveF.getOrElseUpdate(a.table,
+            mutable.LinkedHashMap[String, AddDataObject]())(a.path) = a
+        case d: AddDeleteVector =>
+          liveD.getOrElseUpdate(d.table,
+            mutable.LinkedHashMap[String, AddDeleteVector]())(d.path) = d
+        case RemoveDataObject(t, p) =>
+          liveF.get(t).foreach(_.remove(p))
+          liveD.get(t).foreach(_.remove(p))
+        case DropTable(t) =>
+          liveF.get(t).foreach(_.clear())
+          liveD.get(t).foreach(_.clear())
+        case _ => ()
+      }
+      as.foreach {
+        case a: AddDataObject
+            if liveF.get(a.table).exists(_.get(a.path).contains(a)) =>
+          keepFile(a)
+        case d: AddDeleteVector
+            if liveD.get(d.table).exists(_.get(d.path).contains(d)) =>
+          keep += d.path
+        case _ => ()
       }
     }
     // CDC objects live exactly as long as their commit's log entry: keep
@@ -5111,7 +5223,11 @@ final class GraftClient(
     // rootDir spill placement exists for. Files carry real mtimes
     // everywhere; an empty listing falls back to the dir mtime.
     def pageAge(p: org.apache.hadoop.fs.FileStatus): Long = {
-      val files = listPath(p.getPath).filter(_.isFile)
+      // direct-committed pages nest part files one level down
+      // (page/obj_<uuid>/part-*): take the newest file at either depth
+      val entries = listPath(p.getPath)
+      val files = entries.filter(_.isFile) ++ entries.filter(_.isDirectory)
+        .flatMap(d => listPath(d.getPath).filter(_.isFile))
       if (files.isEmpty) p.getModificationTime
       else files.map(_.getModificationTime).max
     }
@@ -5213,9 +5329,18 @@ object GraftClient {
         val m = try decodeBloomSidecar(in, abs) finally in.close()
         bloomSidecarCache.put(abs, m)
         Some(m)
-      } catch { case scala.util.control.NonFatal(_) =>
-        bloomSidecarCache.put(abs, Map.empty)
-        None
+      } catch {
+        // negative-cache only DEFINITIVE misses (sidecar reclaimed by
+        // vacuum past this reader's snapshot — the documented degrade).
+        // A transient store/network failure stays UNcached: on a
+        // long-lived executor one blip must not silently disable bloom
+        // pruning for that object for the JVM lifetime — the next probe
+        // simply retries the read.
+        case _: java.io.FileNotFoundException
+            | _: java.nio.file.NoSuchFileException =>
+          bloomSidecarCache.put(abs, Map.empty)
+          None
+        case scala.util.control.NonFatal(_) => None
       }
     }
 
@@ -5303,6 +5428,16 @@ object GraftClient {
     * compaction can only OR-merge same-geometry inputs.
     */
   val BloomBitsProperty = "graft.bloom.bits"
+  /** Default per-object bloom width CAP (bits). The actual width is
+    * DERIVED per object (~10 bits/row, [[bloomBitsFor]]) and this only
+    * clamps it, so the default must be high enough that the ~1 % FP
+    * target engages for real object sizes: 2²⁰ bits = 128 KiB covers
+    * objects to ~100k rows at full fidelity (bitsets live in sidecar
+    * store objects — the log and driver snapshot stay O(objects)
+    * regardless). Tables that want the legacy tiny floor pass
+    * numBits=1024 explicitly.
+    */
+  val DefaultBloomCapBits: Int = 1 << 20
   val BloomKProperty = "graft.bloom.k"
 
   /** Structural (name + type) equality, ignoring nullability and field

@@ -91,6 +91,33 @@ object ParquetFooters {
     (rows, stats)
   }
 
+  /** [[scan]] over many object dirs at once, order-preserving. The
+    * direct committer registers one object per task, so a wide insert
+    * stamps stats on MANY objects in one tx — footer reads are
+    * independent metadata I/O, so they run on a bounded pool instead of
+    * serially on the driver (at 1000 objects the difference is the
+    * whole stamping step). Any failure propagates (stats are part of
+    * the write's validation path, never best-effort).
+    */
+  def scanMany(spark: SparkSession, dirs: Seq[String],
+      schema: StructType): Seq[(Long, Map[String, ColStats])] =
+    if (dirs.lengthCompare(2) < 0) dirs.map(scan(spark, _, schema))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())),
+        r => { val t = new Thread(r, "graft-footer-scan")
+          t.setDaemon(true); t })
+      try {
+        val futures = dirs.map(d => pool.submit(
+          new java.util.concurrent.Callable[(Long, Map[String, ColStats])] {
+            def call(): (Long, Map[String, ColStats]) = scan(spark, d, schema)
+          }))
+        futures.map(f => try f.get() catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+      } finally pool.shutdown()
+    }
+
   /** Dotted (path, leafType) pairs for every scalar leaf, descending
     * through structs (arrays/maps are not stats-prunable and stop the
     * walk — their chunk paths carry repetition groups anyway).

@@ -1,0 +1,144 @@
+package graft.table
+
+import graft.tx.ColStats
+
+/** Interval index over the per-object stats tier of the WIDE semi probe
+  * ([[GraftClient]]'s executor-side `wideSurvivors`): bounded objects
+  * sorted by normalized min with a running max-of-max, so one point key
+  * finds its stats-overlapping objects in O(log objects + hits) instead
+  * of testing every object — at 10⁶ objects × 10⁵ keys the linear tier
+  * is ~10¹¹ comparisons per partition, the indexed tier ~2×10⁶.
+  *
+  * Built ONCE on the driver (O(objects log objects)), shipped in the
+  * same broadcast as the probe metadata, probed read-only on executors.
+  * Strictly conservative, mirroring [[ColStats.mayOverlap]] for a point
+  * probe: objects with no stats for the column, un-normalizable bounds,
+  * or bounds outside the index's value family are probed for EVERY key
+  * (`always`), and a key outside the family falls back to probing all
+  * objects — uncertainty never prunes.
+  *
+  * @param always    indices probed for every key (no usable bounds)
+  * @param sortedIdx bounded objects' indices, ascending by low bound
+  * @param lows      low bounds aligned to sortedIdx (null = unbounded)
+  * @param highs     high bounds aligned to sortedIdx (null = unbounded)
+  * @param prefMaxHi running max of highs[0..j] (null = unbounded seen)
+  * @param numeric   the bound family: numeric (Long/Double) vs String
+  */
+private[graft] final case class WideProbeIndex(
+    always: Array[Int],
+    sortedIdx: Array[Int],
+    lows: Array[Any],
+    highs: Array[Any],
+    prefMaxHi: Array[Any],
+    numeric: Boolean) extends Serializable {
+
+  /** Indices (into the original object array) whose stats may contain
+    * `v` (a [[ColStats.normalize]]d non-null probe value), `always`
+    * INCLUDED. A value outside the index family conservatively returns
+    * every object.
+    */
+  def candidates(v: Any): Iterator[Int] = {
+    val inFamily = v match {
+      case _: Long | _: Double => numeric
+      case _: String => !numeric
+      case _ => false
+    }
+    if (!inFamily) return always.iterator ++ sortedIdx.iterator
+    // rightmost j with lows(j) <= v (null low = -inf, always <= v)
+    var lo = 0
+    var hi = sortedIdx.length - 1
+    var pos = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (lows(mid) == null || WideProbeIndex.cmpNorm(lows(mid), v) <= 0) {
+        pos = mid; lo = mid + 1
+      } else hi = mid - 1
+    }
+    val hits = new Iterator[Int] {
+      private var j = pos
+      private def liveAt(i: Int): Boolean =
+        prefMaxHi(i) == null || WideProbeIndex.cmpNorm(prefMaxHi(i), v) >= 0
+      private def advance(): Unit =
+        // skip objects whose own high is below v; stop for good once the
+        // running max of highs drops below v (nothing earlier can reach)
+        while (j >= 0 && liveAt(j) &&
+          !(highs(j) == null || WideProbeIndex.cmpNorm(highs(j), v) >= 0))
+          j -= 1
+      def hasNext: Boolean = { advance(); j >= 0 && liveAt(j) }
+      def next(): Int = { advance(); val r = sortedIdx(j); j -= 1; r }
+    }
+    always.iterator ++ hits
+  }
+}
+
+private[graft] object WideProbeIndex {
+
+  /** Total order within one bound family (numeric or string) — the same
+    * comparisons [[ColStats.mayOverlap]] makes, made total by the
+    * build-time family guard.
+    */
+  def cmpNorm(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0 // unreachable: family-guarded at build
+  }
+
+  private def familyOf(v: Any): Option[Boolean] = v match {
+    case _: Long | _: Double => Some(true)
+    case _: String => Some(false)
+    case _ => None
+  }
+
+  /** Index `bounds` (one entry per object: its ColStats for the probed
+    * column, None when the object carries none).
+    */
+  def build(bounds: IndexedSeq[Option[ColStats]]): WideProbeIndex = {
+    // the index family: first classifiable bound decides; objects whose
+    // bounds disagree (can't happen for one well-typed column, guarded
+    // anyway) degrade to always-probe
+    val family: Boolean = bounds.iterator.flatMap {
+      case Some(ColStats(lo, hi, _)) =>
+        familyOf(ColStats.normalize(lo))
+          .orElse(familyOf(ColStats.normalize(hi)))
+      case None => None
+    }.nextOption().getOrElse(true)
+
+    val always = Array.newBuilder[Int]
+    val bounded = Vector.newBuilder[(Int, Any, Any)] // (idx, lo, hi)
+    bounds.zipWithIndex.foreach {
+      case (None, i) => always += i
+      case (Some(ColStats(lo0, hi0, _)), i) =>
+        val lo = ColStats.normalize(lo0)
+        val hi = ColStats.normalize(hi0)
+        val ok = (lo == null || familyOf(lo).contains(family)) &&
+          (hi == null || familyOf(hi).contains(family))
+        if (ok) bounded += ((i, lo, hi)) else always += i
+    }
+    val sorted = bounded.result().sortWith { case ((_, a, _), (_, b, _)) =>
+      // null low = -inf sorts first
+      if (a == null) b != null
+      else if (b == null) false
+      else cmpNorm(a, b) < 0
+    }
+    val n = sorted.length
+    val sortedIdx = new Array[Int](n)
+    val lows = new Array[Any](n)
+    val highs = new Array[Any](n)
+    val prefMaxHi = new Array[Any](n)
+    var runMax: Any = if (n == 0) null else sorted(0)._3
+    var j = 0
+    sorted.foreach { case (i, lo, hi) =>
+      sortedIdx(j) = i; lows(j) = lo; highs(j) = hi
+      if (j == 0) runMax = hi
+      else if (runMax != null &&
+        (hi == null || cmpNorm(hi, runMax) > 0)) runMax = hi
+      prefMaxHi(j) = runMax
+      j += 1
+    }
+    WideProbeIndex(always.result(), sortedIdx, lows, highs, prefMaxHi,
+      family)
+  }
+}

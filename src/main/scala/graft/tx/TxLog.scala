@@ -865,23 +865,52 @@ final class TxLog(store: ObjectStore) {
         .map { case (a, v) => SetTxn(a, v) }).flatten
     var parts = 0
     if (parquet) {
+      // parts are independent by construction (the writer cuts the fold
+      // stream at size boundaries), so ENCODE + PUT pipeline on a
+      // bounded pool while the fold keeps streaming — the encode is the
+      // cost at scale (10⁶ actions), and serial part encoding would
+      // leave the driver single-threaded exactly where the read side
+      // already decodes concurrently (readCheckpoint). Memory stays
+      // bounded: each queued task holds a Vector of REFERENCES into the
+      // snapshot's action list the driver already retains, plus one
+      // encoded byte[] per in-flight part. Any part failure propagates
+      // before the manifest is written, so a failed checkpoint leaves
+      // only unreferenced parts — the documented crash shape.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, Runtime.getRuntime.availableProcessors()),
+        r => { val t = new Thread(r, "graft-ckpt-write")
+          t.setDaemon(true); t })
+      val pending =
+        scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
       val batch = scala.collection.mutable.ArrayBuffer[Action]()
       var approx = 0L
       def flushPart(): Unit = if (batch.nonEmpty) {
-        store.putIfAbsent(
-          ckptPartName(snapshot.version, parts, parquet = true),
-          CkptParquet.write(batch.toSeq))
+        val body = batch.toVector
+        val idx = parts
+        pending += pool.submit(new Runnable {
+          def run(): Unit = store.putIfAbsent(
+            ckptPartName(snapshot.version, idx, parquet = true),
+            CkptParquet.write(body))
+        })
         parts += 1
         batch.clear()
         approx = 0L
       }
-      folded.foreach { a =>
-        val est = CkptParquet.sizeEstimate(a)
-        if (batch.nonEmpty && approx + est > maxPartBytes) flushPart()
-        batch += a
-        approx += est
-      }
-      flushPart()
+      try {
+        folded.foreach { a =>
+          val est = CkptParquet.sizeEstimate(a)
+          if (batch.nonEmpty && approx + est > maxPartBytes) flushPart()
+          batch += a
+          approx += est
+        }
+        flushPart()
+        pending.foreach(f => try f.get() catch {
+          // surface the store's own exception type, not the wrapper —
+          // callers' failure handling predates the pool
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        })
+      } finally pool.shutdown()
     } else {
       val sb = new StringBuilder
       def flushPart(): Unit = if (sb.nonEmpty) {

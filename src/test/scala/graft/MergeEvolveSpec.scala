@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** MERGE … WITH SCHEMA EVOLUTION (the Delta shape, round 13): with
+  * `evolveSchema = true`, source-only columns route through the
+  * insertEvolving widening path (metadata-only addColumn — matched-row
+  * updates carry them, pre-evolution rows read null); the FLAGLESS form
+  * keeps refusing any unknown column, and type conflicts refuse under
+  * either form — a CDC pipeline opts in to upstream drift, never
+  * absorbs it silently. Final-state values are hash-pinned on the
+  * oracle (`tx_merge_evolve`); this spec pins the refusals and the
+  * shapes the oracle can't see (nested leaves, delete leg, mid-merge
+  * atomicity of the widening).
+  */
+class MergeEvolveSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_merge_evolve").toString
+
+  private def kvDf(rows: (Int, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.toList.asJava, kvSchema)
+  }
+
+  private def seeded(dir: String): GraftClient = {
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", kvSchema)
+    c.insert("t", kvDf((1, "a"), (2, "b"), (3, "c")))
+    c.commitTx()
+    c
+  }
+
+  test("flagless merge refuses a source-only column; nothing commits") {
+    val c = seeded(tmp())
+    c.newTx()
+    val src = kvDf((2, "b2")).withColumn("extra", lit("x"))
+    val ex = intercept[IllegalArgumentException] {
+      c.merge("t", src, Seq("k"))
+    }
+    assert(ex.getMessage.contains("schema mismatch"))
+    c.rollback()
+    c.newTx()
+    // the failed merge left no partial effect: same rows, same schema
+    assert(c.currentState("t", Seq("k")).count() == 3)
+    assert(c.schemaOf("t").fieldNames.toSeq == Seq("k", "v"))
+    c.rollback()
+  }
+
+  test("evolveSchema: matched update + unmatched insert carry the new " +
+    "column, pre-evolution rows read null, delete leg still fires") {
+    val c = seeded(tmp())
+    c.newTx()
+    val src = kvDf((2, "b2"), (4, "d"), (3, "c"))
+      .withColumn("src", when(col("k") === 4, "new").otherwise("cdc"))
+    c.merge("t", src, Seq("k"), deleteCond = col("k") === 3,
+      evolveSchema = true)
+    c.commitTx()
+
+    c.newTx()
+    assert(c.schemaOf("t").fieldNames.toSeq == Seq("k", "v", "src"))
+    val state = c.currentState("t", Seq("k")).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(state == Map(
+      1 -> (("a", null)), // pre-evolution row: new column reads null
+      2 -> (("b2", "cdc")), // matched update carries it
+      4 -> (("d", "new")))) // unmatched insert carries it
+    c.rollback()
+  }
+
+  test("evolveSchema type conflict on an EXISTING column still refuses " +
+    "loudly (evolution adds, never coerces)") {
+    val c = seeded(tmp())
+    c.newTx()
+    val src = kvDf((2, "9")).withColumn("v", col("v").cast(IntegerType))
+    val ex = intercept[IllegalArgumentException] {
+      c.merge("t", src, Seq("k"), evolveSchema = true)
+    }
+    assert(ex.getMessage.contains("type conflict"))
+    c.rollback()
+    c.newTx()
+    assert(c.schemaOf("t")("v").dataType == StringType)
+    c.rollback()
+  }
+
+  test("evolveSchema grows a NESTED leaf through merge: in-struct " +
+    "metadata-only add, old rows read a null leaf") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    val metaV1 = StructType(Seq(StructField("lang", StringType)))
+    val schemaV1 = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("meta", metaV1)))
+    c.newTx()
+    c.createTable("t", schemaV1)
+    c.insert("t", spark.createDataFrame(
+      List(Row(1, Row("en")), Row(2, Row("fr"))).asJava, schemaV1))
+    c.commitTx()
+
+    val metaV2 = StructType(metaV1.fields :+
+      StructField("score", DoubleType))
+    val schemaV2 = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("meta", metaV2)))
+    c.newTx()
+    c.merge("t", spark.createDataFrame(
+      List(Row(2, Row("fr", 0.9)), Row(3, Row("de", 0.7))).asJava,
+      schemaV2), Seq("k"), evolveSchema = true)
+    c.commitTx()
+
+    c.newTx()
+    val state = c.currentState("t", Seq("k")).collect()
+      .map(r => r.getInt(0) -> {
+        val m = r.getStruct(1)
+        (m.getString(0), if (m.isNullAt(1)) null else m.getDouble(1))
+      }).toMap
+    assert(state == Map(
+      1 -> (("en", null)), // pre-evolution row: new leaf reads null
+      2 -> (("fr", 0.9)),
+      3 -> (("de", 0.7))))
+    c.rollback()
+  }
+
+  test("the widening and the row effects land in ONE commit (a reader " +
+    "at the pre-merge version sees neither)") {
+    val c = seeded(tmp())
+    val before = c.latestVersion
+    c.newTx()
+    c.merge("t", kvDf((2, "b2")).withColumn("src", lit("cdc")),
+      Seq("k"), evolveSchema = true)
+    c.commitTx()
+    assert(c.latestVersion == before + 1,
+      "evolution + merge must be one atomic commit, not two")
+    val atBefore = c.currentStateAsOf("t", Seq("k"), before)
+    assert(atBefore.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(atBefore.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+}

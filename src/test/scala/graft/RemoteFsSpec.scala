@@ -30,6 +30,48 @@ final class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
 
+/** A RENAME-LESS filesystem: every data-plane write must be
+  * direct-to-final ([[graft.table.DirectCommitProtocol]]) — one rename
+  * anywhere in the lifecycle fails the suite loudly. Also counts bytes
+  * created, so a maintenance pass can assert it paid ~1× write I/O for
+  * the bytes it laid out (the staged-rename design paid 2× on stores
+  * where rename is copy+delete — exactly the S3A-shaped stores this
+  * scheme models).
+  */
+final class GraftNoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftnr"
+  override def getUri: java.net.URI = java.net.URI.create("graftnr:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename is forbidden on graftnr:// ($src -> $dst)")
+  // the NON-permission variant is the funnel: RawLocalFileSystem's
+  // permission overload delegates to it virtually, and parquet's
+  // HadoopOutputFile reaches it via FileSystem.create(Path, boolean) —
+  // overriding only the permission variant counts nothing
+  override def create(f: org.apache.hadoop.fs.Path,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val out = super.create(f, overwrite, bufferSize,
+      replication, blockSize, progress)
+    new org.apache.hadoop.fs.FSDataOutputStream(
+      new java.io.FilterOutputStream(out) {
+        override def write(b: Int): Unit = {
+          out.write(b); GraftNoRenameFs.bytesWritten.incrementAndGet(); ()
+        }
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          out.write(b, off, len)
+          GraftNoRenameFs.bytesWritten.addAndGet(len.toLong); ()
+        }
+      }, null)
+  }
+}
+
+object GraftNoRenameFs {
+  val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class RemoteFsSpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
 
@@ -223,6 +265,88 @@ class RemoteFsSpec extends AnyFunSuite {
       (1 to 8).map(1000L + _).toSet)
     assert(got.inputFiles.forall(_.startsWith("graftfs:")),
       "the pruned scan must stay on the scheme")
+    c.rollback()
+  }
+
+  test("ZERO renames across the whole lifecycle on a rename-less FS: " +
+    "insert, partitioned insert, CoW + DV delete, merge, CDC, compact, " +
+    "cluster, z-order, REORG, wide-window CDF spill, vacuum — and " +
+    "maintenance pays ~1x write I/O for the bytes it lays out") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftnr.impl", classOf[GraftNoRenameFs].getName)
+    val local = Files.createTempDirectory("graft_norename").toString
+    val root = s"graftnr:$local"
+    val c = new GraftClient(ss, root,
+      logStore = Some(new InMemoryObjectStore))
+
+    def fixture(i: Long) = (i, (i % 5).toInt, s"v$i", i.toDouble)
+    c.newTx()
+    c.createTable("m", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", IntegerType, nullable = false),
+      StructField("v", StringType),
+      StructField("x", DoubleType, nullable = false))))
+    c.setTableProperties("m", Map("graft.enableChangeDataFeed" -> "true"))
+    c.commitTx()
+    c.newTx()
+    c.insertPartitioned("m", (0L until 100L).map(fixture)
+      .toDF("k", "p", "v", "x"), "p")
+    c.commitTx()
+    (0 until 4).foreach { j =>
+      c.newTx()
+      c.insert("m", (100L + j * 10 until 110L + j * 10).map(fixture)
+        .toDF("k", "p", "v", "x"))
+      c.commitTx()
+    }
+    // row-level mutations: CoW rewrite, DV, merge (all write objects)
+    c.newTx(); c.deleteRows("m", "k", 0, 4); c.commitTx()
+    c.newTx(); c.deleteRowsDV("m", "k", 5, 9); c.commitTx()
+    c.newTx()
+    c.merge("m", Seq((50L, 0, "v50_m", 50.0), (500L, 0, "new", 500.0))
+      .toDF("k", "p", "v", "x"), Seq("k"))
+    c.commitTx()
+
+    // maintenance write-byte accounting around compact: the direct
+    // committer pays the laid-out bytes ONCE (the staged-rename design
+    // paid the staging write AND the rename-copy on stores without
+    // native rename). Bound loosely — footers/padding vary — but a 2x
+    // staging hop cannot pass 1.5x.
+    GraftNoRenameFs.bytesWritten.set(0L)
+    c.newTx(); c.compact("m", targetRows = 1 << 20); c.commitTx()
+    val paid = GraftNoRenameFs.bytesWritten.get()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    c.newTx()
+    val laidOut = c.objects("m").map(a => fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/${a.path}")).getLength).sum
+    c.rollback()
+    assert(paid > 0 && laidOut > 0)
+    assert(paid < (laidOut * 3) / 2,
+      s"compact wrote $paid bytes for $laidOut laid-out bytes — " +
+        "direct-to-final must pay ~1x, not a staging multiple")
+
+    c.newTx(); c.clusterBy("m", "k", numBuckets = 4); c.commitTx()
+    c.newTx(); c.clusterByZOrder("m", "k", "x", numBuckets = 4); c.commitTx()
+    c.newTx(); c.dropColumn("m", "v"); c.commitTx()
+    c.newTx(); c.materializeSchema("m"); c.commitTx()
+    // wide-window CDF spill pages ride the direct committer too
+    ss.conf.set("spark.graft.cdf.unionPageSize", "2")
+    try {
+      c.newTx()
+      assert(c.changesByFile("m", 0, c.latestVersion).count() > 0)
+      c.rollback()
+    } finally ss.conf.unset("spark.graft.cdf.unionPageSize")
+    ss.conf.set("spark.graft.cdf.spillRetainMs", "0")
+    try c.vacuum(retainVersions = 0)
+    finally ss.conf.unset("spark.graft.cdf.spillRetainMs")
+
+    c.newTx()
+    // 140 inserted − 10 deleted + 1 merged-in new key + 1 newer version
+    // of the merged key = 132 live versions, 131 latest-state keys
+    assert(c.scan("m").count() == 132)
+    assert(c.currentState("m", Seq("k")).count() == 131)
     c.rollback()
   }
 }

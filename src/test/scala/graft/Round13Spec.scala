@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-13 pins: `schemaTrackingLocation` extended from the plain row
+  * source to BOTH change-feed stream shapes (keyed CDF and file-level
+  * CDC), paired with the sink's `evolveSchema` — a continuous
+  * replication pipeline (SURVEY row 303) crosses an additive upstream
+  * evolution without a restart and without an operator step: the
+  * running plan keeps its shape (batches projected back), the evolved
+  * schema persists to the tracking location, and a plain restart plans
+  * at it from the checkpointed offset while the replica widens
+  * in-batch through the MERGE evolution path. Exactly-once holds
+  * throughout (the SetTxn watermark is part of each replica commit).
+  */
+class Round13Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("upsert replication crosses addColumn mid-flight: keyed CDF " +
+    "source keeps running, restart adopts, replica widens, " +
+    "exactly-once holds") {
+    val s = spark
+    import s.implicits._
+    val srcRoot = Files.createTempDirectory("graft_r13_repl_s").toString
+    val dstRoot = Files.createTempDirectory("graft_r13_repl_d").toString
+    val ckpt = Files.createTempDirectory("graft_r13_repl_ck").toString
+    val trk = Files.createTempDirectory("graft_r13_repl_trk").toString
+    val src = new GraftClient(s, srcRoot)
+    src.newTx()
+    src.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType))))
+    import scala.jdk.CollectionConverters._
+    def rows(r: Seq[(Long, String)]) = s.createDataFrame(
+      r.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType))))
+    src.insert("t", rows(Seq((1L, "a"), (2L, "b"))))
+    src.commitTx()
+
+    def pipeline() = s.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("keyColumns", "k")
+      .option("schemaTrackingLocation", trk)
+      .load(srcRoot)
+      .withColumn("_del", col("_change") === "delete").drop("_change")
+      .writeStream.format("graft")
+      .option("path", dstRoot).option("table", "t")
+      .option("mode", "upsert").option("keyColumns", "k")
+      .option("deleteColumn", "_del")
+      .option("evolveSchema", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q = pipeline()
+    try {
+      q.processAllAvailable()
+      // ADDITIVE evolution mid-flight + rows under the new schema: the
+      // tracked stream must keep running (batch projected back to the
+      // declared shape — the new column waits for the restart)
+      src.newTx()
+      src.addColumn("t", StructField("w", IntegerType))
+      src.commitTx()
+      src.newTx()
+      src.insert("t", s.createDataFrame(
+        Seq(org.apache.spark.sql.Row(3L, "c", 30)).asJava,
+        src.schemaOf("t")))
+      src.commitTx()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"additive evolution must not stop a tracked CDF stream: " +
+          s"${q.exception}")
+    } finally q.stop()
+
+    val dst = new GraftClient(s, dstRoot)
+    dst.newTx()
+    val mid = dst.currentState("t", Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mid == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"rows crossed the evolution at the running shape: $mid")
+    val versionsMid = dst.latestVersion
+    dst.rollback()
+
+    // plain restart (same checkpoint, no operator step): plans at the
+    // tracked evolved schema; new changes replicate WITH the column and
+    // the replica widens through the merge-evolution path
+    val q2 = pipeline()
+    try {
+      src.newTx()
+      src.insert("t", s.createDataFrame(
+        Seq(org.apache.spark.sql.Row(2L, "b2", 20),
+          org.apache.spark.sql.Row(4L, "d", 40)).asJava,
+        src.schemaOf("t")))
+      src.commitTx()
+      src.newTx(); src.deleteRows("t", "k", 1L, 1L); src.commitTx()
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart must adopt: ${q2.exception}")
+    } finally q2.stop()
+
+    dst.newTx()
+    assert(dst.schemaOf("t").fieldNames.toSeq == Seq("k", "v", "w"),
+      "replica adopted the evolved schema through MERGE evolution")
+    val fin = dst.currentState("t", Seq("k")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getInt(2))))
+      .toMap
+    // k=3 replicated DURING the projected window: its w rode a later
+    // batch never (the offset advanced) — it reads null until the
+    // source updates it; k=2/k=4 replicated post-restart carry w
+    assert(fin == Map(
+      2L -> (("b2", 20)), 3L -> (("c", null)), 4L -> (("d", 40))),
+      s"replica state: $fin")
+    // exactly-once: replaying processAllAvailable on a fresh restart
+    // applies nothing new
+    val versionsFin = dst.latestVersion
+    dst.rollback()
+    assert(versionsFin > versionsMid)
+    val q3 = pipeline()
+    try { q3.processAllAvailable() } finally q3.stop()
+    dst.newTx()
+    assert(dst.latestVersion == versionsFin,
+      "an idle restart must not re-apply any batch")
+    dst.rollback()
+  }
+
+  test("file-level CDC source under schemaTrackingLocation crosses " +
+    "addColumn without stopping; the restart adopts the evolved base") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_r13_fcdc").toString
+    val ckpt = Files.createTempDirectory("graft_r13_fcdc_ck").toString
+    val trk = Files.createTempDirectory("graft_r13_fcdc_trk").toString
+    val c = new GraftClient(s, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", LongType, nullable = false))))
+    c.insert("t", Seq(1L, 2L).toDF("k"))
+    c.commitTx()
+
+    val shapes = new scala.collection.mutable.ArrayBuffer[Seq[String]]
+    val keys = new scala.collection.mutable.ArrayBuffer[Long]
+    def stream() = s.readStream.format("graft")
+      .option("table", "t").option("changeFeed", "true")
+      .option("schemaTrackingLocation", trk)
+      .load(root)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        shapes.synchronized {
+          shapes += df.columns.toSeq
+          keys ++= df.select("k").collect().map(_.getLong(0))
+          ()
+        })
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q = stream()
+    try {
+      q.processAllAvailable()
+      c.newTx(); c.addColumn("t", StructField("v", StringType)); c.commitTx()
+      c.newTx()
+      import scala.jdk.CollectionConverters._
+      c.insert("t", s.createDataFrame(
+        Seq(org.apache.spark.sql.Row(3L, "x")).asJava, c.schemaOf("t")))
+      c.commitTx()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"additive evolution must not stop a tracked file-CDC stream: " +
+          s"${q.exception}")
+      assert(keys.synchronized(keys.toSet) == Set(1L, 2L, 3L),
+        "the post-evolution batch crossed the boundary")
+    } finally q.stop()
+
+    val q2 = stream()
+    try {
+      c.newTx()
+      import scala.jdk.CollectionConverters._
+      c.insert("t", s.createDataFrame(
+        Seq(org.apache.spark.sql.Row(4L, "y")).asJava, c.schemaOf("t")))
+      c.commitTx()
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart must adopt: ${q2.exception}")
+    } finally q2.stop()
+    val evolved = shapes.synchronized(shapes.last)
+    assert(evolved.take(2) == Seq("k", "v") &&
+      evolved.drop(2).forall(_.startsWith("_")),
+      s"restart plans at evolved base + CDC feed columns: $evolved")
+  }
+}

@@ -37,6 +37,16 @@ class StoreContractSpec extends AnyFunSuite {
         conflict409EveryNth = 5)
       new graft.store.S3ObjectStore(srv.url, pageSize = 2)
     }),
+    // the S3 dialect behind AUTH: every request must carry the expected
+    // Authorization header (the server 403s otherwise), injected by the
+    // client's `sign` hook — the pluggable seam a real endpoint's
+    // bearer/SigV4 signing plugs into (round 13)
+    "s3-auth" -> (() => {
+      val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+        requireAuth = Some("Bearer graft-test-token"))
+      new graft.store.S3ObjectStore(srv.url, pageSize = 2,
+        sign = _.header("Authorization", "Bearer graft-test-token"))
+    }),
     // an S3-compatible endpoint answering 200 to a SUCCESSFUL
     // conditional PUT over the native wire protocol — the
     // `createdStatuses = Set(200)` opt-in reclassifies 200 as a win
@@ -231,6 +241,26 @@ class StoreContractSpec extends AnyFunSuite {
       assert(cold.version == 10)
       assert(cold.liveFiles("t").map(_.path) ==
         (0 until 9).map(i => f"_table_t_$i%03d").toVector)
+    } finally srv.stop()
+  }
+
+  test("s3 dialect: an UNSIGNED client against an auth-enforcing " +
+    "endpoint fails loudly on every verb — never a silent no-op") {
+    val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+      requireAuth = Some("Bearer graft-test-token"))
+    try {
+      val signed = new graft.store.S3ObjectStore(srv.url,
+        sign = _.header("Authorization", "Bearer graft-test-token"))
+      assert(signed.putIfAbsent("k", "v".getBytes))
+      val unsigned = new graft.store.S3ObjectStore(srv.url)
+      intercept[java.io.IOException] { unsigned.read("k") }
+      intercept[java.io.IOException] { unsigned.put("k2", "x".getBytes) }
+      intercept[java.io.IOException] { unsigned.putIfAbsent("k3", "x".getBytes) }
+      intercept[java.io.IOException] { unsigned.delete("k") }
+      intercept[java.io.IOException] { unsigned.listPrefixOrdered("") }
+      // the signed client still sees intact state afterwards
+      assert(new String(signed.read("k")) == "v")
+      assert(signed.listPrefixOrdered("") == Vector("k"))
     } finally srv.stop()
   }
 

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+import graft.tx._
+
+/** Round-13 vacuum scaling pin: the retained-window keep-set is now
+  * computed by ONE historical replay (`beginAt(from)`) plus a single
+  * entry-by-entry roll-forward — O(window) entry reads — instead of one
+  * FULL snapshot replay per retained version (O(window × log-fold),
+  * quadratic driver work on a wide retention window). These tests pin
+  * the fold EQUIVALENT to the per-version replay it replaced — a path
+  * is kept iff it is live at SOME boundary version in [from, cur] —
+  * on a mixed CoW/DV/clone/compact/drop history, and record the
+  * driver-time gap on a 200-version window (BASELINE.md "Vacuum
+  * window").
+  */
+class VacuumWindowSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_vacwin").toString
+
+  /** The keep-set the PRE-round-13 vacuum computed: one full snapshot
+    * replay per retained version (the shape `GraftClient.vacuum`
+    * replaced — kept here as the test oracle).
+    */
+  private def replayKeep(log: TxLog, from: Long, until: Long): Set[String] = {
+    val keep = mutable.Set[String]()
+    (from to until).foreach { v =>
+      val snap = log.beginAt(v)
+      snap.tables.keys.foreach { tbl =>
+        val files = snap.liveFiles(tbl)
+        keep ++= files.map(_.path)
+        keep ++= files.iterator.flatMap(_.bloomRefs.valuesIterator
+          .map(_.path))
+        keep ++= snap.liveDvs(tbl).map(_.path)
+      }
+    }
+    keep.toSet
+  }
+
+  test("incremental window fold == per-version replay on a mixed " +
+    "CoW/DV/clone/compact/drop/bloom history (FS survival set)") {
+    val ss = spark
+    import ss.implicits._
+    val dir = tmp()
+    val c = new GraftClient(ss, dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType)))
+    def df(r: Range) = r.map(i => (i.toLong, s"v$i")).toDF("k", "v")
+
+    c.newTx()
+    c.createTable("t", schema)
+    c.registerBlooms("t", Seq("k"))
+    c.commitTx()
+    (0 until 5).foreach { i =>
+      c.newTx(); c.insert("t", df(i * 10 until (i + 1) * 10)); c.commitTx()
+    }
+    val cloneAt = c.latestVersion // clone target: pre-mutation state
+    c.newTx(); c.deleteRows("t", "k", 0L, 9L); c.commitTx() // CoW
+    c.newTx(); c.deleteRowsDV("t", "k", 10L, 14L); c.commitTx() // DV
+    c.newTx(); c.compact("t", targetRows = 1 << 20); c.commitTx()
+    c.newTx(); c.shallowCloneAt("t", "t2", cloneAt); c.commitTx()
+    c.newTx(); c.insert("t2", df(100 until 110)); c.commitTx()
+    c.newTx(); c.createTable("tmp", schema)
+    c.insert("tmp", df(0 until 5)); c.commitTx()
+    c.newTx(); c.dropTable("tmp"); c.commitTx()
+    c.newTx(); c.insert("t", df(200 until 210)); c.commitTx()
+
+    val retain = 4
+    val log = new TxLog(c.store)
+    val cur = log.begin()
+    val from = math.max(log.oldestAvailableVersion,
+      math.max(0L, cur.version - retain))
+    val expect = replayKeep(log, from, cur.version)
+
+    def fsNames(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("_table_") || n.startsWith("_bloom_"))
+        .toSet
+    }
+    val before = fsNames()
+    assert(expect.subsetOf(before), "fixture sanity: keeps exist on FS")
+    assert((before -- expect).nonEmpty,
+      "fixture sanity: history must leave true victims (CoW'd originals)")
+
+    c.vacuum(retainVersions = retain)
+    val after = fsNames()
+    assert(after == expect,
+      s"vacuum kept ${after.size} paths, per-version replay keeps " +
+        s"${expect.size}: extra=${(after -- expect).toSeq.sorted}, " +
+        s"missing=${(expect -- after).toSeq.sorted}")
+
+    // the retained window still time-travels; the pre-horizon does not
+    assert(c.currentStateAsOf("t", Seq("k"), from).count() > 0)
+    c.newTx()
+    assert(c.scan("t").count() == 35 + 10) // 50 -10 CoW -5 DV +10
+    assert(c.scan("t2").count() == 60) // full 50-row clone +10 inserted
+    c.rollback()
+  }
+
+  test("200-version window: dryRun victim count == per-version replay " +
+    "complement; one fold replaces 200 full replays (timed)") {
+    val ss = spark
+    val dir = tmp()
+    val c = new GraftClient(ss, dir)
+    val log = new TxLog(c.store)
+    val schema = StructType(Seq(StructField("k", LongType)))
+
+    // synthetic log: FS-backed empty dirs stand in for data objects
+    // (vacuum victims must exist on the FS to be counted); each version
+    // adds one object + its bloom sidecar and retires the one from
+    // 3 versions back — a sliding live-window — plus the boundary-
+    // invisibility case (add+remove inside ONE entry, never keepable)
+    // and a same-path re-add (stats re-stamp) every 25 versions.
+    def mkdir(n: String): Unit =
+      Files.createDirectories(java.nio.file.Paths.get(dir, n))
+    def obj(v: Long) = f"_table_t_${v}%05d"
+    def bloom(v: Long) = f"_bloom_t_${v}%05d"
+    def add(v: Long) = AddDataObject("t", obj(v), v, 10L,
+      stats = Map("k" -> ColStats(v, v + 9L)),
+      bloomRefs = Map("k" -> BloomRef(4, 1024L, bloom(v))))
+
+    var snap = log.begin()
+    log.commit(snap, Seq(ChangeMetadata("t", schema)))
+    (0L until 200L).foreach { v =>
+      snap = log.begin()
+      mkdir(obj(v)); mkdir(bloom(v))
+      val as = mutable.ArrayBuffer[Action](add(v))
+      if (v >= 3) as += RemoveDataObject("t", obj(v - 3))
+      if (v % 25 == 7) { // intra-entry add+remove: never at a boundary
+        mkdir(obj(10000 + v))
+        as += AddDataObject("t", obj(10000 + v), v, 1L)
+        as += RemoveDataObject("t", obj(10000 + v))
+      }
+      if (v % 25 == 11) as += add(v - 1) // re-stamp of a live path
+      log.commit(snap, as.toSeq)
+    }
+
+    val retain = 120
+    val cur = log.begin()
+    val from = math.max(log.oldestAvailableVersion,
+      math.max(0L, cur.version - retain))
+
+    val t0 = System.nanoTime()
+    val expect = replayKeep(log, from, cur.version)
+    val replaySec = (System.nanoTime() - t0) / 1e9
+
+    val all = (0L until 200L).flatMap(v => Seq(obj(v), bloom(v))).toSet ++
+      (0L until 200L).filter(_ % 25 == 7).map(v => obj(10000 + v))
+    val expectVictims = (all -- expect).size
+
+    val t1 = System.nanoTime()
+    val got = c.vacuum(retainVersions = retain, dryRun = true)
+    val incrSec = (System.nanoTime() - t1) / 1e9
+    assert(got == expectVictims,
+      s"dryRun reports $got victims, replay complement $expectVictims")
+    info(f"200-version window keep-set: per-version replay " +
+      f"$replaySec%.3f s, incremental fold (whole dryRun vacuum) " +
+      f"$incrSec%.3f s")
+  }
+}
