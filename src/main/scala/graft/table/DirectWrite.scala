@@ -159,8 +159,7 @@ private[graft] object DirectWrite {
         s"partition column $c not in write schema " +
           outputColumns.map(_.name).mkString(",")))
     }
-    val committer = new DirectCommitProtocol(rootDir,
-      DirectWrite.objectNamer(namer))
+    val committer = new DirectCommitProtocol(rootDir, namer)
     SQLExecution.withNewExecutionId(qe, Some("graftDirectWrite")) {
       FileFormatWriter.write(
         sparkSession = session,
@@ -177,13 +176,6 @@ private[graft] object DirectWrite {
     }
     committer.committedFiles
   }
-
-  /** Identity wrapper that keeps the caller's closure out of the
-    * protocol object's serialized graph surprises — the namer must be
-    * independently serializable.
-    */
-  private def objectNamer(
-      namer: Option[String] => String): Option[String] => String = namer
 
   /** A fresh UUID string — executors mint object names with this. */
   def freshUuid(): String = UUID.randomUUID().toString

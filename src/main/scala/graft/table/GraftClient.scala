@@ -1770,31 +1770,39 @@ final class GraftClient(
       // over-parallel upstream (32 slices of a 25-row frame) would
       // otherwise land 25 one-row objects. Right-size the write to
       // ~dataObjectSize rows per object, engaging only when it at
-      // least halves the object count — the exchange is deterministic
-      // (round-robin sorts locally first) and its shuffle files are
-      // computed once and REUSED by both the recount and the write
-      // job, so partition identity stays pinned for the stamp.
+      // least halves the object count. The resized frame is PERSISTED
+      // (same pinning contract as `pinned`): the recount materializes
+      // the cache and the write job reads it back — partition identity
+      // stays pinned for the stamp, and the exchange runs once, not
+      // once per pass.
       val k = math.max(1L, math.min(partCounts0.length.toLong,
         (n + dataObjectSize - 1) / dataObjectSize)).toInt
-      val (src, partCounts) =
-        if (partCounts0.length >= k * 2) {
-          val r = pinned.repartition(k)
+      val resized =
+        if (partCounts0.length >= k * 2)
+          Some(pinned.repartition(k).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      val (src, partCounts) = resized match {
+        case Some(r) =>
           (r, r.groupBy(spark_partition_id().as("_pid")).count()
             .collect().map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1))
-        } else (pinned, partCounts0)
-      // per-partition global offsets as a BROADCAST lookup (the
-      // rewriteObjects routing shape), not an N-element array literal —
-      // a 100k-partition cluster insert must not codegen a 100k-child
-      // CreateArray. Both nondeterministic inputs (_pid, _mid) are
-      // projected BEFORE the join; Catalyst never moves them across it.
-      val stamped = stampOffsets(src, partCounts)
-        .withColumn(TxIdCol, lit(txId))
-        .withColumn(RowIdxCol, lit(base) + col("_goff") + col("_mid"))
-        .select(schema.fieldNames.toIndexedSeq.map(col) ++
-          Seq(col(TxIdCol), col(RowIdxCol)): _*)
-      body(t, schema, nullabilityGuard(table, schema,
-        constraintGuard(table, stamped)), n, txId)
-      t.rowCounters(table) = base + n
+        case None => (pinned, partCounts0)
+      }
+      try {
+        // per-partition global offsets as a BROADCAST lookup (the
+        // rewriteObjects routing shape), not an N-element array literal —
+        // a 100k-partition cluster insert must not codegen a 100k-child
+        // CreateArray. Both nondeterministic inputs (_pid, _mid) are
+        // projected BEFORE the join; Catalyst never moves them across it.
+        val stamped = stampOffsets(src, partCounts)
+          .withColumn(TxIdCol, lit(txId))
+          .withColumn(RowIdxCol, lit(base) + col("_goff") + col("_mid"))
+          .select(schema.fieldNames.toIndexedSeq.map(col) ++
+            Seq(col(TxIdCol), col(RowIdxCol)): _*)
+        body(t, schema, nullabilityGuard(table, schema,
+          constraintGuard(table, stamped)), n, txId)
+        t.rowCounters(table) = base + n
+      } finally resized.foreach(_.unpersist(false))
     } finally pinned.unpersist(false)
   }
 
@@ -5330,14 +5338,20 @@ object GraftClient {
         bloomSidecarCache.put(abs, m)
         Some(m)
       } catch {
-        // negative-cache only DEFINITIVE misses (sidecar reclaimed by
-        // vacuum past this reader's snapshot — the documented degrade).
-        // A transient store/network failure stays UNcached: on a
-        // long-lived executor one blip must not silently disable bloom
-        // pruning for that object for the JVM lifetime — the next probe
-        // simply retries the read.
+        // negative-cache only DEFINITIVE failures: a missing sidecar
+        // (reclaimed by vacuum past this reader's snapshot — the
+        // documented degrade) and a CORRUPT one (decode require /
+        // truncation EOF — objects are immutable, so a bad decode today
+        // is a bad decode forever; without the cache a hot object's
+        // corrupt sidecar would be re-downloaded and re-failed on every
+        // probe). A transient store/network failure stays UNcached: on
+        // a long-lived executor one blip must not silently disable
+        // bloom pruning for that object for the JVM lifetime — the next
+        // probe simply retries the read.
         case _: java.io.FileNotFoundException
-            | _: java.nio.file.NoSuchFileException =>
+            | _: java.nio.file.NoSuchFileException
+            | _: java.io.EOFException
+            | _: IllegalArgumentException =>
           bloomSidecarCache.put(abs, Map.empty)
           None
         case scala.util.control.NonFatal(_) => None
