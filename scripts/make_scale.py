@@ -29,10 +29,20 @@ for k in range(K):
     if k == 0:
         docs.append(f"SELECT * FROM '{src}/documents.parquet'")
     else:
+        # INTERLEAVED salt, not a suffix: a replica tag every ~24 chars
+        # breaks the cross-replica SHINGLE overlap the gram-based
+        # near-dup methods key on (a pure suffix leaves ~99% of k-grams
+        # shared, so replicas read as near-dups of each other and the
+        # candidate-pair term grows ~K^2 — exactly the manufactured
+        # cross-replica structure this script promises not to create;
+        # round-12/13 sf1 records showed winnow/contamination ~2x the
+        # round-11 anchor from this). Within-replica dup structure is
+        # preserved (one consistent transform per replica).
+        salted = f"regexp_replace(text, '(.{{24}})', '\\1 q{k}z ', 'g')"
         docs.append(
             f"SELECT doc_id + {k * OFF} AS doc_id, "
-            f"text || ' r{k}x' AS text, lang, source, "
-            f"length(text || ' r{k}x') AS n_chars "
+            f"{salted} AS text, lang, source, "
+            f"length({salted}) AS n_chars "
             f"FROM '{src}/documents.parquet'")
 con.sql(f"COPY ({' UNION ALL '.join(docs)}) TO '{dst}/documents.parquet' "
         "(FORMAT PARQUET)")

@@ -3,7 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the driver contract (local[32], shuffle=32). This was
+    // "4" through round 12, and the sf1 recipe omitted SPARK_GRAFT_CPUS —
+    // which is the whole story behind round 12's "contended" sf1 record:
+    // the heavy shuffle rows ran on 4 cores and read as 2x-over-anchor
+    // (winnow_pairs 15.9 s at local[4] vs 7.5 s at local[32], profiled
+    // round 13). A contract-shaped default makes the footgun impossible.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -69,14 +69,15 @@ object BenchCkpt {
     // the WRITE side is timed too (round 13: parts encode + PUT on a
     // bounded pool, pipelined with the fold stream — the driver used to
     // encode parts serially, exactly where a 10^6-action checkpoint
-    // spends its time)
+    // spends its time). The action fixture is built OUTSIDE the timers.
+    val snap = Snapshot(n + 100L, actions(n))
     val pqMem = new InMemoryObjectStore
     val t0 = System.nanoTime()
-    new TxLog(pqMem).checkpoint(Snapshot(n + 100L, actions(n)))
+    new TxLog(pqMem).checkpoint(snap)
     val pqWriteT = (System.nanoTime() - t0) / 1e9
     val jsMem = new InMemoryObjectStore
     val t1 = System.nanoTime()
-    new TxLog(jsMem).checkpointJson(Snapshot(n + 100L, actions(n)))
+    new TxLog(jsMem).checkpointJson(snap)
     val jsWriteT = (System.nanoTime() - t1) / 1e9
     val pqMemT = coldBegin(pqMem, if (n >= 500000) 3 else 5)
     val jsMemT = coldBegin(jsMem, if (n >= 500000) 2 else 5)

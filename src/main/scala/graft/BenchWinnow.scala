@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stage-split profile of the winnow-pairs pipeline (the heaviest sf1
+  * row): isolates (1) the md5-per-position subtree, (2) the doc-window
+  * min + distinct fingerprint pass, (3) the full pair query, so a
+  * scale-ratio regression can be attributed to hashing, the window
+  * exchange, or the bucket/pair tail. Diagnostic only (not a driver
+  * surface). `sbt "runMain graft.BenchWinnow"` with SPARK_GRAFT_SF_DIR.
+  */
+object BenchWinnow {
+  private def timed[A](reps: Int)(f: => A): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val k = 24
+    val win = 8
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text").as("nt"))
+    val hashes = d
+      .select(col("doc_id"), col("nt"), explode(expr(
+        s"sequence(1, greatest(length(nt) - ${k - 1}, 1))")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"cast(conv(substr(md5(substring(nt, i, $k)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val hashSec = timed(2) { hashes.select(max(col("h"))).collect() }
+
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(win - 1), 0)
+    val fps = hashes
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("i") >= win)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    val fpSec = timed(2) { fps.count() }
+
+    val fullSec = timed(2) {
+      graft.queries.DedupOps.dedupWinnowPairs(spark, sfDir).count()
+    }
+    val nPos = hashes.count()
+    println(s"""{"metric":"winnow_profile","sf_dir":"$sfDir",""" +
+      s""""positions":$nPos,"hash_sec":${f"$hashSec%.2f"},""" +
+      s""""fp_window_distinct_sec":${f"$fpSec%.2f"},""" +
+      s""""full_pairs_sec":${f"$fullSec%.2f"}}""")
+    spark.stop()
+  }
+}
