@@ -544,9 +544,19 @@ final class GraftTable(val root: String, val tableName: String,
     util.Collections.emptyMap()
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE WITH SCHEMA EVOLUTION`:
+    // Spark's analyzer (ResolveMergeIntoSchemaEvolution) computes the
+    // source-only columns, widens the table through THIS catalog's
+    // alterTable (a metadata-only addColumn commit — type conflicts
+    // refuse there), reloads the relation, and the merge then runs
+    // against the widened schema. Note the SQL shape is TWO commits
+    // (analyzer widening, then the merge) unlike the client API's
+    // single-commit merge(evolveSchema = true); a crash between them
+    // leaves only a nullable added column, which is benign.
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The table's CHECK constraints, surfaced to Spark (4.1 constraint
     * API) as validated+enforced — Spark then also validates DSv2 writes

@@ -100,8 +100,12 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     val updates = m.matchedActions.collect { case u: UpdateAction => u }
     val inserts = m.notMatchedActions.collect { case i: InsertAction => i }
     val supported =
+      // withSchemaEvolution is fine to accept here: by the time this
+      // rule sees the plan, ResolveMergeIntoSchemaEvolution has already
+      // widened the target table through GraftCatalog.alterTable and
+      // re-resolved the relation, so `rel`/assignments are at the
+      // evolved schema and the command below needs nothing special
       keyPairs.nonEmpty && keyPairs.forall(_.isDefined) &&
-        !m.withSchemaEvolution &&
         m.notMatchedBySourceActions.isEmpty &&
         m.matchedActions.size == deletes.size + updates.size &&
         m.notMatchedActions.size == inserts.size &&

@@ -108,6 +108,42 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(Row(1L, "a"), Row(2L, "n2"), Row(4L, "n4"), Row(5L, "n5")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a source-only column widens the " +
+    "table through the catalog's alterTable, then the merge applies " +
+    "at the evolved schema; the flagless form still refuses") {
+    val (cat, _) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.me (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.me VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.range(2, 5).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("v"),
+        when(col("id") === 4, "new").otherwise("cdc").as("src"))
+      .createOrReplaceTempView("merge_evo_src")
+    // flagless star-merge: Spark's star expansion assigns TARGET
+    // columns by name and IGNORES extra source columns — the table
+    // must not silently evolve (the column-loss risk sits on the
+    // source side and is the user's explicit star semantics; the
+    // client API's stricter whole-frame refusal is pinned in
+    // MergeEvolveSpec)
+    spark.sql(s"CREATE TABLE $cat.mef (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.mef VALUES (1,'a'), (2,'b')")
+    spark.sql(s"""
+      MERGE INTO $cat.mef t USING merge_evo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table(s"$cat.mef").columns.toSeq == Seq("k", "v"),
+      "a flagless merge must never evolve the table")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $cat.me t
+      USING merge_evo_src s ON t.k = s.k
+      WHEN MATCHED AND s.k = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // 1 pre-evolution (src null), 2 updated + carries src, 3 deleted,
+    // 4 inserted with src
+    assert(rows(s"SELECT k, v, src FROM $cat.me ORDER BY k") ===
+      Seq(Row(1L, "a", null), Row(2L, "n2", "cdc"), Row(4L, "n4", "new")))
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF read historical snapshots") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.tt (k BIGINT, v STRING)")
