@@ -109,16 +109,34 @@ final class GraftSource extends RelationProvider
           s"table exists: $table (mode ErrorIfExists)")
       case (SaveMode.Ignore, true) => c.rollback()
       case (m, ex) =>
-        if (!ex) c.createTable(table, data.schema)
-        if (m == SaveMode.Overwrite && ex) c.truncate(table)
-        // option("mergeSchema", "true"): frame columns / struct leaves
-        // the table lacks evolve it first (metadata-only), omitted
-        // nullable columns write null — Delta's mergeSchema contract
-        val mergeSchema = parameters.get("mergeschema")
-          .orElse(parameters.get("mergeSchema")).exists(_.toBoolean)
-        if (mergeSchema && ex) c.insertEvolving(table, data)
-        else c.insert(table, data)
-        c.commitTxRetrying()
+        // idempotent batch writes (Delta's txnAppId/txnVersion writer
+        // options): a retried job re-running the same (appId, version)
+        // write is a NO-OP — the watermark committed atomically with the
+        // first success, so the check-and-skip is exactly-once, not
+        // best-effort; a fresh version commits its rows + the advanced
+        // watermark in one tx (same-slot watermarks are a commit
+        // conflict, so concurrent same-appId writers cannot interleave)
+        val txnApp = parameters.get("txnappid")
+          .orElse(parameters.get("txnAppId"))
+        val txnVer = parameters.get("txnversion")
+          .orElse(parameters.get("txnVersion")).map(_.toLong)
+        require(txnApp.isEmpty == txnVer.isEmpty,
+          "graft: txnAppId and txnVersion must be set together")
+        if (txnApp.exists(a => c.lastTxn(a).exists(_ >= txnVer.get)))
+          c.rollback() // already applied: nothing lands, nothing errors
+        else {
+          if (!ex) c.createTable(table, data.schema)
+          if (m == SaveMode.Overwrite && ex) c.truncate(table)
+          // option("mergeSchema", "true"): frame columns / struct leaves
+          // the table lacks evolve it first (metadata-only), omitted
+          // nullable columns write null — Delta's mergeSchema contract
+          val mergeSchema = parameters.get("mergeschema")
+            .orElse(parameters.get("mergeSchema")).exists(_.toBoolean)
+          if (mergeSchema && ex) c.insertEvolving(table, data)
+          else c.insert(table, data)
+          txnApp.foreach(a => c.setTxn(a, txnVer.get))
+          c.commitTxRetrying()
+        }
     }
     GraftRelation(sqlContext, root, table, None)
   }
@@ -146,23 +164,29 @@ final class GraftSource extends RelationProvider
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
-  /** Optional `startingVersion` / `startingTimestamp` for a NEW
-    * change-feed stream (Left = version, Right = epoch millis, resolved
-    * via versionAfterTimestamp at stream start). Without it a fresh
-    * stream seeds at version 0 — on any table whose log head was pruned
-    * (checkpoint + vacuum retention) that fails the window-availability
-    * check on the very first batch with no way to start later.
+  /** Optional `startingVersion` (a version number, or `"latest"` =
+    * changes from stream start on) / `startingTimestamp` (resolved via
+    * versionAfterTimestamp at stream start) for a NEW stream. Without it
+    * a fresh stream seeds at version 0 — on any table whose log head was
+    * pruned (checkpoint + vacuum retention) that fails the
+    * window-availability check on the very first batch with no way to
+    * start later (remedy: `startingVersion`, or `initialSnapshot` on the
+    * plain row source).
     */
   private def streamStart(parameters: Map[String, String])
-      : Option[Either[Long, Long]] = {
+      : Option[GraftSource.StreamStart] = {
     val v = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")).map(_.toLong)
+      .orElse(parameters.get("startingVersion"))
     val ts = parameters.get("startingtimestamp")
       .orElse(parameters.get("startingTimestamp"))
       .map(GraftSource.parseTimestampMillis)
     require(v.isEmpty || ts.isEmpty,
       "graft: startingVersion and startingTimestamp are mutually exclusive")
-    v.map(Left(_)).orElse(ts.map(Right(_)))
+    v.map {
+      case s if s.equalsIgnoreCase("latest") =>
+        GraftSource.StreamStart.AtLatest
+      case s => GraftSource.StreamStart.AtVersion(s.toLong)
+    }.orElse(ts.map(GraftSource.StreamStart.AtTimestamp(_)))
   }
 
   private def trackLoc(parameters: Map[String, String]): Option[String] =
@@ -203,12 +227,16 @@ final class GraftSource extends RelationProvider
     if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
       new GraftFileChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), streamStart(parameters),
-        trackLoc(parameters))
+        trackLoc(parameters),
+        parameters.get("initialsnapshot")
+          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
     else if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), keyColumns(parameters),
         preimages(parameters), streamStart(parameters),
-        trackLoc(parameters))
+        trackLoc(parameters),
+        parameters.get("initialsnapshot")
+          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
     else
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
@@ -219,7 +247,9 @@ final class GraftSource extends RelationProvider
         parameters.get("maxrowspertrigger")
           .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong),
         streamStart(parameters),
-        trackLoc(parameters))
+        trackLoc(parameters),
+        parameters.get("initialsnapshot")
+          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -249,6 +279,28 @@ final class GraftSource extends RelationProvider
 }
 
 private[sources] object GraftSource {
+  /** Where a FRESH stream (no checkpointed offset yet) starts: a pinned
+    * log version, a wall-clock instant (resolved via
+    * versionAfterTimestamp at first use), or LATEST — "changes from now
+    * on", Delta's `startingVersion = "latest"` — resolved against the
+    * live log the first time the source needs it.
+    */
+  sealed trait StreamStart
+  object StreamStart {
+    final case class AtVersion(v: Long) extends StreamStart
+    final case class AtTimestamp(ms: Long) extends StreamStart
+    case object AtLatest extends StreamStart
+  }
+
+  /** Resolve a seed version from an optional [[StreamStart]]. */
+  def seedOf(start: Option[StreamStart],
+      client: => graft.table.GraftClient): Long = start match {
+    case Some(StreamStart.AtVersion(v)) => v
+    case Some(StreamStart.AtTimestamp(ts)) => client.versionAfter(ts)
+    case Some(StreamStart.AtLatest) => client.latestVersion
+    case None => 0L
+  }
+
   /** Epoch millis, an ISO-8601 instant, or a space/'T'-separated local
     * date-time (interpreted as UTC) — the accepted forms for every
     * timestamp option on this source.
@@ -271,23 +323,27 @@ private[sources] object GraftSource {
   * ∈ insert/update/delete, so a downstream consumer can incrementally
   * materialize the table — deletes and rewrites INCLUDED, unlike the
   * append-only row source. The first batch (offset 0 → v) diffs against
-  * the empty table: all inserts.
+  * the empty table: all inserts. `initialSnapshot = true` makes the
+  * first batch the keyed latest STATE at stream start served as inserts
+  * instead (one snapshot scan, no history walk) — the bootstrap path for
+  * replicating an EXISTING table whose log head retention pruned.
   */
 final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
     table: String, keyCols: Seq[String], preimages: Boolean = false,
-    start: Option[Either[Long, Long]] = None,
-    schemaTrackingLocation: Option[String] = None)
+    start: Option[GraftSource.StreamStart] = None,
+    schemaTrackingLocation: Option[String] = None,
+    initialSnapshot: Boolean = false)
     extends Source {
+
+  require(!initialSnapshot || start.isEmpty,
+    "graft: initialSnapshot and startingVersion/startingTimestamp are " +
+      "mutually exclusive (an explicit start skips the snapshot)")
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
 
-  // startingVersion / startingTimestamp seed for a fresh stream (no
-  // checkpointed offset yet); resolved once, at first use
-  private lazy val seedVersion: Long = start match {
-    case Some(Left(v)) => v
-    case Some(Right(ts)) => client.versionAfter(ts)
-    case None => 0L
-  }
+  // startingVersion ("latest" included) / startingTimestamp seed for a
+  // fresh stream (no checkpointed offset yet); resolved once, at first use
+  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   /** Base = tracked-or-current (see [[GraftStreamSource.resolveTrackedBase]]),
     * decorated with the feed column — a restart after an evolution
@@ -311,9 +367,21 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val batch = client.changesBetween(table, keyCols,
-      start.map(versionOf).getOrElse(seedVersion), versionOf(end),
-      preimages)
+    val until = versionOf(end)
+    val batch = start match {
+      case None if initialSnapshot =>
+        // bootstrap a replication pipeline from an EXISTING table:
+        // batch 0 is the keyed latest state at the end offset served as
+        // inserts (Delta's CDF initial-snapshot shape) — no v0 history
+        // needed, works past log retention and pre-CDF-property commits
+        // the from-0 feed would refuse; the incremental tail follows
+        val c = client
+        c.currentStateAsOf(table, keyCols, until)
+          .withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+      case _ =>
+        client.changesBetween(table, keyCols,
+          start.map(versionOf).getOrElse(seedVersion), until, preimages)
+    }
     StreamingShim.asStreaming(sqlContext.sparkSession,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 1))
@@ -330,20 +398,29 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   * commits in the stream must carry CDC records
   * (`graft.enableChangeDataFeed`); an unrecorded mutation fails the
   * stream loudly naming the version, same as the batch read.
+  *
+  * `initialSnapshot = true` makes a fresh stream's batch 0 the table's
+  * live state served as `_change_type = insert` rows whose
+  * `_commit_version` is each row's own `_tx_id` (the commit that added
+  * it — real provenance, not a synthetic stamp), with the incremental
+  * feed following from there: the bootstrap path for an existing table
+  * whose pre-CDF-property history (or retention-pruned head) the from-0
+  * feed would refuse.
   */
 final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, start: Option[Either[Long, Long]] = None,
-    schemaTrackingLocation: Option[String] = None) extends Source {
+    table: String, start: Option[GraftSource.StreamStart] = None,
+    schemaTrackingLocation: Option[String] = None,
+    initialSnapshot: Boolean = false) extends Source {
+
+  require(!initialSnapshot || start.isEmpty,
+    "graft: initialSnapshot and startingVersion/startingTimestamp are " +
+      "mutually exclusive (an explicit start skips the snapshot)")
 
   private def client = new GraftClient(sqlContext.sparkSession, root)
 
-  // startingVersion / startingTimestamp seed for a fresh stream (no
-  // checkpointed offset yet); resolved once, at first use
-  private lazy val seedVersion: Long = start match {
-    case Some(Left(v)) => v
-    case Some(Right(ts)) => client.versionAfter(ts)
-    case None => 0L
-  }
+  // startingVersion ("latest" included) / startingTimestamp seed for a
+  // fresh stream (no checkpointed offset yet); resolved once, at first use
+  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   /** Base = tracked-or-current, decorated with the two CDC columns —
     * same restart-adoption contract as the keyed feed.
@@ -369,8 +446,23 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val batch = client.changesByFile(table,
-      start.map(versionOf).getOrElse(seedVersion), versionOf(end))
+    val until = versionOf(end)
+    val batch = start match {
+      case None if initialSnapshot =>
+        // batch 0 = live state as inserts; _commit_version is each row's
+        // own _tx_id — the commit that actually added it
+        val c = client
+        val userCols = c.schemaAsOf(table, until).fieldNames
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq
+        c.scanAsOf(table, until).select(userCols ++ Seq(
+          org.apache.spark.sql.functions.lit("insert")
+            .as(GraftClient.ChangeTypeCol),
+          org.apache.spark.sql.functions.col(c.TxIdCol)
+            .cast("long").as("_commit_version")): _*)
+      case _ =>
+        client.changesByFile(table,
+          start.map(versionOf).getOrElse(seedVersion), until)
+    }
     StreamingShim.asStreaming(sqlContext.sparkSession,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 2))
@@ -679,27 +771,38 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
   * Without the mixin Spark's default falls back to single-batch
   * (Trigger.Once) execution, which under a rate limit would stop after
   * the FIRST slice of the backlog — silent data loss for a drain job.
+  *
+  * `initialSnapshot = true` makes a FRESH stream's batch 0 the table's
+  * current LIVE state (one time-travel-pinned snapshot scan) with the
+  * tail following from there — Delta's initial-snapshot semantics. This
+  * is the switch-on path for streaming an EXISTING table from scratch:
+  * a from-version-0 replay needs the full log head (retention prunes
+  * it) and an append-only history (compaction breaks it); the snapshot
+  * needs neither. `startingVersion = "latest"` is the other new-stream
+  * seed: changes from stream start on, no history, no snapshot.
   */
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
     table: String, ignoreChanges: Boolean,
     maxObjectsPerTrigger: Option[Int] = None,
     maxRowsPerTrigger: Option[Long] = None,
-    start: Option[Either[Long, Long]] = None,
-    schemaTrackingLocation: Option[String] = None) extends Source
+    start: Option[GraftSource.StreamStart] = None,
+    schemaTrackingLocation: Option[String] = None,
+    initialSnapshot: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  require(!initialSnapshot || start.isEmpty,
+    "graft: initialSnapshot and startingVersion/startingTimestamp are " +
+      "mutually exclusive (an explicit start skips the snapshot)")
 
   private def client =
     new GraftClient(sqlContext.sparkSession, root)
 
-  // startingVersion / startingTimestamp seed for a fresh stream (no
-  // checkpointed offset yet): without it a new stream on a table whose
-  // log head was pruned (checkpoint + vacuum retention) starts at 0 and
-  // the first batch fails the availability check with no way past it
-  private lazy val seedVersion: Long = start match {
-    case Some(Left(v)) => v
-    case Some(Right(ts)) => client.versionAfter(ts)
-    case None => 0L
-  }
+  // startingVersion ("latest" included) / startingTimestamp seed for a
+  // fresh stream (no checkpointed offset yet): without it a new stream
+  // on a table whose log head was pruned (checkpoint + vacuum retention)
+  // starts at 0 and the first batch fails the availability check with no
+  // way past it — unless initialSnapshot serves the live state instead
+  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   // highest log version this source has offered or served — the base the
   // next rate-limited offset advances from
@@ -762,6 +865,12 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     if (latest == 0L) return None
     val offered =
       if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
+      // a fresh initialSnapshot stream's batch 0 is ONE snapshot scan,
+      // not a commit-window replay — the rate caps (commit-aligned by
+      // construction) start applying from the tail batches; walking the
+      // history here would also fail on exactly the retention-pruned
+      // tables initialSnapshot exists for
+      else if (initialSnapshot && highWater < 0L) latest
       else {
         val base = math.max(highWater, seedVersion)
         if (base >= latest) latest
@@ -803,10 +912,27 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(seedVersion)
     val until = versionOf(end)
     highWater = math.max(highWater, until) // restart recovery re-sync
-    val batch = client.addedBetween(table, from, until, ignoreChanges)
+    val batch = start match {
+      case None if initialSnapshot =>
+        // Delta's initial-snapshot semantics: batch 0 is the table's
+        // LIVE state at the end offset — a time-travel scan, so a
+        // post-crash recovery replay of (None, end) reproduces it
+        // exactly (the offset pins the version; retention must keep it
+        // replayable for the recovery window, the ordinary streaming
+        // contract). Unlike a from-0 log replay this works on tables
+        // whose log head retention pruned AND on compacted/rewritten
+        // history the append-only check would refuse — the switch-on
+        // path for streaming an EXISTING large table from scratch.
+        val c = client
+        val cols = c.schemaAsOf(table, until).fieldNames
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq
+        c.scanAsOf(table, until).select(cols: _*)
+      case _ =>
+        client.addedBetween(table,
+          start.map(versionOf).getOrElse(seedVersion), until, ignoreChanges)
+    }
     StreamingShim.asStreaming(sqlContext.sparkSession,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 0))

@@ -89,14 +89,21 @@ object GraftProcedures {
         }))
       case "vacuum" => Some(proc(name,
         "reclaim objects unreferenced by the retained snapshot window; " +
-          "dry_run => true reports the victim count without deleting",
+          "dry_run => true reports the victim count without deleting; " +
+          "retain_hours >= 0 switches to TIME-based retention (Delta's " +
+          "VACUUM ... RETAIN n HOURS) and overrides retain_versions",
         Seq(inDefault("retain_versions", IntegerType, "0"),
-          inDefault("dry_run", BooleanType, "false")),
+          inDefault("dry_run", BooleanType, "false"),
+          inDefault("retain_hours", DoubleType, "-1")),
         StructType(Seq(StructField("reclaimed", IntegerType),
           StructField("dry_run", BooleanType))), { args =>
           val dry = args.getBoolean(1)
-          Seq(row(Int.box(client.vacuum(args.getInt(0), dry)),
-            Boolean.box(dry)))
+          val hours = args.getDouble(2)
+          val n =
+            if (hours >= 0)
+              client.vacuumRetainTime((hours * 3600 * 1000).toLong, dry)
+            else client.vacuum(args.getInt(0), dry)
+          Seq(row(Int.box(n), Boolean.box(dry)))
         }))
       case "clone" => Some(proc(name,
         "zero-copy shallow clone; version >= 0 clones the source AS OF " +

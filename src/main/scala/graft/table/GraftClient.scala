@@ -5105,12 +5105,26 @@ final class GraftClient(
     * forever). Returns the number of DATA objects removed.
     *
     * Time travel older than the retained window stops working afterwards —
-    * that is the point of the retention knob. Run from a maintenance
-    * context with no concurrent writer mid-transaction: an uncommitted
-    * writer's objects are not yet referenced by any log entry and would be
-    * reclaimed as orphans (the same single-maintainer assumption every
-    * lakehouse vacuum makes). Metadata work is O(retained versions);
-    * deletion is driver-side filesystem calls, no Spark jobs.
+    * that is the point of the retention knob. Metadata work is O(retained
+    * versions); deletion is driver-side filesystem calls, no Spark jobs.
+    *
+    * CONCURRENT-WRITER SAFETY (the direct-committer corollary): every
+    * write lands at its final `_table_<t>_<uuid>` name the moment the
+    * task finishes, unreferenced by any log entry until the commit — so
+    * an in-flight writer's objects are indistinguishable from aborted-tx
+    * orphans BY THE LOG ALONE. Vacuum therefore splits the unreferenced
+    * set two ways: a path MENTIONED by a retained log entry (added then
+    * superseded/dropped) is provably committed debris — no in-flight
+    * writer can own it, because writers mint fresh uuids — and reclaims
+    * immediately; a path the retained log has NEVER heard of is either
+    * an orphan or a live writer's work-in-progress, and only age
+    * distinguishes them, so it reclaims only past
+    * `spark.graft.vacuum.orphanRetainMs` (default 24 h — comfortably
+    * above any real write job's task-output-to-commit window; Delta's
+    * retention-duration gate is the same shape). `0` disables the gate
+    * for single-maintainer contexts that want immediate reclaim.
+    * Long-running READERS of reclaimed versions still fail loudly via
+    * strictRead — that contract is the retention knob's, not this gate's.
     */
   /** Minimum age before vacuum reclaims a `_cdfspill_*` page dir
     * (override: `spark.graft.cdf.spillRetainMs`; tests set 0).
@@ -5118,6 +5132,37 @@ final class GraftClient(
   private def spillRetainMs: Long =
     spark.conf.getOption("spark.graft.cdf.spillRetainMs")
       .map(_.toLong).getOrElse(60L * 60 * 1000)
+
+  /** Minimum age before vacuum reclaims an unreferenced path NO retained
+    * log entry mentions — the only shape an in-flight concurrent writer's
+    * direct-committed objects can take (override:
+    * `spark.graft.vacuum.orphanRetainMs`; `<= 0` disables the gate).
+    */
+  private def orphanRetainMs: Long =
+    spark.conf.getOption("spark.graft.vacuum.orphanRetainMs")
+      .map(_.toLong).getOrElse(24L * 60 * 60 * 1000)
+
+  /** [[vacuum]] with a TIME-based retention window (Delta's `VACUUM …
+    * RETAIN n HOURS` shape): every snapshot whose commit's monotonized
+    * wall clock is within the last `retainMs` stays replayable; versions
+    * older than that are the reclaim window. Resolved via
+    * [[graft.tx.TxLog.versionAtTimestamp]] against the same effective
+    * clocks TIMESTAMP AS OF uses, so "retain 7 days" and "time travel 7
+    * days back" agree by construction. When every retained commit is
+    * younger than the horizon, everything is retained (only aged
+    * never-mentioned orphans can reclaim — see [[vacuum]]'s gate).
+    */
+  def vacuumRetainTime(retainMs: Long, dryRun: Boolean = false): Int = {
+    val cur = txLog.latestVersion
+    val horizonV =
+      try txLog.versionAtTimestamp(System.currentTimeMillis() - retainMs)
+      catch {
+        // "no commit at or before": the whole history is younger
+        case _: IllegalArgumentException => 0L
+      }
+    val retain = math.min(Int.MaxValue.toLong, math.max(0L, cur - horizonV))
+    vacuum(retain.toInt, dryRun)
+  }
 
   def vacuum(retainVersions: Int = 0, dryRun: Boolean = false): Int = {
     require(tx.isEmpty, "vacuum must run outside a transaction")
@@ -5156,9 +5201,26 @@ final class GraftClient(
       keep += a.path
       keep ++= a.bloomRefs.valuesIterator.map(_.path)
     }
+    // every path ANY scanned entry references (added, removed, sidecar,
+    // DV, CDC): once unreferenced, such a path is provably COMMITTED
+    // debris — writers mint fresh uuids, so no in-flight transaction can
+    // own a name the log has already recorded — and is safe to reclaim
+    // immediately; unreferenced paths OUTSIDE this set go through the
+    // orphanRetainMs age gate (see the vacuum scaladoc)
+    val mentioned = mutable.Set[String]()
+    def mention(a: Action): Unit = a match {
+      case x: AddDataObject =>
+        mentioned += x.path
+        mentioned ++= x.bloomRefs.valuesIterator.map(_.path)
+      case x: AddDeleteVector => mentioned += x.path
+      case RemoveDataObject(_, p) => mentioned += p
+      case x: AddCdcObject => mentioned += x.path
+      case _ => ()
+    }
     liveF.values.foreach(_.values.foreach(keepFile))
     liveD.values.foreach(_.values.foreach(d => keep += d.path))
     txLog.entriesBetween(from, cur.version).foreach { case (_, as) =>
+      as.foreach(mention)
       as.foreach {
         case a: AddDataObject =>
           liveF.getOrElseUpdate(a.table,
@@ -5191,22 +5253,45 @@ final class GraftClient(
     txLog.entriesBetween(
       pruneTarget.getOrElse(txLog.oldestAvailableVersion), cur.version)
       .foreach { case (_, as) =>
+        as.foreach(mention)
         as.foreach {
           case c: AddCdcObject => keep += c.path
           case _ => ()
         }
       }
+    val now = System.currentTimeMillis()
+    // newest FILE mtime inside a dir (two levels — direct-committed
+    // objects nest part files under obj_<uuid>/), the dir mtime only on
+    // an empty listing: object-store filesystems (S3A et al) report
+    // 0/synthetic mtimes for directories, which would make every fresh
+    // path look ancient; files carry real mtimes everywhere
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isFile) st.getModificationTime
+      else {
+        val entries = listPath(st.getPath)
+        val files = entries.filter(_.isFile) ++ entries.filter(_.isDirectory)
+          .flatMap(d => listPath(d.getPath).filter(_.isFile))
+        if (files.isEmpty) st.getModificationTime
+        else files.map(_.getModificationTime).max
+      }
+    // a log-mentioned path reclaims immediately; a never-mentioned one
+    // (aborted orphan OR a concurrent writer's in-flight direct write —
+    // the log cannot tell them apart) only past the age gate
+    def orphanAged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanRetainMs <= 0 || mentioned(st.getPath.getName) ||
+        newestMtime(st) < now - orphanRetainMs
     val victims = listPath(rootPath)
       .filter { st =>
         val n = st.getPath.getName
-        (st.isDirectory && ((n.startsWith("_table_") && !keep(n)) ||
-          // a crash between a compact/rewrite staging write and its moves
-          // strands a _staging_* dir no log entry ever references
+        ((st.isDirectory && ((n.startsWith("_table_") && !keep(n)) ||
+          // a crash between a pre-round-13 compact/rewrite staging write
+          // and its moves strands a _staging_* dir no log entry ever
+          // references (nothing stages anymore; age-gated anyway so a
+          // rolling deploy's old-binary writer mid-stage stays safe)
           n.startsWith("_staging_"))) ||
           // bloom sidecars unreferenced by every retained snapshot:
-          // superseded by a re-stamp, or orphaned by an aborted tx —
-          // same single-maintainer contract as data-object orphans
-          (n.startsWith("_bloom_") && !keep(n))
+          // superseded by a re-stamp, or orphaned by an aborted tx
+          (n.startsWith("_bloom_") && !keep(n))) && orphanAged(st)
       }
     // _cdfspill_* pages of wide-window change-feed reads reclaim here
     // too (their lifetime contract — see changesByFile) but only past
@@ -5221,26 +5306,15 @@ final class GraftClient(
     // would keep a busy service's spills forever — and on a
     // creation-time store it would delete a fresh page under a 2-hour-
     // old root.
-    val spillHorizon = System.currentTimeMillis() - spillRetainMs
+    val spillHorizon = now - spillRetainMs
     val spillRoots = listPath(rootPath).filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("_cdfspill_"))
-    // age = the newest FILE inside the page, not the dir mtime:
-    // object-store filesystems (S3A et al) report 0/synthetic mtimes
-    // for directories, which would make every fresh page look ancient
-    // and get reclaimed mid-read on exactly the remote schemes the
-    // rootDir spill placement exists for. Files carry real mtimes
-    // everywhere; an empty listing falls back to the dir mtime.
-    def pageAge(p: org.apache.hadoop.fs.FileStatus): Long = {
-      // direct-committed pages nest part files one level down
-      // (page/obj_<uuid>/part-*): take the newest file at either depth
-      val entries = listPath(p.getPath)
-      val files = entries.filter(_.isFile) ++ entries.filter(_.isDirectory)
-        .flatMap(d => listPath(d.getPath).filter(_.isFile))
-      if (files.isEmpty) p.getModificationTime
-      else files.map(_.getModificationTime).max
-    }
+    // age = newestMtime (the newest FILE inside the page — see above): a
+    // page younger than spillRetainMs may back a DataFrame some session
+    // is still consuming, the vacuuming service's own wide-window feed
+    // included, and deleting it mid-read fails that read
     val spillPages = spillRoots.flatMap(r => listPath(r.getPath)
-      .filter(p => p.isDirectory && pageAge(p) < spillHorizon))
+      .filter(p => p.isDirectory && newestMtime(p) < spillHorizon))
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete

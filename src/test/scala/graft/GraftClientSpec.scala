@@ -21,6 +21,10 @@ object SparkTestSession {
       .config("spark.sql.codegen.maxFields", "300")
       // SQL UPDATE/MERGE on graft catalog tables (GraftDml rewrite rules)
       .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+      // single-maintainer test fixtures vacuum the orphans they just
+      // made; the concurrent-writer age gate is exercised explicitly
+      // (VacuumSafetySpec sets it nonzero locally)
+      .config("spark.graft.vacuum.orphanRetainMs", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

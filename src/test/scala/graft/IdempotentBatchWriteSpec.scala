@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Idempotent BATCH writes — Delta's `txnAppId`/`txnVersion` writer
+  * options on `df.write.format("graft")`: the watermark commits
+  * atomically with the rows, so a retried job re-running the same
+  * (appId, version) write lands nothing, a fresh version lands once,
+  * and the guarantee needs no sink-side state (the streaming sink's
+  * SetTxn discipline, exposed to batch writers).
+  */
+class IdempotentBatchWriteSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("same (txnAppId, txnVersion) re-write is a no-op; a fresh version lands") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_txnwrite").toString
+
+    def write(ver: Long, ks: Range): Unit =
+      ks.toDF("k").write.format("graft")
+        .option("table", "t")
+        .option("txnAppId", "loader").option("txnVersion", ver.toString)
+        .mode("append").save(root)
+
+    write(1, 0 until 10)
+    // the failed-driver retry shape: same version, even different rows —
+    // already applied, nothing lands, nothing errors
+    write(1, 100 until 200)
+    val after = ss.read.format("graft").option("table", "t").load(root)
+    assert(after.count() == 10)
+
+    // an OLDER version replayed out of order is also already-applied
+    write(0, 500 until 600)
+    assert(ss.read.format("graft").option("table", "t").load(root)
+      .count() == 10)
+
+    write(2, 10 until 15)
+    val all = ss.read.format("graft").option("table", "t").load(root)
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(all == (0 until 15))
+
+    // a DIFFERENT appId is independent
+    (20 until 22).toDF("k").write.format("graft")
+      .option("table", "t")
+      .option("txnAppId", "other").option("txnVersion", "1")
+      .mode("append").save(root)
+    assert(ss.read.format("graft").option("table", "t").load(root)
+      .count() == 17)
+  }
+
+  test("txnAppId without txnVersion refuses loudly") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_txnwrite2").toString
+    val err = intercept[IllegalArgumentException] {
+      (0 until 3).toDF("k").write.format("graft")
+        .option("table", "t").option("txnAppId", "loader")
+        .mode("append").save(root)
+    }
+    assert(err.getMessage.contains("txnAppId and txnVersion"))
+  }
+}

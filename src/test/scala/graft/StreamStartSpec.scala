@@ -1,0 +1,206 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** New-stream seeding: `initialSnapshot` (Delta's snapshot-first
+  * semantics — batch 0 is the table's live state, the tail follows) and
+  * `startingVersion = "latest"` (changes from stream start on). Both are
+  * the switch-on paths for streaming an EXISTING table: a from-0 log
+  * replay needs the full log head (vacuum's log retention prunes it) and
+  * an append-only history (compaction breaks it); these need neither.
+  */
+class StreamStartSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false)))
+
+  private def insert(c: GraftClient, t: String, ks: Range): Unit = {
+    val ss = spark
+    import ss.implicits._
+    c.newTx(); c.insert(t, ks.toDF("k")); c.commitTx()
+  }
+
+  /** A table whose history a fresh from-0 replay CANNOT serve: inserts,
+    * a delete, a compaction (rewrites break append-only), then
+    * checkpoint + vacuum (prunes the log head).
+    */
+  private def prunedFixture(): (String, GraftClient) = {
+    val root = Files.createTempDirectory("graft_streamstart").toString
+    val c = new GraftClient(spark, root)
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    insert(c, "t", 0 until 10)
+    insert(c, "t", 10 until 20)
+    c.newTx(); c.deleteRows("t", "k", 15, 19); c.commitTx()
+    c.newTx(); c.compact("t"); c.commitTx()
+    c.checkpointNow()
+    c.vacuum(retainVersions = 0) // reclaims + prunes the log head
+    (root, c)
+  }
+
+  test("initialSnapshot: batch 0 is the live state on a pruned, compacted table; tail follows") {
+    val ss = spark
+    import ss.implicits._
+    val (root, c) = prunedFixture()
+
+    // the from-0 replay this option replaces fails loudly here
+    val bad = ss.readStream.format("graft").option("table", "t").load(root)
+      .writeStream.format("memory").queryName("ss_from0")
+      .outputMode("append").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try bad.processAllAvailable() finally bad.stop()
+      bad.awaitTermination(10000)
+      throw bad.exception.getOrElse(fail("from-0 replay must fail"))
+    }
+
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("initialSnapshot", "true").load(root)
+      .writeStream.format("memory").queryName("ss_snap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val snap = ss.table("ss_snap").as[Int].collect().sorted.toSeq
+      assert(snap == (0 until 15), s"snapshot batch wrong: $snap")
+
+      // the tail picks up from the snapshot's pinned version
+      insert(c, "t", 100 until 103)
+      q.processAllAvailable()
+      val all = ss.table("ss_snap").as[Int].collect().sorted.toSeq
+      assert(all == (0 until 15) ++ (100 until 103), s"tail wrong: $all")
+    } finally q.stop()
+  }
+
+  test("initialSnapshot composes with rate caps: snapshot uncapped, tail commit-aligned") {
+    val ss = spark
+    import ss.implicits._
+    val (root, c) = prunedFixture()
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("initialSnapshot", "true")
+      .option("maxObjectsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("ss_capped")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(ss.table("ss_capped").count() == 15)
+      insert(c, "t", 200 until 202)
+      insert(c, "t", 300 until 302)
+      q.processAllAvailable()
+      val all = ss.table("ss_capped").as[Int].collect().sorted.toSeq
+      assert(all == (0 until 15) ++ (200 until 202) ++ (300 until 302))
+    } finally q.stop()
+  }
+
+  test("keyed-CDF initialSnapshot bootstraps replication from an existing table") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_cdfsnap").toString
+    val c = new GraftClient(ss, root)
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", IntegerType))))
+    c.commitTx()
+    def upsert(ks: Range, v: Int): Unit = {
+      c.newTx()
+      c.insert("t", ks.map(k => (k, v)).toDF("k", "v"))
+      c.commitTx()
+    }
+    upsert(0 until 10, 1)
+    c.newTx(); c.compact("t"); c.commitTx()
+    c.checkpointNow()
+    c.vacuum(retainVersions = 0) // the from-0 keyed feed can't replay this
+
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("changeFeed", "true").option("keyColumns", "k")
+      .option("initialSnapshot", "true").load(root)
+      .writeStream.format("memory").queryName("ss_cdf_snap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val snap = ss.table("ss_cdf_snap")
+      assert(snap.count() == 10)
+      assert(snap.select("_change").distinct()
+        .as[String].collect().toSeq == Seq("insert"))
+
+      // the incremental tail follows from the snapshot's pinned version:
+      // an MVCC re-insert of existing keys reads as updates
+      upsert(0 until 2, 2)
+      q.processAllAvailable()
+      val upd = ss.table("ss_cdf_snap")
+        .filter(org.apache.spark.sql.functions.col("_change") === "update")
+      assert(upd.select("k").as[Int].collect().sorted.toSeq == Seq(0, 1))
+    } finally q.stop()
+  }
+
+  test("file-CDF initialSnapshot serves live rows as inserts with real per-row provenance") {
+    val ss = spark
+    import ss.implicits._
+    val (root, c) = prunedFixture()
+
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("changeFeed", "true")
+      .option("initialSnapshot", "true").load(root)
+      .writeStream.format("memory").queryName("ss_file_snap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val snap = ss.table("ss_file_snap")
+      assert(snap.count() == 15)
+      assert(snap.select("_change_type").distinct()
+        .as[String].collect().toSeq == Seq("insert"))
+      // _commit_version is each row's own _tx_id: the two insert commits
+      // (ids 1 and 2), surviving the delete's CoW AND the compaction —
+      // real provenance, not a synthetic stamp
+      assert(snap.select("_commit_version").distinct()
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+      // the recorded incremental feed follows
+      c.newTx()
+      c.setTableProperties("t", Map(GraftClient.CdfProperty -> "true"))
+      c.commitTx()
+      c.newTx(); c.deleteRows("t", "k", 0, 1); c.commitTx()
+      q.processAllAvailable()
+      val dels = ss.table("ss_file_snap")
+        .filter(org.apache.spark.sql.functions
+          .col("_change_type") === "delete")
+      assert(dels.select("k").as[Int].collect().sorted.toSeq == Seq(0, 1))
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest: plain and keyed-CDF streams see only post-start changes") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_streamlatest").toString
+    val c = new GraftClient(ss, root)
+    c.newTx(); c.createTable("t", schema)
+    c.setTableProperties("t", Map(GraftClient.CdfProperty -> "true"))
+    c.commitTx()
+    insert(c, "t", 0 until 5) // pre-start history: must NOT appear
+
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("ss_latest")
+      .outputMode("append").start()
+    val qc = ss.readStream.format("graft").option("table", "t")
+      .option("changeFeed", "true").option("keyColumns", "k")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName("ss_latest_cdf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable(); qc.processAllAvailable()
+      assert(ss.table("ss_latest").count() == 0)
+      assert(ss.table("ss_latest_cdf").count() == 0)
+      insert(c, "t", 5 until 8)
+      q.processAllAvailable(); qc.processAllAvailable()
+      assert(ss.table("ss_latest").as[Int].collect().sorted.toSeq
+        == (5 until 8))
+      assert(ss.table("ss_latest_cdf").select("k")
+        .as[Int].collect().sorted.toSeq == (5 until 8))
+    } finally { q.stop(); qc.stop() }
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Concurrent-writer vacuum safety — the direct-committer corollary.
+  *
+  * Round 13 made every write land at its final `_table_<t>_<uuid>` name
+  * the moment the task finishes, unreferenced by any log entry until the
+  * commit. A vacuum running concurrently therefore sees an in-flight
+  * writer's objects as orphans BY THE LOG ALONE. The gate
+  * (`spark.graft.vacuum.orphanRetainMs`) must keep them alive:
+  *
+  *   - never-log-mentioned young paths survive vacuum (in-flight writer
+  *     OR fresh abort — indistinguishable, both kept);
+  *   - never-mentioned paths PAST the age horizon reclaim (true orphans);
+  *   - log-MENTIONED unreferenced paths reclaim immediately regardless of
+  *     age (committed-then-superseded debris — writers mint fresh uuids,
+  *     so no in-flight tx can own a name the log already recorded);
+  *   - a checkpoint that swallowed the mention history falls back to the
+  *     age gate (conservative: keep until old).
+  *
+  * Delta's vacuum retention-duration gate is the same shape
+  * (reference analog: dataobjects are write-once and never reclaimed by
+  * a concurrent actor at all — /root/reference/deltalakeclient/
+  * dataobjects.go:51-58 plus the README's single-writer caveat).
+  */
+class VacuumSafetySpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType)))
+
+  private def df(lo: Int, hi: Int) = spark.createDataFrame(
+    (lo until hi).map(i => Row(Int.box(i), s"v$i")).asJava, schema)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_vacsafe").toString
+
+  /** Scans need an open snapshot — count rows in a throwaway tx. */
+  private def rows(c: GraftClient, t: String): Long = {
+    c.newTx()
+    try c.scan(t).count() finally c.rollback()
+  }
+
+  /** Run `body` with the orphan age gate set to `ms` (the shared test
+    * session pins it to 0 globally).
+    */
+  private def withGate[A](ms: Long)(body: => A): A = {
+    spark.conf.set("spark.graft.vacuum.orphanRetainMs", ms.toString)
+    try body
+    finally spark.conf.set("spark.graft.vacuum.orphanRetainMs", "0")
+  }
+
+  /** Backdate every FILE under root's `_table_*` / `_bloom_*` entries
+    * that vacuum would age-test (newest-file-wins, so every file).
+    */
+  private def backdateAll(root: String, ms: Long): Unit = {
+    val t = FileTime.fromMillis(System.currentTimeMillis() - ms)
+    Files.walk(Path.of(root)).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .foreach(p => Files.setLastModifiedTime(p, t))
+  }
+
+  test("in-flight writer's uncommitted direct writes survive a concurrent vacuum") {
+    withGate(60L * 60 * 1000) {
+      val dir = tmp()
+      val writer = new GraftClient(spark, dir)
+      val maint = new GraftClient(spark, dir)
+
+      writer.newTx()
+      writer.createTable("t", schema)
+      writer.insert("t", df(0, 10))
+      writer.commitTx()
+
+      // in-flight: objects already on disk at final names, commit pending
+      writer.newTx()
+      writer.insert("t", df(10, 20))
+
+      val reclaimed = maint.vacuum(retainVersions = 0)
+      assert(reclaimed == 0,
+        s"vacuum reclaimed $reclaimed objects out from under a live writer")
+
+      writer.commitTx() // must still succeed — its bytes are intact
+      assert(rows(writer, "t") == 20)
+      assert(rows(maint, "t") == 20)
+    }
+  }
+
+  test("aged never-mentioned orphans reclaim; young ones wait") {
+    withGate(60L * 60 * 1000) {
+      val dir = tmp()
+      val c = new GraftClient(spark, dir)
+      c.newTx()
+      c.createTable("t", schema)
+      c.insert("t", df(0, 10))
+      c.commitTx()
+
+      // an aborted tx leaves orphans at final names (rollback, not
+      // abortAndClean — the crashed-writer shape vacuum exists for)
+      c.newTx()
+      c.insert("t", df(10, 20))
+      c.rollback()
+
+      assert(c.vacuum(retainVersions = 0) == 0, "young orphan reclaimed")
+
+      // ...but everything on disk predating the horizon is fair game —
+      // backdating ALL files models time passing; live objects are
+      // keep-set-protected and never age-tested
+      backdateAll(dir, 2L * 60 * 60 * 1000)
+      val reclaimed = c.vacuum(retainVersions = 0)
+      assert(reclaimed > 0, "aged orphan not reclaimed")
+      assert(rows(c, "t") == 10)
+    }
+  }
+
+  test("log-mentioned superseded objects reclaim immediately despite the gate") {
+    withGate(60L * 60 * 1000) {
+      val dir = tmp()
+      val c = new GraftClient(spark, dir)
+      c.newTx()
+      c.createTable("t", schema)
+      c.insert("t", df(0, 10))
+      c.commitTx()
+      c.newTx()
+      c.insert("t", df(10, 20))
+      c.commitTx()
+      c.newTx()
+      c.compact("t")
+      c.commitTx()
+
+      // the pre-compaction objects are young, but the raw log MENTIONS
+      // them (their adds + the compact's removes) — provably committed
+      // debris, immediate reclaim
+      val reclaimed = c.vacuum(retainVersions = 0)
+      assert(reclaimed > 0, "mentioned superseded objects not reclaimed")
+      assert(rows(c, "t") == 20)
+    }
+  }
+
+  test("time-based retention: young history is fully retained, RETAIN 0 reclaims") {
+    val dir = tmp()
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(0, 10))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", df(10, 20))
+    c.commitTx()
+    c.newTx()
+    c.compact("t")
+    c.commitTx()
+
+    // every commit is younger than an hour: all versions stay
+    // replayable, nothing reclaims (gate 0 here — this is retention
+    // semantics, not the orphan gate)
+    assert(c.vacuumRetainTime(60L * 60 * 1000) == 0)
+    c.newTx()
+    try assert(c.scanAsOf("t", 1).count() == 10) finally c.rollback()
+
+    // RETAIN 0 HOURS == vacuum(0): the superseded objects reclaim; the
+    // SQL surface takes the same knob
+    val ss = spark
+    ss.conf.set("spark.sql.catalog.vs", "graft.sql.GraftCatalog")
+    ss.conf.set("spark.sql.catalog.vs.root", dir)
+    try {
+      val n = ss.sql("CALL vs.system.vacuum(retain_hours => 0.0)")
+        .collect().head.getInt(0)
+      assert(n > 0, "RETAIN 0 HOURS must reclaim the superseded objects")
+      assert(rows(c, "t") == 20)
+    } finally {
+      ss.conf.unset("spark.sql.catalog.vs")
+      ss.conf.unset("spark.sql.catalog.vs.root")
+    }
+  }
+
+  test("a checkpoint that swallowed the mentions falls back to the age gate") {
+    withGate(60L * 60 * 1000) {
+      val dir = tmp()
+      val c = new GraftClient(spark, dir)
+      c.newTx()
+      c.createTable("t", schema)
+      c.insert("t", df(0, 5))
+      c.commitTx()
+      c.newTx()
+      c.insert("t", df(5, 10))
+      c.commitTx()
+      c.newTx()
+      c.compact("t") // two objects → a real rewrite with superseded debris
+      c.commitTx()
+      c.checkpointNow()
+
+      // the checkpoint folds the live set only — the superseded adds and
+      // their removes are no longer scannable, so the path is
+      // never-mentioned and the gate holds (conservative keep)...
+      assert(c.vacuum(retainVersions = 0) == 0)
+
+      // ...until it ages out
+      backdateAll(dir, 2L * 60 * 60 * 1000)
+      assert(c.vacuum(retainVersions = 0) > 0)
+      assert(rows(c, "t") == 10)
+    }
+  }
+}
