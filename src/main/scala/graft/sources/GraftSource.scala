@@ -229,18 +229,28 @@ final class GraftSource extends RelationProvider
         opt(parameters, "table"), streamStart(parameters),
         trackLoc(parameters),
         parameters.get("initialsnapshot")
-          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
+          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean),
+        parameters.get("maxobjectspertrigger")
+          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
+        parameters.get("maxrowspertrigger")
+          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
     else if (changeFeed(parameters))
       new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"), keyColumns(parameters),
         preimages(parameters), streamStart(parameters),
         trackLoc(parameters),
         parameters.get("initialsnapshot")
-          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
+          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean),
+        parameters.get("maxobjectspertrigger")
+          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
+        parameters.get("maxrowspertrigger")
+          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
     else
       new GraftStreamSource(sqlContext, opt(parameters, "path"),
         opt(parameters, "table"),
         parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+          .exists(_.toBoolean),
+        parameters.get("ignoredeletes").orElse(parameters.get("ignoreDeletes"))
           .exists(_.toBoolean),
         parameters.get("maxobjectspertrigger")
           .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
@@ -316,6 +326,140 @@ private[sources] object GraftSource {
     }
 }
 
+/** Shared offset machinery for the three log-backed streaming sources:
+  * commit-aligned rate caps (`maxObjectsPerTrigger` /
+  * `maxRowsPerTrigger`), native `Trigger.AvailableNow` draining, and
+  * restart high-water re-sync.
+  *
+  * The offset domain is log versions, so a cap is commit-aligned by
+  * construction (a commit's changes never split across batches) and
+  * always admits at least one commit (a single over-sized commit still
+  * drains). The cap walk reads ONLY the unconsumed window — O(window)
+  * log reads, not O(log). `Trigger.AvailableNow` pins the end version
+  * when the query starts, so the drain terminates even while new
+  * commits keep landing; without the [[SupportsTriggerAvailableNow]]
+  * mixin Spark falls back to single-batch Trigger.Once execution, which
+  * under a rate limit would stop after the FIRST slice of the backlog —
+  * silent data loss for a drain job.
+  */
+private[sources] trait GraftLogOffsets extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  protected def client: GraftClient
+  protected def table: String
+  protected def seedVersion: Long
+  protected def maxObjectsPerTrigger: Option[Int]
+  protected def maxRowsPerTrigger: Option[Long]
+
+  /** Is this an `initialSnapshot` stream? Its batch 0 is ONE snapshot
+    * scan, not a commit-window replay — the caps start applying from
+    * the tail batches (walking the history for batch 0 would also fail
+    * on exactly the retention-pruned tables initialSnapshot exists for).
+    */
+  protected def snapshotSeeded: Boolean = false
+
+  /** Count [[graft.tx.AddCdcObject]] volume toward the caps: the change
+    * feeds replay change records, the plain row source replays adds only.
+    */
+  protected def capCountsCdc: Boolean = false
+
+  // highest log version this source has offered or served — the base the
+  // next rate-limited offset advances from
+  @volatile protected var highWater: Long = -1L
+
+  // Trigger.AvailableNow's pinned end: batches never reach past it
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(client.latestVersion)
+
+  /** Advertise the constructor caps in ReadLimit terms. The values are
+    * not re-parsed from the limit handed back to [[latestOffset]] — the
+    * caps live in the constructor — but MicroBatchExecution requires the
+    * advertised and applied limits to agree.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    (maxObjectsPerTrigger, maxRowsPerTrigger) match {
+      case (Some(o), None) => ReadLimit.maxFiles(o)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case (Some(o), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(o),
+          ReadLimit.maxRows(r)))
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** The admission-control offset surface (used by MicroBatchExecution
+    * for EVERY trigger once the mixin is present): same logic as
+    * [[getOffset]], with the checkpointed start re-syncing the
+    * high-water mark after a restart.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    Option(start).foreach { o =>
+      highWater = math.max(highWater, versionOfV2(o))
+    }
+    getOffset.orNull
+  }
+
+  private def versionOfV2(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  protected def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong // SerializedOffset after a restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val c = client
+    val latest = {
+      val l = c.latestVersion
+      availableNowEnd.fold(l)(math.min(l, _))
+    }
+    if (latest == 0L) return None
+    val offered =
+      if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
+      else if (snapshotSeeded && highWater < 0L) latest
+      else {
+        val base = math.max(highWater, seedVersion)
+        if (base >= latest) latest
+        else {
+          // stop before the commit that would push the batch past
+          // EITHER cap (objects and/or rows — Delta's
+          // maxFiles/maxBytesPerTrigger pair), always taking at least
+          // one commit
+          var v = base
+          var objs = 0
+          var rows = 0L
+          var stopped = false
+          c.historyBetween(base, latest).foreach { case (id, actions) =>
+            if (!stopped) {
+              val w = actions.collect {
+                case a: graft.tx.AddDataObject if a.table == table =>
+                  (1, a.numRows)
+                case a: graft.tx.AddCdcObject
+                    if capCountsCdc && a.table == table =>
+                  (1, a.numRows)
+              }
+              val n = w.length
+              val r = w.map(_._2).sum
+              val past =
+                maxObjectsPerTrigger.exists(m => objs + n > m) ||
+                  maxRowsPerTrigger.exists(m => rows + r > m)
+              if ((objs > 0 || rows > 0) && past) stopped = true
+              else { objs += n; rows += r; v = id + 1 }
+            }
+          }
+          math.min(math.max(v, base + 1), latest)
+        }
+      }
+    highWater = math.max(highWater, offered)
+    Some(LongOffset(offered))
+  }
+
+  override def stop(): Unit = {}
+}
+
 /** Streaming CHANGE DATA FEED source — `readStream.format("graft")
   * .option("changeFeed", "true").option("keyColumns", "id")`: each
   * micro-batch is the keyed latest-state diff of its commit window
@@ -329,21 +473,27 @@ private[sources] object GraftSource {
   * replicating an EXISTING table whose log head retention pruned.
   */
 final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, keyCols: Seq[String], preimages: Boolean = false,
+    protected val table: String, keyCols: Seq[String],
+    preimages: Boolean = false,
     start: Option[GraftSource.StreamStart] = None,
     schemaTrackingLocation: Option[String] = None,
-    initialSnapshot: Boolean = false)
-    extends Source {
+    initialSnapshot: Boolean = false,
+    protected val maxObjectsPerTrigger: Option[Int] = None,
+    protected val maxRowsPerTrigger: Option[Long] = None)
+    extends Source with GraftLogOffsets {
 
   require(!initialSnapshot || start.isEmpty,
     "graft: initialSnapshot and startingVersion/startingTimestamp are " +
       "mutually exclusive (an explicit start skips the snapshot)")
 
-  private def client = new GraftClient(sqlContext.sparkSession, root)
+  override protected def snapshotSeeded: Boolean = initialSnapshot
+  override protected def capCountsCdc: Boolean = true
+
+  protected def client = new GraftClient(sqlContext.sparkSession, root)
 
   // startingVersion ("latest" included) / startingTimestamp seed for a
   // fresh stream (no checkpointed offset yet); resolved once, at first use
-  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
+  protected lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   /** Base = tracked-or-current (see [[GraftStreamSource.resolveTrackedBase]]),
     * decorated with the feed column — a restart after an evolution
@@ -356,18 +506,9 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
       .StructField("_change", org.apache.spark.sql.types.StringType))
   }
 
-  override def getOffset: Option[Offset] = {
-    val v = client.latestVersion
-    if (v == 0L) None else Some(LongOffset(v))
-  }
-
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val until = versionOf(end)
+    highWater = math.max(highWater, until) // restart recovery re-sync
     val batch = start match {
       case None if initialSnapshot =>
         // bootstrap a replication pipeline from an EXISTING table:
@@ -408,19 +549,26 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
   * feed would refuse.
   */
 final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
-    table: String, start: Option[GraftSource.StreamStart] = None,
+    protected val table: String,
+    start: Option[GraftSource.StreamStart] = None,
     schemaTrackingLocation: Option[String] = None,
-    initialSnapshot: Boolean = false) extends Source {
+    initialSnapshot: Boolean = false,
+    protected val maxObjectsPerTrigger: Option[Int] = None,
+    protected val maxRowsPerTrigger: Option[Long] = None)
+    extends Source with GraftLogOffsets {
 
   require(!initialSnapshot || start.isEmpty,
     "graft: initialSnapshot and startingVersion/startingTimestamp are " +
       "mutually exclusive (an explicit start skips the snapshot)")
 
-  private def client = new GraftClient(sqlContext.sparkSession, root)
+  override protected def snapshotSeeded: Boolean = initialSnapshot
+  override protected def capCountsCdc: Boolean = true
+
+  protected def client = new GraftClient(sqlContext.sparkSession, root)
 
   // startingVersion ("latest" included) / startingTimestamp seed for a
   // fresh stream (no checkpointed offset yet); resolved once, at first use
-  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
+  protected lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   /** Base = tracked-or-current, decorated with the two CDC columns —
     * same restart-adoption contract as the keyed feed.
@@ -435,18 +583,9 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
         org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
-  override def getOffset: Option[Offset] = {
-    val v = client.latestVersion
-    if (v == 0L) None else Some(LongOffset(v))
-  }
-
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val until = versionOf(end)
+    highWater = math.max(highWater, until) // restart recovery re-sync
     val batch = start match {
       case None if initialSnapshot =>
         // batch 0 = live state as inserts; _commit_version is each row's
@@ -782,19 +921,22 @@ final case class GraftChangesRelation(sqlContext: SQLContext, root: String,
   * seed: changes from stream start on, no history, no snapshot.
   */
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
-    table: String, ignoreChanges: Boolean,
-    maxObjectsPerTrigger: Option[Int] = None,
-    maxRowsPerTrigger: Option[Long] = None,
+    protected val table: String, ignoreChanges: Boolean,
+    ignoreDeletes: Boolean = false,
+    protected val maxObjectsPerTrigger: Option[Int] = None,
+    protected val maxRowsPerTrigger: Option[Long] = None,
     start: Option[GraftSource.StreamStart] = None,
     schemaTrackingLocation: Option[String] = None,
     initialSnapshot: Boolean = false) extends Source
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with GraftLogOffsets {
 
   require(!initialSnapshot || start.isEmpty,
     "graft: initialSnapshot and startingVersion/startingTimestamp are " +
       "mutually exclusive (an explicit start skips the snapshot)")
 
-  private def client =
+  override protected def snapshotSeeded: Boolean = initialSnapshot
+
+  protected def client =
     new GraftClient(sqlContext.sparkSession, root)
 
   // startingVersion ("latest" included) / startingTimestamp seed for a
@@ -802,11 +944,7 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   // on a table whose log head was pruned (checkpoint + vacuum retention)
   // starts at 0 and the first batch fails the availability check with no
   // way past it — unless initialSnapshot serves the live state instead
-  private lazy val seedVersion: Long = GraftSource.seedOf(start, client)
-
-  // highest log version this source has offered or served — the base the
-  // next rate-limited offset advances from
-  @volatile private var highWater: Long = -1L
+  protected lazy val seedVersion: Long = GraftSource.seedOf(start, client)
 
   /** With a tracking location, the declared schema is the TRACKED one
     * (last persisted adoption) — a restart after an evolution resumes
@@ -815,101 +953,6 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     */
   override val schema: StructType = GraftStreamSource
     .resolveTrackedBase(sqlContext, root, table, schemaTrackingLocation)
-
-  // Trigger.AvailableNow's pinned end: batches never reach past it, so
-  // the drain terminates even while new commits keep landing (they
-  // belong to the next run)
-  @volatile private var availableNowEnd: Option[Long] = None
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(client.latestVersion)
-
-  /** Advertise the constructor caps in ReadLimit terms. The values are
-    * not re-parsed from the limit handed back to [[latestOffset]] — the
-    * caps live in the constructor — but MicroBatchExecution requires the
-    * advertised and applied limits to agree.
-    */
-  override def getDefaultReadLimit: ReadLimit =
-    (maxObjectsPerTrigger, maxRowsPerTrigger) match {
-      case (Some(o), None) => ReadLimit.maxFiles(o)
-      case (None, Some(r)) => ReadLimit.maxRows(r)
-      case (Some(o), Some(r)) =>
-        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(o),
-          ReadLimit.maxRows(r)))
-      case _ => ReadLimit.allAvailable()
-    }
-
-  /** The admission-control offset surface (used by MicroBatchExecution
-    * for EVERY trigger once the mixin is present): same logic as
-    * [[getOffset]], with the checkpointed start re-syncing the
-    * high-water mark after a restart.
-    */
-  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    Option(start).foreach { o =>
-      highWater = math.max(highWater, versionOfV2(o))
-    }
-    getOffset.orNull
-  }
-
-  private def versionOfV2(o: OffsetV2): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong
-  }
-
-  override def getOffset: Option[Offset] = {
-    val c = client
-    val latest = {
-      val l = c.latestVersion
-      availableNowEnd.fold(l)(math.min(l, _))
-    }
-    if (latest == 0L) return None
-    val offered =
-      if (maxObjectsPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty) latest
-      // a fresh initialSnapshot stream's batch 0 is ONE snapshot scan,
-      // not a commit-window replay — the rate caps (commit-aligned by
-      // construction) start applying from the tail batches; walking the
-      // history here would also fail on exactly the retention-pruned
-      // tables initialSnapshot exists for
-      else if (initialSnapshot && highWater < 0L) latest
-      else {
-        val base = math.max(highWater, seedVersion)
-        if (base >= latest) latest
-        else {
-          // walk ONLY the unconsumed commit window (O(window) log reads,
-          // not O(log) — entriesBetween selects by name before reading
-          // bodies), stopping before the commit that would push the
-          // batch past EITHER cap (objects and/or rows — Delta's
-          // maxFiles/maxBytesPerTrigger pair), but always taking at
-          // least one commit
-          var v = base
-          var objs = 0
-          var rows = 0L
-          var stopped = false
-          c.historyBetween(base, latest).foreach { case (id, actions) =>
-            if (!stopped) {
-              val adds = actions.collect {
-                case a: graft.tx.AddDataObject if a.table == table => a
-              }
-              val n = adds.length
-              val r = adds.map(_.numRows).sum
-              val past =
-                maxObjectsPerTrigger.exists(m => objs + n > m) ||
-                  maxRowsPerTrigger.exists(m => rows + r > m)
-              if ((objs > 0 || rows > 0) && past) stopped = true
-              else { objs += n; rows += r; v = id + 1 }
-            }
-          }
-          math.min(math.max(v, base + 1), latest)
-        }
-      }
-    highWater = math.max(highWater, offered)
-    Some(LongOffset(offered))
-  }
-
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.toLong // SerializedOffset after a restart
-  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val until = versionOf(end)
@@ -931,7 +974,8 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
         c.scanAsOf(table, until).select(cols: _*)
       case _ =>
         client.addedBetween(table,
-          start.map(versionOf).getOrElse(seedVersion), until, ignoreChanges)
+          start.map(versionOf).getOrElse(seedVersion), until,
+          ignoreChanges, ignoreDeletes)
     }
     StreamingShim.asStreaming(sqlContext.sparkSession,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,

@@ -3761,27 +3761,40 @@ final class GraftClient(
     * Append-only by contract: a RemoveDataObject or AddDeleteVector in
     * the window means a delete/rewrite/compaction landed mid-stream, and
     * replaying its Adds would duplicate or lose rows downstream — the
-    * call fails unless `ignoreChanges` opts into at-least-once semantics
-    * (rewritten objects replay their surviving rows). Works outside any
-    * open transaction.
+    * call fails unless an option opts out, Delta's exact ladder:
+    * `ignoreDeletes` tolerates REMOVE-ONLY commits (a full-object
+    * delete, a TRUNCATE — their removes touch no add this stream ever
+    * replays, so exactly-once still holds for the rows that flow);
+    * `ignoreChanges` additionally tolerates rewrites (CoW deletes,
+    * compaction, DV deletes) by replaying rewritten objects' surviving
+    * rows — at-least-once. The distinction is PER COMMIT: a commit that
+    * both removes and adds (or carries a DV) is a rewrite no matter what
+    * else the window holds. Works outside any open transaction.
     */
   def addedBetween(table: String, fromV: Long, untilV: Long,
-      ignoreChanges: Boolean = false): DataFrame = {
+      ignoreChanges: Boolean = false,
+      ignoreDeletes: Boolean = false): DataFrame = {
     val schema = txLog.begin().tables.getOrElse(table,
       throw new IllegalArgumentException(s"no such table: $table"))
-    val window = txLog.actionsBetween(fromV, untilV)
-    if (!ignoreChanges) {
-      val changed = window.exists {
-        case RemoveDataObject(t, _) => t == table
-        case AddDeleteVector(t, _, _, _) => t == table
-        case _ => false
-      }
-      require(!changed,
-        s"commits [$fromV,$untilV) contain deletes/rewrites of $table; " +
-          "the stream is append-only (set ignoreChanges=true for " +
-          "at-least-once replay of rewritten objects)")
+    val entries = txLog.entriesBetween(fromV, untilV)
+    if (!ignoreChanges) entries.foreach { case (id, as) =>
+      val removes = as.exists {
+        case RemoveDataObject(t, _) => t == table; case _ => false }
+      val dvs = as.exists {
+        case AddDeleteVector(t, _, _, _) => t == table; case _ => false }
+      val adds = as.exists {
+        case a: AddDataObject => a.table == table; case _ => false }
+      if (dvs || (removes && adds)) throw new IllegalArgumentException(
+        s"commit $id rewrites $table mid-stream; the stream is " +
+          "append-only (set ignoreChanges=true for at-least-once " +
+          "replay of rewritten objects)")
+      if (removes && !ignoreDeletes) throw new IllegalArgumentException(
+        s"commit $id deletes from $table mid-stream; the stream is " +
+          "append-only (set ignoreDeletes=true to skip remove-only " +
+          "commits, or ignoreChanges=true for at-least-once replay " +
+          "of rewrites too)")
     }
-    val adds = window.collect {
+    val adds = entries.flatMap(_._2).collect {
       case a: AddDataObject if a.table == table => a
     }
     val cols = schema.fieldNames.map(col).toIndexedSeq

@@ -172,6 +172,84 @@ class StreamStartSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDF streams honor rate caps and drain natively under Trigger.AvailableNow") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_cdfcap").toString
+    val c = new GraftClient(ss, root)
+    c.newTx(); c.createTable("t", schema)
+    c.setTableProperties("t", Map(GraftClient.CdfProperty -> "true"))
+    c.commitTx()
+    (0 until 4).foreach(i => insert(c, "t", i * 2 until i * 2 + 2))
+
+    // a 4-commit backlog under maxObjectsPerTrigger=1 drains as one
+    // commit-aligned batch per commit, and AvailableNow terminates at
+    // the pinned end instead of single-batching (which under a cap
+    // would silently stop after the first slice)
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("changeFeed", "true").option("keyColumns", "k")
+      .option("maxObjectsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("ss_cdf_capped")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(180000), "AvailableNow drain must terminate")
+      assert(ss.table("ss_cdf_capped").select("k")
+        .as[Int].collect().sorted.toSeq == (0 until 8))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"the cap must split the backlog per commit, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes skips remove-only commits; rewrites still fail through it") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_igndel").toString
+    val c = new GraftClient(ss, root)
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    insert(c, "t", 0 until 5)
+
+    val q = ss.readStream.format("graft").option("table", "t")
+      .option("ignoreDeletes", "true").load(root)
+      .writeStream.format("memory").queryName("ss_igndel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(ss.table("ss_igndel").count() == 5)
+
+      // TRUNCATE = a remove-only commit: skipped, the stream lives on
+      c.newTx(); c.truncate("t"); c.commitTx()
+      insert(c, "t", 10 until 13)
+      q.processAllAvailable()
+      assert(ss.table("ss_igndel").as[Int].collect().sorted.toSeq
+        == (0 until 5) ++ (10 until 13))
+
+      // a CoW rewrite (remove + add in one commit) is NOT a delete-only
+      // commit — it still fails even with ignoreDeletes set
+      c.newTx(); c.deleteRows("t", "k", 10, 10); c.commitTx()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+        throw q.exception.getOrElse(fail("rewrite must fail the stream"))
+      }
+    } finally q.stop()
+
+    // without the option, the remove-only commit itself fails, and the
+    // error names the narrower remedy
+    val bad = ss.readStream.format("graft").option("table", "t").load(root)
+      .writeStream.format("memory").queryName("ss_igndel_bad")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try bad.processAllAvailable() finally bad.stop()
+      bad.awaitTermination(10000)
+      throw bad.exception.getOrElse(fail("delete must fail the stream"))
+    }
+    assert(err.getMessage.contains("ignoreDeletes") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreDeletes")))
+  }
+
   test("startingVersion=latest: plain and keyed-CDF streams see only post-start changes") {
     val ss = spark
     import ss.implicits._
