@@ -545,7 +545,64 @@ object CorpusOps {
     FROM surv
     ORDER BY doc_id"""
 
+  // --- Deterministic seeded shard layout -----------------------------------
+  /** The LAST step of a training-data pipeline: assign every doc to one
+    * of N output shards and fix the order WITHIN each shard — the
+    * "global shuffle + write N shard files" a trainer consumes. Both
+    * decisions are pure functions of (seed, doc_id): shard =
+    * md5-bucket(seed:doc_id) mod N, intra-shard order = that same hash
+    * — a deterministic global shuffle (re-running the release, retrying
+    * a failed shard writer, or resharding on another cluster reproduces
+    * byte-identical shards; no RNG state, no partition-order
+    * dependence). Balance falls out of the hash (each shard gets
+    * ~1/N ± noise). The emitted row per shard carries the doc/char
+    * totals AND an order signature (sum of doc_id × its position), so
+    * the oracle pins the exact intra-shard ORDER, not just membership.
+    *
+    * At 100 TB: one zero-shuffle projection + one exchange on the shard
+    * key (the write's own partitioning — repartition(N, shard) feeds
+    * per-shard sorted writers directly); nothing driver-side at any
+    * corpus size.
+    */
+  def corpusShard(spark: SparkSession, dir: String): DataFrame = {
+    val NumShards = 16L
+    val hkey = md5(concat(lit("release-1:"), col("doc_id").cast("string")))
+    val shard = pmod(conv(substring(hkey, 1, 15), 16, 10).cast("bigint"),
+      lit(NumShards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("doc_id"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        shard.as("shard"), hkey.as("hkey"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("doc_id") * col("rn")).cast("long").as("order_sig"))
+      .orderBy(col("shard"))
+  }
+
+  private val corpusShardSql = """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+        ('0x' || substr(md5('release-1:' || CAST(doc_id AS VARCHAR)),
+          1, 15))::BIGINT % 16 AS shard,
+        md5('release-1:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY shard ORDER BY hkey, doc_id) AS rn
+      FROM h)
+    SELECT shard, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(doc_id * rn) AS BIGINT) AS order_sig
+    FROM r GROUP BY 1 ORDER BY shard"""
+
   def defs: Seq[(String, QueryDef)] = Seq(
+    "corpus_shard" -> QueryDef(corpusShard, Some(corpusShardSql),
+      "deterministic seeded shard layout: shard AND intra-shard order " +
+        "are pure functions of (seed, doc_id) — reproducible global " +
+        "shuffle into N balanced shards, order pinned by signature"),
     "corpus_split_leakfree" -> QueryDef(corpusSplitLeakfree,
       Some(corpusSplitLeakfreeSql),
       "leakage-free split: train/val/test hashed on the dedup CLUSTER " +

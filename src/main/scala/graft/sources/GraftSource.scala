@@ -223,43 +223,35 @@ final class GraftSource extends RelationProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val root = opt(parameters, "path")
+    // AtLatest pins to a persisted concrete version here (replay-stable
+    // across recovery and restart — see [[GraftSource.pinLatest]])
+    val start = GraftSource.pinLatest(sqlContext, metadataPath,
+      streamStart(parameters), root)
+    def flag(name: String): Boolean =
+      parameters.get(name.toLowerCase).orElse(parameters.get(name))
+        .exists(_.toBoolean)
+    val initialSnapshot = flag("initialSnapshot")
+    val maxObjects = parameters.get("maxobjectspertrigger")
+      .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt)
+    val maxRows = parameters.get("maxrowspertrigger")
+      .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong)
     if (changeFeed(parameters) && keyColumnsOpt(parameters).isEmpty)
-      new GraftFileChangeFeedSource(sqlContext, opt(parameters, "path"),
-        opt(parameters, "table"), streamStart(parameters),
-        trackLoc(parameters),
-        parameters.get("initialsnapshot")
-          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean),
-        parameters.get("maxobjectspertrigger")
-          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
-        parameters.get("maxrowspertrigger")
-          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
+      new GraftFileChangeFeedSource(sqlContext, root,
+        opt(parameters, "table"), start, trackLoc(parameters),
+        initialSnapshot, maxObjects, maxRows)
     else if (changeFeed(parameters))
-      new GraftChangeFeedSource(sqlContext, opt(parameters, "path"),
+      new GraftChangeFeedSource(sqlContext, root,
         opt(parameters, "table"), keyColumns(parameters),
-        preimages(parameters), streamStart(parameters),
-        trackLoc(parameters),
-        parameters.get("initialsnapshot")
-          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean),
-        parameters.get("maxobjectspertrigger")
-          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
-        parameters.get("maxrowspertrigger")
-          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong))
+        preimages(parameters), start, trackLoc(parameters),
+        initialSnapshot, maxObjects, maxRows)
     else
-      new GraftStreamSource(sqlContext, opt(parameters, "path"),
+      new GraftStreamSource(sqlContext, root,
         opt(parameters, "table"),
-        parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
-          .exists(_.toBoolean),
-        parameters.get("ignoredeletes").orElse(parameters.get("ignoreDeletes"))
-          .exists(_.toBoolean),
-        parameters.get("maxobjectspertrigger")
-          .orElse(parameters.get("maxObjectsPerTrigger")).map(_.toInt),
-        parameters.get("maxrowspertrigger")
-          .orElse(parameters.get("maxRowsPerTrigger")).map(_.toLong),
-        streamStart(parameters),
-        trackLoc(parameters),
-        parameters.get("initialsnapshot")
-          .orElse(parameters.get("initialSnapshot")).exists(_.toBoolean))
+        flag("ignoreChanges"), flag("ignoreDeletes"),
+        maxObjects, maxRows, start, trackLoc(parameters), initialSnapshot)
+  }
 
   /** `df.writeStream.format("graft")` — every micro-batch is ONE committed
     * transaction carrying both its rows and a [[graft.tx.SetTxn]]
@@ -288,7 +280,7 @@ final class GraftSource extends RelationProvider
   }
 }
 
-private[sources] object GraftSource {
+private[graft] object GraftSource {
   /** Where a FRESH stream (no checkpointed offset yet) starts: a pinned
     * log version, a wall-clock instant (resolved via
     * versionAfterTimestamp at first use), or LATEST — "changes from now
@@ -310,6 +302,50 @@ private[sources] object GraftSource {
     case Some(StreamStart.AtLatest) => client.latestVersion
     case None => 0L
   }
+
+  /** Pin `AtLatest` to a concrete version ONCE per stream, replay-stably:
+    * the resolved "latest at stream start" persists under the query's
+    * source metadata dir (Spark hands every V1 source a checkpoint-scoped
+    * `metadataPath` for exactly this), so a crash-recovery replay of
+    * batch 0 — and any re-instantiation of the source from the same
+    * checkpoint — resolves the SAME seed instead of racing the live log
+    * (a lazy in-memory resolution could land PAST an already-offered end
+    * offset when commits race in, silently dropping the window between
+    * stream start and first resolution, and a restart would re-resolve
+    * to a different version than the original batch served). AtVersion /
+    * AtTimestamp are already deterministic against the log and pass
+    * through; the create-if-absent is last-writer-converges (both racers
+    * then re-read the same persisted value).
+    */
+  def pinLatest(sqlContext: SQLContext, metadataPath: String,
+      start: Option[StreamStart], root: String): Option[StreamStart] =
+    start match {
+      case Some(StreamStart.AtLatest) =>
+        val p = new org.apache.hadoop.fs.Path(metadataPath,
+          "graft_latest_seed")
+        val fs = p.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        def readIt(): Long = {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8").trim.toLong
+          finally in.close()
+        }
+        val v =
+          if (fs.exists(p)) readIt()
+          else {
+            val resolved = new GraftClient(sqlContext.sparkSession, root)
+              .latestVersion
+            val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+              s"graft_latest_seed.tmp-${java.util.UUID.randomUUID()}")
+            val out = fs.create(tmp, true)
+            try out.write(resolved.toString.getBytes("UTF-8"))
+            finally out.close()
+            if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+            readIt()
+          }
+        Some(StreamStart.AtVersion(v))
+      case other => other
+    }
 
   /** Epoch millis, an ISO-8601 instant, or a space/'T'-separated local
     * date-time (interpreted as UTC) — the accepted forms for every
@@ -527,8 +563,6 @@ final class GraftChangeFeedSource(sqlContext: SQLContext, root: String,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 1))
   }
-
-  override def stop(): Unit = {}
 }
 
 /** Streaming FILE-LEVEL change feed — `readStream.format("graft")
@@ -606,8 +640,6 @@ final class GraftFileChangeFeedSource(sqlContext: SQLContext, root: String,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 2))
   }
-
-  override def stop(): Unit = {}
 }
 
 /** V1 micro-batch sink (see [[GraftSource.createSink]]). `autoCompact`
@@ -981,8 +1013,6 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
       GraftStreamSource.adoptOrFail(sqlContext, table, schema, batch,
         schemaTrackingLocation, feedCols = 0))
   }
-
-  override def stop(): Unit = {}
 }
 
 private[sources] object GraftStreamSource {

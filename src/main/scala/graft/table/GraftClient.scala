@@ -5166,25 +5166,33 @@ final class GraftClient(
     * never-mentioned orphans can reclaim — see [[vacuum]]'s gate).
     */
   def vacuumRetainTime(retainMs: Long, dryRun: Boolean = false): Int = {
-    val cur = txLog.latestVersion
     val horizonV =
       try txLog.versionAtTimestamp(System.currentTimeMillis() - retainMs)
       catch {
         // "no commit at or before": the whole history is younger
         case _: IllegalArgumentException => 0L
       }
-    val retain = math.min(Int.MaxValue.toLong, math.max(0L, cur - horizonV))
-    vacuum(retain.toInt, dryRun)
+    // the horizon is a PINNED version, not a count back from the head:
+    // a commit racing in between this resolution and vacuum's own
+    // begin() only extends the retained window upward — it can never
+    // shift a version INSIDE the requested time window out of it (a
+    // count would: cur moves, cur - retain overtakes the horizon)
+    vacuumImpl(Some(horizonV), 0, dryRun)
   }
 
-  def vacuum(retainVersions: Int = 0, dryRun: Boolean = false): Int = {
+  def vacuum(retainVersions: Int = 0, dryRun: Boolean = false): Int =
+    vacuumImpl(None, retainVersions, dryRun)
+
+  private def vacuumImpl(horizon: Option[Long], retainVersions: Int,
+      dryRun: Boolean): Int = {
     require(tx.isEmpty, "vacuum must run outside a transaction")
     val cur = txLog.begin()
     val keep = mutable.Set[String]()
     // a previous vacuum may have pruned log history below the requested
     // window; replayable snapshots start at the retention horizon
     val from = math.max(txLog.oldestAvailableVersion,
-      math.max(0L, cur.version - retainVersions))
+      horizon.map(math.min(_, cur.version))
+        .getOrElse(math.max(0L, cur.version - retainVersions)))
     // keep = the union of every retained version's live set. ONE
     // historical replay (beginAt(from)) seeds an evolving live-map;
     // each retained version then folds forward by its single log entry

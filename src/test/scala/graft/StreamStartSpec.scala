@@ -172,6 +172,37 @@ class StreamStartSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion=latest pins ONCE per stream: the persisted seed is replay-stable") {
+    val ss = spark
+    import ss.implicits._
+    val root = Files.createTempDirectory("graft_latestpin").toString
+    val meta = Files.createTempDirectory("graft_latestpin_meta").toString
+    val c = new GraftClient(ss, root)
+    c.newTx(); c.createTable("t", schema); c.commitTx()
+    insert(c, "t", 0 until 3)
+    val v0 = c.latestVersion
+
+    import graft.sources.GraftSource.StreamStart
+    val first = graft.sources.GraftSource.pinLatest(ss.sqlContext, meta,
+      Some(StreamStart.AtLatest), root)
+    assert(first == Some(StreamStart.AtVersion(v0)))
+
+    // commits race in; a re-instantiation from the SAME stream metadata
+    // (crash recovery, restart) must resolve the SAME seed — never the
+    // moved head, which would drop the window between stream start and
+    // the first batch and make batch-0 replays non-deterministic
+    insert(c, "t", 3 until 6)
+    val again = graft.sources.GraftSource.pinLatest(ss.sqlContext, meta,
+      Some(StreamStart.AtLatest), root)
+    assert(again == Some(StreamStart.AtVersion(v0)))
+
+    // a DIFFERENT stream (its own metadata dir) pins its own start
+    val meta2 = Files.createTempDirectory("graft_latestpin_meta2").toString
+    val fresh = graft.sources.GraftSource.pinLatest(ss.sqlContext, meta2,
+      Some(StreamStart.AtLatest), root)
+    assert(fresh == Some(StreamStart.AtVersion(c.latestVersion)))
+  }
+
   test("CDF streams honor rate caps and drain natively under Trigger.AvailableNow") {
     val ss = spark
     import ss.implicits._
