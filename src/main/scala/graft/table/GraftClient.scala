@@ -3176,8 +3176,8 @@ final class GraftClient(
       // on a remote scheme) and [[vacuum]] reclaims them like stranded
       // staging dirs: a long-lived service that diffs wide windows
       // repeatedly holds disk only until its next maintenance pass, not
-      // until JVM exit. (Vacuum's single-maintainer contract covers the
-      // unconsumed-DataFrame race, as it does for every reclaim.)
+      // until JVM exit. (Vacuum's spill AGE gate covers the
+      // unconsumed-DataFrame race — see spillRetainMs.)
       val dir = s"$cdfSpillRoot/${UUID.randomUUID()}"
       val rel = dir.stripPrefix(s"$rootDir/")
       // rename-free spill: pages land DIRECTLY under the page dir via
@@ -5119,7 +5119,10 @@ final class GraftClient(
     *
     * Time travel older than the retained window stops working afterwards —
     * that is the point of the retention knob. Metadata work is O(retained
-    * versions); deletion is driver-side filesystem calls, no Spark jobs.
+    * versions); deletion and the age gate's per-dir listings are
+    * driver-side filesystem calls on a bounded 16-thread pool (no Spark
+    * jobs — but not serial either: a big compaction day's 10⁶ victims
+    * at object-store latencies would take hours one call at a time).
     *
     * CONCURRENT-WRITER SAFETY (the direct-committer corollary): every
     * write lands at its final `_table_<t>_<uuid>` name the moment the
@@ -5301,10 +5304,28 @@ final class GraftClient(
     def orphanAged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       orphanRetainMs <= 0 || mentioned(st.getPath.getName) ||
         newestMtime(st) < now - orphanRetainMs
-    val victims = listPath(rootPath)
+    // per-object FS work (the age gate's per-dir listing, and below the
+    // deletions) runs on a bounded pool: serial driver calls at 10⁶
+    // victims on an object store (~tens of ms each) would turn a big
+    // compaction day's vacuum into hours; 16 concurrent metadata calls
+    // are well inside any store's rate limits. Failure semantics match
+    // the serial loop — Future.get rethrows, the vacuum fails loudly.
+    def inParallel[A, B](items: Vector[A])(f: A => B): Vector[B] =
+      if (items.length <= 1) items.map(f)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(items.length, 16),
+          r => { val t = new Thread(r, "graft-vacuum")
+            t.setDaemon(true); t })
+        try items.map(a => pool.submit(
+            new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+          .map(_.get())
+        finally pool.shutdown()
+      }
+    val candidates = listPath(rootPath)
       .filter { st =>
         val n = st.getPath.getName
-        ((st.isDirectory && ((n.startsWith("_table_") && !keep(n)) ||
+        (st.isDirectory && ((n.startsWith("_table_") && !keep(n)) ||
           // a crash between a pre-round-13 compact/rewrite staging write
           // and its moves strands a _staging_* dir no log entry ever
           // references (nothing stages anymore; age-gated anyway so a
@@ -5312,8 +5333,10 @@ final class GraftClient(
           n.startsWith("_staging_"))) ||
           // bloom sidecars unreferenced by every retained snapshot:
           // superseded by a re-stamp, or orphaned by an aborted tx
-          (n.startsWith("_bloom_") && !keep(n))) && orphanAged(st)
-      }
+          (n.startsWith("_bloom_") && !keep(n))
+      }.toVector
+    val victims = inParallel(candidates)(st => (st, orphanAged(st)))
+      .collect { case (st, true) => st }
     // _cdfspill_* pages of wide-window change-feed reads reclaim here
     // too (their lifetime contract — see changesByFile) but only past
     // an AGE horizon: a spill younger than spillRetainMs may back a
@@ -5340,8 +5363,8 @@ final class GraftClient(
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
     if (!dryRun) {
-      victims.foreach(st => deletePath(st.getPath))
-      spillPages.foreach(st => deletePath(st.getPath))
+      inParallel(victims ++ spillPages.toVector)(st =>
+        deletePath(st.getPath))
       // an emptied spill root is itself reclaimed (keeps rootDir tidy;
       // the owning client lazily re-creates on its next wide diff)
       spillRoots.foreach { r =>
