@@ -297,6 +297,46 @@ object TxQueries {
     * physically deleted, and the surviving state must still hash-match the
     * oracle — the invariant that vacuum reclaims only DEAD bytes.
     */
+  /** Idempotent-batch-write fixture: the connector's txnAppId/txnVersion
+    * options exercised through `df.write.format("graft")` — a
+    * same-version retry with DIFFERENT rows (the failed-driver-retry
+    * shape) and an out-of-order redelivery of an older version both
+    * land nothing; the surviving state is exactly the committed
+    * versions' rows, hash-checked against the oracle.
+    */
+  private val txnWriteBuilt = mutable.Map[String, String]()
+
+  private def ensureTxnWrite(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      txnWriteBuilt.getOrElseUpdate(sfDir, {
+        val root = Files.createTempDirectory("graft_txnw_fixture").toString
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        def put(ver: Long, df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graft").option("table", "nt")
+            .option("txnAppId", "loader")
+            .option("txnVersion", ver.toString)
+            .mode("append").save(root)
+        put(1, nation.filter(col("n_nationkey") < 10))
+        // failed-driver retry: same version, different rows — must no-op
+        put(1, nation.filter(col("n_nationkey") >= 20))
+        put(2, nation.filter(col("n_nationkey").between(10, 19)))
+        // out-of-order redelivery of an OLDER version — must no-op too
+        put(0, nation.filter(col("n_nationkey") >= 20))
+        root
+      })
+    }
+
+  private def txTxnWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureTxnWrite(spark, sfDir)
+    spark.read.format("graft").option("table", "nt").load(root)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  private val txTxnWriteSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey < 20"""
+
   private val vacBuilt = mutable.Map[String, String]()
 
   private def ensureVacuumed(spark: SparkSession, sfDir: String): String =
@@ -1845,6 +1885,10 @@ object TxQueries {
       "compact + vacuum(0) physically reclaims every superseded object " +
         "(asserted > 0 removed) while the surviving state stays " +
         "oracle-identical — vacuum deletes only dead bytes"),
+    "tx_txn_write" -> QueryDef(txTxnWrite, Some(txTxnWriteSql),
+      "idempotent batch writes (txnAppId/txnVersion): a same-version " +
+        "retry with different rows and an out-of-order older version " +
+        "both no-op — exactly the committed versions' rows survive"),
     "tx_drop_column" -> QueryDef(txDropColumn, Some(txDropColumnSql),
       "dropColumn narrows + rewrites; re-added name reads null, never " +
         "resurrected bytes"),

@@ -106,17 +106,25 @@ object GraftProcedures {
           Seq(row(Int.box(n), Boolean.box(dry)))
         }))
       case "clone" => Some(proc(name,
-        "zero-copy shallow clone; version >= 0 clones the source AS OF " +
-          "that log version (time-travel clone)",
+        "zero-copy shallow clone; version >= 0 (or timestamp => '...') " +
+          "clones the source AS OF that point (time-travel clone)",
         Seq(in("source", StringType), in("target", StringType),
-          inDefault("version", LongType, "-1")),
+          inDefault("version", LongType, "-1"),
+          inDefault("timestamp", StringType, "NULL")),
         StructType(Seq(StructField("source", StringType),
           StructField("target", StringType),
           StructField("objects", IntegerType))), { args =>
           val src = args.getUTF8String(0).toString
           val dst = args.getUTF8String(1).toString
-          val v = args.getLong(2)
+          val ts = Option(args.getUTF8String(3)).map(_.toString)
+            .getOrElse("")
+          require(args.getLong(2) < 0 || ts.isEmpty,
+            "clone takes at most one of version / timestamp")
           val c = client
+          val v =
+            if (ts.nonEmpty) c.versionAt(
+              graft.sources.GraftSource.parseTimestampMillis(ts))
+            else args.getLong(2)
           inTx(c) {
             if (v < 0) c.shallowClone(src, dst)
             else c.shallowCloneAt(src, dst, v)
@@ -226,15 +234,26 @@ object GraftProcedures {
             Long.box(objs.map(_.numRows).sum)))
         }))
       case "restore" => Some(proc(name,
-        "RESTORE TABLE: metadata-only rollback to a version, as a " +
+        "RESTORE TABLE: metadata-only rollback to a version (or, with " +
+          "timestamp => '...', to the snapshot as of that instant — " +
+          "same monotonized commit clocks as TIMESTAMP AS OF), as a " +
           "forward commit (history and time travel keep working)",
-        Seq(in("table", StringType), in("version", LongType)),
+        Seq(in("table", StringType),
+          inDefault("version", LongType, "-1"),
+          inDefault("timestamp", StringType, "NULL")),
         StructType(Seq(StructField("table", StringType),
           StructField("restored_to", LongType),
           StructField("new_version", LongType))), { args =>
           val t = args.getUTF8String(0).toString
-          val v = args.getLong(1)
+          val ts = Option(args.getUTF8String(2)).map(_.toString)
+            .getOrElse("")
           val c = client
+          require((args.getLong(1) >= 0) != ts.nonEmpty,
+            "restore takes exactly one of version / timestamp")
+          val v =
+            if (ts.nonEmpty) c.versionAt(
+              graft.sources.GraftSource.parseTimestampMillis(ts))
+            else args.getLong(1)
           inTx(c)(c.restore(t, v))
           Seq(row(UTF8String.fromString(t), Long.box(v),
             Long.box(client.latestVersion - 1)))

@@ -761,6 +761,31 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(rows(s"SELECT count(*) FROM $cat.t") === Seq(Row(2L)))
   }
 
+  test("CALL restore/clone: timestamp forms resolve through the commit clocks") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val preDeleteMs = System.currentTimeMillis()
+    Thread.sleep(5) // the next commit's clock must be strictly later
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+
+    rows(s"CALL $cat.system.clone('t', 't_ts', " +
+      s"timestamp => '$preDeleteMs')")
+    assert(rows(s"SELECT count(*) FROM $cat.t_ts") === Seq(Row(3L)))
+
+    rows(s"CALL $cat.system.restore('t', timestamp => '$preDeleteMs')")
+    assert(rows(s"SELECT count(*) FROM $cat.t") === Seq(Row(3L)))
+
+    // exactly one of version/timestamp
+    val e = intercept[Exception] {
+      rows(s"CALL $cat.system.restore('t', version => 1, " +
+        s"timestamp => '$preDeleteMs')")
+    }
+    assert(e.getMessage.contains("exactly one"))
+    val e2 = intercept[Exception](rows(s"CALL $cat.system.restore('t')"))
+    assert(e2.getMessage.contains("exactly one"))
+  }
+
   test("TBLPROPERTIES through SQL: create, show, alter set/unset, gate") {
     val (cat, root) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -33,6 +34,24 @@ import graft.table.GraftClient
   * a concurrent actor at all — /root/reference/deltalakeclient/
   * dataobjects.go:51-58 plus the README's single-writer caveat).
   */
+/** A filesystem whose `delete` carries object-store-shaped latency —
+  * the pin that vacuum's per-object FS work stays POOLED (a regression
+  * to one-call-at-a-time deletion fails the wall-clock bound below).
+  */
+final class GraftSlowDeleteFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftslow"
+  override def getUri: java.net.URI = java.net.URI.create("graftslow:///")
+  override def delete(f: org.apache.hadoop.fs.Path,
+      recursive: Boolean): Boolean = {
+    val d = GraftSlowDeleteFs.deleteDelayMs
+    if (d > 0) Thread.sleep(d)
+    super.delete(f, recursive)
+  }
+}
+object GraftSlowDeleteFs {
+  @volatile var deleteDelayMs: Long = 0L
+}
+
 class VacuumSafetySpec extends AnyFunSuite {
   private def spark = SparkTestSession.spark
 
@@ -144,6 +163,41 @@ class VacuumSafetySpec extends AnyFunSuite {
       assert(reclaimed > 0, "mentioned superseded objects not reclaimed")
       assert(rows(c, "t") == 20)
     }
+  }
+
+  test("vacuum deletion is pooled: high-latency deletes overlap instead of serializing") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftslow.impl", classOf[GraftSlowDeleteFs].getName)
+    val local = Files.createTempDirectory("graft_vacslow").toString
+    val root = s"graftslow:$local"
+    val c = new GraftClient(ss, root,
+      logStore = Some(new graft.store.InMemoryObjectStore))
+    c.newTx()
+    c.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false))))
+    c.insert("t", (0 until 10).toDF("k"))
+    c.commitTx()
+    // 48 orphan objects from an aborted partitioned insert (one
+    // self-contained object per partition value; a plain bulk insert
+    // would be right-sized into ONE object by the optimized write)
+    c.newTx()
+    c.insertPartitioned("t",
+      (0 until 4800).toDF("k").withColumn("k", col("k") % 48), "k")
+    c.rollback()
+
+    GraftSlowDeleteFs.deleteDelayMs = 20
+    try {
+      val t0 = System.nanoTime()
+      val reclaimed = c.vacuum(retainVersions = 0)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(reclaimed >= 48, s"expected the 48 orphans, got $reclaimed")
+      val serialMs = reclaimed * 20.0
+      assert(elapsedMs < serialMs * 0.6,
+        s"vacuum deletes look serial: $elapsedMs ms for $reclaimed " +
+          s"victims at 20 ms each (serial would be $serialMs ms)")
+    } finally GraftSlowDeleteFs.deleteDelayMs = 0
   }
 
   test("time-based retention: young history is fully retained, RETAIN 0 reclaims") {
