@@ -289,14 +289,6 @@ object TxQueries {
       })
     }
 
-  /** Separate store for VACUUM: physical reclamation kills time travel, so
-    * it must never run against the shared fixture (tx_time_travel et al.
-    * replay old versions there). Same logical history as `nation`
-    * (insert all → V2 versions of 5..9 → delete 10..14), then compact +
-    * vacuum(0): every superseded/rewritten/pre-compaction object is
-    * physically deleted, and the surviving state must still hash-match the
-    * oracle — the invariant that vacuum reclaims only DEAD bytes.
-    */
   /** Idempotent-batch-write fixture: the connector's txnAppId/txnVersion
     * options exercised through `df.write.format("graft")` — a
     * same-version retry with DIFFERENT rows (the failed-driver-retry
@@ -337,6 +329,14 @@ object TxQueries {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     WHERE n_nationkey < 20"""
 
+  /** Separate store for VACUUM: physical reclamation kills time travel, so
+    * it must never run against the shared fixture (tx_time_travel et al.
+    * replay old versions there). Same logical history as `nation`
+    * (insert all → V2 versions of 5..9 → delete 10..14), then compact +
+    * vacuum(0): every superseded/rewritten/pre-compaction object is
+    * physically deleted, and the surviving state must still hash-match the
+    * oracle — the invariant that vacuum reclaims only DEAD bytes.
+    */
   private val vacBuilt = mutable.Map[String, String]()
 
   private def ensureVacuumed(spark: SparkSession, sfDir: String): String =

@@ -41,6 +41,21 @@ object GraftProcedures {
       "set_partitioning", "cluster_bounded", "cluster_incremental",
       "analyze", "replicate_export", "replicate_import")
 
+  /** Nullable optional string parameter (declared with SQL default
+    * NULL — empty string when absent).
+    */
+  private def optStr(args: InternalRow, i: Int): String =
+    Option(args.getUTF8String(i)).map(_.toString).getOrElse("")
+
+  /** Resolve a time-travel point from the (version, timestamp) pair the
+    * RESTORE/CLONE procedures take: a non-empty timestamp resolves
+    * through the same monotonized commit clocks as TIMESTAMP AS OF.
+    */
+  private def tsVersion(c: GraftClient, ver: Long, ts: String): Long =
+    if (ts.nonEmpty)
+      c.versionAt(graft.sources.GraftSource.parseTimestampMillis(ts))
+    else ver
+
   def load(name: String, root: String): Option[UnboundProcedure] = {
     def client = new GraftClient(SparkSession.active, root)
     name match {
@@ -116,15 +131,11 @@ object GraftProcedures {
           StructField("objects", IntegerType))), { args =>
           val src = args.getUTF8String(0).toString
           val dst = args.getUTF8String(1).toString
-          val ts = Option(args.getUTF8String(3)).map(_.toString)
-            .getOrElse("")
+          val ts = optStr(args, 3)
           require(args.getLong(2) < 0 || ts.isEmpty,
             "clone takes at most one of version / timestamp")
           val c = client
-          val v =
-            if (ts.nonEmpty) c.versionAt(
-              graft.sources.GraftSource.parseTimestampMillis(ts))
-            else args.getLong(2)
+          val v = tsVersion(c, args.getLong(2), ts)
           inTx(c) {
             if (v < 0) c.shallowClone(src, dst)
             else c.shallowCloneAt(src, dst, v)
@@ -245,18 +256,17 @@ object GraftProcedures {
           StructField("restored_to", LongType),
           StructField("new_version", LongType))), { args =>
           val t = args.getUTF8String(0).toString
-          val ts = Option(args.getUTF8String(2)).map(_.toString)
-            .getOrElse("")
+          val ts = optStr(args, 2)
           val c = client
           require((args.getLong(1) >= 0) != ts.nonEmpty,
             "restore takes exactly one of version / timestamp")
-          val v =
-            if (ts.nonEmpty) c.versionAt(
-              graft.sources.GraftSource.parseTimestampMillis(ts))
-            else args.getLong(1)
+          val v = tsVersion(c, args.getLong(1), ts)
           inTx(c)(c.restore(t, v))
+          // same client, no second log replay; still last-committed-wins
+          // under concurrent writers (the commit id itself is not
+          // surfaced by commitTx)
           Seq(row(UTF8String.fromString(t), Long.box(v),
-            Long.box(client.latestVersion - 1)))
+            Long.box(c.latestVersion - 1)))
         }))
       case "history" => Some(proc(name,
         "DESCRIBE HISTORY: committed versions, timestamps, operation " +

@@ -5304,12 +5304,15 @@ final class GraftClient(
     def orphanAged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       orphanRetainMs <= 0 || mentioned(st.getPath.getName) ||
         newestMtime(st) < now - orphanRetainMs
-    // per-object FS work (the age gate's per-dir listing, and below the
-    // deletions) runs on a bounded pool: serial driver calls at 10⁶
-    // victims on an object store (~tens of ms each) would turn a big
-    // compaction day's vacuum into hours; 16 concurrent metadata calls
-    // are well inside any store's rate limits. Failure semantics match
-    // the serial loop — Future.get rethrows, the vacuum fails loudly.
+    // per-object FS work (the age gate's per-dir listings, the spill
+    // page gates, and below the deletions) runs on a bounded pool:
+    // serial driver calls at 10⁶ victims on an object store (~tens of
+    // ms each) would turn a big compaction day's vacuum into hours; 16
+    // concurrent metadata calls are well inside any store's rate
+    // limits. Failure semantics match the serial loop: the CAUSE is
+    // rethrown unwrapped (a caller matching IOException still catches
+    // it), and queued work is cancelled first so deletions never race
+    // the caller's recovery.
     def inParallel[A, B](items: Vector[A])(f: A => B): Vector[B] =
       if (items.length <= 1) items.map(f)
       else {
@@ -5317,10 +5320,16 @@ final class GraftClient(
           math.min(items.length, 16),
           r => { val t = new Thread(r, "graft-vacuum")
             t.setDaemon(true); t })
-        try items.map(a => pool.submit(
+        try {
+          val futures = items.map(a => pool.submit(
             new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-          .map(_.get())
-        finally pool.shutdown()
+          try futures.map(_.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw (if (e.getCause != null) e.getCause else e)
+          }
+        } finally pool.shutdown()
       }
     val candidates = listPath(rootPath)
       .filter { st =>
@@ -5356,9 +5365,14 @@ final class GraftClient(
     // age = newestMtime (the newest FILE inside the page — see above): a
     // page younger than spillRetainMs may back a DataFrame some session
     // is still consuming, the vacuuming service's own wide-window feed
-    // included, and deleting it mid-read fails that read
-    val spillPages = spillRoots.flatMap(r => listPath(r.getPath)
-      .filter(p => p.isDirectory && newestMtime(p) < spillHorizon))
+    // included, and deleting it mid-read fails that read. The per-page
+    // mtime listings pool like the orphan gate's (a long-lived
+    // change-feed service can hold thousands of pages).
+    val spillPages = inParallel(
+      spillRoots.toVector.flatMap(r =>
+        listPath(r.getPath).filter(_.isDirectory)))(
+      p => (p, newestMtime(p)))
+      .collect { case (p, m) if m < spillHorizon => p }
     // dry run (VACUUM ... DRY RUN): report what a real run would
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
