@@ -769,11 +769,15 @@ object GraftRelation {
     * survives only if at least one listed value passes its stats AND
     * bloom, so a scattered IN opens the matching objects, not the whole
     * value span ([[boundsOf]] still emits the span — both are applied,
-    * the tighter wins). Capped at 64 values to bound the driver-side
-    * probe-hash job; larger lists fall back to the span alone.
+    * the tighter wins). NO length cap: lists at or under
+    * [[graft.table.GraftClient.InListNarrowCap]] take the bounded
+    * probe-hash-job path, wider ones the driver-side
+    * [[graft.table.WideProbeIndex]] probe (O(log objects + hits) per
+    * value) — a 1,000-value point-set query opens the matched objects
+    * either way, never the [min,max] span.
     */
   private[graft] def inOf(f: Filter): Seq[(String, Seq[Any])] = f match {
-    case In(a, vs) if vs.nonEmpty && vs.length <= 64 && vs.forall(_ != null) =>
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
       Seq(a -> vs.toSeq)
     case And(l, r) => inOf(l) ++ inOf(r)
     case _ => Nil

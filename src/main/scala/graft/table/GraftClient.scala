@@ -2642,12 +2642,20 @@ final class GraftClient(
       .foreach(c =>
         require(hasColumnPath(schema, c), s"no such column: $c"))
     val live = liveFiles(table)
+    // IN lists past the narrow cap would widen the probe-hash job below
+    // by |values|×k columns and the disjunction filter to
+    // |values|×|objects| tests — they go through the driver-side
+    // interval-index probe instead ([[wideInKeep]]: O(log objects +
+    // hits) per value), applied AFTER the conjunctive tiers so its
+    // sidecar loads touch only objects those tiers already kept
+    val (narrowIn, wideIn) =
+      inLists.partition(_._2.length <= GraftClient.InListNarrowCap)
     // one tiny local job evaluates every probe's raw hashes through the
     // same Catalyst xxhash64 the bloom build used (casting each probe to
     // its column's type first — xxhash64(3L) != xxhash64(3: Int)), so
     // build and probe can never drift
     val pointProbes: Seq[(String, Any)] =
-      equalities ++ inLists.flatMap { case (c, vs) => vs.map(c -> _) }
+      equalities ++ narrowIn.flatMap { case (c, vs) => vs.map(c -> _) }
     // k rides in the REF (and inline legacy blooms), so hash planning
     // never opens a sidecar; sidecars load lazily below, and only for
     // objects that already survived min/max stats (the && short-circuit)
@@ -2710,11 +2718,89 @@ final class GraftClient(
         hashes.get((c, v)).forall(hs =>
           bloomOf(a, phys).forall(_.mightContain(hs)))
     }
-    live.filter(a =>
+    val base = live.filter(a =>
       bounds.forall { case (c, (lo, hi)) =>
         ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) } &&
         equalities.forall { case (c, v) => valueSurvives(a, c, v) } &&
-        inLists.forall { case (c, vs) => vs.exists(valueSurvives(a, c, _)) })
+        narrowIn.forall { case (c, vs) => vs.exists(valueSurvives(a, c, _)) })
+    wideIn.foldLeft(base) { case (objs, (c, vs)) =>
+      wideInKeep(objs, schema, c, vs)
+    }
+  }
+
+  /** Driver-side INDEXED survivors of one WIDE IN list — the connector/
+    * SQL analog of the executor-side wide semi probe: the per-object
+    * stats tier is a [[WideProbeIndex]] (each value finds its
+    * stats-overlapping objects in O(log objects + hits), never by
+    * testing every object), the bloom tier loads sidecars lazily
+    * through the JVM cache with skip-once-surviving (a hot object costs
+    * one probe total, not one per value), and the probe hashes are the
+    * SAME Catalyst xxhash64 expression the bloom build used — evaluated
+    * driver-side per value (no job), so a 10⁵-value list costs ~10⁵
+    * log-time lookups instead of a 10⁵×k-column hash job plus a
+    * 10⁵×|objects| disjunction sweep. The value list is already
+    * driver-resident (it IS the pushed filter), so no new driver-memory
+    * shape. Strictly conservative: a value the cast can't represent, or
+    * any evaluation failure, keeps every object (for a DISJUNCTION,
+    * dropping a value would over-prune — uncertainty must widen, never
+    * narrow).
+    */
+  private def wideInKeep(objs: Vector[AddDataObject], schema: StructType,
+      column: String, values: Seq[Any]): Vector[AddDataObject] = {
+    if (objs.isEmpty) return objs
+    val phys = physOf(schema, column)
+    val colType = typeAtPath(schema, column)
+    val idx = WideProbeIndex.build(objs.map(_.stats.get(phys)))
+    val maxK = objs.iterator.flatMap(a =>
+      a.blooms.get(phys).map(_.k).iterator ++
+        a.bloomRefs.get(phys).map(_.k).iterator)
+      .maxOption.getOrElse(0)
+    val surviving = new mutable.HashSet[Int]
+    try {
+      val it = values.distinct.iterator
+      while (it.hasNext && surviving.size < objs.length) {
+        val v = it.next()
+        val cast = driverCastAndHashes(v, colType, maxK)
+        if (cast.isEmpty) return objs // unrepresentable value: no prune
+        val (ext, hs) = cast.get
+        val norm = ColStats.normalize(ext)
+        idx.candidates(norm).foreach { i =>
+          if (!surviving.contains(i)) {
+            val a = objs(i)
+            if (ColStats.mayOverlap(a.stats, phys, ext, ext) &&
+              (maxK == 0 || bloomOf(a, phys).forall(_.mightContain(hs))))
+              surviving += i
+          }
+        }
+      }
+      objs.zipWithIndex.collect { case (a, i) if surviving(i) => a }
+    } catch { case scala.util.control.NonFatal(_) => objs }
+  }
+
+  /** One wide-probe value, prepared DRIVER-side: cast to the column's
+    * type and hashed through interpreted eval of the IDENTICAL Catalyst
+    * expressions the narrow path runs as a job (`cast` + seeded
+    * `xxhash64` — eval and codegen agree by Catalyst's contract, pinned
+    * in Round14Spec). Returns the cast value in its EXTERNAL Scala form
+    * (what [[graft.tx.ColStats]] and the stats tier compare) plus the
+    * `maxK` raw bloom-probe hashes; None when the cast cannot represent
+    * the value (callers must then skip pruning — in a disjunction,
+    * dropping a value would over-prune).
+    */
+  private[graft] def driverCastAndHashes(v: Any, colType: DataType,
+      maxK: Int): Option[(Any, Seq[Long])] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast => CatCast, Literal => CatLit, XxHash64}
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val internal = CatCast(CatLit(v), colType, tz).eval(null)
+    if (internal == null) None
+    else Some((
+      CatalystTypeConverters.convertToScala(internal, colType),
+      (0 until maxK).map(i =>
+        // aux ctor = functions.xxhash64's default seed
+        new XxHash64(Seq(CatLit(i), CatLit(internal, colType)))
+          .eval(null).asInstanceOf[Long])))
   }
 
   /** Delta-style MERGE expressed through MVCC, in two bounded jobs and no
@@ -2802,15 +2888,50 @@ final class GraftClient(
     }
   }
 
+  /** POINT-SET file skipping for the merge key probe, layered on top of
+    * [[mergePrunedFiles]]' span prune: a delete-key set whose first-key
+    * values span the whole table still only *touches* the objects that
+    * contain at least one of those values (a fully-matched row matches
+    * every key column, the first included — pruning on it alone is
+    * conservative). ≤[[GraftClient.InListNarrowCap]] distinct values
+    * collect driver-side and prune through the driver index probe
+    * ([[wideInKeep]]); a high-cardinality source — past
+    * driver-collectable size — goes through the DISTRIBUTED wide probe
+    * ([[wideSurvivors]]: executor-side stats+bloom over broadcast object
+    * metadata), so a 10⁵-key merge over a partitioned target opens only
+    * matched objects instead of the span. `delKeys` is pinned by the
+    * merge contract, so the probe and the later semi join see one key
+    * set.
+    */
+  private def mergeKeyPrunedFiles(table: String, schema: StructType,
+      files: Vector[AddDataObject], delKeys: DataFrame,
+      keyCols: Seq[String]): Vector[AddDataObject] = {
+    if (files.length <= 1) return files
+    val c = keyCols.head
+    val cap = GraftClient.InListNarrowCap
+    val vals = delKeys.select(col(c)).distinct().limit(cap + 1).collect()
+      .map(_.get(0)).toSeq.filter(_ != null)
+    if (vals.isEmpty) files // all-null keys: semi join matches nothing,
+                            // but over-keeping is the safe direction
+    else if (vals.length <= cap) wideInKeep(files, schema, c, vals)
+    else {
+      val keep = wideSurvivors(table, c, delKeys.select(col(c)).distinct())
+      files.filter(a => keep(a.path))
+    }
+  }
+
   private def mergeDeletes(table: String, schema: StructType,
       delKeys: DataFrame, keyCols: Seq[String]): Unit = {
     val t = currentTx
     val allFiles = liveFiles(table)
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
     // to the full-table DV scan it skips for the common pure-upsert merge
+    GraftClient.lastMergeProbedObjects = -1
     if (allFiles.nonEmpty && !delKeys.isEmpty) {
-      val files = mergePrunedFiles(allFiles, delKeys, keyCols,
-        physOf(schema, _))
+      val files = mergeKeyPrunedFiles(table, schema,
+        mergePrunedFiles(allFiles, delKeys, keyCols, physOf(schema, _)),
+        delKeys, keyCols)
+      GraftClient.lastMergeProbedObjects = files.length
       if (files.nonEmpty) { // all objects pruned ⇒ no key can match
         // defaults filled before the key join: merge keys on an
         // initial-default column must match what scans show
@@ -5585,6 +5706,22 @@ object GraftClient {
     */
   val DefaultBloomCapBits: Int = 1 << 20
   val BloomKProperty = "graft.bloom.k"
+
+  /** IN lists at or under this many values prune through the bounded
+    * probe-hash job + per-object disjunction in [[GraftClient.prunedObjects]];
+    * wider lists route through the driver-side [[WideProbeIndex]] probe
+    * (O(log objects + hits) per value, hashes evaluated driver-side) —
+    * the same 64-value boundary `scanSemi` uses between its driver and
+    * distributed tiers.
+    */
+  val InListNarrowCap: Int = 64
+
+  /** TEST observability: how many live objects the last merge's DV scan
+    * actually read, after span + point-set key pruning (-1 when the
+    * merge had no delete keys) — the merge-side mirror of the
+    * connectors' `lastScanObjectCount`.
+    */
+  @volatile private[graft] var lastMergeProbedObjects: Int = -1
 
   /** Structural (name + type) equality, ignoring nullability and field
     * metadata at every depth — the ONE comparator behind both the
