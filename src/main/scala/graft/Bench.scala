@@ -94,17 +94,28 @@ object Bench {
       .map(n => lineFor(bySlowest.take(n)))
       .find(_.length <= 1980)
       .getOrElse(lineFor(bySlowest.take(1)))
-    // full-precision record of every query; path resolved from the
-    // working directory, failures reported (a silent catch here cost a
-    // round of per-query history when the path assumption broke)
-    val detailPath =
-      java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    try {
-      java.nio.file.Files.write(detailPath,
-        (lineFor(results.sortBy(_._1)) + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"BENCH_DETAIL write failed at $detailPath: $e")
+    // full-precision record of every query; failures reported (a silent
+    // catch here cost a round of per-query history when the path
+    // assumption broke). TWO artifacts per run: the fixed path (the
+    // committed-record workflow, overridable via SPARK_GRAFT_DETAIL_PATH)
+    // and a per-run STAMPED file that no later run can clobber — round
+    // 13's 81.6 s record pass lost its per-query detail because the next
+    // pass overwrote the one fixed path before capture. Min-of-N
+    // workflows cite the stamped file of whichever run won.
+    val detail = (lineFor(results.sortBy(_._1)) + "\n").getBytes("UTF-8")
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val fixed = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH",
+      "BENCH_DETAIL.json")
+    Seq(fixed, s"BENCH_DETAIL.$stamp.$sfTag.json").foreach { p =>
+      val path = java.nio.file.Paths.get(p).toAbsolutePath
+      try java.nio.file.Files.write(path, detail)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH_DETAIL write failed at $path: $e")
+      }
+      System.err.println(s"bench detail: $path")
     }
     println(line)
     spark.stop()

@@ -5279,6 +5279,17 @@ final class GraftClient(
     spark.conf.getOption("spark.graft.vacuum.orphanRetainMs")
       .map(_.toLong).getOrElse(24L * 60 * 60 * 1000)
 
+  /** Age past which a held vacuum lease counts as abandoned (crashed
+    * vacuum) and is taken over (override:
+    * `spark.graft.vacuum.leaseStaleMs`). The lease renews at every
+    * phase boundary, so a healthy vacuum's age resets well inside the
+    * default; a phase that outlives it loses the lease and aborts at
+    * its next verify instead of racing the takeover's prune.
+    */
+  private def vacuumLeaseStaleMs: Long =
+    spark.conf.getOption("spark.graft.vacuum.leaseStaleMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
   /** [[vacuum]] with a TIME-based retention window (Delta's `VACUUM …
     * RETAIN n HOURS` shape): every snapshot whose commit's monotonized
     * wall clock is within the last `retainMs` stays replayable; versions
@@ -5310,6 +5321,19 @@ final class GraftClient(
   private def vacuumImpl(horizon: Option[Long], retainVersions: Int,
       dryRun: Boolean): Int = {
     require(tx.isEmpty, "vacuum must run outside a transaction")
+    // single-VACUUM lease (task: two maintenance schedulers): epoch'd
+    // putIfAbsent markers make concurrent vacuums REFUSE loudly instead
+    // of interleaving their reclaim/prune phases; a crashed vacuum's
+    // lease goes stale and is taken over. Dry runs read only — no lease.
+    val lease =
+      if (dryRun) None
+      else Some(txLog.acquireVacuumLease(vacuumLeaseStaleMs))
+    try vacuumBody(horizon, retainVersions, dryRun, lease)
+    finally lease.foreach(txLog.releaseVacuumLease)
+  }
+
+  private def vacuumBody(horizon: Option[Long], retainVersions: Int,
+      dryRun: Boolean, lease: Option[String]): Int = {
     val cur = txLog.begin()
     val keep = mutable.Set[String]()
     // a previous vacuum may have pruned log history below the requested
@@ -5498,6 +5522,10 @@ final class GraftClient(
     // reclaim — objects AND log horizon — without touching anything;
     // the operator's blast-radius check before an irreversible delete
     if (!dryRun) {
+      // destructive phases re-verify (and renew) the lease: a stale-
+      // lease takeover by another vacuum aborts THIS one here, before
+      // its deletes or its prune can race the takeover's
+      lease.foreach(txLog.verifyVacuumLease)
       inParallel(victims ++ spillPages.toVector)(st =>
         deletePath(st.getPath))
       // an emptied spill root is itself reclaimed (keeps rootDir tidy;
@@ -5509,7 +5537,11 @@ final class GraftClient(
       // covers every retained snapshot are replayed by nobody — reclaim
       // them so the log (and each begin()'s listing) stays bounded. Time
       // travel below the horizon errors loudly afterwards (TxLog.beginAt)
-      // — the same contract as the data-object reclaim above.
+      // — the same contract as the data-object reclaim above. The prune
+      // is the ordering-sensitive phase (manifests → parts → entries),
+      // so it re-verifies the lease separately: the delete phase above
+      // can run long enough for a stale takeover.
+      lease.foreach(txLog.verifyVacuumLease)
       pruneTarget.foreach(txLog.pruneTo)
     }
     victims.length + spillPages.length

@@ -728,6 +728,98 @@ final class TxLog(store: ObjectStore) {
     n
   }
 
+  /** Newest vacuum-lease epoch: (epoch, owner, ts, released). */
+  private def newestVacuumLease(): Option[(Long, String, Long, Boolean)] =
+    store.listPrefixOrdered(TxLog.VacuumLeaseName + "_").lastOption.map {
+      name =>
+        val e = name.stripPrefix(TxLog.VacuumLeaseName + "_").toLong
+        try {
+          val j = Json.parse(new String(store.read(name), "UTF-8")).asObj
+          (e, j("owner").asStr, j("ts").asLong,
+            j.get("released").exists { case JBool(b) => b; case _ => false })
+        } catch {
+          // unreadable marker (torn write, deleted between list and
+          // read): treat as an unreleased lease of unknown age 0 — the
+          // STALE direction resolves it after staleMs, never silently
+          case _: Exception => (e, "", 0L, false)
+        }
+    }
+
+  private def claimVacuumEpoch(epoch: Long, owner: String,
+      released: Boolean): Boolean =
+    store.putIfAbsent(f"${TxLog.VacuumLeaseName}_$epoch%020d",
+      Json.write(Json.obj(
+        "owner" -> Json.str(owner),
+        "ts" -> Json.num(System.currentTimeMillis()),
+        "released" -> JBool(released))).getBytes("UTF-8"))
+
+  /** Acquire the single-VACUUM lease: epoch-numbered `putIfAbsent`
+    * markers — the SAME first-writer-wins primitive the commit path
+    * trusts on every store — so two racing vacuums can never both own
+    * an epoch. Succeeds when no lease exists, the newest is released,
+    * or the newest is STALE (its `ts` older than `staleMs` — a crashed
+    * vacuum's abandoned lease is taken over, never waited on forever);
+    * throws [[IllegalStateException]] when another vacuum's fresh lease
+    * holds, or when the claim loses the race for the next epoch.
+    * Returns the owner token; [[verifyVacuumLease]] re-checks-and-renews
+    * it before each destructive phase, [[releaseVacuumLease]] ends it.
+    */
+  def acquireVacuumLease(staleMs: Long): String = {
+    val owner = java.util.UUID.randomUUID().toString
+    val next = newestVacuumLease() match {
+      case Some((e, o, ts, released)) =>
+        val age = System.currentTimeMillis() - ts
+        if (!released && age < staleMs)
+          throw new IllegalStateException(
+            s"another VACUUM holds the lease (owner $o, ${age} ms old; " +
+              s"stale after $staleMs ms) — concurrent vacuums are " +
+              "refused, not interleaved")
+        e + 1
+      case None => 1L
+    }
+    if (!claimVacuumEpoch(next, owner, released = false))
+      throw new IllegalStateException(
+        s"lost the VACUUM lease race at epoch $next — another vacuum " +
+          "acquired it concurrently")
+    owner
+  }
+
+  /** Must hold before a destructive vacuum phase: the newest lease
+    * epoch is `owner`'s and unreleased (a stale-lease TAKEOVER by
+    * another vacuum moves the newest epoch and aborts this one here,
+    * loudly, before it deletes or prunes anything more). Renews by
+    * claiming the next epoch, so an actively-phasing vacuum's lease age
+    * resets at every phase boundary.
+    */
+  def verifyVacuumLease(owner: String): Unit = newestVacuumLease() match {
+    case Some((e, o, _, released)) if o == owner && !released =>
+      // best-effort renewal; a lost claim means a racer just took over
+      // and the NEXT check (or this one, re-read) aborts us
+      if (!claimVacuumEpoch(e + 1, owner, released = false) &&
+        !newestVacuumLease().exists(l => l._2 == owner && !l._4))
+        throw new IllegalStateException(
+          "VACUUM lease lost mid-run (taken over as stale) — aborting " +
+            "before the next destructive phase")
+    case other => throw new IllegalStateException(
+      s"VACUUM lease lost mid-run (now $other) — aborting before the " +
+        "next destructive phase")
+  }
+
+  /** End `owner`'s lease (a released marker at the next epoch) and
+    * reclaim the older epoch markers. Best-effort: failures leave a
+    * lease that goes stale after `staleMs` instead of blocking forever.
+    */
+  def releaseVacuumLease(owner: String): Unit = newestVacuumLease() match {
+    case Some((e, o, _, released)) if o == owner && !released =>
+      claimVacuumEpoch(e + 1, owner, released = true)
+      store.listPrefixOrdered(TxLog.VacuumLeaseName + "_").foreach { n =>
+        if (n.stripPrefix(TxLog.VacuumLeaseName + "_").toLong <= e)
+          try store.delete(n)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    case _ => ()
+  }
+
   /** Version of the newest checkpoint at or below `v`, if any — the
     * highest legal [[pruneTo]] horizon that keeps versions >= `v`
     * replayable.
@@ -974,6 +1066,10 @@ final class TxLog(store: ObjectStore) {
         // which names actually exist (throwing on the missing suffixed
         // part would make pre-flag tables unreadable once pruneTo
         // reclaimed the log below their checkpoint).
+        val decode: Array[Byte] => Vector[Action] =
+          if (parquet) CkptParquet.read
+          else bytes => Json.parse(new String(bytes, "UTF-8"))
+            .asObj("actions").asArr.map(actionFromJson)
         val nameOf: Int => String =
           if (!parquet) k => ckptPartName(version, k)
           else if (j.get("pnames")
@@ -997,21 +1093,45 @@ final class TxLog(store: ObjectStore) {
             // from 0): the manifest's own family is the one whose TOTAL
             // equals the manifest count — a racer's family with a
             // different cut has a different total and is never spliced.
-            // Accepted residual: a racer that CRASHED after writing
-            // exactly `count` parts of a larger planned set is
-            // indistinguishable from a complete family by listing alone
-            // (pre-pnames manifests carry no family marker); pnames
-            // manifests — everything written since the flag — name
-            // their family authoritatively and never take this branch.
+            // pnames manifests — everything written since the flag —
+            // name their family authoritatively and never take this
+            // branch.
             val bareTotal = present.count(!_.endsWith("p"))
             val sufTotal = present.size - bareTotal
+            if (bareTotal == count && sufTotal == count) {
+              // BOTH families list exactly `count` parts — the one
+              // shape the size rule alone cannot arbitrate: one family
+              // is the manifest writer's complete cut, the other may be
+              // a crashed racer's prefix that stopped at exactly
+              // `count` parts of a LARGER planned set (the round-12/13
+              // accepted residual, closed here). Both fold the same
+              // version's snapshot, so a complete family can never hold
+              // fewer actions than a truncated prefix of a fold — decode
+              // both and keep the larger; equal counts mean both are
+              // complete folds and either replays the same state.
+              // Pre-pnames manifests are a frozen legacy population, so
+              // the double decode prices only this already-rare
+              // ambiguity, never a post-flag checkpoint.
+              // per-family decode under Try: the racer's parts were
+              // pool-written, so its crash can leave `count` parts at
+              // NON-contiguous indices — that family throws on its gap
+              // and must not mask the complete one
+              def family(suffixed: Boolean) = scala.util.Try(
+                (0 until count).flatMap(k => decode(store.read(
+                  ckptPartName(version, k, parquet = suffixed)))).toVector)
+              val chosen = (family(false), family(true)) match {
+                case (scala.util.Success(b), scala.util.Success(s)) =>
+                  if (s.length > b.length) s else b
+                case (scala.util.Success(b), _) => b
+                case (_, scala.util.Success(s)) => s
+                case (scala.util.Failure(e), _) => throw e
+              }
+              into ++= chosen
+              return version
+            }
             val useSuffixed = bareTotal != count && sufTotal == count
             k => ckptPartName(version, k, parquet = useSuffixed)
           }
-        val decode: Array[Byte] => Vector[Action] =
-          if (parquet) CkptParquet.read
-          else bytes => Json.parse(new String(bytes, "UTF-8"))
-            .asObj("actions").asArr.map(actionFromJson)
         if (count <= 1)
           (0 until count).foreach(k => into ++= decode(store.read(nameOf(k))))
         else {
@@ -1124,6 +1244,11 @@ object TxLog {
   val CkptPartPrefix = "_ckptpart_"
   /** ~4 MiB of serialized actions per checkpoint part. */
   val DefaultCkptPartBytes: Int = 4 << 20
+  /** Advisory single-VACUUM lease marker (overwrite-put; see
+    * [[TxLog.acquireVacuumLease]]). Deliberately outside every replay
+    * prefix — replay and retention never read or reclaim it.
+    */
+  val VacuumLeaseName = "_vacuum_lease"
   def logName(id: Long): String = f"${LogPrefix}${id}%020d"
   def ckptName(id: Long): String = f"${CkptPrefix}${id}%020d"
   /** Part names carry the FORMAT as a suffix (parquet parts end in

@@ -196,4 +196,45 @@ class CkptFormatSpec extends AnyFunSuite {
       "replay must use the manifest writer's complete bare family, " +
         "never a spliced mix with the racer's differently-cut part")
   }
+
+  test("a crashed racer's TRUNCATED bare family with exactly `count` " +
+    "parts never replays short: the complete family wins by decoded size") {
+    // the round-12/13 accepted residual: pre-pnames manifest, the
+    // manifest writer's complete cut SUFFIXED, a racing engine's
+    // smaller-cut checkpoint crashed after writing exactly `count`
+    // bare-named parts of a larger planned set. The listing-size rule
+    // alone sees two families of `count` parts and used to prefer bare
+    // — replaying a truncated prefix of the fold as if it were the
+    // whole snapshot.
+    val actions = syntheticActions(500)
+    val snap = Snapshot(779L, actions)
+    val store = new InMemoryObjectStore
+    val log = new TxLog(store)
+    log.checkpoint(snap, maxPartBytes = 64 << 10) // suffixed, complete
+    val expect = canon(log.begin().actions)
+    val winnerParts = store.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(winnerParts.forall(_.endsWith("p")))
+    val count = winnerParts.length
+    // devolve the manifest to the pre-pnames shape over the SUFFIXED
+    // family (what the first pnames-less engine generation could leave)
+    store.delete(TxLog.ckptName(779L))
+    store.putIfAbsent(TxLog.ckptName(779L),
+      s"""{"version":779,"parts":$count,"format":"parquet"}"""
+        .getBytes("UTF-8"))
+    // the racer: a smaller cut of the SAME fold, crashed after writing
+    // its first `count` parts (contiguous prefix) under BARE names
+    val racer = new InMemoryObjectStore
+    new TxLog(racer).checkpoint(snap, maxPartBytes = 16 << 10)
+    val racerParts = racer.listPrefixOrdered(TxLog.CkptPartPrefix)
+    assert(racerParts.length > count,
+      s"fixture needs a larger racer cut: ${racerParts.length} vs $count")
+    racerParts.take(count).foreach { n =>
+      store.putIfAbsent(n.dropRight(1), racer.read(n))
+    }
+    val replayed = new TxLog(store).begin()
+    assert(replayed.version == 779L)
+    assert(canon(replayed.actions) == expect,
+      "ambiguous equal-size families must resolve by decoded action " +
+        "count — the truncated racer prefix must never replay short")
+  }
 }

@@ -264,4 +264,102 @@ class VacuumSafetySpec extends AnyFunSuite {
       assert(rows(c, "t") == 10)
     }
   }
+
+  // ---- single-VACUUM lease (round 14: "run it from two maintenance
+  // schedulers" safety) -------------------------------------------------
+
+  /** A table with superseded (immediately-reclaimable) debris. */
+  private def withDebris(dir: String): GraftClient = {
+    val c = new GraftClient(spark, dir)
+    c.newTx()
+    c.createTable("t", schema)
+    c.insert("t", df(0, 10))
+    c.commitTx()
+    c.newTx()
+    c.insert("t", df(10, 20))
+    c.commitTx()
+    c.newTx()
+    c.compact("t")
+    c.commitTx()
+    c
+  }
+
+  test("a held vacuum lease refuses a second vacuum; release unblocks; " +
+    "state intact throughout") {
+    val dir = tmp()
+    val c = withDebris(dir)
+    val log = new graft.tx.TxLog(new graft.store.LocalObjectStore(dir))
+    val owner = log.acquireVacuumLease(60L * 1000)
+    val e = intercept[IllegalStateException](c.vacuum(retainVersions = 0))
+    assert(e.getMessage.contains("VACUUM holds the lease"))
+    // refusal deleted nothing: full state, history, and debris intact
+    assert(rows(c, "t") == 20)
+    c.newTx()
+    try assert(c.scanAsOf("t", 1).count() == 10) finally c.rollback()
+    // dry run stays available under a held lease (read-only)
+    assert(c.vacuum(retainVersions = 0, dryRun = true) > 0)
+    log.releaseVacuumLease(owner)
+    assert(c.vacuum(retainVersions = 0) > 0)
+    assert(rows(c, "t") == 20)
+  }
+
+  test("a stale (crashed-vacuum) lease is taken over") {
+    val dir = tmp()
+    val c = withDebris(dir)
+    val log = new graft.tx.TxLog(new graft.store.LocalObjectStore(dir))
+    log.acquireVacuumLease(60L * 1000) // never released: the crash shape
+    spark.conf.set("spark.graft.vacuum.leaseStaleMs", "1")
+    try {
+      Thread.sleep(10)
+      assert(c.vacuum(retainVersions = 0) > 0,
+        "a stale lease must be taken over, not waited on forever")
+      assert(rows(c, "t") == 20)
+    } finally spark.conf.unset("spark.graft.vacuum.leaseStaleMs")
+  }
+
+  test("two OVERLAPPING vacuums: one wins the lease, the other refuses " +
+    "loudly; replay and time travel intact after both") {
+    val ss = spark
+    import ss.implicits._
+    ss.sparkContext.hadoopConfiguration
+      .set("fs.graftslow.impl", classOf[GraftSlowDeleteFs].getName)
+    val local = Files.createTempDirectory("graft_vaclease").toString
+    val root = s"graftslow:$local"
+    val shared = new graft.store.InMemoryObjectStore
+    val a = new GraftClient(ss, root, logStore = Some(shared))
+    val b = new GraftClient(ss, root, logStore = Some(shared))
+    a.newTx()
+    a.createTable("t", StructType(Seq(
+      StructField("k", IntegerType, nullable = false))))
+    a.insert("t", (0 until 10).toDF("k"))
+    a.commitTx()
+    a.newTx() // 48 aged orphans = a long pooled delete phase for A
+    a.insertPartitioned("t",
+      (0 until 4800).toDF("k").withColumn("k", col("k") % 48), "k")
+    a.rollback()
+
+    GraftSlowDeleteFs.deleteDelayMs = 150
+    try {
+      @volatile var aResult = -1
+      @volatile var aError: Throwable = null
+      val ta = new Thread(() =>
+        try aResult = a.vacuum(retainVersions = 0)
+        catch { case t: Throwable => aError = t })
+      ta.start()
+      // wait until A owns the lease (it acquires before any deletion)
+      val deadline = System.currentTimeMillis() + 10000
+      while (shared.listPrefixOrdered(
+          graft.tx.TxLog.VacuumLeaseName + "_").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+      val e = intercept[IllegalStateException](b.vacuum(retainVersions = 0))
+      assert(e.getMessage.contains("VACUUM"))
+      ta.join(60000)
+      assert(aError == null, s"vacuum A failed: $aError")
+      assert(aResult >= 48, s"A reclaimed $aResult")
+    } finally GraftSlowDeleteFs.deleteDelayMs = 0
+    // after both: replay, data, and the loser's retry all intact
+    assert(rows(a, "t") == 10)
+    assert(b.vacuum(retainVersions = 0) == 0)
+    assert(rows(b, "t") == 10)
+  }
 }
