@@ -201,6 +201,151 @@ final class S3ObjectStore(baseUrl: String, bucket: String = "graft",
   }
 }
 
+object S3ObjectStore {
+
+  /** An in-repo AWS Signature V4 signer for the `sign` seam — the
+    * scaladoc recipe implemented, so pointing graft at real S3 or minio
+    * needs only `new S3ObjectStore(url, sign = S3ObjectStore.sigV4(ak,
+    * () => sk, "us-east-1"))`. Derived from the PUBLIC signature
+    * specification (AWS General Reference, "Signature Version 4 signing
+    * process"): canonical request → string-to-sign → HMAC key chain →
+    * `Authorization` header, with `x-amz-date` and
+    * `x-amz-content-sha256` stamped here too.
+    *
+    * The closure introspects its builder by building a PROBE copy
+    * (method + URI + headers are readable off an `HttpRequest`; the
+    * payload is re-collected from its replayable `BodyPublisher`), so
+    * the existing `Builder => Builder` seam stays unchanged. Every
+    * header already present on the request is signed (plus `host` and
+    * the two `x-amz-*` stamps), which is how S3's own examples sign
+    * (e.g. `Range`) — and the verifying dialect server recomputes from
+    * the request's own `SignedHeaders` list, so client and server stay
+    * in lockstep for any header set.
+    *
+    * `secretProvider` is read per request — rotating credentials need
+    * no new store. `clock` is injectable for the known-answer test
+    * vectors; each RETRY attempt re-signs with a fresh date by
+    * construction (the hook runs inside the retry loops).
+    */
+  def sigV4(accessKey: String, secretProvider: () => String,
+      region: String, service: String = "s3",
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      : HttpRequest.Builder => HttpRequest.Builder = b => {
+    val probe = b.copy().build()
+    val payload =
+      if (probe.bodyPublisher().isPresent)
+        SigV4.collectBody(probe.bodyPublisher().get())
+      else Array.emptyByteArray
+    val payloadHash = SigV4.hex(SigV4.sha256(payload))
+    val amzDate = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(clock())
+    val dateStamp = amzDate.take(8)
+    // lowercased name -> canonical value, for every header on the
+    // request plus the three SigV4 stamps
+    val headers: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      probe.headers().map().asScala.map { case (k, vs) =>
+        k.toLowerCase -> vs.asScala.map(_.trim).mkString(",")
+      }.toMap ++ Map(
+        "host" -> probe.uri().getAuthority,
+        "x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash)
+    }
+    val signedHeaders = headers.keys.toSeq.sorted.mkString(";")
+    val canonical = SigV4.canonicalRequest(probe.method(), probe.uri(),
+      headers, payloadHash)
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val toSign = s"AWS4-HMAC-SHA256\n$amzDate\n$scope\n" +
+      SigV4.hex(SigV4.sha256(canonical.getBytes(UTF_8)))
+    val signature = SigV4.hex(SigV4.signature(
+      secretProvider(), dateStamp, region, service, toSign))
+    b.header("x-amz-date", amzDate)
+      .header("x-amz-content-sha256", payloadHash)
+      .header("Authorization",
+        s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+          s"SignedHeaders=$signedHeaders, Signature=$signature")
+  }
+}
+
+/** SigV4 primitives shared by the client signer and the verifying
+  * dialect server — hashes, the HMAC chain, and the canonical-request
+  * layout (the server still recomputes its canonical request from the
+  * WIRE request, not from the client's view).
+  */
+private[store] object SigV4 {
+  def sha256(data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+
+  def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  /** The SigV4 key-derivation chain + final signature. */
+  def signature(secret: String, dateStamp: String, region: String,
+      service: String, stringToSign: String): Array[Byte] = {
+    val kDate = hmac(s"AWS4$secret".getBytes(UTF_8), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    val kSigning = hmac(kService, "aws4_request")
+    hmac(kSigning, stringToSign)
+  }
+
+  /** Canonical query string: decoded-then-reencoded is NOT needed here
+    * because both this client and the dialect wire carry components
+    * already percent-encoded RFC-3986-style (the store's `enc`) — the
+    * raw pairs are canonicalized by (key, value) byte order. Splitting
+    * at the first '=' matters: sorting whole "k=v" strings would order
+    * "list-type" before "list" ('-' < '=').
+    */
+  def canonicalQuery(rawQuery: String): String =
+    if (rawQuery == null || rawQuery.isEmpty) ""
+    else rawQuery.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+    }.sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  def canonicalRequest(method: String, uri: URI,
+      headers: Map[String, String], payloadHash: String): String = {
+    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val names = headers.keys.toSeq.sorted
+    val canonicalHeaders =
+      names.map(n => s"$n:${headers(n)}\n").mkString
+    s"$method\n$path\n${canonicalQuery(uri.getRawQuery)}\n" +
+      s"$canonicalHeaders\n${names.mkString(";")}\n$payloadHash"
+  }
+
+  /** Drain a replayable [[HttpRequest.BodyPublisher]] (the store builds
+    * all bodies with `BodyPublishers.ofByteArray`, which re-publishes
+    * per subscriber — HttpClient itself re-subscribes on retry).
+    */
+  def collectBody(p: HttpRequest.BodyPublisher): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var err: Throwable = null
+    p.subscribe(new java.util.concurrent.Flow.Subscriber[java.nio.ByteBuffer] {
+      def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit =
+        s.request(Long.MaxValue)
+      def onNext(bb: java.nio.ByteBuffer): Unit = {
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+        buf.write(arr)
+      }
+      def onError(t: Throwable): Unit = { err = t; latch.countDown() }
+      def onComplete(): Unit = latch.countDown()
+    })
+    if (!latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      throw new java.io.IOException("sigv4: body collect timed out")
+    if (err != null)
+      throw new java.io.IOException("sigv4: body collect failed", err)
+    buf.toByteArray
+  }
+}
+
 /** The few XML fragments ListObjectsV2 responses need — hand-rolled
   * (escape/unescape + tag scan) instead of an XML dependency, because
   * the response grammar here is fixed and flat.
@@ -253,7 +398,8 @@ private[store] object S3Xml {
   */
 final class S3DialectServer(backing: ObjectStore, port: Int = 0,
     bucket: String = "graft", conflict409EveryNth: Int = 0,
-    requireAuth: Option[String] = None) {
+    requireAuth: Option[String] = None,
+    requireSigV4: Option[(String, String, String)] = None) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
   private val server =
@@ -307,8 +453,51 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
     sb.toString.getBytes(UTF_8)
   }
 
+  /** TRUE SigV4 verification (`requireSigV4` = accessKey, secret,
+    * region): recompute the signature from the WIRE request — method,
+    * raw path/query, the request's own `SignedHeaders` list, and the
+    * sha-256 of the body actually received (so a tampered payload or a
+    * wrong `x-amz-content-sha256` fails, not just a missing header) —
+    * and compare. Deliberately reconstructs the canonical request from
+    * the exchange rather than trusting anything the client computed.
+    */
+  private def sigV4Valid(x: HttpExchange, body: Array[Byte]): Boolean =
+    requireSigV4.forall { case (ak, sk, region) =>
+      val hdr = (n: String) => Option(x.getRequestHeaders.getFirst(n))
+      val pat = ("AWS4-HMAC-SHA256 Credential=([^,]+), " +
+        "SignedHeaders=([^,]+), Signature=([0-9a-f]+)").r
+      hdr("Authorization") match {
+        case Some(pat(cred, signed, sig)) =>
+          val c = cred.split("/")
+          val okCred = c.length == 5 && c(0) == ak && c(2) == region &&
+            c(3) == "s3" && c(4) == "aws4_request"
+          val names = signed.split(";").toSeq
+          val hvals = names.foldLeft(Option(Map.empty[String, String])) {
+            (acc, n) => acc.flatMap(m =>
+              hdr(if (n == "host") "Host" else n).map(v => m + (n -> v.trim)))
+          }
+          (hdr("x-amz-date"), hdr("x-amz-content-sha256"), hvals) match {
+            case (Some(ad), Some(ph), Some(hs)) if okCred &&
+                ad.startsWith(c(1)) &&
+                ph == SigV4.hex(SigV4.sha256(body)) =>
+              val canonical = SigV4.canonicalRequest(
+                x.getRequestMethod, x.getRequestURI, hs, ph)
+              val toSign = s"AWS4-HMAC-SHA256\n$ad\n" +
+                s"${c(1)}/$region/s3/aws4_request\n" +
+                SigV4.hex(SigV4.sha256(canonical.getBytes(UTF_8)))
+              SigV4.hex(
+                SigV4.signature(sk, c(1), region, "s3", toSign)) == sig
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+
   server.createContext("/", new HttpHandler {
     def handle(x: HttpExchange): Unit = try {
+      // the body is read ONCE up front: SigV4 verification hashes it,
+      // and the PUT branch stores the same bytes
+      val body = x.getRequestBody.readAllBytes()
       // auth enforcement (the real-endpoint shape the client's `sign`
       // hook exists for): EVERY request must carry the expected
       // Authorization header or gets S3's 403 — list, read, write,
@@ -319,6 +508,7 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
           respond(x, 403, Array.empty); return
         }
       }
+      if (!sigV4Valid(x, body)) { respond(x, 403, Array.empty); return }
       // raw path (no double-decode — see ObjectStoreHttpServer)
       val segs = x.getRequestURI.getRawPath.stripPrefix("/")
         .split("/", 2).toSeq.map(dec)
@@ -345,7 +535,7 @@ final class S3DialectServer(backing: ObjectStore, port: Int = 0,
               respond(x, 404, Array.empty)
           }
         case "PUT" =>
-          val data = x.getRequestBody.readAllBytes()
+          val data = body
           val conditional = Option(
             x.getRequestHeaders.getFirst("If-None-Match")).contains("*")
           if (conditional) {

@@ -47,6 +47,18 @@ class StoreContractSpec extends AnyFunSuite {
       new graft.store.S3ObjectStore(srv.url, pageSize = 2,
         sign = _.header("Authorization", "Bearer graft-test-token"))
     }),
+    // the S3 dialect behind REAL SigV4 verification (round 14): the
+    // server recomputes the signature from the wire request — canonical
+    // request, the request's own SignedHeaders, sha-256 of the received
+    // payload — so the in-repo signer must produce bytes a real
+    // endpoint would accept, not just a header that is present
+    "s3-sigv4" -> (() => {
+      val srv = new graft.store.S3DialectServer(new InMemoryObjectStore,
+        requireSigV4 = Some(("AKIDGRAFT", "graft-secret", "us-east-1")))
+      new graft.store.S3ObjectStore(srv.url, pageSize = 2,
+        sign = graft.store.S3ObjectStore.sigV4("AKIDGRAFT",
+          () => "graft-secret", "us-east-1"))
+    }),
     // an S3-compatible endpoint answering 200 to a SUCCESSFUL
     // conditional PUT over the native wire protocol — the
     // `createdStatuses = Set(200)` opt-in reclassifies 200 as a win
