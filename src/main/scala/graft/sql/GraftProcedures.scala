@@ -39,6 +39,7 @@ object GraftProcedures {
       "register_blooms", "drop_bloom", "z_order",
       "history", "detail", "restore", "convert", "copy_into", "clone",
       "set_partitioning", "cluster_bounded", "cluster_incremental",
+      "z_order_bounded", "cluster_incremental_z",
       "analyze", "replicate_export", "replicate_import")
 
   /** Nullable optional string parameter (declared with SQL default
@@ -228,6 +229,36 @@ object GraftProcedures {
           c.newTx()
           val after = try c.objects(t).length finally c.rollback()
           Seq(row(UTF8String.fromString(t), Int.box(after)))
+        }))
+      case "z_order_bounded" => Some(proc(name,
+        "z-order with a STORED grid: per-axis scale bounds + z-value " +
+          "percentile boundaries persisted as table properties, one " +
+          "object per z-bucket (prerequisite for cluster_incremental_z)",
+        Seq(in("table", StringType), in("columns", StringType),
+          inDefault("num_buckets", IntegerType, "16")),
+        StructType(Seq(StructField("table", StringType),
+          StructField("columns", StringType),
+          StructField("num_buckets", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val cols = args.getUTF8String(1).toString.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+          val b = args.getInt(2)
+          val c = client
+          inTx(c)(c.clusterByZOrderBounded(t, cols, b))
+          Seq(row(UTF8String.fromString(t),
+            UTF8String.fromString(cols.mkString(",")), Int.box(b)))
+        }))
+      case "cluster_incremental_z" => Some(proc(name,
+        "incremental z-clustering: re-bucket only objects appended " +
+          "since the last z pass through the stored z-grid (O(new " +
+          "data), the clustered bulk untouched)",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("table", StringType),
+          StructField("rebucketed_objects", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val c = client
+          val n = inTx(c)(c.clusterIncrementalZ(t))
+          Seq(row(UTF8String.fromString(t), Int.box(n)))
         }))
       case "convert" => Some(proc(name,
         "CONVERT: import a parquet directory as a table in place — " +

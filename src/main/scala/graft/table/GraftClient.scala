@@ -2479,7 +2479,7 @@ final class GraftClient(
     * star-join shape where a filtered dimension should keep the fact
     * scan from touching partitions no dim row can match. The key list is
     * collected driver-side under a LOUD bound (`maxKeys`, default 64 —
-    * the IN-list pruning cap): filtered dimensions are broadcast-sized
+    * [[GraftClient.InListNarrowCap]]): filtered dimensions are broadcast-sized
     * by construction, so their key set is driver-sized; past the cap
     * the probe goes DISTRIBUTED instead ([[wideSurvivors]] — executor-
     * side stats+bloom tests over broadcast object metadata), so pruning
@@ -5109,20 +5109,8 @@ final class GraftClient(
       require(dt.isInstanceOf[NumericType] || dt == StringType,
         s"z-order needs numeric or string columns; $c is ${dt.simpleString}")
     }
-    // order-preserving numeric image of a value for rank scaling:
-    // numerics cast to double; STRINGS map to their first 6.5 UTF-8
-    // bytes as a 52-bit big-endian integer (13 hex digits — exactly
-    // representable in a double), so lexicographic order is preserved
-    // at z-order resolution. The corpus-canonical (source, ts) layout
-    // z-orders directly; resolution past 6 bytes of shared prefix is
-    // lost, which affects box tightness, never correctness.
     def zRankRaw(c: String): org.apache.spark.sql.Column =
-      typeAtPath(schema, c) match {
-        case StringType => expr("CAST(CONV(rpad(substring(hex(encode(" +
-          s"${GraftClient.sqlRef(c)}, 'UTF-8')), 1, 13), 13, '0'), 16, " +
-          "10) AS DOUBLE)")
-        case _ => col(c).cast("double")
-      }
+      zRankRawExpr(schema, c)
     def zStringRank(s: String): Double = {
       val hexs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         .take(7).map(b => f"${b & 0xff}%02X").mkString
@@ -5160,29 +5148,162 @@ final class GraftClient(
             (r.getDouble(2 * i), r.getDouble(2 * i + 1))))
         }
       bounds.map { bs =>
-        val n = columns.length
-        val bitsPer = math.min(16, 62 / n)
-        val maxRank = (1L << bitsPer) - 1
-        def scaled(raw: org.apache.spark.sql.Column, lo: Double,
-            hi: Double) =
-          if (hi <= lo) lit(0L)
-          else least(lit(maxRank), greatest(lit(0L),
-            ((raw - lit(lo)) / lit(hi - lo)
-              * lit(maxRank.toDouble)).cast("long")))
-        val ranks = columns.zip(bs).map { case (c, (lo, hi)) =>
-          scaled(zRankRaw(c), lo, hi)
-        }
-        // bit i of rank k lands at interleaved position i*n + k (for
-        // n = 2 this is exactly the original a/b interleave)
-        val z = (for {
-          i <- 0 until bitsPer
-          (rank, k) <- ranks.zipWithIndex
-        } yield shiftright(rank, i).bitwiseAND(lit(1L)) *
-          lit(1L << (i * n + k))).reduce(_ + _)
-        live.repartitionByRange(numBuckets, z)
+        live.repartitionByRange(numBuckets, zValueExpr(schema, columns, bs))
       }
     }
   }
+
+  /** Order-preserving numeric image of a value for z-rank scaling:
+    * numerics cast to double; STRINGS map to their first 6.5 UTF-8
+    * bytes as a 52-bit big-endian integer (13 hex digits — exactly
+    * representable in a double), so lexicographic order is preserved
+    * at z-order resolution. The corpus-canonical (source, ts) layout
+    * z-orders directly; resolution past 6 bytes of shared prefix is
+    * lost, which affects box tightness, never correctness.
+    */
+  private def zRankRawExpr(schema: StructType,
+      c: String): org.apache.spark.sql.Column =
+    typeAtPath(schema, c) match {
+      case StringType => expr("CAST(CONV(rpad(substring(hex(encode(" +
+        s"${GraftClient.sqlRef(c)}, 'UTF-8')), 1, 13), 13, '0'), 16, " +
+        "10) AS DOUBLE)")
+      case _ => col(c).cast("double")
+    }
+
+  /** The interleaved z-value as a pure (codegen'd) expression under the
+    * given per-axis scale bounds — shared by the one-shot
+    * [[clusterByZOrder]] and the DURABLE-grid incremental pair
+    * ([[clusterByZOrderBounded]] / [[clusterIncrementalZ]]), so an
+    * increment's z-values are computed by construction on the same
+    * grid the full pass laid out. Out-of-bounds values clamp to the
+    * edge ranks (new data past the grid lands in edge boxes — drift is
+    * a re-baseline signal, never a correctness issue); a null on any
+    * axis ranks 0 there.
+    */
+  private def zValueExpr(schema: StructType, columns: Seq[String],
+      bs: Seq[(Double, Double)]): org.apache.spark.sql.Column = {
+    val n = columns.length
+    val bitsPer = math.min(16, 62 / n)
+    val maxRank = (1L << bitsPer) - 1
+    def scaled(raw: org.apache.spark.sql.Column, lo: Double,
+        hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxRank), greatest(lit(0L),
+        ((raw - lit(lo)) / lit(hi - lo)
+          * lit(maxRank.toDouble)).cast("long")))
+    val ranks = columns.zip(bs).map { case (c, (lo, hi)) =>
+      scaled(zRankRawExpr(schema, c), lo, hi)
+    }
+    // bit i of rank k lands at interleaved position i*n + k (for
+    // n = 2 this is exactly the original a/b interleave)
+    (for {
+      i <- 0 until bitsPer
+      (rank, k) <- ranks.zipWithIndex
+    } yield shiftright(rank, i).bitwiseAND(lit(1L)) *
+      lit(1L << (i * n + k))).reduce(_ + _)
+  }
+
+  /** Z-order with an EXPLICIT, DURABLE grid — the N-dimensional analog
+    * of [[clusterByBounded]] (round-13 verdict task: the z-layout
+    * previously required a full [[clusterByZOrder]] sweep to absorb new
+    * data): the per-axis scale bounds AND the z-value's exact
+    * percentile bucket boundaries are computed once from the live data
+    * and stored as table properties, the table is re-laid-out one
+    * object per z-bucket, and every later [[clusterIncrementalZ]]
+    * routes ONLY newly appended objects through the same stored grid —
+    * O(new data), the clustered bulk untouched. Boundary placement is a
+    * balance choice, never a correctness one (pruning reads the
+    * REWRITTEN footers); at 100 TB swap the exact percentile for
+    * percentile_approx. One z-grid per table (a new call replaces it).
+    */
+  def clusterByZOrderBounded(table: String, columns: Seq[String],
+      numBuckets: Int = 16): Unit = {
+    tagOp("CLUSTER")
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    require(columns.length >= 2, "z-order needs at least 2 columns")
+    require(columns.distinct.length == columns.length,
+      s"duplicate z-order columns: ${columns.mkString(",")}")
+    val t = currentTx
+    val schema = schemaOf(table)
+    columns.foreach { c =>
+      require(hasColumnPath(schema, c), s"no such column: $c")
+      val dt = typeAtPath(schema, c)
+      require(dt.isInstanceOf[NumericType] || dt == StringType,
+        s"z-order needs numeric or string columns; $c is ${dt.simpleString}")
+    }
+    flush(table)
+    val files = liveFiles(table)
+    require(files.nonEmpty, s"$table is empty; nothing to cluster")
+    val live = readObjects(schema, files)
+    val aggs = columns.flatMap(c => Seq(
+      min(zRankRawExpr(schema, c)), max(zRankRawExpr(schema, c))))
+    val r = live.agg(aggs.head, aggs.tail: _*).collect().head
+    columns.indices.foreach(i => require(!r.isNullAt(2 * i),
+      s"${columns(i)} is all-null; cannot z-cluster"))
+    val bs = columns.indices.map(i =>
+      (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    val z = zValueExpr(schema, columns, bs)
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val zBounds = live.select(z.cast("double").as("_z"))
+      .select(expr(s"percentile(_z, array(${qs.mkString(",")}))"))
+      .collect().head.getSeq[Double](0)
+    rebucketFiles(table, files, zBucketIdExpr(z, zBounds))
+    setTableProperties(table, Map(
+      "graft.zcluster.columns" -> columns.mkString(","),
+      "graft.zcluster.axisBounds" ->
+        bs.map { case (lo, hi) => s"$lo:$hi" }.mkString(","),
+      "graft.zcluster.zbounds" -> zBounds.mkString(","),
+      "graft.zcluster.txid" -> t.id.toString))
+  }
+
+  /** Incremental N-D clustering: re-bucket ONLY the objects appended
+    * since the last z pass, through the STORED z-grid — each increment
+    * adds at most numBuckets z-aligned objects (reclaimed by an
+    * ordinary scoped [[compact]]), the clustered bulk is never
+    * rewritten, and range predicates on EVERY z axis keep pruning the
+    * appended region. Out-of-grid values clamp into edge boxes; a
+    * drifted distribution re-baselines with a fresh
+    * [[clusterByZOrderBounded]]. Returns the objects re-bucketed.
+    */
+  def clusterIncrementalZ(table: String): Int = {
+    tagOp("CLUSTER")
+    val t = currentTx
+    val props = tablePropertiesOf(table)
+    val columns = props.get("graft.zcluster.columns")
+      .map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bounded z-clustering; run clusterByZOrderBounded " +
+          "first"))
+    val bs = props("graft.zcluster.axisBounds").split(",").toSeq.map { p =>
+      val Array(lo, hi) = p.split(":"); (lo.toDouble, hi.toDouble)
+    }
+    val zBounds =
+      props("graft.zcluster.zbounds").split(",").map(_.toDouble).toSeq
+    val since = props("graft.zcluster.txid").toLong
+    flush(table) // same-tx buffered rows become objects we can re-bucket
+    val schema = schemaOf(table)
+    // >= : same convention as clusterIncremental — re-bucketing an
+    // already-aligned object is wasteful but correct, and rebucket
+    // outputs carry their inputs' older minTx, never re-picked-up
+    val fresh = liveFiles(table).filter(_.txId >= since)
+    if (fresh.isEmpty) return 0
+    rebucketFiles(table, fresh,
+      zBucketIdExpr(zValueExpr(schema, columns, bs), zBounds))
+    setTableProperties(table,
+      Map("graft.zcluster.txid" -> t.id.toString))
+    fresh.length
+  }
+
+  /** Bucket id under an explicit z boundary grid: the count of
+    * boundaries strictly below the z-value (stable under
+    * re-application, the [[bucketIdExpr]] convention); a null z —
+    * impossible by construction, rank clamping nulls to 0 — would land
+    * in bucket 0.
+    */
+  private def zBucketIdExpr(z: org.apache.spark.sql.Column,
+      bounds: Seq[Double]): org.apache.spark.sql.Column =
+    bounds.map(b => when(z.cast("double") > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
 
   /** Abandon the open transaction (data objects it wrote stay orphaned and
     * unreferenced, as in the reference; [[vacuum]] reclaims them).

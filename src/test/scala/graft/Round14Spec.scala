@@ -127,6 +127,57 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("incremental z-order: stored z-grid re-buckets only appends, " +
+    "bulk untouched, both axes prune, rows conserved") {
+    val root = Files.createTempDirectory("graft_r14_zinc").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    // 40x40 value grid: a and b each uniform in [0, 40)
+    val df = spark.range(0, 1600).select(
+      (col("id") % 40).as("a"), (col("id") / 40).cast("long").as("b"))
+    c.createTable("za", df.schema)
+    c.insert("za", df)
+    c.commitTx()
+    c.newTx()
+    c.clusterByZOrderBounded("za", Seq("a", "b"), 16)
+    c.commitTx()
+    c.newTx()
+    val bulk = c.objects("za").map(_.path).toSet
+    c.rollback()
+    assert(bulk.size === 16)
+
+    // append a small (5x5) box, then an increment through the STORED grid
+    c.newTx()
+    c.insert("za", spark.range(0, 25).select(
+      (col("id") % 5).as("a"), (col("id") / 5).cast("long").as("b")))
+    c.commitTx()
+    c.newTx()
+    val n = c.clusterIncrementalZ("za")
+    c.commitTx()
+    assert(n === 1, s"one appended object to re-bucket, got $n")
+
+    c.newTx()
+    try {
+      val after = c.objects("za").map(_.path).toSet
+      assert(bulk.subsetOf(after), "the clustered bulk must be untouched")
+      assert((after -- bulk).size <= 16,
+        "an increment adds at most numBuckets z-aligned objects")
+      assert(c.scan("za").count() === 1625L) // row conservation
+      // both axes prune post-increment: a range on EITHER column opens
+      // a strict subset (z boxes bound both a and b per object)
+      val total = after.size
+      val onA = c.prunedObjects("za", Seq("a" -> (0L, 2L)), Nil).length
+      val onB = c.prunedObjects("za", Seq("b" -> (0L, 2L)), Nil).length
+      assert(onA < total, s"a-axis did not prune: $onA of $total")
+      assert(onB < total, s"b-axis did not prune: $onB of $total")
+    } finally c.rollback()
+
+    // a second increment with nothing new is a no-op
+    c.newTx()
+    assert(c.clusterIncrementalZ("za") === 0)
+    c.rollback()
+  }
+
   test("merge key probe: wide delete source prunes the DV scan to " +
     "matched objects (distributed tier), narrow source via the index") {
     val root = Files.createTempDirectory("graft_r14_merge").toString
