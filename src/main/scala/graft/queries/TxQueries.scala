@@ -1422,6 +1422,71 @@ object TxQueries {
     FROM customer WHERE c_custkey % 7 = 0
     ORDER BY c_custkey"""
 
+  // --- WIDE IN-list through the connector (round 14) -------------------------
+  // Same fixture; a 100-value literal IN (multiples of 13 up to 1300)
+  // exceeds InListNarrowCap, so the connector's pushdown routes it
+  // through the driver-side WideProbeIndex probe (stats + sidecar
+  // blooms) instead of falling back to the [min, max] span — the values
+  // land exactly (Round14Spec pins the object counts; this row pins the
+  // rows through the DuckDB gate).
+  def txInWide(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureDpp(spark, dir)
+    val vals = (1 to 100).map(i => (i * 13).toLong)
+    spark.read.format("graft").option("table", "cust").load(root)
+      .filter(col("c_custkey").isInCollection(vals))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val txInWideSql = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_custkey % 13 = 0 AND c_custkey BETWEEN 13 AND 1300
+    ORDER BY c_custkey"""
+
+  // --- Incremental z-order (round 14) ----------------------------------------
+  // 80% of customer z-clustered on (c_nationkey, c_acctbal) with a
+  // STORED grid, the other 20% appended afterwards and absorbed by
+  // clusterIncrementalZ through that grid — the oracle is the whole
+  // customer table: the bounded pass + increment conserve every row
+  // through two provenance-preserving re-layouts.
+  private def ensureZInc(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      built.getOrElseUpdate(s"$sfDir#zinc", {
+        val root = Files.createTempDirectory("graft_zinc_fixture").toString
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val c = new GraftClient(spark, root)
+        c.newTx()
+        c.createTable("zi", cust.schema)
+        c.insert("zi", cust.filter(col("c_custkey") % 5 =!= 0))
+        c.commitTx()
+        c.newTx()
+        c.clusterByZOrderBounded("zi", Seq("c_nationkey", "c_acctbal"), 8)
+        c.commitTx()
+        c.newTx()
+        c.insert("zi", cust.filter(col("c_custkey") % 5 === 0))
+        c.commitTx()
+        c.newTx()
+        require(c.clusterIncrementalZ("zi") >= 1)
+        c.commitTx()
+        root
+      })
+    }
+
+  def txZorderInc(spark: SparkSession, dir: String): DataFrame = {
+    val c = new GraftClient(spark, ensureZInc(spark, dir))
+    c.newTx()
+    try c.scan("zi")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+    finally c.rollback()
+  }
+
+  private val txZorderIncSql = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer ORDER BY c_custkey"""
+
   // --- COPY INTO: idempotent incremental landing-zone ingestion --------------
   // Three loads against a growing landing directory: batch 1 (two files),
   // a same-tx double-run (must be a no-op — pending watermarks count), a
@@ -1863,6 +1928,14 @@ object TxQueries {
         "the partitioned fact scan to |matched partitions| objects " +
         "(scanSemi, bounded driver key list; past the cap the " +
         "distributed wide probe takes over, still exactly key-filtered)"),
+    "tx_in_wide" -> QueryDef(txInWide, Some(txInWideSql),
+      "100-value IN through the connector: past the 64-value cap the " +
+        "pushdown probes the driver-side interval index (stats + " +
+        "sidecar blooms) instead of the [min,max] span — values exact"),
+    "tx_zorder_inc" -> QueryDef(txZorderInc, Some(txZorderIncSql),
+      "incremental z-order: bounded pass stores the z-grid, an append " +
+        "is absorbed by clusterIncrementalZ through the stored grid, " +
+        "every row conserved across both re-layouts"),
     "tx_copy_into" -> QueryDef(txCopyInto, Some(txCopyIntoSql),
       "COPY INTO: idempotent incremental landing-zone ingestion — " +
         "per-file SetTxn watermarks commit atomically with the rows, " +
