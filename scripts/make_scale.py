@@ -29,6 +29,15 @@ for k in range(K):
     if k == 0:
         docs.append(f"SELECT * FROM '{src}/documents.parquet'")
     else:
+        # KNOWN RESIDUAL (measured round 14, BASELINE.md "sf1 -> sf10
+        # scale decade"): 6-gram windows made of SHORT words still fit
+        # between 24-char salts, so those grams stay shared across
+        # replicas and the bigram-jaccard verify threshold (0.5) sits at
+        # the cross-replica similarity this salting produces -> K-replica
+        # doc families read as TRUE ~K-cliques of near-dups (verified
+        # pairs grew 132x for 10x data at K=100). A sub-6-gram salt pitch
+        # for short-word runs would close it; left as-is so sf1 anchors
+        # stay comparable across rounds.
         # INTERLEAVED salt, not a suffix: a replica tag every ~24 chars
         # breaks the cross-replica SHINGLE overlap the gram-based
         # near-dup methods key on (a pure suffix leaves ~99% of k-grams

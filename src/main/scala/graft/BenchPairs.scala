@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the near-dup CANDIDATE tier (round 14, the sf1→sf10
+  * decade): counts candidate pairs, verified pairs, and the bucket-gate
+  * observed metrics (dropped_buckets / max_bucket / cand_pairs) for the
+  * ngram and minhash families at `SPARK_GRAFT_SF_DIR` — the evidence
+  * that separates "the capped quadratic term grew" from "the shuffle
+  * spilled" when a decade jump reads superlinear.
+  */
+object BenchPairs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Seq(
+      "ngram" -> queries.DedupOps.dedupNgramJaccard _,
+      "minhash" -> queries.DedupOps.dedupMinhashLsh _
+    ).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      // collect, not count: observed metrics attach to THIS plan's own
+      // QueryExecution (count() would execute a different one)
+      val survivors = df.collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      val metrics = df.queryExecution.observedMetrics
+        .map { case (k, r) =>
+          s"$k={dropped=${r.getAs[Long]("dropped_buckets")}," +
+            s"max=${r.getAs[Int]("max_bucket")}," +
+            s"cand_pairs=${r.getAs[Long]("cand_pairs")}}"
+        }.mkString(" ")
+      println(f"PAIRS $name%-8s sec=$sec%8.2f out=$survivors%10d $metrics")
+    }
+    spark.stop()
+  }
+}

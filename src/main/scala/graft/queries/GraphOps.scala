@@ -130,8 +130,14 @@ object GraphOps {
   // near-dup graph are mutually-duplicated triples — the clusters
   // where transitive closure is load-bearing rather than incidental.
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val p = DedupOps.dedupNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
+    // cut(): the pair pipeline (explode → bucket → verify) is the
+    // expensive tier, and the triple self-join's three branches sit
+    // under DIFFERENT exchanges (doc_b, doc_a, (doc_a, doc_b)), so
+    // ReuseExchange cannot dedup them — unpinned, Spark recomputes the
+    // whole candidate tier once per branch (measured 3× at the sf10
+    // decade: 204 s → the pinned form pays the tier once)
+    val p = cut(DedupOps.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
     p.as("e1")
       .join(p.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
       .join(p.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
