@@ -25,7 +25,8 @@ object BenchPairs {
     spark.sparkContext.setLogLevel("ERROR")
     Seq(
       "ngram" -> queries.DedupOps.dedupNgramJaccard _,
-      "minhash" -> queries.DedupOps.dedupMinhashLsh _
+      "minhash" -> queries.DedupOps.dedupMinhashLsh _,
+      "ngram_span" -> queries.DedupOps.dedupNgramSpanning _
     ).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

@@ -121,6 +121,29 @@ object DedupOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** SPANNING (star) candidate pairs within each capped bucket — every
+    * id paired with the bucket's MINIMUM instead of all-pairs: a bucket
+    * of size m yields m-1 candidates, not C(m,2), so a K-replica
+    * mega-duplicate family costs O(K) instead of O(K²) (the sf1→sf10
+    * decade measured the all-pairs tier's candidates growing 97× for
+    * 10× data on exactly this shape — BASELINE.md round 14). At the
+    * CANDIDATE level the star spans its bucket, so the transitive
+    * closure over spanning pairs yields the same connected components
+    * as over all-pairs. The trade is at the VERIFY level: a star edge
+    * the Jaccard check rejects can disconnect a pair the all-pairs form
+    * would keep through a third doc — so the pair-ENUMERATION rows keep
+    * all-pairs semantics, and this tier is the linear-output feed for
+    * closure-style consumers at crawl scale.
+    */
+  private def bucketedSpanningPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .withColumn("ids", array_sort(col("ids")))
+      .select(explode(expr(
+        """transform(slice(ids, 2, size(ids) - 1), y ->
+             struct(ids[0] AS doc_a, y AS doc_b))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+
   /** Exact bigram-set Jaccard for candidate pairs (doc_a, doc_b), keeping
     * pairs ≥ `threshold`. `sets` must be (doc_id, big); one join per side
     * fetches (and materializes) the shingle sets.
@@ -221,6 +244,45 @@ object DedupOps {
         len(list_intersect(sa.big, sb.big)) AS inter,
         len(sa.big) + len(sb.big) AS tot
       FROM pairs
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
+    FROM v
+    WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** The spanning-tier near-dup query: same shingle buckets and verify
+    * threshold as [[dedupNgramJaccard]], candidates via
+    * [[bucketedSpanningPairs]] — verified star edges, the linear-output
+    * closure feed (see the spanning-pairs scaladoc for the contract).
+    */
+  def dedupNgramSpanning(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingled(spark, dir)
+    val byG = d.filter(size(col("ws")) >= 6)
+      .select(col("doc_id"), explode(sixgramT).as("g"))
+    val pairs = bucketedSpanningPairs(cappedBuckets(byG.groupBy(col("g"))
+      .agg(collect_list(col("doc_id")).as("ids")), "ngram_span_buckets"))
+    verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
+  }
+
+  private val dedupNgramSpanningSql = s"""
+    $shingleCteSql,
+    g AS (SELECT doc_id, unnest(six) AS g FROM sh),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
+      WHERE df BETWEEN 2 AND ${BucketCap}),
+    span AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT min(doc_id) OVER (PARTITION BY g) AS doc_a,
+               doc_id AS doc_b
+        FROM capped) s
+      WHERE doc_a < doc_b),
+    v AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(sa.big, sb.big)) AS inter,
+        len(sa.big) + len(sb.big) AS tot
+      FROM span
       JOIN sh sa ON sa.doc_id = doc_a
       JOIN sh sb ON sb.doc_id = doc_b)
     SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (tot - inter) AS jaccard
@@ -622,6 +684,11 @@ object DedupOps {
         "(longest doc, doc_id tiebreak) — detection into a deduped corpus"),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramSql),
       "near-dup pairs: rare-6-gram inverted index + bigram Jaccard >= 0.5"),
+    "dedup_ngram_spanning" -> QueryDef(dedupNgramSpanning,
+      Some(dedupNgramSpanningSql),
+      "near-dup STAR edges: each capped shingle bucket pairs with its " +
+        "minimum (m-1 candidates, not C(m,2)) — the linear-output " +
+        "closure feed for mega-duplicate families at crawl scale"),
     "dedup_minhash_lsh" -> QueryDef(dedupMinhashLsh, Some(dedupNgramSql),
       "near-dup pairs via 16x4 banded MinHash LSH, Jaccard-verified; " +
         "oracle = exact n-gram query (LSH recall is total at J>=0.9)"),

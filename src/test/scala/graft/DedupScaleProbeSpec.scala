@@ -118,4 +118,52 @@ class DedupScaleProbeSpec extends AnyFunSuite {
       s"flood quadratic term must shed, not grow: " +
         s"1x=${candPairs(m1)} 8x=${candPairs(m8)}")
   }
+
+  test("spanning tier: a mega-duplicate family emits m-1 star edges, " +
+    "not C(m,2), with the identical transitive closure") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val fam = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma"
+    val lone = "uniquely worded prose sentence nothing here repeats " +
+      "anywhere else in this miniature corpus at all"
+    import scala.jdk.CollectionConverters._
+    val m = 40
+    val rows = (0 until m).map(i =>
+      Row(i.toLong, fam, "en", "fam", fam.length.toLong)) :+
+      Row(9999L, lone, "en", "lone", lone.length.toLong)
+    val dir = Files.createTempDirectory("graft_probe_span").toString
+    spark.createDataFrame(rows.toList.asJava, docSchema).repartition(4)
+      .write.parquet(s"$dir/documents.parquet")
+
+    def edges(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = edges(DedupOps.dedupNgramJaccard(spark, dir))
+    val span = edges(DedupOps.dedupNgramSpanning(spark, dir))
+    // the m-clique: all-pairs enumerates C(m,2); the spanning tier
+    // emits exactly the star of the minimum id — LINEAR in family size
+    assert(all.size === m * (m - 1) / 2, s"all-pairs: ${all.size}")
+    assert(span === (1 until m).map(i => (0L, i.toLong)).toSet,
+      s"spanning: $span")
+    assert(span.subsetOf(all))
+    // identical closure: union-find over both edge sets agrees
+    def components(es: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val ca = components(all)
+    val cs = components(span)
+    assert(ca.keySet === cs.keySet &&
+      ca.groupBy(_._2).values.map(_.keySet).toSet ===
+        cs.groupBy(_._2).values.map(_.keySet).toSet,
+      "spanning edges must induce the same connected components")
+  }
 }
