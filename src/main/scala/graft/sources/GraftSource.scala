@@ -780,6 +780,41 @@ object GraftRelation {
     case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
       Seq(a -> vs.toSeq)
     case And(l, r) => inOf(l) ++ inOf(r)
+    // Catalyst pushes `k = 5 OR k = 900` as Or(EqualTo, EqualTo) — it
+    // has no or-to-IN rewrite — so without this fold the disjunction
+    // pruned NOTHING (boundsOf skips Or too). A same-column OR of
+    // point shapes IS an IN list; mixed columns stay unprunable.
+    case or: Or => pointSet(or).toSeq
+    case _ => Nil
+  }
+
+  /** A filter that holds only when ONE column takes a value from a
+    * finite set: EqualTo / IN / same-column ORs of those, recursively.
+    */
+  private def pointSet(f: Filter): Option[(String, Seq[Any])] = f match {
+    case EqualTo(a, v) if v != null => Some(a -> Seq(v))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      Some(a -> vs.toSeq)
+    case Or(l, r) => (pointSet(l), pointSet(r)) match {
+      case (Some((c1, v1)), Some((c2, v2))) if c1 == c2 =>
+        Some((c1, v1 ++ v2))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Conjuncts probing a column for NULL (`IS NULL`, `<=> NULL`): an
+    * object whose footer stats say ZERO nulls for the column can be
+    * skipped — at 100 TB a "find rows missing this field" audit opens
+    * only the objects that actually hold nulls. Strictly conservative:
+    * objects without a null count (no stats entry — including pre-add
+    * schema-evolution objects, whose physical absence READS as null)
+    * are kept.
+    */
+  private[graft] def isNullOf(f: Filter): Seq[String] = f match {
+    case IsNull(a) => Seq(a)
+    case EqualNullSafe(a, null) => Seq(a)
+    case And(l, r) => isNullOf(l) ++ isNullOf(r)
     case _ => Nil
   }
 
@@ -845,9 +880,10 @@ final case class GraftRelation(sqlContext: SQLContext, root: String,
         val bounds = filters.toSeq.flatMap(boundsOf)
         val equalities = filters.toSeq.flatMap(eqOf)
         val inLists = filters.toSeq.flatMap(GraftRelation.inOf)
+        val isNulls = filters.toSeq.flatMap(GraftRelation.isNullOf)
         GraftRelation.lastScanObjectCount =
-          c.prunedObjects(table, bounds, equalities, inLists).length
-        c.scanPruned(table, bounds, equalities, inLists)
+          c.prunedObjects(table, bounds, equalities, inLists, isNulls).length
+        c.scanPruned(table, bounds, equalities, inLists, isNulls)
       }
     }
     val filtered = filters.flatMap(toColumn).reduceOption(_ && _)

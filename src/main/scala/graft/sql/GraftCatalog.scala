@@ -797,9 +797,10 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
                   val bounds = pushed.toSeq.flatMap(GraftRelation.boundsOf)
                   val eqs = pushed.toSeq.flatMap(GraftRelation.eqOf)
                   val ins = pushed.toSeq.flatMap(GraftRelation.inOf)
-                  GraftCatalog.lastScanObjectCount =
-                    c.prunedObjects(table.tableName, bounds, eqs, ins).length
-                  c.scanPruned(table.tableName, bounds, eqs, ins)
+                  val nls = pushed.toSeq.flatMap(GraftRelation.isNullOf)
+                  GraftCatalog.lastScanObjectCount = c.prunedObjects(
+                    table.tableName, bounds, eqs, ins, nls).length
+                  c.scanPruned(table.tableName, bounds, eqs, ins, nls)
               }
               val filtered = pushed.flatMap(FilterTranslation.toColumn)
                 .foldLeft(base)((df, p) => df.filter(p))

@@ -2624,9 +2624,10 @@ final class GraftClient(
     */
   def scanPruned(table: String, bounds: Seq[(String, (Any, Any))],
       equalities: Seq[(String, Any)],
-      inLists: Seq[(String, Seq[Any])] = Nil): DataFrame = {
-    val keep =
-      prunedObjects(table, bounds, equalities, inLists).map(_.path).toSet
+      inLists: Seq[(String, Seq[Any])] = Nil,
+      isNullCols: Seq[String] = Nil): DataFrame = {
+    val keep = prunedObjects(table, bounds, equalities, inLists, isNullCols)
+      .map(_.path).toSet
     scanFiltered(table, a => keep(a.path))
   }
 
@@ -2636,10 +2637,11 @@ final class GraftClient(
     */
   def prunedObjects(table: String, bounds: Seq[(String, (Any, Any))],
       equalities: Seq[(String, Any)],
-      inLists: Seq[(String, Seq[Any])] = Nil): Vector[AddDataObject] = {
+      inLists: Seq[(String, Seq[Any])] = Nil,
+      isNullCols: Seq[String] = Nil): Vector[AddDataObject] = {
     val schema = schemaOf(table)
-    (bounds.map(_._1) ++ equalities.map(_._1) ++ inLists.map(_._1))
-      .foreach(c =>
+    (bounds.map(_._1) ++ equalities.map(_._1) ++ inLists.map(_._1) ++
+      isNullCols).foreach(c =>
         require(hasColumnPath(schema, c), s"no such column: $c"))
     val live = liveFiles(table)
     // IN lists past the narrow cap would widen the probe-hash job below
@@ -2722,7 +2724,19 @@ final class GraftClient(
       bounds.forall { case (c, (lo, hi)) =>
         ColStats.mayOverlap(a.stats, physOf(schema, c), lo, hi) } &&
         equalities.forall { case (c, v) => valueSurvives(a, c, v) } &&
-        narrowIn.forall { case (c, vs) => vs.exists(valueSurvives(a, c, _)) })
+        narrowIn.forall { case (c, vs) =>
+          vs.exists(valueSurvives(a, c, _)) } &&
+        // IS NULL tier: a footer null count of ZERO proves no row of the
+        // object (DV-dead included — counting them only over-keeps)
+        // satisfies `c IS NULL`; no count / no stats entry (pre-add
+        // schema-evolution objects read physically-absent columns as
+        // null) keeps the object
+        isNullCols.forall { c =>
+          a.stats.get(physOf(schema, c)).flatMap(_.nulls) match {
+            case Some(0L) => false
+            case _ => true
+          }
+        })
     wideIn.foldLeft(base) { case (objs, (c, vs)) =>
       wideInKeep(objs, schema, c, vs)
     }

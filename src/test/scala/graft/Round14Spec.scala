@@ -127,6 +127,47 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("OR of point predicates prunes per value (Catalyst pushes it as " +
+    "Or, never IN); IS NULL prunes by footer null counts") {
+    val root = Files.createTempDirectory("graft_r14_ornull").toString
+    disjointTable(root)
+    // k = 5 OR k = 72: objects 0 and 7 only — without the same-column
+    // point-set fold the Or conjunct pruned nothing
+    val df = spark.read.format("graft").option("table", "pt").load(root)
+      .filter(col("k") === 5L || col("k") === 72L)
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 72L))
+    assert(graft.sources.GraftRelation.lastScanObjectCount === 2)
+
+    // IS NULL: 4 objects — all-non-null (nulls=0, pruned), half-null
+    // (nulls>0, kept), all-null (NO stats entry for v, kept
+    // conservatively), non-null (pruned)
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType)))
+    c.createTable("nt", schema)
+    c.commitTx()
+    import scala.jdk.CollectionConverters._
+    def ins(rows: Seq[(Long, String)]): Unit = {
+      c.newTx()
+      c.insert("nt", spark.createDataFrame(
+        rows.map { case (k, v) => Row(k, v) }.asJava, schema))
+      c.commitTx()
+    }
+    ins((0L until 10L).map(i => i -> s"a$i"))            // nulls = 0
+    ins((10L until 20L).map(i => i -> (if (i % 2 == 0) null else s"b$i")))
+    ins((20L until 30L).map(i => i -> (null: String)))   // no v stats
+    ins((30L until 40L).map(i => i -> s"d$i"))           // nulls = 0
+    val nulls = spark.read.format("graft").option("table", "nt").load(root)
+      .filter(col("v").isNull)
+    assert(nulls.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      ((10L until 20L by 2) ++ (20L until 30L)).toSeq)
+    assert(graft.sources.GraftRelation.lastScanObjectCount === 2,
+      "IS NULL must open only the null-holding objects")
+  }
+
   test("incremental z-order: stored z-grid re-buckets only appends, " +
     "bulk untouched, both axes prune, rows conserved") {
     val root = Files.createTempDirectory("graft_r14_zinc").toString
