@@ -729,6 +729,10 @@ object GraftRelation {
     */
   private[graft] def boundsOf(f: Filter): Seq[(String, (Any, Any))] = f match {
     case EqualTo(a, v) => Seq(a -> (v, v))
+    // a <=> v with v non-null matches exactly the rows a = v does
+    // (null <=> v is false), so it prunes identically; the v = null
+    // form is the IS NULL tier's ([[isNullOf]])
+    case EqualNullSafe(a, v) if v != null => Seq(a -> (v, v))
     case GreaterThan(a, v) => Seq(a -> (v, null))
     case GreaterThanOrEqual(a, v) => Seq(a -> (v, null))
     case LessThan(a, v) => Seq(a -> (null, v))
@@ -761,6 +765,7 @@ object GraftRelation {
     */
   private[graft] def eqOf(f: Filter): Seq[(String, Any)] = f match {
     case EqualTo(a, v) if v != null => Seq(a -> v)
+    case EqualNullSafe(a, v) if v != null => Seq(a -> v) // see boundsOf
     case And(l, r) => eqOf(l) ++ eqOf(r)
     case _ => Nil
   }

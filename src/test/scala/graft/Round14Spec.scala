@@ -139,6 +139,12 @@ class Round14Spec extends AnyFunSuite {
       Seq(5L, 72L))
     assert(graft.sources.GraftRelation.lastScanObjectCount === 2)
 
+    // null-safe equality with a non-null literal prunes like EqualTo
+    val nsafe = spark.read.format("graft").option("table", "pt").load(root)
+      .filter(col("k") <=> 33L)
+    assert(nsafe.select("k").collect().map(_.getLong(0)).toSeq === Seq(33L))
+    assert(graft.sources.GraftRelation.lastScanObjectCount === 1)
+
     // IS NULL: 4 objects — all-non-null (nulls=0, pruned), half-null
     // (nulls>0, kept), all-null (NO stats entry for v, kept
     // conservatively), non-null (pruned)
