@@ -247,7 +247,10 @@ object S3ObjectStore {
       import scala.jdk.CollectionConverters._
       probe.headers().map().asScala.map { case (k, vs) =>
         k.toLowerCase -> vs.asScala.map(_.trim).mkString(",")
-      }.toMap ++ Map(
+        // a stale Authorization (re-sign of an already-signed builder)
+        // must not enter SignedHeaders: setHeader replaces it on the
+        // wire, so signing over the old value could never verify
+      }.toMap.removed("authorization") ++ Map(
         "host" -> probe.uri().getAuthority,
         "x-amz-date" -> amzDate,
         "x-amz-content-sha256" -> payloadHash)
@@ -260,9 +263,13 @@ object S3ObjectStore {
       SigV4.hex(SigV4.sha256(canonical.getBytes(UTF_8)))
     val signature = SigV4.hex(SigV4.signature(
       secretProvider(), dateStamp, region, service, toSign))
-    b.header("x-amz-date", amzDate)
-      .header("x-amz-content-sha256", payloadHash)
-      .header("Authorization",
+    // setHeader, not header: re-signing must be idempotent. A builder
+    // that already carries a stamp (composed hooks, caller-set header)
+    // would otherwise get a DUPLICATE header, and a getFirst-based
+    // server verification could read the stale copy and 403.
+    b.setHeader("x-amz-date", amzDate)
+      .setHeader("x-amz-content-sha256", payloadHash)
+      .setHeader("Authorization",
         s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
           s"SignedHeaders=$signedHeaders, Signature=$signature")
   }

@@ -2923,8 +2923,12 @@ final class GraftClient(
     if (files.length <= 1) return files
     val c = keyCols.head
     val cap = GraftClient.InListNarrowCap
-    val vals = delKeys.select(col(c)).distinct().limit(cap + 1).collect()
-      .map(_.get(0)).toSeq.filter(_ != null)
+    // nulls drop BEFORE the limit(cap+1) sample: a null key in a
+    // >cap-distinct set must not shrink the sample under the cap, or
+    // the narrow driver probe would prune on a truncated value set and
+    // the merge would silently skip objects holding the unsampled keys
+    val vals = delKeys.select(col(c)).filter(col(c).isNotNull)
+      .distinct().limit(cap + 1).collect().map(_.get(0)).toSeq
     if (vals.isEmpty) files // all-null keys: semi join matches nothing,
                             // but over-keeping is the safe direction
     else if (vals.length <= cap) wideInKeep(files, schema, c, vals)
@@ -5237,6 +5241,12 @@ final class GraftClient(
     require(columns.length >= 2, "z-order needs at least 2 columns")
     require(columns.distinct.length == columns.length,
       s"duplicate z-order columns: ${columns.mkString(",")}")
+    // the grid persists comma-joined (and axisBounds colon-split);
+    // a column name containing either would make clusterIncrementalZ
+    // misparse the stored grid and cluster on the wrong columns
+    columns.foreach(c => require(!c.contains(",") && !c.contains(":"),
+      s"z-order column names may not contain ',' or ':' " +
+        s"(stored-grid format): $c"))
     val t = currentTx
     val schema = schemaOf(table)
     columns.foreach { c =>

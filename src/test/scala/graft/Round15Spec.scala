@@ -1,0 +1,116 @@
+package graft
+
+import java.net.URI
+import java.net.http.HttpRequest
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{InMemoryObjectStore, S3DialectServer, S3ObjectStore}
+import graft.table.GraftClient
+
+/** Round-15 pins for the round-14 advice items.
+  *
+  *   - a NULL delete key in a past-the-cap merge source must not poison
+  *     the narrow probe sample: nulls drop BEFORE the `limit(cap+1)`
+  *     sample, so a 65-distinct + null key set still routes through the
+  *     distributed wide probe and every matched object's deletes land
+  *     (the pre-fix shape could prune on a 64-value truncation of a
+  *     65-value set and silently skip deletes — data corruption);
+  *   - the SigV4 signer is idempotent under re-signing: stamped headers
+  *     use setHeader (no duplicates), and a stale Authorization never
+  *     enters SignedHeaders, so a doubly-composed hook still verifies;
+  *   - the durable z-grid refuses column names that its comma/colon
+  *     table-property format cannot round-trip.
+  */
+class Round15Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("merge: null delete keys past the cap cannot truncate the probe " +
+    "sample (65 distinct + nulls => distributed tier, all deletes land)") {
+    val root = Files.createTempDirectory("graft_r15_mergenull").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 160).select(
+      (col("id") / 10).cast("long").as("p"), col("id").as("k"))
+    c.createTable("m", df.schema)
+    c.insertPartitioned("m", df, "p") // 16 stat-disjoint objects
+    c.commitTx()
+
+    // 65 distinct non-null keys (cap + 1 => MUST take the distributed
+    // wide probe): 40 present across objects p=0,5,10,15; 25 absent.
+    // Plus 3 null-key delete rows: a null sampled into limit(cap+1)
+    // used to shrink the non-null sample to cap and silently narrow
+    // the probe to a truncated value set.
+    val present = ((0L until 10L) ++ (50L until 60L) ++
+      (100L until 110L) ++ (150L until 160L)).toSeq
+    val keys = present ++ (2000L until 2025L)
+    assert(keys.length === GraftClient.InListNarrowCap + 1)
+    val rows = keys.map(k => Row(k / 10, java.lang.Long.valueOf(k), true)) ++
+      Seq.fill(3)(Row(0L, null, true))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("p", LongType), StructField("k", LongType),
+        StructField("del", BooleanType))))
+    c.newTx()
+    c.merge("m", src, Seq("k"), deleteCond = col("del"),
+      dropCols = Seq("del"))
+    c.commitTx()
+    // distributed tier probed exactly the 4 matched objects
+    assert(GraftClient.lastMergeProbedObjects === 4)
+    val after = spark.read.format("graft").option("table", "m").load(root)
+    assert(after.count() === 120L)
+    assert(after.filter(col("k").isInCollection(present)).count() === 0L)
+  }
+
+  test("sigV4 re-signing is idempotent: a doubly-composed hook still " +
+    "verifies and stamps single-valued headers") {
+    val srv = new S3DialectServer(new InMemoryObjectStore,
+      requireSigV4 = Some(("AK", "sk", "us-east-1")))
+    try {
+      val once = S3ObjectStore.sigV4("AK", () => "sk", "us-east-1")
+      // composed hooks / retried builders re-enter the signer with the
+      // previous stamps already present
+      val twice = new S3ObjectStore(srv.url, sign = b => once(once(b)))
+      assert(twice.putIfAbsent("k", "v".getBytes("UTF-8")))
+      assert(new String(twice.read("k"), "UTF-8") === "v")
+    } finally srv.stop()
+
+    // and the wire shape: one value per stamped header, Authorization
+    // signed WITHOUT a stale authorization in SignedHeaders
+    val sign = S3ObjectStore.sigV4("AK", () => "sk", "us-east-1",
+      clock = () => java.time.Instant.parse("2013-05-24T00:00:00Z"))
+    val b = HttpRequest.newBuilder(
+      URI.create("https://b.s3.amazonaws.com/x")).GET()
+    val first = sign(b)
+    val req = sign(first).build()
+    Seq("x-amz-date", "x-amz-content-sha256", "Authorization").foreach {
+      h => assert(req.headers().allValues(h).size() === 1, h)
+    }
+    val auth = req.headers().firstValue("Authorization").orElseThrow()
+    assert(!auth.toLowerCase.contains("authorization;"))
+    assert(auth.contains(
+      "SignedHeaders=host;x-amz-content-sha256;x-amz-date"))
+  }
+
+  test("clusterByZOrderBounded refuses column names its stored-grid " +
+    "format cannot round-trip") {
+    val root = Files.createTempDirectory("graft_r15_zgrid").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val schema = StructType(Seq(
+      StructField("a,b", LongType), StructField("c:d", LongType),
+      StructField("ok", LongType)))
+    c.createTable("z", schema)
+    val e1 = intercept[IllegalArgumentException](
+      c.clusterByZOrderBounded("z", Seq("a,b", "ok")))
+    assert(e1.getMessage.contains(","))
+    val e2 = intercept[IllegalArgumentException](
+      c.clusterByZOrderBounded("z", Seq("ok", "c:d")))
+    assert(e2.getMessage.contains(":"))
+    c.rollback()
+  }
+}
