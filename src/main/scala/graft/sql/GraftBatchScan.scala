@@ -1,0 +1,299 @@
+package graft.sql
+
+import java.util.OptionalLong
+
+import org.apache.spark.{Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.SqlShim
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.GraftRelation
+import graft.table.GraftClient
+import graft.tx.AddDataObject
+
+/** The catalog's NATIVE DSv2 read path (round-15; replaces the
+  * [[org.apache.spark.sql.connector.read.V1Scan]] bridge the first
+  * fourteen rounds rode). Being a real `Batch` scan unlocks the two
+  * planner integrations Spark's `V1ScanWrapper` structurally hides:
+  *
+  *   - [[SupportsReportStatistics]]: logical plan stats come from the
+  *     transaction log's pruned live set (row counts exact from `Add`
+  *     actions, bytes from a sampled filesystem walk), so pre-AQE join
+  *     planning sees real graft table sizes — a dimension-sized graft
+  *     table broadcasts STATICALLY, no runtime re-plan needed;
+  *   - [[SupportsRuntimeV2Filtering]]: dynamic partition pruning hands
+  *     the collected build-side join keys to [[filter]], which routes
+  *     them through the client's point-set tiers
+  *     ([[GraftClient.pointSetPrunedFiles]] — driver interval-index +
+  *     bloom probe under the narrow cap, the distributed wide probe
+  *     past it), so a SQL star join (`fact JOIN dim ON k WHERE dim.x`)
+  *     opens only the fact objects containing surviving dim keys. At
+  *     10⁶ fact objects that is the difference between a handful of
+  *     footer opens and a full-table scan — previously reachable only
+  *     through the Scala `scanSemi` API.
+  *
+  * Execution model: `planInputPartitions` runs the client's full read
+  * pipeline DRIVER-side — log replay, stats/bloom/runtime pruning, the
+  * parquet scan plan with DV anti-join, column-mapping renames and
+  * default fill — into one shuffle-free `RDD[InternalRow]`
+  * ([[SqlShim.scanRdd]] guards that invariant), and each
+  * `InputPartition` carries (rdd, partition); executors compute the
+  * slice inside the `DataSourceRDD` task. All pushed filters remain
+  * residual (Spark re-applies them), so pruning stays a performance
+  * tier, never a correctness gate — the same conservative contract as
+  * every other graft read path.
+  */
+final class GraftBatchScan(private val table: GraftTable,
+    private val asOf: Option[Long], private val required: StructType,
+    private val pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Runtime point-set filters accumulated by [[filter]] (column →
+    * collected values, external Scala form). Arrives between planning
+    * (`partitions`) and execution (`filteredPartitions`), hence the
+    * state-keyed memo in [[planInputPartitions]].
+    */
+  @volatile private var runtimeInLists: List[(String, Seq[Any])] = Nil
+  @volatile private var rddMemo
+      : Option[(List[(String, Seq[Any])], RDD[InternalRow])] = None
+  @volatile private var statsMemo: Option[(Long, Long)] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Row-producing readers only: short-circuits `supportsColumnar`
+    * WITHOUT forcing an (unfiltered) `planInputPartitions`, so a
+    * runtime-filtered query plans its read pipeline once, after the
+    * filter values arrive.
+    */
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.UNSUPPORTED
+
+  override def description(): String = {
+    val f = if (pushed.isEmpty) "" else pushed.mkString(", pushed=[", ",", "]")
+    s"graft ${table.tableName}${asOf.map(v => s"@v$v").getOrElse("")}$f"
+  }
+
+  // ---- SupportsRuntimeV2Filtering ----
+
+  /** The scan's own output columns (post column-pruning): Spark resolves
+    * these against the scan relation, so names absent from [[required]]
+    * must not appear.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(SqlShim.fieldRef)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val parsed = predicates.toList.flatMap(pointSetOf)
+    if (parsed.nonEmpty) runtimeInLists = runtimeInLists ++ parsed
+  }
+
+  /** `IN(col, v…)` / `=(col, v)` runtime predicates → (column, values).
+    * Anything else is ignored (over-keeping is always safe: the join
+    * itself still filters rows).
+    */
+  private def pointSetOf(p: Predicate): Option[(String, Seq[Any])] =
+    p.name() match {
+      case "IN" | "=" => p.children().toSeq match {
+        case Seq(ref: NamedReference, vs @ _*)
+            if ref.fieldNames().length == 1 && vs.nonEmpty =>
+          val lits = vs.map(SqlShim.literalOf)
+          if (lits.forall(_.isDefined))
+            Some(ref.fieldNames()(0) -> lits.map(_.get))
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+
+  // ---- SupportsReportStatistics ----
+
+  /** Stats AFTER static filter pushdown: rows are exact per the log's
+    * live set (DV suppression makes them a slight over-count — the safe
+    * direction for broadcast thresholds is no: over-counting only makes
+    * Spark more conservative), bytes from a sampled metadata walk
+    * ([[GraftBatchScan.onDiskBytes]]). Runtime filters arrive after
+    * planning and never feed logical stats.
+    */
+  override def estimateStatistics(): Statistics = {
+    val (rows, bytes) = statsMemo.getOrElse {
+      val computed = table.withClient { c =>
+        c.newTx()
+        try {
+          val files = asOf match {
+            case Some(v) => c.objectsAsOf(table.tableName, v)
+            case None => prunedFiles(c)
+          }
+          (files.map(_.numRows).sum,
+            GraftBatchScan.onDiskBytes(table.root, files))
+        } finally c.rollback()
+      }
+      statsMemo = Some(computed)
+      computed
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes.max(1))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+
+  // ---- Batch ----
+
+  private def prunedFiles(c: GraftClient): Vector[AddDataObject] =
+    c.prunedObjects(table.tableName,
+      pushed.toSeq.flatMap(GraftRelation.boundsOf),
+      pushed.toSeq.flatMap(GraftRelation.eqOf),
+      pushed.toSeq.flatMap(GraftRelation.inOf),
+      pushed.toSeq.flatMap(GraftRelation.isNullOf))
+
+  /** Build (or reuse, keyed on the runtime-filter state) the scan's
+    * physical RDD. Spark may plan once before runtime filters arrive
+    * (distribution checks) and once after; each state plans exactly one
+    * pipeline, and every InputPartition pins the RDD it belongs to, so
+    * the reader can never see partitions of a different plan.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val state = runtimeInLists
+    val rdd = rddMemo match {
+      case Some((s, r)) if s == state => r
+      case _ =>
+        val r = buildRdd(state)
+        rddMemo = Some((state, r))
+        r
+    }
+    rdd.partitions.map(p =>
+      GraftRddPartition(rdd, p): InputPartition)
+  }
+
+  private def buildRdd(state: List[(String, Seq[Any])]): RDD[InternalRow] =
+    table.withClient { c =>
+      c.newTx() // snapshot for planning; rollback is safe (immutable files)
+      try {
+        val df = asOf match {
+          case Some(v) =>
+            GraftCatalog.lastScanObjectCount = -1
+            c.scanAsOf(table.tableName, v)
+          case None =>
+            val schema = c.schemaOf(table.tableName)
+            var files = prunedFiles(c)
+            state.foreach { case (cn, vs) =>
+              files = c.pointSetPrunedFiles(
+                table.tableName, schema, files, cn, vs)
+            }
+            GraftCatalog.lastScanObjectCount = files.length
+            c.scanKeeping(table.tableName, files.map(_.path).toSet)
+        }
+        // in-scan filtering is a row-volume reducer; Spark re-applies
+        // every pushed filter above the scan regardless
+        val filtered = pushed.flatMap(FilterTranslation.toColumn)
+          .foldLeft(df)((d, p) => d.filter(p))
+        SqlShim.scanRdd(
+          filtered.select(required.fieldNames.toIndexedSeq.map(col): _*))
+      } finally c.rollback()
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartitionReaders
+
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftBatchScan =>
+      table.root == o.table.root && table.tableName == o.table.tableName &&
+        asOf == o.asOf && required == o.required &&
+        pushed.toSeq == o.pushed.toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (table.root, table.tableName, asOf, required, pushed.toSeq).hashCode()
+}
+
+object GraftBatchScan {
+  /** How many objects the planning-time size estimate stats individually
+    * before extrapolating by row share — bounds driver RPCs per plan at
+    * 10⁶-object scale while keeping small tables exact.
+    */
+  private val SizeSampleCap = 256
+
+  /** Sum of the live objects' on-disk bytes: exact up to
+    * [[SizeSampleCap]] objects, row-weighted extrapolation past it.
+    */
+  private[sql] def onDiskBytes(root: String,
+      files: Vector[AddDataObject]): Long = {
+    if (files.isEmpty) return 0L
+    val conf =
+      SparkSession.active.sessionState.newHadoopConf()
+    val sample = files.take(SizeSampleCap)
+    val sampled = sample.map { a =>
+      val p = new org.apache.hadoop.fs.Path(
+        if (a.path.startsWith("/")) a.path else s"$root/${a.path}")
+      try p.getFileSystem(conf).listStatus(p)
+        .filter(_.isFile).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    if (sample.length == files.length) sampled
+    else {
+      val sampleRows = sample.map(_.numRows).sum.max(1L)
+      (sampled.toDouble * files.map(_.numRows).sum / sampleRows).toLong
+    }
+  }
+}
+
+/** One slice of the driver-planned scan pipeline: the physical RDD plus
+  * the partition to compute. Serialized into the task like any RDD
+  * lineage; [[SqlShim.scanRdd]] guarantees the compute is stage-free.
+  */
+private[sql] final case class GraftRddPartition(rdd: RDD[InternalRow],
+    part: Partition) extends InputPartition
+
+/** A driver-computed answer (the log-answered aggregate pushdown) as a
+  * single-partition batch of self-contained rows.
+  */
+private[sql] final case class GraftRowsPartition(rows: Seq[InternalRow])
+    extends InputPartition
+
+/** Stateless reader factory: every partition carries what its reader
+  * needs, so plans that re-plan between planning and execution (runtime
+  * filtering) can never pair a reader with another plan's partitions.
+  */
+private[sql] object GraftPartitionReaders extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val it = p match {
+      case GraftRddPartition(rdd, part) =>
+        rdd.iterator(part, TaskContext.get())
+      case GraftRowsPartition(rows) => rows.iterator
+      case other => throw new IllegalStateException(
+        s"unexpected partition: $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The metadata-aggregate answer as a native Batch: the log already
+  * computed the result rows driver-side; this just serves them.
+  */
+final class GraftRowsScan(schema: StructType, rows: Seq[Row])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.UNSUPPORTED
+  override def description(): String = s"graft metadata-aggregate answer"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRowsPartition(SqlShim.toInternalRows(schema, rows)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartitionReaders
+}

@@ -3,17 +3,16 @@ package graft.sql
 import java.util
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,10 +35,14 @@ import graft.table.GraftClient
   *
   * Every operation delegates to [[GraftClient]], so SQL and Scala callers
   * share one commit protocol, one conflict model, one file-skipping stack.
-  * Reads ride a [[V1Scan]] bridge: pushed filters reach the client's
-  * stats/bloom pruning AND the parquet scan's own pushdown, then Spark
-  * re-applies them post-scan (conservative double-evaluation; filters are
-  * idempotent). DDL is metadata-only (O(1) log actions, no data rewrite):
+  * Reads are a NATIVE DSv2 `Batch` scan ([[GraftBatchScan]]): pushed
+  * filters reach the client's stats/bloom pruning AND the parquet scan's
+  * own pushdown, logical statistics come from the log
+  * (SupportsReportStatistics — static broadcast planning works), dynamic
+  * partition pruning reaches the point-set file-skipping tiers
+  * (SupportsRuntimeV2Filtering), and Spark re-applies every filter
+  * post-scan (conservative double-evaluation; filters are idempotent).
+  * DDL is metadata-only (O(1) log actions, no data rewrite):
   * CREATE/DROP/RENAME table, ADD/RENAME/DROP column.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -616,11 +619,11 @@ final class GraftTable(val root: String, val tableName: String,
   }
 }
 
-/** Column pruning + filter pushdown, landing in a [[V1Scan]] bridge whose
-  * relation reads the latest committed snapshot through the client (so
-  * stats/bloom file skipping, DV masking, and parquet pushdown all
-  * engage). All filters are also returned to Spark for post-scan
-  * re-evaluation — conservative and always correct.
+/** Column pruning + filter pushdown, landing in the native
+  * [[GraftBatchScan]] whose planning reads the latest committed snapshot
+  * through the client (so stats/bloom file skipping, DV masking, and
+  * parquet pushdown all engage). All filters are also returned to Spark
+  * for post-scan re-evaluation — conservative and always correct.
   *
   * Also [[SupportsPushDownAggregates]] (complete pushdown only):
   * whole-table `COUNT(*)` / `MIN` / `MAX` are answered straight from the
@@ -751,66 +754,21 @@ final class GraftScanBuilder(table: GraftTable, asOf: Option[Long])
     }
   }
 
+  /** Native DSv2 scans (round 15 — previously a V1Scan bridge,
+    * which structurally hid logical statistics and runtime filtering
+    * behind Spark's `V1ScanWrapper`): the log-answered aggregate ships
+    * as a [[GraftRowsScan]], everything else as a [[GraftBatchScan]]
+    * with [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * + [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+    * — the pushed filters reach the log's file-skipping tiers (min/max
+    * stats + blooms + per-value IN lists), dynamic partition pruning
+    * reaches the point-set tiers, and pre-AQE planning sees real table
+    * sizes.
+    */
   override def build(): Scan = aggAnswer match {
-    case Some((aggSchema, answerRows)) => new V1Scan {
-      override def readSchema(): StructType = aggSchema
-      override def toV1TableScan[T <: BaseRelation with TableScan](
-          context: SQLContext): T =
-        new BaseRelation with TableScan {
-          override def sqlContext: SQLContext = context
-          override def schema: StructType = aggSchema
-          override def buildScan(): RDD[Row] =
-            context.sparkContext.parallelize(answerRows, 1)
-        }.asInstanceOf[T]
-    }
-    case None => new V1Scan {
-      override def readSchema(): StructType = required
-
-      // NOTE on join-planning statistics: a V1Scan cannot report them —
-      // V2ScanRelationPushDown wraps it in V1ScanWrapper, and
-      // DataSourceV2ScanRelation.computeStats only consults the WRAPPER
-      // for SupportsReportStatistics, so an implementation here is dead
-      // code (verified against Spark 4.1 bytecode). Catalog tables get
-      // the conf-default logical size; broadcastability comes from AQE's
-      // runtime size observation instead (pinned in SqlCatalogSpec), and
-      // the V1 `spark.read.format("graft")` path reports real
-      // [[BaseRelation.sizeInBytes]] for static planning.
-
-      override def toV1TableScan[T <: BaseRelation with TableScan](
-          context: SQLContext): T =
-        new BaseRelation with TableScan {
-          override def sqlContext: SQLContext = context
-          override def schema: StructType = required
-          override def buildScan(): RDD[Row] = table.withClient { c =>
-            c.newTx() // scanPruned needs a snapshot; rollback keeps the
-            try {     // result valid (immutable files)
-              val base = asOf match {
-                case Some(v) =>
-                  GraftCatalog.lastScanObjectCount = -1
-                  c.scanAsOf(table.tableName, v)
-                case None =>
-                  // the pushed filters reach the log's file-skipping
-                  // tiers (min/max stats + blooms + per-value IN lists),
-                  // not just the parquet row-group pushdown — at 10^6
-                  // objects a point query opens a handful of footers,
-                  // not all of them
-                  val bounds = pushed.toSeq.flatMap(GraftRelation.boundsOf)
-                  val eqs = pushed.toSeq.flatMap(GraftRelation.eqOf)
-                  val ins = pushed.toSeq.flatMap(GraftRelation.inOf)
-                  val nls = pushed.toSeq.flatMap(GraftRelation.isNullOf)
-                  GraftCatalog.lastScanObjectCount = c.prunedObjects(
-                    table.tableName, bounds, eqs, ins, nls).length
-                  c.scanPruned(table.tableName, bounds, eqs, ins, nls)
-              }
-              val filtered = pushed.flatMap(FilterTranslation.toColumn)
-                .foldLeft(base)((df, p) => df.filter(p))
-              filtered
-                .select(required.fieldNames.toIndexedSeq.map(col): _*)
-                .rdd
-            } finally c.rollback()
-          }
-        }.asInstanceOf[T]
-    }
+    case Some((aggSchema, answerRows)) =>
+      new GraftRowsScan(aggSchema, answerRows)
+    case None => new GraftBatchScan(table, asOf, required, pushed)
   }
 }
 

@@ -2938,6 +2938,42 @@ final class GraftClient(
     }
   }
 
+  /** Point-set file skipping for a DRIVER-RESIDENT value set (the SQL
+    * catalog's runtime-filter entry: Spark's dynamic partition pruning
+    * hands the collected build-side join keys to the scan): the same
+    * two tiers as the merge key probe — ≤[[GraftClient.InListNarrowCap]]
+    * values through the driver interval-index/bloom probe
+    * ([[wideInKeep]]), wider sets re-distributed through the executor-
+    * side stats+bloom probe ([[wideSurvivors]]). Strictly conservative:
+    * nulls never match an equi-join, any failure keeps every file.
+    */
+  private[graft] def pointSetPrunedFiles(table: String, schema: StructType,
+      files: Vector[AddDataObject], column: String,
+      values: Seq[Any]): Vector[AddDataObject] = {
+    if (files.length <= 1 || !hasColumnPath(schema, column)) return files
+    val vals = values.filter(_ != null).distinct
+    if (vals.isEmpty) files
+    else if (vals.length <= GraftClient.InListNarrowCap)
+      wideInKeep(files, schema, column, vals)
+    else try {
+      val colType = typeAtPath(schema, column)
+      val keysDf = spark.createDataFrame(
+        vals.map(v => Row(v)).asJava,
+        StructType(Seq(StructField(column, colType))))
+      val keep = wideSurvivors(table, column, keysDf)
+      files.filter(a => keep(a.path))
+    } catch { case scala.util.control.NonFatal(_) => files }
+  }
+
+  /** [[scan]] over exactly the live objects named by `keepPaths` — the
+    * read half of a caller that already ran its own pruning (the SQL
+    * catalog's native DSv2 scan plans files first, then reads them).
+    * Buffered rows of the open tx still pass through, as in every scan.
+    */
+  private[graft] def scanKeeping(table: String,
+      keepPaths: Set[String]): DataFrame =
+    scanFiltered(table, a => keepPaths(a.path))
+
   private def mergeDeletes(table: String, schema: StructType,
       delKeys: DataFrame, keyCols: Seq[String]): Unit = {
     val t = currentTx
@@ -3837,6 +3873,13 @@ final class GraftClient(
     else applyDefaults(schema,
       applyDvs(readObjects(schema, files), snap.liveDvs(table)))
   }
+
+  /** The live object metadata of the historical snapshot at `asOf` —
+    * the time-travel twin of [[objects]] (planning-time stats for
+    * version-pinned reads). Works outside any open transaction.
+    */
+  def objectsAsOf(table: String, asOf: Long): Vector[AddDataObject] =
+    txLog.beginAt(asOf).liveFiles(table)
 
   /** [[currentState]] of the historical snapshot at `asOf`.
     *

@@ -1,9 +1,12 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, ExpressionUtils, SparkSession => ClassicSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The two `private[sql]` bridges the SQL DML commands need — same
   * rationale as [[StreamingShim]]: this object lives under
@@ -24,4 +27,60 @@ object SqlShim {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The DataFrame's physical `RDD[InternalRow]`, guaranteed executable
+    * from a foreign task (the SQL catalog's native DSv2 `Batch` wraps
+    * each partition in an `InputPartition` and computes it inside a
+    * `DataSourceRDD` task, where no parent shuffle stage has run): a
+    * shuffle-free lineage passes through as-is — the scan shapes the
+    * catalog builds are projections/filters/unions/broadcast joins, all
+    * narrow — and a lineage that DOES carry a ShuffleDependency is
+    * first materialized via `localCheckpoint`, whose block-backed RDD
+    * has no stage dependencies (the safety valve, never the hot path).
+    */
+  def scanRdd(df: DataFrame): RDD[InternalRow] = {
+    val rdd = df.queryExecution.toRdd
+    if (shuffleFree(rdd, new java.util.HashSet[Int])) rdd
+    else df.localCheckpoint(true).queryExecution.toRdd
+  }
+
+  private def shuffleFree(r: RDD[_], seen: java.util.HashSet[Int]): Boolean =
+    !seen.add(r.id) || r.dependencies.forall {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] => false
+      case d => shuffleFree(d.rdd, seen)
+    }
+
+  /** External rows → self-contained `UnsafeRow`s (driver-side), for a
+    * DSv2 `Batch` that serves a metadata-computed answer (the catalog's
+    * log-answered aggregate pushdown) without a V1 relation bridge.
+    */
+  def toInternalRows(schema: StructType, rows: Seq[Row]): Seq[InternalRow] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val proj = UnsafeProjection.create(schema)
+    rows.map(r => proj(conv(r).asInstanceOf[InternalRow]).copy())
+  }
+
+  /** One Catalyst-internal literal (e.g. `UTF8String` from a connector
+    * `LiteralValue`) → its external Scala form — what the client's
+    * stats/bloom probes compare against.
+    */
+  def toScala(value: Any, dt: DataType): Any =
+    CatalystTypeConverters.convertToScala(value, dt)
+
+  /** Connector `FieldReference` / `LiteralValue` are `private[sql]`
+    * Scala case classes (only their `NamedReference` / `Expression`
+    * interfaces are public) — the DSv2 scan's runtime-filter plumbing
+    * constructs and destructures them here.
+    */
+  def fieldRef(name: String)
+      : org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+
+  def literalOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Any] = e match {
+    case l: org.apache.spark.sql.connector.expressions.LiteralValue[_] =>
+      Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+    case _ => None
+  }
 }

@@ -35,7 +35,7 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     assert(rows(s"SELECT k, v FROM $cat.t ORDER BY k") ===
       Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
-    // filters and pruning survive the V1Scan bridge
+    // filters and pruning survive the native DSv2 scan
     assert(rows(s"SELECT v FROM $cat.t WHERE k = 2") === Seq(Row("b")))
     spark.sql(s"CREATE TABLE $cat.t2 AS SELECT k, upper(v) AS v FROM $cat.t")
     assert(rows(s"SELECT v FROM $cat.t2 ORDER BY k") ===
@@ -395,10 +395,10 @@ class SqlCatalogSpec extends AnyFunSuite {
       === Seq(Row(20L)))
     assert(graft.sql.GraftCatalog.lastScanObjectCount === 2)
 
-    // broadcastability: a V1Scan cannot report logical statistics
-    // (V1ScanWrapper hides SupportsReportStatistics — see the NOTE in
-    // GraftScanBuilder.build), so the small catalog table must become
-    // the broadcast side at RUNTIME via AQE's observed shuffle sizes
+    // broadcastability under AQE: the native scan reports log-derived
+    // statistics (NativeScanSpec pins the static, AQE-off broadcast);
+    // this keeps the original runtime-observation pin too — AQE must
+    // still pick the tiny graft side
     val joined = spark.range(0, 5000)
       .select(col("id").as("k"), (col("id") * 2).as("w"))
       .join(spark.table(s"$cat.pt"), "k")
