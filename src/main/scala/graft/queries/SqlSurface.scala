@@ -209,6 +209,24 @@ object SqlSurface {
             CAST(n_regionkey AS BIGINT) + 3000000000, 9
           FROM ${cat}_nation_src WHERE n_nationkey < 3""")
         spark.sql(s"CALL $cat.system.reorg('t_ro')")
+
+        // subquery DML (round 15): the quarantine-driven delete every
+        // curation pipeline runs — DELETE/UPDATE … WHERE k IN (SELECT …)
+        // rewrite onto the DV delete leg (deleteByKeys), with a non-key
+        // residual conjunct proving row-exact (not key-granular) deletes
+        spark.sql(s"""CREATE TABLE $cat.t_quar AS
+          SELECT n_nationkey AS q_key FROM ${cat}_nation_src
+          WHERE n_regionkey IN (1, 2)""")
+        spark.sql(s"""CREATE TABLE $cat.t_delsq AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""DELETE FROM $cat.t_delsq
+          WHERE n_nationkey IN (SELECT q_key FROM $cat.t_quar)
+            AND n_nationkey % 2 = 0""")
+        spark.sql(s"""CREATE TABLE $cat.t_updsq AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""UPDATE $cat.t_updsq
+          SET n_name = concat(n_name, '_Q')
+          WHERE n_nationkey IN (SELECT q_key FROM $cat.t_quar)""")
         Fixture(cat, ttVersion)
       })
     }
@@ -316,6 +334,22 @@ object SqlSurface {
     FROM nation
     ORDER BY n_nationkey"""
 
+  private val deleteSubqSql = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE NOT (n_nationkey IN (SELECT n_nationkey FROM nation
+                               WHERE n_regionkey IN (1, 2))
+               AND n_nationkey % 2 = 0)
+    ORDER BY n_nationkey"""
+
+  private val updateSubqSql = """
+    SELECT n_nationkey,
+      CASE WHEN n_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey IN (1, 2))
+           THEN n_name || '_Q' ELSE n_name END AS n_name,
+      n_regionkey
+    FROM nation
+    ORDER BY n_nationkey"""
+
   private val maintenanceSql = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
@@ -415,6 +449,15 @@ object SqlSurface {
       "pure-SQL DELETE FROM via SupportsDelete -> client.deleteWhere"),
     "tx_sql_update" -> QueryDef(state("t_upd"), Some(updateSql),
       "pure-SQL UPDATE via the extension rewrite -> CoW delete + insert"),
+    "tx_sql_delete_subq" -> QueryDef(state("t_delsq"), Some(deleteSubqSql),
+      "DELETE FROM … WHERE k IN (SELECT …) AND residual — the " +
+        "quarantine-driven delete, rewritten onto deleteByKeys' DV leg: " +
+        "subquery keys span+point-set-prune the target, the residual " +
+        "keeps the delete row-exact"),
+    "tx_sql_update_subq" -> QueryDef(state("t_updsq"), Some(updateSubqSql),
+      "UPDATE … WHERE k IN (SELECT …) — key-driven DV delete of the " +
+        "matched rows + insert of the rewritten images through Spark's " +
+        "own subquery planning"),
     "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
       "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"),
     "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),

@@ -54,8 +54,36 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case u @ UpdateTable(GraftRel(rel, gt), assignments, cond)
-          if u.resolved && cond.forall(noSubquery) =>
-        GraftUpdateCommand(rel, gt, assignments, cond)
+          if u.resolved =>
+        cond match {
+          case Some(c) if !noSubquery(c) =>
+            // UPDATE … WHERE k IN (SELECT …): same CoW shape, but the
+            // delete leg is key-driven (deleteByKeys) since a subquery
+            // predicate cannot unbind into a client Column
+            splitKeyInSubquery(c, rel) match {
+              // cond is NOT carried along: an InSubquery on a command's
+              // expression surface fails CheckAnalysis (only
+              // UPDATE/DELETE/MERGE nodes may hold one) — the key plan +
+              // residual ARE the condition
+              case Some(subq) =>
+                GraftUpdateCommand(rel, gt, assignments, None, Some(subq))
+              case None => u // unsupported subquery shape: let Spark fail
+            }
+          case _ => GraftUpdateCommand(rel, gt, assignments, cond)
+        }
+      // DELETE FROM t WHERE k IN (SELECT …) — the quarantine-driven
+      // delete every curation pipeline runs. The subquery-free form
+      // keeps riding SupportsDelete (pushed Filters reach file
+      // skipping); only conditions carrying a subquery rewrite here,
+      // onto the DV delete leg (deleteByKeys) whose key set span- and
+      // point-set-prunes the target exactly like a merge source.
+      case d @ DeleteFromTable(GraftRel(rel, gt), cond)
+          if d.resolved && !noSubquery(cond) =>
+        splitKeyInSubquery(cond, rel) match {
+          case Some((keysPlan, keyCols, residual)) =>
+            GraftDeleteSubqCommand(rel, gt, keysPlan, keyCols, residual)
+          case None => d // unsupported subquery shape: let Spark fail
+        }
       case m: MergeIntoTable if m.resolved =>
         m.targetTable match {
           case GraftRel(rel, gt) => rewriteMerge(m, rel, gt)
@@ -65,6 +93,46 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
 
   private def noSubquery(e: Expression): Boolean =
     !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** The supported subquery-DML condition grammar: a conjunction whose
+    * ONE subquery conjunct is an uncorrelated `(k₁[, k₂…]) IN (SELECT …)`
+    * over target key columns, the rest subquery-free deterministic
+    * target-column predicates (they ride along as the DV scan's residual
+    * filter — exactness is never key-granular). Returns (key plan with
+    * the subquery's output aliased/cast to the target key columns, key
+    * column names, residual conjunction).
+    */
+  private def splitKeyInSubquery(cond: Expression,
+      rel: DataSourceV2Relation)
+      : Option[(LogicalPlan, Seq[String], Option[Expression])] = {
+    val conjuncts = splitConjuncts(cond)
+    val (withSubq, rest) = conjuncts.partition(c => !noSubquery(c))
+    withSubq match {
+      case Seq(org.apache.spark.sql.catalyst.expressions.InSubquery(
+          values, q: org.apache.spark.sql.catalyst.expressions.ListQuery))
+          if values.nonEmpty &&
+            values.forall {
+              case a: AttributeReference => rel.outputSet.contains(a)
+              case _ => false
+            } &&
+            values.map { case a: AttributeReference => a.name }.distinct
+              .length == values.length &&
+            q.plan.output.length == values.length &&
+            q.outerAttrs.isEmpty && q.joinCond.isEmpty &&
+            rest.forall(r => r.deterministic &&
+              r.references.subsetOf(rel.outputSet)) =>
+        val attrs = values.map(_.asInstanceOf[AttributeReference])
+        val keysPlan = Project(attrs.zip(q.plan.output).map {
+          case (k, o) =>
+            val v = if (o.dataType == k.dataType) o else Cast(o, k.dataType)
+            Alias(v, k.name)()
+        }, q.plan)
+        Some((keysPlan, attrs.map(_.name),
+          rest.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And)))
+      case _ => None
+    }
+  }
 
   /** The supported MERGE shape — the reference-equivalent upsert with an
     * optional matched-delete clause (GraftClient.merge's semantics):
@@ -190,13 +258,20 @@ private[sql] object DmlUtil {
   * `deleteWhere(c)` (stats-pruned to the objects that can match) plus an
   * insert of the rewritten matching rows, computed against the pinned
   * committed snapshot through the table's own V2 scan.
+  *
+  * `subqKeys` (set when `c` carries a `k IN (SELECT …)` conjunct, which
+  * cannot unbind into a client Column): the delete leg runs key-driven
+  * instead — `deleteByKeys` with the subquery's key plan and the
+  * remaining conjuncts as the DV scan's residual — while the rewritten
+  * rows still come from the full condition through Spark's own subquery
+  * planning.
   */
 case class GraftUpdateCommand(rel: DataSourceV2Relation, gt: GraftTable,
-    assignments: Seq[Assignment], cond: Option[Expression])
+    assignments: Seq[Assignment], cond: Option[Expression],
+    subqKeys: Option[(LogicalPlan, Seq[String], Option[Expression])] = None)
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    val condExpr = cond.getOrElse(Literal.TrueLiteral)
     // full-row rewrite of the matching rows: unassigned columns pass
     // through unchanged; nested SETs are first folded into their root
     // column as struct rebuilds (DmlUtil.alignAssignments — without it
@@ -214,12 +289,66 @@ case class GraftUpdateCommand(rel: DataSourceV2Relation, gt: GraftTable,
         case None => attr
       }
     }
-    val updated = SqlShim.ofRows(session,
-      Project(projectList, Filter(condExpr, rel)))
+    subqKeys match {
+      case Some((keysPlan, keyCols, residual)) =>
+        // PIN the key set: the delete leg and the rewritten-rows semi
+        // join are two evaluations, and a non-deterministic subquery
+        // source could otherwise delete rows the insert never re-adds
+        val keysDf = SqlShim.ofRows(session, keysPlan)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          keysDf.count() // materialize before either leg
+          val residualCol =
+            residual.map(e => SqlShim.column(DmlUtil.unbind(e)))
+          // matching rows = target ⋉ keys (IN semantics) ∧ residual;
+          // the semi join preserves the target's attribute ids, so the
+          // resolved projectList binds directly
+          val matched = SqlShim.ofRows(session, rel)
+            .join(keysDf, keyCols, "left_semi")
+          val filtered = residualCol.fold(matched)(matched.filter)
+          val updated =
+            filtered.select(projectList.map(SqlShim.column): _*)
+          gt.withClient { c =>
+            c.newTx()
+            c.deleteByKeys(gt.tableName, keysDf, keyCols, residualCol)
+            c.insert(gt.tableName, updated)
+            c.commitTxRetrying()
+          }
+        } finally keysDf.unpersist(false)
+      case None =>
+        val condExpr = cond.getOrElse(Literal.TrueLiteral)
+        val updated = SqlShim.ofRows(session,
+          Project(projectList, Filter(condExpr, rel)))
+        gt.withClient { c =>
+          c.newTx()
+          c.deleteWhere(gt.tableName,
+            SqlShim.column(DmlUtil.unbind(condExpr)))
+          c.insert(gt.tableName, updated)
+          c.commitTxRetrying()
+        }
+    }
+    Nil
+  }
+}
+
+/** `DELETE FROM t WHERE k IN (SELECT …)` → one client tx on the
+  * deletion-vector delete leg ([[graft.table.GraftClient.deleteByKeys]]):
+  * the subquery's keys span- and point-set-prune the target's live
+  * objects (driver index under the narrow cap, the distributed wide
+  * probe past it — the quarantine table never forces a full-table DV
+  * scan), non-key conjuncts apply as the DV scan's residual filter, and
+  * matched rows are suppressed by provenance keys with no target
+  * rewrite.
+  */
+case class GraftDeleteSubqCommand(rel: DataSourceV2Relation,
+    gt: GraftTable, keysPlan: LogicalPlan, keyCols: Seq[String],
+    residual: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
     gt.withClient { c =>
       c.newTx()
-      c.deleteWhere(gt.tableName, SqlShim.column(DmlUtil.unbind(condExpr)))
-      c.insert(gt.tableName, updated)
+      c.deleteByKeys(gt.tableName, SqlShim.ofRows(session, keysPlan),
+        keyCols, residual.map(e => SqlShim.column(DmlUtil.unbind(e))))
       c.commitTxRetrying()
     }
     Nil

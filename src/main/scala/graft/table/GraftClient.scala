@@ -2974,8 +2974,16 @@ final class GraftClient(
       keepPaths: Set[String]): DataFrame =
     scanFiltered(table, a => keepPaths(a.path))
 
+  /** `residual` (the key-delete entry points only — merge passes none):
+    * an extra row predicate the DV rows must ALSO satisfy, making a
+    * key-driven delete exact when the SQL condition carries non-key
+    * conjuncts (`DELETE WHERE k IN (SELECT …) AND c`): pruning stays
+    * key-driven (conservative — residuals only narrow), the DV scan
+    * filters by it before the key semi join.
+    */
   private def mergeDeletes(table: String, schema: StructType,
-      delKeys: DataFrame, keyCols: Seq[String]): Unit = {
+      delKeys: DataFrame, keyCols: Seq[String],
+      residual: Option[org.apache.spark.sql.Column] = None): Unit = {
     val t = currentTx
     val allFiles = liveFiles(table)
     // isEmpty is a limit-1 job on the dimension-sized source — cheap next
@@ -2992,7 +3000,8 @@ final class GraftClient(
         val live = applyDefaults(schema, applyDvs(
           readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq)))
-        val matched = live.join(broadcast(delKeys), keyCols, "left_semi")
+        val matched = residual.fold(live)(live.filter)
+          .join(broadcast(delKeys), keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
         val objs = writeDirectTagged(table, matched, "dv_")
         dropEmptyObjects(objs)
@@ -3015,6 +3024,36 @@ final class GraftClient(
         }
       }
     }
+  }
+
+  /** Key-driven deletion-vector delete — the engine half of
+    * `DELETE FROM t WHERE k IN (SELECT …)` (the SQL subquery-DML
+    * rewrite): delete every live row whose key columns match a row of
+    * `keys` and (optionally) satisfies `residual`. Same two bounded
+    * jobs and the same file-skipping tiers as the merge delete leg —
+    * the key set span-prunes, then point-set probes (driver index
+    * under [[GraftClient.InListNarrowCap]], the distributed wide probe
+    * past it), so a 10⁵-key quarantine-driven delete opens only the
+    * matched objects. `keys` is dimension-sized by contract (it is
+    * broadcast into the DV semi join), like every merge source; nulls
+    * in `keys` match nothing (SQL IN semantics).
+    */
+  def deleteByKeys(table: String, keys: DataFrame, keyCols: Seq[String],
+      residual: Option[org.apache.spark.sql.Column] = None): Unit = {
+    tagOp("DELETE")
+    requireMutable(table, "DELETE")
+    val schema = schemaOf(table)
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"delete keys must be table columns: ${keyCols.mkString(",")}")
+    // flush first so this tx's buffered rows become a live object the
+    // delete vector covers (the merge() ordering contract)
+    flush(table)
+    // pin the key set: the prune probes and the semi join are separate
+    // evaluations and must see ONE key set
+    val delKeys = keys.select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeDeletes(table, schema, delKeys, keyCols, residual)
+    finally delKeys.unpersist(false)
   }
 
   /** Row-level change data feed between two log versions: what an

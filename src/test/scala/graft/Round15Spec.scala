@@ -96,6 +96,76 @@ class Round15Spec extends AnyFunSuite {
       "SignedHeaders=host;x-amz-content-sha256;x-amz-date"))
   }
 
+  private def newCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft_r15_cat").toString
+    val cat = s"r15c${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("DELETE FROM … WHERE k IN (SELECT …) rewrites onto the DV leg, " +
+    "file-prunes by the subquery keys, and honors residual conjuncts") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 160).select(
+      (col("id") / 10).cast("long").as("k"), col("id").as("v"))
+    c.createTable("t", df.schema)
+    c.insertPartitioned("t", df, "k") // 16 stat-disjoint objects
+    val quar = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L), Row(12L), Row(99L))),
+      StructType(Seq(StructField("qk", LongType))))
+    c.createTable("quarantine", quar.schema)
+    c.insert("quarantine", quar)
+    c.commitTx()
+
+    // residual conjunct: only even v rows of the quarantined keys die
+    spark.sql(s"""DELETE FROM $cat.t
+      WHERE k IN (SELECT qk FROM $cat.quarantine) AND v % 2 = 0""")
+    // key probe opened only the 2 matched objects (k=3, k=12)
+    assert(GraftClient.lastMergeProbedObjects === 2)
+    val left = spark.sql(s"SELECT k, v FROM $cat.t").collect()
+    assert(left.length === 150)
+    // quarantined keys keep exactly their odd-v rows
+    val kept = left.filter(r => r.getLong(0) == 3L || r.getLong(0) == 12L)
+    assert(kept.length === 10 && kept.forall(_.getLong(1) % 2 == 1))
+  }
+
+  test("UPDATE … WHERE k IN (SELECT …) rewrites matching rows only") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 40).select(
+      (col("id") / 10).cast("long").as("k"), col("id").as("v"))
+    c.createTable("u", df.schema)
+    c.insertPartitioned("u", df, "k")
+    c.commitTx()
+    spark.sql(s"CREATE TABLE $cat.picks AS SELECT 1L AS pk")
+    spark.sql(s"""UPDATE $cat.u SET v = v + 1000
+      WHERE k IN (SELECT pk FROM $cat.picks)""")
+    val rows = spark.sql(s"SELECT k, v FROM $cat.u ORDER BY v").collect()
+    assert(rows.count(_.getLong(1) >= 1000) === 10)
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getLong(1)).sorted.toSeq
+      === (1010L to 1019L))
+    assert(rows.filter(_.getLong(0) != 1L).forall(_.getLong(1) < 1000))
+  }
+
+  test("unsupported subquery DML shapes still refuse (correlated IN, " +
+    "NOT IN) — no silent mis-rewrite") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.a AS SELECT 1L AS k, 2L AS v")
+    spark.sql(s"CREATE TABLE $cat.b AS SELECT 1L AS k, 2L AS w")
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"""DELETE FROM $cat.a
+        WHERE k IN (SELECT k FROM $cat.b WHERE w = $cat.a.v)"""))
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"DELETE FROM $cat.a WHERE k NOT IN (SELECT k FROM $cat.b)"))
+    // table untouched by the refused statements
+    assert(spark.sql(s"SELECT count(*) FROM $cat.a").collect()
+      === Array(Row(1L)))
+  }
+
   test("clusterByZOrderBounded refuses column names its stored-grid " +
     "format cannot round-trip") {
     val root = Files.createTempDirectory("graft_r15_zgrid").toString
