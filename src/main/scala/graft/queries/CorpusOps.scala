@@ -41,6 +41,23 @@ object CorpusOps {
         col("n_members"))
       .orderBy(col("survivor_id"))
 
+  /** [[dedupCorpus]] fed by the SPANNING candidate tier (round-15: the
+    * closure feed is selectable — this is the opt-in for crawl-scale
+    * release runs): near-dup edges come from
+    * [[DedupOps.dedupNgramSpanning]]'s verified star edges, O(family)
+    * per mega-duplicate bucket instead of all-pairs' C(m,2). The
+    * closure can differ from the all-pairs feed only where the Jaccard
+    * verify REJECTS a star edge that a third doc would have bridged —
+    * the cost of linear candidates on a 100-member-clique crawl; both
+    * variants sit on the oracle, so the delta is measured, not assumed.
+    */
+  def dedupCorpusSpanning(spark: SparkSession, dir: String): DataFrame =
+    clusterRanks(spark, dir, spanning = true)
+      .filter(col("_rn") === 1)
+      .select(col("doc_id").as("survivor_id"), col("cluster_id"),
+        col("n_members"))
+      .orderBy(col("survivor_id"))
+
   /** The shared closure+ranking frame behind [[dedupCorpus]],
     * [[corpusPairs]], and (via the survivor set) the curation funnel
     * and release manifest: every document with its cluster id,
@@ -56,16 +73,23 @@ object CorpusOps {
     * near-dup pair generation + the label-propagation closure from
     * scratch (~4× the closure cost per bench pass).
     */
-  private def clusterRanks(spark: SparkSession, dir: String): DataFrame =
+  private def clusterRanks(spark: SparkSession, dir: String,
+      spanning: Boolean = false): DataFrame =
     spark.read.format("graft").option("table", "closure")
-      .load(closureStoreFor(spark, dir))
+      .load(closureStoreFor(spark, dir, spanning))
       .withColumnRenamed("rn", "_rn")
 
-  /** The build-once store holding the committed `closure` table. */
-  private def closureStoreFor(spark: SparkSession, dir: String): String =
-    FixtureStore.memoized("graft_corpus_closure", dir) { root =>
+  /** The build-once store holding the committed `closure` table (one
+    * store per candidate-feed variant — a release run picks its feed
+    * once and every downstream artifact reads that closure).
+    */
+  private def closureStoreFor(spark: SparkSession, dir: String,
+      spanning: Boolean): String =
+    FixtureStore.memoized(
+      if (spanning) "graft_corpus_closure_span" else "graft_corpus_closure",
+      dir) { root =>
       val c = new graft.table.GraftClient(spark, root)
-      val ranks = clusterRanksLive(spark, dir)
+      val ranks = clusterRanksLive(spark, dir, spanning)
         .select(col("doc_id"), col("cluster_id"),
           col("_rn").as("rn"), col("anchor_id"), col("n_members"))
       c.newTx()
@@ -76,7 +100,7 @@ object CorpusOps {
 
   /** The live computation behind the materialized closure table. */
   private def clusterRanksLive(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, spanning: Boolean): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"), md5(norm).as("fingerprint"))
@@ -87,7 +111,12 @@ object CorpusOps {
       .filter(col("doc_id") =!= col("gmin"))
       .select(col("doc_id").as("a"), col("gmin").as("b"))
     // verified near-dup edges (rare-6-gram inverted index, Jaccard >= .5)
-    val nearEdges = DedupOps.dedupNgramJaccard(spark, dir)
+    // — all-pairs candidates by default, verified star edges on the
+    // spanning feed (O(family) candidates per bucket at crawl scale)
+    val nearSrc =
+      if (spanning) DedupOps.dedupNgramSpanning(spark, dir)
+      else DedupOps.dedupNgramJaccard(spark, dir)
+    val nearEdges = nearSrc
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = DedupCluster.components(exactEdges.union(nearEdges),
       "a", "b")
@@ -124,12 +153,13 @@ object CorpusOps {
         col("n_members"))
       .orderBy(col("anchor_id"), col("positive_id"))
 
-  /** The exact+near-dup closure CTE chain, shared by the dedup_corpus
-    * oracle and the corpus_curation funnel oracle: ends with `surv`
-    * (doc_id, cluster_id, rn, n_members; rn = 1 is the survivor).
+  /** The exact+near-dup closure CTE chain parametrized on the near-dup
+    * edge feed: ends with `surv` (doc_id, cluster_id, rn, n_members;
+    * rn = 1 is the survivor). A def, not interpolation-order-sensitive
+    * vals (the ProbeMax lesson).
     */
-  private val dedupClosureCtes = s"""near AS (
-      ${DedupOps.ngramPairsSql}
+  private def closureCtesWith(nearSql: String) = s"""near AS (
+      $nearSql
     ),
     f AS (
       SELECT doc_id, n_chars,
@@ -161,8 +191,19 @@ object CorpusOps {
         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
       FROM lab)"""
 
+  /** The default (all-pairs-fed) chain, shared by the dedup_corpus,
+    * pairs, curation, and release oracles.
+    */
+  private val dedupClosureCtes = closureCtesWith(DedupOps.ngramPairsSql)
+
   private val dedupCorpusSql = s"""
     WITH RECURSIVE $dedupClosureCtes
+    SELECT doc_id AS survivor_id, cluster_id, n_members
+    FROM surv WHERE rn = 1
+    ORDER BY survivor_id"""
+
+  private val dedupCorpusSpanningSql = s"""
+    WITH RECURSIVE ${closureCtesWith(DedupOps.ngramSpanningPairsSql)}
     SELECT doc_id AS survivor_id, cluster_id, n_members
     FROM surv WHERE rn = 1
     ORDER BY survivor_id"""
@@ -619,6 +660,12 @@ object CorpusOps {
     "dedup_corpus" -> QueryDef(dedupCorpus, Some(dedupCorpusSql),
       "END-TO-END dedup: exact groups + near-dup pairs closed " +
         "transitively, one canonical survivor per cluster"),
+    "dedup_corpus_spanning" -> QueryDef(dedupCorpusSpanning,
+      Some(dedupCorpusSpanningSql),
+      "END-TO-END dedup on the SPANNING candidate feed: verified star " +
+        "edges close the same way at O(family) candidate cost per " +
+        "mega-duplicate bucket — the crawl-scale release-closure " +
+        "variant, oracle-pinned so its delta vs all-pairs is measured"),
     "text_contamination" -> QueryDef(textContamination,
       Some(textContaminationSql),
       "benchmark-contamination check: winnow-fingerprint containment " +

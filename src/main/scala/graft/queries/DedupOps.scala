@@ -229,6 +229,33 @@ object DedupOps {
     SELECT doc_a, doc_b FROM verified
     WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5"""
 
+  /** Verified SPANNING near-dup pairs as a CTE-embeddable query — the
+    * edge set of the linear-output closure feed (star candidates per
+    * bucket, same Jaccard verify as [[ngramPairsSql]]).
+    */
+  private[graft] val ngramSpanningPairsSql = s"""
+    $shingleCteSql,
+    g AS (SELECT doc_id, unnest(six) AS g FROM sh),
+    capped AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g) x
+      WHERE df BETWEEN 2 AND ${BucketCap}),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT min(doc_id) OVER (PARTITION BY g) AS doc_a,
+               doc_id AS doc_b
+        FROM capped) s
+      WHERE doc_a < doc_b),
+    verified AS (
+      SELECT doc_a, doc_b,
+        len(list_intersect(sa.big, sb.big)) AS inter,
+        len(sa.big) + len(sb.big) AS tot
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b FROM verified
+    WHERE CAST(inter AS DOUBLE) / (tot - inter) >= 0.5"""
+
   private val dedupNgramSql = s"""
     $shingleCteSql,
     g AS (SELECT doc_id, unnest(six) AS g FROM sh),
@@ -337,6 +364,15 @@ object DedupOps {
   private[graft] def minhashCandidatePairs(d: DataFrame): DataFrame =
     bucketedPairs(cappedBuckets(minhashBandKeys(d).groupBy(col("bkey"))
       .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
+
+  /** SPANNING (star) candidate pairs from banded-minhash keys with the
+    * same `[2, BucketCap]` gate — the batch reference the streaming
+    * spanning mode must accumulate to (NearDupStreamSpec).
+    */
+  private[graft] def minhashSpanningCandidatePairs(d: DataFrame): DataFrame =
+    bucketedSpanningPairs(cappedBuckets(minhashBandKeys(d)
+      .groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids")), "minhash_span_buckets"))
 
   /** In-bucket pairs over a (doc_id, bkey) frame whose keys were ALREADY
     * size-gated by the caller (streaming ingestion applies the cap to

@@ -65,10 +65,11 @@ object StreamingSink {
     * scanning the whole signature table.
     */
   def nearDupInto(client: GraftClient, sigTable: String,
-      pairsTable: String, appId: String): (DataFrame, Long) => Unit = {
+      pairsTable: String, appId: String,
+      spanning: Boolean = false): (DataFrame, Long) => Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, count, greatest,
-      least, row_number}
+      least, min, row_number}
     (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val cap = graft.queries.DedupOps.BucketCap
@@ -104,17 +105,49 @@ object StreamingSink {
               .filter(col("_bn") + coalesce(col("_hn"), lit(0L)) <= cap)
               .select(col("bkey"))
             val bandsAllowed = bands.join(broadcast(allowed), "bkey")
-            val internal = graft.queries.DedupOps.bandPairs(bandsAllowed)
+            val candidates =
+              if (spanning) {
+                // STAR edges over the COMBINED bucket (the streaming
+                // twin of the batch spanning tier): each batch doc
+                // pairs with the combined minimum only — O(batch) per
+                // bucket, never O(batch × history). A batch doc that
+                // becomes the NEW bucket minimum bridges to the
+                // history minimum instead of re-pairing history, so
+                // the bucket stays ONE component under out-of-order
+                // arrival; with doc_id-ordered ingest the accumulated
+                // set equals the batch spanning set exactly
+                // (NearDupStreamSpec pins both).
+                val bmin = bandsAllowed.groupBy(col("bkey"))
+                  .agg(min(col("doc_id")).as("_bmin"))
+                val hmin = histTouched.groupBy(col("bkey"))
+                  .agg(min(col("hist_id")).as("_hmin"))
+                val keyMins = bmin.join(hmin, Seq("bkey"), "left")
+                  .withColumn("_cmin", least(col("_bmin"),
+                    coalesce(col("_hmin"), col("_bmin"))))
+                val star = bandsAllowed.join(broadcast(keyMins), "bkey")
+                  .filter(col("doc_id") =!= col("_cmin"))
+                  .select(col("_cmin").as("doc_a"),
+                    col("doc_id").as("doc_b"))
+                val bridge = keyMins
+                  .filter(col("_hmin").isNotNull &&
+                    col("_cmin") < col("_hmin"))
+                  .select(col("_cmin").as("doc_a"),
+                    col("_hmin").as("doc_b"))
+                star.union(bridge)
+              } else {
+                val internal =
+                  graft.queries.DedupOps.bandPairs(bandsAllowed)
+                val cross = histTouched.join(broadcast(bandsAllowed
+                    .select(col("doc_id").as("new_id"), col("bkey"))),
+                    "bkey")
+                  .filter(col("hist_id") =!= col("new_id"))
+                  .select(least(col("hist_id"), col("new_id")).as("doc_a"),
+                    greatest(col("hist_id"), col("new_id")).as("doc_b"))
+                cross.union(internal.select(col("doc_a"), col("doc_b")))
+              }
             if (!client.tables.contains(pairsTable))
-              client.createTable(pairsTable,
-                internal.select(col("doc_a"), col("doc_b")).schema)
-            val cross = histTouched.join(broadcast(bandsAllowed
-                .select(col("doc_id").as("new_id"), col("bkey"))), "bkey")
-              .filter(col("hist_id") =!= col("new_id"))
-              .select(least(col("hist_id"), col("new_id")).as("doc_a"),
-                greatest(col("hist_id"), col("new_id")).as("doc_b"))
-            val fresh = cross
-              .union(internal.select(col("doc_a"), col("doc_b")))
+              client.createTable(pairsTable, candidates.schema)
+            val fresh = candidates
               .distinct()
               .join(client.scan(pairsTable)
                 .select(col("doc_a"), col("doc_b")),

@@ -102,4 +102,60 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(pairCount() === afterB1,
       "combined bucket over the cap: batch 2 must add zero pairs")
   }
+
+  test("spanning mode: ordered ingest accumulates exactly the batch " +
+    "spanning candidate set") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_neardup_span").toString
+    val client = new GraftClient(s, store)
+    val sink = StreamingSink.nearDupInto(client, "sigs", "pairs",
+      "app_span", spanning = true)
+    val whole = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = whole.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    // doc_id-ORDERED halves: every bucket's global minimum arrives
+    // before (or with) the members that star onto it, so the
+    // incremental star equals the batch star exactly
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    sink(h1.toSeq.toDF("doc_id", "text"), 0L)
+    sink(h2.toSeq.toDF("doc_id", "text"), 1L)
+    client.newTx()
+    val accumulated = client.scan("pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    client.rollback()
+    val batchSpan = DedupOps.minhashSpanningCandidatePairs(
+      DedupOps.normalizedWords(whole))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchSpan.nonEmpty, "fixture has no spanning candidates")
+    assert(accumulated === batchSpan,
+      "ordered spanning ingest diverged from the batch spanning set")
+    // and linear output: the star set is strictly smaller than all-pairs
+    val allPairs = DedupOps.minhashCandidatePairs(
+      DedupOps.normalizedWords(whole)).count()
+    assert(batchSpan.size <= allPairs)
+  }
+
+  test("spanning mode: a late-arriving bucket minimum bridges to the " +
+    "history minimum — same connected component, O(batch) new edges") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_neardup_bridge").toString
+    val client = new GraftClient(s, store)
+    val sink = StreamingSink.nearDupInto(client, "sigs", "pairs",
+      "app_bridge", spanning = true)
+    val text = "bridge content words repeated enough for stable shingles"
+    sink(Seq((5L, text), (7L, text)).toDF("doc_id", "text"), 0L)
+    sink(Seq((2L, text)).toDF("doc_id", "text"), 1L)
+    client.newTx()
+    val acc = client.scan("pairs").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    client.rollback()
+    // batch 1 starred 7 onto 5; batch 2's new minimum 2 bridges to the
+    // history minimum 5 ONLY (not to every history member)
+    assert(acc === Set((5L, 7L), (2L, 5L)))
+  }
 }
