@@ -705,6 +705,10 @@ final class GraftSink(sqlContext: SQLContext, root: String, table: String,
               s"invalid graft.autoCompact.maxObjects on $table: $v")))
             .getOrElse(0)
         if (effCompact > 0) c.maybeCompact(table, effCompact)
+        // declared-clustering hook (graft.cluster.columns +
+        // graft.autoCluster.minObjects): the tipping micro-batch folds
+        // the incremental re-layout into its own exactly-once commit
+        c.maybeCluster(table)
         c.setTxn(appId, batchId)
         c.commitTxRetrying()
       }

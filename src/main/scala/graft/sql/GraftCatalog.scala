@@ -153,6 +153,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Bucket/temporal transforms are not supported. Shared by the plain
     * and the staged (atomic CTAS/RTAS) create paths.
     */
+  /** `CREATE TABLE … CLUSTER BY (a, b)` (Spark 4 clusterBy transform) →
+    * (non-cluster transforms, declared clustering columns). The columns
+    * persist as `graft.cluster.columns` (+ the auto-maintenance default
+    * `graft.autoCluster.minObjects`, user-overridable), so every write
+    * path folds incremental clustering into its own tipping commit —
+    * the declared (liquid) clustering lifecycle.
+    */
+  private def splitClusterBy(schema: StructType,
+      partitions: Array[Transform])
+      : (Array[Transform], Option[Seq[String]]) = {
+    val (cb, rest) = partitions.partition(t =>
+      org.apache.spark.sql.graftshim.SqlShim.clusterByColumns(t).isDefined)
+    cb.toSeq match {
+      case Nil => (partitions, None)
+      case Seq(one) =>
+        val cols =
+          org.apache.spark.sql.graftshim.SqlShim.clusterByColumns(one).get
+        require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+        cols.foreach { c =>
+          if (!schema.fieldNames.contains(c))
+            throw new IllegalArgumentException(
+              s"no such clustering column: $c")
+          require(!c.contains(",") && !c.contains(":"),
+            s"clustering column names may not contain ',' or ':': $c")
+        }
+        (rest, Some(cols))
+      case _ => throw new IllegalArgumentException(
+        "at most one CLUSTER BY clause")
+    }
+  }
+
+  /** The declared-clustering table properties for `cols` — the
+    * threshold default makes CLUSTER BY self-maintaining out of the
+    * box; an explicit TBLPROPERTIES value wins.
+    */
+  private def clusterProps(cols: Seq[String],
+      user: Map[String, String]): Map[String, String] =
+    Map("graft.cluster.columns" -> cols.mkString(",")) ++
+      (if (user.contains("graft.autoCluster.minObjects")) Map.empty
+       else Map("graft.autoCluster.minObjects" -> "16"))
+
   private def partitionedSchema(schema: StructType,
       partitions: Array[Transform]): StructType =
     partitions.toSeq match {
@@ -185,7 +226,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val schemaWithPart = partitionedSchema(schema, partitions)
+    val (parts, clusterCols) = splitClusterBy(schema, partitions)
+    val schemaWithPart = partitionedSchema(schema, parts)
     val t = tableName(ident)
     withClient { c =>
       c.newTx()
@@ -199,10 +241,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val user = properties.asScala.filterNot { case (k, _) =>
         GraftCatalog.ReservedProps(k) || k.startsWith("option.")
       }.toMap
-      if (user.nonEmpty) c.setTableProperties(t, user)
+      val all = user ++
+        clusterCols.map(clusterProps(_, user)).getOrElse(Map.empty)
+      if (all.nonEmpty) c.setTableProperties(t, all)
       c.commitTxRetrying()
     }
-    new GraftTable(root, t, schemaWithPart)
+    loadTable(ident)
   }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
@@ -239,10 +283,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, orCreate: Boolean, op: String): StagedTable = {
     val t = tableName(ident)
-    val schemaWithPart = partitionedSchema(schema, partitions)
+    val (parts, clusterCols) = splitClusterBy(schema, partitions)
+    val schemaWithPart = partitionedSchema(schema, parts)
     val user = properties.asScala.filterNot { case (k, _) =>
       GraftCatalog.ReservedProps(k) || k.startsWith("option.")
     }.toMap
+    val all = user ++
+      clusterCols.map(clusterProps(_, user)).getOrElse(Map.empty)
     val c = new GraftClient(SparkSession.active, root)
     c.newTx()
     try {
@@ -252,7 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (replace && !exists && !orCreate) throw new NoSuchTableException(ident)
       if (replace && exists) c.dropTable(t)
       c.createTable(t, schemaWithPart)
-      if (user.nonEmpty) c.setTableProperties(t, user)
+      if (all.nonEmpty) c.setTableProperties(t, all)
     } catch { case e: Throwable => c.rollback(); throw e }
     new GraftStagedTable(root, t, schemaWithPart, c)
   }
@@ -307,6 +354,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case _: TableChange.SetProperty => () // reserved: ignore
         case rm: TableChange.RemoveProperty =>
           c.unsetTableProperties(t, Seq(rm.property()))
+        // ALTER TABLE … CLUSTER BY (a, b) / CLUSTER BY NONE — re-declare
+        // or drop the liquid-clustering declaration; the next tipping
+        // write re-baselines the grid (maybeCluster requires the stored
+        // grid to match the declared columns)
+        case cb: TableChange.ClusterBy =>
+          val cols = cb.clusteringColumns().toSeq.map { r =>
+            require(r.fieldNames().length == 1,
+              s"clustering columns must be top-level: ${r.describe()}")
+            r.fieldNames()(0)
+          }
+          if (cols.isEmpty)
+            c.unsetTableProperties(t,
+              Seq("graft.cluster.columns", "graft.autoCluster.minObjects"))
+          else {
+            cols.foreach(cn =>
+              require(!cn.contains(",") && !cn.contains(":"),
+                s"clustering column names may not contain ',' or ':': $cn"))
+            c.setTableProperties(t, clusterProps(cols,
+              c.tablePropertiesOf(t)))
+          }
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -474,9 +541,17 @@ final class GraftTable(val root: String, val tableName: String,
         f.metadata.getLong(GraftTable.PartitionOrdKey) else 0L)
       .map(_.name).toSeq
 
-  override def partitioning(): Array[Transform] =
-    partitionCols.toArray.map(c =>
+  override def partitioning(): Array[Transform] = {
+    val parts = partitionCols.toArray.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    // declared (liquid) clustering rides the same surface, so DESCRIBE
+    // and SHOW CREATE TABLE round-trip CLUSTER BY
+    val cluster = tableProps.get("graft.cluster.columns")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
+      .map(cols =>
+        org.apache.spark.sql.graftshim.SqlShim.clusterByTransform(cols))
+    parts ++ cluster
+  }
 
   // ---- SupportsPartitionManagement (SHOW PARTITIONS) ----
   // Partitions are DEFINED BY DATA (one object per value), so listing is
@@ -822,6 +897,9 @@ final class GraftWriteBuilder(table: GraftTable) extends WriteBuilder
               case Seq() => c.insert(table.tableName, data)
               case ps => c.insertPartitioned(table.tableName, data, ps)
             }
+            // declared-clustering hook: the tipping INSERT folds the
+            // incremental re-layout into its own commit
+            c.maybeCluster(table.tableName)
             c.commitTxRetrying()
           }
       }

@@ -1017,6 +1017,23 @@ final class GraftClient(
     props.get("graft.autoCompact.maxObjects").foreach(v =>
       require(v.toIntOption.exists(_ > 0),
         s"graft.autoCompact.maxObjects must be a positive int, got: $v"))
+    props.get("graft.cluster.columns").foreach { v =>
+      val cols = v.split(",").toSeq
+      require(v.isEmpty || (cols.nonEmpty && cols.forall(_.nonEmpty)),
+        s"graft.cluster.columns must be a comma-separated column list, " +
+          s"got: $v")
+      val schema = schemaOf(table)
+      cols.filter(_.nonEmpty).foreach(c =>
+        require(hasColumnPath(schema, c) && !c.contains(":"),
+          s"graft.cluster.columns names a missing or unstorable " +
+            s"column: $c"))
+    }
+    props.get("graft.autoCluster.minObjects").foreach(v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"graft.autoCluster.minObjects must be a positive int, got: $v"))
+    props.get("graft.autoCluster.numBuckets").foreach(v =>
+      require(v.toIntOption.exists(_ >= 2),
+        s"graft.autoCluster.numBuckets must be >= 2, got: $v"))
     props.get(GraftClient.AutoAnalyzeProperty).foreach(v =>
       require(v == "true" || v == "false",
         s"${GraftClient.AutoAnalyzeProperty} must be true|false, got: $v"))
@@ -4389,6 +4406,69 @@ final class GraftClient(
       // caller branching on the result is never told a merge ran when
       // the object count did not drop
       liveFiles(table).length < before
+    }
+  }
+
+  /** DECLARED-clustering write hook (the liquid-clustering lifecycle):
+    * when `table` carries `graft.cluster.columns` and
+    * `graft.autoCluster.minObjects`, fold the clustering maintenance
+    * into the calling write's OWN transaction once enough unaligned
+    * objects accumulate — one declared column rides the 1-D bounded
+    * grid ([[clusterByBounded]]/[[clusterIncremental]]), two or more
+    * the durable z-grid ([[clusterByZOrderBounded]]/
+    * [[clusterIncrementalZ]]). The FIRST tipping batch baselines the
+    * grid from the live data; every later tipping batch re-buckets
+    * only the objects appended since the stored grid marker —
+    * O(new data), the clustered bulk untouched, and a point query's
+    * objects-opened stays bounded with zero scheduled maintenance
+    * CALLs. Returns the number of objects re-bucketed (0 = below
+    * threshold or no declaration).
+    */
+  def maybeCluster(table: String): Int = {
+    val props = tablePropertiesOf(table)
+    val cols = props.get("graft.cluster.columns")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val minNew =
+      props.get("graft.autoCluster.minObjects").flatMap(_.toIntOption)
+        .getOrElse(0)
+    if (cols.isEmpty || minNew <= 0) return 0
+    val schema = schemaOf(table)
+    cols.foreach(c => require(hasColumnPath(schema, c),
+      s"declared clustering column missing (renamed?): $c — " +
+        "re-declare graft.cluster.columns"))
+    val numBuckets = props.get("graft.autoCluster.numBuckets")
+      .flatMap(_.toIntOption).getOrElse(16)
+    val single = cols.length == 1
+    // the stored grid must belong to THIS declaration: a re-declared
+    // column set re-baselines rather than riding a stale grid
+    val gridTx: Option[Long] =
+      if (single) props.get(s"graft.cluster.${cols.head}.txid")
+        .map(_.toLong)
+      else props.get("graft.zcluster.txid").map(_.toLong)
+        .filter(_ =>
+          props.get("graft.zcluster.columns").contains(cols.mkString(",")))
+    gridTx match {
+      case None =>
+        val live = liveFiles(table)
+        if (live.length < minNew) 0
+        else try {
+          if (single) clusterByBounded(table, cols.head, numBuckets)
+          else clusterByZOrderBounded(table, cols, numBuckets)
+          live.length
+        } catch {
+          // a declared column still all-null is DATA-dependent (early
+          // ingest of a slow-filling column): skip this baseline and
+          // retry at the next tipping batch instead of crash-looping
+          // the stream; config errors (bad types) still throw loudly
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("all-null") => 0
+        }
+      case Some(since) =>
+        flush(table) // count this tx's own staged objects too
+        if (liveFiles(table).count(_.txId >= since) < minNew) 0
+        else if (single) clusterIncremental(table, cols.head)
+        else clusterIncrementalZ(table)
     }
   }
 

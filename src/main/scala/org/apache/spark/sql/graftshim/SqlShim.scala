@@ -83,4 +83,25 @@ object SqlShim {
       Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
     case _ => None
   }
+
+  /** `CREATE TABLE … CLUSTER BY (a, b)` arrives at the catalog as a
+    * `ClusterByTransform` — also a `private[sql]` Scala case class.
+    * Extractor and constructor (the latter lets `Table.partitioning()`
+    * round-trip the declared clustering back to DESCRIBE/SHOW CREATE).
+    */
+  def clusterByColumns(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : Option[Seq[String]] = t match {
+    case org.apache.spark.sql.connector.expressions
+        .ClusterByTransform(refs)
+        if refs.forall(_.fieldNames().length == 1) =>
+      Some(refs.map(_.fieldNames()(0)))
+    case _ => None
+  }
+
+  def clusterByTransform(cols: Seq[String])
+      : org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.ClusterByTransform(
+      cols.map(c =>
+        org.apache.spark.sql.connector.expressions.FieldReference.column(c)))
 }

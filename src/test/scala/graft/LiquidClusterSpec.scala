@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Declared (liquid) clustering lifecycle — round-15: clustering is no
+  * longer CALL-only maintenance. `CREATE TABLE … CLUSTER BY (a[, b])`
+  * persists `graft.cluster.columns` (+ the auto-maintenance threshold
+  * `graft.autoCluster.minObjects`, default 16), and every write path —
+  * SQL INSERT and the streaming sink — folds the grid baseline /
+  * incremental re-layout into its OWN tipping commit
+  * ([[GraftClient.maybeCluster]]). A stream of unaligned appends keeps
+  * a point query's objects-opened bounded with ZERO scheduled CALLs;
+  * the staleness property advances on incremental passes; the DDL
+  * round-trips (partitioning() reports the cluster transform; ALTER
+  * re-declares or drops it).
+  */
+class LiquidClusterSpec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private def newCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft_liquid").toString
+    val cat = s"lq${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("CREATE TABLE … CLUSTER BY round-trips: properties, " +
+    "partitioning transform, ALTER re-declare and NONE") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.lc (k BIGINT, v BIGINT) CLUSTER BY (k)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.lc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.cluster.columns") === Some("k"))
+    assert(props.get("graft.autoCluster.minObjects") === Some("16"))
+    // Table.partitioning() reports the cluster transform (DESCRIBE /
+    // SHOW CREATE TABLE render from it)
+    val c = new GraftClient(spark, root)
+    val gt = new graft.sql.GraftTable(root, "lc",
+      { c.newTx(); val s = c.schemaOf("lc"); c.rollback(); s },
+      tableProps = { c.newTx(); val p = c.tablePropertiesOf("lc")
+        c.rollback(); p })
+    assert(gt.partitioning().map(_.toString).exists(_.contains("cluster")),
+      gt.partitioning().mkString(","))
+
+    spark.sql(s"ALTER TABLE $cat.lc CLUSTER BY (v)")
+    val p2 = spark.sql(s"SHOW TBLPROPERTIES $cat.lc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2.get("graft.cluster.columns") === Some("v"))
+    spark.sql(s"ALTER TABLE $cat.lc CLUSTER BY NONE")
+    val p3 = spark.sql(s"SHOW TBLPROPERTIES $cat.lc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!p3.contains("graft.cluster.columns"))
+    assert(!p3.contains("graft.autoCluster.minObjects"))
+  }
+
+  test("unaligned SQL appends self-cluster: the tipping INSERT " +
+    "baselines the grid, later tips re-bucket incrementally, a point " +
+    "query stays bounded with zero CALLs, staleness advances") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"""CREATE TABLE $cat.ac (k BIGINT, v BIGINT)
+      CLUSTER BY (k) TBLPROPERTIES ('graft.autoCluster.minObjects'='4')""")
+    // every append spans the WHOLE key range [0, 1600): unclustered,
+    // a point query would open every object
+    def append(i: Int): Unit = spark.sql(s"""INSERT INTO $cat.ac
+      SELECT id * 16 + $i AS k, id AS v FROM range(0, 100)""")
+    (0 until 4).foreach(append) // 4th insert tips: baseline into 16 buckets
+    val c = new GraftClient(spark, root)
+    def props(): Map[String, String] = {
+      c.newTx(); val p = c.tablePropertiesOf("ac"); c.rollback(); p
+    }
+    assert(props().contains("graft.cluster.k.bounds"),
+      "tipping insert must baseline the bounded grid in its own commit")
+
+    // 3 more unaligned appends (below threshold), then a 4th tips an
+    // INCREMENTAL pass — only the fresh objects re-bucket
+    (4 until 8).foreach(append)
+    val p = props()
+    assert(p.contains("graft.cluster.k.staleness"),
+      "incremental pass must record staleness")
+
+    // point query: objects-opened bounded (clustered layout), not the
+    // full live set — and no system.cluster CALL ever ran
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.ac WHERE k = 803")
+      .collect()(0).getLong(0)
+    assert(cnt === 1L)
+    c.newTx(); val live = c.objects("ac").length; c.rollback()
+    assert(graft.sql.GraftCatalog.lastScanObjectCount <= 4,
+      s"point query opened ${graft.sql.GraftCatalog.lastScanObjectCount} " +
+        s"of $live objects — clustering did not bound it")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ac").collect()(0)
+      .getLong(0) === 800L)
+  }
+
+  test("multi-column CLUSTER BY rides the durable z-grid") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"""CREATE TABLE $cat.zc (a BIGINT, b BIGINT)
+      CLUSTER BY (a, b) TBLPROPERTIES ('graft.autoCluster.minObjects'='3')""")
+    def append(i: Int): Unit = spark.sql(s"""INSERT INTO $cat.zc
+      SELECT (id * 7 + $i) % 100 AS a, (id * 13 + $i) % 100 AS b
+      FROM range(0, 200)""")
+    (0 until 3).foreach(append)
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val p = c.tablePropertiesOf("zc")
+    c.rollback()
+    assert(p.get("graft.zcluster.columns") === Some("a,b"),
+      "tipping insert must baseline the z-grid")
+    // both axes prune after the z re-layout
+    spark.sql(s"SELECT count(*) FROM $cat.zc WHERE b >= 90").collect()
+    c.newTx(); val live = c.objects("zc").length; c.rollback()
+    assert(graft.sql.GraftCatalog.lastScanObjectCount < live,
+      "trailing z axis should prune the clustered layout")
+  }
+
+  test("a stream of unaligned appends keeps the layout clustered " +
+    "through the sink hook (exactly-once commits carry the re-layout)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_liquid_stream").toString
+    val ckpt = Files.createTempDirectory("graft_liquid_ck").toString
+    val c = new GraftClient(s, root)
+    c.newTx()
+    c.createTable("st", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    c.setTableProperties("st", Map(
+      "graft.cluster.columns" -> "k",
+      "graft.autoCluster.minObjects" -> "3"))
+    c.commitTx()
+
+    val in = MemoryStream[Long](s)
+    val q = in.toDF().select((col("value") % 512).as("k"),
+      col("value").as("v"))
+      .writeStream.format("graft")
+      .option("path", root).option("table", "st")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      (0 until 5).foreach { i =>
+        in.addData((i * 100 until (i + 1) * 100).map(_.toLong): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    c.newTx()
+    val props = c.tablePropertiesOf("st")
+    assert(props.contains("graft.cluster.k.bounds"),
+      "the tipping micro-batch must baseline the grid")
+    assert(c.scan("st").count() === 500L)
+    c.rollback()
+  }
+}
