@@ -140,5 +140,98 @@ object BenchHttp {
         s""""race_conflicts":${raceStore.conflicts.get}}""")
       srv.stop()
     }
+
+    // ---- the REAL protocol: S3 dialect, signed vs unsigned (round 15)
+    // Same probes through S3ObjectStore against the verifying dialect
+    // server — per-request SigV4 signing cost and the 409-arbitrated
+    // contention path priced against the unsigned dialect run, so any
+    // signing-induced regression in commits/sec is a number, not a
+    // guess.
+    {
+      import graft.store.{S3DialectServer, S3ObjectStore}
+      def s3Probe(signed: Boolean): (Double, Double, Double, Int, Int) = {
+        val auth =
+          if (signed) Some(("AK", "benchsecret", "us-east-1")) else None
+        val srv = new S3DialectServer(new InMemoryObjectStore,
+          requireSigV4 = auth)
+        try {
+          def mkStore(): Probe = new Probe(new S3ObjectStore(srv.url,
+            sign = if (signed)
+              S3ObjectStore.sigV4("AK", () => "benchsecret", "us-east-1")
+            else identity), cached = true)
+          TxLog.clearSnapshotCache()
+          val root = Files.createTempDirectory("graft_s3_bench").toString
+          val c = new GraftClient(spark, root, logStore = Some(mkStore()))
+          c.newTx()
+          c.createTable("t", StructType(Seq(
+            StructField("k", LongType, nullable = false))))
+          c.commitTx()
+          c.newTx(); c.insert("t", Seq(-1L).toDF("k")); c.commitTx()
+          val t0 = System.nanoTime()
+          (0 until seqCommits).foreach { i =>
+            c.newTx()
+            c.insert("t", Seq(i.toLong).toDF("k"))
+            c.commitTx()
+          }
+          val seqTotal = (System.nanoTime() - t0) / 1e9
+
+          // 4-writer arbitration through S3 conditional puts (409 = one
+          // lost race -> one rebase; create-ambiguity read-back included)
+          val raceRoot = Files.createTempDirectory("graft_s3_race").toString
+          val bc = new GraftClient(spark, raceRoot,
+            logStore = Some(mkStore()))
+          bc.newTx()
+          bc.createTable("r", StructType(Seq(
+            StructField("w", LongType, nullable = false))))
+          bc.commitTx()
+          val raceStore = mkStore()
+          val writers = 4
+          val perWriter = 25
+          val t1 = System.nanoTime()
+          val threads = (0 until writers).map { w =>
+            new Thread(() => {
+              val wc = new GraftClient(spark, raceRoot,
+                logStore = Some(raceStore))
+              (0 until perWriter).foreach { i =>
+                wc.newTx()
+                wc.insert("r", Seq(w * 1000L + i).toDF("w"))
+                wc.commitTxRetrying(maxAttempts = 200)
+              }
+            })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          val raceTotal = (System.nanoTime() - t1) / 1e9
+          val check = new GraftClient(spark, raceRoot,
+            logStore = Some(raceStore))
+          check.newTx()
+          val landed = check.scan("r").count()
+          check.rollback()
+          require(landed == writers.toLong * perWriter,
+            s"s3 race lost rows: $landed")
+          (seqTotal, seqTotal / seqCommits, raceTotal,
+            raceStore.puts.get, raceStore.conflicts.get)
+        } finally srv.stop()
+      }
+
+      val (plainSeq, plainPer, plainRace, plainPuts, plainConf) =
+        s3Probe(signed = false)
+      val (sigSeq, sigPer, sigRace, sigPuts, sigConf) =
+        s3Probe(signed = true)
+      println(
+        s"""{"metric":"s3_sigv4_commit","seq_commits":$seqCommits,""" +
+        s""""unsigned_seq_total_sec":${f"$plainSeq%.2f"},""" +
+        s""""unsigned_per_commit_sec":${f"$plainPer%.3f"},""" +
+        s""""signed_seq_total_sec":${f"$sigSeq%.2f"},""" +
+        s""""signed_per_commit_sec":${f"$sigPer%.3f"},""" +
+        s""""signing_overhead_pct":${
+          f"${(sigPer / plainPer - 1) * 100}%.1f"},""" +
+        s""""race_writers":4,"race_commits_each":25,""" +
+        s""""unsigned_race_total_sec":${f"$plainRace%.2f"},""" +
+        s""""signed_race_total_sec":${f"$sigRace%.2f"},""" +
+        s""""unsigned_race_puts":$plainPuts,""" +
+        s""""unsigned_race_conflicts":$plainConf,""" +
+        s""""signed_race_puts":$sigPuts,""" +
+        s""""signed_race_conflicts":$sigConf}""")
+    }
   }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.store.{InMemoryObjectStore, ObjectStore, S3DialectServer, S3ObjectStore}
+import graft.table.GraftClient
+
+/** The COMPOSED production plane, priced end-to-end (round-15: every
+  * piece was pinned separately — RemoteFsSpec's graftfs:// lifecycle,
+  * BenchHttp's wire commits, the SigV4 contract — but no single number
+  * priced them together): DATA on a non-local Hadoop scheme
+  * (`graftrb://`, RawLocalFileSystem behind the full FS abstraction, so
+  * every data byte crosses the same seam an s3a:// deployment uses) and
+  * the LOG on the S3-dialect object store with SigV4 signing ON,
+  * against the verifying dialect server.
+  *
+  * One lifecycle at `SPARK_GRAFT_SF_DIR` (default sf0.1): partitioned
+  * insert → stats-pruned point scan → CoW delete → compact → vacuum.
+  * Prints ONE JSON line with per-phase wall times and per-phase store
+  * ROUND-TRIP counts (conditional puts / puts / reads / lists /
+  * deletes) — the numbers a capacity plan multiplies by real S3
+  * latencies.
+  */
+object BenchRemote {
+
+  /** Hadoop FS under a non-local scheme — the data-plane seam. */
+  final class GraftRemoteBenchFs
+      extends org.apache.hadoop.fs.RawLocalFileSystem {
+    override def getScheme: String = "graftrb"
+    override def getUri: java.net.URI = java.net.URI.create("graftrb:///")
+  }
+
+  /** Store wrapper counting round trips per verb. */
+  private final class Counting(under: ObjectStore) extends ObjectStore {
+    val condPuts = new AtomicLong(0)
+    val puts = new AtomicLong(0)
+    val reads = new AtomicLong(0)
+    val lists = new AtomicLong(0)
+    val deletes = new AtomicLong(0)
+    override def putIfAbsent(n: String, d: Array[Byte]): Boolean = {
+      condPuts.incrementAndGet(); under.putIfAbsent(n, d)
+    }
+    override def put(n: String, d: Array[Byte]): Unit = {
+      puts.incrementAndGet(); under.put(n, d)
+    }
+    override def read(n: String): Array[Byte] = {
+      reads.incrementAndGet(); under.read(n)
+    }
+    override def listPrefixOrdered(p: String): Seq[String] = {
+      lists.incrementAndGet(); under.listPrefixOrdered(p)
+    }
+    override def listPrefixAfter(p: String, a: String): Seq[String] = {
+      lists.incrementAndGet(); under.listPrefixAfter(p, a)
+    }
+    override def delete(n: String): Unit = {
+      deletes.incrementAndGet(); under.delete(n)
+    }
+    override def cacheKey: Option[String] = under.cacheKey
+    def snapshot(): Seq[Long] = Seq(condPuts.get, puts.get, reads.get,
+      lists.get, deletes.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftrb.impl", classOf[GraftRemoteBenchFs].getName)
+
+    val srv = new S3DialectServer(new InMemoryObjectStore,
+      requireSigV4 = Some(("AK", "benchsecret", "us-east-1")))
+    try {
+      val store = new Counting(new S3ObjectStore(srv.url,
+        sign = S3ObjectStore.sigV4("AK", () => "benchsecret",
+          "us-east-1")))
+      val local = Files.createTempDirectory("graft_remote_bench").toString
+      val root = s"graftrb:$local"
+      val c = new GraftClient(spark, root, logStore = Some(store))
+
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"),
+          (col("l_orderkey") % 16).as("p"))
+      val rows = li.count()
+      val p5Rows = li.filter(col("p") === 5L).count()
+
+      var last = store.snapshot()
+      def phase[A](body: => A): (A, Double, Seq[Long]) = {
+        val t0 = System.nanoTime()
+        val r = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        val now = store.snapshot()
+        val delta = now.zip(last).map { case (a, b) => a - b }
+        last = now
+        (r, dt, delta)
+      }
+
+      val (_, insertSec, insertOps) = phase {
+        c.newTx()
+        c.createTable("li", li.schema)
+        c.insertPartitioned("li", li, "p") // 16 stat-disjoint objects
+        c.commitTxRetrying()
+      }
+      val (scanCount, scanSec, scanOps) = phase {
+        c.newTx()
+        val n: Long = c.scanEquals("li", "p", 3L).count()
+        c.rollback()
+        n
+      }
+      val (_, deleteSec, deleteOps) = phase {
+        c.newTx()
+        c.deleteWhere("li", col("p") === 5L)
+        c.commitTxRetrying()
+      }
+      val (_, compactSec, compactOps) = phase {
+        c.newTx()
+        c.compact("li")
+        c.commitTxRetrying()
+      }
+      val (_, vacuumSec, vacuumOps) = phase {
+        c.checkpointNow()
+        c.vacuum(retainVersions = 0)
+      }
+      // correctness spot check through the composed plane
+      c.newTx()
+      val after = c.scan("li").count()
+      c.rollback()
+      require(after == rows - p5Rows,
+        s"composed-plane lifecycle lost rows: $after of $rows")
+
+      def ops(d: Seq[Long]): String =
+        s"""{"cond_puts":${d(0)},"puts":${d(1)},"reads":${d(2)},""" +
+          s""""lists":${d(3)},"deletes":${d(4)}}"""
+      println(
+        s"""{"metric":"remote_plane","sf_dir":"$sfDir","rows":$rows,""" +
+        s""""signing":"sigv4","rows_after":$after,""" +
+        s""""scan_rows":$scanCount,""" +
+        s""""insert_sec":${f"$insertSec%.2f"},""" +
+        s""""scan_sec":${f"$scanSec%.2f"},""" +
+        s""""delete_sec":${f"$deleteSec%.2f"},""" +
+        s""""compact_sec":${f"$compactSec%.2f"},""" +
+        s""""vacuum_sec":${f"$vacuumSec%.2f"},""" +
+        s""""insert_ops":${ops(insertOps)},""" +
+        s""""scan_ops":${ops(scanOps)},""" +
+        s""""delete_ops":${ops(deleteOps)},""" +
+        s""""compact_ops":${ops(compactOps)},""" +
+        s""""vacuum_ops":${ops(vacuumOps)}}""")
+    } finally srv.stop()
+  }
+}
