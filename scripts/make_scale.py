@@ -15,11 +15,25 @@ data, instead of manufacturing cross-replica duplicate structure:
   - TPC-H tables: copied verbatim (the scale probe targets the
     data-pipeline heavy hitters, not TPC-H).
 
-Usage: make_scale.py SRC DST K
+Usage: make_scale.py SRC DST K [v2]
+
+v2 (round 15, VERDICT r14 task 4): the v1 24-char salt pitch leaves
+6-gram windows of SHORT words intact between salts, so those grams stay
+shared across replicas and the bigram-Jaccard verify threshold (0.5)
+sits exactly at the cross-replica similarity v1 salting produces —
+K-replica families read as TRUE ~K-cliques (BASELINE.md "sf1 → sf10
+scale decade"). v2 salts by WORD pitch instead: a replica token after
+every 2 words. No 6 consecutive original words survive (zero
+cross-replica 6-gram buckets), and cross-replica bigram Jaccard drops
+to ~1/3 < 0.5 (each 2-word window keeps 1 of 2 original bigrams and
+adds 2 salted ones), so minhash candidates that still collide are
+verify-REJECTED. v1 stays the default so sf1/sf10 anchors remain
+comparable across rounds; v2 is a separate fixture generation.
 """
 import duckdb, sys, os, shutil
 
 src, dst, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+v2 = len(sys.argv) > 4 and sys.argv[4] == "v2"
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 OFF = 10_000_000
@@ -47,7 +61,12 @@ for k in range(K):
         # round-12/13 sf1 records showed winnow/contamination ~2x the
         # round-11 anchor from this). Within-replica dup structure is
         # preserved (one consistent transform per replica).
-        salted = f"regexp_replace(text, '(.{{24}})', '\\1 q{k}z ', 'g')"
+        if v2:
+            # sub-6-gram WORD pitch: a replica token after every 2 words
+            salted = (f"regexp_replace(text, '((\\S+\\s+){{2}})', "
+                      f"'\\1q{k}z ', 'g')")
+        else:
+            salted = f"regexp_replace(text, '(.{{24}})', '\\1 q{k}z ', 'g')"
         docs.append(
             f"SELECT doc_id + {k * OFF} AS doc_id, "
             f"{salted} AS text, lang, source, "

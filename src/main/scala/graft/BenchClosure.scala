@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Release-closure cost + cluster delta, all-pairs vs spanning feed
+  * (round 15, VERDICT r14 task 3): times the END-TO-END closure build
+  * (edges → label propagation → ranked survivors) on both candidate
+  * feeds at `SPARK_GRAFT_SF_DIR`, then measures how the clusterings
+  * actually differ — a verify-REJECTED star edge can split a cluster
+  * the all-pairs feed keeps connected through a third doc, and this
+  * prints how often that happens instead of assuming it away.
+  *
+  * One JSON line: per-feed wall seconds, cluster/survivor counts, and
+  * the delta (all-pairs clusters that the spanning feed splits, docs
+  * whose survivor flag flips).
+  */
+object BenchClosure {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // time the FIRST materialization of each closure store (the
+    // build-once cost a release run pays), then read both back for the
+    // delta comparison
+    def timed(fn: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = fn.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (allSec, allSurv) =
+      timed(queries.CorpusOps.dedupCorpus(spark, sfDir))
+    val (spanSec, spanSurv) =
+      timed(queries.CorpusOps.dedupCorpusSpanning(spark, sfDir))
+
+    // delta: docs per (all-pairs cluster, spanning cluster) — an
+    // all-pairs cluster mapping onto >1 spanning cluster was SPLIT by a
+    // verify-rejected star edge
+    val a = queries.CorpusOps.dedupCorpus(spark, sfDir)
+      .select(col("cluster_id").as("a_cl"),
+        col("survivor_id").as("doc_id"))
+    val s = queries.CorpusOps.dedupCorpusSpanning(spark, sfDir)
+      .select(col("cluster_id").as("s_cl"),
+        col("survivor_id").as("doc_id"))
+    // survivor sets: symmetric difference
+    val inBoth = a.select("doc_id").join(s.select("doc_id"), "doc_id")
+      .count()
+    val survFlips = (allSurv - inBoth) + (spanSurv - inBoth)
+    // cluster splits need the FULL membership, not just survivors: read
+    // the materialized closures' member rows through the pairs surface
+    val aPairs = queries.CorpusOps.corpusPairs(spark, sfDir)
+      .select(col("anchor_id"), col("positive_id"))
+    val aMembers = aPairs.select(col("anchor_id").as("cl"),
+        col("positive_id").as("doc_id"))
+      .union(aPairs.select(col("anchor_id").as("cl"),
+        col("anchor_id").as("doc_id")).distinct())
+    val sMap = s.select(col("s_cl"), col("doc_id"))
+    // every all-pairs member labeled with its spanning cluster; a
+    // multi-member all-pairs cluster spanning >1 spanning label = split.
+    // (spanning clusters only ever SPLIT all-pairs ones: star candidates
+    // span the same buckets, so spanning edges ⊆ the all-pairs closure's
+    // connectivity.)
+    val spanLabelOfDoc = queries.CorpusOps
+      .dedupCorpusSpanningMembers(spark, sfDir)
+    val splits = aMembers
+      .join(spanLabelOfDoc, Seq("doc_id"))
+      .groupBy(col("cl"))
+      .agg(countDistinct(col("span_cl")).as("n"))
+      .filter(col("n") > 1).count()
+    val multi = aMembers.groupBy(col("cl")).count().filter(col("count") > 1)
+      .count()
+    println(
+      s"""{"metric":"closure_delta","sf_dir":"$sfDir",""" +
+      s""""allpairs_sec":${f"$allSec%.2f"},""" +
+      s""""spanning_sec":${f"$spanSec%.2f"},""" +
+      s""""allpairs_survivors":$allSurv,""" +
+      s""""spanning_survivors":$spanSurv,""" +
+      s""""survivor_flips":$survFlips,""" +
+      s""""multi_member_clusters":$multi,""" +
+      s""""clusters_split_by_spanning":$splits}""")
+    spark.stop()
+  }
+}

@@ -339,7 +339,15 @@ object DedupOps {
     * across signatures only add candidates, which exact Jaccard
     * verification then rejects.
     */
-  private[graft] def minhashBandKeys(d: DataFrame): DataFrame = {
+  private[graft] def minhashBandKeys(d: DataFrame): DataFrame =
+    bandKeysOfSigs(minhashSignatures(d))
+
+  /** Per-doc 64-minhash SIGNATURE (doc_id, sig array<long>[64]) — the
+    * shared input of the band keys and the verify PREFILTER
+    * (signature-agreement Jaccard estimate), so the corpus-sized
+    * shingle-explode + 64-min aggregation runs once per consumer chain.
+    */
+  private[graft] def minhashSignatures(d: DataFrame): DataFrame = {
     val exploded = d.select(col("doc_id"), explode(bigramT).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       // materialize h through the exchange the groupBy needs anyway:
@@ -348,14 +356,61 @@ object DedupOps {
       .repartition(col("doc_id"))
     val minAggs = (0 until 64).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    val bandKeys = (0 until 16).map(b =>
-      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"h${b * 4 + r}"))): _*)
-        .as(s"bk$b"))
     exploded.groupBy(col("doc_id"))
       .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** (doc_id, bkey) from a signature frame: each band's 4 minhashes
+    * collapse to ONE long key (band id mixed in), so bucketing shuffles
+    * scalar keys, not arrays.
+    */
+  private def bandKeysOfSigs(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until 16).map(b =>
+      xxhash64((Seq(lit(b)) ++
+        (0 until 4).map(r => col("sig").getItem(b * 4 + r))): _*)
+        .as(s"bk$b"))
+    sigs
       .select(col("doc_id"), array(bandKeys.map(k => k): _*).as("bks"))
       .select(col("doc_id"), explode(col("bks")).as("bkey"))
   }
+
+  /** Signature-agreement PREFILTER ahead of exact verification (the v2
+    * scale-decade fix — the engine answer to LSH's false-candidate
+    * verify cost): the 64-minhash agreement fraction is an unbiased
+    * Jaccard estimate, and the signatures are ALREADY computed for the
+    * band keys, so estimating costs 64 long-compares per candidate —
+    * against fetching two bigram sets (KBs) and intersecting them.
+    * Cut at 24/64 = 0.375: a TRUE boundary pair (J = 0.5) passes with
+    * p ≈ 0.98 (banding itself already admits only ~0.64 of them), a
+    * J ≈ 0.3 cross-near-miss passes with p ≈ 0.09 — on the v2 sf10
+    * corpus that is ~10× less exact-verify volume for the same verified
+    * output (the sf10v2 minhash row was the one superlinear time ratio:
+    * 40.9 M candidates, 25.6 k survivors — 99.94 % of the verify work
+    * was rejecting band-collision junk).
+    */
+  /** Lineage cut (the DedupCluster/GraphOps shape): reliable checkpoint
+    * when the session has a checkpoint dir, eager localCheckpoint
+    * otherwise — pins a frame consumed by several plan branches.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
+  private val SigPrefilterMatches = 24
+  private def sigPrefiltered(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .filter(expr(
+        s"""aggregate(zip_with(sig_a, sig_b, (x, y) ->
+              IF(x = y, 1, 0)), 0, (acc, m) -> acc + m)
+            >= $SigPrefilterMatches"""))
+      .select(col("doc_a"), col("doc_b"))
 
   /** Candidate pairs from banded-minhash keys with the `[2, BucketCap]`
     * gate — the pre-verification stage, exposed for the streaming
@@ -386,11 +441,17 @@ object DedupOps {
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = shingled(spark, dir)
+    // signatures PINNED: bands + the prefilter's two sides read one
+    // computation of the corpus fold instead of three
+    val sigs = cut(minhashSignatures(d))
     // [2, BucketCap] gate: a band bucket holding thousands of ids means
     // mass-identical content (exact dedup's job); without the cap one such
     // key makes pair generation O(bucket²) at crawl scale
-    val pairs = minhashCandidatePairs(d)
-    verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
+    val pairs = bucketedPairs(cappedBuckets(bandKeysOfSigs(sigs)
+      .groupBy(col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
+    verifyJaccard(sigPrefiltered(pairs, sigs),
+      d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 
   // --- SimHash near-dup ------------------------------------------------------
