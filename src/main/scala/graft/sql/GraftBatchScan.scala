@@ -64,7 +64,8 @@ final class GraftBatchScan(private val table: GraftTable,
   @volatile private var runtimeInLists: List[(String, Seq[Any])] = Nil
   @volatile private var rddMemo
       : Option[(List[(String, Seq[Any])], RDD[InternalRow])] = None
-  @volatile private var statsMemo: Option[(Long, Long)] = None
+  @volatile private var statsMemo: Option[(Long, Long,
+    Map[String, (Option[Long], Option[(Any, Any)], Option[Long])])] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -124,7 +125,7 @@ final class GraftBatchScan(private val table: GraftTable,
     * planning and never feed logical stats.
     */
   override def estimateStatistics(): Statistics = {
-    val (rows, bytes) = statsMemo.getOrElse {
+    val (rows, bytes, colStats) = statsMemo.getOrElse {
       val computed = table.withClient { c =>
         c.newTx()
         try {
@@ -133,15 +134,53 @@ final class GraftBatchScan(private val table: GraftTable,
             case None => prunedFiles(c)
           }
           (files.map(_.numRows).sum,
-            GraftBatchScan.onDiskBytes(table.root, files))
+            GraftBatchScan.onDiskBytes(table.root, files),
+            if (asOf.isEmpty) c.columnStatsOf(table.tableName, files)
+            else Map.empty[String,
+              (Option[Long], Option[(Any, Any)], Option[Long])])
         } finally c.rollback()
       }
       statsMemo = Some(computed)
       computed
     }
+    // COLUMN statistics for cost-based optimization: NDV from the
+    // per-object HLL merge (post-ANALYZE), min/max (numeric only —
+    // catalyst estimation consumes numeric ranges; string ranges are
+    // unused there), null counts. Spark folds these into attributeStats
+    // via DataSourceV2Relation.transformV2Stats when CBO is on.
+    val colStatMap = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colStats.foreach { case (name, (ndv, minMax, nulls)) =>
+      if (required.fieldNames.contains(name))
+        colStatMap.put(SqlShim.fieldRef(name),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def nullCount(): OptionalLong =
+              nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            override def min(): java.util.Optional[Object] = minMax match {
+              case Some((mn: Long, _)) =>
+                java.util.Optional.of(java.lang.Long.valueOf(mn))
+              case Some((mn: Double, _)) =>
+                java.util.Optional.of(java.lang.Double.valueOf(mn))
+              case _ => java.util.Optional.empty()
+            }
+            override def max(): java.util.Optional[Object] = minMax match {
+              case Some((_, mx: Long)) =>
+                java.util.Optional.of(java.lang.Long.valueOf(mx))
+              case Some((_, mx: Double)) =>
+                java.util.Optional.of(java.lang.Double.valueOf(mx))
+              case _ => java.util.Optional.empty()
+            }
+          })
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes.max(1))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStatMap
     }
   }
 

@@ -4781,6 +4781,61 @@ final class GraftClient(
     schemaOf(table).fieldNames.filter(c => props.contains(ndvKey(c))).toSeq
   }
 
+  /** Per-column PLANNING statistics over a pruned file set, metadata
+    * only — the food the native DSv2 scan serves to cost-based
+    * optimization ([[graft.sql.GraftBatchScan]] columnStats): NDV from
+    * the per-object HLL register-max merge (delete-aware — present only
+    * after [[analyzeNdv]] stamped every live object), min/max from the
+    * footer-stats fold, null counts summed. Strictly conservative: a
+    * column missing any ingredient on ANY file reports nothing for that
+    * ingredient (a partial fold would under-estimate NDV or narrow a
+    * range, and CBO acting on wrong stats is worse than none).
+    * Returns column → (ndv, (min, max) normalized, nullCount).
+    */
+  private[graft] def columnStatsOf(table: String,
+      files: Vector[AddDataObject])
+      : Map[String, (Option[Long], Option[(Any, Any)], Option[Long])] = {
+    if (files.isEmpty) return Map.empty
+    val schema = schemaOf(table)
+    def lo(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => math.min(x, y)
+      case (x: Double, y: Double) => math.min(x, y)
+      case (x: String, y: String) => if (x <= y) x else y
+      case _ => null
+    }
+    def hi(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long) => math.max(x, y)
+      case (x: Double, y: Double) => math.max(x, y)
+      case (x: String, y: String) => if (x >= y) x else y
+      case _ => null
+    }
+    schema.fieldNames.toSeq.flatMap { c =>
+      val p = physOf(schema, c)
+      val ndv: Option[Long] =
+        if (files.forall(_.ndv.contains(p))) {
+          val merged = files.map(_.ndv(p))
+            .foldLeft(new Array[Byte](graft.functions.HllMath.M))(
+              graft.functions.HllMath.merge)
+          Some(math.round(
+            graft.functions.HllMath.evalRegisters(merged)._3))
+        } else None
+      val minMax: Option[(Any, Any)] =
+        if (files.forall(a => a.stats.get(p).exists(s =>
+          s.min != null && s.max != null))) {
+          val ss = files.map(_.stats(p))
+          val mn = ss.map(s => ColStats.normalize(s.min)).reduce(lo)
+          val mx = ss.map(s => ColStats.normalize(s.max)).reduce(hi)
+          if (mn == null || mx == null) None else Some((mn, mx))
+        } else None
+      val nulls: Option[Long] = {
+        val per = files.map(_.stats.get(p).flatMap(_.nulls))
+        if (per.forall(_.isDefined)) Some(per.map(_.get).sum) else None
+      }
+      if (ndv.isEmpty && minMax.isEmpty && nulls.isEmpty) None
+      else Some(c -> (ndv, minMax, nulls))
+    }.toMap
+  }
+
   /** NDV estimate for an analyzed column, from METADATA alone (the
     * stored register blob) — no data object is opened. Rounded to 2 dp,
     * the engine-exact convention the sketch oracles pin.

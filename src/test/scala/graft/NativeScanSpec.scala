@@ -129,6 +129,46 @@ class NativeScanSpec extends AnyFunSuite {
       "wide runtime key set should still open only matched objects")
   }
 
+  test("column statistics reach CBO: post-ANALYZE NDV/min/max/nulls " +
+    "land in attributeStats; un-analyzed columns report nothing wrong") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 1000).select(
+      (col("id") % 100).as("k"), col("id").as("v"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("n"))
+    c.createTable("cs", df.schema)
+    c.insert("cs", df)
+    c.commitTx()
+    c.newTx()
+    c.analyzeNdv("cs", Seq("k", "v", "n"))
+    c.commitTx()
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val plan = spark.table(s"$cat.cs").queryExecution.optimizedPlan
+      val stats = plan.stats
+      assert(stats.rowCount.exists(_.toLong === 1000L))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val k = byName("k")
+      // HLL estimate of 100 distinct: within a few percent
+      assert(k.distinctCount.exists(d =>
+        d.toLong >= 90 && d.toLong <= 110), k)
+      assert(k.min.contains(0L) && k.max.contains(99L), k)
+      val n = byName("n")
+      assert(n.nullCount.exists(_.toLong === 100L), n)
+    }
+    // a table never analyzed still gets the FREE footer-derived stats
+    // (min/max/nullCount — exact from the log), just no NDV
+    spark.sql(s"CREATE TABLE $cat.raw AS SELECT 1L AS x")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val raw = spark.table(s"$cat.raw").queryExecution.optimizedPlan
+        .stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(raw("x").distinctCount.isEmpty)
+      assert(raw("x").min.contains(1L) && raw("x").max.contains(1L))
+      assert(raw("x").nullCount.exists(_.toLong === 0L))
+    }
+  }
+
   test("metadata-aggregate answers still ride the native rows scan") {
     val (cat, root) = newCatalog()
     factAndDim(root)
