@@ -227,6 +227,20 @@ object SqlSurface {
         spark.sql(s"""UPDATE $cat.t_updsq
           SET n_name = concat(n_name, '_Q')
           WHERE n_nationkey IN (SELECT q_key FROM $cat.t_quar)""")
+
+        // declared (liquid) clustering: 4 unaligned single-row-band
+        // appends; the 3rd tips the auto baseline, the 4th lands through
+        // the stored grid — the re-layout must not change a byte
+        spark.sql(s"""CREATE TABLE $cat.t_lc (
+            n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          CLUSTER BY (n_nationkey)
+          TBLPROPERTIES ('graft.autoCluster.minObjects'='3')""")
+        (0 until 4).foreach { i =>
+          spark.sql(s"""INSERT INTO $cat.t_lc
+            SELECT CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM ${cat}_nation_src WHERE n_nationkey % 4 = $i""")
+        }
         Fixture(cat, ttVersion)
       })
     }
@@ -354,6 +368,11 @@ object SqlSurface {
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
 
+  private val liquidSql = """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation ORDER BY n_nationkey"""
+
   private val timeTravelSql = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
@@ -458,6 +477,10 @@ object SqlSurface {
       "UPDATE … WHERE k IN (SELECT …) — key-driven DV delete of the " +
         "matched rows + insert of the rewritten images through Spark's " +
         "own subquery planning"),
+    "tx_liquid_cluster" -> QueryDef(state("t_lc"), Some(liquidSql),
+      "CREATE TABLE … CLUSTER BY: unaligned appends self-cluster via " +
+        "the auto write hook (tipping INSERT baselines the grid, the " +
+        "next lands through it) — the re-layout changes nothing"),
     "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
       "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"),
     "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),
