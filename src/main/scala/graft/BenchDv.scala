@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftClient
+
+/** Broadcast-gate micro-bench (round 16): prices BOTH plan shapes on
+  * the two legs the gate governs, so the
+  * [[GraftClient.BroadcastKeyRowGate]] default is a measured trade,
+  * not a guess.
+  *
+  *   - DV anti join ([[GraftClient.applyDvs]]): a scan over a table
+  *     whose live DVs carry `dvRows` keys — broadcast (hint kept,
+  *     default gate) vs shuffled (gate=1 drops the hint).
+  *   - merge/key-delete semi join ([[GraftClient.deleteByKeys]]): a
+  *     `mergeKeys`-row key set against identical fresh tables —
+  *     broadcast vs shuffled, one mutation each.
+  *
+  * The broadcast shape wins while keys fit comfortably in the driver;
+  * the shuffled shape is the one that still EXISTS at 10⁸ keys. The
+  * gate's job is to sit where the curves cross, with driver survival
+  * (not raw speed) breaking ties. Numbers recorded in BASELINE.md
+  * ("Broadcast gate").
+  */
+object BenchDv {
+  private def timed[A](reps: Int)(f: => A): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  private val GateKey = "spark.graft.broadcastKeyRowGate"
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(4L * 1000 * 1000)
+    val dvRows = args.lift(1).map(_.toLong).getOrElse(1000L * 1000)
+    val mergeKeys = args.lift(2).map(_.toLong).getOrElse(1000L * 1000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft_bench_dv").toString
+    val c = new GraftClient(spark, root)
+    def data = spark.range(0, rows).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+
+    // ---- DV anti-join leg -------------------------------------------
+    c.newTx(); c.createTable("t", data.schema); c.insert("t", data)
+    c.commitTx()
+    c.newTx(); c.deleteRowsDV("t", "k", 0L, dvRows - 1); c.commitTx()
+    val liveRows = rows - dvRows
+
+    c.newTx()
+    val dvBroadcast = timed(3) {
+      require(c.scan("t").count() == liveRows)
+    }
+    require(GraftClient.lastDvBroadcast)
+    c.rollback()
+    spark.conf.set(GateKey, "1")
+    c.newTx()
+    val dvShuffled = timed(3) {
+      require(c.scan("t").count() == liveRows)
+    }
+    require(!GraftClient.lastDvBroadcast)
+    c.rollback()
+    spark.conf.unset(GateKey)
+
+    // ---- merge semi-join leg ----------------------------------------
+    // keys scattered across the whole range so file pruning keeps every
+    // object and the semi join dominates (the shape the gate prices)
+    def keys = spark.range(0, mergeKeys)
+      .select(((col("id") * 7919L) % rows).as("k")).distinct()
+    def freshTable(name: String): Unit = {
+      c.newTx(); c.createTable(name, data.schema); c.insert(name, data)
+      c.commitTx()
+    }
+    freshTable("u1"); freshTable("u2")
+    val mergeBroadcast = timed(1) {
+      c.newTx(); c.deleteByKeys("u1", keys, Seq("k")); c.commitTx()
+    }
+    require(GraftClient.lastMergeKeysBroadcast)
+    spark.conf.set(GateKey, "1")
+    val mergeShuffled = timed(1) {
+      c.newTx(); c.deleteByKeys("u2", keys, Seq("k")); c.commitTx()
+    }
+    require(!GraftClient.lastMergeKeysBroadcast)
+    spark.conf.unset(GateKey)
+    c.newTx()
+    val n1 = c.scan("u1").count(); val n2 = c.scan("u2").count()
+    require(n1 == n2, s"gate changed row effects: $n1 vs $n2")
+    c.rollback()
+
+    def f(d: Double) = math.round(d * 1000) / 1000.0
+    println(s"""{"metric":"broadcast_gate","rows":$rows""" +
+      s""","dv_rows":$dvRows,"dv_broadcast_sec":${f(dvBroadcast)}""" +
+      s""","dv_shuffled_sec":${f(dvShuffled)}""" +
+      s""","merge_keys":$mergeKeys""" +
+      s""","merge_broadcast_sec":${f(mergeBroadcast)}""" +
+      s""","merge_shuffled_sec":${f(mergeShuffled)}""" +
+      s""","survivors":$n1}""")
+    spark.stop()
+  }
+}

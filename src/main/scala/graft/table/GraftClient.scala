@@ -2019,10 +2019,18 @@ final class GraftClient(
     applyDefaults(schema, all)
   }
 
-  /** Suppress rows named by live deletion vectors: a broadcast anti join
-    * on the provenance key. DVs are tiny relative to data (they exist
-    * precisely because the delete was small), so the join is shuffle-free
-    * on the data side.
+  /** Suppress rows named by live deletion vectors: an anti join on the
+    * provenance key. The key side is broadcast while the LIVE DV total
+    * stays under [[GraftClient.BroadcastKeyRowGate]] — priced
+    * metadata-only from Σ `AddDeleteVector.numRows` in the log, no
+    * extra job — so the common case (DVs exist precisely because the
+    * delete was small) stays shuffle-free on the data side. DV rows
+    * accumulate across deletes until compaction retires them, and the
+    * subquery-DML path hands this join arbitrary user key sets, so
+    * past the gate the hint is dropped and the anti join plans
+    * shuffled: bounded executor memory instead of an unbounded driver
+    * collect. (AQE still broadcasts on its own when the runtime size
+    * warrants.)
     */
   private def applyDvs(df: DataFrame, dvs: Seq[AddDeleteVector]): DataFrame =
     if (dvs.isEmpty) df
@@ -2032,10 +2040,21 @@ final class GraftClient(
           StructField(TxIdCol, LongType, nullable = false),
           StructField(RowIdxCol, LongType, nullable = false))))
         .parquet(dvs.map(d => s"$rootDir/${d.path}"): _*)
-      df.join(broadcast(keys), Seq(TxIdCol, RowIdxCol), "left_anti")
+      val bcast = dvs.map(_.numRows).sum <= broadcastKeyRowGate
+      GraftClient.lastDvBroadcast = bcast
+      df.join(if (bcast) broadcast(keys) else keys,
+          Seq(TxIdCol, RowIdxCol), "left_anti")
         // a USING join fronts the key columns; restore the scan layout
         .select(df.columns.map(col).toIndexedSeq: _*)
     }
+
+  /** [[GraftClient.BroadcastKeyRowGate]], per-session overridable via
+    * `spark.graft.broadcastKeyRowGate` (tests set it low to pin the
+    * shuffled shapes without materializing 4 M keys).
+    */
+  private def broadcastKeyRowGate: Long =
+    spark.conf.getOption("spark.graft.broadcastKeyRowGate").map(_.toLong)
+      .getOrElse(GraftClient.BroadcastKeyRowGate)
 
   /** Current table state: latest version per key — one shuffle on keyCols.
     * This is the reference consumers' first-seen-wins dedup over the
@@ -2838,10 +2857,13 @@ final class GraftClient(
     * target rewrite: source rows satisfying `deleteCond` delete their
     * matching target keys via a deletion vector; every other source row is
     * inserted as a newer version, so latest-wins [[currentState]] realizes
-    * both WHEN MATCHED UPDATE and WHEN NOT MATCHED INSERT. The source is
-    * assumed dimension-sized relative to the target (it is broadcast into
-    * the DV match); a fact-sized merge source should be pre-aggregated to
-    * one row per key, as with any MERGE.
+    * both WHEN MATCHED UPDATE and WHEN NOT MATCHED INSERT. The source
+    * should be one row per key, as with any MERGE; it need NOT be
+    * broadcast-sized — delete keys under
+    * [[GraftClient.BroadcastKeyRowGate]] broadcast into the DV match,
+    * a wider (fact-sized CDC) key set routes file pruning through the
+    * distributed wide probe and the row match through a shuffled semi
+    * join, so no merge collects its keys to the driver.
     */
   def merge(table: String, source: DataFrame, keyCols: Seq[String],
       deleteCond: org.apache.spark.sql.Column = lit(false),
@@ -3003,10 +3025,17 @@ final class GraftClient(
       residual: Option[org.apache.spark.sql.Column] = None): Unit = {
     val t = currentTx
     val allFiles = liveFiles(table)
-    // isEmpty is a limit-1 job on the dimension-sized source — cheap next
-    // to the full-table DV scan it skips for the common pure-upsert merge
+    // a full count(), not isEmpty: one aggregate on the persisted key
+    // set that (a) MATERIALIZES the pin before the prune probes run —
+    // the probes and the semi join must see ONE key set even if a
+    // future reordering changes which job touches it first — and
+    // (b) prices the broadcast gate below. Cheap next to the
+    // full-table DV scan it skips for the common pure-upsert merge.
     GraftClient.lastMergeProbedObjects = -1
-    if (allFiles.nonEmpty && !delKeys.isEmpty) {
+    GraftClient.lastMergeDelKeyCount = -1L
+    val delCount = if (allFiles.isEmpty) 0L else delKeys.count()
+    GraftClient.lastMergeDelKeyCount = delCount
+    if (allFiles.nonEmpty && delCount > 0) {
       val files = mergeKeyPrunedFiles(table, schema,
         mergePrunedFiles(allFiles, delKeys, keyCols, physOf(schema, _)),
         delKeys, keyCols)
@@ -3017,8 +3046,16 @@ final class GraftClient(
         val live = applyDefaults(schema, applyDvs(
           readObjects(schema, files),
           t.snapshot.liveDvs(table, t.actions.toSeq)))
+        // key sets up to the gate broadcast (dimension-sized CDC
+        // sources — the common case); past it the hint drops and the
+        // semi join shuffles: a 10⁷-key merge source that just routed
+        // file pruning through the DISTRIBUTED wide probe must not
+        // turn around and collect those same keys to the driver
+        val bcast = delCount <= broadcastKeyRowGate
+        GraftClient.lastMergeKeysBroadcast = bcast
         val matched = residual.fold(live)(live.filter)
-          .join(broadcast(delKeys), keyCols, "left_semi")
+          .join(if (bcast) broadcast(delKeys) else delKeys,
+            keyCols, "left_semi")
           .select(col(TxIdCol), col(RowIdxCol))
         val objs = writeDirectTagged(table, matched, "dv_")
         dropEmptyObjects(objs)
@@ -3051,9 +3088,10 @@ final class GraftClient(
     * the key set span-prunes, then point-set probes (driver index
     * under [[GraftClient.InListNarrowCap]], the distributed wide probe
     * past it), so a 10⁵-key quarantine-driven delete opens only the
-    * matched objects. `keys` is dimension-sized by contract (it is
-    * broadcast into the DV semi join), like every merge source; nulls
-    * in `keys` match nothing (SQL IN semantics).
+    * matched objects. `keys` may be any size: under
+    * [[GraftClient.BroadcastKeyRowGate]] it broadcasts into the DV
+    * semi join, past the gate the join plans shuffled; nulls in
+    * `keys` match nothing (SQL IN semantics).
     */
   def deleteByKeys(table: String, keys: DataFrame, keyCols: Seq[String],
       residual: Option[org.apache.spark.sql.Column] = None): Unit = {
@@ -3613,8 +3651,15 @@ final class GraftClient(
     // overlapping copy-on-write delete). The shrink is DV-scale work: both
     // joins broadcast the tiny DV-key side, the one big input is a
     // provenance-column-pruned re-read of just the touched objects.
+    // Both joins' small sides are bounded by the LIVE DV total
+    // (removedMasked is a semi join against dvKeys, so ≤ it), so one
+    // metadata-priced Σ numRows gate covers both: under
+    // [[GraftClient.BroadcastKeyRowGate]] they broadcast, past it the
+    // hints drop and Spark shuffles — same rationale as [[applyDvs]].
     val dvs = t.snapshot.liveDvs(table, t.actions.toSeq)
     if (dvs.nonEmpty) {
+      val dvBcast = dvs.map(_.numRows).sum <= broadcastKeyRowGate
+      GraftClient.lastDvBroadcast = dvBcast
       val dvKeys = strictRead
         .schema(StructType(Seq(
           StructField(TxIdCol, LongType, nullable = false),
@@ -3624,13 +3669,15 @@ final class GraftClient(
           readObjects(schema, touched.map(byName)))
         .filter(pred)
         .select(col(TxIdCol), col(RowIdxCol))
-        .join(broadcast(dvKeys), Seq(TxIdCol, RowIdxCol), "left_semi")
+        .join(if (dvBcast) broadcast(dvKeys) else dvKeys,
+          Seq(TxIdCol, RowIdxCol), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!removedMasked.isEmpty) {
           val objs = writeDirectTagged(table,
-            dvKeys.join(broadcast(removedMasked), Seq(TxIdCol, RowIdxCol),
-              "left_anti"), "dv_")
+            dvKeys.join(
+              if (dvBcast) broadcast(removedMasked) else removedMasked,
+              Seq(TxIdCol, RowIdxCol), "left_anti"), "dv_")
           dropEmptyObjects(objs)
           dvs.foreach(d => t.actions += RemoveDataObject(table, d.path))
           objs.foreach { case (dvName, n, _) =>
@@ -6110,12 +6157,42 @@ object GraftClient {
     */
   val InListNarrowCap: Int = 64
 
+  /** Key-row ceiling under which the DV anti join, the DV-shrink
+    * semi/anti joins, and the merge/key-delete semi join still carry a
+    * forced `broadcast()` hint. Past it the hint is DROPPED and Spark
+    * plans a shuffled join (AQE may still choose broadcast if the
+    * runtime size is genuinely small — the gate only removes the
+    * *forced* driver-side collect). 4 M provenance keys ≈ 64 MB raw /
+    * ~128 MB as a HashedRelation — the last safe broadcast size; a
+    * table carrying more un-compacted DV rows, or a fact-sized CDC
+    * merge source, must not be collected to the driver. The DV side is
+    * priced metadata-only (Σ `AddDeleteVector.numRows` from the log —
+    * no extra job); the merge side from the pinned key count (one
+    * aggregate over the persisted key set, which also materializes the
+    * pin independent of downstream job order). Override:
+    * `spark.graft.broadcastKeyRowGate`.
+    */
+  val BroadcastKeyRowGate: Long = 4L * 1000 * 1000
+
   /** TEST observability: how many live objects the last merge's DV scan
     * actually read, after span + point-set key pruning (-1 when the
     * merge had no delete keys) — the merge-side mirror of the
     * connectors' `lastScanObjectCount`.
     */
   @volatile private[graft] var lastMergeProbedObjects: Int = -1
+
+  /** TEST observability: the last merge/key-delete's pinned delete-key
+    * count (-1 before any merge), and whether that key set rode a
+    * forced broadcast hint into the semi join (false ⇒ shuffled plan).
+    */
+  @volatile private[graft] var lastMergeDelKeyCount: Long = -1L
+  @volatile private[graft] var lastMergeKeysBroadcast: Boolean = true
+
+  /** TEST observability: whether the last DV apply/shrink kept the
+    * forced broadcast hint (false ⇒ the Σ numRows gate tripped and the
+    * anti join planned shuffled).
+    */
+  @volatile private[graft] var lastDvBroadcast: Boolean = true
 
   /** Structural (name + type) equality, ignoring nullability and field
     * metadata at every depth — the ONE comparator behind both the

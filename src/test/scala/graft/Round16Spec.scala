@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftClient
+
+/** Round-16 pins: the forced `broadcast()` hints on the DV-apply and
+  * merge/key-delete legs are SIZE-GATED ([[GraftClient.BroadcastKeyRowGate]],
+  * override `spark.graft.broadcastKeyRowGate`) — under the gate the
+  * small side still broadcasts (shuffle-free data side), past it the
+  * hint drops and Spark plans a shuffled join, so neither a table
+  * carrying hundreds of millions of un-compacted DV rows nor a
+  * fact-sized CDC merge source can force an unbounded driver collect.
+  * Row effects must be identical on both sides of the gate.
+  */
+class Round16Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  private val GateKey = "spark.graft.broadcastKeyRowGate"
+
+  private def joinHints(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect { case j: LJoin => j.hint }
+
+  test("applyDvs: DV key sets past the row gate drop the broadcast " +
+    "hint (shuffled anti join), under it they keep it — same rows") {
+    val root = Files.createTempDirectory("graft_r16_dvgate").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 200).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    c.createTable("t", df.schema)
+    c.insert("t", df)
+    c.commitTx()
+    c.newTx()
+    c.deleteRowsDV("t", "k", 50L, 99L) // one DV, numRows = 50
+    c.commitTx()
+
+    spark.conf.set(GateKey, "10") // 50 DV rows >> gate
+    try {
+      c.newTx()
+      val scanned = c.scan("t")
+      c.commitTx()
+      assert(!GraftClient.lastDvBroadcast)
+      // no join in the gated scan carries a forced broadcast hint
+      assert(joinHints(scanned).forall(h =>
+        h.leftHint.isEmpty && h.rightHint.isEmpty))
+      assert(scanned.count() === 150L)
+      assert(scanned.filter(col("k").between(50, 99)).count() === 0L)
+    } finally spark.conf.unset(GateKey)
+
+    // default gate: the same 50-row DV broadcasts (hinted join present)
+    c.newTx()
+    val hinted = c.scan("t")
+    c.commitTx()
+    assert(GraftClient.lastDvBroadcast)
+    assert(joinHints(hinted).exists(h =>
+      h.leftHint.nonEmpty || h.rightHint.nonEmpty))
+    assert(hinted.count() === 150L)
+  }
+
+  test("deleteByKeys: a past-gate past-cap key set routes pruning " +
+    "through the distributed wide probe AND row-matching through a " +
+    "shuffled (unhinted) semi join — all deletes land") {
+    val root = Files.createTempDirectory("graft_r16_mergegate").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 320).select(
+      (col("id") / 20).cast("long").as("p"), col("id").as("k"))
+    c.createTable("m", df.schema)
+    c.insertPartitioned("m", df, "p") // 16 stat-disjoint objects
+    c.commitTx()
+
+    // 100 keys: past InListNarrowCap (64) => distributed wide probe for
+    // file pruning; past the lowered broadcast gate => shuffled semi
+    // join for row matching. Present keys live in objects p=0..4.
+    val present = (0L until 100L).toSeq
+    val keys = spark.range(0, 100).select(col("id").as("k"))
+    spark.conf.set(GateKey, "10")
+    try {
+      c.newTx()
+      c.deleteByKeys("m", keys, Seq("k"))
+      c.commitTx()
+    } finally spark.conf.unset(GateKey)
+    assert(GraftClient.lastMergeDelKeyCount === 100L)
+    assert(!GraftClient.lastMergeKeysBroadcast)
+    assert(GraftClient.lastMergeProbedObjects === 5)
+    c.newTx()
+    val after = c.scan("m")
+    assert(after.count() === 220L)
+    assert(after.filter(col("k").isInCollection(present)).count() === 0L)
+    c.commitTx()
+
+    // default gate: a small key set still broadcasts
+    c.newTx()
+    c.deleteByKeys("m", spark.range(100, 103).select(col("id").as("k")),
+      Seq("k"))
+    c.commitTx()
+    assert(GraftClient.lastMergeDelKeyCount === 3L)
+    assert(GraftClient.lastMergeKeysBroadcast)
+    c.newTx()
+    assert(c.scan("m").count() === 217L)
+    c.commitTx()
+  }
+
+  test("CoW delete DV-shrink: past-gate live DVs take the shuffled " +
+    "shrink joins; files-minus-DVs arithmetic stays exact") {
+    val root = Files.createTempDirectory("graft_r16_shrink").toString
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    val df = spark.range(0, 100).select(col("id").as("k"))
+    c.createTable("s", df.schema)
+    c.insert("s", df)
+    c.commitTx()
+    c.newTx()
+    c.deleteRowsDV("s", "k", 10L, 39L) // 30 DV rows
+    c.commitTx()
+
+    spark.conf.set(GateKey, "5")
+    try {
+      // CoW delete overlapping the DV'd rows: phase-3 shrink must drop
+      // the now-physically-removed keys from the DV via the shuffled
+      // (unhinted) semi/anti joins and still keep counts exact
+      c.newTx()
+      c.deleteRows("s", "k", 30L, 59L)
+      c.commitTx()
+      assert(!GraftClient.lastDvBroadcast)
+    } finally spark.conf.unset(GateKey)
+    c.newTx()
+    val after = c.scan("s")
+    assert(after.count() === 50L)
+    assert(after.filter(col("k").between(10, 59)).count() === 0L)
+    c.commitTx()
+  }
+}
