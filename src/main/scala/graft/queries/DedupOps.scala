@@ -400,6 +400,18 @@ object DedupOps {
     else df.localCheckpoint(true)
 
   private val SigPrefilterMatches = 24
+
+  /** Corpus-size gate for the signature-agreement prefilter: the 24/64
+    * cut deterministically sheds ~2 % of TRUE boundary pairs (J = 0.5
+    * passes with p ≈ 0.98), a recall trade that only pays for itself
+    * when band-collision junk dominates verify cost (the sf10v2 regime:
+    * 40.9 M candidates, 25.6 k survivors). Under this many documents
+    * the prefilter is skipped entirely — small corpora keep EXACT
+    * verify behavior (bit-for-bit against the n-gram oracle), and the
+    * signature frame needn't be checkpoint-materialized for a second
+    * consumer. The count is one parquet-metadata job.
+    */
+  private val SigPrefilterMinDocs = 100000L
   private def sigPrefiltered(pairs: DataFrame, sigs: DataFrame): DataFrame =
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
@@ -441,16 +453,20 @@ object DedupOps {
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = shingled(spark, dir)
-    // signatures PINNED: bands + the prefilter's two sides read one
-    // computation of the corpus fold instead of three
-    val sigs = cut(minhashSignatures(d))
+    // the prefilter (and the signature pin it needs) engages only past
+    // [[SigPrefilterMinDocs]] — see its scaladoc for the recall trade
+    val prefilter = t(spark, dir, "documents").count() >= SigPrefilterMinDocs
+    // signatures PINNED when two consumers exist (bands + the
+    // prefilter's two sides read one computation of the corpus fold)
+    val sigs =
+      if (prefilter) cut(minhashSignatures(d)) else minhashSignatures(d)
     // [2, BucketCap] gate: a band bucket holding thousands of ids means
     // mass-identical content (exact dedup's job); without the cap one such
     // key makes pair generation O(bucket²) at crawl scale
     val pairs = bucketedPairs(cappedBuckets(bandKeysOfSigs(sigs)
       .groupBy(col("bkey"))
       .agg(collect_list(col("doc_id")).as("ids")), "minhash_buckets"))
-    verifyJaccard(sigPrefiltered(pairs, sigs),
+    verifyJaccard(if (prefilter) sigPrefiltered(pairs, sigs) else pairs,
       d.select(col("doc_id"), bigramT.as("big")), 0.5)
   }
 

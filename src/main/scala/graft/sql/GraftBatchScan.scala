@@ -175,8 +175,18 @@ final class GraftBatchScan(private val table: GraftTable,
             }
           })
     }
+    // a 0-byte sample with live rows means the listStatus walk failed
+    // (path/scheme resolution mismatch: every sampled path 404'd) —
+    // the 1-byte floor would nominate an arbitrarily large table for a
+    // STATIC broadcast (driver OOM). Fall back to rows × the catalyst
+    // default width of the columns this scan produces: the error lands
+    // in the safe (larger) direction.
+    val safeBytes =
+      if (bytes == 0L && rows > 0L)
+        rows * required.defaultSize.max(8).toLong
+      else bytes.max(1)
     new Statistics {
-      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes.max(1))
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(safeBytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
       override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =

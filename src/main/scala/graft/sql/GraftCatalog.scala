@@ -171,14 +171,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val cols =
           org.apache.spark.sql.graftshim.SqlShim.clusterByColumns(one).get
         require(cols.nonEmpty, "CLUSTER BY needs at least one column")
-        cols.foreach { c =>
-          if (!schema.fieldNames.contains(c))
-            throw new IllegalArgumentException(
-              s"no such clustering column: $c")
-          require(!c.contains(",") && !c.contains(":"),
-            s"clustering column names may not contain ',' or ':': $c")
+        // resolve case-insensitively to the schema's canonical spelling
+        // (Spark resolves identifiers case-insensitively: CLUSTER BY (K)
+        // over column k must work, and the stored property must carry
+        // the canonical name so every later consumer agrees)
+        val resolved = cols.map { c =>
+          val canon = schema.fieldNames.find(_ == c).orElse {
+            val hits = schema.fieldNames.filter(_.equalsIgnoreCase(c))
+            if (hits.length == 1) Some(hits.head) else None
+          }.getOrElse(throw new IllegalArgumentException(
+            s"no such clustering column: $c"))
+          require(!canon.contains(",") && !canon.contains(":"),
+            s"clustering column names may not contain ',' or ':': $canon")
+          canon
         }
-        (rest, Some(cols))
+        (rest, Some(resolved))
       case _ => throw new IllegalArgumentException(
         "at most one CLUSTER BY clause")
     }

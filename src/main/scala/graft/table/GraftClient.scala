@@ -1024,7 +1024,8 @@ final class GraftClient(
           s"got: $v")
       val schema = schemaOf(table)
       cols.filter(_.nonEmpty).foreach(c =>
-        require(hasColumnPath(schema, c) && !c.contains(":"),
+        require(GraftClient.canonicalColumnPath(schema, c).isDefined &&
+          !c.contains(":"),
           s"graft.cluster.columns names a missing or unstorable " +
             s"column: $c"))
     }
@@ -1064,8 +1065,19 @@ final class GraftClient(
         t.actions += SetProtocol(
           math.max(proto.minReader, 3), math.max(proto.minWriter, 3))
     }
+    // persist clustering columns under the schema's CANONICAL spelling
+    // (the validator above accepted them case-insensitively, matching
+    // Spark identifier resolution; downstream consumers — maybeCluster,
+    // the z-grid, describeDetail — read the property verbatim)
+    val normProps = props.get("graft.cluster.columns") match {
+      case Some(v) if v.nonEmpty =>
+        val canon = v.split(",").map(c =>
+          GraftClient.canonicalColumnPath(schemaOf(table), c).getOrElse(c))
+        props.updated("graft.cluster.columns", canon.mkString(","))
+      case _ => props
+    }
     t.actions += SetProperties(table,
-      scala.collection.immutable.ListMap(props.toSeq.sortBy(_._1): _*))
+      scala.collection.immutable.ListMap(normProps.toSeq.sortBy(_._1): _*))
   }
 
   /** UNSET TBLPROPERTIES: remove keys (absent keys are a no-op, matching
@@ -6193,6 +6205,29 @@ object GraftClient {
     * anti join planned shuffled).
     */
   @volatile private[graft] var lastDvBroadcast: Boolean = true
+
+  /** Resolve a possibly differently-cased dotted column path to the
+    * schema's canonical spelling — exact match wins, otherwise the
+    * UNIQUE case-insensitive hit (two fields differing only by case
+    * stay unresolvable rather than guessing). Spark resolves
+    * identifiers case-insensitively by default, so declared clustering
+    * columns must too; the canonical name is what gets persisted.
+    * None when any segment fails to resolve.
+    */
+  private[graft] def canonicalColumnPath(schema: StructType,
+      path: String): Option[String] = {
+    def go(dt: DataType, segs: List[String],
+        acc: List[String]): Option[String] = (dt, segs) match {
+      case (_, Nil) => Some(acc.reverse.mkString("."))
+      case (st: StructType, s :: rest) =>
+        st.fieldNames.find(_ == s).orElse {
+          val hits = st.fieldNames.filter(_.equalsIgnoreCase(s))
+          if (hits.length == 1) Some(hits.head) else None
+        }.flatMap(n => go(st(st.fieldIndex(n)).dataType, rest, n :: acc))
+      case _ => None
+    }
+    go(schema, path.split('.').toList, Nil)
+  }
 
   /** Structural (name + type) equality, ignoring nullability and field
     * metadata at every depth — the ONE comparator behind both the

@@ -108,6 +108,29 @@ class Round16Spec extends AnyFunSuite {
     c.commitTx()
   }
 
+  test("CLUSTER BY resolves case-insensitively to the schema's " +
+    "canonical column spelling (CREATE and SET TBLPROPERTIES)") {
+    val root = Files.createTempDirectory("graft_r16_ci").toString
+    val cat = s"r16ci${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // Spark resolves identifiers case-insensitively; CLUSTER BY (KCOL)
+    // over column kCol must create, and persist the canonical name
+    spark.sql(s"CREATE TABLE $cat.ci (kCol BIGINT, v BIGINT) " +
+      "CLUSTER BY (KCOL)")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $cat.ci").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("graft.cluster.columns") === Some("kCol"))
+    // property-path declaration canonicalizes too
+    spark.sql(s"ALTER TABLE $cat.ci " +
+      "SET TBLPROPERTIES ('graft.cluster.columns'='V')")
+    assert(props().get("graft.cluster.columns") === Some("v"))
+    // a genuinely missing column still refuses
+    assertThrows[Exception](spark.sql(
+      s"ALTER TABLE $cat.ci SET TBLPROPERTIES " +
+        "('graft.cluster.columns'='nope')"))
+  }
+
   test("CoW delete DV-shrink: past-gate live DVs take the shuffled " +
     "shrink joins; files-minus-DVs arithmetic stays exact") {
     val root = Files.createTempDirectory("graft_r16_shrink").toString
