@@ -26,7 +26,11 @@ object BenchPairs {
     Seq(
       "ngram" -> queries.DedupOps.dedupNgramJaccard _,
       "minhash" -> queries.DedupOps.dedupMinhashLsh _,
-      "ngram_span" -> queries.DedupOps.dedupNgramSpanning _
+      "ngram_span" -> queries.DedupOps.dedupNgramSpanning _,
+      "simhash" -> queries.DedupOps.dedupSimhash _,
+      "simhash_span" -> queries.DedupOps.dedupSimhashSpanning _,
+      "winnow" -> queries.DedupOps.dedupWinnowPairs _,
+      "winnow_span" -> queries.DedupOps.dedupWinnowSpanning _
     ).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)

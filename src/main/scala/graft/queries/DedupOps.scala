@@ -481,7 +481,12 @@ object DedupOps {
   // pipeline is replayed by the DuckDB oracle bit-for-bit: 60 bits = 15
   // hex chars keeps the value inside a signed 64-bit int in both engines
   // (ANSI-safe, no unsigned wraparound).
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Capped (block, value) simhash buckets of struct(doc_id, simhash) —
+    * the shared candidate source of the all-pairs and spanning tiers
+    * (`gate` names the observe() metrics; one name per plan).
+    */
+  private def simhashBuckets(spark: SparkSession, dir: String,
+      gate: String): DataFrame = {
     val d = shingled(spark, dir, minWords = 1)
     // explode words once, hash each once, and fold the 60 bit-planes as 60
     // codegen'd sum aggregates (±1 per word); the signature reassembles
@@ -510,11 +515,14 @@ object DedupOps {
     // thousands of docs (near-empty documents all hashing alike) would be
     // O(bucket²). Signatures ride along in the bucket so the hamming check
     // needs no join back to the aggregate.
-    val buckets = cappedBuckets(
+    cappedBuckets(
       blocks.groupBy(col("blk"), col("v"))
         .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids")),
-      "simhash_buckets")
-    buckets
+      gate)
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    simhashBuckets(spark, dir, "simhash_buckets")
       .withColumn("ids", array_sort(col("ids"))) // struct sort = by doc_id
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -529,6 +537,35 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SPANNING-tier simhash near-dup: star candidates per capped
+    * (block, value) bucket — each doc pairs with the bucket MINIMUM, so
+    * a K-replica mega-duplicate family costs O(K) candidates per block
+    * instead of O(K²) under the cap — then the SAME exact hamming
+    * verify. Simhash verification is one integer op
+    * (`bit_count(sh_a ^ sh_b)`) on signatures already riding in the
+    * bucket structs, so unlike minhash no extra prefilter is needed:
+    * the star tier's whole win is candidate volume. Closure contract
+    * as [[dedupNgramSpanning]]: the star spans its bucket, so
+    * connected components over verified edges match the all-pairs
+    * tier's except where verify rejects a star edge a third doc would
+    * have bridged; pair ENUMERATION keeps the all-pairs row.
+    */
+  def dedupSimhashSpanning(spark: SparkSession, dir: String): DataFrame =
+    simhashBuckets(spark, dir, "simhash_span_buckets")
+      .withColumn("ids", array_sort(col("ids"))) // struct sort = doc_id
+      .select(explode(expr(
+        """transform(slice(ids, 2, size(ids) - 1), y ->
+             struct(ids[0].doc_id AS doc_a, y.doc_id AS doc_b,
+                    ids[0].simhash AS sh_a, y.simhash AS sh_b))"""))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private val dedupSimhashSql = s"""
     WITH d AS (SELECT doc_id, $normSql AS ws FROM documents),
@@ -558,6 +595,41 @@ object DedupOps {
         ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
     FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b"""
+
+  private val dedupSimhashSpanningSql = s"""
+    WITH d AS (SELECT doc_id, $normSql AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+    bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+        SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+      FROM bits GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS v
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    capped AS (
+      SELECT doc_id, simhash, b, v FROM (
+        SELECT doc_id, simhash, b, v,
+          count(*) OVER (PARTITION BY b, v) AS n
+        FROM blocks) x
+      WHERE n BETWEEN 2 AND ${BucketCap}),
+    span AS (
+      SELECT DISTINCT doc_a, doc_b, sh_a, sh_b FROM (
+        SELECT first_value(doc_id) OVER wmin AS doc_a,
+               first_value(simhash) OVER wmin AS sh_a,
+               doc_id AS doc_b, simhash AS sh_b
+        FROM capped
+        WINDOW wmin AS (PARTITION BY b, v ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) s
+      WHERE doc_a < doc_b)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM span
     WHERE bit_count(xor(sh_a, sh_b)) <= 3
     ORDER BY doc_a, doc_b"""
 
@@ -661,14 +733,21 @@ object DedupOps {
   // simhash trick), so the containment denominator needs no join back
   // and the md5/winnow subtree executes exactly once. Pair MULTIPLICITY
   // is kept (a distinct would erase the overlap count).
-  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Capped fingerprint buckets of struct(doc_id, nfp) — the shared
+    * candidate source of the all-pairs and spanning winnow tiers.
+    */
+  private def winnowBuckets(spark: SparkSession, dir: String,
+      gate: String): DataFrame = {
     val fps = winnowFps(spark, dir, k = 24, win = 8)
       .withColumn("nfp",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val buckets = cappedBuckets(fps.groupBy(col("fp"))
+    cappedBuckets(fps.groupBy(col("fp"))
       .agg(collect_list(struct(col("doc_id"), col("nfp"))).as("ids")),
-      "winnow_buckets")
-    buckets
+      gate)
+  }
+
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    winnowBuckets(spark, dir, "winnow_buckets")
       .withColumn("ids", array_sort(col("ids"))) // struct sort = doc_id
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -685,6 +764,35 @@ object DedupOps {
         col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SPANNING-tier winnow overlap: star candidates per capped
+    * fingerprint bucket — each doc pairs with the bucket MINIMUM
+    * (multiplicity KEPT: `n_shared` counts the buckets pairing (a, b),
+    * i.e. fingerprints shared with the family minimum), scored by the
+    * same containment ≥ 0.8. Under a K-replica plagiarism family the
+    * all-pairs tier emits C(K,2) rows per shared fingerprint; the star
+    * emits K-1 — the linear-output closure feed. A star edge's
+    * containment can only MISS a pair the all-pairs tier keeps when
+    * two docs share fingerprints with each other but not with the
+    * bucket minimum — closure consumers recover those through the
+    * minimum's edges, which is the spanning contract.
+    */
+  def dedupWinnowSpanning(spark: SparkSession, dir: String): DataFrame =
+    winnowBuckets(spark, dir, "winnow_span_buckets")
+      .withColumn("ids", array_sort(col("ids"))) // struct sort = doc_id
+      .select(explode(expr(
+        """transform(slice(ids, 2, size(ids) - 1), y ->
+             struct(ids[0].doc_id AS doc_a, y.doc_id AS doc_b,
+                    ids[0].nfp AS nfp_a, y.nfp AS nfp_b))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.nfp_a").as("nfp_a"), col("p.nfp_b").as("nfp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment", round(col("n_shared").cast("double") /
+        least(col("nfp_a"), col("nfp_b")), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   private val dedupWinnowPairsSql = s"""
     WITH d AS (
@@ -716,6 +824,51 @@ object DedupOps {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
+    cont AS (
+      SELECT doc_a, doc_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / least(ta.nfp, tb.nfp), 6)
+          AS containment
+      FROM shared
+      JOIN tot ta ON ta.doc_id = doc_a
+      JOIN tot tb ON tb.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_shared, containment
+    FROM cont
+    WHERE containment >= 0.8
+    ORDER BY doc_a, doc_b"""
+
+  private val dedupWinnowSpanningSql = s"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    pos AS (
+      SELECT doc_id, nt,
+        unnest(range(1, greatest(length(nt) - 23, 1) + 1)) AS i
+      FROM d),
+    h AS (
+      SELECT doc_id, i,
+        ('0x' || substr(md5(substr(nt, i, 24)), 1, 15))::BIGINT AS h
+      FROM pos),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, i,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+        FROM h) x
+      WHERE i >= 8),
+    tot AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+        FROM fps) x
+      WHERE df BETWEEN 2 AND ${BucketCap}),
+    span AS (
+      SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a,
+             doc_id AS doc_b
+      FROM capped),
+    shared AS (
+      SELECT doc_a, doc_b, COUNT(*) AS n_shared
+      FROM span WHERE doc_a < doc_b GROUP BY 1, 2),
     cont AS (
       SELECT doc_a, doc_b, n_shared,
         round(CAST(n_shared AS DOUBLE) / least(ta.nfp, tb.nfp), 6)
@@ -808,6 +961,11 @@ object DedupOps {
     "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql),
       "near-dup pairs via 60-bit md5 SimHash, hamming<=3 by pigeonhole " +
         "blocks; oracle replays the whole pipeline bit-for-bit"),
+    "dedup_simhash_spanning" -> QueryDef(dedupSimhashSpanning,
+      Some(dedupSimhashSpanningSql),
+      "simhash STAR edges: each capped (block,value) bucket pairs with " +
+        "its minimum (O(K) per mega-duplicate family), same exact " +
+        "hamming verify — the linear-output closure feed"),
     "dedup_embed_cosine" -> QueryDef(dedupEmbedCosine,
       Some(dedupEmbedCosineSql),
       "embedding near-dup pairs, cosine >= 0.4 on deterministic subset"),
@@ -817,5 +975,10 @@ object DedupOps {
     "dedup_winnow_pairs" -> QueryDef(dedupWinnowPairs,
       Some(dedupWinnowPairsSql),
       "6th dedup family: winnow-fingerprint overlap pairs, capped " +
-        "buckets, containment >= 0.8 (plagiarism-detection shape)"))
+        "buckets, containment >= 0.8 (plagiarism-detection shape)"),
+    "dedup_winnow_spanning" -> QueryDef(dedupWinnowSpanning,
+      Some(dedupWinnowSpanningSql),
+      "winnow STAR edges: each capped fingerprint bucket pairs with " +
+        "its minimum, multiplicity kept so containment scores shared-" +
+        "with-minimum — the linear-output closure feed"))
 }
