@@ -4,16 +4,18 @@ import java.util.OptionalLong
 
 import org.apache.spark.{Partition, TaskContext}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.SqlShim
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.sources.GraftRelation
 import graft.table.GraftClient
@@ -62,21 +64,31 @@ final class GraftBatchScan(private val table: GraftTable,
     * state-keyed memo in [[planInputPartitions]].
     */
   @volatile private var runtimeInLists: List[(String, Seq[Any])] = Nil
-  @volatile private var rddMemo
-      : Option[(List[(String, Seq[Any])], RDD[InternalRow])] = None
+  @volatile private var rddMemo: Option[(List[(String, Seq[Any])],
+    Either[RDD[InternalRow], RDD[ColumnarBatch]])] = None
   @volatile private var statsMemo: Option[(Long, Long,
     Map[String, (Option[Long], Option[(Any, Any)], Option[Long])])] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Row-producing readers only: short-circuits `supportsColumnar`
-    * WITHOUT forcing an (unfiltered) `planInputPartitions`, so a
-    * runtime-filtered query plans its read pipeline once, after the
-    * filter values arrive.
+  /** COLUMNAR when the planned pipeline allows it (round 16): a scan
+    * whose read is a PURE parquet lineage — no DVs, no buffered rows,
+    * no default fill, no column mapping ([[GraftClient.pureScanDf]]) —
+    * serves the vectorized reader's `ColumnarBatch`es straight through
+    * ([[GraftBatchPartition]]), so the consuming stage's whole-stage
+    * codegen reads vectors instead of paying a per-row
+    * `InternalRow` hand-off that the internal plan ALREADY converted
+    * from vectors once. Any live row-pipeline stage falls back to the
+    * row partitions. PARTITION_DEFINED makes Spark consult the planned
+    * partitions; the cost is that a runtime-filtered (DPP) query may
+    * plan the pre-filter pipeline once more than strictly needed — a
+    * bounded driver-side cost (the state-keyed memo still plans each
+    * filter state exactly once), paid for a columnar hot path on every
+    * scan-heavy query.
     */
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    Scan.ColumnarSupportMode.UNSUPPORTED
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
 
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else pushed.mkString(", pushed=[", ",", "]")
@@ -211,25 +223,30 @@ final class GraftBatchScan(private val table: GraftTable,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val state = runtimeInLists
-    val rdd = rddMemo match {
+    val built = rddMemo match {
       case Some((s, r)) if s == state => r
       case _ =>
-        val r = buildRdd(state)
+        val r = buildPipeline(state)
         rddMemo = Some((state, r))
         r
     }
-    rdd.partitions.map(p =>
-      GraftRddPartition(rdd, p): InputPartition)
+    built match {
+      case Left(rdd) =>
+        rdd.partitions.map(p => GraftRddPartition(rdd, p): InputPartition)
+      case Right(rdd) =>
+        rdd.partitions.map(p => GraftBatchPartition(rdd, p): InputPartition)
+    }
   }
 
-  private def buildRdd(state: List[(String, Seq[Any])]): RDD[InternalRow] =
+  private def buildPipeline(state: List[(String, Seq[Any])])
+      : Either[RDD[InternalRow], RDD[ColumnarBatch]] =
     table.withClient { c =>
       c.newTx() // snapshot for planning; rollback is safe (immutable files)
       try {
-        val df = asOf match {
+        val (df, colBatches) = asOf match {
           case Some(v) =>
             GraftCatalog.lastScanObjectCount = -1
-            c.scanAsOf(table.tableName, v)
+            (c.scanAsOf(table.tableName, v), None)
           case None =>
             val schema = c.schemaOf(table.tableName)
             var files = prunedFiles(c)
@@ -238,16 +255,53 @@ final class GraftBatchScan(private val table: GraftTable,
                 table.tableName, schema, files, cn, vs)
             }
             GraftCatalog.lastScanObjectCount = files.length
-            c.scanKeeping(table.tableName, files.map(_.path).toSet)
+            (c.scanKeeping(table.tableName, files.map(_.path).toSet),
+              c.pureScanDf(table.tableName, required, files)
+                .flatMap(columnarRdd))
         }
-        // in-scan filtering is a row-volume reducer; Spark re-applies
-        // every pushed filter above the scan regardless
-        val filtered = pushed.flatMap(FilterTranslation.toColumn)
-          .foldLeft(df)((d, p) => d.filter(p))
-        SqlShim.scanRdd(
-          filtered.select(required.fieldNames.toIndexedSeq.map(col): _*))
+        colBatches match {
+          case Some(batches) =>
+            GraftCatalog.lastScanColumnar = true
+            Right(batches)
+          case None =>
+            GraftCatalog.lastScanColumnar = false
+            // in-scan filtering is a row-volume reducer; Spark re-applies
+            // every pushed filter above the scan regardless
+            val filtered = pushed.flatMap(FilterTranslation.toColumn)
+              .foldLeft(df)((d, p) => d.filter(p))
+            Left(SqlShim.scanRdd(filtered
+              .select(required.fieldNames.toIndexedSeq.map(col): _*)))
+        }
       } finally c.rollback()
     }
+
+  /** The vectorized reader's batch RDD out of a pure parquet frame —
+    * when its physical plan bottoms out at ONE columnar
+    * `FileSourceScanExec` whose output is exactly [[required]] (name
+    * and type, in order). Pushed filters still fold in first so
+    * parquet row-group/page pruning engages; the leaf's batches are
+    * row-UNFILTERED, which is correct because every pushed filter is
+    * residual (Spark re-applies it above this scan — the conservative
+    * contract pushFilters declares). Any mismatch (vectorization off,
+    * unsupported type, unexpected plan shape) returns None and the
+    * row pipeline runs.
+    */
+  private def columnarRdd(df: DataFrame): Option[RDD[ColumnarBatch]] = {
+    val filtered = pushed.flatMap(FilterTranslation.toColumn)
+      .foldLeft(df)((d, p) => d.filter(p))
+    val proj =
+      filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+    proj.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    } match {
+      case Seq(s) if s.supportsColumnar &&
+          s.output.map(_.name) == required.fieldNames.toSeq &&
+          s.output.map(_.dataType) ==
+            required.fields.toSeq.map(_.dataType) =>
+        Some(s.executeColumnar())
+      case _ => None
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaders
@@ -301,6 +355,13 @@ object GraftBatchScan {
 private[sql] final case class GraftRddPartition(rdd: RDD[InternalRow],
     part: Partition) extends InputPartition
 
+/** One slice of the COLUMNAR fast path: the vectorized parquet reader's
+  * batch RDD plus the partition to compute — served to Spark as
+  * `ColumnarBatch`es, no per-row hand-off.
+  */
+private[sql] final case class GraftBatchPartition(rdd: RDD[ColumnarBatch],
+    part: Partition) extends InputPartition
+
 /** A driver-computed answer (the log-answered aggregate pushdown) as a
   * single-partition batch of self-contained rows.
   */
@@ -328,6 +389,24 @@ private[sql] object GraftPartitionReaders extends PartitionReaderFactory {
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.isInstanceOf[GraftBatchPartition]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = p match {
+    case GraftBatchPartition(rdd, part) =>
+      val it = rdd.iterator(part, TaskContext.get())
+      new PartitionReader[ColumnarBatch] {
+        private var current: ColumnarBatch = _
+        override def next(): Boolean =
+          if (it.hasNext) { current = it.next(); true } else false
+        override def get(): ColumnarBatch = current
+        override def close(): Unit = ()
+      }
+    case other => throw new IllegalStateException(
+      s"row partition handed to the columnar reader: $other")
   }
 }
 

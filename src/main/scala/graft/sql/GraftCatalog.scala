@@ -473,6 +473,12 @@ object GraftCatalog {
     */
   @volatile private[graft] var lastScanObjectCount: Int = -1
 
+  /** TEST observability: whether the last native-scan pipeline served
+    * the COLUMNAR fast path (pure parquet lineage → ColumnarBatches)
+    * or fell back to the row pipeline.
+    */
+  @volatile private[graft] var lastScanColumnar: Boolean = false
+
   /** Spark-managed bookkeeping keys that must not leak into the log as
     * user TBLPROPERTIES.
     */

@@ -3025,6 +3025,41 @@ final class GraftClient(
       keepPaths: Set[String]): DataFrame =
     scanFiltered(table, a => keepPaths(a.path))
 
+  /** COLUMNAR fast-path probe for the native SQL scan: when reading
+    * `table` right now is a PURE parquet scan — no live DVs, no rows
+    * buffered in this tx, no initial-default fill anywhere in the
+    * schema, and no column mapping in force (physical == logical
+    * names) — return the parquet frame over exactly `files`, read with
+    * `required`'s schema (field order preserved; files lacking an
+    * added-later column surface it as null, parquet by-name — the same
+    * semantics the row pipeline gets from [[readObjects]]). The caller
+    * serves the vectorized reader's ColumnarBatches from it directly.
+    * None ⇒ one of the row-pipeline stages is live and must run.
+    * Registers the read in the tx read set like every scan.
+    */
+  private[graft] def pureScanDf(table: String, required: StructType,
+      files: Vector[AddDataObject]): Option[DataFrame] = {
+    val t = currentTx
+    val schema = schemaOf(table)
+    def defaulted(st: StructType): Boolean = st.fields.exists(f =>
+      f.metadata.contains(DefaultValKey) || (f.dataType match {
+        case s: StructType => defaulted(s)
+        case _ => false
+      }))
+    val pure = files.nonEmpty &&
+      t.snapshot.liveDvs(table, t.actions.toSeq).isEmpty &&
+      t.buffers.get(table).forall(_.isEmpty) &&
+      !defaulted(schema) && physRenames(schema).isEmpty &&
+      required.fieldNames.forall(schema.fieldNames.contains)
+    if (!pure) None
+    else {
+      t.readTables += table
+      val paths = files.map(a =>
+        if (a.rowBase.isDefined) a.path else s"$rootDir/${a.path}")
+      Some(strictRead.schema(required).parquet(paths: _*))
+    }
+  }
+
   /** `residual` (the key-delete entry points only — merge passes none):
     * an extra row predicate the DV rows must ALSO satisfy, making a
     * key-driven delete exact when the SQL condition carries non-key

@@ -176,6 +176,30 @@ class NativeScanSpec extends AnyFunSuite {
       .collect().toSeq === Seq(Row(160L, 0L, 159L)))
   }
 
+  test("columnar fast path: a pure parquet scan serves ColumnarBatches " +
+    "with file pruning intact; DVs and time travel fall back to rows " +
+    "with identical answers") {
+    val (cat, root) = newCatalog()
+    factAndDim(root)
+    val q = s"SELECT k, v FROM $cat.fact WHERE k >= 14 ORDER BY v"
+    val pure = spark.sql(q).collect()
+    assert(graft.sql.GraftCatalog.lastScanColumnar, "pure scan must serve batches")
+    assert(pure.length === 20 && pure.head === Row(14L, 140L))
+    val prunedObjects = graft.sql.GraftCatalog.lastScanObjectCount
+    assert(prunedObjects > 0 &&
+      prunedObjects < 16, "static file pruning must still engage")
+    // a live DV forces the row pipeline — same rows minus the deletes
+    val c = new GraftClient(spark, root)
+    c.newTx(); c.deleteRowsDV("fact", "v", 140L, 144L); c.commitTx()
+    val afterDv = spark.sql(q).collect()
+    assert(!graft.sql.GraftCatalog.lastScanColumnar, "DV apply must run as rows")
+    assert(afterDv.length === 15 && afterDv.head === Row(14L, 145L))
+    // time travel (pre-DV) reads the historical snapshot as rows
+    val v = c.latestVersion - 1
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fact VERSION AS OF $v")
+      .collect() === Array(Row(160L)))
+  }
+
   test("time travel and buffered-tx reads survive the native scan") {
     val (cat, root) = newCatalog()
     factAndDim(root)
