@@ -67,7 +67,8 @@ final class GraftBatchScan(private val table: GraftTable,
   @volatile private var rddMemo: Option[(List[(String, Seq[Any])],
     Either[RDD[InternalRow], RDD[ColumnarBatch]])] = None
   @volatile private var statsMemo: Option[(Long, Long,
-    Map[String, (Option[Long], Option[(Any, Any)], Option[Long])])] = None
+    Map[String, (Option[Long], Option[(Any, Any)], Option[Long])],
+    Map[String, (Double, Seq[(Double, Double, Long)])])] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -137,7 +138,7 @@ final class GraftBatchScan(private val table: GraftTable,
     * planning and never feed logical stats.
     */
   override def estimateStatistics(): Statistics = {
-    val (rows, bytes, colStats) = statsMemo.getOrElse {
+    val (rows, bytes, colStats, hists) = statsMemo.getOrElse {
       val computed = table.withClient { c =>
         c.newTx()
         try {
@@ -149,7 +150,10 @@ final class GraftBatchScan(private val table: GraftTable,
             GraftBatchScan.onDiskBytes(table.root, files),
             if (asOf.isEmpty) c.columnStatsOf(table.tableName, files)
             else Map.empty[String,
-              (Option[Long], Option[(Any, Any)], Option[Long])])
+              (Option[Long], Option[(Any, Any)], Option[Long])],
+            if (asOf.isEmpty) c.histogramsOf(table.tableName)
+            else Map.empty[String,
+              (Double, Seq[(Double, Double, Long)])])
         } finally c.rollback()
       }
       statsMemo = Some(computed)
@@ -162,7 +166,10 @@ final class GraftBatchScan(private val table: GraftTable,
     // via DataSourceV2Relation.transformV2Stats when CBO is on.
     val colStatMap = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    colStats.foreach { case (name, (ndv, minMax, nulls)) =>
+    (colStats.keySet ++ hists.keySet).foreach { name =>
+      val (ndv, minMax, nulls) = colStats.getOrElse(name,
+        (Option.empty[Long], Option.empty[(Any, Any)], Option.empty[Long]))
+      val hist = hists.get(name)
       if (required.fieldNames.contains(name))
         colStatMap.put(SqlShim.fieldRef(name),
           new org.apache.spark.sql.connector.read.colstats
@@ -185,6 +192,31 @@ final class GraftBatchScan(private val table: GraftTable,
                 java.util.Optional.of(java.lang.Double.valueOf(mx))
               case _ => java.util.Optional.empty()
             }
+            // equi-height histogram from ANALYZE ([[GraftClient
+            // .analyzeHistogram]]): with CBO on, Spark's filter
+            // estimation reads per-bin ranges instead of assuming a
+            // uniform value distribution — the skewed-column fix
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist match {
+                case Some((h, bs)) => java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats
+                    .Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[org.apache.spark.sql
+                        .connector.read.colstats.HistogramBin] =
+                      bs.map { case (l, u, n) =>
+                        new org.apache.spark.sql.connector.read.colstats
+                          .HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = u
+                          override def ndv(): Long = n
+                        }: org.apache.spark.sql.connector.read.colstats
+                          .HistogramBin
+                      }.toArray
+                  })
+                case None => java.util.Optional.empty()
+              }
           })
     }
     // a 0-byte sample with live rows means the listStatus walk failed

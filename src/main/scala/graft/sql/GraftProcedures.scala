@@ -40,7 +40,8 @@ object GraftProcedures {
       "history", "detail", "restore", "convert", "copy_into", "clone",
       "set_partitioning", "cluster_bounded", "cluster_incremental",
       "z_order_bounded", "cluster_incremental_z",
-      "analyze", "replicate_export", "replicate_import")
+      "analyze", "analyze_histogram", "replicate_export",
+      "replicate_import")
 
   /** Nullable optional string parameter (declared with SQL default
     * NULL — empty string when absent).
@@ -387,6 +388,23 @@ object GraftProcedures {
           try cols.map(cn => row(UTF8String.fromString(cn),
             Double.box(c.approxDistinct(t, cn))))
           finally c.rollback()
+        }))
+      case "analyze_histogram" => Some(proc(name,
+        "ANALYZE equi-height histograms: per-column approx-percentile " +
+          "bins + per-bin NDV stored in table properties; the native " +
+          "scan serves them to CBO (spark.sql.cbo.enabled) so skewed-" +
+          "column filter selectivity beats the uniform assumption",
+        Seq(in("table", StringType), in("columns", StringType),
+          inDefault("bins", IntegerType, "64")),
+        StructType(Seq(StructField("column", StringType),
+          StructField("bins", IntegerType))), { args =>
+          val t = args.getUTF8String(0).toString
+          val cols = args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val bins = if (args.isNullAt(2)) 64 else args.getInt(2)
+          val c = client
+          inTx(c)(c.analyzeHistogram(t, cols, bins))
+          cols.map(cn => row(UTF8String.fromString(cn), Int.box(bins)))
         }))
       case "cluster_bounded" => Some(proc(name,
         "bounded range clustering: compute + store bucket boundaries, " +

@@ -4721,6 +4721,94 @@ final class GraftClient(
 
   private def ndvKey(c: String) = s"graft.ndv.$c.registers"
   private def ndvTxKey(c: String) = s"graft.ndv.$c.txid"
+  private def histKey(c: String) = s"graft.hist.$c.bins"
+  private def histTxKey(c: String) = s"graft.hist.$c.txid"
+
+  /** ANALYZE equi-height histograms for CBO selectivity (round 16):
+    * for each NUMERIC column, `bins` approx-percentile boundaries over
+    * the live rows — ONE aggregation computes every column's bounds —
+    * then one bounded per-column pass assigns rows to bins (65
+    * codegen'd compares per row against the literal bound array) and
+    * folds a per-bin approx-NDV. Stored as a compact table property
+    * (`height;lo:hi:ndv,…` — doubles round-trip via toString) with the
+    * analyze tx marker, and served to Spark by the native scan
+    * ([[graft.sql.GraftBatchScan]] `estimateStatistics.histogram`),
+    * where with `spark.sql.cbo.enabled` equi-height bins turn
+    * skewed-column filter selectivity from the uniform NDV guess into
+    * bin-resolution estimates. Like Spark's own ANALYZE histograms this
+    * artifact goes stale under mutation — re-run to refresh (percentile
+    * bins cannot refold from per-object sketches the way NDV registers
+    * do); CBO stats are advisory, staleness costs plan quality only.
+    */
+  def analyzeHistogram(table: String, columns: Seq[String],
+      bins: Int = 64): Unit = {
+    tagOp("ANALYZE")
+    require(bins >= 2 && bins <= 254, s"bins must be in [2, 254]: $bins")
+    val t = currentTx
+    val schema = schemaOf(table)
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+      require(schema(schema.fieldIndex(c)).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"histogram needs a numeric column: $c")
+    }
+    flush(table)
+    val files = liveFiles(table)
+    if (files.isEmpty) return
+    val df = readObjects(schema, files)
+    val pcts = (0 to bins).map(i => i.toDouble / bins)
+      .mkString("array(", ", ", ")")
+    val pctAggs = columns.map(c =>
+      expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $pcts, 10000)")
+        .as(s"_p_$c"))
+    val boundsRow = df.agg(pctAggs.head, pctAggs.tail: _*).collect().head
+    val props = columns.zipWithIndex.flatMap { case (c, i) =>
+      Option(boundsRow.getAs[scala.collection.Seq[Double]](i))
+        .filter(_.length == bins + 1).toSeq.flatMap { bounds =>
+          val v = col(c).cast("double")
+          val boundsLit = array(bounds.map(lit).toIndexedSeq: _*)
+          val bin = least(lit(bins), greatest(lit(1),
+            aggregate(boundsLit, lit(0), (acc, b) =>
+              acc + when(v >= b, 1).otherwise(0)) - 1))
+          val rows = df.filter(v.isNotNull)
+            .groupBy(bin.as("_bin"))
+            .agg(approx_count_distinct(v).as("_ndv"),
+              count(lit(1)).as("_cnt"))
+            .collect()
+          val ndvByBin = rows.map(r =>
+            r.getInt(0) -> r.getLong(1)).toMap
+          val total = rows.map(_.getLong(2)).sum
+          val height = total.toDouble / bins
+          val binStr = (1 to bins).map(j =>
+            s"${bounds(j - 1)}:${bounds(j)}:${ndvByBin.getOrElse(j, 0L)}")
+            .mkString(",")
+          Seq(histKey(c) -> s"$height;$binStr",
+            histTxKey(c) -> t.id.toString)
+        }
+    }.toMap
+    if (props.nonEmpty) setTableProperties(table, props)
+  }
+
+  /** Stored equi-height histograms (logical column → (height, bins as
+    * (lo, hi, ndv))) — the native scan's CBO food. Unparseable or
+    * truncated values are skipped, never thrown: stats are advisory.
+    */
+  private[graft] def histogramsOf(table: String)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] = {
+    val props = tablePropertiesOf(table)
+    schemaOf(table).fieldNames.toSeq.flatMap { c =>
+      props.get(histKey(c)).flatMap { s =>
+        scala.util.Try {
+          val Array(h, rest) = s.split(";", 2)
+          val parsed = rest.split(",").toSeq.map { b =>
+            val Array(lo, hi, n) = b.split(":", 3)
+            (lo.toDouble, hi.toDouble, n.toLong)
+          }
+          c -> (h.toDouble, parsed)
+        }.toOption
+      }
+    }.toMap
+  }
 
   /** ANALYZE: compute a mergeable HLL register blob per requested column
     * over the table's live data and store it (base64) in table

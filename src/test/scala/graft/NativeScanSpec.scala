@@ -169,6 +169,38 @@ class NativeScanSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO histograms: equi-height bins turn a skewed column's filter " +
+    "selectivity from the uniform guess into a bin-resolution estimate") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    // heavy skew: 900 rows of s=1, 100 rows spread over 2..101
+    val df = spark.range(0, 1000).select(
+      when(col("id") < 900, lit(1L)).otherwise(col("id") - 898).as("s"),
+      col("id").as("v"))
+    c.createTable("skew", df.schema)
+    c.insert("skew", df)
+    c.commitTx()
+    c.newTx(); c.analyzeNdv("skew", Seq("s")); c.commitTx()
+    def estimate(): BigInt = withConf("spark.sql.cbo.enabled" -> "true") {
+      spark.table(s"$cat.skew").filter(col("s") === 1L)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+    }
+    // NDV-only: the uniform assumption splits 1000 rows over ~101
+    // distinct values — a ~10-row guess for the 900-row value
+    val uniform = estimate()
+    assert(uniform < BigInt(100), s"uniform guess expected, got $uniform")
+    c.newTx(); c.analyzeHistogram("skew", Seq("s")); c.commitTx()
+    // the 64-bin equi-height histogram puts ~57 bins on s=1: the
+    // estimate must now land near the actual 900
+    val hist = estimate()
+    assert(hist > BigInt(500), s"histogram estimate expected, got $hist")
+    // SQL surface: CALL analyze_histogram round-trips
+    val called = spark.sql(
+      s"CALL $cat.system.analyze_histogram('skew', 'v', 32)").collect()
+    assert(called.map(_.getString(0)).toSeq === Seq("v"))
+  }
+
   test("metadata-aggregate answers still ride the native rows scan") {
     val (cat, root) = newCatalog()
     factAndDim(root)
