@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftClient
+
+/** Liquid-clustering DRIFT probe (round 16): a declared-clustered table
+  * whose appends land entirely PAST the baselined grid, each wave
+  * spread over the whole drifted region (late-arriving events). Under
+  * the stale grid every tipping increment merges its wave into one
+  * top-bucket object spanning the region, so a recent-range query
+  * reads every wave's bytes forever; with the staleness gate
+  * (`graft.autoCluster.maxStaleness`, default 0.5) a tipping pass
+  * re-baselines and later waves re-bucket tight. Prints one JSON line
+  * with bytes/objects opened + wall time for the recent-range query,
+  * gate off vs on. Numbers recorded in BASELINE.md ("Liquid drift").
+  */
+object BenchDrift {
+  def main(args: Array[String]): Unit = {
+    val rowsPerShard = args.headOption.map(_.toLong).getOrElse(50L * 1000)
+    val waves = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("graft_bench_drift").toString
+    val c = new GraftClient(spark, root)
+    val span = rowsPerShard * 4 // baseline key range [0, span)
+
+    def fill(name: String, maxStale: Double): Unit = {
+      c.newTx()
+      c.createTable(name, spark.range(0, 1).select(col("id").as("k"),
+        col("id").as("v")).schema)
+      c.setTableProperties(name, Map(
+        "graft.cluster.columns" -> "k",
+        "graft.autoCluster.minObjects" -> "4",
+        "graft.autoCluster.maxStaleness" -> maxStale.toString))
+      c.commitTx()
+      def insert(df: org.apache.spark.sql.DataFrame): Unit = {
+        c.newTx(); c.insert(name, df); c.maybeCluster(name); c.commitTx()
+      }
+      (0 until 4).foreach(s => insert(spark.range(0, rowsPerShard)
+        .select((col("id") * 4 + s).as("k"), col("id").as("v"))))
+      for (w <- 0 until waves; s <- 0 until 4)
+        insert(spark.range(0, rowsPerShard)
+          .select((lit(span) + col("id") * (4L * waves) +
+            (s * waves + w)).as("k"), col("id").as("v")))
+    }
+
+    def probe(name: String): (Long, Int, Double) = {
+      val lo = span * (waves + 1) - span / 10
+      val hi = span * (waves + 1) - 1
+      c.newTx()
+      val t0 = System.nanoTime()
+      val df = c.scanRange(name, "k", lo, hi)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n > 0, s"probe returned no rows for [$lo, $hi]")
+      val filesOpened = df.inputFiles
+      val bytes = filesOpened.map(f =>
+        new java.io.File(new java.net.URI(f).getPath).length).sum
+      c.rollback()
+      (bytes, filesOpened.length, sec)
+    }
+
+    fill("driftoff", maxStale = 1e9)
+    val (bOff, nOff, sOff) = probe("driftoff")
+    fill("drifton", maxStale = 0.5)
+    val (bOn, nOn, sOn) = probe("drifton")
+    def f(d: Double) = math.round(d * 1000) / 1000.0
+    println(s"""{"metric":"liquid_drift","rows":${rowsPerShard * 4 *
+      (waves + 1)},"waves":$waves""" +
+      s""","stale_bytes":$bOff,"stale_files":$nOff,"stale_sec":${f(sOff)}""" +
+      s""","rebase_bytes":$bOn,"rebase_files":$nOn""" +
+      s""","rebase_sec":${f(sOn)}}""")
+    spark.stop()
+  }
+}

@@ -4561,8 +4561,31 @@ final class GraftClient(
       case Some(since) =>
         flush(table) // count this tx's own staged objects too
         if (liveFiles(table).count(_.txId >= since) < minNew) 0
-        else if (single) clusterIncremental(table, cols.head)
-        else clusterIncrementalZ(table)
+        else {
+          // DRIFT GATE (round 16), metadata-only: once the estimated
+          // live mass outside the stored grid passes
+          // graft.autoCluster.maxStaleness (default 0.5), incremental
+          // passes only funnel appends into the edge buckets — a
+          // monotone key (event time) would do so FOREVER, and a
+          // recent-range point query degrades to opening the
+          // ever-growing edge bucket. Re-baseline from the current
+          // distribution instead: a full rewrite by design (the bulk's
+          // placement is what drifted), amortized O(drift events), the
+          // same judgement call as a lakehouse re-OPTIMIZE.
+          val maxStale = props.get("graft.autoCluster.maxStaleness")
+            .flatMap(_.toDoubleOption).getOrElse(0.5)
+          val stale =
+            if (single) clusterStaleness(table, cols.head)
+            else zClusterStaleness(table)
+          if (stale >= maxStale) {
+            val n = liveFiles(table).length
+            if (single) clusterByBounded(table, cols.head, numBuckets)
+            else clusterByZOrderBounded(table, cols, numBuckets)
+            n
+          }
+          else if (single) clusterIncremental(table, cols.head)
+          else clusterIncrementalZ(table)
+        }
     }
   }
 
@@ -5130,9 +5153,16 @@ final class GraftClient(
       .map(_.split(",").map(_.toDouble).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         s"$table has no bounded clustering on $column"))
-    val phys = physOf(schemaOf(table), column)
-    val lo = bounds.head
-    val hi = bounds.last
+    outOfSpanMass(table, physOf(schemaOf(table), column),
+      bounds.head, bounds.last)
+  }
+
+  /** Estimated fraction of live-row mass outside [lo, hi] on physical
+    * column `phys`, from footer stats alone (uniform-within-range per
+    * object) — the shared core of both staleness probes. O(metadata).
+    */
+  private def outOfSpanMass(table: String, phys: String,
+      lo: Double, hi: Double): Double = {
     def asD(v: Any): Option[Double] = v match {
       case l: Long => Some(l.toDouble)
       case d: Double => Some(d)
@@ -5156,6 +5186,31 @@ final class GraftClient(
       }
     }
     if (total == 0.0) 0.0 else outside / total
+  }
+
+  /** Staleness of the stored Z grid: the MAX over numeric axes of the
+    * estimated live-row mass outside that axis's stored scale span —
+    * the z twin of [[clusterStaleness]], O(metadata). String axes are
+    * skipped (their rank space has no footer-stat mapping; 0.0
+    * contribution) — the monotone keys that drift a grid (event time,
+    * ids) are numeric. 0 when nothing is estimable.
+    */
+  def zClusterStaleness(table: String): Double = {
+    val props = tablePropertiesOf(table)
+    val columns = props.get("graft.zcluster.columns")
+      .map(_.split(",").toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no bounded z-clustering"))
+    val bs = props("graft.zcluster.axisBounds").split(",").toSeq.map { p =>
+      val Array(lo, hi) = p.split(":"); (lo.toDouble, hi.toDouble)
+    }
+    val schema = schemaOf(table)
+    columns.zip(bs).map { case (c, (lo, hi)) =>
+      typeAtPath(schema, c) match {
+        case StringType => 0.0
+        case _ => outOfSpanMass(table, physOf(schema, c), lo, hi)
+      }
+    }.max
   }
 
   /** Recompute the clustering grid from the CURRENT live distribution

@@ -98,6 +98,66 @@ class LiquidClusterSpec extends AnyFunSuite {
       .getLong(0) === 800L)
   }
 
+  test("drift re-baseline: a monotone key that funnels appends past " +
+    "the grid auto-rebaselines once staleness passes the gate; a " +
+    "recent-range point query stays bounded") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    def mkTable(name: String, maxStale: String): Unit = spark.sql(
+      s"""CREATE TABLE $cat.$name (k BIGINT, v BIGINT) CLUSTER BY (k)
+        TBLPROPERTIES ('graft.autoCluster.minObjects'='4',
+          'graft.autoCluster.maxStaleness'='$maxStale')""")
+    // baseline range [0, 1000); then 10 append waves land ENTIRELY in
+    // the drifted region [1000, 11000), each wave spread over all of it
+    // (late-arriving events over the drift window — the shape that
+    // hurts: under the STALE grid every wave's increment merges into
+    // one top-bucket object spanning the whole region, so a
+    // recent-range query must read every wave's bytes forever)
+    def fill(name: String): Unit = {
+      (0 until 4).foreach(s => spark.sql( // tips: baseline the grid
+        s"""INSERT INTO $cat.$name
+          SELECT id * 4 + $s AS k, id AS v FROM range(0, 250)"""))
+      for (w <- 0 until 10; s <- 0 until 4) spark.sql(
+        s"""INSERT INTO $cat.$name
+          SELECT 1000 + id * 40 + ${s * 10 + w} AS k, id AS v
+          FROM range(0, 250)""")
+    }
+    // bytes the pruned recent-range read actually opens
+    def openedBytes(name: String): Long = {
+      c.newTx()
+      val df = c.scanRange(name, "k", 10900L, 10999L)
+      assert(df.count() === 100L)
+      val bytes = df.inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f).getPath).length).sum
+      c.rollback()
+      bytes
+    }
+    // gate OFF (threshold unreachable): the grid never re-baselines
+    mkTable("driftoff", "10.0"); fill("driftoff")
+    val bytesOff = openedBytes("driftoff")
+    // gate ON (0.5 default): a tipping pass re-baselines on the
+    // drifted distribution; later waves re-bucket into TIGHT buckets
+    // of the new grid and the recent range reads ~1/16 of each wave
+    mkTable("drifton", "0.5"); fill("drifton")
+    val bytesOn = openedBytes("drifton")
+    def props(name: String): Map[String, String] = {
+      c.newTx(); val p = c.tablePropertiesOf(name); c.rollback(); p
+    }
+    // the re-baseline actually happened: the stored bounds now span the
+    // drifted range (top boundary far past the first baseline's ~1000)
+    val bounds = props("drifton")("graft.cluster.k.bounds")
+      .split(",").map(_.toDouble)
+    assert(bounds.last > 2000.0,
+      s"grid should re-baseline past the drift: ${bounds.last}")
+    assert(props("driftoff")("graft.cluster.k.bounds")
+      .split(",").map(_.toDouble).last <= 1000.0)
+    assert(bytesOn * 3 < bytesOff,
+      s"re-baselined grid should read far less: $bytesOn vs $bytesOff")
+    // rows conserved through the auto re-layout
+    assert(spark.sql(s"SELECT count(*) FROM $cat.drifton")
+      .collect()(0).getLong(0) === 11000L)
+  }
+
   test("multi-column CLUSTER BY rides the durable z-grid") {
     val (cat, root) = newCatalog()
     spark.sql(s"""CREATE TABLE $cat.zc (a BIGINT, b BIGINT)
