@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Per-query scale-decade report: given two BENCH_DETAIL files (e.g.
+sf1v2 and sf10v2), print every common query's wall-clock ratio sorted
+descending, with totals and a flagged list of rows past the superlinear
+threshold. Usage:
+    python3 scripts/decade_report.py SMALL.json BIG.json [threshold]
+"""
+import sys, json
+
+small = json.load(open(sys.argv[1]))["queries"]
+big = json.load(open(sys.argv[2]))["queries"]
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+
+common = sorted(set(small) & set(big), key=lambda q: -big[q] / max(small[q], 1e-9))
+print(f"{'query':32s} {'small':>8s} {'big':>8s} {'ratio':>7s}")
+flagged = []
+for q in common:
+    r = big[q] / max(small[q], 1e-9)
+    mark = " <<<" if r > thr and big[q] > 1.0 else ""
+    if mark:
+        flagged.append((q, small[q], big[q], r))
+    print(f"{q:32s} {small[q]:8.2f} {big[q]:8.2f} {r:7.2f}{mark}")
+ts, tb = sum(small[q] for q in common), sum(big[q] for q in common)
+print(f"\ncommon rows: {len(common)}  total {ts:.1f} -> {tb:.1f} "
+      f"(ratio {tb / ts:.2f})")
+if flagged:
+    print(f"\nflagged (> {thr}x and > 1 s at the big SF):")
+    for q, s, b, r in flagged:
+        print(f"  {q}: {s:.2f} -> {b:.2f} ({r:.1f}x)")
+else:
+    print(f"\nno rows past {thr}x (with > 1 s big-SF floor)")
