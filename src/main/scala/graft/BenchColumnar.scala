@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.table.GraftClient
+
+/** Columnar-native-scan micro-bench (round 16, VERDICT r15 task 5's
+  * "measured delta"): the SAME scan-heavy SQL aggregates over a native
+  * catalog table, once with the columnar fast path
+  * ([[graft.sql.GraftBatchScan]] serving the vectorized reader's
+  * `ColumnarBatch`es on a pure parquet lineage) and once forced onto
+  * the row pipeline (`spark.graft.columnarScan=false` — the
+  * per-`InternalRow` hand-off the round-15 scan always paid). Queries:
+  *
+  *   - `wide_agg`: 4-column full-scan aggregate — the hand-off cost in
+  *     its purest form (every row crosses the DSv2 boundary).
+  *   - `filter_agg`: a selective pushed-range aggregate — row-group
+  *     pruning engages identically on both paths; the delta isolates
+  *     the per-row tax on the survivors.
+  *
+  * Prints one JSON line; numbers recorded in BASELINE.md ("Columnar
+  * native scan"). Both shapes assert identical answers first.
+  */
+object BenchColumnar {
+  private def timed(reps: Int)(f: => Unit): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(20L * 1000 * 1000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = Files.createTempDirectory("graft_bench_col").toString
+    spark.conf.set("spark.sql.catalog.bc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.bc.root", root)
+    val c = new GraftClient(spark, root)
+    val data = spark.range(0, rows, 1, 32).select(
+      col("id").as("k"),
+      (col("id") % 9973).cast("long").as("v"),
+      (col("id") % 257).cast("double").as("w"),
+      (col("id") % 101).cast("int").as("g"))
+    c.newTx(); c.createTable("t", data.schema); c.insert("t", data)
+    c.commitTx()
+
+    val wideAgg = "SELECT sum(v) AS sv, avg(w) AS aw, max(k) AS mk, " +
+      "count(*) AS n FROM bc.t"
+    val filterAgg = s"SELECT sum(v) AS sv, count(*) AS n FROM bc.t " +
+      s"WHERE k >= ${rows / 2} AND k < ${rows / 2 + rows / 10}"
+
+    def run(q: String): Seq[org.apache.spark.sql.Row] =
+      spark.sql(q).collect().toSeq
+
+    def measure(columnar: Boolean): (Double, Double) = {
+      spark.conf.set("spark.graft.columnarScan", columnar.toString)
+      (timed(3)(run(wideAgg)), timed(3)(run(filterAgg)))
+    }
+
+    // answers identical on both paths, asserted before timing
+    spark.conf.set("spark.graft.columnarScan", "true")
+    val aCol = (run(wideAgg), run(filterAgg))
+    spark.conf.set("spark.graft.columnarScan", "false")
+    val aRow = (run(wideAgg), run(filterAgg))
+    require(aCol == aRow, s"columnar/row answers diverged: $aCol vs $aRow")
+
+    val (wRow, fRow) = measure(columnar = false)
+    val (wCol, fCol) = measure(columnar = true)
+    println(s"""{"metric":"columnar_scan","rows":$rows,""" +
+      s""""wide_agg_row_sec":${f"$wRow%.3f"},""" +
+      s""""wide_agg_columnar_sec":${f"$wCol%.3f"},""" +
+      s""""filter_agg_row_sec":${f"$fRow%.3f"},""" +
+      s""""filter_agg_columnar_sec":${f"$fCol%.3f"}}""")
+    spark.stop()
+  }
+}

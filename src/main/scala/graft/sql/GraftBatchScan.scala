@@ -287,9 +287,16 @@ final class GraftBatchScan(private val table: GraftTable,
                 table.tableName, schema, files, cn, vs)
             }
             GraftCatalog.lastScanObjectCount = files.length
+            // operational valve (and the A/B lever BenchColumnar
+            // measures): spark.graft.columnarScan=false forces the row
+            // pipeline even on a pure parquet lineage
+            val columnarOn = SparkSession.active.conf
+              .get("spark.graft.columnarScan", "true").toBoolean
             (c.scanKeeping(table.tableName, files.map(_.path).toSet),
-              c.pureScanDf(table.tableName, required, files)
-                .flatMap(columnarRdd))
+              if (columnarOn)
+                c.pureScanDf(table.tableName, required, files)
+                  .flatMap(columnarRdd)
+              else None)
         }
         colBatches match {
           case Some(batches) =>
