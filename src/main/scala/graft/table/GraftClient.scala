@@ -2932,6 +2932,87 @@ final class GraftClient(
     } finally { delKeys.unpersist(false); classified.unpersist(false) }
   }
 
+  /** `WHEN NOT MATCHED BY SOURCE` engine half (round 16, the SQL-2023 /
+    * Delta full-snapshot-sync shape): apply ONE action — DELETE, or
+    * UPDATE when `updateAssigns` is set (a REPLACEMENT image per
+    * affected row, computed from the OLD row's values; every column
+    * assigned or passed through) — to every live target row whose key
+    * tuple matches NO row of `sourceKeys`, optionally narrowed by
+    * `cond` (target columns only). Runs inside the caller's tx like
+    * [[merge]]'s other legs.
+    *
+    * Scale shape: absence cannot be stats- or point-pruned (any file
+    * may hold an orphaned key), so this is by nature ONE full pass
+    * over the target — the same cost Delta pays for the clause. The
+    * pass is a single distributed anti join: source keys broadcast
+    * under [[GraftClient.BroadcastKeyRowGate]], shuffled past it; the
+    * target never moves to the driver. Deletes land as deletion
+    * vectors (no rewrite); update images are computed from READ-BACK
+    * of the persisted DV keys, so the deleted and re-inserted row sets
+    * agree exactly even under a non-deterministic `cond`. SQL MERGE
+    * key semantics hold: a NULL-keyed target row equals no source row,
+    * so the action applies to it.
+    */
+  def mergeBySource(table: String, sourceKeys: DataFrame,
+      keyCols: Seq[String],
+      cond: Option[org.apache.spark.sql.Column] = None,
+      updateAssigns: Option[Map[String, org.apache.spark.sql.Column]] =
+        None): Unit = {
+    tagOp("MERGE")
+    val t = currentTx
+    requireMutable(table, "MERGE")
+    val schema = schemaOf(table)
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"merge keys must be table columns: ${keyCols.mkString(",")}")
+    updateAssigns.foreach(as => require(
+      as.keySet.subsetOf(schema.fieldNames.toSet),
+      s"assignments must target table columns: ${as.keySet.mkString(",")}"))
+    // the merge() ordering contract: buffered rows become live objects
+    // the DV can cover
+    flush(table)
+    val files = liveFiles(table)
+    if (files.isEmpty) return
+    // pin the key set: one count() materializes it AND prices the gate
+    val keys = sourceKeys.select(keyCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyCount = keys.count()
+      val bcast = keyCount <= broadcastKeyRowGate
+      GraftClient.lastMergeKeysBroadcast = bcast
+      val live = applyDefaults(schema, applyDvs(
+        readObjects(schema, files),
+        t.snapshot.liveDvs(table, t.actions.toSeq)))
+      val anti = live.join(if (bcast) broadcast(keys) else keys,
+        keyCols, "left_anti")
+      val affected = cond.fold(anti)(anti.filter)
+      val objs = writeDirectTagged(table,
+        affected.select(col(TxIdCol), col(RowIdxCol)), "dv_")
+      dropEmptyObjects(objs)
+      val dvObjs = objs.filter(_._2 > 0)
+      dvObjs.foreach { case (name, n, _) =>
+        t.actions += AddDeleteVector(table, name, t.id, n)
+      }
+      if (dvObjs.nonEmpty) {
+        // both the CDC record and the update images come from read-back
+        // of the persisted DV keys: one authoritative affected-row set
+        val dvKeys = strictRead.schema(StructType(Seq(
+          StructField(TxIdCol, LongType, nullable = false),
+          StructField(RowIdxCol, LongType, nullable = false))))
+          .parquet(dvObjs.map(o => s"$rootDir/${o._1}"): _*)
+        val doomed = live.join(dvKeys, Seq(TxIdCol, RowIdxCol),
+          "left_semi")
+        if (cdfEnabled(t, table)) writeCdc(table, doomed, "delete")
+        updateAssigns.foreach { as =>
+          val images = doomed.select(
+            schema.fields.toIndexedSeq.map(f =>
+              as.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(col(f.name)).as(f.name)): _*)
+          insert(table, images)
+        }
+      }
+    } finally keys.unpersist(false)
+  }
+
   /** Stats-prune the merge-delete DV scan by the delete-key span: merge
     * deletes usually touch a narrow key band, and the min/max of the
     * dimension-sized key set is one tiny aggregate. Composite keys
@@ -5166,6 +5247,13 @@ final class GraftClient(
     def asD(v: Any): Option[Double] = v match {
       case l: Long => Some(l.toDouble)
       case d: Double => Some(d)
+      // string stats map into the SAME prefix-rank space zRankRawExpr
+      // scales string z axes with, so a string axis's footer bounds
+      // compare against its stored grid span directly. Parquet-style
+      // truncation stays conservative through the mapping: a truncated
+      // min is a prefix (rank ≤ true min), a truncated max has its
+      // last byte incremented (rank ≥ true max).
+      case s: String => Some(GraftClient.stringZRank(s))
       case _ => None
     }
     var total = 0.0
@@ -5188,12 +5276,15 @@ final class GraftClient(
     if (total == 0.0) 0.0 else outside / total
   }
 
-  /** Staleness of the stored Z grid: the MAX over numeric axes of the
+  /** Staleness of the stored Z grid: the MAX over axes of the
     * estimated live-row mass outside that axis's stored scale span —
-    * the z twin of [[clusterStaleness]], O(metadata). String axes are
-    * skipped (their rank space has no footer-stat mapping; 0.0
-    * contribution) — the monotone keys that drift a grid (event time,
-    * ids) are numeric. 0 when nothing is estimable.
+    * the z twin of [[clusterStaleness]], O(metadata). String axes
+    * participate through the same 13-hex-char UTF-8 prefix rank their
+    * z-values scale with ([[GraftClient.stringZRank]] over the footer
+    * string min/max — round 16), so a drifting string key (a new
+    * tenant prefix, a rolled date-string partition key) trips the
+    * re-baseline gate exactly like a numeric one. 0 when nothing is
+    * estimable.
     */
   def zClusterStaleness(table: String): Double = {
     val props = tablePropertiesOf(table)
@@ -5206,10 +5297,7 @@ final class GraftClient(
     }
     val schema = schemaOf(table)
     columns.zip(bs).map { case (c, (lo, hi)) =>
-      typeAtPath(schema, c) match {
-        case StringType => 0.0
-        case _ => outOfSpanMass(table, physOf(schema, c), lo, hi)
-      }
+      outOfSpanMass(table, physOf(schema, c), lo, hi)
     }.max
   }
 
@@ -6383,6 +6471,22 @@ object GraftClient {
     * anti join planned shuffled).
     */
   @volatile private[graft] var lastDvBroadcast: Boolean = true
+
+  /** The numeric rank of a string in the z grid's string-axis space —
+    * the driver-side twin of `zRankRawExpr`'s SQL
+    * (`CONV(rpad(substring(hex(encode(s, 'UTF-8')), 1, 13), 13, '0'),
+    * 16, 10)`): the first 13 hex chars (6.5 bytes) of the UTF-8
+    * encoding, zero-padded, as a base-16 value. Monotone in UTF-8 byte
+    * order; max value 2⁵²−1 is exact in a Double. Used to compare
+    * footer string min/max stats against stored axis bounds
+    * ([[GraftClient.zClusterStaleness]] via `outOfSpanMass`).
+    */
+  private[graft] def stringZRank(s: String): Double = {
+    val hex = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .iterator.map(b => f"${b & 0xff}%02X").mkString
+    val p = hex.substring(0, math.min(13, hex.length)).padTo(13, '0')
+    java.lang.Long.parseLong(p, 16).toDouble
+  }
 
   /** Resolve a possibly differently-cased dotted column path to the
     * schema's canonical spelling — exact match wins, otherwise the

@@ -158,6 +158,51 @@ class LiquidClusterSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 11000L)
   }
 
+  test("string z-axis drift reaches the staleness probe (footer " +
+    "string stats through the prefix-rank mapping) and trips the " +
+    "re-baseline gate") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    def mkTable(name: String, maxStale: String): Unit = spark.sql(
+      s"""CREATE TABLE $cat.$name (s STRING, k BIGINT) CLUSTER BY (s, k)
+        TBLPROPERTIES ('graft.autoCluster.minObjects'='4',
+          'graft.autoCluster.maxStaleness'='$maxStale')""")
+    // baseline: every key under the 'a' prefix; k NON-drifting — only
+    // the string axis signals. Then 8 waves land entirely under 'z'.
+    def fill(name: String): Unit = {
+      (0 until 4).foreach(i => spark.sql(
+        s"""INSERT INTO $cat.$name
+          SELECT concat('a', lpad(CAST(id * 4 + $i AS STRING), 5, '0')),
+            id FROM range(0, 250)"""))
+      (0 until 8).foreach(i => spark.sql(
+        s"""INSERT INTO $cat.$name
+          SELECT concat('z', lpad(CAST(id * 8 + $i AS STRING), 5, '0')),
+            id FROM range(0, 250)"""))
+    }
+    def staleness(name: String): Double = {
+      c.newTx(); val s = c.zClusterStaleness(name); c.rollback(); s
+    }
+    def axisHi(name: String): Double = {
+      c.newTx(); val p = c.tablePropertiesOf(name); c.rollback()
+      p("graft.zcluster.axisBounds").split(",").head.split(":")(1).toDouble
+    }
+    // gate OFF: the grid baselines on 'a…' and never re-baselines —
+    // the probe must SEE the drifted string mass (was 0.0 pre-round-16)
+    mkTable("soff", "10.0"); fill("soff")
+    assert(staleness("soff") > 0.4,
+      s"drifted string mass must register: ${staleness("soff")}")
+    assert(axisHi("soff") < GraftClient.stringZRank("b"),
+      "stale grid's string span should still end under the 'a' prefix")
+    // default gate: a tipping pass re-baselines; the stored string-axis
+    // span now covers the 'z' region and staleness drops back down
+    mkTable("son", "0.5"); fill("son")
+    assert(axisHi("son") >= GraftClient.stringZRank("z"),
+      s"re-baselined span must cover the drifted prefix: ${axisHi("son")}")
+    assert(staleness("son") < staleness("soff"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.son")
+      .collect()(0).getLong(0) === 3000L)
+  }
+
   test("multi-column CLUSTER BY rides the durable z-grid") {
     val (cat, root) = newCatalog()
     spark.sql(s"""CREATE TABLE $cat.zc (a BIGINT, b BIGINT)
