@@ -84,6 +84,39 @@ object SqlSurface {
           WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
             VALUES (s.k, s.nm, s.rk)""")
 
+        // MERGE … WHEN NOT MATCHED BY SOURCE (round 16): the
+        // full-snapshot-sync clause. Merge 1: matched keys 0..14
+        // replaced, 40..42 inserted, and BY SOURCE DELETE drops the
+        // orphaned keys >= 20; merge 2 (BY SOURCE UPDATE only, the
+        // soft-delete mark): every row absent from the second source
+        // (keys >= 10) gets '!' appended via a PARTIAL patch of the
+        // old row
+        spark.sql(s"""CREATE TABLE $cat.t_mbs AS
+          SELECT n_nationkey, n_name, n_regionkey FROM ${cat}_nation_src""")
+        spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ${cat}_mbs_src AS
+          SELECT n_nationkey AS k, concat(n_name, '_S') AS nm,
+                 n_regionkey + 70 AS rk
+          FROM ${cat}_nation_src WHERE n_nationkey < 15
+          UNION ALL
+          SELECT n_nationkey + 40, concat(n_name, '_S'), n_regionkey + 70
+          FROM ${cat}_nation_src WHERE n_nationkey < 3""")
+        spark.sql(s"""
+          MERGE INTO $cat.t_mbs t USING ${cat}_mbs_src s
+          ON t.n_nationkey = s.k
+          WHEN MATCHED THEN UPDATE SET
+            n_nationkey = s.k, n_name = s.nm, n_regionkey = s.rk
+          WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (s.k, s.nm, s.rk)
+          WHEN NOT MATCHED BY SOURCE AND t.n_nationkey >= 20 THEN DELETE""")
+        spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ${cat}_mbs_src2 AS
+          SELECT n_nationkey AS k FROM ${cat}_nation_src
+          WHERE n_nationkey < 10""")
+        spark.sql(s"""
+          MERGE INTO $cat.t_mbs t USING ${cat}_mbs_src2 s
+          ON t.n_nationkey = s.k
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+            n_name = concat(t.n_name, '!')""")
+
         // CALL maintenance: multi-commit table, then compact + checkpoint
         // + vacuum through SQL procedures — the data must be bit-identical
         // after the full maintenance cycle
@@ -483,6 +516,24 @@ object SqlSurface {
       FROM nation WHERE n_nationkey < 5
     ) ORDER BY n_nationkey"""
 
+  private val mergeBySourceSql = """
+    WITH a AS (
+      SELECT n_nationkey, n_name || '_S' AS n_name,
+        n_regionkey + 70 AS n_regionkey
+      FROM nation WHERE n_nationkey < 15
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey BETWEEN 15 AND 19
+      UNION ALL
+      SELECT n_nationkey + 40, n_name || '_S', n_regionkey + 70
+      FROM nation WHERE n_nationkey < 3
+    )
+    SELECT n_nationkey,
+      CASE WHEN n_nationkey < 10 THEN n_name ELSE n_name || '!' END
+        AS n_name,
+      n_regionkey
+    FROM a ORDER BY n_nationkey"""
+
   private val rtasSql = """
     SELECT n_nationkey + 1000 AS n_nationkey, lower(n_name) AS n_name,
            n_regionkey * 2 AS n_regionkey
@@ -520,6 +571,14 @@ object SqlSurface {
         "filtering file-prunes the fact side by the dim's surviving " +
         "keys (values oracle-checked; objects-opened pinned in " +
         "NativeScanSpec)"),
+    "tx_sql_merge_bysource" -> QueryDef(state("t_mbs"),
+      Some(mergeBySourceSql),
+      "MERGE … WHEN NOT MATCHED BY SOURCE (SQL-2023 / Delta " +
+        "full-snapshot-sync): orphaned target rows DV-delete (with a " +
+        "target-only condition) or patch in place (partial SET with " +
+        "pass-through alignment), via ONE distributed anti join — " +
+        "source keys broadcast under the gate, shuffled past it; " +
+        "update images come from read-back of the persisted DV keys"),
     "tx_sql_merge" -> QueryDef(state("t_mrg"), Some(mergeSql),
       "pure-SQL MERGE INTO via the extension rewrite -> DV delete + append"),
     "tx_sql_time_travel" -> QueryDef(timeTravel, Some(timeTravelSql),

@@ -140,10 +140,16 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     *   WHEN MATCHED [AND c]: at most one DELETE (source-only condition)
     *     and at most one unconditional UPDATE
     *   WHEN NOT MATCHED: one unconditional INSERT
-    * Assignment values and conditions may reference SOURCE columns only
-    * (a matched row is replaced wholesale, not patched — exactly the
-    * MVCC upsert). Anything else stays un-rewritten and fails analysis
-    * with Spark's own unsupported-merge error.
+    *   WHEN NOT MATCHED BY SOURCE [AND c]: at most ONE clause — DELETE
+    *     or UPDATE — whose condition and assignment values reference
+    *     TARGET columns only (round 16: the SQL-2023 / Delta
+    *     full-snapshot-sync clause, `GraftClient.mergeBySource`; a
+    *     BY SOURCE update patches the old row, so partial SET lists
+    *     align with pass-through for unassigned columns)
+    * Matched-leg assignment values and conditions may reference SOURCE
+    * columns only (a matched row is replaced wholesale, not patched —
+    * exactly the MVCC upsert). Anything else stays un-rewritten and
+    * fails analysis with Spark's own unsupported-merge error.
     */
   private def rewriteMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
       gt: GraftTable): LogicalPlan = {
@@ -167,14 +173,26 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     val deletes = m.matchedActions.collect { case d: DeleteAction => d }
     val updates = m.matchedActions.collect { case u: UpdateAction => u }
     val inserts = m.notMatchedActions.collect { case i: InsertAction => i }
-    val supported =
+    def targetOnly(e: Expression): Boolean =
+      e.references.subsetOf(rel.outputSet) && noSubquery(e)
+    val bySourceDeletes =
+      m.notMatchedBySourceActions.collect { case d: DeleteAction => d }
+    val bySourceUpdates =
+      m.notMatchedBySourceActions.collect { case u: UpdateAction => u }
+    val bySourceOk =
+      m.notMatchedBySourceActions.size <= 1 &&
+        m.notMatchedBySourceActions.size ==
+          bySourceDeletes.size + bySourceUpdates.size &&
+        bySourceDeletes.forall(_.condition.forall(targetOnly)) &&
+        bySourceUpdates.forall(u => u.condition.forall(targetOnly) &&
+          u.assignments.forall(a => targetOnly(a.value)))
+    val supported = bySourceOk &&
       // withSchemaEvolution is fine to accept here: by the time this
       // rule sees the plan, ResolveMergeIntoSchemaEvolution has already
       // widened the target table through GraftCatalog.alterTable and
       // re-resolved the relation, so `rel`/assignments are at the
       // evolved schema and the command below needs nothing special
       keyPairs.nonEmpty && keyPairs.forall(_.isDefined) &&
-        m.notMatchedBySourceActions.isEmpty &&
         m.matchedActions.size == deletes.size + updates.size &&
         m.notMatchedActions.size == inserts.size &&
         deletes.size <= 1 && updates.size <= 1 && inserts.size <= 1 &&
@@ -188,7 +206,8 @@ object GraftDmlRewrite extends Rule[LogicalPlan] {
     if (!supported) m
     else GraftMergeCommand(rel, gt, m.sourceTable, m.mergeCondition,
       keyPairs.flatten, deletes.headOption, updates.headOption,
-      inserts.headOption)
+      inserts.headOption, bySourceDeletes.headOption,
+      bySourceUpdates.headOption)
   }
 
   /** A matched row is REPLACED (DV delete + append), so the action must
@@ -366,7 +385,9 @@ case class GraftMergeCommand(rel: DataSourceV2Relation, gt: GraftTable,
     source: LogicalPlan, mergeCond: Expression,
     keyPairs: Seq[(AttributeReference, Expression)],
     deleteAction: Option[DeleteAction], updateAction: Option[UpdateAction],
-    insertAction: Option[InsertAction])
+    insertAction: Option[InsertAction],
+    bySourceDelete: Option[DeleteAction] = None,
+    bySourceUpdate: Option[UpdateAction] = None)
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -395,6 +416,29 @@ case class GraftMergeCommand(rel: DataSourceV2Relation, gt: GraftTable,
         }
       gt.withClient { c =>
         c.newTx()
+        // BY SOURCE leg FIRST: it anti-joins the PRE-merge target state
+        // (its row set is key-disjoint from every other leg's, so order
+        // is semantics-neutral — running it first just avoids
+        // re-scanning rows the legs below are about to stage)
+        if (bySourceDelete.nonEmpty || bySourceUpdate.nonEmpty) {
+          val srcKeys = Project(keyPairs.map { case (a, s) =>
+            val v = if (s.dataType == a.dataType) s
+              else Cast(s, a.dataType)
+            Alias(v, a.name)()
+          }, source)
+          val cond = bySourceDelete.flatMap(_.condition)
+            .orElse(bySourceUpdate.flatMap(_.condition))
+            .map(e => SqlShim.column(DmlUtil.unbind(e)))
+          // a BY SOURCE update PATCHES the old row: align fills
+          // unassigned columns with identity pass-through, and unbind
+          // re-targets every value at the client scan by name
+          val assigns = bySourceUpdate.map(u =>
+            DmlUtil.alignAssignments(rel.output, u.assignments).map(a =>
+              a.key.asInstanceOf[AttributeReference].name ->
+                SqlShim.column(DmlUtil.unbind(a.value))).toMap)
+          c.mergeBySource(gt.tableName, SqlShim.ofRows(session, srcKeys),
+            keyPairs.map(_._1.name), cond, assigns)
+        }
         delKeySource.foreach { plan =>
           // client.merge expects full table schema on its source; only
           // the key columns matter for an all-delete call — null-pad the

@@ -160,4 +160,54 @@ class Round16Spec extends AnyFunSuite {
     assert(after.filter(col("k").between(10, 59)).count() === 0L)
     c.commitTx()
   }
+
+  test("MERGE … WHEN NOT MATCHED BY SOURCE: delete and patch-update " +
+    "legs give identical rows on both sides of the key gate; " +
+    "source-referencing BY SOURCE conditions refuse") {
+    def runSync(gate: Option[String]): Seq[Row] = {
+      val root = Files.createTempDirectory("graft_r16_mbs").toString
+      val cat = s"r16mbs${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      gate.foreach(g => spark.conf.set(GateKey, g))
+      try {
+        spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+        spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) " +
+          "FROM range(0, 30)")
+        spark.range(0, 10).selectExpr("id AS sk", "concat('n', id) AS sv")
+          .createOrReplaceTempView(s"${cat}_src")
+        // snapshot sync: matched rows replaced, orphans >= 20 deleted
+        spark.sql(s"""MERGE INTO $cat.t t USING ${cat}_src s
+          ON t.k = s.sk
+          WHEN MATCHED THEN UPDATE SET k = s.sk, v = s.sv
+          WHEN NOT MATCHED BY SOURCE AND t.k >= 20 THEN DELETE""")
+        // soft-delete mark: rows absent from the source get a suffix,
+        // PARTIAL SET (k passes through via alignment)
+        spark.sql(s"""MERGE INTO $cat.t t USING ${cat}_src s
+          ON t.k = s.sk
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+            v = concat(t.v, '!')""")
+        spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k").collect().toSeq
+      } finally gate.foreach(_ => spark.conf.unset(GateKey))
+    }
+    val expected = (0L until 10L).map(i => Row(i, s"n$i")) ++
+      (10L until 20L).map(i => Row(i, s"v$i!"))
+    val broadcastSide = runSync(None)
+    assert(broadcastSide === expected)
+    // gate 0: the anti join plans shuffled — rows must not change
+    assert(runSync(Some("0")) === expected)
+    // a BY SOURCE condition referencing the SOURCE stays un-rewritten
+    // and fails with Spark's own unsupported-merge error
+    val root = Files.createTempDirectory("graft_r16_mbs_bad").toString
+    val cat = s"r16mbsb${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.range(0, 5).selectExpr("id AS sk").createOrReplaceTempView(
+      s"${cat}_src")
+    assertThrows[Exception](spark.sql(
+      s"""MERGE INTO $cat.t t USING ${cat}_src s
+        ON t.k = s.sk
+        WHEN NOT MATCHED BY SOURCE AND s.sk > 2 THEN DELETE"""))
+  }
 }
