@@ -170,6 +170,19 @@ final class GraftBatchScan(private val table: GraftTable,
       val (ndv, minMax, nulls) = colStats.getOrElse(name,
         (Option.empty[Long], Option.empty[(Any, Any)], Option.empty[Long]))
       val hist = hists.get(name)
+      // DATE stats are stored as epoch-DAY Longs (ColStats.normalize);
+      // Catalyst's ColumnStat holds dates as internal Int days — hand
+      // CBO the internal form, or none (never a mistyped box)
+      val isDate = required.fields.find(_.name == name)
+        .exists(_.dataType == org.apache.spark.sql.types.DateType)
+      def box(v: Any): java.util.Optional[Object] = v match {
+        case l: Long if isDate =>
+          java.util.Optional.of(java.lang.Integer.valueOf(l.toInt))
+        case l: Long => java.util.Optional.of(java.lang.Long.valueOf(l))
+        case d: Double if !isDate =>
+          java.util.Optional.of(java.lang.Double.valueOf(d))
+        case _ => java.util.Optional.empty()
+      }
       if (required.fieldNames.contains(name))
         colStatMap.put(SqlShim.fieldRef(name),
           new org.apache.spark.sql.connector.read.colstats
@@ -179,17 +192,11 @@ final class GraftBatchScan(private val table: GraftTable,
             override def nullCount(): OptionalLong =
               nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
             override def min(): java.util.Optional[Object] = minMax match {
-              case Some((mn: Long, _)) =>
-                java.util.Optional.of(java.lang.Long.valueOf(mn))
-              case Some((mn: Double, _)) =>
-                java.util.Optional.of(java.lang.Double.valueOf(mn))
+              case Some((mn, _)) => box(mn)
               case _ => java.util.Optional.empty()
             }
             override def max(): java.util.Optional[Object] = minMax match {
-              case Some((_, mx: Long)) =>
-                java.util.Optional.of(java.lang.Long.valueOf(mx))
-              case Some((_, mx: Double)) =>
-                java.util.Optional.of(java.lang.Double.valueOf(mx))
+              case Some((_, mx)) => box(mx)
               case _ => java.util.Optional.empty()
             }
             // equi-height histogram from ANALYZE ([[GraftClient

@@ -4829,7 +4829,9 @@ final class GraftClient(
   private def histTxKey(c: String) = s"graft.hist.$c.txid"
 
   /** ANALYZE equi-height histograms for CBO selectivity (round 16):
-    * for each NUMERIC column, `bins` approx-percentile boundaries over
+    * for each NUMERIC / DATE / TIMESTAMP column (datetimes rank in
+    * Spark's internal days/micros space — see `rankSql` below),
+    * `bins` approx-percentile boundaries over
     * the live rows — ONE aggregation computes every column's bounds —
     * then one bounded per-column pass assigns rows to bins (65
     * codegen'd compares per row against the literal bound array) and
@@ -4850,11 +4852,26 @@ final class GraftClient(
     require(bins >= 2 && bins <= 254, s"bins must be in [2, 254]: $bins")
     val t = currentTx
     val schema = schemaOf(table)
+    // the histogram's double space must be the one Spark's filter
+    // estimation converts literals into (EstimationUtils internal
+    // forms): plain CAST for numerics, days-since-epoch for DATE,
+    // epoch micros for TIMESTAMP — a DATE histogram in any other
+    // space would compare against the wrong axis under CBO
+    def rankSql(c: String): String =
+      schema(schema.fieldIndex(c)).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          s"CAST(datediff(`$c`, DATE '1970-01-01') AS DOUBLE)"
+        case org.apache.spark.sql.types.TimestampType =>
+          s"CAST(unix_micros(`$c`) AS DOUBLE)"
+        case _ => s"CAST(`$c` AS DOUBLE)"
+      }
     columns.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")
-      require(schema(schema.fieldIndex(c)).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"histogram needs a numeric column: $c")
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"histogram needs a numeric, date or timestamp column: $c")
     }
     flush(table)
     val files = liveFiles(table)
@@ -4863,13 +4880,13 @@ final class GraftClient(
     val pcts = (0 to bins).map(i => i.toDouble / bins)
       .mkString("array(", ", ", ")")
     val pctAggs = columns.map(c =>
-      expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $pcts, 10000)")
+      expr(s"approx_percentile(${rankSql(c)}, $pcts, 10000)")
         .as(s"_p_$c"))
     val boundsRow = df.agg(pctAggs.head, pctAggs.tail: _*).collect().head
     val props = columns.zipWithIndex.flatMap { case (c, i) =>
       Option(boundsRow.getAs[scala.collection.Seq[Double]](i))
         .filter(_.length == bins + 1).toSeq.flatMap { bounds =>
-          val v = col(c).cast("double")
+          val v = expr(rankSql(c))
           val boundsLit = array(bounds.map(lit).toIndexedSeq: _*)
           val bin = least(lit(bins), greatest(lit(1),
             aggregate(boundsLit, lit(0), (acc, b) =>

@@ -201,6 +201,33 @@ class NativeScanSpec extends AnyFunSuite {
     assert(called.map(_.getString(0)).toSeq === Seq("v"))
   }
 
+  test("CBO histograms cover DATE columns: bins live in Spark's " +
+    "internal days space, min/max box as Int days") {
+    val (cat, root) = newCatalog()
+    val c = new GraftClient(spark, root)
+    c.newTx()
+    // 900 rows on one day, 100 rows over the following 100 days
+    val df = spark.range(0, 1000).select(
+      when(col("id") < 900, lit(java.sql.Date.valueOf("2024-01-01")))
+        .otherwise(expr(
+          "date_add(DATE '2024-02-01', CAST(id - 900 AS INT))")).as("d"),
+      col("id").as("v"))
+    c.createTable("dskew", df.schema)
+    c.insert("dskew", df)
+    c.commitTx()
+    c.newTx(); c.analyzeNdv("dskew", Seq("d")); c.commitTx()
+    def estimate(): BigInt = withConf("spark.sql.cbo.enabled" -> "true") {
+      spark.table(s"$cat.dskew")
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-01")))
+        .queryExecution.optimizedPlan.stats.rowCount.get
+    }
+    val uniform = estimate()
+    assert(uniform < BigInt(100), s"uniform guess expected, got $uniform")
+    c.newTx(); c.analyzeHistogram("dskew", Seq("d")); c.commitTx()
+    val hist = estimate()
+    assert(hist > BigInt(500), s"histogram estimate expected, got $hist")
+  }
+
   test("metadata-aggregate answers still ride the native rows scan") {
     val (cat, root) = newCatalog()
     factAndDim(root)
