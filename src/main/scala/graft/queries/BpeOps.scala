@@ -74,7 +74,8 @@ object BpeOps {
   private[graft] def mergesFor(spark: SparkSession,
       dir: String): Vector[(String, String)] = synchronized {
     trainedCache.getOrElseUpdate(dir, {
-      val counts = t(spark, dir, "documents")
+      val counts = spread(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
         .select(explode(tokenArr(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -115,11 +116,15 @@ object BpeOps {
   private def encode(term: Column): Column =
     concat(regexp_replace(term, "(.)", "($1)"), lit("($)"))
 
+  /** Literal (non-regex) replace per merge: `regexp_replace` with a
+    * quoted pattern compiles and runs the regex engine per row per merge
+    * — `replace` (StringReplace) is the same left-to-right
+    * non-overlapping all-occurrence substitution without the engine.
+    */
   private def applyMerges(enc: Column,
       merges: Seq[(String, String)]): Column =
     merges.foldLeft(enc) { case (c, (a, b)) =>
-      regexp_replace(c, Pattern.quote(s"($a)($b)"),
-        java.util.regex.Matcher.quoteReplacement(s"(${a}${b})"))
+      replace(c, lit(s"($a)($b)"), lit(s"(${a}${b})"))
     }
 
   /** Symbol count of an encoded sequence = number of '(' chars. */
@@ -131,7 +136,12 @@ object BpeOps {
     */
   private def tokenizedVocab(spark: SparkSession, dir: String): DataFrame = {
     val merges = mergesFor(spark, dir)
-    t(spark, dir, "documents")
+    // spread the single-split fixture before the regex tokenizer (see
+    // Tables.spread — a keyed repartition would be AQE-coalesced back
+    // to one partition and the rlike pass would run on one core); keyed
+    // on doc_id, not the handful-valued source
+    spread(t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       .select(col("source"), explode(tokenArr(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("n"))
       .withColumn("bpe", applyMerges(encode(col("term")), merges))

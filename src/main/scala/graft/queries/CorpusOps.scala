@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
-import graft.util.Tables.t
+import graft.util.Tables.{spread, t}
 
 /** The two corpus-level compositions a training-data pipeline actually
   * ships:
@@ -420,7 +420,7 @@ object CorpusOps {
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("ws"))
-      .repartition(col("doc_id"))
+      .transform(spread(_, col("doc_id")))
       .filter(size(col("ws")) >= NgramN)
     val grams = d.select(col("doc_id"),
       (size(col("ws")) - lit(NgramN - 1)).as("n_positions"),

@@ -72,11 +72,13 @@ object DedupOps {
     */
   private[graft] def normalizedWords(docs: DataFrame,
       minWords: Int = 2): DataFrame =
-    docs
+    // spread(): explicit-count repartition — AQE's byte-based coalescing
+    // otherwise folds this exchange to 1-2 partitions at bench scale and
+    // serializes every downstream shingle/md5 pass onto 1-2 cores
+    spread(docs
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-          .as("ws"))
-      .repartition(col("doc_id"))
+          .as("ws")), col("doc_id"))
       .filter(size(col("ws")) >= minWords)
 
   /** Upper bound on candidate-bucket size shared by ALL near-dup families.
@@ -348,12 +350,12 @@ object DedupOps {
     * shingle-explode + 64-min aggregation runs once per consumer chain.
     */
   private[graft] def minhashSignatures(d: DataFrame): DataFrame = {
-    val exploded = d.select(col("doc_id"), explode(bigramT).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val exploded = spread(d.select(col("doc_id"), explode(bigramT).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h")),
       // materialize h through the exchange the groupBy needs anyway:
       // otherwise all 64 min-aggregates inline (and re-run) the string
       // hash per row in the map-side partial aggregation
-      .repartition(col("doc_id"))
+      col("doc_id"))
     val minAggs = (0 until 64).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     exploded.groupBy(col("doc_id"))
@@ -644,7 +646,7 @@ object DedupOps {
     val e = t(spark, dir, "embeddings")
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id")) // barrier: materialize v + spread pair work
+      .transform(spread(_, col("vec_id"))) // barrier: materialize v + spread pair work
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       // fused native cosine (graft.functions.VectorCosine): bit-identical
       // to the dot/(nrm*nrm) form the DuckDB oracle states

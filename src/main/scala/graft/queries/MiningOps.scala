@@ -45,7 +45,7 @@ object MiningOps {
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
+      .transform(spread(_, col("vec_id")))
   }
 
   // --- Hard-negative mining -------------------------------------------------

@@ -33,7 +33,7 @@ object MmrOps {
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
+      .transform(spread(_, col("vec_id")))
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

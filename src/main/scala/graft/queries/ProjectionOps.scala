@@ -47,7 +47,7 @@ object ProjectionOps {
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
+      .transform(spread(_, col("vec_id")))
 
   /** Unscaled signed dot against output dimension `k` — left-to-right
     * accumulation, the same order DuckDB's list_dot_product uses.

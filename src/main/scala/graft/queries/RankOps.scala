@@ -52,7 +52,12 @@ object RankOps {
 
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = t(spark, dir, "documents")
+    // spread (explicit-count repartition) the raw text before the regex
+    // tokenizer: the single-split fixture file otherwise runs the whole
+    // rlike pass on one core (and AQE would coalesce a keyed repartition
+    // right back down — see Tables.spread)
+    val toks = spread(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(tokenArr(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // dl/stats/df all DERIVE from tf so the corpus is tokenized and
@@ -133,7 +138,9 @@ object RankOps {
   private val LmWorst = 20
 
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val arr = t(spark, dir, "documents")
+    // spread before the tokenizer — single-split fixture (see textBm25)
+    val arr = spread(t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokenArr(col("text")).as("a"))
       .filter(size(col("a")) >= 2)
     // adjacent-pair explode: i in [1, size-1], 0-based lookups i-1 / i
@@ -222,7 +229,9 @@ object RankOps {
   private val DsirTop = 20
 
   def textDsir(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
+    // spread before the tokenizer — single-split fixture (see textBm25)
+    val toks = spread(t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("lang"), tokenArr(col("text")).as("a"))
       .filter(size(col("a")) >= 1)
       .select(col("doc_id"), col("lang"), explode(col("a")).as("term"))

@@ -42,7 +42,7 @@ object SimilarityOps {
       // exchange after the cast projection: parallelizes the single-file
       // fixture AND materializes `v` as an attribute, so repeated
       // hyperplane scoring doesn't re-evaluate the cast
-      .repartition(col("vec_id"))
+      .transform(spread(_, col("vec_id")))
   }
 
   // --- Exact brute-force top-k ----------------------------------------------

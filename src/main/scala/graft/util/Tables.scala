@@ -15,6 +15,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE) shape.
   */
 object Tables {
+  /** Per-(dir, table) parquet schema, inferred once per JVM. Without an
+    * explicit reader schema every `spark.read.parquet` call runs a
+    * footer-inference JOB (~25 ms measured) — ~300 `t()` calls per bench
+    * pass paid seconds of pure schema re-inference. This memoizes
+    * METADATA only (the column types a real deployment keeps in a
+    * catalog); the data itself is re-read from parquet on every use.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
@@ -29,7 +46,7 @@ object Tables {
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/events.parquet")
+      val df = read(spark, s"$dir/events.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -39,8 +56,21 @@ object Tables {
         case _ => df
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      read(spark, s"$dir/$name.parquet")
     }
+
+  /** Spread a (typically single-split, CPU-dense) frame across the
+    * cluster's cores by key: `repartition(col)` alone is an
+    * AQE-coalescible exchange (REPARTITION_BY_COL), and AQE coalesces by
+    * BYTES — a few MB of text collapse to 1-2 post-shuffle partitions,
+    * serializing the md5/shingle/tokenize CPU behind them onto 1-2 cores
+    * (measured: the winnow k-gram stage ran 4.6 s of CPU on 2 tasks).
+    * An explicit partition count (REPARTITION_BY_NUM) is exempt from
+    * coalescing; `defaultParallelism` tracks the cluster's core count,
+    * so the fan-out is scale-adaptive, not a local constant.
+    */
+  def spread(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
 
   /** Exact decimal sum rendered back as double (see class doc). */
   def dsum(c: Column, scale: Int): Column =
