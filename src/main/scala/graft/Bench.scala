@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.codegen.maxFields", "300")
       // SQL UPDATE/MERGE on graft catalog tables (GraftDml rewrite rules)
       .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+      // Measured dead end kept as a knob: lowering AQE's coalescing
+      // floor (minPartitionSize 1m -> 64k) to parallelize the 100 KB-1 MB
+      // CPU-dense stages cost MORE in extra-task overhead across the
+      // suite than it bought (subset A/B: 13.4 s at 64k vs 12.0 s at the
+      // 1m default) — CPU-dense exchanges are spread explicitly at their
+      // call sites instead (Tables.spread).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine-portable 60-bit hash `conv(substring(md5(s), 1, 15), 16, 10)`
+  * fused into one codegen'd expression: the composed form allocates a
+  * 32-char hex string, re-substrings it, and parses it back through
+  * `conv`'s arbitrary-base loop — per row — and commons-codec's
+  * `md5Hex` constructs a fresh MessageDigest per call. This computes the
+  * identical value (first 15 hex digits of the MD5, i.e. the top 60 bits,
+  * as a non-negative BIGINT) straight from the digest bytes with a
+  * thread-local reusable MessageDigest. It is the hot inner call of the
+  * winnow fingerprint family (one hash per character position), simhash,
+  * and every sketch; the DuckDB oracles keep the textual
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` form, which equals this by
+  * construction (pinned in Md5Top60Spec against the composed Spark form).
+  */
+case class Md5Top60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_top60 expects a string argument, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_top60"
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Top60.hash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Top60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Top60 =
+    copy(child = newChild)
+}
+
+object Md5Top60 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of md5(s) as a base-16 number: the top 8 digest
+    * bytes big-endian, dropping the low nibble of the 8th — always
+    * non-negative (60 bits).
+    */
+  def hash(s: UTF8String): Long = {
+    val d = digests.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}

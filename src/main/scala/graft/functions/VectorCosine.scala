@@ -88,6 +88,17 @@ object GraftFunctions {
     * identity hash code) can silently skip a distinct session on a hash
     * collision and leak keys for collected ones.
     */
+  /** Exact per-session guard (functionExists, not a hash-based dedup —
+    * see ensureRegistered's scaladoc): the registry is consulted on
+    * every `Tables.t` call, so skip the re-registration churn once this
+    * session has the full set. md5_top60 is registered LAST in
+    * ensureRegistered, so its presence implies the rest.
+    */
+  def ensureRegisteredOnce(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("md5_top60")))
+      ensureRegistered(spark)
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vector_cosine"),
@@ -127,6 +138,15 @@ object GraftFunctions {
         require(children.length == 1,
           "hll_registers expects exactly 1 argument (a BIGINT 60-bit hash)")
         HllRegistersAgg(children.head)
+      })
+    // keep LAST: ensureRegisteredOnce uses this name as the sentinel
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("md5_top60"),
+      new ExpressionInfo(classOf[Md5Top60].getName, "md5_top60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "md5_top60 expects exactly 1 string argument")
+        Md5Top60(children.head)
       })
   }
 }

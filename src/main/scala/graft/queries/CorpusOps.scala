@@ -500,8 +500,7 @@ object CorpusOps {
       .select(col("doc_id"), lit(true).as("is_cont"))
     val survivors = dedupCorpus(spark, dir)
       .select(col("survivor_id").as("doc_id"), lit(true).as("is_surv"))
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")),
-      1, 15), 16, 10).cast("bigint"), lit(100L))
+    val bucket = pmod(call_function("md5_top60", col("doc_id").cast("string")), lit(100L))
     gated.join(contaminated, Seq("doc_id"), "left")
       .join(survivors, Seq("doc_id"), "left")
       .filter(col("gates_ok") &&
@@ -573,8 +572,7 @@ object CorpusOps {
     * consumes); deterministic across re-releases, like split_assign.
     */
   def corpusSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("cluster_id").cast("string")),
-      1, 15), 16, 10).cast("bigint"), lit(100L))
+    val bucket = pmod(call_function("md5_top60", col("cluster_id").cast("string")), lit(100L))
     clusterRanks(spark, dir)
       .select(col("doc_id"), col("cluster_id"),
         when(bucket < 90, "train").when(bucket < 95, "val")

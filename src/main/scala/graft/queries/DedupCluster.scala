@@ -74,25 +74,25 @@ object DedupCluster {
           .join(labels.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("label")).as("nmin"))
-        // checkpointed: stepped feeds BOTH sides of the pointer-jump
-        // join below — without the cut, the neighbor-min join+aggregate
-        // subtree would execute twice per round
-        val stepped = cut(labels.join(neighborMin, Seq("id"), "left")
+        // stepped feeds BOTH sides of the pointer-jump join below; its
+        // upstream (edges, labels) are both pinned, so the duplicated
+        // neighbor-min subtree is one shallow join+aggregate per side —
+        // cheaper than the extra checkpoint JOB a cut() here cost
+        // (measured: 3 jobs/round → 2). `old` (the pre-round label)
+        // rides along so convergence is a filter on the checkpointed
+        // frame instead of a join back against the previous labels.
+        val stepped = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label")))
+              .as("label"), col("label").as("old"))
         // pointer jump: label <- label's label (doubles chase distance)
         val jumped = cut(stepped.as("x")
           .join(stepped.select(col("id").as("label"),
             col("label").as("plabel")).as("p"), Seq("label"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("plabel"), col("label")))
-              .as("label")))
-        converged = jumped.as("n")
-          .join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old"))
-          .isEmpty
-        release(stepped)
+              .as("label"), col("old")))
+        converged = jumped.filter(col("label") =!= col("old")).isEmpty
         release(labels)
         labels = jumped
       }

@@ -74,8 +74,16 @@ object DedupOps {
       minWords: Int = 2): DataFrame =
     // spread(): explicit-count repartition — AQE's byte-based coalescing
     // otherwise folds this exchange to 1-2 partitions at bench scale and
-    // serializes every downstream shingle/md5 pass onto 1-2 cores
+    // serializes every downstream shingle/md5 pass onto 1-2 cores.
+    // The EXPLICIT doc_id IS NOT NULL matters for plan dedup: join
+    // consumers (candidate⋈sets verify legs) infer isnotnull(doc_id) and
+    // push it below this exchange while aggregate-only consumers don't,
+    // so the two subtrees stop canonicalizing equal and AQE materializes
+    // the scan+normalize shuffle once PER BRANCH (measured 2-3× per
+    // query). Stating the filter up front makes every branch identical
+    // and the exchange is built once and reused.
     spread(docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
           .as("ws")), col("doc_id"))
@@ -494,8 +502,7 @@ object DedupOps {
     // codegen'd sum aggregates (±1 per word); the signature reassembles
     // from the per-bit sums — avoids 60 interpreted passes per document
     val words = d.select(col("doc_id"), explode(col("ws")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
-        .cast("bigint"))
+      .withColumn("h", call_function("md5_top60", col("w")))
     val bitAggs = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j"))
@@ -694,7 +701,7 @@ object DedupOps {
       .select(col("doc_id"), col("nt"), explode(expr(
         s"sequence(1, greatest(length(nt) - ${k - 1}, 1))")).as("i"))
       .select(col("doc_id"), col("i"),
-        expr(s"cast(conv(substr(md5(substring(nt, i, $k)), 1, 15), 16, 10) as bigint)")
+        expr(s"md5_top60(substring(nt, i, $k))")
           .as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(-(win - 1), 0)

@@ -43,6 +43,7 @@ object MiningOps {
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     t(spark, dir, "embeddings")
+      .filter(col("vec_id").isNotNull) // uniform branch shape -> exchange reuse
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .transform(spread(_, col("vec_id")))

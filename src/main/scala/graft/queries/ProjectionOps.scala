@@ -46,6 +46,7 @@ object ProjectionOps {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
+      .filter(col("vec_id").isNotNull) // uniform branch shape -> exchange reuse
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .transform(spread(_, col("vec_id")))
 

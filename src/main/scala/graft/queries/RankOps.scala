@@ -59,10 +59,13 @@ object RankOps {
     val toks = spread(t(spark, dir, "documents")
       .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(tokenArr(col("text"))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // dl/stats/df all DERIVE from tf so the corpus is tokenized and
-    // shuffled exactly once — every other branch re-aggregates the same
-    // (doc_id, term) exchange, which ReuseExchange serves from one scan
+    // tf PINNED (Tables.cut): dl/stats/dfreq/scored are four consumers,
+    // and per-branch inferred isnotnull pushdown otherwise specializes
+    // each branch's copy of the tokenize+aggregate subtree so nothing is
+    // reused — pinning executes the regex tokenizer exactly once
+    val tf = cut(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // dl/stats/df all DERIVE from the pinned tf, so the corpus is
+    // tokenized and aggregated exactly once
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_dl"))
@@ -150,7 +153,10 @@ object RankOps {
           "i -> struct(a[i - 1] AS w1, a[i] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
     val toks = arr.select(col("doc_id"), explode(col("a")).as("term"))
-    // model: c(w1,w2) and c(w1) — both vocabulary-sized, both broadcast
+    // model: c(w1,w2) and c(w1) — both vocabulary-sized, both broadcast.
+    // (A cut()-pinned single-explode variant was tried and measured
+    // SLOWER at bench scale — the checkpoint jobs cost more than the
+    // duplicated parallel explode passes; see OPTIMIZATION_r16.md.)
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = toks.groupBy(col("term").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.agg(countDistinct(col("term")).as("v"))
@@ -235,6 +241,8 @@ object RankOps {
       .select(col("doc_id"), col("lang"), tokenArr(col("text")).as("a"))
       .filter(size(col("a")) >= 1)
       .select(col("doc_id"), col("lang"), explode(col("a")).as("term"))
+    // (A cut()-pinned single-explode variant was tried and measured
+    // SLOWER at bench scale; see OPTIMIZATION_r16.md.)
     val ct = toks.filter(col("lang") === "en")
       .groupBy("term").agg(count(lit(1)).as("ct"))
     val cs = toks.groupBy("term").agg(count(lit(1)).as("cs"))

@@ -308,13 +308,20 @@ object Relational {
   // (max-quantity lineitems vs deep-discount lineitems) — non-empty at
   // every SF, unlike a nation-level key set where both sides saturate.
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val l = t(spark, dir, "lineitem")
-    val a = l.filter(col("l_quantity") >= 49)
-      .select(col("l_orderkey")).distinct()
-    val b = l.filter(col("l_discount") >= 0.09)
-      .select(col("l_orderkey")).distinct()
-    a.union(b).distinct()
-      .except(a.intersect(b))
+    // symmetric difference in ONE scan + ONE exchange: per order, fold
+    // "has a qty>=49 line" / "has a disc>=0.09 line" as two max(bool)
+    // flags and keep keys where exactly one holds — set-identical to
+    // (a UNION b) EXCEPT (a INTERSECT b), without the 4 scans and the
+    // union/intersect/except exchange chain the literal form plans
+    // (4 Exchanges -> 1; oracle row unchanged and still the literal form)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_quantity") >= 49).as("in_a"),
+        (col("l_discount") >= 0.09).as("in_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("l_orderkey"))
       .orderBy(col("l_orderkey"))
   }
 

@@ -207,24 +207,31 @@ object Relational4 {
   def q21WaitingSupp(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") >
       col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val joined = t(spark, dir, "lineitem")
+    // ONE pass over the join (the previous shape consumed `joined` twice
+    // — per-order aggregate + the late-line leg — re-executing the
+    // lineitem⋈orders join, and paid an Expand for two countDistincts):
+    // fold to per-(order, supplier) with a late flag, then per-order
+    // counts; a qualifying order names its single late supplier in the
+    // same aggregate (max over the guarded key), so no join back to the
+    // line level is needed and numwait = one row per qualifying order.
+    val perSupp = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("is_late", late)
-    val perOrder = joined.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(late).as("is_late"))
+    val waiting = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
-      .select(col("ok"))
-    joined.filter(col("is_late"))
-      .join(perOrder, col("l_orderkey") === col("ok"), "left_semi")
+    waiting
       .join(broadcast(t(spark, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 

@@ -38,6 +38,7 @@ object SimilarityOps {
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     t(spark, dir, "embeddings")
+      .filter(col("vec_id").isNotNull) // uniform branch shape -> exchange reuse
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // exchange after the cast projection: parallelizes the single-file
       // fixture AND materializes `v` as an attribute, so repeated

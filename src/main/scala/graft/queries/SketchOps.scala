@@ -47,7 +47,7 @@ object SketchOps {
 
   /** Engine-portable 60-bit hash: top 15 hex chars of md5. */
   private[graft] def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("md5_top60", c)
 
   /** The ONE cell-address expression for hash row `j` of `term` —
     * shared by the grid build and every probe so they cannot drift.
@@ -69,7 +69,12 @@ object SketchOps {
       .filter(col("w") =!= "")
 
   private def words(spark: SparkSession, dir: String): DataFrame =
-    wordsOf(t(spark, dir, "documents"))
+    // spread the single-split fixture before the tokenize/md5 passes
+    // (Tables.spread — the batch side only; streaming micro-batches keep
+    // their natural partitioning through wordsOf)
+    wordsOf(graft.util.Tables.spread(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+        col("text")), col("doc_id")))
 
   /** (term, j, cell) probe coordinates for a `term`-keyed frame — the
     * same cell addressing [[cmsCellsFrom]] writes with, shared with the

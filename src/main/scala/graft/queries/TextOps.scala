@@ -162,8 +162,7 @@ object TextOps {
   // 90-99 test. The assignment is embarrassingly parallel; the rollup is
   // one shuffle.
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("bigint"), lit(100L))
+    val bucket = pmod(call_function("md5_top60", col("doc_id").cast("string")), lit(100L))
     t(spark, dir, "documents")
       .select(col("doc_id"), when(bucket < 80, "train")
         .when(bucket < 90, "val").otherwise("test").as("split"))
@@ -194,8 +193,7 @@ object TextOps {
   // this is a map-side filter (no shuffle until the audit rollup) and the
   // per-stratum rates are just a broadcastable case expression.
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("bigint"), lit(100L))
+    val bucket = pmod(call_function("md5_top60", col("doc_id").cast("string")), lit(100L))
     val rate = when(col("lang") === "en", 10L).otherwise(50L)
     t(spark, dir, "documents")
       .filter(bucket < rate)
@@ -489,8 +487,7 @@ object TextOps {
   def qSampleUniform(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("bigint").as("h"))
+        call_function("md5_top60", col("doc_id").cast("string")).as("h"))
       .orderBy(col("h"), col("doc_id"))
       .limit(SampleK)
 

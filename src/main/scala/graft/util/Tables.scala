@@ -32,7 +32,11 @@ object Tables {
     spark.read.schema(s).parquet(path)
   }
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path flows through here first — make the library's
+    // native functions (md5_top60, vector_cosine, ...) resolvable in
+    // whatever session is driving (exact functionExists guard, ~free)
+    graft.functions.GraftFunctions.ensureRegisteredOnce(spark)
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
       // generations and TIMESTAMP(MICROS) in others; normalize both to the
@@ -58,6 +62,7 @@ object Tables {
     } else {
       read(spark, s"$dir/$name.parquet")
     }
+  }
 
   /** Spread a (typically single-split, CPU-dense) frame across the
     * cluster's cores by key: `repartition(col)` alone is an
@@ -71,6 +76,20 @@ object Tables {
     */
   def spread(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+
+  /** Lineage cut for a frame consumed by several plan branches (the
+    * DedupCluster/GraphOps discipline, centralized): reliable checkpoint
+    * when the session has a checkpoint dir (executor-loss-safe on a
+    * cluster), eager localCheckpoint otherwise. Pinning does two things
+    * Catalyst can't: the expensive subtree executes exactly once no
+    * matter how many consumers reference it, and per-branch filter
+    * pushdown can no longer specialize (and thus un-share) the common
+    * exchange below it.
+    */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
 
   /** Exact decimal sum rendered back as double (see class doc). */
   def dsum(c: Column, scale: Int): Column =

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pin: the fused native md5_top60 equals the composed
+  * conv(substring(md5(s), 1, 15), 16, 10) bit-for-bit — the contract
+  * every oracle that replays the portable 60-bit hash depends on
+  * (winnow fingerprints, simhash, sketches, split buckets).
+  */
+class Md5Top60Spec extends AnyFunSuite {
+  private def spark = SparkTestSession.spark
+
+  test("md5_top60 == conv(substring(md5(s),1,15),16,10) on varied inputs") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "hello world", "éü中文",
+      " leading and trailing  ", "0", "\n\t") ++
+      (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(60) + 1).mkString) ++
+      (1 to 100).map(i => s"doc $i " + ("x" * (i % 37)))
+    val df = samples.toDF("s")
+      .withColumn("fused", call_function("md5_top60", col("s")))
+      .withColumn("composed",
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+    val bad = df.filter(col("fused") =!= col("composed") ||
+      col("fused").isNull).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+    // null in -> null out, like the composed chain
+    val n = samples.toDF("s")
+      .select(call_function("md5_top60", lit(null).cast("string")).as("v"))
+      .filter(col("v").isNotNull).count()
+    assert(n === 0)
+  }
+
+  test("interpreted path matches codegen (eval vs generated)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = graft.functions.Md5Top60(Literal(UTF8String.fromString("spark")))
+    // direct eval (interpreted) equals the helper used by codegen
+    assert(e.eval(null) ===
+      graft.functions.Md5Top60.hash(UTF8String.fromString("spark")))
+  }
+}
