@@ -29,6 +29,14 @@ object Bench {
       // call sites instead (Tables.spread).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "1m"))
+      // let AQE size the OUTPUT partitioning of persisted plans too: the
+      // iterative queries (label propagation, pagerank) persist their
+      // edge frames, and with the default=false those caches pin the
+      // static shuffle partition count — every round then scans 32/64
+      // near-empty cached partitions. With AQE sizing them the cache has
+      // as many partitions as its bytes warrant at ANY scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -82,12 +82,23 @@ object DedupOps {
     // the scan+normalize shuffle once PER BRANCH (measured 2-3× per
     // query). Stating the filter up front makes every branch identical
     // and the exchange is built once and reused.
-    spread(docs
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-          .as("ws")), col("doc_id"))
-      .filter(size(col("ws")) >= minWords)
+    if (minWords <= 1)
+      // size(split(s)) >= 1 holds for EVERY non-null s (split returns at
+      // least [""]), so the gate is exactly `text IS NOT NULL` — which
+      // costs nothing at the scan instead of a second normalize+split
+      // evaluation inside the pushed-down size predicate
+      spread(docs
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+            .as("ws")), col("doc_id"))
+    else
+      spread(docs
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+            .as("ws")), col("doc_id"))
+        .filter(size(col("ws")) >= minWords)
 
   /** Upper bound on candidate-bucket size shared by ALL near-dup families.
     * A bucket key held by more than this many documents (a million exact
@@ -205,9 +216,14 @@ object DedupOps {
 
   // --- n-gram Jaccard near-dup (inverted index on rare 6-gram shingles) -----
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingled(spark, dir)
-    val byG = d.filter(size(col("ws")) >= 6)
-      .select(col("doc_id"), explode(sixgramT).as("g"))
+    // minWords = 6 for BOTH the shingle and the verify side: a candidate
+    // needs a 6-gram, so restricting the verify sets to >=6-word docs
+    // joins the identical rows — and, critically, both branches now push
+    // the SAME filter below the shared scan+normalize exchange, so the
+    // subtrees canonicalize equal and AQE materializes that shuffle once
+    // (a per-branch `>= 6` used to split it; measured 2x the scan stage)
+    val d = shingled(spark, dir, minWords = 6)
+    val byG = d.select(col("doc_id"), explode(sixgramT).as("g"))
     // bucket per shingle, generate pairs inside the bucket — one pass, no
     // self-join (which would execute the whole explode subtree twice); the
     // [2, BucketCap] size gate is the df cap against ubiquitous shingles
@@ -294,9 +310,9 @@ object DedupOps {
     * closure feed (see the spanning-pairs scaladoc for the contract).
     */
   def dedupNgramSpanning(spark: SparkSession, dir: String): DataFrame = {
-    val d = shingled(spark, dir)
-    val byG = d.filter(size(col("ws")) >= 6)
-      .select(col("doc_id"), explode(sixgramT).as("g"))
+    // minWords = 6 on both branches — see dedupNgramJaccard
+    val d = shingled(spark, dir, minWords = 6)
+    val byG = d.select(col("doc_id"), explode(sixgramT).as("g"))
     val pairs = bucketedSpanningPairs(cappedBuckets(byG.groupBy(col("g"))
       .agg(collect_list(col("doc_id")).as("ids")), "ngram_span_buckets"))
     verifyJaccard(pairs, d.select(col("doc_id"), bigramT.as("big")), 0.5)
@@ -695,8 +711,17 @@ object DedupOps {
     */
   private[graft] def winnowFps(spark: SparkSession, dir: String,
       k: Int = 8, win: Int = 4): DataFrame = {
-    val d = shingled(spark, dir, minWords = 1)
-      .select(col("doc_id"), concat_ws(" ", col("ws")).as("nt"))
+    // the normalized TEXT is what winnowing hashes, so build it directly
+    // (trim+lower+collapse) instead of split-then-concat_ws through the
+    // word-array form — identical string (concat_ws(" ", split(s, " "))
+    // is the identity on a trimmed collapsed s), one string op instead
+    // of three plus an array; minWords=1 ≡ text IS NOT NULL (see
+    // normalizedWords)
+    val d = spread(t(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt")),
+      col("doc_id"))
     val hashes = d
       .select(col("doc_id"), col("nt"), explode(expr(
         s"sequence(1, greatest(length(nt) - ${k - 1}, 1))")).as("i"))

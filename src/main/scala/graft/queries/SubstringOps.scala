@@ -39,10 +39,19 @@ object SubstringOps {
     */
   private val L = 8
 
-  /** (doc_id, ws) for docs long enough to shingle. */
+  /** (doc_id, ws) for docs long enough to shingle. The two trailing
+    * predicates are IMPLIED by `size >= L` but stated explicitly: the
+    * posexplode(ws) consumer (the cut's word branch) INFERS exactly
+    * `size(ws) > 0 AND isnotnull(ws)` and pushes them below the shared
+    * scan+normalize exchange, which un-shares it from the gram/total
+    * branches (one extra full materialization measured); with the same
+    * conjunction on every branch the subtrees canonicalize equal and the
+    * exchange is built once.
+    */
   private def longDocs(spark: SparkSession, dir: String): DataFrame =
     DedupOps.normalizedWords(t(spark, dir, "documents"))
-      .filter(size(col("ws")) >= L)
+      .filter(size(col("ws")) >= L &&
+        size(col("ws")) > 0 && col("ws").isNotNull)
 
   /** (doc_id, i, k): 1-based start position and 60-bit-md5-prefix key of
     * every L-word shingle. Grams are materialized inside one transform()
